@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BigQuery-semantics compat helpers (SURVEY §2.7 gaps). Plain Column
+  * combinators over codegen'd built-ins — no UDFs, no custom
+  * Expressions — so every call stays inside whole-stage codegen.
+  *
+  * Gap sites (reference cites):
+  *  - REGEXP_EXTRACT no-match: BigQuery NULL vs Spark ''
+  *    (/root/reference/models/fact_trips_stops.sql:93-104)
+  *  - SAFE_CAST (/root/reference/models/fact_trips_stops.sql:68)
+  *  - TIMESTAMP_DIFF arg order (later, earlier, unit)
+  *    (/root/reference/models/fact_trips.sql:66-70)
+  *  - GTFS "HH:MM:SS" with HH >= 24
+  *    (/root/reference/docs/metrics_guide.md:93-95)
+  *  - ordered argmin with null-last multi-key
+  *    (/root/reference/models/fact_trips.sql:42-57)
+  */
+object BqCompat {
+
+  /** BigQuery REGEXP_EXTRACT: NULL (not '') when the pattern does not
+    * match. Group 0 = whole match, like BigQuery's single-arg form. */
+  def regexpExtractOrNull(c: Column, pattern: String, group: Int = 0): Column =
+    nullif(regexp_extract(c, pattern, group), lit(""))
+
+  /** BigQuery SAFE_CAST(x AS INT64): NULL on malformed input,
+    * independent of spark.sql.ansi.enabled. */
+  def safeCastLong(c: Column): Column = c.try_cast(LongType)
+
+  def safeCastDouble(c: Column): Column = c.try_cast(DoubleType)
+
+  /** BigQuery SAFE_DIVIDE: NULL on divide-by-zero. */
+  def safeDivide(a: Column, b: Column): Column = try_divide(a, b)
+
+  /** BigQuery TIMESTAMP_DIFF(later, earlier, SECOND). Note BigQuery's
+    * argument order is (later, earlier) — kept here. */
+  def timestampDiffSeconds(later: Column, earlier: Column): Column =
+    unix_timestamp(later) - unix_timestamp(earlier)
+
+  /** BigQuery TIMESTAMP_DIFF(later, earlier, MINUTE) — truncation
+    * toward zero of the whole-second difference, like BigQuery. */
+  def timestampDiffMinutes(later: Column, earlier: Column): Column =
+    ((unix_timestamp(later) - unix_timestamp(earlier)) / 60L).cast(LongType)
+
+  /** BigQuery TO_HEX(SHA256(s)) — Spark's sha2 already returns
+    * lowercase hex. */
+  def sha256Hex(c: Column): Column = sha2(c, 256)
+
+  /** GTFS "HH:MM:SS" (HH may exceed 24, e.g. "25:10:00" = 01:10 next
+    * day) + a service-day timestamp → absolute timestamp. Pure epoch
+    * arithmetic so DST/civil-time ambiguity never enters.
+    * serviceDayMidnight must already be the civil midnight as a
+    * TimestampType.
+    */
+  def gtfsTimeToTs(serviceDayMidnight: Column, hms: Column): Column = {
+    val parts = split(hms, ":")
+    val secs = parts.getItem(0).cast(LongType) * 3600L +
+      parts.getItem(1).cast(LongType) * 60L +
+      parts.getItem(2).cast(LongType)
+    timestamp_seconds(unix_timestamp(serviceDayMidnight) + secs)
+  }
+
+  /** Null-last ordering key component: (isNull, value). Structs compare
+    * lexicographically, so wrapping each ORDER BY key as
+    * struct(nullFlag, key) reproduces BigQuery's
+    * `ORDER BY CASE WHEN k IS NULL THEN 1 ELSE 0 END, k`
+    * (/root/reference/models/fact_trips.sql:44-47). */
+  def nullsLastKey(k: Column): Column =
+    struct(when(k.isNull, lit(1)).otherwise(lit(0)).as("n"), k.as("k"))
+
+  /** Ordered argmin: value of `v` at the smallest composite key.
+    * Replaces BigQuery's ARRAY_AGG(... ORDER BY ... LIMIT 1)[OFFSET(0)]
+    * with an O(n) single-pass min_by instead of an O(n log n) sort
+    * (/root/reference/models/fact_trips.sql:42-57). Keys are wrapped
+    * null-last; pass keys in major-to-minor order. */
+  def argMinBy(v: Column, keys: Column*): Column =
+    min_by(v, struct(keys.map(nullsLastKey): _*))
+
+  def argMaxBy(v: Column, keys: Column*): Column =
+    max_by(v, struct(keys.map(nullsLastKey): _*))
+
+  /** Deterministic money/measure sum: doubles are rounded to integral
+    * cents and summed in Long, so the aggregate is order-insensitive
+    * and hash-reproducible against any other engine (double summation
+    * is order-dependent; int64 summation is not). */
+  def sumCents(c: Column): Column = sum(round(c * 100).cast(LongType))
+
+  /** sumCents scaled back to a double amount (exact: cents <= 2^53). */
+  def sumMoney(c: Column): Column = sumCents(c) / 100.0
+}

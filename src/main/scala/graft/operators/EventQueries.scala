@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.BqCompat._
+import graft.sources.Sources
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operator coverage on the `events` table — these are
+  * the testdata analogs of the reference's GTFS-rt workload: time
+  * bucketing (docs/metrics_guide.md:27-35), ordered argmin rollups
+  * (models/fact_trips.sql:42-63), first-pass dedup + headways via
+  * windows (docs/metrics_guide.md:170-200), and feed-latency style
+  * per-minute aggregates (docs/metrics_guide.md:312-319).
+  *
+  * Determinism: events.ts is parquet TIMESTAMP(NANOS); Spark reads
+  * micros, DuckDB reads ns-truncated-to-us on scan. All emitted time
+  * values are floored to epoch seconds or formatted strings so both
+  * engines hash identically. (event_id is the unique tiebreak key.)
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+
+  /** epoch seconds (floor) of ts — deterministic across engines. */
+  private val epochS: Column => Column = c => unix_timestamp(c)
+
+  val queries: Map[String, Q] = Map(
+
+    // ── F2/F9/F10 + A2: 5-minute tumbling buckets (the trips-per-5min
+    // metric, docs/metrics_guide.md:40-51). Bucket arithmetic in epoch
+    // seconds; map-side combine makes this a pure scan at 100 TB.
+    "f10_time_buckets" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .withColumn("bucket_s", (epochS($"ts") / 300L).cast(LongType) * 300L)
+          .groupBy($"bucket_s", $"event_type")
+          .agg(count(lit(1)).as("n"),
+               countDistinct($"user_id").as("n_users"),
+               sumMoney($"value").as("sum_value"))
+          .withColumn("bucket", date_format(timestamp_seconds($"bucket_s"),
+                                            "yyyy-MM-dd HH:mm:ss"))
+          .select($"bucket", $"event_type", $"n", $"n_users", $"sum_value")
+          .orderBy($"bucket", $"event_type")
+          .limit(500)
+      },
+      oracle = Some("""
+        SELECT strftime(make_timestamp((epoch_us(ts)//1000000)//300*300*1000000),
+                        '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500"""),
+      desc = "F10 5-min epoch bucketing + A2/A8 multi-key agg"),
+
+    // ── A5: ordered argmin/argmax rollup — first/last event per user,
+    // the fact_trips shape (models/fact_trips.sql:42-63) via min_by /
+    // max_by over composite null-last keys: O(n) single pass, no sort,
+    // map-side partial aggregation (vs ARRAY_AGG ORDER BY LIMIT 1's
+    // O(n log n) per-group sort).
+    "a5_argmin_rollup" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .withColumn("es", epochS($"ts"))
+          .groupBy($"user_id")
+          .agg(
+            argMinBy($"event_type", $"es", $"event_id").as("first_type"),
+            argMaxBy($"event_type", $"es", $"event_id").as("last_type"),
+            min($"es").as("first_s"),
+            max($"es").as("last_s"),
+            count(lit(1)).as("n_events"),
+            sumMoney($"value").as("sum_value"))
+          .withColumn("span_s", $"last_s" - $"first_s")
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT *, epoch_us(ts)//1000000 AS es FROM events),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY es, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY es DESC, event_id DESC) AS rn_z
+              FROM e)
+        SELECT user_id,
+               min(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+               min(CASE WHEN rn_z = 1 THEN event_type END) AS last_type,
+               min(es) AS first_s,
+               max(es) AS last_s,
+               count(*) AS n_events,
+               sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+               max(es) - min(es) AS span_s
+        FROM r GROUP BY user_id ORDER BY user_id"""),
+      desc = "A5 ordered argmin/argmax per-group rollup (min_by/max_by)"),
+
+    // ── W1: first-pass dedup — QUALIFY ROW_NUMBER() = 1
+    // (docs/metrics_guide.md:188-191). Partitioned window: shuffles
+    // once on user_id, scales linearly.
+    "w1_first_pass" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type",
+                  epochS($"ts").as("first_s"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, event_type, epoch_us(ts)//1000000 AS first_s
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id"""),
+      desc = "W1 row_number dedup (QUALIFY rn=1)"),
+
+    // ── W2: global sequence row_number (docs/metrics_guide.md:186-199).
+    // Single-partition window by construction (reference semantics);
+    // at scale this is applied per stop/day slice — bounded. Filter to
+    // purchases keeps the global sort small here.
+    "w2_global_seq" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"ts", $"event_id")
+        ev(s, dir)
+          .filter($"event_type" === "purchase")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 100 && $"rn" > 1)
+          .select($"rn", $"event_id", $"user_id")
+          .orderBy($"rn")
+      },
+      oracle = Some("""
+        SELECT rn, event_id, user_id
+        FROM (SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'purchase')
+        WHERE rn <= 100 AND rn > 1 ORDER BY rn"""),
+      desc = "W2 global row_number sequence + range filter"),
+
+    // ── W3: LAG headways — inter-event gap per user
+    // (docs/metrics_guide.md:170-200). Gaps are integral seconds so
+    // avg is exact double arithmetic in both engines.
+    "w3_lag_headway" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        ev(s, dir)
+          .withColumn("es", epochS($"ts"))
+          .withColumn("prev_es", lag($"es", 1).over(w))
+          .filter($"prev_es".isNotNull)
+          .withColumn("gap_s", $"es" - $"prev_es")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+               min($"gap_s").as("min_gap"),
+               max($"gap_s").as("max_gap"),
+               avg($"gap_s").as("avg_gap"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts)//1000000
+                   - lag(epoch_us(ts)//1000000) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+          FROM events)
+        SELECT user_id, count(*) AS n_gaps, min(gap_s) AS min_gap,
+               max(gap_s) AS max_gap, avg(gap_s) AS avg_gap
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY user_id ORDER BY user_id"""),
+      desc = "W3 lag() headways + integral-second avg"),
+
+    // ── J6/J7: self-join of two filtered scans — signup→purchase
+    // conversion delay (the A→B run-time query,
+    // docs/metrics_guide.md:222-237). Equi on user_id + theta residual.
+    "j6_self_conversion" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir).withColumn("es", epochS($"ts"))
+        val a = e.filter($"event_type" === "signup")
+          .select($"user_id", $"es".as("signup_s"), $"event_id".as("signup_id"))
+        val b = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"es".as("purchase_s"))
+        a.join(b, Seq("user_id"), "inner")
+          .filter($"purchase_s" >= $"signup_s")
+          .groupBy($"user_id", $"signup_id")
+          .agg(count(lit(1)).as("n_purchases_after"),
+               min($"purchase_s" - $"signup_s").as("min_delay_s"))
+          .orderBy($"user_id", $"signup_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT *, epoch_us(ts)//1000000 AS es FROM events)
+        SELECT a.user_id, a.event_id AS signup_id,
+               count(*) AS n_purchases_after,
+               min(b.es - a.es) AS min_delay_s
+        FROM e a JOIN e b ON a.user_id = b.user_id AND b.es >= a.es
+        WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      desc = "J6 self-join two filtered scans + J7 theta residual"),
+
+    // ── A9: quantiles — p50/p90 of value per event_type. Exact
+    // percentile on integral cents in both engines (approx sketches
+    // diverge between engines; SURVEY A9). At 100 TB swap to
+    // percentile_approx — same API shape.
+    "a9_quantiles" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cents = round($"value" * 100).cast(LongType)
+        ev(s, dir)
+          .withColumn("cents", cents)
+          .groupBy($"event_type")
+          .agg(
+            percentile($"cents", lit(0.5)).as("p50_cents"),
+            percentile($"cents", lit(0.9)).as("p90_cents"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        SELECT event_type,
+               quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50_cents,
+               quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) AS p90_cents,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      desc = "A9 exact percentiles (p50/p90) on integral cents"),
+
+    // ── A6/A7/A11 + F11: conditional counts/rates (COUNTIF /
+    // AVG(CASE) / SAFE_DIVIDE — docs/metrics_guide.md:285-292) and
+    // day-of-week extraction (1=Sunday, BigQuery convention).
+    "a6_condcount" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .withColumn("dow", dayofweek(timestamp_seconds(epochS($"ts"))))
+          .groupBy($"dow")
+          .agg(
+            count(lit(1)).as("n"),
+            count_if($"event_type" === "error").as("n_errors"),
+            avg(when($"event_type" === "purchase", 1.0).otherwise(0.0))
+              .as("purchase_rate"),
+            try_divide(count_if($"value" > 100.0), count(lit(1)))
+              .as("high_value_rate"),
+            try_divide(count_if($"event_type" === "refund"),
+                       count_if($"event_type" === "purchase")).as("refund_ratio"))
+          .orderBy($"dow")
+      },
+      oracle = Some("""
+        SELECT dayofweek(ts) + 1 AS dow,
+               count(*) AS n,
+               count(*) FILTER (event_type = 'error') AS n_errors,
+               avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                 AS purchase_rate,
+               CAST(count(*) FILTER (value > 100.0) AS DOUBLE)/count(*)
+                 AS high_value_rate,
+               CAST(count(*) FILTER (event_type = 'refund') AS DOUBLE)
+                 / nullif(count(*) FILTER (event_type = 'purchase'), 0)
+                 AS refund_ratio
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      desc = "A6/A7/A11 count_if, avg(case), try_divide + F11 dayofweek"),
+
+    // ── F-json: JSON field extraction from props (beyond reference —
+    // dlt-style payload probing) + F1 try_cast.
+    "f_json_props" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .withColumn("k", safeCastLong(get_json_object($"props", "$.k")))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum($"k").as("sum_k"),
+               min($"k").as("min_k"),
+               max($"k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      desc = "JSON extraction + F1 try_cast aggregated")
+  )
+}

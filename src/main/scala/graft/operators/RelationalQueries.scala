@@ -1,0 +1,353 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.BqCompat._
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator coverage (SURVEY §2.1–§2.4, §2.6) expressed on
+  * the driver testdata star schema. Each query is the idiomatic-Spark
+  * rendering of an operator the reference exercises, named by its
+  * SURVEY §2 id.
+  *
+  * Scale notes are attached per query: every aggregation here is a
+  * map-side-combinable hash agg; dimension joins broadcast (region /
+  * nation / supplier are tiny relative to facts at any SF); fact-fact
+  * joins shuffle on their equi-keys and survive 1000× row growth
+  * because keys are high-cardinality (orderkey) — AQE handles skew.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+
+    // ── A1/A2/A7/A10/A11 + P5: grouped aggregation over the big fact.
+    // Pricing-summary shape (hash agg, partial aggregation map-side;
+    // at 100 TB this is a pure scan+combine, no row explosion).
+    "q1_agg" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_quantity" > 2.0)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumMoney($"l_quantity").as("sum_qty"),
+            sumMoney($"l_extendedprice").as("sum_base_price"),
+            sumMoney($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            count(lit(1)).as("n_rows"),
+            avg(round($"l_quantity" * 100).cast(LongType)).as("avg_qty_cents"),
+            try_divide(sumCents($"l_discount"), count(lit(1))).as("avg_disc_cents"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+               sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+               count(*) AS n_rows,
+               avg(CAST(round(l_quantity*100) AS BIGINT)) AS avg_qty_cents,
+               CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/count(*) AS avg_disc_cents
+        FROM lineitem WHERE l_quantity > 2.0
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      desc = "A1/A2 hash group-by with deterministic money sums"),
+
+    // ── J1: fact-fact inner equi-join (orders ⋈ lineitem fan-out).
+    // Shuffle join on orderkey; high-cardinality key → no skew issue;
+    // AQE coalesces post-shuffle partitions at small SF.
+    "j1_inner_fanout" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey", "inner")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            countDistinct($"o_orderkey").as("n_orders"),
+            sumMoney($"l_extendedprice").as("sum_price"))
+          .orderBy($"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               count(DISTINCT o_orderkey) AS n_orders,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      desc = "J1 inner equi-join parent->child fan-out + A8 count distinct"),
+
+    // ── J2: left outer join to small dimensions (broadcast at any SF:
+    // supplier/nation are bounded dims — explicit broadcast()).
+    "j2_left_dim" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val nat = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+        t(s, dir, "supplier")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey", "left")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_suppliers"),
+               sumMoney($"s_acctbal").as("sum_bal"))
+          .orderBy($"n_name")
+      },
+      oracle = Some("""
+        SELECT n_name,
+               count(*) AS n_suppliers,
+               sum(CAST(round(s_acctbal*100) AS BIGINT))/100.0 AS sum_bal
+        FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""),
+      desc = "J2 left join to broadcast dimension"),
+
+    // ── J3: same dimension joined twice under different roles
+    // (customer-nation and supplier-nation), like stops as fs/ls in
+    // fact_trips (reference models/fact_trips.sql:88-89).
+    "j3_dim_twice" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cn = t(s, dir, "nation")
+          .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+        val sn = t(s, dir, "nation")
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(cn), $"c_nationkey" === $"cn_key")
+          .join(broadcast(sn), $"s_nationkey" === $"sn_key")
+          .filter($"cust_nation" < $"supp_nation")
+          .groupBy($"cust_nation", $"supp_nation")
+          .agg(count(lit(1)).as("n"), sumMoney($"l_extendedprice").as("volume"))
+          .orderBy($"cust_nation", $"supp_nation")
+      },
+      oracle = Some("""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               count(*) AS n,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name < sn.n_name
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      desc = "J3 aliased dimension joined twice + multi-join pipeline"),
+
+    // ── J4: left-join chain of pre-aggregated children (1:1 after
+    // pre-agg) — the fact_alerts shape (models/fact_alerts.sql:87-93).
+    // Pre-aggregating BEFORE the join keeps the join 1:1 (no fan-out
+    // blowup) — at 100 TB this is the difference between a bounded
+    // shuffle and a cross-product explosion.
+    "j4_preagg_chain" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val items = li.groupBy($"l_orderkey".as("ik"))
+          .agg(count(lit(1)).as("n_items"), sumMoney($"l_quantity").as("qty"))
+        val returns = li.filter($"l_returnflag" === "R")
+          .groupBy($"l_orderkey".as("rk"))
+          .agg(count(lit(1)).as("n_returned"))
+        t(s, dir, "orders")
+          .join(items, $"o_orderkey" === $"ik", "left")
+          .join(returns, $"o_orderkey" === $"rk", "left")
+          .filter($"o_totalprice" > 400000.0)
+          .select($"o_orderkey", $"o_orderpriority",
+                  coalesce($"n_items", lit(0L)).as("n_items"),
+                  coalesce($"qty", lit(0.0)).as("qty"),
+                  coalesce($"n_returned", lit(0L)).as("n_returned"))
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority,
+               coalesce(i.n_items, 0) AS n_items,
+               coalesce(i.qty, 0.0) AS qty,
+               coalesce(r.n_returned, 0) AS n_returned
+        FROM orders
+        LEFT JOIN (SELECT l_orderkey, count(*) AS n_items,
+                          sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS qty
+                   FROM lineitem GROUP BY l_orderkey) i ON o_orderkey = i.l_orderkey
+        LEFT JOIN (SELECT l_orderkey, count(*) AS n_returned
+                   FROM lineitem WHERE l_returnflag = 'R'
+                   GROUP BY l_orderkey) r ON o_orderkey = r.l_orderkey
+        WHERE o_totalprice > 400000.0
+        ORDER BY o_orderkey"""),
+      desc = "J4 chain of pre-aggregated children kept 1:1 + P8 coalesce"),
+
+    // ── J5 + semi/anti + O4: JOIN USING dedup semantics, EXISTS /
+    // NOT EXISTS as left_semi / left_anti, union of branches.
+    "j5_semi_anti" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        val withO = cust
+          .join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("with_orders"))
+        val withoutO = cust
+          .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("without_orders"))
+        withO.unionByName(withoutO)
+          .select($"kind", $"c_mktsegment", $"n")
+          .orderBy($"kind", $"c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'with_orders' AS kind, c_mktsegment, count(*) AS n
+          FROM customer c WHERE EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          GROUP BY c_mktsegment
+          UNION ALL
+          SELECT 'without_orders' AS kind, c_mktsegment, count(*) AS n
+          FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          GROUP BY c_mktsegment)
+        ORDER BY kind, c_mktsegment"""),
+      desc = "left_semi/left_anti (EXISTS/NOT EXISTS) + O4 union"),
+
+    // ── J8 + J7: composite-key equi-join with theta residual.
+    // customer×orders on (custkey) restricted by a residual range
+    // predicate — Catalyst keeps the equi part as the join key and
+    // evaluates the residual post-join.
+    "j8_composite_theta" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val bigC = t(s, dir, "customer").filter($"c_acctbal" > 0.0)
+        t(s, dir, "orders")
+          .join(bigC, $"o_custkey" === $"c_custkey" &&
+                      $"o_totalprice" > $"c_acctbal" * 10.0, "inner")
+          .groupBy($"c_mktsegment", $"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("sum_price"))
+          .orderBy($"c_mktsegment", $"o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+               sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_price
+        FROM orders JOIN customer
+          ON o_custkey = c_custkey AND o_totalprice > c_acctbal*10.0
+        WHERE c_acctbal > 0.0
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      desc = "J7/J8 equi-join with theta residual predicate"),
+
+    // ── A3/A4-deterministic: min/max rollup with first() replaced by
+    // deterministic min (SURVEY A4: no any_value in checked paths).
+    "a3_minmax" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            min($"o_orderdate").as("first_date"),
+            max($"o_orderdate").as("last_date"),
+            min($"o_orderkey").as("min_key"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               min(o_orderdate) AS first_date,
+               max(o_orderdate) AS last_date,
+               min(o_orderkey) AS min_key,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      desc = "A3 min/max over timestamps and keys"),
+
+    // ── P6/P7/P8: searched CASE, boolean derivation, coalesce chains.
+    "p_case_flags" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select(
+            $"l_returnflag",
+            when($"l_quantity" < 10, "small")
+              .when($"l_quantity" < 30, "mid")
+              .otherwise("big").as("qty_bucket"),
+            ($"l_discount" > 0.05).as("high_disc"),
+            coalesce(nullif($"l_linestatus", lit("O")), $"l_returnflag", lit("UNK"))
+              .as("status_or_flag"))
+          .groupBy($"l_returnflag", $"qty_bucket", $"high_disc", $"status_or_flag")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"l_returnflag", $"qty_bucket", $"high_disc", $"status_or_flag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'big' END AS qty_bucket,
+               l_discount > 0.05 AS high_disc,
+               coalesce(nullif(l_linestatus, 'O'), l_returnflag, 'UNK') AS status_or_flag,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"""),
+      desc = "P6/P7/P8 case-when, bool derivation, coalesce"),
+
+    // ── S5: inline VALUES source joined to a real table.
+    "s5_inline_values" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val prios = Seq(("AMERICA", 1), ("ASIA", 2), ("EUROPE", 3))
+          .toDF("r_name", "prio")
+        t(s, dir, "region")
+          .join(prios, Seq("r_name"), "inner")
+          .select($"r_regionkey", $"r_name", $"prio")
+          .orderBy($"r_regionkey")
+      },
+      oracle = Some("""
+        SELECT r_regionkey, r_name, prio
+        FROM region
+        JOIN (VALUES ('AMERICA', 1), ('ASIA', 2), ('EUROPE', 3)) AS t(r_name, prio)
+          USING (r_name)
+        ORDER BY r_regionkey"""),
+      desc = "S5 inline array/VALUES source + J5 USING join"),
+
+    // ── F1/F3/F4/F5/F12 + P5: string derivations with BigQuery
+    // semantics (regexp no-match → NULL via BqCompat).
+    "f_strings" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_size".between(1, 15))
+          .select(
+            $"p_partkey",
+            regexpExtractOrNull($"p_name", "^[a-z]+").as("first_word"),
+            sha256Hex($"p_name").as("name_sha"),
+            concat($"p_brand", lit("|"), $"p_type").as("brand_type"),
+            split($"p_type", " ").getItem(0).as("type_head"),
+            length($"p_name").as("name_len"),
+            upper($"p_brand").as("brand_uc"),
+            safeCastLong(regexpExtractOrNull($"p_name", "\\d+")).as("name_num"))
+          .orderBy($"p_partkey")
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               nullif(regexp_extract(p_name, '^[a-z]+'), '') AS first_word,
+               sha256(p_name) AS name_sha,
+               p_brand || '|' || p_type AS brand_type,
+               string_split(p_type, ' ')[1] AS type_head,
+               length(p_name) AS name_len,
+               upper(p_brand) AS brand_uc,
+               try_cast(nullif(regexp_extract(p_name, '\d+'), '') AS BIGINT) AS name_num
+        FROM part WHERE p_size BETWEEN 1 AND 15
+        ORDER BY p_partkey"""),
+      desc = "F1/F3/F4/F5/F12 string+hash+cast compat functions"),
+
+    // ── O1/O3: global sort + limit (top-k). Spark plans
+    // TakeOrderedAndProject — no full sort materialization at scale.
+    "o3_topk" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .limit(25)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"""),
+      desc = "O1/O3 global order-by + top-k (TakeOrderedAndProject)")
+  )
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source registry — the engine's equivalent of the reference's dbt
+  * `source()` resolution (`/root/reference/models/mta_sources.yml:3-6`).
+  *
+  * A source is a named Parquet table under a scale-factor directory.
+  * Reads are plain `spark.read.parquet` so Catalyst keeps predicate
+  * pushdown / column pruning / partition pruning on the scan.
+  *
+  * Scale posture: at 100 TB each table is a partitioned Parquet (or
+  * Iceberg/Delta) root; nothing here assumes single-file layout —
+  * `dir/name.parquet` may be a directory of part-files.
+  */
+object Sources {
+
+  /** Driver testdata tables (TPC-H-ish + events/documents/embeddings). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts arrives as parquet TIMESTAMP(NANOS), which Spark has no
+    // native type for (PARQUET_TYPE_ILLEGAL without the legacy flag).
+    // The flag is runtime-settable, so pin it here rather than relying
+    // on every session creator to remember it.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      // Normalize ns-long → TimestampType (micros) once at the source
+      // boundary so every downstream operator sees TimestampType.
+      case "events" => normalizeEventTs(df)
+      case _        => df
+    }
+  }
+
+  /** events.ts: parquet TIMESTAMP(NANOS) → TimestampType (micros).
+    * If the runtime already mapped it to TimestampType, pass through;
+    * if it surfaced as a long (nanosAsLong), divide to micros.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case _ => df
+    }
+  }
+
+  /** Register every testdata table as a temp view (the dbt-`source()`
+    * namespace for `spark.sql` / metric queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    testTables.foreach { t => table(spark, dir, t).createOrReplaceTempView(t) }
+}
