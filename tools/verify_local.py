@@ -56,8 +56,10 @@ def main(sf_dir, out_dir):
             # driver sorts columns by name; replicate
             gidx = [got_cols.index(c) for c in sorted(got_cols)]
             eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
-            g = sorted(tuple(canon(r[i]) for i in gidx) for r in got)
-            e = sorted(tuple(canon(r[i]) for i in eidx) for r in exp)
+            def key(row):
+                return tuple((v is None, str(v)) for v in row)
+            g = sorted((tuple(canon(r[i]) for i in gidx) for r in got), key=key)
+            e = sorted((tuple(canon(r[i]) for i in eidx) for r in exp), key=key)
             bad = [(a, b) for a, b in zip(g, e) if a != b]
             if bad:
                 problems.append(f"values differ in {len(bad)}/{len(g)} rows; "
