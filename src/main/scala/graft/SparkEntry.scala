@@ -14,7 +14,9 @@ object SparkEntry {
   /** All registered query groups (each op from SURVEY §2 + extensions). */
   private lazy val all: Map[String, Q] =
     RelationalQueries.queries ++ EventQueries.queries ++
-      graft.models.MtaQueries.queries
+      graft.models.MtaQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries ++
+      MultimodalQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The per-user argmin rollup — the engine's fact_trips analog. */

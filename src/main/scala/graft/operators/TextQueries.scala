@@ -1,0 +1,369 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Sources
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-training-data-pipeline extension surface (BASELINE.json north
+  * star; beyond reference parity).
+  *
+  * All token hashing is md5-prefix arithmetic (md5 exists bit-identical
+  * in both engines; Spark conv(hex,16,10) ≡ DuckDB '0x…'::BIGINT), so
+  * every operator — including MinHash and SimHash — is exactly
+  * DuckDB-oracle-checkable. No UDFs: everything is built-in
+  * higher-order functions (transform/aggregate/zip_with), which stay
+  * codegen-friendly and distribute trivially.
+  *
+  * Scale notes: per-document ops are embarrassingly parallel scans.
+  * The pair-generation steps (LSH band join, block join) are designed
+  * so candidate sets stay bounded: MinHash/SimHash bucket joins group
+  * by band value (no all-pairs), n-gram Jaccard blocks by (lang,
+  * source). At 100 TB: band tables shuffle-partition by band key;
+  * skewed bands (huge buckets) get length-capped or salted.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+
+  /** 56-bit token hash from the md5 hex prefix (portable). */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
+
+  private val DUCK_TOKHASH = "('0x' || substr(md5(%s), 1, 14))::BIGINT"
+
+  // stopword sets for the language-ID heuristic
+  private val En = Seq("the", "a", "of", "and", "to")
+  private val Tech = Seq("spark", "query", "table", "join", "scan")
+
+  val queries: Map[String, Q] = Map(
+
+    // ── token statistics (counting, type-token ratio) ───────────────
+    "text_tokens" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .withColumn("toks", split($"text", " "))
+          .select(
+            $"doc_id", $"lang", $"source",
+            length($"text").as("n_chars_actual"),
+            size($"toks").as("n_tokens"),
+            size(array_distinct($"toks")).as("n_distinct"),
+            try_divide(size(array_distinct($"toks")), size($"toks")).as("ttr"),
+            expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_tok_len"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, source,
+               length(text) AS n_chars_actual,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS ttr,
+               list_sum(list_transform(string_split(text, ' '),
+                                       x -> CAST(length(x) AS BIGINT)))
+                 AS sum_tok_len
+        FROM documents ORDER BY doc_id"""),
+      desc = "token counting + type-token ratio (higher-order aggregate)"),
+
+    // ── quality scoring: punct/upper/digit/stopword ratios ──────────
+    "text_quality" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        val stopHits = size(filter(toks, t => t.isin(En: _*)))
+        docs(s, dir).select(
+          $"doc_id",
+          length($"text").as("len"),
+          size(expr("regexp_extract_all(text, '[.,!?;:]')")).as("n_punct"),
+          size(expr("regexp_extract_all(text, '[A-Z]')")).as("n_upper"),
+          size(expr("regexp_extract_all(text, '[0-9]')")).as("n_digit"),
+          stopHits.as("n_stop"),
+          try_divide(stopHits, size(toks)).as("stopword_ratio"),
+          try_divide(size(expr("regexp_extract_all(text, '[.,!?;:]')")),
+                     length($"text")).as("punct_ratio"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               length(text) AS len,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               len([x FOR x IN string_split(text, ' ')
+                    IF x IN ('the', 'a', 'of', 'and', 'to')]) AS n_stop,
+               CAST(len([x FOR x IN string_split(text, ' ')
+                         IF x IN ('the', 'a', 'of', 'and', 'to')]) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+        FROM documents ORDER BY doc_id"""),
+      desc = "quality scoring: punct/upper/digit/stopword ratios"),
+
+    // ── language-ID heuristic: stopword-list hit scoring ────────────
+    "text_langid" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        val scoreEn = size(filter(toks, t => t.isin(En: _*)))
+        val scoreTech = size(filter(toks, t => t.isin(Tech: _*)))
+        docs(s, dir).select(
+          $"doc_id", $"lang",
+          scoreEn.as("score_en"),
+          scoreTech.as("score_tech"),
+          when(scoreEn >= scoreTech, "en").otherwise("tech").as("predicted"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang,
+               len([x FOR x IN string_split(text, ' ')
+                    IF x IN ('the', 'a', 'of', 'and', 'to')]) AS score_en,
+               len([x FOR x IN string_split(text, ' ')
+                    IF x IN ('spark', 'query', 'table', 'join', 'scan')])
+                 AS score_tech,
+               CASE WHEN len([x FOR x IN string_split(text, ' ')
+                              IF x IN ('the', 'a', 'of', 'and', 'to')])
+                      >= len([x FOR x IN string_split(text, ' ')
+                              IF x IN ('spark', 'query', 'table', 'join', 'scan')])
+                    THEN 'en' ELSE 'tech' END AS predicted
+        FROM documents ORDER BY doc_id"""),
+      desc = "language-ID n-gram/stopword heuristic"),
+
+    // ── document fingerprint: rolling polynomial hash over tokens ───
+    "text_fingerprint" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .withColumn("hashes", expr(
+            "transform(split(text, ' '), t -> " +
+              "CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000003L)"))
+          .select(
+            $"doc_id",
+            expr("aggregate(hashes, 0L, (a, h) -> (a * 31 + h) % 1000000007L)")
+              .as("fingerprint"),
+            size($"hashes").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   t -> ${DUCK_TOKHASH.format("t")} % 1000003)),
+                 (a, h) -> (a * 31 + h) % 1000000007) AS fingerprint,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents ORDER BY doc_id"""),
+      desc = "document fingerprinting: rolling hash over md5 token hashes"),
+
+    // ── exact dedup after canonicalization ──────────────────────────
+    // Raw texts are all unique; canonical form = sorted distinct token
+    // set, which the corpus DOES duplicate (word-order shuffles).
+    "dedup_exact" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .withColumn("canon",
+            concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+          .groupBy(sha2($"canon", 256).as("canon_sha"))
+          .agg(count(lit(1)).as("n_dups"), min($"doc_id").as("keep_doc_id"),
+               max($"doc_id").as("max_doc_id"))
+          .filter($"n_dups" > 1)
+          .orderBy($"canon_sha")
+      },
+      oracle = Some("""
+        SELECT sha256(array_to_string(list_sort(list_distinct(
+                 string_split(text, ' '))), ' ')) AS canon_sha,
+               count(*) AS n_dups,
+               min(doc_id) AS keep_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1 HAVING count(*) > 1 ORDER BY canon_sha"""),
+      desc = "exact dedup via canonicalized-text hash groups"),
+
+    // ── MinHash + LSH near-dup detection ────────────────────────────
+    // shingle → 8 minhashes → 4 bands of 2 → band-bucket self-join →
+    // exact Jaccard verify ≥ 0.5. The LSH join is the scale path: no
+    // all-pairs comparison, candidates only within equal band buckets.
+    "dedup_minhash" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // shingle over the RAW token sequence (order is engine-portable;
+        // distinct-list order is not); the distinct set is only used for
+        // the order-insensitive Jaccard verify.
+        val base = docs(s, dir).select($"doc_id",
+            split($"text", " ").as("raw"),
+            array_distinct(split($"text", " ")).as("toks"))
+          .withColumn("shingles", expr(
+            """CASE WHEN size(raw) >= 3 THEN
+                 transform(sequence(1, size(raw) - 2),
+                   i -> concat_ws(' ', element_at(raw, i),
+                        element_at(raw, i + 1), element_at(raw, i + 2)))
+               ELSE array(concat_ws(' ', raw)) END"""))
+        val mh = (0 until 8).foldLeft(base) { (df, i) =>
+          df.withColumn(s"mh$i", expr(
+            s"""array_min(transform(shingles, s ->
+                (CAST(${37 + 101 * i} AS BIGINT) *
+                 (CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 1000003L)
+                 + ${17 + 1009 * i}L) % 1000033L))"""))
+        }
+        val sig = mh.select($"doc_id", $"toks",
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
+                   col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
+          .select($"doc_id", $"toks", $"bk.band", $"bk.k1", $"bk.k2")
+        val a = sig.select($"doc_id".as("doc_a"), $"toks".as("toks_a"),
+          $"band", $"k1", $"k2")
+        val b = sig.select($"doc_id".as("doc_b"), $"toks".as("toks_b"),
+          $"band", $"k1", $"k2")
+        a.join(b, Seq("band", "k1", "k2"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b", $"toks_a", $"toks_b").distinct()
+          .withColumn("jaccard", try_divide(
+            size(array_intersect($"toks_a", $"toks_b")),
+            size(array_distinct(concat($"toks_a", $"toks_b")))))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS raw,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(raw) >= 3 THEN
+              list_transform(range(1, len(raw) - 1),
+                i -> raw[i] || ' ' || raw[i + 1] || ' ' || raw[i + 2])
+            ELSE [array_to_string(raw, ' ')] END AS shingles
+          FROM base),
+        mh AS (
+          SELECT doc_id, toks,
+            ${(0 until 8).map(i =>
+              s"""list_min(list_transform(shingles, s ->
+                 (${37 + 101 * i} * (${DUCK_TOKHASH.format("s")} % 1000003)
+                  + ${17 + 1009 * i}) % 1000033)) AS mh$i""").mkString(",\n")}
+          FROM sh),
+        sig AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, toks, $b AS band, mh${2 * b} AS k1, " +
+            s"mh${2 * b + 1} AS k2 FROM mh").mkString("\nUNION ALL\n")}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.toks AS toks_a, b.toks AS toks_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                 / len(list_distinct(list_concat(toks_a, toks_b))) AS jaccard
+        FROM pairs
+        WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                / len(list_distinct(list_concat(toks_a, toks_b))) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      desc = "MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify"),
+
+    // ── SimHash near-dup detection ──────────────────────────────────
+    // 32-bit simhash via bitwise vote over token hashes; candidate
+    // pairs from 8-bit band buckets; hamming ≤ 6 verify.
+    "dedup_simhash" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val tok = docs(s, dir)
+          .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
+          .withColumn("h", tokHash($"t").bitwiseAND(lit(4294967295L)))
+          .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("bit"))
+        val sim = tok
+          .groupBy($"doc_id", $"bit")
+          .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("v"))
+          .groupBy($"doc_id")
+          .agg(sum(when($"v" > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(0L)).as("simhash"))
+        val banded = sim.select($"doc_id", $"simhash",
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              expr(s"(simhash >> ${8 * b}) & 255").as("bv"))): _*)).as("bk"))
+          .select($"doc_id", $"simhash", $"bk.band", $"bk.bv")
+        val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sh_a"),
+          $"band", $"bv")
+        val b = banded.select($"doc_id".as("doc_b"), $"simhash".as("sh_b"),
+          $"band", $"bv")
+        a.join(b, Seq("band", "bv")).filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+          .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+          .filter($"hamming" <= 6)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+          FROM documents),
+        bits AS (
+          SELECT doc_id, ${DUCK_TOKHASH.format("t")} & 4294967295 AS h,
+                 unnest(range(0, 32)) AS bit
+          FROM tok),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM bits GROUP BY 1, 2),
+        sim AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                     ELSE 0 END) AS simhash
+          FROM votes GROUP BY 1),
+        banded AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 " +
+            "AS bv FROM sim").mkString("\nUNION ALL\n")}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        ORDER BY doc_a, doc_b"""),
+      desc = "SimHash near-dup: bitwise vote, band buckets, hamming verify"),
+
+    // ── character n-gram Jaccard within blocks ──────────────────────
+    "dedup_ngram" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val g = docs(s, dir).select($"doc_id", $"lang", $"source",
+          array_distinct(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+              "i -> substr(text, i, 3))")).as("grams"))
+        val a = g.select($"doc_id".as("doc_a"), $"lang", $"source",
+          $"grams".as("g_a"))
+        val b = g.select($"doc_id".as("doc_b"), $"lang", $"source",
+          $"grams".as("g_b"))
+        a.join(b, Seq("lang", "source")).filter($"doc_a" < $"doc_b")
+          .withColumn("jaccard", try_divide(
+            size(array_intersect($"g_a", $"g_b")),
+            size(array_distinct(concat($"g_a", $"g_b")))))
+          .filter($"jaccard" >= 0.5)
+          .select($"lang", $"source", $"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT doc_id, lang, source,
+            list_distinct(list_transform(
+              range(1, greatest(length(text) - 2, 1) + 1),
+              i -> substr(text, i, 3))) AS grams
+          FROM documents)
+        SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      desc = "n-gram Jaccard near-dup within (lang, source) blocks")
+  )
+}
