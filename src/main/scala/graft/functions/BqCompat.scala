@@ -71,6 +71,10 @@ object BqCompat {
   def nullsLastKey(k: Column): Column =
     struct(when(k.isNull, lit(1)).otherwise(lit(0)).as("n"), k.as("k"))
 
+  /** For max_by the flag must invert so NULL keys LOSE the max. */
+  private def nullsLastKeyDesc(k: Column): Column =
+    struct(when(k.isNull, lit(0)).otherwise(lit(1)).as("n"), k.as("k"))
+
   /** Ordered argmin: value of `v` at the smallest composite key.
     * Replaces BigQuery's ARRAY_AGG(... ORDER BY ... LIMIT 1)[OFFSET(0)]
     * with an O(n) single-pass min_by instead of an O(n log n) sort
@@ -79,8 +83,9 @@ object BqCompat {
   def argMinBy(v: Column, keys: Column*): Column =
     min_by(v, struct(keys.map(nullsLastKey): _*))
 
+  /** Ordered argmax with null keys losing (null-last under DESC). */
   def argMaxBy(v: Column, keys: Column*): Column =
-    max_by(v, struct(keys.map(nullsLastKey): _*))
+    max_by(v, struct(keys.map(nullsLastKeyDesc): _*))
 
   /** Deterministic money/measure sum: doubles are rounded to integral
     * cents and summed in Long, so the aggregate is order-insensitive

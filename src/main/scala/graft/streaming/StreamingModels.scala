@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the engine's aggregations
+  * (SURVEY §2.8 — the reference has no streaming operators, its
+  * "realtime" is micro-batched snapshots; this is the optional
+  * streaming extension done Spark-first).
+  *
+  * The batch DataFrame code for non-argmin aggregations is reusable
+  * under streaming as-is; these helpers add the watermark/window/state
+  * pieces a true stream needs.
+  */
+object StreamingModels {
+
+  /** Per-5-minute windowed counts with late-data watermark — the
+    * streaming form of the trips-per-bucket metric. Works on any
+    * DataFrame with (ts TIMESTAMP, event_type STRING, value DOUBLE),
+    * batch or streaming. */
+  def bucketCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+              col("n"), col("value_cents"))
+
+  case class Evt(user_id: Long, event_type: String, tsSec: Long)
+  case class SessionState(n: Long, firstSec: Long, lastSec: Long)
+  case class SessionOut(user_id: Long, n_events: Long, span_s: Long)
+
+  /** Stateful per-user session rollup via mapGroupsWithState — the
+    * streaming form of the fact_trips-style argmin/argmax rollup.
+    * Emits the running rollup on every trigger (Update mode). */
+  def sessionRollup(events: Dataset[Evt]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, evts, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(
+            SessionState(0L, Long.MaxValue, Long.MinValue))
+          val next = evts.foldLeft(prev) { (acc, e) =>
+            SessionState(acc.n + 1, math.min(acc.firstSec, e.tsSec),
+              math.max(acc.lastSec, e.tsSec))
+          }
+          state.update(next)
+          SessionOut(uid, next.n, next.lastSec - next.firstSec)
+      }
+  }
+}

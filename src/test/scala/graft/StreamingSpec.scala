@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.Sources
+import graft.streaming.StreamingModels
+import graft.streaming.StreamingModels.{Evt, SessionOut}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming variants driven synchronously from the batch
+  * testdata via the rate-limited memory sink (SURVEY §2.8). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("windowed bucket counts under a stream match the batch run") {
+    val batch = Sources.table(spark, sf(), "events")
+    // batch form (same code path — streaming-reusable aggregation)
+    val expected = StreamingModels.bucketCounts(batch)
+      .agg(sum($"n")).collect().head.getLong(0)
+    assert(expected === batch.count())
+
+    // streaming form over the same parquet via readStream (file source
+    // needs a directory — stage the file into one)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = StreamingModels.bucketCounts(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("buckets").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows (watermark); at least the
+      // early windows must have arrived and match their batch twins
+      val got = spark.table("buckets")
+      val batchAgg = StreamingModels.bucketCounts(batch)
+      val joined = got.as("g").join(batchAgg.as("b"),
+        $"g.bucket_start" === $"b.bucket_start" &&
+          $"g.event_type" === $"b.event_type")
+      assert(joined.filter($"g.n" =!= $"b.n").count() === 0)
+      assert(got.count() > 0)
+    } finally q.stop()
+  }
+
+  test("stateful session rollup via mapGroupsWithState") {
+    val batch = Sources.table(spark, sf(), "events")
+    val evts = batch.select($"user_id", $"event_type",
+      unix_timestamp($"ts").as("tsSec")).as[Evt]
+
+    // mapGroupsWithState also runs in batch mode — verify semantics there
+    val out = StreamingModels.sessionRollup(evts).collect()
+      .map(o => o.user_id -> o).toMap
+    val expect = batch.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("span"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === expect.keySet)
+    out.foreach { case (uid, o) =>
+      assert(o.n_events === expect(uid).getLong(1))
+      assert(o.span_s === expect(uid).getLong(2))
+    }
+  }
+}
