@@ -330,21 +330,38 @@ object TextQueries {
       desc = "SimHash near-dup: bitwise vote, band buckets, hamming verify"),
 
     // ── character n-gram Jaccard within blocks ──────────────────────
+    // Inverted-index formulation: explode distinct grams, equi-join on
+    // (block, gram) to count intersections, derive the union from
+    // per-doc gram counts (|A∪B| = |A|+|B|−|A∩B|). No array shipping
+    // through the join, pure hash joins + aggs — the 100 TB shape.
+    // (Pairs sharing zero grams have jaccard 0 < threshold — excluded
+    // identically by construction.)
     "dedup_ngram" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val g = docs(s, dir).select($"doc_id", $"lang", $"source",
-          array_distinct(expr(
-            "transform(sequence(1, greatest(length(text) - 2, 1)), " +
-              "i -> substr(text, i, 3))")).as("grams"))
-        val a = g.select($"doc_id".as("doc_a"), $"lang", $"source",
-          $"grams".as("g_a"))
-        val b = g.select($"doc_id".as("doc_b"), $"lang", $"source",
-          $"grams".as("g_b"))
-        a.join(b, Seq("lang", "source")).filter($"doc_a" < $"doc_b")
-          .withColumn("jaccard", try_divide(
-            size(array_intersect($"g_a", $"g_b")),
-            size(array_distinct(concat($"g_a", $"g_b")))))
+        // gram generation via explode+substr+distinct: every operator
+        // is codegen'd (the transform(...,lambda) form evaluates an
+        // interpreted lambda per gram — 5× slower at sf0.1).
+        val inv = docs(s, dir)
+          .select($"doc_id", $"lang", $"source", $"text",
+            explode(sequence(lit(1), greatest(length($"text") - 2, lit(1))))
+              .as("i"))
+          .select($"doc_id", $"lang", $"source",
+            expr("substr(text, i, 3)").as("gram"))
+          .distinct()
+        val lens = inv.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        val a = inv.select($"doc_id".as("doc_a"), $"lang", $"source", $"gram")
+        val b = inv.select($"doc_id".as("doc_b"), $"lang", $"source", $"gram")
+        a.join(b, Seq("lang", "source", "gram"))
+          .filter($"doc_a" < $"doc_b")
+          .groupBy($"lang", $"source", $"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("inter"))
+          .join(lens.select($"doc_id".as("doc_a"), $"n_grams".as("len_a")),
+            Seq("doc_a"))
+          .join(lens.select($"doc_id".as("doc_b"), $"n_grams".as("len_b")),
+            Seq("doc_b"))
+          .withColumn("jaccard", try_divide($"inter",
+            $"len_a" + $"len_b" - $"inter"))
           .filter($"jaccard" >= 0.5)
           .select($"lang", $"source", $"doc_a", $"doc_b", $"jaccard")
           .orderBy($"doc_a", $"doc_b")
@@ -355,15 +372,25 @@ object TextQueries {
             list_distinct(list_transform(
               range(1, greatest(length(text) - 2, 1) + 1),
               i -> substr(text, i, 3))) AS grams
-          FROM documents)
-        SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-        FROM g a JOIN g b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+          FROM documents),
+        lens AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+        inv AS (SELECT doc_id, lang, source, unnest(grams) AS gram FROM g),
+        inter AS (
+          SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter
+          FROM inv a JOIN inv b
+            ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT i.lang, i.source, i.doc_a, i.doc_b,
+               CAST(i.inter AS DOUBLE)
+                 / (la.n_grams + lb.n_grams - i.inter) AS jaccard
+        FROM inter i
+        JOIN lens la ON la.doc_id = i.doc_a
+        JOIN lens lb ON lb.doc_id = i.doc_b
+        WHERE CAST(i.inter AS DOUBLE)
+                / (la.n_grams + lb.n_grams - i.inter) >= 0.5
         ORDER BY doc_a, doc_b"""),
-      desc = "n-gram Jaccard near-dup within (lang, source) blocks")
+      desc = "n-gram Jaccard near-dup: inverted-index join within blocks")
   )
 }

@@ -9,35 +9,46 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (Array[Float], 64-d)
   * — the ANN extension surface (BASELINE.json north star).
   *
-  * Numeric determinism: float sums are order-dependent, so every dot
-  * product / norm is computed as a sum of per-element products rounded
-  * to scaled BIGINTs (exact, order-insensitive); the final cosine is a
-  * single double division — bit-identical across engines. This is the
-  * engine's *definition* of cosine (precision 1e-9 per element —
-  * far below any ranking-relevant delta).
+  * Numeric determinism: float sums are order-dependent, so vectors are
+  * quantized ONCE per row to scaled-integer arrays (round(x*1e5) —
+  * 1e-5 per-element precision, far below ranking-relevant deltas);
+  * dot products are then exact integer folds (order-insensitive,
+  * bit-identical across engines), and the final cosine is one double
+  * division. Per-vector norms are computed once per row, never per
+  * pair — the per-pair work is a single multiply-add fold.
   *
   * Scale notes: brute-force kNN broadcasts the (small) query set and
-  * scans candidates once — the right plan when queries are few. The
-  * sign-LSH variant is the scale path: per-vector signatures are a
-  * linear scan; candidate generation is an equi-join on (band, value)
-  * buckets, never all-pairs. At 100 TB: signatures materialize as a
-  * bucketed table keyed by band value; multi-probe on adjacent buckets
-  * recovers recall.
+  * scans candidates once. The sign-LSH variant is the scale path:
+  * signatures are a linear scan; candidates come from an equi-join on
+  * (band, value) buckets, never all-pairs. At 100 TB: signatures
+  * materialize as a bucketed table keyed by band value; multi-probe
+  * over adjacent buckets recovers recall.
   */
 object VectorQueries {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  /** embeddings with per-row quantized vector + scaled norm. */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.LongArrayDot.register(s)
     Sources.table(s, dir, "embeddings")
-      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("sv", expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 100000.0) AS BIGINT))"))
+      .withColumn("nrm", expr("long_dot(sv, sv)"))
+  }
 
-  /** Scaled-int dot product of two double arrays (exact, portable). */
-  private val dotExpr: (String, String) => String = (a, b) =>
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(round(x * y * 1000000000.0) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+  /** integer dot of two pre-quantized vectors (exact, codegen'd). */
+  private def dot(a: String, b: String): String = s"long_dot($a, $b)"
 
-  private val normExpr: String => String = a => dotExpr(a, a)
+  private val DUCK_SV =
+    "list_transform(embedding::DOUBLE[], x -> CAST(round(x * 100000.0) AS BIGINT))"
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
 
-  private val duckDot: (String, String) => String = (a, b) =>
-    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(round(x[1] * x[2] * 1000000000.0) AS BIGINT)))"
+  /** DuckDB twin of emb(): quantized vectors + norms. */
+  private val DUCK_BASE: String = s"""
+        base AS (
+          SELECT vec_id, label, $DUCK_SV AS sv,
+                 ${duckDot(DUCK_SV, DUCK_SV)} AS nrm
+          FROM embeddings)"""
 
   val queries: Map[String, Q] = Map(
 
@@ -46,14 +57,13 @@ object VectorQueries {
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir)
-        val q = base.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"e".as("qe"))
-        val c = base.select($"vec_id".as("cand_id"), $"e".as("ce"))
-        val scored = q.join(broadcast(c), $"query_id" =!= $"cand_id")
-          .withColumn("dot", expr(dotExpr("qe", "ce")))
-          .withColumn("qn", expr(normExpr("qe")))
-          .withColumn("cn", expr(normExpr("ce")))
-          .withColumn("cosine", $"dot".cast("double") /
+        val q = base.select($"vec_id".as("query_id"), $"sv".as("qv"),
+          $"nrm".as("qn"))
+        val c = base.select($"vec_id".as("cand_id"), $"sv".as("cv"),
+          $"nrm".as("cn"))
+        val scored = c.join(broadcast(q.filter($"query_id" < 10)),
+            $"query_id" =!= $"cand_id")
+          .withColumn("cosine", expr(dot("qv", "cv")).cast("double") /
             sqrt($"qn".cast("double") * $"cn".cast("double")))
         scored
           .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
@@ -63,13 +73,11 @@ object VectorQueries {
           .orderBy($"query_id", $"rank")
       },
       oracle = Some(s"""
-        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                      FROM embeddings),
+        WITH $DUCK_BASE,
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                 CAST(${duckDot("q.e", "c.e")} AS DOUBLE)
-                   / sqrt(CAST(${duckDot("q.e", "q.e")} AS DOUBLE)
-                          * CAST(${duckDot("c.e", "c.e")} AS DOUBLE)) AS cosine
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
           FROM base q JOIN base c ON q.vec_id <> c.vec_id
           WHERE q.vec_id < 10),
         ranked AS (
@@ -78,22 +86,18 @@ object VectorQueries {
           FROM scored)
         SELECT query_id, rank, cand_id, cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
-      desc = "brute-force cosine top-k (broadcast query set, exact arithmetic)"),
+      desc = "brute-force cosine top-k (broadcast query set, integer dot)"),
 
     // ── sign-LSH (random hyperplane) bucketed ANN ───────────────────
-    // 16 pseudo-random hyperplanes from integer arithmetic → 16-bit
-    // signature → 4 bands of 4 bits → candidates share a band value.
     "knn_lsh" -> Q(
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir)
-        // per (vec, plane): sign of scaled-int dot with hyperplane
-        val dims = base.select($"vec_id", posexplode($"e").as(Seq("d", "v")))
+        // per (vec, plane): sign of integer dot with pseudo-hyperplane
+        val dims = base.select($"vec_id", posexplode($"sv").as(Seq("d", "v")))
           .withColumn("k", explode(sequence(lit(0), lit(15))))
-          .withColumn("hp",
-            expr("((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001"))
           .withColumn("term",
-            expr("CAST(round(v * 1000000.0) AS BIGINT) * hp"))
+            expr("v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001)"))
         val sig = dims.groupBy($"vec_id", $"k")
           .agg(sum($"term").as("s"))
           .groupBy($"vec_id")
@@ -110,11 +114,12 @@ object VectorQueries {
           .filter($"query_id" =!= $"cand_id")
           .select($"query_id", $"cand_id").distinct()
         val withVec = cands
-          .join(base.select($"vec_id".as("query_id"), $"e".as("qe")), Seq("query_id"))
-          .join(base.select($"vec_id".as("cand_id"), $"e".as("ce")), Seq("cand_id"))
-          .withColumn("cosine", expr(dotExpr("qe", "ce")).cast("double") /
-            sqrt(expr(normExpr("qe")).cast("double") *
-                 expr(normExpr("ce")).cast("double")))
+          .join(broadcast(base.select($"vec_id".as("query_id"), $"sv".as("qv"),
+            $"nrm".as("qn"))), Seq("query_id"))
+          .join(base.select($"vec_id".as("cand_id"), $"sv".as("cv"),
+            $"nrm".as("cn")), Seq("cand_id"))
+          .withColumn("cosine", expr(dot("qv", "cv")).cast("double") /
+            sqrt($"qn".cast("double") * $"cn".cast("double")))
         withVec
           .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
             .orderBy($"cosine".desc, $"cand_id")))
@@ -123,15 +128,13 @@ object VectorQueries {
           .orderBy($"query_id", $"rank")
       },
       oracle = Some(s"""
-        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                      FROM embeddings),
+        WITH $DUCK_BASE,
         dims AS (
-          SELECT vec_id, r.i - 1 AS d, e[r.i] AS v, k.k AS k
+          SELECT vec_id, r.i - 1 AS d, sv[r.i] AS v, k.k AS k
           FROM base CROSS JOIN range(1, 65) r(i) CROSS JOIN range(0, 16) k(k)),
         terms AS (
           SELECT vec_id, k,
-            CAST(round(v * 1000000.0) AS BIGINT)
-              * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
+            v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
           FROM dims),
         sums AS (SELECT vec_id, k, sum(term) AS s FROM terms GROUP BY 1, 2),
         sig AS (
@@ -148,9 +151,9 @@ object VectorQueries {
           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
         scored AS (
           SELECT cands.query_id, cands.cand_id,
-                 CAST(${duckDot("qv.e", "cv.e")} AS DOUBLE)
-                   / sqrt(CAST(${duckDot("qv.e", "qv.e")} AS DOUBLE)
-                          * CAST(${duckDot("cv.e", "cv.e")} AS DOUBLE)) AS cosine
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
           FROM cands
           JOIN base qv ON qv.vec_id = cands.query_id
           JOIN base cv ON cv.vec_id = cands.cand_id),
@@ -163,41 +166,39 @@ object VectorQueries {
       desc = "sign-LSH bucketed ANN: signature bands → candidate join → rank"),
 
     // ── embedding-cosine near-duplicate pairs ───────────────────────
+    // Integer-quantized dot: the (id_a < id_b) nested-loop pair space
+    // does ONE fold per pair; norms come precomputed per row.
     "dedup_embedding" -> Q(
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir)
-        val a = base.select($"vec_id".as("id_a"), $"e".as("ea"))
-        val b = base.select($"vec_id".as("id_b"), $"e".as("eb"))
-        a.join(b, $"id_a" < $"id_b")
-          .withColumn("cosine", expr(dotExpr("ea", "eb")).cast("double") /
-            sqrt(expr(normExpr("ea")).cast("double") *
-                 expr(normExpr("eb")).cast("double")))
+        val a = base.select($"vec_id".as("id_a"), $"sv".as("ea"), $"nrm".as("na"))
+        val b = base.select($"vec_id".as("id_b"), $"sv".as("eb"), $"nrm".as("nb"))
+        a.join(broadcast(b), $"id_a" < $"id_b")
+          .withColumn("cosine", expr(dot("ea", "eb")).cast("double") /
+            sqrt($"na".cast("double") * $"nb".cast("double")))
           .filter($"cosine" >= 0.4)
           .select($"id_a", $"id_b", $"cosine")
           .orderBy($"id_a", $"id_b")
       },
       oracle = Some(s"""
-        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                      FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(${duckDot("a.e", "b.e")} AS DOUBLE)
-                 / sqrt(CAST(${duckDot("a.e", "a.e")} AS DOUBLE)
-                        * CAST(${duckDot("b.e", "b.e")} AS DOUBLE)) AS cosine
-        FROM base a JOIN base b ON a.vec_id < b.vec_id
-        WHERE CAST(${duckDot("a.e", "b.e")} AS DOUBLE)
-                / sqrt(CAST(${duckDot("a.e", "a.e")} AS DOUBLE)
-                       * CAST(${duckDot("b.e", "b.e")} AS DOUBLE)) >= 0.4
-        ORDER BY id_a, id_b"""),
+        WITH $DUCK_BASE,
+        scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(${duckDot("a.sv", "b.sv")} AS DOUBLE)
+                   / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cosine
+          FROM base a JOIN base b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= 0.4 ORDER BY id_a, id_b"""),
       desc = "embedding-cosine near-dup pairs (threshold 0.4)"),
 
     // ── per-label centroid + assignment (IVF building block) ────────
     "vector_centroids" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        // exact scaled-int mean per dimension per label
-        emb(s, dir)
-          .select($"label", posexplode($"e").as(Seq("d", "v")))
+        Sources.table(s, dir, "embeddings")
+          .select($"label",
+            posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("d", "v")))
           .groupBy($"label", $"d")
           .agg(sum(expr("CAST(round(v * 1000000000.0) AS BIGINT)")).as("sv"),
                count(lit(1)).as("n"))
