@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operators beyond the reference's own surface that SURVEY §2 marks
+  * "available if extended": grouping sets (A12), set operations (O4),
+  * window frames/ranking (W4) — plus an as-of join (the canonical
+  * event-stream operator Spark lacks as a single primitive; composed
+  * from union + running last_value, which is exactly the distributed
+  * sort-merge formulation) and tf-idf term ranking.
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Sources.table(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+
+    // ── A12: ROLLUP with grouping_id ────────────────────────────────
+    "a12_rollup" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            (sum(round($"l_quantity" * 100).cast(LongType)) / 100.0).as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      desc = "A12 rollup grouping sets + grouping_id"),
+
+    // ── O4: INTERSECT / EXCEPT (distinct set semantics) ─────────────
+    "o4_setops" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val custN = t(s, dir, "customer").select($"c_nationkey".as("nk"))
+        val suppN = t(s, dir, "supplier").select($"s_nationkey".as("nk"))
+        val both = custN.intersect(suppN).withColumn("op", lit("both"))
+        val custOnly = custN.except(suppN).withColumn("op", lit("cust_only"))
+        both.unionByName(custOnly).orderBy($"op", $"nk")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT nk, 'both' AS op FROM
+            (SELECT c_nationkey AS nk FROM customer
+             INTERSECT SELECT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT nk, 'cust_only' AS op FROM
+            (SELECT c_nationkey AS nk FROM customer
+             EXCEPT SELECT s_nationkey FROM supplier))
+        ORDER BY op, nk"""),
+      desc = "O4 intersect/except set operations"),
+
+    // ── W4: frame specs, ntile, first/last_value ────────────────────
+    "w4_frames" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        val cents = round($"value" * 100).cast(LongType)
+        t(s, dir, "events")
+          .withColumn("es", unix_timestamp($"ts"))
+          .withColumn("cents", cents)
+          .select($"user_id", $"event_id", $"cents",
+            sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .as("running_cents"),
+            sum($"cents").over(w.rowsBetween(-2, 0)).as("move3_cents"),
+            ntile(4).over(w).as("quartile"),
+            first($"event_id").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+              .as("first_event_id"),
+            last($"event_id").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+              .as("last_event_id"))
+          .orderBy($"user_id", $"event_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id,
+                     epoch_us(ts)//1000000 AS es,
+                     CAST(round(value*100) AS BIGINT) AS cents
+                   FROM events)
+        SELECT user_id, event_id, cents,
+          sum(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+          sum(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS move3_cents,
+          ntile(4) OVER (PARTITION BY user_id ORDER BY es, event_id) AS quartile,
+          first_value(event_id) OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS first_event_id,
+          last_value(event_id) OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS last_event_id
+        FROM e ORDER BY user_id, event_id"""),
+      desc = "W4 frame specs (ROWS BETWEEN), ntile, first/last_value"),
+
+    // ── as-of join: latest click at-or-before each purchase ─────────
+    // Spark-first composition: union both sides, one running
+    // last_value(ignoreNulls) window — the distributed sort-merge
+    // as-of formulation (one shuffle on user_id, no range explosion).
+    // Oracle: DuckDB's native ASOF JOIN validates the semantics.
+    "j_asof" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").withColumn("es", unix_timestamp($"ts"))
+        // dedupe clicks to one per (user, es) so the at-tie pick is
+        // engine-independent (max event_id)
+        val clicks = e.filter($"event_type" === "click")
+          .groupBy($"user_id", $"es".as("c_es"))
+          .agg(max($"event_id").as("click_id"))
+        val purch = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"es".as("p_es"), $"event_id".as("purchase_id"))
+        val unioned =
+          clicks.select($"user_id", $"c_es".as("es"), lit(0).as("src"),
+              $"click_id", lit(null).cast(LongType).as("purchase_id"))
+            .unionByName(purch.select($"user_id", $"p_es".as("es"),
+              lit(1).as("src"), lit(null).cast(LongType).as("click_id"),
+              $"purchase_id"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"es", $"src", $"click_id".asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        unioned
+          .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+          .withColumn("last_click_es", last(when($"click_id".isNotNull, $"es"),
+            ignoreNulls = true).over(w))
+          .filter($"src" === 1)
+          .select($"user_id", $"purchase_id", $"es".as("purchase_es"),
+            $"last_click_id".as("click_id"), $"last_click_es".as("click_es"),
+            ($"es" - $"last_click_es").as("gap_s"))
+          .orderBy($"user_id", $"purchase_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_us(ts)//1000000 AS es FROM events),
+        clicks AS (
+          SELECT user_id, es AS c_es, max(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        purch AS (
+          SELECT user_id, es AS p_es, event_id AS purchase_id
+          FROM e WHERE event_type = 'purchase')
+        SELECT p.user_id, p.purchase_id, p.p_es AS purchase_es,
+               c.click_id, c.c_es AS click_es,
+               p.p_es - c.c_es AS gap_s
+        FROM purch p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.p_es >= c.c_es
+        ORDER BY p.user_id, p.purchase_id"""),
+      desc = "as-of join via union + running last_value (ASOF JOIN oracle)"),
+
+    // ── tf-idf style term ranking (integer-only, deterministic) ─────
+    // Ranking by (tf DESC, df ASC, term) is the tf-idf order without a
+    // cross-engine ln(): idf is monotone-decreasing in df.
+    "text_tfidf" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val terms = t(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+        val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        tf.join(df, Seq("term"))
+          .withColumn("rank", row_number().over(Window.partitionBy($"doc_id")
+            .orderBy($"tf".desc, $"df".asc, $"term".asc)))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"term", $"tf", $"df")
+          .orderBy($"doc_id", $"rank")
+      },
+      oracle = Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        ranked AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, rank, term, tf, df
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      desc = "tf-idf term ranking (integer-deterministic idf ordering)")
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Scale-posture plan audits: the physical plans Catalyst produces for
+  * our operators must keep the properties that make them survive a
+  * 100× scale-up — filter/column pushdown into the Parquet scan,
+  * broadcast of bounded dimensions, whole-stage codegen on hot paths.
+  */
+class PlanAuditSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projection push down to the parquet scan") {
+    val df = Sources.table(spark, sf(), "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"missing pushed filter in:\n$p")
+    assert(p.contains("ReadSchema") &&
+      p.contains("l_orderkey") && !p.contains("l_extendedprice"),
+      "projection not pruned to 2 columns")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val q = SparkEntry.queries("j2_left_dim")(spark, sf())
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("model fact chain broadcasts static GTFS dims") {
+    Engine.registerMta(spark, sf())
+    val p = plan(spark.table("fact_trips_stops"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q1 aggregation has map-side partial aggregation") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf()))
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan(SparkEntry.queries("o3_topk")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("long_dot participates in whole-stage codegen") {
+    graft.functions.LongArrayDot.register(spark)
+    val df = Sources.table(spark, sf(), "lineitem")
+      .select(array($"l_orderkey", $"l_partkey", $"l_suppkey").as("a"))
+      .select(expr("long_dot(a, a)").as("n"))
+    // codegen'd operators print with a '*(stage)' prefix — the Project
+    // evaluating long_dot must carry one (no CodegenFallback).
+    val p = plan(df)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"long_dot Project not codegen'd:\n$p")
+    assert(df.agg(sum($"n")).collect().head.getLong(0) > 0)
+  }
+}
