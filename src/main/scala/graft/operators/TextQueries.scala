@@ -192,23 +192,27 @@ object TextQueries {
         import s.implicits._
         // shingle over the RAW token sequence (order is engine-portable;
         // distinct-list order is not); the distinct set is only used for
-        // the order-insensitive Jaccard verify.
+        // the order-insensitive Jaccard verify. Shingles are exploded
+        // and hashed once, then 8 min-aggregates compute the signature
+        // in a single codegen'd pass (no interpreted array lambdas).
         val base = docs(s, dir).select($"doc_id",
-            split($"text", " ").as("raw"),
-            array_distinct(split($"text", " ")).as("toks"))
-          .withColumn("shingles", expr(
+          split($"text", " ").as("raw"),
+          array_distinct(split($"text", " ")).as("toks"))
+        val sh = base
+          .withColumn("i", explode(expr(
+            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
+          .select($"doc_id", expr(
             """CASE WHEN size(raw) >= 3 THEN
-                 transform(sequence(1, size(raw) - 2),
-                   i -> concat_ws(' ', element_at(raw, i),
-                        element_at(raw, i + 1), element_at(raw, i + 2)))
-               ELSE array(concat_ws(' ', raw)) END"""))
-        val mh = (0 until 8).foldLeft(base) { (df, i) =>
-          df.withColumn(s"mh$i", expr(
-            s"""array_min(transform(shingles, s ->
-                (CAST(${37 + 101 * i} AS BIGINT) *
-                 (CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 1000003L)
-                 + ${17 + 1009 * i}L) % 1000033L))"""))
-        }
+                 concat_ws(' ', element_at(raw, i),
+                   element_at(raw, i + 1), element_at(raw, i + 2))
+               ELSE concat_ws(' ', raw) END""").as("s"))
+          .withColumn("hs", expr(
+            "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 1000003L"))
+        val mhAggs = (0 until 8).map(i =>
+          min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
+            .as(s"mh$i"))
+        val mh = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+          .join(base.select($"doc_id", $"toks"), Seq("doc_id"))
         val sig = mh.select($"doc_id", $"toks",
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
@@ -272,16 +276,18 @@ object TextQueries {
     "dedup_simhash" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        // one agg pass with 32 per-bit vote columns (codegen'd) instead
+        // of exploding 32 bit-rows per token (16× fewer rows).
         val tok = docs(s, dir)
           .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
           .withColumn("h", tokHash($"t").bitwiseAND(lit(4294967295L)))
-          .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("bit"))
-        val sim = tok
-          .groupBy($"doc_id", $"bit")
-          .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("v"))
-          .groupBy($"doc_id")
-          .agg(sum(when($"v" > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(0L)).as("simhash"))
+        val voteAggs = (0 until 32).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+        val votes = tok.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+        val sim = votes.select($"doc_id",
+          (0 until 32).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
         val banded = sim.select($"doc_id", $"simhash",
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),

@@ -45,7 +45,10 @@ object Sources {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer division — Column./ is double division, which loses
+        // precision at 1e18-scale nanos (double ulp there is 256 ns)
+        // and can flip a microsecond (worst case: a second) boundary.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
