@@ -42,4 +42,30 @@ object Engine {
     * day-ranged dashboards scan only their days at any scale. */
   def materializeByServiceDay(df: DataFrame, outPath: String): Unit =
     df.write.mode("overwrite").partitionBy("service_day_local").parquet(outPath)
+
+  /** Bucketed materialization: pre-shuffle a fact on its join/rollup
+    * key so repeated joins and aggregations on that key run with NO
+    * exchange (SURVEY §4: bucketing on trip_uid for the rollup). At
+    * 100 TB this converts the per-query shuffle of the biggest table
+    * into a one-time write cost. */
+  def materializeBucketed(df: DataFrame, key: String, buckets: Int,
+                          table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Skew mitigation: salted left-side join for a hot key. The big
+    * side gets a random-ish salt derived from a uniform column, the
+    * small side is exploded across all salt values — the classic
+    * pre-AQE salting pattern (AQE skew-join handles most cases; this
+    * is for deterministic plans / extreme keys). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bigS = big.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+  }
 }

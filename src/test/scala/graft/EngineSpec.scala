@@ -36,4 +36,39 @@ class EngineSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("service_day_local"))
   }
+
+  test("bucketed tables join and aggregate with no exchange") {
+    val li = graft.sources.Sources.table(spark, sf(), "lineitem")
+    val ord = graft.sources.Sources.table(spark, sf(), "orders")
+    Engine.materializeBucketed(li.withColumnRenamed("l_orderkey", "k"),
+      "k", 8, "li_bucketed")
+    Engine.materializeBucketed(ord.withColumnRenamed("o_orderkey", "k"),
+      "k", 8, "ord_bucketed")
+    // force a non-broadcast join so the shuffle-avoidance is visible
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), Seq("k"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+      // aggregation on the bucket key also avoids the exchange
+      val agg = spark.table("li_bucketed").groupBy($"k")
+        .agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedJoin returns the same result as a plain join") {
+    val li = graft.sources.Sources.table(spark, sf(), "lineitem")
+      .select($"l_orderkey".as("k"), $"l_quantity")
+    val ord = graft.sources.Sources.table(spark, sf(), "orders")
+      .select($"o_orderkey".as("k"), $"o_orderpriority")
+    val plain = li.join(ord, Seq("k")).count()
+    val salted = Engine.saltedJoin(li, ord, "k", 4).count()
+    assert(salted === plain)
+  }
 }
