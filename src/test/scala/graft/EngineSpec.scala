@@ -38,6 +38,17 @@ class EngineSpec extends SparkSuite {
   }
 
   test("bucketed tables join and aggregate with no exchange") {
+    // drop any catalog entry AND orphaned warehouse dirs from prior runs
+    // (a fresh in-memory catalog with a persistent spark-warehouse dir
+    // otherwise fails with LOCATION_ALREADY_EXISTS)
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     val li = graft.sources.Sources.table(spark, sf(), "lineitem")
     val ord = graft.sources.Sources.table(spark, sf(), "orders")
     Engine.materializeBucketed(li.withColumnRenamed("l_orderkey", "k"),
