@@ -192,6 +192,87 @@ object VectorQueries {
         WHERE cosine >= 0.4 ORDER BY id_a, id_b"""),
       desc = "embedding-cosine near-dup pairs (threshold 0.4)"),
 
+    // ── IVF search: coarse-quantize to centroids, search one cell ───
+    // The 100 TB ANN path: k centroids (here: one per label, k=10),
+    // every vector assigned to its nearest centroid; a query scans only
+    // its cell (≈1/k of the data). Centroids are quantized to the same
+    // 1e5 integer scale so assignment and scoring stay deterministic.
+    "ivf_search" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir)
+        val cent = base
+          .select($"label", posexplode($"sv").as(Seq("d", "v")))
+          .groupBy($"label", $"d")
+          .agg(sum($"v").as("sv_sum"), count(lit(1)).as("n"))
+          .withColumn("cv",
+            round($"sv_sum".cast("double") / $"n").cast("long"))
+          .groupBy($"label")
+          .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
+            .as("cvec"))
+          .withColumn("cnrm", expr("long_dot(cvec, cvec)"))
+          .select($"label".as("c_label"), $"cvec", $"cnrm")
+        // assign every vector to its best centroid (deterministic ties)
+        val assigned = base.crossJoin(broadcast(cent))
+          .withColumn("score", expr(dot("sv", "cvec")).cast("double") /
+            sqrt($"nrm".cast("double") * $"cnrm".cast("double")))
+          .withColumn("rn", row_number().over(Window.partitionBy($"vec_id")
+            .orderBy($"score".desc, $"c_label".asc)))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"sv", $"nrm", $"c_label".as("cluster"))
+        val q = assigned.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"sv".as("qv"), $"nrm".as("qn"),
+            $"cluster")
+        val c = assigned.select($"vec_id".as("cand_id"), $"sv".as("cv"),
+          $"nrm".as("cn"), $"cluster")
+        q.join(c, Seq("cluster"))
+          .filter($"query_id" =!= $"cand_id")
+          .withColumn("cosine", expr(dot("qv", "cv")).cast("double") /
+            sqrt($"qn".cast("double") * $"cn".cast("double")))
+          .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+            .orderBy($"cosine".desc, $"cand_id")))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"cluster", $"rank", $"cand_id", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        centdims AS (
+          SELECT label, r.i AS d, sv[r.i] AS v
+          FROM base CROSS JOIN range(1, 65) r(i)),
+        centsum AS (
+          SELECT label, d,
+                 CAST(round(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+          FROM centdims GROUP BY 1, 2),
+        cent AS (
+          SELECT label AS c_label, list(cv ORDER BY d) AS cvec
+          FROM centsum GROUP BY 1),
+        cent2 AS (
+          SELECT c_label, cvec, ${duckDot("cvec", "cvec")} AS cnrm FROM cent),
+        assigned AS (
+          SELECT vec_id, sv, nrm, c_label AS cluster FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.c_label,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.c_label ASC) AS rn
+            FROM base b CROSS JOIN cent2 c)
+          WHERE rn = 1),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.cluster, c.vec_id AS cand_id,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+          FROM assigned q JOIN assigned c
+            ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, cluster, rank, cand_id, cosine
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      desc = "IVF ANN: centroid coarse-quantizer, search one cell only"),
+
     // ── per-label centroid + assignment (IVF building block) ────────
     "vector_centroids" -> Q(
       fn = (s, dir) => {
