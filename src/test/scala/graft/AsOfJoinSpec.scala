@@ -1,0 +1,44 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+
+/** Native AsOfJoinExec vs the composed union+window form, plus edge
+  * semantics (no prior match → nulls; at-tie match counts). */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native as-of join matches the composed formulation on testdata") {
+    val native = SparkEntry.queries("j_asof_native")(spark, sf()).collect()
+    val composed = SparkEntry.queries("j_asof")(spark, sf()).collect()
+    assert(native.length === composed.length)
+    assert(native.map(_.toSeq).toSet === composed.map(_.toSeq).toSet)
+  }
+
+  test("edge semantics: unmatched rows null, ties at equal time match") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, "c_at_10"), (1L, 15L, "c_at_15"),
+      (3L, 1L, "other_key")).toDF("rk", "rt", "rname")
+    val out = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt")
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("p1") === "c_at_10") // tie at equal time matches
+    assert(out("p2") === "c_at_15") // latest at-or-before
+    assert(out("p3") === null)      // no right rows for key 2
+  }
+
+  test("plan contains the custom AsOfJoinExec") {
+    val e = graft.sources.Sources.table(spark, sf(), "events")
+      .withColumn("es", unix_timestamp($"ts"))
+    val l = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"es", $"event_id")
+    val r = e.filter($"event_type" === "click")
+      .select($"user_id".as("ru"), $"es".as("res"), $"event_id".as("rid"))
+    val joined = AsOf.join(l, r, Seq(("user_id", "ru")), "es", "res")
+    // SparkPlan.nodeName strips the Exec suffix → prints as "AsOfJoin"
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"custom exec not planned:\n$p")
+    assert(joined.count() === l.count()) // left outer: one row per left
+  }
+}
