@@ -284,10 +284,13 @@ object TextQueries {
         val voteAggs = (0 until 32).map(b =>
           sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
         val votes = tok.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+        // materialize signatures once — both band-join branches and the
+        // pair join would otherwise recompute the whole token pipeline
         val sim = votes.select($"doc_id",
           (0 until 32).map(b =>
             when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
+          .localCheckpoint()
         val banded = sim.select($"doc_id", $"simhash",
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),
@@ -355,6 +358,8 @@ object TextQueries {
           .select($"doc_id", $"lang", $"source",
             expr("substr(text, i, 3)").as("gram"))
           .distinct()
+          // materialized once: reused by both self-join branches + lens
+          .localCheckpoint()
         val lens = inv.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
         val a = inv.select($"doc_id".as("doc_a"), $"lang", $"source", $"gram")
         val b = inv.select($"doc_id".as("doc_b"), $"lang", $"source", $"gram")
