@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.queries ++ EventQueries.queries ++
       graft.models.MtaQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      MultimodalQueries.queries ++ ExtendedQueries.queries
+      MultimodalQueries.queries ++ ExtendedQueries.queries ++
+      SessionQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The per-user argmin rollup — the engine's fact_trips analog. */

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-pipeline composites: gap-based sessionization, pivot, and the
+  * remaining scalar-function families (edit distance, date arithmetic)
+  * — all oracle-checked. */
+object SessionQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+
+  val queries: Map[String, Q] = Map(
+
+    // ── gap-based sessionization (30-min inactivity boundary) ───────
+    // lag → boundary flag → running sum = session id → rollup. Two
+    // windows over one user_id shuffle; scales as a single partition-
+    // local pass per user.
+    "sessionize" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        val cum = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev(s, dir)
+          .withColumn("es", unix_timestamp($"ts"))
+          .withColumn("gap", $"es" - lag($"es", 1).over(w))
+          .withColumn("new_sess",
+            when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+          .withColumn("sess_id", sum($"new_sess").over(cum))
+          .groupBy($"user_id", $"sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min($"es").as("start_s"),
+            max($"es").as("end_s"),
+            (max($"es") - min($"es")).as("duration_s"),
+            (sum(round($"value" * 100).cast(LongType)) / 100.0).as("sum_value"))
+          .orderBy($"user_id", $"sess_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts)//1000000 AS es
+          FROM events),
+        g AS (
+          SELECT *, es - lag(es) OVER
+            (PARTITION BY user_id ORDER BY es, event_id) AS gap
+          FROM e),
+        f AS (
+          SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+            AS new_sess FROM g),
+        sess AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+            ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM f)
+        SELECT user_id, sess_id, count(*) AS n_events,
+               min(es) AS start_s, max(es) AS end_s,
+               max(es) - min(es) AS duration_s,
+               sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""),
+      desc = "gap-based sessionization (lag + running-sum session ids)"),
+
+    // ── pivot: event_type counts as columns per user ────────────────
+    "a_pivot" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .groupBy($"user_id")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "refund", "signup"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'refund') AS refund,
+               count(*) FILTER (event_type = 'signup') AS signup
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      desc = "pivot event_type counts to columns (conditional-agg oracle)"),
+
+    // ── edit distance + extra string functions ──────────────────────
+    "f_levenshtein" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val p = Sources.table(s, dir, "part")
+        p.filter($"p_partkey" <= 200)
+          .select($"p_partkey",
+            levenshtein($"p_brand", $"p_type").as("lev_brand_type"),
+            concat(upper(substring($"p_brand", 1, 1)),
+              lower(substring($"p_brand", 2, 1000))).as("brand_ic"),
+            lpad($"p_partkey".cast(StringType), 8, "0").as("key_padded"),
+            translate($"p_brand", "#", "-").as("brand_tr"),
+            reverse($"p_brand").as("brand_rev"))
+          .orderBy($"p_partkey")
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               levenshtein(p_brand, p_type) AS lev_brand_type,
+               upper(substr(p_brand, 1, 1)) || lower(substr(p_brand, 2, 1000))
+                 AS brand_ic,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+               replace(p_brand, '#', '-') AS brand_tr,
+               reverse(p_brand) AS brand_rev
+        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""),
+      desc = "edit distance + initcap/lpad/translate/reverse"),
+
+    // ── date arithmetic family ──────────────────────────────────────
+    "f_dates" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Sources.table(s, dir, "orders")
+          .filter($"o_orderkey" <= 2000)
+          .withColumn("d", to_date($"o_orderdate"))
+          .select($"o_orderkey",
+            date_format($"d", "yyyy-MM-dd").as("day"),
+            date_format(add_months($"d", 2), "yyyy-MM-dd").as("plus2m"),
+            date_format(last_day($"d"), "yyyy-MM-dd").as("month_end"),
+            datediff(lit("2026-01-01").cast(DateType), $"d").as("age_days"),
+            year($"d").as("y"), quarter($"d").as("q"),
+            month($"d").as("m"), dayofmonth($"d").as("dom"),
+            weekofyear($"d").as("iso_week"))
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+                   FROM orders WHERE o_orderkey <= 2000)
+        SELECT o_orderkey,
+               strftime(d, '%Y-%m-%d') AS day,
+               strftime(d + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+               strftime(last_day(d), '%Y-%m-%d') AS month_end,
+               date_diff('day', d, DATE '2026-01-01') AS age_days,
+               year(d) AS y, quarter(d) AS q,
+               month(d) AS m, dayofmonth(d) AS dom,
+               weekofyear(d) AS iso_week
+        FROM o ORDER BY o_orderkey"""),
+      desc = "date arithmetic: add_months/last_day/datediff/extract family")
+  )
+}

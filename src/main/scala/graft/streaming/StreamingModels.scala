@@ -28,6 +28,16 @@ object StreamingModels {
       .select(col("window.start").as("bucket_start"), col("event_type"),
               col("n"), col("value_cents"))
 
+  /** Streaming dedup: drop repeated (user_id, event_type) arrivals
+    * within the watermark horizon — the streaming form of the exact-
+    * dedup operator (bounded state: expired keys are dropped with the
+    * watermark). Works on batch DataFrames too (plain dropDuplicates
+    * semantics over the whole input). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("user_id", "event_type"))
+
   case class Evt(user_id: Long, event_type: String, tsSec: Long)
   case class SessionState(n: Long, firstSec: Long, lastSec: Long)
   case class SessionOut(user_id: Long, n_events: Long, span_s: Long)

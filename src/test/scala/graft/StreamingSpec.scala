@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup holds bounded per-key state") {
+    val batch = Sources.table(spark, sf(), "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingModels.dedupStream(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select($"user_id", $"event_type").distinct().count()
+      val expected = batch.select($"user_id", $"event_type").distinct().count()
+      assert(got === expected)
+      // dedup: at most one row per key in the single-batch run
+      assert(spark.table("dedup_out").count() === expected)
+    } finally q.stop()
+  }
+
   test("stateful session rollup via mapGroupsWithState") {
     val batch = Sources.table(spark, sf(), "events")
     val evts = batch.select($"user_id", $"event_type",
