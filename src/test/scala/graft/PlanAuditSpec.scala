@@ -49,6 +49,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Sources.table(spark, sf("sf0.01"), "lineitem")
+      val ord = Sources.table(spark, sf("sf0.01"), "orders")
+        .filter($"o_totalprice" > 400000.0) // selective build side
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
   test("long_dot participates in whole-stage codegen") {
     graft.functions.LongArrayDot.register(spark)
     val df = Sources.table(spark, sf(), "lineitem")
