@@ -16,12 +16,22 @@ import org.apache.spark.sql.types.StringType
 object MtaQueries {
 
   // ── Spark-side model builders ─────────────────────────────────────
-  private def fts(s: SparkSession, dir: String): DataFrame = {
-    val e = MtaSynthetic.ev(s, dir)
-    MtaModels.factTripsStops(
-      MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
-      MtaSynthetic.stops(s), MtaSynthetic.trips(e))
-  }
+  // fact_trips_stops is shared by all 16 MTA queries; materialize it
+  // once per (session, sfDir) — the engine-side equivalent of the
+  // reference's "materialize for production dashboards" guidance
+  // (docs/metrics_guide.md:385). localCheckpoint keeps results
+  // byte-identical to the lazy view.
+  private val ftsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def fts(s: SparkSession, dir: String): DataFrame =
+    ftsCache.getOrElseUpdate((s, dir), {
+      val e = MtaSynthetic.ev(s, dir)
+      MtaModels.factTripsStops(
+        MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
+        MtaSynthetic.stops(s), MtaSynthetic.trips(e))
+        .localCheckpoint()
+    })
   private def ft(s: SparkSession, dir: String): DataFrame =
     MtaModels.factTrips(fts(s, dir), MtaSynthetic.stops(s))
   private def fa(s: SparkSession, dir: String): DataFrame = {
