@@ -1,0 +1,51 @@
+package graft
+
+import graft.models.{MtaModels, MtaSynthetic}
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+
+/** Models must degrade cleanly on empty inputs (a fresh deployment or
+  * an empty feed window): empty outputs, correct schemas, no errors. */
+class EmptyInputSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def empty(df: DataFrame): DataFrame = df.limit(0)
+
+  test("fact views on empty realtime inputs are empty but well-formed") {
+    val e = MtaSynthetic.ev(spark, sf())
+    val stops = MtaSynthetic.stops(spark)
+    val fts = MtaModels.factTripsStops(
+      empty(MtaSynthetic.tripUpdates(e)),
+      empty(MtaSynthetic.stopTimeUpdates(e)),
+      stops, MtaSynthetic.trips(e))
+    assert(fts.count() === 0)
+    assert(fts.columns.contains("trip_uid"))
+    assert(MtaModels.factTrips(fts, stops).count() === 0)
+    assert(MtaModels.factDelays(fts).count() === 0)
+  }
+
+  test("metrics over empty facts return empty (or zero-row aggregates)") {
+    val e = MtaSynthetic.ev(spark, sf())
+    val stops = MtaSynthetic.stops(spark)
+    val fts = MtaModels.factTripsStops(
+      empty(MtaSynthetic.tripUpdates(e)),
+      empty(MtaSynthetic.stopTimeUpdates(e)),
+      stops, MtaSynthetic.trips(e))
+    assert(graft.models.MtaMetrics.tripsPerMinute(fts,
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00").count() === 0)
+    assert(graft.models.MtaMetrics.dwellTimes(fts).count() === 0)
+    // global aggregate yields one row of zero counts
+    val c = graft.models.MtaMetrics.tripCompleteness(fts).collect().head
+    assert(c.getLong(0) === 0L)
+  }
+
+  test("dedup and similarity operators handle empty tables") {
+    val emptyDocs = Sources.table(spark, sf(), "documents").limit(0)
+    emptyDocs.createOrReplaceTempView("documents_empty")
+    // exact dedup over nothing → nothing
+    import org.apache.spark.sql.functions._
+    val canon = emptyDocs
+      .groupBy(sha2($"text", 256)).agg(count(lit(1)).as("n"))
+    assert(canon.count() === 0)
+  }
+}
