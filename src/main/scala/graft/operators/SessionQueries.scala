@@ -86,6 +86,61 @@ object SessionQueries {
         FROM events GROUP BY user_id ORDER BY user_id"""),
       desc = "pivot event_type counts to columns (conditional-agg oracle)"),
 
+    // ── bucketed range join: pairs within ±300 s ────────────────────
+    // The scalable interval-join formulation: left rows probe 3 time
+    // buckets (b-1, b, b+1), right rows sit in exactly one, so the
+    // equi-join on (user, bucket) bounds candidates and the residual
+    // |dt| <= 300 finishes exactly — no quadratic blowup, each true
+    // pair produced exactly once. Oracle: DuckDB's native range join.
+    "j_range_bucketed" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir).withColumn("es", unix_timestamp($"ts"))
+        val a = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"es".as("a_es"), $"event_id".as("a_id"))
+          .withColumn("bucket",
+            explode(array(($"a_es" / 300L).cast(LongType) - 1,
+              ($"a_es" / 300L).cast(LongType),
+              ($"a_es" / 300L).cast(LongType) + 1)))
+        val b = e.filter($"event_type" === "click")
+          .select($"user_id", $"es".as("b_es"), $"event_id".as("b_id"))
+          .withColumn("bucket", ($"b_es" / 300L).cast(LongType))
+        a.join(b, Seq("user_id", "bucket"))
+          .filter(abs($"a_es" - $"b_es") <= 300)
+          .select($"user_id", $"a_id", $"b_id", ($"b_es" - $"a_es").as("dt_s"))
+          .orderBy($"user_id", $"a_id", $"b_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_us(ts)//1000000 AS es FROM events)
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               b.es - a.es AS dt_s
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND b.es BETWEEN a.es - 300 AND a.es + 300
+        WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+        ORDER BY a.user_id, a_id, b_id"""),
+      desc = "range join via time-bucket banding + residual (no all-pairs)"),
+
+    // ── approximate aggregates: the explicit 100 TB swap-ins ────────
+    // approx sketches differ between engines by design (SURVEY A9), so
+    // this query carries no SQL oracle — the driver records the weaker
+    // rows-only check. Exact twins live in a9_quantiles / j1 (A8).
+    "a9_approx" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .groupBy($"event_type")
+          .agg(
+            approx_count_distinct($"user_id").as("approx_users"),
+            percentile_approx($"cents", lit(0.5), lit(10000)).as("p50_approx"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      oracle = None,
+      desc = "approximate sketches (HLL count-distinct, approx percentile)"),
+
     // ── edit distance + extra string functions ──────────────────────
     "f_levenshtein" -> Q(
       fn = (s, dir) => {

@@ -126,6 +126,28 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom optimizer rule for the custom operator: conjuncts that only
+  * reference the LEFT side of an as-of join push below it (each left
+  * row's match depends only on itself). Right-side predicates must NOT
+  * push — filtering candidate rows changes which row is "latest". */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
@@ -144,6 +166,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan0 = rightDf.queryExecution.analyzed
     // re-alias the right side when lineages overlap (self-join case) so

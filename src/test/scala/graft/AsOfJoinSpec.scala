@@ -41,4 +41,28 @@ class AsOfJoinSpec extends SparkSuite {
     assert(p.contains("AsOfJoin "), s"custom exec not planned:\n$p")
     assert(joined.count() === l.count()) // left outer: one row per left
   }
+
+  test("left-side filters push below the as-of join (custom Rule)") {
+    val e = graft.sources.Sources.table(spark, sf(), "events")
+      .withColumn("es", unix_timestamp($"ts"))
+    val l = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"es", $"event_id")
+    val r = e.filter($"event_type" === "click")
+      .select($"user_id".as("ru"), $"es".as("res"), $"event_id".as("rid"))
+    val joined = AsOf.join(l, r, Seq(("user_id", "ru")), "es", "res")
+      .filter($"user_id" < 5) // left-side predicate above the join
+    val opt = joined.queryExecution.optimizedPlan
+    // after PushFilterThroughAsOfJoin the AsOfJoin node must not have a
+    // Filter PARENT carrying the user_id predicate
+    val stillAbove = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[graft.plans.AsOfJoin] &&
+          f.condition.toString.contains("user_id") => f
+    }
+    assert(stillAbove.isEmpty, s"filter not pushed:\n$opt")
+    // and correctness: same as filtering the left input directly
+    val direct = AsOf.join(l.filter($"user_id" < 5), r,
+      Seq(("user_id", "ru")), "es", "res")
+    assert(joined.count() === direct.count())
+  }
 }

@@ -11,7 +11,10 @@ class QueriesSmokeSpec extends SparkSuite {
   }
 
   test("oracleSql covers every query (or is consciously omitted)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // approx sketches can't hash-match a different engine by design
+    val knownRowsOnly = Set("a9_approx")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      knownRowsOnly
     assert(missing.isEmpty,
       s"queries without oracle (rows-only check): $missing")
   }
