@@ -158,6 +158,58 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "document fingerprinting: rolling hash over md5 token hashes"),
 
+    // ── PII-style redaction (mask digit runs, count replacements) ───
+    "text_redact" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          size(expr("regexp_extract_all(text, '[0-9]+')")).as("n_num_spans"),
+          substring(regexp_replace($"text", "[0-9]+", "<NUM>"), 1, 80)
+            .as("redacted_prefix"),
+          (size(expr("regexp_extract_all(text, '[0-9]+')")) > 0)
+            .as("was_redacted"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[0-9]+')) AS n_num_spans,
+               substr(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), 1, 80)
+                 AS redacted_prefix,
+               len(regexp_extract_all(text, '[0-9]+')) > 0 AS was_redacted
+        FROM documents ORDER BY doc_id"""),
+      desc = "redaction: global regexp_replace masking + span counts"),
+
+    // ── deterministic train/valid/test assignment ───────────────────
+    // Hash-based splitting (md5 of the id — stable across runs,
+    // engines, and cluster sizes; the only correct way to split at
+    // 100 TB where row order is undefined).
+    "text_split_assign" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val h = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 10")
+        docs(s, dir)
+          .withColumn("split",
+            when(h < 8, "train").when(h < 9, "valid").otherwise("test"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_chars").as("sum_chars"))
+          .orderBy($"split", $"lang")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT *,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 10
+              AS h
+          FROM documents)
+        SELECT CASE WHEN h < 8 THEN 'train'
+                    WHEN h < 9 THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n, sum(n_chars) AS sum_chars
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2"""),
+      desc = "deterministic hash-based train/valid/test split"),
+
     // ── exact dedup after canonicalization ──────────────────────────
     // Raw texts are all unique; canonical form = sorted distinct token
     // set, which the corpus DOES duplicate (word-order shuffles).
