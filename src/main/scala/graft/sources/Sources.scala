@@ -57,4 +57,16 @@ object Sources {
     * namespace for `spark.sql` / metric queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     testTables.foreach { t => table(spark, dir, t).createOrReplaceTempView(t) }
+
+  /** Format-agnostic read: the registry's seam for non-Parquet
+    * sources (json / csv / orc). Schema is required for the schemaless
+    * text formats so types match the Parquet-defined contract. */
+  def tableAs(spark: SparkSession, path: String, format: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r0 = spark.read.format(format)
+    val r1 = schema.fold(r0)(r0.schema)
+    val r2 = if (format == "csv") r1.option("header", "true") else r1
+    r2.load(path)
+  }
 }

@@ -38,6 +38,30 @@ object StreamingModels {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Stream-stream interval join: purchases joined to the clicks that
+    * preceded them within 1 hour for the same user. Both sides carry
+    * watermarks so the join state is bounded — the streaming form of
+    * the j_range_bucketed / as-of operators. */
+  def streamStreamConversions(purchases: DataFrame,
+                              clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "inner")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("lead_s"))
+  }
+
   case class Evt(user_id: Long, event_type: String, tsSec: Long)
   case class SessionState(n: Long, firstSec: Long, lastSec: Long)
   case class SessionOut(user_id: Long, n_events: Long, span_s: Long)

@@ -1,0 +1,28 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Format-agnostic source reads: json and csv round-trips must produce
+  * the same rows as the Parquet-defined contract. */
+class SourceFormatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("json and csv round-trip the nation table") {
+    val nation = Sources.table(spark, sf(), "nation")
+    val base = Files.createTempDirectory("graft_fmt").toString
+    nation.write.mode("overwrite").json(s"$base/nation_json")
+    nation.write.mode("overwrite").option("header", "true")
+      .csv(s"$base/nation_csv")
+
+    val viaJson = Sources.tableAs(spark, s"$base/nation_json", "json",
+      Some(nation.schema))
+    val viaCsv = Sources.tableAs(spark, s"$base/nation_csv", "csv",
+      Some(nation.schema))
+
+    val expect = nation.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq
+    assert(viaJson.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq === expect)
+    assert(viaCsv.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq === expect)
+  }
+}

@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val batch = Sources.table(spark, sf(), "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ss")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    def stream() = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purch = stream().filter($"event_type" === "purchase")
+    val clicks = stream().filter($"event_type" === "click")
+    val q = StreamingModels.streamStreamConversions(purch, clicks)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join").count()
+      val expected = StreamingModels.streamStreamConversions(
+        batch.filter($"event_type" === "purchase"),
+        batch.filter($"event_type" === "click")).count()
+      assert(got === expected)
+      assert(got > 0)
+    } finally q.stop()
+  }
+
   test("stateful session rollup via mapGroupsWithState") {
     val batch = Sources.table(spark, sf(), "events")
     val evts = batch.select($"user_id", $"event_type",
