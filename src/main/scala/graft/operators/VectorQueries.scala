@@ -220,6 +220,9 @@ object VectorQueries {
             .orderBy($"score".desc, $"c_label".asc)))
           .filter($"rn" === 1)
           .select($"vec_id", $"sv", $"nrm", $"c_label".as("cluster"))
+          // materialized once: the q and c branches below would both
+          // recompute centroids + assignment otherwise
+          .localCheckpoint()
         val q = assigned.filter($"vec_id" < 10)
           .select($"vec_id".as("query_id"), $"sv".as("qv"), $"nrm".as("qn"),
             $"cluster")
