@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Quality bounds for the approximate operators: the 100 TB swap-ins
+  * must stay close to their exact twins, and the LSH index must
+  * actually recall true neighbors. */
+class ApproxQualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("approx sketches stay within tolerance of exact aggregates") {
+    val e = Sources.table(spark, sf("sf0.01"), "events")
+      .withColumn("cents", round($"value" * 100).cast(LongType))
+    val rows = e.groupBy($"event_type").agg(
+      countDistinct($"user_id").as("exact_users"),
+      approx_count_distinct($"user_id").as("approx_users"),
+      percentile($"cents", lit(0.5)).as("exact_p50"),
+      percentile_approx($"cents", lit(0.5), lit(10000)).as("approx_p50"))
+      .collect()
+    rows.foreach { r =>
+      val (eu, au) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(au - eu) <= math.max(1L, (eu * 0.05).toLong),
+        s"HLL off by >5%: exact=$eu approx=$au")
+      val (ep, ap) = (r.getDouble(3), r.getLong(4).toDouble)
+      assert(math.abs(ap - ep) <= math.max(1.0, ep * 0.05),
+        s"approx p50 off by >5%: exact=$ep approx=$ap")
+    }
+  }
+
+  test("sign-LSH candidates recall a usable share of true top-5 neighbors") {
+    val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("knn_lsh")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (${lsh.size} LSH pairs)")
+    // 4 bands × 4 bits is a deliberately cheap index; it must still
+    // beat random cell assignment by a wide margin (random ≈ 4/500).
+    assert(recall >= 0.2, f"LSH recall collapsed: $recall%.2f")
+  }
+}
