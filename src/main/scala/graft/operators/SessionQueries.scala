@@ -167,6 +167,55 @@ object SessionQueries {
         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""),
       desc = "edit distance + initcap/lpad/translate/reverse"),
 
+    // ── statistical aggregates from exact integer moments ───────────
+    // corr/covar/stddev are order-dependent double reductions in every
+    // engine; deriving them from exact integral moments (sum x, sum y,
+    // sum xy, sum x², n in cents) makes them bit-reproducible while
+    // keeping the single-pass map-side-combinable shape.
+    "a_corr_moments" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val x = round($"l_quantity" * 100).cast(LongType)
+        val y = round($"l_discount" * 100).cast(LongType)
+        Sources.table(s, dir, "lineitem")
+          .select($"l_returnflag", x.as("x"), y.as("y"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+            sum($"y" * $"y").as("syy"))
+          .select($"l_returnflag", $"n",
+            (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n") /
+              ($"n" - 1)).as("covar_cents2"),
+            sqrt(($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n") /
+              ($"n" - 1)).as("stddev_x_cents"),
+            (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n") /
+              (sqrt($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n") *
+               sqrt($"syy".cast("double") - $"sy".cast("double") * $"sy" / $"n")))
+              .as("corr_xy"))
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(round(l_quantity*100) AS BIGINT) AS x,
+                 CAST(round(l_discount*100) AS BIGINT) AS y
+          FROM lineitem),
+        agg AS (
+          SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM m GROUP BY 1)
+        SELECT l_returnflag, n,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n) / (n-1)
+                 AS covar_cents2,
+               sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / (n-1))
+                 AS stddev_x_cents,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n)
+                 / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n)
+                    * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n))
+                 AS corr_xy
+        FROM agg ORDER BY l_returnflag"""),
+      desc = "corr/covar/stddev from exact integer moments (deterministic)"),
+
     // ── date arithmetic family ──────────────────────────────────────
     "f_dates" -> Q(
       fn = (s, dir) => {
