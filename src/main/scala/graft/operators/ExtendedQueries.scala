@@ -41,6 +41,49 @@ object ExtendedQueries {
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
       desc = "A12 rollup grouping sets + grouping_id"),
 
+    // ── A12b: CUBE over two keys ────────────────────────────────────
+    "a12_cube" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+          .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+      desc = "A12 cube grouping sets + grouping_id"),
+
+    // ── F-bitwise: &, |, xor, shifts, bit_count ─────────────────────
+    "f_bitwise" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id",
+            ($"event_id".bitwiseAND(255L)).as("lo_byte"),
+            ($"event_id".bitwiseOR(4096L)).as("with_flag"),
+            ($"event_id".bitwiseXOR($"user_id")).as("xored"),
+            expr("shiftleft(event_id, 3)").as("shl3"),
+            expr("shiftright(event_id, 2)").as("shr2"),
+            bit_count($"event_id").as("popcount"))
+          .filter($"event_id" < 500)
+          .orderBy($"event_id")
+      },
+      oracle = Some("""
+        SELECT event_id,
+               event_id & 255 AS lo_byte,
+               event_id | 4096 AS with_flag,
+               xor(event_id, user_id) AS xored,
+               event_id << 3 AS shl3,
+               event_id >> 2 AS shr2,
+               bit_count(event_id) AS popcount
+        FROM events WHERE event_id < 500 ORDER BY event_id"""),
+      desc = "bitwise and/or/xor/shift/popcount functions"),
+
     // ── O4: INTERSECT / EXCEPT (distinct set semantics) ─────────────
     "o4_setops" -> Q(
       fn = (s, dir) => {

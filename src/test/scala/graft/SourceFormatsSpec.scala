@@ -25,4 +25,13 @@ class SourceFormatsSpec extends SparkSuite {
     assert(viaJson.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq === expect)
     assert(viaCsv.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq === expect)
   }
+
+  test("orc round-trips the region table") {
+    val region = Sources.table(spark, sf(), "region")
+    val base = Files.createTempDirectory("graft_orc").toString
+    region.write.mode("overwrite").orc(s"$base/region_orc")
+    val viaOrc = Sources.tableAs(spark, s"$base/region_orc", "orc")
+    assert(viaOrc.orderBy($"r_regionkey").collect().map(_.toSeq).toSeq ===
+      region.orderBy($"r_regionkey").collect().map(_.toSeq).toSeq)
+  }
 }
