@@ -278,7 +278,8 @@ object EventQueries {
       },
       oracle = Some("""
         SELECT event_type, count(*) AS n,
-               sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
                min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY 1 ORDER BY 1"""),

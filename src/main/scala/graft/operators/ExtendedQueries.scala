@@ -134,10 +134,12 @@ object ExtendedQueries {
                      CAST(round(value*100) AS BIGINT) AS cents
                    FROM events)
         SELECT user_id, event_id, cents,
-          sum(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
-          sum(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
-            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS move3_cents,
+          CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS running_cents,
+          CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS move3_cents,
           ntile(4) OVER (PARTITION BY user_id ORDER BY es, event_id) AS quartile,
           first_value(event_id) OVER (PARTITION BY user_id ORDER BY es, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

@@ -62,9 +62,9 @@ object MultimodalQueries {
                octet_length(unhex(h)) AS n_bytes,
                ('0x' || substr(h, 1, 2))::BIGINT % 8 + 1 AS width,
                ('0x' || substr(h, 3, 2))::BIGINT % 8 + 1 AS height,
-               list_sum(list_transform(range(0, 32),
+               CAST(list_sum(list_transform(range(0, 32),
                  i -> ('0x' || substr(h, 2 * i + 1, 2))::BIGINT)) * 100 // 32
-                 AS mean_byte_x100,
+                 AS BIGINT) AS mean_byte_x100,
                upper(h) AS payload_hex
         FROM b ORDER BY doc_id"""),
       desc = "binary decode stub: blob → typed metadata + feature"),

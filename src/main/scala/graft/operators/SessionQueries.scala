@@ -53,9 +53,10 @@ object SessionQueries {
           SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
             AS new_sess FROM g),
         sess AS (
-          SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
             ORDER BY es, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sess_id
           FROM f)
         SELECT user_id, sess_id, count(*) AS n_events,
                min(es) AS start_s, max(es) AS end_s,

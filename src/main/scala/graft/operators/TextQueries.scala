@@ -64,9 +64,9 @@ object TextQueries {
                len(list_distinct(string_split(text, ' '))) AS n_distinct,
                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS ttr,
-               list_sum(list_transform(string_split(text, ' '),
-                                       x -> CAST(length(x) AS BIGINT)))
-                 AS sum_tok_len
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            x -> CAST(length(x) AS BIGINT)))
+                 AS BIGINT) AS sum_tok_len
         FROM documents ORDER BY doc_id"""),
       desc = "token counting + type-token ratio (higher-order aggregate)"),
 
@@ -206,7 +206,7 @@ object TextQueries {
         SELECT CASE WHEN h < 8 THEN 'train'
                     WHEN h < 9 THEN 'valid'
                     ELSE 'test' END AS split,
-               lang, count(*) AS n, sum(n_chars) AS sum_chars
+               lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""),
       desc = "deterministic hash-based train/valid/test split"),
 

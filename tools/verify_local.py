@@ -29,6 +29,26 @@ def canon(v):
     return v
 
 
+def type_family(arrow_type):
+    """Collapse an Arrow type to the family the driver's hash is sensitive
+    to. int widths <=64 hash identically (python ints) so they share a
+    family, but DuckDB HUGEINT surfaces as decimal128 and is converted to
+    float/object by pandas — a silent value-representation change. Flag it.
+    """
+    t = str(arrow_type)
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("int", "uint")):
+        return "int"
+    if t in ("float", "double", "halffloat"):
+        return "float"
+    if t in ("string", "large_string", "utf8", "large_utf8"):
+        return "str"
+    if t.startswith("list") or t.startswith("large_list"):
+        return "list"
+    return t
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -38,11 +58,16 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            gt = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow()
+            got_cols = list(gt.schema.names)
+            got_types = {f.name: type_family(f.type) for f in gt.schema}
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.description]
+            et = con.execute(sql).arrow()
+            exp_cols = list(et.schema.names)
+            exp_types = {f.name: type_family(f.type) for f in et.schema}
             exp = con.execute(sql).fetchall()
-            exp_cols = [d[0] for d in con.description]
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
@@ -50,6 +75,13 @@ def main(sf_dir, out_dir):
         problems = []
         if sorted(got_cols) != sorted(exp_cols):
             problems.append(f"schema {sorted(got_cols)} != {sorted(exp_cols)}")
+        else:
+            type_diff = [
+                f"{c}: spark={got_types[c]} oracle={exp_types[c]}"
+                for c in sorted(got_cols) if got_types[c] != exp_types[c]]
+            if type_diff:
+                problems.append("type family mismatch "
+                                f"[{'; '.join(type_diff)}]")
         if len(got) != len(exp):
             problems.append(f"rows {len(got)} != {len(exp)}")
         if not problems:
