@@ -54,6 +54,35 @@ object Engine {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Cluster-safe materialization of a hot intermediate reused by
+    * several downstream branches.
+    *
+    * Local mode: `localCheckpoint` — cheapest way to truncate lineage
+    * and share the computed blocks in one JVM. On a real cluster
+    * localCheckpoint pins blocks to executors (an executor loss kills
+    * the job instead of recomputing), so there the intermediate goes
+    * through the bucketed table write path instead: one shuffle at
+    * write time, then every downstream join/agg on `key` reads it
+    * exchange-free.
+    *
+    * Mode resolution: conf `graft.materialize.mode` = `local` |
+    * `table` overrides; default picks `local` iff the master is
+    * local[*]. */
+  def materialize(df: DataFrame, key: String, name: String,
+                  buckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val mode = spark.conf.getOption("graft.materialize.mode").getOrElse(
+      if (spark.sparkContext.isLocal) "local" else "table")
+    if (mode == "local") df.localCheckpoint()
+    else {
+      val table = s"graft_mat_$name"
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+      spark.table(table)
+    }
+  }
+
   /** Skew mitigation: salted left-side join for a hot key. The big
     * side gets a random-ish salt derived from a uniform column, the
     * small side is exploded across all salt values — the classic

@@ -19,19 +19,26 @@ object MtaQueries {
   // fact_trips_stops is shared by all 16 MTA queries; materialize it
   // once per (session, sfDir) — the engine-side equivalent of the
   // reference's "materialize for production dashboards" guidance
-  // (docs/metrics_guide.md:385). localCheckpoint keeps results
-  // byte-identical to the lazy view.
+  // (docs/metrics_guide.md:385). Engine.materialize keeps results
+  // byte-identical to the lazy view (localCheckpoint locally, bucketed
+  // table on a cluster).
   private val ftsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def fts(s: SparkSession, dir: String): DataFrame =
+  private def fts(s: SparkSession, dir: String): DataFrame = {
+    // evict entries whose SparkContext is stopped — long-lived JVMs
+    // (repeated test runs) would otherwise pin dead sessions' blocks
+    ftsCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
     ftsCache.getOrElseUpdate((s, dir), {
       val e = MtaSynthetic.ev(s, dir)
-      MtaModels.factTripsStops(
-        MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
-        MtaSynthetic.stops(s), MtaSynthetic.trips(e))
-        .localCheckpoint()
+      graft.Engine.materialize(
+        MtaModels.factTripsStops(
+          MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
+          MtaSynthetic.stops(s), MtaSynthetic.trips(e)),
+        key = "trip_uid", name = "fts")
     })
+  }
   private def ft(s: SparkSession, dir: String): DataFrame =
     MtaModels.factTrips(fts(s, dir), MtaSynthetic.stops(s))
   private def fa(s: SparkSession, dir: String): DataFrame = {

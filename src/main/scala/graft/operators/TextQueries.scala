@@ -338,11 +338,12 @@ object TextQueries {
         val votes = tok.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
         // materialize signatures once — both band-join branches and the
         // pair join would otherwise recompute the whole token pipeline
-        val sim = votes.select($"doc_id",
-          (0 until 32).map(b =>
-            when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
-          .localCheckpoint()
+        val sim = graft.Engine.materialize(
+          votes.select($"doc_id",
+            (0 until 32).map(b =>
+              when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+              .reduce(_ + _).as("simhash")),
+          key = "doc_id", name = "simhash_sig")
         val banded = sim.select($"doc_id", $"simhash",
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),
@@ -403,15 +404,31 @@ object TextQueries {
         // gram generation via explode+substr+distinct: every operator
         // is codegen'd (the transform(...,lambda) form evaluates an
         // interpreted lambda per gram — 5× slower at sf0.1).
-        val inv = docs(s, dir)
-          .select($"doc_id", $"lang", $"source", $"text",
-            explode(sequence(lit(1), greatest(length($"text") - 2, lit(1))))
-              .as("i"))
-          .select($"doc_id", $"lang", $"source",
-            expr("substr(text, i, 3)").as("gram"))
-          .distinct()
-          // materialized once: reused by both self-join branches + lens
-          .localCheckpoint()
+        val invAll = graft.Engine.materialize(
+          docs(s, dir)
+            .select($"doc_id", $"lang", $"source", $"text",
+              explode(sequence(lit(1), greatest(length($"text") - 2, lit(1))))
+                .as("i"))
+            .select($"doc_id", $"lang", $"source",
+              expr("substr(text, i, 3)").as("gram"))
+            .distinct(),
+          key = "gram", name = "ngram_inv_all")
+        // Hot-gram cap: a stopword-like gram present in most documents
+        // of a block (e.g. "the") creates quadratic fan-out in the
+        // self-join at scale while carrying no discriminative signal.
+        // Drop grams whose document frequency exceeds 25% of the block;
+        // jaccard is then over the capped gram space on BOTH engines.
+        val blockSizes = docs(s, dir)
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+        val gramDf = invAll.groupBy($"lang", $"source", $"gram")
+          .agg(count(lit(1)).as("df"))
+        val inv = graft.Engine.materialize(
+          invAll
+            .join(gramDf, Seq("lang", "source", "gram"))
+            .join(broadcast(blockSizes), Seq("lang", "source"))
+            .filter($"df" * 4 <= $"n_docs") // df <= 25% of block, integer-exact
+            .select($"doc_id", $"lang", $"source", $"gram"),
+          key = "gram", name = "ngram_inv")
         val lens = inv.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
         val a = inv.select($"doc_id".as("doc_a"), $"lang", $"source", $"gram")
         val b = inv.select($"doc_id".as("doc_b"), $"lang", $"source", $"gram")
@@ -436,8 +453,19 @@ object TextQueries {
               range(1, greatest(length(text) - 2, 1) + 1),
               i -> substr(text, i, 3))) AS grams
           FROM documents),
-        lens AS (SELECT doc_id, len(grams) AS n_grams FROM g),
-        inv AS (SELECT doc_id, lang, source, unnest(grams) AS gram FROM g),
+        inv_all AS (SELECT doc_id, lang, source, unnest(grams) AS gram FROM g),
+        bs AS (SELECT lang, source, count(*) AS n_docs
+               FROM documents GROUP BY 1, 2),
+        gram_df AS (SELECT lang, source, gram, count(*) AS df
+                    FROM inv_all GROUP BY 1, 2, 3),
+        inv AS (
+          SELECT i.doc_id, i.lang, i.source, i.gram
+          FROM inv_all i
+          JOIN gram_df d
+            ON d.lang = i.lang AND d.source = i.source AND d.gram = i.gram
+          JOIN bs ON bs.lang = i.lang AND bs.source = i.source
+          WHERE d.df * 4 <= bs.n_docs),
+        lens AS (SELECT doc_id, count(*) AS n_grams FROM inv GROUP BY 1),
         inter AS (
           SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
                  count(*) AS inter

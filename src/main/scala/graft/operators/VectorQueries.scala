@@ -93,16 +93,18 @@ object VectorQueries {
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir)
-        // per (vec, plane): sign of integer dot with pseudo-hyperplane
-        val dims = base.select($"vec_id", posexplode($"sv").as(Seq("d", "v")))
-          .withColumn("k", explode(sequence(lit(0), lit(15))))
-          .withColumn("term",
-            expr("v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001)"))
-        val sig = dims.groupBy($"vec_id", $"k")
-          .agg(sum($"term").as("s"))
-          .groupBy($"vec_id")
-          .agg(sum(when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), k)"))
-            .otherwise(0L)).as("sig"))
+        // The 16 hyperplanes are a pure function of (k, d) — inline
+        // them as literal ARRAY<BIGINT>s and take one codegen'd
+        // long_dot per plane. No row inflation (the explode form made
+        // 1,024 rows per vector before re-aggregating); the whole
+        // signature is a single narrow projection that scales linearly.
+        val planes = (0 until 16).map(k => (0 until 64).map(d =>
+          ((1L + (k * 64 + d) * 2654435761L) % 1000003L) - 500001L))
+        val sigExpr = planes.zipWithIndex.map { case (p, k) =>
+          s"(CASE WHEN long_dot(sv, CAST(array(${p.mkString(",")})" +
+            s" AS ARRAY<BIGINT>)) > 0 THEN ${1L << k}L ELSE 0L END)"
+        }.mkString(" + ")
+        val sig = base.select($"vec_id", expr(sigExpr).as("sig"))
         val banded = sig.select($"vec_id", explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"), expr(s"(sig >> ${4 * b}) & 15").as("bv"))): _*))
           .as("bk"))
@@ -168,13 +170,18 @@ object VectorQueries {
     // ── embedding-cosine near-duplicate pairs ───────────────────────
     // Integer-quantized dot: the (id_a < id_b) nested-loop pair space
     // does ONE fold per pair; norms come precomputed per row.
+    // RECALL-VERIFICATION BASELINE ONLY: all-pairs is O(n²) — usable
+    // up to ~100k vectors (the planner picks broadcast-NL or a
+    // partitioned cartesian based on actual size; no forced full-table
+    // broadcast). The scale path for real dedup is the LSH/IVF
+    // candidate generation above, which bounds pairs per bucket.
     "dedup_embedding" -> Q(
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir)
         val a = base.select($"vec_id".as("id_a"), $"sv".as("ea"), $"nrm".as("na"))
         val b = base.select($"vec_id".as("id_b"), $"sv".as("eb"), $"nrm".as("nb"))
-        a.join(broadcast(b), $"id_a" < $"id_b")
+        a.join(b, $"id_a" < $"id_b")
           .withColumn("cosine", expr(dot("ea", "eb")).cast("double") /
             sqrt($"na".cast("double") * $"nb".cast("double")))
           .filter($"cosine" >= 0.4)
@@ -213,16 +220,17 @@ object VectorQueries {
           .withColumn("cnrm", expr("long_dot(cvec, cvec)"))
           .select($"label".as("c_label"), $"cvec", $"cnrm")
         // assign every vector to its best centroid (deterministic ties)
-        val assigned = base.crossJoin(broadcast(cent))
+        val assignedRaw = base.crossJoin(broadcast(cent))
           .withColumn("score", expr(dot("sv", "cvec")).cast("double") /
             sqrt($"nrm".cast("double") * $"cnrm".cast("double")))
           .withColumn("rn", row_number().over(Window.partitionBy($"vec_id")
             .orderBy($"score".desc, $"c_label".asc)))
           .filter($"rn" === 1)
           .select($"vec_id", $"sv", $"nrm", $"c_label".as("cluster"))
-          // materialized once: the q and c branches below would both
-          // recompute centroids + assignment otherwise
-          .localCheckpoint()
+        // materialized once: the q and c branches below would both
+        // recompute centroids + assignment otherwise
+        val assigned = graft.Engine.materialize(
+          assignedRaw, key = "cluster", name = "ivf_assign")
         val q = assigned.filter($"vec_id" < 10)
           .select($"vec_id".as("query_id"), $"sv".as("qv"), $"nrm".as("qn"),
             $"cluster")

@@ -16,6 +16,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics: for every left row, attach the LAST right row with equal
   * keys and rightTime <= leftTime (left outer; unmatched → nulls).
+  * NULL keys never match (SQL equi-join / DuckDB ASOF semantics): a
+  * left row with any NULL key field gets the null-padded right side,
+  * and right rows with NULL key fields are never candidates.
   *
   * Physical shape: both sides hash-partitioned on their keys with an
   * EXACT partition count (so the co-partitioning survives AQE) and
@@ -94,29 +97,46 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       var lastKey: InternalRow = null
       var lastMatch: InternalRow = null
+      val nKeys = lKeysB.length
+      def hasNullKey(key: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKeys) {
+          if (key.isNullAt(i)) return true
+          i += 1
+        }
+        false
+      }
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
-        if (lastKey == null || keyOrd.compare(lk, lastKey) != 0) {
-          lastKey = lk.copy()
-          lastMatch = null
+        if (hasNullKey(lk)) {
+          // NULL keys never match — sorted NULLS FIRST, so these left
+          // rows precede all matchable keys and rBuf need not advance.
+          joined(lRow, nullRight)
+        } else {
+          if (lastKey == null || keyOrd.compare(lk, lastKey) != 0) {
+            lastKey = lk.copy()
+            lastMatch = null
+          }
+          val lt = lTimeProj(lRow)
+          val ltNull = lt.isNullAt(0)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            // right rows with NULL key fields are never candidates; they
+            // sort before any non-null lastKey and fall into c < 0
+            val c = keyOrd.compare(rk, lastKey)
+            if (c < 0) { rBuf.next() } // right key behind/null: discard
+            else if (c == 0) {
+              val rt = rTimeProj(rBuf.head)
+              val rtOk = !rt.isNullAt(0) && !ltNull &&
+                rt.getLong(0) <= lt.getLong(0)
+              if (rtOk) { lastMatch = rBuf.next().copy() }
+              else if (rt.isNullAt(0)) { rBuf.next() } // null time: no match
+              else advance = false // right time ahead of this left row
+            } else advance = false // right key ahead
+          }
+          joined(lRow, if (lastMatch != null) lastMatch else nullRight)
         }
-        val lt = lTimeProj(lRow)
-        val ltNull = lt.isNullAt(0)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val rk = rKeyProj(rBuf.head)
-          val c = keyOrd.compare(rk, lastKey)
-          if (c < 0) { rBuf.next() } // right key behind: discard
-          else if (c == 0) {
-            val rt = rTimeProj(rBuf.head)
-            val rtOk = !rt.isNullAt(0) && !ltNull &&
-              rt.getLong(0) <= lt.getLong(0)
-            if (rtOk) { lastMatch = rBuf.next().copy() }
-            else if (rt.isNullAt(0)) { rBuf.next() } // null time: no match
-            else advance = false // right time ahead of this left row
-          } else advance = false // right key ahead
-        }
-        joined(lRow, if (lastMatch != null) lastMatch else nullRight)
       }
     }
   }

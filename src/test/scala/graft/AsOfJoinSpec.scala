@@ -28,6 +28,42 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out("p3") === null)      // no right rows for key 2
   }
 
+  test("NULL keys never match (SQL equi-join semantics)") {
+    val left = Seq(
+      (Option(1L), 10L, "k1"),
+      (Option.empty[Long], 10L, "lnull"),
+      (Option(2L), 10L, "k2_nomatch"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (Option(1L), 5L, "r_k1"),
+      (Option.empty[Long], 5L, "r_null"),
+      (Option(3L), 5L, "r_k3"))
+      .toDF("rk", "rt", "rname")
+    val out = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt")
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("k1") === "r_k1")        // normal match unaffected
+    assert(out("lnull") === null)       // left NULL key → no match
+    assert(out("k2_nomatch") === null)  // right NULL key never a candidate
+  }
+
+  test("NULL in one field of a composite key never matches") {
+    val left = Seq(
+      (Option(1L), Option(1L), 10L, "both"),
+      (Option(1L), Option.empty[Long], 10L, "partial_null"))
+      .toDF("k1", "k2", "t", "name")
+    val right = Seq(
+      (Option(1L), Option(1L), 5L, "r_both"),
+      (Option(1L), Option.empty[Long], 5L, "r_partial"))
+      .toDF("rk1", "rk2", "rt", "rname")
+    val out = AsOf.join(left, right,
+      Seq(("k1", "rk1"), ("k2", "rk2")), "t", "rt")
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("both") === "r_both")
+    assert(out("partial_null") === null) // null field blocks the match
+  }
+
   test("plan contains the custom AsOfJoinExec") {
     val e = graft.sources.Sources.table(spark, sf(), "events")
       .withColumn("es", unix_timestamp($"ts"))

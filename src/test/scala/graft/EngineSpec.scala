@@ -73,6 +73,33 @@ class EngineSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("materialize: table mode writes a bucketed table with exchange-free reuse") {
+    Seq("graft_mat_spec_li").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    val li = graft.sources.Sources.table(spark, sf(), "lineitem")
+      .select($"l_orderkey".as("k"), $"l_quantity")
+    spark.conf.set("graft.materialize.mode", "table")
+    try {
+      val mat = Engine.materialize(li, key = "k", name = "spec_li", buckets = 8)
+      assert(mat.count() === li.count())
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // groupBy on the bucket key over the materialized form: no shuffle
+        val agg = mat.groupBy($"k").agg(count(lit(1)))
+        assert(!agg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+          "bucketed materialize still shuffles on the bucket key")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.conf.unset("graft.materialize.mode")
+    // local mode (default on local[*]) keeps the localCheckpoint shape
+    val local = Engine.materialize(li, key = "k", name = "spec_li2")
+    assert(local.count() === li.count())
+  }
+
   test("saltedJoin returns the same result as a plain join") {
     val li = graft.sources.Sources.table(spark, sf(), "lineitem")
       .select($"l_orderkey".as("k"), $"l_quantity")
