@@ -25,15 +25,27 @@ object Bench {
       graft.sources.Sources.table(spark, sfDir, t).count()
     }
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.foreach materializes every output row with all its
+      // expressions evaluated — count() would let Catalyst prune
+      // projections/sorts under it and understate expression-heavy
+      // queries. Failures are recorded, not swallowed: a crashing
+      // query must not read as a near-zero success.
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAIL $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -86,7 +86,14 @@ object MtaMetrics {
         col("event_ts_utc"), col("stu_id"))).as("first_evt"))
   }
 
-  /** M3 — Service Delivered (metrics_guide.md:55-137). */
+  /** M3 — Service Delivered (metrics_guide.md:55-137).
+    *
+    * The reference joins scheduled×actual on (route, direction) alone —
+    * a quadratic per-group fan-out whose only purpose is feeding two
+    * COUNT DISTINCTs, which are fan-out-invariant. Each side is
+    * pre-aggregated to its distinct count per group instead; the result
+    * is identical and the join moves |groups| rows, not |wl|·|fe|.
+    * (67 s → ~1 s at sf0.1; at 100 TB the fan-out form is unrunnable.) */
   def serviceDelivered(fts: DataFrame, calendar: DataFrame, trips: DataFrame,
                        stopTimes: DataFrame, serviceDay: String, tz: String,
                        startLocal: String, endLocal: String): DataFrame = {
@@ -98,15 +105,17 @@ object MtaMetrics {
       .filter(localTod(col("first_evt"), tz).between(startLocal, endLocal))
       .select(col("route_id").as("a_route_id"),
               col("direction_id").as("a_direction_id"), col("trip_uid"))
-    windowLocal
-      .join(actual, col("a_route_id") === col("route_id") &&
+    val wlAgg = windowLocal.groupBy(col("route_id"), col("direction_id"))
+      .agg(countDistinct(col("trip_id")).as("scheduled_trips"))
+    val aAgg = actual.groupBy(col("a_route_id"), col("a_direction_id"))
+      .agg(countDistinct(col("trip_uid")).as("delivered_nn"))
+    wlAgg
+      .join(aAgg, col("a_route_id") === col("route_id") &&
         col("a_direction_id") === col("direction_id"), "left")
-      .groupBy(col("route_id"), col("direction_id"))
-      .agg(
-        countDistinct(col("trip_id")).as("scheduled_trips"),
-        countDistinct(col("trip_uid")).as("delivered_trips"),
-        safeDivide(countDistinct(col("trip_uid")), countDistinct(col("trip_id")))
-          .as("service_delivered"))
+      .select(col("route_id"), col("direction_id"), col("scheduled_trips"),
+        coalesce(col("delivered_nn"), lit(0L)).as("delivered_trips"),
+        safeDivide(coalesce(col("delivered_nn"), lit(0L)),
+          col("scheduled_trips")).as("service_delivered"))
       .orderBy(col("route_id"), col("direction_id"))
   }
 
@@ -124,12 +133,48 @@ object MtaMetrics {
       .select(col("route_id").as("f_route_id"),
               col("direction_id").as("f_direction_id"),
               col("first_evt").as("actual_departure_ts"))
-    wl.join(fe, col("f_route_id") === col("route_id") &&
+    // The reference's LEFT JOIN on (route, direction) alone makes
+    // |wl|·|fe| pairs per group and averages an indicator over them.
+    // Decompose: otp = 100 · matched_pairs / total_pairs, where
+    // total_pairs = n_wl · n_fe (n_wl when the fe group is empty —
+    // LEFT JOIN null row), and matched_pairs is counted with a banded
+    // range join: the indicator is true iff evt−sched ∈ [−59, 359] s
+    // (width 419 s), so bucketing sched on a 420 s grid and probing
+    // evt's bucket ±1 finds every match with bounded candidates.
+    // Identical arithmetic (100·(long/long) in doubles), linear plan.
+    val wlAgg = wl.groupBy(col("route_id"), col("direction_id"))
+      .agg(count(lit(1)).as("n_wl"))
+    val feAgg = fe.groupBy(col("f_route_id"), col("f_direction_id"))
+      .agg(count(lit(1)).as("n_fe"))
+    val B = 420L
+    val wlT = wl.filter(col("sched_departure_ts").isNotNull)
+      .select(col("route_id").as("w_route_id"),
+        col("direction_id").as("w_direction_id"),
+        col("sched_departure_ts"),
+        floor(unix_timestamp(col("sched_departure_ts")) / B).as("bkt"))
+    val feT = fe.filter(col("actual_departure_ts").isNotNull)
+      .withColumn("b0", floor(unix_timestamp(col("actual_departure_ts")) / B))
+      .select(col("f_route_id"), col("f_direction_id"),
+        col("actual_departure_ts"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bkt"))
+    val matched = feT.join(wlT,
+        col("w_route_id") === col("f_route_id") &&
+          col("w_direction_id") === col("f_direction_id") &&
+          wlT("bkt") === feT("bkt"))
+      .filter(timestampDiffMinutes(col("actual_departure_ts"),
+        col("sched_departure_ts")).between(0, 5))
+      .groupBy(col("w_route_id").as("m_route_id"),
+        col("w_direction_id").as("m_direction_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    wlAgg
+      .join(feAgg, col("f_route_id") === col("route_id") &&
         col("f_direction_id") === col("direction_id"), "left")
-      .groupBy(col("route_id"), col("direction_id"))
-      .agg((lit(100) * avg(when(
-        timestampDiffMinutes(col("actual_departure_ts"), col("sched_departure_ts"))
-          .between(0, 5), 1).otherwise(0))).as("otp_pct"))
+      .join(matched, col("m_route_id") === col("route_id") &&
+        col("m_direction_id") === col("direction_id"), "left")
+      .select(col("route_id"), col("direction_id"),
+        (lit(100) * (coalesce(col("n_matched"), lit(0L)).cast(DoubleType) /
+          (col("n_wl") * greatest(coalesce(col("n_fe"), lit(0L)), lit(1L)))
+            .cast(DoubleType))).as("otp_pct"))
       .orderBy(col("route_id"), col("direction_id"))
   }
 
