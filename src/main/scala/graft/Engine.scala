@@ -43,6 +43,17 @@ object Engine {
   def materializeByServiceDay(df: DataFrame, outPath: String): Unit =
     df.write.mode("overwrite").partitionBy("service_day_local").parquet(outPath)
 
+  /** Incremental S4: overwrite ONLY the service days present in
+    * `delta` (dynamic partition overwrite), leaving every other day's
+    * files untouched. This is the reference's production cadence
+    * (docs/metrics_guide.md:385 — partition by day, refresh the days
+    * the feed changed) and the only affordable form at 100 TB: a
+    * daily refresh rewrites one day, not the table. */
+  def refreshByServiceDay(delta: DataFrame, outPath: String): Unit =
+    delta.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("service_day_local").parquet(outPath)
+
   /** Bucketed materialization: pre-shuffle a fact on its join/rollup
     * key so repeated joins and aggregations on that key run with NO
     * exchange (SURVEY §4: bucketing on trip_uid for the rollup). At

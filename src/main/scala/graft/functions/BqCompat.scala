@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
 object BqCompat {
 
   /** BigQuery REGEXP_EXTRACT: NULL (not '') when the pattern does not
-    * match. Group 0 = whole match, like BigQuery's single-arg form. */
+    * match. Group 0 = whole match, like BigQuery's single-arg form.
+    *
+    * Limitation: implemented as nullif-on-empty, so a pattern that can
+    * SUCCESSFULLY match the empty string (zero-width match, e.g.
+    * `a*`) maps that match to NULL, where BigQuery would return ''.
+    * No engine pattern is zero-width-capable; callers introducing one
+    * need a regexp_like guard instead. */
   def regexpExtractOrNull(c: Column, pattern: String, group: Int = 0): Column =
     nullif(regexp_extract(c, pattern, group), lit(""))
 

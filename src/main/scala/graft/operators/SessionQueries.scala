@@ -126,7 +126,11 @@ object SessionQueries {
     // ── approximate aggregates: the explicit 100 TB swap-ins ────────
     // approx sketches differ between engines by design (SURVEY A9), so
     // this query carries no SQL oracle — the driver records the weaker
-    // rows-only check. Exact twins live in a9_quantiles / j1 (A8).
+    // rows-only check. To make that check MEAN something, exact twins
+    // are computed side by side and each row must pass an in-query
+    // error bound (HLL rel-err ≤ 5%, approx-p50 within 5% or one
+    // cent-decile of exact): a regressed sketch drops rows → rows_match
+    // fails. Exact-only twins live in a9_quantiles / j1 (A8).
     "a9_approx" -> Q(
       fn = (s, dir) => {
         import s.implicits._
@@ -135,12 +139,20 @@ object SessionQueries {
           .groupBy($"event_type")
           .agg(
             approx_count_distinct($"user_id").as("approx_users"),
+            countDistinct($"user_id").as("exact_users"),
             percentile_approx($"cents", lit(0.5), lit(10000)).as("p50_approx"),
+            percentile($"cents", lit(0.5)).as("p50_exact"),
             count(lit(1)).as("n"))
+          .withColumn("users_rel_err",
+            abs($"approx_users" - $"exact_users").cast("double") /
+              $"exact_users")
+          .filter($"users_rel_err" <= 0.05 &&
+            abs($"p50_approx" - $"p50_exact") <=
+              greatest(abs($"p50_exact") * 0.05, lit(100.0)))
           .orderBy($"event_type")
       },
       oracle = None,
-      desc = "approximate sketches (HLL count-distinct, approx percentile)"),
+      desc = "approximate sketches with in-query error bound vs exact twins"),
 
     // ── edit distance + extra string functions ──────────────────────
     "f_levenshtein" -> Q(

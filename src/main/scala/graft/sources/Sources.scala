@@ -21,12 +21,20 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Confs a session hosting this library should set at build time
+    * (`SparkSession.builder.config(...)`). `table` falls back to
+    * setting nanosAsLong at read time for sessions that didn't. */
+  val recommendedConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts arrives as parquet TIMESTAMP(NANOS), which Spark has no
     // native type for (PARQUET_TYPE_ILLEGAL without the legacy flag).
-    // The flag is runtime-settable, so pin it here rather than relying
-    // on every session creator to remember it.
-    if (name == "events")
+    // Fallback only — a properly built session (recommendedConf) is
+    // never mutated; an unconfigured one gets the flag set once, and
+    // that side effect is part of this method's documented contract.
+    if (name == "events" && !spark.conf
+        .getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {

@@ -37,6 +37,32 @@ class EngineSpec extends SparkSuite {
       plan.contains("service_day_local"))
   }
 
+  test("refreshByServiceDay rewrites only the delta's day partitions") {
+    Engine.registerMta(spark, sf())
+    val fts = spark.table("fact_trips_stops")
+      .filter($"service_day_local".isNotNull)
+    val out = Files.createTempDirectory("graft_incr").toString
+    Engine.materializeByServiceDay(fts, out)
+    val days = fts.select($"service_day_local".cast("string"))
+      .distinct().as[String].collect().sorted
+    assert(days.length >= 2, "need at least two service days")
+    val keepDay = days.head
+    val refreshDay = days.last
+    def filesOf(day: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$out/service_day_local=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val keepBefore = filesOf(keepDay)
+    assert(keepBefore.nonEmpty)
+    Engine.refreshByServiceDay(
+      fts.filter($"service_day_local".cast("string") === refreshDay), out)
+    // unchanged day: identical file set and mtimes (not rewritten)
+    assert(filesOf(keepDay) === keepBefore)
+    // the whole table still reads back complete
+    assert(spark.read.parquet(out).count() === fts.count())
+  }
+
   test("bucketed tables join and aggregate with no exchange") {
     // drop any catalog entry AND orphaned warehouse dirs from prior runs
     // (a fresh in-memory catalog with a persistent spark-warehouse dir
