@@ -247,13 +247,29 @@ object MtaMetrics {
     val actual = fts.filter(col("stop_id") === stopRef)
       .select(col("route_id"), col("direction_id"), col("stop_id"),
         coalesce(col("departure_ts_utc"), col("arrival_ts_utc")).as("actual_ts"))
-    actual.join(sched, col("s_route_id") === col("route_id") &&
+    // The metric is an exact percentile over the actual×sched pair
+    // deltas per (route, direction). Materializing the fan-out into
+    // percentile's per-group buffer is the naive plan; instead both
+    // sides deduplicate to (ts, count), the joined deltas fold into a
+    // (delay, frequency) histogram with map-side combine, and the
+    // exact weighted percentile runs over the tiny histogram —
+    // identical multiset, so bit-identical interpolation.
+    val aD = actual.groupBy(col("route_id"), col("direction_id"),
+        col("stop_id"), col("actual_ts"))
+      .agg(count(lit(1)).as("ca"))
+    val sD = sched.groupBy(col("s_route_id"), col("s_direction_id"),
+        col("sched_departure_ts"))
+      .agg(count(lit(1)).as("cs"))
+    aD.join(sD, col("s_route_id") === col("route_id") &&
         col("s_direction_id") === col("direction_id"))
       .withColumn("delay_s",
         timestampDiffSeconds(col("actual_ts"), col("sched_departure_ts")))
+      .groupBy(col("route_id"), col("direction_id"), col("stop_id"),
+        col("delay_s"))
+      .agg(sum(col("ca") * col("cs")).as("freq"))
       .groupBy(col("route_id"), col("direction_id"), col("stop_id"))
-      .agg(percentile(col("delay_s"), lit(0.5)).as("p50_delay_s"),
-           percentile(col("delay_s"), lit(0.9)).as("p90_delay_s"))
+      .agg(percentile(col("delay_s"), lit(0.5), col("freq")).as("p50_delay_s"),
+           percentile(col("delay_s"), lit(0.9), col("freq")).as("p90_delay_s"))
       .orderBy(col("route_id"), col("direction_id"))
   }
 
@@ -314,12 +330,28 @@ object MtaMetrics {
           col("departure_time")).as("sched_ts"))
       .withColumn("sched_headway_s", unix_timestamp(col("sched_ts")) -
         unix_timestamp(lag(col("sched_ts"), 1).over(schedW)))
-    obsHw.join(schedHw, col("s_route_id") === col("route_id") &&
+    // avg(indicator) over the (obs × sched) pair fan-out decomposes to
+    // matched / (n_obs · n_sched) per group. The schedule side is
+    // schedule-sized, so it collapses to one sorted array per group;
+    // each obs row counts its matches with a codegen'd array filter —
+    // no pair shuffle, identical arithmetic.
+    val obsF = obsHw.filter(col("headway_s").isNotNull)
+    val schArr = schedHw.filter(col("sched_headway_s").isNotNull)
+      .groupBy(col("s_route_id"), col("s_direction_id"))
+      .agg(collect_list(col("sched_headway_s")).as("sh_arr"),
+           count(lit(1)).as("n_s"))
+    obsF
+      .join(schArr, col("s_route_id") === col("route_id") &&
         col("s_direction_id") === col("direction_id"))
-      .filter(col("headway_s").isNotNull && col("sched_headway_s").isNotNull)
+      .withColumn("m", size(filter(col("sh_arr"),
+        x => col("headway_s") <= lit(2) * x)))
       .groupBy(col("route_id"), col("direction_id"))
-      .agg((lit(100) * avg(when(col("headway_s") <= lit(2) * col("sched_headway_s"), 1)
-        .otherwise(0))).as("wait_assessment_pct"))
+      .agg(sum(col("m")).as("matched"), count(lit(1)).as("n_o"),
+           max(col("n_s")).as("n_s"))
+      .select(col("route_id"), col("direction_id"),
+        (lit(100) * (col("matched").cast(DoubleType) /
+          (col("n_o") * col("n_s")).cast(DoubleType)))
+          .as("wait_assessment_pct"))
       .orderBy(col("route_id"), col("direction_id"))
   }
 }

@@ -134,15 +134,34 @@ object SessionQueries {
     "a9_approx" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        ev(s, dir)
+        val base = ev(s, dir)
           .withColumn("cents", round($"value" * 100).cast(LongType))
+        // Exact twins come from their own shuffle-parallel passes —
+        // p50 via a (cents, freq) histogram + weighted percentile,
+        // distinct users via a two-level aggregation — so the sketch
+        // pass carries NO countDistinct (which would wrap the whole
+        // input in an Expand and double the rows fed to the sketches).
+        // All three aggregates join on the 5-row group key.
+        val exactP = base.groupBy($"event_type", $"cents")
+          .agg(count(lit(1)).as("freq"))
+          .groupBy($"event_type")
+          .agg(percentile($"cents", lit(0.5), $"freq").as("p50_exact"))
+        val exactU = base.groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("_c"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("exact_users"))
+        base
           .groupBy($"event_type")
           .agg(
-            approx_count_distinct($"user_id").as("approx_users"),
-            countDistinct($"user_id").as("exact_users"),
+            // rsd 2% so the sketch's configured accuracy is tighter
+            // than the 5% bound asserted below (default rsd is 5% —
+            // the bound would flag ordinary sketch noise, not
+            // regressions)
+            approx_count_distinct($"user_id", 0.02).as("approx_users"),
             percentile_approx($"cents", lit(0.5), lit(10000)).as("p50_approx"),
-            percentile($"cents", lit(0.5)).as("p50_exact"),
             count(lit(1)).as("n"))
+          .join(exactU, Seq("event_type"))
+          .join(exactP, Seq("event_type"))
           .withColumn("users_rel_err",
             abs($"approx_users" - $"exact_users").cast("double") /
               $"exact_users")
