@@ -125,14 +125,20 @@ object MtaMetrics {
   def terminalOtp(fts: DataFrame, calendar: DataFrame, trips: DataFrame,
                   stopTimes: DataFrame, serviceDay: String, tz: String,
                   startLocal: String, endLocal: String): DataFrame = {
-    val wl = scheduledWindow(calendar, trips, stopTimes,
-      serviceDay, tz, startLocal, endLocal)
-    val fe = firstEvent(fts,
-        coalesce(col("departure_ts_utc"), col("arrival_ts_utc")),
-        requireNonNull = false)
-      .select(col("route_id").as("f_route_id"),
-              col("direction_id").as("f_direction_id"),
-              col("first_evt").as("actual_departure_ts"))
+    // both sides feed two consumers below (count + banded join) —
+    // materialize once instead of recomputing the rollup per branch
+    val wl = graft.Engine.materialize(
+      scheduledWindow(calendar, trips, stopTimes,
+        serviceDay, tz, startLocal, endLocal),
+      key = "route_id", name = "m4_wl")
+    val fe = graft.Engine.materialize(
+      firstEvent(fts,
+          coalesce(col("departure_ts_utc"), col("arrival_ts_utc")),
+          requireNonNull = false)
+        .select(col("route_id").as("f_route_id"),
+                col("direction_id").as("f_direction_id"),
+                col("first_evt").as("actual_departure_ts")),
+      key = "f_route_id", name = "m4_fe")
     // The reference's LEFT JOIN on (route, direction) alone makes
     // |wl|·|fe| pairs per group and averages an indicator over them.
     // Decompose: otp = 100 · matched_pairs / total_pairs, where

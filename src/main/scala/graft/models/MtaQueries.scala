@@ -22,23 +22,39 @@ object MtaQueries {
   // (docs/metrics_guide.md:385). Engine.materialize keeps results
   // byte-identical to the lazy view (localCheckpoint locally, bucketed
   // table on a cluster).
-  private val ftsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
 
-  private def fts(s: SparkSession, dir: String): DataFrame = {
-    // evict entries whose SparkContext is stopped — long-lived JVMs
-    // (repeated test runs) would otherwise pin dead sessions' blocks
-    ftsCache.filterInPlace { case ((sess, _), _) =>
+  /** Memoize + materialize a shared intermediate per (session, dir).
+    * Evicts entries whose SparkContext is stopped — long-lived JVMs
+    * (repeated test runs) would otherwise pin dead sessions' blocks. */
+  private def memoized(s: SparkSession, dir: String, name: String,
+                       key: String)(build: => DataFrame): DataFrame = {
+    memo.filterInPlace { case ((sess, _, _), _) =>
       !sess.sparkContext.isStopped }
-    ftsCache.getOrElseUpdate((s, dir), {
-      val e = MtaSynthetic.ev(s, dir)
-      graft.Engine.materialize(
-        MtaModels.factTripsStops(
-          MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
-          MtaSynthetic.stops(s), MtaSynthetic.trips(e)),
-        key = "trip_uid", name = "fts")
-    })
+    memo.getOrElseUpdate((s, dir, name),
+      graft.Engine.materialize(build, key = key, name = name))
   }
+
+  private def fts(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "fts", "trip_uid") {
+      val e = MtaSynthetic.ev(s, dir)
+      MtaModels.factTripsStops(
+        MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
+        MtaSynthetic.stops(s), MtaSynthetic.trips(e))
+    }
+
+  /** The synthetic GTFS schedule tables scan the full events table on
+    * every derivation (and scheduledWindow reads stop_times twice) —
+    * memoize them like fts; they are schedule-sized once computed. */
+  private def sTrips(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "mta_trips", "trip_id") {
+      MtaSynthetic.trips(MtaSynthetic.ev(s, dir))
+    }
+  private def sStopTimes(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "mta_stop_times", "trip_id") {
+      MtaSynthetic.stopTimes(MtaSynthetic.ev(s, dir))
+    }
   private def ft(s: SparkSession, dir: String): DataFrame =
     MtaModels.factTrips(fts(s, dir), MtaSynthetic.stops(s))
   private def fa(s: SparkSession, dir: String): DataFrame = {
@@ -229,12 +245,10 @@ fe AS (SELECT route_id, direction_id, trip_uid, evt FROM fe_ranked WHERE rn = 1)
       desc = "M2 trips observed per aligned 5-min bucket (F10)"),
 
     "mta_m3_service_delivered" -> Q(
-      fn = (s, dir) => {
-        val e = MtaSynthetic.ev(s, dir)
-        MtaMetrics.serviceDelivered(fts(s, dir), MtaSynthetic.calendar(s),
-          MtaSynthetic.trips(e), MtaSynthetic.stopTimes(e),
-          Day, Tz, "06:00:00", "23:00:00")
-      },
+      fn = (s, dir) => MtaMetrics.serviceDelivered(
+        fts(s, dir), MtaSynthetic.calendar(s),
+        sTrips(s, dir), sStopTimes(s, dir),
+        Day, Tz, "06:00:00", "23:00:00"),
       oracle = Some(withSched(s"""
         ${feCtes(nonNullOnly = true)},
         actual_in_window AS (
@@ -252,12 +266,10 @@ fe AS (SELECT route_id, direction_id, trip_uid, evt FROM fe_ranked WHERE rn = 1)
       desc = "M3 service delivered: calendar + GTFS-time schedule vs realtime"),
 
     "mta_m4_terminal_otp" -> Q(
-      fn = (s, dir) => {
-        val e = MtaSynthetic.ev(s, dir)
-        MtaMetrics.terminalOtp(fts(s, dir), MtaSynthetic.calendar(s),
-          MtaSynthetic.trips(e), MtaSynthetic.stopTimes(e),
-          Day, Tz, "06:00:00", "23:00:00")
-      },
+      fn = (s, dir) => MtaMetrics.terminalOtp(
+        fts(s, dir), MtaSynthetic.calendar(s),
+        sTrips(s, dir), sStopTimes(s, dir),
+        Day, Tz, "06:00:00", "23:00:00"),
       oracle = Some(withSched(s"""
         ${feCtes(nonNullOnly = false)}
         SELECT wl.route_id, wl.direction_id,
@@ -328,11 +340,8 @@ fe AS (SELECT route_id, direction_id, trip_uid, evt FROM fe_ranked WHERE rn = 1)
       desc = "M7 A→B run time (J6 self-join + J7 theta residual)"),
 
     "mta_m8_excess_delay" -> Q(
-      fn = (s, dir) => {
-        val e = MtaSynthetic.ev(s, dir)
-        MtaMetrics.excessDelay(fts(s, dir), MtaSynthetic.trips(e),
-          MtaSynthetic.stopTimes(e), Day, "S5")
-      },
+      fn = (s, dir) => MtaMetrics.excessDelay(
+        fts(s, dir), sTrips(s, dir), sStopTimes(s, dir), Day, "S5"),
       oracle = Some(withPrelude("""
         sched8 AS (
           SELECT t.route_id AS s_route_id, t.direction_id AS s_direction_id,
@@ -399,11 +408,8 @@ fe AS (SELECT route_id, direction_id, trip_uid, evt FROM fe_ranked WHERE rn = 1)
       desc = "M11 feed latency: ingest vs feed timestamp (A10 avg)"),
 
     "mta_m12_wait_assessment" -> Q(
-      fn = (s, dir) => {
-        val e = MtaSynthetic.ev(s, dir)
-        MtaMetrics.waitAssessment(fts(s, dir), MtaSynthetic.trips(e),
-          MtaSynthetic.stopTimes(e), "S5", Day)
-      },
+      fn = (s, dir) => MtaMetrics.waitAssessment(
+        fts(s, dir), sTrips(s, dir), sStopTimes(s, dir), "S5", Day),
       oracle = Some(withPrelude("""
         obs12 AS (
           SELECT route_id, direction_id, stu_id,

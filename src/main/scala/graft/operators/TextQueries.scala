@@ -404,27 +404,28 @@ object TextQueries {
         // gram generation via explode+substr+distinct: every operator
         // is codegen'd (the transform(...,lambda) form evaluates an
         // interpreted lambda per gram — 5× slower at sf0.1).
-        val invAll = graft.Engine.materialize(
-          docs(s, dir)
-            .select($"doc_id", $"lang", $"source", $"text",
-              explode(sequence(lit(1), greatest(length($"text") - 2, lit(1))))
-                .as("i"))
-            .select($"doc_id", $"lang", $"source",
-              expr("substr(text, i, 3)").as("gram"))
-            .distinct(),
-          key = "gram", name = "ngram_inv_all")
+        val invAll = docs(s, dir)
+          .select($"doc_id", $"lang", $"source", $"text",
+            explode(sequence(lit(1), greatest(length($"text") - 2, lit(1))))
+              .as("i"))
+          .select($"doc_id", $"lang", $"source",
+            expr("substr(text, i, 3)").as("gram"))
+          .distinct()
         // Hot-gram cap: a stopword-like gram present in most documents
         // of a block (e.g. "the") creates quadratic fan-out in the
         // self-join at scale while carrying no discriminative signal.
         // Drop grams whose document frequency exceeds 25% of the block;
         // jaccard is then over the capped gram space on BOTH engines.
+        // df comes from ONE windowed count over the index (WindowExec
+        // spills, so a 100 TB stopword gram can't blow an aggregation
+        // buffer the way a collect_set posting list would), and only
+        // the capped index materializes.
         val blockSizes = docs(s, dir)
           .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
-        val gramDf = invAll.groupBy($"lang", $"source", $"gram")
-          .agg(count(lit(1)).as("df"))
+        val dfW = Window.partitionBy($"lang", $"source", $"gram")
         val inv = graft.Engine.materialize(
           invAll
-            .join(gramDf, Seq("lang", "source", "gram"))
+            .withColumn("df", count(lit(1)).over(dfW))
             .join(broadcast(blockSizes), Seq("lang", "source"))
             .filter($"df" * 4 <= $"n_docs") // df <= 25% of block, integer-exact
             .select($"doc_id", $"lang", $"source", $"gram"),
