@@ -40,6 +40,92 @@ object TextQueries {
   private val En = Seq("the", "a", "of", "and", "to")
   private val Tech = Seq("spark", "query", "table", "join", "scan")
 
+  /** MinHash+LSH near-dup PAIRS (doc_a < doc_b, jaccard ≥ 0.5) —
+    * shared by dedup_minhash and the connected-components clustering.
+    * Shingles over the RAW token sequence (order is engine-portable;
+    * distinct-list order is not); the distinct set only feeds the
+    * order-insensitive Jaccard verify. Shingles are exploded and
+    * hashed once, then 8 min-aggregates compute the signature in a
+    * single codegen'd pass (no interpreted array lambdas). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select($"doc_id",
+      split($"text", " ").as("raw"),
+      array_distinct(split($"text", " ")).as("toks"))
+    val sh = base
+      .withColumn("i", explode(expr(
+        "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
+      .select($"doc_id", expr(
+        """CASE WHEN size(raw) >= 3 THEN
+             concat_ws(' ', element_at(raw, i),
+               element_at(raw, i + 1), element_at(raw, i + 2))
+           ELSE concat_ws(' ', raw) END""").as("s"))
+      .withColumn("hs", expr(
+        "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 1000003L"))
+    val mhAggs = (0 until 8).map(i =>
+      min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
+        .as(s"mh$i"))
+    val mh = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      .join(base.select($"doc_id", $"toks"), Seq("doc_id"))
+    val sig = mh.select($"doc_id", $"toks",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
+               col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
+      .select($"doc_id", $"toks", $"bk.band", $"bk.k1", $"bk.k2")
+    val a = sig.select($"doc_id".as("doc_a"), $"toks".as("toks_a"),
+      $"band", $"k1", $"k2")
+    val b = sig.select($"doc_id".as("doc_b"), $"toks".as("toks_b"),
+      $"band", $"k1", $"k2")
+    a.join(b, Seq("band", "k1", "k2"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"toks_a", $"toks_b").distinct()
+      .withColumn("jaccard", try_divide(
+        size(array_intersect($"toks_a", $"toks_b")),
+        size(array_distinct(concat($"toks_a", $"toks_b")))))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** DuckDB twin of minhashPairs as CTEs ending in `mh_near`
+    * (doc_a, doc_b, jaccard) — prefix-named to compose into larger
+    * WITH blocks. */
+  private def MINHASH_PAIRS_CTES: String = s"""
+        mh_base AS (
+          SELECT doc_id, string_split(text, ' ') AS raw,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        mh_sh AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(raw) >= 3 THEN
+              list_transform(range(1, len(raw) - 1),
+                i -> raw[i] || ' ' || raw[i + 1] || ' ' || raw[i + 2])
+            ELSE [array_to_string(raw, ' ')] END AS shingles
+          FROM mh_base),
+        mh_mh AS (
+          SELECT doc_id, toks,
+            ${(0 until 8).map(i =>
+              s"""list_min(list_transform(shingles, s ->
+                 (${37 + 101 * i} * (${DUCK_TOKHASH.format("s")} % 1000003)
+                  + ${17 + 1009 * i}) % 1000033)) AS mh$i""").mkString(",\n")}
+          FROM mh_sh),
+        mh_sig AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, toks, $b AS band, mh${2 * b} AS k1, " +
+            s"mh${2 * b + 1} AS k2 FROM mh_mh").mkString("\nUNION ALL\n")}),
+        mh_pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.toks AS toks_a, b.toks AS toks_b
+          FROM mh_sig a JOIN mh_sig b
+            ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+           AND a.doc_id < b.doc_id),
+        mh_near AS (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                   / len(list_distinct(list_concat(toks_a, toks_b))) AS jaccard
+          FROM mh_pairs
+          WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                  / len(list_distinct(list_concat(toks_a, toks_b))) >= 0.5)"""
+
   val queries: Map[String, Q] = Map(
 
     // ── token statistics (counting, type-token ratio) ───────────────
@@ -242,85 +328,85 @@ object TextQueries {
     "dedup_minhash" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        // shingle over the RAW token sequence (order is engine-portable;
-        // distinct-list order is not); the distinct set is only used for
-        // the order-insensitive Jaccard verify. Shingles are exploded
-        // and hashed once, then 8 min-aggregates compute the signature
-        // in a single codegen'd pass (no interpreted array lambdas).
-        val base = docs(s, dir).select($"doc_id",
-          split($"text", " ").as("raw"),
-          array_distinct(split($"text", " ")).as("toks"))
-        val sh = base
-          .withColumn("i", explode(expr(
-            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
-          .select($"doc_id", expr(
-            """CASE WHEN size(raw) >= 3 THEN
-                 concat_ws(' ', element_at(raw, i),
-                   element_at(raw, i + 1), element_at(raw, i + 2))
-               ELSE concat_ws(' ', raw) END""").as("s"))
-          .withColumn("hs", expr(
-            "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 1000003L"))
-        val mhAggs = (0 until 8).map(i =>
-          min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
-            .as(s"mh$i"))
-        val mh = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-          .join(base.select($"doc_id", $"toks"), Seq("doc_id"))
-        val sig = mh.select($"doc_id", $"toks",
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
-                   col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
-          .select($"doc_id", $"toks", $"bk.band", $"bk.k1", $"bk.k2")
-        val a = sig.select($"doc_id".as("doc_a"), $"toks".as("toks_a"),
-          $"band", $"k1", $"k2")
-        val b = sig.select($"doc_id".as("doc_b"), $"toks".as("toks_b"),
-          $"band", $"k1", $"k2")
-        a.join(b, Seq("band", "k1", "k2"))
-          .filter($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b", $"toks_a", $"toks_b").distinct()
-          .withColumn("jaccard", try_divide(
-            size(array_intersect($"toks_a", $"toks_b")),
-            size(array_distinct(concat($"toks_a", $"toks_b")))))
-          .filter($"jaccard" >= 0.5)
-          .select($"doc_a", $"doc_b", $"jaccard")
-          .orderBy($"doc_a", $"doc_b")
+        minhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
       },
       oracle = Some(s"""
-        WITH base AS (
-          SELECT doc_id, string_split(text, ' ') AS raw,
-                 list_distinct(string_split(text, ' ')) AS toks
-          FROM documents),
-        sh AS (
-          SELECT doc_id, toks,
-            CASE WHEN len(raw) >= 3 THEN
-              list_transform(range(1, len(raw) - 1),
-                i -> raw[i] || ' ' || raw[i + 1] || ' ' || raw[i + 2])
-            ELSE [array_to_string(raw, ' ')] END AS shingles
-          FROM base),
-        mh AS (
-          SELECT doc_id, toks,
-            ${(0 until 8).map(i =>
-              s"""list_min(list_transform(shingles, s ->
-                 (${37 + 101 * i} * (${DUCK_TOKHASH.format("s")} % 1000003)
-                  + ${17 + 1009 * i}) % 1000033)) AS mh$i""").mkString(",\n")}
-          FROM sh),
-        sig AS (
-          ${(0 until 4).map(b =>
-            s"SELECT doc_id, toks, $b AS band, mh${2 * b} AS k1, " +
-            s"mh${2 * b + 1} AS k2 FROM mh").mkString("\nUNION ALL\n")}),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.toks AS toks_a, b.toks AS toks_b
-          FROM sig a JOIN sig b
-            ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-           AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
-                 / len(list_distinct(list_concat(toks_a, toks_b))) AS jaccard
-        FROM pairs
-        WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
-                / len(list_distinct(list_concat(toks_a, toks_b))) >= 0.5
+        WITH $MINHASH_PAIRS_CTES
+        SELECT doc_a, doc_b, jaccard FROM mh_near
         ORDER BY doc_a, doc_b"""),
-      desc = "MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify"),
+      desc = "MinHash+LSH near-dup pairs (band-bucket join, no all-pairs)"),
+
+    // ── dedup clustering: near-dup pairs → connected components ─────
+    // The step every dedup pipeline needs after pair generation: merge
+    // exact-dup groups and minhash near-dup pairs into clusters and
+    // pick one canonical keeper (min doc_id) per cluster. Spark side
+    // is iterative min-label propagation (the Pregel/GraphX form: each
+    // round a vertex takes the min label among itself and neighbors;
+    // converges in graph-diameter rounds — dup clusters are shallow).
+    // The per-round driver check is one scalar count, the data never
+    // leaves executors; each round's labels materialize to truncate
+    // lineage. Oracle: DuckDB recursive-CTE transitive closure.
+    "dedup_components" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val exactE = docs(s, dir)
+          .withColumn("canon",
+            concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+          .withColumn("key", sha2($"canon", 256))
+          .withColumn("keep", min($"doc_id").over(Window.partitionBy($"key")))
+          .filter($"doc_id" =!= $"keep")
+          .select($"keep".as("src"), $"doc_id".as("dst"))
+        val nearE = minhashPairs(s, dir)
+          .select($"doc_a".as("src"), $"doc_b".as("dst"))
+        val e0 = exactE.union(nearE).distinct()
+        val und = graft.Engine.materialize(
+          e0.union(e0.select($"dst".as("src"), $"src".as("dst"))).distinct(),
+          key = "src", name = "cc_edges")
+        var labels = und.select($"src".as("id")).distinct()
+          .withColumn("comp", $"id")
+          .localCheckpoint()
+        var changed = true
+        var iter = 0
+        while (changed && iter < 50) {
+          val nbrMin = und
+            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy($"dst".as("id")).agg(min($"comp").as("nbr"))
+          val next = labels.join(nbrMin, Seq("id"), "left")
+            .select($"id",
+              least($"comp", coalesce($"nbr", $"comp")).as("comp"))
+            .localCheckpoint()
+          changed = next.as("n").join(labels.as("o"), "id")
+            .filter(col("n.comp") =!= col("o.comp")).limit(1).count() > 0
+          labels = next
+          iter += 1
+        }
+        labels.select($"id".as("doc_id"), $"comp".as("component_id"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $MINHASH_PAIRS_CTES,
+        cc_canon AS (
+          SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS key
+          FROM documents),
+        cc_keep AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep
+          FROM cc_canon),
+        cc_exact AS (
+          SELECT keep AS src, doc_id AS dst FROM cc_keep WHERE doc_id <> keep),
+        cc_e0 AS (
+          SELECT src, dst FROM cc_exact
+          UNION
+          SELECT doc_a, doc_b FROM mh_near),
+        cc_edges AS (
+          SELECT src, dst FROM cc_e0 UNION SELECT dst, src FROM cc_e0),
+        reach(a, b) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON e.src = r.b)
+        SELECT a AS doc_id, min(b) AS component_id
+        FROM reach GROUP BY a ORDER BY doc_id"""),
+      desc = "dedup clusters: exact+minhash edges → connected components"),
 
     // ── SimHash near-dup detection ──────────────────────────────────
     // 32-bit simhash via bitwise vote over token hashes; candidate
@@ -411,36 +497,48 @@ object TextQueries {
           .select($"doc_id", $"lang", $"source",
             expr("substr(text, i, 3)").as("gram"))
           .distinct()
-        // Hot-gram cap: a stopword-like gram present in most documents
-        // of a block (e.g. "the") creates quadratic fan-out in the
-        // self-join at scale while carrying no discriminative signal.
-        // Drop grams whose document frequency exceeds 25% of the block;
-        // jaccard is then over the capped gram space on BOTH engines.
-        // df comes from ONE windowed count over the index (WindowExec
-        // spills, so a 100 TB stopword gram can't blow an aggregation
-        // buffer the way a collect_set posting list would), and only
-        // the capped index materializes.
+        // Hot-gram cap — CANDIDATE GENERATION only: a stopword-like
+        // gram present in most documents of a block (e.g. "the")
+        // creates quadratic fan-out in the self-join at scale while
+        // carrying no discriminative signal. Candidates come from the
+        // index with grams above 50% block document-frequency dropped
+        // (df via ONE windowed count; WindowExec spills where a
+        // collect_set posting list would not). The score stays EXACT
+        // over the full gram space without shipping per-doc gram
+        // arrays: the space partitions into capped ∪ hot, so
+        // inter = inter_capped (grouped equi-join count) + inter_hot
+        // (intersection of tiny per-doc HOT-gram sets — bounded by the
+        // few distinct grams that clear 50% df). The cap changes
+        // recall only for pairs sharing nothing but hot grams.
         val blockSizes = docs(s, dir)
           .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
         val dfW = Window.partitionBy($"lang", $"source", $"gram")
-        val inv = graft.Engine.materialize(
+        val idx = graft.Engine.materialize(
           invAll
             .withColumn("df", count(lit(1)).over(dfW))
-            .join(broadcast(blockSizes), Seq("lang", "source"))
-            .filter($"df" * 4 <= $"n_docs") // df <= 25% of block, integer-exact
-            .select($"doc_id", $"lang", $"source", $"gram"),
-          key = "gram", name = "ngram_inv")
-        val lens = inv.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+            .join(broadcast(blockSizes), Seq("lang", "source")),
+          key = "gram", name = "ngram_idx")
+        val inv = idx.filter($"df" * 2 <= $"n_docs")
+          .select($"doc_id", $"lang", $"source", $"gram")
+        val hotSets = idx.filter($"df" * 2 > $"n_docs")
+          .groupBy($"doc_id").agg(collect_list($"gram").as("hot"))
+        val lens = idx.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
         val a = inv.select($"doc_id".as("doc_a"), $"lang", $"source", $"gram")
         val b = inv.select($"doc_id".as("doc_b"), $"lang", $"source", $"gram")
         a.join(b, Seq("lang", "source", "gram"))
           .filter($"doc_a" < $"doc_b")
           .groupBy($"lang", $"source", $"doc_a", $"doc_b")
-          .agg(count(lit(1)).as("inter"))
+          .agg(count(lit(1)).as("inter_c"))
           .join(lens.select($"doc_id".as("doc_a"), $"n_grams".as("len_a")),
             Seq("doc_a"))
           .join(lens.select($"doc_id".as("doc_b"), $"n_grams".as("len_b")),
             Seq("doc_b"))
+          .join(hotSets.select($"doc_id".as("doc_a"), $"hot".as("hot_a")),
+            Seq("doc_a"), "left")
+          .join(hotSets.select($"doc_id".as("doc_b"), $"hot".as("hot_b")),
+            Seq("doc_b"), "left")
+          .withColumn("inter", $"inter_c" +
+            coalesce(size(array_intersect($"hot_a", $"hot_b")), lit(0)))
           .withColumn("jaccard", try_divide($"inter",
             $"len_a" + $"len_b" - $"inter"))
           .filter($"jaccard" >= 0.5)
@@ -459,30 +557,42 @@ object TextQueries {
                FROM documents GROUP BY 1, 2),
         gram_df AS (SELECT lang, source, gram, count(*) AS df
                     FROM inv_all GROUP BY 1, 2, 3),
-        inv AS (
-          SELECT i.doc_id, i.lang, i.source, i.gram
+        idx AS (
+          SELECT i.doc_id, i.lang, i.source, i.gram, d.df, bs.n_docs
           FROM inv_all i
           JOIN gram_df d
             ON d.lang = i.lang AND d.source = i.source AND d.gram = i.gram
-          JOIN bs ON bs.lang = i.lang AND bs.source = i.source
-          WHERE d.df * 4 <= bs.n_docs),
-        lens AS (SELECT doc_id, count(*) AS n_grams FROM inv GROUP BY 1),
+          JOIN bs ON bs.lang = i.lang AND bs.source = i.source),
+        inv AS (
+          SELECT doc_id, lang, source, gram FROM idx
+          WHERE df * 2 <= n_docs),
+        hot AS (
+          SELECT doc_id, list(gram) AS hot FROM idx
+          WHERE df * 2 > n_docs GROUP BY doc_id),
+        lens AS (SELECT doc_id, count(*) AS n_grams FROM idx GROUP BY 1),
         inter AS (
           SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 count(*) AS inter
+                 count(*) AS inter_c
           FROM inv a JOIN inv b
             ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
            AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4)
-        SELECT i.lang, i.source, i.doc_a, i.doc_b,
-               CAST(i.inter AS DOUBLE)
-                 / (la.n_grams + lb.n_grams - i.inter) AS jaccard
-        FROM inter i
-        JOIN lens la ON la.doc_id = i.doc_a
-        JOIN lens lb ON lb.doc_id = i.doc_b
-        WHERE CAST(i.inter AS DOUBLE)
-                / (la.n_grams + lb.n_grams - i.inter) >= 0.5
+          GROUP BY 1, 2, 3, 4),
+        scored AS (
+          SELECT i.lang, i.source, i.doc_a, i.doc_b,
+                 i.inter_c + coalesce(
+                   CAST(len(list_intersect(ha.hot, hb.hot)) AS BIGINT), 0)
+                   AS inter,
+                 la.n_grams + lb.n_grams AS lensum
+          FROM inter i
+          JOIN lens la ON la.doc_id = i.doc_a
+          JOIN lens lb ON lb.doc_id = i.doc_b
+          LEFT JOIN hot ha ON ha.doc_id = i.doc_a
+          LEFT JOIN hot hb ON hb.doc_id = i.doc_b)
+        SELECT lang, source, doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (lensum - inter) AS jaccard
+        FROM scored
+        WHERE CAST(inter AS DOUBLE) / (lensum - inter) >= 0.5
         ORDER BY doc_a, doc_b"""),
-      desc = "n-gram Jaccard near-dup: inverted-index join within blocks")
+      desc = "n-gram Jaccard near-dup: capped candidates, exact partitioned score")
   )
 }
