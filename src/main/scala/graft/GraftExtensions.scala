@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.LongArrayDot
+import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Idiomatic extension-point registration for graft's Catalyst
+  * additions. Attach at session build time:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Injects:
+  *  - `AsOfJoinStrategy` — plans the native as-of join
+  *    (plans/AsOfJoin.scala) without the per-call lazy fallback that
+  *    `AsOf.join` applies to unextended sessions;
+  *  - `PushFilterThroughAsOfJoin` — left-side predicate pushdown
+  *    through the custom operator;
+  *  - `long_dot` — the codegen'd integer-dot `Expression`, callable
+  *    from `expr(...)` / SQL without `LongArrayDot.register`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    ext.injectFunction((
+      new FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongArrayDot(exprs(0), exprs(1))))
+  }
+}

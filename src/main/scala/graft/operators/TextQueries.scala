@@ -296,6 +296,64 @@ object TextQueries {
         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""),
       desc = "deterministic hash-based train/valid/test split"),
 
+    // ── stratified sampling (per-stratum rates, hash-deterministic) ─
+    // Corpus balancing: sample each (lang) stratum at its own rate via
+    // the md5-of-id rule — the only reproducible sample at 100 TB
+    // where row order and partitioning are undefined. Rates: en 30%,
+    // everything else 10%.
+    "sample_stratified" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val h = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 100")
+        docs(s, dir)
+          .withColumn("h", h)
+          .withColumn("rate",
+            when($"lang" === "en", lit(30L)).otherwise(lit(10L)))
+          .filter($"h" < $"rate")
+          .select($"doc_id", $"lang", $"source", $"h", $"rate")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id, lang, source,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 100
+              AS h,
+            CASE WHEN lang = 'en' THEN 30 ELSE 10 END AS rate
+          FROM documents)
+        SELECT doc_id, lang, source, h, CAST(rate AS BIGINT) AS rate
+        FROM a WHERE h < rate ORDER BY doc_id"""),
+      desc = "deterministic stratified sampling (per-stratum hash rates)"),
+
+    // ── repetition scoring (Gopher-style quality signal) ────────────
+    // A document dominated by one repeated token is boilerplate/spam;
+    // score = max single-token count / total tokens. Two shuffle-
+    // parallel aggregations, no per-doc buffers.
+    "text_repetition" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_tokens"), max($"c").as("top_tok_count"))
+          .withColumn("repetition_ratio",
+            try_divide($"top_tok_count", $"n_tokens"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS BIGINT) AS top_tok_count,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                 AS repetition_ratio
+        FROM c GROUP BY doc_id ORDER BY doc_id"""),
+      desc = "repetition ratio: max token frequency / token count"),
+
     // ── exact dedup after canonicalization ──────────────────────────
     // Raw texts are all unique; canonical form = sorted distinct token
     // set, which the corpus DOES duplicate (word-order shuffles).

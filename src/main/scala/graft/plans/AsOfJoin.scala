@@ -62,6 +62,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    // the nullable-right output attrs — the UnsafeProjection must
+    // null-check right columns (unmatched rows carry nulls even when
+    // the right child's attributes claim non-nullable)
+    val outAttrs = output
     val lKeysB = leftKeys
     val rKeysB = rightKeys
     val lTimeB = leftTime
@@ -95,6 +99,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      // downstream operators (and SparkPlan.getByteArrayRdd when this
+      // is the top node) require UnsafeRow output — project the
+      // JoinedRow through an UnsafeProjection
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       var lastKey: InternalRow = null
       var lastMatch: InternalRow = null
       val nKeys = lKeysB.length
@@ -111,7 +119,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         if (hasNullKey(lk)) {
           // NULL keys never match — sorted NULLS FIRST, so these left
           // rows precede all matchable keys and rBuf need not advance.
-          joined(lRow, nullRight)
+          outProj(joined(lRow, nullRight))
         } else {
           if (lastKey == null || keyOrd.compare(lk, lastKey) != 0) {
             lastKey = lk.copy()
@@ -135,7 +143,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               else advance = false // right time ahead of this left row
             } else advance = false // right key ahead
           }
-          joined(lRow, if (lastMatch != null) lastMatch else nullRight)
+          outProj(joined(lRow, if (lastMatch != null) lastMatch
+            else nullRight))
         }
       }
     }

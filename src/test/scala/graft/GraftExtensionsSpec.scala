@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+
+/** GraftExtensions must wire the custom strategy, rule, and function
+  * into a session built with withExtensions — no lazy fallback calls.
+  * The spec builds a second session over the shared SparkContext
+  * (clear default/active → getOrCreate attaches a fresh SessionState
+  * with the extensions), then restores the suite session. */
+class GraftExtensionsSpec extends SparkSuite {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    spark.sparkContext // ensure the shared context exists first
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(ext)
+    finally {
+      prior.foreach(SparkSession.setDefaultSession)
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("long_dot is SQL-callable without manual registration") {
+    withExtSession { s =>
+      val d = s.sql("SELECT long_dot(array(1L, 2L), array(3L, 4L)) AS d")
+        .collect().head.getLong(0)
+      assert(d === 11L)
+    }
+  }
+
+  test("AsOfJoin plans through the injected strategy (no fallback)") {
+    withExtSession { s =>
+      val s2 = s
+      import s2.implicits._
+      val l = Seq((1L, 10L, "p"), (2L, 20L, "q")).toDF("k", "t", "name")
+      val r = Seq((1L, 5L, "c")).toDF("rk", "rt", "rname")
+      def attr(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.queryExecution.analyzed.output.find(_.name == n).get
+      val node = graft.plans.AsOfJoin(
+        l.queryExecution.analyzed, r.queryExecution.analyzed,
+        Seq(attr(l, "k")), Seq(attr(r, "rk")),
+        attr(l, "t"), attr(r, "rt"))
+      val out = GraftBridge.ofRows(s, node)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin "), s"strategy not injected:\n$plan")
+      val rows = out.collect().map(x => x.getString(2) -> x.getString(5)).toMap
+      assert(rows("p") === "c")   // match at-or-before
+      assert(rows("q") === null)  // no right rows for key 2
+    }
+  }
+}
