@@ -14,6 +14,21 @@ class PlanAuditSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("no query plans a CartesianProduct (documented baselines excepted)") {
+    // all-pairs by design: dedup_embedding (recall baseline) and
+    // knn_brute (10-query brute-force baseline) plan non-equi joins;
+    // everything else must stay bucketed/equi-keyed at any scale.
+    val allowed = Set("dedup_embedding", "knn_brute")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .flatMap { name =>
+        val p = plan(SparkEntry.queries(name)(spark, sf()))
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("filters and projection push down to the parquet scan") {
     val df = Sources.table(spark, sf(), "lineitem")
       .filter($"l_returnflag" === "R")
