@@ -62,6 +62,60 @@ object StreamingModels {
           .as("lead_s"))
   }
 
+  case class SessEvt(user_id: Long, ts: java.sql.Timestamp,
+                     event_id: Long, cents: Long)
+  case class SessOpen(startSec: Long, endSec: Long, n: Long, sumCents: Long)
+  case class SessClosed(user_id: Long, start_s: Long, end_s: Long,
+                        n_events: Long, sum_cents: Long)
+
+  /** Gap-based streaming sessionization — the streaming twin of the
+    * batch `sessionize` operator. State per user is ONE open session;
+    * a new event either extends it (gap ≤ gapSec) or closes it and
+    * opens the next. Idle sessions are flushed by an event-time
+    * timeout when the watermark passes last-event + gap, so state is
+    * watermark-bounded (the 100 TB requirement: no unbounded keys).
+    * Emits CLOSED sessions only (Append mode). */
+  def sessionizeStream(events: Dataset[SessEvt],
+                       gapSec: Long = 1800L): Dataset[SessClosed] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessOpen, SessClosed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evts, state: GroupState[SessOpen]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessClosed(uid, s.startSec, s.endSec, s.n, s.sumCents))
+          } else {
+            val sorted = evts.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessClosed]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val es = e.ts.getTime / 1000L
+              cur = cur match {
+                case Some(s) if es - s.endSec <= gapSec =>
+                  Some(SessOpen(s.startSec, math.max(s.endSec, es),
+                    s.n + 1, s.sumCents + e.cents))
+                case Some(s) =>
+                  closed ::= SessClosed(uid, s.startSec, s.endSec,
+                    s.n, s.sumCents)
+                  Some(SessOpen(es, es, 1L, e.cents))
+                case None => Some(SessOpen(es, es, 1L, e.cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endSec + gapSec) * 1000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   case class Evt(user_id: Long, event_type: String, tsSec: Long)
   case class SessionState(n: Long, firstSec: Long, lastSec: Long)
   case class SessionOut(user_id: Long, n_events: Long, span_s: Long)

@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.StreamingModels
+import graft.streaming.StreamingModels.{SessClosed, SessEvt}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Gap-based streaming sessionization: multi-batch MemoryStream with
+  * event-time timeouts must emit the same sessions the batch
+  * sessionize logic defines (gap 1800 s). */
+class StreamingSessionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("sessions close on gap within a batch and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessEvt]
+    val q = StreamingModels.sessionizeStream(in.toDS(), gapSec = 1800L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    try {
+      // batch 1: user 1 two close events; user 2 one event
+      in.addData(
+        SessEvt(1L, ts(1000), 1L, 100L),
+        SessEvt(1L, ts(1500), 2L, 200L),
+        SessEvt(2L, ts(1200), 3L, 50L))
+      q.processAllAvailable()
+      // nothing closed yet — all sessions still open
+      assert(spark.table("sessions").count() === 0)
+
+      // batch 2: user 1 event far beyond the gap → closes the first
+      // session in-batch; also advances the watermark to 10000 s,
+      // which times out user 2's idle session (1200 + 1800 < 10000)
+      in.addData(SessEvt(1L, ts(10000), 4L, 300L))
+      q.processAllAvailable()
+      // one more empty batch so timeout processing runs after the
+      // watermark advanced
+      in.addData(SessEvt(3L, ts(10001), 5L, 1L))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions").as[SessClosed].collect()
+        .map(s => (s.user_id, s.start_s, s.end_s, s.n_events, s.sum_cents))
+        .toSet
+      assert(got.contains((1L, 1000L, 1500L, 2L, 300L)),
+        s"user 1 first session wrong: $got")
+      assert(got.contains((2L, 1200L, 1200L, 1L, 50L)),
+        s"user 2 idle session not flushed by timeout: $got")
+      // user 1's second session (10000) and user 3's are still open
+      assert(got.size === 2, s"unexpected extra sessions: $got")
+    } finally q.stop()
+  }
+}
