@@ -394,6 +394,49 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "MinHash+LSH near-dup pairs (band-bucket join, no all-pairs)"),
 
+    // ── decontamination: near-dups crossing the train/test split ────
+    // The check every training pipeline runs before shipping a split:
+    // a near-duplicate pair with one side in train and the other in
+    // valid/test leaks evaluation data. Pure composition: minhash
+    // near-dup pairs × the deterministic hash split, keep pairs whose
+    // sides land in different splits.
+    "dedup_cross_split" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val h = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 10")
+        val split = docs(s, dir)
+          .withColumn("split",
+            when(h < 8, "train").when(h < 9, "valid").otherwise("test"))
+          .select($"doc_id", $"split")
+        minhashPairs(s, dir)
+          .join(split.select($"doc_id".as("doc_a"), $"split".as("split_a")),
+            Seq("doc_a"))
+          .join(split.select($"doc_id".as("doc_b"), $"split".as("split_b")),
+            Seq("doc_b"))
+          .filter($"split_a" =!= $"split_b")
+          .select($"doc_a", $"split_a", $"doc_b", $"split_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH $MINHASH_PAIRS_CTES,
+        sp AS (
+          SELECT doc_id,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % 10 < 8 THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % 10 < 9 THEN 'valid'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT n.doc_a, sa.split AS split_a, n.doc_b, sb.split AS split_b,
+               n.jaccard
+        FROM mh_near n
+        JOIN sp sa ON sa.doc_id = n.doc_a
+        JOIN sp sb ON sb.doc_id = n.doc_b
+        WHERE sa.split <> sb.split
+        ORDER BY doc_a, doc_b"""),
+      desc = "decontamination: near-dup pairs crossing train/valid/test"),
+
     // ── dedup clustering: near-dup pairs → connected components ─────
     // The step every dedup pipeline needs after pair generation: merge
     // exact-dup groups and minhash near-dup pairs into clusters and
