@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.LongArrayDot
-import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
+import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => PruneAsOfJoinColumns)
     ext.injectFunction((
       new FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_dot"),

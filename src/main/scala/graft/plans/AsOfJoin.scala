@@ -177,6 +177,32 @@ object PushFilterThroughAsOfJoin
   }
 }
 
+/** Column pruning through the custom operator: Catalyst's
+  * ColumnPruning does not know AsOfJoin, so without this a SELECT of
+  * two columns above an as-of join still reads every column of both
+  * children from the scan. When a Project above the join needs only a
+  * subset, push narrowing Projects into both children (always keeping
+  * join keys and time columns); FileSourceStrategy then collapses
+  * them into the Parquet ReadSchema. */
+object PruneAsOfJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoin) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet((j.leftKeys ++ j.rightKeys :+ j.leftTime :+ j.rightTime)
+          .flatMap(_.references))
+      def pruneChild(c: LogicalPlan): LogicalPlan = {
+        val keep = c.output.filter(needed.contains)
+        if (keep.size < c.output.size) Project(keep, c) else c
+      }
+      val nl = pruneChild(j.left)
+      val nr = pruneChild(j.right)
+      if (nl.eq(j.left) && nr.eq(j.right)) p
+      else Project(projList, j.copy(left = nl, right = nr))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
@@ -198,6 +224,9 @@ object AsOf {
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan0 = rightDf.queryExecution.analyzed
     // re-alias the right side when lineages overlap (self-join case) so

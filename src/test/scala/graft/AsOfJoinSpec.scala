@@ -78,6 +78,22 @@ class AsOfJoinSpec extends SparkSuite {
     assert(joined.count() === l.count()) // left outer: one row per left
   }
 
+  test("column pruning pushes through the as-of join to the scan") {
+    // join full-schema scans, then select a narrow projection — the
+    // PruneAsOfJoinColumns rule must narrow both children so the
+    // parquet ReadSchema excludes untouched columns (props, value)
+    val e = graft.sources.Sources.table(spark, sf(), "events")
+      .withColumn("es", unix_timestamp($"ts"))
+    val l = e.filter($"event_type" === "purchase")
+    val r = e.select($"user_id".as("ru"), $"es".as("res"),
+      $"event_id".as("rid"), $"props".as("rprops"), $"value".as("rvalue"))
+    val joined = AsOf.join(l, r, Seq(("user_id", "ru")), "es", "res")
+      .select($"event_id", $"rid")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("props"), s"props not pruned from scans:\n$p")
+    assert(joined.count() === l.count())
+  }
+
   test("left-side filters push below the as-of join (custom Rule)") {
     val e = graft.sources.Sources.table(spark, sf(), "events")
       .withColumn("es", unix_timestamp($"ts"))
