@@ -354,6 +354,56 @@ object TextQueries {
         FROM c GROUP BY doc_id ORDER BY doc_id"""),
       desc = "repetition ratio: max token frequency / token count"),
 
+    // ── fused corpus filter (C4/Gopher-style keep/drop pipeline) ────
+    // The shape a production corpus filter takes: one pass computes
+    // all quality signals, then a single rule cascade assigns the
+    // FIRST failing reason (or keep). Thresholds chosen to exercise
+    // every branch on the test corpus (length p10≈114, rep p90≈0.14).
+    "corpus_filter" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val stats = docs(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_tokens"), max($"c").as("top_tok_count"))
+        docs(s, dir).select($"doc_id", $"n_chars")
+          .join(stats, Seq("doc_id"))
+          .withColumn("repetition_ratio",
+            try_divide($"top_tok_count", $"n_tokens"))
+          .withColumn("drop_reason",
+            when($"n_chars" < 100, "too_short")
+              .when($"n_tokens" < 18, "too_few_tokens")
+              .when($"repetition_ratio" > 0.125, "repetitive")
+              .otherwise(lit(null).cast(StringType)))
+          .withColumn("keep", $"drop_reason".isNull)
+          .select($"doc_id", $"n_chars", $"n_tokens", $"top_tok_count",
+            $"repetition_ratio", $"keep", $"drop_reason")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(max(c) AS BIGINT) AS top_tok_count
+              FROM c GROUP BY 1),
+        f AS (
+          SELECT d.doc_id, d.n_chars, s.n_tokens, s.top_tok_count,
+                 CAST(s.top_tok_count AS DOUBLE) / s.n_tokens
+                   AS repetition_ratio,
+                 CASE WHEN d.n_chars < 100 THEN 'too_short'
+                      WHEN s.n_tokens < 18 THEN 'too_few_tokens'
+                      WHEN CAST(s.top_tok_count AS DOUBLE) / s.n_tokens
+                           > 0.125 THEN 'repetitive'
+                      ELSE NULL END AS drop_reason
+          FROM documents d JOIN s ON s.doc_id = d.doc_id)
+        SELECT doc_id, n_chars, n_tokens, top_tok_count, repetition_ratio,
+               drop_reason IS NULL AS keep, drop_reason
+        FROM f ORDER BY doc_id"""),
+      desc = "fused quality filter: first-failing-rule keep/drop cascade"),
+
     // ── exact dedup after canonicalization ──────────────────────────
     // Raw texts are all unique; canonical form = sorted distinct token
     // set, which the corpus DOES duplicate (word-order shuffles).

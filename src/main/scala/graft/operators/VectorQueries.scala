@@ -284,6 +284,90 @@ object VectorQueries {
         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       desc = "IVF ANN: centroid coarse-quantizer, search one cell only"),
 
+    // ── multi-probe IVF: query the 2 nearest cells ──────────────────
+    // The standard IVF recall knob (nprobe): a query near a cell
+    // boundary misses neighbors assigned to the adjacent cell;
+    // probing its top-2 cells recovers them while still scanning only
+    // 2/k of the data. Candidates stay single-cell (disjoint), so the
+    // probe union has no duplicates.
+    "ivf_multiprobe" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir)
+        val cent = base
+          .select($"label", posexplode($"sv").as(Seq("d", "v")))
+          .groupBy($"label", $"d")
+          .agg(sum($"v").as("sv_sum"), count(lit(1)).as("n"))
+          .withColumn("cv",
+            round($"sv_sum".cast("double") / $"n").cast("long"))
+          .groupBy($"label")
+          .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
+            .as("cvec"))
+          .withColumn("cnrm", expr("long_dot(cvec, cvec)"))
+          .select($"label".as("c_label"), $"cvec", $"cnrm")
+        val asg = graft.Engine.materialize(
+          base.crossJoin(broadcast(cent))
+            .withColumn("score", expr(dot("sv", "cvec")).cast("double") /
+              sqrt($"nrm".cast("double") * $"cnrm".cast("double")))
+            .withColumn("rn", row_number().over(Window.partitionBy($"vec_id")
+              .orderBy($"score".desc, $"c_label".asc)))
+            .filter($"rn" <= 2)
+            .select($"vec_id", $"sv", $"nrm", $"c_label".as("cluster"), $"rn"),
+          key = "cluster", name = "ivf_mp_assign")
+        val c = asg.filter($"rn" === 1)
+          .select($"vec_id".as("cand_id"), $"sv".as("cv"), $"nrm".as("cn"),
+            $"cluster")
+        val q = asg.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"sv".as("qv"), $"nrm".as("qn"),
+            $"cluster")
+        q.join(c, Seq("cluster"))
+          .filter($"query_id" =!= $"cand_id")
+          .withColumn("cosine", expr(dot("qv", "cv")).cast("double") /
+            sqrt($"qn".cast("double") * $"cn".cast("double")))
+          .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+            .orderBy($"cosine".desc, $"cand_id")))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"rank", $"cand_id", $"cluster", $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        centdims AS (
+          SELECT label, r.i AS d, sv[r.i] AS v
+          FROM base CROSS JOIN range(1, 65) r(i)),
+        centsum AS (
+          SELECT label, d,
+                 CAST(round(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+          FROM centdims GROUP BY 1, 2),
+        cent AS (
+          SELECT label AS c_label, list(cv ORDER BY d) AS cvec
+          FROM centsum GROUP BY 1),
+        cent2 AS (
+          SELECT c_label, cvec, ${duckDot("cvec", "cvec")} AS cnrm FROM cent),
+        asg AS (
+          SELECT vec_id, sv, nrm, c_label AS cluster, rn FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.c_label,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.c_label ASC) AS rn
+            FROM base b CROSS JOIN cent2 c)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.cluster,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+          FROM asg q JOIN asg c
+            ON q.cluster = c.cluster AND c.rn = 1 AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, cluster, cosine
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      desc = "multi-probe IVF ANN: top-2 cells per query (nprobe=2)"),
+
     // ── per-label centroid + assignment (IVF building block) ────────
     "vector_centroids" -> Q(
       fn = (s, dir) => {

@@ -29,6 +29,22 @@ class ApproxQualitySpec extends SparkSuite {
     }
   }
 
+  test("multi-probe IVF recalls at least as much as single-probe") {
+    def hits(q: String) = SparkEntry.queries(q)(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
+      .filter($"rank" <= 3).select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits("ivf_search")
+    val multi = hits("ivf_multiprobe")
+    val rSingle = (brute intersect single).size.toDouble / brute.size
+    val rMulti = (brute intersect multi).size.toDouble / brute.size
+    info(f"IVF recall@3: nprobe=1 $rSingle%.2f, nprobe=2 $rMulti%.2f")
+    assert(rMulti >= rSingle,
+      f"multi-probe lost recall: $rMulti%.2f < $rSingle%.2f")
+  }
+
   test("sign-LSH candidates recall a usable share of true top-5 neighbors") {
     val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
       .select($"query_id", $"cand_id").collect()
