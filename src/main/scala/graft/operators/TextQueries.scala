@@ -47,44 +47,8 @@ object TextQueries {
     * order-insensitive Jaccard verify. Shingles are exploded and
     * hashed once, then 8 min-aggregates compute the signature in a
     * single codegen'd pass (no interpreted array lambdas). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = docs(s, dir).select($"doc_id",
-      split($"text", " ").as("raw"),
-      array_distinct(split($"text", " ")).as("toks"))
-    val sh = base
-      .withColumn("i", explode(expr(
-        "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
-      .select($"doc_id", expr(
-        """CASE WHEN size(raw) >= 3 THEN
-             concat_ws(' ', element_at(raw, i),
-               element_at(raw, i + 1), element_at(raw, i + 2))
-           ELSE concat_ws(' ', raw) END""").as("s"))
-      .withColumn("hs", expr(
-        "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 1000003L"))
-    val mhAggs = (0 until 8).map(i =>
-      min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
-        .as(s"mh$i"))
-    val mh = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-      .join(base.select($"doc_id", $"toks"), Seq("doc_id"))
-    val sig = mh.select($"doc_id", $"toks",
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
-               col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
-      .select($"doc_id", $"toks", $"bk.band", $"bk.k1", $"bk.k2")
-    val a = sig.select($"doc_id".as("doc_a"), $"toks".as("toks_a"),
-      $"band", $"k1", $"k2")
-    val b = sig.select($"doc_id".as("doc_b"), $"toks".as("toks_b"),
-      $"band", $"k1", $"k2")
-    a.join(b, Seq("band", "k1", "k2"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"toks_a", $"toks_b").distinct()
-      .withColumn("jaccard", try_divide(
-        size(array_intersect($"toks_a", $"toks_b")),
-        size(array_distinct(concat($"toks_a", $"toks_b")))))
-      .filter($"jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard")
-  }
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Corpus.minhashPairs(docs(s, dir), minJaccard = 0.5)
 
   /** DuckDB twin of minhashPairs as CTEs ending in `mh_near`
     * (doc_a, doc_b, jaccard) — prefix-named to compose into larger
@@ -498,42 +462,8 @@ object TextQueries {
     // leaves executors; each round's labels materialize to truncate
     // lineage. Oracle: DuckDB recursive-CTE transitive closure.
     "dedup_components" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        val exactE = docs(s, dir)
-          .withColumn("canon",
-            concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
-          .withColumn("key", sha2($"canon", 256))
-          .withColumn("keep", min($"doc_id").over(Window.partitionBy($"key")))
-          .filter($"doc_id" =!= $"keep")
-          .select($"keep".as("src"), $"doc_id".as("dst"))
-        val nearE = minhashPairs(s, dir)
-          .select($"doc_a".as("src"), $"doc_b".as("dst"))
-        val e0 = exactE.union(nearE).distinct()
-        val und = graft.Engine.materialize(
-          e0.union(e0.select($"dst".as("src"), $"src".as("dst"))).distinct(),
-          key = "src", name = "cc_edges")
-        var labels = und.select($"src".as("id")).distinct()
-          .withColumn("comp", $"id")
-          .localCheckpoint()
-        var changed = true
-        var iter = 0
-        while (changed && iter < 50) {
-          val nbrMin = und
-            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-            .groupBy($"dst".as("id")).agg(min($"comp").as("nbr"))
-          val next = labels.join(nbrMin, Seq("id"), "left")
-            .select($"id",
-              least($"comp", coalesce($"nbr", $"comp")).as("comp"))
-            .localCheckpoint()
-          changed = next.as("n").join(labels.as("o"), "id")
-            .filter(col("n.comp") =!= col("o.comp")).limit(1).count() > 0
-          labels = next
-          iter += 1
-        }
-        labels.select($"id".as("doc_id"), $"comp".as("component_id"))
-          .orderBy($"doc_id")
-      },
+      fn = (s, dir) =>
+        Corpus.dedupComponents(docs(s, dir)).orderBy(col("doc_id")),
       oracle = Some(s"""
         WITH RECURSIVE $MINHASH_PAIRS_CTES,
         cc_canon AS (

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** The public DataFrame-level corpus API must work on arbitrary
+  * user-supplied documents, not just the registry tables. */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "beta alpha gamma delta epsilon zeta eta theta"), // near-dup of 1
+    (3L, "theta eta zeta epsilon delta gamma beta alpha"), // exact canon dup
+    (4L, "one two three four five six seven eight nine ten"),
+    (5L, "spam spam spam spam spam spam spam spam spam ok"))
+    .toDF("doc_id", "text")
+
+  test("minhashPairs finds the shuffled near-duplicates") {
+    val pairs = Corpus.minhashPairs(docs)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1/2/3 share the same token set (jaccard 1.0 pairwise)
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)),
+      s"near-dups missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "doc 4 shares no tokens; must not pair")
+  }
+
+  test("dedupComponents clusters the duplicate family to min doc_id") {
+    val comps = Corpus.dedupComponents(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(2L) === 1L && comps(3L) === 1L,
+      s"cluster not rooted at min id: $comps")
+    assert(!comps.contains(4L), "singleton doc must not appear")
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val strat = docs.withColumn("lang",
+      when($"doc_id" <= 3, "en").otherwise("xx"))
+    val s1 = Corpus.stratifiedSample(strat, col("lang"),
+      Map("en" -> 100L), default = 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 === Set(1L, 2L, 3L), s"rate 100/0 must keep exactly en: $s1")
+    val s2 = Corpus.stratifiedSample(strat, col("lang"),
+      Map("en" -> 100L), default = 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s2 === s1, "sample must be reproducible")
+  }
+
+  test("qualityFilter assigns first-failing reasons") {
+    val out = Corpus.qualityFilter(docs, minChars = 10L, minTokens = 9L,
+        maxRepetition = 0.5)
+      .select($"doc_id", $"keep", $"drop_reason").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(4L) === ((true, null)))           // 10 tokens, low repetition
+    assert(out(5L) === ((false, "repetitive")))  // 9/10 same token
+    assert(out(1L)._2 === "too_few_tokens")      // 8 tokens < 9
+  }
+}
