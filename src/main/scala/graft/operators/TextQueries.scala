@@ -53,11 +53,13 @@ object TextQueries {
   /** DuckDB twin of minhashPairs as CTEs ending in `mh_near`
     * (doc_a, doc_b, jaccard) — prefix-named to compose into larger
     * WITH blocks. */
-  private def MINHASH_PAIRS_CTES: String = s"""
+  private def MINHASH_PAIRS_CTES: String = minhashPairsCtes("documents")
+
+  private def minhashPairsCtes(from: String): String = s"""
         mh_base AS (
           SELECT doc_id, string_split(text, ' ') AS raw,
                  list_distinct(string_split(text, ' ')) AS toks
-          FROM documents),
+          FROM $from),
         mh_sh AS (
           SELECT doc_id, toks,
             CASE WHEN len(raw) >= 3 THEN
@@ -367,6 +369,68 @@ object TextQueries {
                drop_reason IS NULL AS keep, drop_reason
         FROM f ORDER BY doc_id"""),
       desc = "fused quality filter: first-failing-rule keep/drop cascade"),
+
+    // ── end-to-end corpus preparation ───────────────────────────────
+    // The full pipeline in one query, in production order: quality
+    // filter first, then near-dup clustering over the SURVIVORS, then
+    // one representative (min doc_id) per cluster. What remains is
+    // the shippable training corpus.
+    "corpus_clean" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val surv = Corpus.qualityFilter(docs(s, dir),
+            minChars = 100L, minTokens = 18L, maxRepetition = 0.125)
+          .filter($"keep")
+          .select($"doc_id", $"lang", $"source", $"text", $"n_tokens")
+        val comps = Corpus.dedupComponents(surv.select($"doc_id", $"text"))
+        surv
+          .join(comps.filter($"doc_id" =!= $"component_id")
+            .select($"doc_id"), Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang", $"source", $"n_tokens")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE
+        qt AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        qc AS (SELECT doc_id, tok, count(*) AS c FROM qt GROUP BY 1, 2),
+        qs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(max(c) AS BIGINT) AS top_c
+               FROM qc GROUP BY 1),
+        surv AS (
+          SELECT d.doc_id, d.lang, d.source, d.text, qs.n_tokens
+          FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+          WHERE d.n_chars >= 100 AND qs.n_tokens >= 18
+            AND CAST(qs.top_c AS DOUBLE) / qs.n_tokens <= 0.125),
+        ${minhashPairsCtes("surv")},
+        cc_canon AS (
+          SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS key
+          FROM surv),
+        cc_keep AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep
+          FROM cc_canon),
+        cc_exact AS (
+          SELECT keep AS src, doc_id AS dst FROM cc_keep WHERE doc_id <> keep),
+        cc_e0 AS (
+          SELECT src, dst FROM cc_exact
+          UNION
+          SELECT doc_a, doc_b FROM mh_near),
+        cc_edges AS (
+          SELECT src, dst FROM cc_e0 UNION SELECT dst, src FROM cc_e0),
+        reach(a, b) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON e.src = r.b),
+        comp AS (
+          SELECT a AS doc_id, min(b) AS component_id
+          FROM reach GROUP BY a)
+        SELECT s.doc_id, s.lang, s.source, s.n_tokens
+        FROM surv s LEFT JOIN comp ON comp.doc_id = s.doc_id
+        WHERE comp.doc_id IS NULL OR comp.component_id = s.doc_id
+        ORDER BY s.doc_id"""),
+      desc = "end-to-end corpus prep: quality filter → dedup → representatives"),
 
     // ── exact dedup after canonicalization ──────────────────────────
     // Raw texts are all unique; canonical form = sorted distinct token
