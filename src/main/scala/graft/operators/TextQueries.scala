@@ -575,11 +575,19 @@ object TextQueries {
               when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
               .reduce(_ + _).as("simhash")),
           key = "doc_id", name = "simhash_sig")
+        // Flood guard: a band bucket holding >512 docs is a boilerplate
+        // flood (one sf0.1 bucket held 1,995 docs = 2M pairs); skip
+        // pair generation there — the 4-band redundancy re-finds real
+        // pairs through smaller buckets, and at 100 TB an uncapped
+        // bucket is quadratic death. Oracle applies the same cap.
         val banded = sim.select($"doc_id", $"simhash",
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),
               expr(s"(simhash >> ${8 * b}) & 255").as("bv"))): _*)).as("bk"))
           .select($"doc_id", $"simhash", $"bk.band", $"bk.bv")
+          .withColumn("bsz", count(lit(1)).over(
+            Window.partitionBy($"band", $"bv")))
+          .filter($"bsz" <= 512)
         val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sh_a"),
           $"band", $"bv")
         val b = banded.select($"doc_id".as("doc_b"), $"simhash".as("sh_b"),
@@ -608,10 +616,15 @@ object TextQueries {
                  sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
                      ELSE 0 END) AS simhash
           FROM votes GROUP BY 1),
-        banded AS (
+        banded_all AS (
           ${(0 until 4).map(b =>
             s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 " +
             "AS bv FROM sim").mkString("\nUNION ALL\n")}),
+        banded AS (
+          SELECT doc_id, simhash, band, bv FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bv) AS bsz
+            FROM banded_all)
+          WHERE bsz <= 512),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sh_a, b.simhash AS sh_b
