@@ -48,6 +48,16 @@ class CorpusSpec extends SparkSuite {
     assert(s2 === s1, "sample must be reproducible")
   }
 
+  test("empty and dup-free corpora terminate with empty results") {
+    val empty = docs.filter($"doc_id" < 0)
+    assert(Corpus.minhashPairs(empty).count() === 0)
+    assert(Corpus.dedupComponents(empty).count() === 0)
+    // all-unique corpus: no edges → no components, loop exits round 1
+    val unique = Seq((10L, "aa bb cc"), (11L, "dd ee ff"))
+      .toDF("doc_id", "text")
+    assert(Corpus.dedupComponents(unique).count() === 0)
+  }
+
   test("qualityFilter assigns first-failing reasons") {
     val out = Corpus.qualityFilter(docs, minChars = 10L, minTokens = 9L,
         maxRepetition = 0.5)
