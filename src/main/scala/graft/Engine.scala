@@ -78,7 +78,14 @@ object Engine {
     *
     * Mode resolution: conf `graft.materialize.mode` = `local` |
     * `table` overrides; default picks `local` iff the master is
-    * local[*]. */
+    * local[*].
+    *
+    * Table names are namespaced with a token hashed from the
+    * application id + the logical plan, so two applications sharing a
+    * metastore — or one session materializing the same `name` over two
+    * data dirs (the scan paths differ, so the plans differ) — never
+    * overwrite each other's table. Same application + same plan reuses
+    * the same table (idempotent overwrite). */
   def materialize(df: DataFrame, key: String, name: String,
                   buckets: Int = 32): DataFrame = {
     val spark = df.sparkSession
@@ -86,7 +93,11 @@ object Engine {
       if (spark.sparkContext.isLocal) "local" else "table")
     if (mode == "local") df.localCheckpoint()
     else {
-      val table = s"graft_mat_$name"
+      val token = java.security.MessageDigest.getInstance("MD5")
+        .digest((spark.sparkContext.applicationId +
+          df.queryExecution.logical.toString).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val table = s"graft_mat_${name}_$token"
       df.write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(table)

@@ -15,16 +15,31 @@ import org.apache.spark.sql.functions._
   * deterministic across engines, partitionings, and retries, which is
   * the property that makes every step reproducible at 100 TB.
   */
-object Corpus {
+object Corpus extends org.apache.spark.internal.Logging {
 
   /** MinHash+LSH near-duplicate pairs (`doc_a < doc_b`, jaccard ≥
     * `minJaccard`): shingle → 8 minhashes → 4 bands of 2 →
     * band-bucket equi-join → exact Jaccard verify. Candidates only
-    * ever meet inside equal band buckets — no all-pairs. */
-  def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    * ever meet inside equal band buckets — no all-pairs.
+    *
+    * Scale posture (the two properties that keep LSH alive at 100 TB):
+    *  - **Band-flood guard**: a band bucket holding more than
+    *    `bucketCap` docs is a boilerplate flood — quadratic pair
+    *    generation with no discriminative signal — so pair generation
+    *    skips it. The 4-band redundancy re-finds genuinely-near pairs
+    *    through their other, smaller buckets; identical texts that a
+    *    flood hides are the exact-dup operator's job ([[exactDupEdges]]
+    *    still links them in [[dedupComponents]]).
+    *  - **Ids-only band join**: only (doc_id, band, k1, k2) rides the
+    *    LSH shuffle and the candidate `.distinct()`; token arrays are
+    *    re-attached AFTER candidate pairs are deduped, so full-text
+    *    weight never multiplies across the 4 bands. */
+  def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
+                   bucketCap: Int = 512): DataFrame = {
     val base = docs.select(col("doc_id"),
       split(col("text"), " ").as("raw"),
       array_distinct(split(col("text"), " ")).as("toks"))
+    val toks = base.select(col("doc_id"), col("toks"))
     val sh = base
       .withColumn("i", explode(expr(
         "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
@@ -39,26 +54,133 @@ object Corpus {
       min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
         .as(s"mh$i"))
     val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-      .join(base.select(col("doc_id"), col("toks")), Seq("doc_id"))
-    val sig = mh.select(col("doc_id"), col("toks"),
+    val sig = mh.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
                col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
-      .select(col("doc_id"), col("toks"), col("bk.band"), col("bk.k1"),
-        col("bk.k2"))
-    val a = sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+    val banded = sig
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("k1"), col("k2"))))
+      .filter(col("bsz") <= bucketCap)
+    val a = banded.select(col("doc_id").as("doc_a"),
       col("band"), col("k1"), col("k2"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+    val b = banded.select(col("doc_id").as("doc_b"),
       col("band"), col("k1"), col("k2"))
-    a.join(b, Seq("band", "k1", "k2"))
+    val cand = a.join(b, Seq("band", "k1", "k2"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
       .withColumn("jaccard", try_divide(
         size(array_intersect(col("toks_a"), col("toks_b"))),
         size(array_distinct(concat(col("toks_a"), col("toks_b"))))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs (`doc_a < doc_b`, hamming ≤
+    * `maxHamming`): 32-bit simhash from a bitwise vote over distinct-
+    * token hashes, candidates from 8-bit band buckets, hamming verify.
+    * One aggregation computes all 32 per-bit votes (codegen'd — no
+    * 32-rows-per-token explode). Band buckets over `bucketCap` docs
+    * are boilerplate floods and are skipped, exactly as in
+    * [[minhashPairs]]; the 4-band redundancy re-finds real pairs
+    * through smaller buckets. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+                   bucketCap: Int = 512): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) & 4294967295"))
+    val voteAggs = (0 until 32).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val votes = tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    // materialize signatures once — both band-join branches and the
+    // pair join would otherwise recompute the whole token pipeline
+    val sim = graft.Engine.materialize(
+      votes.select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash")),
+      key = "doc_id", name = "simhash_sig")
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${8 * b}) & 255").as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bv"))))
+      .filter(col("bsz") <= bucketCap)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Character-3-gram Jaccard near-duplicate pairs within blocks
+    * (`doc_a < doc_b`, jaccard ≥ `minJaccard`), inverted-index
+    * formulation: explode distinct grams, equi-join on (block, gram)
+    * to count intersections, derive the union from per-doc gram counts
+    * — no gram arrays ride the join. Grams above 50% block document-
+    * frequency are dropped from CANDIDATE generation (a stopword-like
+    * gram is quadratic fan-out with no signal) while the score stays
+    * EXACT via the capped ∪ hot decomposition: the tiny per-doc
+    * hot-gram sets are intersected after the pair aggregation.
+    * `blockCols` name the blocking columns (docs only pair within
+    * equal blocks). */
+  def ngramPairs(docs: DataFrame,
+                 blockCols: Seq[String] = Seq("lang", "source"),
+                 minJaccard: Double = 0.5): DataFrame = {
+    val bc = blockCols.map(col)
+    val invAll = docs
+      .select(col("doc_id") +: bc :+ col("text") :+
+        explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1))))
+          .as("i"): _*)
+      .select(col("doc_id") +: bc :+ expr("substr(text, i, 3)").as("gram"): _*)
+      .distinct()
+    val blockSizes = docs.groupBy(bc: _*).agg(count(lit(1)).as("n_docs"))
+    val dfW = Window.partitionBy(bc :+ col("gram"): _*)
+    val idx = graft.Engine.materialize(
+      invAll
+        .withColumn("df", count(lit(1)).over(dfW))
+        .join(broadcast(blockSizes), blockCols),
+      key = "gram", name = "ngram_idx")
+    val inv = idx.filter(col("df") * 2 <= col("n_docs"))
+      .select(col("doc_id") +: bc :+ col("gram"): _*)
+    val hotSets = idx.filter(col("df") * 2 > col("n_docs"))
+      .groupBy(col("doc_id")).agg(collect_list(col("gram")).as("hot"))
+    val lens = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val a = inv.select(col("doc_id").as("doc_a") +: bc :+ col("gram"): _*)
+    val b = inv.select(col("doc_id").as("doc_b") +: bc :+ col("gram"): _*)
+    a.join(b, blockCols :+ "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(bc ++ Seq(col("doc_a"), col("doc_b")): _*)
+      .agg(count(lit(1)).as("inter_c"))
+      .join(lens.select(col("doc_id").as("doc_a"), col("n_grams").as("len_a")),
+        Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("n_grams").as("len_b")),
+        Seq("doc_b"))
+      .join(hotSets.select(col("doc_id").as("doc_a"), col("hot").as("hot_a")),
+        Seq("doc_a"), "left")
+      .join(hotSets.select(col("doc_id").as("doc_b"), col("hot").as("hot_b")),
+        Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_c") +
+        coalesce(size(array_intersect(col("hot_a"), col("hot_b"))), lit(0)))
+      .withColumn("jaccard", try_divide(col("inter"),
+        col("len_a") + col("len_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"), col("jaccard")): _*)
   }
 
   /** Star edges for exact duplicates of a canonical key: every doc in
@@ -76,33 +198,48 @@ object Corpus {
 
   /** Connected components over undirected edges (`src`, `dst`) via
     * iterative min-label propagation (Pregel form — converges in
-    * graph-diameter rounds; each round's labels materialize through
-    * Engine.materialize so lineage stays bounded). Returns
-    * (doc_id, component_id = min doc_id reachable). */
+    * graph-diameter rounds). Each round's labels go through
+    * `Engine.materialize` — localCheckpoint in one-JVM local mode, a
+    * bucketed table on a cluster — so lineage stays bounded AND an
+    * executor loss mid-loop recomputes from the last round's table
+    * instead of killing the job. Returns
+    * (doc_id, component_id = min doc_id reachable).
+    *
+    * If `maxIter` rounds pass without convergence (possible only for
+    * pathological dup chains longer than `maxIter`), the loop logs a
+    * warning and returns the partially-propagated labels — callers who
+    * need certainty should raise `maxIter` toward the expected graph
+    * diameter. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val und = graft.Engine.materialize(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(),
       key = "src", name = "corpus_cc_edges")
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var labels = graft.Engine.materialize(
+      und.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")),
+      key = "id", name = "cc_round_init")
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
       val nbrMin = und
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val next = graft.Engine.materialize(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp")),
+        key = "id", name = s"cc_round_${iter % 2}")
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp")).limit(1).count() > 0
       labels = next
       iter += 1
     }
+    if (changed)
+      logWarning(
+        s"connectedComponents: maxIter=$maxIter reached before convergence" +
+          " — returned labels are partially propagated; raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 
@@ -130,10 +267,17 @@ object Corpus {
 
   /** Quality signals + first-failing-rule cascade (C4/Gopher shape).
     * Adds n_tokens, top_tok_count, repetition_ratio, keep,
-    * drop_reason to the input rows. */
+    * drop_reason to the input rows.
+    *
+    * `chars` is the expression the `minChars` rule tests — it defaults
+    * to `length(text)`, but a corpus that stores its own size column
+    * (token count, byte count, pre-normalization length) passes that
+    * column explicitly; the filter makes no assumption that a stored
+    * `n_chars` equals `length(text)`. */
   def qualityFilter(docs: DataFrame, minChars: Long = 100L,
                     minTokens: Long = 18L,
-                    maxRepetition: Double = 0.125): DataFrame = {
+                    maxRepetition: Double = 0.125,
+                    chars: Column = length(col("text"))): DataFrame = {
     val stats = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -143,7 +287,7 @@ object Corpus {
       .withColumn("repetition_ratio",
         try_divide(col("top_tok_count"), col("n_tokens")))
       .withColumn("drop_reason",
-        when(length(col("text")) < minChars, "too_short")
+        when(chars < minChars, "too_short")
           .when(col("n_tokens") < minTokens, "too_few_tokens")
           .when(col("repetition_ratio") > maxRepetition, "repetitive")
           .otherwise(lit(null).cast("string")))

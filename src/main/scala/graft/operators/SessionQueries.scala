@@ -124,13 +124,13 @@ object SessionQueries {
       desc = "range join via time-bucket banding + residual (no all-pairs)"),
 
     // ── approximate aggregates: the explicit 100 TB swap-ins ────────
-    // approx sketches differ between engines by design (SURVEY A9), so
-    // this query carries no SQL oracle — the driver records the weaker
-    // rows-only check. To make that check MEAN something, exact twins
-    // are computed side by side and each row must pass an in-query
-    // error bound (HLL rel-err ≤ 5%, approx-p50 within 5% or one
-    // cent-decile of exact): a regressed sketch drops rows → rows_match
-    // fails. Exact-only twins live in a9_quantiles / j1 (A8).
+    // Approx sketch VALUES differ between engines by design (SURVEY
+    // A9), so they are never hash-compared. Instead the query emits,
+    // per group: the exact twins (oracle-comparable) plus BOOLEAN
+    // error-bound verdicts on the sketches (HLL rel-err ≤ 5%,
+    // approx-p50 within 5% or one cent-decile of exact). The oracle
+    // computes the same exact columns and literal TRUEs — a regressed
+    // sketch flips its verdict to false and the hash compare fails.
     "a9_approx" -> Q(
       fn = (s, dir) => {
         import s.implicits._
@@ -162,16 +162,23 @@ object SessionQueries {
             count(lit(1)).as("n"))
           .join(exactU, Seq("event_type"))
           .join(exactP, Seq("event_type"))
-          .withColumn("users_rel_err",
-            abs($"approx_users" - $"exact_users").cast("double") /
-              $"exact_users")
-          .filter($"users_rel_err" <= 0.05 &&
-            abs($"p50_approx" - $"p50_exact") <=
-              greatest(abs($"p50_exact") * 0.05, lit(100.0)))
+          .select($"event_type", $"n", $"exact_users", $"p50_exact",
+            (abs($"approx_users" - $"exact_users").cast("double") /
+              $"exact_users" <= 0.05).as("users_ok"),
+            (abs($"p50_approx" - $"p50_exact") <=
+              greatest(abs($"p50_exact") * 0.05, lit(100.0))).as("p50_ok"))
           .orderBy($"event_type")
       },
-      oracle = None,
-      desc = "approximate sketches with in-query error bound vs exact twins"),
+      oracle = Some("""
+        SELECT event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS exact_users,
+               quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)
+                 AS p50_exact,
+               TRUE AS users_ok,
+               TRUE AS p50_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      desc = "approx sketches: exact twins + boolean error-bound verdicts"),
 
     // ── edit distance + extra string functions ──────────────────────
     "f_levenshtein" -> Q(

@@ -76,14 +76,23 @@ object TextQueries {
           FROM mh_sh),
         mh_sig AS (
           ${(0 until 4).map(b =>
-            s"SELECT doc_id, toks, $b AS band, mh${2 * b} AS k1, " +
+            s"SELECT doc_id, $b AS band, mh${2 * b} AS k1, " +
             s"mh${2 * b + 1} AS k2 FROM mh_mh").mkString("\nUNION ALL\n")}),
-        mh_pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.toks AS toks_a, b.toks AS toks_b
-          FROM mh_sig a JOIN mh_sig b
+        mh_banded AS (
+          SELECT doc_id, band, k1, k2 FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, k1, k2) AS bsz
+            FROM mh_sig)
+          WHERE bsz <= 512),
+        mh_cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mh_banded a JOIN mh_banded b
             ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
            AND a.doc_id < b.doc_id),
+        mh_pairs AS (
+          SELECT c.doc_a, c.doc_b, ta.toks AS toks_a, tb.toks AS toks_b
+          FROM mh_cand c
+          JOIN mh_base ta ON ta.doc_id = c.doc_a
+          JOIN mh_base tb ON tb.doc_id = c.doc_b),
         mh_near AS (
           SELECT doc_a, doc_b,
                  CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
@@ -378,8 +387,12 @@ object TextQueries {
     "corpus_clean" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        // chars = the stored n_chars column — matching the oracle's
+        // `d.n_chars >= 100` exactly (not length(text), which only
+        // happens to coincide on the synthetic corpus)
         val surv = Corpus.qualityFilter(docs(s, dir),
-            minChars = 100L, minTokens = 18L, maxRepetition = 0.125)
+            minChars = 100L, minTokens = 18L, maxRepetition = 0.125,
+            chars = $"n_chars")
           .filter($"keep")
           .select($"doc_id", $"lang", $"source", $"text", $"n_tokens")
         val comps = Corpus.dedupComponents(surv.select($"doc_id", $"text"))
@@ -559,44 +572,12 @@ object TextQueries {
     "dedup_simhash" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        // one agg pass with 32 per-bit vote columns (codegen'd) instead
-        // of exploding 32 bit-rows per token (16× fewer rows).
-        val tok = docs(s, dir)
-          .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
-          .withColumn("h", tokHash($"t").bitwiseAND(lit(4294967295L)))
-        val voteAggs = (0 until 32).map(b =>
-          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
-        val votes = tok.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-        // materialize signatures once — both band-join branches and the
-        // pair join would otherwise recompute the whole token pipeline
-        val sim = graft.Engine.materialize(
-          votes.select($"doc_id",
-            (0 until 32).map(b =>
-              when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-              .reduce(_ + _).as("simhash")),
-          key = "doc_id", name = "simhash_sig")
-        // Flood guard: a band bucket holding >512 docs is a boilerplate
-        // flood (one sf0.1 bucket held 1,995 docs = 2M pairs); skip
-        // pair generation there — the 4-band redundancy re-finds real
-        // pairs through smaller buckets, and at 100 TB an uncapped
-        // bucket is quadratic death. Oracle applies the same cap.
-        val banded = sim.select($"doc_id", $"simhash",
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              expr(s"(simhash >> ${8 * b}) & 255").as("bv"))): _*)).as("bk"))
-          .select($"doc_id", $"simhash", $"bk.band", $"bk.bv")
-          .withColumn("bsz", count(lit(1)).over(
-            Window.partitionBy($"band", $"bv")))
-          .filter($"bsz" <= 512)
-        val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sh_a"),
-          $"band", $"bv")
-        val b = banded.select($"doc_id".as("doc_b"), $"simhash".as("sh_b"),
-          $"band", $"bv")
-        a.join(b, Seq("band", "bv")).filter($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
-          .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
-          .filter($"hamming" <= 6)
-          .select($"doc_a", $"doc_b", $"hamming")
+        // the public API IS the implementation — the driver's oracle
+        // check therefore verifies Corpus.simhashPairs directly.
+        // Flood guard rationale: a band bucket holding >512 docs is a
+        // boilerplate flood (one sf0.1 bucket held 1,995 docs = 2M
+        // pairs); the oracle applies the same cap.
+        Corpus.simhashPairs(docs(s, dir), maxHamming = 6, bucketCap = 512)
           .orderBy($"doc_a", $"doc_b")
       },
       oracle = Some(s"""
@@ -645,62 +626,15 @@ object TextQueries {
     "dedup_ngram" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        // gram generation via explode+substr+distinct: every operator
-        // is codegen'd (the transform(...,lambda) form evaluates an
-        // interpreted lambda per gram — 5× slower at sf0.1).
-        val invAll = docs(s, dir)
-          .select($"doc_id", $"lang", $"source", $"text",
-            explode(sequence(lit(1), greatest(length($"text") - 2, lit(1))))
-              .as("i"))
-          .select($"doc_id", $"lang", $"source",
-            expr("substr(text, i, 3)").as("gram"))
-          .distinct()
-        // Hot-gram cap — CANDIDATE GENERATION only: a stopword-like
-        // gram present in most documents of a block (e.g. "the")
-        // creates quadratic fan-out in the self-join at scale while
-        // carrying no discriminative signal. Candidates come from the
-        // index with grams above 50% block document-frequency dropped
-        // (df via ONE windowed count; WindowExec spills where a
-        // collect_set posting list would not). The score stays EXACT
-        // over the full gram space without shipping per-doc gram
-        // arrays: the space partitions into capped ∪ hot, so
-        // inter = inter_capped (grouped equi-join count) + inter_hot
-        // (intersection of tiny per-doc HOT-gram sets — bounded by the
-        // few distinct grams that clear 50% df). The cap changes
-        // recall only for pairs sharing nothing but hot grams.
-        val blockSizes = docs(s, dir)
-          .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
-        val dfW = Window.partitionBy($"lang", $"source", $"gram")
-        val idx = graft.Engine.materialize(
-          invAll
-            .withColumn("df", count(lit(1)).over(dfW))
-            .join(broadcast(blockSizes), Seq("lang", "source")),
-          key = "gram", name = "ngram_idx")
-        val inv = idx.filter($"df" * 2 <= $"n_docs")
-          .select($"doc_id", $"lang", $"source", $"gram")
-        val hotSets = idx.filter($"df" * 2 > $"n_docs")
-          .groupBy($"doc_id").agg(collect_list($"gram").as("hot"))
-        val lens = idx.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        val a = inv.select($"doc_id".as("doc_a"), $"lang", $"source", $"gram")
-        val b = inv.select($"doc_id".as("doc_b"), $"lang", $"source", $"gram")
-        a.join(b, Seq("lang", "source", "gram"))
-          .filter($"doc_a" < $"doc_b")
-          .groupBy($"lang", $"source", $"doc_a", $"doc_b")
-          .agg(count(lit(1)).as("inter_c"))
-          .join(lens.select($"doc_id".as("doc_a"), $"n_grams".as("len_a")),
-            Seq("doc_a"))
-          .join(lens.select($"doc_id".as("doc_b"), $"n_grams".as("len_b")),
-            Seq("doc_b"))
-          .join(hotSets.select($"doc_id".as("doc_a"), $"hot".as("hot_a")),
-            Seq("doc_a"), "left")
-          .join(hotSets.select($"doc_id".as("doc_b"), $"hot".as("hot_b")),
-            Seq("doc_b"), "left")
-          .withColumn("inter", $"inter_c" +
-            coalesce(size(array_intersect($"hot_a", $"hot_b")), lit(0)))
-          .withColumn("jaccard", try_divide($"inter",
-            $"len_a" + $"len_b" - $"inter"))
-          .filter($"jaccard" >= 0.5)
-          .select($"lang", $"source", $"doc_a", $"doc_b", $"jaccard")
+        // the public API IS the implementation — the driver's oracle
+        // check therefore verifies Corpus.ngramPairs directly. (Gram
+        // generation inside is explode+substr+distinct — all
+        // codegen'd; the transform(...,lambda) form evaluates an
+        // interpreted lambda per gram, 5× slower at sf0.1. The
+        // hot-gram candidate cap with the capped ∪ hot exact-score
+        // decomposition is documented on Corpus.ngramPairs.)
+        Corpus.ngramPairs(docs(s, dir),
+            blockCols = Seq("lang", "source"), minJaccard = 0.5)
           .orderBy($"doc_a", $"doc_b")
       },
       oracle = Some("""

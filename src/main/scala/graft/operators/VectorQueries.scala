@@ -92,41 +92,13 @@ object VectorQueries {
     "knn_lsh" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val base = emb(s, dir)
-        // The 16 hyperplanes are a pure function of (k, d) — inline
-        // them as literal ARRAY<BIGINT>s and take one codegen'd
-        // long_dot per plane. No row inflation (the explode form made
-        // 1,024 rows per vector before re-aggregating); the whole
-        // signature is a single narrow projection that scales linearly.
-        val planes = (0 until 16).map(k => (0 until 64).map(d =>
-          ((1L + (k * 64 + d) * 2654435761L) % 1000003L) - 500001L))
-        val sigExpr = planes.zipWithIndex.map { case (p, k) =>
-          s"(CASE WHEN long_dot(sv, CAST(array(${p.mkString(",")})" +
-            s" AS ARRAY<BIGINT>)) > 0 THEN ${1L << k}L ELSE 0L END)"
-        }.mkString(" + ")
-        val sig = base.select($"vec_id", expr(sigExpr).as("sig"))
-        val banded = sig.select($"vec_id", explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), expr(s"(sig >> ${4 * b}) & 15").as("bv"))): _*))
-          .as("bk"))
-          .select($"vec_id", $"bk.band", $"bk.bv")
-        val qb = banded.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"band", $"bv")
-        val cands = qb.join(banded.select($"vec_id".as("cand_id"), $"band", $"bv"),
-            Seq("band", "bv"))
-          .filter($"query_id" =!= $"cand_id")
-          .select($"query_id", $"cand_id").distinct()
-        val withVec = cands
-          .join(broadcast(base.select($"vec_id".as("query_id"), $"sv".as("qv"),
-            $"nrm".as("qn"))), Seq("query_id"))
-          .join(base.select($"vec_id".as("cand_id"), $"sv".as("cv"),
-            $"nrm".as("cn")), Seq("cand_id"))
-          .withColumn("cosine", expr(dot("qv", "cv")).cast("double") /
-            sqrt($"qn".cast("double") * $"cn".cast("double")))
-        withVec
-          .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
-            .orderBy($"cosine".desc, $"cand_id")))
-          .filter($"rank" <= 5)
-          .select($"query_id", $"rank", $"cand_id", $"cosine")
+        // the public API IS the implementation — the driver's oracle
+        // check therefore verifies Vectors.lshSearch directly. (The 16
+        // hyperplanes are a pure function of (k, d), inlined as literal
+        // ARRAY<BIGINT>s with one codegen'd long_dot per plane — no row
+        // inflation; see Vectors.lshSearch.)
+        Vectors.lshSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 5)
           .orderBy($"query_id", $"rank")
       },
       oracle = Some(s"""

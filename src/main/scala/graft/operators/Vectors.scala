@@ -45,6 +45,55 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
+  /** Sign-LSH (random hyperplane) bucketed ANN: `nPlanes` deterministic
+    * hyperplanes (a pure function of (plane, dim) — inlined as literal
+    * integer arrays, one codegen'd `long_dot` each; no row inflation),
+    * signature split into `bands` buckets, candidates from the
+    * (band, value) equi-join — never all-pairs. `base` must carry
+    * (id, sv, nrm) — produce them with [[quantize]]; `queryFilter`
+    * selects the query rows by their columns (e.g. `col("id") < 10`).
+    * At 100 TB: signatures materialize as a bucketed table keyed by
+    * band value; raise `bands` (more, smaller buckets) for recall. */
+  def lshSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                k: Int = 5, dim: Int = 64, nPlanes: Int = 16,
+                bands: Int = 4): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    require(nPlanes % bands == 0, "nPlanes must divide into bands evenly")
+    require(nPlanes <= 62, "signature must fit a BIGINT")
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1L
+    val planes = (0 until nPlanes).map(p => (0 until dim).map(d =>
+      ((1L + (p * dim + d) * 2654435761L) % 1000003L) - 500001L))
+    val sigExpr = planes.zipWithIndex.map { case (p, kk) =>
+      s"(CASE WHEN long_dot(sv, CAST(array(${p.mkString(",")})" +
+        s" AS ARRAY<BIGINT>)) > 0 THEN ${1L << kk}L ELSE 0L END)"
+    }.mkString(" + ")
+    val sig = base.select(col("id"), expr(sigExpr).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(sig >> ${bitsPerBand * b}) & $mask").as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bv"))
+    val qb = banded.filter(queryFilter)
+      .select(col("id").as("query_id"), col("band"), col("bv"))
+    val cands = qb
+      .join(banded.select(col("id").as("cand_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    cands
+      .join(broadcast(base.filter(queryFilter)
+        .select(col("id").as("query_id"), col("sv").as("qv"),
+          col("nrm").as("qn"))), Seq("query_id"))
+      .join(base.select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
   /** IVF ANN: k-cell coarse quantizer from per-`labelCol` centroids,
     * every vector assigned to its best cell, queries probe their
     * `nprobe` nearest cells. `base` must carry (id, sv, nrm,

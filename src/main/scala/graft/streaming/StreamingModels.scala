@@ -98,7 +98,12 @@ object StreamingModels {
               val es = e.ts.getTime / 1000L
               cur = cur match {
                 case Some(s) if es - s.endSec <= gapSec =>
-                  Some(SessOpen(s.startSec, math.max(s.endSec, es),
+                  // min() on start too: a non-late out-of-order event
+                  // arriving in a later batch can precede the open
+                  // session's first event — the batch twin's min(es)
+                  // semantics require tracking it
+                  Some(SessOpen(math.min(s.startSec, es),
+                    math.max(s.endSec, es),
                     s.n + 1, s.sumCents + e.cents))
                 case Some(s) =>
                   closed ::= SessClosed(uid, s.startSec, s.endSec,

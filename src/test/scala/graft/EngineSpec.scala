@@ -100,11 +100,7 @@ class EngineSpec extends SparkSuite {
   }
 
   test("materialize: table mode writes a bucketed table with exchange-free reuse") {
-    Seq("graft_mat_spec_li").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(s"spark-warehouse/$t")
-      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
-    }
+    purgeMatTables("graft_mat_spec_li")
     val li = graft.sources.Sources.table(spark, sf(), "lineitem")
       .select($"l_orderkey".as("k"), $"l_quantity")
     spark.conf.set("graft.materialize.mode", "table")
@@ -124,6 +120,26 @@ class EngineSpec extends SparkSuite {
     // local mode (default on local[*]) keeps the localCheckpoint shape
     val local = Engine.materialize(li, key = "k", name = "spec_li2")
     assert(local.count() === li.count())
+  }
+
+  test("materialize table names are plan-namespaced: same name, two plans, no clobber") {
+    purgeMatTables("graft_mat_ns_check")
+    spark.conf.set("graft.materialize.mode", "table")
+    try {
+      val li = graft.sources.Sources.table(spark, sf(), "lineitem")
+        .select($"l_orderkey".as("k"))
+      val small = li.filter($"k" <= 10)
+      val a = Engine.materialize(li, key = "k", name = "ns_check", buckets = 4)
+      val aCount = a.count()
+      val b = Engine.materialize(small, key = "k", name = "ns_check", buckets = 4)
+      // if the second write had reused the first table, `a` would now
+      // silently read `small`'s rows — the ADVICE collision scenario
+      assert(b.count() < aCount, "test needs distinct plans")
+      assert(a.count() === aCount, "same-name materialize clobbered the first table")
+    } finally {
+      spark.conf.unset("graft.materialize.mode")
+      purgeMatTables("graft_mat_ns_check")
+    }
   }
 
   test("saltedJoin returns the same result as a plain join") {
