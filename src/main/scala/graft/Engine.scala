@@ -81,29 +81,54 @@ object Engine {
     * local[*].
     *
     * Table names are namespaced with a token hashed from the
-    * application id + the logical plan, so two applications sharing a
-    * metastore — or one session materializing the same `name` over two
-    * data dirs (the scan paths differ, so the plans differ) — never
-    * overwrite each other's table. Same application + same plan reuses
-    * the same table (idempotent overwrite). */
+    * application id + the CANONICALIZED logical plan (exprIds are
+    * normalized to ordinals, so two logically-identical frames built
+    * separately map to the same token, while scan paths and literals
+    * still differentiate — one session materializing the same `name`
+    * over two data dirs never clobbers itself, and two applications
+    * sharing a metastore never clobber each other). Same application +
+    * same plan reuses the same table (idempotent overwrite). 8 token
+    * bytes keep the cross-plan collision odds negligible. */
   def materialize(df: DataFrame, key: String, name: String,
-                  buckets: Int = 32): DataFrame = {
+                  buckets: Int = 32): DataFrame =
+    materializeTracked(df, key, name, buckets)._1
+
+  /** [[materialize]] variant that also returns the backing table name
+    * in table mode (`None` in local mode) so iterative callers — e.g.
+    * connectedComponents' per-round labels — can drop a superseded
+    * round's table instead of leaking one table per iteration. */
+  def materializeTracked(df: DataFrame, key: String, name: String,
+                         buckets: Int = 32): (DataFrame, Option[String]) = {
     val spark = df.sparkSession
     val mode = spark.conf.getOption("graft.materialize.mode").getOrElse(
       if (spark.sparkContext.isLocal) "local" else "table")
-    if (mode == "local") df.localCheckpoint()
+    if (mode == "local") (df.localCheckpoint(), None)
     else {
       val token = java.security.MessageDigest.getInstance("MD5")
         .digest((spark.sparkContext.applicationId +
-          df.queryExecution.logical.toString).getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
+          df.queryExecution.analyzed.canonicalized.toString).getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
       val table = s"graft_mat_${name}_$token"
       df.write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(table)
-      spark.table(table)
+      (spark.table(table), Some(table))
     }
   }
+
+  /** Drop a table returned by [[materializeTracked]] (no-op for local
+    * mode's `None`). Only call once every consumer of the returned
+    * DataFrame has run — the frame reads the live table. */
+  def dropMaterialized(spark: SparkSession, table: Option[String]): Unit =
+    table.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  /** Session-level cleanup: drop every `graft_mat_*` table this
+    * catalog accumulated (end-of-job hygiene for table mode; local
+    * mode creates none). */
+  def dropAllMaterialized(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_mat_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
 
   /** Skew mitigation: salted left-side join for a hot key. The big
     * side gets a random-ish salt derived from a uniform column, the

@@ -33,13 +33,21 @@ object Corpus extends org.apache.spark.internal.Logging {
     *  - **Ids-only band join**: only (doc_id, band, k1, k2) rides the
     *    LSH shuffle and the candidate `.distinct()`; token arrays are
     *    re-attached AFTER candidate pairs are deduped, so full-text
-    *    weight never multiplies across the 4 bands. */
+    *    weight never multiplies across the 4 bands.
+    *
+    * The (signature, tokens) frame goes through `Engine.materialize`
+    * ONCE — the band self-join's two sides and the pair-verify's two
+    * token joins all read the materialized frame, so the
+    * shingle→minhash pipeline runs exactly once (the same invariant
+    * [[simhashPairs]] keeps for its signatures). Tokens live in the
+    * same frame as the signatures: one extra array column per doc in
+    * the materialized intermediate is far cheaper than re-deriving
+    * them with two more corpus scans at verify time. */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
                    bucketCap: Int = 512): DataFrame = {
     val base = docs.select(col("doc_id"),
       split(col("text"), " ").as("raw"),
       array_distinct(split(col("text"), " ")).as("toks"))
-    val toks = base.select(col("doc_id"), col("toks"))
     val sh = base
       .withColumn("i", explode(expr(
         "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
@@ -54,7 +62,10 @@ object Corpus extends org.apache.spark.internal.Logging {
       min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
         .as(s"mh$i"))
     val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val sig = mh.select(col("doc_id"),
+    val sigToks = graft.Engine.materialize(
+      mh.join(base.select(col("doc_id"), col("toks")), Seq("doc_id")),
+      key = "doc_id", name = "minhash_sig")
+    val sig = sigToks.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
                col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
@@ -72,9 +83,9 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+      .join(sigToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+      .join(sigToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
         Seq("doc_b"))
       .withColumn("jaccard", try_divide(
         size(array_intersect(col("toks_a"), col("toks_b"))),
@@ -197,26 +208,45 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(col("keep").as("src"), col("doc_id").as("dst"))
 
   /** Connected components over undirected edges (`src`, `dst`) via
-    * iterative min-label propagation (Pregel form — converges in
-    * graph-diameter rounds). Each round's labels go through
-    * `Engine.materialize` — localCheckpoint in one-JVM local mode, a
-    * bucketed table on a cluster — so lineage stays bounded AND an
-    * executor loss mid-loop recomputes from the last round's table
-    * instead of killing the job. Returns
-    * (doc_id, component_id = min doc_id reachable).
+    * min-label propagation PLUS per-round pointer jumping: each round
+    * a vertex takes the min of its own label, its neighbors' labels,
+    * and its label's label (`labels(comp)` — the shortcut step). The
+    * neighbor step alone needs graph-diameter rounds; the shortcut
+    * step doubles the distance a label has travelled every round, so
+    * convergence is O(log diameter) — a 100 TB boilerplate chain
+    * thousands of docs deep resolves in ~a dozen rounds instead of
+    * thousands. Fixpoint is identical to plain propagation (labels
+    * only ever move down within a component, and stabilize only at
+    * the component min), so the recursive-closure oracle is unchanged.
+    *
+    * Each round's labels go through `Engine.materialize` —
+    * localCheckpoint in one-JVM local mode, a bucketed table on a
+    * cluster — so lineage stays bounded AND an executor loss mid-loop
+    * recomputes from the last round's table instead of killing the
+    * job. In table mode the superseded round's table is dropped as
+    * soon as the convergence check has consumed it, so a run leaves
+    * behind only the final round's table, not one per iteration.
+    * Returns (doc_id, component_id = min doc_id reachable).
     *
     * If `maxIter` rounds pass without convergence (possible only for
-    * pathological dup chains longer than `maxIter`), the loop logs a
-    * warning and returns the partially-propagated labels — callers who
-    * need certainty should raise `maxIter` toward the expected graph
-    * diameter. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * components wider than 2^maxIter), the loop logs a warning and
+    * returns the partially-propagated labels — callers who need
+    * certainty should raise `maxIter` toward log2(expected graph
+    * diameter). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsStats(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it ran —
+    * CorpusSpec asserts the O(log n) bound on a deep-chain fixture. */
+  def connectedComponentsStats(edges: DataFrame,
+                               maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col("src"), col("dst")).distinct()
-    val und = graft.Engine.materialize(
+    val (und, undT) = graft.Engine.materializeTracked(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(),
       key = "src", name = "corpus_cc_edges")
-    var labels = graft.Engine.materialize(
+    var (labels, labelsT) = graft.Engine.materializeTracked(
       und.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")),
       key = "id", name = "cc_round_init")
@@ -226,21 +256,32 @@ object Corpus extends org.apache.spark.internal.Logging {
       val nbrMin = und
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr"))
-      val next = graft.Engine.materialize(
-        labels.join(nbrMin, Seq("id"), "left")
+      val comp1 = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // shortcut: follow the label one hop through LAST round's
+      // (materialized) labels — comp1 stays single-use, the lookup
+      // side reuses the already-checkpointed frame
+      val jump = labels.select(col("id").as("comp"), col("comp").as("jmp"))
+      val (next, nextT) = graft.Engine.materializeTracked(
+        comp1.join(jump, Seq("comp"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp")),
+            least(col("comp"), coalesce(col("jmp"), col("comp"))).as("comp")),
         key = "id", name = s"cc_round_${iter % 2}")
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp")).limit(1).count() > 0
+      graft.Engine.dropMaterialized(spark, labelsT)
       labels = next
+      labelsT = nextT
       iter += 1
     }
+    graft.Engine.dropMaterialized(spark, undT)
     if (changed)
       logWarning(
         s"connectedComponents: maxIter=$maxIter reached before convergence" +
           " — returned labels are partially propagated; raise maxIter")
-    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+    (labels.select(col("id").as("doc_id"), col("comp").as("component_id")),
+      iter)
   }
 
   /** Dedup clustering end-to-end: exact-dup star edges ∪ minhash
@@ -253,12 +294,17 @@ object Corpus extends org.apache.spark.internal.Logging {
 
   /** Deterministic per-stratum sampling: keep a doc iff
     * md5(doc_id) % 100 < rate(stratum). `rates` maps stratum value →
-    * percentage; `default` applies to unlisted strata. */
+    * percentage; `default` applies to unlisted strata.
+    *
+    * The hash draws 8 hex chars (32 bits) before the modulo: 2^32 is
+    * not a multiple of 100, but the residue bias is ~2e-8 — a
+    * requested 10% keeps 10.0000%. (A 2-hex draw would keep 11.7%:
+    * 256 % 100 = 56 residues land 3/256 instead of 2/256.) */
   def stratifiedSample(docs: DataFrame, stratum: Column,
                        rates: Map[String, Long],
                        default: Long = 10L): DataFrame = {
     val h = expr(
-      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 100")
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
     val rate = rates.foldLeft(lit(default)) { case (acc, (k, v)) =>
       when(stratum === k, lit(v)).otherwise(acc)
     }

@@ -275,12 +275,14 @@ object TextQueries {
     // Corpus balancing: sample each (lang) stratum at its own rate via
     // the md5-of-id rule — the only reproducible sample at 100 TB
     // where row order and partitioning are undefined. Rates: en 30%,
-    // everything else 10%.
+    // everything else 10%. The hash draws 8 hex chars (32 bits) so the
+    // % 100 residue bias is ~2e-8 — a 2-hex draw would deliver 11.7%
+    // on a requested 10% (same rule as Corpus.stratifiedSample).
     "sample_stratified" -> Q(
       fn = (s, dir) => {
         import s.implicits._
         val h = expr(
-          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 100")
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
         docs(s, dir)
           .withColumn("h", h)
           .withColumn("rate",
@@ -292,7 +294,7 @@ object TextQueries {
       oracle = Some("""
         WITH a AS (
           SELECT doc_id, lang, source,
-            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 100
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
               AS h,
             CASE WHEN lang = 'en' THEN 30 ELSE 10 END AS rate
           FROM documents)

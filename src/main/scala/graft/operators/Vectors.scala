@@ -51,9 +51,13 @@ object Vectors {
     * signature split into `bands` buckets, candidates from the
     * (band, value) equi-join — never all-pairs. `base` must carry
     * (id, sv, nrm) — produce them with [[quantize]]; `queryFilter`
-    * selects the query rows by their columns (e.g. `col("id") < 10`).
-    * At 100 TB: signatures materialize as a bucketed table keyed by
-    * band value; raise `bands` (more, smaller buckets) for recall. */
+    * selects the query rows and may reference ANY `base` column
+    * (e.g. `col("id") < 10`, `col("lang") === "en"`): the filter is
+    * applied to `base` itself and the banded query side is derived by
+    * a semi-join on id, so predicates on columns that don't ride the
+    * LSH shuffle still work. At 100 TB: signatures materialize as a
+    * bucketed table keyed by band value; raise `bands` (more, smaller
+    * buckets) for recall. */
   def lshSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
                 k: Int = 5, dim: Int = 64, nPlanes: Int = 16,
                 bands: Int = 4): DataFrame = {
@@ -74,7 +78,8 @@ object Vectors {
         struct(lit(b).as("band"),
           expr(s"(sig >> ${bitsPerBand * b}) & $mask").as("bv"))): _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bv"))
-    val qb = banded.filter(queryFilter)
+    val qIds = base.filter(queryFilter).select(col("id"))
+    val qb = banded.join(qIds, Seq("id"), "left_semi")
       .select(col("id").as("query_id"), col("band"), col("bv"))
     val cands = qb
       .join(banded.select(col("id").as("cand_id"), col("band"), col("bv")),

@@ -97,6 +97,23 @@ object StreamingModels {
             sorted.foreach { e =>
               val es = e.ts.getTime / 1000L
               cur = cur match {
+                case Some(s) if es < s.startSec - gapSec =>
+                  // an event MORE than gapSec before the open
+                  // session's start: the batch twin places it in its
+                  // own earlier session, so merging it — or worse,
+                  // closing the open session — would diverge. Emit it
+                  // as a closed singleton and leave the open session
+                  // untouched. Today's 0-second watermark drops such
+                  // events as late before they reach this code; the
+                  // branch makes correctness survive a future nonzero
+                  // watermark delay instead of silently depending on
+                  // it. (With a nonzero watermark this is still an
+                  // approximation — a later event adjacent to the
+                  // stray one could no longer extend it — but it
+                  // errs one session early, never corrupts the open
+                  // one.)
+                  closed ::= SessClosed(uid, es, es, 1L, e.cents)
+                  cur
                 case Some(s) if es - s.endSec <= gapSec =>
                   // min() on start too: a non-late out-of-order event
                   // arriving in a later batch can precede the open

@@ -48,6 +48,39 @@ class CorpusSpec extends SparkSuite {
     assert(s2 === s1, "sample must be reproducible")
   }
 
+  test("stratifiedSample empirical keep-rate tracks the requested rate") {
+    // 20k ids, one stratum at 10%: the 8-hex-char hash draw makes the
+    // residue bias ~2e-8, so the empirical rate is binomial around
+    // 0.10 (sd ≈ 0.2 pt at n=20k) — assert within 1 pt. The old
+    // 2-hex draw delivered 11.7% in expectation and fails this.
+    val n = 20000L
+    val ids = spark.range(0L, n).select($"id".as("doc_id"))
+      .withColumn("lang", lit("en"))
+    val kept = Corpus.stratifiedSample(ids, col("lang"),
+      Map("en" -> 10L), default = 0L).count()
+    val rate = kept.toDouble / n
+    assert(math.abs(rate - 0.10) < 0.01,
+      s"keep-rate $rate drifted >1pt from requested 10%")
+  }
+
+  test("connectedComponents resolves a deep chain in O(log n) rounds") {
+    // a 512-node path graph has diameter 511: plain min-label
+    // propagation needs 511 rounds (and would hit maxIter=50);
+    // pointer jumping doubles label travel each round → ~log2(512)=9,
+    // plus a couple of settle/convergence-check rounds.
+    val n = 512
+    val chain = spark.range(0L, (n - 1).toLong)
+      .select($"id".as("src"), ($"id" + 1L).as("dst"))
+    val (labels, rounds) = Corpus.connectedComponentsStats(chain, maxIter = 50)
+    val comps = labels.select(countDistinct($"component_id")).as[Long].head()
+    assert(comps === 1L, s"chain must collapse to one component, got $comps")
+    val maxLabel = labels.select(max($"component_id")).as[Long].head()
+    assert(maxLabel === 0L, "component label must be the min node id")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(rounds <= bound,
+      s"deep chain took $rounds rounds; pointer jumping should need ≤ $bound")
+  }
+
   test("empty and dup-free corpora terminate with empty results") {
     val empty = docs.filter($"doc_id" < 0)
     assert(Corpus.minhashPairs(empty).count() === 0)
