@@ -50,6 +50,70 @@ object VectorQueries {
                  ${duckDot(DUCK_SV, DUCK_SV)} AS nrm
           FROM embeddings)"""
 
+  /** DuckDB twin of the sign-LSH signature + band bucketing
+    * (Vectors.signatureExpr/bandedSig, 16 planes / 4 bands of 4 bits)
+    * ending in `banded` (vec_id, band, bv) with the `bucketCap`
+    * flood filter applied. */
+  private def duckBandedCtes(bucketCap: Int): String = s"""
+        dims AS (
+          SELECT vec_id, r.i - 1 AS d, sv[r.i] AS v, k.k AS k
+          FROM base CROSS JOIN range(1, 65) r(i) CROSS JOIN range(0, 16) k(k)),
+        terms AS (
+          SELECT vec_id, k,
+            v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
+          FROM dims),
+        sums AS (SELECT vec_id, k, sum(term) AS s FROM terms GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id, sum(CASE WHEN s > 0
+            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+          FROM sums GROUP BY 1),
+        banded_all AS (
+          ${(0 until 4).map(b =>
+            s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bv FROM sig")
+            .mkString("\nUNION ALL\n")}),
+        banded AS (
+          SELECT vec_id, band, bv FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bv) AS bsz
+            FROM banded_all)
+          WHERE bsz <= $bucketCap)"""
+
+  /** DuckDB replay of Vectors.kmeansFit (k cells, `iters` fixed
+    * rounds, k-smallest-id init, cosine assignment with cluster-id
+    * tie-break, rounded integer-scale centroid means) — unrolled one
+    * CTE block per round, ending in `cent$iters`. */
+  private def duckKmeansCtes(k: Int, iters: Int): String = {
+    val init = s"""
+        cent0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cluster_id,
+                 sv AS cvec, ${duckDot("sv", "sv")} AS cnrm
+          FROM (SELECT vec_id, sv FROM base ORDER BY vec_id LIMIT $k))"""
+    val rounds = (1 to iters).map { i =>
+      s"""
+        asg$i AS (
+          SELECT vec_id, sv, cluster_id FROM (
+            SELECT b.vec_id, b.sv, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent${i - 1} c)
+          WHERE rn = 1),
+        cd$i AS (
+          SELECT cluster_id, r.i AS d, sv[r.i] AS v
+          FROM asg$i CROSS JOIN range(1, 65) r(i)),
+        cs$i AS (
+          SELECT cluster_id, d,
+                 CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+          FROM cd$i GROUP BY 1, 2),
+        cent$i AS (
+          SELECT cluster_id, cvec, ${duckDot("cvec", "cvec")} AS cnrm FROM (
+            SELECT cluster_id, list(cv ORDER BY d) AS cvec
+            FROM cs$i GROUP BY 1))"""
+    }.mkString(",")
+    init + "," + rounds
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ── brute-force cosine top-k (baseline ANN) ─────────────────────
@@ -339,6 +403,90 @@ object VectorQueries {
         SELECT query_id, rank, cand_id, cluster, cosine
         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       desc = "multi-probe IVF ANN: top-2 cells per query (nprobe=2)"),
+
+    // ── bucketed semantic dedup (the scale path) ────────────────────
+    // dedup_embedding above is the all-pairs RECALL BASELINE (O(n²),
+    // CartesianProduct-allowlisted); THIS is the operator a 100 TB
+    // corpus actually runs: sign-LSH band buckets bound the candidate
+    // space, exact quantized cosine ≥ τ verifies, connected components
+    // merge the edges into clusters. Same τ as the baseline, so their
+    // outputs are directly comparable for recall measurement.
+    "dedup_semantic" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Vectors.semanticDedup directly.
+        Vectors.semanticDedup(emb(s, dir).withColumn("id", $"vec_id"),
+            tau = 0.4)
+          .select($"id".as("vec_id"), $"component_id")
+          .orderBy($"vec_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $DUCK_BASE,
+        ${duckBandedCtes(512)},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        edges0 AS (
+          SELECT c.id_a AS src, c.id_b AS dst
+          FROM cand c
+          JOIN base qa ON qa.vec_id = c.id_a
+          JOIN base qb ON qb.vec_id = c.id_b
+          WHERE CAST(${duckDot("qa.sv", "qb.sv")} AS DOUBLE)
+                  / sqrt(CAST(qa.nrm AS DOUBLE) * CAST(qb.nrm AS DOUBLE))
+                >= 0.4),
+        cc_edges AS (
+          SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        reach(a, b) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON e.src = r.b)
+        SELECT a AS vec_id, min(b) AS component_id
+        FROM reach GROUP BY a ORDER BY vec_id"""),
+      desc = "bucketed semantic dedup: LSH buckets → cosine edges → components"),
+
+    // ── label-free IVF: k-means codebook + cell search ──────────────
+    // ivf_search above builds its coarse quantizer from a `label`
+    // column; real embedding tables have none. This trains a k=8
+    // codebook with 3 deterministic k-means rounds (k-smallest-id
+    // init, integer-scale centroids, explicit tie order — the oracle
+    // replays the exact fit) and searches the query's own cell.
+    "ivf_kmeans" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Vectors.kmeansFit + ivfKmeansSearch directly.
+        Vectors.ivfKmeansSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 3, kCells = 8, iters = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        asgf AS (
+          SELECT vec_id, sv, nrm, cluster_id AS cluster FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.cluster,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+          FROM asgf q JOIN asgf c
+            ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, cluster, cosine
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      desc = "label-free IVF: deterministic k-means codebook, own-cell search"),
 
     // ── per-label centroid + assignment (IVF building block) ────────
     "vector_centroids" -> Q(

@@ -58,26 +58,40 @@ object Vectors {
     * LSH shuffle still work. At 100 TB: signatures materialize as a
     * bucketed table keyed by band value; raise `bands` (more, smaller
     * buckets) for recall. */
-  def lshSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
-                k: Int = 5, dim: Int = 64, nPlanes: Int = 16,
-                bands: Int = 4): DataFrame = {
-    graft.functions.LongArrayDot.register(base.sparkSession)
+  /** The sign-LSH signature as one SQL expression: `nPlanes`
+    * deterministic hyperplanes (pure function of (plane, dim), inlined
+    * as literal integer arrays), one codegen'd `long_dot` each, packed
+    * into a BIGINT bit per plane. Shared by [[lshSearch]] and
+    * [[semanticDedup]] so both bucket identically. */
+  private def signatureExpr(dim: Int, nPlanes: Int): String = {
+    val planes = (0 until nPlanes).map(p => (0 until dim).map(d =>
+      ((1L + (p * dim + d) * 2654435761L) % 1000003L) - 500001L))
+    planes.zipWithIndex.map { case (p, kk) =>
+      s"(CASE WHEN long_dot(sv, CAST(array(${p.mkString(",")})" +
+        s" AS ARRAY<BIGINT>)) > 0 THEN ${1L << kk}L ELSE 0L END)"
+    }.mkString(" + ")
+  }
+
+  /** (id, band, bv) frame: signature split into `bands` bucket values. */
+  private def bandedSig(base: DataFrame, dim: Int, nPlanes: Int,
+                        bands: Int): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must divide into bands evenly")
     require(nPlanes <= 62, "signature must fit a BIGINT")
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1L
-    val planes = (0 until nPlanes).map(p => (0 until dim).map(d =>
-      ((1L + (p * dim + d) * 2654435761L) % 1000003L) - 500001L))
-    val sigExpr = planes.zipWithIndex.map { case (p, kk) =>
-      s"(CASE WHEN long_dot(sv, CAST(array(${p.mkString(",")})" +
-        s" AS ARRAY<BIGINT>)) > 0 THEN ${1L << kk}L ELSE 0L END)"
-    }.mkString(" + ")
-    val sig = base.select(col("id"), expr(sigExpr).as("sig"))
-    val banded = sig.select(col("id"),
+    val sig = base.select(col("id"), expr(signatureExpr(dim, nPlanes)).as("sig"))
+    sig.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           expr(s"(sig >> ${bitsPerBand * b}) & $mask").as("bv"))): _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bv"))
+  }
+
+  def lshSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                k: Int = 5, dim: Int = 64, nPlanes: Int = 16,
+                bands: Int = 4): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val banded = bandedSig(base, dim, nPlanes, bands)
     val qIds = base.filter(queryFilter).select(col("id"))
     val qb = banded.join(qIds, Seq("id"), "left_semi")
       .select(col("id").as("query_id"), col("band"), col("bv"))
@@ -97,6 +111,122 @@ object Vectors {
         .orderBy(col("cosine").desc, col("cand_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
+  /** Bucketed SEMANTIC dedup — the scale path for "near-duplicate
+    * embedding clusters" (the all-pairs cosine threshold is a recall
+    * baseline only; it is O(n²) and dies at 100 TB). Pipeline:
+    * sign-LSH band buckets over the quantized vectors → within-bucket
+    * exact cosine ≥ `tau` edges → connected components. Candidates
+    * only ever meet inside equal (band, value) buckets — no
+    * all-pairs; a band bucket holding more than `bucketCap` vectors
+    * is skipped exactly like the text-LSH flood guard (the other
+    * bands re-find genuinely-near pairs through smaller buckets).
+    *
+    * `base` must carry (id, sv, nrm) — produce them with
+    * [[quantize]]. Returns (id, component_id = min id reachable);
+    * vectors with no ≥-tau neighbor in any shared bucket don't
+    * appear (they are their own singleton cluster). Recall vs the
+    * all-pairs baseline is bounded by the LSH collision probability —
+    * raise `nPlanes`/`bands` for recall, as with [[lshSearch]]. */
+  def semanticDedup(base: DataFrame, tau: Double = 0.4, dim: Int = 64,
+                    nPlanes: Int = 16, bands: Int = 4,
+                    bucketCap: Int = 512): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val banded = bandedSig(base, dim, nPlanes, bands)
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bv"))))
+      .filter(col("bsz") <= bucketCap)
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bv"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bv"))
+    val cand = a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val edges = cand
+      .join(base.select(col("id").as("id_a"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("id_b"))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= tau)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Corpus.connectedComponents(edges)
+      .select(col("doc_id").as("id"), col("component_id"))
+  }
+
+  /** Deterministic k-means (the label-free IVF coarse quantizer —
+    * real embedding tables have no `label` column). Init = the `k`
+    * smallest-id vectors; each of `iters` rounds assigns every vector
+    * to its best centroid by exact quantized cosine (ties broken by
+    * cluster id) and recomputes centroids as the rounded per-dimension
+    * mean on the SAME 1e5 integer scale. Fixed round count + integer
+    * arithmetic + explicit tie order make the fit bit-reproducible
+    * across partitionings, retries, and engines — an oracle can
+    * replay it. Per-round centroids go through `Engine.materialize`
+    * so the lineage doesn't nest across rounds. A cluster that loses
+    * all members disappears (deterministically) rather than being
+    * re-seeded. Returns (cluster_id, cvec, cnrm). */
+  def kmeansFit(base: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    var cent = base.orderBy(col("id")).limit(k)
+      .select(col("id"), col("sv"))
+      .withColumn("cluster_id",
+        (row_number().over(Window.orderBy(col("id"))) - 1).cast("long"))
+      .select(col("cluster_id"), col("sv").as("cvec"))
+      .withColumn("cnrm", expr("long_dot(cvec, cvec)"))
+    for (i <- 0 until iters) {
+      val asg = base.crossJoin(broadcast(cent))
+        .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
+          sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("cluster_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("sv"), col("cluster_id"))
+      cent = graft.Engine.materialize(
+        asg.select(col("cluster_id"), posexplode(col("sv")).as(Seq("d", "v")))
+          .groupBy(col("cluster_id"), col("d"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("cv", round(col("s").cast("double") / col("n")).cast("long"))
+          .groupBy(col("cluster_id"))
+          .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
+            .as("cvec"))
+          .withColumn("cnrm", expr("long_dot(cvec, cvec)")),
+        key = "cluster_id", name = s"kmeans_round_$i")
+    }
+    cent
+  }
+
+  /** IVF ANN over a [[kmeansFit]] codebook: assign every vector to its
+    * best centroid, queries scan only their own cell. The label-free
+    * twin of [[ivfSearch]]. */
+  def ivfKmeansSearch(base: DataFrame,
+                      queryFilter: org.apache.spark.sql.Column,
+                      k: Int = 3, kCells: Int = 8,
+                      iters: Int = 3): DataFrame = {
+    val cent = kmeansFit(base, kCells, iters)
+    val asg = graft.Engine.materialize(
+      base.crossJoin(broadcast(cent))
+        .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
+          sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("cluster_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("sv"), col("nrm"),
+          col("cluster_id").as("cluster")),
+      key = "cluster", name = "ivf_kmeans_assign")
+    val c = asg.select(col("id").as("cand_id"), col("sv").as("cv"),
+      col("nrm").as("cn"), col("cluster"))
+    val q = asg.filter(queryFilter)
+      .select(col("id").as("query_id"), col("sv").as("qv"),
+        col("nrm").as("qn"), col("cluster"))
+    q.join(c, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cluster"),
+        col("cosine"))
   }
 
   /** IVF ANN: k-cell coarse quantizer from per-`labelCol` centroids,

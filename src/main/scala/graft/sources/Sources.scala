@@ -27,7 +27,23 @@ object Sources {
   val recommendedConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Read a source table, optionally asserting a schema CONTRACT —
+    * the engine's analog of the reference's declared source schemas
+    * (`/root/reference/models/mta_sources.yml:7-178` pins a name +
+    * type for every column of all its sources; dbt's contract
+    * enforcement). Parquet footers are self-describing, so reads work
+    * without it — but at 100 TB ingest an upstream producer silently
+    * widening a column or renaming a field should fail HERE, at the
+    * scan, with the column named, not 40 stages later as a resolution
+    * error or a silent null cascade. `expect` lists the columns the
+    * caller depends on: each must exist with exactly the declared
+    * type (extra columns are fine — contracts are need-to-know, like
+    * the reference's, which declares only consumed fields).
+    * Nullability is NOT checked (parquet writers disagree on it and
+    * Spark treats it as advisory). */
+  def table(spark: SparkSession, dir: String, name: String,
+            expect: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     // events.ts arrives as parquet TIMESTAMP(NANOS), which Spark has no
     // native type for (PARQUET_TYPE_ILLEGAL without the legacy flag).
     // Fallback only — a properly built session (recommendedConf) is
@@ -37,13 +53,35 @@ object Sources {
         .getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    name match {
+    val out = name match {
       // Normalize ns-long → TimestampType (micros) once at the source
       // boundary so every downstream operator sees TimestampType.
       case "events" => normalizeEventTs(df)
       case _        => df
     }
+    expect.foreach(assertContract(name, out.schema, _))
+    out
   }
+
+  /** Fail fast (IllegalArgumentException naming source + column) when
+    * `actual` drifts from the declared `expected` contract. */
+  def assertContract(name: String,
+                     actual: org.apache.spark.sql.types.StructType,
+                     expected: org.apache.spark.sql.types.StructType): Unit =
+    expected.fields.foreach { f =>
+      actual.fields.find(_.name == f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"source '$name' violates its schema contract: column " +
+            s"'${f.name}' (${f.dataType.sql}) is missing " +
+            s"(actual columns: ${actual.fieldNames.mkString(", ")})")
+        case Some(a) if a.dataType != f.dataType =>
+          throw new IllegalArgumentException(
+            s"source '$name' violates its schema contract: column " +
+              s"'${f.name}' is ${a.dataType.sql}, contract declares " +
+              f.dataType.sql)
+        case _ => ()
+      }
+    }
 
   /** events.ts: parquet TIMESTAMP(NANOS) → TimestampType (micros).
     * If the runtime already mapped it to TimestampType, pass through;

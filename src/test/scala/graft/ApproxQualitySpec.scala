@@ -45,6 +45,39 @@ class ApproxQualitySpec extends SparkSuite {
       f"multi-probe lost recall: $rMulti%.2f < $rSingle%.2f")
   }
 
+  test("k-means IVF recalls a usable share of true top-3 neighbors") {
+    val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
+      .filter($"rank" <= 3).select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val km = SparkEntry.queries("ivf_kmeans")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect km).size.toDouble / brute.size
+    info(f"k-means IVF recall@3 = $recall%.2f")
+    // single-probe over an 8-cell codebook: random assignment would
+    // land ≈ 1/8 of neighbors in the query's cell; require clearly
+    // better (the label-trained IVF single-probe measures ~0.23).
+    assert(recall >= 0.2, f"k-means IVF recall collapsed: $recall%.2f")
+  }
+
+  test("bucketed semantic dedup recalls most all-pairs cosine edges") {
+    // dedup_embedding is the exact all-pairs ≥0.4 pair set; the
+    // bucketed operator must be a SUBSET (it never invents an edge —
+    // every candidate is exact-verified) and clusters must cover a
+    // usable share of the vectors the baseline pairs touch.
+    val exact = SparkEntry.queries("dedup_embedding")(spark, sf("sf0.01"))
+      .select($"id_a", $"id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clustered = SparkEntry.queries("dedup_semantic")(spark, sf("sf0.01"))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(clustered.subsetOf(exact),
+      "semantic clusters contain a vector with no exact ≥τ neighbor")
+    val recall = (exact intersect clustered).size.toDouble / exact.size
+    info(f"semantic-dedup vector recall = $recall%.2f " +
+      f"(${clustered.size}/${exact.size})")
+    assert(recall >= 0.2, f"semantic dedup recall collapsed: $recall%.2f")
+  }
+
   test("sign-LSH candidates recall a usable share of true top-5 neighbors") {
     val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
       .select($"query_id", $"cand_id").collect()

@@ -142,6 +142,31 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("schema contract: matching expectation passes, drift fails at table()") {
+    import org.apache.spark.sql.types._
+    // the real documents table satisfies its contract
+    val ok = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    assert(graft.sources.Sources
+      .table(spark, sf(), "documents", expect = Some(ok)).count() > 0)
+    // upstream drift: doc_id declared INT where the contract wants
+    // BIGINT must fail AT THE SCAN, naming source and column
+    val drifted = StructType(Seq(StructField("doc_id", IntegerType)))
+    val eType = intercept[IllegalArgumentException] {
+      graft.sources.Sources.table(spark, sf(), "documents",
+        expect = Some(drifted))
+    }
+    assert(eType.getMessage.contains("documents") &&
+      eType.getMessage.contains("doc_id"), eType.getMessage)
+    // a renamed/vanished column fails the same way
+    val missing = StructType(Seq(StructField("document_id", LongType)))
+    val eMissing = intercept[IllegalArgumentException] {
+      graft.sources.Sources.table(spark, sf(), "documents",
+        expect = Some(missing))
+    }
+    assert(eMissing.getMessage.contains("missing"), eMissing.getMessage)
+  }
+
   test("saltedJoin returns the same result as a plain join") {
     val li = graft.sources.Sources.table(spark, sf(), "lineitem")
       .select($"l_orderkey".as("k"), $"l_quantity")
