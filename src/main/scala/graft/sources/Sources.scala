@@ -21,6 +21,47 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Declared schema contracts for every test source — the engine's
+    * analog of the reference pinning a name + type for each column of
+    * all its sources (`/root/reference/models/mta_sources.yml:7-178`).
+    * `events.ts` is declared POST-normalization (TimestampType): the
+    * contract describes what downstream operators consume, and the
+    * NANOS→micros normalization happens inside `table` before the
+    * check. [[registerAll]] enforces these on every registration, so
+    * upstream drift fails at ingest with the column named. */
+  val contracts: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.StructType
+    Map(
+      "region" -> StructType.fromDDL("r_regionkey INT, r_name STRING"),
+      "nation" -> StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"),
+      "customer" -> StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING"),
+      "supplier" -> StructType.fromDDL(
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"),
+      "part" -> StructType.fromDDL(
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " +
+          "p_size INT, p_retailprice DOUBLE"),
+      "orders" -> StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+          "o_orderpriority STRING"),
+      "lineitem" -> StructType.fromDDL(
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+          "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+          "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+          "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
+      "events" -> StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"),
+      "documents" -> StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_chars BIGINT"),
+      "embeddings" -> StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+  }
+
   /** Confs a session hosting this library should set at build time
     * (`SparkSession.builder.config(...)`). `table` falls back to
     * setting nanosAsLong at read time for sessions that didn't. */
@@ -100,9 +141,13 @@ object Sources {
   }
 
   /** Register every testdata table as a temp view (the dbt-`source()`
-    * namespace for `spark.sql` / metric queries). */
+    * namespace for `spark.sql` / metric queries), enforcing each
+    * table's declared [[contracts]] entry at registration. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    testTables.foreach { t => table(spark, dir, t).createOrReplaceTempView(t) }
+    testTables.foreach { t =>
+      table(spark, dir, t, expect = contracts.get(t))
+        .createOrReplaceTempView(t)
+    }
 
   /** Format-agnostic read: the registry's seam for non-Parquet
     * sources (json / csv / orc). Schema is required for the schemaless

@@ -81,6 +81,30 @@ class CorpusSpec extends SparkSuite {
       s"deep chain took $rounds rounds; pointer jumping should need ≤ $bound")
   }
 
+  test("connectedComponents table mode leaves only the final round table") {
+    def ccTables() = spark.catalog.listTables().collect().map(_.name)
+      .filter(t => t.startsWith("graft_mat_cc_round_") ||
+        t.startsWith("graft_mat_corpus_cc_edges_"))
+    ccTables().foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    spark.conf.set("graft.materialize.mode", "table")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      val comps = Corpus.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps(3L) === 1L && comps(11L) === 10L,
+        s"table-mode labels wrong: $comps")
+      // the loop must drop every superseded round's table and the
+      // edges table — only the FINAL labels table (which the returned
+      // frame reads) may remain
+      val left = ccTables()
+      assert(left.length === 1 && left.head.startsWith("graft_mat_cc_round_"),
+        s"connectedComponents leaked tables: ${left.mkString(", ")}")
+    } finally {
+      spark.conf.unset("graft.materialize.mode")
+      ccTables().foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("empty and dup-free corpora terminate with empty results") {
     val empty = docs.filter($"doc_id" < 0)
     assert(Corpus.minhashPairs(empty).count() === 0)

@@ -167,6 +167,15 @@ class EngineSpec extends SparkSuite {
     assert(eMissing.getMessage.contains("missing"), eMissing.getMessage)
   }
 
+  test("every test source satisfies its declared contract") {
+    graft.sources.Sources.testTables.foreach { t =>
+      val c = graft.sources.Sources.contracts(t)
+      assert(c.nonEmpty, s"no contract declared for $t")
+      // throws (and fails the test) on any drift
+      graft.sources.Sources.table(spark, sf(), t, expect = Some(c))
+    }
+  }
+
   test("saltedJoin returns the same result as a plain join") {
     val li = graft.sources.Sources.table(spark, sf(), "lineitem")
       .select($"l_orderkey".as("k"), $"l_quantity")
