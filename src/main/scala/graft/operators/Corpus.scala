@@ -270,13 +270,19 @@ object Corpus extends org.apache.spark.internal.Logging {
       // (materialized) labels — comp1 stays single-use, the lookup
       // side reuses the already-checkpointed frame
       val jump = labels.select(col("id").as("comp"), col("comp").as("jmp"))
+      // `chg` (did this vertex's label move?) is computed INSIDE the
+      // materialized round — the convergence probe is then a cheap
+      // scan of the checkpointed frame instead of a second
+      // labels-vs-next join job per round
       val (next, nextT) = graft.Engine.materializeTracked(
         comp1.join(jump, Seq("comp"), "left")
+          .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
           .select(col("id"),
-            least(col("comp"), coalesce(col("jmp"), col("comp"))).as("comp")),
+            least(col("comp"), coalesce(col("jmp"), col("comp"))).as("comp"),
+            (least(col("comp"), coalesce(col("jmp"), col("comp")))
+              =!= col("prev")).as("chg")),
         key = "id", name = s"cc_round_${iter % 2}")
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count() > 0
+      changed = next.filter(col("chg")).limit(1).count() > 0
       graft.Engine.dropMaterialized(spark, labelsT)
       labels = next
       labelsT = nextT

@@ -74,12 +74,22 @@ object StreamingModels {
     * opens the next. Idle sessions are flushed by an event-time
     * timeout when the watermark passes last-event + gap, so state is
     * watermark-bounded (the 100 TB requirement: no unbounded keys).
-    * Emits CLOSED sessions only (Append mode). */
+    * Emits CLOSED sessions only (Append mode).
+    *
+    * `delayThreshold` is the watermark lateness allowance: "0 seconds"
+    * admits only monotone event time per trigger; a larger delay lets
+    * out-of-order events reach the session state, where they either
+    * extend the open session (within `gapSec` of it) or — if they
+    * precede its start by more than `gapSec` — close as their own
+    * earlier singleton session (batch-parity split, see the state
+    * function). */
   def sessionizeStream(events: Dataset[SessEvt],
-                       gapSec: Long = 1800L): Dataset[SessClosed] = {
+                       gapSec: Long = 1800L,
+                       delayThreshold: String = "0 seconds")
+      : Dataset[SessClosed] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", delayThreshold)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessOpen, SessClosed](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

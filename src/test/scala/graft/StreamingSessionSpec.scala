@@ -50,4 +50,46 @@ class StreamingSessionSpec extends SparkSuite {
       assert(got.size === 2, s"unexpected extra sessions: $got")
     } finally q.stop()
   }
+
+  test("with lateness allowed, a pre-start stray splits into its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessEvt]
+    // 3-hour lateness: the out-of-order event below is NOT dropped at
+    // the watermark, so it must be handled by the session state itself
+    val q = StreamingModels.sessionizeStream(in.toDS(), gapSec = 1800L,
+        delayThreshold = "3 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_late").start()
+    try {
+      // batch 1: user 1 opens a session at t=10000
+      in.addData(SessEvt(1L, ts(10000), 1L, 100L))
+      q.processAllAvailable()
+      // batch 2: an event at t=5000 — more than gapSec BEFORE the open
+      // session's start (5000 < 10000 - 1800). The batch twin puts it
+      // in its own session; the stream must emit it as a closed
+      // singleton and leave the open session intact.
+      in.addData(SessEvt(1L, ts(5000), 2L, 40L))
+      q.processAllAvailable()
+      val afterStray = spark.table("sessions_late").as[SessClosed].collect()
+        .map(s => (s.user_id, s.start_s, s.end_s, s.n_events, s.sum_cents))
+        .toSet
+      assert(afterStray === Set((1L, 5000L, 5000L, 1L, 40L)),
+        s"stray must close as its own singleton: $afterStray")
+      // batch 3: an in-gap extension proves the open session survived
+      // the stray (end moves 10000 → 11000, sum 100+7)
+      in.addData(SessEvt(1L, ts(11000), 3L, 7L))
+      q.processAllAvailable()
+      // advance the watermark far past end+gap to flush it
+      // (watermark = 100000 - 3h = 89200 > 11000 + 1800)
+      in.addData(SessEvt(9L, ts(100000), 4L, 1L))
+      q.processAllAvailable()
+      in.addData(SessEvt(9L, ts(100001), 5L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("sessions_late").as[SessClosed].collect()
+        .map(s => (s.user_id, s.start_s, s.end_s, s.n_events, s.sum_cents))
+        .toSet
+      assert(got.contains((1L, 10000L, 11000L, 2L, 107L)),
+        s"open session corrupted by the stray: $got")
+    } finally q.stop()
+  }
 }
