@@ -131,6 +131,43 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "token counting + type-token ratio (higher-order aggregate)"),
 
+    // ── BPE-style subword proxy counts (regex pre-tokenizer) ────────
+    // The second token count every pipeline needs beside whitespace
+    // tokens: a GPT-2-ish pre-tokenization — letter runs, single
+    // digits, single punctuation marks — as a subword-count proxy, and
+    // fertility (subwords per whitespace word), the standard
+    // tokenizer-cost signal. The three alternation classes are
+    // DISJOINT character sets, so Java regex (Spark, leftmost-first)
+    // and RE2 (DuckDB, leftmost-longest) cannot disagree on a match.
+    "text_tokens_bpe" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // Spark's regexp_extract_all extracts GROUP 1 (errors on a
+        // group-less pattern); DuckDB's extracts group 0 (the full
+        // match). One capture group spanning the whole pattern makes
+        // both return the same strings.
+        val pat = "([A-Za-z]+|[0-9]|[^A-Za-z0-9 ])"
+        val bpe = expr(s"regexp_extract_all(text, '$pat')")
+        docs(s, dir).select(
+          $"doc_id",
+          size(split($"text", " ")).as("n_ws_tokens"),
+          size(bpe).as("n_bpe_tokens"),
+          size(array_distinct(bpe)).as("n_bpe_distinct"),
+          try_divide(size(bpe), size(split($"text", " "))).as("fertility"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+                 AS n_bpe_tokens,
+               len(list_distinct(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS n_bpe_distinct,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+                 AS DOUBLE) / len(string_split(text, ' ')) AS fertility
+        FROM documents ORDER BY doc_id"""),
+      desc = "BPE-style regex pre-tokenizer counts + fertility"),
+
     // ── quality scoring: punct/upper/digit/stopword ratios ──────────
     "text_quality" -> Q(
       fn = (s, dir) => {
