@@ -167,6 +167,30 @@ class EngineSpec extends SparkSuite {
     assert(eMissing.getMessage.contains("missing"), eMissing.getMessage)
   }
 
+  test("materialize tokens are stable across separate builds of the same plan") {
+    purgeMatTables("graft_mat_tok_stable")
+    spark.conf.set("graft.materialize.mode", "table")
+    try {
+      // two INDEPENDENT constructions of the same logical plan get
+      // different exprIds; the canonicalized-plan hash must map both
+      // to one table (the raw-plan hash minted a fresh table per
+      // build and leaked the old one)
+      def build() = graft.sources.Sources.table(spark, sf(), "lineitem")
+        .select($"l_orderkey".as("k")).filter($"k" > 2)
+      graft.Engine.materialize(build(), key = "k", name = "tok_stable",
+        buckets = 4)
+      graft.Engine.materialize(build(), key = "k", name = "tok_stable",
+        buckets = 4)
+      val tables = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_mat_tok_stable"))
+      assert(tables.length === 1,
+        s"same plan minted ${tables.length} tables: ${tables.mkString(", ")}")
+    } finally {
+      spark.conf.unset("graft.materialize.mode")
+      purgeMatTables("graft_mat_tok_stable")
+    }
+  }
+
   test("every test source satisfies its declared contract") {
     graft.sources.Sources.testTables.foreach { t =>
       val c = graft.sources.Sources.contracts(t)
