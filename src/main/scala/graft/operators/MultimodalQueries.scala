@@ -69,6 +69,38 @@ object MultimodalQueries {
         FROM b ORDER BY doc_id"""),
       desc = "binary decode stub: blob → typed metadata + feature"),
 
+    // ── resize: box-filter downsample of the payload ────────────────
+    // The image-resize shape: the 32-byte payload is treated as a
+    // 1×32 "image" and box-filtered down to 8 blocks, each block the
+    // floored mean of its 4 bytes — exactly what a codec's
+    // area-average resize does per channel. Per-block rows (like
+    // mm_frames) keep the output scalar-typed for the oracle compare.
+    "mm_resize" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        withBlob(docs(s, dir))
+          .withColumn("h", hex($"img"))
+          .select($"doc_id",
+            posexplode(expr("""transform(sequence(0, 7), b ->
+                (CAST(conv(substr(h, 8 * b + 1, 2), 16, 10) AS BIGINT)
+               + CAST(conv(substr(h, 8 * b + 3, 2), 16, 10) AS BIGINT)
+               + CAST(conv(substr(h, 8 * b + 5, 2), 16, 10) AS BIGINT)
+               + CAST(conv(substr(h, 8 * b + 7, 2), 16, 10) AS BIGINT))
+               div 4)"""))
+              .as(Seq("block_idx", "px")))
+          .orderBy($"doc_id", $"block_idx")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT doc_id, upper(sha256(text)) AS h FROM documents)
+        SELECT doc_id, r.b AS block_idx,
+               (('0x' || substr(h, 8 * r.b + 1, 2))::BIGINT
+              + ('0x' || substr(h, 8 * r.b + 3, 2))::BIGINT
+              + ('0x' || substr(h, 8 * r.b + 5, 2))::BIGINT
+              + ('0x' || substr(h, 8 * r.b + 7, 2))::BIGINT) // 4 AS px
+        FROM b CROSS JOIN range(0, 8) r(b)
+        ORDER BY doc_id, block_idx"""),
+      desc = "resize: box-filter downsample (floored 4-byte block means)"),
+
     // ── frame sampling: split payload into fixed-size frames ────────
     // (video frame-sample shape: generator explode over byte ranges).
     "mm_frames" -> Q(
