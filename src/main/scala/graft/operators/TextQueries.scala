@@ -168,6 +168,34 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "BPE-style regex pre-tokenizer counts + fertility"),
 
+    // ── vocabulary building (tokenizer-training precursor) ──────────
+    // The corpus-wide token table a tokenizer trainer starts from:
+    // per-token total frequency + document frequency, top 200 by
+    // (tf DESC, token ASC) — integer counts and a lexicographic
+    // tie-break keep the cut deterministic cross-engine. Two shuffle
+    // aggs; the distinct-per-doc side reuses the same explode.
+    "text_vocab" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val tok = docs(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("token"))
+        val perDoc = tok.groupBy($"doc_id", $"token")
+          .agg(count(lit(1)).as("c"))
+        perDoc.groupBy($"token")
+          .agg(sum($"c").as("tf"), count(lit(1)).as("df"))
+          .orderBy($"tf".desc, $"token")
+          .limit(200)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+        FROM c GROUP BY token
+        ORDER BY tf DESC, token LIMIT 200"""),
+      desc = "vocabulary building: token tf/df table, deterministic top-k"),
+
     // ── quality scoring: punct/upper/digit/stopword ratios ──────────
     "text_quality" -> Q(
       fn = (s, dir) => {
