@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * carry-through columns). All hashing is md5-prefix arithmetic —
   * deterministic across engines, partitionings, and retries, which is
   * the property that makes every step reproducible at 100 TB.
+  *
+  * Embedding-SPACE dedup lives on the vector side:
+  * [[Vectors.semanticDedup]] buckets quantized embeddings with
+  * sign-LSH, verifies exact cosine within buckets, and feeds the
+  * edges into [[connectedComponents]].
   */
 object Corpus extends org.apache.spark.internal.Logging {
 

@@ -488,6 +488,46 @@ object VectorQueries {
         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       desc = "label-free IVF: deterministic k-means codebook, own-cell search"),
 
+    // ── label-free IVF with multi-probe (nprobe=2) ──────────────────
+    // The recall knob on the k-means codebook: queries near a cell
+    // boundary probe their top-2 cells (candidates stay single-cell,
+    // so the probe union has no duplicates) — same knob ivf_multiprobe
+    // exercises on the label-trained quantizer.
+    "ivf_kmeans_mp" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Vectors.ivfKmeansSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 3, kCells = 8, iters = 3,
+            nprobe = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        asgf AS (
+          SELECT vec_id, sv, nrm, cluster_id AS cluster, rn FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.cluster,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+          FROM asgf q JOIN asgf c
+            ON q.cluster = c.cluster AND c.rn = 1 AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, cluster, cosine
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      desc = "label-free IVF multi-probe: top-2 k-means cells per query"),
+
     // ── per-label centroid + assignment (IVF building block) ────────
     "vector_centroids" -> Q(
       fn = (s, dir) => {

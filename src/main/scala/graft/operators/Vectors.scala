@@ -197,12 +197,13 @@ object Vectors {
   }
 
   /** IVF ANN over a [[kmeansFit]] codebook: assign every vector to its
-    * best centroid, queries scan only their own cell. The label-free
-    * twin of [[ivfSearch]]. */
+    * best centroid, queries probe their `nprobe` nearest cells
+    * (candidates stay single-cell, so probe unions have no
+    * duplicates). The label-free twin of [[ivfSearch]]. */
   def ivfKmeansSearch(base: DataFrame,
                       queryFilter: org.apache.spark.sql.Column,
                       k: Int = 3, kCells: Int = 8,
-                      iters: Int = 3): DataFrame = {
+                      iters: Int = 3, nprobe: Int = 1): DataFrame = {
     val cent = kmeansFit(base, kCells, iters)
     val asg = graft.Engine.materialize(
       base.crossJoin(broadcast(cent))
@@ -210,12 +211,13 @@ object Vectors {
           sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
         .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
           .orderBy(col("score").desc, col("cluster_id").asc)))
-        .filter(col("rn") === 1)
+        .filter(col("rn") <= nprobe)
         .select(col("id"), col("sv"), col("nrm"),
-          col("cluster_id").as("cluster")),
+          col("cluster_id").as("cluster"), col("rn")),
       key = "cluster", name = "ivf_kmeans_assign")
-    val c = asg.select(col("id").as("cand_id"), col("sv").as("cv"),
-      col("nrm").as("cn"), col("cluster"))
+    val c = asg.filter(col("rn") === 1)
+      .select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn"), col("cluster"))
     val q = asg.filter(queryFilter)
       .select(col("id").as("query_id"), col("sv").as("qv"),
         col("nrm").as("qn"), col("cluster"))

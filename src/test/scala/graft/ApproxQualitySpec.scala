@@ -58,6 +58,13 @@ class ApproxQualitySpec extends SparkSuite {
     // land ≈ 1/8 of neighbors in the query's cell; require clearly
     // better (the label-trained IVF single-probe measures ~0.23).
     assert(recall >= 0.2, f"k-means IVF recall collapsed: $recall%.2f")
+    val mp = SparkEntry.queries("ivf_kmeans_mp")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rMp = (brute intersect mp).size.toDouble / brute.size
+    info(f"k-means IVF recall@3 nprobe=2 = $rMp%.2f")
+    assert(rMp >= recall,
+      f"multi-probe lost recall: $rMp%.2f < $recall%.2f")
   }
 
   test("bucketed semantic dedup recalls most all-pairs cosine edges") {
