@@ -56,8 +56,11 @@ object Vectors {
     * applied to `base` itself and the banded query side is derived by
     * a semi-join on id, so predicates on columns that don't ride the
     * LSH shuffle still work. At 100 TB: signatures materialize as a
-    * bucketed table keyed by band value; raise `bands` (more, smaller
-    * buckets) for recall. */
+    * bucketed table keyed by band value, and the defaults must scale
+    * up — 4-bit bands give only 16 buckets per band (bucket size
+    * n/16), so use nPlanes ≈ 48–62 with 4–6 bands (8–12 bits ≈
+    * 256–4096 buckets per band); more bands at fixed bits raises
+    * recall, more bits per band shrinks buckets. */
   /** The sign-LSH signature as one SQL expression: `nPlanes`
     * deterministic hyperplanes (pure function of (plane, dim), inlined
     * as literal integer arrays), one codegen'd `long_dot` each, packed
@@ -128,7 +131,10 @@ object Vectors {
     * vectors with no ≥-tau neighbor in any shared bucket don't
     * appear (they are their own singleton cluster). Recall vs the
     * all-pairs baseline is bounded by the LSH collision probability —
-    * raise `nPlanes`/`bands` for recall, as with [[lshSearch]]. */
+    * raise `nPlanes`/`bands` for recall, and at large n raise BITS
+    * per band so buckets stay under `bucketCap` (the 4-bit default's
+    * 16 buckets per band saturate quickly; see [[lshSearch]]'s scale
+    * note — 8–12 bits per band is the 100 TB shape). */
   def semanticDedup(base: DataFrame, tau: Double = 0.4, dim: Int = 64,
                     nPlanes: Int = 16, bands: Int = 4,
                     bucketCap: Int = 512): DataFrame = {
