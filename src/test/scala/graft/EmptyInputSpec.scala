@@ -48,4 +48,25 @@ class EmptyInputSpec extends SparkSuite {
       .groupBy(sha2($"text", 256)).agg(count(lit(1)).as("n"))
     assert(canon.count() === 0)
   }
+
+  test("vector operators handle empty and tiny embedding tables") {
+    import org.apache.spark.sql.functions._
+    val base = graft.operators.Vectors.quantize(
+      Sources.table(spark, sf(), "embeddings"))
+      .withColumn("id", col("vec_id"))
+    val none = base.limit(0)
+    assert(graft.operators.Vectors.semanticDedup(none, tau = 0.4)
+      .count() === 0)
+    // k-means with fewer vectors than cells: codebook shrinks to n,
+    // search still answers
+    val tiny = base.filter(col("id") < 3)
+    val cent = graft.operators.Vectors.kmeansFit(tiny, k = 8, iters = 2)
+    assert(cent.count() === 3)
+    val hits = graft.operators.Vectors.ivfKmeansSearch(
+      tiny, queryFilter = col("id") < 1, k = 2, kCells = 8, iters = 2)
+    assert(hits.count() <= 2)
+    // empty fit yields an empty codebook without erroring
+    assert(graft.operators.Vectors.kmeansFit(none, k = 4, iters = 1)
+      .count() === 0)
+  }
 }
