@@ -50,9 +50,56 @@ object Corpus extends org.apache.spark.internal.Logging {
     * them with two more corpus scans at verify time. */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
                    bucketCap: Int = 512): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      split(col("text"), " ").as("raw"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+    val sigToks = minhashSigToks(docs)
+    val banded = minhashBanded(sigToks, bucketCap)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("band"), col("k1"), col("k2"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("band"), col("k1"), col("k2"))
+    val cand = a.join(b, Seq("band", "k1", "k2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    minhashVerify(cand, sigToks, minJaccard)
+  }
+
+  /** Incremental near-dup detection — the daily-ingest shape: only
+    * pairs touching a doc marked NEW by `isNew` are generated; the
+    * historical×historical pair space is never re-examined. The band
+    * join is newDocs × allDocs — at 100 TB a tiny×huge equi-join per
+    * batch instead of the huge×huge backfill. Signatures for the whole
+    * corpus come from the same materialized (signature, tokens) frame
+    * as [[minhashPairs]] (in production: the persisted signature
+    * table, appended per batch — signatures are a pure per-doc
+    * function, so historical rows never recompute). Returns exactly
+    * [[minhashPairs]]' output restricted to pairs with ≥1 new side:
+    * same bands, same flood guard, same exact-Jaccard verify. */
+  def minhashPairsIncremental(docs: DataFrame, isNew: Column,
+                              minJaccard: Double = 0.5,
+                              bucketCap: Int = 512): DataFrame = {
+    val sigToks = minhashSigToks(docs.withColumn("is_new", isNew),
+      carry = Seq("is_new"))
+    val banded = minhashBanded(sigToks, bucketCap, carry = Seq("is_new"))
+    val n = banded.filter(col("is_new")).select(col("doc_id").as("doc_n"),
+      col("band"), col("k1"), col("k2"))
+    val all = banded.select(col("doc_id").as("doc_o"),
+      col("band"), col("k1"), col("k2"))
+    val cand = n.join(all, Seq("band", "k1", "k2"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+              greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
+    minhashVerify(cand, sigToks, minJaccard)
+  }
+
+  /** Materialized (doc_id, mh0..mh7, toks [, carry...]) signature
+    * frame — the shingle→minhash pipeline, run exactly once. */
+  private def minhashSigToks(docs: DataFrame,
+                             carry: Seq[String] = Nil): DataFrame = {
+    val base = docs.select(col("doc_id") +:
+      split(col("text"), " ").as("raw") +:
+      array_distinct(split(col("text"), " ")).as("toks") +:
+      carry.map(col): _*)
     val sh = base
       .withColumn("i", explode(expr(
         "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
@@ -67,26 +114,32 @@ object Corpus extends org.apache.spark.internal.Logging {
       min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
         .as(s"mh$i"))
     val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val sigToks = graft.Engine.materialize(
-      mh.join(base.select(col("doc_id"), col("toks")), Seq("doc_id")),
+    graft.Engine.materialize(
+      mh.join(base.select(col("doc_id") +: col("toks") +: carry.map(col): _*),
+        Seq("doc_id")),
       key = "doc_id", name = "minhash_sig")
-    val sig = sigToks.select(col("doc_id"),
+  }
+
+  /** (doc_id, band, k1, k2 [, carry...]) band frame with the
+    * `bucketCap` flood guard applied (bucket sizes counted over ALL
+    * docs, new and historical alike). */
+  private def minhashBanded(sigToks: DataFrame, bucketCap: Int,
+                            carry: Seq[String] = Nil): DataFrame =
+    sigToks.select(col("doc_id") +:
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
-               col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
-    val banded = sig
+               col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk") +:
+      carry.map(col): _*)
+      .select(col("doc_id") +: col("bk.band") +: col("bk.k1") +:
+        col("bk.k2") +: carry.map(col): _*)
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("k1"), col("k2"))))
       .filter(col("bsz") <= bucketCap)
-    val a = banded.select(col("doc_id").as("doc_a"),
-      col("band"), col("k1"), col("k2"))
-    val b = banded.select(col("doc_id").as("doc_b"),
-      col("band"), col("k1"), col("k2"))
-    val cand = a.join(b, Seq("band", "k1", "k2"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+
+  /** Exact-Jaccard verification of deduped candidate pairs against the
+    * signature frame's token sets. */
+  private def minhashVerify(cand: DataFrame, sigToks: DataFrame,
+                            minJaccard: Double): DataFrame =
     cand
       .join(sigToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         Seq("doc_a"))
@@ -97,7 +150,6 @@ object Corpus extends org.apache.spark.internal.Logging {
         size(array_distinct(concat(col("toks_a"), col("toks_b"))))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** SimHash near-duplicate pairs (`doc_a < doc_b`, hamming ≤
     * `maxHamming`): 32-bit simhash from a bitwise vote over distinct-

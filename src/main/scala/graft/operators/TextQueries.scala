@@ -552,6 +552,28 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "MinHash+LSH near-dup pairs (band-bucket join, no all-pairs)"),
 
+    // ── incremental near-dup detection (daily-ingest shape) ─────────
+    // Docs with id ≥ 400 play the "new batch"; pairs are generated
+    // only for buckets a new doc touches — the historical×historical
+    // space is never re-examined (at 100 TB: a tiny×huge equi-join
+    // per ingest batch against the persisted signature table). The
+    // oracle is simply the FULL pair set filtered to ≥1 new side —
+    // proving the incremental path finds exactly the pairs a backfill
+    // would.
+    "dedup_incremental" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Corpus.minhashPairsIncremental(docs(s, dir), isNew = $"doc_id" >= 400,
+            minJaccard = 0.5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH $MINHASH_PAIRS_CTES
+        SELECT doc_a, doc_b, jaccard FROM mh_near
+        WHERE doc_a >= 400 OR doc_b >= 400
+        ORDER BY doc_a, doc_b"""),
+      desc = "incremental dedup: new batch × full corpus, backfill-exact"),
+
     // ── decontamination: near-dups crossing the train/test split ────
     // The check every training pipeline runs before shipping a split:
     // a near-duplicate pair with one side in train and the other in

@@ -48,6 +48,21 @@ class CorpusSpec extends SparkSuite {
     assert(s2 === s1, "sample must be reproducible")
   }
 
+  test("minhashPairsIncremental equals the backfill restricted to new sides") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Corpus.minhashPairs(docs))
+    val inc = pairs(Corpus.minhashPairsIncremental(docs,
+      isNew = $"doc_id" >= 3))
+    assert(inc === full.filter(p => p._1 >= 3 || p._2 >= 3),
+      s"incremental $inc != restricted backfill of $full")
+    // everything-new degenerates to the full backfill
+    assert(pairs(Corpus.minhashPairsIncremental(docs, lit(true))) === full)
+    // nothing-new yields nothing
+    assert(pairs(Corpus.minhashPairsIncremental(docs, lit(false))).isEmpty)
+  }
+
   test("stratifiedSample empirical keep-rate tracks the requested rate") {
     // 20k ids, one stratum at 10%: the 8-hex-char hash draw makes the
     // residue bias ~2e-8, so the empirical rate is binomial around
