@@ -160,4 +160,16 @@ object Sources {
     val r2 = if (format == "csv") r1.option("header", "true") else r1
     r2.load(path)
   }
+
+  /** Format-agnostic write — [[tableAs]]'s sink twin (json / csv /
+    * orc / parquet), with optional partition columns so non-Parquet
+    * exports keep partition pruning on re-read. CSV gets a header to
+    * round-trip through [[tableAs]]'s header option. */
+  def writeAs(df: DataFrame, path: String, format: String,
+              partitionBy: Seq[String] = Nil): Unit = {
+    val w0 = df.write.mode("overwrite").format(format)
+    val w1 = if (format == "csv") w0.option("header", "true") else w0
+    val w2 = if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1
+    w2.save(path)
+  }
 }

@@ -26,6 +26,22 @@ class SourceFormatsSpec extends SparkSuite {
     assert(viaCsv.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq === expect)
   }
 
+  test("writeAs round-trips every format through tableAs, partitioned") {
+    val docs = Sources.table(spark, sf(), "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val base = Files.createTempDirectory("graft_sink").toString
+    val expect = docs.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    Seq("json", "csv", "orc", "parquet").foreach { fmt =>
+      Sources.writeAs(docs, s"$base/$fmt", fmt, partitionBy = Seq("lang"))
+      val back = Sources.tableAs(spark, s"$base/$fmt", fmt,
+          Some(docs.schema))
+        // partition column comes back last; restore contract order
+        .select($"doc_id", $"lang", $"n_chars")
+      assert(back.orderBy($"doc_id").collect().map(_.toSeq).toSeq === expect,
+        s"$fmt round-trip diverged")
+    }
+  }
+
   test("orc round-trips the region table") {
     val region = Sources.table(spark, sf(), "region")
     val base = Files.createTempDirectory("graft_orc").toString
