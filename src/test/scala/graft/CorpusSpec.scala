@@ -96,6 +96,41 @@ class CorpusSpec extends SparkSuite {
       s"deep chain took $rounds rounds; pointer jumping should need ≤ $bound")
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    // the pointer-jumping shortcut is the subtle part — verify the
+    // fixpoint against a plain in-memory union-find over random edge
+    // lists (raw ScalaCheck Gen with fixed seeds, as in
+    // ArgMinPropertySpec)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      a <- Gen.choose(0L, 24L)
+      d <- Gen.choose(1L, 24L) // b != a by construction (no Gen filter)
+    } yield (a, (a + d) % 25L)
+    val graphGen = Gen.nonEmptyListOf(edgeGen).map(_.take(40))
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    (1 to 8).foreach { i =>
+      val edges = graphGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val expected = unionFind(edges)
+      val got = Corpus.connectedComponents(
+        edges.toDF("src", "dst"), maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $i: $got != $expected (edges $edges)")
+    }
+  }
+
   test("connectedComponents table mode leaves only the final round table") {
     def ccTables() = spark.catalog.listTables().collect().map(_.name)
       .filter(t => t.startsWith("graft_mat_cc_round_") ||
