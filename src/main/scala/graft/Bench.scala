@@ -38,19 +38,26 @@ object Bench {
       // almost never both — the min is the contention-resistant
       // estimate of what the plan costs (a real regression slows both
       // runs, so it still shows).
-      val runs = (0 until 2).map { _ =>
+      val samples = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-        catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) {
-              failed += name
-              System.err.println(s"BENCH FAIL $name: $e")
-            }
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+          catch {
+            case e: Throwable =>
+              if (!failed.contains(name)) {
+                failed += name
+                System.err.println(s"BENCH FAIL $name: $e")
+              }
+              false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> runs.min
+      // only SUCCESSFUL runs are timing samples — a fast crash must
+      // not min() a real measurement down to its throw time. A query
+      // with no successful run reports its slowest attempt (it is
+      // also in `failed`, so it cannot read as a success).
+      val good = samples.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else samples.map(_._2).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

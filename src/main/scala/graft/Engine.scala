@@ -81,14 +81,16 @@ object Engine {
     * local[*].
     *
     * Table names are namespaced with a token hashed from the
-    * application id + the CANONICALIZED logical plan (exprIds are
-    * normalized to ordinals, so two logically-identical frames built
-    * separately map to the same token, while scan paths and literals
-    * still differentiate — one session materializing the same `name`
-    * over two data dirs never clobbers itself, and two applications
-    * sharing a metastore never clobber each other). Same application +
-    * same plan reuses the same table (idempotent overwrite). 8 token
-    * bytes keep the cross-plan collision odds negligible. */
+    * application id + the CANONICALIZED logical plan + the plan's
+    * LEAF identities. Canonicalization normalizes exprIds to ordinals
+    * (two logically-identical frames built separately map to the same
+    * token) but ALSO erases scan paths, so the leaf identities — file
+    * scan root paths, v2 table names, inline-data hashes — are hashed
+    * in explicitly: one session materializing the same `name` over
+    * two data dirs gets two tables, and two applications sharing a
+    * metastore never clobber each other. Same application + same plan
+    * over the same data reuses the same table (idempotent overwrite).
+    * 8 token bytes keep the cross-plan collision odds negligible. */
   def materialize(df: DataFrame, key: String, name: String,
                   buckets: Int = 32): DataFrame =
     materializeTracked(df, key, name, buckets)._1
@@ -104,9 +106,25 @@ object Engine {
       if (spark.sparkContext.isLocal) "local" else "table")
     if (mode == "local") (df.localCheckpoint(), None)
     else {
+      val plan = df.queryExecution.analyzed
+      // canonicalized.toString nulls out scan paths and table
+      // identity — without the leaf ids, the same query shape over
+      // two data dirs would silently share one table
+      val leafIds = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(",")
+            case other => other.toString
+          }
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          v2.name
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          s"local:${l.data.hashCode}"
+      }.mkString(";")
       val token = java.security.MessageDigest.getInstance("MD5")
         .digest((spark.sparkContext.applicationId +
-          df.queryExecution.analyzed.canonicalized.toString).getBytes("UTF-8"))
+          plan.canonicalized.toString + leafIds).getBytes("UTF-8"))
         .take(8).map("%02x".format(_)).mkString
       val table = s"graft_mat_${name}_$token"
       df.write.mode("overwrite")

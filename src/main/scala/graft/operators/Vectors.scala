@@ -45,22 +45,6 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
-  /** Sign-LSH (random hyperplane) bucketed ANN: `nPlanes` deterministic
-    * hyperplanes (a pure function of (plane, dim) — inlined as literal
-    * integer arrays, one codegen'd `long_dot` each; no row inflation),
-    * signature split into `bands` buckets, candidates from the
-    * (band, value) equi-join — never all-pairs. `base` must carry
-    * (id, sv, nrm) — produce them with [[quantize]]; `queryFilter`
-    * selects the query rows and may reference ANY `base` column
-    * (e.g. `col("id") < 10`, `col("lang") === "en"`): the filter is
-    * applied to `base` itself and the banded query side is derived by
-    * a semi-join on id, so predicates on columns that don't ride the
-    * LSH shuffle still work. At 100 TB: signatures materialize as a
-    * bucketed table keyed by band value, and the defaults must scale
-    * up — 4-bit bands give only 16 buckets per band (bucket size
-    * n/16), so use nPlanes ≈ 48–62 with 4–6 bands (8–12 bits ≈
-    * 256–4096 buckets per band); more bands at fixed bits raises
-    * recall, more bits per band shrinks buckets. */
   /** The sign-LSH signature as one SQL expression: `nPlanes`
     * deterministic hyperplanes (pure function of (plane, dim), inlined
     * as literal integer arrays), one codegen'd `long_dot` each, packed
@@ -90,6 +74,22 @@ object Vectors {
       .select(col("id"), col("bk.band"), col("bk.bv"))
   }
 
+  /** Sign-LSH (random hyperplane) bucketed ANN: `nPlanes` deterministic
+    * hyperplanes (a pure function of (plane, dim) — inlined as literal
+    * integer arrays, one codegen'd `long_dot` each; no row inflation),
+    * signature split into `bands` buckets, candidates from the
+    * (band, value) equi-join — never all-pairs. `base` must carry
+    * (id, sv, nrm) — produce them with [[quantize]]; `queryFilter`
+    * selects the query rows and may reference ANY `base` column
+    * (e.g. `col("id") < 10`, `col("lang") === "en"`): the filter is
+    * applied to `base` itself and the banded query side is derived by
+    * a semi-join on id, so predicates on columns that don't ride the
+    * LSH shuffle still work. At 100 TB: signatures materialize as a
+    * bucketed table keyed by band value, and the defaults must scale
+    * up — 4-bit bands give only 16 buckets per band (bucket size
+    * n/16), so use nPlanes ≈ 48–62 with 4–6 bands (8–12 bits ≈
+    * 256–4096 buckets per band); more bands at fixed bits raises
+    * recall, more bits per band shrinks buckets. */
   def lshSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
                 k: Int = 5, dim: Int = 64, nPlanes: Int = 16,
                 bands: Int = 4): DataFrame = {
@@ -169,17 +169,22 @@ object Vectors {
     * arithmetic + explicit tie order make the fit bit-reproducible
     * across partitionings, retries, and engines — an oracle can
     * replay it. Per-round centroids go through `Engine.materialize`
-    * so the lineage doesn't nest across rounds. A cluster that loses
-    * all members disappears (deterministically) rather than being
-    * re-seeded. Returns (cluster_id, cvec, cnrm). */
+    * so the lineage doesn't nest across rounds; in table mode each
+    * superseded round's table is dropped once the next round has
+    * consumed it (only the FINAL codebook table remains — the same
+    * no-leak discipline as `Corpus.connectedComponents`). A cluster
+    * that loses all members disappears (deterministically) rather
+    * than being re-seeded. Returns (cluster_id, cvec, cnrm). */
   def kmeansFit(base: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     graft.functions.LongArrayDot.register(base.sparkSession)
+    val spark = base.sparkSession
     var cent = base.orderBy(col("id")).limit(k)
       .select(col("id"), col("sv"))
       .withColumn("cluster_id",
         (row_number().over(Window.orderBy(col("id"))) - 1).cast("long"))
       .select(col("cluster_id"), col("sv").as("cvec"))
       .withColumn("cnrm", expr("long_dot(cvec, cvec)"))
+    var centT: Option[String] = None
     for (i <- 0 until iters) {
       val asg = base.crossJoin(broadcast(cent))
         .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
@@ -188,7 +193,7 @@ object Vectors {
           .orderBy(col("score").desc, col("cluster_id").asc)))
         .filter(col("rn") === 1)
         .select(col("id"), col("sv"), col("cluster_id"))
-      cent = graft.Engine.materialize(
+      val (nextCent, nextT) = graft.Engine.materializeTracked(
         asg.select(col("cluster_id"), posexplode(col("sv")).as(Seq("d", "v")))
           .groupBy(col("cluster_id"), col("d"))
           .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -197,7 +202,10 @@ object Vectors {
           .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
             .as("cvec"))
           .withColumn("cnrm", expr("long_dot(cvec, cvec)")),
-        key = "cluster_id", name = s"kmeans_round_$i")
+        key = "cluster_id", name = s"kmeans_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, centT)
+      cent = nextCent
+      centT = nextT
     }
     cent
   }
@@ -205,7 +213,10 @@ object Vectors {
   /** IVF ANN over a [[kmeansFit]] codebook: assign every vector to its
     * best centroid, queries probe their `nprobe` nearest cells
     * (candidates stay single-cell, so probe unions have no
-    * duplicates). The label-free twin of [[ivfSearch]]. */
+    * duplicates). The label-free twin of [[ivfSearch]]. In table mode
+    * two tables outlive the call — the final codebook and the cell
+    * assignment (the returned frame reads the latter); reclaim them
+    * with `Engine.dropAllMaterialized` when the session is done. */
   def ivfKmeansSearch(base: DataFrame,
                       queryFilter: org.apache.spark.sql.Column,
                       k: Int = 3, kCells: Int = 8,

@@ -115,7 +115,11 @@ object Sources {
           s"source '$name' violates its schema contract: column " +
             s"'${f.name}' (${f.dataType.sql}) is missing " +
             s"(actual columns: ${actual.fieldNames.mkString(", ")})")
-        case Some(a) if a.dataType != f.dataType =>
+        // .sql comparison ignores nullability at EVERY nesting level
+        // (ARRAY<FLOAT> matches regardless of containsNull) — parquet
+        // writers disagree on it and the scaladoc promises it is not
+        // part of the contract
+        case Some(a) if a.dataType.sql != f.dataType.sql =>
           throw new IllegalArgumentException(
             s"source '$name' violates its schema contract: column " +
               s"'${f.name}' is ${a.dataType.sql}, contract declares " +

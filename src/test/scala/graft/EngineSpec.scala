@@ -165,6 +165,40 @@ class EngineSpec extends SparkSuite {
         expect = Some(missing))
     }
     assert(eMissing.getMessage.contains("missing"), eMissing.getMessage)
+    // nullability is advisory at EVERY nesting level: a contract
+    // declaring non-null array elements must accept a writer that
+    // marked them nullable (and vice versa)
+    val strictNull = StructType(Seq(StructField("embedding",
+      ArrayType(FloatType, containsNull = false))))
+    assert(graft.sources.Sources
+      .table(spark, sf(), "embeddings", expect = Some(strictNull))
+      .count() > 0)
+  }
+
+  test("materialize tokens distinguish identical plans over different data dirs") {
+    purgeMatTables("graft_mat_dir_check")
+    spark.conf.set("graft.materialize.mode", "table")
+    try {
+      // canonicalized plans ERASE scan paths — the leaf ids hashed
+      // into the token must keep these two frames on separate tables
+      // (same query shape, different data)
+      def build(dir: String) = graft.sources.Sources
+        .table(spark, dir, "lineitem").select($"l_orderkey".as("k"))
+      val a = Engine.materialize(build(sf("sf0.001")), key = "k",
+        name = "dir_check", buckets = 4)
+      val aCount = a.count()
+      val b = Engine.materialize(build(sf("sf0.01")), key = "k",
+        name = "dir_check", buckets = 4)
+      assert(b.count() !== aCount, "test needs different-sized dirs")
+      assert(a.count() === aCount,
+        "materializing over a second data dir clobbered the first table")
+      val tables = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_mat_dir_check"))
+      assert(tables.length === 2, s"expected 2 tables: ${tables.mkString(", ")}")
+    } finally {
+      spark.conf.unset("graft.materialize.mode")
+      purgeMatTables("graft_mat_dir_check")
+    }
   }
 
   test("materialize tokens are stable across separate builds of the same plan") {
