@@ -211,6 +211,38 @@ object Corpus extends org.apache.spark.internal.Logging {
                  blockCols: Seq[String] = Seq("lang", "source"),
                  minJaccard: Double = 0.5): DataFrame = {
     val bc = blockCols.map(col)
+    ngramScored(docs, blockCols)
+      .withColumn("jaccard", try_divide(col("inter"),
+        col("len_a") + col("len_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"), col("jaccard")): _*)
+  }
+
+  /** Character-3-gram CONTAINMENT pairs within blocks: containment
+    * C = |A∩B| / min(|A|, |B|) — 1.0 when the smaller doc's gram set
+    * lies entirely inside the larger's. This is the asymmetric family
+    * Jaccard misses: a short document quoted verbatim inside a long
+    * one scores jaccard ≈ |small|/|big| (tiny) but containment 1.0 —
+    * the quote/boilerplate-inclusion and test-set-leakage shape.
+    * Same inverted index, candidate cap, and exact capped ∪ hot
+    * scoring as [[ngramPairs]]. */
+  def containmentPairs(docs: DataFrame,
+                       blockCols: Seq[String] = Seq("lang", "source"),
+                       minContainment: Double = 0.8): DataFrame = {
+    val bc = blockCols.map(col)
+    ngramScored(docs, blockCols)
+      .withColumn("containment", try_divide(col("inter"),
+        least(col("len_a"), col("len_b"))))
+      .filter(col("containment") >= minContainment)
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"), col("containment")): _*)
+  }
+
+  /** Shared inverted-index pair scoring: (blockCols..., doc_a < doc_b,
+    * inter = EXACT |gramsA ∩ gramsB|, len_a, len_b) for every
+    * candidate pair sharing ≥1 non-hot gram in a block. */
+  private def ngramScored(docs: DataFrame,
+                          blockCols: Seq[String]): DataFrame = {
+    val bc = blockCols.map(col)
     val invAll = docs
       .select(col("doc_id") +: bc :+ col("text") :+
         explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1))))
@@ -252,10 +284,6 @@ object Corpus extends org.apache.spark.internal.Logging {
         Seq("doc_b"), "left")
       .withColumn("inter", col("inter_c") +
         coalesce(size(array_intersect(col("hot_a"), col("hot_b"))), lit(0)))
-      .withColumn("jaccard", try_divide(col("inter"),
-        col("len_a") + col("len_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(bc ++ Seq(col("doc_a"), col("doc_b"), col("jaccard")): _*)
   }
 
   /** Star edges for exact duplicates of a canonical key: every doc in

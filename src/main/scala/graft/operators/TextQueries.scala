@@ -726,8 +726,48 @@ object TextQueries {
             blockCols = Seq("lang", "source"), minJaccard = 0.5)
           .orderBy($"doc_a", $"doc_b")
       },
-      oracle = Some("""
-        WITH g AS (
+      oracle = Some(s"""
+        WITH $NGRAM_SCORED_CTES
+        SELECT lang, source, doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (len_a + len_b - inter) AS jaccard
+        FROM nscored
+        WHERE CAST(inter AS DOUBLE) / (len_a + len_b - inter) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      desc = "n-gram Jaccard near-dup: capped candidates, exact partitioned score"),
+
+    // ── containment pairs: the asymmetric dedup family ──────────────
+    // C = |A∩B| / min(|A|,|B|): a short doc quoted verbatim inside a
+    // long one scores jaccard ≈ |small|/|big| (invisible at any sane
+    // jaccard threshold) but containment 1.0 — the quote/boilerplate-
+    // inclusion and test-set-leakage shape. Shares dedup_ngram's
+    // inverted index, candidate cap, and exact capped ∪ hot scoring.
+    "dedup_containment" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.containmentPairs directly.
+        Corpus.containmentPairs(docs(s, dir),
+            blockCols = Seq("lang", "source"), minContainment = 0.8)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH $NGRAM_SCORED_CTES
+        SELECT lang, source, doc_a, doc_b,
+               CAST(inter AS DOUBLE) / least(len_a, len_b) AS containment
+        FROM nscored
+        WHERE CAST(inter AS DOUBLE) / least(len_a, len_b) >= 0.8
+        ORDER BY doc_a, doc_b"""),
+      desc = "containment near-dup: |A∩B|/min — catches doc-inside-doc quotes")
+  )
+
+  /** DuckDB twin of Corpus.ngramScored as CTEs ending in `nscored`
+    * (lang, source, doc_a, doc_b, inter, len_a, len_b) — shared by the
+    * jaccard and containment oracles so both score identically.
+    * (A `def`, not a `val`: it is referenced from the `queries` val
+    * above, and a later-declared val would still be null during that
+    * initializer.) */
+  private def NGRAM_SCORED_CTES: String = """
+        g AS (
           SELECT doc_id, lang, source,
             list_distinct(list_transform(
               range(1, greatest(length(text) - 2, 1) + 1),
@@ -758,22 +798,15 @@ object TextQueries {
             ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
            AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4),
-        scored AS (
+        nscored AS (
           SELECT i.lang, i.source, i.doc_a, i.doc_b,
                  i.inter_c + coalesce(
                    CAST(len(list_intersect(ha.hot, hb.hot)) AS BIGINT), 0)
                    AS inter,
-                 la.n_grams + lb.n_grams AS lensum
+                 la.n_grams AS len_a, lb.n_grams AS len_b
           FROM inter i
           JOIN lens la ON la.doc_id = i.doc_a
           JOIN lens lb ON lb.doc_id = i.doc_b
           LEFT JOIN hot ha ON ha.doc_id = i.doc_a
-          LEFT JOIN hot hb ON hb.doc_id = i.doc_b)
-        SELECT lang, source, doc_a, doc_b,
-               CAST(inter AS DOUBLE) / (lensum - inter) AS jaccard
-        FROM scored
-        WHERE CAST(inter AS DOUBLE) / (lensum - inter) >= 0.5
-        ORDER BY doc_a, doc_b"""),
-      desc = "n-gram Jaccard near-dup: capped candidates, exact partitioned score")
-  )
+          LEFT JOIN hot hb ON hb.doc_id = i.doc_b)"""
 }

@@ -63,6 +63,29 @@ class CorpusSpec extends SparkSuite {
     assert(pairs(Corpus.minhashPairsIncremental(docs, lit(false))).isEmpty)
   }
 
+  test("containmentPairs catches a doc quoted inside a longer one") {
+    // doc 21 is a verbatim substring of doc 20 (containment 1.0) but
+    // the size imbalance keeps jaccard far below any dedup threshold
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val long = ("padding words alpha beta gamma delta " * 8) + quote +
+      (" epsilon zeta eta theta iota kappa more tail" * 8)
+    // filler docs keep the block big enough that the pair's shared
+    // grams stay under the 50% document-frequency candidate cap (in a
+    // 2-doc block EVERY shared gram is at 100% df and capped away)
+    val filler = (30L to 37L).map(i =>
+      (i, s"unrelated filler number $i with its own distinct wording zz$i",
+        "en", "web"))
+    val pair = (Seq((20L, long, "en", "web"), (21L, quote, "en", "web")) ++
+      filler).toDF("doc_id", "text", "lang", "source")
+    val cont = Corpus.containmentPairs(pair, minContainment = 0.9)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont === Set((20L, 21L)),
+      s"quoted doc not caught by containment: $cont")
+    val jac = Corpus.ngramPairs(pair, minJaccard = 0.5).count()
+    assert(jac === 0, "jaccard should NOT fire on this size imbalance")
+  }
+
   test("stratifiedSample empirical keep-rate tracks the requested rate") {
     // 20k ids, one stratum at 10%: the 8-hex-char hash draw makes the
     // residue bias ~2e-8, so the empirical rate is binomial around
