@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Corpus, Vectors}
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe for the pair-generating operators (the ones
+  * whose naive forms are quadratic): run each at 1/4, 1/2, and full
+  * corpus size (`doc_id % k` subsets of SPARK_GRAFT_SF_DIR — real data
+  * distribution, not synthetic duplication, which would distort the
+  * near-dup structure the operators key on) and report wall seconds
+  * plus the fitted growth exponent `log4(t(1x) / t(0.25x))` —
+  * 1.0 = linear in corpus size, 2.0 = quadratic (all-pairs).
+  *
+  * Caveats for reading the numbers: each timing carries a fixed
+  * per-query overhead (session, materialize checkpoints) that biases
+  * exponents DOWN at small fractions, and pair OUTPUT volume depends
+  * on the dup structure of the subset, which biases UP ops on
+  * near-dup-saturated corpora. It is a trend check ("is anything
+  * secretly all-pairs?"), not a microbenchmark.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Sources.table(spark, sfDir, "documents")
+    val emb = Vectors.quantize(Sources.table(spark, sfDir, "embeddings"))
+      .withColumn("id", col("vec_id"))
+    def docFrac(k: Int): DataFrame = docs.filter(col("doc_id") % k === 0)
+    def embFrac(k: Int): DataFrame = emb.filter(col("vec_id") % k === 0)
+
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "minhash_pairs" -> (k => Corpus.minhashPairs(docFrac(k))),
+      "simhash_pairs" -> (k => Corpus.simhashPairs(docFrac(k))),
+      "ngram_pairs" -> (k => Corpus.ngramPairs(docFrac(k))),
+      "containment_pairs" -> (k => Corpus.containmentPairs(docFrac(k))),
+      "exact_dup_edges" -> (k => Corpus.exactDupEdges(docFrac(k))),
+      "semantic_dedup" -> (k => Vectors.semanticDedup(embFrac(k), tau = 0.4)))
+
+    // warmup: absorb session/codegen/footer costs outside the timings
+    docs.count(); emb.count()
+
+    ops.foreach { case (name, build) =>
+      // per-op prewarm at the smallest fraction: codegen/JIT for this
+      // op's operators would otherwise land entirely on the first
+      // timed point and push the fitted exponent negative
+      build(4).queryExecution.toRdd.count()
+      val times = Seq(4, 2, 1).map { k =>
+        val t0 = System.nanoTime()
+        val rows = build(k).queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (k, sec, rows)
+      }
+      val t25 = times.head._2
+      val t100 = times.last._2
+      val exponent = math.log(t100 / t25) / math.log(4.0)
+      val pts = times.map { case (k, s, r) =>
+        s""""x${4 / k}":{"sec":${"%.2f".format(s)},"rows":$r}"""
+      }.mkString(",")
+      println(s"""{"op":"$name",$pts,"exponent":${"%.2f".format(exponent)}}""")
+    }
+    spark.stop()
+  }
+}
