@@ -148,6 +148,32 @@ object StreamingModels {
       }
   }
 
+  /** Stream → day-partitioned lake: each micro-batch dynamic-
+    * partition-overwrites ONLY the service days it touches
+    * (`Engine.refreshByServiceDay`), leaving every other day's files
+    * untouched — the streaming form of the reference's
+    * partition-by-day / refresh-changed-days production cadence, and
+    * the only affordable one at 100 TB (a trigger rewrites its days,
+    * not the table). `df` must carry a `service_day_local` column;
+    * start/stop the returned query like any StreamingQuery.
+    *
+    * foreachBatch is the right seam (not a file sink): the file sink
+    * can only APPEND, so late data for an already-written day would
+    * duplicate instead of replace; batch-mode dynamic overwrite gives
+    * exactly-once day refreshes as long as a day's rows arrive within
+    * one trigger (pair with a watermark at the day boundary for
+    * stragglers). */
+  def sinkByServiceDay(df: DataFrame, outPath: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) graft.Engine.refreshByServiceDay(batch, outPath)
+      }
+
   case class Evt(user_id: Long, event_type: String, tsSec: Long)
   case class SessionState(n: Long, firstSec: Long, lastSec: Long)
   case class SessionOut(user_id: Long, n_events: Long, span_s: Long)

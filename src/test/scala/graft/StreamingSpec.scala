@@ -11,6 +11,30 @@ import org.apache.spark.sql.streaming.OutputMode
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
+  test("sinkByServiceDay replaces touched day partitions, leaves others") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("graft_day_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_day_cp").toString
+    val q = StreamingModels.sinkByServiceDay(
+      in.toDS().toDF("id", "service_day_local"), out, cp).start()
+    try {
+      in.addData((1L, "2025-01-01"), (2L, "2025-01-02"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 2)
+      // the second trigger touches ONLY day 2: its partition is
+      // REPLACED by the batch's rows (id 2 gone, id 3 in) while day 1
+      // is untouched — dynamic overwrite, not append
+      in.addData((3L, "2025-01-02"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out)
+        .select($"id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L),
+        s"expected day-2 replaced and day-1 untouched, got $ids")
+    } finally q.stop()
+  }
+
   test("windowed bucket counts under a stream match the batch run") {
     val batch = Sources.table(spark, sf(), "events")
     // batch form (same code path — streaming-reusable aggregation)
