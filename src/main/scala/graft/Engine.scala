@@ -127,9 +127,21 @@ object Engine {
           plan.canonicalized.toString + leafIds).getBytes("UTF-8"))
         .take(8).map("%02x".format(_)).mkString
       val table = s"graft_mat_${name}_$token"
-      df.write.mode("overwrite")
-        .bucketBy(buckets, key).sortBy(key)
-        .format("parquet").saveAsTable(table)
+      // opt-in cross-query reuse: with `graft.materialize.reuse=true`,
+      // a table that already exists for this exact (plan, data) token
+      // is returned WITHOUT recomputing — e.g. the n-gram index that
+      // both the jaccard and containment queries build. Safe exactly
+      // when sources are immutable for the session (the 100 TB corpus
+      // case); if files are rewritten IN PLACE under unchanged paths,
+      // the token cannot see it — leave the default (always rebuild,
+      // dbt semantics) for mutable sources.
+      val reuse = spark.conf
+        .getOption("graft.materialize.reuse").contains("true")
+      if (!(reuse && spark.catalog.tableExists(table))) {
+        df.write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(table)
+      }
       (spark.table(table), Some(table))
     }
   }

@@ -225,6 +225,38 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("materialize.reuse=true skips recompute for an existing token table") {
+    purgeMatTables("graft_mat_reuse_check")
+    spark.conf.set("graft.materialize.mode", "table")
+    try {
+      def build() = graft.sources.Sources.table(spark, sf(), "region")
+        .select($"r_regionkey".as("k"), $"r_name")
+      val firstCount = Engine.materialize(build(), key = "k",
+        name = "reuse_check", buckets = 2).count()
+      val table = spark.catalog.listTables().collect().map(_.name)
+        .find(_.startsWith("graft_mat_reuse_check")).get
+      // replace the backing table's rows out-of-band so reuse vs
+      // rebuild is observable
+      spark.sql(s"INSERT OVERWRITE TABLE `$table` SELECT -1, 'MARKER'")
+      spark.conf.set("graft.materialize.reuse", "true")
+      val reused = Engine.materialize(build(), key = "k",
+        name = "reuse_check", buckets = 2)
+      assert(reused.count() === 1 &&
+        reused.select($"r_name").as[String].head() === "MARKER",
+        "reuse=true must return the existing table untouched")
+      // default semantics: rebuild overwrites the marker
+      spark.conf.unset("graft.materialize.reuse")
+      val rebuilt = Engine.materialize(build(), key = "k",
+        name = "reuse_check", buckets = 2)
+      assert(rebuilt.count() === firstCount && firstCount > 1,
+        "default must rebuild the table from the plan")
+    } finally {
+      spark.conf.unset("graft.materialize.reuse")
+      spark.conf.unset("graft.materialize.mode")
+      purgeMatTables("graft_mat_reuse_check")
+    }
+  }
+
   test("every test source satisfies its declared contract") {
     graft.sources.Sources.testTables.foreach { t =>
       val c = graft.sources.Sources.contracts(t)
