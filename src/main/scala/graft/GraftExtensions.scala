@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, Md5PrefixLong}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,7 +22,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - `PushFilterThroughAsOfJoin` — left-side predicate pushdown
   *    through the custom operator;
   *  - `long_dot` — the codegen'd integer-dot `Expression`, callable
-  *    from `expr(...)` / SQL without `LongArrayDot.register`.
+  *    from `expr(...)` / SQL without `LongArrayDot.register`;
+  *  - `md5_prefix_long` — the codegen'd digest-prefix hash (the
+  *    portable-hash idiom without per-value hex strings), same
+  *    standing registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -34,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LongArrayDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix_long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5PrefixLong(exprs(0), exprs(1))))
   }
 }

@@ -96,6 +96,7 @@ object Corpus extends org.apache.spark.internal.Logging {
     * frame — the shingle→minhash pipeline, run exactly once. */
   private def minhashSigToks(docs: DataFrame,
                              carry: Seq[String] = Nil): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
     val base = docs.select(col("doc_id") +:
       split(col("text"), " ").as("raw") +:
       array_distinct(split(col("text"), " ")).as("toks") +:
@@ -108,8 +109,11 @@ object Corpus extends org.apache.spark.internal.Logging {
              concat_ws(' ', element_at(raw, i),
                element_at(raw, i + 1), element_at(raw, i + 2))
            ELSE concat_ws(' ', raw) END""").as("s"))
-      .withColumn("hs", expr(
-        "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 1000003L"))
+      // md5_prefix_long ≡ CAST(conv(substring(md5(s),1,14),16,10) AS
+      // BIGINT) — same value straight from the digest bytes, no
+      // 32-char hex string per shingle (this explode is the hottest
+      // hashing site; Md5PrefixSpec pins the equivalence)
+      .withColumn("hs", expr("md5_prefix_long(s, 14) % 1000003L"))
     val mhAggs = (0 until 8).map(i =>
       min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
         .as(s"mh$i"))
@@ -161,11 +165,13 @@ object Corpus extends org.apache.spark.internal.Logging {
     * through smaller buckets. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
                    bucketCap: Int = 512): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("h", expr(
-        "CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) & 4294967295"))
+      // digest-byte twin of conv(substring(md5(t),1,14),16,10) — see
+      // minhashSigToks
+      .withColumn("h", expr("md5_prefix_long(t, 14) & 4294967295"))
     val voteAggs = (0 until 32).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
     val votes = tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
