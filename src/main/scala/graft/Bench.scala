@@ -19,6 +19,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in alternate materialization configs so the reuse story has
+    // measured numbers (PERF.md), not claims: SPARK_GRAFT_MAT_MODE
+    // (local|table), SPARK_GRAFT_REUSE=1 (cross-run table reuse),
+    // SPARK_GRAFT_SHARE=0 (disable in-session shared frames).
+    sys.env.get("SPARK_GRAFT_MAT_MODE")
+      .foreach(spark.conf.set("graft.materialize.mode", _))
+    if (sys.env.get("SPARK_GRAFT_REUSE").contains("1"))
+      spark.conf.set("graft.materialize.reuse", "true")
+    if (sys.env.get("SPARK_GRAFT_SHARE").contains("0"))
+      spark.conf.set("graft.materialize.share", "false")
 
     // warmup: touch every source table + run one small aggregation
     graft.sources.Sources.testTables.foreach { t =>
@@ -26,6 +36,7 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val flaky = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // toRdd.foreach materializes every output row with all its
       // expressions evaluated — count() would let Catalyst prune
@@ -38,32 +49,50 @@ object Bench {
       // almost never both — the min is the contention-resistant
       // estimate of what the plan costs (a real regression slows both
       // runs, so it still shows).
-      val samples = (0 until 2).map { _ =>
+      // shared-frame honesty: a query that BUILDS an Engine
+      // .materializeShared frame must pay the build in BOTH samples —
+      // otherwise sample 2 hits the cache and min() discards the build
+      // cost entirely. Snapshot the cache before sample 1 and roll
+      // back what the sample added; sample 2 rebuilds and its entries
+      // stay, so later queries that merely reuse the frame ride it
+      // (their cheap samples are the honest pipeline cost).
+      val samples = (0 until 2).map { i =>
+        val snap = Engine.sharedKeys()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
           catch {
             case e: Throwable =>
-              if (!failed.contains(name)) {
+              if (!failed.contains(name) && !flaky.contains(name)) {
                 failed += name
                 System.err.println(s"BENCH FAIL $name: $e")
               }
               false
           }
+        if (i == 0) Engine.retainShared(snap)
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       // only SUCCESSFUL runs are timing samples — a fast crash must
       // not min() a real measurement down to its throw time. A query
       // with no successful run reports its slowest attempt (it is
-      // also in `failed`, so it cannot read as a success).
+      // also in `failed`, so it cannot read as a success). A query
+      // that crashed once but succeeded later is FLAKY, not failed —
+      // its reported time is the successful sample, and the name moves
+      // to `flaky` so the JSON never shows a query as both failed and
+      // normally timed.
       val good = samples.filter(_._1).map(_._2)
+      if (good.nonEmpty && failed.contains(name)) {
+        failed -= name
+        flaky += name
+      }
       name -> (if (good.nonEmpty) good.min else samples.map(_._2).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,6 +99,43 @@ object Engine {
     * in table mode (`None` in local mode) so iterative callers — e.g.
     * connectedComponents' per-round labels — can drop a superseded
     * round's table instead of leaking one table per iteration. */
+  /** Stable 8-byte identity token for (application, logical plan,
+    * leaf data). Canonicalization normalizes exprIds (two
+    * logically-identical frames built separately map to the same
+    * token) but erases scan paths, so leaf identities — file-scan
+    * root paths, v2 table names, inline-data hashes, checkpoint RDD
+    * ids, and a nodeName+schema catch-all for any other leaf kind
+    * (Hive relations, custom sources) — are hashed in explicitly.
+    * Used to namespace materialized tables and to key
+    * [[materializeShared]] frames. `extra` folds caller context
+    * (e.g. parameter values) into the token. */
+  def planToken(df: DataFrame, extra: String = ""): String = {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.analyzed
+    val leafIds = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        v2.name
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"local:${l.data.hashCode}"
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        s"rdd:${r.rdd.id}"
+      case other if other.children.isEmpty =>
+        // catch-all: without it two distinct unknown-leaf sources with
+        // identical canonicalized shapes would share one token
+        s"${other.nodeName}:${other.schema.catalogString}"
+    }.mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((spark.sparkContext.applicationId +
+        plan.canonicalized.toString + leafIds + extra).getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
   def materializeTracked(df: DataFrame, key: String, name: String,
                          buckets: Int = 32): (DataFrame, Option[String]) = {
     val spark = df.sparkSession
@@ -106,26 +143,10 @@ object Engine {
       if (spark.sparkContext.isLocal) "local" else "table")
     if (mode == "local") (df.localCheckpoint(), None)
     else {
-      val plan = df.queryExecution.analyzed
       // canonicalized.toString nulls out scan paths and table
       // identity — without the leaf ids, the same query shape over
       // two data dirs would silently share one table
-      val leafIds = plan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.mkString(",")
-            case other => other.toString
-          }
-        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-          v2.name
-        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-          s"local:${l.data.hashCode}"
-      }.mkString(";")
-      val token = java.security.MessageDigest.getInstance("MD5")
-        .digest((spark.sparkContext.applicationId +
-          plan.canonicalized.toString + leafIds).getBytes("UTF-8"))
-        .take(8).map("%02x".format(_)).mkString
+      val token = planToken(df)
       val table = s"graft_mat_${name}_$token"
       // opt-in cross-query reuse: with `graft.materialize.reuse=true`,
       // a table that already exists for this exact (plan, data) token
@@ -134,7 +155,11 @@ object Engine {
       // when sources are immutable for the session (the 100 TB corpus
       // case); if files are rewritten IN PLACE under unchanged paths,
       // the token cannot see it — leave the default (always rebuild,
-      // dbt semantics) for mutable sources.
+      // dbt semantics) for mutable sources. The exists-check and the
+      // read are not atomic: reuse assumes a SINGLE writer per token
+      // (one driver per application — the token embeds the app id, so
+      // cross-application races cannot occur; concurrent same-app
+      // threads should share via [[materializeShared]] instead).
       val reuse = spark.conf
         .getOption("graft.materialize.reuse").contains("true")
       if (!(reuse && spark.catalog.tableExists(table))) {
@@ -144,6 +169,64 @@ object Engine {
       }
       (spark.table(table), Some(table))
     }
+  }
+
+  private val sharedFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Session-scoped SHARED materialization — the in-memory sibling of
+    * the `graft.materialize.reuse` knob, for a frame that several
+    * registered queries build identically (e.g. the n-gram scored-pairs
+    * frame behind both the jaccard and containment dedups: without
+    * sharing, each query rebuilds the same multi-million-row inverted
+    * index).
+    *
+    * `token` must identify the INPUT data + transform — derive it with
+    * [[planToken]] on the PRE-transform input frame plus a transform
+    * tag, never on the built frame itself: a built frame that reads an
+    * upstream checkpoint carries a fresh RDD identity each time, so
+    * its own token would never hit the cache. `df` is by-name and only
+    * evaluated on a miss; `computeIfAbsent` makes concurrent same-JVM
+    * callers single-writer per token.
+    *
+    * Correct exactly when sources are immutable for the session (the
+    * reuse-knob caveat); tokens embed the application id, so entries
+    * from other sessions in the same JVM can never be returned (they
+    * only age out — call [[clearShared]] for test hygiene). Disable
+    * per-session with `graft.materialize.share=false` (every call then
+    * materializes fresh, dbt semantics). */
+  def materializeShared(spark: SparkSession, token: String,
+                        df: => DataFrame, key: String,
+                        name: String): DataFrame = {
+    val share = !spark.conf.getOption("graft.materialize.share")
+      .contains("false")
+    if (!share) materialize(df, key, name)
+    else sharedFrames.computeIfAbsent(token,
+      _ => materialize(df, key, name))
+  }
+
+  /** Drop every cached [[materializeShared]] frame (test hygiene —
+    * entries are per-application-id and otherwise live for the JVM). */
+  def clearShared(): Unit = sharedFrames.clear()
+
+  /** Snapshot of the current [[materializeShared]] keys — pair with
+    * [[retainShared]] to roll back entries added by a benchmark
+    * sample. */
+  def sharedKeys(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    sharedFrames.keySet.asScala.toSet
+  }
+
+  /** Evict every [[materializeShared]] entry whose key is NOT in
+    * `keep`. Benchmarks use this between two samples of one query so
+    * the query that BUILDS a shared frame pays its build cost in every
+    * sample (min-of-runs must not discard the build into a discarded
+    * first sample), while queries that merely REUSE a frame built by
+    * an earlier query keep riding it — per-query times then compose
+    * into an honest pipeline total. */
+  def retainShared(keep: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    sharedFrames.keySet.asScala.filterNot(keep).foreach(sharedFrames.remove)
   }
 
   /** Drop a table returned by [[materializeTracked]] (no-op for local

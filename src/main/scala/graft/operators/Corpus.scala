@@ -245,9 +245,27 @@ object Corpus extends org.apache.spark.internal.Logging {
 
   /** Shared inverted-index pair scoring: (blockCols..., doc_a < doc_b,
     * inter = EXACT |gramsA ∩ gramsB|, len_a, len_b) for every
-    * candidate pair sharing ≥1 non-hot gram in a block. */
+    * candidate pair sharing ≥1 non-hot gram in a block.
+    *
+    * The scored frame is materialized ONCE per (input data, blockCols)
+    * through `Engine.materializeShared`: both score families — jaccard
+    * ([[ngramPairs]]) and containment ([[containmentPairs]]) — derive
+    * from these same three numbers, so the second query is a
+    * projection + filter over the cached frame instead of a second
+    * multi-million-row inverted-index build. The share token comes
+    * from the `docs` INPUT plan (stable across invocations), not the
+    * built frame (whose checkpoint identity is fresh each build). */
   private def ngramScored(docs: DataFrame,
                           blockCols: Seq[String]): DataFrame = {
+    val token = graft.Engine.planToken(docs,
+      extra = "ngram_scored:" + blockCols.mkString(","))
+    graft.Engine.materializeShared(docs.sparkSession, token,
+      buildNgramScored(docs, blockCols), key = "doc_a",
+      name = "ngram_scored")
+  }
+
+  private def buildNgramScored(docs: DataFrame,
+                               blockCols: Seq[String]): DataFrame = {
     val bc = blockCols.map(col)
     val invAll = docs
       .select(col("doc_id") +: bc :+ col("text") :+
@@ -290,6 +308,10 @@ object Corpus extends org.apache.spark.internal.Logging {
         Seq("doc_b"), "left")
       .withColumn("inter", col("inter_c") +
         coalesce(size(array_intersect(col("hot_a"), col("hot_b"))), lit(0)))
+      // slim the cached frame to what both score families read — the
+      // hot-gram arrays were only needed for the inter correction
+      .select(bc ++ Seq(col("doc_a"), col("doc_b"), col("inter"),
+        col("len_a"), col("len_b")): _*)
   }
 
   /** Star edges for exact duplicates of a canonical key: every doc in
