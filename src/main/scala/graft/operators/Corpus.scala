@@ -465,4 +465,96 @@ object Corpus extends org.apache.spark.internal.Logging {
           .otherwise(lit(null).cast("string")))
       .withColumn("keep", col("drop_reason").isNull)
   }
+
+  /** Deterministic BPE merge training — the iterative pair-merge loop
+    * that turns the `text_tokens_bpe` pre-token counts into an actual
+    * tokenizer (the reference has no analog; this is the
+    * training-data-pipeline extension family).
+    *
+    * Semantics are classic BPE (Sennrich et al. 2016): words are the
+    * corpus's alphabetic pre-tokens (`[A-Za-z]+` — the letter-run
+    * class of the text_tokens_bpe pre-tokenizer; digits/punctuation
+    * are single-symbol classes with nothing to merge), weighted by
+    * corpus frequency; each round counts adjacent symbol pairs over
+    * the current segmentations, merges the single most frequent pair
+    * everywhere (left-to-right greedy within a word), and records it.
+    * Determinism: integer pair counts, tie order (count DESC, left
+    * ASC, right ASC — binary collation both engines), fixed `merges`
+    * round count, and a fold-based merge application (string-typed
+    * accumulator) that cannot disagree across partitionings — an
+    * oracle can replay the fit round by round, exactly like the
+    * `kmeansFit` replay.
+    *
+    * Scale shape (the `kmeansFit` loop pattern): the word-frequency
+    * table — vocabulary-sized, many orders below corpus size — is
+    * built once; each round runs one distributed pair-count aggregate
+    * plus a narrow per-word fold, with the per-round state going
+    * through `Engine.materialize` (superseded rounds dropped). The
+    * winning pair stays a 1-row broadcast frame joined into the next
+    * round — no driver-side collect anywhere. In table mode the N
+    * 1-row merge frames outlive the call (the returned frame reads
+    * them); reclaim with `Engine.dropAllMaterialized`.
+    *
+    * Returns (merge_rank, left_sym, right_sym, pair_freq) ordered by
+    * rank. */
+  def bpeFit(docs: DataFrame, merges: Int = 8): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = docs.sparkSession
+    // symbol state `s` = space-joined symbols (symbols are letter
+    // sequences — never contain spaces), initially one char each
+    val words = docs
+      .select(explode(expr("regexp_extract_all(text, '([A-Za-z]+)')")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("s", expr("trim(regexp_replace(word, '(.)', '$1 '))"))
+    var (state, stateT) = graft.Engine.materializeTracked(
+      words.select(col("word"), col("freq"), col("s")),
+      key = "word", name = "bpe_round_init")
+    val bests = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 0 until merges) {
+      val pairs = state
+        .select(col("freq"), explode(expr(
+          """CASE WHEN size(split(s, ' ')) < 2 THEN
+               CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>)
+             ELSE transform(sequence(1, size(split(s, ' ')) - 1),
+               i -> struct(element_at(split(s, ' '), i) AS l,
+                           element_at(split(s, ' '), i + 1) AS r))
+             END""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pair_freq"))
+      val best = graft.Engine.materialize(
+        pairs.orderBy(col("pair_freq").desc, col("l"), col("r")).limit(1)
+          .withColumn("merge_rank", lit(r)),
+        key = "l", name = s"bpe_best_$r")
+      bests += best
+      if (r < merges - 1) {
+        // left-to-right greedy merge as a string fold: acc is the
+        // space-joined merged prefix; merge exactly when the LAST
+        // symbol of acc is bl and the incoming symbol is br (a token
+        // merged this step never re-merges this round — one rule per
+        // round). substr strips "<space>bl" off the tail; acc = bl
+        // means bl was the whole prefix. (Skipped after the final
+        // pick — nothing consumes the segmentation.)
+        val merged = state
+          .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+          .select(col("word"), col("freq"), expr(
+            """aggregate(
+                 slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+                 element_at(split(s, ' '), 1),
+                 (acc, x) -> CASE
+                   WHEN (acc = bl OR endswith(acc, concat(' ', bl))) AND x = br
+                   THEN CASE WHEN acc = bl THEN concat(bl, br)
+                        ELSE concat(substr(acc, 1, length(acc) - length(bl) - 1),
+                                    ' ', bl, br) END
+                   ELSE concat(acc, ' ', x) END)""").as("s"))
+        val (next, nextT) = graft.Engine.materializeTracked(
+          merged, key = "word", name = s"bpe_round_${r % 2}")
+        graft.Engine.dropMaterialized(spark, stateT)
+        state = next
+        stateT = nextT
+      } else graft.Engine.dropMaterialized(spark, stateT)
+    }
+    bests.reduce(_.unionByName(_))
+      .select(col("merge_rank"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("pair_freq"))
+  }
 }

@@ -101,6 +101,49 @@ object TextQueries {
           WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
                   / len(list_distinct(list_concat(toks_a, toks_b))) >= 0.5)"""
 
+  /** DuckDB twin of Corpus.bpeFit: N unrolled merge rounds, each a
+    * pair-count CTE + a 1-row best-pair CTE + a list_reduce merge
+    * application — the same fold expression as the Spark side
+    * (string-typed accumulator, ends_with tail test, substr strip). */
+  private def duckBpeFitSql(merges: Int): String = {
+    val rounds = (0 until merges).map { r => s"""
+        p$r AS (
+          SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq FROM (
+            SELECT freq, syms[i] AS l, syms[i + 1] AS r FROM (
+              SELECT freq, syms, unnest(range(1, len(syms))) AS i
+              FROM (SELECT freq, string_split(s, ' ') AS syms FROM s$r)))
+          GROUP BY l, r),
+        b$r AS (
+          SELECT $r AS merge_rank, l, r, pair_freq
+          FROM p$r ORDER BY pair_freq DESC, l, r LIMIT 1),
+        s${r + 1} AS (
+          SELECT word, freq,
+            list_reduce(string_split(s, ' '), (acc, x) -> CASE
+              WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+              THEN CASE WHEN acc = b.l THEN b.l || b.r
+                   ELSE substr(acc, 1,
+                          CAST(length(acc) - length(b.l) - 1 AS INT))
+                        || ' ' || b.l || b.r END
+              ELSE acc || ' ' || x END) AS s
+          FROM s$r, b$r b)"""
+    }.mkString(",")
+    val union = (0 until merges).map(r => s"SELECT * FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""
+        WITH
+        w AS (
+          SELECT word, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word
+            FROM documents)
+          GROUP BY word),
+        s0 AS (
+          SELECT word, freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+          FROM w),$rounds
+        SELECT merge_rank, l AS left_sym, r AS right_sym, pair_freq
+        FROM ($union)
+        ORDER BY merge_rank"""
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ── token statistics (counting, type-token ratio) ───────────────
@@ -195,6 +238,22 @@ object TextQueries {
         FROM c GROUP BY token
         ORDER BY tf DESC, token LIMIT 200"""),
       desc = "vocabulary building: token tf/df table, deterministic top-k"),
+
+    // ── BPE merge training (the iterative fit) ──────────────────────
+    // text_tokens_bpe counts pre-tokens and text_vocab cuts a
+    // frequency vocabulary; THIS is the loop that turns those counts
+    // into a tokenizer: 8 rounds of most-frequent-adjacent-pair
+    // merging over the alphabetic pre-tokens, replayed round-by-round
+    // by the oracle (the kmeansFit replay pattern — deterministic tie
+    // order, integer counts, fold-based merge application).
+    "text_bpe_fit" -> Q(
+      fn = (s, dir) => {
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.bpeFit directly.
+        Corpus.bpeFit(docs(s, dir), merges = 8).orderBy(col("merge_rank"))
+      },
+      oracle = Some(duckBpeFitSql(8)),
+      desc = "BPE merge training: 8 deterministic most-frequent-pair merges"),
 
     // ── quality scoring: punct/upper/digit/stopword ratios ──────────
     "text_quality" -> Q(

@@ -48,6 +48,24 @@ class CorpusSpec extends SparkSuite {
     assert(s2 === s1, "sample must be reproducible")
   }
 
+  test("bpeFit learns the hand-computed merge sequence") {
+    // words: aa×3, ab×2, aaaa×1.
+    // round 0 pairs: (a,a): 3 (from aa) + 3 (adjacent positions in
+    //   aaaa) = 6; (a,b): 2 → best (a,a,6).
+    // greedy merge in aaaa: [a a a a] → [aa aa] (positions 1-2 then
+    //   3-4; the merged token cannot chain this round).
+    // round 1 pairs: (a,b): 2 (ab); (aa,aa): 1 (aaaa) → best (a,b,2).
+    // round 2 pairs: (aa,aa): 1 → best (aa,aa,1).
+    val tiny = Seq((1L, "aa ab aa aaaa"), (2L, "aa ab"))
+      .toDF("doc_id", "text")
+    val m = Corpus.bpeFit(tiny, merges = 3)
+      .orderBy($"merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m.toSeq === Seq((0, "a", "a", 6L), (1, "a", "b", 2L),
+      (2, "aa", "aa", 1L)), s"unexpected merges: ${m.toSeq}")
+  }
+
   test("minhashPairsIncremental equals the backfill restricted to new sides") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select($"doc_a", $"doc_b").collect()
