@@ -466,6 +466,91 @@ object Corpus extends org.apache.spark.internal.Logging {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** Deterministic training-shard assignment — the pipeline's last
+    * mile: `corpus_clean` representatives + `text_split_assign` splits
+    * end here, as size-balanced, deterministically-shuffled shards a
+    * training run can consume.
+    *
+    * Semantics: docs are ordered by (h, doc_id) where h =
+    * md5-prefix(doc_id) — a deterministic global shuffle — and cut
+    * into `nShards` contiguous runs of ≈equal TOKEN count (budget =
+    * ceil(total_tokens / nShards); a doc straddling a boundary lands
+    * in the shard where its run starts, so shard token sums differ by
+    * at most one document). `shard_rank` is the doc's position within
+    * its shard in the same order.
+    *
+    * Scale shape: the defining order is a GLOBAL cumulative token sum,
+    * but nothing here runs single-partition. h's top 12 bits form
+    * 4096 order-aligned buckets (bucket asc, then h asc ≡ h asc);
+    * per-bucket token totals prefix-sum on a 4096-row frame (the only
+    * windowed-without-partition step — bounded, broadcast back), and
+    * the within-bucket cumulative sums run windowed PER BUCKET. Ranks
+    * decompose the same way: within-(shard, bucket) row_number plus
+    * broadcast (shard, bucket) prefix counts. At 100 TB: raise
+    * `nShards` so one shard fits one writer task — the per-shard sort
+    * a deterministic export needs anyway.
+    *
+    * Returns (doc_id, ntok, shard_id, shard_rank). */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("h", expr("md5_prefix_long(CAST(doc_id AS STRING), 14)"))
+      .withColumn("bucket", expr("h >> 44"))
+    val bucketAgg = base.groupBy(col("bucket"))
+      .agg(sum(col("ntok")).as("btok"))
+    // ≤4096 rows: the unpartitioned windows here are bounded by the
+    // bucket count, never by data size
+    val wPrefix = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bucketAgg
+      .withColumn("boff", coalesce(sum(col("btok")).over(wPrefix), lit(0L)))
+      .withColumn("total", sum(col("btok")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("bucket"), col("boff"), col("total"))
+    val wInBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = base.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("cum_excl",
+        col("boff") + coalesce(sum(col("ntok")).over(wInBucket), lit(0L)))
+      .withColumn("budget",
+        greatest(expr(s"(total + ${nShards} - 1) div ${nShards}"), lit(1L)))
+      .withColumn("shard_id",
+        least(expr("cum_excl div budget"), lit(nShards - 1L)).cast("int"))
+    // two-level rank: row_number within (shard, bucket) + broadcast
+    // prefix counts of earlier buckets in the same shard
+    val wSB = Window.partitionBy(col("shard_id"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val sbCounts = assigned.groupBy(col("shard_id"), col("bucket"))
+      .agg(count(lit(1)).as("sbn"))
+    val wSBPrefix = Window.partitionBy(col("shard_id"))
+      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val sbOff = sbCounts
+      .withColumn("sboff", coalesce(sum(col("sbn")).over(wSBPrefix), lit(0L)))
+      .select(col("shard_id"), col("bucket"), col("sboff"))
+    assigned.join(broadcast(sbOff), Seq("shard_id", "bucket"))
+      .withColumn("shard_rank",
+        (col("sboff") + row_number().over(wSB)).cast("long"))
+      .select(col("doc_id"), col("ntok"), col("shard_id"), col("shard_rank"))
+  }
+
+  /** [[shardAssign]] + deterministic export through the write seam:
+    * one directory per shard (`shard_id=K/`), rows carried with their
+    * assignment, content ordered by shard_rank within each shard's
+    * writer partition. Re-running over the same input produces the
+    * same per-shard row sequences (file NAMES carry task UUIDs; the
+    * CONTENT is the deterministic artifact — EngineSpec asserts it). */
+  def shardExport(docs: DataFrame, outPath: String, nShards: Int): Unit = {
+    val withShard = docs.join(shardAssign(docs, nShards), Seq("doc_id"))
+    withShard
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("shard_rank"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
+  }
+
   /** Deterministic BPE merge training — the iterative pair-merge loop
     * that turns the `text_tokens_bpe` pre-token counts into an actual
     * tokenizer (the reference has no analog; this is the

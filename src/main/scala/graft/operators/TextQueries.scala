@@ -395,6 +395,43 @@ object TextQueries {
         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""),
       desc = "deterministic hash-based train/valid/test split"),
 
+    // ── deterministic training-shard assignment ─────────────────────
+    // The export last mile: docs in deterministic md5-shuffled order,
+    // cut into 8 contiguous runs of ≈equal token count. The Spark side
+    // computes the global cumulative sum two-level (order-aligned hash
+    // buckets + broadcast prefix frames — no single-partition window);
+    // the oracle states the same semantics as one global window.
+    "text_shard_assign" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.shardAssign directly.
+        Corpus.shardAssign(docs(s, dir), nShards = 8)
+          .orderBy(col("shard_id"), col("shard_rank")),
+      oracle = Some("""
+        WITH sa_base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                   AS h
+          FROM documents),
+        sa_tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM sa_base),
+        sa_cum AS (
+          SELECT doc_id, ntok, h,
+            CAST(COALESCE(sum(ntok) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_excl
+          FROM sa_base),
+        sa_sh AS (
+          SELECT doc_id, ntok, h,
+            CAST(least(cum_excl // greatest((total + 7) // 8, 1), 7)
+              AS INT) AS shard_id
+          FROM sa_cum, sa_tot)
+        SELECT doc_id, ntok, shard_id,
+               row_number() OVER (PARTITION BY shard_id
+                 ORDER BY h, doc_id) AS shard_rank
+        FROM sa_sh ORDER BY shard_id, shard_rank"""),
+      desc = "token-balanced deterministic shard assignment (export last mile)"),
+
     // ── stratified sampling (per-stratum rates, hash-deterministic) ─
     // Corpus balancing: sample each (lang) stratum at its own rate via
     // the md5-of-id rule — the only reproducible sample at 100 TB

@@ -66,6 +66,46 @@ class CorpusSpec extends SparkSuite {
       (2, "aa", "aa", 1L)), s"unexpected merges: ${m.toSeq}")
   }
 
+  test("shardAssign balances token counts and ignores input partitioning") {
+    val many = spark.range(1, 401)
+      .selectExpr("id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 5 + CAST(id % 37 AS INT)), x -> 'w')) AS text")
+    val a = Corpus.shardAssign(many, nShards = 4)
+    val sums = a.groupBy($"shard_id").agg(sum($"ntok").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sums.keySet === Set(0, 1, 2, 3), s"missing shards: $sums")
+    // contiguous token-budget cut: shard sums differ by at most the
+    // largest single document (41 tokens here)
+    assert(sums.values.max - sums.values.min <= 41,
+      s"shards unbalanced: $sums")
+    // deterministic under ANY input partitioning
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(key(Corpus.shardAssign(many.repartition(7), 4)) === key(a))
+    // ranks are a dense 1..n sequence per shard
+    val badRank = a.groupBy($"shard_id")
+      .agg(count(lit(1)).as("n"), max($"shard_rank").as("mx"),
+        min($"shard_rank").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1L).count()
+    assert(badRank === 0L, "shard_rank must be dense 1..n per shard")
+  }
+
+  test("shardExport re-runs produce identical per-shard content") {
+    val many = spark.range(1, 101)
+      .selectExpr("id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 3 + CAST(id % 11 AS INT)), x -> 'w')) AS text")
+    val out1 = java.nio.file.Files.createTempDirectory("shard1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("shard2").toString
+    Corpus.shardExport(many, out1, nShards = 3)
+    Corpus.shardExport(many.repartition(5), out2, nShards = 3)
+    def content(p: String) = spark.read.parquet(p)
+      .select($"shard_id", $"shard_rank", $"doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val c1 = content(out1)
+    assert(c1 === content(out2), "export content must be partition-invariant")
+    assert(c1.size === 100)
+  }
+
   test("minhashPairsIncremental equals the backfill restricted to new sides") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select($"doc_a", $"doc_b").collect()
