@@ -62,8 +62,8 @@ object Vectors {
   /** (id, band, bv [, carry...]) frame: signature split into `bands`
     * bucket values; `carry` columns ride along (e.g. the incremental
     * is_new flag). */
-  private def bandedSig(base: DataFrame, dim: Int, nPlanes: Int,
-                        bands: Int, carry: Seq[String] = Nil): DataFrame = {
+  private[graft] def bandedSig(base: DataFrame, dim: Int, nPlanes: Int,
+                               bands: Int, carry: Seq[String] = Nil): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must divide into bands evenly")
     require(nPlanes <= 62, "signature must fit a BIGINT")
     val bitsPerBand = nPlanes / bands

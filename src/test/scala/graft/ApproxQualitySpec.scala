@@ -85,6 +85,52 @@ class ApproxQualitySpec extends SparkSuite {
     assert(recall >= 0.2, f"semantic dedup recall collapsed: $recall%.2f")
   }
 
+  test("wider LSH bands keep semantic-dedup recall while shrinking buckets") {
+    // the 100 TB scaling knob (Vectors.semanticDedup scaladoc): the
+    // 4-bit default gives 16 buckets per band — bucket size n/16
+    // saturates at modest n. 48 planes / 6 bands = 8 bits ≈ 256
+    // buckets per band; candidate work per bucket must drop sharply
+    // while the verified-edge recall stays usable.
+    import graft.operators.Vectors
+    val base = Vectors.quantize(
+        Sources.table(spark, sf("sf0.01"), "embeddings"))
+      .withColumn("id", $"vec_id")
+    val exact = SparkEntry.queries("dedup_embedding")(spark, sf("sf0.01"))
+      .select($"id_a", $"id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    def run(nPlanes: Int, bands: Int): (Double, Long, Long) = {
+      val ids = Vectors.semanticDedup(base, tau = 0.4,
+          nPlanes = nPlanes, bands = bands)
+        .select($"id").collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf(exact), "bucketed dedup invented an edge")
+      val sizes = Vectors.bandedSig(base, 64, nPlanes, bands)
+        .groupBy($"band", $"bv").count()
+        .agg(max($"count"), sum(expr("`count` * (`count` - 1) DIV 2")))
+        .collect()(0)
+      ((exact intersect ids).size.toDouble / exact.size,
+        sizes.getLong(0), sizes.getLong(1))
+    }
+    val (rNarrow, mxNarrow, pairsNarrow) = run(16, 4)
+    val (rWide, mxWide, pairsWide) = run(48, 6)
+    info(f"4-bit bands: recall $rNarrow%.2f, max bucket $mxNarrow, " +
+      f"cand pairs $pairsNarrow; 8-bit bands: recall $rWide%.2f, " +
+      f"max bucket $mxWide, cand pairs $pairsWide")
+    // the scale contract: candidate WORK (sum of per-bucket pair
+    // counts — what the verify join actually pays) drops sharply
+    // (≥4x measured at this n; the gap widens with n since bucket
+    // pair counts grow quadratically in bucket size), the hottest
+    // bucket shrinks ≥3x, and recall degrades gracefully, not to
+    // zero. Recall lost to narrower buckets is recovered by adding
+    // BANDS at fixed bits (the scaladoc knob), not by re-widening
+    // buckets.
+    assert(pairsWide * 4 <= pairsNarrow,
+      s"8-bit bands must cut candidate pairs ≥4x: $pairsNarrow -> $pairsWide")
+    assert(mxWide * 3 <= mxNarrow,
+      s"8-bit bands must shrink the max bucket ≥3x: $mxNarrow -> $mxWide")
+    assert(rWide >= 0.15 && rWide * 4 >= rNarrow,
+      f"wide-band recall collapsed: $rNarrow%.2f -> $rWide%.2f")
+  }
+
   test("sign-LSH candidates recall a usable share of true top-5 neighbors") {
     val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
       .select($"query_id", $"cand_id").collect()
