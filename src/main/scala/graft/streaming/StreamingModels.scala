@@ -81,8 +81,12 @@ object StreamingModels {
     * out-of-order events reach the session state, where they either
     * extend the open session (within `gapSec` of it) or — if they
     * precede its start by more than `gapSec` — close as their own
-    * earlier singleton session (batch-parity split, see the state
-    * function). */
+    * earlier session(s), with strays arriving in the SAME trigger
+    * gap-merged exactly as the batch twin would. This split is
+    * batch-parity only within a trigger: a stray in a LATER trigger
+    * cannot rejoin an earlier-emitted stray session (Append mode
+    * cannot retract), so it errs one session early — it never
+    * corrupts the open session. */
   def sessionizeStream(events: Dataset[SessEvt],
                        gapSec: Long = 1800L,
                        delayThreshold: String = "0 seconds")
@@ -103,26 +107,27 @@ object StreamingModels {
             val sorted = evts.toSeq
               .sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[SessClosed]
+            var strays = List.empty[(Long, Long)] // (epoch s, cents) asc
             var cur = state.getOption
             sorted.foreach { e =>
               val es = e.ts.getTime / 1000L
               cur = cur match {
                 case Some(s) if es < s.startSec - gapSec =>
                   // an event MORE than gapSec before the open
-                  // session's start: the batch twin places it in its
-                  // own earlier session, so merging it — or worse,
-                  // closing the open session — would diverge. Emit it
-                  // as a closed singleton and leave the open session
-                  // untouched. Today's 0-second watermark drops such
-                  // events as late before they reach this code; the
-                  // branch makes correctness survive a future nonzero
-                  // watermark delay instead of silently depending on
-                  // it. (With a nonzero watermark this is still an
-                  // approximation — a later event adjacent to the
-                  // stray one could no longer extend it — but it
-                  // errs one session early, never corrupts the open
-                  // one.)
-                  closed ::= SessClosed(uid, es, es, 1L, e.cents)
+                  // session's start: the batch twin places it in an
+                  // earlier session, so merging it into the open one —
+                  // or worse, closing the open one — would diverge.
+                  // Buffer it; adjacent strays within gapSec of each
+                  // other merge into ONE earlier session below (the
+                  // batch twin would). Today's 0-second watermark
+                  // drops such events as late before they reach this
+                  // code; the branch makes correctness survive a
+                  // nonzero delay instead of silently depending on
+                  // it. (Still an approximation ACROSS triggers — a
+                  // stray in a LATER round cannot rejoin one emitted
+                  // here — but within a round it matches the batch
+                  // split, and it never corrupts the open session.)
+                  strays ::= (es, e.cents)
                   cur
                 case Some(s) if es - s.endSec <= gapSec =>
                   // min() on start too: a non-late out-of-order event
@@ -139,11 +144,23 @@ object StreamingModels {
                 case None => Some(SessOpen(es, es, 1L, e.cents))
               }
             }
+            // gap-merge the buffered strays (already in ascending
+            // event order — the loop walks sorted events)
+            val mergedStrays = strays.reverse
+              .foldLeft(List.empty[SessClosed]) { (acc, p) =>
+                acc match {
+                  case h :: t if p._1 - h.end_s <= gapSec =>
+                    SessClosed(uid, h.start_s, p._1,
+                      h.n_events + 1, h.sum_cents + p._2) :: t
+                  case _ =>
+                    SessClosed(uid, p._1, p._1, 1L, p._2) :: acc
+                }
+              }.reverse
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp((s.endSec + gapSec) * 1000L)
             }
-            closed.reverse.iterator
+            (mergedStrays ++ closed.reverse).iterator
           }
       }
   }
@@ -160,18 +177,55 @@ object StreamingModels {
     * foreachBatch is the right seam (not a file sink): the file sink
     * can only APPEND, so late data for an already-written day would
     * duplicate instead of replace; batch-mode dynamic overwrite gives
-    * exactly-once day refreshes as long as a day's rows arrive within
-    * one trigger (pair with a watermark at the day boundary for
-    * stragglers). */
+    * exactly-once day refreshes.
+    *
+    * WHOLE-DAY overwrite (the `mergeKeys = Nil` default) requires the
+    * input to emit a day's COMPLETE rows in each trigger that touches
+    * the day — an Update-mode aggregation that re-emits only the
+    * changed keys of a day in a later trigger would otherwise wipe
+    * the day's other rows. For exactly that shape, pass `mergeKeys`
+    * (the aggregation's group key): the batch is then UPSERTED into
+    * the day — existing rows for the touched days are kept unless the
+    * batch carries the same key, read back and anti-joined before the
+    * overwrite. Per-day read-back is bounded by the days a trigger
+    * touches, not the table. Pass-through (non-aggregated) streams
+    * should keep `mergeKeys = Nil` and a watermark at the day
+    * boundary for stragglers. */
   def sinkByServiceDay(df: DataFrame, outPath: String,
-                       checkpoint: String)
+                       checkpoint: String,
+                       mergeKeys: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) graft.Engine.refreshByServiceDay(batch, outPath)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // "exists" must mean HAS CONTENT: the first trigger often
+          // sees a pre-created empty directory, which parquet cannot
+          // infer a schema from
+          val p = new org.apache.hadoop.fs.Path(outPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val exists = fs.exists(p) &&
+            fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
+          val toWrite =
+            if (mergeKeys.isEmpty || !exists) batch.toDF()
+            else {
+              val days = batch.select(col("service_day_local")).distinct()
+              val existing = spark.read.parquet(outPath)
+                .join(broadcast(days), Seq("service_day_local"), "left_semi")
+              // materialize BEFORE the write: the merged frame reads
+              // the very partitions the overwrite replaces
+              graft.Engine.materialize(
+                existing
+                  .join(batch.select(mergeKeys.map(col): _*),
+                    mergeKeys, "left_anti")
+                  .unionByName(batch.toDF()),
+                key = "service_day_local", name = "day_merge")
+            }
+          graft.Engine.refreshByServiceDay(toWrite, outPath)
+        }
       }
 
   case class Evt(user_id: Long, event_type: String, tsSec: Long)

@@ -51,6 +51,30 @@ class StreamingSessionSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("two same-trigger strays within gapSec merge into one earlier session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessEvt]
+    val q = StreamingModels.sessionizeStream(in.toDS(), gapSec = 1800L,
+        delayThreshold = "3 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_strays").start()
+    try {
+      in.addData(SessEvt(1L, ts(10000), 1L, 100L))
+      q.processAllAvailable()
+      // both strays precede the open session's start by > gapSec and
+      // lie within gapSec of EACH OTHER: the batch twin puts them in
+      // ONE session — so must the stream when they share a trigger
+      in.addData(SessEvt(1L, ts(5000), 2L, 40L),
+        SessEvt(1L, ts(5500), 3L, 5L))
+      q.processAllAvailable()
+      val got = spark.table("sessions_strays").as[SessClosed].collect()
+        .map(s => (s.user_id, s.start_s, s.end_s, s.n_events, s.sum_cents))
+        .toSet
+      assert(got === Set((1L, 5000L, 5500L, 2L, 45L)),
+        s"adjacent strays must merge: $got")
+    } finally q.stop()
+  }
+
   test("with lateness allowed, a pre-start stray splits into its own session") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessEvt]

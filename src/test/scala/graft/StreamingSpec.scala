@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sinkByServiceDay with mergeKeys upserts into a day instead of wiping it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long)]
+    val out = java.nio.file.Files.createTempDirectory("graft_merge_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_merge_cp").toString
+    val q = StreamingModels.sinkByServiceDay(
+      in.toDS().toDF("k", "service_day_local", "v"), out, cp,
+      mergeKeys = Seq("k")).start()
+    try {
+      in.addData(("a", "2025-01-01", 1L), ("b", "2025-01-01", 1L))
+      q.processAllAvailable()
+      // an Update-mode-style re-emission of ONLY key a: with
+      // mergeKeys the day keeps b and upserts a (the whole-day
+      // overwrite default would have wiped b)
+      in.addData(("a", "2025-01-01", 2L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select($"k", $"v").as[(String, Long)].collect().toSet
+      assert(got === Set(("a", 2L), ("b", 1L)),
+        s"expected upsert-merged day, got $got")
+    } finally q.stop()
+  }
+
   test("windowed bucket counts under a stream match the batch run") {
     val batch = Sources.table(spark, sf(), "events")
     // batch form (same code path — streaming-reusable aggregation)
