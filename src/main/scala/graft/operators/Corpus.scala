@@ -582,6 +582,26 @@ object Corpus extends org.apache.spark.internal.Logging {
     *
     * Returns (merge_rank, left_sym, right_sym, pair_freq) ordered by
     * rank. */
+  /** Left-to-right greedy application of ONE merge rule (symbols in
+    * columns `bl`/`br`) to the space-joined segmentation `s`, as a
+    * string-accumulator fold: acc is the merged prefix; merge exactly
+    * when the LAST symbol of acc is bl and the incoming symbol is br
+    * (a token merged this step never re-merges under the same rule in
+    * this pass — one rule per pass). substr strips "<space>bl" off
+    * the tail; acc = bl means bl was the whole prefix. Shared by
+    * [[bpeFit]] (one rule per round) and [[bpeApply]] (rules chained
+    * in rank order). */
+  private def mergeFoldExpr(bl: String, br: String): String = s"""
+    aggregate(
+      slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+      element_at(split(s, ' '), 1),
+      (acc, x) -> CASE
+        WHEN (acc = $bl OR endswith(acc, concat(' ', $bl))) AND x = $br
+        THEN CASE WHEN acc = $bl THEN concat($bl, $br)
+             ELSE concat(substr(acc, 1, length(acc) - length($bl) - 1),
+                         ' ', $bl, $br) END
+        ELSE concat(acc, ' ', x) END)"""
+
   def bpeFit(docs: DataFrame, merges: Int = 8): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
     val spark = docs.sparkSession
@@ -612,25 +632,12 @@ object Corpus extends org.apache.spark.internal.Logging {
         key = "l", name = s"bpe_best_$r")
       bests += best
       if (r < merges - 1) {
-        // left-to-right greedy merge as a string fold: acc is the
-        // space-joined merged prefix; merge exactly when the LAST
-        // symbol of acc is bl and the incoming symbol is br (a token
-        // merged this step never re-merges this round — one rule per
-        // round). substr strips "<space>bl" off the tail; acc = bl
-        // means bl was the whole prefix. (Skipped after the final
-        // pick — nothing consumes the segmentation.)
+        // (skipped after the final pick — nothing consumes the
+        // segmentation)
         val merged = state
           .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
-          .select(col("word"), col("freq"), expr(
-            """aggregate(
-                 slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
-                 element_at(split(s, ' '), 1),
-                 (acc, x) -> CASE
-                   WHEN (acc = bl OR endswith(acc, concat(' ', bl))) AND x = br
-                   THEN CASE WHEN acc = bl THEN concat(bl, br)
-                        ELSE concat(substr(acc, 1, length(acc) - length(bl) - 1),
-                                    ' ', bl, br) END
-                   ELSE concat(acc, ' ', x) END)""").as("s"))
+          .select(col("word"), col("freq"),
+            expr(mergeFoldExpr("bl", "br")).as("s"))
         val (next, nextT) = graft.Engine.materializeTracked(
           merged, key = "word", name = s"bpe_round_${r % 2}")
         graft.Engine.dropMaterialized(spark, stateT)
@@ -641,5 +648,52 @@ object Corpus extends org.apache.spark.internal.Logging {
     bests.reduce(_.unionByName(_))
       .select(col("merge_rank"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("pair_freq"))
+  }
+
+  /** BPE tokenization with a LEARNED merge table — the other half of
+    * the tokenizer: [[bpeFit]] trains on one corpus; this applies the
+    * rules to ANY corpus (the daily shape: historical tokenizer, new
+    * documents). Each distinct alphabetic word is segmented by
+    * applying the `nMerges` rules in rank order, each a left-to-right
+    * greedy pass ([[mergeFoldExpr]]); per-doc stats then come from one
+    * join of the exploded words against the segmented vocabulary.
+    *
+    * Scale shape: the distinct-word table is materialized once, the
+    * rule applications are `nMerges` chained narrow projections (each
+    * rule rides in as a broadcast 1-row frame — no driver collect),
+    * and the doc join is a plain shuffle join on word. `merges` must
+    * contain ranks 0..nMerges-1 (as [[bpeFit]] returns).
+    *
+    * Returns (doc_id, n_words, n_subwords, bpe_fertility) — subwords
+    * per alphabetic word under the learned tokenizer; words with no
+    * alphabetic token yield n_words = 0 and NULL fertility. */
+  def bpeApply(docs: DataFrame, merges: DataFrame,
+               nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    var seg = graft.Engine.materialize(
+      docs.select(explode(expr("regexp_extract_all(text, '([A-Za-z]+)')"))
+          .as("word"))
+        .distinct()
+        .withColumn("s", expr("trim(regexp_replace(word, '(.)', '$1 '))")),
+      key = "word", name = "bpe_apply_vocab")
+    for (r <- 0 until nMerges) {
+      seg = seg
+        .crossJoin(broadcast(merges.filter(col("merge_rank") === r)
+          .select(col("left_sym").as(s"bl$r"), col("right_sym").as(s"br$r"))))
+        .withColumn("s", expr(mergeFoldExpr(s"bl$r", s"br$r")))
+        .drop(s"bl$r", s"br$r")
+    }
+    val counts = seg.select(col("word"),
+      size(split(col("s"), " ")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"),
+        explode(expr(
+          "concat(regexp_extract_all(text, '([A-Za-z]+)'), array(CAST(NULL AS STRING)))"))
+          .as("word"))
+      .join(counts, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("word")).as("n_words"),
+           coalesce(sum(col("n_sub")), lit(0L)).as("n_subwords"))
+      .withColumn("bpe_fertility",
+        try_divide(col("n_subwords"), col("n_words")))
   }
 }

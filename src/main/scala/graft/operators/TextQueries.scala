@@ -101,11 +101,13 @@ object TextQueries {
           WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
                   / len(list_distinct(list_concat(toks_a, toks_b))) >= 0.5)"""
 
-  /** DuckDB twin of Corpus.bpeFit: N unrolled merge rounds, each a
-    * pair-count CTE + a 1-row best-pair CTE + a list_reduce merge
-    * application — the same fold expression as the Spark side
-    * (string-typed accumulator, ends_with tail test, substr strip). */
-  private def duckBpeFitSql(merges: Int): String = {
+  /** DuckDB twin of the Corpus.bpeFit round chain: N unrolled merge
+    * rounds, each a pair-count CTE + a 1-row best-pair CTE + a
+    * list_reduce merge application — the same fold expression as the
+    * Spark side (string-typed accumulator, ends_with tail test,
+    * substr strip). Ends with `s$merges` (the fully-merged
+    * segmentation) and `b0..b{merges-1}` (the learned rules). */
+  private def duckBpeCtes(merges: Int): String = {
     val rounds = (0 until merges).map { r => s"""
         p$r AS (
           SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq FROM (
@@ -127,10 +129,7 @@ object TextQueries {
               ELSE acc || ' ' || x END) AS s
           FROM s$r, b$r b)"""
     }.mkString(",")
-    val union = (0 until merges).map(r => s"SELECT * FROM b$r")
-      .mkString(" UNION ALL ")
     s"""
-        WITH
         w AS (
           SELECT word, count(*) AS freq FROM (
             SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word
@@ -138,11 +137,41 @@ object TextQueries {
           GROUP BY word),
         s0 AS (
           SELECT word, freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
-          FROM w),$rounds
+          FROM w),$rounds"""
+  }
+
+  private def duckBpeFitSql(merges: Int): String = {
+    val union = (0 until merges).map(r => s"SELECT * FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""
+        WITH ${duckBpeCtes(merges)}
         SELECT merge_rank, l AS left_sym, r AS right_sym, pair_freq
         FROM ($union)
         ORDER BY merge_rank"""
   }
+
+  /** DuckDB twin of Corpus.bpeApply over the same corpus the rules
+    * were learned from: the fit chain's final segmentation `s$merges`
+    * IS the applied vocabulary (rank-order application of the learned
+    * rules ≡ the training rounds — the spec pins this equivalence on
+    * the Spark side too). */
+  private def duckBpeApplySql(merges: Int): String = s"""
+        WITH ${duckBpeCtes(merges)},
+        docw AS (
+          SELECT doc_id,
+                 unnest(list_concat(regexp_extract_all(text, '[A-Za-z]+'),
+                                    [NULL])) AS word
+          FROM documents)
+        SELECT d.doc_id,
+               count(d.word) AS n_words,
+               CAST(COALESCE(sum(len(string_split(sN.s, ' '))), 0)
+                 AS BIGINT) AS n_subwords,
+               CASE WHEN count(d.word) = 0 THEN NULL
+                    ELSE CAST(COALESCE(sum(len(string_split(sN.s, ' '))), 0)
+                           AS DOUBLE) / count(d.word) END AS bpe_fertility
+        FROM docw d LEFT JOIN s$merges sN ON sN.word = d.word
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id"""
 
   val queries: Map[String, Q] = Map(
 
@@ -254,6 +283,23 @@ object TextQueries {
       },
       oracle = Some(duckBpeFitSql(8)),
       desc = "BPE merge training: 8 deterministic most-frequent-pair merges"),
+
+    // ── BPE tokenization with the learned rules ─────────────────────
+    // The apply half: segment every word with the 8 learned merges in
+    // rank order and report per-doc subword counts + fertility — the
+    // number a pipeline actually budgets with. Training on the same
+    // corpus means the oracle's fit-chain final segmentation IS the
+    // applied vocabulary.
+    "text_bpe_apply" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.bpeFit + bpeApply composed.
+        Corpus.bpeApply(d, Corpus.bpeFit(d, merges = 8), nMerges = 8)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(duckBpeApplySql(8)),
+      desc = "BPE apply: per-doc subword counts under the learned tokenizer"),
 
     // ── quality scoring: punct/upper/digit/stopword ratios ──────────
     "text_quality" -> Q(

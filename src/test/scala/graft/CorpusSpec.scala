@@ -66,6 +66,26 @@ class CorpusSpec extends SparkSuite {
       (2, "aa", "aa", 1L)), s"unexpected merges: ${m.toSeq}")
   }
 
+  test("bpeApply segments with the learned rules (fit-apply round trip)") {
+    // same fixture as the fit test; learned merges (a,a),(a,b),(aa,aa)
+    // segment aa→[aa], ab→[ab], aaaa→[aaaa] — every word one token.
+    val tiny = Seq((1L, "aa ab aa aaaa"), (2L, "aa ab"), (3L, "! 7 !"))
+      .toDF("doc_id", "text")
+    val rules = Corpus.bpeFit(tiny, merges = 3)
+    val got = Corpus.bpeApply(tiny, rules, nMerges = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 4L, 4L), (2L, 2L, 2L), (3L, 0L, 0L)),
+      s"unexpected segmentation stats: ${got.toSeq}")
+    // fewer rules → coarser merges only: 1 rule (a,a) leaves ab as
+    // 2 subwords and aaaa as 2, so doc1 = 1+2+1+2 = 6
+    val got1 = Corpus.bpeApply(tiny, rules, nMerges = 1)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got1.toSeq === Seq((1L, 4L, 6L), (2L, 2L, 3L), (3L, 0L, 0L)),
+      s"prefix-of-rules stats wrong: ${got1.toSeq}")
+  }
+
   test("shardAssign balances token counts and ignores input partitioning") {
     val many = spark.range(1, 401)
       .selectExpr("id AS doc_id",
