@@ -314,6 +314,61 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("len_a"), col("len_b")): _*)
   }
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): substring-granular overlap
+    * detection that [[ngramPairs]]' set-Jaccard misses when a shared
+    * passage is small relative to the documents. Per doc: hash every
+    * character `k`-gram, slide a `w`-hash window, keep each window's
+    * MINIMUM (tie → rightmost); the guarantee is any shared run of
+    * length ≥ w+k-1 contributes ≥1 common fingerprint. Docs then pair
+    * by shared fingerprint count.
+    *
+    * Determinism: the window min is computed over a single packed
+    * integer `h * 2^21 + (2^21 - 1 - pos)` — min h, tie broken to the
+    * RIGHTMOST position, no struct/arg-min ordering ambiguity across
+    * engines. Hashes are md5-prefix mod 1000003 (portable).
+    *
+    * Scale shape: per-doc windowing is embarrassingly parallel
+    * (window partitioned by doc); the cross-doc stage joins the
+    * DISTINCT per-doc fingerprint sets on the hash — an equi-join
+    * whose fan-out is bounded by `maxDocFreq` (fingerprints shared by
+    * more docs are boilerplate, dropped like [[ngramPairs]]' hot
+    * grams — candidate generation stays subquadratic). The
+    * fingerprint frame is materialized once and feeds both join
+    * sides. Returns (doc_a, doc_b, n_shared) with doc_a < doc_b and
+    * n_shared ≥ `minShared` common (non-boilerplate) fingerprints. */
+  def winnowPairs(docs: DataFrame, k: Int = 10, w: Int = 8,
+                  minShared: Long = 5L, maxDocFreq: Long = 16L): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val grams = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"""CASE WHEN length(text) >= $k
+              THEN sequence(1, length(text) - $k + 1)
+              ELSE CAST(array() AS ARRAY<INT>) END""")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"md5_prefix_long(substr(text, i, $k), 14) % 1000003L").as("h"))
+    val packed = grams
+      .withColumn("c", min(expr("h * 2097152L + (2097151L - i)")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(-(w - 1), 0)))
+      .filter(col("i") >= w) // full windows only
+      .select(col("doc_id"), expr("c div 2097152L").as("h"))
+      .distinct()
+    val fp = graft.Engine.materialize(
+      packed
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("df") <= maxDocFreq)
+        .select(col("doc_id"), col("h")),
+      key = "h", name = "winnow_fp")
+    fp.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Star edges for exact duplicates of a canonical key: every doc in
     * a key group links to the group's min doc_id. `canonical` defaults
     * to the sorted-distinct-token normal form. */

@@ -877,6 +877,52 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "n-gram Jaccard near-dup: capped candidates, exact partitioned score"),
 
+    // ── winnowing fingerprints (substring-granular overlap) ─────────
+    // The MOSS detector: any shared character run ≥ w+k-1 (= 17 chars
+    // here) leaves ≥1 common window-min fingerprint, so SMALL shared
+    // passages in otherwise-different docs surface — the case both
+    // set-Jaccard and whole-doc minhash dilute away. Tie-break and
+    // hash are packed into one integer so both engines pick identical
+    // fingerprints. (k=5/w=4 measured 52k pairs at sf0.01 — common
+    // 8-char English runs pair half the corpus; 10/8/5/16 measures
+    // 66, an actual near-dup signal.)
+    "dedup_winnow" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.winnowPairs directly.
+        Corpus.winnowPairs(docs(s, dir), k = 10, w = 8,
+            minShared = 5L, maxDocFreq = 16L)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH wn_grams AS (
+          SELECT doc_id, i,
+                 (${DUCK_TOKHASH.format("substr(text, i, 10)")}) % 1000003
+                   AS h
+          FROM documents,
+               unnest(range(1, length(text) - 10 + 2)) AS t(i)),
+        wn_win AS (
+          SELECT doc_id, i,
+            min(h * 2097152 + (2097151 - i)) OVER (
+              PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+          FROM wn_grams),
+        wn_fp0 AS (
+          SELECT DISTINCT doc_id, c // 2097152 AS h
+          FROM wn_win WHERE i >= 8),
+        wn_fp AS (
+          SELECT doc_id, h FROM (
+            SELECT *, count(*) OVER (PARTITION BY h) AS df FROM wn_fp0)
+          WHERE df <= 16)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM wn_fp a JOIN wn_fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+        ORDER BY doc_a, doc_b"""),
+      desc = "winnowing fingerprints: window-min k-gram hashes, shared-run pairs"),
+
     // ── containment pairs: the asymmetric dedup family ──────────────
     // C = |A∩B| / min(|A|,|B|): a short doc quoted verbatim inside a
     // long one scores jaccard ≈ |small|/|big| (invisible at any sane

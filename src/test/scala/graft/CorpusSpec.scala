@@ -48,6 +48,24 @@ class CorpusSpec extends SparkSuite {
     assert(s2 === s1, "sample must be reproducible")
   }
 
+  test("winnowPairs surfaces a short shared passage Jaccard would dilute") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val tiny = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta eta theta iota"),
+      (2L, s"one two three four five $shared six seven eight nine ten"),
+      (3L, "nothing in common here zzz qqq www eee rrr ttt yyy uuu iii"))
+      .toDF("doc_id", "text")
+    val pairs = Corpus.winnowPairs(tiny, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 44-char shared run guarantees many common window-min
+    // fingerprints (any run ≥ w+k-1 = 8 chars leaves ≥1)
+    assert(pairs === Set((1L, 2L)), s"expected only the quoting pair: $pairs")
+    // the same pair is INVISIBLE to 3-gram set Jaccard at 0.5 — the
+    // shared passage is small relative to both docs
+    assert(Corpus.ngramPairs(tiny, blockCols = Nil, minJaccard = 0.5)
+      .count() === 0L)
+  }
+
   test("bpeFit learns the hand-computed merge sequence") {
     // words: aa×3, ab×2, aaaa×1.
     // round 0 pairs: (a,a): 3 (from aa) + 3 (adjacent positions in
