@@ -521,6 +521,102 @@ object Corpus extends org.apache.spark.internal.Logging {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** Corpus bigram-LM quality scoring — the CCNet-style "does this
+    * document look like the rest of the corpus" signal, kept fully
+    * integer-deterministic so the score is reproducible across
+    * engines, partitionings, and cluster sizes (no transcendental
+    * functions: log-perplexity is a monotone transform of per-bigram
+    * probabilities, so the RANKING a filter consumes is driven by the
+    * same integer statistics reported here).
+    *
+    * Semantics: whitespace-token bigrams; corpus-wide per-bigram
+    * total frequency (tf) and document frequency (df); per doc —
+    *  - `n_bigrams`: bigram occurrences,
+    *  - `n_novel`: occurrences of bigrams seen in NO other document
+    *    (df = 1) — gibberish scores high, natural prose low,
+    *  - `novelty_ratio` = n_novel / n_bigrams (one exact division),
+    *  - `sum_tf` / `avg_tf`: occurrence-weighted corpus frequency —
+    *    the "how typical is this text" mass,
+    *  - `keep` = novelty_ratio ≤ `novelTau` (false for docs with no
+    *    bigrams — sub-2-token docs are drops anyway).
+    *
+    * Scale shape: one explode → two hash aggs (per-(doc, bigram)
+    * counts, then per-bigram stats — the text_vocab two-level form, so
+    * count and distinct-doc-count never meet in one agg/Expand) → one
+    * shuffle join keyed by bigram → per-doc agg. The stats table is
+    * bounded by distinct-bigram count, never broadcast; super-common
+    * bigrams ("of the") skew the join key — AQE skew-join splits them,
+    * and the stats side is one row per key so there is no fan-out. */
+  def lmScore(docs: DataFrame, novelTau: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+    val occ = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val stats = occ.groupBy(col("bg"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+    val perDoc = occ.join(stats, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("df") === 1, col("c")).otherwise(0L)).as("n_novel"),
+        sum(col("c") * col("tf")).as("sum_tf"))
+    toks.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_novel", "sum_tf"))
+      .withColumn("novelty_ratio",
+        try_divide(col("n_novel"), col("n_bigrams")))
+      .withColumn("avg_tf", try_divide(col("sum_tf"), col("n_bigrams")))
+      .withColumn("keep",
+        coalesce(col("novelty_ratio") <= lit(novelTau), lit(false)))
+  }
+
+  /** Exact n-gram train/eval contamination check — the Lee-et-al-style
+    * decontamination pass that complements [[minhashPairs]]-based
+    * cross-split dedup: a single evaluation sentence pasted into a
+    * training document rarely moves whole-document Jaccard, but every
+    * shared token `n`-gram is an exact hit here.
+    *
+    * `isEval` marks the held-out side. Per eval document: distinct
+    * token `n`-gram hashes (56-bit md5 prefixes — collision odds are
+    * negligible and the hash is engine-portable), matched against the
+    * DISTINCT n-gram set of the train side. Returns (doc_id, n_grams,
+    * n_matched, overlap_ratio, contaminated) where `contaminated` =
+    * n_matched ≥ `minShared`.
+    *
+    * Scale shape: both sides are explode → distinct (hash aggs); the
+    * probe is an equi-join keyed by gram hash against a deduped train
+    * set — one row per key on the build side, so eval rows never fan
+    * out; no all-pairs anywhere. At 100 TB the train gram set is a
+    * persisted bucketed table rebuilt per corpus release, and each
+    * eval batch joins against it. */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 5,
+                    minShared: Long = 3L): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = docs.select(col("doc_id"), isEval.as("is_eval"),
+      split(col("text"), " ").as("toks"))
+    // raw-token-order n-grams (the minhash shingle rule), hashed to
+    // 56 bits; docs shorter than n tokens contribute no grams
+    val grams = base.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), " +
+          "1, 14), 16, 10) AS BIGINT))")).as("g"))
+      .distinct()
+    val trainSet = grams.filter(!col("is_eval")).select(col("g")).distinct()
+    val evalGrams = grams.filter(col("is_eval"))
+      .join(trainSet.withColumn("hit", lit(1L)), Seq("g"), "left")
+    val perDoc = evalGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+    base.filter(col("is_eval")).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_matched"))
+      .withColumn("overlap_ratio",
+        try_divide(col("n_matched"), col("n_grams")))
+      .withColumn("contaminated", col("n_matched") >= lit(minShared))
+  }
+
   /** Deterministic training-shard assignment — the pipeline's last
     * mile: `corpus_clean` representatives + `text_split_assign` splits
     * end here, as size-balanced, deterministically-shuffled shards a

@@ -538,6 +538,103 @@ object TextQueries {
         FROM c GROUP BY doc_id ORDER BY doc_id"""),
       desc = "repetition ratio: max token frequency / token count"),
 
+    // ── bigram-LM quality scoring (CCNet-style, integer-exact) ──────
+    // The "does this doc look like the rest of the corpus" signal:
+    // corpus-wide bigram tf/df, per-doc novelty (bigrams no other doc
+    // has) and occurrence-weighted typicality mass. Log-perplexity is
+    // a monotone transform of these per-bigram statistics, so the
+    // filter RANKING is the same — and unlike ln(), integer sums and
+    // one final division hash-match across engines exactly.
+    "text_lm_score" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.lmScore directly.
+        Corpus.lmScore(docs(s, dir), novelTau = 0.5)
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH lm_t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        lm_bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM lm_t WHERE len(toks) >= 2),
+        lm_occ AS (
+          SELECT doc_id, bg, count(*) AS c FROM lm_bg GROUP BY 1, 2),
+        lm_stats AS (
+          SELECT bg, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+          FROM lm_occ GROUP BY bg),
+        lm_doc AS (
+          SELECT o.doc_id,
+                 CAST(sum(o.c) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CASE WHEN s.df = 1 THEN o.c ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+                 CAST(sum(o.c * s.tf) AS BIGINT) AS sum_tf
+          FROM lm_occ o JOIN lm_stats s ON s.bg = o.bg
+          GROUP BY o.doc_id)
+        SELECT t.doc_id,
+               COALESCE(d.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+               COALESCE(d.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+               COALESCE(d.sum_tf, CAST(0 AS BIGINT)) AS sum_tf,
+               CASE WHEN d.n_bigrams > 0
+                    THEN CAST(d.n_novel AS DOUBLE) / d.n_bigrams
+                    END AS novelty_ratio,
+               CASE WHEN d.n_bigrams > 0
+                    THEN CAST(d.sum_tf AS DOUBLE) / d.n_bigrams
+                    END AS avg_tf,
+               COALESCE(CAST(d.n_novel AS DOUBLE) / d.n_bigrams <= 0.5,
+                        FALSE) AS keep
+        FROM lm_t t LEFT JOIN lm_doc d ON d.doc_id = t.doc_id
+        ORDER BY t.doc_id"""),
+      desc = "bigram-LM quality score: corpus tf/df, novelty ratio, keep flag"),
+
+    // ── exact n-gram decontamination (train/eval overlap) ───────────
+    // The Lee-et-al-style check beside dedup_cross_split's minhash
+    // pass: one eval sentence pasted into a train doc barely moves
+    // whole-doc Jaccard, but every shared token 5-gram is an exact hit
+    // here. Eval side = the hash split's valid+test (h >= 8).
+    "text_contamination" -> Q(
+      fn = (s, dir) => {
+        val h = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 10")
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.contamination directly.
+        Corpus.contamination(docs(s, dir), isEval = h >= 8,
+            n = 5, minShared = 3L)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH ct_base AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                   % 10 >= 8 AS is_eval,
+                 string_split(text, ' ') AS toks
+          FROM documents),
+        ct_g AS (
+          SELECT DISTINCT doc_id, is_eval,
+            ('0x' || substr(md5(array_to_string(
+               list_transform(range(i, i + 5), j -> toks[j]), ' ')),
+               1, 14))::BIGINT AS g
+          FROM ct_base, unnest(range(1, len(toks) - 5 + 2)) AS t(i)
+          WHERE len(toks) >= 5),
+        ct_train AS (SELECT DISTINCT g FROM ct_g WHERE NOT is_eval),
+        ct_doc AS (
+          SELECT e.doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched
+          FROM ct_g e LEFT JOIN ct_train t ON t.g = e.g
+          WHERE e.is_eval GROUP BY e.doc_id)
+        SELECT b.doc_id,
+               COALESCE(d.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+               COALESCE(d.n_matched, CAST(0 AS BIGINT)) AS n_matched,
+               CASE WHEN d.n_grams > 0
+                    THEN CAST(d.n_matched AS DOUBLE) / d.n_grams
+                    END AS overlap_ratio,
+               COALESCE(d.n_matched, CAST(0 AS BIGINT)) >= 3 AS contaminated
+        FROM ct_base b LEFT JOIN ct_doc d ON d.doc_id = b.doc_id
+        WHERE b.is_eval
+        ORDER BY b.doc_id"""),
+      desc = "exact 5-gram decontamination: eval docs probed against train grams"),
+
     // ── fused corpus filter (C4/Gopher-style keep/drop pipeline) ────
     // The shape a production corpus filter takes: one pass computes
     // all quality signals, then a single rule cascade assigns the
@@ -587,6 +684,75 @@ object TextQueries {
                drop_reason IS NULL AS keep, drop_reason
         FROM f ORDER BY doc_id"""),
       desc = "fused quality filter: first-failing-rule keep/drop cascade"),
+
+    // ── per-stratum corpus report (the daily dashboard query) ───────
+    // What a pipeline owner checks every release: per (lang, source)
+    // volume (docs/tokens/chars), quality-filter pass rate (the
+    // corpus_filter cascade), and exact-duplicate rate (canonical-key
+    // groups, global). Integer sums + one division per ratio.
+    "corpus_stats" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = Corpus.qualityFilter(docs(s, dir),
+          minChars = 100L, minTokens = 18L, maxRepetition = 0.125,
+          chars = $"n_chars")
+        val dup = docs(s, dir)
+          .withColumn("key", sha2(concat_ws(" ",
+            array_sort(array_distinct(split($"text", " ")))), 256))
+          .withColumn("keeper",
+            min($"doc_id").over(Window.partitionBy($"key")))
+          .select($"doc_id", ($"doc_id" =!= $"keeper").as("is_dup"))
+        base.join(dup, Seq("doc_id"))
+          .groupBy($"lang", $"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("sum_tokens"),
+            sum($"n_chars").as("sum_chars"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+            sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("avg_tokens", try_divide($"sum_tokens", $"n_docs"))
+          .withColumn("keep_rate", try_divide($"n_keep", $"n_docs"))
+          .withColumn("dup_rate", try_divide($"n_dup", $"n_docs"))
+          .orderBy($"lang", $"source")
+      },
+      oracle = Some("""
+        WITH cs_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cs_c AS (SELECT doc_id, tok, count(*) AS c FROM cs_t GROUP BY 1, 2),
+        cs_s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                        CAST(max(c) AS BIGINT) AS top_c
+                 FROM cs_c GROUP BY 1),
+        cs_dup AS (
+          SELECT doc_id,
+                 doc_id <> min(doc_id) OVER (PARTITION BY key) AS is_dup
+          FROM (SELECT doc_id, sha256(array_to_string(list_sort(
+                  list_distinct(string_split(text, ' '))), ' ')) AS key
+                FROM documents)),
+        cs_f AS (
+          SELECT d.lang, d.source, d.n_chars, s.n_tokens,
+                 (d.n_chars >= 100 AND s.n_tokens >= 18 AND
+                  CAST(s.top_c AS DOUBLE) / s.n_tokens <= 0.125) AS keep,
+                 u.is_dup
+          FROM documents d
+          JOIN cs_s s ON s.doc_id = d.doc_id
+          JOIN cs_dup u ON u.doc_id = d.doc_id),
+        cs_g AS (
+          SELECT lang, source,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+                 CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+          FROM cs_f GROUP BY 1, 2)
+        SELECT lang, source, n_docs, sum_tokens, sum_chars, n_keep, n_dup,
+               CAST(sum_tokens AS DOUBLE) / n_docs AS avg_tokens,
+               CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
+               CAST(n_dup AS DOUBLE) / n_docs AS dup_rate
+        FROM cs_g ORDER BY lang, source"""),
+      desc = "per-(lang,source) corpus report: volume, quality rate, dup rate"),
 
     // ── end-to-end corpus preparation ───────────────────────────────
     // The full pipeline in one query, in production order: quality

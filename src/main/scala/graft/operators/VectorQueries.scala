@@ -203,6 +203,60 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "sign-LSH bucketed ANN: signature bands → candidate join → rank"),
 
+    // ── int8 scalar quantization + two-stage search ─────────────────
+    // The compression path for a 100 TB vector table: symmetric
+    // per-dim int8 codes (8× smaller at rest as ARRAY<TINYINT>
+    // parquet), coarse top-20 by exact integer dot over the codes
+    // only, then exact-cosine rerank that touches full-width vectors
+    // for just the shortlist. Both stages integer-deterministic.
+    "vector_sq8" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Vectors.sq8Search directly.
+        Vectors.sq8Search(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 5, shortlist = 20)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        sq_m AS (
+          SELECT r.i AS d, greatest(max(abs(sv[r.i])), 1) AS m
+          FROM base CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        sq_codes AS (
+          SELECT vec_id,
+                 list(CAST(round(CAST(v * 127 AS DOUBLE) / m) AS BIGINT)
+                      ORDER BY d) AS q8
+          FROM (SELECT b.vec_id, r.i AS d, b.sv[r.i] AS v
+                FROM base b CROSS JOIN range(1, 65) r(i)) x
+          JOIN sq_m USING (d)
+          GROUP BY vec_id),
+        sq_coarse AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(${duckDot("q.q8", "c.q8")} AS BIGINT) AS coarse
+          FROM sq_codes q JOIN sq_codes c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        sq_short AS (
+          SELECT query_id, cand_id, coarse FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY coarse DESC, cand_id) AS crank
+            FROM sq_coarse)
+          WHERE crank <= 20),
+        sq_rr AS (
+          SELECT s.query_id, s.cand_id, s.coarse,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM sq_short s
+          JOIN base qv ON qv.vec_id = s.query_id
+          JOIN base cv ON cv.vec_id = s.cand_id)
+        SELECT query_id, rank, cand_id, coarse, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rank
+          FROM sq_rr)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "int8 scalar-quantized ANN: coarse code scan + exact rerank"),
+
     // ── embedding-cosine near-duplicate pairs ───────────────────────
     // Integer-quantized dot: the (id_a < id_b) nested-loop pair space
     // does ONE fold per pair; norms come precomputed per row.

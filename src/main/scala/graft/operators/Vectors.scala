@@ -133,6 +133,73 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
+  /** Symmetric int8 scalar quantization + two-stage search — the
+    * memory/bandwidth compression path for a 100 TB vector table:
+    * per-dimension scale `m_d = max(|v_d|)` (one tiny global agg,
+    * broadcast back), every vector encoded as `round(v_d * 127 /
+    * m_d)` ∈ [-127, 127]. Persisted as `ARRAY<TINYINT>` parquet the
+    * code table is 8× smaller than the BIGINT form, so the coarse
+    * scan reads an eighth of the bytes; here the in-plan arrays stay
+    * BIGINT to ride the shared codegen `long_dot`.
+    *
+    * Search is the standard two-stage shape: (1) coarse pass — exact
+    * integer dot over the COMPRESSED codes only (ordered by
+    * (coarse DESC, cand_id): fully deterministic, no doubles), keep a
+    * `shortlist` per query; (2) rerank — join the shortlist pairs
+    * BACK to the full-precision table by id and order by exact
+    * cosine. Only `shortlist` full-width rows per query are ever
+    * touched after the coarse scan — that asymmetry is the entire
+    * point at scale. Quantization error can demote a true neighbor
+    * past the shortlist cut (recall measured in ApproxQualitySpec);
+    * raise `shortlist` to trade coarse-scan output for recall.
+    *
+    * `base` must carry (id, sv, nrm) from [[quantize]];
+    * `queryFilter` may reference any `base` column (semi-join on id,
+    * as in [[lshSearch]]). Returns (query_id, rank, cand_id, coarse,
+    * cosine). */
+  def sq8Search(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                k: Int = 5, shortlist: Int = 20, dim: Int = 64): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    // per-dim symmetric scales: dims rows → one row of arrays; the
+    // greatest(…, 1) guard keeps an all-zero dimension from dividing
+    // by zero (its codes are all 0 either way)
+    val scales = base
+      .select(posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(greatest(max(abs(col("v"))), lit(1L)).as("m"))
+      .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(expr("transform(dm, x -> x.m)").as("ms"))
+    // one materialized code table serves the coarse join's two sides
+    // AND the rerank's two id-joins (the minhash/lsh invariant: hot
+    // reused frames compute once)
+    val codes = graft.Engine.materialize(
+      base.crossJoin(broadcast(scales))
+        .withColumn("q8", expr(s"transform(sequence(0, $dim - 1), " +
+          "d -> CAST(round(CAST(sv[d] * 127 AS DOUBLE) / ms[d]) AS BIGINT))"))
+        .select(col("id"), col("sv"), col("nrm"), col("q8")),
+      key = "id", name = "sq8_codes")
+    val qIds = base.filter(queryFilter).select(col("id"))
+    val q = codes.join(qIds, Seq("id"), "left_semi")
+      .select(col("id").as("query_id"), col("q8").as("qq8"))
+    val c = codes.select(col("id").as("cand_id"), col("q8").as("cq8"))
+    val short = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("coarse", expr("long_dot(qq8, cq8)"))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("coarse").desc, col("cand_id"))))
+      .filter(col("crank") <= shortlist)
+      .select(col("query_id"), col("cand_id"), col("coarse"))
+    short
+      .join(codes.select(col("id").as("query_id"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(codes.select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("coarse"),
+        col("cosine"))
+  }
+
   /** Bucketed SEMANTIC dedup — the scale path for "near-duplicate
     * embedding clusters" (the all-pairs cosine threshold is a recall
     * baseline only; it is O(n²) and dies at 100 TB). Pipeline:

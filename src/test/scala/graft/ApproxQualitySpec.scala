@@ -67,6 +67,21 @@ class ApproxQualitySpec extends SparkSuite {
       f"multi-probe lost recall: $rMp%.2f < $recall%.2f")
   }
 
+  test("int8 two-stage search recalls most true top-5 neighbors") {
+    // quantization error can demote a true neighbor past the
+    // shortlist cut; with a 4× shortlist (20 for k=5) the coarse
+    // int8 ordering should preserve nearly all of the exact top-5
+    val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = SparkEntry.queries("vector_sq8")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect sq8).size.toDouble / brute.size
+    info(f"sq8 two-stage recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"int8 rerank recall collapsed: $recall%.2f")
+  }
+
   test("bucketed semantic dedup recalls most all-pairs cosine edges") {
     // dedup_embedding is the exact all-pairs ≥0.4 pair set; the
     // bucketed operator must be a SUBSET (it never invents an edge —

@@ -182,6 +182,40 @@ class CorpusSpec extends SparkSuite {
     assert(jac === 0, "jaccard should NOT fire on this size imbalance")
   }
 
+  test("lmScore separates shared-phrasing prose from all-novel gibberish") {
+    val tiny = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "zzq qxv vbn mkl pqr"), // no bigram shared with anyone
+      (4L, "one")) // sub-2-token: no bigrams at all
+      .toDF("doc_id", "text")
+    val r = Corpus.lmScore(tiny).orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        Option(x.get(4)).map(_.asInstanceOf[Double]), x.getBoolean(6)))
+    // doc1: 5 bigrams, only "the mat" is unseen elsewhere → 1/5 novel
+    assert(r(0) === ((1L, 5L, 1L, Some(0.2), true)), s"doc1: ${r(0)}")
+    // doc3: every bigram unique to it → novelty 1.0, dropped
+    assert(r(2)._4 === Some(1.0) && !r(2)._5, s"doc3: ${r(2)}")
+    // doc4: no bigrams → null ratio, dropped
+    assert(r(3) === ((4L, 0L, 0L, None, false)), s"doc4: ${r(3)}")
+  }
+
+  test("contamination catches a pasted passage an unrelated doc avoids") {
+    val passage = "a b c d e f g h"
+    val tiny = Seq(
+      (1L, s"q r $passage"), // train doc carrying the passage
+      (2L, "totally different training material with many plain words"),
+      (10L, s"x y z $passage"), // eval doc quoting it: 4 shared 5-grams
+      (11L, "nothing here overlaps the training corpus at all today"))
+      .toDF("doc_id", "text")
+    val r = Corpus.contamination(tiny, isEval = $"doc_id" >= 10L,
+        n = 5, minShared = 3L)
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(4)))
+    assert(r.toSeq === Seq((10L, 7L, 4L, true), (11L, 5L, 0L, false)),
+      s"contamination stats: ${r.toSeq}")
+  }
+
   test("stratifiedSample empirical keep-rate tracks the requested rate") {
     // 20k ids, one stratum at 10%: the 8-hex-char hash draw makes the
     // residue bias ~2e-8, so the empirical rate is binomial around
