@@ -30,13 +30,21 @@ object StreamingModels {
 
   /** Streaming dedup: drop repeated (user_id, event_type) arrivals
     * within the watermark horizon — the streaming form of the exact-
-    * dedup operator (bounded state: expired keys are dropped with the
-    * watermark). Works on batch DataFrames too (plain dropDuplicates
+    * dedup operator. Uses `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates`: with the event-time column absent from the
+    * dedup keys, plain dropDuplicates never evicts key state (the
+    * watermark only bounds state when it is part of the subset), so
+    * a 100 TB stream's state store grows without bound. The
+    * within-watermark form expires each key once the watermark
+    * passes its last arrival + delay — bounded state, at the cost
+    * that a duplicate arriving AFTER its key expired re-emits (the
+    * standard at-scale trade; widen the delay to widen the dedup
+    * horizon). Works on batch DataFrames too (plain dropDuplicates
     * semantics over the whole input). */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates(Seq("user_id", "event_type"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them within 1 hour for the same user. Both sides carry

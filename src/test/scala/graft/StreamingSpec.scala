@@ -95,6 +95,10 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming dedup holds bounded per-key state") {
+    // dedupStream uses dropDuplicatesWithinWatermark: with plain
+    // dropDuplicates and (user_id, event_type) keys the watermark
+    // never evicts state — the within-watermark form is what keeps
+    // the state store bounded on an unbounded stream
     val batch = Sources.table(spark, sf(), "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup")
