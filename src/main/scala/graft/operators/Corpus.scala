@@ -492,6 +492,58 @@ object Corpus extends org.apache.spark.internal.Logging {
     docs.filter(h < rate)
   }
 
+  /** Temperature-flattened mixture resampling — the multilingual /
+    * multi-source rebalancing step (the UniMax / mT5 τ=2 shape): a
+    * stratum's sampling weight is sqrt of its size, so dominant
+    * strata are down-weighted and tail strata up-weighted, with no
+    * stratum sampled above its own size.
+    *
+    * Fully integer-deterministic so it hash-matches across engines:
+    *  - c_stratum: exact per-stratum count,
+    *  - weight = floor(sqrt(c_stratum · 10^6)) — an integer ∝
+    *    sqrt(c); sqrt is IEEE correctly-rounded in every engine, and
+    *    the argument is an exact integer < 2^53, so the floor is
+    *    engine-portable (no pow(), whose libm rounding varies),
+    *  - target = min(c_stratum, (targetTotal · weight) div Σweight),
+    *  - keep a doc iff h32 · c_stratum < target · 2^32, where h32 is
+    *    the 32-bit md5-prefix of doc_id — a per-stratum hash-rate
+    *    draw keeping `target` docs in expectation (the exact-count
+    *    variant is [[shardAssign]]'s two-level rank machinery; the
+    *    rate form is one count agg + a broadcast join + a filter, the
+    *    cheapest 100 TB shape, and reproducible row-by-row).
+    *
+    * Scale shape: one hash agg bounded by stratum count, an
+    * unpartitioned window over that tiny frame, a broadcast join, a
+    * scan-parallel filter — no global sort, no skew (the draw tests
+    * each row independently). Overflow bounds: the products need
+    * c_stratum < 2^31 and target < 2^31; beyond that (per-stratum
+    * billions) drop h32 to a 24-bit draw.
+    *
+    * Returns kept rows as (doc_id, stratum, c_stratum, weight,
+    * target, h32). NULL strata are dropped (equi-join semantics) —
+    * filter or fill upstream. */
+  def temperatureSample(docs: DataFrame, stratum: Column,
+                        targetTotal: Long): DataFrame = {
+    val counts = docs.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("c_stratum"))
+      .withColumn("weight",
+        floor(sqrt(col("c_stratum").cast("double") * 1000000.0d)).cast("long"))
+    val targets = counts
+      .withColumn("w_total", sum(col("weight")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("target", least(col("c_stratum"),
+        expr(s"($targetTotal * weight) div w_total")))
+      .select(col("stratum"), col("c_stratum"), col("weight"), col("target"))
+    docs.select(col("doc_id"), stratum.as("stratum"))
+      .join(broadcast(targets), Seq("stratum"))
+      .withColumn("h32", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .filter(col("h32") * col("c_stratum") < col("target") * lit(4294967296L))
+      .select(col("doc_id"), col("stratum"), col("c_stratum"),
+        col("weight"), col("target"), col("h32"))
+  }
+
   /** Quality signals + first-failing-rule cascade (C4/Gopher shape).
     * Adds n_tokens, top_tok_count, repetition_ratio, keep,
     * drop_reason to the input rows.
@@ -644,6 +696,38 @@ object Corpus extends org.apache.spark.internal.Logging {
     * Returns (doc_id, ntok, shard_id, shard_rank). */
   def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
+    val assigned = tokenCumsum(docs)
+      .withColumn("budget",
+        greatest(expr(s"(total + ${nShards} - 1) div ${nShards}"), lit(1L)))
+      .withColumn("shard_id",
+        least(expr("cum_excl div budget"), lit(nShards - 1L)).cast("int"))
+    // two-level rank: row_number within (shard, bucket) + broadcast
+    // prefix counts of earlier buckets in the same shard
+    val wSB = Window.partitionBy(col("shard_id"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val sbCounts = assigned.groupBy(col("shard_id"), col("bucket"))
+      .agg(count(lit(1)).as("sbn"))
+    val wSBPrefix = Window.partitionBy(col("shard_id"))
+      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val sbOff = sbCounts
+      .withColumn("sboff", coalesce(sum(col("sbn")).over(wSBPrefix), lit(0L)))
+      .select(col("shard_id"), col("bucket"), col("sboff"))
+    assigned.join(broadcast(sbOff), Seq("shard_id", "bucket"))
+      .withColumn("shard_rank",
+        (col("sboff") + row_number().over(wSB)).cast("long"))
+      .select(col("doc_id"), col("ntok"), col("shard_id"), col("shard_rank"))
+  }
+
+  /** The deterministic-global-order token prefix sum shared by
+    * [[shardAssign]] and [[packSequences]]: docs in (h, doc_id) order
+    * where h = md5-prefix(doc_id), with the EXCLUSIVE cumulative token
+    * sum — computed two-level so nothing runs single-partition (h's
+    * top 12 bits form 4096 order-aligned buckets; per-bucket totals
+    * prefix-sum on a 4096-row broadcast frame; within-bucket cumsums
+    * run windowed per bucket).
+    *
+    * Returns (doc_id, ntok, h, bucket, cum_excl, total). */
+  private def tokenCumsum(docs: DataFrame): DataFrame = {
     graft.functions.Md5PrefixLong.register(docs.sparkSession)
     val base = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ntok"))
@@ -664,28 +748,32 @@ object Corpus extends org.apache.spark.internal.Logging {
     val wInBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val assigned = base.join(broadcast(prefix), Seq("bucket"))
+    base.join(broadcast(prefix), Seq("bucket"))
       .withColumn("cum_excl",
         col("boff") + coalesce(sum(col("ntok")).over(wInBucket), lit(0L)))
-      .withColumn("budget",
-        greatest(expr(s"(total + ${nShards} - 1) div ${nShards}"), lit(1L)))
-      .withColumn("shard_id",
-        least(expr("cum_excl div budget"), lit(nShards - 1L)).cast("int"))
-    // two-level rank: row_number within (shard, bucket) + broadcast
-    // prefix counts of earlier buckets in the same shard
-    val wSB = Window.partitionBy(col("shard_id"), col("bucket"))
-      .orderBy(col("h"), col("doc_id"))
-    val sbCounts = assigned.groupBy(col("shard_id"), col("bucket"))
-      .agg(count(lit(1)).as("sbn"))
-    val wSBPrefix = Window.partitionBy(col("shard_id"))
-      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
-    val sbOff = sbCounts
-      .withColumn("sboff", coalesce(sum(col("sbn")).over(wSBPrefix), lit(0L)))
-      .select(col("shard_id"), col("bucket"), col("sboff"))
-    assigned.join(broadcast(sbOff), Seq("shard_id", "bucket"))
-      .withColumn("shard_rank",
-        (col("sboff") + row_number().over(wSB)).cast("long"))
-      .select(col("doc_id"), col("ntok"), col("shard_id"), col("shard_rank"))
+  }
+
+  /** Deterministic sequence packing — the step after [[shardAssign]]
+    * in a training-export pipeline: the md5-shuffled document stream
+    * is conceptually concatenated and cut into fixed `seqTokens`-token
+    * training sequences; each document is assigned to the sequence
+    * containing its START offset (`seq_id = cum_excl div seqTokens`,
+    * document-boundary packing — a doc whose tokens cross the cut
+    * carries its tail into the next sequence, surfaced as that
+    * sequence's `spill` by the aggregate the pack_sequences query
+    * computes). Rides [[tokenCumsum]], so the order and offsets are
+    * identical to the shard export's and the whole thing stays
+    * two-level scale-shaped (no global window).
+    *
+    * Returns (doc_id, ntok, seq_id, seq_off) where seq_off is the
+    * doc's token offset within its sequence (0 ≤ seq_off <
+    * seqTokens). */
+  def packSequences(docs: DataFrame, seqTokens: Long): DataFrame = {
+    require(seqTokens >= 1L, "seqTokens must be >= 1")
+    tokenCumsum(docs)
+      .withColumn("seq_id", expr(s"cum_excl div ${seqTokens}"))
+      .withColumn("seq_off", col("cum_excl") - col("seq_id") * seqTokens)
+      .select(col("doc_id"), col("ntok"), col("seq_id"), col("seq_off"))
   }
 
   /** [[shardAssign]] + deterministic export through the write seam:

@@ -478,6 +478,50 @@ object TextQueries {
         FROM sa_sh ORDER BY shard_id, shard_rank"""),
       desc = "token-balanced deterministic shard assignment (export last mile)"),
 
+    // ── deterministic sequence packing (training-example framing) ───
+    // After sharding, a training run consumes fixed-length token
+    // sequences: concatenate the md5-shuffled doc stream, cut every
+    // 2048 tokens, assign each doc to the sequence holding its start
+    // offset. Per-sequence: docs started, their token mass, and the
+    // tokens spilling past the cut into the next sequence. Same
+    // two-level cumsum as text_shard_assign — no global window.
+    "pack_sequences" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.packSequences directly.
+        Corpus.packSequences(docs(s, dir), seqTokens = 2048L)
+          .groupBy($"seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"ntok").as("seq_tokens"),
+               greatest(max($"seq_off" + $"ntok") - lit(2048L), lit(0L))
+                 .as("spill"))
+          .orderBy($"seq_id")
+      },
+      oracle = Some("""
+        WITH ps_base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                   AS h
+          FROM documents),
+        ps_cum AS (
+          SELECT doc_id, ntok,
+            CAST(COALESCE(sum(ntok) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_excl
+          FROM ps_base),
+        ps_seq AS (
+          SELECT doc_id, ntok, cum_excl // 2048 AS seq_id,
+                 cum_excl - (cum_excl // 2048) * 2048 AS seq_off
+          FROM ps_cum)
+        SELECT seq_id, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS seq_tokens,
+               CAST(greatest(max(seq_off + ntok) - 2048, 0) AS BIGINT)
+                 AS spill
+        FROM ps_seq GROUP BY seq_id ORDER BY seq_id"""),
+      desc = "fixed-token-budget sequence packing over the shuffled stream"),
+
     // ── stratified sampling (per-stratum rates, hash-deterministic) ─
     // Corpus balancing: sample each (lang) stratum at its own rate via
     // the md5-of-id rule — the only reproducible sample at 100 TB
@@ -508,6 +552,40 @@ object TextQueries {
         SELECT doc_id, lang, source, h, CAST(rate AS BIGINT) AS rate
         FROM a WHERE h < rate ORDER BY doc_id"""),
       desc = "deterministic stratified sampling (per-stratum hash rates)"),
+
+    // ── temperature mixture resampling (UniMax / mT5 τ=2 shape) ─────
+    // Corpus rebalancing with DATA-DERIVED rates: per-lang weights ∝
+    // sqrt(count) flatten the mixture (en is ~44% of raw docs, less
+    // after flattening), targets are integer-exact, and the keep rule
+    // is the same reproducible md5 draw as sample_stratified. One
+    // bounded agg + broadcast join + scan-parallel filter.
+    "sample_temperature" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.temperatureSample directly.
+        Corpus.temperatureSample(docs(s, dir), col("lang"),
+            targetTotal = 300L)
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH ts_c AS (
+          SELECT lang AS stratum, count(*) AS c_stratum,
+                 CAST(floor(sqrt(count(*) * 1000000.0)) AS BIGINT) AS weight
+          FROM documents GROUP BY 1),
+        ts_w AS (
+          SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total FROM ts_c),
+        ts_t AS (
+          SELECT stratum, c_stratum, weight,
+                 least(c_stratum, (300 * weight) // w_total) AS target
+          FROM ts_w)
+        SELECT d.doc_id, t.stratum, t.c_stratum, t.weight, t.target,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS h32
+        FROM documents d JOIN ts_t t ON d.lang = t.stratum
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                * t.c_stratum
+              < t.target * 4294967296
+        ORDER BY d.doc_id"""),
+      desc = "temperature-flattened mixture resampling (sqrt weights)"),
 
     // ── repetition scoring (Gopher-style quality signal) ────────────
     // A document dominated by one repeated token is boilerplate/spam;

@@ -231,6 +231,61 @@ class CorpusSpec extends SparkSuite {
       s"keep-rate $rate drifted >1pt from requested 10%")
   }
 
+  test("temperatureSample flattens a skewed mixture deterministically") {
+    // 900 en / 100 fr, target 400. Integer weights: floor(sqrt(c·1e6))
+    // = 30000 / 10000 → targets 300 / 100. fr's target equals its size
+    // so EVERY fr row passes the draw (threshold = 2^32); en keeps
+    // ~300 of 900 binomially (sd ≈ 14 — assert ±60).
+    val mix = spark.range(0L, 1000L).select($"id".as("doc_id"))
+      .withColumn("lang", when($"doc_id" < 900L, "en").otherwise("fr"))
+    val kept = Corpus.temperatureSample(mix, col("lang"), targetTotal = 400L)
+    val m = kept.groupBy($"stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("fr") === 100L, s"fr target == size must keep all: $m")
+    assert(math.abs(m("en") - 300L) < 60L,
+      s"en must flatten to ~300 of 900: $m")
+    val targets = kept.select($"stratum", $"target").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(targets === Map("en" -> 300L, "fr" -> 100L),
+      s"integer targets must be exact: $targets")
+    val again = Corpus.temperatureSample(mix, col("lang"), 400L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === kept.select($"doc_id").as[Long].collect().toSet,
+      "sample must be reproducible")
+  }
+
+  test("packSequences matches a single-window reference and is partition-stable") {
+    // 200 docs, 1–7 tokens each: the two-level cumsum must equal a
+    // naive driver-side cumsum over the same (h, doc_id) order, and
+    // must not depend on the input partitioning.
+    val corpus = spark.range(0L, 200L).select($"id".as("doc_id"))
+      .withColumn("text", expr(
+        "array_join(transform(sequence(1, CAST(doc_id % 7 + 1 AS INT))," +
+          " i -> 'tok'), ' ')"))
+    val got = Corpus.packSequences(corpus, seqTokens = 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // driver-side reference: same hash, same order, plain cumsum
+    val base = corpus.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ntok"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 14)," +
+          " 16, 10) AS BIGINT)").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var cum = 0L
+    val want = base.sortBy(t => (t._3, t._1)).map { case (id, ntok, _) =>
+      val res = (id, ntok, cum / 32L, cum % 32L)
+      cum += ntok
+      res
+    }.sortBy(_._1)
+    assert(got.toSeq === want.toSeq, "two-level cumsum must equal reference")
+    assert(got.forall(t => t._4 >= 0L && t._4 < 32L),
+      "seq_off must be within the budget")
+    val repart = Corpus.packSequences(corpus.repartition(7), 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(repart.toSeq === got.map(t => (t._1, t._3, t._4)).toSeq,
+      "packing must be partition-invariant")
+  }
+
   test("connectedComponents resolves a deep chain in O(log n) rounds") {
     // a 512-node path graph has diameter 511: plain min-label
     // propagation needs 511 rounds (and would hit maxIter=50);
