@@ -620,6 +620,51 @@ object VectorQueries {
         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       desc = "label-free IVF multi-probe: top-2 k-means cells per query"),
 
+    // ── cluster-balanced prototype sampling (D4/SemDeDup family) ────
+    // "Cover the space, not the mass": per-k-means-cell quotas keep
+    // every region represented where a mass-proportional draw
+    // over-samples the dominant modes. Same deterministic codebook as
+    // ivf_kmeans (the oracle replays the 3-round fit), centrality =
+    // exact quantized cosine to the cell centroid. The Spark side
+    // two-phases the per-cell top-m over 32 salt buckets so no cell
+    // ever ranks in a single partition.
+    "sample_cluster" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Vectors.clusterSample directly.
+        Vectors.clusterSample(emb(s, dir).withColumn("id", $"vec_id"),
+            kCells = 8, iters = 3, perCluster = 20)
+          .select($"cluster", $"rank_in_cluster", $"id".as("vec_id"),
+            $"centrality")
+          .orderBy($"cluster", $"rank_in_cluster")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        cs_asg AS (
+          SELECT vec_id, cluster_id AS cluster, score FROM (
+            SELECT b.vec_id, c.cluster_id,
+              CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE))
+                AS score,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        cs_rk AS (
+          SELECT cluster,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY score DESC, vec_id) AS rank_in_cluster,
+                 vec_id, score AS centrality
+          FROM cs_asg)
+        SELECT cluster, rank_in_cluster, vec_id, centrality
+        FROM cs_rk WHERE rank_in_cluster <= 20
+        ORDER BY cluster, rank_in_cluster"""),
+      desc = "cluster-balanced prototype sampling (per-cell top-m by centrality)"),
+
     // ── per-label centroid + assignment (IVF building block) ────────
     "vector_centroids" -> Q(
       fn = (s, dir) => {

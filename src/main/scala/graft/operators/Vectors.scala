@@ -353,6 +353,54 @@ object Vectors {
     cent
   }
 
+  /** Cluster-balanced prototype sampling — the embedding-space
+    * counterpart of `Corpus.temperatureSample` (the D4 / SemDeDup
+    * family's "cover the space, not the mass" subset): fit a
+    * [[kmeansFit]] codebook, assign every vector to its cell, keep
+    * the `perCluster` most central vectors of EACH cell (centrality =
+    * exact quantized cosine to the cell centroid, ties broken by id).
+    * A mass-proportional sample over-draws the dominant modes; a
+    * per-cell quota keeps every region of the space represented.
+    *
+    * Determinism: integer dots, one double division, explicit
+    * (score DESC, id ASC) order — an oracle replays the fit and the
+    * ranking exactly.
+    *
+    * Scale shape: the per-cell top-m NEVER runs one-partition-per-
+    * cell (k is small — with billions of rows per cell that window
+    * would be the bottleneck): stage 1 ranks within (cell, salt) over
+    * 32 salt buckets and keeps each bucket's top `perCluster`; stage
+    * 2 re-ranks the surviving k·32·m rows — bounded, tiny — to the
+    * exact global per-cell top-m. Salting changes intermediate
+    * partition sizes only, never the result.
+    *
+    * Returns (cluster, rank_in_cluster, id, centrality). */
+  def clusterSample(base: DataFrame, kCells: Int = 8, iters: Int = 3,
+                    perCluster: Int = 20): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val cent = kmeansFit(base, kCells, iters)
+    val asg = base.crossJoin(broadcast(cent))
+      .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
+        sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cluster_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cluster_id").as("cluster"), col("score"))
+    val salted = asg
+      .withColumn("salt", pmod(col("id"), lit(32L)))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("cluster"), col("salt"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("srn") <= perCluster)
+    salted
+      .withColumn("rank_in_cluster", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank_in_cluster") <= perCluster)
+      .select(col("cluster"), col("rank_in_cluster"), col("id"),
+        col("score").as("centrality"))
+  }
+
   /** IVF ANN over a [[kmeansFit]] codebook: assign every vector to its
     * best centroid, queries probe their `nprobe` nearest cells
     * (candidates stay single-cell, so probe unions have no

@@ -40,6 +40,36 @@ class VectorsApiSpec extends SparkSuite {
       "nothing-new must yield nothing")
   }
 
+  test("clusterSample: per-cell quota, exact two-phase top-m, deterministic") {
+    val got = Vectors.clusterSample(base, kCells = 8, iters = 3,
+        perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // quota respected per cell
+    val perCell = got.groupBy(_._1).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 5), s"quota violated: ${perCell.toMap}")
+    assert(perCell.size > 1, "sample must cover multiple cells")
+    // the salted two-phase must equal a naive single-window reference
+    val cent = Vectors.kmeansFit(base, 8, 3)
+    val naive = base.crossJoin(broadcast(cent))
+      .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
+        sqrt($"nrm".cast("double") * $"cnrm".cast("double")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id")
+          .orderBy($"score".desc, $"cluster_id".asc)))
+      .filter($"rn" === 1)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+          .orderBy($"score".desc, $"id")))
+      .filter($"rk" <= 5)
+      .select($"cluster_id", $"rk", $"id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet === naive.toSet,
+      "salted two-phase must equal the single-window reference")
+    val again = Vectors.clusterSample(base, 8, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSet === got.toSet, "sample must be reproducible")
+  }
+
   test("ivfSearch nprobe=2 matches the ivf_multiprobe query") {
     val api = Vectors.ivfSearch(base, queryFilter = $"id" < 10,
         k = 3, nprobe = 2)
