@@ -37,7 +37,16 @@ object Bench {
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val flaky = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES=a,b,c — iterate-locally subset filter; the
+    // driver sets no filter, so its runs cover every query. Subset
+    // runs skip upstream shared-frame builders, so a rider query
+    // measured alone pays the full build — only same-set comparisons
+    // are meaningful.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // toRdd.foreach materializes every output row with all its
       // expressions evaluated — count() would let Catalyst prune
       // projections/sorts under it and understate expression-heavy
@@ -69,9 +78,14 @@ object Bench {
               }
               false
           }
-        if (i == 0) Engine.retainShared(snap)
-        (ok, (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // roll back sample-1 shared frames AND release dead checkpoint
+        // blocks (outside the timer): without the sweep, 96 queries of
+        // accumulated localCheckpoints slow late queries ~2x.
+        if (i == 0) { Engine.retainShared(snap); Engine.unpersistStale(spark) }
+        (ok, dt)
       }
+      Engine.unpersistStale(spark)
       // only SUCCESSFUL runs are timing samples — a fast crash must
       // not min() a real measurement down to its throw time. A query
       // with no successful run reports its slowest attempt (it is

@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the query's dead checkpoint blocks (shared frames
+      // survive) — 96 queries of accumulated localCheckpoints
+      // otherwise pressure the heap for the whole run
+      finally Engine.unpersistStale(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

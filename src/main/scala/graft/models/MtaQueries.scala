@@ -22,19 +22,19 @@ object MtaQueries {
   // (docs/metrics_guide.md:385). Engine.materialize keeps results
   // byte-identical to the lazy view (localCheckpoint locally, bucketed
   // table on a cluster).
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-
-  /** Memoize + materialize a shared intermediate per (session, dir).
-    * Evicts entries whose SparkContext is stopped — long-lived JVMs
-    * (repeated test runs) would otherwise pin dead sessions' blocks. */
+  /** Memoize + materialize a shared intermediate per (session, dir)
+    * through [[graft.Engine.materializeShared]] — the ONE registry of
+    * live shared frames, so `Engine.unpersistStale` sweeps never
+    * release blocks these queries still read, and Bench's
+    * snapshot/rollback charges the build to the query that builds it
+    * in both samples (a private memo here would let min-of-two discard
+    * the fts build cost). Tokens embed the application id, so entries
+    * from stopped sessions are never returned. */
   private def memoized(s: SparkSession, dir: String, name: String,
-                       key: String)(build: => DataFrame): DataFrame = {
-    memo.filterInPlace { case ((sess, _, _), _) =>
-      !sess.sparkContext.isStopped }
-    memo.getOrElseUpdate((s, dir, name),
-      graft.Engine.materialize(build, key = key, name = name))
-  }
+                       key: String)(build: => DataFrame): DataFrame =
+    graft.Engine.materializeShared(s,
+      token = s"mta:${s.sparkContext.applicationId}:$dir:$name",
+      build, key = key, name = name)
 
   private def fts(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "fts", "trip_uid") {
