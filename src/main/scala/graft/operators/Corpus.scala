@@ -369,6 +369,100 @@ object Corpus extends org.apache.spark.internal.Logging {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exact duplicated-substring SPANS — the ExactSubstr dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., ACL 2022), re-expressed relationally: their suffix-array
+    * pass finds every substring of length ≥ k occurring more than
+    * once in the corpus and removes all but one copy; here every
+    * stride-1 `k`-char window is hashed, a window OCCURRENCE is
+    * removable iff an occurrence of identical content precedes it in
+    * global (doc_id, pos) order (keep-first — exactly one copy of
+    * every duplicated substring survives), and per doc the removable
+    * windows are merged gaps-and-islands into maximal spans. A
+    * duplicated passage of length L ≥ k yields one span of length L
+    * in every doc but its first-occurrence holder; within-doc repeats
+    * (period-< k runs included) collapse the same way.
+    *
+    * Scale shape: after the scan-side substr+hash, only (doc_id, pos,
+    * h) rides — text never shuffles. The window frame is materialized
+    * ONCE bucketed on `h`, so the keep-first aggregation (min packed
+    * key per hash — partial-agg/map-side combine collapses boilerplate
+    * floods, no sort-window skew on hot hashes) and the join back both
+    * run exchange-free on a cluster. Occurrence order packs as
+    * `doc_id * 2^32 + pos` (doc_id < 2^31, pos < 2^32 — 4 GB docs);
+    * shuffle volume is Θ(total corpus chars) ids-only rows, the same
+    * bound the suffix-array construction pays.
+    *
+    * Returns (doc_id, span_start BIGINT 1-based, span_len, n_windows)
+    * — spans per doc are disjoint, so (doc_id, span_start) is a total
+    * order. Docs shorter than `k` contribute no windows. */
+  def spanDedup(docs: DataFrame, k: Int = 40): DataFrame =
+    // the whole span frame is shared across registered queries
+    // ([[spanClean]] consumes exactly this result) — keyed by the
+    // PRE-transform input plan token
+    graft.Engine.materializeShared(docs.sparkSession,
+      graft.Engine.planToken(docs, extra = s"span_dedup:$k"),
+      buildSpanDedup(docs, k), key = "doc_id", name = "span_dedup")
+
+  private def buildSpanDedup(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val okey = col("doc_id") * lit(4294967296L) + col("pos")
+    val wins = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("pos"),
+        expr(s"md5_prefix_long(substr(text, i, $k), 14)").as("h"))
+    val w = graft.Engine.materialize(wins, key = "h", name = "span_wins")
+    val firsts = w.groupBy(col("h")).agg(min(okey).as("first_key"))
+    val removable = w.join(firsts, Seq("h"))
+      .filter(okey =!= col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    removable
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("pos") - col("prev") <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
+  /** Apply [[spanDedup]]: rebuild every document's text with its
+    * removable spans excised (the actual ExactSubstr "remove all but
+    * one copy" output). The per-doc span list is tiny (disjoint,
+    * sorted), so the excision is a single higher-order `aggregate`
+    * fold over the collected spans — codegen-friendly, no UDF, no
+    * extra corpus scan beyond the join. Docs with no spans pass
+    * through byte-identical. Returns (doc_id, clean_len, removed,
+    * clean_text). */
+  def spanClean(docs: DataFrame, k: Int = 40): DataFrame = {
+    val spans = spanDedup(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_len")))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(expr("""
+          aggregate(spans,
+            named_struct('cur', CAST(1 AS BIGINT), 'acc', ''),
+            (st, sp) -> named_struct(
+              'cur', sp.span_start + sp.span_len,
+              'acc', concat(st.acc, substring(text,
+                CAST(st.cur AS INT), CAST(sp.span_start - st.cur AS INT)))),
+            st -> concat(st.acc,
+              substring(text, CAST(st.cur AS INT), length(text))))""")))
+      .select(col("doc_id"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        (length(col("text")) - length(col("clean_text")))
+          .cast("long").as("removed"),
+        col("clean_text"))
+  }
+
   /** Star edges for exact duplicates of a canonical key: every doc in
     * a key group links to the group's min doc_id. `canonical` defaults
     * to the sorted-distinct-token normal form. */

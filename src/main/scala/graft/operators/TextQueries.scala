@@ -713,6 +713,102 @@ object TextQueries {
         ORDER BY b.doc_id"""),
       desc = "exact 5-gram decontamination: eval docs probed against train grams"),
 
+    // ── exact duplicated-substring spans (ExactSubstr) ──────────────
+    // Lee et al. ACL 2022's second dedup axis: substring-granular
+    // removal spans, not whole-doc verdicts. Keep-first in global
+    // (doc_id, pos) order; removable stride-1 windows merge into
+    // maximal spans per doc.
+    "dedup_spans" -> Q(
+      fn = (s, dir) => Corpus.spanDedup(docs(s, dir), k = 40)
+        .orderBy(col("doc_id"), col("span_start")),
+      oracle = Some("""
+        WITH sp_w AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)),
+                    1, 14))::BIGINT AS h
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)
+          WHERE length(text) >= 40),
+        sp_first AS (
+          SELECT h, min(doc_id * 4294967296 + pos) AS first_key
+          FROM sp_w GROUP BY h),
+        sp_rm AS (
+          SELECT w.doc_id, w.pos
+          FROM sp_w w JOIN sp_first f ON f.h = w.h
+          WHERE w.doc_id * 4294967296 + w.pos <> f.first_key),
+        sp_prev AS (
+          SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM sp_rm),
+        sp_isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos - prev <= 40 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM sp_prev)
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + 40 - min(pos) AS span_len,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM sp_isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""),
+      desc = "ExactSubstr spans: keep-first duplicated k-char runs merged per doc"),
+
+    // ── ExactSubstr applied: excise the spans from the text ─────────
+    // The oracle rebuilds each cleaned text character-by-character
+    // (positions anti-joined to span ranges, string_agg in order) —
+    // a deliberately different formulation from the Spark fold, so
+    // agreement checks the semantics, not the implementation.
+    "dedup_span_clean" -> Q(
+      fn = (s, dir) => Corpus.spanClean(docs(s, dir), k = 40)
+        .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH sp_w AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)),
+                    1, 14))::BIGINT AS h
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)
+          WHERE length(text) >= 40),
+        sp_first AS (
+          SELECT h, min(doc_id * 4294967296 + pos) AS first_key
+          FROM sp_w GROUP BY h),
+        sp_rm AS (
+          SELECT w.doc_id, w.pos
+          FROM sp_w w JOIN sp_first f ON f.h = w.h
+          WHERE w.doc_id * 4294967296 + w.pos <> f.first_key),
+        sp_prev AS (
+          SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM sp_rm),
+        sp_isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos - prev <= 40 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM sp_prev),
+        sp_spans AS (
+          SELECT doc_id, min(pos) AS span_start,
+                 max(pos) + 40 - min(pos) AS span_len
+          FROM sp_isl GROUP BY doc_id, island),
+        sc_chars AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 substr(text, CAST(i AS INTEGER), 1) AS ch
+          FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+        sc_kept AS (
+          SELECT c.doc_id, c.i, c.ch
+          FROM sc_chars c LEFT JOIN sp_spans s
+            ON s.doc_id = c.doc_id
+           AND c.i >= s.span_start AND c.i < s.span_start + s.span_len
+          WHERE s.span_start IS NULL),
+        sc_clean AS (
+          SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text
+          FROM sc_kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(length(COALESCE(c.clean_text, '')) AS BIGINT)
+                 AS clean_len,
+               CAST(length(d.text) - length(COALESCE(c.clean_text, ''))
+                 AS BIGINT) AS removed,
+               COALESCE(c.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN sc_clean c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      desc = "ExactSubstr excision: cleaned text with removable spans cut out"),
+
     // ── fused corpus filter (C4/Gopher-style keep/drop pipeline) ────
     // The shape a production corpus filter takes: one pass computes
     // all quality signals, then a single rule cascade assigns the

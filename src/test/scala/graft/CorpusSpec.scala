@@ -373,6 +373,40 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.dedupComponents(unique).count() === 0)
   }
 
+  test("spanDedup flags every later copy of a duplicated substring as one maximal span") {
+    val P = "the quick brown fox jumps" // 25 chars, no internal repeat
+    val Q = "0123456789ABCDEFG"         // 17 chars, all distinct
+    val d = Seq(
+      (10L, "ab" + P + "cdefghijkl"),   // P at pos 3 — first occurrence
+      (20L, "mnop" + P + "qrst"),       // P at pos 5 — removable copy
+      (30L, Q + Q)                      // within-doc repeat: 2nd Q removable
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDedup(d, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 20: the 16 windows fully inside P merge to one span of len(P)
+    // starting where P starts; doc 10 keeps everything (first occurrence);
+    // doc 30: windows 18..25 (the second Q) merge to one span of len(Q).
+    assert(out === Set((20L, 5L, 25L, 16L), (30L, 18L, 17L, 8L)),
+      s"unexpected spans: $out")
+  }
+
+  test("spanClean excises exactly the removable spans and passes clean docs through") {
+    val P = "the quick brown fox jumps"
+    val Q = "0123456789ABCDEFG"
+    val d = Seq(
+      (10L, "ab" + P + "cdefghijkl"),
+      (20L, "mnop" + P + "qrst"),
+      (30L, Q + Q)
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanClean(d, k = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(10L) === ((0L, "ab" + P + "cdefghijkl")),
+      "first-occurrence doc must pass through unchanged")
+    assert(out(20L) === ((25L, "mnopqrst")), s"got ${out(20L)}")
+    assert(out(30L) === ((17L, Q)), s"got ${out(30L)}")
+  }
+
   test("qualityFilter assigns first-failing reasons") {
     val out = Corpus.qualityFilter(docs, minChars = 10L, minTokens = 9L,
         maxRepetition = 0.5)
