@@ -693,6 +693,80 @@ object Corpus extends org.apache.spark.internal.Logging {
     * bounded by distinct-bigram count, never broadcast; super-common
     * bigrams ("of the") skew the join key — AQE skew-join splits them,
     * and the stats side is one row per key so there is no fan-out. */
+  /** Distributed batch-perceptron quality probe: distill the
+    * [[qualityFilter]] rule cascade into a LINEAR scorer — the
+    * fasttext-style "train a fast classifier on heuristic labels"
+    * step of a production corpus pipeline, shrunk to its
+    * engine-relevant core: a fixed-round iterative fit whose per-round
+    * state is a tiny broadcast frame and whose gradient is one
+    * map-side-combinable aggregation over the corpus.
+    *
+    * Every quantity is an INTEGER (features clamped/fixed-point, y ∈
+    * {-1, +1}, classic batch perceptron update w += Σ_misclassified
+    * y·x). Integer sums are order-independent, so the fit is exact
+    * under ANY partitioning and a DuckDB oracle replays every round
+    * unrolled — the determinism bar floating-point GD cannot meet.
+    *
+    * Features per doc: x0 = 256 bias, x1 = clamp(n_chars, 512), x2 =
+    * top-token share in 1/1024ths, x3 = clamp(n_tokens, 128); label
+    * y = +1 iff the cascade keeps the doc (n_chars ≥ 100, n_tokens ≥
+    * 18, x2 ≤ 128). Scale shape mirrors [[Vectors.kmeansFit]]: the
+    * feature frame is materialized once; each round crossJoins the
+    * broadcast 1-row weight frame, aggregates the misclassified-sum
+    * update (partial agg — no driver collect), and materializes the
+    * next weights with the superseded round's table dropped.
+    *
+    * Returns per-doc (doc_id, y, score = final dot, pred, correct). */
+  def probeFit(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok"))
+    val feats = graft.Engine.materialize(
+      docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .join(toks, Seq("doc_id"))
+        .withColumn("x0", lit(256L))
+        .withColumn("x1", least(col("n_chars"), lit(512L)))
+        .withColumn("x2", expr("top_tok * 1024 div n_tokens"))
+        .withColumn("x3", least(col("n_tokens"), lit(128L)))
+        .withColumn("y",
+          when(col("n_chars") >= 100 && col("n_tokens") >= 18 &&
+            col("x2") <= 128, 1L).otherwise(-1L))
+        .select(col("doc_id"), col("x0"), col("x1"), col("x2"),
+          col("x3"), col("y")),
+      key = "doc_id", name = "probe_feats")
+    val dot = col("x0") * col("w0") + col("x1") * col("w1") +
+      col("x2") * col("w2") + col("x3") * col("w3")
+    var w = spark.range(1).select(
+      lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+    var wT: Option[String] = None
+    for (i <- 0 until rounds) {
+      val upd = feats.crossJoin(broadcast(w))
+        .filter(col("y") * dot <= 0)
+        .agg(coalesce(sum(col("y") * col("x0")), lit(0L)).as("d0"),
+          coalesce(sum(col("y") * col("x1")), lit(0L)).as("d1"),
+          coalesce(sum(col("y") * col("x2")), lit(0L)).as("d2"),
+          coalesce(sum(col("y") * col("x3")), lit(0L)).as("d3"))
+      val (nextW, nextT) = graft.Engine.materializeTracked(
+        w.crossJoin(broadcast(upd)).select(
+          (col("w0") + col("d0")).as("w0"), (col("w1") + col("d1")).as("w1"),
+          (col("w2") + col("d2")).as("w2"), (col("w3") + col("d3")).as("w3")),
+        key = "w0", name = s"probe_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, wT)
+      w = nextW
+      wT = nextT
+    }
+    feats.crossJoin(broadcast(w))
+      .withColumn("score", dot)
+      .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
+      .withColumn("correct", col("pred") === col("y"))
+      .select(col("doc_id"), col("y"), col("score"), col("pred"),
+        col("correct"))
+  }
+
   def lmScore(docs: DataFrame, novelTau: Double = 0.5): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bg = toks.filter(size(col("toks")) >= 2)

