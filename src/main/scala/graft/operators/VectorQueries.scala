@@ -114,6 +114,50 @@ object VectorQueries {
     init + "," + rounds
   }
 
+  /** DuckDB replay of the [[Vectors.pqSearch]] codebook fit: subvector
+    * split, kCode-smallest-id init, `iters` unrolled rounds of integer
+    * L2 assignment + rounded-mean update, ending in `pq_cb$iters`
+    * (sub, cw, cvec, cn). All m subspaces ride the same CTEs — the
+    * subspace is data, not SQL structure. */
+  private def duckPqCtes(m: Int, sw: Int, kCode: Int, iters: Int): String = {
+    val init = s"""
+        pq_subv AS (
+          SELECT vec_id, s.s AS sub,
+                 list_slice(sv, s.s * $sw + 1, s.s * $sw + $sw) AS v
+          FROM base CROSS JOIN range(0, $m) s(s)),
+        pq_sv AS (
+          SELECT vec_id, sub, v, ${duckDot("v", "v")} AS vn FROM pq_subv),
+        pq_cb0 AS (
+          SELECT sub, CAST(row_number() OVER (PARTITION BY sub
+                   ORDER BY vec_id) - 1 AS BIGINT) AS cw,
+                 v AS cvec, vn AS cn
+          FROM pq_sv
+          WHERE vec_id IN (SELECT vec_id FROM base
+                           ORDER BY vec_id LIMIT $kCode))"""
+    val rounds = (1 to iters).map { i =>
+      s"""
+        pq_asg$i AS (
+          SELECT vec_id, sub, v, cw FROM (
+            SELECT b.vec_id, b.sub, b.v, c.cw,
+              row_number() OVER (PARTITION BY b.vec_id, b.sub
+                ORDER BY b.vn + c.cn - 2 * ${duckDot("b.v", "c.cvec")} ASC,
+                         c.cw ASC) AS rn
+            FROM pq_sv b JOIN pq_cb${i - 1} c ON c.sub = b.sub)
+          WHERE rn = 1),
+        pq_cs$i AS (
+          SELECT sub, cw, r.i AS d,
+                 CAST(round(CAST(sum(v[r.i]) AS DOUBLE) / count(*))
+                   AS BIGINT) AS cv
+          FROM pq_asg$i CROSS JOIN range(1, ${sw + 1}) r(i)
+          GROUP BY sub, cw, r.i),
+        pq_cb$i AS (
+          SELECT sub, cw, cvec, ${duckDot("cvec", "cvec")} AS cn FROM (
+            SELECT sub, cw, list(cv ORDER BY d) AS cvec
+            FROM pq_cs$i GROUP BY sub, cw))"""
+    }.mkString(",")
+    init + "," + rounds
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ── brute-force cosine top-k (baseline ANN) ─────────────────────
@@ -256,6 +300,61 @@ object VectorQueries {
           FROM sq_rr)
         WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "int8 scalar-quantized ANN: coarse code scan + exact rerank"),
+
+    // ── product-quantization ANN (ADC search over m×kCode codes) ────
+    // All m codebooks fit in one iterative loop; the oracle replays
+    // the fit (unrolled rounds), the encode, and the asymmetric-
+    // distance search exactly — every distance is integer.
+    "vector_pq" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Vectors.pqSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 5, m = 4, kCode = 8,
+            iters = 2, shortlist = 64)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckPqCtes(m = 4, sw = 16, kCode = 8, iters = 2)},
+        pq_codes AS (
+          SELECT vec_id, sub, cw FROM (
+            SELECT b.vec_id, b.sub, c.cw,
+              row_number() OVER (PARTITION BY b.vec_id, b.sub
+                ORDER BY b.vn + c.cn - 2 * ${duckDot("b.v", "c.cvec")} ASC,
+                         c.cw ASC) AS rn
+            FROM pq_sv b JOIN pq_cb2 c ON c.sub = b.sub)
+          WHERE rn = 1),
+        pq_qd AS (
+          SELECT b.vec_id AS query_id, b.sub, c.cw,
+                 b.vn + c.cn - 2 * ${duckDot("b.v", "c.cvec")} AS qdist
+          FROM pq_sv b JOIN pq_cb2 c ON c.sub = b.sub
+          WHERE b.vec_id < 10),
+        pq_adc AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+                 CAST(sum(q.qdist) AS BIGINT) AS adc
+          FROM pq_codes c JOIN pq_qd q ON q.sub = c.sub AND q.cw = c.cw
+          WHERE q.query_id <> c.vec_id
+          GROUP BY q.query_id, c.vec_id),
+        pq_short AS (
+          SELECT query_id, cand_id, adc FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc ASC, cand_id) AS crank
+            FROM pq_adc)
+          WHERE crank <= 64),
+        pq_rr AS (
+          SELECT s.query_id, s.cand_id, s.adc,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM pq_short s
+          JOIN base qv ON qv.vec_id = s.query_id
+          JOIN base cv ON cv.vec_id = s.cand_id)
+        SELECT query_id, rank, cand_id, adc, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rank
+          FROM pq_rr)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "product-quantization ANN: m codebooks one loop, ADC + exact rerank"),
 
     // ── embedding-cosine near-duplicate pairs ───────────────────────
     // Integer-quantized dot: the (id_a < id_b) nested-loop pair space

@@ -200,6 +200,112 @@ object Vectors {
         col("cosine"))
   }
 
+  /** Product-quantization ANN (the IVFADC family, Jégou et al., TPAMI
+    * 2011): split each `dim`-d vector into `m` subvectors, fit an
+    * independent `kCode`-codeword codebook per subspace (deterministic
+    * k-means: kCode-smallest-id init, fixed `iters` rounds, integer
+    * L2 via `d² = |v|² + |c|² - 2·v·c` — three codegen'd long_dots,
+    * no doubles), encode every vector as `m` small codes, then search
+    * with ASYMMETRIC DISTANCE: the query computes one exact
+    * (subspace × codeword) distance table (m·kCode entries, broadcast)
+    * and every candidate's approximate distance is the SUM of m table
+    * lookups over its codes — candidates are never decoded. An exact-
+    * cosine rerank touches full-width vectors for the shortlist only
+    * (the [[sq8Search]] two-stage contract; PQ's codes are `m` bytes
+    * per vector at rest vs sq8's `dim`).
+    *
+    * ALL subspaces train in ONE iterative loop — the per-round frame
+    * is keyed (sub, cw), so one assignment job + one update job per
+    * round fits all m codebooks simultaneously (vs m sequential
+    * k-means runs). Codebook state is a broadcast m·kCode-row frame,
+    * per-round materialize+drop ([[kmeansFit]] shape, no collect).
+    *
+    * Determinism: integer distances with (dist ASC, cw ASC) ties,
+    * rounded integer centroid means, (adc ASC, cand_id) shortlist
+    * ties — a DuckDB oracle replays the fit + encode + ADC exactly.
+    *
+    * `base` must carry (id, sv, nrm) from [[quantize]]; `queryFilter`
+    * may reference any `base` column (semi-join on id). */
+  def pqSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+               k: Int = 5, m: Int = 4, kCode: Int = 8, iters: Int = 2,
+               shortlist: Int = 64, dim: Int = 64): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val spark = base.sparkSession
+    val sw = dim / m
+    val proj = graft.Engine.materialize(
+      base.select(col("id"), col("sv"), col("nrm")),
+      key = "id", name = "pq_vec")
+    val subv = graft.Engine.materialize(
+      proj.select(col("id"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"), col("sv"))
+        .withColumn("v", expr(s"slice(sv, sub * $sw + 1, $sw)"))
+        .withColumn("vn", expr("long_dot(v, v)"))
+        .select(col("id"), col("sub"), col("v"), col("vn")),
+      key = "id", name = "pq_subv")
+    val dist = col("vn") + col("cn") - expr("2 * long_dot(v, cvec)")
+    def assign(cbk: DataFrame): DataFrame = subv
+      .join(broadcast(cbk), Seq("sub"))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"), col("sub"))
+          .orderBy(col("dist").asc, col("cw").asc)))
+      .filter(col("rn") === 1)
+    var cb = subv
+      .join(broadcast(proj.orderBy(col("id")).limit(kCode)
+        .select(col("id"))), Seq("id"))
+      .withColumn("cw", (row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("id"))) - 1).cast("long"))
+      .select(col("sub"), col("cw"), col("v").as("cvec"),
+        col("vn").as("cn"))
+    var cbT: Option[String] = None
+    for (i <- 0 until iters) {
+      val (nextCb, nextT) = graft.Engine.materializeTracked(
+        assign(cb)
+          .select(col("sub"), col("cw"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("sub"), col("cw"), col("d"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .withColumn("cv",
+            round(col("sx").cast("double") / col("n")).cast("long"))
+          .groupBy(col("sub"), col("cw"))
+          .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
+            .as("cvec"))
+          .withColumn("cn", expr("long_dot(cvec, cvec)")),
+        key = "cw", name = s"pq_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, cbT)
+      cb = nextCb
+      cbT = nextT
+    }
+    val codes = assign(cb).select(col("id"), col("sub"), col("cw"))
+    val qIds = base.filter(queryFilter).select(col("id"))
+    val qd = subv.join(qIds, Seq("id"), "left_semi")
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("qdist", dist)
+      .select(col("query_id"), col("sub"), col("cw"), col("qdist"))
+    val short = codes.withColumnRenamed("id", "cand_id")
+      .join(broadcast(qd), Seq("sub", "cw"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qdist")).as("adc"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("cand_id").asc)))
+      .filter(col("crank") <= shortlist)
+      .select(col("query_id"), col("cand_id"), col("adc"))
+    short
+      .join(proj.select(col("id").as("query_id"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(proj.select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"),
+        col("cosine"))
+  }
+
   /** Bucketed SEMANTIC dedup — the scale path for "near-duplicate
     * embedding clusters" (the all-pairs cosine threshold is a recall
     * baseline only; it is O(n²) and dies at 100 TB). Pipeline:

@@ -82,6 +82,27 @@ class ApproxQualitySpec extends SparkSuite {
     assert(recall >= 0.8, f"int8 rerank recall collapsed: $recall%.2f")
   }
 
+  test("PQ ADC search recalls a usable share and improves with shortlist") {
+    val base = operators.Vectors.quantize(
+      Sources.table(spark, sf("sf0.01"), "embeddings"))
+      .withColumn("id", $"vec_id")
+    val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(shortlist: Int): Double = {
+      val pq = operators.Vectors.pqSearch(base, queryFilter = $"id" < 10,
+          k = 5, m = 4, kCode = 8, iters = 2, shortlist = shortlist)
+        .select($"query_id", $"cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect pq).size.toDouble / brute.size
+    }
+    val r64 = recall(64)
+    val r128 = recall(128)
+    info(f"PQ recall@5: shortlist=64 $r64%.2f, 128 $r128%.2f")
+    assert(r64 >= 0.5, f"PQ recall collapsed: $r64%.2f")
+    assert(r128 >= r64, f"wider shortlist lost recall: $r128%.2f < $r64%.2f")
+  }
+
   test("bucketed semantic dedup recalls most all-pairs cosine edges") {
     // dedup_embedding is the exact all-pairs ≥0.4 pair set; the
     // bucketed operator must be a SUBSET (it never invents an edge —
