@@ -693,6 +693,79 @@ object Corpus extends org.apache.spark.internal.Logging {
     * bounded by distinct-bigram count, never broadcast; super-common
     * bigrams ("of the") skew the join key — AQE skew-join splits them,
     * and the stats side is one row per key so there is no fan-out. */
+  /** Log-free rational BM25 ranked retrieval (Robertson/Zaragoza's
+    * Okapi BM25 with the idf's log dropped): score(d) = Σ_t idf'(t) ·
+    * tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl)), where idf'(t) =
+    * (N-df+0.5)/(df+0.5) — the log's argument, monotone in the
+    * standard idf, so rankings agree where it matters while every
+    * quantity stays INTEGER fixed-point (milli-scaled norms, ppm-
+    * scaled term frequencies, floor division): `ln` is not IEEE-exact
+    * across engines, floor div is — this is what makes the score
+    * bit-replayable in DuckDB (the determinism contract every other
+    * operator here keeps; sqrt-based cosine is exact, log is not).
+    *
+    * Scale shape: one token scan builds tf (filtered to the query's
+    * terms BEFORE the shuffle — the inverted-index access pattern),
+    * doc lengths aggregate once, per-term df and the global (N,
+    * avgdl) stats are broadcast 1-row/tiny frames, and the final
+    * top-k is orderBy+limit (TakeOrderedAndProject — no global
+    * window over the corpus).
+    *
+    * Returns (doc_id, rank, score, n_terms) for the `topK` highest-
+    * scoring docs; ties break by doc_id. */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 10,
+               k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(expr("count(1)").as("n_docs"),
+      expr("(sum(dlen) * 1000) div count(1)").as("avg_m"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_m",
+        expr("((n_docs - df) * 1000000 + 500000) div (df * 1000 + 500)"))
+      .withColumn("norm_m",
+        expr(s"1000 - $bMilli + ($bMilli * dlen * 1000) div avg_m"))
+      .withColumn("tfn_ppm", expr(
+        s"(tf * (1000 + $k1Milli) * 1000000) div " +
+          s"(tf * 1000 + ($k1Milli * norm_m) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_m") * col("tfn_ppm")).as("score"),
+        count(lit(1)).as("n_terms"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"), col("score"), col("n_terms"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    * a lexical and a vector ranking: rrf(d) = Σ_lists 1/(kRrf +
+    * rank_list(d)), integer-scaled to ppm so the fusion is exact.
+    * `lex`/`vec` carry (id, rank); a doc missing from one list
+    * contributes 0 from it (full outer join). The fused list is the
+    * standard hybrid-retrieval last mile over [[bm25Rank]] +
+    * `Vectors.knnBrute`/ANN ranks. Returns (rank, id, lex_rank,
+    * vec_rank, rrf) for the topK fused docs. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, topK: Int = 10,
+              kRrf: Int = 60): DataFrame = {
+    val contrib = (c: String) =>
+      s"coalesce(CAST(1000000 AS BIGINT) div ($kRrf + CAST($c AS BIGINT)), CAST(0 AS BIGINT))"
+    val fused = lex.select(col("id"), col("rank").as("lex_rank"))
+      .join(vec.select(col("id"), col("rank").as("vec_rank")),
+        Seq("id"), "full_outer")
+      .withColumn("rrf",
+        expr(s"${contrib("lex_rank")} + ${contrib("vec_rank")}"))
+    val top = fused.orderBy(col("rrf").desc, col("id")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id"))))
+      .select(col("rank"), col("id"), col("lex_rank"), col("vec_rank"),
+        col("rrf"))
+  }
+
   /** Distributed batch-perceptron quality probe: distill the
     * [[qualityFilter]] rule cascade into a LINEAR scorer — the
     * fasttext-style "train a fast classifier on heuristic labels"

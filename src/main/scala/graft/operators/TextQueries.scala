@@ -27,6 +27,54 @@ import org.apache.spark.sql.types._
   */
 object TextQueries {
 
+  /** DuckDB replay of [[Corpus.bm25Rank]] (log-free rational BM25,
+    * integer fixed-point, floor division) ending in `bm_top`
+    * (doc_id, rank, score, n_terms) — shared by `text_bm25` and the
+    * hybrid-fusion oracle in VectorQueries. */
+  private[operators] def duckBm25Ctes(terms: Seq[String], topK: Int,
+                                      k1m: Long = 1200L,
+                                      bm: Long = 750L): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+      bm_t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      bm_dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen
+        FROM bm_t GROUP BY doc_id),
+      bm_st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               (CAST(sum(dlen) AS BIGINT) * 1000) // count(*) AS avg_m
+        FROM bm_dl),
+      bm_tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM bm_t WHERE tok IN ($termList) GROUP BY doc_id, tok),
+      bm_df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df
+        FROM bm_tf GROUP BY tok),
+      bm_sc AS (
+        SELECT f.doc_id,
+               ((s.n_docs - d.df) * 1000000 + 500000)
+                 // (d.df * 1000 + 500) AS idf_m,
+               1000 - $bm + ($bm * l.dlen * 1000) // s.avg_m AS norm_m,
+               f.tf
+        FROM bm_tf f JOIN bm_df d USING (tok)
+        JOIN bm_dl l USING (doc_id) CROSS JOIN bm_st s),
+      bm_agg AS (
+        SELECT doc_id,
+               CAST(sum(idf_m * ((tf * (1000 + $k1m) * 1000000)
+                 // (tf * 1000 + ($k1m * norm_m) // 1000))) AS BIGINT)
+                 AS score,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM bm_sc GROUP BY doc_id),
+      bm_top AS (
+        SELECT doc_id, rank, score, n_terms FROM (
+          SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+            AS rank
+          FROM bm_agg)
+        WHERE rank <= $topK)"""
+  }
+
   /** DuckDB replay of [[Corpus.probeFit]]: feature CTEs + one
     * generated pf_w{i} weight CTE per perceptron round (unrolled
     * iteration, the ivf_kmeans oracle pattern). */
@@ -855,6 +903,21 @@ object TextQueries {
         FROM documents d LEFT JOIN sc_clean c ON c.doc_id = d.doc_id
         ORDER BY d.doc_id"""),
       desc = "ExactSubstr excision: cleaned text with removable spans cut out"),
+
+    // ── BM25 ranked retrieval (log-free rational variant) ───────────
+    // The lexical-search operator of the retrieval pair (vector side:
+    // knn_brute / the ANN family; fusion: search_hybrid). Integer
+    // fixed-point throughout — ln is not IEEE-exact across engines,
+    // floor division is.
+    "text_bm25" -> Q(
+      fn = (s, dir) => Corpus.bm25Rank(docs(s, dir),
+          Seq("hash", "join", "scan", "vector"), topK = 10)
+        .orderBy(col("rank")),
+      oracle = Some(s"""
+        WITH ${duckBm25Ctes(Seq("hash", "join", "scan", "vector"), 10)}
+        SELECT doc_id, rank, score, n_terms FROM bm_top
+        ORDER BY rank"""),
+      desc = "BM25 top-k lexical retrieval, integer-exact rational idf"),
 
     // ── batch-perceptron quality probe (distilled rule cascade) ─────
     // Fixed-round integer-exact linear fit; the oracle replays all 8

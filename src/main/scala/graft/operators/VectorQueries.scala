@@ -356,6 +356,52 @@ object VectorQueries {
         WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "product-quantization ANN: m codebooks one loop, ADC + exact rerank"),
 
+    // ── hybrid retrieval: BM25 ⊕ vector ranks via RRF ───────────────
+    // One query = (text terms, embedding of doc 0); lexical top-20 and
+    // cosine top-20 fuse with integer reciprocal-rank fusion. The
+    // embeddings row vec_id=i is the embedding of documents row
+    // doc_id=i (driver testdata contract).
+    "search_hybrid" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val lex = Corpus.bm25Rank(Sources.table(s, dir, "documents"),
+            Seq("hash", "join", "scan", "vector"), topK = 20)
+          .select($"doc_id".as("id"), $"rank")
+          .filter($"id" =!= 0)
+        val base = emb(s, dir).withColumn("id", $"vec_id")
+        val vec = Vectors.knnBrute(base.filter($"id" === 0), base, k = 20)
+          .select($"cand_id".as("id"), $"rank")
+        Corpus.rrfFuse(lex, vec, topK = 10).orderBy($"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${TextQueries.duckBm25Ctes(Seq("hash", "join", "scan", "vector"), 20)},
+        hv AS (
+          SELECT cand_id, rank FROM (
+            SELECT c.vec_id AS cand_id,
+              row_number() OVER (ORDER BY
+                CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                  / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))
+                  DESC, c.vec_id) AS rank
+            FROM base q JOIN base c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id = 0)
+          WHERE rank <= 20),
+        hf AS (
+          SELECT COALESCE(l.id, v.id) AS id,
+                 l.rank AS lex_rank, v.rank AS vec_rank,
+                 COALESCE(CAST(1000000 AS BIGINT)
+                   // (60 + CAST(l.rank AS BIGINT)), CAST(0 AS BIGINT)) +
+                 COALESCE(CAST(1000000 AS BIGINT)
+                   // (60 + CAST(v.rank AS BIGINT)), CAST(0 AS BIGINT))
+                   AS rrf
+          FROM (SELECT doc_id AS id, rank FROM bm_top WHERE doc_id <> 0) l
+          FULL JOIN (SELECT cand_id AS id, rank FROM hv) v ON v.id = l.id),
+        ht AS (SELECT * FROM hf ORDER BY rrf DESC, id LIMIT 10)
+        SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rank,
+               id, lex_rank, vec_rank, rrf
+        FROM ht ORDER BY rank"""),
+      desc = "hybrid retrieval: integer RRF fusion of BM25 and cosine ranks"),
+
     // ── embedding-cosine near-duplicate pairs ───────────────────────
     // Integer-quantized dot: the (id_a < id_b) nested-loop pair space
     // does ONE fold per pair; norms come precomputed per row.

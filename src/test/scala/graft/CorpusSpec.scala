@@ -424,6 +424,28 @@ class CorpusSpec extends SparkSuite {
     assert(out2.toMap === out.toMap, "fit must not depend on partitioning")
   }
 
+  test("bm25Rank orders by term density and rrfFuse rewards presence in both lists") {
+    val d = Seq(
+      (1L, "cat cat cat dog filler filler filler filler"),
+      (2L, "cat dog filler filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler filler filler"),
+      (4L, "cat filler filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val lex = Corpus.bm25Rank(d, Seq("cat", "dog"), topK = 3)
+    val ranks = lex.collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    assert(ranks(1) === 1L, s"3x cat + dog must rank first: $ranks")
+    assert(ranks(2) === 2L, s"cat + dog must beat lone cat: $ranks")
+    assert(ranks(3) === 4L, s"doc with no query terms must not outrank: $ranks")
+    // fusion: doc 9 is rank 1 lexically but absent from the vector
+    // list; doc 2 is rank 2 in BOTH lists and must fuse above it
+    // (1/62 + 1/62 > 1/61 + 0)
+    val lexR = Seq((9L, 1), (2L, 2)).toDF("id", "rank")
+    val vecR = Seq((7L, 1), (2L, 2)).toDF("id", "rank")
+    val fused = Corpus.rrfFuse(lexR, vecR, topK = 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fused(1) === 2L, s"doc in both lists must fuse to the top: $fused")
+  }
+
   test("qualityFilter assigns first-failing reasons") {
     val out = Corpus.qualityFilter(docs, minChars = 10L, minTokens = 9L,
         maxRepetition = 0.5)
