@@ -418,6 +418,13 @@ object Corpus extends org.apache.spark.internal.Logging {
     val removable = w.join(firsts, Seq("h"))
       .filter(okey =!= col("first_key"))
       .select(col("doc_id"), col("pos"))
+    mergeSpans(removable, k)
+  }
+
+  /** Gaps-and-islands merge of removable window positions into maximal
+    * per-doc spans: consecutive positions ≤ k apart coalesce (their
+    * k-char windows overlap). Input (doc_id, pos). */
+  private def mergeSpans(removable: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     removable
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
@@ -430,6 +437,49 @@ object Corpus extends org.apache.spark.internal.Logging {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_len"),
         col("n_windows"))
+  }
+
+  /** Incremental [[spanDedup]] — the new-batch × corpus twin (the
+    * `minhashPairsIncremental` contract for substring spans): only
+    * documents marked NEW by `isNew` get removal spans; a new window
+    * occurrence is removable iff its content occurs ANYWHERE in the
+    * old corpus (every old occurrence precedes every new one in the
+    * (is_new, doc_id, pos) keep-first order — one semi-join of the
+    * small new-batch window set against the old hash index, the
+    * tiny × huge shape; old × old is never re-examined) or at an
+    * earlier (doc_id, pos) among the new batch itself (keep-first
+    * within the batch, same min-packed-key aggregation as the full
+    * run — batch-internal duplicates must not survive ingest).
+    *
+    * With `isNew` monotone in doc_id (append-only ingest, the normal
+    * case) this equals the full [[spanDedup]] output restricted to
+    * new docs — backfill-exactness is spec'd. At 100 TB the old
+    * side's DISTINCT hash set is the bucketed table a daily ingest
+    * keeps between runs (the dedup_incremental posture); doc_id must
+    * stay < 2^30 (the packed order key reserves the top bits). */
+  def spanDedupIncremental(docs: DataFrame, isNew: Column,
+                           k: Int = 40): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val sw = k
+    val wins = docs
+      .withColumn("is_new", isNew)
+      .filter(length(col("text")) >= sw)
+      .select(col("doc_id"), col("is_new"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (sw - 1))).as("i"))
+      .select(col("doc_id"), col("is_new"), col("i").cast("long").as("pos"),
+        expr(s"md5_prefix_long(substr(text, i, $sw), 14)").as("h"))
+    val w = graft.Engine.materialize(wins, key = "h", name = "spani_wins")
+    val newW = w.filter(col("is_new"))
+    val oldH = w.filter(!col("is_new")).select(col("h")).distinct()
+    val matched = newW.join(oldH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val unmatched = newW.join(oldH, Seq("h"), "left_anti")
+    val okey = col("doc_id") * lit(4294967296L) + col("pos")
+    val firstsNew = unmatched.groupBy(col("h")).agg(min(okey).as("first_key"))
+    val rmSelf = unmatched.join(firstsNew, Seq("h"))
+      .filter(okey =!= col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(matched.union(rmSelf), k)
   }
 
   /** Apply [[spanDedup]]: rebuild every document's text with its

@@ -846,6 +846,46 @@ object TextQueries {
         ORDER BY doc_id, span_start"""),
       desc = "ExactSubstr spans: keep-first duplicated k-char runs merged per doc"),
 
+    // ── incremental ExactSubstr: new-batch spans vs the corpus ──────
+    // isNew monotone in doc_id (append-only ingest) → the result IS
+    // the full run restricted to new docs, which is exactly what the
+    // oracle selects (backfill-exactness; the general-isNew law is
+    // spec'd in CorpusSpec).
+    "dedup_spans_inc" -> Q(
+      fn = (s, dir) => Corpus.spanDedupIncremental(docs(s, dir),
+          isNew = col("doc_id") >= 400, k = 40)
+        .orderBy(col("doc_id"), col("span_start")),
+      oracle = Some("""
+        WITH sp_w AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)),
+                    1, 14))::BIGINT AS h
+          FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)
+          WHERE length(text) >= 40),
+        sp_first AS (
+          SELECT h, min(doc_id * 4294967296 + pos) AS first_key
+          FROM sp_w GROUP BY h),
+        sp_rm AS (
+          SELECT w.doc_id, w.pos
+          FROM sp_w w JOIN sp_first f ON f.h = w.h
+          WHERE w.doc_id * 4294967296 + w.pos <> f.first_key
+            AND w.doc_id >= 400),
+        sp_prev AS (
+          SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM sp_rm),
+        sp_isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos - prev <= 40 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM sp_prev)
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + 40 - min(pos) AS span_len,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM sp_isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""),
+      desc = "incremental ExactSubstr: new-batch windows vs old hash index"),
+
     // ── ExactSubstr applied: excise the spans from the text ─────────
     // The oracle rebuilds each cleaned text character-by-character
     // (positions anti-joined to span ranges, string_agg in order) —

@@ -391,6 +391,26 @@ class CorpusSpec extends SparkSuite {
       s"unexpected spans: $out")
   }
 
+  test("spanDedupIncremental: all-new ≡ full run, none-new ≡ empty, old side untouched") {
+    val P = "the quick brown fox jumps"
+    val d = Seq(
+      (10L, "ab" + P + "cdefghijkl"),
+      (20L, "mnop" + P + "qrst"),
+      (30L, "wxyz" + P + "uv99")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = rows(Corpus.spanDedup(d, k = 10))
+    assert(rows(Corpus.spanDedupIncremental(d, lit(true), k = 10)) === full,
+      "all-new must equal the full run")
+    assert(rows(Corpus.spanDedupIncremental(d, lit(false), k = 10)) === Set(),
+      "none-new must be empty")
+    // docs 10+20 old, 30 new: only doc 30 gets spans, and they match
+    // the full run's doc-30 spans (old-first order ≡ doc_id order here)
+    val inc = rows(Corpus.spanDedupIncremental(d, col("doc_id") >= 30, k = 10))
+    assert(inc === full.filter(_._1 >= 30L), s"got $inc vs $full")
+  }
+
   test("spanClean excises exactly the removable spans and passes clean docs through") {
     val P = "the quick brown fox jumps"
     val Q = "0123456789ABCDEFG"
