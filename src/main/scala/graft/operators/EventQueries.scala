@@ -203,6 +203,88 @@ object EventQueries {
         GROUP BY 1, 2 ORDER BY 1, 2"""),
       desc = "J6 self-join two filtered scans + J7 theta residual"),
 
+    // ── strict-sequence funnel (view → click → purchase) ────────────
+    // The product-analytics operator the reference's trip lifecycle
+    // rollup generalizes to: per user, the earliest time each step
+    // completes STRICTLY AFTER the previous step. Iterated
+    // conditional-min shape: each stage is a user-keyed pre-aggregate
+    // joined to the next stage's filtered scan — every join is on the
+    // user key, so at 100 TB the event table shuffles once per stage
+    // on the same key (co-partitioned under bucketing) and each
+    // stage's frame is users-sized, not events-sized.
+    "e_funnel" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+          .select($"user_id", $"event_type", epochS($"ts").as("es"))
+        val fv = e.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"es").as("t_view"))
+        val fc = e.filter($"event_type" === "click")
+          .join(fv, Seq("user_id"))
+          .filter($"es" > $"t_view")
+          .groupBy($"user_id").agg(min($"es").as("t_click"))
+        val fp = e.filter($"event_type" === "purchase")
+          .join(fc, Seq("user_id"))
+          .filter($"es" > $"t_click")
+          .groupBy($"user_id").agg(min($"es").as("t_purchase"))
+        fv.join(fc, Seq("user_id"), "left")
+          .join(fp, Seq("user_id"), "left")
+          .withColumn("stage", (lit(1) +
+            when($"t_click".isNotNull, 1).otherwise(0) +
+            when($"t_purchase".isNotNull, 1).otherwise(0)).cast(LongType))
+          .select($"user_id", $"t_view", $"t_click", $"t_purchase", $"stage")
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts)//1000000 AS es
+          FROM events),
+        fv AS (
+          SELECT user_id, min(es) AS t_view
+          FROM e WHERE event_type = 'view' GROUP BY 1),
+        fc AS (
+          SELECT e.user_id, min(es) AS t_click
+          FROM e JOIN fv USING (user_id)
+          WHERE event_type = 'click' AND es > t_view GROUP BY 1),
+        fp AS (
+          SELECT e.user_id, min(es) AS t_purchase
+          FROM e JOIN fc USING (user_id)
+          WHERE event_type = 'purchase' AND es > t_click GROUP BY 1)
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS stage
+        FROM fv v LEFT JOIN fc c USING (user_id)
+        LEFT JOIN fp p USING (user_id)
+        ORDER BY user_id"""),
+      desc = "strict-sequence funnel: iterated conditional-min, user-keyed joins"),
+
+    // ── daily cohort retention ──────────────────────────────────────
+    // Cohort = day of a user's first event; matrix cell = distinct
+    // users of cohort d active d+offset. Two user-keyed aggregates —
+    // the first-touch frame is users-sized and broadcast-joinable.
+    "e_retention" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+          .select($"user_id", (epochS($"ts") / 86400L).cast(LongType).as("day"))
+        val first = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        e.join(broadcast(first), Seq("user_id"))
+          .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, (epoch_us(ts)//1000000)//86400 AS day
+          FROM events),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      desc = "daily cohort retention matrix: first-touch cohorts × active offsets"),
+
     // ── A9: quantiles — p50/p90 of value per event_type. Exact
     // percentile on integral cents in both engines (approx sketches
     // diverge between engines; SURVEY A9). At 100 TB swap to
