@@ -45,7 +45,14 @@ object ScaleProbe {
       "ngram_pairs" -> (k => Corpus.ngramPairs(docFrac(k))),
       "containment_pairs" -> (k => Corpus.containmentPairs(docFrac(k))),
       "exact_dup_edges" -> (k => Corpus.exactDupEdges(docFrac(k))),
-      "semantic_dedup" -> (k => Vectors.semanticDedup(embFrac(k), tau = 0.4)))
+      "semantic_dedup" -> (k => Vectors.semanticDedup(embFrac(k), tau = 0.4)),
+      "span_dedup" -> (k => Corpus.spanDedup(docFrac(k))),
+      "span_dedup_inc" -> (k =>
+        Corpus.spanDedupIncremental(docFrac(k), isNew = col("doc_id") >= 400)),
+      "bm25" -> (k => Corpus.bm25Rank(docFrac(k),
+        Seq("hash", "join", "scan", "vector"), topK = 10)),
+      "pq_search" -> (k => Vectors.pqSearch(embFrac(k),
+        queryFilter = col("id") < 10 * k, k = 5)))
 
     // warmup: absorb session/codegen/footer costs outside the timings
     docs.count(); emb.count()
@@ -56,6 +63,10 @@ object ScaleProbe {
       // timed point and push the fitted exponent negative
       build(4).queryExecution.toRdd.count()
       val times = Seq(4, 2, 1).map { k =>
+        // drop shared frames + dead checkpoint blocks so a prewarm or
+        // smaller fraction can't serve a timed run from cache
+        Engine.clearShared()
+        Engine.unpersistStale(spark)
         val t0 = System.nanoTime()
         val rows = build(k).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
