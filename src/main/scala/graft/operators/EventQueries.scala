@@ -365,6 +365,113 @@ object EventQueries {
                min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY 1 ORDER BY 1"""),
-      desc = "JSON extraction + F1 try_cast aggregated")
+      desc = "JSON extraction + F1 try_cast aggregated"),
+
+    // ── interval union (gaps-and-islands) ───────────────────────────
+    // Coalesce overlapping activity intervals — the alert-uptime shape
+    // of the reference's active_period windows (models/fact_alerts.sql
+    // :40-63) generalized: each event opens a [es, es+300) interval;
+    // per user we merge overlapping/touching intervals into islands
+    // and report coverage. One window pass over a user-partitioned
+    // sort — at 100 TB this is a single shuffle on user_id with no
+    // joins; island detection is the running-max-of-end trick, not a
+    // self-join.
+    "e_interval_union" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        val prevEnd = max($"e2").over(
+          w.rowsBetween(Window.unboundedPreceding, -1))
+        ev(s, dir)
+          .select($"user_id", $"event_id", epochS($"ts").as("es"))
+          .withColumn("e2", $"es" + 300L)
+          .withColumn("new_island",
+            when(prevEnd.isNull || $"es" > prevEnd, 1L).otherwise(0L))
+          .withColumn("island", sum($"new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"island")
+          .agg(min($"es").as("i_start"), max($"e2").as("i_end"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_islands"),
+               sum($"i_end" - $"i_start").as("covered_s"),
+               max($"i_end" - $"i_start").as("longest_s"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT user_id, event_id,
+                 epoch_us(ts)//1000000 AS es,
+                 epoch_us(ts)//1000000 + 300 AS e2
+          FROM events),
+        marked AS (
+          SELECT user_id, es, e2,
+                 CASE WHEN max(e2) OVER (PARTITION BY user_id
+                        ORDER BY es ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                   OR es > max(e2) OVER (PARTITION BY user_id
+                        ORDER BY es ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island,
+                 event_id
+          FROM iv),
+        isl AS (
+          SELECT user_id, es, e2,
+                 sum(new_island) OVER (PARTITION BY user_id
+                   ORDER BY es ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM marked),
+        grouped AS (
+          SELECT user_id, island, min(es) AS i_start, max(e2) AS i_end
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_islands,
+               CAST(sum(i_end - i_start) AS BIGINT) AS covered_s,
+               max(i_end - i_start) AS longest_s
+        FROM grouped GROUP BY 1 ORDER BY user_id"""),
+      desc = "interval union: gaps-and-islands coalescing via running-max window"),
+
+    // ── Markov transition counts ────────────────────────────────────
+    // Per-user event-type transition matrix (the "what happens after
+    // X" product question; generalizes the reference's stop-to-stop
+    // sequencing, models/fact_trips_stops.sql:100-118). One lead()
+    // window per user then a global count agg — no self-join, so the
+    // event table shuffles once on user_id and once on the 49-row
+    // transition key space (map-side combined to almost nothing).
+    "e_transitions" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        ev(s, dir)
+          .select($"user_id", $"event_id", $"event_type",
+            epochS($"ts").as("es"))
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .withColumn("gap_s", lead($"es", 1).over(w) - $"es")
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type", $"next_type")
+          .agg(count(lit(1)).as("n"),
+               min($"gap_s").as("min_gap_s"),
+               max($"gap_s").as("max_gap_s"),
+               sum($"gap_s").as("sum_gap_s"))
+          .orderBy($"event_type", $"next_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(ts)//1000000 AS es
+          FROM events),
+        led AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY es ASC, event_id ASC) AS next_type,
+                 lead(es) OVER (PARTITION BY user_id
+                   ORDER BY es ASC, event_id ASC) - es AS gap_s
+          FROM e)
+        SELECT event_type, next_type, count(*) AS n,
+               min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
+               CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
+        FROM led WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      desc = "event-type transition matrix: lead window + global count agg")
   )
 }
