@@ -273,6 +273,79 @@ object ExtendedQueries {
           FROM tf JOIN df USING (term))
         SELECT doc_id, rank, term, tf, df
         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""),
-      desc = "tf-idf term ranking (integer-deterministic idf ordering)")
+      desc = "tf-idf term ranking (integer-deterministic idf ordering)"),
+
+    // ── PageRank over the customer↔supplier trade graph ─────────────
+    // Iterative link scoring (Graphs.pageRank): nodes are customers
+    // (2k) and suppliers (2k+1) of the distinct lineitem↔orders trade
+    // edges, walked undirected. Exact long arithmetic (div), so the
+    // 3-round fixpoint hashes identically under any partitioning and
+    // the oracle just unrolls the rounds. Per round: one bucketed
+    // equi-join + a map-side-combined sum — the 100 TB PR shape.
+    "graph_pagerank" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e0 = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .select(($"o_custkey" * 2L).as("c"),
+            ($"l_suppkey" * 2L + 1L).as("p"))
+          .distinct()
+        val edges = e0.select($"c".as("src"), $"p".as("dst"))
+          .union(e0.select($"p".as("src"), $"c".as("dst")))
+        Graphs.pageRank(edges, rounds = 3)
+          .select(
+            when(expr("node % 2") === 0, lit("c")).otherwise(lit("s"))
+              .as("node_type"),
+            expr("node div 2").as("key"),
+            $"rank".as("rank_scaled"))
+          .orderBy($"node_type", $"key")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT c AS src, p AS dst FROM e0
+          UNION ALL
+          SELECT p AS src, c AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT src AS node, 1000000000000 // n AS rank
+               FROM deg CROSS JOIN nn),
+        c1 AS (SELECT e.dst AS node,
+                      CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+               FROM edges e
+               JOIN r0 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY 1),
+        r1 AS (SELECT r0.node,
+                      (15 * (1000000000000 // nn.n)) // 100
+                      + (85 * COALESCE(c1.contrib, 0)) // 100 AS rank
+               FROM r0 CROSS JOIN nn LEFT JOIN c1 ON c1.node = r0.node),
+        c2 AS (SELECT e.dst AS node,
+                      CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+               FROM edges e
+               JOIN r1 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY 1),
+        r2 AS (SELECT r1.node,
+                      (15 * (1000000000000 // nn.n)) // 100
+                      + (85 * COALESCE(c2.contrib, 0)) // 100 AS rank
+               FROM r1 CROSS JOIN nn LEFT JOIN c2 ON c2.node = r1.node),
+        c3 AS (SELECT e.dst AS node,
+                      CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+               FROM edges e
+               JOIN r2 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY 1),
+        r3 AS (SELECT r2.node,
+                      (15 * (1000000000000 // nn.n)) // 100
+                      + (85 * COALESCE(c3.contrib, 0)) // 100 AS rank
+               FROM r2 CROSS JOIN nn LEFT JOIN c3 ON c3.node = r2.node)
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+               node // 2 AS key, rank AS rank_scaled
+        FROM r3 ORDER BY node_type, key"""),
+      desc = "fixed-round integer PageRank over the trade graph")
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Graphs
+import org.apache.spark.sql.functions._
+
+/** Exact-integer PageRank: hand-computed fixture, mass conservation,
+  * and partition invariance (the determinism the oracle relies on). */
+class GraphsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // path graph 1—2—3 fed undirected: deg(1)=deg(3)=1, deg(2)=2
+  private def path3 = Seq(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+
+  test("pageRank reproduces the hand-computed 3-node fixpoint round") {
+    val r = Graphs.pageRank(path3, rounds = 1, scale = 3000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = 3000/3 = 1000 each; base = 15*1000/100 = 150
+    // contrib(1) = contrib(3) = r0(2)/deg(2) = 500 → 150 + 85*500/100 = 575
+    // contrib(2) = r0(1)/1 + r0(3)/1 = 2000     → 150 + 85*2000/100 = 1850
+    assert(r === Map(1L -> 575L, 2L -> 1850L, 3L -> 575L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("pr_")
+  }
+
+  test("rank mass is conserved up to div rounding and the center dominates") {
+    val r = Graphs.pageRank(path3, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val total = r.values.sum
+    // each round loses < 1 unit per node per div (three divs/round)
+    assert(math.abs(total - 1000000000000L) < 100L,
+      s"mass leak: $total")
+    assert(r(2L) > r(1L) && r(1L) === r(3L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("pr_")
+  }
+
+  test("ranks are identical under different input partitioning") {
+    val e = (1L to 40L).flatMap { i =>
+      val j = i % 20 + 1
+      if (i == j) Nil else Seq((i, j), (j, i))
+    }.distinct.toDF("src", "dst")
+    def run(parts: Int): Map[Long, Long] = {
+      val out = Graphs.pageRank(e.repartition(parts), rounds = 2)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      graft.Engine.dropAllMaterialized(spark)
+      purgeMatTables("pr_")
+      out
+    }
+    assert(run(1) === run(7))
+  }
+}
