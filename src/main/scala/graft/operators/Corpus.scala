@@ -1226,4 +1226,65 @@ object Corpus extends org.apache.spark.internal.Logging {
       .withColumn("bpe_fertility",
         try_divide(col("n_subwords"), col("n_words")))
   }
+
+  /** Corpus-level overlap between two sides of a document set (e.g.
+    * a train/eval hash split, or this month's crawl vs last month's):
+    * the EXACT shingle-set Jaccard plus its K-minimum-values sketch
+    * estimate side by side. Shingles are the repo-standard raw-token-
+    * order 3-grams ([[minhashPairs]]); `side` must evaluate to 0 or 1.
+    *
+    * Why both numbers: at 100 TB the exact path (distinct (side,
+    * shingle) then one flag agg per shingle — fully shuffle-parallel
+    * on the shingle key, no joins) is affordable but heavy; the KMV
+    * path needs only the k globally-smallest shingle hashes
+    * (TakeOrderedAndProject — a driver-sized frame), which is the
+    * form you'd keep as a persisted per-corpus sketch and merge
+    * across snapshots. Emitting both with their delta makes every run
+    * of the cheap path self-auditing, the same contract as
+    * `a9_approx`'s exact twins.
+    *
+    * Integer determinism: ppm values via long `div`; the KMV rank
+    * orders by (h, s) so a hash tie cannot reorder across engines.
+    *
+    * Returns one row: (n_sh_a, n_sh_b, n_inter, jaccard_ppm, kmv_ppm,
+    * err_ppm). */
+  def corpusOverlap(docs: DataFrame, side: Column,
+                    k: Int = 256): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val base = docs.select(side.as("side"),
+      split(col("text"), " ").as("raw"))
+    val sh = base
+      .withColumn("i", explode(expr(
+        "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
+      .select(col("side"), expr(
+        """CASE WHEN size(raw) >= 3 THEN
+             concat_ws(' ', element_at(raw, i),
+               element_at(raw, i + 1), element_at(raw, i + 2))
+           ELSE concat_ws(' ', raw) END""").as("s"))
+      .distinct()
+    // (shingle, h, in_a, in_b) — one row per distinct shingle; feeds
+    // both the exact aggregate and the KMV top-k, so compute it once
+    val flags = graft.Engine.materialize(
+      sh.groupBy(col("s"))
+        .agg(max(when(col("side") === 0, 1L).otherwise(0L)).as("in_a"),
+             max(when(col("side") === 1, 1L).otherwise(0L)).as("in_b"))
+        .withColumn("h", expr("md5_prefix_long(s, 14)")),
+      key = "s", name = "overlap_flags")
+    val exact = flags.agg(
+      sum(col("in_a")).as("n_sh_a"),
+      sum(col("in_b")).as("n_sh_b"),
+      sum(col("in_a") * col("in_b")).as("n_inter"))
+    val kmv = flags
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("h").asc, col("s").asc)))
+      .filter(col("rk") <= k)
+      .agg(sum(col("in_a") * col("in_b")).as("k_inter"),
+           max(col("rk")).as("k_used"))
+    exact.crossJoin(kmv)
+      .select(col("n_sh_a"), col("n_sh_b"), col("n_inter"),
+        expr("n_inter * 1000000 div (n_sh_a + n_sh_b - n_inter)")
+          .as("jaccard_ppm"),
+        expr("k_inter * 1000000 div k_used").as("kmv_ppm"))
+      .withColumn("err_ppm", abs(col("kmv_ppm") - col("jaccard_ppm")))
+  }
 }

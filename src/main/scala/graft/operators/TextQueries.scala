@@ -1449,7 +1449,64 @@ object TextQueries {
         FROM nscored
         WHERE CAST(inter AS DOUBLE) / least(len_a, len_b) >= 0.8
         ORDER BY doc_a, doc_b"""),
-      desc = "containment near-dup: |A∩B|/min — catches doc-inside-doc quotes")
+      desc = "containment near-dup: |A∩B|/min — catches doc-inside-doc quotes"),
+
+    // ── corpus-level overlap: exact shingle Jaccard + KMV sketch ────
+    // Dataset-to-dataset overlap (this crawl vs last, train vs eval):
+    // the exact number and the k-minimum-values estimate you'd keep
+    // as a persisted per-corpus sketch, side by side with their
+    // delta. Sides come from the same md5 doc_id split family as
+    // text_split_assign.
+    "corpus_overlap" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val side = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2")
+        Corpus.corpusOverlap(docs(s, dir), side, k = 256)
+          .orderBy($"n_sh_a")
+      },
+      oracle = Some("""
+        WITH sides AS (
+          SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                   % 2 AS side,
+                 string_split(text, ' ') AS raw
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT side,
+                 unnest(CASE WHEN len(raw) >= 3 THEN
+                     list_transform(range(1, len(raw) - 1),
+                       i -> raw[i] || ' ' || raw[i + 1] || ' ' || raw[i + 2])
+                   ELSE [array_to_string(raw, ' ')] END) AS s
+          FROM sides),
+        flags0 AS (
+          SELECT s,
+                 max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+          FROM sh GROUP BY 1),
+        flags AS (
+          SELECT *, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h
+          FROM flags0),
+        exact AS (
+          SELECT CAST(sum(in_a) AS BIGINT) AS n_sh_a,
+                 CAST(sum(in_b) AS BIGINT) AS n_sh_b,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+          FROM flags),
+        kmv AS (
+          SELECT CAST(sum(in_a * in_b) AS BIGINT) AS k_inter,
+                 max(rk) AS k_used
+          FROM (SELECT in_a, in_b,
+                       row_number() OVER (ORDER BY h ASC, s ASC) AS rk
+                FROM flags) t
+          WHERE rk <= 256)
+        SELECT n_sh_a, n_sh_b, n_inter,
+               n_inter * 1000000 // (n_sh_a + n_sh_b - n_inter)
+                 AS jaccard_ppm,
+               k_inter * 1000000 // k_used AS kmv_ppm,
+               abs(k_inter * 1000000 // k_used
+                   - n_inter * 1000000 // (n_sh_a + n_sh_b - n_inter))
+                 AS err_ppm
+        FROM exact CROSS JOIN kmv ORDER BY n_sh_a"""),
+      desc = "corpus overlap: exact shingle Jaccard + KMV estimate + delta")
   )
 
   /** DuckDB twin of Corpus.ngramScored as CTEs ending in `nscored`

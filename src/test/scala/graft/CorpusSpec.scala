@@ -475,4 +475,22 @@ class CorpusSpec extends SparkSuite {
     assert(out(5L) === ((false, "repetitive")))  // 9/10 same token
     assert(out(1L)._2 === "too_few_tokens")      // 8 tokens < 9
   }
+
+  test("corpusOverlap: identical sides → jaccard 1, disjoint sides → 0") {
+    // two copies of every doc, one per side: shingle sets identical
+    val both = docs.withColumn("side", lit(0))
+      .union(docs.withColumn("side", lit(1)))
+    val same = Corpus.corpusOverlap(both, col("side")).collect().head
+    assert(same.getAs[Long]("jaccard_ppm") === 1000000L)
+    assert(same.getAs[Long]("kmv_ppm") === 1000000L)
+    graft.Engine.dropAllMaterialized(spark)
+    // doc 4 shares no tokens with docs 1-3: zero overlap
+    val disj = Corpus.corpusOverlap(
+      docs.filter($"doc_id" <= 4),
+      when($"doc_id" === 4, 1).otherwise(0)).collect().head
+    assert(disj.getAs[Long]("n_inter") === 0L)
+    assert(disj.getAs[Long]("jaccard_ppm") === 0L)
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("overlap_")
+  }
 }
