@@ -1506,7 +1506,75 @@ object TextQueries {
                    - n_inter * 1000000 // (n_sh_a + n_sh_b - n_inter))
                  AS err_ppm
         FROM exact CROSS JOIN kmv ORDER BY n_sh_a"""),
-      desc = "corpus overlap: exact shingle Jaccard + KMV estimate + delta")
+      desc = "corpus overlap: exact shingle Jaccard + KMV estimate + delta"),
+
+    // ── collocation mining: bigram lift ─────────────────────────────
+    // PMI-family scoring of adjacent token pairs (the vocab-building
+    // companion to text_vocab: which bigrams deserve to be one
+    // token). Lift = P(ab) / (P(a)·P(b)), computed in STAGED integer
+    // ppm/ppb quantities so every intermediate is bounded by ~1e18
+    // REGARDLESS of corpus size (a naive n_ab·t1²·1e6 ratio overflows
+    // long at ~1e9 tokens) and no float log enters the hash. Three
+    // map-side-combined count aggs + two broadcast-joinable unigram
+    // lookups — no self-join, scan-shaped at 100 TB.
+    "text_collocations" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val raw = docs(s, dir).select(split($"text", " ").as("raw"))
+          .filter(size($"raw") >= 2)
+        val ucnt = raw.select(explode($"raw").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("n"))
+        val t1f = ucnt.agg(sum($"n").as("t1"))
+        val bcnt = raw
+          .withColumn("i", explode(expr("sequence(1, size(raw) - 1)")))
+          .select(expr("element_at(raw, i)").as("w1"),
+                  expr("element_at(raw, i + 1)").as("w2"))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        val t2f = bcnt.agg(sum($"n_ab").as("t2"))
+        bcnt.filter($"n_ab" >= 5)
+          .join(ucnt.select($"w".as("w1"), $"n".as("n_a")), Seq("w1"))
+          .join(ucnt.select($"w".as("w2"), $"n".as("n_b")), Seq("w2"))
+          .crossJoin(broadcast(t1f)).crossJoin(broadcast(t2f))
+          .withColumn("p_ab_ppb", expr("n_ab * 1000000000 div t2"))
+          .withColumn("p_a_ppm", expr("n_a * 1000000 div t1"))
+          .withColumn("p_b_ppm", expr("n_b * 1000000 div t1"))
+          .filter($"p_a_ppm" > 0 && $"p_b_ppm" > 0)
+          .withColumn("lift_milli",
+            expr("p_ab_ppb * 1000000000 div (p_a_ppm * p_b_ppm)"))
+          .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b", $"lift_milli")
+          .orderBy($"lift_milli".desc, $"w1", $"w2")
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT string_split(text, ' ') AS raw FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        ucnt AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(raw) AS w FROM r) GROUP BY 1),
+        t1 AS (SELECT CAST(sum(n) AS BIGINT) AS t1 FROM ucnt),
+        bcnt AS (
+          SELECT raw[i] AS w1, raw[i + 1] AS w2,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM r CROSS JOIN unnest(range(1, len(raw))) AS t(i)
+          GROUP BY 1, 2),
+        t2 AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t2 FROM bcnt),
+        scored AS (
+          SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
+                 n_ab * 1000000000 // t2.t2 AS p_ab_ppb,
+                 a.n * 1000000 // t1.t1 AS p_a_ppm,
+                 b.n * 1000000 // t1.t1 AS p_b_ppm
+          FROM bcnt
+          JOIN ucnt a ON a.w = bcnt.w1
+          JOIN ucnt b ON b.w = bcnt.w2
+          CROSS JOIN t1 CROSS JOIN t2
+          WHERE n_ab >= 5)
+        SELECT w1, w2, n_ab, n_a, n_b,
+               p_ab_ppb * 1000000000 // (p_a_ppm * p_b_ppm) AS lift_milli
+        FROM scored
+        WHERE p_a_ppm > 0 AND p_b_ppm > 0
+        ORDER BY lift_milli DESC, w1, w2 LIMIT 50"""),
+      desc = "bigram collocation lift in staged overflow-safe integer ppm")
   )
 
   /** DuckDB twin of Corpus.ngramScored as CTEs ending in `nscored`
