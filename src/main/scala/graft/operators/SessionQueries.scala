@@ -284,6 +284,50 @@ object SessionQueries {
                month(d) AS m, dayofmonth(d) AS dom,
                weekofyear(d) AS iso_week
         FROM o ORDER BY o_orderkey"""),
-      desc = "date arithmetic: add_months/last_day/datediff/extract family")
+      desc = "date arithmetic: add_months/last_day/datediff/extract family"),
+
+    // ── mergeable-sketch re-aggregation (partial → union) ───────────
+    // The pattern a 100 TB rollup system lives on: per-(event_type,
+    // day) HLL partials built ONCE in a daily job, then re-aggregated
+    // to coarser grains by sketch UNION — no re-scan of raw events.
+    // HLL merges are commutative/associative register-max, so the
+    // estimate is partitioning-independent. The exact distinct twin
+    // runs as its own two-level pass (never in the same agg as the
+    // sketch — the Expand-doubling rule) and the emitted verdict
+    // bounds the estimate at 5%, same contract as a9_approx.
+    "a_sketch_merge" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .select($"event_type", $"user_id",
+            (unix_timestamp($"ts") / 86400L).cast(LongType).as("day"))
+        val partials = base
+          .groupBy($"event_type", $"day")
+          .agg(hll_sketch_agg($"user_id").as("sk"))
+        val merged = partials
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"),
+               hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
+        val exact = base
+          .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("_c"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("exact_users"))
+        merged.join(exact, Seq("event_type"))
+          .select($"event_type", $"n_days", $"exact_users",
+            (abs($"est_users" - $"exact_users").cast("double") /
+              $"exact_users" <= 0.05).as("users_ok"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type, user_id,
+                 (epoch_us(ts)//1000000)//86400 AS day
+          FROM events)
+        SELECT event_type,
+               count(DISTINCT day) AS n_days,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS users_ok
+        FROM base GROUP BY event_type ORDER BY event_type"""),
+      desc = "HLL partial sketches re-aggregated by union + exact twin verdict")
   )
 }
