@@ -52,7 +52,19 @@ object ScaleProbe {
       "bm25" -> (k => Corpus.bm25Rank(docFrac(k),
         Seq("hash", "join", "scan", "vector"), topK = 10)),
       "pq_search" -> (k => Vectors.pqSearch(embFrac(k),
-        queryFilter = col("id") < 10 * k, k = 5)))
+        queryFilter = col("id") < 10 * k, k = 5)),
+      "corpus_overlap" -> (k => Corpus.corpusOverlap(docFrac(k),
+        side = col("doc_id") % 2)),
+      "pagerank" -> { k =>
+        // doc co-membership graph stand-in: link doc i ↔ i%97 hub —
+        // size-linear edge count, same per-round join shape as the
+        // registered trade-graph query
+        val e0 = docFrac(k).select(col("doc_id").as("src"),
+          (col("doc_id") % 97).as("dst")).filter(col("src") =!= col("dst"))
+        graft.operators.Graphs.pageRank(
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+          rounds = 3)
+      })
 
     // warmup: absorb session/codegen/footer costs outside the timings
     docs.count(); emb.count()

@@ -40,7 +40,13 @@ object Graphs {
   def pageRank(edges0: DataFrame, rounds: Int = 3,
                scale: Long = 1000000000000L): DataFrame = {
     val spark = edges0.sparkSession
-    val edges = edges0.select(col("src"), col("dst"))
+    // materialize the raw edge frame FIRST: deg and edgesDeg both
+    // consume it, and the caller's edge build (joins + distinct) is
+    // usually the expensive part — without this it runs twice (the
+    // minhashPairs recompute defect class)
+    val edges = graft.Engine.materialize(
+      edges0.select(col("src"), col("dst")),
+      key = "src", name = "pr_edges_raw")
     val deg = graft.Engine.materialize(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
       key = "src", name = "pr_deg")
