@@ -346,6 +346,65 @@ object ExtendedQueries {
         SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
                node // 2 AS key, rank AS rank_scaled
         FROM r3 ORDER BY node_type, key"""),
-      desc = "fixed-round integer PageRank over the trade graph")
+      desc = "fixed-round integer PageRank over the trade graph"),
+
+    // ── triangle counting over the supplier co-occurrence graph ─────
+    // Graphs.triangles with the degree-oriented wedge join (skew
+    // armor: out-degree bounded O(√m) even at hubs). Edges = supplier
+    // pairs sharing ≥5 orders — the count threshold keeps the graph
+    // sparse as the order volume grows (an unthresholded co-occurrence
+    // graph densifies toward all-pairs and no algorithm saves it).
+    "graph_triangles" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ls = graft.Engine.materialize(
+          t(s, dir, "lineitem")
+            .select($"l_orderkey".as("o"), $"l_suppkey".as("sk"))
+            .distinct(),
+          key = "o", name = "tri_ls")
+        val pairs = ls.select($"o", $"sk".as("a"))
+          .join(ls.select($"o", $"sk".as("b")), Seq("o"))
+          .filter($"a" < $"b")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 5)
+          .select($"a", $"b")
+        Graphs.triangles(pairs).orderBy($"node")
+      },
+      oracle = Some("""
+        WITH ls AS (
+          SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        pairs AS (
+          SELECT a.sk AS a, b.sk AS b
+          FROM ls a JOIN ls b ON a.o = b.o AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        deg AS (
+          SELECT node, count(*) AS deg
+          FROM (SELECT a AS node FROM pairs
+                UNION ALL SELECT b AS node FROM pairs)
+          GROUP BY 1),
+        ord AS (
+          SELECT CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND a < b)
+                 THEN a ELSE b END AS u,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND a < b)
+                 THEN b ELSE a END AS v
+          FROM pairs
+          JOIN deg da ON da.node = a
+          JOIN deg db ON db.node = b),
+        wed AS (
+          SELECT DISTINCT t1.u, least(t1.v, t2.v) AS x,
+                 greatest(t1.v, t2.v) AS y
+          FROM ord t1 JOIN ord t2 ON t1.u = t2.u AND t1.v <> t2.v),
+        adj AS (
+          SELECT u AS x, v AS y FROM ord
+          UNION ALL SELECT v AS x, u AS y FROM ord),
+        tri AS (
+          SELECT w.u, w.x, w.y
+          FROM wed w JOIN adj ON adj.x = w.x AND adj.y = w.y),
+        corners AS (SELECT unnest([u, x, y]) AS node FROM tri)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        FROM corners GROUP BY 1 ORDER BY node"""),
+      desc = "degree-oriented triangle counting on the co-supplier graph")
   )
 }

@@ -80,4 +80,55 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over an undirected graph
+    * given as distinct (a, b) pairs with a < b.
+    *
+    * Uses the DEGREE-ORIENTED join (the classic skew armor): every
+    * edge is directed from its lower-(degree, id) endpoint to the
+    * higher one, so each node's out-degree is O(√m) even at a hub of
+    * degree n — the wedge join (A⋈A on the middle node) is bounded by
+    * Σ outdeg² = O(m^1.5) instead of the naive Σ deg² which a single
+    * celebrity node turns quadratic. Wedges close against the oriented
+    * edge list by a hash semi-join; all frames are ids-only.
+    *
+    * Returns (node, n_tri), every node of ≥1 triangle. */
+  def triangles(pairs0: DataFrame): DataFrame = {
+    val pairs = graft.Engine.materialize(
+      pairs0.select(col("a"), col("b")),
+      key = "a", name = "tri_pairs")
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
+    val withDeg = pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = graft.Engine.materialize(
+      withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v")),
+      key = "u", name = "tri_oriented")
+    // wedges u→v, u→w (v < w by oriented order of the second hop) close
+    // iff v→w is an oriented edge
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") =!= col("w"))
+      // each unordered wedge once: close against BOTH v→w and w→v is
+      // redundant since exactly one orientation exists — normalize by
+      // joining on the pair as-is and as swapped via least/greatest
+      .select(col("u"), least(col("v"), col("w")).as("x"),
+        greatest(col("v"), col("w")).as("y"))
+      .distinct()
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y"))
+        .union(oriented.select(col("v").as("x"), col("u").as("y"))),
+      Seq("x", "y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

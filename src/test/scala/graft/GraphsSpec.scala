@@ -35,6 +35,18 @@ class GraphsSpec extends SparkSuite {
     purgeMatTables("pr_")
   }
 
+  test("triangles counts K4 and ignores the square") {
+    // K4 on 1-4 (4 triangles, each node in 3) + square 5-6-7-8 (none)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val square = Seq((5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L))
+    val out = graft.operators.Graphs.triangles(
+        (k4 ++ square).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("tri_")
+  }
+
   test("ranks are identical under different input partitioning") {
     val e = (1L to 40L).flatMap { i =>
       val j = i % 20 + 1
