@@ -348,6 +348,60 @@ object RelationalQueries {
       oracle = Some("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"""),
-      desc = "O1/O3 global order-by + top-k (TakeOrderedAndProject)")
+      desc = "O1/O3 global order-by + top-k (TakeOrderedAndProject)"),
+
+    // ── blocked fuzzy join (typo-tolerant entity lookup) ────────────
+    // The entity-resolution shape: dirty query strings (every distinct
+    // part name with its 3rd char dropped — a deterministic typo)
+    // resolved back to the catalog by a BLOCKED edit-distance join:
+    // candidates only meet inside (last word, first char) blocks — the
+    // stable parts of the string under single-char edits — then a
+    // levenshtein ≤ 2 verify and a per-query top-1. Never an all-pairs
+    // name×name product: block keys are equi-join keys, so at 100 TB
+    // this shuffles on the block key like any hash join; the window
+    // ranks within query-sized groups.
+    "j_fuzzy_block" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+        val names = t(s, dir, "part").select($"p_name".as("nm")).distinct()
+        val qk = names
+          .select(concat(substring($"nm", 1, 2), substring($"nm", 4, 100000))
+            .as("qnm")).distinct()
+          .withColumn("k1", element_at(split($"qnm", " "), -1))
+          .withColumn("k2", substring($"qnm", 1, 1))
+        val nk = names
+          .withColumn("k1", element_at(split($"nm", " "), -1))
+          .withColumn("k2", substring($"nm", 1, 1))
+        qk.join(nk, Seq("k1", "k2"))
+          .withColumn("lev", levenshtein($"qnm", $"nm"))
+          .filter($"lev" <= 2)
+          .withColumn("rk", row_number().over(
+            w.partitionBy($"qnm").orderBy($"lev".asc, $"nm".asc)))
+          .filter($"rk" === 1)
+          .select($"qnm", $"nm", $"lev".cast(LongType).as("lev"))
+          .orderBy($"qnm")
+      },
+      oracle = Some("""
+        WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+        qk AS (
+          SELECT qnm, string_split(qnm, ' ')[-1] AS k1,
+                 substr(qnm, 1, 1) AS k2
+          FROM (SELECT DISTINCT substr(nm, 1, 2) || substr(nm, 4) AS qnm
+                FROM names)),
+        nk AS (
+          SELECT nm, string_split(nm, ' ')[-1] AS k1,
+                 substr(nm, 1, 1) AS k2
+          FROM names),
+        cand AS (
+          SELECT qnm, nm, CAST(levenshtein(qnm, nm) AS BIGINT) AS lev
+          FROM qk JOIN nk USING (k1, k2)
+          WHERE levenshtein(qnm, nm) <= 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY qnm
+                      ORDER BY lev ASC, nm ASC) AS rk
+          FROM cand)
+        SELECT qnm, nm, lev FROM ranked WHERE rk = 1 ORDER BY qnm"""),
+      desc = "blocked levenshtein join: typo queries resolved to the catalog")
   )
 }
