@@ -472,6 +472,95 @@ object EventQueries {
                CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
         FROM led WHERE next_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2"""),
-      desc = "event-type transition matrix: lead window + global count agg")
+      desc = "event-type transition matrix: lead window + global count agg"),
+
+    // ── time-weighted average ───────────────────────────────────────
+    // The IoT/finance staple a plain AVG gets wrong: each event's
+    // value holds until the next event, so the mean must weight by
+    // holding time. One lead window per user (same single user_id
+    // shuffle as sessionize) then a map-side-combined agg; all mass
+    // arithmetic in exact cents·seconds, one div at the end.
+    "a_time_weighted" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        ev(s, dir)
+          .select($"user_id", $"event_id", epochS($"ts").as("es"),
+            round($"value" * 100).cast(LongType).as("cents"))
+          .withColumn("gap", coalesce(lead($"es", 1).over(w) - $"es", lit(0L)))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+               (max($"es") - min($"es")).as("span_s"),
+               sum($"cents" * $"gap").as("mass"))
+          .filter($"span_s" > 0)
+          .select($"user_id", $"n", $"span_s",
+            expr("mass div span_s").as("twa_cents"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts)//1000000 AS es,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        led AS (
+          SELECT user_id, es, cents,
+                 COALESCE(lead(es) OVER (PARTITION BY user_id
+                   ORDER BY es ASC, event_id ASC) - es, 0) AS gap
+          FROM e),
+        agg AS (
+          SELECT user_id, count(*) AS n,
+                 max(es) - min(es) AS span_s,
+                 CAST(sum(cents * gap) AS BIGINT) AS mass
+          FROM led GROUP BY 1)
+        SELECT user_id, n, span_s, mass // span_s AS twa_cents
+        FROM agg WHERE span_s > 0 ORDER BY user_id"""),
+      desc = "time-weighted average: hold-until-next weighting in cents·seconds"),
+
+    // ── contingency table + independence deviation ──────────────────
+    // The statistical-QA operator for a release dashboard: observed
+    // (event_type × day-of-week) cell counts vs the independence
+    // expectation, with the chi-square cell contribution in exact
+    // scaled integers (centi-counts / milli units — no float enters
+    // the hash). Row/col/grand totals come from windows over the
+    // already-aggregated 35-cell frame, so the single-partition
+    // global window is over a constant-size input at any SF.
+    "a_contingency" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = ev(s, dir)
+          .withColumn("dow", dayofweek(timestamp_seconds(epochS($"ts"))))
+          .groupBy($"event_type", $"dow")
+          .agg(count(lit(1)).as("obs"))
+        cells
+          .withColumn("rt", sum($"obs").over(
+            Window.partitionBy($"event_type")))
+          .withColumn("ct", sum($"obs").over(Window.partitionBy($"dow")))
+          .withColumn("gt", sum($"obs").over(Window.partitionBy()))
+          .withColumn("exp_centi", expr("rt * ct * 100 div gt"))
+          .withColumn("chi_milli", expr(
+            "(obs * 100 - exp_centi) * (obs * 100 - exp_centi) * 10 div exp_centi"))
+          .select($"event_type", $"dow", $"obs", $"exp_centi", $"chi_milli")
+          .orderBy($"event_type", $"dow")
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT event_type,
+                 dayofweek(make_timestamp(
+                   (epoch_us(ts)//1000000) * 1000000)) + 1 AS dow,
+                 count(*) AS obs
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, dow, obs,
+                 CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+                 CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+                 CAST(sum(obs) OVER () AS BIGINT) AS gt
+          FROM cells)
+        SELECT event_type, dow, obs,
+               rt * ct * 100 // gt AS exp_centi,
+               (obs * 100 - rt * ct * 100 // gt)
+                 * (obs * 100 - rt * ct * 100 // gt) * 10
+                 // (rt * ct * 100 // gt) AS chi_milli
+        FROM tot ORDER BY event_type, dow"""),
+      desc = "contingency cells vs independence: integer chi-square contributions")
   )
 }
