@@ -561,6 +561,60 @@ object EventQueries {
                  * (obs * 100 - rt * ct * 100 // gt) * 10
                  // (rt * ct * 100 // gt) AS chi_milli
         FROM tot ORDER BY event_type, dow"""),
-      desc = "contingency cells vs independence: integer chi-square contributions")
+      desc = "contingency cells vs independence: integer chi-square contributions"),
+
+    // ── z-score outlier detection without sqrt ──────────────────────
+    // Per-group 3σ outliers in EXACT integer arithmetic: the test
+    // (x − mean)² > 9·var needs no square root, so no float touches
+    // the hash; mean/var come from the (sum, sumsq, n) moments (one
+    // map-side-combined pass, quantized by floor div — deterministic
+    // in both engines). Stats frame is groups-sized → broadcast back
+    // into the scan. sumsq is cents² — fits long through ~1e16 rows
+    // per group; beyond that re-center on a first-pass group mean
+    // before squaring (same two-pass shape).
+    "a_outliers" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .select($"event_type",
+            round($"value" * 100).cast(LongType).as("cents"))
+        val stats = base.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+               sum($"cents" * $"cents").as("s2"))
+          .withColumn("mean_c", expr("s div n"))
+          .withColumn("var_c2", expr("s2 div n - mean_c * mean_c"))
+        base.join(broadcast(stats), Seq("event_type"))
+          .withColumn("dev", $"cents" - $"mean_c")
+          .withColumn("is_out",
+            when($"dev" * $"dev" > $"var_c2" * 9L, 1L).otherwise(0L))
+          .groupBy($"event_type")
+          .agg(min($"n").as("n"), min($"mean_c").as("mean_c"),
+               min($"var_c2").as("var_c2"),
+               sum($"is_out").as("n_out"),
+               max(abs($"dev")).as("max_abs_dev"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        stats AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(sum(cents * cents) AS BIGINT) AS s2
+          FROM base GROUP BY 1),
+        st AS (
+          SELECT event_type, n, s // n AS mean_c,
+                 s2 // n - (s // n) * (s // n) AS var_c2
+          FROM stats)
+        SELECT b.event_type, min(st.n) AS n, min(st.mean_c) AS mean_c,
+               min(st.var_c2) AS var_c2,
+               CAST(sum(CASE WHEN (b.cents - st.mean_c) * (b.cents - st.mean_c)
+                              > st.var_c2 * 9 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_out,
+               max(abs(b.cents - st.mean_c)) AS max_abs_dev
+        FROM base b JOIN st ON st.event_type = b.event_type
+        GROUP BY 1 ORDER BY 1"""),
+      desc = "3-sigma outliers via the sqrt-free squared-deviation test")
   )
 }
