@@ -240,6 +240,51 @@ object ExtendedQueries {
         ORDER BY p.user_id, p.purchase_id"""),
       desc = "native as-of join (custom LogicalPlan+Strategy+SparkPlan)"),
 
+    // ── as-of join with tolerance (stale-match rejection) ───────────
+    // merge_asof semantics: the latest candidate still wins, but is
+    // rejected at emit when older than `tolerance` — attribution
+    // windows, sensor staleness. Same one-shuffle-per-side sorted
+    // merge; the oracle gates the ASOF result with a CASE (earlier
+    // candidates are staler still, so reject-latest ≡ reject-all).
+    "j_asof_tol" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").withColumn("es", unix_timestamp($"ts"))
+        val clicks = e.filter($"event_type" === "click")
+          .groupBy($"user_id", $"es")
+          .agg(max($"event_id").as("click_id"))
+          .select($"user_id".as("c_user"), $"es".as("c_es"), $"click_id")
+        val purch = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"es".as("p_es"), $"event_id".as("purchase_id"))
+        graft.plans.AsOf.join(purch, clicks,
+            Seq(("user_id", "c_user")), "p_es", "c_es",
+            tolerance = Some(86400L))
+          .select($"user_id", $"purchase_id", $"p_es".as("purchase_es"),
+            $"click_id", $"c_es".as("click_es"),
+            ($"p_es" - $"c_es").as("gap_s"))
+          .orderBy($"user_id", $"purchase_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_us(ts)//1000000 AS es FROM events),
+        clicks AS (
+          SELECT user_id, es AS c_es, max(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        purch AS (
+          SELECT user_id, es AS p_es, event_id AS purchase_id
+          FROM e WHERE event_type = 'purchase')
+        SELECT p.user_id, p.purchase_id, p.p_es AS purchase_es,
+               CASE WHEN p.p_es - c.c_es <= 86400
+                 THEN c.click_id END AS click_id,
+               CASE WHEN p.p_es - c.c_es <= 86400
+                 THEN c.c_es END AS click_es,
+               CASE WHEN p.p_es - c.c_es <= 86400
+                 THEN p.p_es - c.c_es END AS gap_s
+        FROM purch p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.p_es >= c.c_es
+        ORDER BY p.user_id, p.purchase_id"""),
+      desc = "native as-of join with tolerance (stale matches → null)"),
+
     // ── tf-idf style term ranking (integer-only, deterministic) ─────
     // Ranking by (tf DESC, df ASC, term) is the tf-idf order without a
     // cross-engine ln(): idf is monotone-decreasing in df.

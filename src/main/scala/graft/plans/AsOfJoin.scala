@@ -29,7 +29,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -39,7 +40,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -70,6 +72,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeysB = rightKeys
     val lTimeB = leftTime
     val rTimeB = rightTime
+    // tolerance: a carried candidate is rejected at EMIT time when it
+    // is older than `tol` seconds (pandas merge_asof semantics — the
+    // latest candidate is the only one considered; anything earlier
+    // is staler still, so no second scan is ever needed)
+    val tolB = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
@@ -105,6 +112,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       var lastKey: InternalRow = null
       var lastMatch: InternalRow = null
+      var lastMatchTime: Long = 0L
       val nKeys = lKeysB.length
       def hasNullKey(key: InternalRow): Boolean = {
         var i = 0
@@ -138,12 +146,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val rt = rTimeProj(rBuf.head)
               val rtOk = !rt.isNullAt(0) && !ltNull &&
                 rt.getLong(0) <= lt.getLong(0)
-              if (rtOk) { lastMatch = rBuf.next().copy() }
+              if (rtOk) { lastMatchTime = rt.getLong(0)
+                lastMatch = rBuf.next().copy() }
               else if (rt.isNullAt(0)) { rBuf.next() } // null time: no match
               else advance = false // right time ahead of this left row
             } else advance = false // right key ahead
           }
-          outProj(joined(lRow, if (lastMatch != null) lastMatch
+          val withinTol = tolB.isEmpty || (!ltNull &&
+            lt.getLong(0) - lastMatchTime <= tolB.get)
+          outProj(joined(lRow, if (lastMatch != null && withinTol) lastMatch
             else nullRight))
         }
       }
@@ -205,8 +216,8 @@ object PruneAsOfJoinColumns
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -216,7 +227,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
            keys: Seq[(String, String)],
-           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+           leftTimeCol: String, rightTimeCol: String,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -240,7 +252,7 @@ object AsOf {
         throw new IllegalArgumentException(s"no column $name"))
     val node = AsOfJoin(lPlan, rPlan,
       keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), tolerance)
     GraftBridge.ofRows(spark, node)
   }
 }

@@ -28,6 +28,19 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out("p3") === null)      // no right rows for key 2
   }
 
+  test("tolerance rejects stale matches but keeps fresh ones") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 200L, "stale"),
+      (1L, 105L, "at_edge")).toDF("k", "t", "name")
+    val right = Seq((1L, 95L, "c95")).toDF("rk", "rt", "rname")
+    val out = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+        tolerance = Some(10L))
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("fresh") === "c95")    // gap 5 ≤ 10
+    assert(out("at_edge") === "c95")  // gap 10 ≤ 10 (inclusive)
+    assert(out("stale") === null)     // gap 105 > 10 → rejected
+  }
+
   test("NULL keys never match (SQL equi-join semantics)") {
     val left = Seq(
       (Option(1L), 10L, "k1"),
