@@ -615,6 +615,47 @@ object EventQueries {
                max(abs(b.cents - st.mean_c)) AS max_abs_dev
         FROM base b JOIN st ON st.event_type = b.event_type
         GROUP BY 1 ORDER BY 1"""),
-      desc = "3-sigma outliers via the sqrt-free squared-deviation test")
+      desc = "3-sigma outliers via the sqrt-free squared-deviation test"),
+
+    // ── hopping (sliding) window aggregates ─────────────────────────
+    // 10-minute windows advancing every 5 — the batch twin of
+    // Structured Streaming's window(ts, '10 minutes', '5 minutes'):
+    // each event explodes into its size/hop = 2 member windows, then a
+    // plain map-side-combined agg. The explode factor is the constant
+    // size/hop, so this stays scan-shaped at any SF; distinct users
+    // must be counted per window (overlap means they don't sum from
+    // tumbling partials).
+    "f_hopping" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .withColumn("b", (epochS($"ts") / 300L).cast(LongType) * 300L)
+          .withColumn("w", explode(array($"b", $"b" - 300L)))
+          .groupBy($"w", $"event_type")
+          .agg(count(lit(1)).as("n"),
+               countDistinct($"user_id").as("n_users"),
+               sumMoney($"value").as("sum_value"))
+          .withColumn("w_start", date_format(timestamp_seconds($"w"),
+            "yyyy-MM-dd HH:mm:ss"))
+          .select($"w_start", $"event_type", $"n", $"n_users", $"sum_value")
+          .orderBy($"w_start", $"event_type")
+          .limit(500)
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, user_id, value,
+                 (epoch_us(ts)//1000000)//300*300 AS b
+          FROM events),
+        h AS (
+          SELECT event_type, user_id, value,
+                 unnest([b, b - 300]) AS w
+          FROM e)
+        SELECT strftime(make_timestamp(w * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS w_start,
+               event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        FROM h GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500"""),
+      desc = "hopping 10m/5m windows via constant-factor explode + hash agg")
   )
 }
