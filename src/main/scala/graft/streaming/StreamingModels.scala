@@ -28,6 +28,22 @@ object StreamingModels {
       .select(col("window.start").as("bucket_start"), col("event_type"),
               col("n"), col("value_cents"))
 
+  /** Hopping (sliding) windowed counts — 10-minute windows advancing
+    * every 5, the overlapping-window form of [[bucketCounts]] and the
+    * streaming twin of the batch `f_hopping` query. Each event lands
+    * in size/hop = 2 windows (constant fan-out); state per window
+    * expires once the watermark passes window end. Works on batch or
+    * streaming input. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n"), col("value_cents"))
+
   /** Streaming dedup: drop repeated (user_id, event_type) arrivals
     * within the watermark horizon — the streaming form of the exact-
     * dedup operator. Uses `dropDuplicatesWithinWatermark`, NOT plain

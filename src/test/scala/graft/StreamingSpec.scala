@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("hopping windows double-count each event and match batch under a stream") {
+    val batch = Sources.table(spark, sf(), "events")
+    // every event lands in exactly size/hop = 2 windows
+    val total = StreamingModels.hoppingCounts(batch)
+      .agg(sum($"n")).collect().head.getLong(0)
+    assert(total === 2 * batch.count())
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_hop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = StreamingModels.hoppingCounts(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hops").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hops")
+      val batchAgg = StreamingModels.hoppingCounts(batch)
+      val joined = got.as("g").join(batchAgg.as("b"),
+        $"g.w_start" === $"b.w_start" && $"g.event_type" === $"b.event_type")
+      assert(joined.filter($"g.n" =!= $"b.n").count() === 0)
+      assert(got.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup holds bounded per-key state") {
     // dedupStream uses dropDuplicatesWithinWatermark: with plain
     // dropDuplicates and (user_id, event_type) keys the watermark
