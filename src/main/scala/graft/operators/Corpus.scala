@@ -339,31 +339,74 @@ object Corpus extends org.apache.spark.internal.Logging {
     * n_shared ≥ `minShared` common (non-boilerplate) fingerprints. */
   def winnowPairs(docs: DataFrame, k: Int = 10, w: Int = 8,
                   minShared: Long = 5L, maxDocFreq: Long = 16L): DataFrame = {
+    val fp = winnowFp(docs, k, w, maxDocFreq, carry = Nil,
+      name = "winnow_fp")
+    fp.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Materialized (doc_id, h [, carry...]) winnowing-fingerprint frame
+    * shared by [[winnowPairs]] and [[winnowPairsIncremental]]. */
+  private def winnowFp(docs: DataFrame, k: Int, w: Int, maxDocFreq: Long,
+                       carry: Seq[String], name: String): DataFrame = {
     graft.functions.Md5PrefixLong.register(docs.sparkSession)
     val grams = docs
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id") +: col("text") +: carry.map(col): _*)
+      .select(col("doc_id") +:
         explode(expr(
           s"""CASE WHEN length(text) >= $k
               THEN sequence(1, length(text) - $k + 1)
-              ELSE CAST(array() AS ARRAY<INT>) END""")).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr(s"md5_prefix_long(substr(text, i, $k), 14) % 1000003L").as("h"))
+              ELSE CAST(array() AS ARRAY<INT>) END""")).as("i") +:
+        col("text") +: carry.map(col): _*)
+      .select(col("doc_id") +: col("i") +:
+        expr(s"md5_prefix_long(substr(text, i, $k), 14) % 1000003L").as("h") +:
+        carry.map(col): _*)
     val packed = grams
       .withColumn("c", min(expr("h * 2097152L + (2097151L - i)")).over(
         Window.partitionBy(col("doc_id")).orderBy(col("i"))
           .rowsBetween(-(w - 1), 0)))
       .filter(col("i") >= w) // full windows only
-      .select(col("doc_id"), expr("c div 2097152L").as("h"))
+      .select(col("doc_id") +: expr("c div 2097152L").as("h") +:
+        carry.map(col): _*)
       .distinct()
-    val fp = graft.Engine.materialize(
+    graft.Engine.materialize(
       packed
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .filter(col("df") <= maxDocFreq)
-        .select(col("doc_id"), col("h")),
-      key = "h", name = "winnow_fp")
-    fp.select(col("doc_id").as("doc_a"), col("h"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_id") +: col("h") +: carry.map(col): _*),
+      key = "h", name = name)
+  }
+
+  /** Incremental winnowing — the new-batch × corpus twin of
+    * [[winnowPairs]], shaped like [[minhashPairsIncremental]]: only
+    * fingerprints of docs marked NEW by `isNew` probe the full
+    * fingerprint frame, so the historical×historical pair space is
+    * never re-examined. The doc-frequency flood cap counts over ALL
+    * docs exactly as the full run does, and both-new pairs are
+    * deduped per (pair, h) before counting, so the output is
+    * bit-for-bit [[winnowPairs]] restricted to pairs with ≥1 new
+    * side. */
+  def winnowPairsIncremental(docs: DataFrame,
+                             isNew: org.apache.spark.sql.Column,
+                             k: Int = 10, w: Int = 8,
+                             minShared: Long = 5L,
+                             maxDocFreq: Long = 16L): DataFrame = {
+    val fp = winnowFp(docs.withColumn("is_new", isNew), k, w, maxDocFreq,
+      carry = Seq("is_new"), name = "winnow_fp_inc")
+    val n = fp.filter(col("is_new"))
+      .select(col("doc_id").as("doc_n"), col("h"))
+    val all = fp.select(col("doc_id").as("doc_o"), col("h"))
+    n.join(all, Seq("h"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      // both-new pairs arrive once per direction: dedupe per (pair, h)
+      // so shared-run counts don't double
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+              greatest(col("doc_n"), col("doc_o")).as("doc_b"), col("h"))
+      .distinct()
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -1427,6 +1427,48 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "winnowing fingerprints: window-min k-gram hashes, shared-run pairs"),
 
+    // ── incremental winnowing: new batch × corpus ───────────────────
+    // Completes the incremental story across the dedup families
+    // (minhash, semantic, spans, winnow): only new-doc fingerprints
+    // probe the full frame; historical×historical never re-examined.
+    // Oracle = the full winnow pair set restricted to ≥1 new side.
+    "dedup_winnow_inc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Corpus.winnowPairsIncremental(docs(s, dir),
+            isNew = $"doc_id" >= 400, k = 10, w = 8,
+            minShared = 5L, maxDocFreq = 16L)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH wn_grams AS (
+          SELECT doc_id, i,
+                 (${DUCK_TOKHASH.format("substr(text, i, 10)")}) % 1000003
+                   AS h
+          FROM documents,
+               unnest(range(1, length(text) - 10 + 2)) AS t(i)),
+        wn_win AS (
+          SELECT doc_id, i,
+            min(h * 2097152 + (2097151 - i)) OVER (
+              PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+          FROM wn_grams),
+        wn_fp0 AS (
+          SELECT DISTINCT doc_id, c // 2097152 AS h
+          FROM wn_win WHERE i >= 8),
+        wn_fp AS (
+          SELECT doc_id, h FROM (
+            SELECT *, count(*) OVER (PARTITION BY h) AS df FROM wn_fp0)
+          WHERE df <= 16)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM wn_fp a JOIN wn_fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        WHERE a.doc_id >= 400 OR b.doc_id >= 400
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+        ORDER BY doc_a, doc_b"""),
+      desc = "incremental winnowing: new fingerprints probe the corpus frame"),
+
     // ── containment pairs: the asymmetric dedup family ──────────────
     // C = |A∩B| / min(|A|,|B|): a short doc quoted verbatim inside a
     // long one scores jaccard ≈ |small|/|big| (invisible at any sane

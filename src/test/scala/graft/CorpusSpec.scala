@@ -411,6 +411,27 @@ class CorpusSpec extends SparkSuite {
     assert(inc === full.filter(_._1 >= 30L), s"got $inc vs $full")
   }
 
+  test("winnowPairsIncremental: all-new ≡ full run, none-new ≡ empty, restriction law") {
+    val shared = "the quick brown fox jumps over the lazy dog again "
+    val d = Seq(
+      (10L, shared + "alpha beta gamma delta epsilon"),
+      (20L, shared + "zeta eta theta iota kappa"),
+      (30L, shared + "one two three four five six")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = rows(Corpus.winnowPairs(d, minShared = 2L))
+    assert(full.nonEmpty, "fixture must produce shared-fingerprint pairs")
+    assert(rows(Corpus.winnowPairsIncremental(d, lit(true), minShared = 2L))
+      === full, "all-new must equal the full run")
+    assert(rows(Corpus.winnowPairsIncremental(d, lit(false), minShared = 2L))
+      === Set(), "none-new must be empty")
+    val inc = rows(Corpus.winnowPairsIncremental(d, col("doc_id") >= 30,
+      minShared = 2L))
+    assert(inc === full.filter(p => p._1 >= 30L || p._2 >= 30L),
+      s"restriction law: $inc vs $full")
+  }
+
   test("spanClean excises exactly the removable spans and passes clean docs through") {
     val P = "the quick brown fox jumps"
     val Q = "0123456789ABCDEFG"
