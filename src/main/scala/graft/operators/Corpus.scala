@@ -1313,21 +1313,24 @@ object Corpus extends org.apache.spark.internal.Logging {
              max(when(col("side") === 1, 1L).otherwise(0L)).as("in_b"))
         .withColumn("h", expr("md5_prefix_long(s, 14)")),
       key = "s", name = "overlap_flags")
+    // coalesce: an EMPTY corpus yields zero counts and NULL ppm values
+    // (the Jaccard of two empty sets is genuinely undefined), not an
+    // error and not a null-count row
     val exact = flags.agg(
-      sum(col("in_a")).as("n_sh_a"),
-      sum(col("in_b")).as("n_sh_b"),
-      sum(col("in_a") * col("in_b")).as("n_inter"))
+      coalesce(sum(col("in_a")), lit(0L)).as("n_sh_a"),
+      coalesce(sum(col("in_b")), lit(0L)).as("n_sh_b"),
+      coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("n_inter"))
     val kmv = flags
       .withColumn("rk", row_number().over(
         Window.orderBy(col("h").asc, col("s").asc)))
       .filter(col("rk") <= k)
-      .agg(sum(col("in_a") * col("in_b")).as("k_inter"),
+      .agg(coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("k_inter"),
            max(col("rk")).as("k_used"))
     exact.crossJoin(kmv)
       .select(col("n_sh_a"), col("n_sh_b"), col("n_inter"),
-        expr("n_inter * 1000000 div (n_sh_a + n_sh_b - n_inter)")
+        expr("n_inter * 1000000 div nullif(n_sh_a + n_sh_b - n_inter, 0)")
           .as("jaccard_ppm"),
-        expr("k_inter * 1000000 div k_used").as("kmv_ppm"))
+        expr("k_inter * 1000000 div nullif(k_used, 0)").as("kmv_ppm"))
       .withColumn("err_ppm", abs(col("kmv_ppm") - col("jaccard_ppm")))
   }
 }

@@ -69,4 +69,25 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.Vectors.kmeansFit(none, k = 4, iters = 1)
       .count() === 0)
   }
+
+  test("graph and overlap operators degrade cleanly on empty input") {
+    import org.apache.spark.sql.functions._
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Graphs.triangles(noEdges).count() === 0)
+    // pageRank on an empty graph is a caller error, reported as one
+    intercept[IllegalArgumentException] {
+      graft.operators.Graphs.pageRank(
+        noEdges.select($"a".as("src"), $"b".as("dst")))
+    }
+    val noDocs = Sources.table(spark, sf(), "documents").limit(0)
+    val row = graft.operators.Corpus.corpusOverlap(noDocs, lit(0))
+      .collect().head
+    assert(row.getAs[Long]("n_sh_a") === 0L &&
+      row.getAs[Long]("n_inter") === 0L)
+    assert(row.isNullAt(row.fieldIndex("jaccard_ppm")),
+      "empty-set Jaccard must be NULL, not fabricated")
+    assert(graft.operators.Corpus.winnowPairsIncremental(
+      noDocs, lit(true)).count() === 0)
+    graft.Engine.dropAllMaterialized(spark)
+  }
 }
