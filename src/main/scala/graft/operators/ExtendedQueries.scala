@@ -450,6 +450,147 @@ object ExtendedQueries {
         corners AS (SELECT unnest([u, x, y]) AS node FROM tri)
         SELECT node, CAST(count(*) AS BIGINT) AS n_tri
         FROM corners GROUP BY 1 ORDER BY node"""),
-      desc = "degree-oriented triangle counting on the co-supplier graph")
+      desc = "degree-oriented triangle counting on the co-supplier graph"),
+
+    // ── personalized PageRank from a seed set ───────────────────────
+    // Teleport mass concentrated on nation-0's suppliers: rank =
+    // proximity-weighted reachability from the seeds over the trade
+    // graph (the related-items / recommendation form). Same integer
+    // arithmetic and per-round plan as graph_pagerank; top-50 by rank.
+    "graph_ppr" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e0 = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select(($"o_custkey" * 2L).as("c"), ($"l_suppkey" * 2L + 1L).as("p"))
+          .distinct()
+        val edges = e0.select($"c".as("src"), $"p".as("dst"))
+          .union(e0.select($"p".as("src"), $"c".as("dst")))
+        val seeds = t(s, dir, "supplier").filter($"s_nationkey" === 0)
+          .select(($"s_suppkey" * 2L + 1L).as("node"))
+        Graphs.personalizedPageRank(edges, seeds, rounds = 3)
+          .select(
+            when(expr("node % 2") === 0, lit("c")).otherwise(lit("s"))
+              .as("node_type"),
+            expr("node div 2").as("key"),
+            $"rank".as("rank_scaled"))
+          .orderBy($"rank_scaled".desc, $"node_type", $"key")
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT c AS src, p AS dst FROM e0
+          UNION ALL
+          SELECT p AS src, c AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        seeds AS (
+          SELECT DISTINCT s_suppkey * 2 + 1 AS node
+          FROM supplier WHERE s_nationkey = 0),
+        sn AS (
+          SELECT d.src AS node,
+                 CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+          FROM deg d LEFT JOIN seeds s ON s.node = d.src),
+        ns AS (SELECT CAST(sum(is_seed) AS BIGINT) AS s FROM sn),
+        r0 AS (SELECT node,
+                      CASE WHEN is_seed = 1
+                        THEN 1000000000000 // ns.s ELSE 0 END AS rank
+               FROM sn CROSS JOIN ns),
+        c1 AS (SELECT e.dst AS node,
+                      CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+               FROM edges e
+               JOIN r0 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY 1),
+        r1 AS (SELECT sn.node,
+                      CASE WHEN sn.is_seed = 1
+                        THEN (15 * (1000000000000 // ns.s)) // 100
+                        ELSE 0 END
+                      + (85 * COALESCE(c1.contrib, 0)) // 100 AS rank
+               FROM sn CROSS JOIN ns LEFT JOIN c1 ON c1.node = sn.node),
+        c2 AS (SELECT e.dst AS node,
+                      CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+               FROM edges e
+               JOIN r1 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY 1),
+        r2 AS (SELECT sn.node,
+                      CASE WHEN sn.is_seed = 1
+                        THEN (15 * (1000000000000 // ns.s)) // 100
+                        ELSE 0 END
+                      + (85 * COALESCE(c2.contrib, 0)) // 100 AS rank
+               FROM sn CROSS JOIN ns LEFT JOIN c2 ON c2.node = sn.node),
+        c3 AS (SELECT e.dst AS node,
+                      CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+               FROM edges e
+               JOIN r2 r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY 1),
+        r3 AS (SELECT sn.node,
+                      CASE WHEN sn.is_seed = 1
+                        THEN (15 * (1000000000000 // ns.s)) // 100
+                        ELSE 0 END
+                      + (85 * COALESCE(c3.contrib, 0)) // 100 AS rank
+               FROM sn CROSS JOIN ns LEFT JOIN c3 ON c3.node = sn.node)
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+               node // 2 AS key, rank AS rank_scaled
+        FROM r3
+        ORDER BY rank_scaled DESC, node_type, key LIMIT 50"""),
+      desc = "personalized PageRank: seed-restart proximity over the trade graph"),
+
+    // ── item-item similarity (collaborative filtering neighbors) ────
+    // Supplier neighbors by Dice overlap of customer sets:
+    // dice_ppm = 2·|A∩B|·1e6 div (|A|+|B|) — pure integers (cosine's
+    // sqrt never enters). Co-occurrence pairs come from a per-customer
+    // equi-join (never supplier×supplier), per-item top-5 by window.
+    "graph_item_sim" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cs = graft.Engine.materialize(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+            .select($"o_custkey".as("cust"), $"l_suppkey".as("sk"))
+            .distinct(),
+          key = "cust", name = "sim_cs")
+        val deg = cs.groupBy($"sk").agg(count(lit(1)).as("deg"))
+        val co = cs.select($"cust", $"sk".as("a"))
+          .join(cs.select($"cust", $"sk".as("b")), Seq("cust"))
+          .filter($"a" =!= $"b")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("co_n"))
+        co
+          .join(deg.select($"sk".as("a"), $"deg".as("deg_a")), Seq("a"))
+          .join(deg.select($"sk".as("b"), $"deg".as("deg_b")), Seq("b"))
+          .withColumn("dice_ppm", expr("2 * co_n * 1000000 div (deg_a + deg_b)"))
+          .withColumn("rk", row_number().over(Window.partitionBy($"a")
+            .orderBy($"dice_ppm".desc, $"b".asc)))
+          .filter($"rk" <= 5)
+          .select($"a".as("item"), $"rk", $"b".as("neighbor"),
+            $"co_n", $"dice_ppm")
+          .orderBy($"item", $"rk")
+      },
+      oracle = Some("""
+        WITH cs AS (
+          SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS sk
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        deg AS (SELECT sk, count(*) AS deg FROM cs GROUP BY 1),
+        co AS (
+          SELECT a.sk AS a, b.sk AS b, count(*) AS co_n
+          FROM cs a JOIN cs b ON a.cust = b.cust AND a.sk <> b.sk
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT co.a, co.b, co.co_n,
+                 2 * co.co_n * 1000000 // (da.deg + db.deg) AS dice_ppm
+          FROM co
+          JOIN deg da ON da.sk = co.a
+          JOIN deg db ON db.sk = co.b),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY a
+                      ORDER BY dice_ppm DESC, b ASC) AS rk
+          FROM scored)
+        SELECT a AS item, rk, b AS neighbor, co_n, dice_ppm
+        FROM ranked WHERE rk <= 5 ORDER BY item, rk"""),
+      desc = "item-item Dice neighbors: per-customer co-occurrence, top-5/window")
   )
 }

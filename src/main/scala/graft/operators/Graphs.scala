@@ -37,24 +37,29 @@ object Graphs {
     * is wall-clock-linear, not lineage-exponential.
     *
     * Returns (node, rank) with rank in `scale` units. */
-  def pageRank(edges0: DataFrame, rounds: Int = 3,
-               scale: Long = 1000000000000L): DataFrame = {
-    val spark = edges0.sparkSession
-    // materialize the raw edge frame FIRST: deg and edgesDeg both
-    // consume it, and the caller's edge build (joins + distinct) is
-    // usually the expensive part — without this it runs twice (the
-    // minhashPairs recompute defect class)
+  /** Shared iteration prep: materialize the raw edge frame FIRST
+    * (deg and edgesDeg both consume it, and the caller's edge build —
+    * joins + distinct — is usually the expensive part; without this
+    * it runs twice, the minhashPairs recompute defect class), then
+    * the degree frame and the (src, dst, deg) join frame the
+    * per-round step touches. */
+  private def prepGraph(edges0: DataFrame): (DataFrame, DataFrame) = {
     val edges = graft.Engine.materialize(
       edges0.select(col("src"), col("dst")),
       key = "src", name = "pr_edges_raw")
     val deg = graft.Engine.materialize(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
       key = "src", name = "pr_deg")
-    // one frame carries (src, dst, deg): the per-round join touches
-    // exactly one materialized input plus the small rank frame
     val edgesDeg = graft.Engine.materialize(
       edges.join(deg, Seq("src")),
       key = "src", name = "pr_edges")
+    (deg, edgesDeg)
+  }
+
+  def pageRank(edges0: DataFrame, rounds: Int = 3,
+               scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    val (deg, edgesDeg) = prepGraph(edges0)
     val n = deg.count()
     require(n > 0, "pageRank: empty edge frame")
     val r0 = scale / n
@@ -74,6 +79,52 @@ object Graphs {
             (lit(base) +
               expr("(85 * coalesce(contrib, 0)) div 100")).as("rank")),
         key = "node", name = s"pr_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, prevT)
+      ranks = next
+      prevT = nextT
+    }
+    ranks
+  }
+
+  /** Personalized PageRank: the teleport vector is concentrated on
+    * `seeds0` (one `node` column) instead of uniform — random walks
+    * restart at the seed set, so rank measures proximity-weighted
+    * reachability FROM the seeds (the recommendation / related-items
+    * form). Same exact-integer arithmetic, same per-round plan as
+    * [[pageRank]]; the node frame carries an is_seed flag so the
+    * restart term is a branch, not a join, inside each round.
+    * Seeds outside the graph are ignored. Returns (node, rank). */
+  def personalizedPageRank(edges0: DataFrame, seeds0: DataFrame,
+                           rounds: Int = 3,
+                           scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    val (deg, edgesDeg) = prepGraph(edges0)
+    val nodes = graft.Engine.materialize(
+      deg.select(col("src").as("node"))
+        .join(seeds0.select(col("node")).distinct()
+          .withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .withColumn("is_seed", coalesce(col("is_seed"), lit(false))),
+      key = "node", name = "ppr_nodes")
+    val s = nodes.filter(col("is_seed")).count()
+    require(s > 0, "personalizedPageRank: no seed is a graph node")
+    val r0 = scale / s
+    val base = (15L * r0) / 100L
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), r0).otherwise(0L).as("rank"))
+    var prevT: Option[String] = None
+    for (i <- 0 until rounds) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .withColumn("c", expr("rank div deg"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("contrib"))
+      val (next, nextT) = graft.Engine.materializeTracked(
+        nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (when(col("is_seed"), base).otherwise(0L) +
+              expr("(85 * coalesce(contrib, 0)) div 100")).as("rank")),
+        key = "node", name = s"ppr_round_${i % 2}")
       graft.Engine.dropMaterialized(spark, prevT)
       ranks = next
       prevT = nextT

@@ -35,6 +35,18 @@ class GraphsSpec extends SparkSuite {
     purgeMatTables("pr_")
   }
 
+  test("personalizedPageRank restarts at the seeds and decays with distance") {
+    val r = graft.operators.Graphs.personalizedPageRank(
+        path3, Seq(Tuple1(1L)).toDF("node"), rounds = 1, scale = 1000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = (1000, 0, 0); base(seed) = 150
+    // contrib(2) = r0(1)/deg(1) = 1000 → r(2) = 0 + 85*1000/100 = 850
+    // contrib(1) = r0(2)/2 = 0 → r(1) = 150; r(3) = 0
+    assert(r === Map(1L -> 150L, 2L -> 850L, 3L -> 0L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("pr_"); purgeMatTables("ppr_")
+  }
+
   test("triangles counts K4 and ignores the square") {
     // K4 on 1-4 (4 triangles, each node in 3) + square 5-6-7-8 (none)
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
