@@ -656,6 +656,41 @@ object EventQueries {
                count(DISTINCT user_id) AS n_users,
                sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
         FROM h GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500"""),
-      desc = "hopping 10m/5m windows via constant-factor explode + hash agg")
+      desc = "hopping 10m/5m windows via constant-factor explode + hash agg"),
+
+    // ── RANGE frames: trailing time-window rolling aggregates ───────
+    // The time-series form W4's ROWS frames can't express: the frame
+    // is "everything in the last 10 MINUTES", not "the last k rows" —
+    // value-based rangeBetween(-600, 0) on epoch seconds. Tied
+    // timestamps all enter the frame (RANGE semantics), so the result
+    // is deterministic without a tiebreak in the frame bound itself.
+    // One user_id shuffle + partition-local sort, same as sessionize.
+    "w_range_frames" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es")
+          .rangeBetween(-600L, 0L)
+        ev(s, dir)
+          .filter($"user_id" <= 100)
+          .select($"user_id", $"event_id", epochS($"ts").as("es"),
+            round($"value" * 100).cast(LongType).as("cents"))
+          .withColumn("n_10m", count(lit(1)).over(w))
+          .withColumn("cents_10m", sum($"cents").over(w))
+          .select($"user_id", $"event_id", $"es", $"n_10m", $"cents_10m")
+          .orderBy($"user_id", $"event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts)//1000000 AS es,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events WHERE user_id <= 100)
+        SELECT user_id, event_id, es,
+               count(*) OVER (PARTITION BY user_id ORDER BY es ASC
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10m,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY es ASC
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cents_10m
+        FROM e ORDER BY user_id, event_id"""),
+      desc = "trailing 10-minute RANGE-frame rolling count/sum per user")
   )
 }

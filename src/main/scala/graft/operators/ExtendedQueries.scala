@@ -19,6 +19,25 @@ object ExtendedQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Sources.table(s, dir, n)
 
+  /** The customer↔supplier trade graph both PageRank queries walk —
+    * built ONCE per session via the shared-frame registry (the
+    * expensive part is the lineitem⋈orders distinct; graph_pagerank
+    * and graph_ppr consume the identical frame, so the second query
+    * rides the first's materialization). */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val li = t(s, dir, "lineitem")
+    val e0 = graft.Engine.materializeShared(s,
+      graft.Engine.planToken(li, extra = "trade_edges"),
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2L).as("c"),
+          (col("l_suppkey") * 2L + 1L).as("p"))
+        .distinct(),
+      key = "c", name = "trade_e0")
+    e0.select(col("c").as("src"), col("p").as("dst"))
+      .union(e0.select(col("p").as("src"), col("c").as("dst")))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ── A12: ROLLUP with grouping_id ────────────────────────────────
@@ -330,15 +349,7 @@ object ExtendedQueries {
     "graph_pagerank" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val e0 = t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"),
-            $"l_orderkey" === $"o_orderkey")
-          .select(($"o_custkey" * 2L).as("c"),
-            ($"l_suppkey" * 2L + 1L).as("p"))
-          .distinct()
-        val edges = e0.select($"c".as("src"), $"p".as("dst"))
-          .union(e0.select($"p".as("src"), $"c".as("dst")))
-        Graphs.pageRank(edges, rounds = 3)
+        Graphs.pageRank(tradeEdges(s, dir), rounds = 3)
           .select(
             when(expr("node % 2") === 0, lit("c")).otherwise(lit("s"))
               .as("node_type"),
@@ -453,22 +464,17 @@ object ExtendedQueries {
       desc = "degree-oriented triangle counting on the co-supplier graph"),
 
     // ── personalized PageRank from a seed set ───────────────────────
-    // Teleport mass concentrated on nation-0's suppliers: rank =
-    // proximity-weighted reachability from the seeds over the trade
-    // graph (the related-items / recommendation form). Same integer
-    // arithmetic and per-round plan as graph_pagerank; top-50 by rank.
+    // Teleport mass concentrated on suppliers 0-4 (present and trading
+    // at every SF — a nation-based seed set is empty at sf0.001):
+    // rank = proximity-weighted reachability from the seeds over the
+    // trade graph (the related-items / recommendation form). Same
+    // integer arithmetic and per-round plan as graph_pagerank; top-50.
     "graph_ppr" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val e0 = t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-          .select(($"o_custkey" * 2L).as("c"), ($"l_suppkey" * 2L + 1L).as("p"))
-          .distinct()
-        val edges = e0.select($"c".as("src"), $"p".as("dst"))
-          .union(e0.select($"p".as("src"), $"c".as("dst")))
-        val seeds = t(s, dir, "supplier").filter($"s_nationkey" === 0)
+        val seeds = t(s, dir, "supplier").filter($"s_suppkey" < 5)
           .select(($"s_suppkey" * 2L + 1L).as("node"))
-        Graphs.personalizedPageRank(edges, seeds, rounds = 3)
+        Graphs.personalizedPageRank(tradeEdges(s, dir), seeds, rounds = 3)
           .select(
             when(expr("node % 2") === 0, lit("c")).otherwise(lit("s"))
               .as("node_type"),
@@ -488,7 +494,7 @@ object ExtendedQueries {
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
         seeds AS (
           SELECT DISTINCT s_suppkey * 2 + 1 AS node
-          FROM supplier WHERE s_nationkey = 0),
+          FROM supplier WHERE s_suppkey < 5),
         sn AS (
           SELECT d.src AS node,
                  CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
