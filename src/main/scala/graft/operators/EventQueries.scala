@@ -691,6 +691,94 @@ object EventQueries {
                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS cents_10m
         FROM e ORDER BY user_id, event_id"""),
-      desc = "trailing 10-minute RANGE-frame rolling count/sum per user")
+      desc = "trailing 10-minute RANGE-frame rolling count/sum per user"),
+
+    // ── SCD2 dimension-history build from snapshots ─────────────────
+    // The warehouse change-tracking shape: daily per-user snapshots
+    // (last event_type observed that day, A5 ordered-argmax) collapse
+    // into validity intervals [valid_from_day, valid_to_day] with a
+    // version sequence — lag-change flag + running sum, then one agg.
+    // Everything is keyed user_id: ONE shuffle feeds the snapshot agg,
+    // the version windows, and the interval agg; at 100 TB the
+    // partitioning is reused across all three stages, and each stage
+    // is map-side combinable or partition-local.
+    "e_scd2" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val snap = ev(s, dir)
+          .filter($"user_id" <= 200)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day_i"),
+            epochS($"ts").as("es"), $"event_id", $"event_type")
+          .groupBy($"user_id", $"day_i")
+          .agg(max(struct($"es", $"event_id", $"event_type")).as("last"))
+          .select($"user_id", $"day_i", $"last.event_type".as("attr"))
+        val wOrd = Window.partitionBy($"user_id").orderBy($"day_i")
+        snap
+          .withColumn("prev", lag($"attr", 1).over(wOrd))
+          .withColumn("chg",
+            when($"prev".isNull || $"prev" =!= $"attr", 1L).otherwise(0L))
+          .withColumn("version", sum($"chg").over(wOrd))
+          .groupBy($"user_id", $"version")
+          .agg(min($"attr").as("attr"),
+               min($"day_i").as("valid_from_day"),
+               max($"day_i").as("valid_to_day"),
+               count(lit(1)).as("n_days"))
+          .select($"user_id", $"version", $"attr",
+            $"valid_from_day", $"valid_to_day", $"n_days")
+          .orderBy($"user_id", $"version")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts)//1000000//86400 AS day_i,
+                 epoch_us(ts)//1000000 AS es, event_id, event_type
+          FROM events WHERE user_id <= 200),
+        snap AS (
+          SELECT user_id, day_i, event_type AS attr FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, day_i
+              ORDER BY es DESC, event_id DESC) AS rn FROM e)
+          WHERE rn = 1),
+        v AS (
+          SELECT user_id, day_i, attr,
+            CASE WHEN lag(attr) OVER (PARTITION BY user_id ORDER BY day_i)
+                        IS NULL
+                   OR lag(attr) OVER (PARTITION BY user_id ORDER BY day_i)
+                        <> attr
+                 THEN 1 ELSE 0 END AS chg
+          FROM snap),
+        ver AS (
+          SELECT user_id, day_i, attr,
+                 CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY day_i)
+                      AS BIGINT) AS version
+          FROM v)
+        SELECT user_id, version, min(attr) AS attr,
+               min(day_i) AS valid_from_day, max(day_i) AS valid_to_day,
+               count(*) AS n_days
+        FROM ver GROUP BY 1, 2 ORDER BY user_id, version"""),
+      desc = "SCD2 validity intervals from daily snapshots (one key shuffle)"),
+
+    // ── key-skew profile: count-of-counts histogram ─────────────────
+    // The diagnostic you run BEFORE choosing a join strategy at 100 TB:
+    // per-key event counts bucketed by decimal digit count (integer —
+    // no float log in the hash). Level 1 is the only real shuffle
+    // (map-side combined); the histogram itself is tiny. A key whose
+    // bucket sits orders of magnitude above the median is the one you
+    // salt or AQE-skew-split.
+    "a_skew_profile" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+          .groupBy($"cnt")
+          .agg(count(lit(1)).as("n_keys"),
+               ($"cnt" * count(lit(1))).as("events"))
+          .orderBy($"cnt")
+      },
+      oracle = Some("""
+        WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        SELECT cnt, count(*) AS n_keys,
+               CAST(cnt * count(*) AS BIGINT) AS events
+        FROM pk GROUP BY cnt ORDER BY cnt"""),
+      desc = "count-of-counts key-skew histogram (raw frequency spectrum)")
   )
 }
