@@ -779,6 +779,57 @@ object EventQueries {
         SELECT cnt, count(*) AS n_keys,
                CAST(cnt * count(*) AS BIGINT) AS events
         FROM pk GROUP BY cnt ORDER BY cnt"""),
-      desc = "count-of-counts key-skew histogram (raw frequency spectrum)")
+      desc = "count-of-counts key-skew histogram (raw frequency spectrum)"),
+
+    // ── linear multi-touch attribution ──────────────────────────────
+    // Each purchase splits 1e6 ppm of credit equally across the
+    // user's touches (click/view/signup) in the preceding 24 h; the
+    // complement of the as-of family's last-touch form. The
+    // purchase×touch join is user-keyed — co-partitioned at 100 TB,
+    // fan-out bounded by per-user activity in the window — and the
+    // per-purchase touch count is a window over the join result, not
+    // a second join. Credit in integer ppm (floor div): no float in
+    // the hash.
+    "e_attribution_multi" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir).withColumn("es", epochS($"ts"))
+        val purch = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("p_id"), $"es".as("p_es"))
+        val touch = e
+          .filter($"event_type".isin("click", "view", "signup"))
+          .select($"user_id", $"event_id".as("t_id"),
+            $"event_type".as("channel"), $"es".as("t_es"))
+        purch.join(touch, Seq("user_id"))
+          .filter($"t_es" <= $"p_es" && $"t_es" > $"p_es" - 86400L)
+          .withColumn("n_touch",
+            count(lit(1)).over(Window.partitionBy($"p_id")))
+          .withColumn("credit_ppm", expr("1000000 div n_touch"))
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("n_credited"),
+               sum($"credit_ppm").as("credit_ppm_total"))
+          .orderBy($"channel")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_us(ts)//1000000 AS es FROM events),
+        purch AS (
+          SELECT user_id, event_id AS p_id, es AS p_es
+          FROM e WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id, event_id AS t_id, event_type AS channel,
+                 es AS t_es
+          FROM e WHERE event_type IN ('click', 'view', 'signup')),
+        j AS (
+          SELECT p.p_id, t.channel,
+                 count(*) OVER (PARTITION BY p.p_id) AS n_touch
+          FROM purch p JOIN touch t
+            ON p.user_id = t.user_id
+           AND t.t_es <= p.p_es AND t.t_es > p.p_es - 86400)
+        SELECT channel, count(*) AS n_credited,
+               CAST(sum(1000000 // n_touch) AS BIGINT)
+                 AS credit_ppm_total
+        FROM j GROUP BY channel ORDER BY channel"""),
+      desc = "linear multi-touch attribution (24h window, integer ppm credit)")
   )
 }

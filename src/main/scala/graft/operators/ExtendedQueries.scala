@@ -597,6 +597,92 @@ object ExtendedQueries {
           FROM scored)
         SELECT a AS item, rk, b AS neighbor, co_n, dice_ppm
         FROM ranked WHERE rk <= 5 ORDER BY item, rk"""),
-      desc = "item-item Dice neighbors: per-customer co-occurrence, top-5/window")
+      desc = "item-item Dice neighbors: per-customer co-occurrence, top-5/window"),
+
+    // ── rank-function family: rank / dense_rank / percent_rank /
+    // cume_dist ──────────────────────────────────────────────────────
+    // ORDER BY cents ONLY (genuine ties → shared rank values; output
+    // rows stay deterministic because rank functions depend only on
+    // the cents ordering, and the emit order is totalized by
+    // event_id). percent_rank = (rank−1)/(n−1) and cume_dist = k/n are
+    // integer IEEE divisions — bit-identical across engines. One
+    // event_type shuffle + partition-local sort.
+    "w_rank_family" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type")
+          .orderBy(round($"value" * 100).cast(LongType))
+        t(s, dir, "events")
+          .filter($"user_id" <= 30)
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .select($"event_type", $"event_id", $"cents",
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy($"event_type", $"event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events WHERE user_id <= 30)
+        SELECT event_type, event_id, cents,
+               rank() OVER (PARTITION BY event_type ORDER BY cents)
+                 AS rnk,
+               dense_rank() OVER (PARTITION BY event_type ORDER BY cents)
+                 AS drnk,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY cents)
+                 AS prnk,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY cents)
+                 AS cdist
+        FROM e ORDER BY event_type, event_id"""),
+      desc = "rank/dense_rank/percent_rank/cume_dist over tied keys"),
+
+    // ── per-column data-quality profile ─────────────────────────────
+    // The validation pass a pipeline runs on every ingest: per column
+    // (rows, nulls, exact distinct). One column-pruned scan PER column
+    // — six 1-column passes, not one 6-countDistinct agg, which would
+    // Expand every row ×6 through the shuffle (the CLAUDE.md sketch
+    // rule's general form). At 100 TB each pass reads one column's
+    // pages; the union is 6 rows.
+    "dq_profile" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map { c =>
+          o.select(col(c)).agg(
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col(c))).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"))
+            .select(lit(c).as("col_name"), $"n_rows", $"n_null",
+              $"n_distinct")
+        }.reduce(_ unionByName _)
+          .orderBy($"col_name")
+      },
+      oracle = Some("""
+        SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority) FROM orders
+        ORDER BY col_name"""),
+      desc = "per-column rows/nulls/exact-distinct profile (pruned passes)")
   )
 }
