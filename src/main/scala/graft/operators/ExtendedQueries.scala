@@ -554,11 +554,21 @@ object ExtendedQueries {
     "graph_item_sim" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        // flood guard (the simhash-bucket rule applied to baskets): a
+        // customer linked to >256 items contributes co_n² pairs of
+        // near-uniform co-occurrence noise — cap BEFORE pair
+        // generation so a hot key can't go quadratic at 100 TB. No-op
+        // at test scale (max degree 102 at sf0.1); Dice is computed
+        // on the capped graph consistently (degrees post-cap).
         val cs = graft.Engine.materialize(
           t(s, dir, "lineitem")
             .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
             .select($"o_custkey".as("cust"), $"l_suppkey".as("sk"))
-            .distinct(),
+            .distinct()
+            .withColumn("cdeg",
+              count(lit(1)).over(Window.partitionBy($"cust")))
+            .filter($"cdeg" <= 256)
+            .drop("cdeg"),
           key = "cust", name = "sim_cs")
         val deg = cs.groupBy($"sk").agg(count(lit(1)).as("deg"))
         val co = cs.select($"cust", $"sk".as("a"))
@@ -577,9 +587,13 @@ object ExtendedQueries {
           .orderBy($"item", $"rk")
       },
       oracle = Some("""
-        WITH cs AS (
+        WITH cs0 AS (
           SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS sk
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        cs AS (
+          SELECT cust, sk FROM (
+            SELECT *, count(*) OVER (PARTITION BY cust) AS cdeg FROM cs0)
+          WHERE cdeg <= 256),
         deg AS (SELECT sk, count(*) AS deg FROM cs GROUP BY 1),
         co AS (
           SELECT a.sk AS a, b.sk AS b, count(*) AS co_n
@@ -606,7 +620,12 @@ object ExtendedQueries {
     // the cents ordering, and the emit order is totalized by
     // event_id). percent_rank = (rank−1)/(n−1) and cume_dist = k/n are
     // integer IEEE divisions — bit-identical across engines. One
-    // event_type shuffle + partition-local sort.
+    // event_type shuffle + partition-local sort. NOTE on scale:
+    // percent_rank/cume_dist need the full partition ordering, and
+    // event_type has ~5 values — at 100 TB you bound the partition
+    // first (as the user_id filter does here) or take the w2-style
+    // two-pass global-sort route; an unbounded rank over a
+    // low-cardinality key is inherently partition-global.
     "w_rank_family" -> Q(
       fn = (s, dir) => {
         import s.implicits._
