@@ -55,6 +55,43 @@ object ScaleProbe {
         queryFilter = col("id") < 10 * k, k = 5)),
       "corpus_overlap" -> (k => Corpus.corpusOverlap(docFrac(k),
         side = col("doc_id") % 2)),
+      "winnow_pairs" -> (k => Corpus.winnowPairs(docFrac(k))),
+      "item_sim_pairs" -> { k =>
+        // the registered query's pair stage: per-customer basket
+        // self-join with the 256-degree flood guard, scaled by
+        // customer count
+        val li = Sources.table(spark, sfDir, "lineitem")
+        val cs = li
+          .join(Sources.table(spark, sfDir, "orders")
+              .filter(col("o_custkey") % k === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("sk"))
+          .distinct()
+          .withColumn("cdeg", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cust"))))
+          .filter(col("cdeg") <= 256).drop("cdeg")
+        cs.select(col("cust"), col("sk").as("a"))
+          .join(cs.select(col("cust"), col("sk").as("b")), Seq("cust"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co_n"))
+      },
+      "attribution_join" -> { k =>
+        // the registered query's purchase×touch stage, scaled by users
+        val e = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .withColumn("es", unix_timestamp(col("ts")))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("es").as("p_es"))
+        val touch = e.filter(col("event_type")
+            .isin("click", "view", "signup"))
+          .select(col("user_id"), col("event_type").as("channel"),
+            col("es").as("t_es"))
+        purch.join(touch, Seq("user_id"))
+          .filter(col("t_es") <= col("p_es") &&
+            col("t_es") > col("p_es") - 86400L)
+          .groupBy(col("channel")).agg(count(lit(1)).as("n"))
+      },
       "pagerank" -> { k =>
         // doc co-membership graph stand-in: link doc i ↔ i%97 hub —
         // size-linear edge count, same per-round join shape as the
