@@ -705,11 +705,19 @@ object EventQueries {
     "e_scd2" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        // repartition on user_id ALONE up front: HashPartitioning
+        // (user_id) satisfies the clustered distribution of every
+        // downstream stage — the (user_id, day_i) snapshot agg, the
+        // user_id version windows, and the (user_id, version) interval
+        // agg — so the plan carries exactly ONE hash exchange
+        // (PlanAuditSpec pins it). Without it Catalyst shuffles twice:
+        // once on (user_id, day_i), again on user_id.
         val snap = ev(s, dir)
           .filter($"user_id" <= 200)
           .select($"user_id",
             (epochS($"ts") / 86400L).cast(LongType).as("day_i"),
             epochS($"ts").as("es"), $"event_id", $"event_type")
+          .repartition($"user_id")
           .groupBy($"user_id", $"day_i")
           .agg(max(struct($"es", $"event_id", $"event_type")).as("last"))
           .select($"user_id", $"day_i", $"last.event_type".as("attr"))
@@ -800,10 +808,15 @@ object EventQueries {
           .filter($"event_type".isin("click", "view", "signup"))
           .select($"user_id", $"event_id".as("t_id"),
             $"event_type".as("channel"), $"es".as("t_es"))
+        // window key (user_id, p_id), not p_id alone: p_id is unique
+        // so the semantics are identical, but the join output is
+        // already hash-partitioned by user_id, which satisfies the
+        // (user_id, p_id) clustered distribution — no third exchange
+        // (PlanAuditSpec pins the absence of a p_id repartition).
         purch.join(touch, Seq("user_id"))
           .filter($"t_es" <= $"p_es" && $"t_es" > $"p_es" - 86400L)
           .withColumn("n_touch",
-            count(lit(1)).over(Window.partitionBy($"p_id")))
+            count(lit(1)).over(Window.partitionBy($"user_id", $"p_id")))
           .withColumn("credit_ppm", expr("1000000 div n_touch"))
           .groupBy($"channel")
           .agg(count(lit(1)).as("n_credited"),

@@ -138,6 +138,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), s"expected semi-join query side:\n$p")
   }
 
+  test("dq_profile scans read exactly one column each") {
+    // the profile is six single-column passes by design — a scan whose
+    // ReadSchema carries more than one field means a pass stopped
+    // being column-pruned (at 100 TB that multiplies the IO by the
+    // table width)
+    val p = plan(SparkEntry.queries("dq_profile")(spark, sf()))
+    val schemas = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no parquet scans found:\n$p")
+    val fat = schemas.filter(_.contains(","))
+    assert(fat.isEmpty,
+      s"dq_profile scan reads more than one column: $fat")
+  }
+
+  test("e_scd2 carries exactly one hash exchange") {
+    // snapshot agg, version windows, and interval agg all ride the
+    // single user_id repartition (HashPartitioning(user_id) satisfies
+    // every downstream clustered distribution); the only other
+    // exchange is the final presentation orderBy (range partitioning)
+    val p = plan(SparkEntry.queries("e_scd2")(spark, sf()))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+  }
+
+  test("e_attribution_multi's per-purchase window rides the join partitioning") {
+    // the n_touch window is keyed (user_id, p_id), satisfied by the
+    // join's user_id distribution — a plan that repartitions on p_id
+    // alone re-shuffles the whole join output
+    val p = plan(SparkEntry.queries("e_attribution_multi")(spark, sf()))
+    assert(!p.contains("hashpartitioning(p_id"),
+      s"window re-shuffles on p_id:\n$p")
+  }
+
   test("long_dot participates in whole-stage codegen") {
     graft.functions.LongArrayDot.register(spark)
     val df = Sources.table(spark, sf(), "lineitem")
