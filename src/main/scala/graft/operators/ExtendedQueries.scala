@@ -702,6 +702,40 @@ object ExtendedQueries {
                count(*) - count(o_orderpriority),
                count(DISTINCT o_orderpriority) FROM orders
         ORDER BY col_name"""),
-      desc = "per-column rows/nulls/exact-distinct profile (pruned passes)")
+      desc = "per-column rows/nulls/exact-distinct profile (pruned passes)"),
+
+    // ── native bounded-heap top-k per group ─────────────────────────
+    // The TopKMin TypedImperativeAggregate (functions/TopKAgg.scala):
+    // map-side partial heaps stream each task's slice into ≤ k rows
+    // per group with NO sort — unlike the row_number form, which even
+    // after Spark's InferWindowGroupLimit pruning must locally sort
+    // its full input slice first (see TopKAgg scaladoc for measured
+    // shuffle-record counts). Same answer as row_number ≤ k (the
+    // oracle's form); TopKAggSpec pins equality, partition
+    // independence, and the ObjectHashAggregate plan.
+    "a_topk_agg" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.TopKAgg.register(s)
+        t(s, dir, "events")
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .groupBy($"event_type")
+          .agg(expr("topk_min(struct(cents, event_id), 5)").as("tk"))
+          .select($"event_type", explode($"tk").as("t"))
+          .select($"event_type", $"t.cents".as("cents"),
+            $"t.event_id".as("event_id"))
+          .orderBy($"event_type", $"cents", $"event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+                 event_id
+          FROM events)
+        SELECT event_type, cents, event_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY cents, event_id) AS rn
+          FROM e)
+        WHERE rn <= 5 ORDER BY event_type, cents, event_id"""),
+      desc = "native heap top-k aggregate (sort-free map side, 1 shuffle row/group)")
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.TopKAgg
+import graft.sources.Sources
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The bounded-heap top-k aggregate must (a) equal the window
+  * row_number form exactly, (b) be independent of partitioning —
+  * its whole point is that partial heaps merge associatively — and
+  * (c) actually plan as ObjectHashAggregate with a partial stage, or
+  * the map-side shuffle reduction it exists for isn't happening. */
+class TopKAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def events = {
+    TopKAgg.register(spark)
+    Sources.table(spark, sf(), "events")
+      .withColumn("cents", round($"value" * 100).cast(LongType))
+      .select($"event_type", $"cents", $"event_id")
+  }
+
+  private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy($"event_type")
+      .agg(expr(s"topk_min(struct(cents, event_id), $k)").as("tk"))
+      .select($"event_type", explode($"tk").as("t"))
+      .select($"event_type", $"t.cents".as("cents"),
+        $"t.event_id".as("event_id"))
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .select($"event_type", $"cents", $"event_id")
+  }
+
+  test("topk_min equals the window row_number form") {
+    val e = events
+    Seq(1, 3, 17).foreach { k =>
+      val a = viaAgg(e, k).orderBy($"event_type", $"cents", $"event_id")
+        .collect().toSeq
+      val w = viaWindow(e, k).orderBy($"event_type", $"cents", $"event_id")
+        .collect().toSeq
+      assert(a == w, s"k=$k mismatch")
+    }
+  }
+
+  test("topk_min is partitioning-independent") {
+    val e = events
+    val one = viaAgg(e.repartition(1), 5)
+      .orderBy($"event_type", $"cents", $"event_id").collect().toSeq
+    val many = viaAgg(e.repartition(13), 5)
+      .orderBy($"event_type", $"cents", $"event_id").collect().toSeq
+    assert(one == many)
+  }
+
+  test("topk_min returns the whole group when k exceeds group size") {
+    val e = events.filter($"event_id" < 50)
+    val all = viaAgg(e, 1000000).count()
+    assert(all == e.count())
+  }
+
+  test("topk_min plans as ObjectHashAggregate with a partial stage") {
+    val p = viaAgg(events, 3).queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation stage:\n$p")
+  }
+}
