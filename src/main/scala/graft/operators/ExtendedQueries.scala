@@ -575,15 +575,23 @@ object ExtendedQueries {
           .join(cs.select($"cust", $"sk".as("b")), Seq("cust"))
           .filter($"a" =!= $"b")
           .groupBy($"a", $"b").agg(count(lit(1)).as("co_n"))
+        // top-5 via the native bounded-heap aggregate (TopKMin): the
+        // scored-pairs frame never rides a per-item sort — each task
+        // streams its slice into a 5-element heap per item, and the
+        // shuffle carries one buffer row per item. Ascending
+        // (−dice_ppm, b) = the oracle's (dice_ppm DESC, b ASC); b is
+        // unique per item so the order is total.
+        graft.functions.TopKAgg.register(s)
         co
           .join(deg.select($"sk".as("a"), $"deg".as("deg_a")), Seq("a"))
           .join(deg.select($"sk".as("b"), $"deg".as("deg_b")), Seq("b"))
           .withColumn("dice_ppm", expr("2 * co_n * 1000000 div (deg_a + deg_b)"))
-          .withColumn("rk", row_number().over(Window.partitionBy($"a")
-            .orderBy($"dice_ppm".desc, $"b".asc)))
-          .filter($"rk" <= 5)
-          .select($"a".as("item"), $"rk", $"b".as("neighbor"),
-            $"co_n", $"dice_ppm")
+          .groupBy($"a")
+          .agg(expr(
+            "topk_min(struct(-dice_ppm AS neg_ppm, b, co_n), 5)").as("tk"))
+          .select($"a".as("item"), posexplode($"tk").as(Seq("pos", "t")))
+          .select($"item", ($"pos" + 1).as("rk"), $"t.b".as("neighbor"),
+            $"t.co_n".as("co_n"), (-$"t.neg_ppm").as("dice_ppm"))
           .orderBy($"item", $"rk")
       },
       oracle = Some("""
