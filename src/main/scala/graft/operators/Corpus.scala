@@ -1223,25 +1223,15 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("r").as("right_sym"), col("pair_freq"))
   }
 
-  /** BPE tokenization with a LEARNED merge table — the other half of
-    * the tokenizer: [[bpeFit]] trains on one corpus; this applies the
-    * rules to ANY corpus (the daily shape: historical tokenizer, new
-    * documents). Each distinct alphabetic word is segmented by
-    * applying the `nMerges` rules in rank order, each a left-to-right
-    * greedy pass ([[mergeFoldExpr]]); per-doc stats then come from one
-    * join of the exploded words against the segmented vocabulary.
-    *
-    * Scale shape: the distinct-word table is materialized once, the
-    * rule applications are `nMerges` chained narrow projections (each
-    * rule rides in as a broadcast 1-row frame — no driver collect),
-    * and the doc join is a plain shuffle join on word. `merges` must
-    * contain ranks 0..nMerges-1 (as [[bpeFit]] returns).
-    *
-    * Returns (doc_id, n_words, n_subwords, bpe_fertility) — subwords
-    * per alphabetic word under the learned tokenizer; words with no
-    * alphabetic token yield n_words = 0 and NULL fertility. */
-  def bpeApply(docs: DataFrame, merges: DataFrame,
-               nMerges: Int): DataFrame = {
+  /** Segment every distinct alphabetic word of `docs` with a learned
+    * merge table applied in rank order: returns (word, s) with `s`
+    * the space-joined subword symbols. The distinct-word table is
+    * materialized once; the rule applications are `nMerges` chained
+    * narrow projections, each rule riding in as a broadcast 1-row
+    * frame — no driver collect. Shared by [[bpeApply]] (per-doc
+    * counts) and the `text_bpe_coverage` symbol-usage evaluation. */
+  def bpeSegments(docs: DataFrame, merges: DataFrame,
+                  nMerges: Int): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
     var seg = graft.Engine.materialize(
       docs.select(explode(expr("regexp_extract_all(text, '([A-Za-z]+)')"))
@@ -1256,7 +1246,28 @@ object Corpus extends org.apache.spark.internal.Logging {
         .withColumn("s", expr(mergeFoldExpr(s"bl$r", s"br$r")))
         .drop(s"bl$r", s"br$r")
     }
-    val counts = seg.select(col("word"),
+    seg
+  }
+
+  /** BPE tokenization with a LEARNED merge table — the other half of
+    * the tokenizer: [[bpeFit]] trains on one corpus; this applies the
+    * rules to ANY corpus (the daily shape: historical tokenizer, new
+    * documents). Each distinct alphabetic word is segmented by
+    * [[bpeSegments]]; per-doc stats then come from one
+    * join of the exploded words against the segmented vocabulary.
+    *
+    * Scale shape: the distinct-word table is materialized once, the
+    * rule applications are `nMerges` chained narrow projections (each
+    * rule rides in as a broadcast 1-row frame — no driver collect),
+    * and the doc join is a plain shuffle join on word. `merges` must
+    * contain ranks 0..nMerges-1 (as [[bpeFit]] returns).
+    *
+    * Returns (doc_id, n_words, n_subwords, bpe_fertility) — subwords
+    * per alphabetic word under the learned tokenizer; words with no
+    * alphabetic token yield n_words = 0 and NULL fertility. */
+  def bpeApply(docs: DataFrame, merges: DataFrame,
+               nMerges: Int): DataFrame = {
+    val counts = bpeSegments(docs, merges, nMerges).select(col("word"),
       size(split(col("s"), " ")).cast("long").as("n_sub"))
     docs.select(col("doc_id"),
         explode(expr(

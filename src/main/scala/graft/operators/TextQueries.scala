@@ -268,6 +268,20 @@ object TextQueries {
         GROUP BY d.doc_id
         ORDER BY d.doc_id"""
 
+  /** DuckDB twin of the `text_bpe_coverage` symbol-usage rollup: the
+    * fit chain's final segmentation `s$merges` already carries (word,
+    * freq, s), so symbol stats are one unnest + one aggregate on it. */
+  private def duckBpeCoverageSql(merges: Int): String = s"""
+        WITH ${duckBpeCtes(merges)},
+        sym AS (
+          SELECT word, freq, unnest(string_split(s, ' ')) AS symbol
+          FROM s$merges)
+        SELECT symbol, CAST(length(symbol) AS BIGINT) AS sym_len,
+               count(DISTINCT word) AS n_word_types,
+               CAST(sum(freq) AS BIGINT) AS n_occ
+        FROM sym GROUP BY symbol
+        ORDER BY n_occ DESC, symbol LIMIT 30"""
+
   val queries: Map[String, Q] = Map(
 
     // ── token statistics (counting, type-token ratio) ───────────────
@@ -395,6 +409,36 @@ object TextQueries {
       },
       oracle = Some(duckBpeApplySql(8)),
       desc = "BPE apply: per-doc subword counts under the learned tokenizer"),
+
+    // ── tokenizer evaluation: symbol usage of the learned vocab ─────
+    // The third leg of the tokenizer loop (fit → apply → EVALUATE):
+    // which learned symbols actually carry the corpus. Top-30 symbols
+    // by frequency-weighted occurrences — the table you read before
+    // deciding whether 8 merges were enough. Segmentation rides the
+    // same materialized distinct-word frame as bpe_apply; the rollup
+    // is one explode + one agg (single countDistinct — no Expand
+    // stacking) + TakeOrderedAndProject.
+    "text_bpe_coverage" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val seg = Corpus.bpeSegments(d, Corpus.bpeFit(d, merges = 8),
+          nMerges = 8)
+        val wf = d.select(explode(
+            expr("regexp_extract_all(text, '([A-Za-z]+)')")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("freq"))
+        seg.join(wf, Seq("word"))
+          .select($"word", $"freq", explode(split($"s", " ")).as("symbol"))
+          .groupBy($"symbol")
+          .agg(countDistinct($"word").as("n_word_types"),
+               sum($"freq").as("n_occ"))
+          .withColumn("sym_len", length($"symbol").cast("long"))
+          .select($"symbol", $"sym_len", $"n_word_types", $"n_occ")
+          .orderBy($"n_occ".desc, $"symbol")
+          .limit(30)
+      },
+      oracle = Some(duckBpeCoverageSql(8)),
+      desc = "tokenizer eval: top symbols by weighted usage of the BPE vocab"),
 
     // ── quality scoring: punct/upper/digit/stopword ratios ──────────
     "text_quality" -> Q(
