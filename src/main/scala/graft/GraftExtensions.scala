@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongArrayDot, Md5PrefixLong}
+import graft.functions.{LongArrayDot, Md5PrefixLong, TopKMin}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -25,7 +25,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    from `expr(...)` / SQL without `LongArrayDot.register`;
   *  - `md5_prefix_long` — the codegen'd digest-prefix hash (the
   *    portable-hash idiom without per-value hex strings), same
-  *    standing registration.
+  *    standing registration;
+  *  - `topk_min` — the bounded-heap top-k-per-group
+  *    TypedImperativeAggregate (functions/TopKAgg.scala).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -42,5 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5PrefixLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_min"),
+      new ExpressionInfo(classOf[TopKMin].getName, "topk_min"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKMin(exprs(0), exprs(1))))
   }
 }

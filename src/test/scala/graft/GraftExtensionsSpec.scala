@@ -37,6 +37,22 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("topk_min is SQL-callable without manual registration") {
+    withExtSession { s =>
+      val rows = s.sql("""
+        SELECT g, topk_min(struct(v, id), 2) AS tk FROM VALUES
+          (1, 30L, 1L), (1, 10L, 2L), (1, 20L, 3L), (2, 5L, 4L)
+          AS t(g, v, id)
+        GROUP BY g ORDER BY g""").collect()
+      val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(g1 == Seq((10L, 2L), (20L, 3L)))
+      val g2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(g2 == Seq((5L, 4L)))
+    }
+  }
+
   test("AsOfJoin plans through the injected strategy (no fallback)") {
     withExtSession { s =>
       val s2 = s
