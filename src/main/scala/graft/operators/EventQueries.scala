@@ -705,35 +705,11 @@ object EventQueries {
     "e_scd2" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        // repartition on user_id ALONE up front: HashPartitioning
-        // (user_id) satisfies the clustered distribution of every
-        // downstream stage — the (user_id, day_i) snapshot agg, the
-        // user_id version windows, and the (user_id, version) interval
-        // agg — so the plan carries exactly ONE hash exchange
-        // (PlanAuditSpec pins it). Without it Catalyst shuffles twice:
-        // once on (user_id, day_i), again on user_id.
-        val snap = ev(s, dir)
-          .filter($"user_id" <= 200)
-          .select($"user_id",
-            (epochS($"ts") / 86400L).cast(LongType).as("day_i"),
-            epochS($"ts").as("es"), $"event_id", $"event_type")
-          .repartition($"user_id")
-          .groupBy($"user_id", $"day_i")
-          .agg(max(struct($"es", $"event_id", $"event_type")).as("last"))
-          .select($"user_id", $"day_i", $"last.event_type".as("attr"))
-        val wOrd = Window.partitionBy($"user_id").orderBy($"day_i")
-        snap
-          .withColumn("prev", lag($"attr", 1).over(wOrd))
-          .withColumn("chg",
-            when($"prev".isNull || $"prev" =!= $"attr", 1L).otherwise(0L))
-          .withColumn("version", sum($"chg").over(wOrd))
-          .groupBy($"user_id", $"version")
-          .agg(min($"attr").as("attr"),
-               min($"day_i").as("valid_from_day"),
-               max($"day_i").as("valid_to_day"),
-               count(lit(1)).as("n_days"))
-          .select($"user_id", $"version", $"attr",
-            $"valid_from_day", $"valid_to_day", $"n_days")
+        // the public API IS the implementation (Events.scd2 — one
+        // hash exchange on user_id, pinned by PlanAuditSpec)
+        Events.scd2(ev(s, dir).filter($"user_id" <= 200),
+            key = "user_id", tsSec = epochS($"ts"),
+            attr = "event_type", tiebreak = "event_id")
           .orderBy($"user_id", $"version")
       },
       oracle = Some("""
@@ -801,26 +777,15 @@ object EventQueries {
     "e_attribution_multi" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val e = ev(s, dir).withColumn("es", epochS($"ts"))
-        val purch = e.filter($"event_type" === "purchase")
-          .select($"user_id", $"event_id".as("p_id"), $"es".as("p_es"))
-        val touch = e
-          .filter($"event_type".isin("click", "view", "signup"))
-          .select($"user_id", $"event_id".as("t_id"),
-            $"event_type".as("channel"), $"es".as("t_es"))
-        // window key (user_id, p_id), not p_id alone: p_id is unique
-        // so the semantics are identical, but the join output is
-        // already hash-partitioned by user_id, which satisfies the
-        // (user_id, p_id) clustered distribution — no third exchange
-        // (PlanAuditSpec pins the absence of a p_id repartition).
-        purch.join(touch, Seq("user_id"))
-          .filter($"t_es" <= $"p_es" && $"t_es" > $"p_es" - 86400L)
-          .withColumn("n_touch",
-            count(lit(1)).over(Window.partitionBy($"user_id", $"p_id")))
-          .withColumn("credit_ppm", expr("1000000 div n_touch"))
-          .groupBy($"channel")
-          .agg(count(lit(1)).as("n_credited"),
-               sum($"credit_ppm").as("credit_ppm_total"))
+        // the public API IS the implementation (Events
+        // .attributionLinear — co-partitioned join, window rides the
+        // join partitioning; pinned by PlanAuditSpec)
+        Events.attributionLinear(ev(s, dir),
+            key = "user_id", tsSec = epochS($"ts"),
+            isConversion = $"event_type" === "purchase",
+            convId = "event_id",
+            isTouch = $"event_type".isin("click", "view", "signup"),
+            channel = $"event_type", windowSec = 86400L)
           .orderBy($"channel")
       },
       oracle = Some("""
