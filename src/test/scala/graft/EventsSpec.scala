@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+/** Fixture-level semantics of the public Events operators (the
+  * registered queries hash-check them against DuckDB at corpus scale;
+  * this pins the hand-computable laws). */
+class EventsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("scd2 collapses runs, persists attrs through day gaps, versions from 1") {
+    // user 1: day 0 ends on B (last write wins), day 1 stays B,
+    // day 3 flips to A, day 5 A again (gap does NOT split a run —
+    // snapshot state persists through missing days)
+    val df = Seq(
+      (1L, 10L, "A", 1L), (1L, 20L, "B", 2L),   // day 0
+      (1L, 86400L + 5L, "B", 3L),               // day 1
+      (1L, 3 * 86400L + 1L, "A", 4L),           // day 3
+      (1L, 5 * 86400L + 9L, "A", 5L)            // day 5
+    ).toDF("user_id", "sec", "event_type", "event_id")
+    val out = Events.scd2(df, "user_id", col("sec"), "event_type", "event_id")
+      .orderBy($"version")
+      .select($"version", $"attr", $"valid_from_day", $"valid_to_day",
+        $"n_days")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((1L, "B", 0L, 1L, 2L), (2L, "A", 3L, 5L, 2L)))
+  }
+
+  test("scd2 intervals are disjoint and adjacent versions differ") {
+    val df = graft.sources.Sources.table(spark, sf(), "events")
+      .filter($"user_id" <= 50)
+    val out = Events.scd2(df, "user_id", unix_timestamp($"ts"),
+      "event_type", "event_id")
+    val bad = out.as("a").join(out.as("b"),
+      $"a.user_id" === $"b.user_id" &&
+        $"a.version" + 1 === $"b.version" &&
+        ($"a.attr" === $"b.attr" ||
+          $"a.valid_to_day" >= $"b.valid_from_day"))
+    assert(bad.count() === 0,
+      "adjacent versions must change attr and not overlap")
+  }
+
+  test("attribution splits credit equally and drops untouched conversions") {
+    val df = Seq(
+      (1L, 10L, "click", 1L), (1L, 20L, "view", 2L),
+      (1L, 25L, "purchase", 3L),          // 2 touches → 500000 each
+      (2L, 999999L, "purchase", 4L)       // no touches in window → dropped
+    ).toDF("user_id", "sec", "event_type", "event_id")
+    val out = Events.attributionLinear(df, "user_id", col("sec"),
+        isConversion = col("event_type") === "purchase",
+        convId = "event_id",
+        isTouch = col("event_type").isin("click", "view"),
+        channel = col("event_type"), windowSec = 100L)
+      .orderBy($"channel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("click", 1L, 500000L), ("view", 1L, 500000L)))
+  }
+
+  test("attribution conserves credit up to floor rounding") {
+    val df = graft.sources.Sources.table(spark, sf(), "events")
+    val out = Events.attributionLinear(df, "user_id",
+      unix_timestamp($"ts"),
+      isConversion = col("event_type") === "purchase",
+      convId = "event_id",
+      isTouch = col("event_type").isin("click", "view", "signup"),
+      channel = col("event_type"), windowSec = 86400L)
+    val total = out.agg(sum($"credit_ppm_total")).collect().head.getLong(0)
+    // per credited purchase the floor div loses < n_touch ppm, and
+    // every credited purchase contributes ≤ 1e6 — so total/1e6 rounds
+    // to the number of credited purchases
+    val purchases = df.filter($"event_type" === "purchase").count()
+    assert(total <= purchases * 1000000L)
+    assert(total > 0)
+  }
+}
