@@ -202,7 +202,7 @@ object TextQueries {
     * Spark side (string-typed accumulator, ends_with tail test,
     * substr strip). Ends with `s$merges` (the fully-merged
     * segmentation) and `b0..b{merges-1}` (the learned rules). */
-  private def duckBpeCtes(merges: Int): String = {
+  private def duckBpeCtes(merges: Int, where: String = ""): String = {
     val rounds = (0 until merges).map { r => s"""
         p$r AS (
           SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq FROM (
@@ -228,7 +228,7 @@ object TextQueries {
         w AS (
           SELECT word, count(*) AS freq FROM (
             SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word
-            FROM documents)
+            FROM documents $where)
           GROUP BY word),
         s0 AS (
           SELECT word, freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
@@ -267,6 +267,52 @@ object TextQueries {
         FROM docw d LEFT JOIN s$merges sN ON sN.word = d.word
         GROUP BY d.doc_id
         ORDER BY d.doc_id"""
+
+  /** DuckDB twin of the incremental tokenizer shape: rules learned on
+    * the HISTORICAL corpus (`trainWhere`), applied to the NEW batch
+    * (`evalWhere`) — the fit chain's b0..b{merges-1} CTEs drive a
+    * second segmentation chain over the new batch's distinct words
+    * (same list_reduce fold), then the per-doc stat rollup of
+    * duckBpeApplySql runs against the new docs only. */
+  private def duckBpeApplyNewSql(merges: Int, trainWhere: String,
+                                 evalWhere: String): String = {
+    val applyRounds = (0 until merges).map { r => s"""
+        a${r + 1} AS (
+          SELECT word,
+            list_reduce(string_split(s, ' '), (acc, x) -> CASE
+              WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+              THEN CASE WHEN acc = b.l THEN b.l || b.r
+                   ELSE substr(acc, 1,
+                          CAST(length(acc) - length(b.l) - 1 AS INT))
+                        || ' ' || b.l || b.r END
+              ELSE acc || ' ' || x END) AS s
+          FROM a$r, b$r b)"""
+    }.mkString(",")
+    s"""
+        WITH ${duckBpeCtes(merges, trainWhere)},
+        a0 AS (
+          SELECT word,
+                 trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+          FROM (
+            SELECT DISTINCT unnest(regexp_extract_all(text, '[A-Za-z]+'))
+              AS word
+            FROM documents $evalWhere)),$applyRounds,
+        docw AS (
+          SELECT doc_id,
+                 unnest(list_concat(regexp_extract_all(text, '[A-Za-z]+'),
+                                    [NULL])) AS word
+          FROM documents $evalWhere)
+        SELECT d.doc_id,
+               count(d.word) AS n_words,
+               CAST(COALESCE(sum(len(string_split(sN.s, ' '))), 0)
+                 AS BIGINT) AS n_subwords,
+               CASE WHEN count(d.word) = 0 THEN NULL
+                    ELSE CAST(COALESCE(sum(len(string_split(sN.s, ' '))), 0)
+                           AS DOUBLE) / count(d.word) END AS bpe_fertility
+        FROM docw d LEFT JOIN a$merges sN ON sN.word = d.word
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id"""
+  }
 
   /** DuckDB twin of the `text_bpe_coverage` symbol-usage rollup: the
     * fit chain's final segmentation `s$merges` already carries (word,
@@ -409,6 +455,25 @@ object TextQueries {
       },
       oracle = Some(duckBpeApplySql(8)),
       desc = "BPE apply: per-doc subword counts under the learned tokenizer"),
+
+    // ── incremental tokenizer: historical rules on a new batch ──────
+    // The daily shape (the 5th family to get an incremental form,
+    // after minhash/semantic/spans/winnow dedup): rules learned ONCE
+    // on the historical corpus (doc_id < 250), applied to the new
+    // batch (doc_id ≥ 250) — the new batch's distinct words are
+    // segmented, the historical corpus is never re-tokenized. Pure
+    // composition of the two public APIs.
+    "text_bpe_apply_new" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        Corpus.bpeApply(d.filter(col("doc_id") >= 250),
+            Corpus.bpeFit(d.filter(col("doc_id") < 250), merges = 8),
+            nMerges = 8)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(duckBpeApplyNewSql(8,
+        "WHERE doc_id < 250", "WHERE doc_id >= 250")),
+      desc = "BPE incremental: historical rules segment only the new batch"),
 
     // ── tokenizer evaluation: symbol usage of the learned vocab ─────
     // The third leg of the tokenizer loop (fit → apply → EVALUATE):
