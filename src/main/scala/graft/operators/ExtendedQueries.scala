@@ -560,38 +560,41 @@ object ExtendedQueries {
         // generation so a hot key can't go quadratic at 100 TB. No-op
         // at test scale (max degree 102 at sf0.1); Dice is computed
         // on the capped graph consistently (degrees post-cap).
+        val cs0 = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("cust"), $"l_suppkey".as("sk"))
+          .distinct()
+        // guard as a hash-agg + co-partitioned join, NOT a window: the
+        // window form sorts the whole basket frame by cust; the count
+        // frame here is one hash agg and the join reuses the distinct's
+        // cust partitioning (at 100 TB both sides co-partition; locally
+        // it broadcasts)
+        val keep = cs0.groupBy($"cust").agg(count(lit(1)).as("cdeg"))
+          .filter($"cdeg" <= 256).select($"cust")
         val cs = graft.Engine.materialize(
-          t(s, dir, "lineitem")
-            .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-            .select($"o_custkey".as("cust"), $"l_suppkey".as("sk"))
-            .distinct()
-            .withColumn("cdeg",
-              count(lit(1)).over(Window.partitionBy($"cust")))
-            .filter($"cdeg" <= 256)
-            .drop("cdeg"),
+          cs0.join(keep, Seq("cust")),
           key = "cust", name = "sim_cs")
         val deg = cs.groupBy($"sk").agg(count(lit(1)).as("deg"))
         val co = cs.select($"cust", $"sk".as("a"))
           .join(cs.select($"cust", $"sk".as("b")), Seq("cust"))
           .filter($"a" =!= $"b")
           .groupBy($"a", $"b").agg(count(lit(1)).as("co_n"))
-        // top-5 via the native bounded-heap aggregate (TopKMin): the
-        // scored-pairs frame never rides a per-item sort — each task
-        // streams its slice into a 5-element heap per item, and the
-        // shuffle carries one buffer row per item. Ascending
-        // (−dice_ppm, b) = the oracle's (dice_ppm DESC, b ASC); b is
-        // unique per item so the order is total.
-        graft.functions.TopKAgg.register(s)
+        // top-5 via window rank: MEASURED choice (PERF.md round-5
+        // cont. 3) — on this shape (~1000 items × ~1000 scored pairs
+        // each) the codegen'd sort + InferWindowGroupLimit pruning
+        // beats the topk_min heap aggregate's per-row struct copies
+        // by ~0.6 s at sf0.1 (4.6 vs 5.2). The heap form's win is
+        // shuffle records on a multi-node cluster, not local wall
+        // clock; a_topk_agg carries that operator.
         co
           .join(deg.select($"sk".as("a"), $"deg".as("deg_a")), Seq("a"))
           .join(deg.select($"sk".as("b"), $"deg".as("deg_b")), Seq("b"))
           .withColumn("dice_ppm", expr("2 * co_n * 1000000 div (deg_a + deg_b)"))
-          .groupBy($"a")
-          .agg(expr(
-            "topk_min(struct(-dice_ppm AS neg_ppm, b, co_n), 5)").as("tk"))
-          .select($"a".as("item"), posexplode($"tk").as(Seq("pos", "t")))
-          .select($"item", ($"pos" + 1).as("rk"), $"t.b".as("neighbor"),
-            $"t.co_n".as("co_n"), (-$"t.neg_ppm").as("dice_ppm"))
+          .withColumn("rk", row_number().over(Window.partitionBy($"a")
+            .orderBy($"dice_ppm".desc, $"b".asc)))
+          .filter($"rk" <= 5)
+          .select($"a".as("item"), $"rk", $"b".as("neighbor"),
+            $"co_n", $"dice_ppm")
           .orderBy($"item", $"rk")
       },
       oracle = Some("""
