@@ -86,6 +86,11 @@ object Bench {
         (ok, dt)
       }
       Engine.unpersistStale(spark)
+      // force a GC outside the timers: at 130 queries the async
+      // ContextCleaner/codegen-cache churn otherwise accumulates and
+      // inflates LATER queries' minimums (measured: corpus_clean
+      // 5.6 s isolated vs 9.1 s late in a full run)
+      System.gc()
       // only SUCCESSFUL runs are timing samples — a fast crash must
       // not min() a real measurement down to its throw time. A query
       // with no successful run reports its slowest attempt (it is
