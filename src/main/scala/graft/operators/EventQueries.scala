@@ -808,6 +808,94 @@ object EventQueries {
                CAST(sum(1000000 // n_touch) AS BIGINT)
                  AS credit_ppm_total
         FROM j GROUP BY channel ORDER BY channel"""),
-      desc = "linear multi-touch attribution (24h window, integer ppm credit)")
+      desc = "linear multi-touch attribution (24h window, integer ppm credit)"),
+
+    // ── mergeable exact quantiles via (value, freq) histograms ──────
+    // The percentile analog of a_sketch_merge's HLL rollup: per-(type,
+    // day) EXACT cents histograms are the persisted daily partial;
+    // coarser grains merge by summing freqs — raw events are never
+    // rescanned — and the weighted 3-arg percentile runs over the
+    // tiny merged histogram. Unlike a quantile sketch this merge is
+    // LOSSLESS, so the in-query verdict demands exact equality with
+    // the direct percentile, not an error bound.
+    "a_quantile_merge" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .withColumn("day_i", (epochS($"ts") / 86400L).cast(LongType))
+        val daily = base.groupBy($"event_type", $"day_i", $"cents")
+          .agg(count(lit(1)).as("freq"))
+        val merged = daily.groupBy($"event_type", $"cents")
+          .agg(sum($"freq").as("freq"))
+        val fromMerged = merged.groupBy($"event_type")
+          .agg(percentile($"cents", lit(0.5), $"freq").as("p50_merged"),
+               percentile($"cents", lit(0.95), $"freq").as("p95_merged"),
+               sum($"freq").as("n"))
+        val direct = base.groupBy($"event_type")
+          .agg(percentile($"cents", lit(0.5)).as("p50_direct"),
+               percentile($"cents", lit(0.95)).as("p95_direct"))
+        fromMerged.join(direct, Seq("event_type"))
+          .select($"event_type", $"n", $"p50_merged", $"p95_merged",
+            ($"p50_merged" === $"p50_direct").as("p50_ok"),
+            ($"p95_merged" === $"p95_direct").as("p95_ok"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_type, count(*) AS n,
+               quantile_cont(cents, 0.5) AS p50_merged,
+               quantile_cont(cents, 0.95) AS p95_merged,
+               TRUE AS p50_ok, TRUE AS p95_ok
+        FROM e GROUP BY event_type ORDER BY event_type"""),
+      desc = "mergeable exact quantiles: daily histograms → lossless rollup"),
+
+    // ── calendar-spine densification (sparse → dense series) ────────
+    // Fill every user's missing days between their first and last
+    // activity with explicit zero rows — the densification step a
+    // forecasting/retention pipeline needs before any window over
+    // time. sequence() + explode builds the spine from the per-user
+    // bounds; one repartition on user_id up front serves the daily
+    // agg, the bounds agg, and the spine⋈daily join (the e_scd2
+    // single-exchange pattern).
+    "e_date_spine" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .filter($"user_id" <= 100)
+          .withColumn("day_i", (epochS($"ts") / 86400L).cast(LongType))
+          .repartition($"user_id")
+          .groupBy($"user_id", $"day_i")
+          .agg(count(lit(1)).as("n_day"))
+        val spine = daily.groupBy($"user_id")
+          .agg(min($"day_i").as("d0"), max($"day_i").as("d1"))
+          .select($"user_id", explode(sequence($"d0", $"d1")).as("day_i"))
+        spine.join(daily, Seq("user_id", "day_i"), "left")
+          .select($"user_id", $"day_i",
+            coalesce($"n_day", lit(0L)).as("n_day"),
+            when($"n_day".isNull, 1L).otherwise(0L).as("is_gap"))
+          .orderBy($"user_id", $"day_i")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts)//1000000//86400 AS day_i
+          FROM events WHERE user_id <= 100),
+        daily AS (
+          SELECT user_id, day_i, count(*) AS n_day FROM e GROUP BY 1, 2),
+        b AS (
+          SELECT user_id, min(day_i) AS d0, max(day_i) AS d1
+          FROM daily GROUP BY 1),
+        spine AS (
+          SELECT user_id, unnest(range(d0, d1 + 1)) AS day_i FROM b)
+        SELECT s.user_id, s.day_i,
+               COALESCE(d.n_day, 0) AS n_day,
+               CASE WHEN d.n_day IS NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS is_gap
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.day_i = s.day_i
+        ORDER BY s.user_id, s.day_i"""),
+      desc = "calendar-spine densification: explicit zero rows for gap days")
   )
 }
