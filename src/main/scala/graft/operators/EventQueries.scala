@@ -863,12 +863,18 @@ object EventQueries {
     "e_date_spine" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val daily = ev(s, dir)
-          .filter($"user_id" <= 100)
-          .withColumn("day_i", (epochS($"ts") / 86400L).cast(LongType))
-          .repartition($"user_id")
-          .groupBy($"user_id", $"day_i")
-          .agg(count(lit(1)).as("n_day"))
+        // daily feeds BOTH the spine (bounds agg) and the join probe —
+        // materialize it or Catalyst duplicates the whole subtree
+        // (two scans + two exchanges; the plan audit caught exactly
+        // that)
+        val daily = graft.Engine.materialize(
+          ev(s, dir)
+            .filter($"user_id" <= 100)
+            .withColumn("day_i", (epochS($"ts") / 86400L).cast(LongType))
+            .repartition($"user_id")
+            .groupBy($"user_id", $"day_i")
+            .agg(count(lit(1)).as("n_day")),
+          key = "user_id", name = "spine_daily")
         val spine = daily.groupBy($"user_id")
           .agg(min($"day_i").as("d0"), max($"day_i").as("d1"))
           .select($"user_id", explode(sequence($"d0", $"d1")).as("day_i"))

@@ -162,6 +162,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
   }
 
+  test("e_date_spine carries exactly one hash exchange") {
+    // daily agg, bounds agg, and the spine⋈daily self-join all ride
+    // the single user_id repartition (both join sides derive from the
+    // same partitioned frame, so they are co-partitioned)
+    val p = plan(SparkEntry.queries("e_date_spine")(spark, sf()))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+  }
+
   test("e_attribution_multi's per-purchase window rides the join partitioning") {
     // the n_touch window is keyed (user_id, p_id), satisfied by the
     // join's user_id distribution — a plan that repartitions on p_id
