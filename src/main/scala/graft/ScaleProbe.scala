@@ -61,15 +61,16 @@ object ScaleProbe {
         // self-join with the 256-degree flood guard, scaled by
         // customer count
         val li = Sources.table(spark, sfDir, "lineitem")
-        val cs = li
+        val cs0 = li
           .join(Sources.table(spark, sfDir, "orders")
               .filter(col("o_custkey") % k === 0),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("cust"), col("l_suppkey").as("sk"))
           .distinct()
-          .withColumn("cdeg", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("cust"))))
-          .filter(col("cdeg") <= 256).drop("cdeg")
+        val keep = cs0.groupBy(col("cust"))
+          .agg(count(lit(1)).as("cdeg"))
+          .filter(col("cdeg") <= 256).select(col("cust"))
+        val cs = cs0.join(keep, Seq("cust"))
         cs.select(col("cust"), col("sk").as("a"))
           .join(cs.select(col("cust"), col("sk").as("b")), Seq("cust"))
           .filter(col("a") =!= col("b"))
