@@ -125,6 +125,34 @@ object ExtendedQueries {
         ORDER BY op, nk"""),
       desc = "O4 intersect/except set operations"),
 
+    // ── O4b: INTERSECT ALL / EXCEPT ALL (bag semantics) ─────────────
+    // The multiset forms — duplicates carry multiplicity, so the
+    // result counts min(m, n) / max(m − n, 0) copies per value.
+    // Spark plans both as a single aggregate over tagged counts (no
+    // join), which is the right shape at any scale.
+    "o4_setops_all" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val custN = t(s, dir, "customer").select($"c_nationkey".as("nk"))
+        val suppN = t(s, dir, "supplier").select($"s_nationkey".as("nk"))
+        val both = custN.intersectAll(suppN).withColumn("op", lit("inter_all"))
+        val extra = custN.exceptAll(suppN).withColumn("op", lit("except_all"))
+        both.unionByName(extra)
+          .groupBy($"op", $"nk").agg(count(lit(1)).as("copies"))
+          .orderBy($"op", $"nk")
+      },
+      oracle = Some("""
+        SELECT op, nk, count(*) AS copies FROM (
+          SELECT nk, 'inter_all' AS op FROM
+            (SELECT c_nationkey AS nk FROM customer
+             INTERSECT ALL SELECT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT nk, 'except_all' AS op FROM
+            (SELECT c_nationkey AS nk FROM customer
+             EXCEPT ALL SELECT s_nationkey FROM supplier))
+        GROUP BY op, nk ORDER BY op, nk"""),
+      desc = "O4b bag-semantic intersect/except with multiplicities"),
+
     // ── W4: frame specs, ntile, first/last_value ────────────────────
     "w4_frames" -> Q(
       fn = (s, dir) => {
