@@ -153,6 +153,29 @@ object ExtendedQueries {
         GROUP BY op, nk ORDER BY op, nk"""),
       desc = "O4b bag-semantic intersect/except with multiplicities"),
 
+    // ── boolean aggregates: bool_and / bool_or ──────────────────────
+    // The ALL/ANY-rows-satisfy rollup (dbt-style assertion queries
+    // compile to exactly this); map-side combinable like any hash agg.
+    "a_bool_agg" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(bool_and($"value" > 0.0).as("all_positive"),
+               bool_or($"value" > 99.0).as("any_large"),
+               bool_and($"user_id".isNotNull).as("user_never_null"),
+               count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        SELECT event_type,
+               bool_and(value > 0.0) AS all_positive,
+               bool_or(value > 99.0) AS any_large,
+               bool_and(user_id IS NOT NULL) AS user_never_null,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      desc = "bool_and/bool_or aggregates (assertion-query shape)"),
+
     // ── W4: frame specs, ntile, first/last_value ────────────────────
     "w4_frames" -> Q(
       fn = (s, dir) => {
