@@ -60,6 +60,19 @@ class TopKAggSpec extends SparkSuite {
     assert(all == e.count())
   }
 
+  test("topk_min orders null struct fields first (Spark ascending default)") {
+    TopKAgg.register(spark)
+    val rows = spark.sql("""
+      SELECT topk_min(struct(v, id), 2) AS tk FROM VALUES
+        (CAST(NULL AS BIGINT), 1L), (10L, 2L), (5L, 3L) AS t(v, id)""")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+    // NULL sorts FIRST under the interpreted ascending struct order —
+    // callers that want nulls ignored must filter before aggregating
+    // (the registered queries' sort keys are never null)
+    assert(rows == Seq((-1L, 1L), (5L, 3L)))
+  }
+
   test("topk_min plans as ObjectHashAggregate with a partial stage") {
     val p = viaAgg(events, 3).queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate"),
