@@ -902,6 +902,49 @@ object EventQueries {
         FROM spine s LEFT JOIN daily d
           ON d.user_id = s.user_id AND d.day_i = s.day_i
         ORDER BY s.user_id, s.day_i"""),
-      desc = "calendar-spine densification: explicit zero rows for gap days")
+      desc = "calendar-spine densification: explicit zero rows for gap days"),
+
+    // ── time-decayed engagement score (integer half-life) ──────────
+    // The recsys feature: recent activity counts more, halving every
+    // 7 days. Exact integer arithmetic — weight_ppm = 1e6 >> (age_days
+    // div 7), never a float pow (2^(−dt/h) is not IEEE-portable).
+    // The decay anchor is the corpus max timestamp (a deterministic
+    // 1-row broadcast); the score agg is map-side combinable, so the
+    // whole query is scan-shaped at 100 TB.
+    "a_decay_engagement" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .select($"user_id", epochS($"ts").as("es"),
+            round($"value" * 100).cast(LongType).as("cents"))
+        val ref = base.agg(max($"es").as("ref_es"))
+        base.join(broadcast(ref))
+          .withColumn("k",
+            least(expr("(ref_es - es) div 86400 div 7"), lit(19L)))
+          .withColumn("w_ppm", expr("shiftright(1000000L, CAST(k AS INT))"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum($"cents" * $"w_ppm").as("decayed_cents_ppm"),
+               sum($"w_ppm").as("weight_sum_ppm"))
+          .filter($"user_id" <= 300)
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts)//1000000 AS es,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        r AS (SELECT max(es) AS ref_es FROM e),
+        w AS (
+          SELECT user_id, cents,
+                 1000000 >> CAST(LEAST((r.ref_es - es)//86400//7, 19)
+                   AS INT) AS w_ppm
+          FROM e, r)
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(cents * w_ppm) AS BIGINT) AS decayed_cents_ppm,
+               CAST(sum(w_ppm) AS BIGINT) AS weight_sum_ppm
+        FROM w WHERE user_id <= 300
+        GROUP BY user_id ORDER BY user_id"""),
+      desc = "half-life-decayed engagement score (integer shifts, no float pow)")
   )
 }
