@@ -20,21 +20,63 @@ object Engine {
     * sources → fact_trips_stops → {fact_trips, fact_delays};
     * sources → fact_alerts (SURVEY §3 E1). Views are lazy — this
     * moves no data. */
-  def registerMta(spark: SparkSession, dir: String): Unit = {
+  def registerMta(spark: SparkSession, dir: String): Unit =
+    registerMta(spark, dir, Map.empty, None)
+
+  /** [[registerMta]] with dbt's per-model materialization switch
+    * (reference: every model file declares
+    * `config(materialized='view')`, overridable per model from
+    * `dbt_project.yml:39-43`). A model mapped to `"table"` is written
+    * through the S4 sink at registration time — partitioned by
+    * service day when the model carries `service_day_local`, plain
+    * parquet otherwise — and its NAME then resolves to the table for
+    * every downstream model and query, exactly like `dbt run` with
+    * `+materialized: table`: fact_trips built over a table-mode
+    * fact_trips_stops reads parquet, not the view's plan. Unmapped
+    * models stay lazy views (dbt's default). `tableRoot` anchors the
+    * table paths and is required iff any model maps to `"table"`. */
+  def registerMta(spark: SparkSession, dir: String,
+                  materialized: Map[String, String],
+                  tableRoot: Option[String]): Unit = {
+    val register = registerModel(spark, materialized, tableRoot) _
     val e = MtaSynthetic.ev(spark, dir)
     val stops = MtaSynthetic.stops(spark)
-    val fts = MtaModels.factTripsStops(
+    register("fact_trips_stops", MtaModels.factTripsStops(
       MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
-      stops, MtaSynthetic.trips(e))
-    fts.createOrReplaceTempView("fact_trips_stops")
-    MtaModels.factTrips(fts, stops).createOrReplaceTempView("fact_trips")
-    MtaModels.factDelays(fts).createOrReplaceTempView("fact_delays")
-    MtaModels.factAlerts(
+      stops, MtaSynthetic.trips(e)))
+    // downstream refs go through the catalog (spark.table), not the
+    // builder's frame, so they read whatever materialization the
+    // upstream model got — the ref() indirection that makes the
+    // per-model switch compose through the DAG
+    register("fact_trips",
+      MtaModels.factTrips(spark.table("fact_trips_stops"), stops))
+    register("fact_delays",
+      MtaModels.factDelays(spark.table("fact_trips_stops")))
+    register("fact_alerts", MtaModels.factAlerts(
       MtaSynthetic.alerts(e), MtaSynthetic.headerTx(e), MtaSynthetic.descTx(e),
       MtaSynthetic.activePeriod(e), MtaSynthetic.informedEntity(e),
-      MtaSynthetic.routes(spark), stops)
-      .createOrReplaceTempView("fact_alerts")
+      MtaSynthetic.routes(spark), stops))
   }
+
+  private def registerModel(spark: SparkSession,
+                            materialized: Map[String, String],
+                            tableRoot: Option[String])
+                           (name: String, df: DataFrame): Unit =
+    materialized.getOrElse(name, "view") match {
+      case "view" => df.createOrReplaceTempView(name)
+      case "table" =>
+        val root = tableRoot.getOrElse(throw new IllegalArgumentException(
+          s"registerMta: model '$name' is table-materialized but no " +
+            "tableRoot was given"))
+        val path = s"$root/$name"
+        if (df.columns.contains("service_day_local"))
+          materializeByServiceDay(df, path)
+        else df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+      case other => throw new IllegalArgumentException(
+        s"registerMta: unknown materialization '$other' for model " +
+          s"'$name' (expected 'view' or 'table')")
+    }
 
   /** S4 table sink: materialize a model partitioned by local service
     * day — the reference's production guidance

@@ -39,6 +39,18 @@ object ScaleProbe {
     def docFrac(k: Int): DataFrame = docs.filter(col("doc_id") % k === 0)
     def embFrac(k: Int): DataFrame = emb.filter(col("vec_id") % k === 0)
 
+    // fraction-independent BPE rules for the apply probe, fit once up
+    // front and REBUILT from collected rows: the fit's result frame
+    // reads its internal localCheckpoints, which the per-run
+    // unpersistStale sweep would truncate mid-probe. 8 rows — the
+    // collect is the merge table, not data.
+    val bpeRules: DataFrame = {
+      val fit = Corpus.bpeFit(docs, merges = 8)
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(fit.collect(): _*)),
+        fit.schema)
+    }
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "minhash_pairs" -> (k => Corpus.minhashPairs(docFrac(k))),
       "simhash_pairs" -> (k => Corpus.simhashPairs(docFrac(k))),
@@ -92,6 +104,57 @@ object ScaleProbe {
           .filter(col("t_es") <= col("p_es") &&
             col("t_es") > col("p_es") - 86400L)
           .groupBy(col("channel")).agg(count(lit(1)).as("n"))
+      },
+      "bpe_fit" -> (k => Corpus.bpeFit(docFrac(k), merges = 8)),
+      "bpe_apply" -> { k =>
+        // rules are fraction-independent (fit once, outside the ops
+        // loop, detached from checkpoint blocks — see `bpeRules`), so
+        // this isolates the APPLY half: distinct-word segmentation +
+        // the per-doc count join
+        Corpus.bpeApply(docFrac(k), bpeRules, nMerges = 8)
+      },
+      "shard_assign" -> (k => Corpus.shardAssign(docFrac(k), nShards = 8)),
+      "pack_sequences" -> (k => Corpus.packSequences(docFrac(k),
+        seqTokens = 512L)),
+      "scd2" -> { k =>
+        graft.operators.Events.scd2(
+          Sources.table(spark, sfDir, "events")
+            .filter(col("user_id") % k === 0),
+          key = "user_id", tsSec = unix_timestamp(col("ts")),
+          attr = "event_type", tiebreak = "event_id")
+      },
+      "funnel" -> { k =>
+        // the registered query's iterated conditional-min chain,
+        // scaled by users (all stages shuffle on user_id only —
+        // pinned by PlanAuditSpec)
+        val e = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("es"))
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("es")).as("t_view"))
+        val fc = e.filter(col("event_type") === "click")
+          .join(fv, Seq("user_id")).filter(col("es") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("es")).as("t_click"))
+        val fp = e.filter(col("event_type") === "purchase")
+          .join(fc, Seq("user_id")).filter(col("es") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("es")).as("t_purchase"))
+        fv.join(fc, Seq("user_id"), "left").join(fp, Seq("user_id"), "left")
+      },
+      "triangles" -> { k =>
+        // the registered query's shape scaled by orders: co-supply
+        // pairs (w ≥ 5) then degree-oriented wedge counting
+        val ls = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+          .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pairs = ls.select(col("o"), col("sk").as("a"))
+          .join(ls.select(col("o"), col("sk").as("b")), Seq("o"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select(col("a"), col("b"))
+        graft.operators.Graphs.triangles(pairs)
       },
       "pagerank" -> { k =>
         // doc co-membership graph stand-in: link doc i ↔ i%97 hub —

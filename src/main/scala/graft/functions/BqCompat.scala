@@ -93,6 +93,18 @@ object BqCompat {
   def argMaxBy(v: Column, keys: Column*): Column =
     max_by(v, struct(keys.map(nullsLastKeyDesc): _*))
 
+  /** Floor division for a strictly-positive divisor, exact in Long.
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * the two agree only for non-negative dividends. With den > 0,
+    * floor differs from truncation exactly when the dividend is
+    * negative with a remainder, so one conditional decrement restores
+    * parity without routing through double/decimal division (which
+    * loses exactness past 2^53). Callers must guarantee den > 0
+    * (e.g. a span filter or a count). */
+  def floorDivPos(num: Column, den: Column): Column =
+    (call_function("div", num, den) -
+      when(num % den =!= 0 && num < 0, 1L).otherwise(0L)).cast(LongType)
+
   /** Deterministic money/measure sum: doubles are rounded to integral
     * cents and summed in Long, so the aggregate is order-insensitive
     * and hash-reproducible against any other engine (double summation

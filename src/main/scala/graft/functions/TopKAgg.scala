@@ -60,6 +60,13 @@ case class TopKMin(
           s"topk_min struct is not orderable: ${s.simpleString}")
       else if (!kExpr.foldable)
         TypeCheckResult.TypeCheckFailure("topk_min k must be a literal")
+      else if (kExpr.eval() == null)
+        // guard BEFORE the lazy `k` dereference: CAST(NULL AS INT) is
+        // foldable but evaluates to null — without this branch the
+        // Number cast below NPEs during analysis instead of failing
+        // the type check cleanly.
+        TypeCheckResult.TypeCheckFailure(
+          "topk_min k must be a non-null literal")
       else if (k <= 0)
         TypeCheckResult.TypeCheckFailure(s"topk_min k must be positive, got $k")
       else TypeCheckResult.TypeCheckSuccess

@@ -1223,30 +1223,64 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("r").as("right_sym"), col("pair_freq"))
   }
 
+  /** [[bpeFit]] routed through `Engine.materializeShared`, keyed by
+    * the PRE-transform training corpus plan — so the tokenizer trio
+    * (`text_bpe_fit` / `text_bpe_apply` / `text_bpe_coverage`) runs
+    * the 8-round iterative fit ONCE per session and every other query
+    * rides the 8-row merge table. A fit over a different training
+    * frame (e.g. `text_bpe_apply_new`'s historical-only filter) maps
+    * to a different token and keeps its own entry automatically. */
+  def bpeFitShared(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val token = graft.Engine.planToken(docs, s"bpe_fit:$merges")
+    graft.Engine.materializeShared(docs.sparkSession, token,
+      bpeFit(docs, merges), key = "left_sym", name = "bpe_fit_shared")
+  }
+
   /** Segment every distinct alphabetic word of `docs` with a learned
     * merge table applied in rank order: returns (word, s) with `s`
     * the space-joined subword symbols. The distinct-word table is
     * materialized once; the rule applications are `nMerges` chained
     * narrow projections, each rule riding in as a broadcast 1-row
     * frame — no driver collect. Shared by [[bpeApply]] (per-doc
-    * counts) and the `text_bpe_coverage` symbol-usage evaluation. */
-  def bpeSegments(docs: DataFrame, merges: DataFrame,
-                  nMerges: Int): DataFrame = {
+    * counts) and the `text_bpe_coverage` symbol-usage evaluation;
+    * pass `sharedToken` (derive with `Engine.planToken` on the
+    * PRE-transform docs + a transform tag) to route the SEGMENTED
+    * frame through `Engine.materializeShared` so those two queries
+    * run the nMerges-round segmentation once between them. */
+  def bpeSegments(docs: DataFrame, merges: DataFrame, nMerges: Int,
+                  sharedToken: Option[String] = None): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
-    var seg = graft.Engine.materialize(
-      docs.select(explode(expr("regexp_extract_all(text, '([A-Za-z]+)')"))
-          .as("word"))
-        .distinct()
-        .withColumn("s", expr("trim(regexp_replace(word, '(.)', '$1 '))")),
-      key = "word", name = "bpe_apply_vocab")
-    for (r <- 0 until nMerges) {
-      seg = seg
-        .crossJoin(broadcast(merges.filter(col("merge_rank") === r)
-          .select(col("left_sym").as(s"bl$r"), col("right_sym").as(s"br$r"))))
-        .withColumn("s", expr(mergeFoldExpr(s"bl$r", s"br$r")))
-        .drop(s"bl$r", s"br$r")
+    // a degenerate training corpus can fit FEWER than nMerges rules;
+    // the per-round broadcast below would then be empty and silently
+    // empty the whole segmentation (every word lost to the crossJoin)
+    // — fail loudly instead. The merges frame is rules-sized (≤ a few
+    // hundred rows, materialized by the fit), so the count is cheap.
+    val nRules = merges.filter(col("merge_rank").between(0, nMerges - 1))
+      .select(col("merge_rank")).distinct().count()
+    require(nRules == nMerges,
+      s"bpeSegments: merge table carries $nRules of the $nMerges " +
+        "requested ranks (degenerate training corpus?)")
+    def build: DataFrame = {
+      var seg = graft.Engine.materialize(
+        docs.select(explode(expr("regexp_extract_all(text, '([A-Za-z]+)')"))
+            .as("word"))
+          .distinct()
+          .withColumn("s", expr("trim(regexp_replace(word, '(.)', '$1 '))")),
+        key = "word", name = "bpe_apply_vocab")
+      for (r <- 0 until nMerges) {
+        seg = seg
+          .crossJoin(broadcast(merges.filter(col("merge_rank") === r)
+            .select(col("left_sym").as(s"bl$r"), col("right_sym").as(s"br$r"))))
+          .withColumn("s", expr(mergeFoldExpr(s"bl$r", s"br$r")))
+          .drop(s"bl$r", s"br$r")
+      }
+      seg
     }
-    seg
+    sharedToken match {
+      case Some(t) => graft.Engine.materializeShared(
+        docs.sparkSession, t, build, key = "word", name = "bpe_segments")
+      case None => build
+    }
   }
 
   /** BPE tokenization with a LEARNED merge table — the other half of
@@ -1265,10 +1299,11 @@ object Corpus extends org.apache.spark.internal.Logging {
     * Returns (doc_id, n_words, n_subwords, bpe_fertility) — subwords
     * per alphabetic word under the learned tokenizer; words with no
     * alphabetic token yield n_words = 0 and NULL fertility. */
-  def bpeApply(docs: DataFrame, merges: DataFrame,
-               nMerges: Int): DataFrame = {
-    val counts = bpeSegments(docs, merges, nMerges).select(col("word"),
-      size(split(col("s"), " ")).cast("long").as("n_sub"))
+  def bpeApply(docs: DataFrame, merges: DataFrame, nMerges: Int,
+               segToken: Option[String] = None): DataFrame = {
+    val counts = bpeSegments(docs, merges, nMerges, segToken)
+      .select(col("word"),
+        size(split(col("s"), " ")).cast("long").as("n_sub"))
     docs.select(col("doc_id"),
         explode(expr(
           "concat(regexp_extract_all(text, '([A-Za-z]+)'), array(CAST(NULL AS STRING)))"))

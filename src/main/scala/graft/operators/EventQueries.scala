@@ -261,15 +261,17 @@ object EventQueries {
 
     // ── daily cohort retention ──────────────────────────────────────
     // Cohort = day of a user's first event; matrix cell = distinct
-    // users of cohort d active d+offset. Two user-keyed aggregates —
-    // the first-touch frame is users-sized and broadcast-joinable.
+    // users of cohort d active d+offset. cohort_day comes from an
+    // unbounded min window over user_id, so cohorting and the
+    // activity scan share ONE user_id exchange — no users-sized
+    // broadcast (a billion-user build side would OOM the driver) and
+    // no second shuffle for a self-join.
     "e_retention" -> Q(
       fn = (s, dir) => {
         import s.implicits._
         val e = ev(s, dir)
           .select($"user_id", (epochS($"ts") / 86400L).cast(LongType).as("day"))
-        val first = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-        e.join(broadcast(first), Seq("user_id"))
+        e.withColumn("cohort_day", min($"day").over(Window.partitionBy($"user_id")))
           .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
           .agg(countDistinct($"user_id").as("n_users"))
           .orderBy($"cohort_day", $"day_offset")
@@ -493,8 +495,11 @@ object EventQueries {
                (max($"es") - min($"es")).as("span_s"),
                sum($"cents" * $"gap").as("mass"))
           .filter($"span_s" > 0)
+          // floorDivPos, not `div`: mass goes negative on refund-style
+          // negative values, where Spark's trunc-div and DuckDB's
+          // floor-`//` disagree; span_s > 0 is filtered above.
           .select($"user_id", $"n", $"span_s",
-            expr("mass div span_s").as("twa_cents"))
+            floorDivPos($"mass", $"span_s").as("twa_cents"))
           .orderBy($"user_id")
       },
       oracle = Some("""
@@ -524,6 +529,12 @@ object EventQueries {
     // the hash). Row/col/grand totals come from windows over the
     // already-aggregated 35-cell frame, so the single-partition
     // global window is over a constant-size input at any SF.
+    // exp_centi is clamped to ≥ 1 in BOTH engines: a skewed cell with
+    // rt·ct < gt/100 floors to 0, where Spark `div` yields NULL but
+    // DuckDB `//` raises — the clamp keeps the twins aligned and the
+    // division defined. Bound: (obs·100 − exp)² needs obs ≲ 3e8 rows
+    // per cell to stay in Long; past that, drop the centi/milli
+    // scaling (chi² tolerates unit precision at that magnitude).
     "a_contingency" -> Q(
       fn = (s, dir) => {
         import s.implicits._
@@ -536,7 +547,8 @@ object EventQueries {
             Window.partitionBy($"event_type")))
           .withColumn("ct", sum($"obs").over(Window.partitionBy($"dow")))
           .withColumn("gt", sum($"obs").over(Window.partitionBy()))
-          .withColumn("exp_centi", expr("rt * ct * 100 div gt"))
+          .withColumn("exp_centi",
+            expr("greatest(rt * ct * 100 div gt, bigint(1))"))
           .withColumn("chi_milli", expr(
             "(obs * 100 - exp_centi) * (obs * 100 - exp_centi) * 10 div exp_centi"))
           .select($"event_type", $"dow", $"obs", $"exp_centi", $"chi_milli")
@@ -554,13 +566,15 @@ object EventQueries {
                  CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
                  CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS ct,
                  CAST(sum(obs) OVER () AS BIGINT) AS gt
-          FROM cells)
-        SELECT event_type, dow, obs,
-               rt * ct * 100 // gt AS exp_centi,
-               (obs * 100 - rt * ct * 100 // gt)
-                 * (obs * 100 - rt * ct * 100 // gt) * 10
-                 // (rt * ct * 100 // gt) AS chi_milli
-        FROM tot ORDER BY event_type, dow"""),
+          FROM cells),
+        ex AS (
+          SELECT event_type, dow, obs,
+                 greatest(rt * ct * 100 // gt, 1) AS exp_centi
+          FROM tot)
+        SELECT event_type, dow, obs, exp_centi,
+               (obs * 100 - exp_centi) * (obs * 100 - exp_centi) * 10
+                 // exp_centi AS chi_milli
+        FROM ex ORDER BY event_type, dow"""),
       desc = "contingency cells vs independence: integer chi-square contributions"),
 
     // ── z-score outlier detection without sqrt ──────────────────────
@@ -581,7 +595,10 @@ object EventQueries {
         val stats = base.groupBy($"event_type")
           .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
                sum($"cents" * $"cents").as("s2"))
-          .withColumn("mean_c", expr("s div n"))
+          // mean_c via floorDivPos: s is negative when a group's
+          // values net negative, where trunc-div diverges from the
+          // oracle's floor-`//`. s2 ≥ 0 always, plain div is safe.
+          .withColumn("mean_c", floorDivPos($"s", $"n"))
           .withColumn("var_c2", expr("s2 div n - mean_c * mean_c"))
         base.join(broadcast(stats), Seq("event_type"))
           .withColumn("dev", $"cents" - $"mean_c")
@@ -851,6 +868,67 @@ object EventQueries {
                TRUE AS p50_ok, TRUE AS p95_ok
         FROM e GROUP BY event_type ORDER BY event_type"""),
       desc = "mergeable exact quantiles: daily histograms → lossless rollup"),
+
+    // ── mergeable APPROX quantiles via log-bucket sketches ──────────
+    // The lossy sibling of a_quantile_merge for when even the exact
+    // (value, freq) histogram is too wide (high-cardinality values at
+    // 100 TB): per-(type, day) partials are DDSketch-style log-scale
+    // bucket histograms (Masson et al., VLDB 2019) — bucket index
+    // ceil(ln|v| / ln γ) with γ = (1+α)/(1−α) gives ≤ α relative
+    // error per quantile and a FIXED partial size (≈ 2·log_γ(max)+1
+    // buckets/day regardless of row count). Coarser grains merge by
+    // summing bucket freqs — raw events never rescanned — and the
+    // quantile reads out as the 3-arg weighted percentile over bucket
+    // midpoints 2γ^i/(γ+1). Spark's percentile_approx sketch has no
+    // SQL-level union aggregate, so the mergeable partial is explicit
+    // here; the contract (estimate + exact twin + in-query verdict
+    // bound) is a_sketch_merge's. Verdict bound: α·|exact| doubled
+    // for midpoint-vs-interpolation slack, +1 cent absolute for the
+    // exact twin's own .5-interpolation.
+    "a_percentile_merge" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val alpha = 0.01
+        val lnGamma = math.log((1 + alpha) / (1 - alpha))
+        val base = ev(s, dir)
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .withColumn("day_i", (epochS($"ts") / 86400L).cast(LongType))
+        val bucketed = base
+          .withColumn("sgn", signum($"cents").cast(LongType))
+          .withColumn("idx", when($"sgn" === 0, lit(0L))
+            .otherwise(ceil(log(abs($"cents")) / lnGamma).cast(LongType)))
+        val daily = bucketed.groupBy($"event_type", $"day_i", $"sgn", $"idx")
+          .agg(count(lit(1)).as("freq"))
+        val mergedSk = daily.groupBy($"event_type", $"sgn", $"idx")
+          .agg(sum($"freq").as("freq"))
+          .withColumn("mid", when($"sgn" === 0, lit(0.0))
+            .otherwise($"sgn" * lit(2.0) * exp($"idx" * lnGamma) /
+              (math.exp(lnGamma) + 1.0)))
+        val fromSketch = mergedSk.groupBy($"event_type")
+          .agg(percentile($"mid", lit(0.5), $"freq").as("p50_sk"),
+               percentile($"mid", lit(0.95), $"freq").as("p95_sk"),
+               sum($"freq").as("n"))
+        val direct = base.groupBy($"event_type")
+          .agg(percentile($"cents", lit(0.5)).as("p50_cents"),
+               percentile($"cents", lit(0.95)).as("p95_cents"))
+        fromSketch.join(direct, Seq("event_type"))
+          .select($"event_type", $"n", $"p50_cents", $"p95_cents",
+            (abs($"p50_sk" - $"p50_cents") <=
+              abs($"p50_cents") * (2 * alpha) + 1.0).as("p50_ok"),
+            (abs($"p95_sk" - $"p95_cents") <=
+              abs($"p95_cents") * (2 * alpha) + 1.0).as("p95_ok"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_type, count(*) AS n,
+               quantile_cont(cents, 0.5) AS p50_cents,
+               quantile_cont(cents, 0.95) AS p95_cents,
+               TRUE AS p50_ok, TRUE AS p95_ok
+        FROM e GROUP BY event_type ORDER BY event_type"""),
+      desc = "DDSketch-style log-bucket percentile partials merged by freq-sum"),
 
     // ── calendar-spine densification (sparse → dense series) ────────
     // Fill every user's missing days between their first and last

@@ -433,8 +433,10 @@ object TextQueries {
     "text_bpe_fit" -> Q(
       fn = (s, dir) => {
         // the public API IS the implementation — the driver's oracle
-        // check verifies Corpus.bpeFit directly.
-        Corpus.bpeFit(docs(s, dir), merges = 8).orderBy(col("merge_rank"))
+        // check verifies Corpus.bpeFit directly. Shared: apply and
+        // coverage ride this fit instead of re-running the 8 rounds.
+        Corpus.bpeFitShared(docs(s, dir), merges = 8)
+          .orderBy(col("merge_rank"))
       },
       oracle = Some(duckBpeFitSql(8)),
       desc = "BPE merge training: 8 deterministic most-frequent-pair merges"),
@@ -449,8 +451,12 @@ object TextQueries {
       fn = (s, dir) => {
         val d = docs(s, dir)
         // the public API IS the implementation — the driver's oracle
-        // check verifies Corpus.bpeFit + bpeApply composed.
-        Corpus.bpeApply(d, Corpus.bpeFit(d, merges = 8), nMerges = 8)
+        // check verifies Corpus.bpeFit + bpeApply composed. Both the
+        // fit and the segmented vocabulary are shared with
+        // text_bpe_fit / text_bpe_coverage (one fit + one
+        // segmentation per session across the trio).
+        Corpus.bpeApply(d, Corpus.bpeFitShared(d, merges = 8), nMerges = 8,
+            segToken = Some(graft.Engine.planToken(d, "bpe_seg:8")))
           .orderBy(col("doc_id"))
       },
       oracle = Some(duckBpeApplySql(8)),
@@ -466,8 +472,12 @@ object TextQueries {
     "text_bpe_apply_new" -> Q(
       fn = (s, dir) => {
         val d = docs(s, dir)
+        // bpeFitShared keys on the TRAINING frame's plan, so the
+        // historical-only fit gets its own entry (never collides with
+        // the full-corpus fit of the other three BPE queries); the
+        // new-batch segmentation has no other rider, so no segToken.
         Corpus.bpeApply(d.filter(col("doc_id") >= 250),
-            Corpus.bpeFit(d.filter(col("doc_id") < 250), merges = 8),
+            Corpus.bpeFitShared(d.filter(col("doc_id") < 250), merges = 8),
             nMerges = 8)
           .orderBy(col("doc_id"))
       },
@@ -487,8 +497,9 @@ object TextQueries {
       fn = (s, dir) => {
         import s.implicits._
         val d = docs(s, dir)
-        val seg = Corpus.bpeSegments(d, Corpus.bpeFit(d, merges = 8),
-          nMerges = 8)
+        val seg = Corpus.bpeSegments(d, Corpus.bpeFitShared(d, merges = 8),
+          nMerges = 8,
+          sharedToken = Some(graft.Engine.planToken(d, "bpe_seg:8")))
         val wf = d.select(explode(
             expr("regexp_extract_all(text, '([A-Za-z]+)')")).as("word"))
           .groupBy($"word").agg(count(lit(1)).as("freq"))

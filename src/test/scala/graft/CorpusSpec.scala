@@ -104,6 +104,19 @@ class CorpusSpec extends SparkSuite {
       s"prefix-of-rules stats wrong: ${got1.toSeq}")
   }
 
+  test("bpeSegments fails loudly on a merge table missing ranks") {
+    // a degenerate training corpus fits fewer rules than requested;
+    // silently crossJoining an empty per-round broadcast would empty
+    // the whole segmentation (n_subwords = 0 everywhere) — the guard
+    // must raise instead.
+    val tiny = Seq((1L, "aa ab aa aaaa")).toDF("doc_id", "text")
+    val rules = Corpus.bpeFit(tiny, merges = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.bpeSegments(tiny, rules, nMerges = 5)
+    }
+    assert(ex.getMessage.contains("2 of the 5"), ex.getMessage)
+  }
+
   test("shardAssign balances token counts and ignores input partitioning") {
     val many = spark.range(1, 401)
       .selectExpr("id AS doc_id",

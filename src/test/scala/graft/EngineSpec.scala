@@ -22,6 +22,55 @@ class EngineSpec extends SparkSuite {
     assert(n > 0)
   }
 
+  test("registerMta per-model materialization: table mode composes through the DAG") {
+    // dbt's +materialized switch (reference dbt_project.yml:39-43,
+    // config(materialized='view') per model file): the same DAG with
+    // fact_trips_stops as a TABLE must (a) return byte-identical
+    // results for every downstream model, (b) resolve downstream refs
+    // to the parquet table (partition-pruned on the service-day
+    // filter), not the view's recomputation plan.
+    Engine.registerSources(spark, sf())
+    Engine.registerMta(spark, sf())
+    val viewRows = Seq("fact_trips", "fact_delays")
+      .map(t => t -> spark.table(t).count()).toMap
+    // stu_id is the row grain of fact_delays — a total order, so the
+    // 50-row sample is deterministic across the two registrations
+    val viewSample = spark.table("fact_delays")
+      .orderBy($"stu_id", $"trip_uid", $"stop_id")
+      .limit(50).collect().toSeq
+
+    val root = Files.createTempDirectory("graft_models").toString
+    Engine.registerMta(spark, sf(),
+      materialized = Map("fact_trips_stops" -> "table"),
+      tableRoot = Some(root))
+    // (a) results unchanged under the switch
+    viewRows.foreach { case (t, n) => assert(spark.table(t).count() === n) }
+    assert(spark.table("fact_delays")
+      .orderBy($"stu_id", $"trip_uid", $"stop_id")
+      .limit(50).collect().toSeq
+      === viewSample)
+    // (b) downstream models now READ the table: the scan is parquet
+    // over the materialized path with day-partition pruning available
+    val p = spark.table("fact_delays")
+      .filter($"service_day_local" === "2024-01-10")
+      .queryExecution.executedPlan.toString
+    assert(p.contains(root), s"fact_delays does not scan the table:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("service_day_local"),
+      s"no partition pruning over the table-mode model:\n$p")
+
+    // unknown mode and missing root fail loudly
+    intercept[IllegalArgumentException] {
+      Engine.registerMta(spark, sf(),
+        materialized = Map("fact_trips" -> "incremental"), tableRoot = None)
+    }
+    intercept[IllegalArgumentException] {
+      Engine.registerMta(spark, sf(),
+        materialized = Map("fact_trips" -> "table"), tableRoot = None)
+    }
+    // restore the plain view DAG for suites sharing the session
+    Engine.registerMta(spark, sf())
+  }
+
   test("materializeByServiceDay writes day-partitioned parquet; pruning applies") {
     Engine.registerMta(spark, sf())
     val out = Files.createTempDirectory("graft_mat").toString
@@ -120,6 +169,55 @@ class EngineSpec extends SparkSuite {
     // local mode (default on local[*]) keeps the localCheckpoint shape
     val local = Engine.materialize(li, key = "k", name = "spec_li2")
     assert(local.count() === li.count())
+  }
+
+  test("materializeShared table mode: build once, sweep-safe, clean teardown") {
+    // the cluster posture of the shared-frame path: on a real cluster
+    // materializeShared backs onto a bucketed table, so (1) a second
+    // same-token call must ride the FIRST table without re-evaluating
+    // the builder, (2) exactly one metastore table may exist per
+    // token, (3) an unpersistStale sweep between queries must not
+    // break a table-backed frame (nothing of it is block-persisted),
+    // (4) end-of-session cleanup must leave no graft_mat_ residue —
+    // the 135-query-session leak class.
+    purgeMatTables("graft_mat_shared_tbl")
+    Engine.clearShared()
+    spark.conf.set("graft.materialize.mode", "table")
+    try {
+      var builds = 0
+      def build(): org.apache.spark.sql.DataFrame = {
+        builds += 1
+        graft.sources.Sources.table(spark, sf(), "region")
+          .select($"r_regionkey".as("k"), $"r_name")
+      }
+      val token = Engine.planToken(
+        graft.sources.Sources.table(spark, sf(), "region"), "shared_tbl_spec")
+      val a = Engine.materializeShared(spark, token, build(),
+        key = "k", name = "shared_tbl")
+      val n = a.count()
+      assert(builds === 1)
+      val b = Engine.materializeShared(spark, token, build(),
+        key = "k", name = "shared_tbl")
+      assert(builds === 1, "cache hit must not re-evaluate the builder")
+      assert(b.count() === n)
+      def myTables() = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_mat_shared_tbl"))
+      assert(myTables().length === 1,
+        s"expected one backing table: ${myTables().mkString(", ")}")
+      // inter-query sweep: table-backed shared frames own no persisted
+      // blocks, so the sweep must leave them fully readable
+      Engine.unpersistStale(spark)
+      assert(b.count() === n, "unpersistStale broke a table-backed frame")
+      // end-of-session hygiene
+      Engine.clearShared()
+      Engine.dropAllMaterialized(spark)
+      assert(myTables().isEmpty,
+        "dropAllMaterialized left shared tables in the metastore")
+    } finally {
+      spark.conf.unset("graft.materialize.mode")
+      Engine.clearShared()
+      purgeMatTables("graft_mat_shared_tbl")
+    }
   }
 
   test("materialize table names are plan-namespaced: same name, two plans, no clobber") {

@@ -171,6 +171,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
   }
 
+  test("e_retention cohorts without a users-sized broadcast") {
+    // cohort_day is a min window over user_id — the cohort assignment
+    // and the activity scan share one user_id exchange. A broadcast
+    // here would build a billions-of-users hash table on every
+    // executor (and the driver) at 100 TB; the plan must carry none,
+    // and only two hash exchanges: user_id (window) + the
+    // (cohort_day, day_offset) aggregation.
+    val p = plan(SparkEntry.queries("e_retention")(spark, sf()))
+    assert(!p.contains("BroadcastExchange"),
+      s"e_retention must not broadcast a users-sized frame:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, found $hashEx:\n$p")
+  }
+
+  test("e_funnel shuffles on user_id only") {
+    // the iterated conditional-min (view → click → purchase) is a
+    // chain of user_id-keyed aggregates and joins; every hash
+    // exchange in the plan must partition on user_id — an exchange on
+    // any other key means a stage re-shuffles the events table on a
+    // fresh key and the single-key claim is dead at scale.
+    val p = plan(SparkEntry.queries("e_funnel")(spark, sf()))
+    val keys = """Exchange hashpartitioning\((\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, s"no hash exchanges found:\n$p")
+    val stray = keys.filterNot(_.startsWith("user_id"))
+    assert(stray.isEmpty,
+      s"e_funnel shuffles on non-user_id keys: $stray\n$p")
+  }
+
   test("e_attribution_multi's per-purchase window rides the join partitioning") {
     // the n_touch window is keyed (user_id, p_id), satisfied by the
     // join's user_id distribution — a plan that repartitions on p_id

@@ -54,6 +54,18 @@ class TopKAggSpec extends SparkSuite {
     assert(one == many)
   }
 
+  test("topk_min rejects a null k with a clean analysis error") {
+    // CAST(NULL AS INT) is foldable but evaluates to null — must fail
+    // the type check ("non-null literal"), not NPE during analysis.
+    TopKAgg.register(spark)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      events.groupBy($"event_type")
+        .agg(expr("topk_min(struct(cents, event_id), CAST(NULL AS INT))"))
+        .queryExecution.analyzed
+    }
+    assert(ex.getMessage.contains("non-null literal"), ex.getMessage)
+  }
+
   test("topk_min returns the whole group when k exceeds group size") {
     val e = events.filter($"event_id" < 50)
     val all = viaAgg(e, 1000000).count()
