@@ -58,6 +58,73 @@ object Engine {
       MtaSynthetic.routes(spark), stops))
   }
 
+  /** One node of the model DAG for the lineage artifact: upstream
+    * model refs, consumed sources, and the model's one-line doc. */
+  final case class ModelLineage(name: String, refs: Seq[String],
+                                sources: Seq[String], description: String)
+
+  /** The MTA DAG's lineage, declared once in topological order — the
+    * engine's analog of dbt's `ref()`/`source()` graph that
+    * `dbt docs generate` renders (reference models/mta_sources.yml +
+    * docs/metrics_guide.md:12-26). Kept next to [[registerMta]];
+    * LineageSpec asserts the two stay consistent (every ref names an
+    * earlier model, every named view registers). */
+  val mtaLineage: Seq[ModelLineage] = Seq(
+    ModelLineage("fact_trips_stops", refs = Nil,
+      sources = Seq("events (trip_updates ⋈ stop_time_updates)",
+        "gtfs: stops", "gtfs: trips"),
+      description = "stop-level RT fact: one row per (trip update, " +
+        "stop time update), GTFS-joined, delay + event timestamps"),
+    ModelLineage("fact_trips", refs = Seq("fact_trips_stops"),
+      sources = Seq("gtfs: stops"),
+      description = "trip-grain rollup: ordered argmin/argmax first/" +
+        "last stop events, origin/terminal join"),
+    ModelLineage("fact_delays", refs = Seq("fact_trips_stops"),
+      sources = Nil,
+      description = "delay observations: main-feed rows carrying an " +
+        "arrival or departure delay"),
+    ModelLineage("fact_alerts", refs = Nil,
+      sources = Seq("events (alerts + 1:1 children)", "gtfs: routes",
+        "gtfs: stops"),
+      description = "alert fact: header/description texts, active " +
+        "periods, informed entities pre-aggregated 1:1"))
+
+  /** dbt-docs-style lineage + schema artifact (markdown): the source
+    * contracts ([[graft.sources.Sources.contracts]]), then each model
+    * with its materialization, upstream refs/sources, and — when the
+    * DAG is registered in `spark` — its resolved column schema.
+    * Reference lifecycle E3 (`dbt docs generate`); the schemas come
+    * from the live catalog so the doc can never drift from the code
+    * the way a hand-written one would. */
+  def lineageDoc(spark: SparkSession,
+                 materialized: Map[String, String] = Map.empty): String = {
+    val sb = new StringBuilder
+    sb ++= "# graft model lineage\n\n"
+    sb ++= "Generated by `Engine.lineageDoc` — the dbt-docs analog " +
+      "for the MTA DAG.\n\n## Source contracts\n\n"
+    Sources.contracts.toSeq.sortBy(_._1).foreach { case (name, schema) =>
+      sb ++= s"- **$name**: `${schema.toDDL}`\n"
+    }
+    sb ++= "\n## Models (topological order)\n"
+    mtaLineage.foreach { m =>
+      val mode = materialized.getOrElse(m.name, "view")
+      sb ++= s"\n### ${m.name} (`$mode`)\n\n${m.description}\n\n"
+      if (m.refs.nonEmpty)
+        sb ++= s"- refs: ${m.refs.map(r => s"`$r`").mkString(", ")}\n"
+      if (m.sources.nonEmpty)
+        sb ++= s"- sources: ${m.sources.mkString("; ")}\n"
+      if (spark.catalog.tableExists(m.name))
+        sb ++= s"- columns: `${spark.table(m.name).schema.toDDL}`\n"
+    }
+    sb.result()
+  }
+
+  /** Write [[lineageDoc]] to `path` (end of a `dbt run`-style build). */
+  def writeLineage(spark: SparkSession, path: String,
+                   materialized: Map[String, String] = Map.empty): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      lineageDoc(spark, materialized))
+
   private def registerModel(spark: SparkSession,
                             materialized: Map[String, String],
                             tableRoot: Option[String])

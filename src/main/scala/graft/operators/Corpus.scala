@@ -808,14 +808,63 @@ object Corpus extends org.apache.spark.internal.Logging {
     * scoring docs; ties break by doc_id. */
   def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 10,
                k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val (tf, dl, dft, totals) = bm25Partials(docs, terms)
+    bm25Score(tf, dl, dft, totals, topK, k1Milli, bMilli)
+  }
+
+  /** The persisted-partial half of BM25: per-batch posting counts
+    * (tf), doc lengths, per-term doc frequencies, and the (n_docs,
+    * sum_dlen) totals. ALL of these merge losslessly across batches —
+    * tf/dl by union (doc-keyed, batches disjoint), df/totals by sum —
+    * which is what makes retrieval stats incrementally maintainable:
+    * a daily job persists each day's partials and the serving index
+    * re-merges without re-tokenizing history ([[bm25RankIncremental]];
+    * the a_quantile_merge/a_sketch_merge contract applied to search).
+    * totals = (n_docs, dlen_sum) rather than the derived avg — an
+    * average is NOT mergeable, its numerator and denominator are. */
+  def bm25Partials(docs: DataFrame, terms: Seq[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
-    val stats = dl.agg(expr("count(1)").as("n_docs"),
-      expr("(sum(dlen) * 1000) div count(1)").as("avg_m"))
+    val totals = dl.agg(expr("count(1)").as("n_docs"),
+      expr("sum(dlen)").as("dlen_sum"))
     val tf = toks.filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    (tf, dl, dft, totals)
+  }
+
+  /** Incremental BM25: rank the FULL corpus from per-batch partials —
+    * the historical batch's partials are reused as-is (in production:
+    * read from the persisted daily job, never re-tokenized) and only
+    * the `isNew` batch is tokenized fresh. Because every partial
+    * merges losslessly (see [[bm25Partials]]), the output is
+    * bit-identical to [[bm25Rank]] over the union — the 6th
+    * incremental family, and unlike the dedup ones the equality is
+    * unconditional (no monotonicity precondition: df sums and unions
+    * commute with any batch split). */
+  def bm25RankIncremental(docs: DataFrame, isNew: Column,
+                          terms: Seq[String], topK: Int = 10,
+                          k1Milli: Long = 1200L,
+                          bMilli: Long = 750L): DataFrame = {
+    val (tfH, dlH, dftH, totH) = bm25Partials(docs.filter(!isNew), terms)
+    val (tfN, dlN, dftN, totN) = bm25Partials(docs.filter(isNew), terms)
+    val tf = tfH.unionByName(tfN)
+    val dl = dlH.unionByName(dlN)
+    val dft = dftH.unionByName(dftN)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val totals = totH.unionByName(totN)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("dlen_sum")).as("dlen_sum"))
+    bm25Score(tf, dl, dft, totals, topK, k1Milli, bMilli)
+  }
+
+  private def bm25Score(tf: DataFrame, dl: DataFrame, dft: DataFrame,
+                        totals: DataFrame, topK: Int,
+                        k1Milli: Long, bMilli: Long): DataFrame = {
+    val stats = totals.select(col("n_docs"),
+      expr("(dlen_sum * 1000) div n_docs").as("avg_m"))
     val scored = tf.join(broadcast(dft), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))

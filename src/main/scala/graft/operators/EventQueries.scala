@@ -433,6 +433,128 @@ object EventQueries {
         FROM grouped GROUP BY 1 ORDER BY user_id"""),
       desc = "interval union: gaps-and-islands coalescing via running-max window"),
 
+    // ── batch CDC MERGE: snapshot ⊕ changelog upsert/delete ─────────
+    // The daily warehouse op the streaming mergeKeys sink performs
+    // continuously, as an auditable batch twin: a base snapshot (per-
+    // user latest state before the split day) merged with a delta
+    // changelog (latest change per user on/after it), where a delta
+    // row is an UPSERT (new state wins) or a TOMBSTONE (user_id % 10
+    // = 0 here — a stand-in for the changelog's delete flag; the
+    // testdata carries none) that removes the key. Everything is
+    // keyed user_id: two argmax aggregates + one full outer join, all
+    // riding the same exchange key — MERGE INTO at 100 TB is exactly
+    // this plan plus a partition-pruned rewrite of matched files.
+    // Day 19738 splits the testdata's fixed 30-day window in half.
+    "e_merge_upsert" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir).select($"user_id", $"event_id",
+          epochS($"ts").as("es"), $"event_type",
+          round($"value" * 100).cast(LongType).as("cents"),
+          (epochS($"ts") / 86400L).cast(LongType).as("day_i"))
+        def latest(df: DataFrame) = df.groupBy($"user_id")
+          .agg(max_by(struct($"event_type".as("attr"), $"cents", $"es"),
+            struct($"es", $"event_id")).as("r"))
+          .select($"user_id", $"r.attr", $"r.cents", $"r.es")
+        val base = latest(e.filter($"day_i" < 19738L))
+        val delta = latest(e.filter($"day_i" >= 19738L))
+          .withColumn("op",
+            when($"user_id" % 10 === 0, lit("delete")).otherwise(lit("upsert")))
+          .select($"user_id", $"attr".as("d_attr"), $"cents".as("d_cents"),
+            $"es".as("d_es"), $"op")
+        base.join(delta, Seq("user_id"), "full_outer")
+          .filter($"op".isNull || $"op" === "upsert")
+          .select($"user_id",
+            coalesce($"d_attr", $"attr").as("attr"),
+            coalesce($"d_cents", $"cents").as("cents"),
+            coalesce($"d_es", $"es").as("updated_es"),
+            when($"op".isNotNull, lit("delta")).otherwise(lit("base"))
+              .as("src"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts)//1000000 AS es,
+                 event_type, CAST(round(value*100) AS BIGINT) AS cents,
+                 epoch_us(ts)//1000000//86400 AS day_i
+          FROM events),
+        b AS (
+          SELECT user_id, event_type AS attr, cents, es FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY es DESC, event_id DESC) AS rn
+            FROM e WHERE day_i < 19738) WHERE rn = 1),
+        d AS (
+          SELECT user_id, event_type AS d_attr, cents AS d_cents,
+                 es AS d_es,
+                 CASE WHEN user_id % 10 = 0 THEN 'delete'
+                      ELSE 'upsert' END AS op
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY es DESC, event_id DESC) AS rn
+            FROM e WHERE day_i >= 19738) WHERE rn = 1)
+        SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+               COALESCE(d.d_attr, b.attr) AS attr,
+               COALESCE(d.d_cents, b.cents) AS cents,
+               COALESCE(d.d_es, b.es) AS updated_es,
+               CASE WHEN d.user_id IS NOT NULL THEN 'delta'
+                    ELSE 'base' END AS src
+        FROM b FULL OUTER JOIN d ON b.user_id = d.user_id
+        WHERE d.op IS NULL OR d.op = 'upsert'
+        ORDER BY user_id"""),
+      desc = "batch CDC merge: snapshot + changelog upsert/tombstone, one key"),
+
+    // ── data-quality anomaly flags: MAD outliers on daily volumes ───
+    // The volume monitor every ingest pipeline runs before training
+    // jobs consume a day: daily counts per event type, flagged when
+    // |n − median| > 3·MAD (median absolute deviation — robust to the
+    // very anomalies it hunts, unlike stddev). The daily frame is
+    // (types × days)-sized at ANY corpus scale, so the two percentile
+    // passes and the flag join are over a tiny frame; the events scan
+    // is one map-side-combined count. MAD is clamped ≥ 0.5 in both
+    // engines (a constant series has MAD 0 and every deviation would
+    // flag).
+    "dq_anomaly" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = graft.Engine.materialize(
+          ev(s, dir)
+            .select($"event_type",
+              (epochS($"ts") / 86400L).cast(LongType).as("day_i"))
+            .groupBy($"event_type", $"day_i")
+            .agg(count(lit(1)).as("n")),
+          key = "event_type", name = "dq_daily")
+        val med = daily.groupBy($"event_type")
+          .agg(percentile($"n", lit(0.5)).as("med"))
+        val stats = daily.join(broadcast(med), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(min($"med").as("med"),
+               percentile(abs($"n" - $"med"), lit(0.5)).as("mad"))
+        daily.join(broadcast(stats), Seq("event_type"))
+          .select($"event_type", $"day_i", $"n", $"med", $"mad",
+            (abs($"n" - $"med") > greatest($"mad", lit(0.5)) * 3.0)
+              .as("is_anomaly"))
+          .orderBy($"event_type", $"day_i")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts)//1000000//86400 AS day_i
+          FROM events),
+        daily AS (
+          SELECT event_type, day_i, count(*) AS n FROM e GROUP BY 1, 2),
+        med AS (
+          SELECT event_type, quantile_cont(n, 0.5) AS med
+          FROM daily GROUP BY 1),
+        st AS (
+          SELECT d.event_type, min(m.med) AS med,
+                 quantile_cont(abs(d.n - m.med), 0.5) AS mad
+          FROM daily d JOIN med m USING (event_type) GROUP BY 1)
+        SELECT d.event_type, d.day_i, d.n, st.med, st.mad,
+               abs(d.n - st.med) > greatest(st.mad, 0.5) * 3.0
+                 AS is_anomaly
+        FROM daily d JOIN st USING (event_type)
+        ORDER BY event_type, day_i"""),
+      desc = "daily-volume anomaly flags via 3-MAD robust outlier test"),
+
     // ── Markov transition counts ────────────────────────────────────
     // Per-user event-type transition matrix (the "what happens after
     // X" product question; generalizes the reference's stop-to-stop

@@ -328,6 +328,65 @@ object SessionQueries {
                count(DISTINCT user_id) AS exact_users,
                TRUE AS users_ok
         FROM base GROUP BY event_type ORDER BY event_type"""),
-      desc = "HLL partial sketches re-aggregated by union + exact twin verdict")
+      desc = "HLL partial sketches re-aggregated by union + exact twin verdict"),
+
+    // ── HLL set-intersection estimate (inclusion–exclusion) ─────────
+    // The audience-overlap question ("how many users does shard A
+    // share with shard B?") answered from the SAME per-shard HLL
+    // partials a_sketch_merge persists — no re-scan, no exact-distinct
+    // join: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union sketch
+    // a register-max merge of the two. Inclusion–exclusion AMPLIFIES
+    // the sketch error (three ±ε estimates of union-sized magnitudes),
+    // so the verdict bound is 10% of the exact union — looser than
+    // a_sketch_merge's 5% single-sketch bound, and the reason a real
+    // pipeline keeps the exact twin beside it. Sides = event_id
+    // parity (two halves of the same traffic). Exact twin runs as its
+    // own two-level pass (never in the sketch agg — the Expand rule).
+    "a_sketch_overlap" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .select($"event_type", $"user_id",
+            ($"event_id" % 2 === 0).as("in_a"))
+        val sk = base.groupBy($"event_type")
+          .agg(
+            hll_sketch_agg(when($"in_a", $"user_id")).as("sk_a"),
+            hll_sketch_agg(when(!$"in_a", $"user_id")).as("sk_b"))
+          .select($"event_type",
+            hll_sketch_estimate($"sk_a").as("est_a"),
+            hll_sketch_estimate($"sk_b").as("est_b"),
+            hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).as("est_u"))
+          .withColumn("est_inter",
+            greatest($"est_a" + $"est_b" - $"est_u", lit(0.0)))
+        val exact = base
+          .groupBy($"event_type", $"user_id")
+          .agg(max(when($"in_a", 1L).otherwise(0L)).as("a"),
+               max(when(!$"in_a", 1L).otherwise(0L)).as("b"))
+          .groupBy($"event_type")
+          .agg(sum(when($"a" === 1 && $"b" === 1, 1L).otherwise(0L))
+                 .as("exact_inter"),
+               count(lit(1)).as("exact_union"))
+        sk.join(exact, Seq("event_type"))
+          .select($"event_type", $"exact_inter", $"exact_union",
+            (abs($"est_inter" - $"exact_inter") <=
+              $"exact_union" * 0.10 + 1.0).as("inter_ok"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type, user_id, event_id % 2 = 0 AS in_a
+          FROM events),
+        per_user AS (
+          SELECT event_type, user_id,
+                 max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+                 max(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+          FROM base GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS exact_inter,
+               count(*) AS exact_union,
+               TRUE AS inter_ok
+        FROM per_user GROUP BY event_type ORDER BY event_type"""),
+      desc = "HLL inclusion-exclusion overlap estimate + exact twin verdict")
   )
 }

@@ -579,6 +579,53 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "language-ID n-gram/stopword heuristic"),
 
+    // ── snapshot diff: content-hash movement between two crawls ─────
+    // The crawl-over-crawl report a corpus owner reads before
+    // retraining: which sources churned? Sides = doc_id parity (the
+    // testdata stand-in for old/new snapshot tags); identity = md5 of
+    // the exact text, so a moved/re-crawled identical page is
+    // "common", not "added". One distinct + one flag-agg + one
+    // per-source rollup — everything keys on the hash then the
+    // source, no joins, no pairs; at 100 TB this is the same
+    // shuffle-parallel shape as corpus_overlap's exact path.
+    "corpus_diff" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val flags = docs(s, dir)
+          .select($"source", ($"doc_id" % 2 === 0).as("in_old"),
+            md5($"text").as("h"))
+          .distinct()
+          .groupBy($"source", $"h")
+          .agg(max(when($"in_old", 1L).otherwise(0L)).as("o"),
+               max(when(!$"in_old", 1L).otherwise(0L)).as("n"))
+        flags.groupBy($"source")
+          .agg(sum($"o").as("n_old"), sum($"n").as("n_new"),
+               sum(when($"o" === 0 && $"n" === 1, 1L).otherwise(0L))
+                 .as("n_added"),
+               sum(when($"o" === 1 && $"n" === 0, 1L).otherwise(0L))
+                 .as("n_removed"),
+               sum(when($"o" === 1 && $"n" === 1, 1L).otherwise(0L))
+                 .as("n_common"))
+          .orderBy($"source")
+      },
+      oracle = Some("""
+        WITH flags AS (
+          SELECT source, md5(text) AS h,
+                 max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS o,
+                 max(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS n
+          FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(o) AS BIGINT) AS n_old,
+               CAST(sum(n) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN o = 0 AND n = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_added,
+               CAST(sum(CASE WHEN o = 1 AND n = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN o = 1 AND n = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_common
+        FROM flags GROUP BY source ORDER BY source"""),
+      desc = "crawl snapshot diff: per-source added/removed/common by content hash"),
+
     // ── document fingerprint: rolling polynomial hash over tokens ───
     "text_fingerprint" -> Q(
       fn = (s, dir) => {
@@ -1078,6 +1125,28 @@ object TextQueries {
         SELECT doc_id, rank, score, n_terms FROM bm_top
         ORDER BY rank"""),
       desc = "BM25 top-k lexical retrieval, integer-exact rational idf"),
+
+    // ── incremental retrieval: BM25 from merged per-batch partials ──
+    // The 6th incremental family (after minhash/semantic/spans/winnow
+    // dedup + the BPE tokenizer): tf/dl merge by union, df and the
+    // (n_docs, dlen_sum) totals by SUM — all lossless, so ranking the
+    // full corpus from a historical batch's persisted partials + the
+    // new batch's fresh ones is bit-identical to the direct run, and
+    // the oracle IS text_bm25's direct-form SQL. Unlike the dedup
+    // incrementals there is no monotonicity precondition: partial
+    // sums commute with any batch split. Averages are kept as
+    // (numerator, denominator) — an avg is not mergeable, its parts
+    // are.
+    "text_bm25_inc" -> Q(
+      fn = (s, dir) => Corpus.bm25RankIncremental(docs(s, dir),
+          isNew = col("doc_id") >= 250,
+          Seq("hash", "join", "scan", "vector"), topK = 10)
+        .orderBy(col("rank")),
+      oracle = Some(s"""
+        WITH ${duckBm25Ctes(Seq("hash", "join", "scan", "vector"), 10)}
+        SELECT doc_id, rank, score, n_terms FROM bm_top
+        ORDER BY rank"""),
+      desc = "incremental BM25: per-batch partials merged losslessly, no re-tokenize"),
 
     // ── batch-perceptron quality probe (distilled rule cascade) ─────
     // Fixed-round integer-exact linear fit; the oracle replays all 8

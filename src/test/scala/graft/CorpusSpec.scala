@@ -117,6 +117,22 @@ class CorpusSpec extends SparkSuite {
     assert(ex.getMessage.contains("2 of the 5"), ex.getMessage)
   }
 
+  test("bm25RankIncremental equals the direct form under any batch split") {
+    // lossless-partial claim: ranks/scores bit-identical to bm25Rank
+    // for an interior split, all-new, and none-new — no monotonicity
+    // precondition (sums commute with any split)
+    val d = graft.sources.Sources.table(spark, sf(), "documents")
+    val terms = Seq("hash", "join", "scan", "vector")
+    val direct = Corpus.bm25Rank(d, terms, topK = 10)
+      .orderBy($"rank").collect().toSeq
+    Seq($"doc_id" >= 250, $"doc_id" % 3 === 0, lit(true), lit(false))
+      .foreach { isNew =>
+        val inc = Corpus.bm25RankIncremental(d, isNew, terms, topK = 10)
+          .orderBy($"rank").collect().toSeq
+        assert(inc === direct, s"split $isNew diverges from direct")
+      }
+  }
+
   test("shardAssign balances token counts and ignores input partitioning") {
     val many = spark.range(1, 401)
       .selectExpr("id AS doc_id",

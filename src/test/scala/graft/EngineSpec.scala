@@ -171,6 +171,38 @@ class EngineSpec extends SparkSuite {
     assert(local.count() === li.count())
   }
 
+  test("lineageDoc renders the registered DAG: contracts, refs, live schemas") {
+    Engine.registerSources(spark, sf())
+    Engine.registerMta(spark, sf())
+    val doc = Engine.lineageDoc(spark,
+      materialized = Map("fact_trips_stops" -> "table"))
+    // every declared model appears, refs point to EARLIER models only
+    // (topological consistency with registerMta), and each registered
+    // view contributes its live column schema
+    val names = Engine.mtaLineage.map(_.name)
+    names.foreach(n => assert(doc.contains(s"### $n"), s"missing $n"))
+    Engine.mtaLineage.foldLeft(Set.empty[String]) { (seen, m) =>
+      m.refs.foreach(r => assert(seen.contains(r),
+        s"${m.name} refs $r before it is declared"))
+      seen + m.name
+    }
+    names.foreach { n =>
+      assert(spark.catalog.tableExists(n), s"$n not registered")
+      assert(doc.contains(spark.table(n).schema.fieldNames.head),
+        s"$n schema not rendered")
+    }
+    assert(doc.contains("fact_trips_stops (`table`)") &&
+      doc.contains("fact_trips (`view`)"))
+    // source contracts section carries every declared source
+    graft.sources.Sources.contracts.keys
+      .foreach(s => assert(doc.contains(s"**$s**"), s"missing source $s"))
+    // writeLineage round-trips to disk
+    val p = Files.createTempFile("graft_lineage", ".md").toString
+    Engine.writeLineage(spark, p)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p))).contains("# graft model lineage"))
+  }
+
   test("materializeShared table mode: build once, sweep-safe, clean teardown") {
     // the cluster posture of the shared-frame path: on a real cluster
     // materializeShared backs onto a bucketed table, so (1) a second

@@ -200,6 +200,18 @@ class PlanAuditSpec extends SparkSuite {
       s"e_funnel shuffles on non-user_id keys: $stray\n$p")
   }
 
+  test("e_merge_upsert shuffles on user_id only; the merge join rides the aggs") {
+    // base and delta each aggregate their filtered scan on user_id
+    // (2 hash exchanges); the full outer MERGE join must reuse that
+    // partitioning, not add its own — at 100 TB a third exchange
+    // would re-shuffle the merged state per refresh.
+    val p = plan(SparkEntry.queries("e_merge_upsert")(spark, sf()))
+    val keys = """Exchange hashpartitioning\((\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.length == 2 && keys.forall(_.startsWith("user_id")),
+      s"expected 2 user_id exchanges, got $keys:\n$p")
+  }
+
   test("e_attribution_multi's per-purchase window rides the join partitioning") {
     // the n_touch window is keyed (user_id, p_id), satisfied by the
     // join's user_id distribution — a plan that repartitions on p_id
