@@ -652,13 +652,44 @@ object Corpus extends org.apache.spark.internal.Logging {
       iter)
   }
 
+  /** The dedup graph's edge set — exact-dup star edges ∪ minhash
+    * near-dup pairs — routed through `Engine.materializeShared` keyed
+    * on the input corpus plan, so `dedup_components` and
+    * `dedup_components_inc` (and any other same-corpus consumer)
+    * build it once per session. The frame is pairs-sized (orders
+    * below the corpus); the saving is the exact-dup window + the
+    * banded bucket join behind it. */
+  def dedupEdges(docs: DataFrame): DataFrame =
+    graft.Engine.materializeShared(docs.sparkSession,
+      graft.Engine.planToken(docs, "dedup_edges"),
+      exactDupEdges(docs).union(
+        minhashPairs(docs)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))),
+      key = "src", name = "dedup_edges")
+
   /** Dedup clustering end-to-end: exact-dup star edges ∪ minhash
     * near-dup pairs → components. */
   def dedupComponents(docs: DataFrame): DataFrame =
+    connectedComponents(dedupEdges(docs))
+
+  /** Incremental connected components — the GRAPH side of the daily
+    * dedup job: fold the previous run's labels in as star edges
+    * (component_id → doc_id; connectivity-equivalent to the old edge
+    * set on the same node set, since every member reaches its root
+    * and vice versa) and propagate over star ∪ newEdges only. Because
+    * labels are canonical min-ids (roots are themselves member ids),
+    * the fixpoint is IDENTICAL to a full run over oldEdges ∪
+    * newEdges — no precondition on how the edge set was split. At
+    * 100 TB the nightly batch walks |nodes| + |new| edges instead of
+    * re-walking the accumulated historical pair set, and the star
+    * graph has diameter 2, so the pointer-jumping loop converges in
+    * ~log(newly-merged-chain) rounds. */
+  def connectedComponentsIncremental(oldLabels: DataFrame,
+                                     newEdges: DataFrame): DataFrame =
     connectedComponents(
-      exactDupEdges(docs).union(
-        minhashPairs(docs)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
+      oldLabels.filter(col("doc_id") =!= col("component_id"))
+        .select(col("component_id").as("src"), col("doc_id").as("dst"))
+        .unionByName(newEdges.select(col("src"), col("dst"))))
 
   /** Deterministic per-stratum sampling: keep a doc iff
     * md5(doc_id) % 100 < rate(stratum). `rates` maps stratum value →

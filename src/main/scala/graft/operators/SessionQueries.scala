@@ -87,6 +87,40 @@ object SessionQueries {
         FROM events GROUP BY user_id ORDER BY user_id"""),
       desc = "pivot event_type counts to columns (conditional-agg oracle)"),
 
+    // ── unpivot (melt): wide metric columns back to long ────────────
+    // The inverse relational op a_pivot lacks a twin for: a wide
+    // per-day metrics frame (one column per event type, the shape
+    // dashboards persist) melted back to tidy (day, type, value)
+    // rows via Dataset.unpivot — Spark plans it as a single Expand,
+    // one pass, no join. The roundtrip (pivot ∘ unpivot = identity on
+    // present combinations) makes the oracle a plain GROUP BY; the
+    // null filter drops combinations pivot manufactured (absent
+    // type-days).
+    "a_unpivot" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = ev(s, dir)
+          .withColumn("day_i",
+            (unix_timestamp($"ts") / 86400L).cast(LongType).as("day_i"))
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .groupBy($"day_i")
+          .pivot("event_type", types)
+          .agg(sum($"cents"))
+        wide.unpivot(Array($"day_i"), types.map(col).toArray,
+            "event_type", "cents_sum")
+          .filter($"cents_sum".isNotNull)
+          .orderBy($"day_i", $"event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT (epoch_us(ts)//1000000)//86400 AS day_i, event_type,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events)
+        SELECT day_i, event_type, CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM e GROUP BY 1, 2 ORDER BY day_i, event_type"""),
+      desc = "unpivot/melt wide metric columns to long rows (single Expand)"),
+
     // ── bucketed range join: pairs within ±300 s ────────────────────
     // The scalable interval-join formulation: left rows probe 3 time
     // buckets (b-1, b, b+1), right rows sit in exactly one, so the
@@ -387,6 +421,56 @@ object SessionQueries {
                count(*) AS exact_union,
                TRUE AS inter_ok
         FROM per_user GROUP BY event_type ORDER BY event_type"""),
-      desc = "HLL inclusion-exclusion overlap estimate + exact twin verdict")
+      desc = "HLL inclusion-exclusion overlap estimate + exact twin verdict"),
+
+    // ── rolling 7-day distinct users from daily HLL partials ────────
+    // The trailing-window MAU/WAU rollup: each calendar day's value
+    // unions the last 7 days' persisted sketches — never re-scans raw
+    // events. The window is EQUI-shaped: a day's partial explodes to
+    // the 7 target days it serves (day..day+6), then one hash agg of
+    // register-max unions per target — no range join, no
+    // nested-loop, and the exploded frame is 7 × days × types, tiny
+    // at any corpus scale. Exact twin re-aggregates the distinct
+    // (day, user) frame through the same offset explode (linear, one
+    // countDistinct); verdict = a_sketch_merge's 5% contract.
+    "a_rolling_distinct" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .select($"user_id",
+            (unix_timestamp($"ts") / 86400L).cast(LongType).as("day"))
+        val days = base.select($"day").distinct()
+        val est = base
+          .groupBy($"day").agg(hll_sketch_agg($"user_id").as("sk"))
+          .withColumn("d", explode(sequence($"day", $"day" + 6)))
+          .groupBy($"d")
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_u7"))
+        val exact = base.distinct()
+          .withColumn("d", explode(sequence($"day", $"day" + 6)))
+          .groupBy($"d")
+          .agg(countDistinct($"user_id").as("exact_u7"))
+        days.select($"day".as("d"))
+          .join(est, Seq("d")).join(exact, Seq("d"))
+          .select($"d".as("day_i"), $"exact_u7",
+            (abs($"est_u7" - $"exact_u7").cast("double") / $"exact_u7"
+              <= 0.05).as("u7_ok"))
+          .orderBy($"day_i")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT DISTINCT user_id,
+                 (epoch_us(ts)//1000000)//86400 AS day
+          FROM events),
+        days AS (SELECT DISTINCT day FROM base),
+        win AS (
+          SELECT b.day + off.o AS d, b.user_id
+          FROM base b, (SELECT unnest(range(0, 7)) AS o) off),
+        ex AS (
+          SELECT d, count(DISTINCT user_id) AS exact_u7
+          FROM win GROUP BY d)
+        SELECT days.day AS day_i, ex.exact_u7, TRUE AS u7_ok
+        FROM days JOIN ex ON ex.d = days.day
+        ORDER BY day_i"""),
+      desc = "rolling 7-day distinct via daily HLL partials + exact twin")
   )
 }

@@ -1490,6 +1490,50 @@ object TextQueries {
         FROM reach GROUP BY a ORDER BY doc_id"""),
       desc = "dedup clusters: exact+minhash edges → connected components"),
 
+    // ── incremental dedup clustering (the 7th incremental family) ───
+    // The graph side of the daily dedup job: yesterday's labels come
+    // back as star edges and only the new batch's edges propagate.
+    // Old/new split = both endpoints < 400 vs any endpoint ≥ 400 (the
+    // same TOTAL edge set as dedup_components, partitioned — this
+    // isolates the CC-incremental claim from pair-generation corpus
+    // effects); the oracle is dedup_components' full-run closure,
+    // asserting the star-compression equality, which holds with NO
+    // precondition on the split (CorpusSpec: interior / merging /
+    // all-new / none-new). Rides the shared dedupEdges frame.
+    "dedup_components_inc" -> Q(
+      fn = (s, dir) => {
+        val e = Corpus.dedupEdges(docs(s, dir))
+        val oldE = e.filter(col("src") < 400 && col("dst") < 400)
+        val newE = e.filter(col("src") >= 400 || col("dst") >= 400)
+        Corpus.connectedComponentsIncremental(
+            Corpus.connectedComponents(oldE), newE)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $MINHASH_PAIRS_CTES,
+        cc_canon AS (
+          SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS key
+          FROM documents),
+        cc_keep AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep
+          FROM cc_canon),
+        cc_exact AS (
+          SELECT keep AS src, doc_id AS dst FROM cc_keep WHERE doc_id <> keep),
+        cc_e0 AS (
+          SELECT src, dst FROM cc_exact
+          UNION
+          SELECT doc_a, doc_b FROM mh_near),
+        cc_edges AS (
+          SELECT src, dst FROM cc_e0 UNION SELECT dst, src FROM cc_e0),
+        reach(a, b) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON e.src = r.b)
+        SELECT a AS doc_id, min(b) AS component_id
+        FROM reach GROUP BY a ORDER BY doc_id"""),
+      desc = "incremental dedup clusters: old labels as star edges + new batch"),
+
     // ── SimHash near-dup detection ──────────────────────────────────
     // 32-bit simhash via bitwise vote over token hashes; candidate
     // pairs from 8-bit band buckets; hamming ≤ 6 verify.

@@ -117,6 +117,31 @@ class CorpusSpec extends SparkSuite {
     assert(ex.getMessage.contains("2 of the 5"), ex.getMessage)
   }
 
+  test("connectedComponentsIncremental equals the full run under any edge split") {
+    // star-compression equality, including the hard case: a NEW edge
+    // merging two OLD components must relabel the loser's members
+    def cc(e: org.apache.spark.sql.DataFrame) =
+      Corpus.connectedComponents(e).orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = Seq((1L, 2L), (3L, 4L), (2L, 3L), (6L, 7L), (8L, 9L),
+      (9L, 10L)).toDF("src", "dst")
+    val full = cc(edges)
+    Seq(
+      lit(false),       // none old (pure full run through the inc path)
+      lit(true),        // all old (pure star re-propagation)
+      $"src" % 2 === 1  // old = (1,2),(3,4),(9,10); NEW (2,3) merges
+                        // the two old comps, NEW (8,9) extends (9,10)
+    ).zipWithIndex.foreach { case (oldPred, i) =>
+      val oldE = edges.filter(oldPred)
+      val newE = edges.exceptAll(oldE)
+      val inc = Corpus.connectedComponentsIncremental(
+          Corpus.connectedComponents(oldE), newE)
+        .orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(inc === full, s"split #$i diverges from the full run")
+    }
+  }
+
   test("bm25RankIncremental equals the direct form under any batch split") {
     // lossless-partial claim: ranks/scores bit-identical to bm25Rank
     // for an interior split, all-new, and none-new — no monotonicity
