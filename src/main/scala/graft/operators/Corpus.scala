@@ -339,8 +339,7 @@ object Corpus extends org.apache.spark.internal.Logging {
     * n_shared ≥ `minShared` common (non-boilerplate) fingerprints. */
   def winnowPairs(docs: DataFrame, k: Int = 10, w: Int = 8,
                   minShared: Long = 5L, maxDocFreq: Long = 16L): DataFrame = {
-    val fp = winnowFp(docs, k, w, maxDocFreq, carry = Nil,
-      name = "winnow_fp")
+    val fp = winnowFp(docs, k, w, maxDocFreq)
     fp.select(col("doc_id").as("doc_a"), col("h"))
       .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
@@ -349,36 +348,38 @@ object Corpus extends org.apache.spark.internal.Logging {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** Materialized (doc_id, h [, carry...]) winnowing-fingerprint frame
-    * shared by [[winnowPairs]] and [[winnowPairsIncremental]]. */
-  private def winnowFp(docs: DataFrame, k: Int, w: Int, maxDocFreq: Long,
-                       carry: Seq[String], name: String): DataFrame = {
+  /** Materialized-SHARED (doc_id, h) winnowing-fingerprint frame —
+    * consumed identically by [[winnowPairs]] and
+    * [[winnowPairsIncremental]] (the incremental applies its is_new
+    * flag ON this frame, so both queries build it once per (corpus,
+    * k, w, maxDocFreq) per session). */
+  private def winnowFp(docs: DataFrame, k: Int, w: Int,
+                       maxDocFreq: Long): DataFrame = {
     graft.functions.Md5PrefixLong.register(docs.sparkSession)
-    val grams = docs
-      .select(col("doc_id") +: col("text") +: carry.map(col): _*)
-      .select(col("doc_id") +:
-        explode(expr(
-          s"""CASE WHEN length(text) >= $k
-              THEN sequence(1, length(text) - $k + 1)
-              ELSE CAST(array() AS ARRAY<INT>) END""")).as("i") +:
-        col("text") +: carry.map(col): _*)
-      .select(col("doc_id") +: col("i") +:
-        expr(s"md5_prefix_long(substr(text, i, $k), 14) % 1000003L").as("h") +:
-        carry.map(col): _*)
-    val packed = grams
-      .withColumn("c", min(expr("h * 2097152L + (2097151L - i)")).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("i"))
-          .rowsBetween(-(w - 1), 0)))
-      .filter(col("i") >= w) // full windows only
-      .select(col("doc_id") +: expr("c div 2097152L").as("h") +:
-        carry.map(col): _*)
-      .distinct()
-    graft.Engine.materialize(
-      packed
+    def build: DataFrame = {
+      val grams = docs
+        .select(col("doc_id"),
+          explode(expr(
+            s"""CASE WHEN length(text) >= $k
+                THEN sequence(1, length(text) - $k + 1)
+                ELSE CAST(array() AS ARRAY<INT>) END""")).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("i"),
+          expr(s"md5_prefix_long(substr(text, i, $k), 14) % 1000003L").as("h"))
+      grams
+        .withColumn("c", min(expr("h * 2097152L + (2097151L - i)")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))
+            .rowsBetween(-(w - 1), 0)))
+        .filter(col("i") >= w) // full windows only
+        .select(col("doc_id"), expr("c div 2097152L").as("h"))
+        .distinct()
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .filter(col("df") <= maxDocFreq)
-        .select(col("doc_id") +: col("h") +: carry.map(col): _*),
-      key = "h", name = name)
+        .select(col("doc_id"), col("h"))
+    }
+    graft.Engine.materializeShared(docs.sparkSession,
+      graft.Engine.planToken(docs, extra = s"winnow_fp:$k:$w:$maxDocFreq"),
+      build, key = "h", name = "winnow_fp")
   }
 
   /** Incremental winnowing — the new-batch × corpus twin of
@@ -395,8 +396,11 @@ object Corpus extends org.apache.spark.internal.Logging {
                              k: Int = 10, w: Int = 8,
                              minShared: Long = 5L,
                              maxDocFreq: Long = 16L): DataFrame = {
-    val fp = winnowFp(docs.withColumn("is_new", isNew), k, w, maxDocFreq,
-      carry = Seq("is_new"), name = "winnow_fp_inc")
+    // is_new is applied ON the shared fingerprint frame (doc_id, h) —
+    // `isNew` must be expressible over doc_id (any append-only ingest
+    // marker is), which lets this query ride the exact frame the full
+    // run materialized instead of re-fingerprinting the corpus
+    val fp = winnowFp(docs, k, w, maxDocFreq).withColumn("is_new", isNew)
     val n = fp.filter(col("is_new"))
       .select(col("doc_id").as("doc_n"), col("h"))
     val all = fp.select(col("doc_id").as("doc_o"), col("h"))
@@ -447,16 +451,28 @@ object Corpus extends org.apache.spark.internal.Logging {
       graft.Engine.planToken(docs, extra = s"span_dedup:$k"),
       buildSpanDedup(docs, k), key = "doc_id", name = "span_dedup")
 
-  private def buildSpanDedup(docs: DataFrame, k: Int): DataFrame = {
+  /** Materialized-SHARED (doc_id, pos, h) k-char window-hash frame —
+    * the scan-side explode + md5 is the dominant cost of the span
+    * family, and the full run ([[spanDedup]], whose output
+    * `dedup_span_clean` also rides) and the incremental run
+    * ([[spanDedupIncremental]]) consume the identical frame: build it
+    * once per (corpus, k) per session. */
+  private def spanWindows(docs: DataFrame, k: Int): DataFrame = {
     graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    graft.Engine.materializeShared(docs.sparkSession,
+      graft.Engine.planToken(docs, extra = s"span_windows:$k"),
+      docs
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("pos"),
+          expr(s"md5_prefix_long(substr(text, i, $k), 14)").as("h")),
+      key = "h", name = "span_windows")
+  }
+
+  private def buildSpanDedup(docs: DataFrame, k: Int): DataFrame = {
     val okey = col("doc_id") * lit(4294967296L) + col("pos")
-    val wins = docs
-      .filter(length(col("text")) >= k)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"))
-      .select(col("doc_id"), col("i").cast("long").as("pos"),
-        expr(s"md5_prefix_long(substr(text, i, $k), 14)").as("h"))
-    val w = graft.Engine.materialize(wins, key = "h", name = "span_wins")
+    val w = spanWindows(docs, k)
     val firsts = w.groupBy(col("h")).agg(min(okey).as("first_key"))
     val removable = w.join(firsts, Seq("h"))
       .filter(okey =!= col("first_key"))
@@ -502,16 +518,12 @@ object Corpus extends org.apache.spark.internal.Logging {
     * stay < 2^30 (the packed order key reserves the top bits). */
   def spanDedupIncremental(docs: DataFrame, isNew: Column,
                            k: Int = 40): DataFrame = {
-    graft.functions.Md5PrefixLong.register(docs.sparkSession)
-    val sw = k
-    val wins = docs
-      .withColumn("is_new", isNew)
-      .filter(length(col("text")) >= sw)
-      .select(col("doc_id"), col("is_new"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (sw - 1))).as("i"))
-      .select(col("doc_id"), col("is_new"), col("i").cast("long").as("pos"),
-        expr(s"md5_prefix_long(substr(text, i, $sw), 14)").as("h"))
-    val w = graft.Engine.materialize(wins, key = "h", name = "spani_wins")
+    // the is_new flag is applied ON the shared windows frame (it
+    // carries doc_id/pos/h only), so `isNew` must be expressible over
+    // doc_id — true of every append-only ingest marker; this is what
+    // lets the incremental run ride the SAME materialized frame the
+    // full run builds instead of re-hashing the corpus
+    val w = spanWindows(docs, k).withColumn("is_new", isNew)
     val newW = w.filter(col("is_new"))
     val oldH = w.filter(!col("is_new")).select(col("h")).distinct()
     val matched = newW.join(oldH, Seq("h"), "left_semi")
