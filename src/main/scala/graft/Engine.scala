@@ -295,8 +295,20 @@ object Engine {
     * tag, never on the built frame itself: a built frame that reads an
     * upstream checkpoint carries a fresh RDD identity each time, so
     * its own token would never hit the cache. `df` is by-name and only
-    * evaluated on a miss; `computeIfAbsent` makes concurrent same-JVM
-    * callers single-writer per token.
+    * evaluated on a miss.
+    *
+    * Builds run OUTSIDE the map lock (get → build → putIfAbsent), NOT
+    * via `computeIfAbsent`: shared builds nest — `spanDedup`'s build
+    * rides the shared span-windows frame, `bpeSegments`' rides the
+    * shared fit — and a nested `computeIfAbsent` on one
+    * ConcurrentHashMap throws IllegalStateException("Recursive
+    * update") whenever the two tokens land in the same bin. Tokens
+    * embed the per-run application id, so the collision is
+    * probabilistic PER JVM — it surfaced as a whole-run flaky failure
+    * of the span-dedup family. The trade: two concurrent first
+    * callers may both build (last-listed discards its copy; the
+    * winner's entry is returned), which is benign — callers here are
+    * single-threaded harness mains.
     *
     * Correct exactly when sources are immutable for the session (the
     * reuse-knob caveat); tokens embed the application id, so entries
@@ -310,8 +322,15 @@ object Engine {
     val share = !spark.conf.getOption("graft.materialize.share")
       .contains("false")
     if (!share) materialize(df, key, name)
-    else sharedFrames.computeIfAbsent(token,
-      _ => materialize(df, key, name))
+    else {
+      val hit = sharedFrames.get(token)
+      if (hit != null) hit
+      else {
+        val built = materialize(df, key, name)
+        val raced = sharedFrames.putIfAbsent(token, built)
+        if (raced != null) raced else built
+      }
+    }
   }
 
   /** Drop every cached [[materializeShared]] frame (test hygiene —

@@ -252,6 +252,38 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("materializeShared supports NESTED shared builds (recursive-update regression)") {
+    // spanDedup's shared build rides the shared span-windows frame and
+    // bpeSegments' rides the shared BPE fit: the outer builder calls
+    // materializeShared again for the SAME map. With computeIfAbsent
+    // this threw IllegalStateException("Recursive update") whenever
+    // the two tokens collided into one ConcurrentHashMap bin — the
+    // tokens embed the per-run application id, so it surfaced as a
+    // probabilistic whole-run failure of the span family. Exercise
+    // many outer tokens against one shared inner token so at least
+    // one pair collides with overwhelming probability.
+    Engine.clearShared()
+    try {
+      var innerBuilds = 0
+      val base = graft.sources.Sources.table(spark, sf(), "region")
+        .select($"r_regionkey".as("k"), $"r_name")
+      def inner(): org.apache.spark.sql.DataFrame =
+        Engine.materializeShared(spark,
+          Engine.planToken(base, "nested_inner"),
+          { innerBuilds += 1; base },
+          key = "k", name = "nested_inner")
+      (0 until 64).foreach { i =>
+        val outer = Engine.materializeShared(spark,
+          Engine.planToken(base, s"nested_outer_$i"),
+          inner().select($"k", lit(i).as("tag")),
+          key = "k", name = s"nested_outer_$i")
+        assert(outer.count() === 5)
+      }
+      assert(innerBuilds === 1,
+        "inner shared frame must build once across all outer builds")
+    } finally Engine.clearShared()
+  }
+
   test("materialize table names are plan-namespaced: same name, two plans, no clobber") {
     purgeMatTables("graft_mat_ns_check")
     spark.conf.set("graft.materialize.mode", "table")
