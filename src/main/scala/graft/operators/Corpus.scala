@@ -774,6 +774,25 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("weight"), col("target"), col("h32"))
   }
 
+  /** Materialized-SHARED per-doc token stats (doc_id, n_tokens,
+    * top_tok_count) — the full-corpus tokenize + two-level aggregate
+    * that FIVE registered queries need identically (corpus_stats,
+    * corpus_clean, corpus_filter, text_probe_fit, text_repetition).
+    * Parameter-free (no thresholds enter), so one frame per corpus
+    * per session serves every caller; the frame is doc-count-sized
+    * (three numeric columns), so materializing it is cheap next to
+    * the corpus-volume tokenize it saves. */
+  def docTokenStats(docs: DataFrame): DataFrame =
+    graft.Engine.materializeShared(docs.sparkSession,
+      graft.Engine.planToken(docs, extra = "doc_token_stats"),
+      docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          max(col("c")).as("top_tok_count")),
+      key = "doc_id", name = "doc_token_stats")
+
   /** Quality signals + first-failing-rule cascade (C4/Gopher shape).
     * Adds n_tokens, top_tok_count, repetition_ratio, keep,
     * drop_reason to the input rows.
@@ -787,11 +806,7 @@ object Corpus extends org.apache.spark.internal.Logging {
                     minTokens: Long = 18L,
                     maxRepetition: Double = 0.125,
                     chars: Column = length(col("text"))): DataFrame = {
-    val stats = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok_count"))
+    val stats = docTokenStats(docs)
     docs.join(stats, Seq("doc_id"))
       .withColumn("repetition_ratio",
         try_divide(col("top_tok_count"), col("n_tokens")))
@@ -977,11 +992,8 @@ object Corpus extends org.apache.spark.internal.Logging {
     * Returns per-doc (doc_id, y, score = final dot, pred, correct). */
   def probeFit(docs: DataFrame, rounds: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok"))
+    val toks = docTokenStats(docs)
+      .withColumnRenamed("top_tok_count", "top_tok")
     val feats = graft.Engine.materialize(
       docs.select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"))

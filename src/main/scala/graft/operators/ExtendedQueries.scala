@@ -626,10 +626,18 @@ object ExtendedQueries {
           cs0.join(keep, Seq("cust")),
           key = "cust", name = "sim_cs")
         val deg = cs.groupBy($"sk").agg(count(lit(1)).as("deg"))
-        val co = cs.select($"cust", $"sk".as("a"))
+        // generate each unordered pair ONCE (a < b) and mirror AFTER
+        // the aggregate: the per-customer self-join is the biggest
+        // frame in the query, and the a≠b form shipped every pair
+        // twice into the groupBy shuffle. The mirror runs on the
+        // aggregated pair frame (items × top-ish neighbors), which is
+        // orders of magnitude smaller than the pair stream at scale.
+        val half = cs.select($"cust", $"sk".as("a"))
           .join(cs.select($"cust", $"sk".as("b")), Seq("cust"))
-          .filter($"a" =!= $"b")
+          .filter($"a" < $"b")
           .groupBy($"a", $"b").agg(count(lit(1)).as("co_n"))
+        val co = half.unionAll(
+          half.select($"b".as("a"), $"a".as("b"), $"co_n"))
         // top-5 via window rank: MEASURED choice (PERF.md round-5
         // cont. 3) — on this shape (~1000 items × ~1000 scored pairs
         // each) the codegen'd sort + InferWindowGroupLimit pruning

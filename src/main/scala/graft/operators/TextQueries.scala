@@ -856,11 +856,7 @@ object TextQueries {
     "text_repetition" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select($"doc_id", explode(split($"text", " ")).as("tok"))
-          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-          .groupBy($"doc_id")
-          .agg(sum($"c").as("n_tokens"), max($"c").as("top_tok_count"))
+        Corpus.docTokenStats(docs(s, dir))
           .withColumn("repetition_ratio",
             try_divide($"top_tok_count", $"n_tokens"))
           .orderBy($"doc_id")
@@ -1170,11 +1166,7 @@ object TextQueries {
     "corpus_filter" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val stats = docs(s, dir)
-          .select($"doc_id", explode(split($"text", " ")).as("tok"))
-          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-          .groupBy($"doc_id")
-          .agg(sum($"c").as("n_tokens"), max($"c").as("top_tok_count"))
+        val stats = Corpus.docTokenStats(docs(s, dir))
         docs(s, dir).select($"doc_id", $"n_chars")
           .join(stats, Seq("doc_id"))
           .withColumn("repetition_ratio",
