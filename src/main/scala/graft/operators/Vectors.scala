@@ -459,6 +459,41 @@ object Vectors {
     cent
   }
 
+  /** [[kmeansFit]] routed through `Engine.materializeShared` — three
+    * registered queries (ivf_kmeans, ivf_kmeans_mp, sample_cluster)
+    * fit the identical (corpus, k, iters) codebook, and the fit is an
+    * `iters`-round loop over the full vector table: one session
+    * builds it once. The cached frame is k rows. */
+  def kmeansFitShared(base: DataFrame, k: Int = 8,
+                      iters: Int = 3): DataFrame =
+    graft.Engine.materializeShared(base.sparkSession,
+      graft.Engine.planToken(base, s"kmeans_fit:$k:$iters"),
+      kmeansFit(base, k, iters), key = "cluster_id", name = "kmeans_fit")
+
+  /** Materialized-SHARED full-table cell assignment over the shared
+    * codebook: (id, sv, nrm, cluster, rn, score) with rn ≤ `nprobe`.
+    * The crossJoin + per-id window is the volume cost of every IVF
+    * query; same (corpus, k, iters, nprobe) → one frame per session.
+    * `score` rides along so [[clusterSample]] (centrality ranking)
+    * and [[ivfKmeansSearch]] (shortlist + rerank) consume the SAME
+    * frame at nprobe=1. */
+  def kmeansAssign(base: DataFrame, kCells: Int, iters: Int,
+                   nprobe: Int): DataFrame =
+    graft.Engine.materializeShared(base.sparkSession,
+      graft.Engine.planToken(base, s"kmeans_asg:$kCells:$iters:$nprobe"),
+      {
+        val cent = kmeansFitShared(base, kCells, iters)
+        base.crossJoin(broadcast(cent))
+          .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
+            sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+            .orderBy(col("score").desc, col("cluster_id").asc)))
+          .filter(col("rn") <= nprobe)
+          .select(col("id"), col("sv"), col("nrm"),
+            col("cluster_id").as("cluster"), col("rn"), col("score"))
+      },
+      key = "cluster", name = "kmeans_assign")
+
   /** Cluster-balanced prototype sampling — the embedding-space
     * counterpart of `Corpus.temperatureSample` (the D4 / SemDeDup
     * family's "cover the space, not the mass" subset): fit a
@@ -484,14 +519,8 @@ object Vectors {
   def clusterSample(base: DataFrame, kCells: Int = 8, iters: Int = 3,
                     perCluster: Int = 20): DataFrame = {
     graft.functions.LongArrayDot.register(base.sparkSession)
-    val cent = kmeansFit(base, kCells, iters)
-    val asg = base.crossJoin(broadcast(cent))
-      .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
-        sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
-        .orderBy(col("score").desc, col("cluster_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("cluster_id").as("cluster"), col("score"))
+    val asg = kmeansAssign(base, kCells, iters, nprobe = 1)
+      .select(col("id"), col("cluster"), col("score"))
     val salted = asg
       .withColumn("salt", pmod(col("id"), lit(32L)))
       .withColumn("srn", row_number().over(
@@ -523,17 +552,8 @@ object Vectors {
                       queryFilter: org.apache.spark.sql.Column,
                       k: Int = 3, kCells: Int = 8,
                       iters: Int = 3, nprobe: Int = 1): DataFrame = {
-    val cent = kmeansFit(base, kCells, iters)
-    val asg = graft.Engine.materialize(
-      base.crossJoin(broadcast(cent))
-        .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
-          sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
-          .orderBy(col("score").desc, col("cluster_id").asc)))
-        .filter(col("rn") <= nprobe)
-        .select(col("id"), col("sv"), col("nrm"),
-          col("cluster_id").as("cluster"), col("rn")),
-      key = "cluster", name = "ivf_kmeans_assign")
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val asg = kmeansAssign(base, kCells, iters, nprobe)
     val c = asg.filter(col("rn") === 1)
       .select(col("id").as("cand_id"), col("sv").as("cv"),
         col("nrm").as("cn"), col("cluster"))
