@@ -774,6 +774,68 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("weight"), col("target"), col("h32"))
   }
 
+  /** Mixture sampling with data repetition — the training-mix step
+    * (the Pile / LLaMA corpus-weighting shape, arXiv:2101.00027 §2):
+    * the caller declares target mixture weights per stratum (ppm,
+    * summing to ≤ 1e6) and a total token budget; each stratum's
+    * docs are sampled — or REPEATED, when its target exceeds its
+    * size — so delivered tokens land on weight·budget in
+    * expectation. Repetition is how real mixes up-weight small
+    * high-quality sources (wiki/books run 2-5 epochs while web runs
+    * <1), and the fractional epoch is the same reproducible md5
+    * draw as [[stratifiedSample]].
+    *
+    * Fully integer-deterministic:
+    *  - avail = Σ tokens per stratum (exact long),
+    *  - target = (weight_ppm · budget) div 1e6,
+    *  - ratio_ppm = (target · 1e6) div avail — may exceed 1e6,
+    *  - n_repeats = ratio_ppm div 1e6
+    *              + [h32 · 1e6 < (ratio_ppm mod 1e6) · 2^32],
+    *    where h32 is the 32-bit md5 prefix of doc_id.
+    *
+    * Scale shape: one bounded agg, a broadcast of the strata-sized
+    * plan frame, a scan-parallel filter — no sort, no skew (each row
+    * draws independently). Overflow bound: weight_ppm · budget and
+    * target · 1e6 need budget < 9e12 tokens; beyond that, drop the
+    * ppm scale to per-mille.
+    *
+    * Strata with no declared weight are dropped (rate 0). Returns
+    * (doc_id, stratum, doc_tokens, avail_tokens, target_tokens,
+    * ratio_ppm, n_repeats) for docs with n_repeats ≥ 1; a training
+    * exporter downstream would explode n_repeats into epochs. */
+  def mixtureSample(docs: DataFrame, stratum: Column, tokens: Column,
+                    weightsPpm: Map[String, Long],
+                    budgetTokens: Long): DataFrame = {
+    val avail = docs.groupBy(stratum.as("stratum"))
+      .agg(sum(tokens).as("avail_tokens"))
+    val w = weightsPpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val plan = avail
+      .withColumn("weight_ppm", w)
+      .filter(col("weight_ppm") > 0 && col("avail_tokens") > 0)
+      .withColumn("target_tokens",
+        expr(s"(weight_ppm * ${budgetTokens}L) div 1000000"))
+      .withColumn("ratio_ppm",
+        expr("(target_tokens * 1000000) div avail_tokens"))
+      .select(col("stratum"), col("avail_tokens"),
+        col("target_tokens"), col("ratio_ppm"))
+    docs.select(col("doc_id"), stratum.as("stratum"),
+        tokens.cast("long").as("doc_tokens"))
+      .join(broadcast(plan), Seq("stratum"))
+      .withColumn("h32", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("n_repeats",
+        expr("ratio_ppm div 1000000") +
+          when(col("h32") * lit(1000000L) <
+            (col("ratio_ppm") % lit(1000000L)) * lit(4294967296L), 1L)
+            .otherwise(0L))
+      .filter(col("n_repeats") > 0)
+      .select(col("doc_id"), col("stratum"), col("doc_tokens"),
+        col("avail_tokens"), col("target_tokens"), col("ratio_ppm"),
+        col("n_repeats"))
+  }
+
   /** Materialized-SHARED per-doc token stats (doc_id, n_tokens,
     * top_tok_count) — the full-corpus tokenize + two-level aggregate
     * that FIVE registered queries need identically (corpus_stats,

@@ -1052,6 +1052,82 @@ object EventQueries {
         FROM e GROUP BY event_type ORDER BY event_type"""),
       desc = "DDSketch-style log-bucket percentile partials merged by freq-sum"),
 
+    // ── mergeable heavy hitters via per-day top-k + residual bound ──
+    // The frequent-items member of the mergeable-partial family
+    // (counts: a_sketch_merge HLL; quantiles: a_quantile_merge /
+    // a_percentile_merge): each day persists only its top-k users by
+    // (count DESC, user ASC) plus ONE residual — the (k+1)-th count,
+    // an upper bound on every user it dropped that day (Berinde et
+    // al., PODS 2009 §3's counter summary). Merging sums kept counts
+    // (est_lower) and, for days where a user was NOT kept, at most
+    // the residual can be missing (est_upper) — so the true count is
+    // provably inside [lower, upper] with NO rescan of raw events.
+    // All integers with explicit tie order → both engines replay the
+    // partials bit-for-bit, and the in_bounds verdict is the
+    // guarantee itself, not a tolerance.
+    "a_heavy_hitters" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val k = 8
+        val daily = ev(s, dir)
+          .withColumn("day_i", (epochS($"ts") / 86400L).cast(LongType))
+          .groupBy($"day_i", $"user_id").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"day_i").orderBy($"c".desc, $"user_id")))
+        val kept = daily.filter($"rn" <= k)
+          .select($"day_i", $"user_id", $"c")
+        val errs = daily.filter($"rn" === k + 1)
+          .select($"day_i", $"c".as("err_day"))
+        val errTotal = errs
+          .agg(coalesce(sum($"err_day"), lit(0L)).as("err_total"))
+        val perUser = kept.join(errs, Seq("day_i"), "left")
+          .groupBy($"user_id")
+          .agg(sum($"c").as("est_lower"),
+            sum(coalesce($"err_day", lit(0L))).as("err_covered"))
+          .crossJoin(broadcast(errTotal))
+          .select($"user_id", $"est_lower",
+            ($"est_lower" + $"err_total" - $"err_covered").as("est_upper"))
+        val exact = ev(s, dir).groupBy($"user_id")
+          .agg(count(lit(1)).as("exact_n"))
+        perUser.join(exact, Seq("user_id"))
+          .select($"user_id", $"est_lower", $"est_upper", $"exact_n",
+            ($"exact_n" >= $"est_lower" && $"exact_n" <= $"est_upper")
+              .as("in_bounds"))
+          .orderBy($"est_lower".desc, $"user_id")
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH hhd AS (
+          SELECT epoch_us(ts)//1000000//86400 AS day_i, user_id,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        hhr AS (
+          SELECT *, row_number() OVER (PARTITION BY day_i
+                      ORDER BY c DESC, user_id) AS rn
+          FROM hhd),
+        kept AS (SELECT day_i, user_id, c FROM hhr WHERE rn <= 8),
+        errs AS (SELECT day_i, c AS err_day FROM hhr WHERE rn = 9),
+        et AS (SELECT COALESCE(CAST(sum(err_day) AS BIGINT), 0)
+                 AS err_total FROM errs),
+        pu AS (
+          SELECT k.user_id,
+                 CAST(sum(k.c) AS BIGINT) AS est_lower,
+                 CAST(sum(COALESCE(e.err_day, 0)) AS BIGINT)
+                   AS err_covered
+          FROM kept k LEFT JOIN errs e ON e.day_i = k.day_i
+          GROUP BY 1),
+        ex AS (SELECT user_id, count(*) AS exact_n
+               FROM events GROUP BY 1)
+        SELECT p.user_id, p.est_lower,
+               p.est_lower + et.err_total - p.err_covered AS est_upper,
+               ex.exact_n,
+               ex.exact_n >= p.est_lower
+                 AND ex.exact_n <= p.est_lower + et.err_total
+                       - p.err_covered AS in_bounds
+        FROM pu p CROSS JOIN et JOIN ex ON ex.user_id = p.user_id
+        ORDER BY p.est_lower DESC, p.user_id LIMIT 10"""),
+      desc = "mergeable heavy hitters: per-day top-k partials + residual bounds"),
+
     // ── calendar-spine densification (sparse → dense series) ────────
     // Fill every user's missing days between their first and last
     // activity with explicit zero rows — the densification step a

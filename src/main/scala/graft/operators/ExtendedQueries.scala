@@ -597,6 +597,67 @@ object ExtendedQueries {
         ORDER BY rank_scaled DESC, node_type, key LIMIT 50"""),
       desc = "personalized PageRank: seed-restart proximity over the trade graph"),
 
+    // ── multi-source BFS hop distance from a seed set ───────────────
+    // Graphs.bfs over the same shared trade-edge frame: hop distance
+    // from seed suppliers 0-4 (the graph_ppr seed cohort) — the
+    // reachability probe beside PPR's proximity weighting. Min-plus
+    // integer iteration, 4 rounds; the explicit 10^6 sentinel stands
+    // in for +infinity (engines disagree on NULLs in least()). Per
+    // round: one equi-join + a map-side-combined min — the PR shape.
+    "graph_bfs" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val seeds = t(s, dir, "supplier").filter($"s_suppkey" < 5)
+          .select(($"s_suppkey" * 2L + 1L).as("node"))
+        Graphs.bfs(tradeEdges(s, dir), seeds, rounds = 4)
+          .select(
+            when(expr("node % 2") === 0, lit("c")).otherwise(lit("s"))
+              .as("node_type"),
+            expr("node div 2").as("key"),
+            $"dist")
+          .orderBy($"node_type", $"key")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT c AS src, p AS dst FROM e0
+          UNION ALL
+          SELECT p AS src, c AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        seeds AS (
+          SELECT DISTINCT s_suppkey * 2 + 1 AS node
+          FROM supplier WHERE s_suppkey < 5),
+        g0 AS (SELECT d.src AS node,
+                      CASE WHEN s.node IS NOT NULL
+                        THEN 0 ELSE 1000000 END AS dist
+               FROM deg d LEFT JOIN seeds s ON s.node = d.src),
+        b1 AS (SELECT e.dst AS node, min(r.dist + 1) AS reach
+               FROM edges e JOIN g0 r ON r.node = e.src GROUP BY 1),
+        g1 AS (SELECT g0.node,
+                      least(g0.dist, COALESCE(b1.reach, 1000000)) AS dist
+               FROM g0 LEFT JOIN b1 ON b1.node = g0.node),
+        b2 AS (SELECT e.dst AS node, min(r.dist + 1) AS reach
+               FROM edges e JOIN g1 r ON r.node = e.src GROUP BY 1),
+        g2 AS (SELECT g1.node,
+                      least(g1.dist, COALESCE(b2.reach, 1000000)) AS dist
+               FROM g1 LEFT JOIN b2 ON b2.node = g1.node),
+        b3 AS (SELECT e.dst AS node, min(r.dist + 1) AS reach
+               FROM edges e JOIN g2 r ON r.node = e.src GROUP BY 1),
+        g3 AS (SELECT g2.node,
+                      least(g2.dist, COALESCE(b3.reach, 1000000)) AS dist
+               FROM g2 LEFT JOIN b3 ON b3.node = g2.node),
+        b4 AS (SELECT e.dst AS node, min(r.dist + 1) AS reach
+               FROM edges e JOIN g3 r ON r.node = e.src GROUP BY 1),
+        g4 AS (SELECT g3.node,
+                      least(g3.dist, COALESCE(b4.reach, 1000000)) AS dist
+               FROM g3 LEFT JOIN b4 ON b4.node = g3.node)
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+               node // 2 AS key, CAST(dist AS BIGINT) AS dist
+        FROM g4 WHERE dist < 1000000 ORDER BY node_type, key"""),
+      desc = "fixed-round multi-source BFS hop distance over the trade graph"),
+
     // ── item-item similarity (collaborative filtering neighbors) ────
     // Supplier neighbors by Dice overlap of customer sets:
     // dice_ppm = 2·|A∩B|·1e6 div (|A|+|B|) — pure integers (cosine's

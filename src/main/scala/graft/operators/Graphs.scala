@@ -132,6 +132,57 @@ object Graphs {
     ranks
   }
 
+  /** Fixed-round multi-source BFS: hop distance from a seed set over
+    * a directed edge frame (src, dst) — the reachability/coverage
+    * probe beside [[personalizedPageRank]]'s proximity weighting
+    * (how many hops separate every entity from a seed cohort, e.g.
+    * crawl frontier depth or supplier blast-radius).
+    *
+    * Pure min-plus integer iteration, so the fixpoint is independent
+    * of partitioning and the oracle unrolls the rounds:
+    * dist_0 = 0 at seeds, UNREACHED (a large sentinel) elsewhere;
+    * dist_{i+1}(v) = min(dist_i(v), min over edges u→v of
+    * dist_i(u) + 1). A node's distance only decreases, and after r
+    * rounds every node within r hops carries its true distance.
+    * The sentinel (10^6) stands in for +∞ — explicit, not NULL,
+    * because engines disagree on NULL handling in least().
+    *
+    * Per-round plan: ONE equi-join of the materialized edge frame
+    * against the node-sized distance frame + a map-side-combined min
+    * — the pageRank shape; per-round materialize+drop keeps rounds
+    * wall-clock-linear. Returns (node, dist) for REACHED nodes only. */
+  def bfs(edges0: DataFrame, seeds0: DataFrame,
+          rounds: Int = 4): DataFrame = {
+    val spark = edges0.sparkSession
+    val unreached = 1000000L
+    val (deg, edgesDeg) = prepGraph(edges0)
+    val nodes = graft.Engine.materialize(
+      deg.select(col("src").as("node"))
+        .join(seeds0.select(col("node")).distinct()
+          .withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), 0L).otherwise(unreached).as("d0")),
+      key = "node", name = "bfs_nodes")
+    var dist = nodes.select(col("node"), col("d0").as("dist"))
+    var prevT: Option[String] = None
+    for (i <- 0 until rounds) {
+      val reach = edgesDeg
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + 1L).as("reach"))
+      val (next, nextT) = graft.Engine.materializeTracked(
+        dist.join(reach.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            least(col("dist"),
+              coalesce(col("reach"), lit(unreached))).as("dist")),
+        key = "node", name = s"bfs_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, prevT)
+      dist = next
+      prevT = nextT
+    }
+    dist.filter(col("dist") < unreached)
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as distinct (a, b) pairs with a < b.
     *

@@ -849,6 +849,53 @@ object TextQueries {
         ORDER BY d.doc_id"""),
       desc = "temperature-flattened mixture resampling (sqrt weights)"),
 
+    // ── declared-weight mixture sampling with repetition (epochs) ───
+    // The training-mix step: per-lang target weights + a token budget
+    // → per-stratum sampling ratios that may EXCEED 1 (small
+    // high-quality strata repeat for multiple epochs — the Pile /
+    // LLaMA corpus-weighting shape), integer ppm arithmetic and the
+    // same md5 draw for the fractional epoch. One bounded agg + a
+    // broadcast plan frame + a scan-parallel filter.
+    "sample_mixture" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.mixtureSample directly.
+        Corpus.mixtureSample(docs(s, dir), col("lang"), col("n_chars"),
+            weightsPpm = Map("en" -> 400000L, "zh" -> 250000L,
+              "de" -> 150000L, "fr" -> 120000L, "es" -> 80000L),
+            budgetTokens = 120000L)
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH mxa AS (
+          SELECT lang AS stratum,
+                 CAST(sum(n_chars) AS BIGINT) AS avail_tokens,
+                 CAST(CASE lang WHEN 'en' THEN 400000
+                                WHEN 'zh' THEN 250000
+                                WHEN 'de' THEN 150000
+                                WHEN 'fr' THEN 120000
+                                WHEN 'es' THEN 80000
+                                ELSE 0 END AS BIGINT) AS weight_ppm
+          FROM documents GROUP BY 1),
+        mxp AS (
+          SELECT stratum, avail_tokens,
+                 (weight_ppm * 120000) // 1000000 AS target_tokens,
+                 (((weight_ppm * 120000) // 1000000) * 1000000)
+                   // avail_tokens AS ratio_ppm
+          FROM mxa WHERE weight_ppm > 0 AND avail_tokens > 0),
+        mxd AS (
+          SELECT d.doc_id, p.stratum, d.n_chars AS doc_tokens,
+                 p.avail_tokens, p.target_tokens, p.ratio_ppm,
+                 ratio_ppm // 1000000
+                 + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                1, 8))::BIGINT * 1000000
+                             < (p.ratio_ppm % 1000000) * 4294967296
+                        THEN 1 ELSE 0 END AS n_repeats
+          FROM documents d JOIN mxp p ON d.lang = p.stratum)
+        SELECT doc_id, stratum, doc_tokens, avail_tokens, target_tokens,
+               ratio_ppm, CAST(n_repeats AS BIGINT) AS n_repeats
+        FROM mxd WHERE n_repeats > 0 ORDER BY doc_id"""),
+      desc = "declared-weight mixture sampling with epoch repetition"),
+
     // ── repetition scoring (Gopher-style quality signal) ────────────
     // A document dominated by one repeated token is boilerplate/spam;
     // score = max single-token count / total tokens. Two shuffle-

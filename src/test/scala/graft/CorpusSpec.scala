@@ -308,6 +308,39 @@ class CorpusSpec extends SparkSuite {
       "sample must be reproducible")
   }
 
+  test("mixtureSample repeats small strata whole epochs and drops unweighted ones") {
+    // a: 4 docs × 10 tokens = 40 avail, weight 750000, budget 160
+    //    → target 120, ratio exactly 3.0 → every doc exactly 3 epochs
+    // b: 4 × 10 = 40 avail, weight 250000 → target 40, ratio exactly
+    //    1.0 → every doc exactly once
+    // c: no declared weight → absent entirely
+    val docs = spark.range(0L, 12L).select($"id".as("doc_id"))
+      .withColumn("lang", element_at(array(lit("a"), lit("b"), lit("c")),
+        ($"doc_id" % 3 + 1).cast("int")))
+      .withColumn("n_chars", lit(10L))
+    val out = Corpus.mixtureSample(docs, col("lang"), col("n_chars"),
+      Map("a" -> 750000L, "b" -> 250000L), budgetTokens = 160L)
+    val reps = out.groupBy($"stratum")
+      .agg(min($"n_repeats").as("lo"), max($"n_repeats").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(reps === Map("a" -> ((3L, 3L, 4L)), "b" -> ((1L, 1L, 4L))),
+      s"integer-epoch strata must repeat exactly: $reps")
+    // fractional ratio: one stratum, target half its size → every kept
+    // doc runs once and the draw is reproducible
+    val half = Corpus.mixtureSample(docs.filter($"lang" === "a"),
+      col("lang"), col("n_chars"), Map("a" -> 1000000L),
+      budgetTokens = 20L)
+    assert(half.select($"n_repeats").distinct().collect()
+      .forall(_.getLong(0) === 1L), "sub-1 ratio must never repeat")
+    val again = Corpus.mixtureSample(docs.filter($"lang" === "a"),
+      col("lang"), col("n_chars"), Map("a" -> 1000000L), 20L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === half.select($"doc_id").as[Long].collect().toSet,
+      "mixture draw must be reproducible")
+  }
+
   test("packSequences matches a single-window reference and is partition-stable") {
     // 200 docs, 1–7 tokens each: the two-level cumsum must equal a
     // naive driver-side cumsum over the same (h, doc_id) order, and

@@ -59,6 +59,34 @@ class GraphsSpec extends SparkSuite {
     purgeMatTables("tri_")
   }
 
+  test("bfs layers the path graph and drops nodes beyond the round budget") {
+    // path 1—2—3—4—5 undirected, seed {1}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r2 = Graphs.bfs(e, seeds, rounds = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("pr_"); purgeMatTables("bfs_")
+    val r4 = Graphs.bfs(e, seeds, rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r4 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("pr_"); purgeMatTables("bfs_")
+  }
+
+  test("bfs takes the shorter of two routes to the same node") {
+    // cycle 1-2-3-4-1 plus chord 1-3, seeds {1}: dist(3) = 1 via chord
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r = Graphs.bfs(e, Seq(Tuple1(1L)).toDF("node"), rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("pr_"); purgeMatTables("bfs_")
+  }
+
   test("ranks are identical under different input partitioning") {
     val e = (1L to 40L).flatMap { i =>
       val j = i % 20 + 1
