@@ -19,21 +19,29 @@ object ExtendedQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Sources.table(s, dir, n)
 
-  /** The customer↔supplier trade graph both PageRank queries walk —
-    * built ONCE per session via the shared-frame registry (the
-    * expensive part is the lineitem⋈orders distinct; graph_pagerank
-    * and graph_ppr consume the identical frame, so the second query
-    * rides the first's materialization). */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The distinct customer–supplier trade pair frame (c = custkey·2,
+    * p = suppkey·2+1 — disjoint node ids for the bipartite graph) —
+    * built ONCE per session via the shared-frame registry. The
+    * expensive part is the lineitem⋈orders distinct; graph_pagerank,
+    * graph_ppr, graph_bfs walk it as an edge list and graph_item_sim
+    * decodes it back to (cust, sk) baskets (the encoding is
+    * bijective: c is even, p is odd), so all four ride one build. */
+  private def tradeE0(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val li = t(s, dir, "lineitem")
-    val e0 = graft.Engine.materializeShared(s,
+    graft.Engine.materializeShared(s,
       graft.Engine.planToken(li, extra = "trade_edges"),
       li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2L).as("c"),
           (col("l_suppkey") * 2L + 1L).as("p"))
         .distinct(),
       key = "c", name = "trade_e0")
+  }
+
+  /** The trade graph fed undirected: both directions of [[tradeE0]]. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e0 = tradeE0(s, dir)
     e0.select(col("c").as("src"), col("p").as("dst"))
       .union(e0.select(col("p").as("src"), col("c").as("dst")))
   }
@@ -672,10 +680,12 @@ object ExtendedQueries {
         // generation so a hot key can't go quadratic at 100 TB. No-op
         // at test scale (max degree 102 at sf0.1); Dice is computed
         // on the capped graph consistently (degrees post-cap).
-        val cs0 = t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-          .select($"o_custkey".as("cust"), $"l_suppkey".as("sk"))
-          .distinct()
+        // decode the SHARED trade pair frame back to (cust, sk):
+        // trade_e0 IS the distinct customer-supplier basket set (the
+        // ×2 / ×2+1 node encoding is bijective), so item-sim rides
+        // the same build as the three graph walks.
+        val cs0 = tradeE0(s, dir)
+          .select(expr("c div 2").as("cust"), expr("p div 2").as("sk"))
         // guard as a hash-agg + co-partitioned join, NOT a window: the
         // window form sorts the whole basket frame by cust; the count
         // frame here is one hash agg and the join reuses the distinct's
