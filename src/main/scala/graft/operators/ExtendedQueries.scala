@@ -38,6 +38,31 @@ object ExtendedQueries {
       key = "c", name = "trade_e0")
   }
 
+  /** The ≥5-shared-orders co-supplier pair frame (a < b) — the sparse
+    * unipartite graph graph_triangles counts on and graph_communities
+    * clusters; built ONCE per session via the shared-frame registry
+    * (the per-order self-join is the expensive part). The count
+    * threshold keeps a co-occurrence graph sparse as volume grows. */
+  private def coSupplierPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val li = t(s, dir, "lineitem")
+    graft.Engine.materializeShared(s,
+      graft.Engine.planToken(li, extra = "co_supplier_pairs"),
+      {
+        val ls = graft.Engine.materialize(
+          li.select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+            .distinct(),
+          key = "o", name = "tri_ls")
+        ls.select(col("o"), col("sk").as("a"))
+          .join(ls.select(col("o"), col("sk").as("b")), Seq("o"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select(col("a"), col("b"))
+      },
+      key = "a", name = "co_supp_pairs")
+  }
+
   /** The trade graph fed undirected: both directions of [[tradeE0]]. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -472,18 +497,7 @@ object ExtendedQueries {
     "graph_triangles" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val ls = graft.Engine.materialize(
-          t(s, dir, "lineitem")
-            .select($"l_orderkey".as("o"), $"l_suppkey".as("sk"))
-            .distinct(),
-          key = "o", name = "tri_ls")
-        val pairs = ls.select($"o", $"sk".as("a"))
-          .join(ls.select($"o", $"sk".as("b")), Seq("o"))
-          .filter($"a" < $"b")
-          .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
-          .filter($"w" >= 5)
-          .select($"a", $"b")
-        Graphs.triangles(pairs).orderBy($"node")
+        Graphs.triangles(coSupplierPairs(s, dir)).orderBy($"node")
       },
       oracle = Some("""
         WITH ls AS (
@@ -521,6 +535,51 @@ object ExtendedQueries {
         SELECT node, CAST(count(*) AS BIGINT) AS n_tri
         FROM corners GROUP BY 1 ORDER BY node"""),
       desc = "degree-oriented triangle counting on the co-supplier graph"),
+
+    // ── label-propagation communities over the co-supplier graph ────
+    // Graphs.labelPropagation on the SAME shared pair frame as
+    // graph_triangles: 3 synchronous rounds of adopt-the-most-
+    // frequent-neighbor-label with (count DESC, label ASC) tie order
+    // — exact integer counts, so the fixed-round fixpoint is
+    // partitioning-independent and the oracle unrolls it. Per round:
+    // one equi-join + a map-side-combined count + a max_by argmax.
+    "graph_communities" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val pairs = coSupplierPairs(s, dir)
+        val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+          .union(pairs.select($"b".as("src"), $"a".as("dst")))
+        Graphs.labelPropagation(edges, rounds = 3)
+          .orderBy($"node")
+      },
+      oracle = Some("""
+        WITH ls AS (
+          SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        pairs AS (
+          SELECT a.sk AS a, b.sk AS b
+          FROM ls a JOIN ls b ON a.o = b.o AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        g1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+               FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        l1 AS (SELECT node, lbl FROM (
+                 SELECT *, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lbl) AS rn FROM g1) WHERE rn = 1),
+        g2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+               FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        l2 AS (SELECT node, lbl FROM (
+                 SELECT *, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lbl) AS rn FROM g2) WHERE rn = 1),
+        g3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+               FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        l3 AS (SELECT node, lbl FROM (
+                 SELECT *, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lbl) AS rn FROM g3) WHERE rn = 1)
+        SELECT node, lbl AS community FROM l3 ORDER BY node"""),
+      desc = "fixed-round label-propagation communities on the co-supplier graph"),
 
     // ── personalized PageRank from a seed set ───────────────────────
     // Teleport mass concentrated on suppliers 0-4 (present and trading

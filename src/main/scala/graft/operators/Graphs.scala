@@ -183,6 +183,45 @@ object Graphs {
     dist.filter(col("dist") < unreached)
   }
 
+  /** Fixed-round synchronous label propagation (LPA community
+    * detection, Raghavan et al. 2007) over a directed edge frame:
+    * every node starts as its own label; each round it adopts the
+    * most frequent label among its in-neighbors, ties broken by the
+    * SMALLEST label — exact integer counts + explicit tie order make
+    * the fixed-round fixpoint partitioning-independent, so the
+    * oracle unrolls the rounds (the pageRank contract). Synchronous
+    * updates (all nodes flip on the previous round's labels), so no
+    * sequential-scan order enters.
+    *
+    * Per-round plan: one equi-join of the materialized edge frame
+    * against the node-sized label frame, a map-side-combined
+    * (node, label) count, then a max_by argmax — no window sort.
+    * Returns (node, community). */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = edges0.sparkSession
+    val (deg, edgesDeg) = prepGraph(edges0)
+    var labels = deg.select(col("src").as("node"), col("src").as("lbl"))
+    var prevT: Option[String] = None
+    for (i <- 0 until rounds) {
+      val gathered = edgesDeg.select(col("src"), col("dst"))
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val (next, nextT) = graft.Engine.materializeTracked(
+        gathered.groupBy(col("dst"))
+          // argmax by (count DESC, label ASC): labels are unique
+          // within a group, so (c, -lbl) has no ties and max_by is
+          // deterministic
+          .agg(max_by(col("lbl"),
+            struct(col("c"), (-col("lbl")).as("neg"))).as("lbl"))
+          .select(col("dst").as("node"), col("lbl")),
+        key = "node", name = s"lpa_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, prevT)
+      labels = next
+      prevT = nextT
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as distinct (a, b) pairs with a < b.
     *

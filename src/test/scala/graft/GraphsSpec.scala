@@ -87,6 +87,21 @@ class GraphsSpec extends SparkSuite {
     purgeMatTables("pr_"); purgeMatTables("bfs_")
   }
 
+  test("labelPropagation converges two disjoint triangles to their min labels") {
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val e = (tri1 ++ tri2)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r = Graphs.labelPropagation(e, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: 1→2, 2→1, 3→1 / 4→5, 5→4, 6→4; round 2 pulls everyone
+    // onto the minimum; round 3 is stable
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("pr_"); purgeMatTables("lpa_")
+  }
+
   test("ranks are identical under different input partitioning") {
     val e = (1L to 40L).flatMap { i =>
       val j = i % 20 + 1
