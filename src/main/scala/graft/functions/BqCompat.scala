@@ -94,13 +94,16 @@ object BqCompat {
     max_by(v, struct(keys.map(nullsLastKeyDesc): _*))
 
   /** Floor division for a strictly-positive divisor, exact in Long.
-    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
-    * the two agree only for non-negative dividends. With den > 0,
-    * floor differs from truncation exactly when the dividend is
-    * negative with a remainder, so one conditional decrement restores
-    * parity without routing through double/decimal division (which
-    * loses exactness past 2^53). Callers must guarantee den > 0
-    * (e.g. a span filter or a count). */
+    * BOTH Spark's `div` and DuckDB v1.0.0's integer `//` truncate
+    * toward zero (verified: -881205 // 67425 = -13 in DuckDB, not
+    * -14), so a floor-semantics query must adjust on BOTH sides: this
+    * helper on the Spark side, and the same conditional decrement as
+    * an explicit CASE in the DuckDB oracle. With den > 0, floor
+    * differs from truncation exactly when the dividend is negative
+    * with a remainder, so one conditional decrement suffices without
+    * routing through double/decimal division (which loses exactness
+    * past 2^53). Callers must guarantee den > 0 (e.g. a span filter
+    * or a count). */
   def floorDivPos(num: Column, den: Column): Column =
     (call_function("div", num, den) -
       when(num % den =!= 0 && num < 0, 1L).otherwise(0L)).cast(LongType)

@@ -618,8 +618,9 @@ object EventQueries {
                sum($"cents" * $"gap").as("mass"))
           .filter($"span_s" > 0)
           // floorDivPos, not `div`: mass goes negative on refund-style
-          // negative values, where Spark's trunc-div and DuckDB's
-          // floor-`//` disagree; span_s > 0 is filtered above.
+          // negative values; BOTH engines truncate toward zero
+          // natively (Spark div, DuckDB v1.0.0 //), so both sides
+          // carry the explicit floor adjustment. span_s > 0 above.
           .select($"user_id", $"n", $"span_s",
             floorDivPos($"mass", $"span_s").as("twa_cents"))
           .orderBy($"user_id")
@@ -639,7 +640,12 @@ object EventQueries {
                  max(es) - min(es) AS span_s,
                  CAST(sum(cents * gap) AS BIGINT) AS mass
           FROM led GROUP BY 1)
-        SELECT user_id, n, span_s, mass // span_s AS twa_cents
+        -- DuckDB integer // truncates toward zero (v1.0.0); adjust to
+        -- floor exactly as the Spark side's BqCompat.floorDivPos, so
+        -- the twins agree when mass nets negative (refund-style)
+        SELECT user_id, n, span_s,
+               mass // span_s - CASE WHEN mass < 0 AND mass % span_s <> 0
+                                THEN 1 ELSE 0 END AS twa_cents
         FROM agg WHERE span_s > 0 ORDER BY user_id"""),
       desc = "time-weighted average: hold-until-next weighting in cents·seconds"),
 
@@ -717,9 +723,10 @@ object EventQueries {
         val stats = base.groupBy($"event_type")
           .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
                sum($"cents" * $"cents").as("s2"))
-          // mean_c via floorDivPos: s is negative when a group's
-          // values net negative, where trunc-div diverges from the
-          // oracle's floor-`//`. s2 ≥ 0 always, plain div is safe.
+          // mean_c via floorDivPos, with the SAME explicit floor
+          // adjustment spelled out in the oracle (DuckDB's integer //
+          // truncates toward zero, v1.0.0 — both engines must floor
+          // for a negative s). s2 ≥ 0 always, plain div is safe.
           .withColumn("mean_c", floorDivPos($"s", $"n"))
           .withColumn("var_c2", expr("s2 div n - mean_c * mean_c"))
         base.join(broadcast(stats), Seq("event_type"))
@@ -742,10 +749,15 @@ object EventQueries {
                  CAST(sum(cents) AS BIGINT) AS s,
                  CAST(sum(cents * cents) AS BIGINT) AS s2
           FROM base GROUP BY 1),
+        stm AS (
+          -- floor-adjusted mean: DuckDB // truncates toward zero
+          SELECT *, s // n - CASE WHEN s < 0 AND s % n <> 0
+                             THEN 1 ELSE 0 END AS mean_c
+          FROM stats),
         st AS (
-          SELECT event_type, n, s // n AS mean_c,
-                 s2 // n - (s // n) * (s // n) AS var_c2
-          FROM stats)
+          SELECT event_type, n, mean_c,
+                 s2 // n - mean_c * mean_c AS var_c2
+          FROM stm)
         SELECT b.event_type, min(st.n) AS n, min(st.mean_c) AS mean_c,
                min(st.var_c2) AS var_c2,
                CAST(sum(CASE WHEN (b.cents - st.mean_c) * (b.cents - st.mean_c)
@@ -1127,6 +1139,97 @@ object EventQueries {
         FROM pu p CROSS JOIN et JOIN ex ON ex.user_id = p.user_id
         ORDER BY p.est_lower DESC, p.user_id LIMIT 10"""),
       desc = "mergeable heavy hitters: per-day top-k partials + residual bounds"),
+
+    // ── per-group OLS trend (integer least squares over daily means) ─
+    // The trend-detection sibling of dq_anomaly's level check: slope
+    // of the per-day integer mean (cents) against the day index, per
+    // event type. Regressing the DAILY aggregate — not raw rows —
+    // bounds every sum by calendar² · value-range, so the arithmetic
+    // is corpus-size-INDEPENDENT (a raw-row x·y sum at 1e6-scale
+    // overflows long by sf0.1). Closed form with x shifted to the
+    // group's first day (slope is shift-invariant):
+    //   num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²,
+    //   slope_pml = floor(num·1000 / den) — staged as q·1000 +
+    //   floor(r·1000/den) so the intermediate never exceeds den·1000.
+    //   BOTH engines truncate integer division toward zero (Spark
+    //   div, DuckDB v1.0.0 //), so both sides carry the explicit
+    //   floor adjustment (floorDivPos here, a CASE in the oracle) —
+    //   verified empirically: -881205 // 67425 = -13 in DuckDB.
+    "a_regression" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .withColumn("day_i", (epochS($"ts") / 86400L).cast(LongType))
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .groupBy($"event_type", $"day_i")
+          .agg(floorDivPos(sum($"cents"), count(lit(1))).as("mean_c"))
+        val stats = daily
+          .withColumn("d0", min($"day_i").over(
+            Window.partitionBy($"event_type")))
+          .withColumn("x", $"day_i" - $"d0")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"), sum($"x").as("sx"),
+            sum($"mean_c").as("sy"), sum($"x" * $"mean_c").as("sxy"),
+            sum($"x" * $"x").as("sxx"))
+          .withColumn("num", $"n_days" * $"sxy" - $"sx" * $"sy")
+          .withColumn("den", $"n_days" * $"sxx" - $"sx" * $"sx")
+          .filter($"den" > 0)
+        stats
+          .withColumn("q", floorDivPos($"num", $"den"))
+          .withColumn("r", $"num" - $"q" * $"den")
+          .withColumn("slope_pml",
+            $"q" * 1000L + floorDivPos($"r" * 1000L, $"den"))
+          .withColumn("intercept_pml",
+            floorDivPos($"sy" * 1000L - $"slope_pml" * $"sx", $"n_days"))
+          .select($"event_type", $"n_days", $"slope_pml", $"intercept_pml")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH rd0 AS (
+          SELECT event_type, epoch_us(ts)//1000000//86400 AS day_i,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS sc,
+                 count(*) AS nd
+          FROM events GROUP BY 1, 2),
+        rd AS (
+          -- floor-adjusted daily mean (DuckDB // truncates to zero)
+          SELECT event_type, day_i,
+                 sc // nd - CASE WHEN sc < 0 AND sc % nd <> 0
+                            THEN 1 ELSE 0 END AS mean_c
+          FROM rd0),
+        rx AS (
+          SELECT event_type, mean_c,
+                 day_i - min(day_i) OVER (PARTITION BY event_type) AS x
+          FROM rd),
+        rs AS (
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(mean_c) AS BIGINT) AS sy,
+                 CAST(sum(x * mean_c) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM rx GROUP BY 1),
+        rn AS (
+          SELECT *, n_days * sxy - sx * sy AS num,
+                 n_days * sxx - sx * sx AS den
+          FROM rs WHERE n_days * sxx - sx * sx > 0),
+        rq AS (
+          -- DuckDB integer // truncates toward zero (like Spark div);
+          -- adjust to floor exactly as BqCompat.floorDivPos does
+          SELECT *,
+                 num // den - CASE WHEN num < 0 AND num % den <> 0
+                              THEN 1 ELSE 0 END AS q
+          FROM rn),
+        rr AS (
+          SELECT *, num - q * den AS r FROM rq),
+        rsl AS (
+          SELECT *, q * 1000 + (r * 1000) // den AS slope_pml FROM rr),
+        ri AS (
+          SELECT *, sy * 1000 - slope_pml * sx AS inum FROM rsl)
+        SELECT event_type, n_days, slope_pml,
+               inum // n_days - CASE WHEN inum < 0 AND inum % n_days <> 0
+                                THEN 1 ELSE 0 END AS intercept_pml
+        FROM ri ORDER BY event_type"""),
+      desc = "per-group integer OLS trend over daily means (staged floor div)"),
 
     // ── calendar-spine densification (sparse → dense series) ────────
     // Fill every user's missing days between their first and last

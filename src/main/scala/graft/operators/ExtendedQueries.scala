@@ -904,6 +904,66 @@ object ExtendedQueries {
         ORDER BY col_name"""),
       desc = "per-column rows/nulls/exact-distinct profile (pruned passes)"),
 
+    // ── declarative schema expectations (the dbt-test analog) ───────
+    // Dq.expectations running dbt's four built-in schema tests over
+    // the warehouse tables: unique / not_null / accepted_values /
+    // relationships, each one column-pruned aggregate → one report
+    // row. The composite lineitem key test FAILS on this synthetic
+    // data (duplicated (orderkey, linenumber) pairs) — failing tests
+    // report pass=false, they don't throw; a CI gate decides.
+    "dq_expectations" -> Q(
+      fn = (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val c = t(s, dir, "customer")
+        Dq.expectations(Seq(
+          Dq.unique("orders", o, Seq("o_orderkey")),
+          Dq.unique("lineitem", l, Seq("l_orderkey", "l_linenumber")),
+          Dq.notNull("orders", o, "o_custkey"),
+          Dq.acceptedValues("orders", o, "o_orderstatus",
+            Seq("O", "F", "P")),
+          Dq.relationship("lineitem", l, "l_orderkey", o, "o_orderkey"),
+          Dq.relationship("orders", o, "o_custkey", c, "c_custkey")))
+      },
+      oracle = Some("""
+        WITH checks AS (
+          SELECT 'orders' AS tbl, 'o_orderkey' AS col_name,
+                 'unique' AS test,
+                 CAST((SELECT count(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY 1 HAVING count(*) > 1)) AS BIGINT)
+                   AS n_violations
+          UNION ALL
+          SELECT 'lineitem', 'l_orderkey+l_linenumber', 'unique',
+                 CAST((SELECT count(*) FROM (
+                   SELECT l_orderkey, l_linenumber FROM lineitem
+                   GROUP BY 1, 2 HAVING count(*) > 1)) AS BIGINT)
+          UNION ALL
+          SELECT 'orders', 'o_custkey', 'not_null',
+                 CAST((SELECT count(*) - count(o_custkey) FROM orders)
+                   AS BIGINT)
+          UNION ALL
+          SELECT 'orders', 'o_orderstatus', 'accepted_values',
+                 CAST((SELECT count(*) FROM orders
+                   WHERE o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+          UNION ALL
+          SELECT 'lineitem', 'l_orderkey', 'relationships',
+                 CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+          UNION ALL
+          SELECT 'orders', 'o_custkey', 'relationships',
+                 CAST((SELECT count(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
+        SELECT tbl, col_name, test, n_violations,
+               n_violations = 0 AS pass
+        FROM checks ORDER BY tbl, col_name, test"""),
+      desc = "dbt-style schema tests: unique/not_null/accepted_values/relationships"),
+
     // ── native bounded-heap top-k per group ─────────────────────────
     // The TopKMin TypedImperativeAggregate (functions/TopKAgg.scala):
     // map-side partial heaps stream each task's slice into ≤ k rows
