@@ -90,4 +90,38 @@ class EmptyInputSpec extends SparkSuite {
       noDocs, lit(true)).count() === 0)
     graft.Engine.dropAllMaterialized(spark)
   }
+
+  test("bfs, label propagation, mixture sampling, and dq degrade cleanly") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val noSeeds = Seq.empty[Tuple1[Long]].toDF("node")
+    // no seeds: every node stays at the sentinel → empty result
+    assert(graft.operators.Graphs.bfs(edges, noSeeds, rounds = 2)
+      .count() === 0)
+    graft.Engine.dropAllMaterialized(spark)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graphs.bfs(noEdges,
+      Seq(Tuple1(1L)).toDF("node"), rounds = 1).count() === 0)
+    graft.Engine.dropAllMaterialized(spark)
+    assert(graft.operators.Graphs.labelPropagation(noEdges, rounds = 1)
+      .count() === 0)
+    graft.Engine.dropAllMaterialized(spark)
+    // mixture: no declared weights → nothing sampled; empty corpus → empty
+    val docs = Seq((1L, "en", 10L), (2L, "fr", 20L))
+      .toDF("doc_id", "lang", "n_chars")
+    assert(graft.operators.Corpus.mixtureSample(docs, col("lang"),
+      col("n_chars"), Map.empty, budgetTokens = 100L).count() === 0)
+    assert(graft.operators.Corpus.mixtureSample(docs.limit(0), col("lang"),
+      col("n_chars"), Map("en" -> 1000000L), 100L).count() === 0)
+    // dq checks over an empty frame: one zero-violation row each
+    val none = docs.limit(0)
+    val rep = graft.operators.Dq.expectations(Seq(
+      graft.operators.Dq.unique("d", none, Seq("doc_id")),
+      graft.operators.Dq.notNull("d", none, "lang"),
+      graft.operators.Dq.acceptedValues("d", none, "lang", Seq("en")),
+      graft.operators.Dq.relationship("d", none, "doc_id", none, "doc_id")))
+      .collect()
+    assert(rep.length === 4 && rep.forall(_.getAs[Boolean]("pass")),
+      s"empty-input dq must pass all checks: ${rep.mkString(";")}")
+  }
 }
