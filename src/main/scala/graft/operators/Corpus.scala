@@ -1169,6 +1169,62 @@ object Corpus extends org.apache.spark.internal.Logging {
       .withColumn("contaminated", col("n_matched") >= lit(minShared))
   }
 
+  /** Mergeable Bloom-filter membership probe — [[contamination]]'s
+    * at-scale sibling (Bloom, CACM 1970): the train side persists only
+    * its SET BIT POSITIONS (k md5-derived hashes per n-gram into an
+    * m-bit space), a fixed-size partial that merges across
+    * shards/batches by plain set union — the train corpus itself is
+    * never re-scanned at probe time. An eval gram "hits" iff all k of
+    * its positions are set: no false negatives by construction
+    * (every train gram set all its positions), false positives at the
+    * classic (1−e^(−kn/m))^k rate. The exact per-gram train join runs
+    * beside the probe as the self-audit twin (the a_sketch_merge /
+    * corpus_overlap contract): n_false_pos = n_bloom − n_exact is the
+    * measured slack, and no_false_neg is the structural guarantee.
+    *
+    * All hash arithmetic is md5-prefix integers mod mBits — exact and
+    * engine-portable, so the driver oracle replays the filter
+    * bit-for-bit. Scale shape: bit-position frames are ≤ mBits rows
+    * (broadcast-able); the ×k position explode runs over DISTINCT
+    * (doc, gram) pairs only. Returns per eval doc: (doc_id, n_grams,
+    * n_exact, n_bloom, n_false_pos, no_false_neg). */
+  def bloomMembership(docs: DataFrame, isEval: Column, n: Int = 5,
+                      mBits: Long = 262144L, kHash: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(kHash >= 1, "kHash must be >= 1")
+    val base = docs.select(col("doc_id"), isEval.as("is_eval"),
+      split(col("text"), " ").as("toks"))
+    val grams = base.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          s"concat_ws(' ', slice(toks, i + 1, $n)))")).as("gs"))
+      .distinct()
+    def pos(i: Int) = expr(
+      s"CAST(conv(substring(md5(concat(gs, '#$i')), 1, 8), 16, 10) AS BIGINT)" +
+        s" % ${mBits}L")
+    val posArr = array((1 to kHash).map(pos): _*)
+    val trainBits = grams.filter(!col("is_eval"))
+      .select(explode(posArr).as("pos")).distinct()
+    val trainGrams = grams.filter(!col("is_eval"))
+      .select(col("gs")).distinct()
+    val evalBloom = grams.filter(col("is_eval"))
+      .select(col("doc_id"), col("gs"), explode(posArr).as("pos"))
+      .join(trainBits.withColumn("hit", lit(1L)), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("gs"))
+      .agg(min(coalesce(col("hit"), lit(0L))).as("bloom_hit"))
+    val evalExact = grams.filter(col("is_eval"))
+      .join(trainGrams.withColumn("ex", lit(1L)), Seq("gs"), "left")
+      .select(col("doc_id"), col("gs"),
+        coalesce(col("ex"), lit(0L)).as("exact_hit"))
+    evalBloom.join(evalExact, Seq("doc_id", "gs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("exact_hit")).as("n_exact"),
+        sum(col("bloom_hit")).as("n_bloom"))
+      .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+      .withColumn("no_false_neg", col("n_bloom") >= col("n_exact"))
+  }
+
   /** Deterministic training-shard assignment — the pipeline's last
     * mile: `corpus_clean` representatives + `text_split_assign` splits
     * end here, as size-balanced, deterministically-shuffled shards a

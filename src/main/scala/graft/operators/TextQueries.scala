@@ -1018,6 +1018,69 @@ object TextQueries {
         ORDER BY b.doc_id"""),
       desc = "exact 5-gram decontamination: eval docs probed against train grams"),
 
+    // ── mergeable Bloom membership probe (contamination at scale) ───
+    // Corpus.bloomMembership: the train side persists only its set
+    // BIT POSITIONS (k=3 md5 hashes per 5-gram into 2^18 bits) — a
+    // fixed-size partial merging across shards by set union, never
+    // re-scanning the train corpus at probe time. No false negatives
+    // by construction; the exact join runs beside it as the
+    // self-audit twin and n_false_pos is the measured slack. Same
+    // eval split as text_contamination.
+    "text_bloom_probe" -> Q(
+      fn = (s, dir) => {
+        val h = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 10")
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.bloomMembership directly.
+        Corpus.bloomMembership(docs(s, dir), isEval = h >= 8,
+            n = 5, mBits = 262144L, kHash = 3)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH bp_base AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                   % 10 >= 8 AS is_eval,
+                 string_split(text, ' ') AS toks
+          FROM documents),
+        bp_g AS (
+          SELECT DISTINCT doc_id, is_eval,
+            array_to_string(
+               list_transform(range(i, i + 5), j -> toks[j]), ' ') AS gs
+          FROM bp_base, unnest(range(1, len(toks) - 5 + 2)) AS t(i)
+          WHERE len(toks) >= 5),
+        bp_p AS (
+          SELECT doc_id, is_eval, gs,
+                 unnest([
+                   ('0x' || substr(md5(gs || '#1'), 1, 8))::BIGINT % 262144,
+                   ('0x' || substr(md5(gs || '#2'), 1, 8))::BIGINT % 262144,
+                   ('0x' || substr(md5(gs || '#3'), 1, 8))::BIGINT % 262144
+                 ]) AS pos
+          FROM bp_g),
+        bp_bits AS (SELECT DISTINCT pos FROM bp_p WHERE NOT is_eval),
+        bp_train AS (SELECT DISTINCT gs FROM bp_g WHERE NOT is_eval),
+        bp_bloom AS (
+          SELECT e.doc_id, e.gs,
+                 min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   AS bloom_hit
+          FROM bp_p e LEFT JOIN bp_bits b ON b.pos = e.pos
+          WHERE e.is_eval GROUP BY 1, 2),
+        bp_exact AS (
+          SELECT e.doc_id, e.gs,
+                 CASE WHEN t.gs IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+          FROM bp_g e LEFT JOIN bp_train t ON t.gs = e.gs
+          WHERE e.is_eval)
+        SELECT b.doc_id, count(*) AS n_grams,
+               CAST(sum(x.exact_hit) AS BIGINT) AS n_exact,
+               CAST(sum(b.bloom_hit) AS BIGINT) AS n_bloom,
+               CAST(sum(b.bloom_hit) - sum(x.exact_hit) AS BIGINT)
+                 AS n_false_pos,
+               sum(b.bloom_hit) >= sum(x.exact_hit) AS no_false_neg
+        FROM bp_bloom b JOIN bp_exact x
+          ON x.doc_id = b.doc_id AND x.gs = b.gs
+        GROUP BY b.doc_id ORDER BY b.doc_id"""),
+      desc = "mergeable Bloom membership partials beside the exact twin"),
+
     // ── exact duplicated-substring spans (ExactSubstr) ──────────────
     // Lee et al. ACL 2022's second dedup axis: substring-granular
     // removal spans, not whole-doc verdicts. Keep-first in global
