@@ -127,6 +127,22 @@ class PlanAuditSpec extends SparkSuite {
       s"knn_lsh query-filter scan reads the embedding column:\n$pLsh")
   }
 
+  test("k-means consumers ride the shared codebook and assignment frame") {
+    // kmeansFitShared/kmeansAssign route the iters-round fit and the
+    // crossJoin+window cell assignment through materializeShared
+    // (round-6): building any consumer materializes them eagerly, so
+    // sample_cluster's FINAL plan — a pure consumer of the nprobe=1
+    // assignment — must read the checkpoint only: no parquet re-scan
+    // of embeddings, no long_dot recompute downstream. (ivf_kmeans
+    // legitimately scans for its query side and reranks with
+    // long_dot, so the strict pin is on sample_cluster.)
+    val p = plan(SparkEntry.queries("sample_cluster")(spark, sf()))
+    assert(!p.contains("Scan parquet"),
+      s"sample_cluster re-scans parquet downstream of the shared assignment:\n$p")
+    assert(!p.toLowerCase.contains("long_dot"),
+      s"sample_cluster recomputes centroid scores downstream:\n$p")
+  }
+
   test("lshSearch derives its query side by semi-join, not a banded filter") {
     graft.functions.LongArrayDot.register(spark)
     val base = graft.operators.Vectors.quantize(
