@@ -165,12 +165,33 @@ object ScaleProbe {
         graft.operators.Graphs.pageRank(
           e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
           rounds = 3)
+      },
+      "bfs" -> { k =>
+        // same stand-in graph, seeded at hub 0: per-round min-plus
+        // join is edges-linear like the pagerank round
+        val e0 = docFrac(k).select(col("doc_id").as("src"),
+          (col("doc_id") % 97).as("dst")).filter(col("src") =!= col("dst"))
+        graft.operators.Graphs.bfs(
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+          spark.range(1).select(lit(0L).as("node")), rounds = 3)
+      },
+      "bloom_probe" -> { k =>
+        // gram-linear: ×3 position explode over distinct grams, bit
+        // frames bounded by mBits
+        val h = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+          "1, 2), 16, 10) AS BIGINT) % 10")
+        Corpus.bloomMembership(docFrac(k), isEval = h >= 8)
       })
 
     // warmup: absorb session/codegen/footer costs outside the timings
     docs.count(); emb.count()
 
-    ops.foreach { case (name, build) =>
+    // SPARK_GRAFT_PROBES=a,b — iterate-locally subset filter (the
+    // Bench SPARK_GRAFT_QUERIES convention); unset = all probes
+    val only = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    ops.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, build) =>
       // per-op prewarm at the smallest fraction: codegen/JIT for this
       // op's operators would otherwise land entirely on the first
       // timed point and push the fitted exponent negative
