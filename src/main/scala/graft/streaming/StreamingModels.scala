@@ -252,6 +252,75 @@ object StreamingModels {
         }
       }
 
+  case class HHEvt(user_id: Long, ts: java.sql.Timestamp)
+  case class HHState(counts: Map[Long, (Long, Long)])
+  case class HHOut(day_i: Long, rank: Int, user_id: Long,
+                   est: Long, err: Long)
+
+  /** Streaming heavy hitters — the streaming member of the
+    * frequent-items family beside the batch `a_heavy_hitters`
+    * mergeable partials: per event-time DAY, a SpaceSaving summary
+    * (Metwally et al., ICDT 2005) of at most `k` counters lives in
+    * group state; an unseen key past capacity evicts the minimum
+    * counter and inherits its count as its error bound. Bounded
+    * state (k counters per open day) on an unbounded keyspace — the
+    * 100 TB requirement plain per-key counting cannot meet.
+    *
+    * Guarantees (the SpaceSaving invariants, spec-asserted):
+    * true(u) ≤ est(u) ≤ true(u) + err(u) for every emitted counter,
+    * and Σ est over the summary = the day's event count. The summary
+    * depends on arrival order ACROSS triggers (inherent to streaming
+    * sketches); within a trigger, events fold in (ts, user) order so
+    * replays are deterministic. The day's top-k emits once, when the
+    * watermark passes day end (Append mode, event-time timeout). */
+  def heavyHittersStream(events: Dataset[HHEvt], k: Int = 8,
+                         delayThreshold: String = "0 seconds")
+      : Dataset[HHOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.ts.getTime / 1000L / 86400L)
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (dayI, evts, state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            val m = state.get.counts
+            state.remove()
+            m.toSeq
+              .sortBy { case (u, (c, _)) => (-c, u) }
+              .take(k)
+              .zipWithIndex
+              .map { case ((u, (c, e)), i) => HHOut(dayI, i + 1, u, c, e) }
+              .iterator
+          } else {
+            val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            val m0 = state.getOption.getOrElse(HHState(Map.empty)).counts
+            val m = sorted.foldLeft(m0) { (m, e) =>
+              val u = e.user_id
+              m.get(u) match {
+                case Some((c, err)) => m.updated(u, (c + 1, err))
+                case None if m.size < k => m.updated(u, (1L, 0L))
+                case None =>
+                  // evict the deterministic minimum (count, then key);
+                  // the newcomer inherits its count as the error bound
+                  val (vu, (vc, _)) =
+                    m.minBy { case (uu, (cc, _)) => (cc, uu) }
+                  (m - vu).updated(u, (vc + 1L, vc))
+              }
+            }
+            state.update(HHState(m))
+            // day end, clamped above the current watermark: a
+            // non-zero delay can admit an old-day straggler after the
+            // watermark passed its day end, where a bare past
+            // timestamp would throw
+            state.setTimeoutTimestamp(math.max(
+              (dayI + 1L) * 86400L * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   case class Evt(user_id: Long, event_type: String, tsSec: Long)
   case class SessionState(n: Long, firstSec: Long, lastSec: Long)
   case class SessionOut(user_id: Long, n_events: Long, span_s: Long)

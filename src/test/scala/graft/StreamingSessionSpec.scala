@@ -13,6 +13,53 @@ class StreamingSessionSpec extends SparkSuite {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
+  test("streaming heavy hitters emit a bounded day summary with SpaceSaving bounds") {
+    import graft.streaming.StreamingModels.{HHEvt, HHOut}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[HHEvt]
+    val q = StreamingModels.heavyHittersStream(in.toDS(), k = 3)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hh").start()
+    try {
+      // day 0 (epoch day): heavy user 100 (6 events) + 5 light users
+      // (2 each) through a 3-counter summary, across two triggers
+      val day0 = (1 to 3).map(i => HHEvt(100L, ts(1000L + i))) ++
+        Seq(HHEvt(1L, ts(2000)), HHEvt(2L, ts(2100)), HHEvt(3L, ts(2200)))
+      in.addData(day0: _*)
+      q.processAllAvailable()
+      val day0b = (4 to 6).map(i => HHEvt(100L, ts(3000L + i))) ++
+        Seq(HHEvt(1L, ts(4000)), HHEvt(2L, ts(4100)), HHEvt(3L, ts(4200)),
+          HHEvt(4L, ts(4300)), HHEvt(5L, ts(4400)))
+      in.addData(day0b: _*)
+      q.processAllAvailable()
+      assert(spark.table("hh").count() === 0, "day still open")
+
+      // next-day event advances the watermark past day 0's end →
+      // the day-0 summary times out and emits its top-3
+      in.addData(HHEvt(9L, ts(86400L + 10L)))
+      q.processAllAvailable()
+      in.addData(HHEvt(9L, ts(86400L + 11L)))
+      q.processAllAvailable()
+
+      val got = spark.table("hh").as[HHOut].collect().sortBy(_.rank)
+      assert(got.length === 3, s"summary must emit exactly k rows: ${got.toSeq}")
+      assert(got.forall(_.day_i === 0L))
+      // true counts: 100→6, users 1-3→2, 4-5→1 (14 events total)
+      val truth = Map(100L -> 6L, 1L -> 2L, 2L -> 2L, 3L -> 2L,
+        4L -> 1L, 5L -> 1L)
+      got.foreach { h =>
+        val t = truth(h.user_id)
+        assert(t <= h.est && h.est <= t + h.err,
+          s"SpaceSaving bound violated for ${h.user_id}: est=${h.est} " +
+            s"err=${h.err} true=$t")
+      }
+      // the heavy user must surface at rank 1 with an exact count
+      // (it entered the summary before capacity pressure)
+      assert(got.head.user_id === 100L && got.head.est === 6L &&
+        got.head.err === 0L, s"heavy user wrong: ${got.head}")
+    } finally q.stop()
+  }
+
   test("sessions close on gap within a batch and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessEvt]
