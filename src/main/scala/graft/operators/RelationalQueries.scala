@@ -402,6 +402,83 @@ object RelationalQueries {
                       ORDER BY lev ASC, nm ASC) AS rk
           FROM cand)
         SELECT qnm, nm, lev FROM ranked WHERE rk = 1 ORDER BY qnm"""),
-      desc = "blocked levenshtein join: typo queries resolved to the catalog")
+      desc = "blocked levenshtein join: typo queries resolved to the catalog"),
+
+    // ── entity resolution: block → match → cluster → canonicalize ───
+    // The full ER pipeline (the corpus_clean of the entity axis):
+    // mentions = catalog names ∪ their typo variants; match edges =
+    // levenshtein ≤ 2 inside (last word, first char) blocks (the
+    // j_fuzzy_block scheme — never an all-pairs name product); then
+    // Corpus.connectedComponents clusters transitively-linked
+    // mentions (A~B, B~C puts A,C in one entity even at lev(A,C)=4 —
+    // what the pairwise join alone cannot express) and each cluster
+    // canonicalizes to its min mention. Node ids are 56-bit md5
+    // prefixes of the mention string (the shingle-hash idiom; no
+    // global id-assignment window at scale). Singleton mentions
+    // resolve to themselves via the left join.
+    "er_resolve" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val names = t(s, dir, "part").select($"p_name".as("m")).distinct()
+        val typos = names
+          .select(concat(substring($"m", 1, 2), substring($"m", 4, 100000))
+            .as("m")).distinct()
+        val mentions = names.unionByName(typos).distinct()
+          .withColumn("mid", expr(
+            "CAST(conv(substring(md5(m), 1, 14), 16, 10) AS BIGINT)"))
+        val mk = mentions
+          .withColumn("k1", element_at(split($"m", " "), -1))
+          .withColumn("k2", substring($"m", 1, 1))
+        val pairs = mk.select($"k1", $"k2", $"m".as("ma"), $"mid".as("ida"))
+          .join(mk.select($"k1", $"k2", $"m".as("mb"), $"mid".as("idb")),
+            Seq("k1", "k2"))
+          .filter($"ida" < $"idb" && levenshtein($"ma", $"mb") <= 2)
+          .select($"ida".as("src"), $"idb".as("dst"))
+        val labels = Corpus.connectedComponents(pairs)
+          .withColumnRenamed("doc_id", "mid")
+        val lbl = mentions.join(labels, Seq("mid"), "left")
+          .withColumn("cid", coalesce($"component_id", $"mid"))
+        val canon = lbl.groupBy($"cid")
+          .agg(min($"m").as("entity"), count(lit(1)).as("cluster_size"))
+        lbl.join(canon, Seq("cid"))
+          .select($"m".as("mention"), $"entity", $"cluster_size")
+          .orderBy($"mention")
+      },
+      oracle = Some("""
+        WITH RECURSIVE er_names AS (
+          SELECT DISTINCT p_name AS m FROM part),
+        er_m AS (
+          SELECT m, ('0x' || substr(md5(m), 1, 14))::BIGINT AS mid
+          FROM (SELECT m FROM er_names
+                UNION
+                SELECT DISTINCT substr(m, 1, 2) || substr(m, 4) AS m
+                FROM er_names)),
+        er_k AS (
+          SELECT m, mid, string_split(m, ' ')[-1] AS k1,
+                 substr(m, 1, 1) AS k2
+          FROM er_m),
+        er_p AS (
+          SELECT a.mid AS src, b.mid AS dst
+          FROM er_k a JOIN er_k b
+            ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.mid < b.mid
+          WHERE levenshtein(a.m, b.m) <= 2),
+        er_e AS (
+          SELECT src, dst FROM er_p UNION SELECT dst, src FROM er_p),
+        reach(a, b) AS (
+          SELECT src, src FROM er_e
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN er_e e ON e.src = r.b),
+        er_lbl0 AS (SELECT a AS mid, min(b) AS cid FROM reach GROUP BY a),
+        er_lbl AS (
+          SELECT m.m, m.mid, COALESCE(l.cid, m.mid) AS cid
+          FROM er_m m LEFT JOIN er_lbl0 l ON l.mid = m.mid),
+        er_canon AS (
+          SELECT cid, min(m) AS entity, count(*) AS cluster_size
+          FROM er_lbl GROUP BY cid)
+        SELECT l.m AS mention, c.entity,
+               CAST(c.cluster_size AS BIGINT) AS cluster_size
+        FROM er_lbl l JOIN er_canon c USING (cid)
+        ORDER BY mention"""),
+      desc = "entity resolution: blocked fuzzy edges, CC clusters, canonical names")
   )
 }
