@@ -127,6 +127,130 @@ object MultimodalQueries {
                ('0x' || substr(h, frame_idx * 16 + 1, 12))::BIGINT
                  AS frame_checksum
         FROM f ORDER BY doc_id, frame_idx"""),
-      desc = "frame sampling: binary payload → per-frame rows + checksums")
+      desc = "frame sampling: binary payload → per-frame rows + checksums"),
+
+    // ── perceptual-hash image near-dup (the multimodal dedup axis) ──
+    // Average-hash (the pHash family's portable member: bit i = byte i
+    // ≥ mean byte) over the decoded payload, then a BANDED Hamming
+    // join: 4 bands of 8 bits — by pigeonhole, hamming ≤ 2 leaves ≥ 2
+    // bands identical, so equality on a PAIR of bands (6 pair keys,
+    // 16 effective bits) is the candidate generator (never an
+    // all-pairs image product) and bit_count(xor) ≤ 2 is the exact
+    // verify. Each image also appears as a "re-encoded"
+    // variant (first byte perturbed — the codec-jitter stand-in), so
+    // nonzero hamming matches are genuinely exercised, not just
+    // hash-equal payloads. A 1024-instance band-bucket flood cap
+    // (the simhash rule) keeps identical-hash floods — blank images —
+    // from going quadratic; exact dedup owns those upstream.
+    "dedup_phash" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = withBlob(docs(s, dir)).withColumn("h", hex($"img"))
+        // two instances per image: original and the perturbed variant
+        val inst = base.select($"doc_id", explode(array(
+            struct((($"doc_id" * 2L)).as("img_id"), $"h".as("hh")),
+            struct((($"doc_id" * 2L + 1L)).as("img_id"),
+              concat(upper(expr(
+                "lpad(conv(CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)" +
+                  " ^ 1, 10, 16), 2, '0')")),
+                substring($"h", 3, 100000)).as("hh")))).as("x"))
+          .select($"x.img_id".as("img_id"), $"x.hh".as("hh"))
+        val hashed = inst
+          .withColumn("mean_b", expr(
+            """aggregate(transform(sequence(0, 31),
+               i -> CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)),
+               0L, (a, v) -> a + v) div 32"""))
+          .withColumn("ah", expr(
+            """aggregate(transform(sequence(0, 31),
+               i -> IF(CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)
+                       >= mean_b, shiftleft(1L, i), 0L)),
+               0L, (a, v) -> a + v)"""))
+          .select($"img_id", $"ah")
+        // candidate key = a PAIR of identical bands (multi-index
+        // Hamming, Norouzi et al.): hamming ≤ 2 leaves ≥ 2 of the 4
+        // bands untouched, so some pair of bands matches exactly —
+        // a 16-bit effective key, 256× fewer collisions than single
+        // 8-bit bands (measured 5.7 → see PERF.md; single bands make
+        // candidate volume ~n²/512, quadratic-by-stats)
+        val banded = hashed.select($"img_id", $"ah",
+            explode(expr(
+              """transform(array(struct(0 AS k1, 1 AS k2),
+                 struct(0 AS k1, 2 AS k2), struct(0 AS k1, 3 AS k2),
+                 struct(1 AS k1, 2 AS k2), struct(1 AS k1, 3 AS k2),
+                 struct(2 AS k1, 3 AS k2)), p ->
+                 struct(p.k1 AS k1, p.k2 AS k2,
+                        shiftright(ah, 8 * p.k1) & 255 AS v1,
+                        shiftright(ah, 8 * p.k2) & 255 AS v2))"""))
+              .as("b"))
+          .select($"img_id", $"ah", $"b.k1".as("k1"), $"b.k2".as("k2"),
+            $"b.v1".as("v1"), $"b.v2".as("v2"))
+        val capped = banded.withColumn("bucket_n",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"k1", $"k2", $"v1", $"v2")))
+          .filter($"bucket_n" <= 1024)
+        val pairs = capped.select($"k1", $"k2", $"v1", $"v2",
+            $"img_id".as("img_a"), $"ah".as("ah_a"))
+          .join(capped.select($"k1", $"k2", $"v1", $"v2",
+            $"img_id".as("img_b"), $"ah".as("ah_b")),
+            Seq("k1", "k2", "v1", "v2"))
+          .filter($"img_a" < $"img_b")
+          .select($"img_a", $"img_b", $"ah_a", $"ah_b").distinct()
+          .withColumn("hamming",
+            bit_count($"ah_a".bitwiseXOR($"ah_b")).cast("long"))
+          .filter($"hamming" <= 2)
+        pairs
+          .select($"img_a", $"img_b", $"hamming",
+            (expr("img_a div 2") === expr("img_b div 2")).as("same_doc"))
+          .orderBy($"img_a", $"img_b")
+      },
+      oracle = Some("""
+        WITH ph_b AS (
+          SELECT doc_id, upper(sha256(text)) AS h FROM documents),
+        ph_i AS (
+          SELECT doc_id * 2 AS img_id, h AS hh FROM ph_b
+          UNION ALL
+          SELECT doc_id * 2 + 1,
+                 upper(lpad(to_hex(xor(('0x' || substr(h, 1, 2))::BIGINT,
+                   1)), 2, '0')) || substr(h, 3)
+          FROM ph_b),
+        ph_h AS (
+          SELECT img_id,
+                 list_sum(list_transform(range(0, 32), i ->
+                   ('0x' || substr(hh, 2 * i + 1, 2))::BIGINT)) // 32
+                   AS mean_b,
+                 hh
+          FROM ph_i),
+        ph_a AS (
+          SELECT img_id,
+                 CAST(list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN ('0x' || substr(hh, 2 * i + 1, 2))::BIGINT
+                             >= mean_b
+                        THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS ah
+          FROM ph_h),
+        ph_band AS (
+          SELECT img_id, ah, p.k1, p.k2,
+                 (ah >> (8 * p.k1)) & 255 AS v1,
+                 (ah >> (8 * p.k2)) & 255 AS v2
+          FROM ph_a CROSS JOIN (VALUES (0, 1), (0, 2), (0, 3),
+            (1, 2), (1, 3), (2, 3)) p(k1, k2)),
+        ph_cap AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY k1, k2, v1, v2)
+              AS bucket_n
+            FROM ph_band)
+          WHERE bucket_n <= 1024),
+        ph_pairs AS (
+          SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b,
+                 a.ah AS ah_a, b.ah AS ah_b
+          FROM ph_cap a JOIN ph_cap b
+            ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.v1 = b.v1
+           AND a.v2 = b.v2 AND a.img_id < b.img_id)
+        SELECT img_a, img_b,
+               CAST(bit_count(xor(ah_a, ah_b)) AS BIGINT) AS hamming,
+               img_a // 2 = img_b // 2 AS same_doc
+        FROM ph_pairs
+        WHERE bit_count(xor(ah_a, ah_b)) <= 2
+        ORDER BY img_a, img_b"""),
+      desc = "image near-dup: average-hash + banded Hamming LSH + exact verify")
   )
 }
