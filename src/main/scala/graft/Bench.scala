@@ -111,7 +111,30 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    println(fullLine)
+    // the driver keeps only the LAST ~2000 chars of stdout and parses
+    // the JSON it finds there; the full line above is ~4 KB at 150+
+    // queries, so it never parsed (BENCH_r*.json carried
+    // "parsed": null every round). Persist the full map to a file and
+    // END stdout with a compact line that fits the tail window:
+    // slowest queries first (the ones worth reading), truncated to a
+    // strict char budget.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // bench output must not die on a read-only cwd
+    val budget = 1800
+    val prefix = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"flaky":$flakyJson,"runs_per_query":2,"agg":"min","sf":"$sfDir","queries_full":"bench_full.json","queries":{"""
+    val suffixLen = "},\"queries_truncated\":false}".length
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var len = prefix.length + suffixLen
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val truncated = kept.size < entries.size
+    println(prefix + kept.mkString(",") + s"""},"queries_truncated":$truncated}""")
     spark.stop()
   }
 }
