@@ -110,6 +110,36 @@ object ExtendedQueries {
         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
       desc = "A12 cube grouping sets + grouping_id"),
 
+    // ── A12c: explicit GROUPING SETS (non-hierarchical) ─────────────
+    // The general form rollup/cube are sugar for: two INDEPENDENT
+    // one-dimensional rollups computed in a single pass over the fact
+    // (one scan, one Expand, one shuffle — vs two separate group-bys
+    // reading the table twice). The reference's dashboard queries
+    // aggregate the same facts by status and separately by priority
+    // (models/mta_metrics §m3/m4 shape); GROUPING SETS is how a
+    // warehouse serves both from one scan at 100 TB.
+    "a_grouping_sets" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            (sum(round($"o_totalprice" * 100).cast(LongType)) / 100.0)
+              .as("sum_price"),
+            grouping_id().as("gid"))
+          .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_price,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+      desc = "A12c explicit grouping sets: two independent rollups, one scan"),
+
     // ── F-bitwise: &, |, xor, shifts, bit_count ─────────────────────
     "f_bitwise" -> Q(
       fn = (s, dir) => {
@@ -535,6 +565,47 @@ object ExtendedQueries {
         SELECT node, CAST(count(*) AS BIGINT) AS n_tri
         FROM corners GROUP BY 1 ORDER BY node"""),
       desc = "degree-oriented triangle counting on the co-supplier graph"),
+
+    // ── k-core peel over the co-supplier graph ──────────────────────
+    // Graphs.kCore (Seidman 1983) on the SAME shared pair frame as
+    // graph_triangles/graph_communities — the "dense enough to
+    // matter" subgraph filter. 4 synchronous peel rounds at k=3,
+    // round-for-round identical in the unrolled oracle; per round one
+    // hash agg + two semi-joins, materialize+drop (the pageRank
+    // shape). Peeling is monotone, so a fixed round count is a
+    // deterministic over-approximation both engines share even if the
+    // fixpoint needs more rounds (at scale: iterate until a round
+    // deletes nothing — one driver count per round).
+    "graph_kcore" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val p = coSupplierPairs(s, dir)
+        val und = p.select($"a".as("src"), $"b".as("dst"))
+          .union(p.select($"b".as("src"), $"a".as("dst")))
+        Graphs.kCore(und, k = 3, rounds = 4).orderBy($"node")
+      },
+      oracle = Some {
+        val rounds = (1 to 4).map { i =>
+          s"""a$i AS (SELECT src FROM e${i - 1} GROUP BY src
+             |        HAVING count(*) >= 3),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |        JOIN a$i s ON s.src = e.src
+             |        JOIN a$i t ON t.src = e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH ls AS (
+          SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        pairs AS (
+          SELECT a.sk AS a, b.sk AS b
+          FROM ls a JOIN ls b ON a.o = b.o AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        e0 AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        $rounds
+        SELECT src AS node, count(*) AS core_deg
+        FROM e4 GROUP BY src ORDER BY node"""
+      },
+      desc = "fixed-round k-core peel (k=3) on the shared co-supplier graph"),
 
     // ── label-propagation communities over the co-supplier graph ────
     // Graphs.labelPropagation on the SAME shared pair frame as
@@ -996,6 +1067,87 @@ object ExtendedQueries {
                       ORDER BY cents, event_id) AS rn
           FROM e)
         WHERE rn <= 5 ORDER BY event_type, cents, event_id"""),
-      desc = "native heap top-k aggregate (sort-free map side, 1 shuffle row/group)")
+      desc = "native heap top-k aggregate (sort-free map side, 1 shuffle row/group)"),
+
+    // ── Z-order layout: two-dimension file skipping ─────────────────
+    // The data-layout operator (Layout.scala scaladoc): min-max scale
+    // both dimensions to 16 bits (one 4-number stats pass — without
+    // it the wider-ranged key monopolizes the curve's high bits and
+    // the narrow one never prunes), interleave into a Morton key,
+    // cut the curve into
+    // 64 equal buckets (files), and emit each bucket's min/max stats
+    // for BOTH dimensions plus the skip verdicts for one selective
+    // predicate per dimension — beside the same stats for the natural
+    // (orderkey) layout, which prunes neither. The ntile here is the
+    // deterministic stand-in for Layout.zorderWrite's sampled range
+    // partitioning, so the oracle can replay the exact bucketing; the
+    // write path itself never does a global sort (LayoutSpec audits
+    // RangePartitioning + real parquet footer stats + the skip-rate
+    // win). The interesting OUTPUT is the stats frame: z-order
+    // buckets bound both key ranges tightly (most skip one or both
+    // predicates), natural buckets bound neither.
+    "layout_zorder" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        val z = Layout.withMortonKey(
+          li, $"l_partkey", $"l_suppkey", 16, keyCol = "zkey")
+        def stats(df: DataFrame, tag: String,
+                  ord: Seq[org.apache.spark.sql.Column]) = df
+          .withColumn("bucket",
+            ntile(64).over(Window.orderBy(ord: _*)).cast(LongType))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+            min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"))
+          .withColumn("layout", lit(tag))
+        stats(z, "zorder", Seq($"zkey", $"l_orderkey", $"l_linenumber"))
+          .union(stats(z, "natural", Seq($"l_orderkey", $"l_linenumber")))
+          .select($"layout", $"bucket", $"n", $"min_p", $"max_p",
+            $"min_s", $"max_s",
+            ($"max_p" < 400 || $"min_p" > 499).as("skip_part"),
+            ($"max_s" < 20 || $"min_s" > 39).as("skip_supp"))
+          .orderBy($"layout", $"bucket")
+      },
+      oracle = Some(s"""
+        WITH ext AS (
+          SELECT min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+                 min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
+          FROM lineitem),
+        sc AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 ${Layout.scaleDimSqlDuck("l_partkey", "p_lo", "p_hi", 16)}
+                   AS sx,
+                 ${Layout.scaleDimSqlDuck("l_suppkey", "s_lo", "s_hi", 16)}
+                   AS sy
+          FROM lineitem, ext),
+        z AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 ${Layout.mortonSqlDuck("sx", "sy", 16)} AS zkey
+          FROM sc),
+        bz AS (
+          SELECT *, ntile(64) OVER (ORDER BY zkey, l_orderkey, l_linenumber)
+                    AS bucket
+          FROM z),
+        bn AS (
+          SELECT *, ntile(64) OVER (ORDER BY l_orderkey, l_linenumber)
+                    AS bucket
+          FROM z),
+        st AS (
+          SELECT 'zorder' AS layout, bucket, count(*) AS n,
+                 min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                 min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+          FROM bz GROUP BY bucket
+          UNION ALL
+          SELECT 'natural' AS layout, bucket, count(*) AS n,
+                 min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                 min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+          FROM bn GROUP BY bucket)
+        SELECT layout, bucket, n, min_p, max_p, min_s, max_s,
+               (max_p < 400 OR min_p > 499) AS skip_part,
+               (max_s < 20 OR min_s > 39) AS skip_supp
+        FROM st ORDER BY layout, bucket"""),
+      desc = "Morton/Z-order clustering stats vs natural layout + skip verdicts")
   )
 }

@@ -222,6 +222,51 @@ object Graphs {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Fixed-round k-core peel (Seidman, Social Networks 1983): per
+    * round, drop every node whose degree in the SURVIVING subgraph is
+    * < k, then drop edges touching dropped nodes; repeat. After
+    * enough rounds the fixpoint is the k-core — the standard
+    * "dense enough to matter" subgraph filter ahead of community /
+    * embedding passes. Fixed `rounds` keeps the plan finite and the
+    * oracle replayable round-for-round (the probeFit contract); the
+    * peel is monotone, so results after r rounds are a deterministic
+    * over-approximation of the core that both engines compute
+    * identically whether or not r reached the fixpoint. At cluster
+    * scale run extra rounds until a round deletes nothing — one
+    * driver-side count per round, every heavy frame stays
+    * distributed.
+    *
+    * Per-round plan: one hash aggregate on src (degree — the input
+    * carries BOTH directions of each edge, so src-degree IS
+    * node-degree) + two semi-joins (endpoint survival), materialize,
+    * drop the superseded round. Input: undirected edge list (src,
+    * dst) with both directions present. Returns (node, core_deg) =
+    * surviving nodes with their in-core degree. */
+  def kCore(edges0: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    val spark = edges0.sparkSession
+    var edges = graft.Engine.materialize(
+      edges0.select(col("src"), col("dst")),
+      key = "src", name = "kcore_edges")
+    var prevT: Option[String] = None
+    for (i <- 0 until rounds) {
+      val alive = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      val (next, nextT) = graft.Engine.materializeTracked(
+        edges
+          .join(alive, Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")),
+        key = "src", name = s"kcore_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, prevT)
+      edges = next
+      prevT = nextT
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as distinct (a, b) pairs with a < b.
     *

@@ -335,6 +335,53 @@ object RelationalQueries {
         ORDER BY p_partkey"""),
       desc = "F1/F3/F4/F5/F12 string+hash+cast compat functions"),
 
+    // ── F-HOF: array higher-order functions (codegen-free lambda
+    // family). transform/filter/aggregate/zip_with are how the engine
+    // expresses per-row vector math WITHOUT a UDF (the embeddings
+    // dot products ride the same machinery; see LongArrayDot for the
+    // codegen escalation when even the HOF is too slow). Arrays are
+    // canonicalized to CSV for the cross-engine compare — the
+    // list-valued intermediates stay columnar. zip_with(arr,
+    // reverse(arr)) over arr=[1..n] has the closed form i*(n+1-i),
+    // which is what the oracle computes (DuckDB lambdas carry no
+    // index) — same values, independently derived.
+    "f_arrays" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter($"o_orderkey" <= 300)
+          .withColumn("arr", sequence(lit(1L), $"o_orderkey" % 7L + 2L))
+          .select(
+            $"o_orderkey",
+            array_join(transform($"arr", x => x * x), ",").as("squares"),
+            size(filter($"arr", x => x % 2L === 0L)).cast(LongType)
+              .as("n_even"),
+            aggregate($"arr", lit(0L), (a, x) => a + x).as("tot"),
+            array_join(zip_with($"arr", reverse($"arr"), (a, b) => a * b),
+              ",").as("palindrome_prod"),
+            array_join(sort_array($"arr", asc = false), ",").as("desc_csv"),
+            array_contains($"arr", 3L).as("has_3"),
+            array_join(slice($"arr", 2, 3), ",").as("mid3"))
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 range(1, o_orderkey % 7 + 3) AS arr,
+                 o_orderkey % 7 + 2 AS n
+          FROM orders WHERE o_orderkey <= 300)
+        SELECT o_orderkey,
+               array_to_string(list_transform(arr, x -> x*x), ',') AS squares,
+               CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+               CAST(list_sum(arr) AS BIGINT) AS tot,
+               array_to_string(list_transform(arr, x -> x * (n + 1 - x)), ',')
+                 AS palindrome_prod,
+               array_to_string(list_sort(arr, 'DESC'), ',') AS desc_csv,
+               list_contains(arr, 3) AS has_3,
+               array_to_string(arr[2:4], ',') AS mid3
+        FROM o ORDER BY o_orderkey"""),
+      desc = "F-HOF transform/filter/aggregate/zip_with/slice array family"),
+
     // ── O1/O3: global sort + limit (top-k). Spark plans
     // TakeOrderedAndProject — no full sort materialization at scale.
     "o3_topk" -> Q(

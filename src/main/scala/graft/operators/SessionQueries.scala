@@ -65,6 +65,54 @@ object SessionQueries {
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""),
       desc = "gap-based sessionization (lag + running-sum session ids)"),
 
+    // ── native session_window (the streaming-ready operator form) ───
+    // The same 30-minute-gap semantics as `sessionize`, but through
+    // Spark's session_window grouping — the form that runs UNCHANGED
+    // under Structured Streaming with watermark-driven state eviction
+    // (StreamingModels uses the stateful variant). Two deliberate
+    // deltas from the lag form, pinned by the oracle: windows merge
+    // on OVERLAP, so a gap of exactly `gap` starts a NEW session
+    // (lag form: `gap > 1800` keeps it; here `gap >= 1800` splits),
+    // and the emitted end is last_event + gap (the window bound, not
+    // the last event). One shuffle on user_id; the merge is
+    // partition-local. */
+    "w_session_native" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round($"value" * 100).cast(LongType)) / 100.0)
+              .as("sum_value"))
+          .select($"user_id",
+            unix_timestamp($"session_window.start").as("start_s"),
+            unix_timestamp($"session_window.end").as("end_s"),
+            $"n_events", $"sum_value")
+          .orderBy($"user_id", $"start_s")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts)//1000000 AS es
+          FROM events),
+        g AS (
+          SELECT *, es - lag(es) OVER
+            (PARTITION BY user_id ORDER BY es, event_id) AS gap
+          FROM e),
+        f AS (
+          SELECT *, CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END
+            AS new_sess FROM g),
+        sess AS (
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+            ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sess_id
+          FROM f)
+        SELECT user_id, min(es) AS start_s, max(es) + 1800 AS end_s,
+               count(*) AS n_events,
+               sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        FROM sess GROUP BY user_id, sess_id ORDER BY user_id, start_s"""),
+      desc = "native session_window grouping (overlap-merge, end = last + gap)"),
+
     // ── pivot: event_type counts as columns per user ────────────────
     "a_pivot" -> Q(
       fn = (s, dir) => {
@@ -471,6 +519,149 @@ object SessionQueries {
         SELECT days.day AS day_i, ex.exact_u7, TRUE AS u7_ok
         FROM days JOIN ex ON ex.d = days.day
         ORDER BY day_i"""),
-      desc = "rolling 7-day distinct via daily HLL partials + exact twin")
+      desc = "rolling 7-day distinct via daily HLL partials + exact twin"),
+
+    // ── exact mergeable distinct: bitmap words (Roaring posture) ────
+    // The EXACT twin of the a_sketch_merge pattern: per-(type, day)
+    // partials that re-aggregate to coarser grains without rescanning
+    // raw events — but lossless. User ids are packed into 32-bit
+    // bitmap words (word = id div 32, bit = id mod 32; 32 not 64 so
+    // the 1<<bit mask never hits the signed-overflow edge any SQL
+    // engine trips on); daily partials OR-merge per word, popcount
+    // sums to the exact distinct. Shuffle volume is one long per 32
+    // users per group — the RoaringBitmap layout, flattened to rows so
+    // it stays a plain hash agg. Assumes a dense id space: at 100 TB
+    // you dictionary-encode ids first (a broadcast dim or the
+    // dedup_components label frame), then the word frame is
+    // corpus-size / 32 regardless of key skew. 32-bit shift stays in
+    // two's-complement range on both engines, so the words themselves
+    // hash-match (emitted via xor-fold as a checksum column).
+    "a_bitmap_distinct" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .select($"event_type", $"user_id",
+            (unix_timestamp($"ts") / 86400L).cast(LongType).as("day"))
+        val daily = base
+          .withColumn("word", ($"user_id" / 32L).cast(LongType))
+          .withColumn("mask",
+            expr("shiftleft(1L, cast(user_id % 32 as int))"))
+          .groupBy($"event_type", $"day", $"word")
+          .agg(bit_or($"mask").as("m"))
+        val merged = daily
+          .groupBy($"event_type", $"word")
+          .agg(bit_or($"m").as("m"))
+        val nDays = daily
+          .groupBy($"event_type")
+          .agg(countDistinct($"day").as("n_days"))
+        merged
+          .groupBy($"event_type")
+          .agg(sum(bit_count($"m")).cast(LongType).as("users"),
+               sum($"m".bitwiseXOR($"word")).cast(LongType).as("checksum"))
+          .join(nDays, Seq("event_type"))
+          .select($"event_type", $"n_days", $"users", $"checksum")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type, user_id,
+                 (epoch_us(ts)//1000000)//86400 AS day
+          FROM events),
+        daily AS (
+          SELECT event_type, day, user_id//32 AS word,
+                 bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS m
+          FROM base GROUP BY 1, 2, 3),
+        merged AS (
+          SELECT event_type, word, bit_or(m) AS m
+          FROM daily GROUP BY 1, 2),
+        nd AS (
+          SELECT event_type, count(DISTINCT day) AS n_days
+          FROM daily GROUP BY 1)
+        SELECT m.event_type, nd.n_days,
+               CAST(sum(bit_count(m.m)) AS BIGINT) AS users,
+               CAST(sum(xor(m.m, m.word)) AS BIGINT) AS checksum
+        FROM merged m JOIN nd ON nd.event_type = m.event_type
+        GROUP BY m.event_type, nd.n_days ORDER BY m.event_type"""),
+      desc = "exact mergeable distinct via 32-bit bitmap words (Roaring posture)"),
+
+    // ── Count-Min sketch: mergeable frequency estimation ────────────
+    // The frequency-estimation member of the mergeable-partials
+    // family (HLL = distinct, SpaceSaving = top-k, CMS = point
+    // frequency): d=3 hash rows × w=64 counters per (day) partial,
+    // merged across days by plain counter SUM (CMS merges are
+    // element-wise addition, so the rollup never rescans raw events).
+    // Unlike the probabilistic sketches, every number here is
+    // DETERMINISTIC integer arithmetic over md5-prefix hashes — the
+    // estimates themselves hash-match the oracle, and the CMS
+    // invariant est ≥ exact is emitted as a verdict column the oracle
+    // recomputes. Probe set = the event keys of users 0..9 (bounded
+    // output); the sketch frame is d·w = 192 counters regardless of
+    // corpus size — the entire merged sketch broadcasts to the probe
+    // join at any scale.
+    "a_cms" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        val base = ev(s, dir)
+          .select(concat($"event_type", lit(":"), $"user_id").as("key"),
+            $"user_id",
+            (unix_timestamp($"ts") / 86400L).cast(LongType).as("day"))
+        val hashed = base
+          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("bucket",
+            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
+              % 64L)
+        val daily = hashed
+          .groupBy($"day", $"r", $"bucket")
+          .agg(count(lit(1)).as("cnt"))
+        val merged = daily
+          .groupBy($"r", $"bucket")
+          .agg(sum($"cnt").as("c"))
+        val probes = base
+          .filter($"user_id" < 10)
+          .groupBy($"key")
+          .agg(count(lit(1)).as("exact_n"))
+          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("bucket",
+            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
+              % 64L)
+        probes
+          .join(broadcast(merged), Seq("r", "bucket"))
+          .groupBy($"key")
+          .agg(max($"exact_n").as("exact_n"), min($"c").as("est_n"))
+          .select($"key", $"exact_n", $"est_n",
+            ($"est_n" >= $"exact_n").as("ge_exact"))
+          .orderBy($"key")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key,
+                 user_id,
+                 (epoch_us(ts)//1000000)//86400 AS day
+          FROM events),
+        hashed AS (
+          SELECT day, r.r, key,
+                 ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || key),
+                                 1, 14))::BIGINT % 64 AS bucket
+          FROM base, (SELECT unnest([0, 1, 2]) AS r) r),
+        daily AS (
+          SELECT day, r, bucket, count(*) AS cnt
+          FROM hashed GROUP BY 1, 2, 3),
+        merged AS (
+          SELECT r, bucket, sum(cnt) AS c FROM daily GROUP BY 1, 2),
+        probes AS (
+          SELECT key, count(*) AS exact_n FROM base
+          WHERE user_id < 10 GROUP BY 1),
+        ph AS (
+          SELECT p.key, p.exact_n, r.r,
+                 ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || p.key),
+                                 1, 14))::BIGINT % 64 AS bucket
+          FROM probes p, (SELECT unnest([0, 1, 2]) AS r) r)
+        SELECT ph.key, max(ph.exact_n) AS exact_n,
+               CAST(min(m.c) AS BIGINT) AS est_n,
+               CAST(min(m.c) AS BIGINT) >= max(ph.exact_n) AS ge_exact
+        FROM ph JOIN merged m ON m.r = ph.r AND m.bucket = ph.bucket
+        GROUP BY ph.key ORDER BY ph.key"""),
+      desc = "Count-Min sketch: day partials sum-merged + exact-twin verdict")
   )
 }

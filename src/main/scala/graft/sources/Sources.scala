@@ -140,6 +140,12 @@ object Sources {
         // precision at 1e18-scale nanos (double ulp there is 256 ns)
         // and can flip a microsecond (worst case: a second) boundary.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — the
+        // other shape the generator emits. The wall-clock value IS
+        // the UTC instant (every session in the contract runs UTC),
+        // so the cast is a type-level relabel of the same micros.
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

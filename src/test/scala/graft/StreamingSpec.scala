@@ -76,7 +76,7 @@ class StreamingSpec extends SparkSuite {
     val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = StreamingModels.bucketCounts(stream)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("buckets").start()
@@ -109,7 +109,7 @@ class StreamingSpec extends SparkSuite {
     val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = StreamingModels.hoppingCounts(stream)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("hops").start()
@@ -137,7 +137,7 @@ class StreamingSpec extends SparkSuite {
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = StreamingModels.dedupStream(stream)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("dedup_out").start()
@@ -161,7 +161,7 @@ class StreamingSpec extends SparkSuite {
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
     def stream() = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val purch = stream().filter($"event_type" === "purchase")
     val clicks = stream().filter($"event_type" === "click")
     val q = StreamingModels.streamStreamConversions(purch, clicks)
