@@ -156,6 +156,22 @@ object ScaleProbe {
           .select(col("a"), col("b"))
         graft.operators.Graphs.triangles(pairs)
       },
+      "kcore" -> { k =>
+        // the registered query's shape scaled by orders: co-supply
+        // pairs (w ≥ 5) fed undirected into the 4-round k=3 peel
+        val ls = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+          .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pairs = ls.select(col("o"), col("sk").as("a"))
+          .join(ls.select(col("o"), col("sk").as("b")), Seq("o"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+        val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.Graphs.kCore(und, k = 3, rounds = 4)
+      },
       "pagerank" -> { k =>
         // doc co-membership graph stand-in: link doc i ↔ i%97 hub —
         // size-linear edge count, same per-round join shape as the

@@ -566,6 +566,53 @@ object ExtendedQueries {
         FROM corners GROUP BY 1 ORDER BY node"""),
       desc = "degree-oriented triangle counting on the co-supplier graph"),
 
+    // ── W4c: value-picking window family (IGNORE NULLS forms) ───────
+    // first/last/nth with explicit frames, plus the IGNORE NULLS
+    // last_value — "most recent click amount so far" — the BigQuery
+    // LAST_VALUE(x IGNORE NULLS) compat item the fact models' session
+    // enrichment uses. Cents-integer values; one user_id exchange.
+    "w_value_family" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wp = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        t(s, dir, "events")
+          .filter($"user_id" < 20)
+          .withColumn("es", unix_timestamp($"ts"))
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .withColumn("click_cents",
+            when($"event_type" === "click", $"cents"))
+          .select($"user_id", $"event_id", $"es",
+            first($"cents").over(w).as("first_cents"),
+            last($"click_cents", ignoreNulls = true).over(w)
+              .as("last_click_cents"),
+            nth_value($"cents", 2).over(w).as("second_cents"),
+            lead($"cents", 1, -1L).over(wp).as("next_cents"))
+          .orderBy($"user_id", $"es", $"event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts)//1000000 AS es,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CASE WHEN event_type = 'click'
+                      THEN CAST(round(value*100) AS BIGINT) END
+                   AS click_cents
+          FROM events WHERE user_id < 20)
+        SELECT user_id, event_id, es,
+               first_value(cents) OVER w AS first_cents,
+               last_value(click_cents IGNORE NULLS) OVER w
+                 AS last_click_cents,
+               nth_value(cents, 2) OVER w AS second_cents,
+               lead(cents, 1, -1) OVER
+                 (PARTITION BY user_id ORDER BY es, event_id)
+                 AS next_cents
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, es, event_id"""),
+      desc = "W4c first/last-ignore-nulls/nth_value/lead window family"),
+
     // ── k-core peel over the co-supplier graph ──────────────────────
     // Graphs.kCore (Seidman 1983) on the SAME shared pair frame as
     // graph_triangles/graph_communities — the "dense enough to

@@ -662,6 +662,98 @@ object SessionQueries {
                CAST(min(m.c) AS BIGINT) >= max(ph.exact_n) AS ge_exact
         FROM ph JOIN merged m ON m.r = ph.r AND m.bucket = ph.bucket
         GROUP BY ph.key ORDER BY ph.key"""),
-      desc = "Count-Min sketch: day partials sum-merged + exact-twin verdict")
+      desc = "Count-Min sketch: day partials sum-merged + exact-twin verdict"),
+
+    // ── path-to-conversion: ordered event journey per converter ─────
+    // For every user with a purchase: the full ordered event-type
+    // path up to and including the FIRST purchase, rendered as one
+    // string — the marketing-journey frame attribution models read.
+    // Total order (es, event_id) everywhere; the path is assembled by
+    // sorting the collected structs (array_sort on struct fields is
+    // the lexicographic order both engines share), never by relying
+    // on collect order. The first purchase is a whole-partition MIN
+    // window over the same user_id partitioning the rollup rides —
+    // NOT a join against a converters frame, which is users-sized
+    // and gets broadcast (the e_retention scale-killer class; the
+    // plan audit pins one hash exchange, no broadcast). Per-user
+    // state is bounded by the pre-conversion prefix.
+    "e_path_to_conversion" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+          .select($"user_id", $"event_id", $"event_type",
+            unix_timestamp($"ts").as("es"))
+        val wAll = Window.partitionBy($"user_id")
+        e.withColumn("conv",
+            min(when($"event_type" === "purchase",
+              struct($"es", $"event_id"))).over(wAll))
+          .filter($"conv".isNotNull &&
+            struct($"es", $"event_id") <= $"conv")
+          .groupBy($"user_id", $"conv.es".as("conv_s"))
+          .agg(count(lit(1)).as("path_len"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct($"es", $"event_id",
+                  $"event_type"))),
+                x => x.getField("event_type")),
+              " > ").as("path"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(ts)//1000000 AS es
+          FROM events),
+        p AS (
+          SELECT user_id, es AS conv_s, event_id AS p_eid FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY es, event_id) AS rn
+            FROM e WHERE event_type = 'purchase')
+          WHERE rn = 1),
+        pe AS (
+          SELECT e.user_id, p.conv_s, e.event_type, e.es, e.event_id
+          FROM e JOIN p ON p.user_id = e.user_id
+          WHERE e.es < p.conv_s
+             OR (e.es = p.conv_s AND e.event_id <= p.p_eid))
+        SELECT user_id, conv_s, count(*) AS path_len,
+               string_agg(event_type, ' > ' ORDER BY es, event_id) AS path
+        FROM pe GROUP BY user_id, conv_s ORDER BY user_id"""),
+      desc = "ordered event path up to first purchase per converting user"),
+
+    // ── exact mode with deterministic tie-break ─────────────────────
+    // Modal hour-of-day per event_type: count per (type, hour), then
+    // argmax by (count DESC, hour ASC) — the ANY-free mode the
+    // reference's BigQuery models approximate with APPROX_TOP_COUNT.
+    // Two hash aggregates, no window over raw rows.
+    "a_mode" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val counts = ev(s, dir)
+          .select($"event_type",
+            ((unix_timestamp($"ts") % 86400L) / 3600L).cast(LongType)
+              .as("hour"))
+          .groupBy($"event_type", $"hour")
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy($"event_type")
+          .agg(max_by($"hour", struct($"c", (-$"hour").as("neg")))
+              .as("mode_hour"),
+            max($"c").as("mode_n"),
+            count(lit(1)).as("n_hours"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type,
+                 ((epoch_us(ts)//1000000) % 86400) // 3600 AS hour,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, mode_hour, mode_n, n_hours FROM (
+            SELECT event_type, hour AS mode_hour, c AS mode_n,
+                   count(*) OVER (PARTITION BY event_type) AS n_hours,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY c DESC, hour ASC) AS rn
+            FROM c)
+        WHERE rn = 1 ORDER BY event_type"""),
+      desc = "exact mode (modal hour per type) with deterministic tie-break")
   )
 }

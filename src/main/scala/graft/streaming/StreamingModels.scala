@@ -86,6 +86,37 @@ object StreamingModels {
           .as("lead_s"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution form
+    * that also emits UNATTRIBUTED purchases (click_id null). The
+    * outer side is the semantically hard part of stream-stream joins:
+    * a purchase can only be declared click-less once no qualifying
+    * click can still arrive, i.e. when the WATERMARK passes the end
+    * of its one-hour lookback window — so null rows surface one
+    * trigger later than their matches, and both the watermark and the
+    * time-range condition are mandatory (Spark rejects an unbounded
+    * outer stream join: state could never be evicted). Same join
+    * graph as [[streamStreamConversions]]; state per side is
+    * watermark-bounded to the one-hour window. */
+  def streamStreamConversionsOuter(purchases: DataFrame,
+                                   clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("lead_s"))
+  }
+
   case class SessEvt(user_id: Long, ts: java.sql.Timestamp,
                      event_id: Long, cents: Long)
   case class SessOpen(startSec: Long, endSec: Long, n: Long, sumCents: Long)

@@ -201,6 +201,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, found $hashEx:\n$p")
   }
 
+  test("e_path_to_conversion shuffles on user_id only") {
+    // first-purchase window, prefix join, and path rollup all ride
+    // one user_id hash partitioning; the only other exchange is the
+    // final presentation orderBy (range)
+    val p = plan(SparkEntry.queries("e_path_to_conversion")(spark, sf()))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a_mode aggregates without windowing raw rows") {
+    // two hash aggregates over (type, hour) then (type) — the Window
+    // in the ORACLE (row_number over counts) must not appear in the
+    // Spark plan; max_by on the counts frame replaces it
+    val p = plan(SparkEntry.queries("a_mode")(spark, sf()))
+    assert(!p.contains("Window"), s"mode must not window raw rows:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("e_funnel shuffles on user_id only") {
     // the iterated conditional-min (view → click → purchase) is a
     // chain of user_id-keyed aggregates and joins; every hash

@@ -178,6 +178,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    def events = in.toDS()
+      .toDF("event_id", "user_id", "event_type", "es")
+      .withColumn("ts", timestamp_seconds(col("es"))).drop("es")
+    val q = StreamingModels.streamStreamConversionsOuter(
+      events.filter($"event_type" === "purchase"),
+      events.filter($"event_type" === "click"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_outer").start()
+    try {
+      val t0 = 1700000000L
+      in.addData(
+        (1L, 1L, "click", t0 - 1800),      // 30 min before u1 purchase
+        (2L, 1L, "click", t0 - 3600),      // exactly 1 h before — in window
+        (3L, 1L, "purchase", t0),
+        (4L, 2L, "purchase", t0),          // no click at all
+        (5L, 3L, "click", t0 - 7200),      // 2 h before — OUTSIDE window
+        (6L, 3L, "purchase", t0))
+      q.processAllAvailable()
+      // matches stream immediately; null rows CANNOT yet — a
+      // qualifying click might still arrive
+      val matched = spark.table("ss_outer")
+        .filter($"click_id".isNotNull).count()
+      assert(matched === 2, "u1's two in-window clicks")
+      assert(spark.table("ss_outer").filter($"click_id".isNull).count() === 0,
+        "outer rows must wait for the watermark")
+      // advance the watermark far past every open window → the
+      // unattributed purchases (u2, u3) flush with null click_id
+      // advance BOTH sides' watermarks (each is computed after its
+      // event-type filter, so the sentinel must be a purchase AND a
+      // click — pair them so they match each other cleanly); the new
+      // watermark takes effect at the NEXT trigger, so nudge once
+      // more to run the eviction
+      in.addData((99L, 9L, "click", t0 + 36000),
+                 (100L, 9L, "purchase", t0 + 36000))
+      q.processAllAvailable()
+      in.addData((101L, 9L, "click", t0 + 36001),
+                 (102L, 9L, "purchase", t0 + 36001))
+      q.processAllAvailable()
+      val nulls = spark.table("ss_outer").filter($"click_id".isNull)
+        .select($"user_id").as[Long].collect().sorted
+      assert(nulls.toSeq === Seq(2L, 3L),
+        s"expected u2+u3 unattributed, got ${nulls.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful session rollup via mapGroupsWithState") {
     val batch = Sources.table(spark, sf(), "events")
     val evts = batch.select($"user_id", $"event_type",
