@@ -112,4 +112,54 @@ class LayoutSpec extends SparkSuite {
     assert(zp > np && zs > ns,
       s"zorder ($zp,$zs) must beat natural ($np,$ns)")
   }
+
+  test("zorderCompact rewrites only the delta's curve region") {
+    val out = Files.createTempDirectory("zcompact").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    // hold back a narrow (partkey, suppkey) cell as the late delta —
+    // a clustered append, the case incremental compaction exists for
+    val isDelta = $"l_partkey".between(150, 160) && $"l_suppkey" <= 2
+    val base = li.filter(!isDelta)
+    val delta = li.filter(isDelta)
+    val nDelta = delta.count()
+    assert(nDelta > 0)
+    Layout.zorderWrite(base, $"l_partkey", $"l_suppkey", 16, 16, out)
+
+    // the sidecar metadata must round-trip (frozen scale bounds)
+    val meta = Layout.readMeta(spark, out)
+    assert(meta.bits == 16 && meta.xLo < meta.xHi && meta.yLo < meta.yHi)
+    val fsDir = new java.io.File(out)
+    def dataFiles() = fsDir.listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.length()).toMap
+    val before = dataFiles()
+
+    val (rewritten, untouched) =
+      Layout.zorderCompact(spark, out, delta,
+        $"l_partkey", $"l_suppkey")
+    // the delta occupies one narrow curve cell: a small minority of
+    // the 16 files overlaps it
+    assert(rewritten >= 1 && rewritten <= 5,
+      s"expected a narrow rewrite set, got $rewritten")
+    assert(untouched == 16 - rewritten)
+    // row conservation: everything exactly once
+    assert(spark.read.parquet(out).count() === li.count())
+    // untouched files are byte-identical (same name, same length)
+    val after = dataFiles()
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size == untouched)
+    kept.foreach(k => assert(before(k) == after(k), s"$k changed size"))
+    // the merged region still prunes: a query on the delta's cell
+    // skips most files via footer min/max
+    val stats = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"))
+      .collect()
+    val touched = stats.count(r =>
+      !(r.getLong(2) < 150L || r.getLong(1) > 160L))
+    assert(touched.toDouble / stats.length <= 0.5,
+      s"post-compaction pruning lost: $touched/${stats.length}")
+  }
 }
