@@ -251,6 +251,49 @@ object MultimodalQueries {
         FROM ph_pairs
         WHERE bit_count(xor(ah_a, ah_b)) <= 2
         ORDER BY img_a, img_b"""),
-      desc = "image near-dup: average-hash + banded Hamming LSH + exact verify")
+      desc = "image near-dup: average-hash + banded Hamming LSH + exact verify"),
+
+    // ── audio: windowed energy + silence trim (the VAD shape) ───────
+    // The audio member of the modality triplet (image = mm_decode/
+    // mm_resize/dedup_phash, video = mm_frames): a 64-byte fake PCM
+    // payload (two chained sha256 blocks — DuckDB ships no sha512)
+    // framed into 8 windows of 8 unsigned samples; per window the
+    // exact integer energy Σ(v−128)², with windows below the silence
+    // threshold DROPPED — voice-activity trimming, the step an audio
+    // pipeline runs before feature extraction. At 100 TB the payload
+    // is a real PCM blob in the same BinaryType column, the window
+    // math a codec/DSP call in the same per-partition batch shape;
+    // the frame/filter/order plumbing here is the real engine work.
+    "mm_audio_energy" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .withColumn("h",
+            concat(sha2($"text", 256), sha2(concat($"text", lit("x")), 256)))
+          .select($"doc_id", posexplode(expr("""transform(sequence(0, 7),
+              w -> aggregate(transform(sequence(0, 7), i ->
+                     CAST(conv(substr(h, 16 * w + 2 * i + 1, 2), 16, 10)
+                          AS BIGINT) - 128L),
+                   0L, (a, v) -> a + v * v))"""))
+            .as(Seq("window_idx", "energy")))
+          .filter($"energy" >= 40000L)
+          .orderBy($"doc_id", $"window_idx")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 sha256(text) || sha256(text || 'x') AS h
+          FROM documents),
+        win AS (
+          SELECT doc_id, w.w AS window_idx,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   (('0x' || substr(h, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)
+                 * (('0x' || substr(h, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)))
+                   AS BIGINT) AS energy
+          FROM a CROSS JOIN range(0, 8) w(w))
+        SELECT doc_id, window_idx, energy
+        FROM win WHERE energy >= 40000
+        ORDER BY doc_id, window_idx"""),
+      desc = "audio windowed energy + silence trim over fake-PCM blobs")
   )
 }

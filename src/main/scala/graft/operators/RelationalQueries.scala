@@ -382,6 +382,50 @@ object RelationalQueries {
         FROM o ORDER BY o_orderkey"""),
       desc = "F-HOF transform/filter/aggregate/zip_with/slice array family"),
 
+    // ── J-skew: salted join on a pathologically skewed key ──────────
+    // events ⋈ per-type stats on event_type: FIVE distinct keys over
+    // the whole fact — the worst shuffle-join skew shape (≤5 reducers
+    // own all rows). Engine.saltedJoin re-keys the big side with a
+    // random-but-join-stable salt and explodes the small side ×32, so
+    // the shuffle spreads over keys×32 partitions; the inner join
+    // matches each big row exactly once (the small side carries every
+    // salt), so results are salt-independent — which is what the
+    // oracle checks. SHUFFLE_HASH hint keeps the demonstration
+    // honest (Spark would otherwise broadcast a 5-row dim; at the
+    // 100 TB large-LARGE version there is nothing to broadcast).
+    // Downstream agg: events above their type's mean cents.
+    "j_skew_salted" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_type", $"event_id",
+            round($"value" * 100).cast(LongType).as("cents"))
+        val stats = e.groupBy($"event_type")
+          .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+        graft.Engine
+          .saltedJoin(e, stats.hint("shuffle_hash"), "event_type", 32)
+          .groupBy($"event_type", $"mean_cents")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"cents" > $"mean_cents", 1L).otherwise(0L))
+              .as("n_above"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        st AS (
+          SELECT event_type,
+                 CAST(sum(cents) AS BIGINT) // count(*) AS mean_cents
+          FROM e GROUP BY 1)
+        SELECT e.event_type, st.mean_cents, count(*) AS n_total,
+               CAST(sum(CASE WHEN e.cents > st.mean_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM e JOIN st ON st.event_type = e.event_type
+        GROUP BY 1, 2 ORDER BY e.event_type"""),
+      desc = "salted skew join: 5-key fact join spread over keys x 32 salts"),
+
     // ── O1/O3: global sort + limit (top-k). Spark plans
     // TakeOrderedAndProject — no full sort materialization at scale.
     "o3_topk" -> Q(

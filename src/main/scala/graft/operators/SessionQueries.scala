@@ -720,6 +720,48 @@ object SessionQueries {
         FROM pe GROUP BY user_id, conv_s ORDER BY user_id"""),
       desc = "ordered event path up to first purchase per converting user"),
 
+    // ── exact integer EWMA (recursive smoothing, no UDF) ────────────
+    // Per-user exponentially weighted moving average of event cents
+    // with α = 1/2 in EXACT integer arithmetic: s ← (s + x) div 2,
+    // folded over the (es, event_id)-sorted series by the `aggregate`
+    // higher-order function — a RECURSIVE per-row dependency no
+    // window frame can express, and the float version of which could
+    // never hash-match across engines. DuckDB twin: list_reduce over
+    // the same ordered list (its first element seeds the fold, which
+    // matches aggregate's slice(2..)/s[0] split — single-element
+    // series return themselves on both). Per-user state is one sorted
+    // array, the sessionize collect bound.
+    "a_ewma" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .select($"user_id", unix_timestamp($"ts").as("es"), $"event_id",
+            round($"value" * 100).cast(LongType).as("cents"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_sort(collect_list(struct($"es", $"event_id", $"cents")))
+              .as("sarr"))
+          .select($"user_id", $"n_events",
+            element_at($"sarr", -1).getField("cents").as("last_cents"),
+            expr("""aggregate(slice(sarr, 2, size(sarr) - 1),
+                sarr[0].cents,
+                (acc, x) -> (acc + x.cents) div 2)""").as("ewma_cents"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts)//1000000 AS es, event_id,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        l AS (
+          SELECT user_id, count(*) AS n_events,
+                 list(cents ORDER BY es, event_id) AS cs
+          FROM e GROUP BY 1)
+        SELECT user_id, n_events, cs[-1] AS last_cents,
+               list_reduce(cs, (a, b) -> (a + b) // 2) AS ewma_cents
+        FROM l ORDER BY user_id"""),
+      desc = "exact integer EWMA (alpha=1/2) via HOF fold over sorted series"),
+
     // ── exact mode with deterministic tie-break ─────────────────────
     // Modal hour-of-day per event_type: count per (type, hour), then
     // argmax by (count DESC, hour ASC) — the ANY-free mode the

@@ -124,4 +124,25 @@ class EmptyInputSpec extends SparkSuite {
     assert(rep.length === 4 && rep.forall(_.getAs[Boolean]("pass")),
       s"empty-input dq must pass all checks: ${rep.mkString(";")}")
   }
+
+  test("k-core and z-order compaction degrade cleanly on empty input") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Graphs, Layout}
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.kCore(noEdges, k = 2, rounds = 2).count() === 0)
+    graft.Engine.dropAllMaterialized(spark)
+    // a graph below the threshold peels to nothing
+    val path2 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Graphs.kCore(path2, k = 2, rounds = 2).count() === 0)
+    graft.Engine.dropAllMaterialized(spark)
+    // empty delta: compaction is a no-op reporting every file untouched
+    val out = java.nio.file.Files.createTempDirectory("zc_empty").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    Layout.zorderWrite(li, $"l_partkey", $"l_suppkey", 16, 4, out)
+    val (rw, unt) = Layout.zorderCompact(spark, out, li.limit(0),
+      $"l_partkey", $"l_suppkey")
+    assert(rw === 0 && unt === 4, s"($rw, $unt)")
+    assert(spark.read.parquet(out).count() === li.count())
+  }
 }

@@ -201,6 +201,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, found $hashEx:\n$p")
   }
 
+  test("j_skew_salted spreads the 5-key join across salts, no broadcast") {
+    // the salt must be IN the join key set (hashpartitioning on
+    // (event_type, _salt)) and the stats side must stay a shuffled
+    // hash join — broadcasting the 5-row dim would silently skip the
+    // very mechanism the query demonstrates
+    val p = plan(SparkEntry.queries("j_skew_salted")(spark, sf()))
+    assert(p.contains("_salt"), s"salt column missing from plan:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a shuffle join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"dim was broadcast:\n$p")
+  }
+
   test("e_path_to_conversion shuffles on user_id only") {
     // first-purchase window, prefix join, and path rollup all ride
     // one user_id hash partitioning; the only other exchange is the
