@@ -155,17 +155,24 @@ object MultimodalQueries {
                   " ^ 1, 10, 16), 2, '0')")),
                 substring($"h", 3, 100000)).as("hh")))).as("x"))
           .select($"x.img_id".as("img_id"), $"x.hh".as("hh"))
-        val hashed = inst
-          .withColumn("mean_b", expr(
-            """aggregate(transform(sequence(0, 31),
-               i -> CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)),
-               0L, (a, v) -> a + v) div 32"""))
-          .withColumn("ah", expr(
-            """aggregate(transform(sequence(0, 31),
-               i -> IF(CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)
-                       >= mean_b, shiftleft(1L, i), 0L)),
-               0L, (a, v) -> a + v)"""))
-          .select($"img_id", $"ah")
+        // materialized: the (img_id, ah) frame is two longs per image
+        // while its LINEAGE is the 64-hex-conv hashing pipeline — the
+        // band explode and the self-join both read it, and without the
+        // pin each side of the join re-runs the hashing (measured
+        // ~2× on the query, PERF.md round 7)
+        val hashed = graft.Engine.materialize(
+          inst
+            .withColumn("mean_b", expr(
+              """aggregate(transform(sequence(0, 31),
+                 i -> CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)),
+                 0L, (a, v) -> a + v) div 32"""))
+            .withColumn("ah", expr(
+              """aggregate(transform(sequence(0, 31),
+                 i -> IF(CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)
+                         >= mean_b, shiftleft(1L, i), 0L)),
+                 0L, (a, v) -> a + v)"""))
+            .select($"img_id", $"ah"),
+          key = "img_id", name = "phash_hashed")
         // candidate key = a PAIR of identical bands (multi-index
         // Hamming, Norouzi et al.): hamming ≤ 2 leaves ≥ 2 of the 4
         // bands untouched, so some pair of bands matches exactly —
