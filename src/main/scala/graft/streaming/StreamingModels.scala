@@ -28,6 +28,30 @@ object StreamingModels {
       .select(col("window.start").as("bucket_start"), col("event_type"),
               col("n"), col("value_cents"))
 
+  /** Streaming daily bitmap-distinct partials — the streaming twin of
+    * the batch `a_bitmap_distinct` operator and the EXACT member of
+    * the streaming mergeable family (heavyHittersStream = top-k,
+    * windowed HLL = approx distinct): user ids pack into 32-bit words
+    * (word = id div 32, mask = 1 << id mod 32), aggregated by BIT_OR
+    * per (day window, event_type, word). The emitted word frame IS
+    * the persisted daily partial: coarser grains (weekly/all-time
+    * distinct) re-aggregate it by another bit_or + popcount with no
+    * raw-event replay, and the merge is idempotent — replayed events
+    * OR the same bit, so at-least-once delivery cannot overcount
+    * (the property count-based partials lack). State per key is one
+    * long, watermark-evicted a day after the day closes; total state
+    * is days × types × (ids/32) words — the RoaringBitmap bound.
+    * Works on batch or streaming input (the spec asserts parity). */
+  def bitmapPartialsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        expr("user_id div 32").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 as int))"))
+        .as("m"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("word"), col("m"))
+
   /** Hopping (sliding) windowed counts — 10-minute windows advancing
     * every 5, the overlapping-window form of [[bucketCounts]] and the
     * streaming twin of the batch `f_hopping` query. Each event lands

@@ -178,6 +178,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming bitmap partials merge to the exact distinct (batch parity)") {
+    val batch = Sources.table(spark, sf(), "events")
+    // the partial frame computed in one batch pass
+    val batchPartials = StreamingModels.bitmapPartialsStream(batch)
+    // streaming over the same parquet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bm")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = StreamingModels.bitmapPartialsStream(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("bm_partials").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bm_partials")
+      // word-level parity with the batch pass
+      assert(got.count() === batchPartials.count())
+      assert(got.except(batchPartials).count() === 0)
+      // the partials merge to the EXACT distinct: OR across days per
+      // (type, word), popcount, compare against a direct countDistinct
+      val merged = got.groupBy($"event_type", $"word")
+        .agg(bit_or($"m").as("m"))
+        .groupBy($"event_type")
+        .agg(sum(bit_count($"m")).cast("long").as("users"))
+      val exact = batch.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("users"))
+      assert(merged.except(exact).count() === 0 &&
+        exact.except(merged).count() === 0)
+      // idempotent under replay: re-OR-ing the same partials changes
+      // nothing (the at-least-once safety count partials lack)
+      val replayed = got.union(got).groupBy($"event_type", $"word")
+        .agg(bit_or($"m").as("m"))
+        .groupBy($"event_type")
+        .agg(sum(bit_count($"m")).cast("long").as("users"))
+      assert(replayed.except(exact).count() === 0)
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits unmatched rows after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
