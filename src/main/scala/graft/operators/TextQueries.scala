@@ -1254,6 +1254,84 @@ object TextQueries {
         ORDER BY rank"""),
       desc = "incremental BM25: per-batch partials merged losslessly, no re-tokenize"),
 
+    // ── hard-negative mining (contrastive-training last mile) ───────
+    // The step a retrieval/embedding trainer runs on top of BM25: the
+    // top hit is the POSITIVE; the rest of the top-20 are candidate
+    // negatives — minus any candidate that is a near-duplicate of the
+    // positive (≥50% 5-gram containment), because training against a
+    // paraphrase of the positive as a "negative" poisons the loss
+    // (the false-negative filter). The positive's gram set is one
+    // doc — broadcast-sized at any corpus scale; candidates are topK
+    // rows, so the whole filter stage is O(topK · doc_len) after the
+    // BM25 ranking. Exact-integer containment ppm; re-ranked
+    // deterministically by (score DESC, doc_id).
+    "search_hardneg" -> Q(
+      fn = (s, dir) => {
+        // term set chosen so the sf0.01 gate EXERCISES the filter:
+        // the top hit's exact duplicate ranks #2 and must be dropped
+        val top = Corpus.bm25Rank(docs(s, dir),
+          Seq("line", "hash", "vector", "merge"), topK = 20)
+        val withText = top.join(docs(s, dir).select(col("doc_id"),
+          col("text")), Seq("doc_id"))
+        val grams = withText
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), col("rank"), explode(expr(
+            """transform(sequence(0, size(toks) - 5), i ->
+               CAST(conv(substring(md5(concat_ws(' ',
+                 slice(toks, i + 1, 5))), 1, 14), 16, 10) AS BIGINT))"""))
+            .as("g"))
+          .distinct()
+        val top1 = grams.filter(col("rank") === 1)
+          .select(col("g").as("g1")).distinct()
+        val cont = grams.filter(col("rank") > 1)
+          .join(broadcast(top1), col("g") === col("g1"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("g1").isNotNull, 1L).otherwise(0L))
+              .as("n_shared"))
+          .select(col("doc_id"),
+            expr("n_shared * 1000000L div n_grams").as("cont_ppm"))
+        val negs = top.filter(col("rank") > 1)
+          .join(cont, Seq("doc_id"), "left")
+          .withColumn("cont_ppm", coalesce(col("cont_ppm"), lit(0L)))
+          .filter(col("cont_ppm") < 500000L)
+        negs.select(
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id")))
+              .cast("long").as("neg_rank"),
+            col("doc_id"), col("score"), col("cont_ppm"))
+          .orderBy(col("neg_rank"))
+      },
+      oracle = Some(s"""
+        WITH ${duckBm25Ctes(Seq("line", "hash", "vector", "merge"), 20)},
+        hn_g AS (
+          SELECT DISTINCT t.doc_id, t.rank,
+            ('0x' || substr(md5(array_to_string(
+               list_transform(range(i, i + 5), j -> toks[j]), ' ')),
+               1, 14))::BIGINT AS g
+          FROM (SELECT b.doc_id, b.rank, string_split(d.text, ' ') AS toks
+                FROM bm_top b JOIN documents d ON d.doc_id = b.doc_id) t,
+               unnest(range(1, len(toks) - 5 + 2)) AS u(i)
+          WHERE len(toks) >= 5),
+        hn_top1 AS (SELECT DISTINCT g FROM hn_g WHERE rank = 1),
+        hn_cont AS (
+          SELECT e.doc_id,
+                 CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000000 // count(*) AS BIGINT) AS cont_ppm
+          FROM hn_g e LEFT JOIN hn_top1 t ON t.g = e.g
+          WHERE e.rank > 1 GROUP BY e.doc_id),
+        hn_neg AS (
+          SELECT b.doc_id, b.score,
+                 COALESCE(c.cont_ppm, 0) AS cont_ppm
+          FROM bm_top b LEFT JOIN hn_cont c ON c.doc_id = b.doc_id
+          WHERE b.rank > 1 AND COALESCE(c.cont_ppm, 0) < 500000)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS neg_rank,
+               doc_id, score, cont_ppm
+        FROM hn_neg ORDER BY neg_rank"""),
+      desc = "hard negatives: BM25 top-k minus near-dups of the positive"),
+
     // ── batch-perceptron quality probe (distilled rule cascade) ─────
     // Fixed-round integer-exact linear fit; the oracle replays all 8
     // rounds unrolled (the ivf_kmeans oracle pattern — the CTE chain
