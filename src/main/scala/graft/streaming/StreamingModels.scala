@@ -110,6 +110,22 @@ object StreamingModels {
           .as("lead_s"))
   }
 
+  /** Stream-static enrichment join — the dimension-lookup shape: a
+    * stream joined to a BATCH frame (user segment dim). The static
+    * side is planned per micro-batch (broadcast when small — the
+    * steady-state plan at any stream volume, since the dim does not
+    * grow with the stream), needs no watermark, and holds no join
+    * state: only stateful stream-STREAM joins pay state. Aggregation
+    * after the join is the usual windowed form. */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("unknown")))
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day_start"), col("segment"), col("n"))
+
   /** LEFT OUTER stream-stream interval join — the attribution form
     * that also emits UNATTRIBUTED purchases (click_id null). The
     * outer side is the semantically hard part of stream-stream joins:

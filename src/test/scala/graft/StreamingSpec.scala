@@ -178,6 +178,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches batch; dim misses default") {
+    val batch = Sources.table(spark, sf(), "events")
+    // static dim covering only part of the id space — the rest must
+    // fall back to 'unknown' through the left join
+    val dim = spark.range(0, 8).select($"id".as("user_id"),
+      concat(lit("seg"), ($"id" % 2)).as("segment"))
+    val expected = StreamingModels.enrichedCounts(batch, dim)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_enr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = StreamingModels.enrichedCounts(stream, dim)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+      assert(got.except(expected).count() === 0 &&
+        expected.except(got).count() === 0)
+      // both covered segments and the unknown fallback are present
+      val segs = got.select($"segment").distinct()
+        .as[String].collect().toSet
+      assert(segs.contains("unknown") && segs.exists(_.startsWith("seg")),
+        s"got segments $segs")
+    } finally q.stop()
+  }
+
   test("streaming bitmap partials merge to the exact distinct (batch parity)") {
     val batch = Sources.table(spark, sf(), "events")
     // the partial frame computed in one batch pass
