@@ -1121,18 +1121,22 @@ object ExtendedQueries {
     // both dimensions to 16 bits (one 4-number stats pass — without
     // it the wider-ranged key monopolizes the curve's high bits and
     // the narrow one never prunes), interleave into a Morton key,
-    // cut the curve into
-    // 64 equal buckets (files), and emit each bucket's min/max stats
-    // for BOTH dimensions plus the skip verdicts for one selective
-    // predicate per dimension — beside the same stats for the natural
-    // (orderkey) layout, which prunes neither. The ntile here is the
-    // deterministic stand-in for Layout.zorderWrite's sampled range
-    // partitioning, so the oracle can replay the exact bucketing; the
-    // write path itself never does a global sort (LayoutSpec audits
-    // RangePartitioning + real parquet footer stats + the skip-rate
-    // win). The interesting OUTPUT is the stats frame: z-order
-    // buckets bound both key ranges tightly (most skip one or both
-    // predicates), natural buckets bound neither.
+    // cut the curve into 64 FIXED-WIDTH key-range buckets (files),
+    // and emit each bucket's min/max stats for BOTH dimensions plus
+    // the skip verdicts for one selective predicate per dimension —
+    // beside the same stats for the natural (orderkey) layout, which
+    // prunes neither. Bucketing is pure integer arithmetic
+    // ((key−lo)·64 div (hi−lo+1)) — map-side, shuffle-parallel, and
+    // replayed exactly by the DuckDB `//` twin; no global sort
+    // anywhere in the plan (PlanAuditSpec pins the absence of a
+    // single-partition Window — the round-7 ntile form planned two).
+    // Layout.zorderWrite's production path instead samples range
+    // boundaries (LayoutSpec audits RangePartitioning + real parquet
+    // footer stats + the skip-rate win); fixed-width cuts here trade
+    // its equal-ROW files for oracle-replayable determinism. The
+    // interesting OUTPUT is the stats frame: z-order buckets bound
+    // both key ranges tightly (most skip one or both predicates),
+    // natural buckets bound neither.
     "layout_zorder" -> Q(
       fn = (s, dir) => {
         import s.implicits._
@@ -1140,17 +1144,24 @@ object ExtendedQueries {
           .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
         val z = Layout.withMortonKey(
           li, $"l_partkey", $"l_suppkey", 16, keyCol = "zkey")
-        def stats(df: DataFrame, tag: String,
-                  ord: Seq[org.apache.spark.sql.Column]) = df
-          .withColumn("bucket",
-            ntile(64).over(Window.orderBy(ord: _*)).cast(LongType))
-          .groupBy($"bucket")
+        val ext = z.agg(
+          min($"zkey").as("z_lo"), max($"zkey").as("z_hi"),
+          min($"l_orderkey").as("o_lo"), max($"l_orderkey").as("o_hi"))
+        // (k−lo)·64 < 2^38 stays exact in a long; quotient < 64 by
+        // construction (k ≤ hi), so buckets land in 1..64 with no clamp
+        val b = z.crossJoin(broadcast(ext))
+          .withColumn("bucket_z",
+            expr("((zkey - z_lo) * 64) div (z_hi - z_lo + 1) + 1"))
+          .withColumn("bucket_n",
+            expr("((l_orderkey - o_lo) * 64) div (o_hi - o_lo + 1) + 1"))
+        def stats(tag: String, bucketCol: String) = b
+          .groupBy(col(bucketCol).as("bucket"))
           .agg(count(lit(1)).as("n"),
             min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
             min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"))
           .withColumn("layout", lit(tag))
-        stats(z, "zorder", Seq($"zkey", $"l_orderkey", $"l_linenumber"))
-          .union(stats(z, "natural", Seq($"l_orderkey", $"l_linenumber")))
+        stats("zorder", "bucket_z")
+          .union(stats("natural", "bucket_n"))
           .select($"layout", $"bucket", $"n", $"min_p", $"max_p",
             $"min_s", $"max_s",
             ($"max_p" < 400 || $"min_p" > 499).as("skip_part"),
@@ -1173,24 +1184,27 @@ object ExtendedQueries {
           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                  ${Layout.mortonSqlDuck("sx", "sy", 16)} AS zkey
           FROM sc),
-        bz AS (
-          SELECT *, ntile(64) OVER (ORDER BY zkey, l_orderkey, l_linenumber)
-                    AS bucket
+        zx AS (
+          SELECT min(zkey) AS z_lo, max(zkey) AS z_hi,
+                 min(l_orderkey) AS o_lo, max(l_orderkey) AS o_hi
           FROM z),
-        bn AS (
-          SELECT *, ntile(64) OVER (ORDER BY l_orderkey, l_linenumber)
-                    AS bucket
-          FROM z),
+        bk AS (
+          SELECT z.*,
+                 ((zkey - z_lo) * 64) // (z_hi - z_lo + 1) + 1
+                   AS bucket_z,
+                 ((l_orderkey - o_lo) * 64) // (o_hi - o_lo + 1) + 1
+                   AS bucket_n
+          FROM z, zx),
         st AS (
-          SELECT 'zorder' AS layout, bucket, count(*) AS n,
+          SELECT 'zorder' AS layout, bucket_z AS bucket, count(*) AS n,
                  min(l_partkey) AS min_p, max(l_partkey) AS max_p,
                  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
-          FROM bz GROUP BY bucket
+          FROM bk GROUP BY bucket_z
           UNION ALL
-          SELECT 'natural' AS layout, bucket, count(*) AS n,
+          SELECT 'natural' AS layout, bucket_n AS bucket, count(*) AS n,
                  min(l_partkey) AS min_p, max(l_partkey) AS max_p,
                  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
-          FROM bn GROUP BY bucket)
+          FROM bk GROUP BY bucket_n)
         SELECT layout, bucket, n, min_p, max_p, min_s, max_s,
                (max_p < 400 OR min_p > 499) AS skip_part,
                (max_s < 20 OR min_s > 39) AS skip_supp

@@ -80,7 +80,14 @@ object SessionQueries {
       fn = (s, dir) => {
         import s.implicits._
         ev(s, dir)
-          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          // session on SECOND-floored ts (the events.ts determinism
+          // contract): raw micros would merge a pair whose true gap is
+          // in [1799s, 1800s) while the oracle's second-floored series
+          // splits it — both engines must sessionize the identical
+          // second-granularity series
+          .groupBy($"user_id",
+            session_window(timestamp_seconds(unix_timestamp($"ts")),
+              "30 minutes"))
           .agg(count(lit(1)).as("n_events"),
             (sum(round($"value" * 100).cast(LongType)) / 100.0)
               .as("sum_value"))

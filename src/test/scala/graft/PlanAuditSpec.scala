@@ -268,6 +268,17 @@ class PlanAuditSpec extends SparkSuite {
       s"window re-shuffles on p_id:\n$p")
   }
 
+  test("layout_zorder buckets without any Window (no single-partition sort)") {
+    // round-7 planned ntile(64) over a global ORDER BY — two
+    // single-partition sorts of the whole table through one task each.
+    // Fixed-width key-range bucketing is pure map-side integer
+    // arithmetic: the plan must carry NO Window node at all (and the
+    // only broadcast is the 4-number extent row).
+    val p = plan(SparkEntry.queries("layout_zorder")(spark, sf()))
+    assert(!p.contains("Window"),
+      s"layout_zorder must bucket by fixed key ranges, not a window:\n$p")
+  }
+
   test("long_dot participates in whole-stage codegen") {
     graft.functions.LongArrayDot.register(spark)
     val df = Sources.table(spark, sf(), "lineitem")
