@@ -67,46 +67,100 @@ object Layout {
   def scaleDimSqlDuck(v: String, lo: String, hi: String, bits: Int): String =
     s"((($v) - ($lo)) * ${(1L << bits) - 1} // greatest(($hi) - ($lo), 1))"
 
+  /** Largest per-dimension extent for which [[scaleDim]]'s
+    * double-division-is-integer-division argument holds:
+    * (v−lo)·(2^bits−1) must stay < 2^53 (exact in a double) — see the
+    * scaleDim scaladoc. Enforced per-row in [[withMortonKey]] (bounds
+    * are runtime columns there) and on the driver in [[frozenKey]] /
+    * [[zorderWrite]] (bounds are known longs). */
+  private def maxExactExtent(bits: Int): Long =
+    ((1L << 53) - 1) / ((1L << bits) - 1)
+
+  private def requireExact(m: ZorderMeta): Unit = {
+    val lim = maxExactExtent(m.bits)
+    require(m.xHi - m.xLo <= lim && m.yHi - m.yLo <= lim,
+      s"zorder: dimension extent exceeds the exactness contract " +
+        s"(hi-lo)*(2^bits-1) < 2^53 — extents (${m.xHi - m.xLo}, " +
+        s"${m.yHi - m.yLo}), limit $lim at bits=${m.bits}; lower bits")
+  }
+
   /** Add a normalized Morton key column: one stats aggregate (4
     * numbers, broadcast back onto the rows), scale both dimensions to
     * `bits` width, interleave. This is the whole "analyze + cluster"
-    * front half of OPTIMIZE ZORDER as a single declarative frame. */
+    * front half of OPTIMIZE ZORDER as a single declarative frame.
+    * The key expression guards the [[scaleDim]] exactness contract at
+    * runtime (the bounds are data-dependent columns here, so a driver
+    * `require` cannot see them): an extent wide enough to break
+    * (hi−lo)·(2^bits−1) < 2^53 raises instead of silently minting
+    * keys that diverge from the integer-division oracle. */
   def withMortonKey(df: DataFrame, x: Column, y: Column, bits: Int,
                     keyCol: String = "_zkey"): DataFrame = {
-    val ext = df.agg(
-      min(x).as("_x_lo"), max(x).as("_x_hi"),
-      min(y).as("_y_lo"), max(y).as("_y_hi"))
-    df.crossJoin(broadcast(ext))
-      .withColumn(keyCol, mortonKey(
-        scaleDim(x, col("_x_lo"), col("_x_hi"), bits),
-        scaleDim(y, col("_y_lo"), col("_y_hi"), bits), bits))
+    val lim = maxExactExtent(bits)
+    df.crossJoin(broadcast(df.agg(
+        min(x).as("_x_lo"), max(x).as("_x_hi"),
+        min(y).as("_y_lo"), max(y).as("_y_hi"))))
+      .withColumn(keyCol,
+        when(col("_x_hi") - col("_x_lo") <= lim &&
+             col("_y_hi") - col("_y_lo") <= lim,
+          mortonKey(
+            scaleDim(x, col("_x_lo"), col("_x_hi"), bits),
+            scaleDim(y, col("_y_lo"), col("_y_hi"), bits), bits))
+        .otherwise(raise_error(lit(
+          s"zorder: dimension extent exceeds the exactness contract " +
+            s"(hi-lo)*(2^bits-1) < 2^53 at bits=$bits; lower bits"))))
       .drop("_x_lo", "_x_hi", "_y_lo", "_y_hi")
   }
 
   /** Z-order clustered write: range-partition on the normalized
-    * Morton key (the cluster analog of the local ntile the registered
-    * query uses for its bounded oracle), sort within each partition,
-    * write one file per range. RangePartitioner samples boundaries —
-    * a full sort is never materialized, so this scales to arbitrary
-    * input: the only global structure is the sampled boundary array
-    * on the driver (plus the 4-number stats row). Per-file parquet
-    * min/max stats of BOTH dimensions then prune selective scans
-    * (LayoutSpec reads them back and asserts the skip rate). */
+    * Morton key (the cluster analog of the fixed-range buckets the
+    * registered query uses for its bounded oracle), sort within each
+    * partition, write one file per range. RangePartitioner samples
+    * boundaries — a full sort is never materialized, so this scales
+    * to arbitrary input: the only global structure is the sampled
+    * boundary array on the driver (plus the 4-number stats row).
+    *
+    * The key is PERSISTED as a `_zkey` column: parquet footer min/max
+    * of `_zkey` is then the per-file curve range, which is what lets
+    * [[zorderCompact]] plan a rewrite from O(files) footer METADATA
+    * instead of re-keying the table (the lakehouse formats carry the
+    * same stats in their manifest/log). Per-file footer stats of both
+    * dimensions prune selective scans (LayoutSpec reads them back and
+    * asserts the skip rate); [[read]] drops the key for consumers.
+    *
+    * One data pass: the 4-number extent is aggregated once, frozen
+    * into literal bounds (no per-row join), and shared with the
+    * sidecar metadata. Empty input writes an empty dataset with a
+    * sentinel zero-extent sidecar. */
   def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
                   numFiles: Int, path: String): Unit = {
-    withMortonKey(df, x, y, bits)
-      .repartitionByRange(numFiles, col("_zkey"))
-      .sortWithinPartitions(col("_zkey"))
-      .drop("_zkey")
+    val ext = df.agg(min(x), max(x), min(y), max(y)).head()
+    if (ext.isNullAt(0)) {
+      df.limit(0).withColumn(ZKEY, lit(0L))
+        .write.mode("overwrite").parquet(path)
+      writeMeta(df.sparkSession, path, ZorderMeta(0L, 0L, 0L, 0L, bits))
+      return
+    }
+    val m = ZorderMeta(
+      ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3), bits)
+    requireExact(m)
+    df.withColumn(ZKEY, frozenKey(m, x, y))
+      .repartitionByRange(numFiles, col(ZKEY))
+      .sortWithinPartitions(col(ZKEY))
       .write.mode("overwrite").parquet(path)
     // table-level metadata: the scale bounds the keys were minted
     // with. Compaction MUST reuse them — rescaling against a delta's
     // different min/max would mint incomparable keys (underscore
     // prefix: invisible to Spark's file index, like _SUCCESS).
-    val ext = df.agg(min(x), max(x), min(y), max(y)).head()
-    writeMeta(df.sparkSession, path, ZorderMeta(
-      ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3), bits))
+    writeMeta(df.sparkSession, path, m)
   }
+
+  /** The persisted curve-key column name. */
+  val ZKEY = "_zkey"
+
+  /** Read a z-ordered dataset for consumers (drops the internal
+    * persisted curve key). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(ZKEY)
 
   /** The frozen scale bounds of a z-ordered dataset (its clustering
     * metadata, as a lakehouse table format would carry). */
@@ -145,12 +199,46 @@ object Layout {
     * edge cells — late data beyond the original range still lands on
     * the curve, merely less selectively). */
   def frozenKey(m: ZorderMeta, x: Column, y: Column): Column = {
+    requireExact(m)
     def clamp(v: Column, lo: Long, hi: Long) =
       greatest(least(v, lit(hi)), lit(lo))
     mortonKey(
       scaleDim(clamp(x, m.xLo, m.xHi), lit(m.xLo), lit(m.xHi), m.bits),
       scaleDim(clamp(y, m.yLo, m.yHi), lit(m.yLo), lit(m.yHi), m.bits),
       m.bits)
+  }
+
+  /** Per-file `_zkey` ranges from parquet FOOTER statistics — the
+    * O(files) metadata read that replaces the round-7 full-table
+    * re-keying scan ("compaction cost tracks the DELTA" is only true
+    * if range derivation never touches row data). Files whose footers
+    * carry no `_zkey` stats (empty files) come back with an empty
+    * range marker (lo > hi) — they cannot overlap anything. */
+  def fileRanges(spark: SparkSession, path: String)
+      : Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val hadoopFs = fs(spark, path)
+    hadoopFs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("part-")).toSeq
+      .map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try {
+          val stats = reader.getFooter.getBlocks.asScala.toSeq
+            .flatMap(_.getColumns.asScala
+              .find(_.getPath.toDotString == ZKEY))
+            .map(_.getStatistics)
+            .filter(s => s != null && !s.isEmpty)
+          if (stats.isEmpty) (st.getPath.toString, 1L, 0L)
+          else (st.getPath.toString,
+            stats.map(_.genericGetMin
+              .asInstanceOf[java.lang.Long].longValue).min,
+            stats.map(_.genericGetMax
+              .asInstanceOf[java.lang.Long].longValue).max)
+        } finally reader.close()
+      }
   }
 
   /** Incremental z-order compaction — the incremental OPTIMIZE shape:
@@ -161,20 +249,26 @@ object Layout {
     * curve region, so compaction cost tracks the DELTA size, not the
     * table size (a full zorderWrite re-sorts everything).
     *
-    * Mechanics: per-file [lo, hi] key ranges are re-derived from the
-    * existing data under the FROZEN table bounds ([[readMeta]] — keys
-    * minted under different bounds would be incomparable); a file
-    * needs rewriting iff AT LEAST ONE delta key lands inside its
-    * range (an exact broadcast range-probe of the tiny file-range
-    * frame — a hull test would drag in every file between two distant
-    * delta clusters); the rewrite region (overlapped files ∪ delta)
-    * is re-range-partitioned and swapped in with temp-dir + rename
-    * (the commit dance a real table format does transactionally).
-    * Like LSM/level compaction, rewritten files may RANGE-OVERLAP
-    * untouched neighbors (pruning stays correct, merely less tight
-    * until the next wider compaction); what is preserved exactly is
-    * the data itself and the untouched files' bytes. Driver state is
-    * file METADATA only (one (path, lo, hi) row per file).
+    * Mechanics: per-file [lo, hi] key ranges come from the parquet
+    * FOOTER stats of the persisted `_zkey` column ([[fileRanges]] —
+    * O(files) metadata, never a data scan; keys were minted under the
+    * FROZEN table bounds of [[readMeta]], so delta keys minted under
+    * the same bounds are directly comparable); a file needs rewriting
+    * iff AT LEAST ONE delta key lands inside its range (an exact
+    * broadcast range-probe of the tiny file-range frame — a hull test
+    * would drag in every file between two distant delta clusters);
+    * the rewrite region (overlapped files ∪ delta) is
+    * re-range-partitioned and swapped in rename-first (the commit
+    * dance a real table format does transactionally in its log: new
+    * files appear under fresh names BEFORE superseded ones are
+    * deleted, and every FileSystem boolean is checked — a crash
+    * between the two phases leaves duplicate rows, never missing
+    * ones). Like LSM/level compaction, rewritten files may
+    * RANGE-OVERLAP untouched neighbors (pruning stays correct, merely
+    * less tight until the next wider compaction); what is preserved
+    * exactly is the data itself and the untouched files' bytes.
+    * Driver state is file METADATA only (one (path, lo, hi) row per
+    * file).
     *
     * Returns (filesRewritten, filesUntouched). */
   def zorderCompact(spark: SparkSession, path: String, delta: DataFrame,
@@ -182,18 +276,12 @@ object Layout {
     val m = readMeta(spark, path)
     val hadoopFs = fs(spark, path)
 
-    val deltaKeyed = delta.withColumn("_zkey", frozenKey(m, x, y))
+    val deltaKeyed = delta.withColumn(ZKEY, frozenKey(m, x, y))
     if (deltaKeyed.isEmpty) return (0, countDataFiles(hadoopFs, path))
 
-    val ranges = spark.read.parquet(path)
-      .withColumn("_f", input_file_name())
-      .withColumn("_zkey", frozenKey(m, x, y))
-      .groupBy(col("_f"))
-      .agg(min(col("_zkey")).as("lo"), max(col("_zkey")).as("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ranges = fileRanges(spark, path)
     val rangesDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(ranges.toSeq.map {
+      spark.sparkContext.parallelize(ranges.map {
         case (f, lo, hi) => org.apache.spark.sql.Row(f, lo, hi)
       }),
       org.apache.spark.sql.types.StructType(Seq(
@@ -203,43 +291,48 @@ object Layout {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("hi",
           org.apache.spark.sql.types.LongType))))
-    val hitFiles = deltaKeyed.select(col("_zkey"))
+    val hitFiles = deltaKeyed.select(col(ZKEY))
       .join(broadcast(rangesDf),
-        col("_zkey") >= col("lo") && col("_zkey") <= col("hi"))
+        col(ZKEY) >= col("lo") && col(ZKEY) <= col("hi"))
       .select(col("_f")).distinct().collect().map(_.getString(0)).toSet
     val (overlap, untouched) = ranges.partition {
       case (f, _, _) => hitFiles.contains(f)
     }
 
     val rewriteInput = {
+      // overlapped files carry their stored _zkey — read it, never
+      // re-derive (re-keying is the O(rows) cost this path exists to
+      // avoid; it would also silently diverge if bounds ever drifted)
       val d = deltaKeyed
       if (overlap.isEmpty) d
-      else spark.read.parquet(overlap.map(_._1): _*)
-        .withColumn("_zkey", frozenKey(m, x, y))
-        .unionByName(d)
+      else spark.read.parquet(overlap.map(_._1): _*).unionByName(d)
     }
     val nOut = math.max(1, overlap.length + 1)
     val tmp = new org.apache.hadoop.fs.Path(path, s".compact_tmp")
     rewriteInput
-      .repartitionByRange(nOut, col("_zkey"))
-      .sortWithinPartitions(col("_zkey"))
-      .drop("_zkey")
+      .repartitionByRange(nOut, col(ZKEY))
+      .sortWithinPartitions(col(ZKEY))
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: remove superseded files, move the rewritten ones in under
-    // fresh names (a real table format would commit this atomically
-    // in its log; directory rename is the single-FS stand-in)
-    overlap.foreach { case (f, _, _) =>
-      hadoopFs.delete(new org.apache.hadoop.fs.Path(
-        new java.net.URI(f).getPath), false)
-    }
+    // swap, rename-first: move the rewritten files in under fresh
+    // names (no collision with live names), THEN delete superseded
+    // ones — the failure window duplicates rows instead of losing
+    // them, and any false return aborts loudly
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val moved = hadoopFs.listStatus(tmp)
       .filter(s => s.getPath.getName.startsWith("part-"))
     moved.zipWithIndex.foreach { case (s, i) =>
-      hadoopFs.rename(s.getPath, new org.apache.hadoop.fs.Path(
-        path, s"part-compact-$stamp-$i.parquet"))
+      val dest = new org.apache.hadoop.fs.Path(
+        path, s"part-compact-$stamp-$i.parquet")
+      if (!hadoopFs.rename(s.getPath, dest))
+        sys.error(s"zorderCompact: rename ${s.getPath} -> $dest failed")
     }
-    hadoopFs.delete(tmp, true)
+    overlap.foreach { case (f, _, _) =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
+      if (!hadoopFs.delete(p, false))
+        sys.error(s"zorderCompact: delete of superseded $p failed")
+    }
+    if (!hadoopFs.delete(tmp, true))
+      sys.error(s"zorderCompact: cleanup of $tmp failed")
     (overlap.length, untouched.length)
   }
 

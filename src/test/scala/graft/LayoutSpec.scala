@@ -113,6 +113,56 @@ class LayoutSpec extends SparkSuite {
       s"zorder ($zp,$zs) must beat natural ($np,$ns)")
   }
 
+  test("zorderCompact plans from footer metadata: data read tracks the delta") {
+    // the round-7 defect: range derivation re-keyed EVERY row of the
+    // table per compaction. Now ranges come from parquet footer stats
+    // of the persisted _zkey (O(files) metadata), so the only row
+    // data a compaction reads is the overlapped files + the delta —
+    // pinned here by summing executor inputMetrics.recordsRead across
+    // the whole compact call and requiring it to stay well under the
+    // table's row count.
+    val out = Files.createTempDirectory("zmeta").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val isDelta = $"l_partkey".between(150, 160) && $"l_suppkey" <= 2
+    val base = li.filter(!isDelta)
+    // the delta arrives as its OWN input in production (a day's
+    // append) — materialize it so its scans don't re-read lineitem
+    val deltaDir = Files.createTempDirectory("zmeta_delta").toString
+    li.filter(isDelta).write.mode("overwrite").parquet(deltaDir)
+    val delta = spark.read.parquet(deltaDir)
+    val baseRows = base.count()
+    val deltaRows = delta.count()
+    Layout.zorderWrite(base, $"l_partkey", $"l_suppkey", 16, 16, out)
+
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (rewritten, _) =
+      try Layout.zorderCompact(spark, out, delta, $"l_partkey", $"l_suppkey")
+      finally {
+        // listener events are async: settle until the counter stops
+        var prev = -1L; var n = 0
+        while (recs.get != prev && n < 40) {
+          prev = recs.get; Thread.sleep(250); n += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(rewritten >= 1)
+    // budget: overlapped files (a minority of 16) + the delta read a
+    // few times (isEmpty probe, range probe, rewrite). The round-7
+    // implementation read >= baseRows on top of that.
+    val budget = baseRows / 2 + 4 * deltaRows
+    assert(recs.get <= budget,
+      s"compaction read ${recs.get} records (budget $budget of " +
+        s"$baseRows base rows) — range derivation is scanning the table")
+  }
+
   test("zorderCompact rewrites only the delta's curve region") {
     val out = Files.createTempDirectory("zcompact").toString
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
