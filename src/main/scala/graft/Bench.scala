@@ -91,6 +91,18 @@ object Bench {
       // inflates LATER queries' minimums (measured: corpus_clean
       // 5.6 s isolated vs 9.1 s late in a full run)
       System.gc()
+      // SPARK_GRAFT_BENCH_DEBUG=1: per-query session-state trace for
+      // hunting cross-query interference (what accumulates, when)
+      if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")) {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val rt = Runtime.getRuntime
+        System.err.println(
+          f"BENCHDBG $name t1=${samples(0)._2}%.2f t2=${samples(1)._2}%.2f " +
+            f"rdds=${infos.length} memMB=${infos.map(_.memSize).sum / 1048576} " +
+            f"diskMB=${infos.map(_.diskSize).sum / 1048576} " +
+            f"shared=${Engine.sharedKeys().size} " +
+            f"heapMB=${(rt.totalMemory - rt.freeMemory) / 1048576}")
+      }
       // only SUCCESSFUL runs are timing samples — a fast crash must
       // not min() a real measurement down to its throw time. A query
       // with no successful run reports its slowest attempt (it is

@@ -140,9 +140,48 @@ object Engine {
           materializeByServiceDay(df, path)
         else df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(name)
+      // dbt's third materialization (`materialized='incremental'`,
+      // day-partition strategy): first run writes the full
+      // day-partitioned table; every later run recomputes the model
+      // and dynamic-partition-overwrites ONLY the days ≥ the max day
+      // already on disk (inclusive — the in-flight day is always
+      // refreshed, so data landing on the boundary day is never
+      // stale), the daily cadence docs/metrics_guide.md:385
+      // recommends. The day restriction is applied to the model
+      // OUTPUT: Catalyst pushes it down the model plan, and when the
+      // upstream model is itself day-partitioned (table/incremental
+      // mode) it becomes scan-level partition pruning — that chain,
+      // not this operator, is what bounds the source scan at 100 TB.
+      // Late data ≥2 days behind the watermark is the documented
+      // non-case (same as dbt's insert_overwrite): repair with
+      // [[refreshByServiceDay]] on the affected days.
+      case "incremental" =>
+        val root = tableRoot.getOrElse(throw new IllegalArgumentException(
+          s"registerMta: model '$name' is incremental-materialized " +
+            "but no tableRoot was given"))
+        if (!df.columns.contains("service_day_local"))
+          throw new IllegalArgumentException(
+            s"registerMta: incremental model '$name' must carry " +
+              "service_day_local (day-partition strategy)")
+        val path = s"$root/$name"
+        val exists = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        if (!exists) materializeByServiceDay(df, path)
+        else {
+          import org.apache.spark.sql.functions.{col, lit, max}
+          val maxDay = spark.read.parquet(path)
+            .agg(max(col("service_day_local"))).head().get(0)
+          val dayCol = col("service_day_local")
+          // null-day rows ride every refresh (they carry no watermark)
+          refreshByServiceDay(
+            df.filter(dayCol.isNull || dayCol >= lit(maxDay)), path)
+        }
+        spark.read.parquet(path).createOrReplaceTempView(name)
       case other => throw new IllegalArgumentException(
         s"registerMta: unknown materialization '$other' for model " +
-          s"'$name' (expected 'view' or 'table')")
+          s"'$name' (expected 'view', 'table', or 'incremental')")
     }
 
   /** S4 table sink: materialize a model partitioned by local service

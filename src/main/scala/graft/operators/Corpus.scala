@@ -22,6 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object Corpus extends org.apache.spark.internal.Logging {
 
+  // fullwidth ASCII block (U+FF01..U+FF5E) + ideographic space → their
+  // ASCII counterparts, positionally aligned for translate()
+  private val FwChars =
+    (0xFF01 to 0xFF5E).map(_.toChar).mkString + "　"
+  private val AsciiChars = (0x21 to 0x7E).map(_.toChar).mkString + " "
+
+  /** Corpus text normalization — the cleaning pass a real pipeline
+    * runs BEFORE the dedup/quality families, so formatting variants of
+    * the same page (fullwidth punctuation, stray control bytes, runs
+    * of whitespace, case) don't defeat shingle-based near-dup
+    * detection (CorpusSpec pins a pair raw minhash misses and
+    * normalized minhash finds).
+    *
+    * Deterministic pure string exprs, engine-portable by
+    * construction: width fold via positional translate; control strip
+    * and whitespace collapse use EXPLICIT char classes (Java's `\s`
+    * counts \x0B, RE2's does not — never use `\s` in a cross-engine
+    * twin); strip runs BEFORE collapse so a control byte between
+    * spaces can't leave a double space, and newlines collapse to
+    * spaces rather than vanishing. */
+  def normalizeText(c: Column): Column =
+    trim(lower(regexp_replace(
+      regexp_replace(translate(c, FwChars, AsciiChars),
+        "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\f\\r]+", " ")))
+
+  /** [[normalizeText]] as DuckDB SQL text (expression-for-expression
+    * twin — keep in sync). */
+  def normalizeSqlDuck(e: String): String = {
+    val fw = FwChars.replace("'", "''")
+    val ascii = AsciiChars.replace("'", "''")
+    s"trim(lower(regexp_replace(regexp_replace(translate($e, '$fw', " +
+      s"'$ascii'), '[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]', '', 'g'), " +
+      s"'[ \\t\\n\\f\\r]+', ' ', 'g')))"
+  }
+
   /** MinHash+LSH near-duplicate pairs (`doc_a < doc_b`, jaccard ≥
     * `minJaccard`): shingle → 8 minhashes → 4 bands of 2 →
     * band-bucket equi-join → exact Jaccard verify. Candidates only

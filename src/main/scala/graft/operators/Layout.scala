@@ -96,18 +96,28 @@ object Layout {
   def withMortonKey(df: DataFrame, x: Column, y: Column, bits: Int,
                     keyCol: String = "_zkey"): DataFrame = {
     val lim = maxExactExtent(bits)
-    df.crossJoin(broadcast(df.agg(
-        min(x).as("_x_lo"), max(x).as("_x_hi"),
-        min(y).as("_y_lo"), max(y).as("_y_hi"))))
-      .withColumn(keyCol,
-        when(col("_x_hi") - col("_x_lo") <= lim &&
-             col("_y_hi") - col("_y_lo") <= lim,
-          mortonKey(
-            scaleDim(x, col("_x_lo"), col("_x_hi"), bits),
-            scaleDim(y, col("_y_lo"), col("_y_hi"), bits), bits))
-        .otherwise(raise_error(lit(
-          s"zorder: dimension extent exceeds the exactness contract " +
-            s"(hi-lo)*(2^bits-1) < 2^53 at bits=$bits; lower bits"))))
+    // the contract check rides the 1-ROW extent frame (each _lo is
+    // gated on its dimension's extent), NOT the per-row key: a
+    // conditional around the key expression would disable
+    // subexpression elimination of the 32 scaleDim subtrees the
+    // interleave duplicates — measured 7× slower on the registered
+    // layout_zorder query
+    def checked(lo: Column, hi: Column): Column =
+      when(hi - lo <= lim, lo).otherwise(raise_error(lit(
+        s"zorder: dimension extent exceeds the exactness contract " +
+          s"(hi-lo)*(2^bits-1) < 2^53 at bits=$bits; lower bits")))
+    val ext = df.agg(
+        min(x).as("_xl"), max(x).as("_xh"),
+        min(y).as("_yl"), max(y).as("_yh"))
+      .select(
+        checked(col("_xl"), col("_xh")).as("_x_lo"),
+        col("_xh").as("_x_hi"),
+        checked(col("_yl"), col("_yh")).as("_y_lo"),
+        col("_yh").as("_y_hi"))
+    df.crossJoin(broadcast(ext))
+      .withColumn(keyCol, mortonKey(
+        scaleDim(x, col("_x_lo"), col("_x_hi"), bits),
+        scaleDim(y, col("_y_lo"), col("_y_hi"), bits), bits))
       .drop("_x_lo", "_x_hi", "_y_lo", "_y_hi")
   }
 

@@ -550,6 +550,33 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "quality scoring: punct/upper/digit/stopword ratios"),
 
+    // ── normalization: the cleaning pass that runs BEFORE dedup ─────
+    // Width fold + control strip + whitespace collapse + case fold
+    // ([[Corpus.normalizeText]]) — per-document, embarrassingly
+    // parallel, no shuffle except the presentation sort. The corpus
+    // is synthetic ASCII so most rows pass through unchanged; the
+    // interesting behavior (a formatting variant that defeats raw
+    // minhash) is pinned in CorpusSpec with constructed variants.
+    "text_normalize" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          length($"text").as("len_raw"),
+          Corpus.normalizeText($"text").as("norm"),
+          (Corpus.normalizeText($"text") =!= $"text").as("changed"))
+          .withColumn("len_norm", length($"norm"))
+          .select($"doc_id", $"len_raw", $"norm", $"len_norm", $"changed")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, length(text) AS len_raw,
+               ${Corpus.normalizeSqlDuck("text")} AS norm,
+               length(${Corpus.normalizeSqlDuck("text")}) AS len_norm,
+               ${Corpus.normalizeSqlDuck("text")} <> text AS changed
+        FROM documents ORDER BY doc_id"""),
+      desc = "text normalization: width/case fold, control strip, ws collapse"),
+
     // ── language-ID heuristic: stopword-list hit scoring ────────────
     "text_langid" -> Q(
       fn = (s, dir) => {

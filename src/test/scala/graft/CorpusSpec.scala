@@ -27,6 +27,31 @@ class CorpusSpec extends SparkSuite {
       "doc 4 shares no tokens; must not pair")
   }
 
+  test("normalizeText recovers a near-dup pair that raw minhash misses") {
+    // doc 11 is doc 10 re-formatted the way scraped pages really
+    // vary: fullwidth punctuation/letters, control bytes, newline +
+    // run-of-space layout, case — every whitespace-delimited token
+    // differs, so raw shingles share nothing
+    val raw = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "Alpha BETA　gamma\n delta   epsilon\tZETA eta " +
+        "theta ｉｏｔａ ｋａｐｐａ"),
+      (12L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Corpus.minhashPairs(df).select($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs(raw).contains((10L, 11L)),
+      "raw variants should defeat shingling (else the test is vacuous)")
+    val norm = raw.withColumn("text", Corpus.normalizeText($"text"))
+    assert(pairs(norm).contains((10L, 11L)),
+      "normalized variants must pair as near-dups")
+    // normalization is idempotent
+    val twice = norm.withColumn("t2", Corpus.normalizeText($"text"))
+      .filter($"t2" =!= $"text").count()
+    assert(twice === 0L)
+  }
+
   test("dedupComponents clusters the duplicate family to min doc_id") {
     val comps = Corpus.dedupComponents(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

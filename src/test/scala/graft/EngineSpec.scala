@@ -71,6 +71,69 @@ class EngineSpec extends SparkSuite {
     Engine.registerMta(spark, sf())
   }
 
+  test("incremental materialization: day-2 refresh ≡ full rebuild, old days untouched") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    // simulate the daily cadence: sources at day-1 state (last local
+    // service day held back), first incremental run builds the full
+    // table; sources appended to day-2 state, second run must rewrite
+    // ONLY the boundary-and-later day partitions yet end byte-equal
+    // to a full rebuild.
+    val srcDir = Files.createTempDirectory("inc_src").toString
+    graft.sources.Sources.testTables.foreach { t =>
+      JFiles.copy(Paths.get(s"${sf()}/$t.parquet"),
+        Paths.get(s"$srcDir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val evFull = graft.sources.Sources.table(spark, sf(), "events")
+    val sd = to_date(from_utc_timestamp($"ts", "America/New_York"))
+    val lastDay = evFull.agg(max(sd)).head().getDate(0)
+    val d1 = evFull.filter(sd < lit(lastDay))
+    assert(d1.count() > 0 && d1.count() < evFull.count())
+    def writeEvents(df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("inc_ev").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, Paths.get(s"$srcDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeEvents(d1)
+    val root = Files.createTempDirectory("inc_models").toString
+    val mat = Map("fact_trips_stops" -> "incremental")
+    Engine.registerMta(spark, srcDir, mat, Some(root))
+    assert(spark.table("fact_trips_stops").count() > 0)
+    val tableDir = new java.io.File(s"$root/fact_trips_stops")
+    def dayDirs() = tableDir.listFiles()
+      .filter(_.getName.startsWith("service_day_local="))
+      .map(_.getName).filterNot(_.contains("HIVE_DEFAULT")).sorted
+    def mtimes(d: String): Map[String, Long] =
+      new java.io.File(tableDir, d).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    // every day strictly before the on-disk max is frozen; the max
+    // day itself is inside the inclusive refresh window
+    val frozen = dayDirs().dropRight(1)
+    assert(frozen.nonEmpty, "need >= 2 day partitions for the test")
+    val before = frozen.map(d => d -> mtimes(d)).toMap
+
+    writeEvents(evFull)
+    Engine.registerMta(spark, srcDir, mat, Some(root))
+    // incrementality: pre-boundary days were not rewritten
+    frozen.foreach(d => assert(mtimes(d) === before(d), s"$d rewritten"))
+    // equivalence: table contents == the view-mode full rebuild over
+    // the same (appended) sources — exceptAll both ways, bag semantics
+    val incTable = spark.read.parquet(tableDir.toString)
+    Engine.registerMta(spark, srcDir)
+    val full = spark.table("fact_trips_stops")
+      .select(incTable.columns.map(c => col(c).cast(
+        incTable.schema(c).dataType)): _*)
+    assert(incTable.count() === full.count())
+    assert(incTable.exceptAll(full).isEmpty, "rows only in incremental")
+    assert(full.exceptAll(incTable).isEmpty, "rows only in full rebuild")
+    // restore the plain view DAG for suites sharing the session
+    Engine.registerMta(spark, sf())
+  }
+
   test("materializeByServiceDay writes day-partitioned parquet; pruning applies") {
     Engine.registerMta(spark, sf())
     val out = Files.createTempDirectory("graft_mat").toString
