@@ -85,6 +85,12 @@ object Bench {
         if (i == 0) { Engine.retainShared(snap); Engine.unpersistStale(spark) }
         (ok, dt)
       }
+      // bound the shared-frame registry: advance the idle clock and
+      // drop frames no query touched in the last 25 (families are
+      // name-adjacent, so riders stay warm); then release the evicted
+      // checkpoint blocks with the stale sweep below
+      Engine.tickShared()
+      Engine.evictSharedIdle(25)
       Engine.unpersistStale(spark)
       // force a GC outside the timers: at 130 queries the async
       // ContextCleaner/codegen-cache churn otherwise accumulates and

@@ -322,6 +322,37 @@ object Engine {
   private val sharedFrames =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // idle accounting for [[evictSharedIdle]]: a logical clock the
+  // harness advances once per query; every cache hit/build stamps the
+  // token. Purely advisory — eviction is safe at any time (a later
+  // consumer just rebuilds on miss).
+  private val sharedTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val sharedLastUse =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Advance the shared-frame idle clock (call once per query). */
+  def tickShared(): Unit = sharedTick.incrementAndGet()
+
+  /** Evict every [[materializeShared]] entry not used in the last
+    * `maxIdle` ticks, returning how many were dropped. Bounds the
+    * registry at any query count: without it a long session pins one
+    * localCheckpoint per shared frame for the JVM lifetime (341 MB at
+    * 167 queries / sf0.1 — GBs at larger SFs), and the storage-memory
+    * pressure is exactly the late-query slowdown class
+    * [[unpersistStale]] exists for. Queries run in sorted name order,
+    * so a family's builder and riders are adjacent — a window of ~25
+    * keeps every measured rider relationship alive. Follow with
+    * [[unpersistStale]] to release the evicted frames' blocks. */
+  def evictSharedIdle(maxIdle: Long): Int = {
+    import scala.jdk.CollectionConverters._
+    val now = sharedTick.get
+    val dead = sharedFrames.keySet.asScala
+      .filter(t => now - Option(sharedLastUse.get(t)).fold(0L)(_.longValue)
+        > maxIdle).toSeq
+    dead.foreach { t => sharedFrames.remove(t); sharedLastUse.remove(t) }
+    dead.size
+  }
+
   /** Session-scoped SHARED materialization — the in-memory sibling of
     * the `graft.materialize.reuse` knob, for a frame that several
     * registered queries build identically (e.g. the n-gram scored-pairs
@@ -362,6 +393,7 @@ object Engine {
       .contains("false")
     if (!share) materialize(df, key, name)
     else {
+      sharedLastUse.put(token, sharedTick.get)
       val hit = sharedFrames.get(token)
       if (hit != null) hit
       else {

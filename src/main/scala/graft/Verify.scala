@@ -31,9 +31,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release the query's dead checkpoint blocks (shared frames
-      // survive) — 96 queries of accumulated localCheckpoints
-      // otherwise pressure the heap for the whole run
-      finally Engine.unpersistStale(spark)
+      // survive a 25-query idle window, then age out) — 96 queries of
+      // accumulated localCheckpoints otherwise pressure the heap for
+      // the whole run
+      finally {
+        Engine.tickShared()
+        Engine.evictSharedIdle(25)
+        Engine.unpersistStale(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -52,6 +52,43 @@ object StreamingModels {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("word"), col("m"))
 
+  /** Streaming daily Count-Min partials — the FREQUENCY member of the
+    * streaming mergeable family, twin of the batch `a_cms` operator
+    * (bitmap = exact distinct, HLL = approx distinct, SpaceSaving =
+    * top-k): every (event_type:user_id) key hashes into d=3 rows ×
+    * w=64 counters over md5-prefix arithmetic, counted per (day
+    * window, r, bucket). The emitted 192-counters-per-day frame IS
+    * the persisted partial: coarser grains merge by plain counter SUM
+    * (CMS merge is element-wise addition — no raw-event replay), and
+    * a point estimate is min over the key's 3 buckets.
+    *
+    * At-least-once caveat, deliberately the OPPOSITE of
+    * [[bitmapPartialsStream]]: bitmap partials OR the same bit on
+    * replay (idempotent), CMS partials ADD — replayed events inflate
+    * counters. The est ≥ exact one-sided bound SURVIVES replay
+    * (errors only go up), which is why a replay-tolerant pipeline can
+    * still use the sketch for admission/threshold decisions; for
+    * exactly-once counters, gate the input through
+    * [[dedupStream]]/`dropDuplicatesWithinWatermark` inside the same
+    * watermark horizon. State per key is one long; total state is
+    * days × 192, watermark-evicted a day after each day closes.
+    * Works on batch or streaming input (the spec asserts parity). */
+  def cmsPartialsStream(events: DataFrame): DataFrame = {
+    graft.functions.Md5PrefixLong.register(events.sparkSession)
+    events
+      .withWatermark("ts", "1 day")
+      .select(col("ts"),
+        concat(col("event_type"), lit(":"), col("user_id")).as("key"))
+      .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("bucket",
+        expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
+          % 64L)
+      .groupBy(window(col("ts"), "1 day"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("day_start"), col("r"),
+        col("bucket"), col("cnt"))
+  }
+
   /** Hopping (sliding) windowed counts — 10-minute windows advancing
     * every 5, the overlapping-window form of [[bucketCounts]] and the
     * streaming twin of the batch `f_hopping` query. Each event lands

@@ -251,6 +251,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS partials sum-merge to >= exact estimates (batch parity)") {
+    val batch = Sources.table(spark, sf(), "events")
+    val batchPartials = StreamingModels.cmsPartialsStream(batch)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cms")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = StreamingModels.cmsPartialsStream(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cms_partials").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cms_partials")
+      // counter-level parity with the batch pass
+      assert(got.count() === batchPartials.count())
+      assert(got.except(batchPartials).count() === 0)
+      // partials SUM-merge across days; point estimate = min over the
+      // key's 3 row buckets; CMS one-sided bound: est >= exact
+      graft.functions.Md5PrefixLong.register(spark)
+      val merged = got.groupBy($"r", $"bucket").agg(sum($"cnt").as("c"))
+      val probes = batch
+        .select(concat($"event_type", lit(":"), $"user_id").as("key"))
+        .filter($"key".endsWith(":3"))
+        .groupBy($"key").agg(count(lit(1)).as("exact_n"))
+        .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("bucket",
+          expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
+            % 64L)
+        .join(merged, Seq("r", "bucket"))
+        .groupBy($"key")
+        .agg(max($"exact_n").as("exact_n"), min($"c").as("est_n"))
+      val bad = probes.filter($"est_n" < $"exact_n").count()
+      assert(bad === 0, "CMS one-sided bound violated")
+      // at-least-once contrast with bitmap OR: replaying the partials
+      // DOUBLES the counters (sum is not idempotent) — but the
+      // one-sided bound survives, errors only go up
+      val replayed = got.union(got).groupBy($"r", $"bucket")
+        .agg(sum($"cnt").as("c"))
+      assert(replayed.agg(sum($"c")).head().getLong(0) ===
+        2 * merged.agg(sum($"c")).head().getLong(0))
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits unmatched rows after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
