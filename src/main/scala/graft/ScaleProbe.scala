@@ -197,6 +197,114 @@ object ScaleProbe {
         val h = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
           "1, 2), 16, 10) AS BIGINT) % 10")
         Corpus.bloomMembership(docFrac(k), isEval = h >= 8)
+      },
+      "bitmap_distinct" -> { k =>
+        // the registered a_bitmap_distinct shape scaled by users:
+        // word-packed daily partials, OR-merged, popcounted
+        val base = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(col("event_type"), col("user_id"),
+            (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+        base.withColumn("word", expr("user_id div 32"))
+          .groupBy(col("event_type"), col("day"), col("word"))
+          .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 as int))"))
+            .as("m"))
+          .groupBy(col("event_type"), col("word"))
+          .agg(bit_or(col("m")).as("m"))
+          .groupBy(col("event_type"))
+          .agg(sum(bit_count(col("m"))).as("users"))
+      },
+      "cms" -> { k =>
+        // the registered a_cms shape scaled by users: 3-row hashed
+        // daily partials, sum-merged, probed by broadcast join
+        graft.functions.Md5PrefixLong.register(spark)
+        val base = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(concat(col("event_type"), lit(":"), col("user_id"))
+              .as("key"), col("user_id"),
+            (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+        val merged = base
+          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("bucket",
+            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
+              % 64L)
+          .groupBy(col("day"), col("r"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("r"), col("bucket"))
+          .agg(sum(col("cnt")).as("c"))
+        base.filter(col("user_id") % 50 === 0)
+          .groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("bucket",
+            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
+              % 64L)
+          .join(broadcast(merged), Seq("r", "bucket"))
+          .groupBy(col("key"))
+          .agg(max(col("exact_n")).as("exact_n"), min(col("c")).as("est_n"))
+      },
+      "hardneg_filter" -> { k =>
+        // search_hardneg's NEW stage beyond the probed bm25: 5-gram
+        // containment of top-(2..K) vs the top-1 gram set — gram
+        // volume is O(topK · doc_len), corpus-size-independent except
+        // through the ranking input, so the probe scales the corpus
+        // and expects flat-to-linear
+        val top = Corpus.bm25Rank(docFrac(k),
+          Seq("line", "hash", "vector", "merge"), topK = 20)
+        val grams = top
+          .join(docFrac(k).select(col("doc_id"), col("text")), Seq("doc_id"))
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), col("rank"), explode(expr(
+            """transform(sequence(0, size(toks) - 5), i ->
+               CAST(conv(substring(md5(concat_ws(' ',
+                 slice(toks, i + 1, 5))), 1, 14), 16, 10) AS BIGINT))"""))
+            .as("g"))
+          .distinct()
+        val top1 = grams.filter(col("rank") === 1)
+          .select(col("g").as("g1")).distinct()
+        grams.filter(col("rank") > 1)
+          .join(broadcast(top1), col("g") === col("g1"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("g1").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      },
+      "audio_energy" -> { k =>
+        // the registered mm_audio_energy shape: per-doc fixed 8×8
+        // window framing — strictly row-linear expression work
+        docFrac(k)
+          .withColumn("h", concat(sha2(col("text"), 256),
+            sha2(concat(col("text"), lit("x")), 256)))
+          .select(col("doc_id"), posexplode(expr("""transform(sequence(0, 7),
+              w -> aggregate(transform(sequence(0, 7), i ->
+                     CAST(conv(substr(h, 16 * w + 2 * i + 1, 2), 16, 10)
+                          AS BIGINT) - 128L),
+                   0L, (a, v) -> a + v * v))"""))
+            .as(Seq("window_idx", "energy")))
+          .filter(col("energy") >= 40000L)
+      },
+      "text_normalize" -> (k => docFrac(k).select(col("doc_id"),
+        Corpus.normalizeText(col("text")).as("norm"))),
+      "layout_zorder" -> { k =>
+        // the registered fixed-range bucket-stats shape over a
+        // lineitem fraction: extent aggs + map-side bucketing + two
+        // grouped stats passes, no window anywhere
+        val li = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+        val z = graft.operators.Layout.withMortonKey(
+          li, col("l_partkey"), col("l_suppkey"), 16, keyCol = "zkey")
+        val ext = z.agg(min(col("zkey")).as("z_lo"), max(col("zkey")).as("z_hi"),
+          min(col("l_orderkey")).as("o_lo"), max(col("l_orderkey")).as("o_hi"))
+        val b = z.crossJoin(broadcast(ext))
+          .withColumn("bucket_z",
+            expr("((zkey - z_lo) * 64) div (z_hi - z_lo + 1) + 1"))
+          .withColumn("bucket_n",
+            expr("((l_orderkey - o_lo) * 64) div (o_hi - o_lo + 1) + 1"))
+        b.groupBy(col("bucket_z")).agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"))
+          .union(b.groupBy(col("bucket_n")).agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p")))
       })
 
     // warmup: absorb session/codegen/footer costs outside the timings
@@ -229,6 +337,58 @@ object ScaleProbe {
         s""""x${4 / k}":{"sec":${"%.2f".format(s)},"rows":$r}"""
       }.mkString(",")
       println(s"""{"op":"$name",$pts,"exponent":${"%.2f".format(exponent)}}""")
+    }
+
+    // zorderCompact is a mutating write path, not a DataFrame — its
+    // own probe: fixed z-ordered base table, delta scaled 1/4..1×;
+    // the claim under test is that compaction time and the rewrite
+    // set track the DELTA's curve region, never the table (footer-
+    // stat range derivation). A fresh copy of the base per point —
+    // compaction mutates the directory.
+    if (only.forall(_.contains("zorder_compact"))) {
+      import graft.operators.Layout
+      import java.nio.file.{Files => JF, Paths}
+      val li = Sources.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      // a narrow (2% of partkey range × bottom eighth of suppkey)
+      // curve cell derived from the DATA extents, so the delta is
+      // non-empty at every SF (hard-coded keys go empty as ranges
+      // scale with SF)
+      val extR = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val (pLo, pHi) = (extR.getLong(0), extR.getLong(1))
+      val (sLo, sHi) = (extR.getLong(2), extR.getLong(3))
+      val isDelta = col("l_partkey")
+        .between(pLo + (pHi - pLo) * 2 / 5,
+                 pLo + (pHi - pLo) * 2 / 5 + math.max(1L, (pHi - pLo) / 50)) &&
+        col("l_suppkey") <= sLo + math.max(1L, (sHi - sLo) / 8)
+      val baseDir = JF.createTempDirectory("zc_base").toString
+      Layout.zorderWrite(li.filter(!isDelta),
+        col("l_partkey"), col("l_suppkey"), 16, 64, baseDir)
+      val deltaDir = JF.createTempDirectory("zc_delta").toString
+      li.filter(isDelta).write.mode("overwrite").parquet(deltaDir)
+      val delta = spark.read.parquet(deltaDir)
+      val pts = Seq(4, 2, 1).map { k =>
+        val dirK = JF.createTempDirectory(s"zc_$k").toString
+        new java.io.File(baseDir).listFiles().foreach(f =>
+          JF.copy(f.toPath, Paths.get(dirK, f.getName)))
+        val dk = delta.filter(col("l_orderkey") % k === 0)
+        val nd = dk.count()
+        val t0 = System.nanoTime()
+        val (rw, un) = Layout.zorderCompact(spark, dirK, dk,
+          col("l_partkey"), col("l_suppkey"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        (k, sec, nd, rw, un)
+      }
+      val t25 = pts.head._2
+      val t100 = pts.last._2
+      val body = pts.map { case (k, s, nd, rw, un) =>
+        s""""x${4 / k}":{"sec":${"%.2f".format(s)},"delta_rows":$nd,""" +
+          s""""files_rewritten":$rw,"files_untouched":$un}"""
+      }.mkString(",")
+      println(s"""{"op":"zorder_compact",$body,"exponent":${
+        "%.2f".format(math.log(t100 / t25) / math.log(4.0))}}""")
     }
     spark.stop()
   }

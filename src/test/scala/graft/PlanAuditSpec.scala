@@ -268,6 +268,32 @@ class PlanAuditSpec extends SparkSuite {
       s"window re-shuffles on p_id:\n$p")
   }
 
+  test("a_bitmap_distinct plans no Expand and bounded hash exchanges") {
+    // the CLAUDE.md invariant: mixing countDistinct with sketch aggs
+    // in ONE agg wraps the input in an Expand and doubles the sketch
+    // cost. a_bitmap_distinct runs its n_days countDistinct as a
+    // separate pass joined on the group key — the plan must carry no
+    // Expand, and at most the 5 known exchanges (word partial, word
+    // merge, popcount rollup, the 2-phase nDays distinct): only the
+    // FIRST touches raw events; the rest move aggregated frames.
+    val p = plan(SparkEntry.queries("a_bitmap_distinct")(spark, sf()))
+    assert(!p.contains("Expand"),
+      s"bitmap-distinct must not plan an Expand:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 5, s"expected <= 5 hash exchanges, found $hashEx:\n$p")
+  }
+
+  test("a_cms probes the merged sketch by broadcast, never a shuffle join") {
+    // the merged sketch is d*w = 192 counters regardless of corpus
+    // size — the probe join must broadcast it; a SortMergeJoin here
+    // would shuffle the probe side on (r, bucket) for nothing
+    val p = plan(SparkEntry.queries("a_cms")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast probe join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sketch probe must not sort-merge:\n$p")
+  }
+
   test("layout_zorder buckets without any Window (no single-partition sort)") {
     // round-7 planned ntile(64) over a global ORDER BY — two
     // single-partition sorts of the whole table through one task each.
