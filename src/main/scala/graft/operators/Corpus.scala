@@ -810,6 +810,50 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("weight"), col("target"), col("h32"))
   }
 
+  /** Quality-ranked token-budget selection — the "fill the mix" step
+    * between scoring and packing: within each stratum, rank docs by
+    * an integer quality proxy (stopword-hit ppm — the natural-
+    * language signal the quality family scores; higher = keep first)
+    * and take the ranking PREFIX whose cumulative token count fits
+    * `budget`. Greedy prefix-under-budget is how real mixes spend a
+    * per-source token allowance once weights are decided
+    * ([[mixtureSample]] decides the allowance; this spends it
+    * doc-by-doc, best first, a crossing doc is dropped whole).
+    *
+    * Integer-deterministic: tokens = whitespace split size, q_ppm =
+    * stop_hits·10^6 div tokens, ties broken by doc_id — both engines
+    * replay the identical ranking and cumsum.
+    *
+    * Scale shape: one per-stratum ordered cumsum window (a
+    * distributed sort WITHIN each stratum partition — the same cost
+    * class as any per-source clustered write). A pathological single
+    * mega-stratum shifts to the [[shardAssign]] two-level pattern:
+    * quantize q_ppm into buckets, prefix-sum the tiny per-bucket
+    * totals, cumsum only inside the boundary bucket.
+    *
+    * Returns the selected rows as (doc_id, stratum, toks, q_ppm,
+    * cum_toks); cum_toks is strictly increasing within a stratum, so
+    * (stratum, cum_toks) is a total order. */
+  def budgetSample(docs: DataFrame, stratum: Column, budget: Long,
+                   stopwords: Seq[String] =
+                     Seq("the", "a", "of", "and", "to")): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = docs
+      .select(col("doc_id"), stratum.as("stratum"), col("text"))
+      .withColumn("toks", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin(stopwords: _*))).cast("long"))
+      .withColumn("q_ppm", expr("n_stop * 1000000L div toks"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("q_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("stratum"), col("toks"), col("q_ppm"),
+        col("cum_toks"))
+  }
+
   /** Mixture sampling with data repetition — the training-mix step
     * (the Pile / LLaMA corpus-weighting shape, arXiv:2101.00027 §2):
     * the caller declares target mixture weights per stratum (ppm,

@@ -923,6 +923,36 @@ object TextQueries {
         FROM mxd WHERE n_repeats > 0 ORDER BY doc_id"""),
       desc = "declared-weight mixture sampling with epoch repetition"),
 
+    // ── quality-ranked token-budget selection ───────────────────────
+    // The "fill the mix" step between scoring and packing: per
+    // source, rank by stopword-ppm quality and take the prefix whose
+    // cumulative tokens fit the budget (Corpus.budgetSample — the
+    // scale notes and the mega-stratum two-level fallback live
+    // there). cum_toks is strictly increasing per stratum, so
+    // (stratum, cum_toks) totally orders the output.
+    "sample_budget" -> Q(
+      fn = (s, dir) =>
+        Corpus.budgetSample(docs(s, dir), col("source"), budget = 800L)
+          .orderBy(col("stratum"), col("cum_toks")),
+      oracle = Some("""
+        WITH sb AS (
+          SELECT doc_id, source AS stratum,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 CAST(len([x FOR x IN string_split(text, ' ')
+                           IF x IN ('the', 'a', 'of', 'and', 'to')])
+                      AS BIGINT) * 1000000
+                   // len(string_split(text, ' ')) AS q_ppm
+          FROM documents),
+        sc AS (
+          SELECT *, CAST(sum(toks) OVER (PARTITION BY stratum
+                   ORDER BY q_ppm DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_toks
+          FROM sb)
+        SELECT doc_id, stratum, toks, q_ppm, cum_toks
+        FROM sc WHERE cum_toks <= 800 ORDER BY stratum, cum_toks"""),
+      desc = "token-budget selection: best-quality prefix per source"),
+
     // ── repetition scoring (Gopher-style quality signal) ────────────
     // A document dominated by one repeated token is boilerplate/spam;
     // score = max single-token count / total tokens. Two shuffle-

@@ -52,6 +52,27 @@ class CorpusSpec extends SparkSuite {
     assert(twice === 0L)
   }
 
+  test("budgetSample takes the best-quality prefix under the token budget") {
+    val corpus = Seq(
+      (1L, "s1", "the a of and to the a of"),          // 8 toks, q=1e6
+      (2L, "s1", "the a of and to junk junk junk"),    // 8 toks, q=625000
+      (3L, "s1", "junk junk junk junk junk junk"),     // 6 toks, q=0
+      (4L, "s2", "the the the the"),                   // 4 toks, q=1e6
+      (5L, "s2", "junk junk"))                         // 2 toks, q=0
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.budgetSample(corpus, $"source", budget = 16L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    // s1: docs 1 (cum 8) + 2 (cum 16) fit; doc 3 would cross. s2: all.
+    assert(got.map(_._1).toSet === Set(1L, 2L, 4L, 5L))
+    // budget respected per stratum
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).max <= 16L)
+    }
+    // prefix property: an unselected doc never outranks a selected one
+    // (doc 3 has the stratum's worst quality)
+    assert(!got.map(_._1).contains(3L))
+  }
+
   test("dedupComponents clusters the duplicate family to min doc_id") {
     val comps = Corpus.dedupComponents(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
