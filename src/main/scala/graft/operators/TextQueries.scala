@@ -615,6 +615,66 @@ object TextQueries {
     // per-source rollup — everything keys on the hash then the
     // source, no joins, no pairs; at 100 TB this is the same
     // shuffle-parallel shape as corpus_overlap's exact path.
+    // ── snapshot drift: length-distribution shift between crawls ────
+    // The dq companion to corpus_diff: diff counts WHAT changed,
+    // drift asks whether the new crawl's SHAPE moved (a scraper
+    // regression truncating pages shifts the length distribution long
+    // before any per-doc check fires). Sides = doc_id parity (the
+    // corpus_diff snapshot convention); feature = whitespace-token
+    // count bucketed by 20; per-bucket ppm shares and an integer
+    // chi-square-style statistic (Δppm² div (sum+1)) — log-free, so
+    // every value hash-matches the oracle. Two bounded aggregations
+    // (bucket cardinality ~ max_len/20) + one unpartitioned window
+    // over the tiny bucket frame for side totals; nothing touches
+    // raw rows twice.
+    "dq_drift" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val b = docs(s, dir)
+          .select(($"doc_id" % 2 === 0).as("is_a"),
+            (size(split($"text", " ")).cast(LongType) / 20L)
+              .cast(LongType).as("bucket"))
+          .groupBy($"bucket")
+          .agg(sum(when($"is_a", 1L).otherwise(0L)).as("a_n"),
+               sum(when(!$"is_a", 1L).otherwise(0L)).as("b_n"))
+        val w = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        b.withColumn("a_tot", sum($"a_n").over(w))
+          .withColumn("b_tot", sum($"b_n").over(w))
+          .withColumn("a_ppm", expr("a_n * 1000000L div a_tot"))
+          .withColumn("b_ppm", expr("b_n * 1000000L div b_tot"))
+          .withColumn("chi2c", expr(
+            "(a_ppm - b_ppm) * (a_ppm - b_ppm) div (a_ppm + b_ppm + 1)"))
+          .select($"bucket", $"a_n", $"b_n", $"a_ppm", $"b_ppm", $"chi2c")
+          .orderBy($"bucket")
+      },
+      oracle = Some("""
+        WITH dd AS (
+          SELECT doc_id % 2 = 0 AS is_a,
+                 len(string_split(text, ' ')) // 20 AS bucket
+          FROM documents),
+        db AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a_n,
+                 CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                   AS b_n
+          FROM dd GROUP BY 1),
+        dt AS (
+          SELECT *, CAST(sum(a_n) OVER () AS BIGINT) AS a_tot,
+                    CAST(sum(b_n) OVER () AS BIGINT) AS b_tot
+          FROM db),
+        dp AS (
+          SELECT bucket, a_n, b_n,
+                 a_n * 1000000 // a_tot AS a_ppm,
+                 b_n * 1000000 // b_tot AS b_ppm
+          FROM dt)
+        SELECT bucket, a_n, b_n, a_ppm, b_ppm,
+               (a_ppm - b_ppm) * (a_ppm - b_ppm) // (a_ppm + b_ppm + 1)
+                 AS chi2c
+        FROM dp ORDER BY bucket"""),
+      desc = "snapshot drift: per-bucket ppm shares + integer chi-square"),
+
     "corpus_diff" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -247,6 +247,103 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "sign-LSH bucketed ANN: signature bands → candidate join → rank"),
 
+    // ── ANN evaluation: recall@k of LSH vs the brute baseline ───────
+    // The operator an ANN deployment runs BEFORE trusting its index:
+    // join the approximate top-k against the exact top-k per query
+    // and emit integer recall. Composes the two public APIs
+    // (Vectors.knnBrute / Vectors.lshSearch) — the brute side is the
+    // documented recall baseline, the LSH side the scale path; at
+    // 100 TB the brute side runs on a sampled query set (here: the
+    // same 10-query set both registered twins use). Output is one row
+    // per query — bounded; everything upstream is the two audited
+    // pipelines plus count aggregations on rank-bounded frames.
+    "ann_recall" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir).withColumn("id", $"vec_id")
+        val brute = Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
+          .select($"query_id", $"cand_id")
+        val lsh = Vectors.lshSearch(base, queryFilter = $"id" < 10, k = 5)
+          .select($"query_id", $"cand_id")
+        val nBrute = brute.groupBy($"query_id")
+          .agg(count(lit(1)).as("n_brute"))
+        val nLsh = lsh.groupBy($"query_id").agg(count(lit(1)).as("n_lsh"))
+        val nCommon = brute.join(lsh, Seq("query_id", "cand_id"), "left_semi")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_common"))
+        nBrute
+          .join(nLsh, Seq("query_id"), "left")
+          .join(nCommon, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_lsh", "n_common"))
+          .withColumn("recall_pct", expr("n_common * 100L div n_brute"))
+          .orderBy($"query_id")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ab_sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))
+                   AS cosine
+          FROM base q JOIN base c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ab_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+            FROM ab_sc)
+          WHERE rank <= 5),
+        dims AS (
+          SELECT vec_id, r.i - 1 AS d, sv[r.i] AS v, k.k AS k
+          FROM base CROSS JOIN range(1, 65) r(i) CROSS JOIN range(0, 16) k(k)),
+        terms AS (
+          SELECT vec_id, k,
+            v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
+          FROM dims),
+        sums AS (SELECT vec_id, k, sum(term) AS s FROM terms GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id, sum(CASE WHEN s > 0
+            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+          FROM sums GROUP BY 1),
+        banded AS (
+          ${(0 until 4).map(b =>
+            s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bv FROM sig")
+            .mkString("\nUNION ALL\n")}),
+        cands AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM banded q JOIN banded c ON q.band = c.band AND q.bv = c.bv
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        al_sc AS (
+          SELECT cands.query_id, cands.cand_id,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM cands
+          JOIN base qv ON qv.vec_id = cands.query_id
+          JOIN base cv ON cv.vec_id = cands.cand_id),
+        al_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+            FROM al_sc)
+          WHERE rank <= 5),
+        nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_brute
+               FROM ab_top GROUP BY 1),
+        nl AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_lsh
+               FROM al_top GROUP BY 1),
+        nc AS (SELECT b.query_id, CAST(count(l.cand_id) AS BIGINT)
+                 AS n_common
+               FROM ab_top b LEFT JOIN al_top l
+                 ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+               GROUP BY 1)
+        SELECT nb.query_id, nb.n_brute,
+               COALESCE(nl.n_lsh, 0) AS n_lsh,
+               COALESCE(nc.n_common, 0) AS n_common,
+               COALESCE(nc.n_common, 0) * 100 // nb.n_brute AS recall_pct
+        FROM nb LEFT JOIN nl ON nl.query_id = nb.query_id
+        LEFT JOIN nc ON nc.query_id = nb.query_id
+        ORDER BY nb.query_id"""),
+      desc = "ANN evaluation: recall@5 of sign-LSH against the brute baseline"),
+
     // ── int8 scalar quantization + two-stage search ─────────────────
     // The compression path for a 100 TB vector table: symmetric
     // per-dim int8 codes (8× smaller at rest as ARRAY<TINYINT>
