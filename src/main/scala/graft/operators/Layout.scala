@@ -70,9 +70,11 @@ object Layout {
   /** Largest per-dimension extent for which [[scaleDim]]'s
     * double-division-is-integer-division argument holds:
     * (v−lo)·(2^bits−1) must stay < 2^53 (exact in a double) — see the
-    * scaleDim scaladoc. Enforced per-row in [[withMortonKey]] (bounds
-    * are runtime columns there) and on the driver in [[frozenKey]] /
-    * [[zorderWrite]] (bounds are known longs). */
+    * scaleDim scaladoc. Enforced on the 1-row extent frame in
+    * [[withMortonKey]] (bounds are data-dependent columns there — and
+    * a guard around the per-row key would break CSE) and on the
+    * driver in [[frozenKey]] / [[zorderWrite]] (bounds are known
+    * longs). */
   private def maxExactExtent(bits: Int): Long =
     ((1L << 53) - 1) / ((1L << bits) - 1)
 
