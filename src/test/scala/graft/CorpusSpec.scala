@@ -73,6 +73,38 @@ class CorpusSpec extends SparkSuite {
     assert(!got.map(_._1).contains(3L))
   }
 
+  test("normalizeText properties on random unicode soup: idempotent, canonical, bounded") {
+    // raw ScalaCheck Gen with fixed seeds (offline cache has no
+    // scalatestplus bridge) over strings mixing ASCII, fullwidth
+    // forms, controls, and whitespace runs
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      5 -> Gen.choose('a', 'z'),
+      2 -> Gen.choose('A', 'Z'),
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f'),
+      1 -> Gen.choose(0.toChar, 31.toChar),
+      1 -> Gen.choose(0xFF01.toChar, 0xFF5E.toChar),
+      1 -> Gen.const(0x3000.toChar))
+    val strGen = Gen.listOf(charGen).map(_.mkString).map(_.take(60))
+    val samples = (1 to 60).flatMap(i =>
+      strGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = samples.toDF("text")
+      .withColumn("n1", Corpus.normalizeText($"text"))
+      .withColumn("n2", Corpus.normalizeText(Corpus.normalizeText($"text")))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (n1, n2) = (r.getString(1), r.getString(2))
+      assert(n1 == n2, s"not idempotent on ${r.getString(0)}")
+      // canonical: lowercase ASCII + single spaces, never edge spaces
+      assert(n1.forall(c => c == ' ' || (c >= '!' && c <= '~' &&
+        !(c >= 'A' && c <= 'Z'))), s"non-canonical char in '$n1'")
+      assert(!n1.contains("  ") && n1 == n1.trim, s"ws not collapsed: '$n1'")
+      // bounded: normalization never grows the string
+      assert(n1.length <= r.getString(0).length)
+    }
+  }
+
   test("dedupComponents clusters the duplicate family to min doc_id") {
     val comps = Corpus.dedupComponents(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
