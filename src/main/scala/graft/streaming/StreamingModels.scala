@@ -89,6 +89,38 @@ object StreamingModels {
         col("bucket"), col("cnt"))
   }
 
+  /** Streaming daily DDSketch partials — the QUANTILE member of the
+    * streaming mergeable family, twin of the batch
+    * `a_percentile_merge` (bitmap = exact distinct, HLL = approx
+    * distinct, SpaceSaving = top-k, CMS = frequency; this completes
+    * all five): per (day window, event_type) a log-scale bucket
+    * histogram (Masson et al., VLDB 2019 — idx = ceil(ln|cents| /
+    * ln γ), γ = (1+α)/(1−α)) whose size is FIXED (≈ 2·log_γ(max)+1
+    * buckets/day) regardless of row count. Coarser grains merge by
+    * summing bucket freqs; a quantile reads out as the 3-arg weighted
+    * percentile over bucket midpoints 2γ^i/(γ+1) with ≤ α relative
+    * error. Replay caveat = the CMS one, not the bitmap one: bucket
+    * counts ADD under at-least-once delivery (the rank shifts are
+    * bounded by the duplicate mass; gate through
+    * `dropDuplicatesWithinWatermark` for exact counts). State per key
+    * is one long, watermark-evicted a day after the day closes.
+    * Works on batch or streaming input (the spec asserts parity). */
+  def ddsketchPartialsStream(events: DataFrame,
+                             alpha: Double = 0.01): DataFrame = {
+    val lnGamma = math.log((1 + alpha) / (1 - alpha))
+    events
+      .withWatermark("ts", "1 day")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("sgn", signum(col("cents")).cast("long"))
+      .withColumn("idx", when(col("sgn") === 0, lit(0L))
+        .otherwise(ceil(log(abs(col("cents"))) / lnGamma).cast("long")))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        col("sgn"), col("idx"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("sgn"), col("idx"), col("freq"))
+  }
+
   /** Hopping (sliding) windowed counts — 10-minute windows advancing
     * every 5, the overlapping-window form of [[bucketCounts]] and the
     * streaming twin of the batch `f_hopping` query. Each event lands

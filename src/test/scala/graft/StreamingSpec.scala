@@ -298,6 +298,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming DDSketch partials sum-merge to alpha-bounded quantiles (batch parity)") {
+    val batch = Sources.table(spark, sf(), "events")
+    val batchPartials = StreamingModels.ddsketchPartialsStream(batch)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dds")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = StreamingModels.ddsketchPartialsStream(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("dds_partials").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dds_partials")
+      // bucket-level parity with the batch pass
+      assert(got.count() === batchPartials.count())
+      assert(got.except(batchPartials).count() === 0)
+      // sum-merge across days, read out p50/p95 from midpoints, and
+      // hold the batch twin's alpha bound against the exact quantile
+      val alpha = 0.01
+      val lnGamma = math.log((1 + alpha) / (1 - alpha))
+      val merged = got.groupBy($"event_type", $"sgn", $"idx")
+        .agg(sum($"freq").as("freq"))
+        .withColumn("mid", when($"sgn" === 0, lit(0.0))
+          .otherwise($"sgn" * lit(2.0) * exp($"idx" * lnGamma) /
+            (math.exp(lnGamma) + 1.0)))
+        .groupBy($"event_type")
+        .agg(percentile($"mid", lit(0.5), $"freq").as("p50_sk"),
+             percentile($"mid", lit(0.95), $"freq").as("p95_sk"))
+      val direct = batch
+        .withColumn("cents", round($"value" * 100).cast("long"))
+        .groupBy($"event_type")
+        .agg(percentile($"cents", lit(0.5)).as("p50"),
+             percentile($"cents", lit(0.95)).as("p95"))
+      val bad = merged.join(direct, Seq("event_type"))
+        .filter(abs($"p50_sk" - $"p50") > abs($"p50") * (2 * alpha) + 1.0 ||
+                abs($"p95_sk" - $"p95") > abs($"p95") * (2 * alpha) + 1.0)
+        .count()
+      assert(bad === 0L, "alpha bound violated after streaming merge")
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits unmatched rows after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
