@@ -224,20 +224,20 @@ object ScaleProbe {
               .as("key"), col("user_id"),
             (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
         val merged = base
-          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("r", explode(array(
+            (0 until graft.functions.Md5PrefixLong.CmsRows).map(lit): _*)))
           .withColumn("bucket",
-            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
-              % 64L)
+            graft.functions.Md5PrefixLong.cmsBucket("r", "key"))
           .groupBy(col("day"), col("r"), col("bucket"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("r"), col("bucket"))
           .agg(sum(col("cnt")).as("c"))
         base.filter(col("user_id") % 50 === 0)
           .groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
-          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("r", explode(array(
+            (0 until graft.functions.Md5PrefixLong.CmsRows).map(lit): _*)))
           .withColumn("bucket",
-            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
-              % 64L)
+            graft.functions.Md5PrefixLong.cmsBucket("r", "key"))
           .join(broadcast(merged), Seq("r", "bucket"))
           .groupBy(col("key"))
           .agg(max(col("exact_n")).as("exact_n"), min(col("c")).as("est_n"))

@@ -22,7 +22,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // sorted name order, like Bench: evictSharedIdle's window premise
+    // is that a family's builder and riders are name-adjacent —
+    // hash-map order would scatter them and evict frames mid-family
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

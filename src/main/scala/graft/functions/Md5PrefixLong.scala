@@ -83,4 +83,20 @@ object Md5PrefixLong {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix_long", exprs => Md5PrefixLong(exprs(0), exprs(1)),
       "built-in")
+
+  /** Count-Min sketch geometry + the ONE bucket-hash expression every
+    * CMS path shares (batch `a_cms`, `cmsPartialsStream`, the
+    * ScaleProbe row). Partials from different paths are sum-mergeable
+    * exactly as long as they hash identically — centralizing the
+    * expression makes that a compile-time property instead of five
+    * copy-pasted strings. The DuckDB oracle keeps its own literal
+    * replica (that IS the cross-engine twin, kept in sync like every
+    * oracle). Caller must have invoked [[register]] on the session. */
+  val CmsRows = 3
+  val CmsWidth = 64L
+  def cmsBucket(rCol: String, keyCol: String)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"md5_prefix_long(concat(cast($rCol as string), '#', $keyCol), 14)"
+    ) % CmsWidth
 }

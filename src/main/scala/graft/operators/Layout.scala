@@ -104,10 +104,15 @@ object Layout {
     // subexpression elimination of the 32 scaleDim subtrees the
     // interleave duplicates — measured 7× slower on the registered
     // layout_zorder query
+    // null-safe: on EMPTY input the extent agg yields nulls and the
+    // crossJoin produces zero rows — the guard must not raise there
+    // (round-7 behavior: an empty frame in, an empty frame out), so a
+    // null comparison passes through
     def checked(lo: Column, hi: Column): Column =
-      when(hi - lo <= lim, lo).otherwise(raise_error(lit(
-        s"zorder: dimension extent exceeds the exactness contract " +
-          s"(hi-lo)*(2^bits-1) < 2^53 at bits=$bits; lower bits")))
+      when(coalesce(hi - lo <= lim, lit(true)), lo)
+        .otherwise(raise_error(lit(
+          s"zorder: dimension extent exceeds the exactness contract " +
+            s"(hi-lo)*(2^bits-1) < 2^53 at bits=$bits; lower bits")))
     val ext = df.agg(
         min(x).as("_xl"), max(x).as("_xh"),
         min(y).as("_yl"), max(y).as("_yh"))
@@ -145,8 +150,16 @@ object Layout {
     * sentinel zero-extent sidecar. */
   def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
                   numFiles: Int, path: String): Unit = {
-    val ext = df.agg(min(x), max(x), min(y), max(y)).head()
+    val ext = df.agg(min(x), max(x), min(y), max(y), count(lit(1))).head()
     if (ext.isNullAt(0)) {
+      // distinguish 'no rows' (write the empty table + sentinel meta)
+      // from 'rows but the dimension is all null' (min/max ignore
+      // nulls) — silently dropping rows from a persistence operator
+      // is never acceptable, so the latter fails loudly
+      require(ext.getLong(4) == 0L,
+        "zorderWrite: clustering dimensions are entirely null on a " +
+          "non-empty input — z-order needs non-null x and y (coalesce " +
+          "or filter upstream)")
       df.limit(0).withColumn(ZKEY, lit(0L))
         .write.mode("overwrite").parquet(path)
       writeMeta(df.sparkSession, path, ZorderMeta(0L, 0L, 0L, 0L, bits))
@@ -238,12 +251,24 @@ object Layout {
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
         try {
-          val stats = reader.getFooter.getBlocks.asScala.toSeq
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val stats = blocks
             .flatMap(_.getColumns.asScala
               .find(_.getPath.toDotString == ZKEY))
             .map(_.getStatistics)
             .filter(s => s != null && !s.isEmpty)
-          if (stats.isEmpty) (st.getPath.toString, 1L, 0L)
+          if (stats.isEmpty) {
+            // only a genuinely EMPTY file may lack stats; a file with
+            // rows but no _zkey stats is not a graft z-ordered table
+            // (e.g. a legacy layout that dropped the key, or a writer
+            // with column stats disabled) — excluding it would
+            // silently exempt its rows from compaction forever
+            if (blocks.exists(_.getRowCount > 0))
+              sys.error(s"zorder: ${st.getPath} has rows but no " +
+                s"$ZKEY footer stats — not a graft z-ordered table; " +
+                "rewrite it with zorderWrite before compacting")
+            (st.getPath.toString, 1L, 0L)
+          }
           else (st.getPath.toString,
             stats.map(_.genericGetMin
               .asInstanceOf[java.lang.Long].longValue).min,

@@ -614,10 +614,10 @@ object SessionQueries {
             $"user_id",
             (unix_timestamp($"ts") / 86400L).cast(LongType).as("day"))
         val hashed = base
-          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("r", explode(array(
+            (0 until graft.functions.Md5PrefixLong.CmsRows).map(lit): _*)))
           .withColumn("bucket",
-            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
-              % 64L)
+            graft.functions.Md5PrefixLong.cmsBucket("r", "key"))
         val daily = hashed
           .groupBy($"day", $"r", $"bucket")
           .agg(count(lit(1)).as("cnt"))
@@ -628,10 +628,10 @@ object SessionQueries {
           .filter($"user_id" < 10)
           .groupBy($"key")
           .agg(count(lit(1)).as("exact_n"))
-          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .withColumn("r", explode(array(
+            (0 until graft.functions.Md5PrefixLong.CmsRows).map(lit): _*)))
           .withColumn("bucket",
-            expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
-              % 64L)
+            graft.functions.Md5PrefixLong.cmsBucket("r", "key"))
         probes
           .join(broadcast(merged), Seq("r", "bucket"))
           .groupBy($"key")

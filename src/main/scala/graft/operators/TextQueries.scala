@@ -606,15 +606,6 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "language-ID n-gram/stopword heuristic"),
 
-    // ── snapshot diff: content-hash movement between two crawls ─────
-    // The crawl-over-crawl report a corpus owner reads before
-    // retraining: which sources churned? Sides = doc_id parity (the
-    // testdata stand-in for old/new snapshot tags); identity = md5 of
-    // the exact text, so a moved/re-crawled identical page is
-    // "common", not "added". One distinct + one flag-agg + one
-    // per-source rollup — everything keys on the hash then the
-    // source, no joins, no pairs; at 100 TB this is the same
-    // shuffle-parallel shape as corpus_overlap's exact path.
     // ── snapshot drift: length-distribution shift between crawls ────
     // The dq companion to corpus_diff: diff counts WHAT changed,
     // drift asks whether the new crawl's SHAPE moved (a scraper
@@ -675,6 +666,15 @@ object TextQueries {
         FROM dp ORDER BY bucket"""),
       desc = "snapshot drift: per-bucket ppm shares + integer chi-square"),
 
+    // ── snapshot diff: content-hash movement between two crawls ─────
+    // The crawl-over-crawl report a corpus owner reads before
+    // retraining: which sources churned? Sides = doc_id parity (the
+    // testdata stand-in for old/new snapshot tags); identity = md5 of
+    // the exact text, so a moved/re-crawled identical page is
+    // "common", not "added". One distinct + one flag-agg + one
+    // per-source rollup — everything keys on the hash then the
+    // source, no joins, no pairs; at 100 TB this is the same
+    // shuffle-parallel shape as corpus_overlap's exact path.
     "corpus_diff" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -261,10 +261,18 @@ object VectorQueries {
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir).withColumn("id", $"vec_id")
-        val brute = Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
-          .select($"query_id", $"cand_id")
-        val lsh = Vectors.lshSearch(base, queryFilter = $"id" < 10, k = 5)
-          .select($"query_id", $"cand_id")
+        // each side feeds TWO consumers (its own count + the semi-
+        // join), so both go through Engine.materialize — without it
+        // the brute scoring pass and the LSH band join each execute
+        // twice per run (the minhashSigToks defect class)
+        val brute = graft.Engine.materialize(
+          Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
+            .select($"query_id", $"cand_id"),
+          "query_id", "ann_brute")
+        val lsh = graft.Engine.materialize(
+          Vectors.lshSearch(base, queryFilter = $"id" < 10, k = 5)
+            .select($"query_id", $"cand_id"),
+          "query_id", "ann_lsh")
         val nBrute = brute.groupBy($"query_id")
           .agg(count(lit(1)).as("n_brute"))
         val nLsh = lsh.groupBy($"query_id").agg(count(lit(1)).as("n_lsh"))

@@ -79,10 +79,10 @@ object StreamingModels {
       .withWatermark("ts", "1 day")
       .select(col("ts"),
         concat(col("event_type"), lit(":"), col("user_id")).as("key"))
-      .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("r", explode(array(
+        (0 until graft.functions.Md5PrefixLong.CmsRows).map(lit): _*)))
       .withColumn("bucket",
-        expr("md5_prefix_long(concat(cast(r as string), '#', key), 14)")
-          % 64L)
+        graft.functions.Md5PrefixLong.cmsBucket("r", "key"))
       .groupBy(window(col("ts"), "1 day"), col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("day_start"), col("r"),
