@@ -113,6 +113,51 @@ class LayoutSpec extends SparkSuite {
       s"zorder ($zp,$zs) must beat natural ($np,$ns)")
   }
 
+  test("zorderWrite edge cases: empty input writes a sentinel; all-null dims fail loudly") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("y", LongType), StructField("v", StringType)))
+    // empty input: empty table + zero-extent sidecar, no error
+    val out = Files.createTempDirectory("zempty").toString
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Layout.zorderWrite(empty, $"x", $"y", 16, 4, out)
+    assert(spark.read.parquet(out).count() === 0L)
+    assert(Layout.readMeta(spark, out) === Layout.ZorderMeta(0, 0, 0, 0, 16))
+    // withMortonKey on empty input: empty frame out, no raise
+    assert(Layout.withMortonKey(empty, $"x", $"y", 16).count() === 0L)
+    // non-empty input whose dims are entirely null: loud failure, not
+    // a silently-empty table
+    val allNull = Seq(("a"), ("b")).toDF("v")
+      .withColumn("x", lit(null).cast("long"))
+      .withColumn("y", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(allNull, $"x", $"y", 16, 4,
+        Files.createTempDirectory("znull").toString)
+    }
+    assert(e.getMessage.contains("entirely null"))
+  }
+
+  test("zorderCompact refuses files with rows but no _zkey stats (legacy layout)") {
+    val out = Files.createTempDirectory("zlegacy").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    Layout.zorderWrite(li, $"l_partkey", $"l_suppkey", 16, 4, out)
+    // smuggle in a non-graft data file (no _zkey column): compaction
+    // must error rather than silently exempt its rows forever
+    val alien = Files.createTempDirectory("zalien").toString
+    li.limit(10).coalesce(1).write.mode("overwrite").parquet(alien)
+    val part = new java.io.File(alien).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(out, "part-alien.parquet"))
+    val e = intercept[RuntimeException] {
+      Layout.zorderCompact(spark, out, li.limit(5),
+        $"l_partkey", $"l_suppkey")
+    }
+    assert(e.getMessage.contains("no _zkey footer stats"))
+  }
+
   test("zorderCompact plans from footer metadata: data read tracks the delta") {
     // the round-7 defect: range derivation re-keyed EVERY row of the
     // table per compaction. Now ranges come from parquet footer stats
