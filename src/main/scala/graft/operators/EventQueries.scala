@@ -287,6 +287,66 @@ object EventQueries {
         GROUP BY 1, 2 ORDER BY 1, 2"""),
       desc = "daily cohort retention matrix: first-touch cohorts × active offsets"),
 
+    // ── growth accounting: per-day active-user lifecycle states ─────
+    // The companion readout to e_retention: each (user, active day)
+    // classified against the user's PREVIOUS active day — new (first
+    // ever), retained (yesterday), returning (gap 2..7d), resurrected
+    // (gap >7d) — then rolled up per day. One exchange on user_id
+    // (per-user distinct days collected as a sorted array — bounded
+    // by the calendar, the documented sessionize bound), then a tiny
+    // (day,state) aggregate. No self-join, no day spine, no second
+    // pass over raw events — the shape that holds at 100 TB.
+    "e_user_lifecycle" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .groupBy($"user_id")
+          .agg(array_sort(collect_set($"day")).as("ds"))
+          .select(explode(expr(
+            "transform(ds, (d, i) -> struct(d AS day, " +
+              "CASE WHEN i = 0 THEN CAST(NULL AS BIGINT) " +
+              "ELSE ds[i-1] END AS prev_day))")).as("x"))
+          .select($"x.day".as("day"), $"x.prev_day".as("prev_day"))
+          .withColumn("state",
+            when($"prev_day".isNull, "new")
+              .when($"day" - $"prev_day" === 1L, "retained")
+              .when($"day" - $"prev_day" <= 7L, "returning")
+              .otherwise("resurrected"))
+          .groupBy($"day")
+          .agg(
+            count(when($"state" === "new", 1)).as("n_new"),
+            count(when($"state" === "retained", 1)).as("n_retained"),
+            count(when($"state" === "returning", 1)).as("n_returning"),
+            count(when($"state" === "resurrected", 1)).as("n_resurrected"),
+            count(lit(1)).as("n_active"))
+          .orderBy($"day")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id, (epoch_us(ts)//1000000)//86400 AS day
+          FROM events),
+        c AS (
+          SELECT user_id, day,
+                 lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+          FROM d),
+        s AS (
+          SELECT day,
+                 CASE WHEN prev_day IS NULL THEN 'new'
+                      WHEN day - prev_day = 1 THEN 'retained'
+                      WHEN day - prev_day <= 7 THEN 'returning'
+                      ELSE 'resurrected' END AS state
+          FROM c)
+        SELECT day,
+               count(*) FILTER (state = 'new') AS n_new,
+               count(*) FILTER (state = 'retained') AS n_retained,
+               count(*) FILTER (state = 'returning') AS n_returning,
+               count(*) FILTER (state = 'resurrected') AS n_resurrected,
+               count(*) AS n_active
+        FROM s GROUP BY day ORDER BY day"""),
+      desc = "growth accounting: new/retained/returning/resurrected per active day"),
+
     // ── A9: quantiles — p50/p90 of value per event_type. Exact
     // percentile on integral cents in both engines (approx sketches
     // diverge between engines; SURVEY A9). At 100 TB swap to

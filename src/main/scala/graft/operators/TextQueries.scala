@@ -330,6 +330,63 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // ── RAG/training chunking: overlapping token windows ────────────
+    // The step every retrieval corpus and long-context training mix
+    // runs before embedding/packing: split each document into
+    // fixed-size token windows (W=64) with stride S=48 (16-token
+    // overlap so no boundary sentence is lost). Window count is the
+    // standard sliding form 1 + ceil(max(n-W,0)/S) — every token
+    // covered, last window short, never a window fully contained in
+    // the previous one. Pure narrow exprs (split/slice/array_join +
+    // one explode): embarrassingly parallel at 100 TB, no shuffle
+    // before the output sort. chunk_sha (sha256 of the chunk text)
+    // is the downstream dedup/lineage identity.
+    "text_chunk" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val W = 64L; val S = 48L
+        docs(s, dir)
+          .withColumn("toks", split($"text", " "))
+          .withColumn("n", size($"toks").cast(LongType))
+          // 1 + ceil(max(n-W,0)/S) via truncating div on a
+          // guaranteed-nonnegative numerator (both engines truncate)
+          .withColumn("n_chunks",
+            lit(1L) + expr(s"(greatest(n, ${W - S + 1L}L) - ${W - S + 1L}L) div ${S}L"))
+          .select($"doc_id", $"toks", $"n",
+            explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
+          .withColumn("start_tok", $"chunk_idx" * S)
+          .withColumn("chunk",
+            slice($"toks", ($"start_tok" + 1L).cast("int"), lit(W.toInt)))
+          .select(
+            $"doc_id", $"chunk_idx", $"start_tok",
+            size($"chunk").cast(LongType).as("n_toks"),
+            array_join($"chunk", " ").as("chunk_text"),
+            sha2(array_join($"chunk", " "), 256).as("chunk_sha"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, n,
+                 1 + (greatest(n, 17) - 17) // 48 AS n_chunks
+          FROM t),
+        e AS (
+          SELECT doc_id, toks, n, unnest(range(n_chunks)) AS chunk_idx
+          FROM c)
+        SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+               CAST(len(list_slice(toks, chunk_idx*48 + 1,
+                                   chunk_idx*48 + 64)) AS BIGINT) AS n_toks,
+               array_to_string(list_slice(toks, chunk_idx*48 + 1,
+                                          chunk_idx*48 + 64), ' ') AS chunk_text,
+               sha256(array_to_string(list_slice(toks, chunk_idx*48 + 1,
+                                                 chunk_idx*48 + 64), ' '))
+                 AS chunk_sha
+        FROM e ORDER BY doc_id, chunk_idx"""),
+      desc = "RAG chunking: overlapping 64-token windows, stride 48, sha identity"),
+
     // ── token statistics (counting, type-token ratio) ───────────────
     "text_tokens" -> Q(
       fn = (s, dir) => {

@@ -679,4 +679,27 @@ class CorpusSpec extends SparkSuite {
     graft.Engine.dropAllMaterialized(spark)
     purgeMatTables("overlap_")
   }
+
+  test("text_chunk tiles every document: no gaps, full coverage, standard window count") {
+    val out = SparkEntry.queries("text_chunk")(spark, sf())
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_toks")
+    val toks = graft.sources.Sources.table(spark, sf(), "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    // per doc: first chunk starts at 0, last chunk ends exactly at n,
+    // and chunk i+1 starts before chunk i ends (no token uncovered)
+    val agg = out.groupBy($"doc_id").agg(
+      min($"start_tok").as("first_start"),
+      max($"start_tok" + $"n_toks").as("max_end"),
+      count(lit(1)).as("n_chunks"))
+      .join(toks, "doc_id")
+    val bad = agg.filter($"first_start" =!= 0L || $"max_end" =!= $"n" ||
+      $"n_chunks" =!= lit(1L) +
+        ceil(greatest($"n" - 64L, lit(0L)).cast("double") / 48.0).cast("long"))
+    assert(bad.count() === 0)
+    // adjacency: every interior boundary overlaps (stride < window)
+    val gaps = out.as("a").join(out.as("b"),
+      $"a.doc_id" === $"b.doc_id" && $"a.chunk_idx" + 1L === $"b.chunk_idx" &&
+        $"b.start_tok" > $"a.start_tok" + $"a.n_toks")
+    assert(gaps.count() === 0)
+  }
 }

@@ -74,4 +74,22 @@ class EventsSpec extends SparkSuite {
     assert(total <= purchases * 1000000L)
     assert(total > 0)
   }
+
+  test("e_user_lifecycle: states partition actives; news sum to distinct users; first day all-new") {
+    val out = SparkEntry.queries("e_user_lifecycle")(spark, sf()).cache()
+    // the four states partition each day's actives
+    val broken = out.filter(
+      $"n_new" + $"n_retained" + $"n_returning" + $"n_resurrected" =!=
+        $"n_active")
+    assert(broken.count() === 0)
+    // every user is new exactly once
+    val ev = graft.sources.Sources.table(spark, sf(), "events")
+    val users = ev.select($"user_id").distinct().count()
+    val news = out.agg(sum($"n_new")).collect().head.getLong(0)
+    assert(news === users)
+    // the earliest day has no previous day to relate to
+    val first = out.orderBy($"day").limit(1).collect().head
+    assert(first.getAs[Long]("n_new") === first.getAs[Long]("n_active"))
+    out.unpersist()
+  }
 }
