@@ -50,6 +50,32 @@ object VectorQueries {
                  ${duckDot(DUCK_SV, DUCK_SV)} AS nrm
           FROM embeddings)"""
 
+  /** DuckDB replay of [[Vectors.bandedSig]] over an arbitrary source
+    * CTE carrying (vec_id, svx) at any dimensionality — the general
+    * form duckBandedCtes specializes; used by the MIPS ALSH oracle
+    * where query and candidate sides band DIFFERENT 65-d augmented
+    * vectors. Emits dims_/terms_/sums_/sig_/banded_`tag` CTEs. */
+  private def duckSigCtes(src: String, tag: String, dims: Int): String = s"""
+        dims_$tag AS (
+          SELECT vec_id, r.i - 1 AS d, svx[r.i] AS v, k.k AS k
+          FROM $src CROSS JOIN range(1, ${dims + 1}) r(i)
+          CROSS JOIN range(0, 16) k(k)),
+        terms_$tag AS (
+          SELECT vec_id, k,
+            v * (((1 + (k * $dims + d) * 2654435761) % 1000003) - 500001)
+              AS term
+          FROM dims_$tag),
+        sums_$tag AS (
+          SELECT vec_id, k, sum(term) AS s FROM terms_$tag GROUP BY 1, 2),
+        sig_$tag AS (
+          SELECT vec_id, sum(CASE WHEN s > 0
+            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+          FROM sums_$tag GROUP BY 1),
+        banded_$tag AS (
+          ${(0 until 4).map(b =>
+            s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bv FROM sig_$tag")
+            .mkString("\nUNION ALL\n")})"""
+
   /** DuckDB twin of the sign-LSH signature + band bucketing
     * (Vectors.signatureExpr/bandedSig, 16 planes / 4 bands of 4 bits)
     * ending in `banded` (vec_id, band, bv) with the `bucketCap`
@@ -246,6 +272,97 @@ object VectorQueries {
         SELECT query_id, rank, cand_id, cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "sign-LSH bucketed ANN: signature bands → candidate join → rank"),
+
+    // ── MIPS: max-inner-product top-k (brute recall baseline) ───────
+    // The recsys retrieval scoring: raw inner product, NOT cosine —
+    // high-norm (popular) items legitimately outrank direction-closer
+    // low-norm ones. Pure integer scoring (no doubles at all): the
+    // cleanest determinism in the family. Broadcast query set, one
+    // candidate scan — the documented brute baseline knn_mips_alsh is
+    // measured against.
+    "knn_mips" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir)
+        val q = base.select($"vec_id".as("query_id"), $"sv".as("qv"))
+        val c = base.select($"vec_id".as("cand_id"), $"sv".as("cv"))
+        c.join(broadcast(q.filter($"query_id" < 10)),
+            $"query_id" =!= $"cand_id")
+          .withColumn("dot", expr(dot("qv", "cv")))
+          .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+            .orderBy($"dot".desc, $"cand_id")))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"cand_id", $"dot")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(${duckDot("q.sv", "c.sv")} AS BIGINT) AS dot
+          FROM base q JOIN base c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, dot
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "brute-force MIPS top-k: exact integer inner product, broadcast queries"),
+
+    // ── MIPS at scale: asymmetric norm-augmentation ALSH ────────────
+    // The published reduction (Shrivastava & Li 2014): candidates gain
+    // coordinate isqrt(maxNrm - nrm) (constant augmented norm), queries
+    // a zero — cosine order over the 65-d augmented space IS inner-
+    // product order over the originals, so the augmented vectors ride
+    // the SAME sign-LSH band bucketing as knn_lsh (never all-pairs),
+    // and the rerank is the exact integer dot. Recall vs knn_mips is
+    // pinned in ApproxQualitySpec.
+    "knn_mips_alsh" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Vectors.mipsSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        mx AS (SELECT max(nrm) AS maxn FROM base),
+        aug0 AS (
+          SELECT vec_id, sv, maxn - nrm AS d2,
+                 CAST(floor(sqrt(CAST(maxn - nrm AS DOUBLE))) AS BIGINT) AS s0
+          FROM base CROSS JOIN mx),
+        aug1 AS (
+          SELECT vec_id, sv, d2,
+                 CASE WHEN (s0+1)*(s0+1) <= d2 THEN s0+1 ELSE s0 END AS s1
+          FROM aug0),
+        augc AS (
+          SELECT vec_id, list_append(sv,
+                   CASE WHEN s1*s1 > d2 THEN s1-1 ELSE s1 END) AS svx
+          FROM aug1),
+        augq AS (
+          SELECT vec_id, list_append(sv, CAST(0 AS BIGINT)) AS svx
+          FROM base WHERE vec_id < 10),
+        ${duckSigCtes("augc", "c", 65)},
+        ${duckSigCtes("augq", "q", 65)},
+        cands AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM banded_q q JOIN banded_c c
+            ON q.band = c.band AND q.bv = c.bv
+          WHERE q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT cands.query_id, cands.cand_id,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS BIGINT) AS dot
+          FROM cands
+          JOIN base qv ON qv.vec_id = cands.query_id
+          JOIN base cv ON cv.vec_id = cands.cand_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, dot
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "MIPS ALSH: norm-augmented sign-LSH buckets, exact integer-dot rerank"),
 
     // ── ANN evaluation: recall@k of LSH vs the brute baseline ───────
     // The operator an ANN deployment runs BEFORE trusting its index:

@@ -133,6 +133,77 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
+  /** Exact integer floor-sqrt: floor(sqrt(x)) for 0 <= x < 2^53.
+    * IEEE sqrt is correctly rounded, so the double path agrees across
+    * engines; the two CASE adjustments make the result exact even at
+    * perfect-square boundaries where floor(double) could land off by
+    * one ulp. */
+  private def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L).otherwise(s0)
+    when(s1 * s1 > x, s1 - 1L).otherwise(s1)
+  }
+
+  /** Maximum-inner-product search (MIPS) via the asymmetric
+    * norm-augmentation reduction (Shrivastava & Li 2014; Neyshabur &
+    * Srebro 2015): candidates gain a 65th coordinate
+    * `isqrt(maxNrm - nrm)` so every augmented candidate has (near-)
+    * constant norm, queries gain a zero — then
+    * `cos((q,0),(x,aug)) = q·x / (|q|·M)`, i.e. cosine order over the
+    * augmented space IS inner-product order over the originals. The
+    * augmented vectors ride the SAME sign-LSH banding as [[lshSearch]]
+    * (dim+1 planes); the rerank is the raw codegen'd integer dot —
+    * no doubles anywhere in the scoring path.
+    *
+    * Scale shape: identical to lshSearch — the banded frames bucket on
+    * (band, bv), candidates come from the bucket equi-join (never
+    * all-pairs), the query side is a broadcast. The max-norm is a
+    * 1-row broadcast stats frame; the 2^53 exactness contract of
+    * [[isqrt]] is guarded THERE, not per row (conditional guards on
+    * hot expressions are CSE-excluded — see Layout.withMortonKey).
+    *
+    * `base` must carry (id, sv, nrm) from [[quantize]]. Returns
+    * (query_id, rank, cand_id, dot) — dot is the exact scaled integer
+    * inner product. */
+  def mipsSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                 k: Int = 5, dim: Int = 64, nPlanes: Int = 16,
+                 bands: Int = 4): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val proj = graft.Engine.materialize(
+      base.select(col("id"), col("sv"), col("nrm")),
+      key = "id", name = "mips_vec")
+    val mx = proj.agg(max(col("nrm")).as("maxn"))
+      .select(when(col("maxn") < (1L << 53), col("maxn"))
+        .otherwise(raise_error(lit(
+          "mipsSearch: max norm exceeds the 2^53 isqrt exactness contract")))
+        .as("maxn"))
+    val augC = proj.crossJoin(broadcast(mx))
+      .select(col("id"),
+        concat(col("sv"), array(isqrt(col("maxn") - col("nrm")))).as("sv"))
+    val bandedC = graft.Engine.materialize(
+      bandedSig(augC, dim + 1, nPlanes, bands), key = "bv", name = "mips_sig")
+    val qIds = base.filter(queryFilter).select(col("id"))
+    val augQ = proj.join(qIds, Seq("id"), "left_semi")
+      .select(col("id"), concat(col("sv"), array(lit(0L))).as("sv"))
+    val qb = bandedSig(augQ, dim + 1, nPlanes, bands)
+      .select(col("id").as("query_id"), col("band"), col("bv"))
+    val cands = qb
+      .join(bandedC.select(col("id").as("cand_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    cands
+      .join(broadcast(proj.join(qIds, Seq("id"), "left_semi")
+        .select(col("id").as("query_id"), col("sv").as("qv"))), Seq("query_id"))
+      .join(proj.select(col("id").as("cand_id"), col("sv").as("cv")),
+        Seq("cand_id"))
+      .withColumn("dot", expr("long_dot(qv, cv)"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("dot"))
+  }
+
   /** Symmetric int8 scalar quantization + two-stage search — the
     * memory/bandwidth compression path for a 100 TB vector table:
     * per-dimension scale `m_d = max(|v_d|)` (one tiny global agg,

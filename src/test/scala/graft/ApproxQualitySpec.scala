@@ -180,4 +180,27 @@ class ApproxQualitySpec extends SparkSuite {
     // beat random cell assignment by a wide margin (random ≈ 4/500).
     assert(recall >= 0.2, f"LSH recall collapsed: $recall%.2f")
   }
+
+  test("MIPS ALSH recalls a usable share of true inner-product top-5") {
+    val brute = SparkEntry.queries("knn_mips")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val alsh = SparkEntry.queries("knn_mips_alsh")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect alsh).size.toDouble / brute.size
+    info(f"MIPS ALSH recall@5 = $recall%.2f (${alsh.size} ALSH pairs)")
+    assert(recall >= 0.2, f"MIPS ALSH recall collapsed: $recall%.2f")
+    // scores agree wherever both sides return the same pair: the
+    // rerank is the EXACT integer dot, so any shared (query, cand)
+    // must carry an identical score in both results
+    val bs = SparkEntry.queries("knn_mips")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id", $"dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mism = SparkEntry.queries("knn_mips_alsh")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id", $"dot").collect()
+      .filter(r => bs.get((r.getLong(0), r.getLong(1)))
+        .exists(_ != r.getLong(2)))
+    assert(mism.isEmpty, "ALSH rerank dot diverged from brute dot")
+  }
 }

@@ -16,9 +16,10 @@ class PlanAuditSpec extends SparkSuite {
 
   test("no query plans a CartesianProduct (documented baselines excepted)") {
     // all-pairs by design: dedup_embedding (recall baseline) and
-    // knn_brute (10-query brute-force baseline) plan non-equi joins;
-    // everything else must stay bucketed/equi-keyed at any scale.
-    val allowed = Set("dedup_embedding", "knn_brute")
+    // knn_brute / knn_mips (10-query brute-force baselines) plan
+    // non-equi joins; everything else must stay bucketed/equi-keyed
+    // at any scale.
+    val allowed = Set("dedup_embedding", "knn_brute", "knn_mips")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
