@@ -284,6 +284,43 @@ object ScaleProbe {
       },
       "text_normalize" -> (k => docFrac(k).select(col("doc_id"),
         Corpus.normalizeText(col("text")).as("norm"))),
+      "mips_alsh" -> (k => Vectors.mipsSearch(embFrac(k),
+        queryFilter = col("id") < 10 * k, k = 5)),
+      "text_chunk" -> { k =>
+        // the registered query's per-doc explode: window 64 /
+        // stride 48 token chunks — row-linear, no shuffle
+        docFrac(k)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("n_chunks",
+            lit(1L) + expr("(greatest(n, 17L) - 17L) div 48L"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L), col("n_chunks") - 1L)).as("ci"))
+          .select(col("doc_id"), col("ci"),
+            sha2(array_join(slice(col("toks"),
+              (col("ci") * 48L + 1L).cast("int"), lit(64)), " "), 256)
+              .as("chunk_sha"))
+      },
+      "user_lifecycle" -> { k =>
+        // the registered query's shape scaled by users: per-user day
+        // array (bounded state), gap classification, per-day rollup
+        Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(col("user_id"),
+            (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_set(col("day"))).as("ds"))
+          .select(explode(expr(
+            "transform(ds, (d, i) -> struct(d AS day, " +
+              "CASE WHEN i = 0 THEN CAST(NULL AS BIGINT) " +
+              "ELSE ds[i-1] END AS prev_day))")).as("x"))
+          .select(col("x.day").as("day"), col("x.prev_day").as("prev_day"))
+          .groupBy(col("day"))
+          .agg(count(when(col("prev_day").isNull, 1)).as("n_new"),
+            count(lit(1)).as("n_active"))
+      },
+      "budget_sample" -> (k => Corpus.budgetSample(docFrac(k),
+        stratum = col("doc_id") % 4, budget = 20000L)),
       "layout_zorder" -> { k =>
         // the registered fixed-range bucket-stats shape over a
         // lineitem fraction: extent aggs + map-side bucketing + two
