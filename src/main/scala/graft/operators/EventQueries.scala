@@ -615,6 +615,42 @@ object EventQueries {
         ORDER BY event_type, day_i"""),
       desc = "daily-volume anomaly flags via 3-MAD robust outlier test"),
 
+    // ── data freshness / staleness monitor ──────────────────────────
+    // The other half of the ingest health check beside dq_anomaly's
+    // volume test: per stream, how far behind the feed's global
+    // watermark did this event type last report? (The reference's M11
+    // feed-latency metric generalized to a per-source SLA check —
+    // docs/metrics_guide.md:312-319.) One map-side-combined agg per
+    // group + a broadcast 1-row watermark; at 100 TB, with day
+    // partitions, the scan prunes to the newest partitions since
+    // last_es is monotone in the partition key.
+    "dq_freshness" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir).select($"event_type", epochS($"ts").as("es"))
+        val wm = e.agg(max($"es").as("watermark_es"))
+        e.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_rows"), max($"es").as("last_es"))
+          .crossJoin(broadcast(wm))
+          .withColumn("lag_s", $"watermark_es" - $"last_es")
+          .withColumn("stale", $"lag_s" > 3600L)
+          .select($"event_type", $"n_rows", $"last_es", $"watermark_es",
+            $"lag_s", $"stale")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts)//1000000 AS es FROM events),
+        g AS (SELECT max(es) AS watermark_es FROM e)
+        SELECT event_type, count(*) AS n_rows, max(es) AS last_es,
+               g.watermark_es,
+               g.watermark_es - max(es) AS lag_s,
+               (g.watermark_es - max(es)) > 3600 AS stale
+        FROM e CROSS JOIN g
+        GROUP BY event_type, g.watermark_es
+        ORDER BY event_type"""),
+      desc = "per-stream freshness lag vs feed watermark with SLA flag"),
+
     // ── Markov transition counts ────────────────────────────────────
     // Per-user event-type transition matrix (the "what happens after
     // X" product question; generalizes the reference's stop-to-stop

@@ -523,6 +523,56 @@ object VectorQueries {
         WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "int8 scalar-quantized ANN: coarse code scan + exact rerank"),
 
+    // ── binary quantization (1 bit/dim, Hamming coarse + rerank) ────
+    // The extreme-compression member: one 64-bit word per vector
+    // (256× smaller than float32), coarse ranking by xor+popcount,
+    // exact-cosine rerank on the shortlist only.
+    "vector_bq" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Vectors.bqSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 5, shortlist = 20)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        bq_codes AS (
+          SELECT vec_id,
+                 -- bit 63 is the two's-complement sign bit: DuckDB
+                 -- traps 1<<63, so emit Long.MinValue directly (the
+                 -- sum over distinct bits is carry-free either way)
+                 CAST(list_sum(list_transform(range(64), i ->
+                   CASE WHEN sv[i + 1] <= 0 THEN CAST(0 AS BIGINT)
+                        WHEN i = 63
+                          THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                        ELSE CAST(1 AS BIGINT) << i END)) AS BIGINT) AS bits
+          FROM base),
+        bq_coarse AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(bit_count(xor(q.bits, c.bits)) AS BIGINT) AS hamming
+          FROM bq_codes q JOIN bq_codes c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        bq_short AS (
+          SELECT query_id, cand_id, hamming FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, cand_id) AS crank
+            FROM bq_coarse)
+          WHERE crank <= 20),
+        bq_rr AS (
+          SELECT s.query_id, s.cand_id, s.hamming,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM bq_short s
+          JOIN base qv ON qv.vec_id = s.query_id
+          JOIN base cv ON cv.vec_id = s.cand_id)
+        SELECT query_id, rank, cand_id, hamming, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rank
+          FROM bq_rr)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "binary-quantized ANN: 1-bit codes, Hamming coarse + exact rerank"),
+
     // ── product-quantization ANN (ADC search over m×kCode codes) ────
     // All m codebooks fit in one iterative loop; the oracle replays
     // the fit (unrolled rounds), the encode, and the asymmetric-

@@ -271,6 +271,57 @@ object Vectors {
         col("cosine"))
   }
 
+  /** Binary (1-bit) quantization + Hamming shortlist + exact rerank —
+    * the extreme-compression member of the two-stage family
+    * ([[sq8Search]] 8 bits/dim, [[pqSearch]] m byte codes, this: 1
+    * bit/dim = ONE 64-bit word per 64-d vector, 256× smaller than
+    * float32 at rest). Sign bits pack into a single BIGINT; the
+    * coarse stage ranks by Hamming distance `bit_count(qb XOR cb)` —
+    * one xor+popcount per candidate, the cheapest possible scan — and
+    * the exact-cosine rerank touches full-width vectors for the
+    * shortlist only. Hamming of sign bits estimates angle (the 1-bit
+    * random-hyperplane identity E[hamming]/dim = θ/π — the same
+    * estimator the SimHash/LSH family exploits, here with the
+    * coordinate basis as the planes).
+    *
+    * Scale shape: the codes frame materializes once and serves the
+    * coarse scan and both rerank id-joins; the query side broadcasts.
+    * At 100 TB the coarse stage reads 8 bytes/vector — bandwidth-
+    * bound, no shuffle. Ties break hamming ASC then cand_id — a
+    * total order both engines replay. `base` must carry (id, sv, nrm)
+    * from [[quantize]]. */
+  def bqSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+               k: Int = 5, shortlist: Int = 20, dim: Int = 64): DataFrame = {
+    require(dim <= 64, "bqSearch packs sign bits into one 64-bit word")
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val codes = graft.Engine.materialize(
+      base.withColumn("bits", expr(s"aggregate(sequence(0, $dim - 1), 0L, " +
+          "(a, i) -> a + IF(element_at(sv, i + 1) > 0L, shiftleft(1L, i), 0L))"))
+        .select(col("id"), col("sv"), col("nrm"), col("bits")),
+      key = "id", name = "bq_codes")
+    val qIds = base.filter(queryFilter).select(col("id"))
+    val q = codes.join(qIds, Seq("id"), "left_semi")
+      .select(col("id").as("query_id"), col("bits").as("qb"))
+    val c = codes.select(col("id").as("cand_id"), col("bits").as("cb"))
+    val short = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("hamming", expr("CAST(bit_count(qb ^ cb) AS BIGINT)"))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("cand_id"))))
+      .filter(col("crank") <= shortlist)
+      .select(col("query_id"), col("cand_id"), col("hamming"))
+    short
+      .join(codes.select(col("id").as("query_id"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(codes.select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("hamming"),
+        col("cosine"))
+  }
+
   /** Product-quantization ANN (the IVFADC family, Jégou et al., TPAMI
     * 2011): split each `dim`-d vector into `m` subvectors, fit an
     * independent `kCode`-codeword codebook per subspace (deterministic

@@ -82,6 +82,31 @@ class ApproxQualitySpec extends SparkSuite {
     assert(recall >= 0.8, f"int8 rerank recall collapsed: $recall%.2f")
   }
 
+  test("binary-quantized search recalls a usable share and widens with shortlist") {
+    // 1 bit/dim keeps only angular structure (E[hamming]/dim = θ/π);
+    // with a 4× shortlist the Hamming coarse stage should still
+    // surface a solid share of the exact top-5, and widening the
+    // shortlist can only help (monotone property).
+    val base = operators.Vectors.quantize(
+      Sources.table(spark, sf("sf0.01"), "embeddings"))
+      .withColumn("id", $"vec_id")
+    val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(shortlist: Int): Double = {
+      val bq = operators.Vectors.bqSearch(base, queryFilter = $"id" < 10,
+          k = 5, shortlist = shortlist)
+        .select($"query_id", $"cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect bq).size.toDouble / brute.size
+    }
+    val r20 = recall(20)
+    val r80 = recall(80)
+    info(f"BQ recall@5: shortlist=20 $r20%.2f, 80 $r80%.2f")
+    assert(r20 >= 0.4, f"BQ recall collapsed: $r20%.2f")
+    assert(r80 >= r20, f"wider shortlist lost recall: $r80%.2f < $r20%.2f")
+  }
+
   test("PQ ADC search recalls a usable share and improves with shortlist") {
     val base = operators.Vectors.quantize(
       Sources.table(spark, sf("sf0.01"), "embeddings"))
