@@ -651,6 +651,76 @@ object EventQueries {
         ORDER BY event_type"""),
       desc = "per-stream freshness lag vs feed watermark with SLA flag"),
 
+    // ── RFM segmentation (recency / frequency / monetary) ───────────
+    // The classic customer-value segmentation: per purchasing user,
+    // days-since-last-purchase, purchase count, and lifetime cents,
+    // each scored 1–5 by FIXED-RANGE bucketing over the observed
+    // extent — ((v − lo)·5) div (hi − lo + 1) + 1, the layout_zorder
+    // div-bucket pattern: deterministic, shuffle-parallel, and
+    // DuckDB-`//`-replayable, where the textbook ntile(5) would be a
+    // single-partition global sort (the round-7 layout finding's
+    // class). Extent is a broadcast 1-row frame; the per-user rollup
+    // rides one user_id exchange. Score 5 = most recent / most
+    // frequent / highest spend.
+    "e_rfm" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val per = ev(s, dir).filter($"event_type" === "purchase")
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            round($"value" * 100).cast(LongType).as("cents"))
+          .groupBy($"user_id")
+          .agg(max($"day").as("last_day"), count(lit(1)).as("frequency"),
+            sum($"cents").as("monetary_cents"))
+        val ext = per.agg(
+          min($"last_day").as("ld_lo"), max($"last_day").as("ld_hi"),
+          min($"frequency").as("f_lo"), max($"frequency").as("f_hi"),
+          min($"monetary_cents").as("m_lo"), max($"monetary_cents").as("m_hi"))
+        per.crossJoin(broadcast(ext))
+          .withColumn("r_score",
+            expr("((last_day - ld_lo) * 5) div (ld_hi - ld_lo + 1) + 1"))
+          .withColumn("f_score",
+            expr("((frequency - f_lo) * 5) div (f_hi - f_lo + 1) + 1"))
+          .withColumn("m_score",
+            expr("((monetary_cents - m_lo) * 5) div (m_hi - m_lo + 1) + 1"))
+          .select($"user_id", ($"ld_hi" - $"last_day").as("recency_days"),
+            $"frequency", $"monetary_cents",
+            $"r_score", $"f_score", $"m_score",
+            concat($"r_score", $"f_score", $"m_score").as("segment"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT user_id,
+                 (epoch_us(ts)//1000000)//86400 AS day,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        per AS (
+          SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+                 CAST(sum(cents) AS BIGINT) AS monetary_cents
+          FROM p GROUP BY user_id),
+        ext AS (
+          SELECT min(last_day) AS ld_lo, max(last_day) AS ld_hi,
+                 min(frequency) AS f_lo, max(frequency) AS f_hi,
+                 min(monetary_cents) AS m_lo, max(monetary_cents) AS m_hi
+          FROM per),
+        sc AS (
+          SELECT user_id, ld_hi - last_day AS recency_days,
+                 frequency, monetary_cents,
+                 ((last_day - ld_lo) * 5) // (ld_hi - ld_lo + 1) + 1
+                   AS r_score,
+                 ((frequency - f_lo) * 5) // (f_hi - f_lo + 1) + 1
+                   AS f_score,
+                 ((monetary_cents - m_lo) * 5) // (m_hi - m_lo + 1) + 1
+                   AS m_score
+          FROM per CROSS JOIN ext)
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                 || CAST(m_score AS VARCHAR) AS segment
+        FROM sc ORDER BY user_id"""),
+      desc = "RFM 1-5 segmentation via fixed-range div buckets (no global sort)"),
+
     // ── Markov transition counts ────────────────────────────────────
     // Per-user event-type transition matrix (the "what happens after
     // X" product question; generalizes the reference's stop-to-stop

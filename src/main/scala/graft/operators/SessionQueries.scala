@@ -727,6 +727,60 @@ object SessionQueries {
         FROM pe GROUP BY user_id, conv_s ORDER BY user_id"""),
       desc = "ordered event path up to first purchase per converting user"),
 
+    // ── CEP sequence-pattern matching (batch MATCH_RECOGNIZE) ───────
+    // Flink-CEP / MATCH_RECOGNIZE semantics on batch: the per-user
+    // ordered event sequence renders to a one-char-per-event string
+    // (c/e/p/s/v — the five types' distinct initials), and the
+    // pattern "view, then click, then purchase, with no intervening
+    // error" compiles to the regex v[^e]*c[^e]*p over it — leftmost
+    // non-overlapping matches, identical Perl-class semantics in Java
+    // regex and RE2 (explicit char classes only, per the cross-engine
+    // regex invariant). Per-user state is one sorted array (the
+    // sessionize bound); after the single user_id exchange the
+    // matching is pure per-row string work, embarrassingly parallel.
+    // first_span = the leftmost match's event count (its string
+    // length), the CEP "how long did the journey take" readout.
+    "w_pattern_match" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .select($"user_id", $"event_id",
+            unix_timestamp($"ts").as("es"), $"event_type")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_join(transform(
+              array_sort(collect_list(struct($"es", $"event_id",
+                $"event_type"))),
+              x => substring(x.getField("event_type"), 1, 1)), "")
+              .as("seq"))
+          .withColumn("ms",
+            expr("regexp_extract_all(seq, 'v[^e]*c[^e]*p', 0)"))
+          .select($"user_id", $"n_events",
+            size($"ms").cast(LongType).as("n_matches"),
+            when(size($"ms") > 0, length(element_at($"ms", 1)))
+              .otherwise(0).cast(LongType).as("first_span"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts)//1000000 AS es,
+                 substr(event_type, 1, 1) AS c
+          FROM events),
+        sq AS (
+          SELECT user_id, count(*) AS n_events,
+                 string_agg(c, '' ORDER BY es, event_id) AS seq
+          FROM e GROUP BY user_id),
+        m AS (
+          SELECT user_id, n_events,
+                 regexp_extract_all(seq, 'v[^e]*c[^e]*p') AS ms
+          FROM sq)
+        SELECT user_id, n_events,
+               CAST(len(ms) AS BIGINT) AS n_matches,
+               CAST(CASE WHEN len(ms) > 0 THEN length(ms[1])
+                         ELSE 0 END AS BIGINT) AS first_span
+        FROM m ORDER BY user_id"""),
+      desc = "CEP pattern match: view→click→purchase with no error between"),
+
     // ── exact integer EWMA (recursive smoothing, no UDF) ────────────
     // Per-user exponentially weighted moving average of event cents
     // with α = 1/2 in EXACT integer arithmetic: s ← (s + x) div 2,

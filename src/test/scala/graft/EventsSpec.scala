@@ -92,4 +92,48 @@ class EventsSpec extends SparkSuite {
     assert(first.getAs[Long]("n_new") === first.getAs[Long]("n_active"))
     out.unpersist()
   }
+
+  test("w_pattern_match regex: greedy spans, error splits, non-overlap") {
+    // the exact expression the registered query evaluates, pinned on
+    // hand-computable sequences (RE2/DuckDB agreement verified for
+    // these same strings — greedy leftmost semantics match):
+    //  - greedy [^e]* makes spans MAXIMAL: vcpvcp is ONE match of 6
+    //  - an error hard-splits: vcpevcp is two vcp matches
+    //  - intervening non-error chars are absorbed: vscp, vcvp match whole
+    val rows = Seq("vcpvcp", "vcpevcp", "vecp", "vscp", "cp", "vcvp")
+      .toDF("seq")
+      .withColumn("ms", expr("regexp_extract_all(seq, 'v[^e]*c[^e]*p', 0)"))
+      .select($"seq", size($"ms").as("n"),
+        when(size($"ms") > 0, length(element_at($"ms", 1))).otherwise(0)
+          .as("span"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(rows("vcpvcp") === ((1, 6)))
+    assert(rows("vcpevcp") === ((2, 3)))
+    assert(rows("vecp") === ((0, 0)))
+    assert(rows("vscp") === ((1, 4)))
+    assert(rows("cp") === ((0, 0)))
+    assert(rows("vcvp") === ((1, 4)))
+  }
+
+  test("e_rfm: scores span 1-5, extremes land on 5, segment concatenates") {
+    val out = SparkEntry.queries("e_rfm")(spark, sf()).cache()
+    val bad = out.filter(
+      $"r_score" < 1 || $"r_score" > 5 ||
+      $"f_score" < 1 || $"f_score" > 5 ||
+      $"m_score" < 1 || $"m_score" > 5)
+    assert(bad.count() === 0, "a score left the 1-5 range")
+    // the most recent purchaser scores R5 with recency 0; the biggest
+    // spender scores M5 (fixed-range bucketing puts the max at the top
+    // bucket's closed upper edge)
+    val r0 = out.orderBy($"recency_days").limit(1).collect().head
+    assert(r0.getAs[Long]("recency_days") === 0L)
+    assert(r0.getAs[Long]("r_score") === 5L)
+    val mTop = out.orderBy($"monetary_cents".desc).limit(1).collect().head
+    assert(mTop.getAs[Long]("m_score") === 5L)
+    val segBroken = out.filter($"segment" =!=
+      concat($"r_score", $"f_score", $"m_score"))
+    assert(segBroken.count() === 0)
+    out.unpersist()
+  }
 }
