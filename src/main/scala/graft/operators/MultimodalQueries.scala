@@ -301,6 +301,79 @@ object MultimodalQueries {
         SELECT doc_id, window_idx, energy
         FROM win WHERE energy >= 40000
         ORDER BY doc_id, window_idx"""),
-      desc = "audio windowed energy + silence trim over fake-PCM blobs")
+      desc = "audio windowed energy + silence trim over fake-PCM blobs"),
+
+    // ── video: scene-change detection over the frame sequence ───────
+    // The shot-segmentation step a video pipeline runs before frame
+    // dedup/captioning: a 128-byte fake video (four chained sha256
+    // blocks) decodes to 16 frames; per frame one integer feature
+    // (mean byte — the luma-mean stand-in), a CUT where the feature
+    // jumps > 64 vs the previous frame, and scenes as cut-runs
+    // (cumulative cut count), rolled up to (start, end, length,
+    // Σfeat) per scene. Frame count per video is bounded, so the
+    // lag + running-sum windows per doc_id carry bounded state and
+    // ride ONE doc_id exchange; at 100 TB the feature column comes
+    // from a real codec in the same batch shape and the
+    // window/rollup plumbing is unchanged.
+    "mm_scene_detect" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"frame_idx")
+        docs(s, dir)
+          .withColumn("h", concat(
+            sha2($"text", 256), sha2(concat($"text", lit("a")), 256),
+            sha2(concat($"text", lit("b")), 256),
+            sha2(concat($"text", lit("c")), 256)))
+          .select($"doc_id", posexplode(expr("""transform(sequence(0, 15),
+              f -> aggregate(transform(sequence(0, 7), i ->
+                     CAST(conv(substr(h, 16 * f + 2 * i + 1, 2), 16, 10)
+                          AS BIGINT)),
+                   0L, (a, v) -> a + v) div 8)"""))
+            .as(Seq("frame_idx", "feat")))
+          .withColumn("prev", lag($"feat", 1).over(w))
+          .withColumn("cut",
+            when($"prev".isNull || abs($"feat" - $"prev") > 64L, 1L)
+              .otherwise(0L))
+          .withColumn("scene_id",
+            sum($"cut").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)) - 1L)
+          .groupBy($"doc_id", $"scene_id")
+          .agg(min($"frame_idx").cast("long").as("start_frame"),
+            max($"frame_idx").cast("long").as("end_frame"),
+            count(lit(1)).as("n_frames"),
+            sum($"feat").as("sum_feat"))
+          .orderBy($"doc_id", $"scene_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT doc_id,
+                 sha256(text) || sha256(text || 'a')
+                   || sha256(text || 'b') || sha256(text || 'c') AS h
+          FROM documents),
+        fr AS (
+          SELECT doc_id, f.f AS frame_idx,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   ('0x' || substr(h, 16 * f.f + 2 * i + 1, 2))::BIGINT))
+                   // 8 AS BIGINT) AS feat
+          FROM v CROSS JOIN range(0, 16) f(f)),
+        ct AS (
+          SELECT doc_id, frame_idx, feat,
+                 CASE WHEN lag(feat) OVER w IS NULL
+                        OR abs(feat - lag(feat) OVER w) > 64
+                      THEN 1 ELSE 0 END AS cut
+          FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        sc AS (
+          SELECT doc_id, frame_idx, feat,
+                 CAST(sum(cut) OVER (PARTITION BY doc_id
+                   ORDER BY frame_idx) - 1 AS BIGINT) AS scene_id
+          FROM ct)
+        SELECT doc_id, scene_id,
+               min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+               count(*) AS n_frames,
+               CAST(sum(feat) AS BIGINT) AS sum_feat
+        FROM sc GROUP BY 1, 2 ORDER BY doc_id, scene_id"""),
+      desc = "video scene cuts: frame-feature jumps → run-length scene rollup")
   )
 }

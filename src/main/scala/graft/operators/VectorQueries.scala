@@ -1106,6 +1106,94 @@ object VectorQueries {
                CAST(sum(sv) AS DOUBLE) / (count(*) * 1000000000.0) AS centroid_v
         FROM dims WHERE d < 8
         GROUP BY 1, 2 ORDER BY 1, 2"""),
-      desc = "per-label centroids (IVF coarse-quantizer building block)")
+      desc = "per-label centroids (IVF coarse-quantizer building block)"),
+
+    // ── topic discovery: embedding clusters labeled by lift terms ───
+    // The domain-clustering step of data curation (the DoReMi/
+    // cluster-then-mix shape): documents cluster by their embeddings
+    // through the SAME shared k-means assignment ivf_kmeans rides
+    // (kmeansAssign is materializeShared — one fit per session), and
+    // each cluster is labeled by its top-3 distinguishing terms,
+    // ranked by integer lift = cluster term share vs global term
+    // share (both in ppm — the ratio form stays in BIGINT at any
+    // corpus size, where n_ct·N·1e6 would overflow at ~1e13 tokens).
+    // The n_ct ≥ 5 noise floor bounds the per-cluster ranking window
+    // to the frequent-term set; at extreme vocab the per-cluster
+    // window shifts to the clusterSample two-level salt pattern.
+    "text_topics" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val asg = Vectors.kmeansAssign(
+            emb(s, dir).withColumn("id", $"vec_id"),
+            kCells = 8, iters = 3, nprobe = 1)
+          .select($"id".as("doc_id"), $"cluster")
+        val tok = Sources.table(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+          .join(asg, Seq("doc_id"))
+        val ct = tok.groupBy($"cluster", $"term")
+          .agg(count(lit(1)).as("n_ct"))
+        val cTot = tok.groupBy($"cluster")
+          .agg(count(lit(1)).as("n_c"), countDistinct($"doc_id").as("n_docs"))
+        val gT = tok.groupBy($"term").agg(count(lit(1)).as("n_t"))
+        val nTot = tok.agg(count(lit(1)).as("n_total"))
+        ct.join(broadcast(cTot), Seq("cluster"))
+          .join(gT, Seq("term"))
+          .crossJoin(broadcast(nTot))
+          .filter($"n_ct" >= 5)
+          .withColumn("share_c_ppm", expr("n_ct * 1000000L div n_c"))
+          .withColumn("share_g_ppm",
+            greatest(expr("n_t * 1000000L div n_total"), lit(1L)))
+          .withColumn("lift_x100",
+            expr("share_c_ppm * 100L div share_g_ppm"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"cluster")
+              .orderBy($"lift_x100".desc, $"term")))
+          .filter($"rank" <= 3)
+          .select($"cluster", $"rank", $"term", $"n_ct",
+            $"share_c_ppm", $"share_g_ppm", $"lift_x100", $"n_docs")
+          .orderBy($"cluster", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        asgf AS (
+          SELECT vec_id, cluster_id AS cluster FROM (
+            SELECT b.vec_id, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        tok AS (
+          SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS term,
+                 a.cluster
+          FROM documents d JOIN asgf a ON a.vec_id = d.doc_id),
+        ct AS (
+          SELECT cluster, term, count(*) AS n_ct FROM tok GROUP BY 1, 2),
+        ctot AS (
+          SELECT cluster, count(*) AS n_c,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM tok GROUP BY 1),
+        gt AS (SELECT term, count(*) AS n_t FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM tok),
+        sc AS (
+          SELECT ct.cluster, ct.term, ct.n_ct, ctot.n_docs,
+                 ct.n_ct * 1000000 // ctot.n_c AS share_c_ppm,
+                 greatest(gt.n_t * 1000000 // tot.n_total, 1)
+                   AS share_g_ppm
+          FROM ct JOIN ctot USING (cluster) JOIN gt USING (term)
+          CROSS JOIN tot
+          WHERE ct.n_ct >= 5),
+        lf AS (
+          SELECT *, share_c_ppm * 100 // share_g_ppm AS lift_x100
+          FROM sc)
+        SELECT cluster, rank, term, n_ct, share_c_ppm, share_g_ppm,
+               lift_x100, n_docs
+        FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                ORDER BY lift_x100 DESC, term) AS rank
+              FROM lf)
+        WHERE rank <= 3 ORDER BY cluster, rank"""),
+      desc = "topic clusters: shared k-means cells labeled by top lift terms")
   )
 }

@@ -27,4 +27,23 @@ class MultimodalSpec extends SparkSuite {
         s"doc ${r.doc_id}")
     }
   }
+
+  test("mm_scene_detect: scenes partition all 16 frames contiguously") {
+    val out = SparkEntry.queries("mm_scene_detect")(spark, sf()).cache()
+    // every video's scenes cover exactly its 16 frames
+    val cover = out.groupBy($"doc_id")
+      .agg(sum($"n_frames").as("tot"), min($"start_frame").as("lo"),
+        max($"end_frame").as("hi"))
+    assert(cover.filter($"tot" =!= 16L || $"lo" =!= 0L || $"hi" =!= 15L)
+      .count() === 0)
+    // scene_id k+1 starts right after scene k ends (contiguous runs),
+    // and frame counts match span lengths
+    val broken = out.filter(
+      $"n_frames" =!= $"end_frame" - $"start_frame" + 1L)
+    assert(broken.count() === 0)
+    // scene 0 always starts at frame 0 (first frame is always a cut)
+    assert(out.filter($"scene_id" === 0L && $"start_frame" =!= 0L)
+      .count() === 0)
+    out.unpersist()
+  }
 }

@@ -80,4 +80,19 @@ class VectorsApiSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(api === oracle)
   }
+
+  test("text_topics: 1-3 ranked terms per cluster, lift ordered, lift > 1 distinguishes") {
+    val out = SparkEntry.queries("text_topics")(spark, sf()).cache()
+    val byCluster = out.collect().groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rows.length), s"cluster $c ranks: ${ranks.mkString(",")}")
+      val lifts = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("lift_x100"))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+        s"cluster $c lifts not descending: ${lifts.mkString(",")}")
+    }
+    // a rank-1 label term is over-represented vs the corpus (lift > 1×)
+    assert(out.filter($"rank" === 1 && $"lift_x100" <= 100L).count() === 0)
+    out.unpersist()
+  }
 }
