@@ -1354,6 +1354,40 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("ntok"), col("shard_id"), col("shard_rank"))
   }
 
+  /** Training-export sink — the step after [[shardAssign]] decides
+    * placement: write the corpus as `nShards` token-balanced parquet
+    * shard partitions (`shard_id=K/` directories a dataloader maps to
+    * workers) plus an `_manifest` sidecar (underscore-prefixed, so
+    * table readers skip it) recording per shard: doc count, token
+    * count, and an ORDER-INSENSITIVE id checksum (sum of 56-bit md5
+    * prefixes — commutative, so it is independent of task/partition
+    * write order and lets an ingest job verify a shard without
+    * re-reading the corpus).
+    *
+    * Scale shape: one repartition on shard_id co-locates each shard
+    * into one task's writer (size-balanced BY CONSTRUCTION — the
+    * token cumsum bounds every shard at budget + one doc); the
+    * manifest aggregates the WRITTEN files (what a consumer will
+    * actually see, catching lost writes), nShards rows total.
+    * Returns the manifest frame. */
+  def shardWrite(docs: DataFrame, nShards: Int, path: String): DataFrame = {
+    val asg = shardAssign(docs, nShards)
+    docs.join(asg.select(col("doc_id"), col("ntok"), col("shard_id"),
+        col("shard_rank")), Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    val manifest = docs.sparkSession.read.parquet(path)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+          "1, 14), 16, 10) AS BIGINT)")).as("id_checksum"))
+      .orderBy(col("shard_id"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .json(new java.io.File(path, "_manifest").toString)
+    manifest
+  }
+
   /** The deterministic-global-order token prefix sum shared by
     * [[shardAssign]] and [[packSequences]]: docs in (h, doc_id) order
     * where h = md5-prefix(doc_id), with the EXCLUSIVE cumulative token

@@ -721,6 +721,148 @@ object EventQueries {
         FROM sc ORDER BY user_id"""),
       desc = "RFM 1-5 segmentation via fixed-range div buckets (no global sort)"),
 
+    // ── A/B experiment readout (2×2 contingency + chi-square) ───────
+    // The experiment-analysis frame: users hash-split into two arms
+    // (the stratifiedSample md5 draw — assignment is a pure function
+    // of user_id, reproducible on any engine and any re-run),
+    // conversion = has ≥1 purchase, and the 2×2 independence test as
+    // an integer chi²×100 — N(ad−bc)²·100 div the margin product.
+    // Every count is a user_id-keyed agg (map-side combined); the
+    // arm pivot is a 2-row frame. The integer chi² numerator bounds
+    // N·(n0·n1)² — fine to ~10^6 users; past that the same statistic
+    // computes from per-arm ppm shares (documented, not needed at
+    // driver SF). One row out; ORDER BY is trivially total.
+    "e_ab_test" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+        val arms = e.select($"user_id").distinct()
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        // "conversion" = power purchaser (≥14 purchases — the median
+        // split on this data, where plain any-purchase saturates)
+        val conv = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purch"),
+            sum(round($"value" * 100).cast(LongType)).as("cents"))
+          .filter($"n_purch" >= 14L)
+        val per = arms.join(conv, Seq("user_id"), "left")
+          .groupBy($"arm")
+          .agg(count(lit(1)).as("n_users"),
+            count($"n_purch").as("n_conv"),
+            coalesce(sum($"cents"), lit(0L)).as("sum_cents"))
+        val a0 = per.filter($"arm" === 0L)
+          .select($"n_users".as("n0"), $"n_conv".as("c0"),
+            $"sum_cents".as("cents0"))
+        val a1 = per.filter($"arm" === 1L)
+          .select($"n_users".as("n1"), $"n_conv".as("c1"),
+            $"sum_cents".as("cents1"))
+        a0.crossJoin(a1)
+          .withColumn("ppm0", expr("c0 * 1000000L div n0"))
+          .withColumn("ppm1", expr("c1 * 1000000L div n1"))
+          .withColumn("diff_ppm", $"ppm1" - $"ppm0")
+          // a zero margin (all or none converted) zeroes ad−bc too, so
+          // greatest(…,1) turns the degenerate 0/0 into a clean 0
+          .withColumn("chi2_x100", expr(
+            "(n0 + n1) * (c0 * (n1 - c1) - c1 * (n0 - c0)) " +
+              "* (c0 * (n1 - c1) - c1 * (n0 - c0)) * 100L " +
+              "div greatest(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1), 1L)"))
+          .select($"n0", $"c0", $"ppm0", $"cents0",
+            $"n1", $"c1", $"ppm1", $"cents1",
+            $"diff_ppm", $"chi2_x100")
+          .orderBy($"n0")
+      },
+      oracle = Some("""
+        WITH arms AS (
+          SELECT DISTINCT user_id,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM events),
+        conv AS (
+          SELECT user_id, count(*) AS n_purch,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+          HAVING count(*) >= 14),
+        per AS (
+          SELECT a.arm, count(*) AS n_users, count(c.n_purch) AS n_conv,
+                 CAST(COALESCE(sum(c.cents), 0) AS BIGINT) AS sum_cents
+          FROM arms a LEFT JOIN conv c USING (user_id)
+          GROUP BY a.arm),
+        w AS (
+          SELECT p0.n_users AS n0, p0.n_conv AS c0,
+                 p0.sum_cents AS cents0,
+                 p1.n_users AS n1, p1.n_conv AS c1,
+                 p1.sum_cents AS cents1
+          FROM (SELECT * FROM per WHERE arm = 0) p0
+          CROSS JOIN (SELECT * FROM per WHERE arm = 1) p1)
+        SELECT n0, c0, c0 * 1000000 // n0 AS ppm0, cents0,
+               n1, c1, c1 * 1000000 // n1 AS ppm1, cents1,
+               c1 * 1000000 // n1 - c0 * 1000000 // n0 AS diff_ppm,
+               (n0 + n1) * (c0 * (n1 - c1) - c1 * (n0 - c0))
+                 * (c0 * (n1 - c1) - c1 * (n0 - c0)) * 100
+                 // greatest(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1), 1)
+                 AS chi2_x100
+        FROM w ORDER BY n0"""),
+      desc = "A/B readout: hash arms, conversion ppm, integer chi-square"),
+
+    // ── seasonal-naive forecast backtest (MAE readout) ──────────────
+    // The capacity-planning baseline every metrics team runs first:
+    // forecast tomorrow's volume as last week's same-day (lag-7) and
+    // as yesterday's (lag-1), then backtest both over the observed
+    // days — per stream, the mean absolute error ×100 of each and
+    // which baseline wins. The daily frame is (types × days)-sized at
+    // ANY corpus scale; the lag joins are self-joins on that tiny
+    // frame (join on day−7, not a window lag — day gaps must MISS,
+    // not slide to the previous present day).
+    "e_forecast_baseline" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .select($"event_type",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        val p7 = daily.select($"event_type", ($"day" + 7L).as("day"),
+          $"n".as("pred7"))
+        val p1 = daily.select($"event_type", ($"day" + 1L).as("day"),
+          $"n".as("pred1"))
+        daily.join(p7, Seq("event_type", "day"))
+          .join(p1, Seq("event_type", "day"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs($"n" - $"pred7")).as("abs_err_seasonal"),
+            sum(abs($"n" - $"pred1")).as("abs_err_naive"))
+          .withColumn("mae7_x100",
+            expr("abs_err_seasonal * 100L div n_days"))
+          .withColumn("mae1_x100", expr("abs_err_naive * 100L div n_days"))
+          .withColumn("seasonal_wins",
+            $"abs_err_seasonal" < $"abs_err_naive")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, (epoch_us(ts)//1000000)//86400 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT d.event_type, d.n, p7.n AS pred7, p1.n AS pred1
+          FROM daily d
+          JOIN daily p7 ON p7.event_type = d.event_type
+                       AND p7.day = d.day - 7
+          JOIN daily p1 ON p1.event_type = d.event_type
+                       AND p1.day = d.day - 1),
+        agg AS (
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(abs(n - pred7)) AS BIGINT) AS abs_err_seasonal,
+                 CAST(sum(abs(n - pred1)) AS BIGINT) AS abs_err_naive
+          FROM j GROUP BY 1)
+        SELECT event_type, n_days, abs_err_seasonal, abs_err_naive,
+               abs_err_seasonal * 100 // n_days AS mae7_x100,
+               abs_err_naive * 100 // n_days AS mae1_x100,
+               abs_err_seasonal < abs_err_naive AS seasonal_wins
+        FROM agg ORDER BY event_type"""),
+      desc = "lag-7 vs lag-1 volume forecast backtest with integer MAE"),
+
     // ── Markov transition counts ────────────────────────────────────
     // Per-user event-type transition matrix (the "what happens after
     // X" product question; generalizes the reference's stop-to-stop

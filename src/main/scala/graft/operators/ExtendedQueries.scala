@@ -843,6 +843,85 @@ object ExtendedQueries {
         FROM g4 WHERE dist < 1000000 ORDER BY node_type, key"""),
       desc = "fixed-round multi-source BFS hop distance over the trade graph"),
 
+    // ── weighted shortest path (cheapest trade route in cents) ──────
+    // Graphs.sssp over the weighted trade graph: edge (cust, supp)
+    // costs the MIN extendedprice cents across their linking
+    // lineitems; distances from seed suppliers 0-4 are exact long
+    // cents after 4 Bellman-Ford rounds (paths of ≤ 4 edges carry
+    // their true cost — the bounded-round contract graph_bfs
+    // documents for hops, here generalized to weights). Per round:
+    // one equi-join + map-side-combined min, identical cost shape to
+    // the BFS/PR family.
+    "graph_sssp" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e0 = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(($"o_custkey" * 2L).as("c"),
+            ($"l_suppkey" * 2L + 1L).as("p"))
+          .agg(min(round($"l_extendedprice" * 100).cast(LongType))
+            .as("w"))
+        val edges = e0.select($"c".as("src"), $"p".as("dst"), $"w")
+          .union(e0.select($"p".as("src"), $"c".as("dst"), $"w"))
+        val seeds = t(s, dir, "supplier").filter($"s_suppkey" < 5)
+          .select(($"s_suppkey" * 2L + 1L).as("node"))
+        Graphs.sssp(edges, seeds, rounds = 4)
+          .select(
+            when(expr("node % 2") === 0, lit("c")).otherwise(lit("s"))
+              .as("node_type"),
+            expr("node div 2").as("key"),
+            $"dist".as("dist_cents"))
+          .orderBy($"node_type", $"key")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p,
+                 min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS w
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT c AS src, p AS dst, w FROM e0
+          UNION ALL
+          SELECT p AS src, c AS dst, w FROM e0),
+        seeds AS (
+          SELECT DISTINCT s_suppkey * 2 + 1 AS node
+          FROM supplier WHERE s_suppkey < 5),
+        g0 AS (SELECT n.node,
+                      CASE WHEN s.node IS NOT NULL
+                        THEN 0 ELSE 1000000000000000 END AS dist
+               FROM (SELECT DISTINCT src AS node FROM edges) n
+               LEFT JOIN seeds s ON s.node = n.node),
+        b1 AS (SELECT e.dst AS node, min(r.dist + e.w) AS reach
+               FROM edges e JOIN g0 r ON r.node = e.src GROUP BY 1),
+        g1 AS (SELECT g0.node,
+                      least(g0.dist,
+                        COALESCE(b1.reach, 1000000000000000)) AS dist
+               FROM g0 LEFT JOIN b1 ON b1.node = g0.node),
+        b2 AS (SELECT e.dst AS node, min(r.dist + e.w) AS reach
+               FROM edges e JOIN g1 r ON r.node = e.src GROUP BY 1),
+        g2 AS (SELECT g1.node,
+                      least(g1.dist,
+                        COALESCE(b2.reach, 1000000000000000)) AS dist
+               FROM g1 LEFT JOIN b2 ON b2.node = g1.node),
+        b3 AS (SELECT e.dst AS node, min(r.dist + e.w) AS reach
+               FROM edges e JOIN g2 r ON r.node = e.src GROUP BY 1),
+        g3 AS (SELECT g2.node,
+                      least(g2.dist,
+                        COALESCE(b3.reach, 1000000000000000)) AS dist
+               FROM g2 LEFT JOIN b3 ON b3.node = g2.node),
+        b4 AS (SELECT e.dst AS node, min(r.dist + e.w) AS reach
+               FROM edges e JOIN g3 r ON r.node = e.src GROUP BY 1),
+        g4 AS (SELECT g3.node,
+                      least(g3.dist,
+                        COALESCE(b4.reach, 1000000000000000)) AS dist
+               FROM g3 LEFT JOIN b4 ON b4.node = g3.node)
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+               node // 2 AS key, CAST(dist AS BIGINT) AS dist_cents
+        FROM g4 WHERE dist < 1000000000000000
+        ORDER BY node_type, key"""),
+      desc = "weighted SSSP: cheapest trade-route cents, 4 Bellman-Ford rounds"),
+
     // ── item-item similarity (collaborative filtering neighbors) ────
     // Supplier neighbors by Dice overlap of customer sets:
     // dice_ppm = 2·|A∩B|·1e6 div (|A|+|B|) — pure integers (cosine's

@@ -183,6 +183,55 @@ object Graphs {
     dist.filter(col("dist") < unreached)
   }
 
+  /** Fixed-round weighted single-source shortest path — [[bfs]]'s
+    * min-plus relaxation with an integer edge weight (Bellman-Ford
+    * rounds, the distributed SSSP everyone actually runs: after r
+    * rounds every node whose shortest path uses ≤ r edges carries its
+    * true distance). dist_{i+1}(v) = min(dist_i(v), min over u→v of
+    * dist_i(u) + w(u,v)); weights must be non-negative longs (cents —
+    * never doubles, the determinism contract). The 10^15 sentinel
+    * plays +∞ and cannot overflow under one relaxation (w bounded by
+    * 2^62 − 10^15).
+    *
+    * Per-round plan and cost are exactly [[bfs]]'s: one equi-join of
+    * the materialized weighted edge frame against the node-sized
+    * distance frame, one map-side-combined min, per-round
+    * materialize+drop. `edges0` carries (src, dst, w); returns
+    * (node, dist) for reached nodes. */
+  def sssp(edges0: DataFrame, seeds0: DataFrame,
+           rounds: Int = 4): DataFrame = {
+    val spark = edges0.sparkSession
+    val unreached = 1000000000000000L
+    val edges = graft.Engine.materialize(
+      edges0.select(col("src"), col("dst"), col("w")),
+      key = "src", name = "sssp_edges")
+    val nodes = graft.Engine.materialize(
+      edges.select(col("src").as("node")).distinct()
+        .join(seeds0.select(col("node")).distinct()
+          .withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), 0L).otherwise(unreached).as("d0")),
+      key = "node", name = "sssp_nodes")
+    var dist = nodes.select(col("node"), col("d0").as("dist"))
+    var prevT: Option[String] = None
+    for (i <- 0 until rounds) {
+      val reach = edges
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + col("w")).as("reach"))
+      val (next, nextT) = graft.Engine.materializeTracked(
+        dist.join(reach.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            least(col("dist"),
+              coalesce(col("reach"), lit(unreached))).as("dist")),
+        key = "node", name = s"sssp_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, prevT)
+      dist = next
+      prevT = nextT
+    }
+    dist.filter(col("dist") < unreached)
+  }
+
   /** Fixed-round synchronous label propagation (LPA community
     * detection, Raghavan et al. 2007) over a directed edge frame:
     * every node starts as its own label; each round it adopts the

@@ -702,4 +702,39 @@ class CorpusSpec extends SparkSuite {
         $"b.start_tok" > $"a.start_tok" + $"a.n_toks")
     assert(gaps.count() === 0)
   }
+
+  test("shardWrite: lossless shards, honest manifest, deterministic, prunable") {
+    val corpus = graft.sources.Sources.table(spark, sf(), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("shardw").toString
+    val manifest = Corpus.shardWrite(corpus, nShards = 4, dir).collect()
+    assert(manifest.map(_.getAs[Int]("shard_id")).sorted
+      .sameElements(0 until 4))
+    // lossless: every doc lands in exactly one shard
+    val back = spark.read.parquet(dir)
+    assert(back.count() === corpus.count())
+    assert(back.select($"doc_id").distinct().count() === corpus.count())
+    // manifest matches an independent recompute from the read-back
+    val re = back.groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+        sum(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+          "1, 14), 16, 10) AS BIGINT)")).as("id_checksum"))
+      .collect().map(r => r.getAs[Int]("shard_id") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    manifest.foreach { m =>
+      assert(re(m.getAs[Int]("shard_id")) ===
+        ((m.getAs[Long]("n_docs"), m.getAs[Long]("n_tokens"),
+          m.getAs[Long]("id_checksum"))))
+    }
+    // token balance: every shard within budget + one max doc
+    val budget = manifest.map(_.getAs[Long]("n_tokens")).sum / 4 + 1
+    val maxDoc = back.agg(max($"ntok")).collect().head.getLong(0)
+    assert(manifest.forall(_.getAs[Long]("n_tokens") <= budget + maxDoc))
+    // a dataloader reads ONE shard directory without touching the rest
+    val one = spark.read.parquet(s"$dir/shard_id=2")
+    assert(one.count() ===
+      manifest.find(_.getAs[Int]("shard_id") == 2).get.getAs[Long]("n_docs"))
+    // rewrite is deterministic: same manifest bytes
+    val again = Corpus.shardWrite(corpus, nShards = 4, dir).collect()
+    assert(again.map(_.toSeq).toSeq === manifest.map(_.toSeq).toSeq)
+  }
 }
