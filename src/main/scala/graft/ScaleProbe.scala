@@ -321,6 +321,76 @@ object ScaleProbe {
       },
       "budget_sample" -> (k => Corpus.budgetSample(docFrac(k),
         stratum = col("doc_id") % 4, budget = 20000L)),
+      "bq_search" -> (k => Vectors.bqSearch(embFrac(k),
+        queryFilter = col("id") < 10 * k, k = 5, shortlist = 20)),
+      "pattern_match" -> { k =>
+        // the registered w_pattern_match shape scaled by users:
+        // per-user sorted char sequence + one regex pass
+        Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("es"), col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("es"), col("event_id"),
+                col("event_type")))),
+              x => substring(x.getField("event_type"), 1, 1)), "")
+              .as("seq"))
+          .withColumn("ms",
+            expr("regexp_extract_all(seq, 'v[^e]*c[^e]*p', 0)"))
+          .select(col("user_id"), size(col("ms")).as("n_matches"))
+      },
+      "scene_detect" -> { k =>
+        // the registered mm_scene_detect shape: 16-frame explode,
+        // lag + running-sum windows per doc (bounded state)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        docFrac(k)
+          .withColumn("h", concat(
+            sha2(col("text"), 256), sha2(concat(col("text"), lit("a")), 256),
+            sha2(concat(col("text"), lit("b")), 256),
+            sha2(concat(col("text"), lit("c")), 256)))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, 15),
+              f -> aggregate(transform(sequence(0, 7), i ->
+                     CAST(conv(substr(h, 16 * f + 2 * i + 1, 2), 16, 10)
+                          AS BIGINT)),
+                   0L, (a, v) -> a + v) div 8)"""))
+            .as(Seq("frame_idx", "feat")))
+          .withColumn("prev", lag(col("feat"), 1).over(w))
+          .withColumn("cut",
+            when(col("prev").isNull || abs(col("feat") - col("prev")) > 64L,
+              1L).otherwise(0L))
+          .groupBy(col("doc_id")).agg(sum(col("cut")).as("n_scenes"))
+      },
+      "sssp" -> { k =>
+        // the registered graph_sssp shape scaled by orders: weighted
+        // trade edges, 3 Bellman-Ford rounds
+        val e0 = Sources.table(spark, sfDir, "lineitem")
+          .join(Sources.table(spark, sfDir, "orders")
+              .filter(col("o_orderkey") % k === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2L).as("c"),
+            (col("l_suppkey") * 2L + 1L).as("p"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+        val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("w"))
+          .union(e0.select(col("p").as("src"), col("c").as("dst"), col("w")))
+        graft.operators.Graphs.sssp(edges,
+          spark.range(5).select((col("id") * 2L + 1L).as("node")), rounds = 3)
+      },
+      "topics" -> { k =>
+        // text_topics' volume stage: the kmeans assignment crossJoin
+        // + the token-count aggs (the fit is corpus-fraction-shared)
+        val asg = Vectors.kmeansAssign(embFrac(k), kCells = 8, iters = 2,
+            nprobe = 1)
+          .select(col("id").as("doc_id"), col("cluster"))
+        docFrac(k)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .join(asg, Seq("doc_id"))
+          .groupBy(col("cluster"), col("term"))
+          .agg(count(lit(1)).as("n_ct"))
+      },
       "layout_zorder" -> { k =>
         // the registered fixed-range bucket-stats shape over a
         // lineitem fraction: extent aggs + map-side bucketing + two

@@ -757,7 +757,7 @@ object EventQueries {
         val a1 = per.filter($"arm" === 1L)
           .select($"n_users".as("n1"), $"n_conv".as("c1"),
             $"sum_cents".as("cents1"))
-        a0.crossJoin(a1)
+        a0.crossJoin(broadcast(a1))
           .withColumn("ppm0", expr("c0 * 1000000L div n0"))
           .withColumn("ppm1", expr("c1 * 1000000L div n1"))
           .withColumn("diff_ppm", $"ppm1" - $"ppm0")
