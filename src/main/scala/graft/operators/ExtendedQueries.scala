@@ -26,6 +26,38 @@ object ExtendedQueries {
     * graph_ppr, graph_bfs walk it as an edge list and graph_item_sim
     * decodes it back to (cust, sk) baskets (the encoding is
     * bijective: c is even, p is odd), so all four ride one build. */
+  /** 2-D Pareto skyline (minimize `costCol`, maximize `gainCol`) via
+    * bucket-banded domination — the o_skyline decomposition as a
+    * public API over any frame: fixed-range div buckets on cost keep
+    * every window bucket-partitioned (bounded, shuffle-parallel);
+    * cross-bucket domination reduces to a prefix-max over the 64-row
+    * bucket-stat frame. Equal (cost, gain) duplicates are all kept
+    * (neither strictly dominates). Input columns pass through. */
+  def skyline(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
+    val c = col(costCol); val g = col(gainCol)
+    val ext = df.agg(min(c).as("sk_lo"), max(c).as("sk_hi"))
+    val b = df.crossJoin(broadcast(ext))
+      .withColumn("sk_bucket",
+        expr(s"($costCol - sk_lo) * 64 div (sk_hi - sk_lo + 1)"))
+    val wCheap = Window.partitionBy(col("sk_bucket")).orderBy(c)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("sk_bucket"), c)
+    val local = b
+      .withColumn("sk_cheap_max", max(g).over(wCheap))
+      .withColumn("sk_same_max", max(g).over(wSame))
+    val bm = local.groupBy(col("sk_bucket")).agg(max(g).as("sk_bmax"))
+    val wPrefix = Window.orderBy(col("sk_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pm = bm
+      .withColumn("sk_prev_max", max(col("sk_bmax")).over(wPrefix))
+      .select(col("sk_bucket"), col("sk_prev_max"))
+    local.join(broadcast(pm), Seq("sk_bucket"))
+      .filter(coalesce(col("sk_cheap_max"), lit(Long.MinValue)) < g &&
+        col("sk_same_max") <= g &&
+        coalesce(col("sk_prev_max"), lit(Long.MinValue)) < g)
+      .select(df.columns.map(col): _*)
+  }
+
   private def tradeE0(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val li = t(s, dir, "lineitem")
@@ -215,6 +247,77 @@ object ExtendedQueries {
              EXCEPT ALL SELECT s_nationkey FROM supplier))
         GROUP BY op, nk ORDER BY op, nk"""),
       desc = "O4b bag-semantic intersect/except with multiplicities"),
+
+    // ── Pareto frontier (skyline) via bucket-banded domination ──────
+    // The multi-objective top-k: parts minimizing price while
+    // maximizing size, no part dominated by another (≤ price, ≥ size,
+    // one strict). The naive form is an all-pairs NOT EXISTS; the
+    // distributed decomposition buckets cents by fixed-range div
+    // (layout_zorder pattern) so BOTH windows are bucket-partitioned
+    // (bounded, shuffle-parallel): in-bucket strictly-cheaper RANGE
+    // running max + same-cents max handle local domination, and
+    // cross-bucket domination reduces to a prefix-max over the
+    // 64-row bucket-stat frame (broadcast back — any row in a
+    // strictly lower bucket is strictly cheaper, so bucket max size
+    // decides). The ORACLE deliberately uses the definitional
+    // NOT EXISTS — proving the banded decomposition EQUALS the
+    // definition, not merely replaying it.
+    "o_skyline" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies ExtendedQueries.skyline directly.
+        skyline(
+          t(s, dir, "part")
+            .select($"p_partkey", $"p_size".cast(LongType).as("size"),
+              round($"p_retailprice" * 100).cast(LongType).as("cents")),
+          costCol = "cents", gainCol = "size")
+          .select($"p_partkey", $"cents", $"size")
+          .orderBy($"p_partkey")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part)
+        SELECT p_partkey, cents, size FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p q
+          WHERE q.cents <= a.cents AND q.size >= a.size
+            AND (q.cents < a.cents OR q.size > a.size))
+        ORDER BY p_partkey"""),
+      desc = "Pareto skyline: banded windows + bucket prefix-max vs NOT-EXISTS oracle"),
+
+    // ── k-anonymity risk report (training-data governance) ──────────
+    // The privacy check a corpus release runs beside text_redact:
+    // group sizes over the quasi-identifier tuple (nation, segment,
+    // coarse balance band) — any group smaller than k = 5 is
+    // re-identifiable and a suppression/generalization candidate.
+    // One map-side-combined agg; negative balances band by truncating
+    // div, identical in both engines.
+    "dq_kanon" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .select($"c_nationkey".cast(LongType).as("nation"),
+            $"c_mktsegment".as("segment"),
+            round($"c_acctbal" * 100).cast(LongType).as("bal_cents"))
+          .withColumn("bal_band", expr("bal_cents div 100000"))
+          .groupBy($"nation", $"segment", $"bal_band")
+          .agg(count(lit(1)).as("k_size"))
+          .withColumn("at_risk", $"k_size" < 5L)
+          .orderBy($"nation", $"segment", $"bal_band")
+      },
+      oracle = Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000
+                 AS bal_band,
+               count(*) AS k_size,
+               count(*) < 5 AS at_risk
+        FROM customer
+        GROUP BY 1, 2, 3 ORDER BY nation, segment, bal_band"""),
+      desc = "k-anonymity: quasi-identifier group sizes with k<5 risk flags"),
 
     // ── boolean aggregates: bool_and / bool_or ──────────────────────
     // The ALL/ANY-rows-satisfy rollup (dbt-style assertion queries

@@ -374,6 +374,71 @@ object MultimodalQueries {
                count(*) AS n_frames,
                CAST(sum(feat) AS BIGINT) AS sum_feat
         FROM sc GROUP BY 1, 2 ORDER BY doc_id, scene_id"""),
-      desc = "video scene cuts: frame-feature jumps → run-length scene rollup")
+      desc = "video scene cuts: frame-feature jumps → run-length scene rollup"),
+
+    // ── cross-modal pair alignment (the CLIP-filter seam) ───────────
+    // The image-text pair filtering step (LAION-style curation):
+    // every document's fake image embedding (decoded payload bytes,
+    // centered — REPLACE with a real vision encoder at deploy) is
+    // scored against its OWN text embedding and against a mismatched
+    // hard negative ((doc+7) mod N); a pair survives when the true
+    // dot beats the negative. Integer dots via the codegen'd
+    // long_dot; the negative-partner id comes from a broadcast 1-row
+    // count frame, never a driver collect. Both embedding joins are
+    // doc_id equi-joins — at 100 TB this is two co-partitioned joins
+    // plus pure per-row math.
+    "mm_pair_align" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.LongArrayDot.register(s)
+        val img = withBlob(docs(s, dir)).withColumn("hh", hex($"img"))
+          .select($"doc_id", expr("""transform(sequence(0, 31),
+            i -> CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)
+                 - 128L)""").as("iv"))
+        val txt = Vectors.quantize(Sources.table(s, dir, "embeddings"))
+          .select($"vec_id".as("doc_id"), expr("slice(sv, 1, 32)").as("tv"))
+        val nRow = img.agg(count(lit(1)).as("n_docs"))
+        img.crossJoin(broadcast(nRow))
+          .withColumn("neg_id", ($"doc_id" + 7L) % $"n_docs")
+          .join(txt, Seq("doc_id"))
+          .join(txt.select($"doc_id".as("neg_id"), $"tv".as("nv")),
+            Seq("neg_id"))
+          .withColumn("dot_true", expr("long_dot(iv, tv)"))
+          .withColumn("dot_neg", expr("long_dot(iv, nv)"))
+          .select($"doc_id", $"neg_id", $"dot_true", $"dot_neg",
+            ($"dot_true" - $"dot_neg").as("margin"),
+            ($"dot_true" > $"dot_neg").as("aligned"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH img AS (
+          SELECT doc_id,
+                 list_transform(range(0, 32), i ->
+                   ('0x' || substr(sha256(text), 2 * i + 1, 2))::BIGINT
+                   - 128) AS iv
+          FROM documents),
+        txt AS (
+          SELECT vec_id AS doc_id,
+                 (list_transform(embedding::DOUBLE[],
+                   x -> CAST(round(x * 100000.0) AS BIGINT)))[1:32] AS tv
+          FROM embeddings),
+        n AS (SELECT count(*) AS n_docs FROM img),
+        pr AS (
+          SELECT i.doc_id, (i.doc_id + 7) % n.n_docs AS neg_id, i.iv
+          FROM img i CROSS JOIN n),
+        sc AS (
+          SELECT p.doc_id, p.neg_id,
+                 CAST(list_sum(list_transform(list_zip(p.iv, t.tv),
+                   x -> x[1] * x[2])) AS BIGINT) AS dot_true,
+                 CAST(list_sum(list_transform(list_zip(p.iv, tn.tv),
+                   x -> x[1] * x[2])) AS BIGINT) AS dot_neg
+          FROM pr p
+          JOIN txt t ON t.doc_id = p.doc_id
+          JOIN txt tn ON tn.doc_id = p.neg_id)
+        SELECT doc_id, neg_id, dot_true, dot_neg,
+               dot_true - dot_neg AS margin,
+               dot_true > dot_neg AS aligned
+        FROM sc ORDER BY doc_id"""),
+      desc = "image-text pair alignment filter: true vs hard-negative dot margin")
   )
 }
