@@ -176,6 +176,42 @@ object Corpus extends org.apache.spark.internal.Logging {
         Window.partitionBy(col("band"), col("k1"), col("k2"))))
       .filter(col("bsz") <= bucketCap)
 
+  /** MinHash estimator accuracy eval — the sketch-quality readout the
+    * ann_recall operator gives ANN, applied to the dedup family: for
+    * every LSH candidate pair, the 8-hash signature agreement
+    * (est = matches/8, the unbiased MinHash Jaccard estimator) beside
+    * the EXACT token-set Jaccard in ppm, plus the absolute error.
+    * This is how a pipeline tunes bands/hashes: if err_ppm is wide at
+    * the τ boundary, add hashes before trusting the filter.
+    * Candidates come from the same banded buckets as [[minhashPairs]]
+    * (never all-pairs); the signature frame computes once. */
+  def minhashEstimate(docs: DataFrame, bucketCap: Int = 512): DataFrame = {
+    val sigToks = minhashSigToks(docs)
+    val banded = minhashBanded(sigToks, bucketCap)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("band"), col("k1"), col("k2"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("band"), col("k1"), col("k2"))
+    val cand = a.join(b, Seq("band", "k1", "k2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = sigToks.select(col("doc_id").as("doc_a") +:
+      col("toks").as("toks_a") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sigToks.select(col("doc_id").as("doc_b") +:
+      col("toks").as("toks_b") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("est_x8", (0 until 8).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("jacc_ppm", expr(
+        "CAST(size(array_intersect(toks_a, toks_b)) AS BIGINT) * 1000000L" +
+          " div CAST(size(array_distinct(concat(toks_a, toks_b))) AS BIGINT)"))
+      .withColumn("err_ppm", abs(col("est_x8") * 125000L - col("jacc_ppm")))
+      .select(col("doc_a"), col("doc_b"), col("est_x8"), col("jacc_ppm"),
+        col("err_ppm"))
+  }
+
   /** Exact-Jaccard verification of deduped candidate pairs against the
     * signature frame's token sets. */
   private def minhashVerify(cand: DataFrame, sigToks: DataFrame,

@@ -863,6 +863,44 @@ object EventQueries {
         FROM agg ORDER BY event_type"""),
       desc = "lag-7 vs lag-1 volume forecast backtest with integer MAE"),
 
+    // ── gaps and islands: consecutive-day activity runs ─────────────
+    // The canonical streak operator (subscription/engagement runs —
+    // the grouping e_user_lifecycle's states summarize, here surfaced
+    // as intervals): distinct active days per user, island id =
+    // day − row_number() (constant exactly across a consecutive run),
+    // then min/max/count per island. One user_id exchange; per-user
+    // state is the distinct-day list (the sessionize bound).
+    "w_gaps_islands" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val days = ev(s, dir)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        days.withColumn("grp", $"day" - row_number().over(w))
+          .groupBy($"user_id", $"grp")
+          .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+            count(lit(1)).as("len_days"))
+          .select($"user_id", $"start_day", $"end_day", $"len_days")
+          .orderBy($"user_id", $"start_day")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 (epoch_us(ts)//1000000)//86400 AS day
+          FROM events),
+        g AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                   ORDER BY day) AS grp
+          FROM d)
+        SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+               count(*) AS len_days
+        FROM g GROUP BY user_id, grp
+        ORDER BY user_id, start_day"""),
+      desc = "gaps-and-islands: consecutive-day streak intervals per user"),
+
     // ── Markov transition counts ────────────────────────────────────
     // Per-user event-type transition matrix (the "what happens after
     // X" product question; generalizes the reference's stop-to-stop

@@ -319,6 +319,58 @@ object ExtendedQueries {
         GROUP BY 1, 2, 3 ORDER BY nation, segment, bal_band"""),
       desc = "k-anonymity: quasi-identifier group sizes with k<5 risk flags"),
 
+    // ── negative sampling for recommender/contrastive training ──────
+    // The training-pair generator beside search_hardneg's text form:
+    // per observed (customer, supplier) interaction, 4 deterministic
+    // md5-draw negatives over the item space, REJECTING draws that
+    // collide with ANY of the user's true positives (the standard
+    // rejection step — a "negative" the user actually interacted
+    // with would poison the loss). Draws are pure per-row hashes
+    // (reproducible on any engine/partitioning); the rejection is one
+    // (user, item) equi anti-join against the positives — no RNG, no
+    // driver state, and the item-count is a broadcast 1-row frame.
+    "sample_negative" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val pos = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select($"o_custkey".as("cust"), $"l_suppkey".as("item"))
+          .distinct()
+        val nItems = t(s, dir, "supplier")
+          .agg(countDistinct($"s_suppkey").as("n_items"))
+        val draws = pos.crossJoin(broadcast(nItems))
+          .select($"cust", $"item",
+            explode(expr("sequence(0, 3)")).as("draw_idx"), $"n_items")
+          .withColumn("neg_item", expr(
+            "CAST(conv(substring(md5(concat(CAST(cust AS STRING), ':', " +
+              "CAST(item AS STRING), ':', CAST(draw_idx AS STRING))), " +
+              "1, 8), 16, 10) AS BIGINT) % n_items"))
+        draws.join(pos.select($"cust", $"item".as("neg_item")),
+            Seq("cust", "neg_item"), "left_anti")
+          .select($"cust", $"item".as("pos_item"), $"draw_idx", $"neg_item")
+          .orderBy($"cust", $"pos_item", $"draw_idx")
+      },
+      oracle = Some("""
+        WITH pos AS (
+          SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS item
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        n AS (SELECT count(DISTINCT s_suppkey) AS n_items FROM supplier),
+        draws AS (
+          SELECT p.cust, p.item, d.d AS draw_idx,
+                 ('0x' || substring(md5(CAST(p.cust AS VARCHAR) || ':' ||
+                    CAST(p.item AS VARCHAR) || ':' ||
+                    CAST(d.d AS VARCHAR)), 1, 8))::BIGINT
+                   % n.n_items AS neg_item
+          FROM pos p CROSS JOIN n CROSS JOIN range(0, 4) d(d))
+        SELECT dr.cust, dr.item AS pos_item, dr.draw_idx, dr.neg_item
+        FROM draws dr
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pos q
+          WHERE q.cust = dr.cust AND q.item = dr.neg_item)
+        ORDER BY cust, pos_item, draw_idx"""),
+      desc = "deterministic negative sampling with positive-collision rejection"),
+
     // ── boolean aggregates: bool_and / bool_or ──────────────────────
     // The ALL/ANY-rows-satisfy rollup (dbt-style assertion queries
     // compile to exactly this); map-side combinable like any hash agg.

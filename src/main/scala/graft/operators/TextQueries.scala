@@ -1741,6 +1741,37 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "MinHash+LSH near-dup pairs (band-bucket join, no all-pairs)"),
 
+    // ── MinHash estimator accuracy (sketch-quality eval) ────────────
+    // The dedup counterpart of ann_recall: per LSH candidate pair,
+    // the 8-hash signature agreement (est_x8/8 = the unbiased MinHash
+    // Jaccard estimator) beside the exact token-set Jaccard in ppm,
+    // and the absolute error — the readout that tells a pipeline
+    // whether 8 hashes suffice at its τ boundary before trusting the
+    // filter at 100 TB. Rides the identical signature/band machinery.
+    "dedup_minhash_est" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Corpus.minhashEstimate(docs(s, dir)).orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some(s"""
+        WITH $MINHASH_PAIRS_CTES,
+        mh_est AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(${(0 until 8).map(i =>
+                   s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+                   .mkString(" + ")} AS BIGINT) AS est_x8,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                   * 1000000
+                   // CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                         AS BIGINT) AS jacc_ppm
+          FROM mh_cand c
+          JOIN mh_mh a ON a.doc_id = c.doc_a
+          JOIN mh_mh b ON b.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, est_x8, jacc_ppm,
+               abs(est_x8 * 125000 - jacc_ppm) AS err_ppm
+        FROM mh_est ORDER BY doc_a, doc_b"""),
+      desc = "MinHash estimate vs exact Jaccard per candidate pair + error"),
+
     // ── incremental near-dup detection (daily-ingest shape) ─────────
     // Docs with id ≥ 400 play the "new batch"; pairs are generated
     // only for buckets a new doc touches — the historical×historical
