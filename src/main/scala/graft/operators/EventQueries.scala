@@ -901,6 +901,61 @@ object EventQueries {
         ORDER BY user_id, start_day"""),
       desc = "gaps-and-islands: consecutive-day streak intervals per user"),
 
+    // ── winsorized robust aggregates (outlier-clipped means) ────────
+    // The preprocessing twin of dq_anomaly's detection: per stream,
+    // clip cents at the exact p05/p95 (interpolated percentile — the
+    // a9_quantiles determinism precedent; thresholds ROUND to integer
+    // cents so the clipped sum stays an exact long, never an
+    // order-dependent double sum), report how many rows each side
+    // clipped and the winsorized mean ×100. Two passes over a
+    // map-side-combined frame + a broadcast threshold row per group.
+    "a_winsorize" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir).select($"event_type",
+          round($"value" * 100).cast(LongType).as("cents"))
+        val th = e.groupBy($"event_type")
+          .agg(round(percentile($"cents", lit(0.05))).cast(LongType)
+              .as("lo"),
+            round(percentile($"cents", lit(0.95))).cast(LongType)
+              .as("hi"))
+        e.join(broadcast(th), Seq("event_type"))
+          .withColumn("w",
+            when($"cents" < $"lo", $"lo")
+              .when($"cents" > $"hi", $"hi").otherwise($"cents"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            min($"lo").as("lo_cents"), min($"hi").as("hi_cents"),
+            count(when($"cents" < $"lo", 1)).as("n_clip_lo"),
+            count(when($"cents" > $"hi", 1)).as("n_clip_hi"),
+            sum($"w").as("sum_wins"))
+          .withColumn("mean_wins_x100", expr("sum_wins * 100L div n"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        th AS (
+          SELECT event_type,
+                 CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+                 CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+          FROM e GROUP BY 1),
+        c AS (
+          SELECT e.event_type, e.cents, th.lo, th.hi,
+                 CASE WHEN e.cents < th.lo THEN th.lo
+                      WHEN e.cents > th.hi THEN th.hi
+                      ELSE e.cents END AS w
+          FROM e JOIN th USING (event_type))
+        SELECT event_type, count(*) AS n,
+               min(lo) AS lo_cents, min(hi) AS hi_cents,
+               count(CASE WHEN cents < lo THEN 1 END) AS n_clip_lo,
+               count(CASE WHEN cents > hi THEN 1 END) AS n_clip_hi,
+               CAST(sum(w) AS BIGINT) AS sum_wins,
+               CAST(sum(w) AS BIGINT) * 100 // count(*) AS mean_wins_x100
+        FROM c GROUP BY event_type ORDER BY event_type"""),
+      desc = "winsorized means: p05/p95 integer clipping with clip counts"),
+
     // ── Markov transition counts ────────────────────────────────────
     // Per-user event-type transition matrix (the "what happens after
     // X" product question; generalizes the reference's stop-to-stop

@@ -42,9 +42,13 @@ object ExtendedQueries {
     val wCheap = Window.partitionBy(col("sk_bucket")).orderBy(c)
       .rangeBetween(Window.unboundedPreceding, -1)
     val wSame = Window.partitionBy(col("sk_bucket"), c)
-    val local = b
-      .withColumn("sk_cheap_max", max(g).over(wCheap))
-      .withColumn("sk_same_max", max(g).over(wSame))
+    // both the domination join and the bucket-stat branch read this
+    // frame — materialize once or the scan + windows replay per
+    // consumer (the minhash recompute class)
+    val local = graft.Engine.materialize(
+      b.withColumn("sk_cheap_max", max(g).over(wCheap))
+        .withColumn("sk_same_max", max(g).over(wSame)),
+      key = "sk_bucket", name = "skyline_local")
     val bm = local.groupBy(col("sk_bucket")).agg(max(g).as("sk_bmax"))
     val wPrefix = Window.orderBy(col("sk_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -212,6 +212,84 @@ object SessionQueries {
         ORDER BY a.user_id, a_id, b_id"""),
       desc = "range join via time-bucket banding + residual (no all-pairs)"),
 
+    // ── interval-overlap join: sessions × incident windows ──────────
+    // The interval×interval member beside j_range_bucketed's
+    // point-proximity form (the Flink interval-join / "which sessions
+    // ran during an incident" ops question): user sessions (the
+    // sessionize chain) against global error-incident windows
+    // (10-min buckets holding ≥ 2 errors). A session explodes into
+    // the 600-s buckets its span covers — bounded by duration/600+1,
+    // never all-pairs — and equi-joins incidents on the bucket; the
+    // residual overlap predicate stays as the operator's documented
+    // guard. The ORACLE joins on the definitional a_lo ≤ b_hi AND
+    // b_lo ≤ a_hi — banding must EQUAL the definition.
+    "j_interval_overlap" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+        val sess = ev(s, dir)
+          .withColumn("es", unix_timestamp($"ts"))
+          .withColumn("gap", $"es" - lag($"es", 1).over(w))
+          .withColumn("new_sess",
+            when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+          .withColumn("sess_id", sum($"new_sess").over(cum))
+          .groupBy($"user_id", $"sess_id")
+          .agg(min($"es").as("a_lo"), max($"es").as("a_hi"))
+        val inc = ev(s, dir)
+          .filter($"event_type" === "error")
+          .select((unix_timestamp($"ts") / 600L).cast(LongType).as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n_errors"))
+          .filter($"n_errors" >= 2L)
+          .select($"bucket", ($"bucket" * 600L).as("b_lo"),
+            ($"bucket" * 600L + 599L).as("b_hi"), $"n_errors")
+        sess
+          .select($"user_id", $"sess_id", $"a_lo", $"a_hi",
+            explode(sequence(expr("a_lo div 600"), expr("a_hi div 600")))
+              .as("bucket"))
+          .join(inc, Seq("bucket"))
+          .filter($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+          .select($"user_id", $"sess_id", $"a_lo", $"a_hi",
+            $"b_lo", $"n_errors",
+            (least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo"))
+              .as("overlap_s"))
+          .orderBy($"user_id", $"sess_id", $"b_lo")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(ts)//1000000 AS es
+          FROM events),
+        g AS (
+          SELECT *, es - lag(es) OVER
+            (PARTITION BY user_id ORDER BY es, event_id) AS gap
+          FROM e),
+        f AS (
+          SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+            AS new_sess FROM g),
+        sx AS (
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+            ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sess_id
+          FROM f),
+        sess AS (
+          SELECT user_id, sess_id, min(es) AS a_lo, max(es) AS a_hi
+          FROM sx GROUP BY 1, 2),
+        inc AS (
+          SELECT es // 600 AS bucket, count(*) AS n_errors
+          FROM e WHERE event_type = 'error'
+          GROUP BY 1 HAVING count(*) >= 2)
+        SELECT s.user_id, s.sess_id, s.a_lo, s.a_hi,
+               i.bucket * 600 AS b_lo, i.n_errors,
+               least(s.a_hi, i.bucket * 600 + 599)
+                 - greatest(s.a_lo, i.bucket * 600) AS overlap_s
+        FROM sess s JOIN inc i
+          ON s.a_lo <= i.bucket * 600 + 599
+         AND i.bucket * 600 <= s.a_hi
+        ORDER BY user_id, sess_id, b_lo"""),
+      desc = "interval-overlap join: banded session×incident vs definitional oracle"),
+
     // ── approximate aggregates: the explicit 100 TB swap-ins ────────
     // Approx sketch VALUES differ between engines by design (SURVEY
     // A9), so they are never hash-compared. Instead the query emits,

@@ -306,6 +306,42 @@ class PlanAuditSpec extends SparkSuite {
       s"layout_zorder must bucket by fixed key ranges, not a window:\n$p")
   }
 
+  test("e_rfm scores by fixed-range div buckets, never a Window") {
+    // the textbook RFM uses ntile(5) — a single-partition global
+    // sort per dimension. The div-bucket form must plan NO Window
+    // node; the extent is a broadcast 1-row frame.
+    val p = plan(SparkEntry.queries("e_rfm")(spark, sf()))
+    assert(!p.contains("Window"),
+      s"e_rfm must bucket by fixed ranges, not a window:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"extent row should broadcast:\n$p")
+  }
+
+  test("o_skyline's only single-partition work is metadata-scale") {
+    // the data-side windows are bucket-partitioned (shuffle-
+    // parallel); the allowed SinglePartition exchanges are the 1-row
+    // extent agg and the prefix-max over ≤64 bucket stats — both
+    // metadata scale. The materialized local frame keeps the data
+    // scan + windows from replaying per consumer.
+    val df = SparkEntry.queries("o_skyline")(spark, sf())
+    val p = plan(df)
+    val n = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(n <= 2, s"o_skyline has $n single-partition exchanges:\n$p")
+  }
+
+  test("graph_sssp relaxes through keyed equi-joins only") {
+    // every per-round reach join must be EQUI-keyed on src/node — at
+    // sf0.001 the tiny frames legitimately take size-based broadcast
+    // HASH joins (at scale the same equi-joins sort-merge); the
+    // structural defects to exclude are all-pairs and nested-loop
+    // shapes, which no statistics can save.
+    val p = plan(SparkEntry.queries("graph_sssp")(spark, sf()))
+    assert(!p.contains("CartesianProduct"), s"sssp went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"sssp planned a nested-loop join:\n$p")
+  }
+
   test("long_dot participates in whole-stage codegen") {
     graft.functions.LongArrayDot.register(spark)
     val df = Sources.table(spark, sf(), "lineitem")
