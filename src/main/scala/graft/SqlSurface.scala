@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * runs the eager materialize step at registration time. That is why
   * [[register]] takes an explicit name list and [[registerAll]] is a
   * separate, documented-as-expensive call, rather than sources
-  * defaulting to all 167.
+  * defaulting to the full catalog.
   */
 object SqlSurface {
 

@@ -1447,6 +1447,90 @@ object ExtendedQueries {
                (max_p < 400 OR min_p > 499) AS skip_part,
                (max_s < 20 OR min_s > 39) AS skip_supp
         FROM st ORDER BY layout, bucket"""),
-      desc = "Morton/Z-order clustering stats vs natural layout + skip verdicts")
+      desc = "Morton/Z-order clustering stats vs natural layout + skip verdicts"),
+
+    // ── Hilbert-curve clustering vs Z-order (curve quality A/B) ─────
+    // Same fixed-range bucket-stat harness as layout_zorder, but
+    // comparing the two CURVES on identical data and scaling: the
+    // Hilbert walk has no diagonal jumps, so its buckets span tighter
+    // per-dimension extents and skip more footers (PERF.md records
+    // the measured skip-rate delta). Both keys mint from the same
+    // scaled dimensions; the oracle replays the Morton interleave
+    // inline and the Hilbert walk as 16 unrolled CTE levels
+    // (Layout.hilbertSqlDuckCtes — level-for-level with the Spark
+    // column unroll).
+    "layout_hilbert" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        val hz = Layout.withHilbertKey(
+          Layout.withMortonKey(li, $"l_partkey", $"l_suppkey", 16,
+            keyCol = "zkey"),
+          $"l_partkey", $"l_suppkey", 16, keyCol = "hkey")
+        val ext = hz.agg(
+          min($"hkey").as("h_lo"), max($"hkey").as("h_hi"),
+          min($"zkey").as("z_lo"), max($"zkey").as("z_hi"))
+        val b = hz.crossJoin(broadcast(ext))
+          .withColumn("bucket_h",
+            expr("((hkey - h_lo) * 64) div (h_hi - h_lo + 1) + 1"))
+          .withColumn("bucket_z",
+            expr("((zkey - z_lo) * 64) div (z_hi - z_lo + 1) + 1"))
+        def stats(tag: String, bucketCol: String) = b
+          .groupBy(col(bucketCol).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+            min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"))
+          .withColumn("layout", lit(tag))
+        stats("hilbert", "bucket_h")
+          .union(stats("zorder", "bucket_z"))
+          .select($"layout", $"bucket", $"n", $"min_p", $"max_p",
+            $"min_s", $"max_s",
+            ($"max_p" < 400 || $"min_p" > 499).as("skip_part"),
+            ($"max_s" < 20 || $"min_s" > 39).as("skip_supp"))
+          .orderBy($"layout", $"bucket")
+      },
+      oracle = Some(s"""
+        WITH ext AS (
+          SELECT min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+                 min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
+          FROM lineitem),
+        sc AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 ${Layout.scaleDimSqlDuck("l_partkey", "p_lo", "p_hi", 16)}
+                   AS hx,
+                 ${Layout.scaleDimSqlDuck("l_suppkey", "s_lo", "s_hi", 16)}
+                   AS hy
+          FROM lineitem, ext),
+        scz AS (
+          SELECT *, ${Layout.mortonSqlDuck("hx", "hy", 16)} AS zkey
+          FROM sc),
+        ${Layout.hilbertSqlDuckCtes("scz", 16,
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "zkey"))},
+        kx AS (
+          SELECT min(hd) AS h_lo, max(hd) AS h_hi,
+                 min(zkey) AS z_lo, max(zkey) AS z_hi
+          FROM hil_16),
+        bk AS (
+          SELECT h.*,
+                 ((hd - h_lo) * 64) // (h_hi - h_lo + 1) + 1 AS bucket_h,
+                 ((zkey - z_lo) * 64) // (z_hi - z_lo + 1) + 1 AS bucket_z
+          FROM hil_16 h, kx),
+        st AS (
+          SELECT 'hilbert' AS layout, bucket_h AS bucket, count(*) AS n,
+                 min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                 min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+          FROM bk GROUP BY bucket_h
+          UNION ALL
+          SELECT 'zorder' AS layout, bucket_z AS bucket, count(*) AS n,
+                 min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                 min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+          FROM bk GROUP BY bucket_z)
+        SELECT layout, bucket, n, min_p, max_p, min_s, max_s,
+               (max_p < 400 OR min_p > 499) AS skip_part,
+               (max_s < 20 OR min_s > 39) AS skip_supp
+        FROM st ORDER BY layout, bucket"""),
+      desc = "Hilbert vs Z-order curve A/B: bucket extents + footer-skip verdicts")
   )
 }

@@ -128,6 +128,100 @@ object Layout {
       .drop("_x_lo", "_x_hi", "_y_lo", "_y_hi")
   }
 
+  /** Hilbert key: map scaled (x, y) onto the `bits`-level Hilbert
+    * curve (the canonical xy2d rotate/flip walk). The per-level state
+    * update is SEQUENTIAL, so it unrolls into `bits` chained column
+    * triples — each level a small projection over the previous
+    * level's materialized columns (linear expression size, whole-
+    * stage codegen; Catalyst keeps the projections separate because
+    * each level's outputs are multiply-referenced). The DuckDB twin
+    * unrolls the same walk as chained CTEs ([[hilbertSqlDuckCtes]]):
+    * a lambda fold was NOT usable — DuckDB 1.0's list_reduce
+    * mis-evaluates struct-accumulator folds under vectorization
+    * (verified: 16 of 64 grid points wrong in a full scan, correct
+    * when evaluated row-at-a-time), so both engines run the loop-free
+    * form, expression-for-expression.
+    *
+    * Hilbert vs Morton: both near-sqrt-prune each dimension, but the
+    * Hilbert walk has no diagonal jumps — consecutive keys are always
+    * grid-adjacent (LayoutSpec pins the adjacency bijection on a full
+    * grid), so equal-width key ranges span tighter per-dimension
+    * extents and skip more footers on the same data. */
+  def withHilbertKey(df: DataFrame, x: Column, y: Column, bits: Int,
+                     keyCol: String = "_hkey"): DataFrame = {
+    require(bits >= 1 && bits <= 26,
+      s"bits must be in 1..26 (4^bits stays a positive long), got $bits")
+    val lim = maxExactExtent(bits)
+    def checked(lo: Column, hi: Column): Column =
+      when(coalesce(hi - lo <= lim, lit(true)), lo)
+        .otherwise(raise_error(lit(
+          s"hilbert: dimension extent exceeds the exactness contract " +
+            s"(hi-lo)*(2^bits-1) < 2^53 at bits=$bits; lower bits")))
+    val ext = df.agg(
+        min(x).as("_xl"), max(x).as("_xh"),
+        min(y).as("_yl"), max(y).as("_yh"))
+      .select(
+        checked(col("_xl"), col("_xh")).as("_x_lo"),
+        col("_xh").as("_x_hi"),
+        checked(col("_yl"), col("_yh")).as("_y_lo"),
+        col("_yh").as("_y_hi"))
+    val n1 = (1L << bits) - 1
+    var out = df.crossJoin(broadcast(ext))
+      .withColumn("_hx", scaleDim(x, col("_x_lo"), col("_x_hi"), bits))
+      .withColumn("_hy", scaleDim(y, col("_y_lo"), col("_y_hi"), bits))
+      .withColumn("_hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = col("_hx").bitwiseAND(lit(s)) > 0
+      val ry = col("_hy").bitwiseAND(lit(s)) > 0
+      out = out
+        .withColumn("_hd2", col("_hd") + lit(s * s) *
+          when(rx, 3L).otherwise(0L).bitwiseXOR(when(ry, 1L).otherwise(0L)))
+        .withColumn("_hx2",
+          when(!ry, when(rx, lit(n1) - col("_hy")).otherwise(col("_hy")))
+            .otherwise(col("_hx")))
+        .withColumn("_hy2",
+          when(!ry, when(rx, lit(n1) - col("_hx")).otherwise(col("_hx")))
+            .otherwise(col("_hy")))
+        .withColumn("_hx", col("_hx2")).withColumn("_hy", col("_hy2"))
+        .withColumn("_hd", col("_hd2"))
+        .drop("_hx2", "_hy2", "_hd2")
+    }
+    out.withColumn(keyCol, col("_hd"))
+      .drop("_hx", "_hy", "_hd", "_x_lo", "_x_hi", "_y_lo", "_y_hi")
+  }
+
+  /** The Hilbert walk as DuckDB CTE text (oracle twin of
+    * [[withHilbertKey]]'s unroll — keep level-for-level in sync):
+    * starts from `$from` (which must expose columns `hx`, `hy` as the
+    * SCALED dimensions plus any carry columns named in `carry`), emits
+    * chained CTEs `hil_0 .. hil_$bits`, where `hil_$bits` carries the
+    * final key as `hd`. */
+  def hilbertSqlDuckCtes(from: String, bits: Int,
+                         carry: Seq[String]): String = {
+    val n1 = (1L << bits) - 1
+    val cols = carry.mkString(", ")
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, r) =>
+      val s = 1L << i
+      s"""
+        hil_${r + 1} AS (
+          SELECT $cols,
+            CASE WHEN (hy & $s) = 0 THEN
+              CASE WHEN (hx & $s) > 0 THEN $n1 - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN (hy & $s) = 0 THEN
+              CASE WHEN (hx & $s) > 0 THEN $n1 - hx ELSE hx END
+            ELSE hy END AS hy,
+            hd + ${s * s}::BIGINT
+              * xor(CASE WHEN (hx & $s) > 0 THEN 3 ELSE 0 END,
+                    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd
+          FROM hil_$r)"""
+    }.mkString(",")
+    s"""
+        hil_0 AS (
+          SELECT $cols, hx, hy, 0::BIGINT AS hd FROM $from),$steps"""
+  }
+
   /** Z-order clustered write: range-partition on the normalized
     * Morton key (the cluster analog of the fixed-range buckets the
     * registered query uses for its bounded oracle), sort within each

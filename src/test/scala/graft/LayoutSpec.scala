@@ -257,4 +257,36 @@ class LayoutSpec extends SparkSuite {
     assert(touched.toDouble / stats.length <= 0.5,
       s"post-compaction pruning lost: $touched/${stats.length}")
   }
+
+  test("hilbert key is an adjacency-preserving bijection on the full grid") {
+    // bits=3 over the complete 8×8 grid (extent 0..7 makes scaleDim
+    // the identity): the walk must visit every cell exactly once
+    // (bijection onto 0..63) and every consecutive key pair must be
+    // GRID-ADJACENT (Manhattan distance 1) — the defining Hilbert
+    // property Morton lacks, and the one any transcription error in
+    // the 16-level unroll breaks immediately.
+    val grid = spark.range(64).select(
+      (col("id") / 8).cast("long").as("x"),
+      (col("id") % 8).cast("long").as("y"))
+    val keyed = graft.operators.Layout
+      .withHilbertKey(grid, col("x"), col("y"), bits = 3, keyCol = "hk")
+      .select(col("hk"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(keyed.map(_._1).toSeq === (0L until 64L).toSeq, "not a bijection")
+    keyed.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // Morton on the same grid DOES jump (the property is discriminating,
+    // not vacuous): at least one consecutive Morton pair is non-adjacent
+    val mort = graft.operators.Layout
+      .withMortonKey(grid, col("x"), col("y"), bits = 3, keyCol = "zk")
+      .select(col("zk"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val zJumps = mort.sliding(2).count { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1L }
+    assert(zJumps > 0, "expected Morton diagonal jumps on the grid")
+  }
 }
