@@ -956,6 +956,80 @@ object EventQueries {
         FROM c GROUP BY event_type ORDER BY event_type"""),
       desc = "winsorized means: p05/p95 integer clipping with clip counts"),
 
+    // ── cohorted-LTV triangle (the revenue face of e_retention) ─────
+    // Per signup cohort (first-seen day, assigned by the SAME
+    // unbounded min-window-over-user_id shape the e_retention fix
+    // mandates — no users-sized broadcast), purchase revenue by
+    // cohort age, the running cumulative, and LTV-per-user ×100.
+    // The (cohort × age) frame is tiny at any corpus scale, so the
+    // cumulative window partitioned by cohort is bounded; cohort
+    // sizes come from a second agg on the per-user frame joined on
+    // the cohort key.
+    "e_ltv_cohorts" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val wAll = Window.partitionBy($"user_id")
+        val e = ev(s, dir)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast(LongType)).otherwise(0L)
+              .as("cents"))
+          .withColumn("cohort_day", min($"day").over(wAll))
+        // sum and distinct-count run as SEPARATE passes joined on the
+        // tiny (cohort, age) key — one agg mixing them would Expand
+        // every event row ×2 through the shuffle (the CLAUDE.md
+        // sketch-mixing rule's plain-aggregate form)
+        val rev = e.groupBy($"cohort_day", ($"day" - $"cohort_day").as("age"))
+          .agg(sum($"cents").as("rev_cents"))
+        val act = e.select($"cohort_day", ($"day" - $"cohort_day").as("age"),
+            $"user_id").distinct()
+          .groupBy($"cohort_day", $"age")
+          .agg(count(lit(1)).as("n_active"))
+        val tri = rev.join(act, Seq("cohort_day", "age"))
+        val sizes = e.select($"user_id", $"cohort_day").distinct()
+          .groupBy($"cohort_day").agg(count(lit(1)).as("cohort_users"))
+        val wCum = Window.partitionBy($"cohort_day").orderBy($"age")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tri.join(broadcast(sizes), Seq("cohort_day"))
+          .withColumn("cum_cents", sum($"rev_cents").over(wCum))
+          .withColumn("ltv_x100", expr("cum_cents * 100L div cohort_users"))
+          .select($"cohort_day", $"age", $"rev_cents", $"n_active",
+            $"cum_cents", $"cohort_users", $"ltv_x100")
+          .orderBy($"cohort_day", $"age")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, (epoch_us(ts)//1000000)//86400 AS day,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value*100) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events),
+        c AS (
+          SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+          FROM e),
+        tri AS (
+          SELECT cohort_day, day - cohort_day AS age,
+                 CAST(sum(cents) AS BIGINT) AS rev_cents,
+                 count(DISTINCT user_id) AS n_active
+          FROM c GROUP BY 1, 2),
+        sizes AS (
+          SELECT cohort_day, count(*) AS cohort_users FROM (
+            SELECT DISTINCT user_id, cohort_day FROM c)
+          GROUP BY 1),
+        cum AS (
+          SELECT t.*, s.cohort_users,
+                 CAST(sum(t.rev_cents) OVER (PARTITION BY t.cohort_day
+                   ORDER BY t.age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cents
+          FROM tri t JOIN sizes s USING (cohort_day))
+        SELECT cohort_day, age, rev_cents, n_active, cum_cents,
+               cohort_users,
+               cum_cents * 100 // cohort_users AS ltv_x100
+        FROM cum ORDER BY cohort_day, age"""),
+      desc = "cohort LTV triangle: revenue by age + cumulative per-user value"),
+
     // ── Markov transition counts ────────────────────────────────────
     // Per-user event-type transition matrix (the "what happens after
     // X" product question; generalizes the reference's stop-to-stop
