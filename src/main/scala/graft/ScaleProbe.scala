@@ -3,6 +3,7 @@ package graft
 import graft.operators.{Corpus, Vectors}
 import graft.sources.Sources
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scaling-curve probe for the pair-generating operators (the ones
@@ -379,6 +380,65 @@ object ScaleProbe {
         graft.operators.Graphs.sssp(edges,
           spark.range(5).select((col("id") * 2L + 1L).as("node")), rounds = 3)
       },
+      "skyline" -> { k =>
+        // the o_skyline decomposition over a lineitem fraction:
+        // bucket-partitioned windows + 64-row prefix stats
+        graft.operators.ExtendedQueries.skyline(
+          Sources.table(spark, sfDir, "lineitem")
+            .filter(col("l_orderkey") % k === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey").as("cost"), col("l_suppkey").as("gain")),
+          costCol = "cost", gainCol = "gain")
+      },
+      "interval_overlap" -> { k =>
+        // the registered j_interval_overlap shape scaled by users
+        val e = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .withColumn("es", unix_timestamp(col("ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("es"), col("event_id"))
+        val sess = e
+          .withColumn("gap", col("es") - lag(col("es"), 1).over(w))
+          .withColumn("ns",
+            when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("es")).as("a_lo"), max(col("es")).as("a_hi"))
+        val inc = e.filter(col("event_type") === "error")
+          .select((col("es") / 600L).cast("long").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 2L)
+        sess.select(col("user_id"), col("sid"), col("a_lo"), col("a_hi"),
+            explode(sequence(expr("a_lo div 600"), expr("a_hi div 600")))
+              .as("bucket"))
+          .join(inc, Seq("bucket"))
+      },
+      "negative_sample" -> { k =>
+        // the registered sample_negative shape scaled by customers
+        val pos = Sources.table(spark, sfDir, "lineitem")
+          .join(Sources.table(spark, sfDir, "orders")
+              .filter(col("o_custkey") % k === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
+          .distinct()
+        val n = Sources.table(spark, sfDir, "supplier")
+          .agg(countDistinct(col("s_suppkey")).as("n_items"))
+        pos.crossJoin(broadcast(n))
+          .select(col("cust"), col("item"),
+            explode(expr("sequence(0, 3)")).as("di"), col("n_items"))
+          .withColumn("neg", expr(
+            "CAST(conv(substring(md5(concat(CAST(cust AS STRING), ':', " +
+              "CAST(item AS STRING), ':', CAST(di AS STRING))), 1, 8), " +
+              "16, 10) AS BIGINT) % n_items"))
+          .join(pos.select(col("cust"), col("item").as("neg")),
+            Seq("cust", "neg"), "left_anti")
+      },
+      "hilbert_key" -> (k => graft.operators.Layout.withHilbertKey(
+        Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        col("l_partkey"), col("l_suppkey"), 16)),
       "topics" -> { k =>
         // text_topics' volume stage: the kmeans assignment crossJoin
         // + the token-count aggs (the fit is corpus-fraction-shared)
