@@ -165,30 +165,21 @@ object Layout {
         col("_xh").as("_x_hi"),
         checked(col("_yl"), col("_yh")).as("_y_lo"),
         col("_yh").as("_y_hi"))
-    val n1 = (1L << bits) - 1
-    var out = df.crossJoin(broadcast(ext))
-      .withColumn("_hx", scaleDim(x, col("_x_lo"), col("_x_hi"), bits))
-      .withColumn("_hy", scaleDim(y, col("_y_lo"), col("_y_hi"), bits))
-      .withColumn("_hd", lit(0L))
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      val rx = col("_hx").bitwiseAND(lit(s)) > 0
-      val ry = col("_hy").bitwiseAND(lit(s)) > 0
-      out = out
-        .withColumn("_hd2", col("_hd") + lit(s * s) *
-          when(rx, 3L).otherwise(0L).bitwiseXOR(when(ry, 1L).otherwise(0L)))
-        .withColumn("_hx2",
-          when(!ry, when(rx, lit(n1) - col("_hy")).otherwise(col("_hy")))
-            .otherwise(col("_hx")))
-        .withColumn("_hy2",
-          when(!ry, when(rx, lit(n1) - col("_hx")).otherwise(col("_hx")))
-            .otherwise(col("_hy")))
-        .withColumn("_hx", col("_hx2")).withColumn("_hy", col("_hy2"))
-        .withColumn("_hd", col("_hd2"))
-        .drop("_hx2", "_hy2", "_hd2")
-    }
-    out.withColumn(keyCol, col("_hd"))
-      .drop("_hx", "_hy", "_hd", "_x_lo", "_x_hi", "_y_lo", "_y_hi")
+    // the walk itself runs as the native codegen'd
+    // [[graft.functions.HilbertD]] expression — a 16-iteration
+    // primitive loop. Chained column formulations (one Project per
+    // level, CASE or branchless) stack ~100 expression nodes into a
+    // generated method past the JVM JIT's 8 KB compile limit and run
+    // as interpreted bytecode: measured 5–13 s vs scan-speed for
+    // 600k rows at local[32].
+    graft.functions.HilbertD.register(df.sparkSession)
+    val carry = df.columns
+    df.crossJoin(broadcast(ext)).select(
+      carry.map(col) :+
+        scaleDim(x, col("_x_lo"), col("_x_hi"), bits).as("_hsx") :+
+        scaleDim(y, col("_y_lo"), col("_y_hi"), bits).as("_hsy"): _*)
+      .select(carry.map(col) :+
+        expr(s"hilbert_d(_hsx, _hsy, $bits)").as(keyCol): _*)
   }
 
   /** The Hilbert walk as DuckDB CTE text (oracle twin of
@@ -203,18 +194,19 @@ object Layout {
     val cols = carry.mkString(", ")
     val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, r) =>
       val s = 1L << i
+      // branchless twin of the Spark side: rx/ry as 0/1, flip/swap
+      // as weighted sums — keep arithmetic-for-arithmetic in sync
       s"""
         hil_${r + 1} AS (
           SELECT $cols,
-            CASE WHEN (hy & $s) = 0 THEN
-              CASE WHEN (hx & $s) > 0 THEN $n1 - hy ELSE hy END
-            ELSE hx END AS hx,
-            CASE WHEN (hy & $s) = 0 THEN
-              CASE WHEN (hx & $s) > 0 THEN $n1 - hx ELSE hx END
-            ELSE hy END AS hy,
+            ((hy >> $i) & 1) * hx + (1 - ((hy >> $i) & 1)) *
+              (((hx >> $i) & 1) * ($n1 - hy)
+               + (1 - ((hx >> $i) & 1)) * hy) AS hx,
+            ((hy >> $i) & 1) * hy + (1 - ((hy >> $i) & 1)) *
+              (((hx >> $i) & 1) * ($n1 - hx)
+               + (1 - ((hx >> $i) & 1)) * hx) AS hy,
             hd + ${s * s}::BIGINT
-              * xor(CASE WHEN (hx & $s) > 0 THEN 3 ELSE 0 END,
-                    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd
+              * xor(((hx >> $i) & 1) * 3, (hy >> $i) & 1) AS hd
           FROM hil_$r)"""
     }.mkString(",")
     s"""

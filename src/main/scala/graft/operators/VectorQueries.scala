@@ -1194,6 +1194,45 @@ object VectorQueries {
                 ORDER BY lift_x100 DESC, term) AS rank
               FROM lf)
         WHERE rank <= 3 ORDER BY cluster, rank"""),
-      desc = "topic clusters: shared k-means cells labeled by top lift terms")
+      desc = "topic clusters: shared k-means cells labeled by top lift terms"),
+
+    // ── embedding OOD filter (distance-to-centroid outliers) ────────
+    // The embedding-space quality gate (the SemDeDup-family "drop the
+    // stragglers" step): every vector's centrality = exact quantized
+    // cosine to its assigned k-means centroid, riding the SAME
+    // materializeShared assignment frame as ivf_kmeans/text_topics —
+    // one fit per session serves four consumers. A vector below the
+    // fixed τ = 0.2 sits far from every mode of the space and is
+    // flagged out-of-distribution (embedding glitches, empty inputs,
+    // wrong-modality rows). Pure per-row math after the shared
+    // assignment.
+    "vector_ood" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Vectors.kmeansAssign(emb(s, dir).withColumn("id", $"vec_id"),
+            kCells = 8, iters = 3, nprobe = 1)
+          .select($"id".as("vec_id"), $"cluster",
+            $"score".as("centrality"), ($"score" < 0.2).as("is_ood"))
+          .orderBy($"vec_id")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        asgf AS (
+          SELECT vec_id, cluster_id AS cluster, score FROM (
+            SELECT b.vec_id, c.cluster_id,
+              CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE))
+                AS score,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1)
+        SELECT vec_id, cluster, score AS centrality,
+               score < 0.2 AS is_ood
+        FROM asgf ORDER BY vec_id"""),
+      desc = "embedding OOD flags: centroid centrality below fixed tau")
   )
 }
