@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongArrayDot, Md5PrefixLong, TopKMin}
+import graft.functions.{HilbertD, LongArrayDot, Md5PrefixLong, TopKMin}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -27,7 +27,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    portable-hash idiom without per-value hex strings), same
   *    standing registration;
   *  - `topk_min` — the bounded-heap top-k-per-group
-  *    TypedImperativeAggregate (functions/TopKAgg.scala).
+  *    TypedImperativeAggregate (functions/TopKAgg.scala);
+  *  - `hilbert_d` — the codegen'd Hilbert-curve index (the
+  *    clustered-layout key; functions/HilbertD.scala).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -49,5 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKMin].getName, "topk_min"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKMin(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_d"),
+      new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) =>
+            HilbertD(exprs(0), exprs(1), v)
+          case other => throw new IllegalArgumentException(
+            s"hilbert_d: bits must be an integer literal, got $other")
+        }))
   }
 }

@@ -323,6 +323,55 @@ object ExtendedQueries {
         GROUP BY 1, 2, 3 ORDER BY nation, segment, bal_band"""),
       desc = "k-anonymity: quasi-identifier group sizes with k<5 risk flags"),
 
+    // ── Benford first-digit conformance (dq / fraud screen) ─────────
+    // The first-significant-digit law check auditors run on value
+    // columns spanning orders of magnitude: observed ppm share per
+    // leading digit of extendedprice cents vs Benford's log10(1+1/d)
+    // expectation — the expectations enter as INTEGER ppm constants
+    // (no in-engine log, which would never hash-match), deviation in
+    // ppm per digit. One map-side-combined 9-group agg; fabricated or
+    // truncated ledgers jump out as triple-digit dev_ppm.
+    "dq_benford" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val expCol = exp.zipWithIndex
+          .foldLeft(lit(0L)) { case (acc, (p, i)) =>
+            when($"digit" === (i + 1).toLong, p).otherwise(acc) }
+        val d = t(s, dir, "lineitem")
+          .select(round($"l_extendedprice" * 100).cast(LongType)
+            .as("cents"))
+          .select(substring($"cents".cast("string"), 1, 1)
+            .cast(LongType).as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum($"n").as("total"))
+        d.crossJoin(broadcast(tot))
+          .withColumn("obs_ppm", expr("n * 1000000L div total"))
+          .withColumn("exp_ppm", expCol)
+          .withColumn("dev_ppm", abs($"obs_ppm" - $"exp_ppm"))
+          .select($"digit", $"n", $"obs_ppm", $"exp_ppm", $"dev_ppm")
+          .orderBy($"digit")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM lineitem),
+        g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        e AS (
+          SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+            (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+            (8, 51153), (9, 45757)) v(digit, exp_ppm))
+        SELECT g.digit, g.n,
+               g.n * 1000000 // tot.total AS obs_ppm,
+               CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+               abs(g.n * 1000000 // tot.total - e.exp_ppm) AS dev_ppm
+        FROM g CROSS JOIN tot JOIN e ON e.digit = g.digit
+        ORDER BY g.digit"""),
+      desc = "Benford first-digit ppm conformance with integer expectations"),
+
     // ── negative sampling for recommender/contrastive training ──────
     // The training-pair generator beside search_hardneg's text form:
     // per observed (customer, supplier) interaction, 4 deterministic

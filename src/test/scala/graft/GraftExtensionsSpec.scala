@@ -37,6 +37,15 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("hilbert_d is SQL-callable and matches the reference walk") {
+    withExtSession { s =>
+      // xy2d(8, 1, 2) = 13 per the canonical reference implementation
+      val d = s.sql("SELECT hilbert_d(1L, 2L, 3) AS d")
+        .collect().head.getLong(0)
+      assert(d === 13L)
+    }
+  }
+
   test("topk_min is SQL-callable without manual registration") {
     withExtSession { s =>
       val rows = s.sql("""
