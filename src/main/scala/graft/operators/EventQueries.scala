@@ -806,6 +806,136 @@ object EventQueries {
         FROM w ORDER BY n0"""),
       desc = "A/B readout: hash arms, conversion ppm, integer chi-square"),
 
+    // ── difference-in-differences (the causal panel readout) ────────
+    // e_ab_test's sibling for launches without randomization-time
+    // logging: md5-hash arms × pre/post periods (split at the
+    // observed mid-day from a broadcast 1-row extent), per-cell
+    // revenue-per-active-user ×100, and the DiD estimate
+    // (Δtreated − Δcontrol) — the parallel-trends counterfactual.
+    // Sum and distinct-user counts run as SEPARATE passes joined on
+    // the 4-row cell key (the Expand-avoidance rule); the pivot is a
+    // conditional agg over 4 rows.
+    "e_did" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ext = ev(s, dir)
+          .select((epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        val e = ev(s, dir)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast(LongType)).otherwise(0L)
+              .as("cents"))
+          .crossJoin(broadcast(ext))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+          .withColumn("period",
+            when($"day" < $"mid", "pre").otherwise("post"))
+        val rev = e.groupBy($"arm", $"period")
+          .agg(sum($"cents").as("cents"))
+        val usr = e.select($"arm", $"period", $"user_id").distinct()
+          .groupBy($"arm", $"period").agg(count(lit(1)).as("users"))
+        val cells = rev.join(usr, Seq("arm", "period"))
+          .withColumn("avg_x100", expr("cents * 100L div users"))
+        def cell(a: Long, p: String) =
+          min(when($"arm" === a && $"period" === p, $"avg_x100"))
+        cells.agg(
+            cell(0L, "pre").as("c_pre_x100"),
+            cell(0L, "post").as("c_post_x100"),
+            cell(1L, "pre").as("t_pre_x100"),
+            cell(1L, "post").as("t_post_x100"))
+          .withColumn("did_x100",
+            ($"t_post_x100" - $"t_pre_x100")
+              - ($"c_post_x100" - $"c_pre_x100"))
+          .orderBy($"did_x100")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT user_id, (epoch_us(ts)//1000000)//86400 AS day,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value*100) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events),
+        m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+        e AS (
+          SELECT d.*,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm,
+                 CASE WHEN d.day < m.mid THEN 'pre' ELSE 'post' END
+                   AS period
+          FROM d CROSS JOIN m),
+        rev AS (
+          SELECT arm, period, CAST(sum(cents) AS BIGINT) AS cents
+          FROM e GROUP BY 1, 2),
+        usr AS (
+          SELECT arm, period, count(*) AS users FROM (
+            SELECT DISTINCT arm, period, user_id FROM e)
+          GROUP BY 1, 2),
+        cells AS (
+          SELECT r.arm, r.period, r.cents * 100 // u.users AS avg_x100
+          FROM rev r JOIN usr u USING (arm, period)),
+        px AS (
+          SELECT
+            min(CASE WHEN arm = 0 AND period = 'pre' THEN avg_x100 END)
+              AS c_pre_x100,
+            min(CASE WHEN arm = 0 AND period = 'post' THEN avg_x100 END)
+              AS c_post_x100,
+            min(CASE WHEN arm = 1 AND period = 'pre' THEN avg_x100 END)
+              AS t_pre_x100,
+            min(CASE WHEN arm = 1 AND period = 'post' THEN avg_x100 END)
+              AS t_post_x100
+          FROM cells)
+        SELECT c_pre_x100, c_post_x100, t_pre_x100, t_post_x100,
+               (t_post_x100 - t_pre_x100) - (c_post_x100 - c_pre_x100)
+                 AS did_x100
+        FROM px ORDER BY did_x100"""),
+      desc = "difference-in-differences: arm x period cells + DiD estimate"),
+
+    // ── Herfindahl concentration index (log-free diversity) ─────────
+    // How concentrated is each stream across users? HHI = Σ share²,
+    // the antitrust/market-concentration measure and the log-free
+    // stand-in for entropy diversity (1 − HHI = Gini impurity): in
+    // ppm, hhi = Σ n_u² · 1e6 div n² — exact integers, two map-side-
+    // combined aggs (per-(stream, user) counts, then per-stream sum
+    // of squares). 1e6/HHI ≈ effective participant count. n_u² · 1e6
+    // holds to n_u ~ 3e6 rows per user; past that shares pre-scale
+    // to ppm (documented, not needed at driver SF).
+    "a_hhi" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val per = ev(s, dir)
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("n_u"))
+        per.groupBy($"event_type")
+          .agg(sum($"n_u").as("n"),
+            count(lit(1)).as("n_users"),
+            sum($"n_u" * $"n_u").as("ss"))
+          .withColumn("hhi_ppm", expr("ss * 1000000L div (n * n)"))
+          .withColumn("effective_users", expr(
+            "CASE WHEN hhi_ppm > 0 THEN 1000000L div hhi_ppm ELSE 0L END"))
+          .select($"event_type", $"n", $"n_users", $"hhi_ppm",
+            $"effective_users")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT event_type, user_id, count(*) AS n_u
+          FROM events GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type,
+                 CAST(sum(n_u) AS BIGINT) AS n,
+                 count(*) AS n_users,
+                 CAST(sum(n_u * n_u) AS BIGINT) AS ss
+          FROM per GROUP BY 1)
+        SELECT event_type, n, n_users,
+               ss * 1000000 // (n * n) AS hhi_ppm,
+               CASE WHEN ss * 1000000 // (n * n) > 0
+                    THEN 1000000 // (ss * 1000000 // (n * n))
+                    ELSE 0 END AS effective_users
+        FROM agg ORDER BY event_type"""),
+      desc = "Herfindahl concentration ppm + effective participant count"),
+
     // ── seasonal-naive forecast backtest (MAE readout) ──────────────
     // The capacity-planning baseline every metrics team runs first:
     // forecast tomorrow's volume as last week's same-day (lag-7) and

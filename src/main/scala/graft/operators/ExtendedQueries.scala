@@ -907,6 +907,94 @@ object ExtendedQueries {
         SELECT node, lbl AS community FROM l3 ORDER BY node"""),
       desc = "fixed-round label-propagation communities on the co-supplier graph"),
 
+    // ── modularity per community (partition-quality evaluation) ─────
+    // The eval operator for graph_communities (the family beside
+    // ann_recall / dedup_minhash_est): Newman modularity contribution
+    // per community, Q_c = e_c/m − (d_c/2m)², in integer ppm — e_c =
+    // intra-community undirected edges, d_c = degree mass, m =
+    // undirected edge count (broadcast 1-row). Positive q_ppm =
+    // denser than the degree-preserving random graph; a partition
+    // whose big communities go negative is noise. d_c²·1e6 caps at
+    // ~1.5e6 edges in raw cents-domain longs — past that the same
+    // statistic computes from ppm-rescaled degree shares (documented
+    // here, not needed at driver SF). Shares the label frame's LPA
+    // machinery; two equi-joins + two tiny aggs beyond it.
+    "graph_modularity" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val pairs = coSupplierPairs(s, dir)
+        val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+          .union(pairs.select($"b".as("src"), $"a".as("dst")))
+        val labels = Graphs.labelPropagation(edges, rounds = 3)
+        val m1 = pairs.agg(count(lit(1)).as("m"))
+        val deg = edges.groupBy($"src".as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val comm = labels.join(deg, Seq("node"))
+          .groupBy($"community")
+          .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("d_c"))
+        val intra = pairs
+          .join(labels.select($"node".as("a"), $"community".as("la")),
+            Seq("a"))
+          .join(labels.select($"node".as("b"), $"community".as("lb")),
+            Seq("b"))
+          .filter($"la" === $"lb")
+          .groupBy($"la".as("community")).agg(count(lit(1)).as("e_c"))
+        comm.join(intra, Seq("community"), "left")
+          .na.fill(0L, Seq("e_c"))
+          .crossJoin(broadcast(m1))
+          .withColumn("q_ppm", expr(
+            "e_c * 1000000L div m - d_c * d_c * 1000000L div (4L * m * m)"))
+          .select($"community", $"n_nodes", $"e_c", $"d_c", $"q_ppm")
+          .orderBy($"community")
+      },
+      oracle = Some("""
+        WITH ls AS (
+          SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        pairs AS (
+          SELECT a.sk AS a, b.sk AS b
+          FROM ls a JOIN ls b ON a.o = b.o AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        g1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+               FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        l1 AS (SELECT node, lbl FROM (
+                 SELECT *, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lbl) AS rn FROM g1) WHERE rn = 1),
+        g2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+               FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        l2 AS (SELECT node, lbl FROM (
+                 SELECT *, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lbl) AS rn FROM g2) WHERE rn = 1),
+        g3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+               FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        l3 AS (SELECT node, lbl FROM (
+                 SELECT *, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lbl) AS rn FROM g3) WHERE rn = 1),
+        m1 AS (SELECT count(*) AS m FROM pairs),
+        deg AS (SELECT src AS node, count(*) AS deg
+                FROM edges GROUP BY 1),
+        comm AS (
+          SELECT l.lbl AS community, count(*) AS n_nodes,
+                 CAST(sum(d.deg) AS BIGINT) AS d_c
+          FROM l3 l JOIN deg d ON d.node = l.node GROUP BY 1),
+        intra AS (
+          SELECT la.lbl AS community, count(*) AS e_c
+          FROM pairs p
+          JOIN l3 la ON la.node = p.a
+          JOIN l3 lb ON lb.node = p.b
+          WHERE la.lbl = lb.lbl GROUP BY 1)
+        SELECT c.community, c.n_nodes,
+               COALESCE(i.e_c, 0) AS e_c, c.d_c,
+               COALESCE(i.e_c, 0) * 1000000 // m1.m
+                 - c.d_c * c.d_c * 1000000 // (4 * m1.m * m1.m) AS q_ppm
+        FROM comm c LEFT JOIN intra i ON i.community = c.community
+        CROSS JOIN m1
+        ORDER BY c.community"""),
+      desc = "per-community Newman modularity ppm (partition-quality eval)"),
+
     // ── personalized PageRank from a seed set ───────────────────────
     // Teleport mass concentrated on suppliers 0-4 (present and trading
     // at every SF — a nation-based seed set is empty at sf0.001):
