@@ -434,6 +434,65 @@ object ScaleProbe {
           .join(pos.select(col("cust"), col("item").as("neg")),
             Seq("cust", "neg"), "left_anti")
       },
+      "hits" -> { k =>
+        // graph_hits' shape scaled by orders: directed trade arcs,
+        // two reinforcement rounds with broadcast 1-row max norms
+        val e0 = Sources.table(spark, sfDir, "lineitem")
+          .join(Sources.table(spark, sfDir, "orders")
+              .filter(col("o_orderkey") % k === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2L).as("c"),
+            (col("l_suppkey") * 2L + 1L).as("p"))
+          .distinct()
+        def aR(h: DataFrame) = {
+          val a = e0.join(h, Seq("c")).groupBy(col("p"))
+            .agg(sum(col("h")).as("a"))
+          a.crossJoin(broadcast(a.agg(max(col("a")).as("am"))))
+            .select(col("p"), expr("a * 1000000L div am").as("a"))
+        }
+        def hR(a: DataFrame) = {
+          val h = e0.join(a, Seq("p")).groupBy(col("c"))
+            .agg(sum(col("a")).as("h"))
+          h.crossJoin(broadcast(h.agg(max(col("h")).as("hm"))))
+            .select(col("c"), expr("h * 1000000L div hm").as("h"))
+        }
+        val h0 = e0.select(col("c")).distinct()
+          .withColumn("h", lit(1000000L))
+        hR(aR(hR(aR(h0))))
+      },
+      "modularity" -> { k =>
+        // graph_modularity's post-label stage scaled by orders:
+        // degree + intra-edge aggs over an LPA labeling
+        val ls = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+          .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pairs = ls.select(col("o"), col("sk").as("a"))
+          .join(ls.select(col("o"), col("sk").as("b")), Seq("o"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5).select(col("a"), col("b"))
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val labels = graft.operators.Graphs.labelPropagation(edges, rounds = 2)
+        val m1 = pairs.agg(count(lit(1)).as("m"))
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val comm = labels.join(deg, Seq("node"))
+          .groupBy(col("community"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+        val intra = pairs
+          .join(labels.select(col("node").as("a"),
+            col("community").as("la")), Seq("a"))
+          .join(labels.select(col("node").as("b"),
+            col("community").as("lb")), Seq("b"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_c"))
+        comm.join(intra, Seq("community"), "left")
+          .na.fill(0L, Seq("e_c")).crossJoin(broadcast(m1))
+          .withColumn("q_ppm", expr(
+            "e_c * 1000000L div m - d_c * d_c * 1000000L div (4L * m * m)"))
+      },
       "hilbert_key" -> (k => graft.operators.Layout.withHilbertKey(
         Sources.table(spark, sfDir, "lineitem")
           .filter(col("l_orderkey") % k === 0)

@@ -1407,12 +1407,33 @@ object Corpus extends org.apache.spark.internal.Logging {
     * actually see, catching lost writes), nShards rows total.
     * Returns the manifest frame. */
   def shardWrite(docs: DataFrame, nShards: Int, path: String): DataFrame = {
+    val spark = docs.sparkSession
     val asg = shardAssign(docs, nShards)
     docs.join(asg.select(col("doc_id"), col("ntok"), col("shard_id"),
         col("shard_rank")), Seq("doc_id"))
       .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
-    val manifest = docs.sparkSession.read.parquet(path)
+    // empty corpus → partitionBy wrote zero data files and the
+    // read-back cannot infer a schema: return the empty manifest
+    // (fresh-deployment shape — an error here would break a first
+    // run before any ingest)
+    val wroteData = Option(new java.io.File(path).listFiles())
+      .exists(_.exists(f => f.isDirectory &&
+        f.getName.startsWith("shard_id=")))
+    if (!wroteData) {
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("shard_id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_checksum",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val manifest = spark.read.parquet(path)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).as("n_tokens"),

@@ -11,6 +11,31 @@ class EmptyInputSpec extends SparkSuite {
 
   private def empty(df: DataFrame): DataFrame = df.limit(0)
 
+  test("round-8 public APIs degrade cleanly on empty inputs") {
+    import org.apache.spark.sql.functions._
+    val noRows = Seq((1L, 2L, 3L)).toDF("id", "cents", "size").limit(0)
+    // skyline: empty in → empty out (the extent guard's null branch
+    // passes through; no raise, no NPE)
+    val sky = graft.operators.ExtendedQueries.skyline(noRows, "cents", "size")
+    assert(sky.count() === 0 && sky.columns.sameElements(noRows.columns))
+    // hilbert keying: empty in → empty keyed frame with the key column
+    val hk = graft.operators.Layout.withHilbertKey(
+      noRows, col("cents"), col("size"), bits = 8)
+    assert(hk.count() === 0 && hk.columns.contains("_hkey"))
+    // sssp: empty edges → empty distances
+    val noEdges = Seq((1L, 2L, 3L)).toDF("src", "dst", "w").limit(0)
+    val d = graft.operators.Graphs.sssp(noEdges,
+      spark.range(1).select(lit(0L).as("node")), rounds = 2)
+    assert(d.count() === 0)
+    // shardWrite: empty corpus → zero shards, empty manifest, no throw
+    val noDocs = Seq((1L, "a b c")).toDF("doc_id", "text").limit(0)
+    val dir = java.nio.file.Files.createTempDirectory("shard_empty").toString
+    val mf = graft.operators.Corpus.shardWrite(noDocs, nShards = 2, dir)
+    assert(mf.count() === 0)
+    // minhash estimator: no docs → no candidate pairs
+    assert(graft.operators.Corpus.minhashEstimate(noDocs).count() === 0)
+  }
+
   test("fact views on empty realtime inputs are empty but well-formed") {
     val e = MtaSynthetic.ev(spark, sf())
     val stops = MtaSynthetic.stops(spark)
