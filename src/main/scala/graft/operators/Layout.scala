@@ -235,7 +235,9 @@ object Layout {
     * sidecar metadata. Empty input writes an empty dataset with a
     * sentinel zero-extent sidecar. */
   def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
-                  numFiles: Int, path: String): Unit = {
+                  numFiles: Int, path: String,
+                  curve: String = "morton"): Unit = {
+    graft.functions.HilbertD.register(df.sparkSession)
     val ext = df.agg(min(x), max(x), min(y), max(y), count(lit(1))).head()
     if (ext.isNullAt(0)) {
       // distinguish 'no rows' (write the empty table + sentinel meta)
@@ -248,11 +250,13 @@ object Layout {
           "or filter upstream)")
       df.limit(0).withColumn(ZKEY, lit(0L))
         .write.mode("overwrite").parquet(path)
-      writeMeta(df.sparkSession, path, ZorderMeta(0L, 0L, 0L, 0L, bits))
+      writeMeta(df.sparkSession, path,
+        ZorderMeta(0L, 0L, 0L, 0L, bits, curve))
       return
     }
     val m = ZorderMeta(
-      ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3), bits)
+      ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3),
+      bits, curve)
     requireExact(m)
     df.withColumn(ZKEY, frozenKey(m, x, y))
       .repartitionByRange(numFiles, col(ZKEY))
@@ -273,10 +277,14 @@ object Layout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(ZKEY)
 
-  /** The frozen scale bounds of a z-ordered dataset (its clustering
-    * metadata, as a lakehouse table format would carry). */
+  /** The frozen scale bounds of a clustered dataset (its clustering
+    * metadata, as a lakehouse table format would carry). `curve` is
+    * the space-filling curve the keys were minted on ("morton" |
+    * "hilbert") — compaction MUST mint delta keys on the same curve
+    * or ranges are incomparable; metas written before the field
+    * existed read back as "morton" (the only curve they could be). */
   case class ZorderMeta(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
-                        bits: Int)
+                        bits: Int, curve: String = "morton")
 
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(
     path, "_zorder_meta.json")
@@ -289,7 +297,8 @@ object Layout {
                         m: ZorderMeta): Unit = {
     val out = fs(spark, path).create(metaPath(path), true)
     out.write(
-      s"""{"xLo":${m.xLo},"xHi":${m.xHi},"yLo":${m.yLo},"yHi":${m.yHi},"bits":${m.bits}}"""
+      (s"""{"xLo":${m.xLo},"xHi":${m.xHi},"yLo":${m.yLo},""" +
+        s""""yHi":${m.yHi},"bits":${m.bits},"curve":"${m.curve}"}""")
         .getBytes("UTF-8"))
     out.close()
   }
@@ -303,20 +312,33 @@ object Layout {
     def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
       .getOrElse(sys.error(s"zorder meta missing $k in $txt"))
       .group(1).toLong
-    ZorderMeta(f("xLo"), f("xHi"), f("yLo"), f("yHi"), f("bits").toInt)
+    val curve = """"curve":"(\w+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("morton") // pre-curve metas are Morton
+    ZorderMeta(f("xLo"), f("xHi"), f("yLo"), f("yHi"), f("bits").toInt,
+      curve)
   }
 
-  /** Morton key under FROZEN bounds (values outside them clamp to the
+  /** Curve key under FROZEN bounds (values outside them clamp to the
     * edge cells — late data beyond the original range still lands on
-    * the curve, merely less selectively). */
+    * the curve, merely less selectively). Dispatches on `m.curve`;
+    * the hilbert branch resolves the registered `hilbert_d` function
+    * (callers with a session — zorderWrite/zorderCompact — register
+    * it first). */
   def frozenKey(m: ZorderMeta, x: Column, y: Column): Column = {
     requireExact(m)
+    require(m.curve == "morton" || m.curve == "hilbert",
+      s"unknown clustering curve '${m.curve}'")
+    require(m.curve != "hilbert" || m.bits <= 26,
+      s"hilbert needs bits <= 26, got ${m.bits}")
     def clamp(v: Column, lo: Long, hi: Long) =
       greatest(least(v, lit(hi)), lit(lo))
-    mortonKey(
-      scaleDim(clamp(x, m.xLo, m.xHi), lit(m.xLo), lit(m.xHi), m.bits),
-      scaleDim(clamp(y, m.yLo, m.yHi), lit(m.yLo), lit(m.yHi), m.bits),
+    val sx = scaleDim(clamp(x, m.xLo, m.xHi), lit(m.xLo), lit(m.xHi),
       m.bits)
+    val sy = scaleDim(clamp(y, m.yLo, m.yHi), lit(m.yLo), lit(m.yHi),
+      m.bits)
+    if (m.curve == "hilbert")
+      call_function("hilbert_d", sx, sy, lit(m.bits))
+    else mortonKey(sx, sy, m.bits)
   }
 
   /** Per-file `_zkey` ranges from parquet FOOTER statistics — the
@@ -396,7 +418,8 @@ object Layout {
     * Returns (filesRewritten, filesUntouched). */
   def zorderCompact(spark: SparkSession, path: String, delta: DataFrame,
                     x: Column, y: Column): (Int, Int) = {
-    val m = readMeta(spark, path)
+    graft.functions.HilbertD.register(spark)
+    val m = readMeta(spark, path) // carries the table's curve
     val hadoopFs = fs(spark, path)
 
     val deltaKeyed = delta.withColumn(ZKEY, frozenKey(m, x, y))

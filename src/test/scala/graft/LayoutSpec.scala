@@ -113,6 +113,55 @@ class LayoutSpec extends SparkSuite {
       s"zorder ($zp,$zs) must beat natural ($np,$ns)")
   }
 
+  test("hilbert curve rides the full write/compact path: skip rates, meta, delta-local rewrite") {
+    val out = Files.createTempDirectory("hilw").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    Layout.zorderWrite(li, $"l_partkey", $"l_suppkey", 16, 16, out,
+      curve = "hilbert")
+    // the sidecar records the curve; frozen keys mint on it
+    val m = Layout.readMeta(spark, out)
+    assert(m.curve === "hilbert")
+    // lossless + both-dimension skipping at least matches the Morton
+    // bar (the Hilbert walk has strictly better locality)
+    assert(spark.read.parquet(out).count() === li.count())
+    val stats = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+        min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"))
+      .collect()
+    val n = stats.length.toDouble
+    val skipP = stats.count(r =>
+      r.getLong(2) < 155L || r.getLong(1) > 174L) / n
+    val skipS = stats.count(r =>
+      r.getLong(4) < 4L || r.getLong(3) > 5L) / n
+    assert(skipP >= 0.5, s"hilbert part skip rate $skipP")
+    assert(skipS >= 0.5, s"hilbert supp skip rate $skipS")
+    // a narrow delta compacts by rewriting FEW files, conserving rows
+    // (delta keys mint on the table's recorded curve, so footer
+    // ranges stay comparable)
+    val delta = li.filter($"l_partkey".between(150, 160))
+      .limit(200).withColumn("l_orderkey", $"l_orderkey" + 10000000L)
+    val nDelta = delta.count()
+    val (rw, un) = Layout.zorderCompact(spark, out, delta,
+      $"l_partkey", $"l_suppkey")
+    assert(rw >= 1 && un > rw,
+      s"expected a delta-local rewrite, got rewritten=$rw untouched=$un")
+    assert(spark.read.parquet(out).count() === li.count() + nDelta)
+    // legacy meta without a curve field reads back as Morton
+    val legacyDir = Files.createTempDirectory("legacy").toString
+    Layout.zorderWrite(li.limit(100), $"l_partkey", $"l_suppkey", 16, 2,
+      legacyDir)
+    val metaFile = new java.io.File(legacyDir, "_zorder_meta.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile.toPath))
+    java.nio.file.Files.write(metaFile.toPath,
+      txt.replaceAll(""","curve":"\w+"""", "").getBytes)
+    // the raw rewrite invalidates Hadoop LocalFS's checksum sidecar
+    new java.io.File(legacyDir, "._zorder_meta.json.crc").delete()
+    assert(Layout.readMeta(spark, legacyDir).curve === "morton")
+  }
+
   test("zorderWrite edge cases: empty input writes a sentinel; all-null dims fail loudly") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("x", LongType),
