@@ -55,12 +55,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hilbert_d"),
       new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        exprs(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-              org.apache.spark.sql.types.IntegerType) =>
-            HilbertD(exprs(0), exprs(1), v)
-          case other => throw new IllegalArgumentException(
-            s"hilbert_d: bits must be an integer literal, got $other")
-        }))
+        HilbertD.fromExprs(exprs)))
   }
 }

@@ -95,17 +95,24 @@ case class HilbertD(left: Expression, right: Expression, bits: Int)
 }
 
 object HilbertD {
+  /** The one `exprs => HilbertD` builder BOTH registration paths use
+    * (temp-function [[register]] and the session-extensions
+    * injectFunction in GraftExtensions) — accepts Int or Long bits
+    * literals so `hilbert_d(x, y, 16)` and `hilbert_d(x, y, 16L)`
+    * behave identically regardless of how the function was installed. */
+  def fromExprs(exprs: Seq[Expression]): HilbertD = {
+    val b = exprs(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"hilbert_d: bits must be an integer literal, got $other")
+    }
+    HilbertD(exprs(0), exprs(1), b)
+  }
+
   /** Register `hilbert_d(x, y, bits)` (bits must be an int literal)
     * in the session's function registry. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hilbert_d", exprs => {
-        val b = exprs(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case Literal(v: Long, LongType) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"hilbert_d: bits must be an integer literal, got $other")
-        }
-        HilbertD(exprs(0), exprs(1), b)
-      }, "built-in")
+      "hilbert_d", fromExprs, "built-in")
 }

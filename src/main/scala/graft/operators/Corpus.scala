@@ -1417,9 +1417,14 @@ object Corpus extends org.apache.spark.internal.Logging {
     // read-back cannot infer a schema: return the empty manifest
     // (fresh-deployment shape — an error here would break a first
     // run before any ingest)
-    val wroteData = Option(new java.io.File(path).listFiles())
-      .exists(_.exists(f => f.isDirectory &&
-        f.getName.startsWith("shard_id=")))
+    // Hadoop FileSystem, not java.io.File: the path may be hdfs:// or
+    // s3a:// on a cluster, where a local listFiles() would return null
+    // and silently misreport a successful write as an empty corpus.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wroteData = hfs.exists(root) && hfs.listStatus(root)
+      .exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith("shard_id="))
     if (!wroteData) {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1441,7 +1446,7 @@ object Corpus extends org.apache.spark.internal.Logging {
           "1, 14), 16, 10) AS BIGINT)")).as("id_checksum"))
       .orderBy(col("shard_id"))
     manifest.coalesce(1).write.mode("overwrite")
-      .json(new java.io.File(path, "_manifest").toString)
+      .json(new org.apache.hadoop.fs.Path(root, "_manifest").toString)
     manifest
   }
 

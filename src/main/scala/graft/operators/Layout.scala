@@ -130,11 +130,13 @@ object Layout {
 
   /** Hilbert key: map scaled (x, y) onto the `bits`-level Hilbert
     * curve (the canonical xy2d rotate/flip walk). The per-level state
-    * update is SEQUENTIAL, so it unrolls into `bits` chained column
-    * triples — each level a small projection over the previous
-    * level's materialized columns (linear expression size, whole-
-    * stage codegen; Catalyst keeps the projections separate because
-    * each level's outputs are multiply-referenced). The DuckDB twin
+    * update is SEQUENTIAL, so it runs as the native codegen
+    * [[graft.functions.HilbertD]] expression — one tight generated
+    * loop per row. (A chained-Project unrolling was tried first and
+    * abandoned: ~100 stacked expression nodes push the generated
+    * method past the JVM JIT's 8 KB compile limit and the stage
+    * silently runs interpreted — 5.5 s vs 0.23 s on 600k rows; see
+    * the CLAUDE.md invariant.) The DuckDB twin
     * unrolls the same walk as chained CTEs ([[hilbertSqlDuckCtes]]):
     * a lambda fold was NOT usable — DuckDB 1.0's list_reduce
     * mis-evaluates struct-accumulator folds under vectorization

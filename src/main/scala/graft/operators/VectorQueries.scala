@@ -145,12 +145,13 @@ object VectorQueries {
     * L2 assignment + rounded-mean update, ending in `pq_cb$iters`
     * (sub, cw, cvec, cn). All m subspaces ride the same CTEs — the
     * subspace is data, not SQL structure. */
-  private def duckPqCtes(m: Int, sw: Int, kCode: Int, iters: Int): String = {
+  private def duckPqCtes(m: Int, sw: Int, kCode: Int, iters: Int,
+                         src: String = "base"): String = {
     val init = s"""
         pq_subv AS (
           SELECT vec_id, s.s AS sub,
                  list_slice(sv, s.s * $sw + 1, s.s * $sw + $sw) AS v
-          FROM base CROSS JOIN range(0, $m) s(s)),
+          FROM $src CROSS JOIN range(0, $m) s(s)),
         pq_sv AS (
           SELECT vec_id, sub, v, ${duckDot("v", "v")} AS vn FROM pq_subv),
         pq_cb0 AS (
@@ -158,7 +159,7 @@ object VectorQueries {
                    ORDER BY vec_id) - 1 AS BIGINT) AS cw,
                  v AS cvec, vn AS cn
           FROM pq_sv
-          WHERE vec_id IN (SELECT vec_id FROM base
+          WHERE vec_id IN (SELECT vec_id FROM $src
                            ORDER BY vec_id LIMIT $kCode))"""
     val rounds = (1 to iters).map { i =>
       s"""
@@ -1037,6 +1038,174 @@ object VectorQueries {
         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       desc = "label-free IVF multi-probe: top-2 k-means cells per query"),
 
+    // ── incremental index maintenance: frozen-codebook assignment ───
+    // The missing family member every dedup family already has: the
+    // daily refresh assigns ONLY the new batch (vec_id ≥ 400, the
+    // dedup_incremental split convention) against the codebook fit on
+    // the existing corpus — no refit, stable cell ids — and reports
+    // per-cell drift (n_base/n_new counts, new-mass share, squared
+    // centroid shift in ppm of ‖centroid‖²) so a pipeline knows WHEN
+    // to refit. All-BIGINT stats; the oracle replays the frozen fit,
+    // both assignments, and the rounded-mean shift arithmetic.
+    "ivf_kmeans_inc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val all = emb(s, dir).withColumn("id", $"vec_id")
+        Vectors.kmeansDriftStats(all.filter($"id" < 400),
+            all.filter($"id" >= 400), kCells = 8, iters = 3)
+          .orderBy($"cluster")
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT vec_id, label, $DUCK_SV AS sv,
+                 ${duckDot(DUCK_SV, DUCK_SV)} AS nrm
+          FROM embeddings WHERE vec_id < 400),
+        newb AS (
+          SELECT vec_id, label, $DUCK_SV AS sv,
+                 ${duckDot(DUCK_SV, DUCK_SV)} AS nrm
+          FROM embeddings WHERE vec_id >= 400),
+        ${duckKmeansCtes(8, 3)},
+        asgo AS (
+          SELECT vec_id, cluster FROM (
+            SELECT b.vec_id, c.cluster_id AS cluster,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        asgn AS (
+          SELECT vec_id, sv, cluster FROM (
+            SELECT b.vec_id, b.sv, c.cluster_id AS cluster,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM newb b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        bc AS (SELECT cluster, count(*) AS n_base FROM asgo GROUP BY 1),
+        nd AS (
+          SELECT cluster, r.i AS d, sv[r.i] AS v
+          FROM asgn CROSS JOIN range(1, 65) r(i)),
+        ns AS (
+          SELECT cluster, d,
+                 CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS nv,
+                 count(*) AS cnt
+          FROM nd GROUP BY 1, 2),
+        nvs AS (
+          SELECT cluster, list(nv ORDER BY d) AS nvec, max(cnt) AS n_new
+          FROM ns GROUP BY 1),
+        dr AS (
+          SELECT c.cluster_id AS cluster,
+                 COALESCE(b.n_base, CAST(0 AS BIGINT)) AS n_base,
+                 COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new,
+                 CASE WHEN n.nvec IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST(list_sum(list_transform(
+                        list_zip(c.cvec, n.nvec),
+                        x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)
+                 END AS shift_l2,
+                 CAST(c.cnrm AS BIGINT) AS cnrm
+          FROM cent3 c
+          LEFT JOIN bc b ON b.cluster = c.cluster_id
+          LEFT JOIN nvs n ON n.cluster = c.cluster_id)
+        SELECT cluster, n_base, n_new,
+               n_new * CAST(1000000 AS BIGINT)
+                 // greatest(n_base + n_new, 1) AS new_share_ppm,
+               shift_l2 * CAST(1000000 AS BIGINT)
+                 // greatest(cnrm, 1) AS shift_ppm
+        FROM dr ORDER BY cluster"""),
+      desc = "frozen-codebook incremental assignment + per-cell drift stats"),
+
+    // ── IVF-PQ composed index (residual codes + ADC + rerank) ───────
+    // The at-scale ANN layout: the SHARED 8-cell coarse quantizer
+    // routes vectors, PQ codes quantize the RESIDUAL against the cell
+    // centroid (one shared sub-codebook — residuals of every cell
+    // center at the origin), queries probe their top-2 cells, ADC
+    // scores codes only, and the 8-candidate shortlist reranks exact.
+    // Every distance is integer until the final rerank cosine; the
+    // oracle replays coarse fit, residuals, PQ fit, ADC, and rerank.
+    "vector_ivfpq" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Vectors.ivfPqSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 5, kCells = 8, cIters = 3,
+            m = 4, kCode = 8, pqIters = 2, shortlist = 8, nprobe = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        asga AS (
+          SELECT vec_id, sv, nrm, cluster, rn FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.cluster_id AS cluster,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn <= 2),
+        rsrc AS (
+          SELECT a.vec_id, a.cluster,
+                 list_transform(list_zip(a.sv, c.cvec),
+                   x -> x[1] - x[2]) AS sv
+          FROM asga a JOIN cent3 c ON c.cluster_id = a.cluster
+          WHERE a.rn = 1),
+        ${duckPqCtes(m = 4, sw = 16, kCode = 8, iters = 2, src = "rsrc")},
+        pq_codes AS (
+          SELECT vec_id, sub, cw FROM (
+            SELECT b.vec_id, b.sub, c.cw,
+              row_number() OVER (PARTITION BY b.vec_id, b.sub
+                ORDER BY b.vn + c.cn - 2 * ${duckDot("b.v", "c.cvec")} ASC,
+                         c.cw ASC) AS rn
+            FROM pq_sv b JOIN pq_cb2 c ON c.sub = b.sub)
+          WHERE rn = 1),
+        codesc AS (
+          SELECT p.vec_id, r.cluster, p.sub, p.cw
+          FROM pq_codes p JOIN rsrc r ON r.vec_id = p.vec_id),
+        qres AS (
+          SELECT a.vec_id AS query_id, a.cluster,
+                 list_transform(list_zip(a.sv, c.cvec),
+                   x -> x[1] - x[2]) AS rv
+          FROM asga a JOIN cent3 c ON c.cluster_id = a.cluster
+          WHERE a.vec_id < 10),
+        qsv AS (
+          SELECT query_id, cluster, s.s AS sub,
+                 list_slice(rv, s.s * 16 + 1, s.s * 16 + 16) AS v
+          FROM qres CROSS JOIN range(0, 4) s(s)),
+        qdt AS (
+          SELECT q.query_id, q.cluster, q.sub, c.cw,
+                 ${duckDot("q.v", "q.v")} + c.cn
+                   - 2 * ${duckDot("q.v", "c.cvec")} AS qdist
+          FROM qsv q JOIN pq_cb2 c ON c.sub = q.sub),
+        adc AS (
+          SELECT q.query_id, c.vec_id AS cand_id, c.cluster,
+                 CAST(sum(q.qdist) AS BIGINT) AS adc
+          FROM codesc c JOIN qdt q
+            ON q.cluster = c.cluster AND q.sub = c.sub AND q.cw = c.cw
+          WHERE q.query_id <> c.vec_id
+          GROUP BY 1, 2, 3),
+        shortl AS (
+          SELECT query_id, cand_id, cluster, adc FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc ASC, cand_id) AS crank
+            FROM adc)
+          WHERE crank <= 8),
+        rr AS (
+          SELECT s.query_id, s.cand_id, s.cluster, s.adc,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM shortl s
+          JOIN base qv ON qv.vec_id = s.query_id
+          JOIN base cv ON cv.vec_id = s.cand_id)
+        SELECT query_id, rank, cand_id, cluster, adc, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rank
+          FROM rr)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "IVF-PQ: shared coarse cells, residual PQ codes, ADC + rerank"),
+
     // ── cluster-balanced prototype sampling (D4/SemDeDup family) ────
     // "Cover the space, not the mass": per-k-means-cell quotas keep
     // every region represented where a mass-proportional draw
@@ -1132,8 +1301,14 @@ object VectorQueries {
           .join(asg, Seq("doc_id"))
         val ct = tok.groupBy($"cluster", $"term")
           .agg(count(lit(1)).as("n_ct"))
-        val cTot = tok.groupBy($"cluster")
-          .agg(count(lit(1)).as("n_c"), countDistinct($"doc_id").as("n_docs"))
+        // count(*) + countDistinct in ONE agg would plan an Expand
+        // that doubles every token row through the shuffle (the
+        // CLAUDE.md sketch-mixing rule, plain-aggregate form): run
+        // the distinct-doc count as its own pass and join on cluster.
+        val cTok = tok.groupBy($"cluster").agg(count(lit(1)).as("n_c"))
+        val cDoc = tok.select($"cluster", $"doc_id").distinct()
+          .groupBy($"cluster").agg(count(lit(1)).as("n_docs"))
+        val cTot = cTok.join(cDoc, Seq("cluster"))
         val gT = tok.groupBy($"term").agg(count(lit(1)).as("n_t"))
         val nTot = tok.agg(count(lit(1)).as("n_total"))
         ct.join(broadcast(cTot), Seq("cluster"))

@@ -616,6 +616,211 @@ object Vectors {
       },
       key = "cluster", name = "kmeans_assign")
 
+  /** Frozen-codebook incremental cell assignment — the daily
+    * index-refresh job of the vector-index family (the member every
+    * dedup family and BM25 already have): `newBatch` vectors are
+    * assigned against the codebook fit on `oldBase` WITHOUT refitting,
+    * so yesterday's cell ids stay stable and only the new rows pay
+    * compute. Both frames carry (id, sv, nrm) from [[quantize]].
+    *
+    * The fit rides `Engine.materializeShared` (keyed by the oldBase
+    * plan), so the drift companion [[kmeansDriftStats]] and repeated
+    * daily batches in one session reuse one frozen fit.
+    *
+    * Laws (VectorsApiSpec): newBatch = oldBase reproduces the full
+    * [[kmeansAssign]] nprobe=1 assignment exactly (the backfill
+    * law — assigning the training corpus against its own final
+    * codebook IS the batch path's last step); an empty newBatch
+    * yields an empty frame; and per-cell partials are batch-split
+    * invariant (assign(b1 ∪ b2) ≡ assign(b1) ∪ assign(b2) — no
+    * cross-row state, so any daily batching merges exactly).
+    *
+    * Returns (id, sv, nrm, cluster, score). */
+  def kmeansAssignIncremental(oldBase: DataFrame, newBatch: DataFrame,
+                              kCells: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.LongArrayDot.register(oldBase.sparkSession)
+    val cent = kmeansFitShared(oldBase, kCells, iters)
+    newBatch.crossJoin(broadcast(cent))
+      .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
+        sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cluster_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("sv"), col("nrm"),
+        col("cluster_id").as("cluster"), col("score"))
+  }
+
+  /** Per-cell drift report over a frozen codebook — the signal a
+    * pipeline watches to decide WHEN to refit: for each codebook cell,
+    * how many existing members it has, how many new-batch vectors
+    * landed in it, and how far the new mass sits from the frozen
+    * centroid. All integer except nothing — every stat is BIGINT:
+    *   n_base / n_new      — member counts (old assignment / new batch)
+    *   new_share_ppm       — n_new·1e6 div (n_base + n_new)
+    *   shift_ppm           — ‖frozen centroid − new-batch rounded
+    *                         mean‖² · 1e6 div ‖centroid‖² (0 when the
+    *                         cell drew no new vectors)
+    * The rounded-mean arithmetic is the fit's own update step, so a
+    * refit decision threshold compares like with like. Overflow: at
+    * the 1e5 quantization scale the squared shift is ≤ ~2.6e12 over
+    * 64 dims, so ·1e6 stays inside Long.
+    *
+    * Cells are the frozen codebook's rows; a cell all of whose old
+    * members re-assigned away reports n_base = 0 rather than
+    * disappearing. Returns (cluster, n_base, n_new, new_share_ppm,
+    * shift_ppm), one row per codebook cell. */
+  def kmeansDriftStats(oldBase: DataFrame, newBatch: DataFrame,
+                       kCells: Int = 8, iters: Int = 3): DataFrame = {
+    val cent = kmeansFitShared(oldBase, kCells, iters)
+    val baseCnt = kmeansAssign(oldBase, kCells, iters, nprobe = 1)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val newAsg = kmeansAssignIncremental(oldBase, newBatch, kCells, iters)
+    val newStats = newAsg
+      .select(col("cluster"), posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("nv", round(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, nv))), x -> x.nv)")
+          .as("nvec"),
+        max(col("n")).as("n_new"))
+    cent.select(col("cluster_id").as("cluster"), col("cvec"), col("cnrm"))
+      .join(baseCnt, Seq("cluster"), "left")
+      .join(newStats, Seq("cluster"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("shift_l2", when(col("nvec").isNull, lit(0L)).otherwise(
+        expr("aggregate(zip_with(cvec, nvec, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)")))
+      .withColumn("shift_ppm",
+        expr("shift_l2 * 1000000L div greatest(cnrm, 1L)"))
+      .withColumn("new_share_ppm",
+        expr("n_new * 1000000L div greatest(n_base + n_new, 1L)"))
+      .select(col("cluster"), col("n_base"), col("n_new"),
+        col("new_share_ppm"), col("shift_ppm"))
+  }
+
+  /** IVF-PQ composed index — the standard at-scale ANN layout that
+    * makes 100 TB vector search byte-affordable: a coarse k-means
+    * quantizer routes vectors to cells (the [[kmeansAssign]] SHARED
+    * frame — same codebook/assignment ivf_kmeans/_mp/sample_cluster
+    * ride), each vector stores only m×log2(kCode)-bit PQ codes of its
+    * RESIDUAL (vector − cell centroid), queries probe their `nprobe`
+    * nearest cells, score candidates by asymmetric distance (ADC) on
+    * the codes alone, and exact-rerank just the `shortlist` survivors
+    * from full vectors. Residual quantization centers every cell's
+    * codes at the origin, so one shared sub-codebook covers all
+    * cells far more accurately than whole-vector PQ at equal bits —
+    * ApproxQualitySpec pins recall ≥ whole-vector PQ at the same
+    * shortlist.
+    *
+    * All distances integer (residuals are exact integer differences;
+    * sub-codebook fit = `pqIters` rounds of integer L2 assignment +
+    * rounded-mean update, kCode-smallest-id init); the only doubles
+    * are the final rerank cosines. Candidate volume per query is
+    * bounded by the probed cells' population — never all-pairs.
+    *
+    * Returns (query_id, rank, cand_id, cluster, adc, cosine). */
+  def ivfPqSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                  k: Int = 5, kCells: Int = 8, cIters: Int = 3,
+                  m: Int = 4, kCode: Int = 8, pqIters: Int = 2,
+                  shortlist: Int = 8, nprobe: Int = 2,
+                  dim: Int = 64): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val spark = base.sparkSession
+    val sw = dim / m
+    val asg = kmeansAssign(base, kCells, cIters, nprobe)
+    val cent = kmeansFitShared(base, kCells, cIters)
+      .select(col("cluster_id").as("cluster"), col("cvec"))
+    // candidate residuals: every vector, its own (rn=1) cell
+    val resid = graft.Engine.materialize(
+      asg.filter(col("rn") === 1)
+        .join(broadcast(cent), Seq("cluster"))
+        .withColumn("rv", expr("zip_with(sv, cvec, (a, b) -> a - b)"))
+        .select(col("id"), col("cluster"), col("rv")),
+      key = "id", name = "ivfpq_resid")
+    val subv = graft.Engine.materialize(
+      resid.select(col("id"), col("cluster"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
+        .withColumn("v", expr(s"slice(rv, sub * $sw + 1, $sw)"))
+        .withColumn("vn", expr("long_dot(v, v)"))
+        .select(col("id"), col("cluster"), col("sub"), col("v"), col("vn")),
+      key = "id", name = "ivfpq_subv")
+    val dist = col("vn") + col("cn") - expr("2 * long_dot(v, cvec)")
+    def assign(cbk: DataFrame): DataFrame = subv
+      .join(broadcast(cbk), Seq("sub"))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"), col("sub"))
+          .orderBy(col("dist").asc, col("cw").asc)))
+      .filter(col("rn") === 1)
+    var cb = subv
+      .join(broadcast(resid.orderBy(col("id")).limit(kCode)
+        .select(col("id"))), Seq("id"))
+      .withColumn("cw", (row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("id"))) - 1).cast("long"))
+      .select(col("sub"), col("cw"), col("v").as("cvec"),
+        col("vn").as("cn"))
+    var cbT: Option[String] = None
+    for (i <- 0 until pqIters) {
+      val (nextCb, nextT) = graft.Engine.materializeTracked(
+        assign(cb)
+          .select(col("sub"), col("cw"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("sub"), col("cw"), col("d"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .withColumn("cv",
+            round(col("sx").cast("double") / col("n")).cast("long"))
+          .groupBy(col("sub"), col("cw"))
+          .agg(expr("transform(sort_array(collect_list(struct(d, cv))), x -> x.cv)")
+            .as("cvec"))
+          .withColumn("cn", expr("long_dot(cvec, cvec)")),
+        key = "cw", name = s"ivfpq_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, cbT)
+      cb = nextCb
+      cbT = nextT
+    }
+    val codes = assign(cb)
+      .select(col("id"), col("cluster"), col("sub"), col("cw"))
+    // query side: residual against EACH probed cell's centroid, then
+    // the ADC table for that (query, cell)
+    val qIds = base.filter(queryFilter).select(col("id"))
+    val qres = asg.join(qIds, Seq("id"), "left_semi")
+      .join(broadcast(cent), Seq("cluster"))
+      .withColumn("rv", expr("zip_with(sv, cvec, (a, b) -> a - b)"))
+      .select(col("id").as("query_id"), col("cluster"), col("rv"))
+    val qd = qres
+      .select(col("query_id"), col("cluster"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
+      .withColumn("v", expr(s"slice(rv, sub * $sw + 1, $sw)"))
+      .withColumn("vn", expr("long_dot(v, v)"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("qdist", dist)
+      .select(col("query_id"), col("cluster"), col("sub"), col("cw"),
+        col("qdist"))
+    val short = codes.withColumnRenamed("id", "cand_id")
+      .join(broadcast(qd), Seq("cluster", "sub", "cw"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"), col("cluster"))
+      .agg(sum(col("qdist")).as("adc"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("cand_id").asc)))
+      .filter(col("crank") <= shortlist)
+      .select(col("query_id"), col("cand_id"), col("cluster"), col("adc"))
+    short
+      .join(base.select(col("id").as("query_id"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(base.select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cluster"),
+        col("adc"), col("cosine"))
+  }
+
   /** Cluster-balanced prototype sampling — the embedding-space
     * counterpart of `Corpus.temperatureSample` (the D4 / SemDeDup
     * family's "cover the space, not the mass" subset): fit a

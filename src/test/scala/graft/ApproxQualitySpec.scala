@@ -128,6 +128,31 @@ class ApproxQualitySpec extends SparkSuite {
     assert(r128 >= r64, f"wider shortlist lost recall: $r128%.2f < $r64%.2f")
   }
 
+  test("IVF-PQ residual codes beat whole-vector PQ at an equal tight shortlist") {
+    val base = operators.Vectors.quantize(
+      Sources.table(spark, sf("sf0.01"), "embeddings"))
+      .withColumn("id", $"vec_id")
+    val brute = SparkEntry.queries("knn_brute")(spark, sf("sf0.01"))
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equal bits, equal shortlist: the only difference is WHAT the m×8
+    // codebooks quantize — whole vectors vs per-cell residuals
+    val pq = hits(operators.Vectors.pqSearch(base, queryFilter = $"id" < 10,
+      k = 5, m = 4, kCode = 8, iters = 2, shortlist = 8))
+    val ivfpq = hits(operators.Vectors.ivfPqSearch(base,
+      queryFilter = $"id" < 10, k = 5, m = 4, kCode = 8, pqIters = 2,
+      shortlist = 8, nprobe = 2))
+    val rPq = (brute intersect pq).size.toDouble / brute.size
+    val rIvfPq = (brute intersect ivfpq).size.toDouble / brute.size
+    info(f"recall@5 at shortlist=8: PQ $rPq%.2f, IVF-PQ $rIvfPq%.2f")
+    assert(rIvfPq >= rPq,
+      f"residual quantization lost recall: $rIvfPq%.2f < $rPq%.2f")
+    assert(rIvfPq >= 0.3, f"IVF-PQ recall collapsed: $rIvfPq%.2f")
+  }
+
   test("bucketed semantic dedup recalls most all-pairs cosine edges") {
     // dedup_embedding is the exact all-pairs ≥0.4 pair set; the
     // bucketed operator must be a SUBSET (it never invents an edge —

@@ -46,6 +46,17 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("hilbert_d accepts a bigint bits literal (shared builder parity)") {
+    withExtSession { s =>
+      // Both registration paths route through HilbertD.fromExprs, so
+      // the extensions-injected function must accept 3L like the
+      // temp-function path always did.
+      val d = s.sql("SELECT hilbert_d(1L, 2L, 3L) AS d")
+        .collect().head.getLong(0)
+      assert(d === 13L)
+    }
+  }
+
   test("topk_min is SQL-callable without manual registration") {
     withExtSession { s =>
       val rows = s.sql("""

@@ -40,6 +40,75 @@ class VectorsApiSpec extends SparkSuite {
       "nothing-new must yield nothing")
   }
 
+  test("kmeansAssignIncremental: backfill ≡ full assignment, none-new ≡ empty, batch-split invariant") {
+    def asgSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all-new backfill law: assigning the training corpus against its
+    // own frozen codebook IS the batch path's final assignment step
+    val full = asgSet(Vectors.kmeansAssign(base, kCells = 8, iters = 3,
+      nprobe = 1))
+    val backfill = asgSet(Vectors.kmeansAssignIncremental(base, base,
+      kCells = 8, iters = 3))
+    assert(backfill === full, "newBatch = oldBase must equal kmeansAssign")
+    // none-new law
+    assert(Vectors.kmeansAssignIncremental(base, base.filter(lit(false)),
+      kCells = 8, iters = 3).isEmpty, "empty batch must assign nothing")
+    // batch-split invariance: frozen-codebook assignment has no
+    // cross-row state, so daily batching merges exactly
+    val b1 = Vectors.kmeansAssignIncremental(base,
+      base.filter($"id" % 2 === 0), kCells = 8, iters = 3)
+    val b2 = Vectors.kmeansAssignIncremental(base,
+      base.filter($"id" % 2 === 1), kCells = 8, iters = 3)
+    assert((asgSet(b1) union asgSet(b2)) === backfill,
+      "split batches must union to the full backfill assignment")
+  }
+
+  test("kmeansDriftStats: zero drift on empty batch, counts conserve, ppm bounded") {
+    val cells = Vectors.kmeansFit(base, 8, 3).count()
+    val none = Vectors.kmeansDriftStats(base, base.filter(lit(false)),
+      kCells = 8, iters = 3).collect()
+    assert(none.length === cells, "one drift row per frozen codebook cell")
+    assert(none.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L &&
+      r.getLong(4) === 0L), "no new vectors → zero drift everywhere")
+    val half = Vectors.kmeansDriftStats(base.filter($"id" < 250),
+      base.filter($"id" >= 250), kCells = 8, iters = 3).collect()
+    val nBase = half.map(_.getLong(1)).sum
+    val nNew = half.map(_.getLong(2)).sum
+    assert(nBase === base.filter($"id" < 250).count(),
+      "n_base must conserve the old corpus")
+    assert(nNew === base.filter($"id" >= 250).count(),
+      "n_new must conserve the new batch")
+    assert(half.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 1000000L),
+      "new_share_ppm must stay in [0, 1e6]")
+  }
+
+  test("ivfPqSearch output is shortlist-bounded, cell-consistent, rerank-exact") {
+    val got = Vectors.ivfPqSearch(base, queryFilter = $"id" < 10,
+      k = 5, shortlist = 8, nprobe = 2).collect()
+    assert(got.nonEmpty)
+    // rank ≤ k per query, strictly ordered
+    val perQ = got.groupBy(_.getLong(0))
+    perQ.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.toSeq === (1 to rows.length), s"ranks broken for $q")
+    }
+    // every returned candidate's cluster is its own rn=1 cell
+    val own = Vectors.kmeansAssign(base, 8, 3, nprobe = 2)
+      .filter($"rn" === 1).select($"id", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.forall(r => own(r.getLong(2)) === r.getLong(3)),
+      "candidate cluster must be its own coarse cell")
+    // the rerank cosine is the exact quantized cosine (spot-check via
+    // knnBrute scores on the same pairs)
+    val brute = Vectors.knnBrute(base.filter($"id" < 10), base, k = 499)
+      .select($"query_id", $"cand_id", $"cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.forall(r =>
+      brute((r.getLong(0), r.getLong(2))) === r.getDouble(5)),
+      "rerank cosine must equal the exact brute-force cosine")
+  }
+
   test("clusterSample: per-cell quota, exact two-phase top-m, deterministic") {
     val got = Vectors.clusterSample(base, kCells = 8, iters = 3,
         perCluster = 5)
