@@ -125,6 +125,119 @@ object Engine {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       lineageDoc(spark, materialized))
 
+  /** dbt-snapshots analog (the reference ships the placeholder
+    * `snapshots/.gitkeep`): maintain an SCD2 history table for a
+    * dimension across runs. Each run compares the CURRENT source
+    * state against the open records at `tableRoot/name` and
+    *   - `strategy = "timestamp"`: a source row whose `updatedAtCol`
+    *     is strictly newer than the open record's `valid_from`
+    *     supersedes it (dbt's timestamp strategy — no column compare);
+    *   - `strategy = "check"`: a source row whose tracked `attrs`
+    *     differ (null-safe) from the open record supersedes it — the
+    *     run-level twin of [[graft.operators.Events.scd2]]'s
+    *     change-detection (EngineSpec pins the version/attr/valid_from
+    *     parity against the batch operator).
+    * Superseded records close with `valid_to = ` the new row's
+    * `updatedAtCol`; new keys open at version 1; keys absent from the
+    * source keep their open record (dbt's default — no hard-delete
+    * invalidation). Re-running with an unchanged source is a no-op
+    * (idempotent), so a crashed orchestrator can always just re-run.
+    *
+    * Source rows dedup per key to the max (updatedAt, attrs…) struct
+    * — deterministic under any partitioning, same ordered-argmax
+    * refinement the A4/A5 operators use. History columns:
+    * (key, attrs…, valid_from, valid_to NULL=open, version 1-based).
+    *
+    * The rewrite goes through a tmp directory + rename-first swap
+    * (the zorderCompact pattern): the new history lands beside the
+    * old, the old directory moves away, the new one moves in, THEN
+    * the old is deleted — a crash never leaves less than one full
+    * history on disk. History tables are dimension-sized; the one
+    * shuffle is the full-outer join on `key`.
+    *
+    * Registers the history as temp view `name`; returns it. */
+  def snapshot(spark: SparkSession, source: DataFrame, name: String,
+               key: String, updatedAtCol: String, attrs: Seq[String],
+               tableRoot: String,
+               strategy: String = "timestamp"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(strategy == "timestamp" || strategy == "check",
+      s"snapshot: unknown strategy '$strategy' (timestamp | check)")
+    require(attrs.nonEmpty, "snapshot: at least one tracked attr")
+    val path = s"$tableRoot/$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tsType = source.schema(updatedAtCol).dataType
+    val payload = updatedAtCol +: attrs
+    val src = source
+      .groupBy(col(key))
+      .agg(max(struct(payload.map(col): _*)).as("_s"))
+      .select(col(key) +: payload.map(c => col(s"_s.$c").as(c)): _*)
+    val histCols = (key +: attrs) ++ Seq("valid_from", "valid_to", "version")
+    val out: DataFrame =
+      if (!hfs.exists(p))
+        src.select(
+          (col(key) +: attrs.map(col)) ++ Seq(
+            col(updatedAtCol).as("valid_from"),
+            lit(null).cast(tsType).as("valid_to"),
+            lit(1L).as("version")): _*)
+      else {
+        val hist = spark.read.parquet(path)
+        val cur = hist.filter(col("valid_to").isNull)
+        val closed = hist.filter(col("valid_to").isNotNull)
+        val s = src.select(col(key).as("_k") +:
+          payload.map(c => col(c).as(s"_s_$c")): _*)
+        val j = cur.join(s, col(key) === col("_k"), "full_outer")
+        val chg: org.apache.spark.sql.Column = strategy match {
+          case "timestamp" =>
+            col(s"_s_$updatedAtCol") > col("valid_from")
+          case _ =>
+            attrs.map(a => !(col(s"_s_$a") <=> col(a))).reduce(_ || _)
+        }
+        val matched = j.filter(col(key).isNotNull && col("_k").isNotNull)
+        val keptCur = j.filter(col(key).isNotNull &&
+            (col("_k").isNull || !chg))
+          .select(histCols.map(col): _*)
+        val closedNow = matched.filter(chg)
+          .select((col(key) +: attrs.map(col)) ++ Seq(
+            col("valid_from"),
+            col(s"_s_$updatedAtCol").as("valid_to"),
+            col("version")): _*)
+        val newVer = matched.filter(chg)
+          .select((col("_k").as(key) +: attrs.map(a =>
+            col(s"_s_$a").as(a))) ++ Seq(
+            col(s"_s_$updatedAtCol").as("valid_from"),
+            lit(null).cast(tsType).as("valid_to"),
+            (col("version") + 1L).as("version")): _*)
+        val newKeys = j.filter(col(key).isNull)
+          .select((col("_k").as(key) +: attrs.map(a =>
+            col(s"_s_$a").as(a))) ++ Seq(
+            col(s"_s_$updatedAtCol").as("valid_from"),
+            lit(null).cast(tsType).as("valid_to"),
+            lit(1L).as("version")): _*)
+        closed.select(histCols.map(col): _*)
+          .unionByName(keptCur).unionByName(closedNow)
+          .unionByName(newVer).unionByName(newKeys)
+      }
+    // tmp + rename-first swap: never less than one full history on disk
+    val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot/.$name.snap_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$tableRoot/.$name.snap_old")
+    if (hfs.exists(tmp) && !hfs.delete(tmp, true))
+      sys.error(s"snapshot: cleanup of stale $tmp failed")
+    if (hfs.exists(old) && !hfs.delete(old, true))
+      sys.error(s"snapshot: cleanup of stale $old failed")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (hfs.exists(p) && !hfs.rename(p, old))
+      sys.error(s"snapshot: rename $p -> $old failed")
+    if (!hfs.rename(tmp, p))
+      sys.error(s"snapshot: rename $tmp -> $p failed")
+    if (hfs.exists(old) && !hfs.delete(old, true))
+      sys.error(s"snapshot: delete of superseded $old failed")
+    val result = spark.read.parquet(path)
+    result.createOrReplaceTempView(name)
+    result
+  }
+
   private def registerModel(spark: SparkSession,
                             materialized: Map[String, String],
                             tableRoot: Option[String])

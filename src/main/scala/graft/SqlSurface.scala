@@ -41,4 +41,69 @@ object SqlSurface {
     * the views a session actually needs). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     register(spark, dir, SparkEntry.queries.keys.toSeq.sorted)
+
+  /** PARAMETERIZED metric entry points for the SQL-only user: the
+    * reference's metric queries take `DECLARE` variables
+    * (docs/metrics_guide.md:24-25, 57-61, 171-173 — window bounds,
+    * screenline stop, service day), which fixed-parameter views can
+    * only expose at their defaults. Spark 4's SQL table functions
+    * close that gap: each metric registers as a temporary
+    * `CREATE FUNCTION … RETURNS TABLE` whose body is the metric's
+    * plan over the model DAG views, so
+    * `SELECT * FROM mta_headways_at_stop('S3', DATE'2024-01-12',
+    * 'America/New_York')` runs the metric at ANY parameters with no
+    * Scala in the query path (SqlSurfaceSpec pins result ≡ the Scala
+    * call at non-default parameters). The bodies are the same
+    * expression shapes as the MtaMetrics DataFrame code — Catalyst
+    * inlines the function body at call site, so plans and pushdown
+    * match the Scala path. */
+  def registerMetricFunctions(spark: SparkSession, dir: String): Unit = {
+    Sources.registerAll(spark, dir)
+    Engine.registerMta(spark, dir)
+    // M1/M2 twin — trips observed per minute in a caller-chosen UTC
+    // window (metrics_guide.md:24-25)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION mta_trips_per_minute(
+          start_ts TIMESTAMP, end_ts TIMESTAMP)
+      RETURNS TABLE
+      RETURN
+      SELECT route_id, direction_id,
+             date_trunc('MINUTE', feed_ts_utc) AS ts_minute,
+             count(DISTINCT trip_uid) AS trips_observed
+      FROM fact_trips_stops
+      WHERE feed_ts_utc BETWEEN start_ts AND end_ts
+      GROUP BY route_id, direction_id, date_trunc('MINUTE', feed_ts_utc)
+    """)
+    // M5 — headways at a screenline stop on a service day
+    // (metrics_guide.md:171-173): same plan as
+    // MtaMetrics.headwaysAtStop, trip_uid tie-breaks both orderings
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION mta_headways_at_stop(
+          stop STRING, service_day DATE, tz STRING)
+      RETURNS TABLE
+      RETURN
+      WITH seen AS (
+        SELECT date_trunc('SECOND', event_ts_utc) AS pass_ts,
+               route_id, direction_id, trip_uid, stu_id
+        FROM fact_trips_stops
+        WHERE stop_id = stop
+          AND to_date(from_utc_timestamp(event_ts_utc, tz)) = service_day),
+      fp AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY trip_uid
+            ORDER BY pass_ts, stu_id) AS rn1 FROM seen)
+        WHERE rn1 = 1),
+      ord AS (
+        SELECT *, row_number() OVER (ORDER BY pass_ts, trip_uid) AS rn
+        FROM fp),
+      hw AS (
+        SELECT route_id, direction_id, pass_ts, trip_uid, rn,
+               unix_timestamp(pass_ts) - unix_timestamp(
+                 lag(pass_ts) OVER (PARTITION BY route_id, direction_id
+                   ORDER BY pass_ts, trip_uid)) AS headway_s
+        FROM ord)
+      SELECT route_id, direction_id, pass_ts, trip_uid, headway_s
+      FROM hw WHERE rn > 1
+    """)
+  }
 }

@@ -159,6 +159,38 @@ object Sources {
         .createOrReplaceTempView(t)
     }
 
+  /** dbt-seeds analog (the reference ships the placeholder
+    * `seeds/.gitkeep`): register every `*.csv` file under `csvDir` as
+    * a temp view named after the file, with a caller-PINNED schema —
+    * dbt's `column_types` posture, enforced like every other source
+    * contract. CSV is schemaless, so a seed with no declared schema
+    * fails fast (type inference silently drifting an id column to
+    * DOUBLE is exactly the bug contracts exist to stop). The
+    * `calendar` table the MTA metrics consume is the canonical seed
+    * shape. Returns the registered seed names, sorted. */
+  def seed(spark: SparkSession, csvDir: String,
+           schemas: Map[String, org.apache.spark.sql.types.StructType])
+      : Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(csvDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root))
+      throw new IllegalArgumentException(s"seed: no such directory $csvDir")
+    val files = hfs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".csv"))
+      .map(_.getPath).sortBy(_.getName)
+    files.map { f =>
+      val name = f.getName.stripSuffix(".csv")
+      val schema = schemas.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"seed: '$name' has no declared schema — seeds are " +
+            "contract-pinned (dbt column_types); declare every column"))
+      val df = tableAs(spark, f.toString, "csv", Some(schema))
+      assertContract(name, df.schema, schema)
+      df.createOrReplaceTempView(name)
+      name
+    }.toSeq
+  }
+
   /** Format-agnostic read: the registry's seam for non-Parquet
     * sources (json / csv / orc). Schema is required for the schemaless
     * text formats so types match the Parquet-defined contract. */

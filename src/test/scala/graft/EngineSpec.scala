@@ -491,6 +491,92 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("snapshot check-strategy: history ≡ scd2 batch semantics, idempotent re-run") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    val day = 86400L
+    val d1 = Seq(("A", "red", 1L * day), ("B", "blue", 1L * day),
+      ("C", "green", 1L * day)).toDF("route", "color", "updated_at")
+    // day 2: B changes; A and C re-observed UNCHANGED at a newer
+    // timestamp — check strategy must not version them
+    val d2 = Seq(("A", "red", 2L * day), ("B", "navy", 2L * day),
+      ("C", "green", 2L * day)).toDF("route", "color", "updated_at")
+    val h1 = Engine.snapshot(spark, d1, "snap_dim", "route",
+      "updated_at", Seq("color"), root, strategy = "check")
+    assert(h1.count() === 3 && h1.filter($"valid_to".isNotNull).count() === 0)
+    val h2 = Engine.snapshot(spark, d2, "snap_dim", "route",
+      "updated_at", Seq("color"), root, strategy = "check")
+    val rows = h2.orderBy($"route", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("A", "red", day, None, 1L),
+      ("B", "blue", day, Some(2 * day), 1L),
+      ("B", "navy", 2 * day, None, 2L),
+      ("C", "green", day, None, 1L)))
+    // the temp view is registered and queryable
+    assert(spark.sql("SELECT count(*) FROM snap_dim").head.getLong(0) === 4L)
+    // idempotent: same source again changes nothing
+    val h3 = Engine.snapshot(spark, d2, "snap_dim", "route",
+      "updated_at", Seq("color"), root, strategy = "check").collect()
+    assert(h3.length === 4)
+    // parity with the batch SCD2 operator over the observation union:
+    // same (version, attr, valid_from_day) sequence per key
+    val obs = d1.unionByName(d2)
+      .select($"route", $"updated_at", $"color",
+        monotonically_increasing_id().as("tb"))
+    val batch = graft.operators.Events
+      .scd2(obs, "route", $"updated_at", "color", "tb")
+      .orderBy($"route", $"version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val snapSeq = rows.map(r => (r._1, r._5, r._2, r._3 / day))
+    assert(batch.toSeq === snapSeq.toSeq.map(s => (s._1, s._2, s._3, s._4)),
+      "snapshot history must replay the batch scd2 version sequence")
+  }
+
+  test("snapshot timestamp-strategy: newer row versions, stale row no-ops, new key opens") {
+    val root = Files.createTempDirectory("graft_snap_ts").toString
+    val d1 = Seq(("A", "x", 100L), ("B", "y", 100L))
+      .toDF("k", "v", "updated_at")
+    Engine.snapshot(spark, d1, "snap_ts", "k", "updated_at", Seq("v"), root)
+    // A newer (same value — timestamp strategy versions anyway, the
+    // dbt contract: no column compare), B stale, C new
+    val d2 = Seq(("A", "x", 200L), ("B", "y2", 50L), ("C", "z", 150L))
+      .toDF("k", "v", "updated_at")
+    val h = Engine.snapshot(spark, d2, "snap_ts", "k", "updated_at",
+        Seq("v"), root)
+      .orderBy($"k", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      ("A", "x", 100L, Some(200L), 1L),
+      ("A", "x", 200L, None, 2L),
+      ("B", "y", 100L, None, 1L), // stale update never rewinds history
+      ("C", "z", 150L, None, 1L)))
+  }
+
+  test("seed registers contract-pinned CSVs; missing schema fails fast") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_seeds")
+    Files.writeString(dir.resolve("svc_calendar.csv"),
+      "service_date,dow,is_weekend\n2024-01-06,6,true\n2024-01-08,1,false\n")
+    val names = graft.sources.Sources.seed(spark, dir.toString, Map(
+      "svc_calendar" -> StructType.fromDDL(
+        "service_date DATE, dow INT, is_weekend BOOLEAN")))
+    assert(names === Seq("svc_calendar"))
+    // pinned types survive (no CSV inference drift) and the view joins
+    val got = spark.sql(
+      "SELECT dow FROM svc_calendar WHERE is_weekend ORDER BY dow")
+      .collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(6))
+    assert(spark.table("svc_calendar").schema("service_date").dataType
+      === DateType)
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.Sources.seed(spark, dir.toString, Map.empty)
+    }
+    assert(err.getMessage.contains("no declared schema"))
+  }
+
   test("saltedJoin returns the same result as a plain join") {
     val li = graft.sources.Sources.table(spark, sf(), "lineitem")
       .select($"l_orderkey".as("k"), $"l_quantity")

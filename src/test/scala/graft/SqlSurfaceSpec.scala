@@ -35,6 +35,49 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(trips > 0L)
   }
 
+  test("parameterized metrics run at NON-DEFAULT parameters via spark.sql only") {
+    import org.apache.spark.sql.functions._
+    SqlSurface.registerMetricFunctions(spark, sf())
+    // the registered mta_m5_headways view is pinned at ('S5',
+    // 2024-01-10); call the SQL table function at different params
+    val sqlRows = spark.sql("""
+      SELECT route_id, direction_id, unix_timestamp(pass_ts) AS pass_s,
+             trip_uid, headway_s
+      FROM mta_headways_at_stop('S3', DATE'2024-01-12', 'America/New_York')
+      ORDER BY pass_s, trip_uid""").collect()
+    assert(sqlRows.nonEmpty, "non-default screenline must observe passes")
+    val e = graft.models.MtaSynthetic.ev(spark, sf())
+    val fts = graft.models.MtaModels.factTripsStops(
+      graft.models.MtaSynthetic.tripUpdates(e),
+      graft.models.MtaSynthetic.stopTimeUpdates(e),
+      graft.models.MtaSynthetic.stops(spark),
+      graft.models.MtaSynthetic.trips(e))
+    val scalaRows = graft.models.MtaMetrics
+      .headwaysAtStop(fts, "S3", "2024-01-12", "America/New_York")
+      .select(col("route_id"), col("direction_id"),
+        unix_timestamp(col("pass_ts")).as("pass_s"), col("trip_uid"),
+        col("headway_s"))
+      .orderBy(col("pass_s"), col("trip_uid")).collect()
+    assert(sqlRows.map(_.toSeq).toSeq === scalaRows.map(_.toSeq).toSeq,
+      "SQL table function must equal the Scala metric at the same params")
+    // windowed M1 at a non-default window
+    val m1Sql = spark.sql("""
+      SELECT route_id, direction_id, unix_timestamp(ts_minute) AS minute_s,
+             trips_observed
+      FROM mta_trips_per_minute(TIMESTAMP'2024-01-12 11:00:00',
+                                TIMESTAMP'2024-01-12 13:00:00')
+      ORDER BY minute_s, route_id, direction_id""").collect()
+    assert(m1Sql.nonEmpty)
+    val m1Scala = graft.models.MtaMetrics
+      .tripsPerMinute(fts, "2024-01-12 11:00:00", "2024-01-12 13:00:00")
+      .select(col("route_id"), col("direction_id"),
+        unix_timestamp(col("ts_minute")).as("minute_s"),
+        col("trips_observed"))
+      .orderBy(col("minute_s"), col("route_id"), col("direction_id"))
+      .collect()
+    assert(m1Sql.map(_.toSeq).toSeq === m1Scala.map(_.toSeq).toSeq)
+  }
+
   test("unknown query names fail fast with the valid catalog") {
     val e = intercept[IllegalArgumentException] {
       SqlSurface.register(spark, sf(), Seq("no_such_query"))
