@@ -510,6 +510,119 @@ object ScaleProbe {
           .groupBy(col("cluster"), col("term"))
           .agg(count(lit(1)).as("n_ct"))
       },
+      "did" -> { k =>
+        // e_did's shape scaled by users: broadcast 1-row midpoint,
+        // revenue + distinct-user passes, 4-cell pivot — row-linear
+        val e0 = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+        val ext = e0
+          .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+          .agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        val e = e0.select(col("user_id"),
+            (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L)
+              .as("cents"))
+          .crossJoin(broadcast(ext))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+          .withColumn("period",
+            when(col("day") < col("mid"), "pre").otherwise("post"))
+        val rev = e.groupBy(col("arm"), col("period"))
+          .agg(sum(col("cents")).as("cents"))
+        val usr = e.select(col("arm"), col("period"), col("user_id"))
+          .distinct()
+          .groupBy(col("arm"), col("period")).agg(count(lit(1)).as("users"))
+        rev.join(usr, Seq("arm", "period"))
+          .withColumn("avg_x100", expr("cents * 100L div users"))
+      },
+      "ltv_cohorts" -> { k =>
+        // e_ltv_cohorts' Expand-free two-pass shape scaled by users:
+        // per-user cohort window, rev + active passes joined on the
+        // bounded (cohort, age) key, cum window over that key
+        val w = Window.partitionBy(col("user_id"))
+        val e = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(col("user_id"),
+            (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L)
+              .as("cents"))
+          .withColumn("cohort_day", min(col("day")).over(w))
+        val rev = e.groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("age"))
+          .agg(sum(col("cents")).as("rev_cents"))
+        val act = e.select(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("age"), col("user_id"))
+          .distinct()
+          .groupBy(col("cohort_day"), col("age"))
+          .agg(count(lit(1)).as("n_active"))
+        rev.join(act, Seq("cohort_day", "age"))
+          .withColumn("cum_cents", sum(col("rev_cents")).over(
+            Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+      },
+      "benford" -> { k =>
+        // dq_benford over a lineitem fraction: one digit histogram,
+        // 9-row frames after — scan-linear by construction
+        Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+          .select(round(col("l_extendedprice") * 100).cast("long")
+            .as("cents"))
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      },
+      "hhi" -> { k =>
+        // a_hhi scaled by users: per-(type, user) pre-agg then the
+        // bounded per-type moment agg
+        Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n_u"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n_u")).as("n"), count(lit(1)).as("n_users"),
+            sum(col("n_u") * col("n_u")).as("ss"))
+          .withColumn("hhi_ppm", expr("ss * 1000000L div (n * n)"))
+      },
+      "pair_align" -> { k =>
+        // mm_pair_align scaled by docs: derived 32-d image vectors,
+        // two equi-joins against the text-embedding slice, one dot
+        // per side — row-linear, no pair blowup
+        graft.functions.LongArrayDot.register(spark)
+        val img = docFrac(k)
+          .withColumn("hh", hex(sha2(col("text"), 256)))
+          .select(col("doc_id"), expr("""transform(sequence(0, 31),
+            i -> CAST(conv(substr(hh, 2 * (i % 16) + 1, 2), 16, 10)
+                 AS BIGINT) - 128L)""").as("iv"))
+        val txt = embFrac(k)
+          .select(col("vec_id").as("doc_id"),
+            expr("slice(sv, 1, 32)").as("tv"))
+        val nRow = img.agg(count(lit(1)).as("n_docs"))
+        // negatives must stay inside the FRACTION's id space (ids are
+        // multiples of k), or the neg join matches nothing and the
+        // smaller points skip the second join's real work
+        img.crossJoin(broadcast(nRow))
+          .withColumn("neg_id",
+            expr(s"((doc_id div $k + 7L) % n_docs) * $k"))
+          .join(txt, Seq("doc_id"))
+          .join(txt.select(col("doc_id").as("neg_id"),
+            col("tv").as("nv")), Seq("neg_id"))
+          .withColumn("dot_true", expr("long_dot(iv, tv)"))
+          .withColumn("dot_neg", expr("long_dot(iv, nv)"))
+      },
+      "minhash_est" -> (k => Corpus.minhashEstimate(docFrac(k))),
+      "kmeans_inc" -> { k =>
+        // the frozen-codebook refresh scaled by vectors: fit on the
+        // old 80%, assign the new 20%, per-cell drift aggs
+        Vectors.kmeansDriftStats(
+          embFrac(k).filter(col("vec_id") % 5 =!= 0),
+          embFrac(k).filter(col("vec_id") % 5 === 0),
+          kCells = 8, iters = 2)
+      },
+      "ivfpq" -> (k => Vectors.ivfPqSearch(embFrac(k),
+        queryFilter = col("id") < 10 * k, k = 5, shortlist = 8,
+        nprobe = 2)),
       "layout_zorder" -> { k =>
         // the registered fixed-range bucket-stats shape over a
         // lineitem fraction: extent aggs + map-side bucketing + two

@@ -284,6 +284,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx <= 5, s"expected <= 5 hash exchanges, found $hashEx:\n$p")
   }
 
+  test("e_ltv_cohorts runs revenue and active-user passes without an Expand") {
+    // sum + countDistinct in ONE agg would Expand every event row ×2
+    // through the shuffle; the decomposed two-pass + join-on-(cohort,
+    // age) shape must plan NO Expand node
+    val p = plan(SparkEntry.queries("e_ltv_cohorts")(spark, sf()))
+    assert(!p.contains("Expand"),
+      s"e_ltv_cohorts must keep rev/act as separate passes:\n$p")
+  }
+
+  test("e_did computes cells without an Expand; the mid-day frame broadcasts") {
+    // same rule: revenue sum and distinct-user count are separate
+    // passes joined on the 4-cell (arm, period) key — no Expand; the
+    // 1-row midpoint frame reaches every row by broadcast
+    val p = plan(SparkEntry.queries("e_did")(spark, sf()))
+    assert(!p.contains("Expand"),
+      s"e_did must keep rev/user counts as separate passes:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"midpoint frame should broadcast:\n$p")
+  }
+
+  test("text_topics counts tokens and distinct docs as separate passes") {
+    // regression pin for the round-9 decomposition: count(*) +
+    // countDistinct(doc_id) in one agg planned an Expand doubling
+    // every token row through the shuffle
+    val p = plan(SparkEntry.queries("text_topics")(spark, sf()))
+    assert(!p.contains("Expand"),
+      s"text_topics must not Expand the token frame:\n$p")
+  }
+
   test("a_cms probes the merged sketch by broadcast, never a shuffle join") {
     // the merged sketch is d*w = 192 counters regardless of corpus
     // size — the probe join must broadcast it; a SortMergeJoin here
