@@ -130,30 +130,50 @@ object Corpus extends org.apache.spark.internal.Logging {
 
   /** Materialized (doc_id, mh0..mh7, toks [, carry...]) signature
     * frame — the shingle→minhash pipeline, run exactly once. */
-  private def minhashSigToks(docs: DataFrame,
-                             carry: Seq[String] = Nil): DataFrame = {
+  /** Per-shingle hash rows (doc_id, hs [, carry…]) — the shared front
+    * half of the minhash pipeline (its hottest explode), factored so
+    * the STREAMING decontamination probe
+    * (`StreamingModels.contaminationStream`) hashes identically to
+    * the batch signature frame by construction, not by duplication. */
+  private[graft] def shingleHashRows(docs: DataFrame,
+                                     carry: Seq[String] = Nil): DataFrame = {
     graft.functions.Md5PrefixLong.register(docs.sparkSession)
-    val base = docs.select(col("doc_id") +:
-      split(col("text"), " ").as("raw") +:
-      array_distinct(split(col("text"), " ")).as("toks") +:
-      carry.map(col): _*)
-    val sh = base
+    docs.select(col("doc_id") +: split(col("text"), " ").as("raw") +:
+        carry.map(col): _*)
       .withColumn("i", explode(expr(
         "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)")))
-      .select(col("doc_id"), expr(
+      .select(col("doc_id") +: expr(
         """CASE WHEN size(raw) >= 3 THEN
              concat_ws(' ', element_at(raw, i),
                element_at(raw, i + 1), element_at(raw, i + 2))
-           ELSE concat_ws(' ', raw) END""").as("s"))
+           ELSE concat_ws(' ', raw) END""").as("s") +: carry.map(col): _*)
       // md5_prefix_long ≡ CAST(conv(substring(md5(s),1,14),16,10) AS
       // BIGINT) — same value straight from the digest bytes, no
       // 32-char hex string per shingle (this explode is the hottest
       // hashing site; Md5PrefixSpec pins the equivalence)
       .withColumn("hs", expr("md5_prefix_long(s, 14) % 1000003L"))
-    val mhAggs = (0 until 8).map(i =>
-      min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
-        .as(s"mh$i"))
-    val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  /** The 8 signature min-aggregates over `hs` — shared with the
+    * streaming twin (same constants, same modulus). */
+  private[graft] def mhAggCols: Seq[Column] = (0 until 8).map(i =>
+    min(expr(s"(${37 + 101 * i}L * hs + ${17 + 1009 * i}L) % 1000033L"))
+      .as(s"mh$i"))
+
+  /** Band explode over mh0..mh7 → struct(band, k1, k2) — 4 bands of
+    * 2 hashes, shared with the streaming twin. */
+  private[graft] def bandExplode: Column =
+    explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
+             col(s"mh${2 * b + 1}").as("k2"))): _*))
+
+  private def minhashSigToks(docs: DataFrame,
+                             carry: Seq[String] = Nil): DataFrame = {
+    val base = docs.select(col("doc_id") +:
+      array_distinct(split(col("text"), " ")).as("toks") +:
+      carry.map(col): _*)
+    val mh = shingleHashRows(docs)
+      .groupBy(col("doc_id")).agg(mhAggCols.head, mhAggCols.tail: _*)
     graft.Engine.materialize(
       mh.join(base.select(col("doc_id") +: col("toks") +: carry.map(col): _*),
         Seq("doc_id")),
@@ -165,16 +185,23 @@ object Corpus extends org.apache.spark.internal.Logging {
     * docs, new and historical alike). */
   private def minhashBanded(sigToks: DataFrame, bucketCap: Int,
                             carry: Seq[String] = Nil): DataFrame =
-    sigToks.select(col("doc_id") +:
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
-               col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk") +:
+    sigToks.select(col("doc_id") +: bandExplode.as("bk") +:
       carry.map(col): _*)
       .select(col("doc_id") +: col("bk.band") +: col("bk.k1") +:
         col("bk.k2") +: carry.map(col): _*)
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("k1"), col("k2"))))
       .filter(col("bsz") <= bucketCap)
+
+  /** PUBLIC frozen minhash band index over a reference corpus:
+    * (doc_id, band, k1, k2, toks) with the flood cap applied — the
+    * STATIC side of the streaming decontamination probe
+    * (`StreamingModels.contaminationStream`): build it once over the
+    * eval/benchmark set, persist it, and every incoming training doc
+    * probes it by equi-join on (band, k1, k2). Token sets ride along
+    * for the exact-Jaccard verify. */
+  def minhashBandIndex(docs: DataFrame, bucketCap: Int = 512): DataFrame =
+    minhashBanded(minhashSigToks(docs), bucketCap, carry = Seq("toks"))
 
   /** MinHash estimator accuracy eval — the sketch-quality readout the
     * ann_recall operator gives ANN, applied to the dedup family: for

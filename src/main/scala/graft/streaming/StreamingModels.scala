@@ -52,6 +52,98 @@ object StreamingModels {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("word"), col("m"))
 
+  /** Streaming frozen-codebook cell assignment — the streaming twin
+    * of `Vectors.kmeansAssignIncremental` (the vector-index family's
+    * daily refresh, run continuously): newly ingested vectors assign
+    * against a STATIC codebook (8-row broadcast side of a
+    * stream-static cross join — stateless), then ONE windowed
+    * aggregation picks each vector's argmax cell with the batch
+    * path's exact tie-break (score DESC, cluster_id ASC, encoded as
+    * max(struct(score, -cluster_id, …))). The emitted (day, id,
+    * cluster, score, sv) frame IS the persisted daily assignment:
+    * per-cell drift stats (`Vectors.kmeansDriftStats`'s n_new /
+    * rounded-mean shift) re-aggregate it downstream with no raw
+    * replay, and re-emitting a vector's row is idempotent under
+    * max-merge — at-least-once delivery cannot flip an assignment.
+    * State per key is one struct, watermark-evicted a day after the
+    * day closes.
+    *
+    * `newVecs` needs (ts TIMESTAMP, id, sv, nrm) — produce sv/nrm
+    * with `Vectors.quantize`; `codebook` is a `Vectors.kmeansFit`
+    * result (cluster_id, cvec, cnrm), frozen for the stream's
+    * lifetime exactly like the incremental batch job's. Works on
+    * batch or streaming input (StreamingSpec asserts parity with the
+    * batch incremental API). */
+  def kmeansAssignStream(newVecs: DataFrame, codebook: DataFrame)
+      : DataFrame = {
+    graft.functions.LongArrayDot.register(newVecs.sparkSession)
+    val cb = broadcast(codebook
+      .select(col("cluster_id"), col("cvec"), col("cnrm")))
+    newVecs
+      .withWatermark("ts", "1 day")
+      .crossJoin(cb)
+      .withColumn("score", expr("long_dot(sv, cvec)").cast("double") /
+        sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+      .groupBy(window(col("ts"), "1 day"), col("id"))
+      .agg(max(struct(col("score"), (-col("cluster_id")).as("nc"),
+        col("cluster_id"), col("sv"))).as("best"))
+      .select(col("window.start").as("day_start"), col("id"),
+        col("best.cluster_id").as("cluster"), col("best.score").as("score"),
+        col("best.sv").as("sv"))
+  }
+
+  /** Streaming decontamination probe — the streaming twin of
+    * `text_contamination` and the dedup family's ingest-time gate:
+    * every incoming training document is checked against a FROZEN
+    * minhash band index of the eval/benchmark corpus
+    * (`Corpus.minhashBandIndex`, built once and broadcast) BEFORE it
+    * enters the training set, instead of a nightly backfill after
+    * the damage is in. Pipeline: the batch pipeline's own shingle
+    * hash rows (`Corpus.shingleHashRows` — identical hashing by
+    * construction), ONE windowed aggregation building the 8-hash
+    * signature and carrying the token set, a stateless band explode,
+    * a stream-static equi-join on (band, k1, k2), and the exact
+    * token-set Jaccard verify. New×new pairs are deliberately out of
+    * scope — contamination is new-vs-eval by definition (the batch
+    * incremental dedup handles new×new).
+    *
+    * Emits per-BAND hits (day_start, train_doc, eval_doc, band,
+    * jaccard): a pair colliding in several bands emits one row per
+    * band with identical jaccard, so the downstream merge is a
+    * DISTINCT on (train_doc, eval_doc) — idempotent under band
+    * duplicates and at-least-once replay alike, the same posture as
+    * the bitmap/CMS partials. `newDocs` needs (ts TIMESTAMP, doc_id,
+    * text); works on batch or streaming input (StreamingSpec asserts
+    * parity). */
+  def contaminationStream(newDocs: DataFrame, evalIndex: DataFrame,
+                          minJaccard: Double = 0.5): DataFrame = {
+    import graft.operators.Corpus
+    val sh = Corpus.shingleHashRows(
+      newDocs.withColumn("toks", array_distinct(split(col("text"), " "))),
+      carry = Seq("toks", "ts"))
+    val sig = sh
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("doc_id"))
+      .agg(Corpus.mhAggCols.head,
+        (Corpus.mhAggCols.tail :+ min(col("toks")).as("toks")): _*)
+    val banded = sig
+      .select(col("window.start").as("day_start"),
+        col("doc_id").as("train_doc"), Corpus.bandExplode.as("bk"),
+        col("toks").as("toks_t"))
+      .select(col("day_start"), col("train_doc"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"), col("toks_t"))
+    banded
+      .join(broadcast(evalIndex.select(col("doc_id").as("eval_doc"),
+        col("band"), col("k1"), col("k2"), col("toks").as("toks_e"))),
+        Seq("band", "k1", "k2"))
+      .withColumn("jaccard", try_divide(
+        size(array_intersect(col("toks_t"), col("toks_e"))),
+        size(array_distinct(concat(col("toks_t"), col("toks_e"))))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("day_start"), col("train_doc"), col("eval_doc"),
+        col("band"), col("jaccard"))
+  }
+
   /** Streaming daily Count-Min partials — the FREQUENCY member of the
     * streaming mergeable family, twin of the batch `a_cms` operator
     * (bitmap = exact distinct, HLL = approx distinct, SpaceSaving =

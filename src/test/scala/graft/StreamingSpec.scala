@@ -209,6 +209,122 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming frozen-codebook assignment matches the incremental batch API") {
+    import graft.operators.Vectors
+    val all = Vectors.quantize(Sources.table(spark, sf(), "embeddings"))
+      .withColumn("id", $"vec_id")
+    val old = all.filter($"id" < 400)
+    val newB = all.filter($"id" >= 400)
+    val codebook = Vectors.kmeansFit(old, 8, 3)
+    // batch-mode call of the streaming model (same code path, no stream)
+    val batchAsg = StreamingModels.kmeansAssignStream(
+      newB.withColumn("ts", lit("2024-01-05 12:00:00").cast("timestamp")),
+      codebook)
+    def asgMap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val incr = asgMap(Vectors.kmeansAssignIncremental(old, newB, 8, 3))
+    assert(asgMap(batchAsg) === incr,
+      "streaming model in batch mode must equal the incremental API")
+    // true streaming over a parquet dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_kma")
+      .resolve("in").toString
+    newB.withColumn("ts",
+        lit("2024-01-05 12:00:00").cast("timestamp"))
+      .select($"ts", $"id", $"sv", $"nrm")
+      .write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingModels.kmeansAssignStream(stream, codebook)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("kma_asg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kma_asg")
+      assert(asgMap(got) === incr,
+        "streamed assignment must equal the incremental API")
+      // the emitted frame is the persisted daily assignment: per-cell
+      // n_new re-aggregates from it and matches the batch drift stats
+      val nNew = got.groupBy($"cluster").agg(count(lit(1)).as("n_new"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val drift = Vectors.kmeansDriftStats(old, newB, 8, 3)
+        .filter($"n_new" > 0).select($"cluster", $"n_new").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(nNew === drift,
+        "per-cell counts from the emitted frame must match drift stats")
+      // idempotent under replay: max-merging a duplicated frame
+      // changes no assignment (at-least-once safety)
+      val replayed = got.union(got)
+        .groupBy($"day_start", $"id")
+        .agg(max(struct($"score", (-$"cluster").as("nc"), $"cluster"))
+          .as("b"))
+        .select($"id", $"b.cluster".as("cluster"))
+      assert(asgMap(replayed) === incr)
+    } finally q.stop()
+  }
+
+  test("streaming decontamination probe: batch parity and cross-split ground truth") {
+    import graft.operators.Corpus
+    val docs = Sources.table(spark, sf(), "documents")
+    val h = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2)," +
+      " 16, 10) AS BIGINT) % 10")
+    val evalDocs = docs.filter(h >= 8)
+    val trainDocs = docs.filter(h < 8)
+    val idx = Corpus.minhashBandIndex(evalDocs)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"train_doc", $"eval_doc").distinct().collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // batch-mode call of the streaming model
+    val batchHits = StreamingModels.contaminationStream(
+      trainDocs.withColumn("ts",
+        lit("2024-01-05 12:00:00").cast("timestamp")), idx)
+    val batchPairs = pairSet(batchHits)
+    assert(batchPairs.nonEmpty, "testdata must contain cross-split near-dups")
+    // ground truth: the oracle-checked full minhash pairs restricted
+    // to pairs crossing the train/eval split (the bucket cap is inert
+    // at this corpus size, so the sets must match exactly)
+    val evalIds = evalDocs.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val truth = Corpus.minhashPairs(docs, minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => evalIds.contains(p._1) ^ evalIds.contains(p._2))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(batchPairs === truth,
+      "probe hits must equal the full dedup's cross-split pairs")
+    // jaccard values are the exact token-set jaccard (recomputed raw)
+    val emitted = batchHits.select($"train_doc", $"eval_doc", $"jaccard")
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").distinct.toSet))
+      .toMap
+    emitted.foreach { case ((t, e), j) =>
+      val (a, b) = (texts(t), texts(e))
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      assert(j === exact, s"jaccard drift for ($t, $e): $j vs $exact")
+    }
+    // true streaming over a parquet dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont")
+      .resolve("in").toString
+    trainDocs.withColumn("ts",
+        lit("2024-01-05 12:00:00").cast("timestamp"))
+      .select($"ts", $"doc_id", $"text").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingModels.contaminationStream(stream, idx)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cont_hits").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cont_hits")
+      assert(pairSet(got) === batchPairs,
+        "streamed probe must equal the batch-mode call")
+      // per-band emission distinct-merges idempotently under replay
+      assert(pairSet(got.union(got)) === batchPairs)
+    } finally q.stop()
+  }
+
   test("streaming bitmap partials merge to the exact distinct (batch parity)") {
     val batch = Sources.table(spark, sf(), "events")
     // the partial frame computed in one batch pass
