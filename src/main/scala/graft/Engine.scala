@@ -139,9 +139,13 @@ object Engine {
     *     parity against the batch operator).
     * Superseded records close with `valid_to = ` the new row's
     * `updatedAtCol`; new keys open at version 1; keys absent from the
-    * source keep their open record (dbt's default — no hard-delete
-    * invalidation). Re-running with an unchanged source is a no-op
-    * (idempotent), so a crashed orchestrator can always just re-run.
+    * source keep their open record (dbt's default). With
+    * `invalidateHardDeletes = true` (dbt's `invalidate_hard_deletes`)
+    * a key absent from the source instead CLOSES its open record at
+    * `deletedAt` — pass the run's observation timestamp; a later
+    * re-appearance of the key opens a fresh version. Re-running with
+    * an unchanged source is a no-op (idempotent), so a crashed
+    * orchestrator can always just re-run.
     *
     * Source rows dedup per key to the max (updatedAt, attrs…) struct
     * — deterministic under any partitioning, same ordered-argmax
@@ -159,11 +163,16 @@ object Engine {
   def snapshot(spark: SparkSession, source: DataFrame, name: String,
                key: String, updatedAtCol: String, attrs: Seq[String],
                tableRoot: String,
-               strategy: String = "timestamp"): DataFrame = {
+               strategy: String = "timestamp",
+               invalidateHardDeletes: Boolean = false,
+               deletedAt: Option[Any] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(strategy == "timestamp" || strategy == "check",
       s"snapshot: unknown strategy '$strategy' (timestamp | check)")
     require(attrs.nonEmpty, "snapshot: at least one tracked attr")
+    require(!invalidateHardDeletes || deletedAt.isDefined,
+      "snapshot: invalidateHardDeletes needs deletedAt (the run's " +
+        "observation timestamp to close deleted keys at)")
     val path = s"$tableRoot/$name"
     val p = new org.apache.hadoop.fs.Path(path)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,9 +204,16 @@ object Engine {
             attrs.map(a => !(col(s"_s_$a") <=> col(a))).reduce(_ || _)
         }
         val matched = j.filter(col(key).isNotNull && col("_k").isNotNull)
-        val keptCur = j.filter(col(key).isNotNull &&
-            (col("_k").isNull || !chg))
-          .select(histCols.map(col): _*)
+        val keptCur = matched.filter(!chg).select(histCols.map(col): _*)
+        // keys absent from the source: kept open (default) or closed
+        // at the run's observation timestamp (hard-delete invalidation)
+        val absentCur = j.filter(col(key).isNotNull && col("_k").isNull)
+        val absentOut =
+          if (!invalidateHardDeletes) absentCur.select(histCols.map(col): _*)
+          else absentCur.select((col(key) +: attrs.map(col)) ++ Seq(
+            col("valid_from"),
+            lit(deletedAt.get).cast(tsType).as("valid_to"),
+            col("version")): _*)
         val closedNow = matched.filter(chg)
           .select((col(key) +: attrs.map(col)) ++ Seq(
             col("valid_from"),
@@ -209,15 +225,22 @@ object Engine {
             col(s"_s_$updatedAtCol").as("valid_from"),
             lit(null).cast(tsType).as("valid_to"),
             (col("version") + 1L).as("version")): _*)
+        // a key with no OPEN record may still have CLOSED history (a
+        // hard-deleted key re-appearing): continue its version
+        // sequence rather than colliding with version 1
+        val closedMaxV = closed.groupBy(col(key))
+          .agg(max(col("version")).as("_cv"))
+          .withColumnRenamed(key, "_ck")
         val newKeys = j.filter(col(key).isNull)
+          .join(closedMaxV, col("_k") === col("_ck"), "left")
           .select((col("_k").as(key) +: attrs.map(a =>
             col(s"_s_$a").as(a))) ++ Seq(
             col(s"_s_$updatedAtCol").as("valid_from"),
             lit(null).cast(tsType).as("valid_to"),
-            lit(1L).as("version")): _*)
+            (coalesce(col("_cv"), lit(0L)) + 1L).as("version")): _*)
         closed.select(histCols.map(col): _*)
           .unionByName(keptCur).unionByName(closedNow)
-          .unionByName(newVer).unionByName(newKeys)
+          .unionByName(newVer).unionByName(absentOut).unionByName(newKeys)
       }
     // tmp + rename-first swap: never less than one full history on disk
     val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot/.$name.snap_tmp")

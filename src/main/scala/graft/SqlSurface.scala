@@ -74,6 +74,42 @@ object SqlSurface {
       WHERE feed_ts_utc BETWEEN start_ts AND end_ts
       GROUP BY route_id, direction_id, date_trunc('MINUTE', feed_ts_utc)
     """)
+    // M2 twin — trips per aligned 5-minute bucket in a caller-chosen
+    // UTC window (metrics_guide.md:39-51)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION mta_trips_per_5min(
+          start_ts TIMESTAMP, end_ts TIMESTAMP)
+      RETURNS TABLE
+      RETURN
+      SELECT route_id, direction_id,
+             timestamp_seconds((unix_timestamp(feed_ts_utc) div 300) * 300)
+               AS ts_5min,
+             count(DISTINCT trip_uid) AS trips_observed
+      FROM fact_trips_stops
+      WHERE feed_ts_utc BETWEEN start_ts AND end_ts
+      GROUP BY route_id, direction_id,
+               timestamp_seconds((unix_timestamp(feed_ts_utc) div 300) * 300)
+    """)
+    // M7 — run time between two caller-chosen stops on the same trip
+    // (metrics_guide.md:217-237): same plan as MtaMetrics.runTimeAB
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION mta_runtime_ab(
+          stop_a STRING, stop_b STRING)
+      RETURNS TABLE
+      RETURN
+      WITH sa AS (
+        SELECT trip_uid, coalesce(departure_ts_utc, arrival_ts_utc) AS ts_a,
+               stu_id AS stu_a
+        FROM fact_trips_stops WHERE stop_id = stop_a),
+      sb AS (
+        SELECT trip_uid, coalesce(arrival_ts_utc, departure_ts_utc) AS ts_b,
+               stu_id AS stu_b
+        FROM fact_trips_stops WHERE stop_id = stop_b)
+      SELECT sa.trip_uid, sa.stu_a, sb.stu_b,
+             unix_timestamp(sb.ts_b) - unix_timestamp(sa.ts_a) AS runtime_s
+      FROM sa JOIN sb ON sb.trip_uid = sa.trip_uid
+      WHERE sb.ts_b >= sa.ts_a
+    """)
     // M5 — headways at a screenline stop on a service day
     // (metrics_guide.md:171-173): same plan as
     // MtaMetrics.headwaysAtStop, trip_uid tie-breaks both orderings

@@ -36,6 +36,41 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.Corpus.minhashEstimate(noDocs).count() === 0)
   }
 
+  test("round-9 public APIs degrade cleanly on empty inputs") {
+    import org.apache.spark.sql.functions._
+    val base = graft.operators.Vectors
+      .quantize(Sources.table(spark, sf(), "embeddings"))
+      .withColumn("id", $"vec_id")
+    // frozen-codebook incremental: empty batch → empty assignment,
+    // all-zero drift (already spec'd in VectorsApiSpec; pinned here
+    // beside the family's other empty laws)
+    assert(graft.operators.Vectors
+      .kmeansAssignIncremental(base, empty(base)).isEmpty)
+    // ivf-pq: empty QUERY side → no results, no throw (the coarse and
+    // PQ fits still run over the corpus)
+    assert(graft.operators.Vectors
+      .ivfPqSearch(base, queryFilter = lit(false)).count() === 0)
+    // minhash band index: empty corpus → empty index; the streaming
+    // probe against it emits nothing
+    val noDocs = Sources.table(spark, sf(), "documents").limit(0)
+    val idx = graft.operators.Corpus.minhashBandIndex(noDocs)
+    assert(idx.count() === 0)
+    val probe = graft.streaming.StreamingModels.contaminationStream(
+      Sources.table(spark, sf(), "documents")
+        .withColumn("ts", lit("2024-01-05").cast("timestamp")), idx)
+    assert(probe.count() === 0)
+    // snapshot: an EMPTY first source still creates a valid (empty)
+    // history table, and a later run over it opens version-1 records
+    val root = java.nio.file.Files.createTempDirectory("snap_e").toString
+    val src0 = Seq(("A", "x", 1L)).toDF("k", "v", "u").limit(0)
+    assert(graft.Engine.snapshot(spark, src0, "snap_e", "k", "u",
+      Seq("v"), root).count() === 0)
+    val h = graft.Engine.snapshot(spark,
+      Seq(("A", "x", 1L)).toDF("k", "v", "u"), "snap_e", "k", "u",
+      Seq("v"), root).collect()
+    assert(h.length === 1 && h.head.getLong(4) === 1L)
+  }
+
   test("fact views on empty realtime inputs are empty but well-formed") {
     val e = MtaSynthetic.ev(spark, sf())
     val stops = MtaSynthetic.stops(spark)

@@ -555,6 +555,42 @@ class EngineSpec extends SparkSuite {
       ("C", "z", 150L, None, 1L)))
   }
 
+  test("snapshot hard-delete invalidation closes absent keys; re-appearance continues versions") {
+    val root = Files.createTempDirectory("graft_snap_hd").toString
+    val d1 = Seq(("A", "x", 100L), ("B", "y", 100L))
+      .toDF("k", "v", "updated_at")
+    Engine.snapshot(spark, d1, "snap_hd", "k", "updated_at", Seq("v"), root)
+    // B vanishes from the source: closed at the run's observation ts
+    val d2 = Seq(("A", "x", 100L)).toDF("k", "v", "updated_at")
+    val h2 = Engine.snapshot(spark, d2, "snap_hd", "k", "updated_at",
+        Seq("v"), root, invalidateHardDeletes = true,
+        deletedAt = Some(300L))
+      .orderBy($"k", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h2.toSeq === Seq(
+      ("A", "x", 100L, None, 1L),
+      ("B", "y", 100L, Some(300L), 1L)))
+    // B re-appears: its version sequence CONTINUES (v2), no collision
+    val d3 = Seq(("A", "x", 100L), ("B", "y9", 400L))
+      .toDF("k", "v", "updated_at")
+    val h3 = Engine.snapshot(spark, d3, "snap_hd", "k", "updated_at",
+        Seq("v"), root, invalidateHardDeletes = true,
+        deletedAt = Some(400L))
+      .orderBy($"k", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h3.toSeq === Seq(
+      ("A", "x", 100L, None, 1L),
+      ("B", "y", 100L, Some(300L), 1L),
+      ("B", "y9", 400L, None, 2L)))
+    // idempotent under re-run with the same source
+    val h4 = Engine.snapshot(spark, d3, "snap_hd", "k", "updated_at",
+        Seq("v"), root, invalidateHardDeletes = true,
+        deletedAt = Some(500L)).collect()
+    assert(h4.length === 3)
+  }
+
   test("seed registers contract-pinned CSVs; missing schema fails fast") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_seeds")

@@ -76,6 +76,45 @@ class SqlSurfaceSpec extends SparkSuite {
       .orderBy(col("minute_s"), col("route_id"), col("direction_id"))
       .collect()
     assert(m1Sql.map(_.toSeq).toSeq === m1Scala.map(_.toSeq).toSeq)
+    // M2 (5-min buckets) and M7 (runtime between a non-default stop
+    // pair) at non-default parameters
+    val m2Sql = spark.sql("""
+      SELECT route_id, direction_id, unix_timestamp(ts_5min) AS bucket_s,
+             trips_observed
+      FROM mta_trips_per_5min(TIMESTAMP'2024-01-12 11:00:00',
+                              TIMESTAMP'2024-01-12 13:00:00')
+      ORDER BY bucket_s, route_id, direction_id""").collect()
+    val m2Scala = graft.models.MtaMetrics
+      .tripsPer5Min(fts, "2024-01-12 11:00:00", "2024-01-12 13:00:00")
+      .select(col("route_id"), col("direction_id"),
+        unix_timestamp(col("ts_5min")).as("bucket_s"),
+        col("trips_observed"))
+      .orderBy(col("bucket_s"), col("route_id"), col("direction_id"))
+      .collect()
+    assert(m2Sql.nonEmpty &&
+      m2Sql.map(_.toSeq).toSeq === m2Scala.map(_.toSeq).toSeq)
+    // pick a DATA-DERIVED stop pair some trip actually traverses (the
+    // registered query pins S3→S9; any co-traversed pair exercises the
+    // same function at non-default parameters)
+    val Array(stopA, stopB) = fts
+      .select(col("trip_uid"), col("stop_id"),
+        coalesce(col("departure_ts_utc"), col("arrival_ts_utc")).as("ts0"))
+      .filter(col("ts0").isNotNull)
+      .groupBy(col("trip_uid"))
+      .agg(array_sort(collect_set(struct(col("ts0"), col("stop_id"))))
+        .as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .orderBy(col("trip_uid"))
+      .select(expr("ss[0].stop_id"), expr("ss[1].stop_id"))
+      .head().toSeq.map(_.toString).toArray
+    val m7Sql = spark.sql(s"""
+      SELECT trip_uid, stu_a, stu_b, runtime_s
+      FROM mta_runtime_ab('$stopA', '$stopB')
+      ORDER BY trip_uid, stu_a, stu_b""").collect()
+    val m7Scala = graft.models.MtaMetrics.runTimeAB(fts, stopA, stopB)
+      .orderBy(col("trip_uid"), col("stu_a"), col("stu_b")).collect()
+    assert(m7Sql.nonEmpty &&
+      m7Sql.map(_.toSeq).toSeq === m7Scala.map(_.toSeq).toSeq)
   }
 
   test("unknown query names fail fast with the valid catalog") {
