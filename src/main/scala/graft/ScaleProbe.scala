@@ -729,6 +729,42 @@ object ScaleProbe {
       println(s"""{"op":"zorder_compact",$body,"exponent":${
         "%.2f".format(math.log(t100 / t25) / math.log(4.0))}}""")
     }
+    // Engine.snapshot is a mutating write path like zorderCompact —
+    // its own probe: day-1 history built per point (untimed), then the
+    // TIMED day-2 run over a changed dimension. The claim under test:
+    // run time tracks the DIMENSION size linearly (full-outer join on
+    // key + history rewrite — history is dimension-sized by
+    // construction), no hidden super-linearity.
+    if (only.forall(_.contains("snapshot"))) {
+      val ev = Sources.table(spark, sfDir, "events")
+      def dimAt(k: Int, v: Int): DataFrame = ev
+        .filter(col("user_id") % k === 0)
+        .groupBy(col("user_id")).agg(min(col("event_type")).as("seg"))
+        .withColumn("changed", col("user_id") % 7 === 0 && lit(v) === 2)
+        .withColumn("seg",
+          when(col("changed"), concat(col("seg"), lit("_v2")))
+            .otherwise(col("seg")))
+        .withColumn("updated_at",
+          when(col("changed"), 2000L).otherwise(1000L))
+        .drop("changed")
+      val pts = Seq(4, 2, 1).map { k =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"snap_probe_$k").toString
+        Engine.snapshot(spark, dimAt(k, 1), s"dim_$k", "user_id",
+          "updated_at", Seq("seg"), root, strategy = "check")
+        val t0 = System.nanoTime()
+        val hist = Engine.snapshot(spark, dimAt(k, 2), s"dim_$k",
+          "user_id", "updated_at", Seq("seg"), root, strategy = "check")
+        val sec = (System.nanoTime() - t0) / 1e9
+        (k, sec, hist.count())
+      }
+      val body = pts.map { case (k, s, r) =>
+        s""""x${4 / k}":{"sec":${"%.2f".format(s)},"hist_rows":$r}"""
+      }.mkString(",")
+      println(s"""{"op":"snapshot","""
+        + body + s""","exponent":${"%.2f".format(
+          math.log(pts.last._2 / pts.head._2) / math.log(4.0))}}""")
+    }
     spark.stop()
   }
 }
