@@ -612,6 +612,7 @@ object ScaleProbe {
           .withColumn("dot_neg", expr("long_dot(iv, nv)"))
       },
       "minhash_est" -> (k => Corpus.minhashEstimate(docFrac(k))),
+      "keyphrase" -> (k => Corpus.keyphrases(docFrac(k))),
       "kmeans_inc" -> { k =>
         // the frozen-codebook refresh scaled by vectors: fit on the
         // old 80%, assign the new 20%, per-cell drift aggs

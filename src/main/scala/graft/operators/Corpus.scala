@@ -873,6 +873,60 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("weight"), col("target"), col("h32"))
   }
 
+  /** RAKE-style keyphrase extraction (Rose et al. 2010), re-expressed
+    * relationally and integer-exact — the per-document labeling
+    * primitive beside `text_topics`' per-CLUSTER lift terms: candidate
+    * phrases are maximal stopword-free token runs (gaps-and-islands
+    * over positions; runs longer than `maxLen` words are dropped
+    * whole, the standard RAKE length cap), word statistics aggregate
+    * over ALL candidates corpus-wide (freq = occurrences, degree =
+    * occurrence-weighted phrase length), a word scores
+    * `deg·100 div freq` (co-occurrence-favoring, the RAKE ratio in
+    * x100 fixed point), and a phrase scores the sum of its words'
+    * scores. Per doc the top `topK` phrases emit, ties broken by
+    * (phrase, first position).
+    *
+    * Scale shape: one per-doc window for island ids (bounded by doc
+    * length), the word-stat agg is vocabulary-bounded with map-side
+    * combine, the score join shuffles on the word — no all-pairs
+    * anywhere; phrase assembly is an ordered collect bounded per
+    * island by `maxLen`.
+    *
+    * Returns (doc_id, rank, phrase, n_words, score_x100). */
+  def keyphrases(docs: DataFrame,
+                 stopwords: Seq[String] =
+                   Seq("the", "a", "of", "and", "to"),
+                 maxLen: Int = 4, topK: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val ns = tok.filter(!col("tok").isin(stopwords: _*))
+      .withColumn("isl", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phr = ns.groupBy(col("doc_id"), col("isl"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok))), " +
+          "x -> x.tok)").as("ws"),
+        min(col("pos")).as("p0"))
+      .filter(size(col("ws")) <= maxLen)
+      .withColumn("phrase", array_join(col("ws"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+    val wrd = phr.select(col("doc_id"), col("isl"), col("phrase"),
+      col("n_words"), col("p0"), explode(col("ws")).as("w"))
+    val st = wrd.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .withColumn("wscore_x100", expr("deg * 100L div freq"))
+      .select(col("w"), col("wscore_x100"))
+    wrd.join(st, Seq("w"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("phrase")).as("phrase"), min(col("n_words")).as("n_words"),
+        min(col("p0")).as("p0"), sum(col("wscore_x100")).as("score_x100"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_x100").desc, col("phrase"), col("p0"))))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"),
+        col("score_x100"))
+  }
+
   /** Quality-ranked token-budget selection — the "fill the mix" step
     * between scoring and packing: within each stratum, rank docs by
     * an integer quality proxy (stopword-hit ppm — the natural-

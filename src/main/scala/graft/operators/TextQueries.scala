@@ -607,6 +607,59 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "quality scoring: punct/upper/digit/stopword ratios"),
 
+    // ── RAKE keyphrase extraction (integer-exact) ───────────────────
+    // Per-doc labeling beside text_topics' per-cluster lift terms:
+    // stopword-free token runs score by corpus-wide word degree/freq
+    // in x100 fixed point; the oracle replays islands, stats, and
+    // ranking expression-for-expression.
+    "text_keyphrase" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.keyphrases directly.
+        Corpus.keyphrases(docs(s, dir), stopwords = En,
+            maxLen = 4, topK = 3)
+          .orderBy(col("doc_id"), col("rank")),
+      oracle = Some("""
+        WITH kp_b AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        kp_t AS (
+          SELECT doc_id, x['pos'] AS pos, x['tok'] AS tok FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+              i -> struct_pack(pos := i - 1, tok := toks[i]))) AS x
+            FROM kp_b)),
+        kp_ns AS (
+          SELECT doc_id, pos, tok,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS isl
+          FROM kp_t
+          WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to')),
+        kp_ph AS (
+          SELECT doc_id, isl, list(tok ORDER BY pos) AS ws,
+                 min(pos) AS p0
+          FROM kp_ns GROUP BY 1, 2),
+        kp_p2 AS (
+          SELECT doc_id, isl, ws, array_to_string(ws, ' ') AS phrase,
+                 CAST(len(ws) AS BIGINT) AS n_words, p0
+          FROM kp_ph WHERE len(ws) <= 4),
+        kp_w AS (
+          SELECT doc_id, isl, phrase, n_words, p0, unnest(ws) AS w
+          FROM kp_p2),
+        kp_st AS (
+          SELECT w, CAST(sum(n_words) AS BIGINT) * 100
+                   // count(*) AS wscore_x100
+          FROM kp_w GROUP BY 1),
+        kp_sc AS (
+          SELECT doc_id, isl, min(phrase) AS phrase,
+                 min(n_words) AS n_words, min(p0) AS p0,
+                 CAST(sum(wscore_x100) AS BIGINT) AS score_x100
+          FROM kp_w JOIN kp_st USING (w) GROUP BY 1, 2)
+        SELECT doc_id, rank, phrase, n_words, score_x100 FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_x100 DESC, phrase, p0) AS rank
+          FROM kp_sc)
+        WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      desc = "RAKE keyphrases: stopword-free runs, degree/freq x100 scores"),
+
     // ── normalization: the cleaning pass that runs BEFORE dedup ─────
     // Width fold + control strip + whitespace collapse + case fold
     // ([[Corpus.normalizeText]]) — per-document, embarrassingly

@@ -662,6 +662,41 @@ class CorpusSpec extends SparkSuite {
     assert(out(1L)._2 === "too_few_tokens")      // 8 tokens < 9
   }
 
+  test("keyphrases: stopword-split islands, RAKE scoring, deterministic ranks") {
+    val kd = Seq(
+      (1L, "deep learning of the deep learning stack and a cat"),
+      (2L, "deep learning beats the cat"),
+      (3L, "the of and a to")) // all stopwords → no candidates
+      .toDF("doc_id", "text")
+    val got = Corpus.keyphrases(kd, maxLen = 4, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // no phrase contains a stopword; all-stopword doc emits nothing
+    val stop = Set("the", "a", "of", "and", "to")
+    assert(got.forall(g => g._3.split(" ").forall(w => !stop(w))))
+    assert(!got.exists(_._1 == 3L))
+    // ranks are 1..k per doc, scores non-increasing within a doc
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rows.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._5 >= y._5
+        case _ => true
+      })
+    }
+    // RAKE favors the co-occurring multi-word run: "deep learning
+    // stack" (each word rides high degrees) outranks the lone "cat"
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3.contains("deep learning"),
+      s"expected the co-occurrence run first, got ${d1.toSeq}")
+    // deterministic: a second run is identical
+    val again = Corpus.keyphrases(kd, maxLen = 4, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.sortBy(x => (x._1, x._2)).toSeq ===
+      again.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("corpusOverlap: identical sides → jaccard 1, disjoint sides → 0") {
     // two copies of every doc, one per side: shingle sets identical
     val both = docs.withColumn("side", lit(0))
