@@ -624,6 +624,13 @@ object ScaleProbe {
       "ivfpq" -> (k => Vectors.ivfPqSearch(embFrac(k),
         queryFilter = col("id") < 10 * k, k = 5, shortlist = 8,
         nprobe = 2)),
+      "ivfpq_inc" -> { k =>
+        // frozen coarse + PQ fits on the old 80%, per-row encode of
+        // the new 20% — the encode is join + expression work only
+        Vectors.ivfPqEncodeIncremental(
+          embFrac(k).filter(col("vec_id") % 5 =!= 0),
+          embFrac(k).filter(col("vec_id") % 5 === 0))
+      },
       "layout_zorder" -> { k =>
         // the registered fixed-range bucket-stats shape over a
         // lineitem fraction: extent aggs + map-side bucketing + two

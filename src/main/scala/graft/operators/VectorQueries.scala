@@ -1206,6 +1206,78 @@ object VectorQueries {
         WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "IVF-PQ: shared coarse cells, residual PQ codes, ADC + rerank"),
 
+    // ── incremental IVF-PQ: frozen codebooks encode the new batch ───
+    // The composed index's frozen-refresh member (ivf_kmeans_inc is
+    // the coarse half alone): coarse cell + residual + PQ codeword
+    // are pure per-row functions of the codebooks fit on the OLD
+    // corpus (vec_id < 400 — the dedup_incremental split), so the
+    // daily job re-encodes only the batch and old codes never move.
+    // The oracle replays old fit → old residual PQ fit → new-batch
+    // assignment → residual → nearest-codeword encode.
+    "vector_ivfpq_inc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val all = emb(s, dir).withColumn("id", $"vec_id")
+        Vectors.ivfPqEncodeIncremental(all.filter($"id" < 400),
+            all.filter($"id" >= 400), kCells = 8, cIters = 3,
+            m = 4, kCode = 8, pqIters = 2)
+          .orderBy($"id", $"sub")
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT vec_id, label, $DUCK_SV AS sv,
+                 ${duckDot(DUCK_SV, DUCK_SV)} AS nrm
+          FROM embeddings WHERE vec_id < 400),
+        newb AS (
+          SELECT vec_id, label, $DUCK_SV AS sv,
+                 ${duckDot(DUCK_SV, DUCK_SV)} AS nrm
+          FROM embeddings WHERE vec_id >= 400),
+        ${duckKmeansCtes(8, 3)},
+        asgo AS (
+          SELECT vec_id, sv, cluster FROM (
+            SELECT b.vec_id, b.sv, c.cluster_id AS cluster,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        rsrc AS (
+          SELECT a.vec_id, a.cluster,
+                 list_transform(list_zip(a.sv, c.cvec),
+                   x -> x[1] - x[2]) AS sv
+          FROM asgo a JOIN cent3 c ON c.cluster_id = a.cluster),
+        ${duckPqCtes(m = 4, sw = 16, kCode = 8, iters = 2, src = "rsrc")},
+        asgn AS (
+          SELECT vec_id, sv, cluster FROM (
+            SELECT b.vec_id, b.sv, c.cluster_id AS cluster,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM newb b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        nres AS (
+          SELECT a.vec_id, a.cluster,
+                 list_transform(list_zip(a.sv, c.cvec),
+                   x -> x[1] - x[2]) AS rv
+          FROM asgn a JOIN cent3 c ON c.cluster_id = a.cluster),
+        nsub AS (
+          SELECT vec_id, cluster, s.s AS sub,
+                 list_slice(rv, s.s * 16 + 1, s.s * 16 + 16) AS v
+          FROM nres CROSS JOIN range(0, 4) s(s)),
+        nsv AS (
+          SELECT vec_id, cluster, sub, v, ${duckDot("v", "v")} AS vn
+          FROM nsub)
+        SELECT vec_id AS id, cluster, sub, cw FROM (
+          SELECT n.vec_id, n.cluster, n.sub, c.cw,
+            row_number() OVER (PARTITION BY n.vec_id, n.sub
+              ORDER BY n.vn + c.cn - 2 * ${duckDot("n.v", "c.cvec")} ASC,
+                       c.cw ASC) AS rn
+          FROM nsv n JOIN pq_cb2 c ON c.sub = n.sub)
+        WHERE rn = 1 ORDER BY id, sub"""),
+      desc = "incremental IVF-PQ: frozen coarse + PQ codebooks encode the batch"),
+
     // ── cluster-balanced prototype sampling (D4/SemDeDup family) ────
     // "Cover the space, not the mass": per-k-means-cell quotas keep
     // every region represented where a mass-proportional draw

@@ -721,39 +721,41 @@ object Vectors {
     * bounded by the probed cells' population — never all-pairs.
     *
     * Returns (query_id, rank, cand_id, cluster, adc, cosine). */
-  def ivfPqSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
-                  k: Int = 5, kCells: Int = 8, cIters: Int = 3,
-                  m: Int = 4, kCode: Int = 8, pqIters: Int = 2,
-                  shortlist: Int = 8, nprobe: Int = 2,
-                  dim: Int = 64): DataFrame = {
-    graft.functions.LongArrayDot.register(base.sparkSession)
-    val spark = base.sparkSession
-    val sw = dim / m
-    val asg = kmeansAssign(base, kCells, cIters, nprobe)
-    val cent = kmeansFitShared(base, kCells, cIters)
-      .select(col("cluster_id").as("cluster"), col("cvec"))
-    // candidate residuals: every vector, its own (rn=1) cell
-    val resid = graft.Engine.materialize(
-      asg.filter(col("rn") === 1)
-        .join(broadcast(cent), Seq("cluster"))
-        .withColumn("rv", expr("zip_with(sv, cvec, (a, b) -> a - b)"))
-        .select(col("id"), col("cluster"), col("rv")),
-      key = "id", name = "ivfpq_resid")
-    val subv = graft.Engine.materialize(
-      resid.select(col("id"), col("cluster"),
-          explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
-        .withColumn("v", expr(s"slice(rv, sub * $sw + 1, $sw)"))
-        .withColumn("vn", expr("long_dot(v, v)"))
-        .select(col("id"), col("cluster"), col("sub"), col("v"), col("vn")),
-      key = "id", name = "ivfpq_subv")
-    val dist = col("vn") + col("cn") - expr("2 * long_dot(v, cvec)")
-    def assign(cbk: DataFrame): DataFrame = subv
-      .join(broadcast(cbk), Seq("sub"))
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"), col("sub"))
-          .orderBy(col("dist").asc, col("cw").asc)))
-      .filter(col("rn") === 1)
+  /** Residual frame (id, cluster, rv) of `asgOwn` (an rn=1 cell
+    * assignment carrying id/sv) against `cent` (cluster, cvec). */
+  private def residuals(asgOwn: DataFrame, cent: DataFrame): DataFrame =
+    asgOwn.join(broadcast(cent), Seq("cluster"))
+      .withColumn("rv", expr("zip_with(sv, cvec, (a, b) -> a - b)"))
+      .select(col("id"), col("cluster"), col("rv"))
+
+  /** Subvector split (id, cluster, sub, v, vn) of a residual frame. */
+  private def residSubv(resid: DataFrame, m: Int, sw: Int): DataFrame =
+    resid.select(col("id"), col("cluster"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
+      .withColumn("v", expr(s"slice(rv, sub * $sw + 1, $sw)"))
+      .withColumn("vn", expr("long_dot(v, v)"))
+      .select(col("id"), col("cluster"), col("sub"), col("v"), col("vn"))
+
+  private def pqAdcDist = col("vn") + col("cn") - expr("2 * long_dot(v, cvec)")
+
+  /** Nearest-codeword assignment of a subvector frame against a PQ
+    * codebook (integer L2, cw tie-break) — the encode step, shared by
+    * the batch fit loop, the batch search, and the incremental
+    * encoder. */
+  private def pqAssign(subv: DataFrame, cbk: DataFrame): DataFrame = subv
+    .join(broadcast(cbk), Seq("sub"))
+    .withColumn("dist", pqAdcDist)
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("id"), col("sub"))
+        .orderBy(col("dist").asc, col("cw").asc)))
+    .filter(col("rn") === 1)
+
+  /** PQ sub-codebook fit over a residual subvector frame: kCode-
+    * smallest-id init, `iters` rounds of integer L2 assignment +
+    * rounded-mean update. Returns (sub, cw, cvec, cn). */
+  private def pqFit(resid: DataFrame, subv: DataFrame, kCode: Int,
+                    iters: Int): DataFrame = {
+    val spark = resid.sparkSession
     var cb = subv
       .join(broadcast(resid.orderBy(col("id")).limit(kCode)
         .select(col("id"))), Seq("id"))
@@ -762,9 +764,9 @@ object Vectors {
       .select(col("sub"), col("cw"), col("v").as("cvec"),
         col("vn").as("cn"))
     var cbT: Option[String] = None
-    for (i <- 0 until pqIters) {
+    for (i <- 0 until iters) {
       val (nextCb, nextT) = graft.Engine.materializeTracked(
-        assign(cb)
+        pqAssign(subv, cb)
           .select(col("sub"), col("cw"), posexplode(col("v")).as(Seq("d", "x")))
           .groupBy(col("sub"), col("cw"), col("d"))
           .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -779,7 +781,85 @@ object Vectors {
       cb = nextCb
       cbT = nextT
     }
-    val codes = assign(cb)
+    cb
+  }
+
+  /** The frozen IVF-PQ index parts over a corpus: coarse centroids
+    * (cluster, cvec), the PQ sub-codebook (sub, cw, cvec, cn), and
+    * the corpus's own codes (id, cluster, sub, cw). Both fits ride
+    * the SHARED kmeans frames, so the batch search, the batch code
+    * dump, and the incremental encoder build them once per session. */
+  private def ivfPqParts(base: DataFrame, kCells: Int, cIters: Int,
+                         m: Int, kCode: Int, pqIters: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val sw = dim / m
+    val asg = kmeansAssign(base, kCells, cIters, nprobe = 1)
+    val cent = kmeansFitShared(base, kCells, cIters)
+      .select(col("cluster_id").as("cluster"), col("cvec"))
+    val resid = graft.Engine.materialize(
+      residuals(asg.filter(col("rn") === 1), cent),
+      key = "id", name = "ivfpq_resid")
+    val subv = graft.Engine.materialize(residSubv(resid, m, sw),
+      key = "id", name = "ivfpq_subv")
+    val cb = pqFit(resid, subv, kCode, pqIters)
+    (cent, cb,
+      pqAssign(subv, cb).select(col("id"), col("cluster"), col("sub"),
+        col("cw")))
+  }
+
+  /** Batch IVF-PQ codes of the whole corpus — (id, cluster, sub, cw),
+    * m rows per vector: the persisted index payload (the codes plus
+    * the two codebooks ARE the index; full vectors are only read at
+    * rerank). The backfill reference the incremental encoder's law
+    * compares against. */
+  def ivfPqCodes(base: DataFrame, kCells: Int = 8, cIters: Int = 3,
+                 m: Int = 4, kCode: Int = 8, pqIters: Int = 2,
+                 dim: Int = 64): DataFrame =
+    ivfPqParts(base, kCells, cIters, m, kCode, pqIters, dim)._3
+
+  /** Incremental IVF-PQ encoding — the composed index's member of the
+    * frozen-refresh family ([[kmeansAssignIncremental]] is the coarse
+    * half alone): a NEW batch assigns to its frozen coarse cell,
+    * takes the residual against that frozen centroid, and encodes
+    * with the frozen PQ sub-codebook — no refit anywhere, so
+    * yesterday's codes stay byte-stable and the daily job pays
+    * O(new batch) compute. Codes are a pure per-row function of the
+    * frozen codebooks: VectorsApiSpec pins backfill (newBatch =
+    * corpus ≡ [[ivfPqCodes]]), none-new ≡ empty, and batch-split
+    * invariance. Returns (id, cluster, sub, cw). */
+  def ivfPqEncodeIncremental(oldBase: DataFrame, newBatch: DataFrame,
+                             kCells: Int = 8, cIters: Int = 3,
+                             m: Int = 4, kCode: Int = 8,
+                             pqIters: Int = 2, dim: Int = 64): DataFrame = {
+    val sw = dim / m
+    val (cent, cb, _) =
+      ivfPqParts(oldBase, kCells, cIters, m, kCode, pqIters, dim)
+    val newAsg = kmeansAssignIncremental(oldBase, newBatch, kCells, cIters)
+      .select(col("id"), col("sv"), col("cluster"))
+    pqAssign(residSubv(residuals(newAsg, cent), m, sw), cb)
+      .select(col("id"), col("cluster"), col("sub"), col("cw"))
+  }
+
+  def ivfPqSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                  k: Int = 5, kCells: Int = 8, cIters: Int = 3,
+                  m: Int = 4, kCode: Int = 8, pqIters: Int = 2,
+                  shortlist: Int = 8, nprobe: Int = 2,
+                  dim: Int = 64): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val sw = dim / m
+    val asg = kmeansAssign(base, kCells, cIters, nprobe)
+    val cent = kmeansFitShared(base, kCells, cIters)
+      .select(col("cluster_id").as("cluster"), col("cvec"))
+    // candidate residuals: every vector, its own (rn=1) cell
+    val resid = graft.Engine.materialize(
+      residuals(asg.filter(col("rn") === 1), cent),
+      key = "id", name = "ivfpq_resid")
+    val subv = graft.Engine.materialize(residSubv(resid, m, sw),
+      key = "id", name = "ivfpq_subv")
+    val dist = pqAdcDist
+    val cb = pqFit(resid, subv, kCode, pqIters)
+    val codes = pqAssign(subv, cb)
       .select(col("id"), col("cluster"), col("sub"), col("cw"))
     // query side: residual against EACH probed cell's centroid, then
     // the ADC table for that (query, cell)

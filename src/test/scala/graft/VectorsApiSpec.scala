@@ -83,6 +83,26 @@ class VectorsApiSpec extends SparkSuite {
       "new_share_ppm must stay in [0, 1e6]")
   }
 
+  test("ivfPqEncodeIncremental: backfill ≡ batch codes, none-new ≡ empty, split invariant") {
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"cluster", $"sub", $"cw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val batch = codeSet(Vectors.ivfPqCodes(base))
+    val backfill = codeSet(Vectors.ivfPqEncodeIncremental(base, base))
+    assert(backfill === batch,
+      "encoding the corpus against its own frozen codebooks must " +
+        "reproduce the batch codes")
+    assert(Vectors.ivfPqEncodeIncremental(base,
+      base.filter(lit(false))).isEmpty)
+    val b1 = codeSet(Vectors.ivfPqEncodeIncremental(base,
+      base.filter($"id" % 2 === 0)))
+    val b2 = codeSet(Vectors.ivfPqEncodeIncremental(base,
+      base.filter($"id" % 2 === 1)))
+    assert((b1 union b2) === batch,
+      "split batches must union to the full backfill codes")
+  }
+
   test("ivfPqSearch output is shortlist-bounded, cell-consistent, rerank-exact") {
     val got = Vectors.ivfPqSearch(base, queryFilter = $"id" < 10,
       k = 5, shortlist = 8, nprobe = 2).collect()
