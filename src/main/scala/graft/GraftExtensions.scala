@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HilbertD, LongArrayDot, Md5PrefixLong, TopKMin}
+import graft.functions.{AHash64, HilbertD, LongArrayDot, Md5PrefixLong, TopKMin}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,7 +29,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - `topk_min` — the bounded-heap top-k-per-group
   *    TypedImperativeAggregate (functions/TopKAgg.scala);
   *  - `hilbert_d` — the codegen'd Hilbert-curve index (the
-  *    clustered-layout key; functions/HilbertD.scala).
+  *    clustered-layout key; functions/HilbertD.scala);
+  *  - `ahash64` — the codegen'd average-hash over 32 feature bytes
+  *    (the dedup_phash hot path; functions/AHash64.scala).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -51,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKMin].getName, "topk_min"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKMin(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("ahash64"),
+      new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AHash64(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("hilbert_d"),
       new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),

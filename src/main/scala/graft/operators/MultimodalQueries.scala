@@ -156,22 +156,19 @@ object MultimodalQueries {
                 substring($"h", 3, 100000)).as("hh")))).as("x"))
           .select($"x.img_id".as("img_id"), $"x.hh".as("hh"))
         // materialized: the (img_id, ah) frame is two longs per image
-        // while its LINEAGE is the 64-hex-conv hashing pipeline — the
-        // band explode and the self-join both read it, and without the
-        // pin each side of the join re-runs the hashing (measured
-        // ~2× on the query, PERF.md round 7)
+        // while its LINEAGE is the hashing pipeline — the band explode
+        // and the self-join both read it, and without the pin each
+        // side of the join re-runs the hashing (measured ~2× on the
+        // query, PERF.md round 7). The hash itself is the native
+        // codegen AHash64 over the bytes: the composed form (two
+        // 32-element HOF folds of conv(substr(hex)) per row) ran 64
+        // interpreted lambda frames + string slices per instance and
+        // dominated the query (PERF.md round 9; the HilbertD lesson
+        // class — AHashSpec pins bit-identity with the composed form,
+        // and the DuckDB oracle still replays the hex arithmetic).
+        graft.functions.AHash64.register(s)
         val hashed = graft.Engine.materialize(
-          inst
-            .withColumn("mean_b", expr(
-              """aggregate(transform(sequence(0, 31),
-                 i -> CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)),
-                 0L, (a, v) -> a + v) div 32"""))
-            .withColumn("ah", expr(
-              """aggregate(transform(sequence(0, 31),
-                 i -> IF(CAST(conv(substr(hh, 2 * i + 1, 2), 16, 10) AS BIGINT)
-                         >= mean_b, shiftleft(1L, i), 0L)),
-                 0L, (a, v) -> a + v)"""))
-            .select($"img_id", $"ah"),
+          inst.select($"img_id", expr("ahash64(unhex(hh))").as("ah")),
           key = "img_id", name = "phash_hashed")
         // candidate key = a PAIR of identical bands (multi-index
         // Hamming, Norouzi et al.): hamming ≤ 2 leaves ≥ 2 of the 4

@@ -46,6 +46,14 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("ahash64 is SQL-callable without manual registration") {
+    withExtSession { s =>
+      val d = s.sql(
+        "SELECT ahash64(unhex(sha2('doc0', 256))) AS h").collect().head
+      assert(!d.isNullAt(0))
+    }
+  }
+
   test("hilbert_d accepts a bigint bits literal (shared builder parity)") {
     withExtSession { s =>
       // Both registration paths route through HilbertD.fromExprs, so
