@@ -613,6 +613,7 @@ object ScaleProbe {
       },
       "minhash_est" -> (k => Corpus.minhashEstimate(docFrac(k))),
       "keyphrase" -> (k => Corpus.keyphrases(docFrac(k))),
+      "canonical" -> (k => Corpus.dedupCanonical(docFrac(k))),
       "kmeans_inc" -> { k =>
         // the frozen-codebook refresh scaled by vectors: fit on the
         // old 80%, assign the new 20%, per-cell drift aggs

@@ -783,6 +783,44 @@ object Corpus extends org.apache.spark.internal.Logging {
   def dedupComponents(docs: DataFrame): DataFrame =
     connectedComponents(dedupEdges(docs))
 
+  /** Canonical-representative selection over the dedup clusters — the
+    * step real curation pipelines run AFTER [[dedupComponents]]:
+    * min-id survivorship (what `corpus_clean` uses as a dedup key) is
+    * arbitrary; a training mix should keep each cluster's BEST copy.
+    * Per component, members rank by the quality family's stopword-hit
+    * proxy (`q_ppm = stop_hits·1e6 div tokens` — the natural-language
+    * signal budgetSample ranks by), ties to the smaller doc_id, and
+    * the top member emits as the canonical doc.
+    *
+    * Scale shape: rides the SHARED dedup edge frame (components are
+    * one more consumer), quality is a per-row expression, and the
+    * per-component window is bounded by cluster size (dup clusters
+    * are small by construction — a mega-cluster is a dedup-threshold
+    * bug, not a partitioning problem).
+    *
+    * Returns (component_id, canonical_doc, n_members,
+    * canonical_q_ppm), one row per duplicate cluster. */
+  def dedupCanonical(docs: DataFrame,
+                     stopwords: Seq[String] =
+                       Seq("the", "a", "of", "and", "to")): DataFrame = {
+    val toks = split(col("text"), " ")
+    val q = docs.select(col("doc_id"),
+        size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+          .as("n_stop"),
+        size(toks).cast("long").as("n_toks"))
+      .withColumn("q_ppm", expr("n_stop * 1000000L div n_toks"))
+      .select(col("doc_id"), col("q_ppm"))
+    dedupComponents(docs).join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component_id"))
+          .orderBy(col("q_ppm").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(
+        Window.partitionBy(col("component_id"))))
+      .filter(col("rn") === 1)
+      .select(col("component_id"), col("doc_id").as("canonical_doc"),
+        col("n_members"), col("q_ppm").as("canonical_q_ppm"))
+  }
+
   /** Incremental connected components — the GRAPH side of the daily
     * dedup job: fold the previous run's labels in as star edges
     * (component_id → doc_id; connectivity-equivalent to the old edge

@@ -1928,6 +1928,58 @@ object TextQueries {
         FROM reach GROUP BY a ORDER BY doc_id"""),
       desc = "dedup clusters: exact+minhash edges → connected components"),
 
+    // ── canonical pick: keep each dup cluster's BEST copy ───────────
+    // Min-id survivorship is arbitrary; the curation step ranks
+    // members by the quality family's stopword proxy and keeps the
+    // top. Rides the shared dedup edge frame; the oracle replays
+    // components + the quality ranking.
+    "dedup_canonical" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.dedupCanonical directly.
+        Corpus.dedupCanonical(docs(s, dir), stopwords = En)
+          .orderBy(col("component_id")),
+      oracle = Some(s"""
+        WITH RECURSIVE $MINHASH_PAIRS_CTES,
+        cc_canon AS (
+          SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS key
+          FROM documents),
+        cc_keep AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep
+          FROM cc_canon),
+        cc_exact AS (
+          SELECT keep AS src, doc_id AS dst FROM cc_keep WHERE doc_id <> keep),
+        cc_e0 AS (
+          SELECT src, dst FROM cc_exact
+          UNION
+          SELECT doc_a, doc_b FROM mh_near),
+        cc_edges AS (
+          SELECT src, dst FROM cc_e0 UNION SELECT dst, src FROM cc_e0),
+        reach(a, b) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON e.src = r.b),
+        dc_comp AS (
+          SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+        dc_q AS (
+          SELECT doc_id,
+                 CAST(len([x FOR x IN string_split(text, ' ')
+                       IF x IN ('the', 'a', 'of', 'and', 'to')]) AS BIGINT)
+                   * 1000000
+                   // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_ppm
+          FROM documents),
+        dc_m AS (
+          SELECT c.component_id, c.doc_id, q.q_ppm,
+                 row_number() OVER (PARTITION BY c.component_id
+                   ORDER BY q.q_ppm DESC, c.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY c.component_id) AS n_members
+          FROM dc_comp c JOIN dc_q q USING (doc_id))
+        SELECT component_id, doc_id AS canonical_doc, n_members,
+               q_ppm AS canonical_q_ppm
+        FROM dc_m WHERE rn = 1 ORDER BY component_id"""),
+      desc = "per-cluster canonical pick: best quality survives, not min id"),
+
     // ── incremental dedup clustering (the 7th incremental family) ───
     // The graph side of the daily dedup job: yesterday's labels come
     // back as star edges and only the new batch's edges propagate.

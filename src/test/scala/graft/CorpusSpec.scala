@@ -697,6 +697,22 @@ class CorpusSpec extends SparkSuite {
       again.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("dedupCanonical keeps the best-quality member, one row per cluster") {
+    val cd = Seq(
+      (1L, "alpha beta gamma the the the"),   // q_ppm = 500000
+      (2L, "the gamma beta alpha"),           // exact canon dup, q 250000
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupCanonical(cd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly the 1-2 cluster; the singleton doc 4 is no cluster
+    assert(got.length === 1)
+    val (comp, canon, n, q) = got.head
+    assert(comp === 1L && n === 2L)
+    assert(canon === 1L && q === 500000L,
+      s"higher-quality member must survive, got canon=$canon q=$q")
+  }
+
   test("corpusOverlap: identical sides → jaccard 1, disjoint sides → 0") {
     // two copies of every doc, one per side: shingle sets identical
     val both = docs.withColumn("side", lit(0))
