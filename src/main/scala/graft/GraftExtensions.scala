@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AHash64, HilbertD, LongArrayDot, Md5PrefixLong, TopKMin}
+import graft.functions.{AHash64, ByteWindowFold, HilbertD, LongArrayDot, Md5PrefixLong, TopKMin}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,7 +31,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - `hilbert_d` — the codegen'd Hilbert-curve index (the
   *    clustered-layout key; functions/HilbertD.scala);
   *  - `ahash64` — the codegen'd average-hash over 32 feature bytes
-  *    (the dedup_phash hot path; functions/AHash64.scala).
+  *    (the dedup_phash hot path; functions/AHash64.scala);
+  *  - `byte_window_fold` — per-window byte folds (sum / squared
+  *    deviation) for the multimodal feature stubs
+  *    (functions/ByteWindowFold.scala).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -58,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_window_fold"),
+      new ExpressionInfo(classOf[ByteWindowFold].getName,
+        "byte_window_fold"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ByteWindowFold(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       new FunctionIdentifier("hilbert_d"),
       new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),

@@ -271,15 +271,13 @@ object ScaleProbe {
       },
       "audio_energy" -> { k =>
         // the registered mm_audio_energy shape: per-doc fixed 8×8
-        // window framing — strictly row-linear expression work
+        // window framing via the native byte fold — row-linear
+        graft.functions.ByteWindowFold.register(spark)
         docFrac(k)
           .withColumn("h", concat(sha2(col("text"), 256),
             sha2(concat(col("text"), lit("x")), 256)))
-          .select(col("doc_id"), posexplode(expr("""transform(sequence(0, 7),
-              w -> aggregate(transform(sequence(0, 7), i ->
-                     CAST(conv(substr(h, 16 * w + 2 * i + 1, 2), 16, 10)
-                          AS BIGINT) - 128L),
-                   0L, (a, v) -> a + v * v))"""))
+          .select(col("doc_id"), posexplode(expr(
+              "byte_window_fold(unhex(h), 8, 'sqdev128')"))
             .as(Seq("window_idx", "energy")))
           .filter(col("energy") >= 40000L)
       },
@@ -343,8 +341,9 @@ object ScaleProbe {
           .select(col("user_id"), size(col("ms")).as("n_matches"))
       },
       "scene_detect" -> { k =>
-        // the registered mm_scene_detect shape: 16-frame explode,
-        // lag + running-sum windows per doc (bounded state)
+        // the registered mm_scene_detect shape: 16-frame explode via
+        // the native byte fold, lag + running-sum windows per doc
+        graft.functions.ByteWindowFold.register(spark)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
         docFrac(k)
@@ -353,12 +352,10 @@ object ScaleProbe {
             sha2(concat(col("text"), lit("b")), 256),
             sha2(concat(col("text"), lit("c")), 256)))
           .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(0, 15),
-              f -> aggregate(transform(sequence(0, 7), i ->
-                     CAST(conv(substr(h, 16 * f + 2 * i + 1, 2), 16, 10)
-                          AS BIGINT)),
-                   0L, (a, v) -> a + v) div 8)"""))
-            .as(Seq("frame_idx", "feat")))
+              "byte_window_fold(unhex(h), 8, 'sum')"))
+            .as(Seq("frame_idx", "fsum")))
+          .select(col("doc_id"), col("frame_idx"),
+            expr("fsum div 8").as("feat"))
           .withColumn("prev", lag(col("feat"), 1).over(w))
           .withColumn("cut",
             when(col("prev").isNull || abs(col("feat") - col("prev")) > 64L,

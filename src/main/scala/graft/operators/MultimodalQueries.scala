@@ -38,6 +38,7 @@ object MultimodalQueries {
     "mm_decode" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        graft.functions.ByteWindowFold.register(s)
         withBlob(docs(s, dir))
           .withColumn("h", hex($"img")) // 64 hex chars = 32 bytes
           .select(
@@ -48,11 +49,10 @@ object MultimodalQueries {
               .as("width"),
             (expr("CAST(conv(substr(h, 3, 2), 16, 10) AS BIGINT)") % 8 + 1)
               .as("height"),
-            // mean byte value ×100 as exact integer (fake feature)
-            (expr("""aggregate(transform(sequence(0, 31),
-                 i -> CAST(conv(substr(h, 2 * i + 1, 2), 16, 10) AS BIGINT)),
-                 0L, (a, v) -> a + v)""") * 100 / 32).cast("long")
-              .as("mean_byte_x100"),
+            // mean byte value ×100 as exact integer (fake feature) —
+            // native byte fold (ByteFoldSpec pins ≡ the hex HOF form)
+            (expr("byte_window_fold(img, 32, 'sum')[0]") * 100 / 32)
+              .cast("long").as("mean_byte_x100"),
             $"h".as("payload_hex"))
           .orderBy($"doc_id")
       },
@@ -78,16 +78,12 @@ object MultimodalQueries {
     "mm_resize" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        graft.functions.ByteWindowFold.register(s)
         withBlob(docs(s, dir))
-          .withColumn("h", hex($"img"))
           .select($"doc_id",
-            posexplode(expr("""transform(sequence(0, 7), b ->
-                (CAST(conv(substr(h, 8 * b + 1, 2), 16, 10) AS BIGINT)
-               + CAST(conv(substr(h, 8 * b + 3, 2), 16, 10) AS BIGINT)
-               + CAST(conv(substr(h, 8 * b + 5, 2), 16, 10) AS BIGINT)
-               + CAST(conv(substr(h, 8 * b + 7, 2), 16, 10) AS BIGINT))
-               div 4)"""))
-              .as(Seq("block_idx", "px")))
+            posexplode(expr("byte_window_fold(img, 4, 'sum')"))
+              .as(Seq("block_idx", "bsum")))
+          .select($"doc_id", $"block_idx", expr("bsum div 4").as("px"))
           .orderBy($"doc_id", $"block_idx")
       },
       oracle = Some("""
@@ -271,14 +267,12 @@ object MultimodalQueries {
     "mm_audio_energy" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        graft.functions.ByteWindowFold.register(s)
         docs(s, dir)
           .withColumn("h",
             concat(sha2($"text", 256), sha2(concat($"text", lit("x")), 256)))
-          .select($"doc_id", posexplode(expr("""transform(sequence(0, 7),
-              w -> aggregate(transform(sequence(0, 7), i ->
-                     CAST(conv(substr(h, 16 * w + 2 * i + 1, 2), 16, 10)
-                          AS BIGINT) - 128L),
-                   0L, (a, v) -> a + v * v))"""))
+          .select($"doc_id", posexplode(expr(
+              "byte_window_fold(unhex(h), 8, 'sqdev128')"))
             .as(Seq("window_idx", "energy")))
           .filter($"energy" >= 40000L)
           .orderBy($"doc_id", $"window_idx")
@@ -317,17 +311,16 @@ object MultimodalQueries {
         import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"frame_idx")
+        graft.functions.ByteWindowFold.register(s)
         docs(s, dir)
           .withColumn("h", concat(
             sha2($"text", 256), sha2(concat($"text", lit("a")), 256),
             sha2(concat($"text", lit("b")), 256),
             sha2(concat($"text", lit("c")), 256)))
-          .select($"doc_id", posexplode(expr("""transform(sequence(0, 15),
-              f -> aggregate(transform(sequence(0, 7), i ->
-                     CAST(conv(substr(h, 16 * f + 2 * i + 1, 2), 16, 10)
-                          AS BIGINT)),
-                   0L, (a, v) -> a + v) div 8)"""))
-            .as(Seq("frame_idx", "feat")))
+          .select($"doc_id", posexplode(expr(
+              "byte_window_fold(unhex(h), 8, 'sum')"))
+            .as(Seq("frame_idx", "fsum")))
+          .select($"doc_id", $"frame_idx", expr("fsum div 8").as("feat"))
           .withColumn("prev", lag($"feat", 1).over(w))
           .withColumn("cut",
             when($"prev".isNull || abs($"feat" - $"prev") > 64L, 1L)
