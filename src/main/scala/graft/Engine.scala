@@ -41,6 +41,27 @@ object Engine {
     val register = registerModel(spark, materialized, tableRoot) _
     val e = MtaSynthetic.ev(spark, dir)
     val stops = MtaSynthetic.stops(spark)
+    // Every DECLARED source is itself queryable — the reference's
+    // users can SELECT from any mta_sources.yml table, so the SQL
+    // surface registers the source views under the same names
+    // (mta_sources.yml:7-170: trip_updates + stop_time_update child,
+    // alerts + its 1:1 children, and the static GTFS tables).
+    Seq(
+      "trip_updates" -> MtaSynthetic.tripUpdates(e),
+      "trip_updates__trip_update__stop_time_update" ->
+        MtaSynthetic.stopTimeUpdates(e),
+      "alerts" -> MtaSynthetic.alerts(e),
+      "alerts__alert__header_text__translation" -> MtaSynthetic.headerTx(e),
+      "alerts__alert__description_text__translation" ->
+        MtaSynthetic.descTx(e),
+      "alerts__alert__active_period" -> MtaSynthetic.activePeriod(e),
+      "alerts__alert__informed_entity" -> MtaSynthetic.informedEntity(e),
+      "routes" -> MtaSynthetic.routes(spark),
+      "stops" -> stops,
+      "trips" -> MtaSynthetic.trips(e),
+      "stop_times" -> MtaSynthetic.stopTimes(e),
+      "calendar" -> MtaSynthetic.calendar(spark)
+    ).foreach { case (n, df) => df.createOrReplaceTempView(n) }
     register("fact_trips_stops", MtaModels.factTripsStops(
       MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
       stops, MtaSynthetic.trips(e)))

@@ -117,6 +117,28 @@ class SqlSurfaceSpec extends SparkSuite {
       m7Sql.map(_.toSeq).toSeq === m7Scala.map(_.toSeq).toSeq)
   }
 
+  test("every declared mta source is itself queryable from SQL") {
+    SqlSurface.register(spark, sf(), Seq.empty)
+    // the reference's users can SELECT from any mta_sources.yml table
+    // (trip_updates, alert children, static GTFS) — so can ours
+    val names = Seq("trip_updates",
+      "trip_updates__trip_update__stop_time_update", "alerts",
+      "alerts__alert__header_text__translation",
+      "alerts__alert__description_text__translation",
+      "alerts__alert__active_period", "alerts__alert__informed_entity",
+      "routes", "stops", "trips", "stop_times", "calendar")
+    names.foreach { n =>
+      assert(spark.catalog.tableExists(n), s"source view $n missing")
+    }
+    // a metric-guide-style ad-hoc source query composes: scheduled
+    // stops per trip from the GTFS pair
+    val rows = spark.sql("""
+      SELECT t.route_id, count(*) AS n_sched
+      FROM trips t JOIN stop_times st ON st.trip_id = t.trip_id
+      GROUP BY t.route_id ORDER BY t.route_id""").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+  }
+
   test("unknown query names fail fast with the valid catalog") {
     val e = intercept[IllegalArgumentException] {
       SqlSurface.register(spark, sf(), Seq("no_such_query"))
