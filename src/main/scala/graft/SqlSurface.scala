@@ -110,6 +110,173 @@ object SqlSurface {
       FROM sa JOIN sb ON sb.trip_uid = sa.trip_uid
       WHERE sb.ts_b >= sa.ts_a
     """)
+    // M3 — Service Delivered at any (service_day, tz, local window)
+    // (metrics_guide.md:55-137): the full cal → trips_active →
+    // first_stop → sched → window chain plus the decomposed
+    // distinct-count form (the reference's (route, direction)-only
+    // join fans out quadratically — see MtaMetrics.serviceDelivered)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION mta_service_delivered(
+          service_day DATE, tz STRING,
+          start_local STRING, end_local STRING)
+      RETURNS TABLE
+      RETURN
+      WITH cal AS (
+        SELECT service_id FROM calendar
+        WHERE start_date <= service_day AND end_date >= service_day
+          AND ((dayofweek(service_day) = 1 AND sunday = 1) OR
+               (dayofweek(service_day) = 2 AND monday = 1) OR
+               (dayofweek(service_day) = 3 AND tuesday = 1) OR
+               (dayofweek(service_day) = 4 AND wednesday = 1) OR
+               (dayofweek(service_day) = 5 AND thursday = 1) OR
+               (dayofweek(service_day) = 6 AND friday = 1) OR
+               (dayofweek(service_day) = 7 AND saturday = 1))),
+      ta AS (
+        SELECT t.trip_id, t.route_id, t.direction_id
+        FROM trips t JOIN cal c ON c.service_id = t.service_id),
+      fs AS (
+        SELECT trip_id AS fs_trip_id,
+               min(try_cast(stop_sequence AS BIGINT)) AS min_seq
+        FROM stop_times GROUP BY trip_id),
+      sched AS (
+        SELECT ta.route_id, ta.direction_id, ta.trip_id,
+               timestamp_seconds(
+                 unix_timestamp(CAST(service_day AS TIMESTAMP))
+                 + CAST(split(st.departure_time, ':')[0] AS BIGINT) * 3600
+                 + CAST(split(st.departure_time, ':')[1] AS BIGINT) * 60
+                 + CAST(split(st.departure_time, ':')[2] AS BIGINT))
+                 AS sched_departure_ts
+        FROM ta
+        JOIN fs ON fs.fs_trip_id = ta.trip_id
+        JOIN stop_times st ON st.trip_id = ta.trip_id
+          AND st.stop_sequence = CAST(fs.min_seq AS STRING)),
+      wl AS (
+        SELECT * FROM sched
+        WHERE date_format(from_utc_timestamp(sched_departure_ts, tz),
+                'HH:mm:ss') BETWEEN start_local AND end_local),
+      fe AS (
+        SELECT route_id, direction_id, trip_uid,
+               min_by(evt, struct(stop_sequence_int, event_ts_utc,
+                 stu_id)) AS first_evt
+        FROM (SELECT *, coalesce(departure_ts_utc, arrival_ts_utc) AS evt
+              FROM fact_trips_stops)
+        WHERE evt IS NOT NULL
+        GROUP BY route_id, direction_id, trip_uid),
+      act AS (
+        SELECT route_id AS a_route_id, direction_id AS a_direction_id,
+               trip_uid
+        FROM fe
+        WHERE date_format(from_utc_timestamp(first_evt, tz), 'HH:mm:ss')
+              BETWEEN start_local AND end_local),
+      wlagg AS (
+        SELECT route_id, direction_id,
+               count(DISTINCT trip_id) AS scheduled_trips
+        FROM wl GROUP BY route_id, direction_id),
+      aagg AS (
+        SELECT a_route_id, a_direction_id,
+               count(DISTINCT trip_uid) AS delivered_nn
+        FROM act GROUP BY a_route_id, a_direction_id)
+      SELECT w.route_id, w.direction_id, w.scheduled_trips,
+             coalesce(a.delivered_nn, CAST(0 AS BIGINT))
+               AS delivered_trips,
+             try_divide(coalesce(a.delivered_nn, CAST(0 AS BIGINT)),
+               w.scheduled_trips) AS service_delivered
+      FROM wlagg w LEFT JOIN aagg a
+        ON a.a_route_id = w.route_id
+       AND a.a_direction_id = w.direction_id
+    """)
+    // M4 — Terminal OTP at any (service_day, tz, local window)
+    // (metrics_guide.md:141-165): same scheduled-window chain, the
+    // decomposed matched/total-pairs form with the 420 s banded range
+    // join (MtaMetrics.terminalOtp — the reference's LEFT JOIN on
+    // (route, direction) alone is quadratic per group)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION mta_terminal_otp(
+          service_day DATE, tz STRING,
+          start_local STRING, end_local STRING)
+      RETURNS TABLE
+      RETURN
+      WITH cal AS (
+        SELECT service_id FROM calendar
+        WHERE start_date <= service_day AND end_date >= service_day
+          AND ((dayofweek(service_day) = 1 AND sunday = 1) OR
+               (dayofweek(service_day) = 2 AND monday = 1) OR
+               (dayofweek(service_day) = 3 AND tuesday = 1) OR
+               (dayofweek(service_day) = 4 AND wednesday = 1) OR
+               (dayofweek(service_day) = 5 AND thursday = 1) OR
+               (dayofweek(service_day) = 6 AND friday = 1) OR
+               (dayofweek(service_day) = 7 AND saturday = 1))),
+      ta AS (
+        SELECT t.trip_id, t.route_id, t.direction_id
+        FROM trips t JOIN cal c ON c.service_id = t.service_id),
+      fs AS (
+        SELECT trip_id AS fs_trip_id,
+               min(try_cast(stop_sequence AS BIGINT)) AS min_seq
+        FROM stop_times GROUP BY trip_id),
+      sched AS (
+        SELECT ta.route_id, ta.direction_id, ta.trip_id,
+               timestamp_seconds(
+                 unix_timestamp(CAST(service_day AS TIMESTAMP))
+                 + CAST(split(st.departure_time, ':')[0] AS BIGINT) * 3600
+                 + CAST(split(st.departure_time, ':')[1] AS BIGINT) * 60
+                 + CAST(split(st.departure_time, ':')[2] AS BIGINT))
+                 AS sched_departure_ts
+        FROM ta
+        JOIN fs ON fs.fs_trip_id = ta.trip_id
+        JOIN stop_times st ON st.trip_id = ta.trip_id
+          AND st.stop_sequence = CAST(fs.min_seq AS STRING)),
+      wl AS (
+        SELECT * FROM sched
+        WHERE date_format(from_utc_timestamp(sched_departure_ts, tz),
+                'HH:mm:ss') BETWEEN start_local AND end_local),
+      fe AS (
+        SELECT route_id AS f_route_id, direction_id AS f_direction_id,
+               min_by(evt, struct(stop_sequence_int, event_ts_utc,
+                 stu_id)) AS actual_departure_ts
+        FROM (SELECT *, coalesce(departure_ts_utc, arrival_ts_utc) AS evt
+              FROM fact_trips_stops)
+        GROUP BY route_id, direction_id, trip_uid),
+      wlagg AS (
+        SELECT route_id, direction_id, count(*) AS n_wl
+        FROM wl GROUP BY route_id, direction_id),
+      feagg AS (
+        SELECT f_route_id, f_direction_id, count(*) AS n_fe
+        FROM fe GROUP BY f_route_id, f_direction_id),
+      wlt AS (
+        SELECT route_id AS w_route_id, direction_id AS w_direction_id,
+               sched_departure_ts,
+               floor(unix_timestamp(sched_departure_ts) / 420) AS bkt
+        FROM wl WHERE sched_departure_ts IS NOT NULL),
+      fet AS (
+        SELECT f_route_id, f_direction_id, actual_departure_ts,
+               explode(array(b0 - 1, b0, b0 + 1)) AS bkt
+        FROM (SELECT *,
+                floor(unix_timestamp(actual_departure_ts) / 420) AS b0
+              FROM fe WHERE actual_departure_ts IS NOT NULL)),
+      matched AS (
+        SELECT w_route_id AS m_route_id, w_direction_id AS m_direction_id,
+               count(*) AS n_matched
+        FROM fet JOIN wlt
+          ON wlt.w_route_id = fet.f_route_id
+         AND wlt.w_direction_id = fet.f_direction_id
+         AND wlt.bkt = fet.bkt
+        WHERE CAST((unix_timestamp(actual_departure_ts)
+                    - unix_timestamp(sched_departure_ts)) / 60 AS BIGINT)
+              BETWEEN 0 AND 5
+        GROUP BY w_route_id, w_direction_id),
+      joined AS (
+        SELECT w.route_id, w.direction_id, w.n_wl, f.n_fe, m.n_matched
+        FROM wlagg w
+        LEFT JOIN feagg f ON f.f_route_id = w.route_id
+                         AND f.f_direction_id = w.direction_id
+        LEFT JOIN matched m ON m.m_route_id = w.route_id
+                           AND m.m_direction_id = w.direction_id)
+      SELECT route_id, direction_id,
+             100 * (CAST(coalesce(n_matched, CAST(0 AS BIGINT)) AS DOUBLE)
+               / CAST(n_wl * greatest(coalesce(n_fe, CAST(0 AS BIGINT)),
+                   CAST(1 AS BIGINT)) AS DOUBLE)) AS otp_pct
+      FROM joined
+    """)
     // M5 — headways at a screenline stop on a service day
     // (metrics_guide.md:171-173): same plan as
     // MtaMetrics.headwaysAtStop, trip_uid tie-breaks both orderings

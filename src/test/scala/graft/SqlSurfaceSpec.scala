@@ -117,6 +117,46 @@ class SqlSurfaceSpec extends SparkSuite {
       m7Sql.map(_.toSeq).toSeq === m7Scala.map(_.toSeq).toSeq)
   }
 
+  test("m3/m4 SQL table functions equal the Scala metrics at non-default windows") {
+    import org.apache.spark.sql.functions._
+    SqlSurface.registerMetricFunctions(spark, sf())
+    val e = graft.models.MtaSynthetic.ev(spark, sf())
+    val fts = graft.models.MtaModels.factTripsStops(
+      graft.models.MtaSynthetic.tripUpdates(e),
+      graft.models.MtaSynthetic.stopTimeUpdates(e),
+      graft.models.MtaSynthetic.stops(spark),
+      graft.models.MtaSynthetic.trips(e))
+    val cal = graft.models.MtaSynthetic.calendar(spark)
+    val trips = graft.models.MtaSynthetic.trips(e)
+    val st = graft.models.MtaSynthetic.stopTimes(e)
+    // non-default day and a WIDER local window than the registered
+    // mta_m3/m4 queries use
+    val m3Sql = spark.sql("""
+      SELECT route_id, direction_id, scheduled_trips, delivered_trips,
+             service_delivered
+      FROM mta_service_delivered(DATE'2024-01-12', 'America/New_York',
+                                 '08:00:00', '20:00:00')
+      ORDER BY route_id, direction_id""").collect()
+    val m3Scala = graft.models.MtaMetrics.serviceDelivered(fts, cal,
+        trips, st, "2024-01-12", "America/New_York",
+        "08:00:00", "20:00:00")
+      .collect()
+    assert(m3Sql.nonEmpty &&
+      m3Sql.map(_.toSeq).toSeq === m3Scala.map(_.toSeq).toSeq,
+      "m3 SQL table function must equal the Scala metric")
+    val m4Sql = spark.sql("""
+      SELECT route_id, direction_id, otp_pct
+      FROM mta_terminal_otp(DATE'2024-01-12', 'America/New_York',
+                            '08:00:00', '20:00:00')
+      ORDER BY route_id, direction_id""").collect()
+    val m4Scala = graft.models.MtaMetrics.terminalOtp(fts, cal, trips,
+        st, "2024-01-12", "America/New_York", "08:00:00", "20:00:00")
+      .collect()
+    assert(m4Sql.nonEmpty &&
+      m4Sql.map(_.toSeq).toSeq === m4Scala.map(_.toSeq).toSeq,
+      "m4 SQL table function must equal the Scala metric")
+  }
+
   test("every declared mta source is itself queryable from SQL") {
     SqlSurface.register(spark, sf(), Seq.empty)
     // the reference's users can SELECT from any mta_sources.yml table
