@@ -1278,6 +1278,60 @@ object VectorQueries {
         WHERE rn = 1 ORDER BY id, sub"""),
       desc = "incremental IVF-PQ: frozen coarse + PQ codebooks encode the batch"),
 
+    // ── IVF-PQ reconstruction error (index-quality eval) ────────────
+    // How much signal the codes lose, per coarse cell: the per-vector
+    // quantization error is the encode step's own Σ chosen-codeword
+    // distances, reported in ppm of ‖v‖² — the (m, kCode) tuning
+    // readout beside ann_recall / dedup_minhash_est / vector_ood.
+    "vector_ivfpq_recon" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Vectors.ivfPqReconError(emb(s, dir).withColumn("id", $"vec_id"),
+            kCells = 8, cIters = 3, m = 4, kCode = 8, pqIters = 2)
+          .orderBy($"cluster")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        asga AS (
+          SELECT vec_id, sv, nrm, cluster FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.cluster_id AS cluster,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        rsrc AS (
+          SELECT a.vec_id, a.cluster,
+                 list_transform(list_zip(a.sv, c.cvec),
+                   x -> x[1] - x[2]) AS sv
+          FROM asga a JOIN cent3 c ON c.cluster_id = a.cluster),
+        ${duckPqCtes(m = 4, sw = 16, kCode = 8, iters = 2, src = "rsrc")},
+        pcd AS (
+          SELECT vec_id, sub, dist FROM (
+            SELECT b.vec_id, b.sub,
+              b.vn + c.cn - 2 * ${duckDot("b.v", "c.cvec")} AS dist,
+              row_number() OVER (PARTITION BY b.vec_id, b.sub
+                ORDER BY b.vn + c.cn - 2 * ${duckDot("b.v", "c.cvec")} ASC,
+                         c.cw ASC) AS rn
+            FROM pq_sv b JOIN pq_cb2 c ON c.sub = b.sub)
+          WHERE rn = 1),
+        pv AS (
+          SELECT p.vec_id, r.cluster, CAST(sum(p.dist) AS BIGINT) AS err
+          FROM pcd p JOIN rsrc r ON r.vec_id = p.vec_id
+          GROUP BY 1, 2),
+        pe AS (
+          SELECT pv.vec_id, pv.cluster,
+                 pv.err * CAST(1000000 AS BIGINT)
+                   // greatest(CAST(b.nrm AS BIGINT), 1) AS err_ppm
+          FROM pv JOIN base b ON b.vec_id = pv.vec_id)
+        SELECT cluster, count(*) AS n_vectors,
+               CAST(sum(err_ppm) AS BIGINT) // count(*) AS avg_err_ppm,
+               max(err_ppm) AS max_err_ppm
+        FROM pe GROUP BY 1 ORDER BY cluster"""),
+      desc = "IVF-PQ reconstruction error per cell (ppm of vector norm)"),
+
     // ── cluster-balanced prototype sampling (D4/SemDeDup family) ────
     // "Cover the space, not the mass": per-k-means-cell quotas keep
     // every region represented where a mass-proportional draw

@@ -803,9 +803,7 @@ object Vectors {
     val subv = graft.Engine.materialize(residSubv(resid, m, sw),
       key = "id", name = "ivfpq_subv")
     val cb = pqFit(resid, subv, kCode, pqIters)
-    (cent, cb,
-      pqAssign(subv, cb).select(col("id"), col("cluster"), col("sub"),
-        col("cw")))
+    (cent, cb, pqAssign(subv, cb))
   }
 
   /** Batch IVF-PQ codes of the whole corpus — (id, cluster, sub, cw),
@@ -817,6 +815,34 @@ object Vectors {
                  m: Int = 4, kCode: Int = 8, pqIters: Int = 2,
                  dim: Int = 64): DataFrame =
     ivfPqParts(base, kCells, cIters, m, kCode, pqIters, dim)._3
+      .select(col("id"), col("cluster"), col("sub"), col("cw"))
+
+  /** IVF-PQ reconstruction-error report — the index-quality eval
+    * beside `ann_recall` / `dedup_minhash_est` / `vector_ood`: how
+    * much signal the codes lose, per coarse cell. The per-vector
+    * quantization error IS the sum of the encode step's own chosen
+    * codeword distances (‖v − recon‖² = Σ_sub ‖v_sub − cw_sub‖² —
+    * residual reconstruction = cell centroid + codeword concat), so
+    * the report rides the assignment frame with no second pass; it
+    * emits per cell in ppm of ‖v‖² — the number a pipeline watches to
+    * pick (m, kCode) and to spot cells whose residuals outgrew the
+    * shared sub-codebook. Returns (cluster, n_vectors, avg_err_ppm,
+    * max_err_ppm). */
+  def ivfPqReconError(base: DataFrame, kCells: Int = 8, cIters: Int = 3,
+                      m: Int = 4, kCode: Int = 8, pqIters: Int = 2,
+                      dim: Int = 64): DataFrame = {
+    val (_, _, asgFull) =
+      ivfPqParts(base, kCells, cIters, m, kCode, pqIters, dim)
+    asgFull
+      .groupBy(col("id"), col("cluster"))
+      .agg(sum(col("dist")).as("err"))
+      .join(base.select(col("id"), col("nrm")), Seq("id"))
+      .withColumn("err_ppm", expr("err * 1000000L div greatest(nrm, 1L)"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(err_ppm) div count(1)").as("avg_err_ppm"),
+        max(col("err_ppm")).as("max_err_ppm"))
+  }
 
   /** Incremental IVF-PQ encoding — the composed index's member of the
     * frozen-refresh family ([[kmeansAssignIncremental]] is the coarse

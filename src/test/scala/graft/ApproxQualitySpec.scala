@@ -153,6 +153,33 @@ class ApproxQualitySpec extends SparkSuite {
     assert(rIvfPq >= 0.3, f"IVF-PQ recall collapsed: $rIvfPq%.2f")
   }
 
+  test("IVF-PQ codes reconstruct better than the coarse centroid alone") {
+    import operators.Vectors
+    val base = Vectors.quantize(
+      Sources.table(spark, sf("sf0.01"), "embeddings"))
+      .withColumn("id", $"vec_id")
+    val rep = Vectors.ivfPqReconError(base).collect()
+    assert(rep.map(_.getLong(1)).sum === base.count(),
+      "every vector must be accounted to exactly one cell")
+    val pqErr = rep.map(r => r.getLong(1) * r.getLong(2)).sum.toDouble /
+      rep.map(_.getLong(1)).sum
+    // coarse-only reconstruction = the cell centroid: its error is the
+    // residual norm itself — the PQ codes must recover part of it
+    val cent = Vectors.kmeansFit(base, 8, 3)
+      .select($"cluster_id".as("cluster"), $"cvec")
+    val coarse = Vectors.kmeansAssign(base, 8, 3, nprobe = 1)
+      .filter($"rn" === 1)
+      .join(broadcast(cent), Seq("cluster"))
+      .withColumn("rn2", expr(
+        "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .withColumn("err_ppm", expr("rn2 * 1000000L div greatest(nrm, 1L)"))
+      .agg(expr("sum(err_ppm) div count(1)")).head.getLong(0)
+    info(f"recon err ppm: coarse-only $coarse%d, IVF-PQ ${pqErr}%.0f")
+    assert(pqErr < coarse,
+      f"PQ codes must beat the bare centroid: $pqErr%.0f >= $coarse%d")
+  }
+
   test("bucketed semantic dedup recalls most all-pairs cosine edges") {
     // dedup_embedding is the exact all-pairs ≥0.4 pair set; the
     // bucketed operator must be a SUBSET (it never invents an edge —
