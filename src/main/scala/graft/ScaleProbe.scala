@@ -611,6 +611,25 @@ object ScaleProbe {
       "minhash_est" -> (k => Corpus.minhashEstimate(docFrac(k))),
       "keyphrase" -> (k => Corpus.keyphrases(docFrac(k))),
       "canonical" -> (k => Corpus.dedupCanonical(docFrac(k))),
+      "stickiness" -> { k =>
+        // e_stickiness scaled by users: daily bitmap words, ≤30-day
+        // contribution join against the broadcast days frame
+        val du = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select((unix_timestamp(col("ts")) / 86400L).cast("long")
+            .as("day"), col("user_id"))
+          .distinct()
+        val words = du.withColumn("word", expr("user_id div 32"))
+          .groupBy(col("day"), col("word"))
+          .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 as int))"))
+            .as("m"))
+        val days = du.select(col("day").as("rday")).distinct()
+        words.join(broadcast(days),
+            col("rday") >= col("day") && col("rday") <= col("day") + 29L)
+          .groupBy(col("rday"), col("word")).agg(bit_or(col("m")).as("mm"))
+          .groupBy(col("rday"))
+          .agg(sum(bit_count(col("mm"))).cast("long").as("mau"))
+      },
       "kmeans_inc" -> { k =>
         // the frozen-codebook refresh scaled by vectors: fit on the
         // old 80%, assign the new 20%, per-cell drift aggs

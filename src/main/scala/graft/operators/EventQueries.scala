@@ -815,6 +815,56 @@ object EventQueries {
     // Sum and distinct-user counts run as SEPARATE passes joined on
     // the 4-row cell key (the Expand-avoidance rule); the pivot is a
     // conditional agg over 4 rows.
+    "e_stickiness" -> Q(
+      // ── DAU/MAU stickiness, EXACT at any scale ────────────────────
+      // The engagement ratio every product dashboard carries, computed
+      // the mergeable-partial way: daily 32-bit user-bitmap words
+      // (the a_bitmap_distinct partial), each day-word contributing to
+      // the ≤30 window days it covers through a bounded range join
+      // against the tiny distinct-days frame (broadcast), OR-merged
+      // per (window day, word), popcounted. No 30× event replay, no
+      // approximate sketch, no Expand — DAU counts a pre-distinct
+      // frame. The oracle is the definitional 30-day distinct count.
+      fn = (s, dir) => {
+        import s.implicits._
+        val du = ev(s, dir)
+          .select((epochS($"ts") / 86400L).cast(LongType).as("day"),
+            $"user_id")
+          .distinct()
+        val words = du.withColumn("word", expr("user_id div 32"))
+          .groupBy($"day", $"word")
+          .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 as int))"))
+            .as("m"))
+        val days = du.select($"day".as("rday")).distinct()
+        val mau = words
+          .join(broadcast(days),
+            $"rday" >= $"day" && $"rday" <= $"day" + 29L)
+          .groupBy($"rday", $"word").agg(bit_or($"m").as("mm"))
+          .groupBy($"rday")
+          .agg(sum(bit_count($"mm")).cast(LongType).as("mau"))
+        val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
+        dau.join(mau, $"day" === $"rday")
+          .select($"day", $"dau", $"mau",
+            expr("dau * 1000000L div mau").as("stickiness_ppm"))
+          .orderBy($"day")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT DISTINCT (epoch_us(ts)//1000000)//86400 AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM d),
+        dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                FROM d GROUP BY 1),
+        mau AS (
+          SELECT dd.day, count(DISTINCT d.user_id) AS mau
+          FROM days dd JOIN d ON d.day BETWEEN dd.day - 29 AND dd.day
+          GROUP BY 1)
+        SELECT a.day, a.dau, m.mau,
+               a.dau * CAST(1000000 AS BIGINT) // m.mau AS stickiness_ppm
+        FROM dau a JOIN mau m ON m.day = a.day
+        ORDER BY a.day"""),
+      desc = "DAU/MAU stickiness: exact 30-day rolling distinct via bitmap words"),
+
     "e_did" -> Q(
       fn = (s, dir) => {
         import s.implicits._

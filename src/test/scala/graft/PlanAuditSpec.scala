@@ -314,6 +314,18 @@ class PlanAuditSpec extends SparkSuite {
       s"text_topics must not Expand the token frame:\n$p")
   }
 
+  test("e_stickiness rolls distinct by bitmap words: no Expand, days broadcast") {
+    // DAU counts a pre-distinct frame and MAU ORs bitmap partials —
+    // no count-distinct Expand anywhere; the ≤30-day contribution
+    // join broadcasts the tiny distinct-days frame
+    val p = plan(SparkEntry.queries("e_stickiness")(spark, sf()))
+    assert(!p.contains("Expand"),
+      s"stickiness must not Expand the event frame:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"days frame should broadcast:\n$p")
+  }
+
   test("a_cms probes the merged sketch by broadcast, never a shuffle join") {
     // the merged sketch is d*w = 192 counters regardless of corpus
     // size — the probe join must broadcast it; a SortMergeJoin here
