@@ -613,6 +613,32 @@ class EngineSpec extends SparkSuite {
     assert(err.getMessage.contains("no declared schema"))
   }
 
+  test("a seeded CSV calendar drives the scheduled-window metric") {
+    import org.apache.spark.sql.types._
+    // the calendar table is the canonical seed shape: round-trip the
+    // synthetic calendar through a CSV seed and run the M3 window
+    // chain over the SEEDED table — result ≡ the in-memory calendar
+    val dir = Files.createTempDirectory("graft_seed_cal")
+    val cal = graft.models.MtaSynthetic.calendar(spark)
+    val header = cal.columns.mkString(",")
+    val body = cal.collect().map(_.toSeq.mkString(",")).mkString("\n")
+    Files.writeString(dir.resolve("svc.csv"), header + "\n" + body + "\n")
+    graft.sources.Sources.seed(spark, dir.toString, Map(
+      "svc" -> StructType.fromDDL(
+        "service_id STRING, start_date DATE, end_date DATE, " +
+          "monday BIGINT, tuesday BIGINT, wednesday BIGINT, " +
+          "thursday BIGINT, friday BIGINT, saturday BIGINT, " +
+          "sunday BIGINT")))
+    val e = graft.models.MtaSynthetic.ev(spark, sf())
+    def win(c: org.apache.spark.sql.DataFrame) = graft.models.MtaMetrics
+      .scheduledWindow(c, graft.models.MtaSynthetic.trips(e),
+        graft.models.MtaSynthetic.stopTimes(e), "2024-01-15",
+        "America/New_York", "06:00:00", "23:00:00")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(win(spark.table("svc")) === win(cal),
+      "the seeded calendar must reproduce the synthetic one's window")
+  }
+
   test("saltedJoin returns the same result as a plain join") {
     val li = graft.sources.Sources.table(spark, sf(), "lineitem")
       .select($"l_orderkey".as("k"), $"l_quantity")
