@@ -146,6 +146,90 @@ object Engine {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       lineageDoc(spark, materialized))
 
+  /** One step of an [[build]] run report — name, lifecycle kind
+    * (seed | model | snapshot | test), pass/fail status, the row
+    * count the step produced (violations for tests), and wall ms. */
+  final case class BuildStep(name: String, kind: String, status: String,
+                             rows: Long, ms: Long)
+
+  /** Declarative snapshot for [[build]]: the [[snapshot]] parameters
+    * minus the session/source (the source is `sourceView`, resolved
+    * from the catalog at run time — seeds and models register views,
+    * so a snapshot can track either). */
+  final case class SnapshotSpec(name: String, sourceView: String,
+                                key: String, updatedAtCol: String,
+                                attrs: Seq[String],
+                                strategy: String = "timestamp")
+
+  /** The `dbt build` analog — one call running the full lifecycle in
+    * dependency order and returning a machine-checkable report:
+    *   1. seeds   — CSV seeds registered with pinned schemas
+    *                ([[graft.sources.Sources.seed]]);
+    *   2. models  — sources + the model DAG with per-model
+    *                view | table | incremental materialization
+    *                ([[registerMta]]);
+    *   3. snapshots — SCD2 histories maintained under `tableRoot`
+    *                ([[snapshot]]);
+    *   4. tests   — dbt-style expectations; a test step FAILS when
+    *                its check reports violations, and the run carries
+    *                the failure in the report instead of throwing
+    *                (dbt's `--store-failures` posture — orchestrators
+    *                decide whether a red test blocks).
+    * Tests are thunks so they can reference views the earlier phases
+    * registered. Steps run sequentially; a THROWN step records
+    * status = "error" and later steps still run (dbt continues
+    * independent nodes). */
+  def build(spark: SparkSession, dir: String,
+            materialized: Map[String, String] = Map.empty,
+            tableRoot: Option[String] = None,
+            seedDir: Option[String] = None,
+            seedSchemas: Map[String, org.apache.spark.sql.types.StructType] =
+              Map.empty,
+            snapshots: Seq[SnapshotSpec] = Nil,
+            tests: Seq[(String, () => DataFrame)] = Nil): Seq[BuildStep] = {
+    val out = scala.collection.mutable.ListBuffer.empty[BuildStep]
+    def step(name: String, kind: String)(run: => (String, Long)): Unit = {
+      val t0 = System.nanoTime()
+      val (status, rows) =
+        try run
+        catch { case e: Throwable =>
+          System.err.println(s"[build] $kind $name failed: ${e.getMessage}")
+          ("error", 0L)
+        }
+      out += BuildStep(name, kind, status,
+        rows, (System.nanoTime() - t0) / 1000000L)
+    }
+    seedDir.foreach { sd =>
+      step("seeds", "seed") {
+        val names = Sources.seed(spark, sd, seedSchemas)
+        ("pass", names.size.toLong)
+      }
+    }
+    step("mta_dag", "model") {
+      registerMta(spark, dir, materialized, tableRoot)
+      ("pass", mtaLineage.size.toLong)
+    }
+    snapshots.foreach { sp =>
+      step(sp.name, "snapshot") {
+        val root = tableRoot.getOrElse(throw new IllegalArgumentException(
+          s"build: snapshot '${sp.name}' needs a tableRoot"))
+        val hist = snapshot(spark, spark.table(sp.sourceView), sp.name,
+          sp.key, sp.updatedAtCol, sp.attrs, root, sp.strategy)
+        ("pass", hist.count())
+      }
+    }
+    tests.foreach { case (name, mk) =>
+      step(name, "test") {
+        val rep = mk()
+        val viol = rep.agg(org.apache.spark.sql.functions
+          .sum(org.apache.spark.sql.functions.col("n_violations")))
+          .head.getLong(0)
+        (if (viol == 0L) "pass" else "fail", viol)
+      }
+    }
+    out.toList
+  }
+
   /** dbt-snapshots analog (the reference ships the placeholder
     * `snapshots/.gitkeep`): maintain an SCD2 history table for a
     * dimension across runs. Each run compares the CURRENT source

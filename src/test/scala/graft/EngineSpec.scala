@@ -613,6 +613,49 @@ class EngineSpec extends SparkSuite {
     assert(err.getMessage.contains("no declared schema"))
   }
 
+  test("build runs seeds → models → snapshots → tests and reports each step") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_build").toString
+    val seeds = Files.createTempDirectory("graft_build_seeds")
+    Files.writeString(seeds.resolve("regions_ref.csv"),
+      "region_code,region_label\nA,Alpha\nB,Beta\n")
+    // a dimension view for the snapshot phase to track
+    Seq(("R1", "red", 100L), ("R2", "blue", 100L))
+      .toDF("route", "color", "updated_at")
+      .createOrReplaceTempView("route_dim")
+    val report = Engine.build(spark, sf(),
+      tableRoot = Some(root),
+      seedDir = Some(seeds.toString),
+      seedSchemas = Map("regions_ref" -> StructType.fromDDL(
+        "region_code STRING, region_label STRING")),
+      snapshots = Seq(Engine.SnapshotSpec("route_hist", "route_dim",
+        "route", "updated_at", Seq("color"), strategy = "check")),
+      tests = Seq(
+        "trips_nonempty" -> (() =>
+          graft.operators.Dq.expectations(Seq(graft.operators.Dq.unique(
+            "fact_trips", spark.table("fact_trips"), Seq("trip_uid"))))),
+        "failing_check" -> (() =>
+          graft.operators.Dq.expectations(Seq(graft.operators.Dq
+            .acceptedValues("fact_trips_stops",
+              spark.table("fact_trips_stops"), "feed", Seq("nope")))))))
+    val byName = report.map(s => s.name -> s).toMap
+    assert(report.map(_.kind) ===
+      Seq("seed", "model", "snapshot", "test", "test"))
+    assert(byName("seeds").status === "pass" &&
+      byName("seeds").rows === 1L)
+    assert(byName("mta_dag").status === "pass")
+    assert(byName("route_hist").status === "pass" &&
+      byName("route_hist").rows === 2L)
+    assert(byName("trips_nonempty").status === "pass")
+    // a red test is REPORTED, not thrown — the dbt build posture
+    assert(byName("failing_check").status === "fail" &&
+      byName("failing_check").rows > 0L)
+    // artifacts are live: the seed view, the snapshot history, the DAG
+    assert(spark.table("regions_ref").count() === 2L)
+    assert(spark.table("route_hist").count() === 2L)
+    assert(spark.sql("SELECT count(*) FROM fact_delays").head.getLong(0) > 0)
+  }
+
   test("a seeded CSV calendar drives the scheduled-window metric") {
     import org.apache.spark.sql.types._
     // the calendar table is the canonical seed shape: round-trip the
