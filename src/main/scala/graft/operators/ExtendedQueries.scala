@@ -919,6 +919,65 @@ object ExtendedQueries {
     // statistic computes from ppm-rescaled degree shares (documented
     // here, not needed at driver SF). Shares the label frame's LPA
     // machinery; two equi-joins + two tiny aggs beyond it.
+    // ── degree assortativity (graph-structure eval) ─────────────────
+    // Pearson correlation of endpoint degrees over the directed edge
+    // ends of the TRADE graph — the "do hubs link hubs" readout
+    // beside graph_modularity (bipartite trade graphs are typically
+    // disassortative; the co-supplier graph is degree-regular at test
+    // SF and would give a 0/0). Exact integer moments (the
+    // a_corr_moments pattern); variance terms stay in BIGINT; the
+    // cross product casts to DOUBLE before multiplying, and the
+    // division is try_divide/NULLIF so a degenerate zero-variance
+    // graph reports NULL identically in both engines.
+    "graph_assortativity" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val edges = tradeEdges(s, dir)
+        val deg = edges.groupBy($"src".as("node"))
+          .agg(count(lit(1)).as("deg"))
+        edges
+          .join(deg.select($"node".as("src"), $"deg".as("dx")), Seq("src"))
+          .join(deg.select($"node".as("dst"), $"deg".as("dy")), Seq("dst"))
+          .agg(count(lit(1)).as("n_ends"),
+            sum($"dx").as("sx"), sum($"dy").as("sy"),
+            sum($"dx" * $"dx").as("sxx"), sum($"dy" * $"dy").as("syy"),
+            sum($"dx" * $"dy").as("sxy"))
+          .withColumn("assortativity", try_divide(
+            ($"n_ends" * $"sxy" - $"sx" * $"sy").cast("double"),
+            sqrt(($"n_ends" * $"sxx" - $"sx" * $"sx").cast("double") *
+                 ($"n_ends" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .select($"n_ends", $"sxy", $"assortativity")
+          .orderBy($"n_ends")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT c AS src, p AS dst FROM e0
+          UNION ALL SELECT p AS src, c AS dst FROM e0),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        dd AS (
+          SELECT dx.deg AS dx, dy.deg AS dy
+          FROM edges e
+          JOIN deg dx ON dx.node = e.src
+          JOIN deg dy ON dy.node = e.dst),
+        mo AS (
+          SELECT count(*) AS n_ends,
+                 CAST(sum(dx) AS BIGINT) AS sx,
+                 CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                 CAST(sum(dy * dy) AS BIGINT) AS syy,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy
+          FROM dd)
+        SELECT n_ends, sxy,
+               CAST(n_ends * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_ends * syy - sy * sy AS DOUBLE)), 0)
+                 AS assortativity
+        FROM mo ORDER BY n_ends"""),
+      desc = "degree assortativity: exact integer moments, one double division"),
+
     "graph_modularity" -> Q(
       fn = (s, dir) => {
         import s.implicits._
