@@ -431,6 +431,28 @@ object ScaleProbe {
           .join(pos.select(col("cust"), col("item").as("neg")),
             Seq("cust", "neg"), "left_anti")
       },
+      "assortativity" -> { k =>
+        // graph_assortativity scaled by orders: trade edges, degree
+        // join, one moment agg — edges-linear
+        val e0 = Sources.table(spark, sfDir, "lineitem")
+          .join(Sources.table(spark, sfDir, "orders")
+              .filter(col("o_orderkey") % k === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2L).as("c"),
+            (col("l_suppkey") * 2L + 1L).as("p"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+          .union(e0.select(col("p").as("src"), col("c").as("dst")))
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        edges
+          .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+            Seq("src"))
+          .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+            Seq("dst"))
+          .agg(count(lit(1)).as("n_ends"), sum(col("dx") * col("dy"))
+            .as("sxy"))
+      },
       "hits" -> { k =>
         // graph_hits' shape scaled by orders: directed trade arcs,
         // two reinforcement rounds with broadcast 1-row max norms
