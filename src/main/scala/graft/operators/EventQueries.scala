@@ -1089,6 +1089,64 @@ object EventQueries {
     // order-dependent double sum), report how many rows each side
     // clipped and the winsorized mean ×100. Two passes over a
     // map-side-combined frame + a broadcast threshold row per group.
+    "a_quantile_weighted" -> Q(
+      // ── exact WEIGHTED quantiles (type-1) ─────────────────────────
+      // The quantity-weighted price percentile a revenue dashboard
+      // needs (unweighted quantiles treat a 1-unit and a 50-unit line
+      // the same): collapse to the (value, weight-mass) histogram
+      // FIRST (the mta_m8 rule — the window then runs over distinct
+      // values, not rows), cumulative mass per group, and the p-th
+      // quantile is the smallest value whose cumulative mass reaches
+      // p·total (all-integer threshold — no interpolation, so both
+      // engines agree bit-for-bit). At extreme cardinality the
+      // histogram cumsum shifts to the shardAssign two-level bucket
+      // pattern; group count bounds the window partitions here.
+      fn = (s, dir) => {
+        import s.implicits._
+        val hist = Sources.table(s, dir, "lineitem")
+          .select($"l_returnflag".as("grp"),
+            round($"l_extendedprice" * 100).cast(LongType).as("cents"),
+            round($"l_quantity").cast(LongType).as("w"))
+          .groupBy($"grp", $"cents").agg(sum($"w").as("wm"))
+        val cum = hist
+          .withColumn("cw", sum($"wm").over(
+            Window.partitionBy($"grp").orderBy($"cents")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tw", sum($"wm").over(
+            Window.partitionBy($"grp").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        def q(pPpm: Long) =
+          min(when($"cw" * 1000000L >= lit(pPpm) * $"tw", $"cents"))
+        cum.groupBy($"grp")
+          .agg(max($"tw").as("total_w"),
+            q(500000L).as("p50_cents"),
+            q(900000L).as("p90_cents"))
+          .orderBy($"grp")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT l_returnflag AS grp,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(round(l_quantity) AS BIGINT) AS w
+          FROM lineitem),
+        h AS (
+          SELECT grp, cents, CAST(sum(w) AS BIGINT) AS wm
+          FROM b GROUP BY 1, 2),
+        c AS (
+          SELECT grp, cents, wm,
+                 CAST(sum(wm) OVER (PARTITION BY grp ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+                 CAST(sum(wm) OVER (PARTITION BY grp) AS BIGINT) AS tw
+          FROM h)
+        SELECT grp, max(tw) AS total_w,
+               min(CASE WHEN cw * 1000000 >= 500000 * tw
+                        THEN cents END) AS p50_cents,
+               min(CASE WHEN cw * 1000000 >= 900000 * tw
+                        THEN cents END) AS p90_cents
+        FROM c GROUP BY grp ORDER BY grp"""),
+      desc = "exact weighted quantiles: (value, mass) histogram + threshold"),
+
     "a_winsorize" -> Q(
       fn = (s, dir) => {
         import s.implicits._
