@@ -431,6 +431,26 @@ object ScaleProbe {
           .join(pos.select(col("cust"), col("item").as("neg")),
             Seq("cust", "neg"), "left_anti")
       },
+      "quantile_weighted" -> { k =>
+        // a_quantile_weighted / a_mad's histogram-threshold shape
+        // scaled by lineitem: the cumsum window runs over DISTINCT
+        // values per group, so cost tracks histogram width
+        val h = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+          .select(col("l_returnflag").as("grp"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            round(col("l_quantity")).cast("long").as("w"))
+          .groupBy(col("grp"), col("cents")).agg(sum(col("w")).as("wm"))
+        h.withColumn("cw", sum(col("wm")).over(
+            Window.partitionBy(col("grp")).orderBy(col("cents"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tw", sum(col("wm")).over(
+            Window.partitionBy(col("grp")).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .groupBy(col("grp"))
+          .agg(min(when(col("cw") * 2L >= col("tw"), col("cents")))
+            .as("p50"))
+      },
       "assortativity" -> { k =>
         // graph_assortativity scaled by orders: trade edges, degree
         // join, one moment agg — edges-linear

@@ -1147,6 +1147,77 @@ object EventQueries {
         FROM c GROUP BY grp ORDER BY grp"""),
       desc = "exact weighted quantiles: (value, mass) histogram + threshold"),
 
+    "a_mad" -> Q(
+      // ── median absolute deviation (robust spread) ─────────────────
+      // The robust-stats member beside a_outliers/a_winsorize (stddev
+      // explodes on one fat-finger row; MAD doesn't): type-1 median
+      // via the histogram+threshold machinery (a_quantile_weighted's
+      // shape at weight 1), deviations against the broadcast 1-row-
+      // per-group medians, the same machinery again for MAD — exact,
+      // interpolation-free, bit-identical across engines.
+      fn = (s, dir) => {
+        import s.implicits._
+        def p50(df: org.apache.spark.sql.DataFrame, vCol: String,
+                out: String) = {
+          val cum = df.groupBy($"grp", col(vCol))
+            .agg(count(lit(1)).as("wm"))
+            .withColumn("cw", sum($"wm").over(
+              Window.partitionBy($"grp").orderBy(col(vCol))
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("tw", sum($"wm").over(
+              Window.partitionBy($"grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
+          cum.groupBy($"grp")
+            .agg(min(when($"cw" * 2L >= $"tw", col(vCol))).as(out))
+        }
+        val base = Sources.table(s, dir, "lineitem")
+          .select($"l_returnflag".as("grp"),
+            round($"l_extendedprice" * 100).cast(LongType).as("cents"))
+        val med = p50(base, "cents", "median_cents")
+        val dev = base.join(broadcast(med), Seq("grp"))
+          .withColumn("dev", abs($"cents" - $"median_cents"))
+        p50(dev, "dev", "mad_cents")
+          .join(med, Seq("grp"))
+          .select($"grp", $"median_cents", $"mad_cents")
+          .orderBy($"grp")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT l_returnflag AS grp,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        h1 AS (SELECT grp, cents, count(*) AS wm FROM b GROUP BY 1, 2),
+        c1 AS (
+          SELECT grp, cents,
+                 CAST(sum(wm) OVER (PARTITION BY grp ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+                 CAST(sum(wm) OVER (PARTITION BY grp) AS BIGINT) AS tw
+          FROM h1),
+        med AS (
+          SELECT grp, min(CASE WHEN cw * 2 >= tw THEN cents END)
+                   AS median_cents
+          FROM c1 GROUP BY grp),
+        d AS (
+          SELECT b.grp, abs(b.cents - m.median_cents) AS dev
+          FROM b JOIN med m ON m.grp = b.grp),
+        h2 AS (SELECT grp, dev, count(*) AS wm FROM d GROUP BY 1, 2),
+        c2 AS (
+          SELECT grp, dev,
+                 CAST(sum(wm) OVER (PARTITION BY grp ORDER BY dev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+                 CAST(sum(wm) OVER (PARTITION BY grp) AS BIGINT) AS tw
+          FROM h2),
+        mad AS (
+          SELECT grp, min(CASE WHEN cw * 2 >= tw THEN dev END)
+                   AS mad_cents
+          FROM c2 GROUP BY grp)
+        SELECT m.grp, m.median_cents, a.mad_cents
+        FROM med m JOIN mad a ON a.grp = m.grp
+        ORDER BY m.grp"""),
+      desc = "median absolute deviation: histogram-threshold medians, two passes"),
+
     "a_winsorize" -> Q(
       fn = (s, dir) => {
         import s.implicits._
