@@ -543,6 +543,73 @@ object ExtendedQueries {
         ORDER BY p.user_id, p.purchase_id"""),
       desc = "as-of join via union + running last_value (ASOF JOIN oracle)"),
 
+    // ── NEAREST-in-time as-of (sensor-fusion semantics) ─────────────
+    // Backward-only as-of is the finance convention; sensor fusion
+    // wants the temporally NEAREST reading either side. Same
+    // union-sort trick run in BOTH directions (running last before,
+    // running first after — one user_id exchange, two windows on the
+    // same sort), then pick the smaller |Δ|, ties to the earlier
+    // (backward) side. A same-second click sorts before its purchase,
+    // so it is counted once, as the backward candidate at Δ = 0.
+    "j_asof_nearest" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").withColumn("es", unix_timestamp($"ts"))
+        val clicks = e.filter($"event_type" === "click")
+          .groupBy($"user_id", $"es".as("c_es"))
+          .agg(max($"event_id").as("click_id"))
+        val purch = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"es".as("p_es"), $"event_id".as("purchase_id"))
+        val unioned =
+          clicks.select($"user_id", $"c_es".as("es"), lit(0).as("src"),
+              $"click_id", lit(null).cast(LongType).as("purchase_id"))
+            .unionByName(purch.select($"user_id", $"p_es".as("es"),
+              lit(1).as("src"), lit(null).cast(LongType).as("click_id"),
+              $"purchase_id"))
+        val ord = Window.partitionBy($"user_id")
+          .orderBy($"es", $"src", $"click_id".asc_nulls_first)
+        val wB = ord.rowsBetween(Window.unboundedPreceding, 0)
+        val wF = ord.rowsBetween(0, Window.unboundedFollowing)
+        unioned
+          .withColumn("b_id", last($"click_id", ignoreNulls = true).over(wB))
+          .withColumn("b_es", last(when($"click_id".isNotNull, $"es"),
+            ignoreNulls = true).over(wB))
+          .withColumn("f_id", first($"click_id", ignoreNulls = true).over(wF))
+          .withColumn("f_es", first(when($"click_id".isNotNull, $"es"),
+            ignoreNulls = true).over(wF))
+          .filter($"src" === 1)
+          .filter($"b_id".isNotNull || $"f_id".isNotNull)
+          .withColumn("use_b", $"b_id".isNotNull &&
+            ($"f_id".isNull || $"es" - $"b_es" <= $"f_es" - $"es"))
+          .select($"user_id", $"purchase_id", $"es".as("purchase_es"),
+            when($"use_b", $"b_id").otherwise($"f_id")
+              .as("nearest_click_id"),
+            when($"use_b", $"b_es").otherwise($"f_es").as("nearest_es"),
+            (when($"use_b", $"b_es").otherwise($"f_es") - $"es")
+              .as("delta_s"))
+          .orderBy($"user_id", $"purchase_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_us(ts)//1000000 AS es FROM events),
+        c AS (
+          SELECT user_id, es AS c_es, max(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+          SELECT user_id, es AS p_es, event_id AS purchase_id
+          FROM e WHERE event_type = 'purchase'),
+        cand AS (
+          SELECT p.user_id, p.purchase_id, p.p_es, c.click_id, c.c_es,
+                 row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                   ORDER BY abs(c.c_es - p.p_es), c.c_es, c.click_id)
+                   AS rn
+          FROM p JOIN c ON c.user_id = p.user_id)
+        SELECT user_id, purchase_id, p_es AS purchase_es,
+               click_id AS nearest_click_id, c_es AS nearest_es,
+               c_es - p_es AS delta_s
+        FROM cand WHERE rn = 1 ORDER BY user_id, purchase_id"""),
+      desc = "nearest-in-time as-of: both-direction running pick, ties backward"),
+
     // ── as-of join, native operator form ────────────────────────────
     // Same semantics as j_asof, but planned through the engine's custom
     // AsOfJoin LogicalPlan + Strategy + SparkPlan (graft.plans.AsOf):
