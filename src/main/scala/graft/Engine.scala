@@ -220,9 +220,14 @@ object Engine {
     }
     tests.foreach { case (name, mk) =>
       step(name, "test") {
+        // coalesce: a test thunk returning an EMPTY frame sums to
+        // NULL; dbt treats zero-row test results as passing, so read
+        // that as 0 violations rather than NPE-ing into "error".
         val rep = mk()
-        val viol = rep.agg(org.apache.spark.sql.functions
-          .sum(org.apache.spark.sql.functions.col("n_violations")))
+        val viol = rep.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions
+            .sum(org.apache.spark.sql.functions.col("n_violations")),
+          org.apache.spark.sql.functions.lit(0L)))
           .head.getLong(0)
         (if (viol == 0L) "pass" else "fail", viol)
       }
@@ -243,8 +248,12 @@ object Engine {
     *     change-detection (EngineSpec pins the version/attr/valid_from
     *     parity against the batch operator).
     * Superseded records close with `valid_to = ` the new row's
-    * `updatedAtCol`; new keys open at version 1; keys absent from the
-    * source keep their open record (dbt's default). With
+    * `updatedAtCol` (check strategy: clamped to
+    * `greatest(updatedAtCol, valid_from)` so an out-of-order source
+    * row can never produce an inverted interval); new keys open at
+    * version 1; keys absent from the source keep their open record
+    * (dbt's default). A matched source row with a NULL `updatedAtCol`
+    * reads as "no change" — the open record is kept, never dropped. With
     * `invalidateHardDeletes = true` (dbt's `invalidate_hard_deletes`)
     * a key absent from the source instead CLOSES its open record at
     * `deletedAt` — pass the run's observation timestamp; a later
@@ -281,6 +290,17 @@ object Engine {
     val path = s"$tableRoot/$name"
     val p = new org.apache.hadoop.fs.Path(path)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery for the rename-first swap below: a crash between
+    // rename(p -> old) and rename(tmp -> p) leaves ONLY .snap_old on
+    // disk. Without this, the next run would see !exists(p) and
+    // silently re-initialize history from the current source (losing
+    // every closed record and version number) before deleting the
+    // surviving .snap_old. Recover the displaced history first; when
+    // BOTH exist, p is the completed new history and old is stale
+    // (handled by the pre-write cleanup below).
+    val oldP = new org.apache.hadoop.fs.Path(s"$tableRoot/.$name.snap_old")
+    if (!hfs.exists(p) && hfs.exists(oldP) && !hfs.rename(oldP, p))
+      sys.error(s"snapshot: crash recovery rename $oldP -> $p failed")
     val tsType = source.schema(updatedAtCol).dataType
     val payload = updatedAtCol +: attrs
     val src = source
@@ -302,12 +322,33 @@ object Engine {
         val s = src.select(col(key).as("_k") +:
           payload.map(c => col(c).as(s"_s_$c")): _*)
         val j = cur.join(s, col(key) === col("_k"), "full_outer")
-        val chg: org.apache.spark.sql.Column = strategy match {
+        // coalesce(…, false): a matched source row with NULL
+        // updatedAtCol makes the timestamp comparison NULL, which
+        // would drop the key from BOTH keptCur (!chg -> NULL) and
+        // closedNow (chg -> false) — the open record would silently
+        // vanish from the rewritten history. A null comparison must
+        // read as "no change" so the open record is kept. The check
+        // strategy's <=> is already null-safe; the coalesce is a
+        // no-op there.
+        val chg: org.apache.spark.sql.Column = coalesce(strategy match {
           case "timestamp" =>
             col(s"_s_$updatedAtCol") > col("valid_from")
           case _ =>
             attrs.map(a => !(col(s"_s_$a") <=> col(a))).reduce(_ || _)
-        }
+        }, lit(false))
+        // The check strategy detects change by attrs, not time, so an
+        // out-of-order source row (changed attrs, updatedAt OLDER than
+        // the open record's valid_from) would otherwise close/open at
+        // that stale timestamp and produce an inverted interval
+        // (valid_to < valid_from). Clamp the transition instant to
+        // greatest(source updatedAt, open valid_from) — dbt's check
+        // strategy similarly avoids inversion by using the run
+        // timestamp. Monotone sources are unaffected (greatest is the
+        // source updatedAt), which keeps the Events.scd2 parity pin.
+        val transTs: org.apache.spark.sql.Column =
+          if (strategy == "check")
+            greatest(col(s"_s_$updatedAtCol"), col("valid_from"))
+          else col(s"_s_$updatedAtCol")
         val matched = j.filter(col(key).isNotNull && col("_k").isNotNull)
         val keptCur = matched.filter(!chg).select(histCols.map(col): _*)
         // keys absent from the source: kept open (default) or closed
@@ -322,12 +363,12 @@ object Engine {
         val closedNow = matched.filter(chg)
           .select((col(key) +: attrs.map(col)) ++ Seq(
             col("valid_from"),
-            col(s"_s_$updatedAtCol").as("valid_to"),
+            transTs.as("valid_to"),
             col("version")): _*)
         val newVer = matched.filter(chg)
           .select((col("_k").as(key) +: attrs.map(a =>
             col(s"_s_$a").as(a))) ++ Seq(
-            col(s"_s_$updatedAtCol").as("valid_from"),
+            transTs.as("valid_from"),
             lit(null).cast(tsType).as("valid_to"),
             (col("version") + 1L).as("version")): _*)
         // a key with no OPEN record may still have CLOSED history (a

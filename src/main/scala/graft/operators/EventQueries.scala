@@ -1081,14 +1081,6 @@ object EventQueries {
         ORDER BY user_id, start_day"""),
       desc = "gaps-and-islands: consecutive-day streak intervals per user"),
 
-    // ── winsorized robust aggregates (outlier-clipped means) ────────
-    // The preprocessing twin of dq_anomaly's detection: per stream,
-    // clip cents at the exact p05/p95 (interpolated percentile — the
-    // a9_quantiles determinism precedent; thresholds ROUND to integer
-    // cents so the clipped sum stays an exact long, never an
-    // order-dependent double sum), report how many rows each side
-    // clipped and the winsorized mean ×100. Two passes over a
-    // map-side-combined frame + a broadcast threshold row per group.
     "a_quantile_weighted" -> Q(
       // ── exact WEIGHTED quantiles (type-1) ─────────────────────────
       // The quantity-weighted price percentile a revenue dashboard
@@ -1218,6 +1210,14 @@ object EventQueries {
         ORDER BY m.grp"""),
       desc = "median absolute deviation: histogram-threshold medians, two passes"),
 
+    // ── winsorized robust aggregates (outlier-clipped means) ────────
+    // The preprocessing twin of dq_anomaly's detection: per stream,
+    // clip cents at the exact p05/p95 (interpolated percentile — the
+    // a9_quantiles determinism precedent; thresholds ROUND to integer
+    // cents so the clipped sum stays an exact long, never an
+    // order-dependent double sum), report how many rows each side
+    // clipped and the winsorized mean ×100. Two passes over a
+    // map-side-combined frame + a broadcast threshold row per group.
     "a_winsorize" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -591,6 +591,75 @@ class EngineSpec extends SparkSuite {
     assert(h4.length === 3)
   }
 
+  test("snapshot recovers a history displaced by a mid-swap crash") {
+    val root = Files.createTempDirectory("graft_snap_cr").toString
+    val d1 = Seq(("A", "x", 100L), ("B", "y", 100L))
+      .toDF("k", "v", "updated_at")
+    Engine.snapshot(spark, d1, "snap_cr", "k", "updated_at", Seq("v"), root)
+    val d2 = Seq(("A", "x2", 200L), ("B", "y", 100L))
+      .toDF("k", "v", "updated_at")
+    Engine.snapshot(spark, d2, "snap_cr", "k", "updated_at", Seq("v"), root)
+    // simulate a crash between rename(p -> old) and rename(tmp -> p):
+    // only .snap_old survives on disk
+    val p = new org.apache.hadoop.fs.Path(s"$root/snap_cr")
+    val old = new org.apache.hadoop.fs.Path(s"$root/.snap_cr.snap_old")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(p, old) && !hfs.exists(p))
+    // the next run must recover the displaced history, NOT
+    // re-initialize from the current source (which would lose A's
+    // closed v1 record and reset versions)
+    val h = Engine.snapshot(spark, d2, "snap_cr", "k", "updated_at",
+        Seq("v"), root)
+      .orderBy($"k", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      ("A", "x", 100L, Some(200L), 1L),
+      ("A", "x2", 200L, None, 2L),
+      ("B", "y", 100L, None, 1L)))
+    assert(!hfs.exists(old), "recovered old directory must be consumed")
+  }
+
+  test("snapshot timestamp-strategy keeps the open record on NULL updatedAt") {
+    val root = Files.createTempDirectory("graft_snap_nul").toString
+    val d1 = Seq(("A", "x", Some(100L)), ("B", "y", Some(100L)))
+      .toDF("k", "v", "updated_at")
+    Engine.snapshot(spark, d1, "snap_nul", "k", "updated_at", Seq("v"), root)
+    // A re-observed with NULL updatedAt: the comparison is NULL — must
+    // read as "no change", never drop the open record from history
+    val d2 = Seq(("A", "x9", None: Option[Long]), ("B", "y", Some(100L)))
+      .toDF("k", "v", "updated_at")
+    val h = Engine.snapshot(spark, d2, "snap_nul", "k", "updated_at",
+        Seq("v"), root)
+      .orderBy($"k", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      ("A", "x", 100L, None, 1L),
+      ("B", "y", 100L, None, 1L)))
+  }
+
+  test("snapshot check-strategy never inverts intervals on out-of-order rows") {
+    val root = Files.createTempDirectory("graft_snap_ooo").toString
+    val d1 = Seq(("A", "red", 200L)).toDF("k", "v", "updated_at")
+    Engine.snapshot(spark, d1, "snap_ooo", "k", "updated_at", Seq("v"), root,
+      strategy = "check")
+    // changed attr but an OLDER updatedAt: the transition instant is
+    // clamped to greatest(updatedAt, valid_from) so valid_to >=
+    // valid_from always holds (no inverted/overlapping interval)
+    val d2 = Seq(("A", "blue", 50L)).toDF("k", "v", "updated_at")
+    val h = Engine.snapshot(spark, d2, "snap_ooo", "k", "updated_at",
+        Seq("v"), root, strategy = "check")
+      .orderBy($"k", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      ("A", "red", 200L, Some(200L), 1L),
+      ("A", "blue", 200L, None, 2L)))
+    h.foreach { r => r._4.foreach(vt =>
+      assert(vt >= r._3, s"inverted interval in $r")) }
+  }
+
   test("seed registers contract-pinned CSVs; missing schema fails fast") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_seeds")
