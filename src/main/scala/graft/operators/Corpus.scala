@@ -306,17 +306,23 @@ object Corpus extends org.apache.spark.internal.Logging {
     * formulation: explode distinct grams, equi-join on (block, gram)
     * to count intersections, derive the union from per-doc gram counts
     * — no gram arrays ride the join. Grams above 50% block document-
-    * frequency are dropped from CANDIDATE generation (a stopword-like
-    * gram is quadratic fan-out with no signal) while the score stays
-    * EXACT via the capped ∪ hot decomposition: the tiny per-doc
-    * hot-gram sets are intersected after the pair aggregation.
-    * `blockCols` name the blocking columns (docs only pair within
-    * equal blocks). */
+    * frequency OR above the ABSOLUTE `maxDocFreq` cap are dropped
+    * from CANDIDATE generation (a stopword-like gram is quadratic
+    * fan-out with no signal; the absolute cap is the winnowPairs
+    * posture — without it a mid-frequency gram with df just under
+    * n/2 still emits O(df²) pairs, and at 100 TB a df~10⁶ trigram
+    * inside one block is 10¹² candidates) while the score stays
+    * EXACT via the capped ∪ hot decomposition: the per-doc hot-gram
+    * sets are intersected after the pair aggregation. Per-gram
+    * candidate fan-out is therefore bounded by `maxDocFreq²` rather
+    * than `(n_docs/2)²`. `blockCols` name the blocking columns (docs
+    * only pair within equal blocks). */
   def ngramPairs(docs: DataFrame,
                  blockCols: Seq[String] = Seq("lang", "source"),
-                 minJaccard: Double = 0.5): DataFrame = {
+                 minJaccard: Double = 0.5,
+                 maxDocFreq: Long = 256L): DataFrame = {
     val bc = blockCols.map(col)
-    ngramScored(docs, blockCols)
+    ngramScored(docs, blockCols, maxDocFreq)
       .withColumn("jaccard", try_divide(col("inter"),
         col("len_a") + col("len_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -333,9 +339,10 @@ object Corpus extends org.apache.spark.internal.Logging {
     * scoring as [[ngramPairs]]. */
   def containmentPairs(docs: DataFrame,
                        blockCols: Seq[String] = Seq("lang", "source"),
-                       minContainment: Double = 0.8): DataFrame = {
+                       minContainment: Double = 0.8,
+                       maxDocFreq: Long = 256L): DataFrame = {
     val bc = blockCols.map(col)
-    ngramScored(docs, blockCols)
+    ngramScored(docs, blockCols, maxDocFreq)
       .withColumn("containment", try_divide(col("inter"),
         least(col("len_a"), col("len_b"))))
       .filter(col("containment") >= minContainment)
@@ -355,16 +362,18 @@ object Corpus extends org.apache.spark.internal.Logging {
     * from the `docs` INPUT plan (stable across invocations), not the
     * built frame (whose checkpoint identity is fresh each build). */
   private def ngramScored(docs: DataFrame,
-                          blockCols: Seq[String]): DataFrame = {
+                          blockCols: Seq[String],
+                          maxDocFreq: Long): DataFrame = {
     val token = graft.Engine.planToken(docs,
-      extra = "ngram_scored:" + blockCols.mkString(","))
+      extra = "ngram_scored:" + blockCols.mkString(",") + ":" + maxDocFreq)
     graft.Engine.materializeShared(docs.sparkSession, token,
-      buildNgramScored(docs, blockCols), key = "doc_a",
+      buildNgramScored(docs, blockCols, maxDocFreq), key = "doc_a",
       name = "ngram_scored")
   }
 
   private def buildNgramScored(docs: DataFrame,
-                               blockCols: Seq[String]): DataFrame = {
+                               blockCols: Seq[String],
+                               maxDocFreq: Long): DataFrame = {
     val bc = blockCols.map(col)
     val invAll = docs
       .select(col("doc_id") +: bc :+ col("text") :+
@@ -386,9 +395,15 @@ object Corpus extends org.apache.spark.internal.Logging {
         .withColumn("df", count(lit(1)).over(dfW))
         .join(broadcast(blockSizes), blockCols),
       key = "gram", name = "ngram_idx")
-    val inv = idx.filter(col("df") * 2 <= col("n_docs"))
+    // candidate grams: under HALF the block (relative guard) AND under
+    // the absolute df cap — either flood routes to the hot-set exact-
+    // scoring arrays, so scores are unchanged; only candidate
+    // GENERATION is bounded (per-gram fan-out ≤ maxDocFreq²)
+    val inv = idx.filter(col("df") * 2 <= col("n_docs") &&
+        col("df") <= maxDocFreq)
       .select(col("doc_id") +: bc :+ col("gram"): _*)
-    val hotSets = idx.filter(col("df") * 2 > col("n_docs"))
+    val hotSets = idx.filter(col("df") * 2 > col("n_docs") ||
+        col("df") > maxDocFreq)
       .groupBy(col("doc_id")).agg(collect_list(col("gram")).as("hot"))
     val lens = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val a = inv.select(col("doc_id").as("doc_a") +: bc :+ col("gram"): _*)

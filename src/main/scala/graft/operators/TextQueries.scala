@@ -2345,6 +2345,11 @@ object TextQueries {
   /** DuckDB twin of Corpus.ngramScored as CTEs ending in `nscored`
     * (lang, source, doc_a, doc_b, inter, len_a, len_b) — shared by the
     * jaccard and containment oracles so both score identically.
+    * Carries BOTH candidate guards the Spark side applies: the
+    * relative df*2 <= n_docs AND the absolute df <= 256 cap (the
+    * ngramPairs default; at sf<=0.1 the max non-hot block df is 56,
+    * so the absolute guard is semantically pinned here without
+    * changing test-scale results).
     * (A `def`, not a `val`: it is referenced from the `queries` val
     * above, and a later-declared val would still be null during that
     * initializer.) */
@@ -2368,10 +2373,10 @@ object TextQueries {
           JOIN bs ON bs.lang = i.lang AND bs.source = i.source),
         inv AS (
           SELECT doc_id, lang, source, gram FROM idx
-          WHERE df * 2 <= n_docs),
+          WHERE df * 2 <= n_docs AND df <= 256),
         hot AS (
           SELECT doc_id, list(gram) AS hot FROM idx
-          WHERE df * 2 > n_docs GROUP BY doc_id),
+          WHERE df * 2 > n_docs OR df > 256 GROUP BY doc_id),
         lens AS (SELECT doc_id, count(*) AS n_grams FROM idx GROUP BY 1),
         inter AS (
           SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -314,6 +314,56 @@ class CorpusSpec extends SparkSuite {
     assert(jac === 0, "jaccard should NOT fire on this size imbalance")
   }
 
+  test("ngramPairs absolute df cap bounds a boilerplate flood; scores stay exact") {
+    // 20 docs share one boilerplate passage whose grams sit at df≈22
+    // — UNDER the relative n/2 guard (block has 102 docs) but over an
+    // absolute cap of 8. Without the absolute cap these docs alone
+    // generate 20*19/2 = 190 candidate pairs from grams carrying zero
+    // near-dup signal; at 100 TB a df~10^6 gram is 10^12 pairs. Tails
+    // are one repeated per-doc-unique letter so every gram touching a
+    // tail is unique (even the junction gram "e $c") — flood docs
+    // share ONLY over-cap grams.
+    val boiler = "standard legal disclaimer text appears on every page"
+    def tail(i: Int): String = { val c = ('a' + i).toChar; s" $c$c$c$c$c" }
+    val flood = (0 until 20).map(i => (1000L + i, boiler + tail(i), "en", "web"))
+    val filler = (0 until 60).map(i =>
+      (2000L + i, f"totally unrelated filler number$i%02d piece", "en", "web"))
+    // two extra boilerplate docs ALSO share a rare phrase (df=2 ->
+    // candidate): their pair must be generated AND scored exactly,
+    // capped boilerplate grams included via the hot-set arrays.
+    // Digit endings collide with nothing in the flood tails.
+    val marker = " xqzjvkwpf rare marker"
+    val ta = marker + " 00"; val tb = marker + " 11"
+    val pairDocs = Seq(
+      (3000L, boiler + ta, "en", "web"),
+      (3001L, boiler + tb, "en", "web"))
+    val corpus = (flood ++ filler ++ pairDocs)
+      .toDF("doc_id", "text", "lang", "source")
+    def pairsAt(cap: Long) = Corpus.ngramPairs(corpus, minJaccard = 0.1,
+        maxDocFreq = cap)
+      .select($"doc_a", $"doc_b", $"jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = pairsAt(8L)
+    val uncapped = pairsAt(1000000L)
+    // flood pairs exist uncapped (the quadratic blowup)…
+    assert(uncapped.keys.count { case (a, b) =>
+      a >= 1000L && a < 2000L && b >= 1000L && b < 2000L } === 20 * 19 / 2)
+    // …and are fully suppressed from candidate generation by the cap
+    assert(!capped.keys.exists { case (a, b) =>
+      a >= 1000L && a < 2000L && b >= 1000L && b < 2000L },
+      s"flood pairs leaked past the absolute cap: ${capped.keys}")
+    // the marker pair survives (rare gram under the cap) and its score
+    // is EXACT — identical to the uncapped run and to brute force
+    assert(capped.contains((3000L, 3001L)))
+    assert(capped((3000L, 3001L)) === uncapped((3000L, 3001L)))
+    def grams(t: String): Set[String] =
+      (1 to math.max(t.length - 2, 1)).map(i => t.substring(i - 1, i + 2)).toSet
+    val ga = grams(boiler + ta); val gb = grams(boiler + tb)
+    val brute = (ga & gb).size.toDouble / (ga | gb).size
+    assert(math.abs(capped((3000L, 3001L)) - brute) < 1e-12,
+      s"capped score ${capped((3000L, 3001L))} != brute $brute")
+  }
+
   test("lmScore separates shared-phrasing prose from all-novel gibberish") {
     val tiny = Seq(
       (1L, "the cat sat on the mat"),
