@@ -693,6 +693,53 @@ object ExtendedQueries {
         ORDER BY p.user_id, p.purchase_id"""),
       desc = "native as-of join with tolerance (stale matches → null)"),
 
+    // ── nearest-in-time as-of, native operator form ─────────────────
+    // Same semantics as j_asof_nearest (smaller |Δ| wins, ties to the
+    // backward side), planned through the custom operator with
+    // direction = "nearest": the sorted merge keeps the last-behind
+    // candidate and PEEKS the first-ahead row the scan stopped on —
+    // still one pass, one shuffle per side, no second scan. The
+    // oracle is the definitional row_number-over-|Δ| form.
+    "j_asof_native_nearest" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").withColumn("es", unix_timestamp($"ts"))
+        val clicks = e.filter($"event_type" === "click")
+          .groupBy($"user_id", $"es")
+          .agg(max($"event_id").as("click_id"))
+          .select($"user_id".as("c_user"), $"es".as("c_es"), $"click_id")
+        val purch = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"es".as("p_es"), $"event_id".as("purchase_id"))
+        graft.plans.AsOf.join(purch, clicks,
+            Seq(("user_id", "c_user")), "p_es", "c_es",
+            direction = "nearest")
+          .filter($"click_id".isNotNull) // match j_asof_nearest's shape
+          .select($"user_id", $"purchase_id", $"p_es".as("purchase_es"),
+            $"click_id".as("nearest_click_id"), $"c_es".as("nearest_es"),
+            ($"c_es" - $"p_es").as("delta_s"))
+          .orderBy($"user_id", $"purchase_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_us(ts)//1000000 AS es FROM events),
+        c AS (
+          SELECT user_id, es AS c_es, max(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+          SELECT user_id, es AS p_es, event_id AS purchase_id
+          FROM e WHERE event_type = 'purchase'),
+        cand AS (
+          SELECT p.user_id, p.purchase_id, p.p_es, c.click_id, c.c_es,
+                 row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                   ORDER BY abs(c.c_es - p.p_es), c.c_es, c.click_id)
+                   AS rn
+          FROM p JOIN c ON c.user_id = p.user_id)
+        SELECT user_id, purchase_id, p_es AS purchase_es,
+               click_id AS nearest_click_id, c_es AS nearest_es,
+               c_es - p_es AS delta_s
+        FROM cand WHERE rn = 1 ORDER BY user_id, purchase_id"""),
+      desc = "native nearest as-of: one-pass merge, peeked forward candidate"),
+
     // ── tf-idf style term ranking (integer-only, deterministic) ─────
     // Ranking by (tf DESC, df ASC, term) is the tf-idf order without a
     // cross-engine ln(): idf is monotone-decreasing in df.

@@ -14,11 +14,24 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * custom LogicalPlan + Strategy + SparkPlan when composition isn't
   * enough; compare the composed form in ExtendedQueries `j_asof`).
   *
-  * Semantics: for every left row, attach the LAST right row with equal
-  * keys and rightTime <= leftTime (left outer; unmatched → nulls).
+  * Semantics (left outer; unmatched → nulls), by `direction`:
+  *  - `backward` (default, the finance convention): for every left
+  *    row, attach the LAST right row with equal keys and
+  *    rightTime <= leftTime.
+  *  - `forward`: the FIRST right row with rightTime >= leftTime.
+  *  - `nearest` (sensor fusion): whichever of the backward/forward
+  *    candidates has the smaller |rightTime − leftTime|; ties go to
+  *    the BACKWARD side — the same convention as the window-form
+  *    `j_asof_nearest` query, whose definitional oracle pins it.
+  * `tolerance` (seconds) bounds the match distance in the match
+  * direction (|Δ| for nearest — pandas merge_asof semantics).
   * NULL keys never match (SQL equi-join / DuckDB ASOF semantics): a
   * left row with any NULL key field gets the null-padded right side,
-  * and right rows with NULL key fields are never candidates.
+  * and right rows with NULL key fields are never candidates. NULL
+  * times never match on either side. When several right rows tie on
+  * (keys, time), the row chosen among the ties is sort-dependent —
+  * dedupe the right side per (keys, time) for fully deterministic
+  * output (what every registered query does).
   *
   * Physical shape: both sides hash-partitioned on their keys with an
   * EXACT partition count (so the co-partitioning survives AQE) and
@@ -30,7 +43,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    direction: String = "backward") extends BinaryNode {
+  require(AsOf.directions.contains(direction),
+    s"as-of direction '$direction' (expected ${AsOf.directions})")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -41,7 +57,7 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long]) extends BinaryExecNode {
+    tolerance: Option[Long], direction: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -73,10 +89,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lTimeB = leftTime
     val rTimeB = rightTime
     // tolerance: a carried candidate is rejected at EMIT time when it
-    // is older than `tol` seconds (pandas merge_asof semantics — the
-    // latest candidate is the only one considered; anything earlier
-    // is staler still, so no second scan is ever needed)
+    // is farther than `tol` seconds in the match direction (pandas
+    // merge_asof semantics — the nearest candidate per side is the
+    // only one considered; anything farther is staler still, so no
+    // second scan is ever needed)
     val tolB = tolerance
+    // 0 = backward, 1 = forward, 2 = nearest — resolved once, the
+    // per-row branch is an int compare
+    val dirB = direction match {
+      case "backward" => 0
+      case "forward" => 1
+      case _ => 2
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
@@ -152,10 +176,43 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               else advance = false // right time ahead of this left row
             } else advance = false // right key ahead
           }
-          val withinTol = tolB.isEmpty || (!ltNull &&
-            lt.getLong(0) - lastMatchTime <= tolB.get)
-          outProj(joined(lRow, if (lastMatch != null && withinTol) lastMatch
-            else nullRight))
+          val ltV = if (ltNull) 0L else lt.getLong(0)
+          // backward candidate: the last consumed right row at <= lt
+          // (NULLS FIRST sorting guarantees lastMatch is null for
+          // null-time left rows — they precede every consumed row)
+          val bOk = lastMatch != null && !ltNull &&
+            (tolB.isEmpty || ltV - lastMatchTime <= tolB.get)
+          var chosen: InternalRow = null
+          if (dirB == 0) { if (bOk) chosen = lastMatch }
+          else {
+            // forward candidate: the row the scan STOPPED on, when it
+            // still belongs to this key (its time is then non-null and
+            // strictly > lt — equal-time rows were consumed backward).
+            // Peeked, never consumed: later left rows still need it.
+            var fRow: InternalRow = null
+            var fT = 0L
+            if (!ltNull && rBuf.hasNext &&
+                keyOrd.compare(rKeyProj(rBuf.head), lastKey) == 0) {
+              val rt = rTimeProj(rBuf.head)
+              if (!rt.isNullAt(0)) { fRow = rBuf.head; fT = rt.getLong(0) }
+            }
+            val fOk = fRow != null && (tolB.isEmpty || fT - ltV <= tolB.get)
+            if (dirB == 1) {
+              // forward = first right at >= lt: an equal-time run was
+              // consumed by the backward scan, so lastMatchTime == lt
+              // IS the forward match at delta 0
+              if (lastMatch != null && !ltNull && lastMatchTime == ltV)
+                chosen = lastMatch
+              else if (fOk) chosen = fRow
+            } else { // nearest: smaller |delta|, ties backward
+              if (bOk && fOk)
+                chosen = if (ltV - lastMatchTime <= fT - ltV) lastMatch
+                  else fRow
+              else if (bOk) chosen = lastMatch
+              else if (fOk) chosen = fRow
+            }
+          }
+          outProj(joined(lRow, if (chosen != null) chosen else nullRight))
         }
       }
     }
@@ -216,19 +273,25 @@ object PruneAsOfJoinColumns
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir) :: Nil
     case _ => Nil
   }
 }
 
 /** DataFrame-level API. Time columns must be LongType (epoch seconds —
-  * the engine's portable time representation). */
+  * the engine's portable time representation). `direction` is
+  * `backward` (default) | `forward` | `nearest` — the same semantics
+  * family as the window-form queries (`j_asof`, `j_asof_tol`,
+  * `j_asof_nearest`). */
 object AsOf {
+  val directions: Set[String] = Set("backward", "forward", "nearest")
+
   def join(leftDf: DataFrame, rightDf: DataFrame,
            keys: Seq[(String, String)],
            leftTimeCol: String, rightTimeCol: String,
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -252,7 +315,8 @@ object AsOf {
         throw new IllegalArgumentException(s"no column $name"))
     val node = AsOfJoin(lPlan, rPlan,
       keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), tolerance)
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), tolerance,
+      direction)
     GraftBridge.ofRows(spark, node)
   }
 }

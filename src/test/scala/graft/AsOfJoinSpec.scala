@@ -41,6 +41,83 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out("stale") === null)     // gap 105 > 10 → rejected
   }
 
+  test("native nearest direction matches the composed j_asof_nearest") {
+    val native = SparkEntry.queries("j_asof_native_nearest")(spark, sf())
+      .collect()
+    val composed = SparkEntry.queries("j_asof_nearest")(spark, sf())
+      .collect()
+    assert(native.length === composed.length)
+    assert(native.map(_.toSeq).toSet === composed.map(_.toSeq).toSet)
+  }
+
+  test("forward direction: first at-or-after, equal time matches, tolerance") {
+    val left = Seq((1L, 10L, "p_before"), (1L, 15L, "p_at"),
+      (1L, 40L, "p_far"), (2L, 5L, "p_nomatch"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 15L, "c15"), (1L, 30L, "c30"))
+      .toDF("rk", "rt", "rname")
+    val out = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+        direction = "forward")
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("p_before") === "c15")  // first at-or-after 10
+    assert(out("p_at") === "c15")      // equal time IS a forward match
+    assert(out("p_far") === null)      // nothing at-or-after 40
+    assert(out("p_nomatch") === null)  // no right rows for key 2
+    val tol = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+        direction = "forward", tolerance = Some(3L))
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tol("p_before") === null)   // gap 5 > 3 → rejected
+    assert(tol("p_at") === "c15")      // gap 0 ≤ 3
+  }
+
+  test("nearest direction: smaller |delta| wins, ties backward, tolerance") {
+    val left = Seq((1L, 10L, "closer_behind"), (1L, 18L, "closer_ahead"),
+      (1L, 15L, "tie"), (1L, 100L, "behind_only"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 9L, "c9"), (1L, 21L, "c21"))
+      .toDF("rk", "rt", "rname")
+    val out = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+        direction = "nearest")
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("closer_behind") === "c9")   // |1| < |11|
+    assert(out("closer_ahead") === "c21")   // |3| < |9|
+    assert(out("tie") === "c9")             // |6| = |6| → backward
+    assert(out("behind_only") === "c21")    // only a backward candidate
+    val tol = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+        direction = "nearest", tolerance = Some(5L))
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tol("closer_behind") === "c9")  // |1| ≤ 5
+    assert(tol("closer_ahead") === "c21")  // |3| ≤ 5
+    assert(tol("tie") === null)            // both |6| > 5 → no match
+    assert(tol("behind_only") === null)    // |79| > 5
+  }
+
+  test("nearest falls forward when the backward candidate breaks tolerance") {
+    // backward at |8| fails tol=5, forward at |7| passes — the pick
+    // must consider per-candidate tolerance, not pick-then-filter
+    val left = Seq((1L, 20L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 12L, "c12"), (1L, 27L, "c27"))
+      .toDF("rk", "rt", "rname")
+    val out = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+        direction = "nearest", tolerance = Some(7L))
+      .select($"name", $"rname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("p") === "c27")
+  }
+
+  test("unknown direction fails fast") {
+    val left = Seq((1L, 10L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, "c")).toDF("rk", "rt", "rname")
+    intercept[IllegalArgumentException] {
+      AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+        direction = "sideways")
+    }
+  }
+
   test("NULL keys never match (SQL equi-join semantics)") {
     val left = Seq(
       (Option(1L), 10L, "k1"),
@@ -100,11 +177,14 @@ class AsOfJoinSpec extends SparkSuite {
     val l = e.filter($"event_type" === "purchase")
     val r = e.select($"user_id".as("ru"), $"es".as("res"),
       $"event_id".as("rid"), $"props".as("rprops"), $"value".as("rvalue"))
-    val joined = AsOf.join(l, r, Seq(("user_id", "ru")), "es", "res")
-      .select($"event_id", $"rid")
-    val p = joined.queryExecution.executedPlan.toString
-    assert(!p.contains("props"), s"props not pruned from scans:\n$p")
-    assert(joined.count() === l.count())
+    for (dir <- Seq("backward", "nearest")) {
+      val joined = AsOf.join(l, r, Seq(("user_id", "ru")), "es", "res",
+          direction = dir)
+        .select($"event_id", $"rid")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("props"), s"props not pruned ($dir):\n$p")
+      assert(joined.count() === l.count())
+    }
   }
 
   test("left-side filters push below the as-of join (custom Rule)") {
