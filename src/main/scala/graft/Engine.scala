@@ -176,7 +176,12 @@ object Engine {
     *                (dbt's `--store-failures` posture — orchestrators
     *                decide whether a red test blocks).
     * Tests are thunks so they can reference views the earlier phases
-    * registered. Steps run sequentially; a THROWN step records
+    * registered. With `autoTests = true` (the default, dbt's
+    * posture), the run FIRST executes the contract-derived
+    * not_null/unique checks from [[contractTests]] — a user porting a
+    * dbt project expects `build()` to test the declared schemas
+    * without hand-wiring thunks — then any caller-supplied `tests`.
+    * Steps run sequentially; a THROWN step records
     * status = "error" and later steps still run (dbt continues
     * independent nodes). */
   def build(spark: SparkSession, dir: String,
@@ -186,7 +191,8 @@ object Engine {
             seedSchemas: Map[String, org.apache.spark.sql.types.StructType] =
               Map.empty,
             snapshots: Seq[SnapshotSpec] = Nil,
-            tests: Seq[(String, () => DataFrame)] = Nil): Seq[BuildStep] = {
+            tests: Seq[(String, () => DataFrame)] = Nil,
+            autoTests: Boolean = true): Seq[BuildStep] = {
     val out = scala.collection.mutable.ListBuffer.empty[BuildStep]
     def step(name: String, kind: String)(run: => (String, Long)): Unit = {
       val t0 = System.nanoTime()
@@ -218,7 +224,7 @@ object Engine {
         ("pass", hist.count())
       }
     }
-    tests.foreach { case (name, mk) =>
+    def runTest(name: String, mk: () => DataFrame): Unit =
       step(name, "test") {
         // coalesce: a test thunk returning an EMPTY frame sums to
         // NULL; dbt treats zero-row test results as passing, so read
@@ -231,8 +237,95 @@ object Engine {
           .head.getLong(0)
         (if (viol == 0L) "pass" else "fail", viol)
       }
-    }
+    if (autoTests)
+      contractTests(spark).foreach { case (n, mk) => runTest(n, mk) }
+    tests.foreach { case (name, mk) => runTest(name, mk) }
     out.toList
+  }
+
+  /** One view's contract-derived checks: `cols` get a not_null test;
+    * with `unique = true` (the default) they also form the declared
+    * unique key. Keyless fact tables set `unique = false` — dbt
+    * projects attach not_null to fact identity columns without
+    * claiming a grain. */
+  final case class ContractTest(cols: Seq[String], unique: Boolean = true)
+  private def key(cols: String*): ContractTest = ContractTest(cols)
+
+  /** Declared keys for the registered views — the engine's
+    * analog of dbt attaching `not_null` + `unique` tests to the
+    * columns the sources yml declares (the reference's dlt tables
+    * each carry the per-row `_dlt_id`, `models/mta_sources.yml`; the
+    * GTFS/static and registry tables key on their natural ids; model
+    * grains are documented on their builders in MtaModels). */
+  val contractKeys: Map[String, ContractTest] = Map(
+    // dlt-ingested RT tables: _dlt_id is dlt's per-row key
+    "trip_updates" -> key("_dlt_id"),
+    "trip_updates__trip_update__stop_time_update" -> key("_dlt_id"),
+    "alerts" -> key("_dlt_id"),
+    "alerts__alert__header_text__translation" -> key("_dlt_id"),
+    "alerts__alert__description_text__translation" -> key("_dlt_id"),
+    "alerts__alert__active_period" -> key("_dlt_id"),
+    "alerts__alert__informed_entity" -> key("_dlt_id"),
+    // GTFS static tables
+    "routes" -> key("route_id"),
+    "stops" -> key("stop_id"),
+    "trips" -> key("trip_id"),
+    "stop_times" -> key("trip_id", "stop_sequence"),
+    "calendar" -> key("service_id"),
+    // model grains (one row per…)
+    "fact_trips_stops" -> key("tu_id", "stu_id"),
+    "fact_trips" -> key("trip_uid"),
+    "fact_delays" -> key("tu_id", "stu_id"),
+    "fact_alerts" -> key("alert_id"),
+    // driver-testdata registry ([[graft.sources.Sources.contracts]])
+    "region" -> key("r_regionkey"),
+    "nation" -> key("n_nationkey"),
+    "customer" -> key("c_custkey"),
+    "supplier" -> key("s_suppkey"),
+    "part" -> key("p_partkey"),
+    "orders" -> key("o_orderkey"),
+    // the synthetic lineitem is a KEYLESS fact: the generator draws
+    // (order, part, supplier, linenumber) independently and collides
+    // even the full 4-tuple (one dup at sf0.001) -- not_null on the
+    // line identity, no unique claim
+    "lineitem" -> ContractTest(Seq("l_orderkey", "l_partkey",
+      "l_suppkey", "l_linenumber"), unique = false),
+    "events" -> key("event_id"),
+    "documents" -> key("doc_id"),
+    "embeddings" -> key("vec_id"))
+
+  /** Contract-derived test thunks (dbt's yml-declared tests): for
+    * every [[contractKeys]] view PRESENT in the session catalog, a
+    * `not_null` check (rows with any NULL key field) and a `unique`
+    * check (key groups with more than one row). Views not registered
+    * in this session are skipped — a build that only ran the MTA DAG
+    * doesn't fail on absent registry tables. Both checks are one
+    * scan-shaped aggregate per view; at 100 TB the unique check is
+    * the usual map-side-combined groupBy on the key. */
+  def contractTests(spark: SparkSession)
+      : Seq[(String, () => DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    contractKeys.toSeq.sortBy(_._1).flatMap { case (v, ct) =>
+      if (!spark.catalog.tableExists(v)) Nil
+      else {
+        val keys = ct.cols
+        val keyList = keys.mkString(",")
+        val notNull =
+          s"not_null:$v($keyList)" -> (() =>
+            spark.table(v)
+              .filter(keys.map(c => col(c).isNull).reduce(_ || _))
+              .agg(count(lit(1)).as("n_violations")))
+        val uniq =
+          s"unique:$v($keyList)" -> (() =>
+            spark.table(v)
+              .filter(keys.map(c => col(c).isNotNull).reduce(_ && _))
+              .groupBy(keys.map(col): _*)
+              .agg(count(lit(1)).as("_n"))
+              .filter(col("_n") > 1L)
+              .agg(count(lit(1)).as("n_violations")))
+        if (ct.unique) Seq(notNull, uniq) else Seq(notNull)
+      }
+    }
   }
 
   /** dbt-snapshots analog (the reference ships the placeholder

@@ -692,6 +692,12 @@ class EngineSpec extends SparkSuite {
     Seq(("R1", "red", 100L), ("R2", "blue", 100L))
       .toDF("route", "color", "updated_at")
       .createOrReplaceTempView("route_dim")
+    // deliberately break one declared contract: a `region` view with a
+    // duplicated AND a null key — build()'s auto-derived tests must
+    // catch both without any caller-supplied thunk
+    Seq(Option(1L), Option(1L), Option.empty[Long])
+      .toDF("r_regionkey").withColumn("r_name", lit("x"))
+      .createOrReplaceTempView("region")
     val report = Engine.build(spark, sf(),
       tableRoot = Some(root),
       seedDir = Some(seeds.toString),
@@ -708,8 +714,29 @@ class EngineSpec extends SparkSuite {
             .acceptedValues("fact_trips_stops",
               spark.table("fact_trips_stops"), "feed", Seq("nope")))))))
     val byName = report.map(s => s.name -> s).toMap
-    assert(report.map(_.kind) ===
-      Seq("seed", "model", "snapshot", "test", "test"))
+    assert(report.map(_.kind).takeWhile(_ != "test") ===
+      Seq("seed", "model", "snapshot"))
+    assert(report.map(_.kind).dropWhile(_ != "test").forall(_ == "test"))
+    // contract-derived tests ran without being asked for: the model
+    // grains and every contract view in the catalog, then the two
+    // caller thunks last
+    val auto = report.filter(s =>
+      s.name.startsWith("not_null:") || s.name.startsWith("unique:"))
+    assert(auto.size >= 2 * 16, // mta sources + models at least
+      s"expected auto-derived steps, got ${auto.map(_.name)}")
+    assert(byName.contains("unique:fact_trips(trip_uid)") &&
+      byName("unique:fact_trips(trip_uid)").status === "pass")
+    assert(byName("not_null:fact_trips_stops(tu_id,stu_id)").status === "pass")
+    // the deliberately broken region contract is RED, on both checks
+    assert(byName("unique:region(r_regionkey)").status === "fail" &&
+      byName("unique:region(r_regionkey)").rows === 1L)
+    assert(byName("not_null:region(r_regionkey)").status === "fail" &&
+      byName("not_null:region(r_regionkey)").rows === 1L)
+    // every OTHER auto test is green
+    assert(auto.filterNot(_.name.contains("region"))
+      .forall(_.status == "pass"),
+      s"unexpected red auto tests: ${auto.filter(_.status != "pass").map(_.name)}")
+    spark.catalog.dropTempView("region")
     assert(byName("seeds").status === "pass" &&
       byName("seeds").rows === 1L)
     assert(byName("mta_dag").status === "pass")
