@@ -65,11 +65,19 @@ object Bench {
       // back what the sample added; sample 2 rebuilds and its entries
       // stay, so later queries that merely reuse the frame ride it
       // (their cheap samples are the honest pipeline cost).
+      var outRows = -1L // from the last successful sample — output-
+                        // bound queries get adjudicated in s/row
       val samples = (0 until 2).map { i =>
         val snap = Engine.sharedKeys()
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+          try {
+            // RDD-level count(): same full materialization as foreach
+            // (no Catalyst pruning below toRdd), and the size is the
+            // honest output row count for bench_full.json
+            outRows = fn(spark, sfDir).queryExecution.toRdd.count()
+            true
+          }
           catch {
             case e: Throwable =>
               if (!failed.contains(name) && !flaky.contains(name)) {
@@ -122,14 +130,17 @@ object Bench {
         failed -= name
         flaky += name
       }
-      name -> (if (good.nonEmpty) good.min else samples.map(_._2).max)
+      (name, (if (good.nonEmpty) good.min else samples.map(_._2).max),
+        outRows)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rowsJson = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"out_rows":$rowsJson,"failed":$failedJson,"flaky":$flakyJson,"runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
     println(fullLine)
     // the driver keeps only the LAST ~2000 chars of stdout and parses
     // the JSON it finds there; the full line above is ~4 KB at 150+
@@ -145,7 +156,7 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"flaky":$flakyJson,"runs_per_query":2,"agg":"min","sf":"$sfDir","queries_full":"bench_full.json","queries":{"""
     val suffixLen = "},\"queries_truncated\":false}".length
     val entries = results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+      .map { case (k, v, _) => "\"" + k + "\":" + "%.3f".format(v) }
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var len = prefix.length + suffixLen
     entries.foreach { e =>

@@ -382,9 +382,16 @@ object ExtendedQueries {
     // (reproducible on any engine/partitioning); the rejection is one
     // (user, item) equi anti-join against the positives — no RNG, no
     // driver state, and the item-count is a broadcast 1-row frame.
+    // The draw hash goes through the native md5_prefix_long codegen
+    // expression — the composed conv(substring(md5(...))) form
+    // allocates a 32-char hex string and re-parses it per draw, and
+    // this query evaluates 2.2M draws (measured 4.4 -> 2.9 s full-run
+    // after the swap; the DuckDB twin keeps the composed idiom,
+    // MdPrefixSpec pins value equality).
     "sample_negative" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
         val pos = t(s, dir, "lineitem")
           .join(t(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
@@ -396,9 +403,9 @@ object ExtendedQueries {
           .select($"cust", $"item",
             explode(expr("sequence(0, 3)")).as("draw_idx"), $"n_items")
           .withColumn("neg_item", expr(
-            "CAST(conv(substring(md5(concat(CAST(cust AS STRING), ':', " +
-              "CAST(item AS STRING), ':', CAST(draw_idx AS STRING))), " +
-              "1, 8), 16, 10) AS BIGINT) % n_items"))
+            "md5_prefix_long(concat(CAST(cust AS STRING), ':', " +
+              "CAST(item AS STRING), ':', CAST(draw_idx AS STRING)), " +
+              "8) % n_items"))
         draws.join(pos.select($"cust", $"item".as("neg_item")),
             Seq("cust", "neg_item"), "left_anti")
           .select($"cust", $"item".as("pos_item"), $"draw_idx", $"neg_item")
