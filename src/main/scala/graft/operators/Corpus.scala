@@ -1911,4 +1911,137 @@ object Corpus extends org.apache.spark.internal.Logging {
         expr("k_inter * 1000000 div nullif(k_used, 0)").as("kmv_ppm"))
       .withColumn("err_ppm", abs(col("kmv_ppm") - col("jaccard_ppm")))
   }
+
+  /** One stage of a [[pipeline]] run: docs entering, docs surviving,
+    * per-reason drop counts, wall ms. */
+  final case class StageReport(stage: String, docsIn: Long, docsOut: Long,
+                               drops: Seq[(String, Long)], ms: Long)
+
+  /** A [[pipeline]] run's artifacts: the per-stage report, the
+    * released selection (the [[budgetSample]] shape — doc_id,
+    * stratum, toks, q_ppm, cum_toks), and the shard manifest when a
+    * shard target was given. */
+  final case class Release(report: Seq[StageReport], released: DataFrame,
+                           manifest: Option[DataFrame])
+
+  /** The LAZY released-selection plan [[pipeline]] reports over — also
+    * the frame the `corpus_release` registered query hash-checks, so
+    * the end-to-end composition (not just each stage) is under the
+    * DuckDB oracle. Stages in production order, train side =
+    * `!isEval`:
+    *   1. normalize — [[normalizeText]] over every doc (both sides:
+    *      the decontamination grams must match post-normalization);
+    *   2. quality — [[qualityFilter]] over the train side
+    *      (`chars = length(normalized text)`);
+    *   3. dedup — [[dedupComponents]] over the survivors; each
+    *      cluster keeps its [[dedupCanonical]] quality-ranked member,
+    *      singletons pass through;
+    *   4. decontaminate — survivors' `n`-grams probed against the
+    *      EVAL side's gram set ([[contamination]] with the probe flag
+    *      on the train side); matched docs drop;
+    *   5. sample — [[budgetSample]]: best-quality token prefix per
+    *      stratum under `budgetTokens`.
+    * Returns the four survivor frames (quality, dedup, clean,
+    * released); intermediate frames reused by multiple downstream
+    * stages go through `Engine.materialize`. */
+  private[graft] def releasePlan(docsRaw: DataFrame, isEval: Column,
+      stratum: Column, budgetTokens: Long,
+      minChars: Long, minTokens: Long, maxRepetition: Double,
+      contaminationN: Int, contaminationMinShared: Long,
+      stopwords: Seq[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val normalized = docsRaw
+      .withColumn("text", normalizeText(col("text")))
+      .withColumn("_eval", isEval)
+    val train = normalized.filter(!col("_eval"))
+    // quality survivors: reused by dedup (edge build + canonical) and
+    // the pass-through join — one materialized frame
+    val qualitySurv = graft.Engine.materialize(
+      qualityFilter(train, minChars, minTokens, maxRepetition)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      key = "doc_id", name = "release_quality")
+    val members = dedupComponents(qualitySurv.select(col("doc_id"),
+      col("text")))
+    val canon = dedupCanonical(qualitySurv.select(col("doc_id"),
+      col("text")), stopwords)
+    // survivors: docs in no dup cluster, plus each cluster's canonical
+    val dedupSurv = graft.Engine.materialize(
+      qualitySurv
+        .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(qualitySurv.join(
+          canon.select(col("canonical_doc").as("doc_id")), Seq("doc_id"))),
+      key = "doc_id", name = "release_dedup")
+    // decontamination gate: probe the survivors against the EVAL gram
+    // set (contamination's probe flag marks the probed side; the gram
+    // set builds from the other side)
+    val gateInput = dedupSurv.select(col("doc_id"), col("text"),
+        lit(true).as("_probe"))
+      .unionByName(normalized.filter(col("_eval"))
+        .select(col("doc_id"), col("text"), lit(false).as("_probe")))
+    val contaminated = contamination(gateInput, isEval = col("_probe"),
+        n = contaminationN, minShared = contaminationMinShared)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val clean = dedupSurv.join(contaminated, Seq("doc_id"), "left_anti")
+    val released = budgetSample(clean, stratum, budgetTokens, stopwords)
+    (train, qualitySurv, dedupSurv, clean, released)
+  }
+
+  /** End-to-end corpus release as ONE lifecycle call — the nightly
+    * job a training team runs (`Engine.build`'s posture for data):
+    * normalize → quality → near-dup cluster + canonical pick →
+    * decontamination gate → token-budget sample → optional
+    * [[shardWrite]], returning a per-stage [[StageReport]] (docs
+    * in/out, drop reasons, wall ms), the released selection, and the
+    * shard manifest. Every stage is the already-oracle-checked public
+    * operator; this composes them in production order and makes the
+    * accounting (what dropped where, and why) a first-class artifact.
+    *
+    * Scale: each report costs one count over a materialized survivor
+    * frame; the heavy lifting (LSH banding, component propagation,
+    * gram probe) is the stages' own documented scale shape. */
+  def pipeline(docsRaw: DataFrame, isEval: Column,
+               stratum: Column = col("source"),
+               budgetTokens: Long = 20000L,
+               minChars: Long = 100L, minTokens: Long = 18L,
+               maxRepetition: Double = 0.125,
+               contaminationN: Int = 5, contaminationMinShared: Long = 3L,
+               stopwords: Seq[String] =
+                 Seq("the", "a", "of", "and", "to"),
+               shards: Option[(Int, String)] = None): Release = {
+    val (train, qualitySurv, dedupSurv, clean, released) =
+      releasePlan(docsRaw, isEval, stratum, budgetTokens, minChars,
+        minTokens, maxRepetition, contaminationN, contaminationMinShared,
+        stopwords)
+    val report = scala.collection.mutable.ListBuffer.empty[StageReport]
+    def stage(name: String, in: => Long, out: => Long,
+              drops: => Seq[(String, Long)]): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val (i, o, d) = (in, out, drops)
+      report += StageReport(name, i, o, d,
+        (System.nanoTime() - t0) / 1000000L)
+      (i, o)
+    }
+    val (_, nTrain) = stage("normalize", docsRaw.count(), train.count(), Nil)
+    // quality drop reasons re-derive from the filter frame (the keep
+    // side was materialized; the report side is one extra scan)
+    val (_, nQual) = stage("quality", nTrain, qualitySurv.count(),
+      qualityFilter(train, minChars, minTokens, maxRepetition)
+        .filter(!col("keep")).groupBy(col("drop_reason")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted)
+    val (_, nDedup) = stage("dedup", nQual, dedupSurv.count(),
+      Seq("duplicate_member" -> (nQual - dedupSurv.count())))
+    val (_, nClean) = stage("decontaminate", nDedup, clean.count(),
+      Seq("contaminated" -> (nDedup - clean.count())))
+    val (_, nRel) = stage("sample", nClean, released.count(),
+      Seq("over_budget" -> (nClean - released.count())))
+    val manifest = shards.map { case (n, path) =>
+      val m = shardWrite(
+        clean.join(released.select(col("doc_id")), Seq("doc_id")),
+        n, path)
+      report += StageReport("shard", nRel, nRel, Nil, 0L)
+      m
+    }
+    Release(report.toList, released, manifest)
+  }
 }

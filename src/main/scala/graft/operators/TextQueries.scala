@@ -1754,6 +1754,129 @@ object TextQueries {
         ORDER BY s.doc_id"""),
       desc = "end-to-end corpus prep: quality filter → dedup → representatives"),
 
+    // ── the full release pipeline under ONE oracle ──────────────────
+    // Corpus.releasePlan composed end-to-end (normalize → quality →
+    // dedup + canonical pick → decontamination gate → budget sample):
+    // every stage is individually oracle-checked elsewhere; this
+    // entry hash-checks the COMPOSITION — the released survivor set a
+    // training team would actually ship. Eval split = the
+    // text_contamination md5 split; output = the budgetSample shape.
+    "corpus_release" -> Q(
+      fn = (s, dir) => {
+        val h = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 10")
+        Corpus.releasePlan(docs(s, dir), isEval = h >= 8,
+            stratum = col("source"), budgetTokens = 20000L,
+            minChars = 100L, minTokens = 18L, maxRepetition = 0.125,
+            contaminationN = 5, contaminationMinShared = 3L,
+            stopwords = En)._5
+          .orderBy(col("stratum"), col("cum_toks"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE
+        cr_base AS (
+          SELECT doc_id, lang, source,
+                 ${Corpus.normalizeSqlDuck("text")} AS text,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                   % 10 >= 8 AS is_eval
+          FROM documents),
+        cr_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM cr_base WHERE NOT is_eval),
+        cr_c AS (SELECT doc_id, tok, count(*) AS c FROM cr_t GROUP BY 1, 2),
+        cr_s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                        CAST(max(c) AS BIGINT) AS top_c
+                 FROM cr_c GROUP BY 1),
+        surv AS (
+          SELECT b.doc_id, b.lang, b.source, b.text
+          FROM cr_base b JOIN cr_s s ON s.doc_id = b.doc_id
+          WHERE NOT b.is_eval AND length(b.text) >= 100
+            AND s.n_tokens >= 18
+            AND CAST(s.top_c AS DOUBLE) / s.n_tokens <= 0.125),
+        ${minhashPairsCtes("surv")},
+        cc_canon AS (
+          SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS key
+          FROM surv),
+        cc_keep AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep
+          FROM cc_canon),
+        cc_exact AS (
+          SELECT keep AS src, doc_id AS dst FROM cc_keep WHERE doc_id <> keep),
+        cc_e0 AS (
+          SELECT src, dst FROM cc_exact
+          UNION
+          SELECT doc_a, doc_b FROM mh_near),
+        cc_edges AS (
+          SELECT src, dst FROM cc_e0 UNION SELECT dst, src FROM cc_e0),
+        reach(a, b) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON e.src = r.b),
+        cr_comp AS (
+          SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+        cr_q AS (
+          SELECT doc_id,
+                 CAST(len([x FOR x IN string_split(text, ' ')
+                       IF x IN ('the', 'a', 'of', 'and', 'to')]) AS BIGINT)
+                   * 1000000
+                   // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_ppm
+          FROM surv),
+        cr_m AS (
+          SELECT c.doc_id,
+                 row_number() OVER (PARTITION BY c.component_id
+                   ORDER BY q.q_ppm DESC, c.doc_id) AS rn
+          FROM cr_comp c JOIN cr_q q USING (doc_id)),
+        cr_dsurv AS (
+          SELECT s.doc_id, s.lang, s.source, s.text
+          FROM surv s
+          LEFT JOIN cr_comp cp ON cp.doc_id = s.doc_id
+          LEFT JOIN cr_m m ON m.doc_id = s.doc_id
+          WHERE cp.doc_id IS NULL OR m.rn = 1),
+        cr_eg AS (
+          SELECT DISTINCT ('0x' || substr(md5(array_to_string(
+              list_transform(range(i, i + 5), j -> toks[j]), ' ')),
+              1, 14))::BIGINT AS g
+          FROM (SELECT string_split(text, ' ') AS toks
+                FROM cr_base WHERE is_eval),
+               unnest(range(1, len(toks) - 5 + 2)) AS t(i)
+          WHERE len(toks) >= 5),
+        cr_pg AS (
+          SELECT DISTINCT d.doc_id, ('0x' || substr(md5(array_to_string(
+              list_transform(range(i, i + 5), j -> toks[j]), ' ')),
+              1, 14))::BIGINT AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM cr_dsurv) d,
+               unnest(range(1, len(toks) - 5 + 2)) AS t(i)
+          WHERE len(toks) >= 5),
+        cr_hit AS (
+          SELECT p.doc_id,
+                 CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched
+          FROM cr_pg p LEFT JOIN cr_eg e ON e.g = p.g GROUP BY 1),
+        cr_clean AS (
+          SELECT d.doc_id, d.source, d.text
+          FROM cr_dsurv d LEFT JOIN cr_hit h ON h.doc_id = d.doc_id
+          WHERE COALESCE(h.n_matched, 0) < 3),
+        cr_sb AS (
+          SELECT doc_id, source AS stratum,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 CAST(len([x FOR x IN string_split(text, ' ')
+                           IF x IN ('the', 'a', 'of', 'and', 'to')])
+                      AS BIGINT) * 1000000
+                   // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_ppm
+          FROM cr_clean),
+        cr_sc AS (
+          SELECT *, CAST(sum(toks) OVER (PARTITION BY stratum
+                   ORDER BY q_ppm DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_toks
+          FROM cr_sb)
+        SELECT doc_id, stratum, toks, q_ppm, cum_toks
+        FROM cr_sc WHERE cum_toks <= 20000
+        ORDER BY stratum, cum_toks"""),
+      desc = "release pipeline composed: quality→dedup→decontam→budget, one oracle"),
+
     // ── exact dedup after canonicalization ──────────────────────────
     // Raw texts are all unique; canonical form = sorted distinct token
     // set, which the corpus DOES duplicate (word-order shuffles).

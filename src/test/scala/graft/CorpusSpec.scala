@@ -364,6 +364,52 @@ class CorpusSpec extends SparkSuite {
       s"capped score ${capped((3000L, 3001L))} != brute $brute")
   }
 
+  test("pipeline composes the release chain with honest per-stage accounting") {
+    // one deliberate drop per stage: 3 too short (quality), 2 an
+    // exact dup of 1 (dedup; same token set -> q_ppm tie -> min id
+    // survives), 4 shares a 7-token passage with eval doc 100
+    // (decontamination: 3 shared 5-grams >= minShared), 5 falls over
+    // the token budget (lower q_ppm than 1, cum 15+10 > 20)
+    val passage = "secret eval benchmark answer key here now"
+    val fixture = Seq(
+      (1L, "The a of and to alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "web"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha to and of a the", "en", "web"),
+      (3L, "tiny", "en", "web"),
+      (4L, s"unrelated filler begins $passage ends with more filler", "en", "web"),
+      (5L, "clean content words one two three four five six seven", "en", "web"),
+      (100L, s"completely different eval frame $passage surrounded by other words", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft_release").toString
+    val rel = Corpus.pipeline(fixture, isEval = $"doc_id" >= 100L,
+      stratum = $"source", budgetTokens = 20L,
+      minChars = 10L, minTokens = 3L, maxRepetition = 0.5,
+      contaminationN = 5, contaminationMinShared = 3L,
+      shards = Some((2, shardDir)))
+    val byStage = rel.report.map(s => s.stage -> s).toMap
+    assert(rel.report.map(_.stage) === Seq("normalize", "quality",
+      "dedup", "decontaminate", "sample", "shard"))
+    assert(byStage("normalize").docsIn === 6L &&
+      byStage("normalize").docsOut === 5L) // eval doc leaves the train side
+    assert(byStage("quality").docsOut === 4L &&
+      byStage("quality").drops === Seq("too_short" -> 1L))
+    assert(byStage("dedup").docsOut === 3L &&
+      byStage("dedup").drops === Seq("duplicate_member" -> 1L))
+    assert(byStage("decontaminate").docsOut === 2L &&
+      byStage("decontaminate").drops === Seq("contaminated" -> 1L))
+    assert(byStage("sample").docsOut === 1L &&
+      byStage("sample").drops === Seq("over_budget" -> 1L))
+    // the released selection is the canonical best-quality survivor
+    val released = rel.released.collect()
+    assert(released.map(_.getLong(0)).toSeq === Seq(1L))
+    // normalization fed downstream: "The" counted as a stopword
+    assert(released.head.getLong(3) === 5L * 1000000L / 15L) // q_ppm
+    // the shard manifest covers exactly the released docs
+    val manifest = rel.manifest.get.collect()
+    assert(manifest.map(_.getLong(1)).sum === 1L, // n_docs
+      s"manifest mismatch: ${manifest.mkString(",")}")
+  }
+
   test("lmScore separates shared-phrasing prose from all-novel gibberish") {
     val tiny = Seq(
       (1L, "the cat sat on the mat"),
