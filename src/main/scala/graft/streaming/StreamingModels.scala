@@ -318,6 +318,58 @@ object StreamingModels {
           .as("lead_s"))
   }
 
+  /** Streaming AS-OF enrichment — the streaming twin of the as-of
+    * join family (`j_asof_tol` / `AsOf.join(direction = "backward",
+    * tolerance = …)`), the one join family that previously had no
+    * streaming form: each purchase picks the LATEST click
+    * at-or-before it within `toleranceSec`, null-padded when none
+    * qualifies. Composed from the existing bounded-state machinery:
+    *  1. the time-interval LEFT OUTER join emits every in-tolerance
+    *     candidate click (join state bounded by the watermarks +
+    *     range condition — the [[streamStreamConversionsOuter]]
+    *     shape);
+    *  2. a downstream event-time window aggregation reduces the
+    *     candidates to the as-of pick with
+    *     `max_by(click_id, (c_ts, click_id))` — latest click wins,
+    *     second-level ties to the larger click_id, which equals the
+    *     batch query's dedup-clicks-to-max-id-then-pick-latest rule.
+    * Spark 4 chains the two stateful operators (join → windowed agg)
+    * natively; rows emit in append mode once the watermark passes
+    * their window end — the price of exactly one row per purchase on
+    * an unbounded stream. StreamingSpec pins batch parity against the
+    * `j_asof_tol` window-form pick on the same events. */
+  def asOfEnrichStream(purchases: DataFrame, clicks: DataFrame,
+                       toleranceSec: Long = 3600L): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") -
+            expr(s"INTERVAL $toleranceSec SECOND") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+      .groupBy(window(col("p_ts"), "1 hour"), col("user_id"),
+        col("purchase_id"))
+      .agg(
+        // p_ts is constant per purchase; max() is just the extractor
+        max(col("p_ts")).as("p_ts_agg"),
+        max_by(col("click_id"), struct(col("c_ts"), col("click_id")))
+          .as("click_id"),
+        max(col("c_ts")).as("c_ts_agg"))
+      .select(col("user_id"), col("purchase_id"),
+        unix_timestamp(col("p_ts_agg")).as("purchase_es"),
+        col("click_id"),
+        unix_timestamp(col("c_ts_agg")).as("click_es"),
+        (unix_timestamp(col("p_ts_agg")) - unix_timestamp(col("c_ts_agg")))
+          .as("gap_s"))
+  }
+
   case class SessEvt(user_id: Long, ts: java.sql.Timestamp,
                      event_id: Long, cents: Long)
   case class SessOpen(startSec: Long, endSec: Long, n: Long, sumCents: Long)

@@ -178,6 +178,72 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment matches the batch j_asof_tol pick") {
+    val batch = Sources.table(spark, sf(), "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_s")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    def stream() = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = StreamingModels.asOfEnrichStream(
+        stream().filter($"event_type" === "purchase"),
+        stream().filter($"event_type" === "click"),
+        toleranceSec = 3600L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_enrich").start()
+    try {
+      q.processAllAvailable()
+      // append-mode agg rows only emit once the watermark passes their
+      // window: a far-future sentinel of each event type (user -1)
+      // closes every real window on both streams
+      val raw = spark.read.parquet(s"${sf()}/events.parquet")
+      val farCol = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          lit(java.time.Instant.parse("2031-01-01T00:00:00Z")
+            .getEpochSecond * 1000000000L)
+        case t => lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("2031-01-01T00:00:00Z"))).cast(t)
+      }
+      raw.limit(2)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", farCol)
+        .withColumn("event_type",
+          when(monotonically_increasing_id() === 0, "purchase")
+            .otherwise("click"))
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val got = spark.table("asof_enrich").filter($"user_id" >= 0)
+        .collect().map(_.toSeq).toSet
+      // the j_asof_tol pick on the same events: dedup clicks per
+      // (user, second) to max id, then latest in-tolerance click
+      val e = batch.withColumn("es", unix_timestamp($"ts"))
+      val cb = e.filter($"event_type" === "click")
+        .groupBy($"user_id".as("c_user"), $"es".as("c_es"))
+        .agg(max($"event_id").as("click_id"))
+      val pb = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"es".as("p_es"), $"event_id".as("purchase_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"purchase_id")
+        .orderBy($"c_es".desc_nulls_last, $"click_id".desc_nulls_last)
+      val expected = pb.join(cb,
+          $"user_id" === $"c_user" &&
+            $"c_es" >= $"p_es" - 3600L && $"c_es" <= $"p_es", "left")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"purchase_id", $"p_es".as("purchase_es"),
+          $"click_id", $"c_es".as("click_es"),
+          ($"p_es" - $"c_es").as("gap_s"))
+        .collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got === expected,
+        s"streaming as-of mismatch: ${got.size} streamed vs " +
+          s"${expected.size} expected; sample diff: " +
+          s"${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches batch; dim misses default") {
     val batch = Sources.table(spark, sf(), "events")
     // static dim covering only part of the id space — the rest must
