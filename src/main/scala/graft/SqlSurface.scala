@@ -309,4 +309,79 @@ object SqlSurface {
       FROM hw WHERE rn > 1
     """)
   }
+
+  /** PARAMETERIZED corpus entry points for the SQL-only user — the
+    * [[registerMetricFunctions]] treatment applied to the
+    * dedup/retrieval operators, whose thresholds (`minJaccard`,
+    * `topK`, query terms) were Scala-only:
+    *
+    *  - `dedup_minhash_tau(tau)` — MinHash near-dup pairs at ANY
+    *    Jaccard threshold. The LSH candidate set is
+    *    threshold-INDEPENDENT (banding then exact verify), so the
+    *    function is a filter over the one `minhash_scored` view
+    *    (all candidates with exact scores, built once through the
+    *    operator's own materializeShared signature path) — exactly ≡
+    *    `Corpus.minhashPairs(docs, tau)` for every tau, by
+    *    construction.
+    *  - `corpus_bm25(terms, top_k)` — integer fixed-point BM25
+    *    ranked retrieval at any query-term array and cutoff; the
+    *    body is the same expression shapes as [[graft.operators
+    *    .Corpus.bm25Rank]] (k1 = 1.2, b = 0.75 in milli units), so
+    *    plans and pushdown match the Scala path.
+    *
+    * SqlSurfaceSpec pins both ≡ the Scala calls at NON-default
+    * parameters. */
+  def registerCorpusFunctions(spark: SparkSession, dir: String): Unit = {
+    Sources.registerAll(spark, dir)
+    graft.operators.Corpus
+      .minhashPairs(spark.table("documents"), minJaccard = 0.0)
+      .createOrReplaceTempView("minhash_scored")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION dedup_minhash_tau(tau DOUBLE)
+      RETURNS TABLE
+      RETURN
+      SELECT doc_a, doc_b, jaccard
+      FROM minhash_scored
+      WHERE jaccard >= tau
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION corpus_bm25(
+          terms ARRAY<STRING>, top_k INT)
+      RETURNS TABLE
+      RETURN
+      WITH toks AS (
+        SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+      dl AS (SELECT doc_id, count(1) AS dlen FROM toks GROUP BY doc_id),
+      tot AS (SELECT count(1) AS n_docs, sum(dlen) AS dlen_sum FROM dl),
+      tf AS (
+        SELECT doc_id, tok, count(1) AS tf FROM toks
+        WHERE array_contains(terms, tok) GROUP BY doc_id, tok),
+      dft AS (SELECT tok, count(1) AS df FROM tf GROUP BY tok),
+      stats AS (
+        SELECT n_docs, (dlen_sum * 1000) div n_docs AS avg_m FROM tot),
+      scored AS (
+        SELECT tf.doc_id,
+               ((s.n_docs - d.df) * 1000000 + 500000)
+                 div (d.df * 1000 + 500) AS idf_m,
+               (tf.tf * (1000 + 1200) * 1000000) div (tf.tf * 1000 +
+                 (1200 * (1000 - 750 +
+                   (750 * dl.dlen * 1000) div s.avg_m)) div 1000)
+                 AS tfn_ppm
+        FROM tf
+        JOIN dft d ON d.tok = tf.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, sum(idf_m * tfn_ppm) AS score,
+               count(1) AS n_terms
+        FROM scored GROUP BY doc_id),
+      ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+               score, n_terms
+        FROM agg)
+      SELECT doc_id, rank, score, n_terms
+      FROM ranked WHERE rank <= top_k
+    """)
+  }
 }

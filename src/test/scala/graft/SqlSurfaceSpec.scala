@@ -157,6 +157,34 @@ class SqlSurfaceSpec extends SparkSuite {
       "m4 SQL table function must equal the Scala metric")
   }
 
+  test("corpus SQL table functions equal the Scala operators at non-default parameters") {
+    import org.apache.spark.sql.functions._
+    SqlSurface.registerCorpusFunctions(spark, sf())
+    val docs = spark.table("documents")
+    // dedup at a NON-default threshold (Scala default is 0.5)
+    val sqlPairs = spark.sql(
+      "SELECT doc_a, doc_b, jaccard FROM dedup_minhash_tau(0.72) " +
+        "ORDER BY doc_a, doc_b").collect().map(_.toSeq)
+    val scalaPairs = graft.operators.Corpus
+      .minhashPairs(docs, minJaccard = 0.72)
+      .orderBy(col("doc_a"), col("doc_b")).collect().map(_.toSeq)
+    assert(sqlPairs.nonEmpty && sqlPairs.toSeq === scalaPairs.toSeq)
+    // the threshold actually binds (0.72 is a strict subset of 0.5)
+    assert(sqlPairs.length < graft.operators.Corpus
+      .minhashPairs(docs, minJaccard = 0.5).count())
+    // BM25 at NON-default terms + cutoff (Scala default topK is 10)
+    val terms = Seq("the", "service", "delay")
+    val sqlTop = spark.sql(
+      s"SELECT doc_id, rank, score, n_terms FROM corpus_bm25(" +
+        s"array(${terms.map("'" + _ + "'").mkString(",")}), 4) " +
+        "ORDER BY rank").collect().map(_.toSeq)
+    val scalaTop = graft.operators.Corpus
+      .bm25Rank(docs, terms, topK = 4)
+      .select(col("doc_id"), col("rank"), col("score"), col("n_terms"))
+      .orderBy(col("rank")).collect().map(_.toSeq)
+    assert(sqlTop.length === 4 && sqlTop.toSeq === scalaTop.toSeq)
+  }
+
   test("every declared mta source is itself queryable from SQL") {
     SqlSurface.register(spark, sf(), Seq.empty)
     // the reference's users can SELECT from any mta_sources.yml table
