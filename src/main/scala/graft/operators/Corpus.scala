@@ -817,7 +817,18 @@ object Corpus extends org.apache.spark.internal.Logging {
     * canonical_q_ppm), one row per duplicate cluster. */
   def dedupCanonical(docs: DataFrame,
                      stopwords: Seq[String] =
-                       Seq("the", "a", "of", "and", "to")): DataFrame = {
+                       Seq("the", "a", "of", "and", "to")): DataFrame =
+    dedupCanonicalFrom(dedupComponents(docs), docs, stopwords)
+
+  /** [[dedupCanonical]] over an ALREADY-COMPUTED membership frame
+    * ((doc_id, component_id), e.g. [[dedupComponents]]' output) — for
+    * callers that need both the members and the canonical pick
+    * ([[pipeline]]): the component propagation loop is the expensive
+    * half, and running it once instead of twice halved
+    * corpus_release's dedup stage. */
+  def dedupCanonicalFrom(members: DataFrame, docs: DataFrame,
+                         stopwords: Seq[String] =
+                           Seq("the", "a", "of", "and", "to")): DataFrame = {
     val toks = split(col("text"), " ")
     val q = docs.select(col("doc_id"),
         size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
@@ -825,7 +836,7 @@ object Corpus extends org.apache.spark.internal.Logging {
         size(toks).cast("long").as("n_toks"))
       .withColumn("q_ppm", expr("n_stop * 1000000L div n_toks"))
       .select(col("doc_id"), col("q_ppm"))
-    dedupComponents(docs).join(q, Seq("doc_id"))
+    members.join(q, Seq("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("component_id"))
           .orderBy(col("q_ppm").desc, col("doc_id"))))
@@ -1961,10 +1972,13 @@ object Corpus extends org.apache.spark.internal.Logging {
         .filter(col("keep"))
         .select(col("doc_id"), col("lang"), col("source"), col("text")),
       key = "doc_id", name = "release_quality")
+    // ONE component propagation serves both the membership anti-join
+    // and the canonical pick (dedupCanonicalFrom) — the loop is the
+    // expensive half of the dedup stage
     val members = dedupComponents(qualitySurv.select(col("doc_id"),
       col("text")))
-    val canon = dedupCanonical(qualitySurv.select(col("doc_id"),
-      col("text")), stopwords)
+    val canon = dedupCanonicalFrom(members,
+      qualitySurv.select(col("doc_id"), col("text")), stopwords)
     // survivors: docs in no dup cluster, plus each cluster's canonical
     val dedupSurv = graft.Engine.materialize(
       qualitySurv
