@@ -711,6 +711,39 @@ object ScaleProbe {
             min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"))
           .union(b.groupBy(col("bucket_n")).agg(count(lit(1)).as("n"),
             min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p")))
+      },
+      "asof_nearest" -> { k =>
+        // the native nearest-direction as-of merge scaled by users:
+        // one exchange + sort per side, one forward pass per
+        // partition (the forward candidate is peeked, never a second
+        // scan) — row-linear by construction
+        val e = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .withColumn("es", unix_timestamp(col("ts")))
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("es"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id").as("c_user"), col("es").as("c_es"),
+            col("click_id"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("es").as("p_es"),
+            col("event_id").as("purchase_id"))
+        graft.plans.AsOf.join(purch, clicks,
+          Seq(("user_id", "c_user")), "p_es", "c_es",
+          direction = "nearest")
+      },
+      "corpus_release" -> { k =>
+        // the composed release pipeline scaled by docs: every stage
+        // is an already-probed shape (quality aggs, minhash banding,
+        // component propagation, gram probe, budget window) — the
+        // composition must stay inside their envelope
+        Corpus.releasePlan(docFrac(k),
+          isEval = expr("CAST(conv(substring(md5(CAST(doc_id AS " +
+            "STRING)), 1, 2), 16, 10) AS BIGINT) % 10 >= 8"),
+          stratum = col("source"), budgetTokens = 20000L,
+          minChars = 100L, minTokens = 18L, maxRepetition = 0.125,
+          contaminationN = 5, contaminationMinShared = 3L,
+          stopwords = Seq("the", "a", "of", "and", "to"))._5
       })
 
     // warmup: absorb session/codegen/footer costs outside the timings
