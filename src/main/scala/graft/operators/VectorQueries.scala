@@ -375,6 +375,91 @@ object VectorQueries {
     // same 10-query set both registered twins use). Output is one row
     // per query — bounded; everything upstream is the two audited
     // pipelines plus count aggregations on rank-bounded frames.
+    // ── Matryoshka prefix-dimension recall (MRL eval) ───────────────
+    // Matryoshka-representation training (Kusupati et al., NeurIPS
+    // 2022) promises that a PREFIX of the embedding ranks nearly as
+    // well as the full vector — the eval every MRL deployment runs
+    // before serving truncated vectors (store/serve d/4 dims at 4×
+    // density, rerank with full d). Per prefix length {16, 32, 64}:
+    // brute top-5 by prefix-cosine vs the full-dimension top-5,
+    // overlap counted per query, recall in exact ppm. The dp = 64 row
+    // is the self-check (recall ≡ 1e6 by construction,
+    // ApproxQualitySpec pins it). Scale shape: the prefix explode is
+    // ×3 on the candidate scan; queries broadcast; one window per
+    // (dp, query) partition — the knn_brute cost envelope ×3.
+    "vector_matryoshka" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.LongArrayDot.register(s)
+        val pref = emb(s, dir)
+          .select($"vec_id", explode(expr("array(16, 32, 64)")).as("dp"),
+            $"sv")
+          .withColumn("pv", expr("slice(sv, 1, dp)"))
+          .withColumn("pn", expr(dot("pv", "pv")))
+          .select($"vec_id", $"dp", $"pv", $"pn")
+        val q = pref.filter($"vec_id" < 10)
+          .select($"dp".as("qdp"), $"vec_id".as("query_id"),
+            $"pv".as("qv"), $"pn".as("qn"))
+        val top = pref.join(broadcast(q),
+            $"dp" === $"qdp" && $"query_id" =!= $"vec_id")
+          .withColumn("cosine", expr(dot("qv", "pv")).cast("double") /
+            sqrt($"qn".cast("double") * $"pn".cast("double")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"dp", $"query_id")
+              .orderBy($"cosine".desc, $"vec_id")))
+          .filter($"rank" <= 5)
+          .select($"dp", $"query_id", $"vec_id".as("cand_id"))
+        val full = top.filter($"dp" === 64)
+          .select($"query_id".as("fq"), $"cand_id".as("f_cand"))
+        top.join(full,
+            $"query_id" === $"fq" && $"cand_id" === $"f_cand", "left")
+          .groupBy($"dp", $"query_id")
+          .agg(sum(when($"f_cand".isNotNull, 1L).otherwise(0L)).as("n_ov"))
+          .groupBy($"dp".as("d_prefix"))
+          .agg(count(lit(1)).as("n_queries"), sum($"n_ov").as("n_overlap"))
+          .withColumn("recall_ppm",
+            expr("n_overlap * 1000000L div (5 * n_queries)"))
+          .orderBy($"d_prefix")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        mt_pref AS (
+          SELECT vec_id, d.d AS dp, list_slice(sv, 1, d.d) AS pv
+          FROM base CROSS JOIN (VALUES (16), (32), (64)) d(d)),
+        mt_pn AS (
+          SELECT vec_id, dp, pv, ${duckDot("pv", "pv")} AS pn
+          FROM mt_pref),
+        mt_scored AS (
+          SELECT q.dp, q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(${duckDot("q.pv", "c.pv")} AS DOUBLE)
+                   / sqrt(CAST(q.pn AS DOUBLE) * CAST(c.pn AS DOUBLE))
+                   AS cosine
+          FROM mt_pn q JOIN mt_pn c
+            ON c.dp = q.dp AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        mt_top AS (
+          SELECT dp, query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY dp, query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+            FROM mt_scored)
+          WHERE rank <= 5),
+        mt_full AS (
+          SELECT query_id AS fq, cand_id AS f_cand FROM mt_top
+          WHERE dp = 64),
+        mt_ov AS (
+          SELECT t.dp, t.query_id,
+                 CAST(sum(CASE WHEN f.f_cand IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_ov
+          FROM mt_top t LEFT JOIN mt_full f
+            ON f.fq = t.query_id AND f.f_cand = t.cand_id
+          GROUP BY 1, 2)
+        SELECT dp AS d_prefix, count(*) AS n_queries,
+               CAST(sum(n_ov) AS BIGINT) AS n_overlap,
+               CAST(sum(n_ov) * 1000000 // (5 * count(*)) AS BIGINT)
+                 AS recall_ppm
+        FROM mt_ov GROUP BY dp ORDER BY d_prefix"""),
+      desc = "Matryoshka prefix-dim recall: truncated-cosine top-k vs full"),
+
     "ann_recall" -> Q(
       fn = (s, dir) => {
         import s.implicits._

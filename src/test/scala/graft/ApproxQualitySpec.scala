@@ -29,6 +29,18 @@ class ApproxQualitySpec extends SparkSuite {
     }
   }
 
+  test("matryoshka prefix recall: full prefix is exact, shorter prefixes bounded") {
+    val rows = SparkEntry.queries("vector_matryoshka")(spark, sf())
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(rows.keySet === Set(16, 32, 64))
+    // the full-dimension row is the eval's self-check: top-5 vs
+    // itself, recall exactly 1e6 by construction
+    assert(rows(64) === 1000000L, s"full-dim recall must be exact: $rows")
+    // truncated prefixes are a valid recall in [0, 1e6]
+    assert(rows(16) >= 0L && rows(16) <= 1000000L)
+    assert(rows(32) >= 0L && rows(32) <= 1000000L)
+  }
+
   test("multi-probe IVF recalls at least as much as single-probe") {
     def hits(q: String) = SparkEntry.queries(q)(spark, sf("sf0.01"))
       .select($"query_id", $"cand_id").collect()
