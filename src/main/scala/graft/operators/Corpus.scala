@@ -1653,6 +1653,62 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("ntok"), col("seq_id"), col("seq_off"))
   }
 
+  /** Length-bucketed training-batch assembly — the dynamic-batching
+    * shape (fairseq/HF `group_by_length`) beside [[packSequences]]'
+    * concatenation packing: each doc pads up to the next multiple of
+    * `padMultiple` (accelerators want aligned lengths), docs of equal
+    * padded length group into batches of `maxBatchTokens div
+    * bucket_len` sequences, and the per-batch padding waste is the
+    * artifact a training team actually monitors (pad_ppm in the
+    * `pack_batches` query). A doc longer than the budget caps at
+    * `maxBatchTokens` and occupies a batch alone (truncation is the
+    * tokenizer's job, not the batcher's).
+    *
+    * Determinism + scale shape: docs order within a bucket by
+    * (md5-prefix h, doc_id) — the [[shardAssign]]/`tokenCumsum`
+    * deterministic-shuffle rule — and the global rank is computed
+    * TWO-LEVEL (per-(bucket, h-top-12-bits) row_number + an exclusive
+    * prefix over the ≤4096-row per-sub-bucket counts, broadcast), so
+    * no window partition ever holds a whole length-bucket. Because
+    * the sub-bucket key is a PREFIX of h, the two-level order equals
+    * the flat (h, doc_id) order — which is what the DuckDB oracle
+    * replays with a single window.
+    *
+    * Returns (doc_id, ntok, bucket_len, batch_id, batch_slot);
+    * batch_id is dense 0-based within each bucket_len. */
+  def batchAssign(docs: DataFrame, maxBatchTokens: Long = 4096L,
+                  padMultiple: Long = 32L): DataFrame = {
+    require(maxBatchTokens >= padMultiple && padMultiple >= 1L,
+      "batchAssign: need maxBatchTokens >= padMultiple >= 1")
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val base = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("h", expr("md5_prefix_long(CAST(doc_id AS STRING), 14)"))
+      .withColumn("bucket_len", least(
+        expr(s"((ntok + $padMultiple - 1) div $padMultiple) * $padMultiple"),
+        lit(maxBatchTokens)))
+      .withColumn("bkt", expr(s"h div ${1L << 44}"))
+    val counts = base.groupBy(col("bucket_len"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("bucket_len")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket_len"), col("bkt"), col("off"))
+    base
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("bucket_len"), col("bkt"))
+          .orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(offsets), Seq("bucket_len", "bkt"))
+      .withColumn("rn", col("off") + col("r"))
+      .withColumn("per_batch", expr(s"$maxBatchTokens div bucket_len"))
+      .withColumn("batch_id", expr("(rn - 1) div per_batch"))
+      .withColumn("batch_slot", expr("(rn - 1) % per_batch"))
+      .select(col("doc_id"), col("ntok"), col("bucket_len"),
+        col("batch_id"), col("batch_slot"))
+  }
+
   /** [[shardAssign]] + deterministic export through the write seam:
     * one directory per shard (`shard_id=K/`), rows carried with their
     * assignment, content ordered by shard_rank within each shard's

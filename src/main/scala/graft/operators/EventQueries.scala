@@ -806,6 +806,67 @@ object EventQueries {
         FROM w ORDER BY n0"""),
       desc = "A/B readout: hash arms, conversion ppm, integer chi-square"),
 
+    // ── sample-ratio mismatch: the assignment-integrity guardrail ───
+    // The FIRST check an experimentation platform runs before any
+    // readout (Fabijan et al., KDD 2019): do the observed arm sizes
+    // match the declared 50/50 split? A mismatch invalidates the
+    // whole experiment (redirect bugs, bot filtering by arm, logging
+    // loss). For an equal two-way split the chi-square statistic
+    // collapses to (2·n0 − n)² / n — exact in integers ×100; flag at
+    // the 3.84 critical value (α = .05, df = 1). Two splits side by
+    // side: the healthy md5 hash split, and a deliberately broken
+    // user_id % 4 == 0 assignment the flag must catch — both
+    // outcomes pinned deterministically.
+    "e_srm" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val users = ev(s, dir).select($"user_id").distinct()
+        def split(name: String, arm: Column): DataFrame =
+          users.withColumn("arm", arm)
+            .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n0"),
+              sum(when($"arm" =!= 0L, 1L).otherwise(0L)).as("n1"))
+            .withColumn("split", lit(name))
+        val healthy = split("hash_50_50", expr("CAST(conv(substring(md5(" +
+          "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        val broken = split("mod4_bug",
+          when($"user_id" % 4 === 0L, 0L).otherwise(1L))
+        healthy.unionByName(broken)
+          .withColumn("n", $"n0" + $"n1")
+          .withColumn("share0_ppm", expr("n0 * 1000000L div n"))
+          .withColumn("chi2_x100", expr(
+            "(2L * n0 - n) * (2L * n0 - n) * 100L div n"))
+          .withColumn("srm", $"chi2_x100" > 384L)
+          .select($"split", $"n0", $"n1", $"n", $"share0_ppm",
+            $"chi2_x100", $"srm")
+          .orderBy($"split")
+      },
+      oracle = Some("""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s AS (
+          SELECT 'hash_50_50' AS split,
+                 CAST(sum(CASE WHEN ('0x' || substring(md5(
+                     CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN ('0x' || substring(md5(
+                     CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 <> 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n1
+          FROM u
+          UNION ALL
+          SELECT 'mod4_bug' AS split,
+                 CAST(sum(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n1
+          FROM u)
+        SELECT split, n0, n1, n0 + n1 AS n,
+               n0 * 1000000 // (n0 + n1) AS share0_ppm,
+               (2 * n0 - (n0 + n1)) * (2 * n0 - (n0 + n1)) * 100
+                 // (n0 + n1) AS chi2_x100,
+               (2 * n0 - (n0 + n1)) * (2 * n0 - (n0 + n1)) * 100
+                 // (n0 + n1) > 384 AS srm
+        FROM s ORDER BY split"""),
+      desc = "sample-ratio-mismatch guardrail: exact chi-square vs declared split"),
+
     // ── difference-in-differences (the causal panel readout) ────────
     // e_ab_test's sibling for launches without randomization-time
     // logging: md5-hash arms × pre/post periods (split at the

@@ -747,6 +747,50 @@ object ExtendedQueries {
         FROM cand WHERE rn = 1 ORDER BY user_id, purchase_id"""),
       desc = "native nearest as-of: one-pass merge, peeked forward candidate"),
 
+    // ── forward as-of, native operator form ─────────────────────────
+    // The NEXT-event convention (first click at-or-after each
+    // purchase — follow-up attribution, next-reading sensor fill).
+    // DuckDB ASOF only covers backward, so the oracle is the
+    // definitional first-at-or-after pick; clicks dedup per
+    // (user, second) so the pick is unambiguous on both engines.
+    "j_asof_native_forward" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").withColumn("es", unix_timestamp($"ts"))
+        val clicks = e.filter($"event_type" === "click")
+          .groupBy($"user_id", $"es")
+          .agg(max($"event_id").as("click_id"))
+          .select($"user_id".as("c_user"), $"es".as("c_es"), $"click_id")
+        val purch = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"es".as("p_es"), $"event_id".as("purchase_id"))
+        graft.plans.AsOf.join(purch, clicks,
+            Seq(("user_id", "c_user")), "p_es", "c_es",
+            direction = "forward")
+          .select($"user_id", $"purchase_id", $"p_es".as("purchase_es"),
+            $"click_id", $"c_es".as("click_es"),
+            ($"c_es" - $"p_es").as("lead_s"))
+          .orderBy($"user_id", $"purchase_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_us(ts)//1000000 AS es FROM events),
+        c AS (
+          SELECT user_id, es AS c_es, max(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+          SELECT user_id, es AS p_es, event_id AS purchase_id
+          FROM e WHERE event_type = 'purchase'),
+        cand AS (
+          SELECT p.user_id, p.purchase_id, p.p_es, c.click_id, c.c_es,
+                 row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                   ORDER BY c.c_es NULLS LAST, c.click_id) AS rn
+          FROM p LEFT JOIN c
+            ON c.user_id = p.user_id AND c.c_es >= p.p_es)
+        SELECT user_id, purchase_id, p_es AS purchase_es,
+               click_id, c_es AS click_es, c_es - p_es AS lead_s
+        FROM cand WHERE rn = 1 ORDER BY user_id, purchase_id"""),
+      desc = "native forward as-of: first at-or-after pick (next-event fill)"),
+
     // ── tf-idf style term ranking (integer-only, deterministic) ─────
     // Ranking by (tf DESC, df ASC, term) is the tf-idf order without a
     // cross-engine ln(): idf is monotone-decreasing in df.

@@ -981,6 +981,54 @@ object TextQueries {
         FROM ps_seq GROUP BY seq_id ORDER BY seq_id"""),
       desc = "fixed-token-budget sequence packing over the shuffled stream"),
 
+    // ── length-bucketed batch assembly (dynamic batching) ───────────
+    // The other batching discipline beside pack_sequences'
+    // concatenation: pad to the next multiple of 32, batch equal
+    // padded lengths at 4096 tokens per batch, and report the
+    // padding waste per batch — the number a training team watches
+    // to pick between padding and packing. Deterministic two-level
+    // rank (Corpus.batchAssign); the oracle replays the flat
+    // (h, doc_id) order with a single window.
+    "pack_batches" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        Corpus.batchAssign(docs(s, dir), maxBatchTokens = 4096L,
+            padMultiple = 32L)
+          .groupBy($"bucket_len", $"batch_id")
+          .agg(count(lit(1)).as("n_seqs"), sum($"ntok").as("sum_tokens"))
+          .withColumn("padded_tokens", $"n_seqs" * $"bucket_len")
+          .withColumn("pad_ppm", expr(
+            "(padded_tokens - sum_tokens) * 1000000L div padded_tokens"))
+          .orderBy($"bucket_len", $"batch_id")
+      },
+      oracle = Some("""
+        WITH pb_b AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 least(((CAST(len(string_split(text, ' ')) AS BIGINT)
+                     + 31) // 32) * 32, 4096) AS bucket_len,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                   ::BIGINT AS h
+          FROM documents),
+        pb_r AS (
+          SELECT *, row_number() OVER (PARTITION BY bucket_len
+                   ORDER BY h, doc_id) AS rn,
+                 4096 // bucket_len AS per_batch
+          FROM pb_b),
+        pb_a AS (
+          SELECT bucket_len, (rn - 1) // per_batch AS batch_id,
+                 ntok
+          FROM pb_r)
+        SELECT bucket_len, batch_id,
+               count(*) AS n_seqs,
+               CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+               count(*) * bucket_len AS padded_tokens,
+               (count(*) * bucket_len - CAST(sum(ntok) AS BIGINT))
+                 * 1000000 // (count(*) * bucket_len) AS pad_ppm
+        FROM pb_a GROUP BY bucket_len, batch_id
+        ORDER BY bucket_len, batch_id"""),
+      desc = "length-bucketed batch assembly with per-batch padding waste"),
+
     // ── stratified sampling (per-stratum rates, hash-deterministic) ─
     // Corpus balancing: sample each (lang) stratum at its own rate via
     // the md5-of-id rule — the only reproducible sample at 100 TB

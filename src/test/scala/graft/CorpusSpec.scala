@@ -410,6 +410,37 @@ class CorpusSpec extends SparkSuite {
       s"manifest mismatch: ${manifest.mkString(",")}")
   }
 
+  test("batchAssign: aligned buckets, dense full batches, partition-stable") {
+    val corpus = (1L to 200L).map(i =>
+      (i, Seq.fill((i % 90 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val asg = Corpus.batchAssign(corpus, maxBatchTokens = 256L,
+      padMultiple = 32L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // every doc assigned exactly once; bucket covers the doc, aligned
+    assert(asg.length === 200 && asg.map(_._1).distinct.length === 200)
+    asg.foreach { case (id, ntok, bl, _, _) =>
+      assert(bl >= ntok && bl % 32 === 0 && bl <= 256, s"doc $id: $ntok/$bl")
+    }
+    // within each (bucket, batch): slots dense from 0; every batch
+    // except the last per bucket holds exactly 256/bucket_len seqs
+    asg.groupBy(t => (t._3, t._4)).foreach { case ((bl, bid), rows) =>
+      val slots = rows.map(_._5).sorted
+      assert(slots.toSeq === (0L until rows.length).toSeq,
+        s"non-dense slots in ($bl, $bid)")
+      val maxBid = asg.filter(_._3 == bl).map(_._4).max
+      if (bid < maxBid)
+        assert(rows.length === (256L / bl).toInt,
+          s"non-final batch ($bl, $bid) not full: ${rows.length}")
+    }
+    // assignment ignores input partitioning (deterministic h order)
+    val re = Corpus.batchAssign(corpus.repartition(7), 256L, 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(re.sortBy(_._1).toSeq === asg.sortBy(_._1).toSeq)
+  }
+
   test("lmScore separates shared-phrasing prose from all-novel gibberish") {
     val tiny = Seq(
       (1L, "the cat sat on the mat"),
