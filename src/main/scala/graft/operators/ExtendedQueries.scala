@@ -1874,6 +1874,97 @@ object ExtendedQueries {
         FROM st ORDER BY layout, bucket"""),
       desc = "Morton/Z-order clustering stats vs natural layout + skip verdicts"),
 
+    // ── 3-column Z-order (N-dimension clustering) ───────────────────
+    // Warehouse clustering is routinely 3-4 columns (Delta OPTIMIZE
+    // ZORDER BY (a,b,c)); Layout.withMortonKeyN interleaves bit i of
+    // dim j at position i·n+j, so every listed column keeps an
+    // order-preserving prefix and min/max footer stats prune on ALL
+    // of them (~cube-root per dimension at n=3, vs nothing for the
+    // unlisted dims of a 1-D sort). Same fixed-width bucket-stat
+    // harness as layout_zorder, one more dimension in the stats and
+    // skip verdicts.
+    "layout_zorder3" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        val z = Layout.withMortonKeyN(
+          li, Seq($"l_partkey", $"l_suppkey", $"l_orderkey"), 16,
+          keyCol = "zkey")
+        val ext = z.agg(
+          min($"zkey").as("z_lo"), max($"zkey").as("z_hi"),
+          min($"l_orderkey").as("o_lo"), max($"l_orderkey").as("o_hi"))
+        val b = z.crossJoin(broadcast(ext))
+          .withColumn("bucket_z",
+            expr("((zkey - z_lo) * 64) div (z_hi - z_lo + 1) + 1"))
+          .withColumn("bucket_n",
+            expr("((l_orderkey - o_lo) * 64) div (o_hi - o_lo + 1) + 1"))
+        def stats(tag: String, bucketCol: String) = b
+          .groupBy(col(bucketCol).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+            min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"),
+            min($"l_orderkey").as("min_o"), max($"l_orderkey").as("max_o"))
+          .withColumn("layout", lit(tag))
+        stats("zorder3", "bucket_z")
+          .union(stats("natural", "bucket_n"))
+          .select($"layout", $"bucket", $"n", $"min_p", $"max_p",
+            $"min_s", $"max_s", $"min_o", $"max_o",
+            ($"max_p" < 400 || $"min_p" > 499).as("skip_part"),
+            ($"max_s" < 20 || $"min_s" > 39).as("skip_supp"),
+            ($"max_o" < 4000 || $"min_o" > 7999).as("skip_ord"))
+          .orderBy($"layout", $"bucket")
+      },
+      oracle = Some(s"""
+        WITH ext AS (
+          SELECT min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+                 min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi,
+                 min(l_orderkey) AS k_lo, max(l_orderkey) AS k_hi
+          FROM lineitem),
+        sc AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 ${Layout.scaleDimSqlDuck("l_partkey", "p_lo", "p_hi", 16)}
+                   AS sx,
+                 ${Layout.scaleDimSqlDuck("l_suppkey", "s_lo", "s_hi", 16)}
+                   AS sy,
+                 ${Layout.scaleDimSqlDuck("l_orderkey", "k_lo", "k_hi", 16)}
+                   AS sz
+          FROM lineitem, ext),
+        z AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 ${Layout.mortonSqlDuckN(Seq("sx", "sy", "sz"), 16)} AS zkey
+          FROM sc),
+        zx AS (
+          SELECT min(zkey) AS z_lo, max(zkey) AS z_hi,
+                 min(l_orderkey) AS o_lo, max(l_orderkey) AS o_hi
+          FROM z),
+        bk AS (
+          SELECT z.*,
+                 ((zkey - z_lo) * 64) // (z_hi - z_lo + 1) + 1
+                   AS bucket_z,
+                 ((l_orderkey - o_lo) * 64) // (o_hi - o_lo + 1) + 1
+                   AS bucket_n
+          FROM z, zx),
+        st AS (
+          SELECT 'zorder3' AS layout, bucket_z AS bucket, count(*) AS n,
+                 min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                 min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+                 min(l_orderkey) AS min_o, max(l_orderkey) AS max_o
+          FROM bk GROUP BY bucket_z
+          UNION ALL
+          SELECT 'natural' AS layout, bucket_n AS bucket, count(*) AS n,
+                 min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                 min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+                 min(l_orderkey) AS min_o, max(l_orderkey) AS max_o
+          FROM bk GROUP BY bucket_n)
+        SELECT layout, bucket, n, min_p, max_p, min_s, max_s,
+               min_o, max_o,
+               (max_p < 400 OR min_p > 499) AS skip_part,
+               (max_s < 20 OR min_s > 39) AS skip_supp,
+               (max_o < 4000 OR min_o > 7999) AS skip_ord
+        FROM st ORDER BY layout, bucket"""),
+      desc = "3-column Z-order: every listed dimension prunes (N-dim interleave)"),
+
     // ── Hilbert-curve clustering vs Z-order (curve quality A/B) ─────
     // Same fixed-range bucket-stat harness as layout_zorder, but
     // comparing the two CURVES on identical data and scaling: the

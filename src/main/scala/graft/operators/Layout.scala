@@ -44,6 +44,35 @@ object Layout {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
 
+  /** N-dimension Morton interleave: bit `i` of dimension `j` lands at
+    * key position `i·n + j` (the 2-D [[mortonKey]] is the n = 2
+    * case, dimension order preserved). Real warehouse clustering
+    * routinely z-orders 3–4 columns (Delta `OPTIMIZE ZORDER BY
+    * (a, b, c)`); each added dimension costs pruning power
+    * (~n-th-root per dimension) but every listed column gets SOME
+    * skip benefit. Inputs must be non-negative and < 2^bits;
+    * n·bits ≤ 63 keeps the key a positive long. */
+  def mortonKeyN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 2 && bits >= 1 && n * bits <= 63,
+      s"mortonKeyN: need >=2 dims and dims*bits <= 63, got $n x $bits")
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** [[mortonKeyN]] as DuckDB SQL text (keep in sync). */
+  def mortonSqlDuckN(cols: Seq[String], bits: Int): String = {
+    val n = cols.length
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        s"((($c >> $i) & 1) << ${i * n + j})"
+      }
+    }.mkString("(", " + ", ")")
+  }
+
   /** Min-max scale a dimension onto the full `bits`-wide range.
     * Raw interleave is useless when one dimension's value range is
     * much narrower than the other's (its high bits are constant 0,
@@ -126,6 +155,37 @@ object Layout {
         scaleDim(x, col("_x_lo"), col("_x_hi"), bits),
         scaleDim(y, col("_y_lo"), col("_y_hi"), bits), bits))
       .drop("_x_lo", "_x_hi", "_y_lo", "_y_hi")
+  }
+
+  /** [[withMortonKey]] generalized to N dimensions: one 2N-number
+    * stats pass, every dimension min-max scaled to `bits` width
+    * (same exactness contract, guarded on the 1-row extent frame),
+    * then the [[mortonKeyN]] interleave. The scaleDim subtrees are
+    * shared by subexpression elimination exactly as in the 2-D form —
+    * the guard stays OFF the per-row key (the withMortonKey CSE
+    * rule). */
+  def withMortonKeyN(df: DataFrame, dims: Seq[Column], bits: Int,
+                     keyCol: String = "_zkey"): DataFrame = {
+    val n = dims.length
+    require(n >= 2 && n * bits <= 63,
+      s"withMortonKeyN: need >=2 dims and dims*bits <= 63, got $n x $bits")
+    val lim = maxExactExtent(bits)
+    def checked(lo: Column, hi: Column): Column =
+      when(coalesce(hi - lo <= lim, lit(true)), lo)
+        .otherwise(raise_error(lit(
+          s"zorder: dimension extent exceeds the exactness contract " +
+            s"(hi-lo)*(2^bits-1) < 2^53 at bits=$bits; lower bits")))
+    val aggs = dims.zipWithIndex.flatMap { case (d, j) =>
+      Seq(min(d).as(s"_l$j"), max(d).as(s"_h$j")) }
+    val ext = df.agg(aggs.head, aggs.tail: _*)
+      .select(dims.indices.flatMap(j => Seq(
+        checked(col(s"_l$j"), col(s"_h$j")).as(s"_lo$j"),
+        col(s"_h$j").as(s"_hi$j"))): _*)
+    df.crossJoin(broadcast(ext))
+      .withColumn(keyCol, mortonKeyN(
+        dims.zipWithIndex.map { case (d, j) =>
+          scaleDim(d, col(s"_lo$j"), col(s"_hi$j"), bits) }, bits))
+      .drop(dims.indices.flatMap(j => Seq(s"_lo$j", s"_hi$j")): _*)
   }
 
   /** Hilbert key: map scaled (x, y) onto the `bits`-level Hilbert

@@ -34,6 +34,41 @@ class LayoutSpec extends SparkSuite {
     assert(got.map(_._3).distinct.length == pairs.length)
   }
 
+  test("mortonKeyN: n=2 degenerates to mortonKey; 3-dim layout prunes every dim") {
+    // the N-dim interleave at n = 2 IS the classic Morton key
+    val grid = spark.range(0, 64).select(
+      ($"id" % 8).as("x"), ($"id" / 8).as("y"))
+    val both = grid.select(
+        Layout.mortonKey($"x", $"y", 3).as("k2"),
+        Layout.mortonKeyN(Seq($"x", $"y"), 3).as("kn"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // 3 dims: every listed dimension's per-bucket min/max extent
+    // tightens well below the full range (that tightness IS footer
+    // skip power, scale-independent — the registered query's skip
+    // literals are tuned for sf>=0.01), while natural order bounds
+    // only its own sort column
+    val rows = SparkEntry.queries("layout_zorder3")(spark, sf()).collect()
+    def avgExtent(layout: String, lo: Int, hi: Int): Double = {
+      val r = rows.filter(_.getString(0) == layout)
+      r.map(x => (x.getLong(hi) - x.getLong(lo)).toDouble).sum / r.length
+    }
+    def fullExtent(lo: Int, hi: Int): Double = {
+      val r = rows.filter(_.getString(0) == "natural")
+      r.map(_.getLong(hi)).max - r.map(_.getLong(lo)).min
+    }
+    for ((lo, hi, dim) <- Seq((3, 4, "part"), (5, 6, "supp"), (7, 8, "ord")))
+      assert(avgExtent("zorder3", lo, hi) < 0.6 * fullExtent(lo, hi),
+        s"zorder3 bucket $dim extent not tight")
+    // natural buckets span (almost) the full part/supp ranges
+    assert(avgExtent("natural", 3, 4) > 0.8 * fullExtent(3, 4))
+    assert(avgExtent("natural", 5, 6) > 0.8 * fullExtent(5, 6))
+    // guard: dims*bits beyond a positive long is rejected
+    intercept[IllegalArgumentException] {
+      Layout.mortonKeyN(Seq($"x", $"y", $"x", $"y"), 16)
+    }
+  }
+
   test("mortonSqlDuck is the expression-for-expression twin") {
     // run the DuckDB-dialect text through Spark SQL (operators are
     // shared dialect: >>, &, <<) against the codegen Column form
