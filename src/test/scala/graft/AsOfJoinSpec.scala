@@ -109,6 +109,76 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out("p") === "c27")
   }
 
+  test("all directions match a brute-force reference on random data") {
+    // the merge pass is hand-written execution code — drive it with
+    // randomized fixtures (duplicate keys, clustered times, nulls on
+    // keys and times, keys present on only one side) against an
+    // O(n·m) in-memory reference for every (direction, tolerance)
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val leftRows = (1 to 120).map { i =>
+        (if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(5).toLong),
+          if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(50).toLong),
+          i.toLong)
+      }
+      // right times deduped per (key, time) — the operator's
+      // documented determinism precondition
+      val rightRows = (1 to 100).map { j =>
+        (if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(5).toLong),
+          if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(50).toLong),
+          (1000 + j).toLong)
+      }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val left = leftRows.toDF("k", "t", "lid")
+      val right = rightRows.toDF("rk", "rt", "rid")
+      def brute(dir: String, tol: Option[Long]): Map[Long, Option[Long]] =
+        leftRows.map { case (k, t, lid) =>
+          val pick: Option[Long] = (k, t) match {
+            case (Some(kk), Some(tt)) =>
+              val cands = rightRows.filter(r =>
+                r._1.contains(kk) && r._2.isDefined)
+              val back = cands.filter(_._2.get <= tt)
+                .filter(r => tol.forall(tt - r._2.get <= _))
+                .sortBy(r => (r._2.get, r._3)).lastOption
+              val fwd = cands.filter(_._2.get >= tt)
+                .filter(r => tol.forall(r._2.get - tt <= _))
+                .sortBy(r => (r._2.get, r._3)).headOption
+              dir match {
+                case "backward" => back.map(_._3)
+                case "forward" =>
+                  // equal-time: the operator picks the consumed run's
+                  // last row — with deduped (key, time) it is THE row
+                  if (back.exists(_._2.get == tt)) back.map(_._3)
+                  else fwd.map(_._3)
+                case _ =>
+                  (back, fwd) match {
+                    case (Some(b), Some(f)) =>
+                      Some(if (tt - b._2.get <= f._2.get - tt) b._3
+                        else f._3)
+                    case (b, f) => b.orElse(f).map(_._3)
+                  }
+              }
+            case _ => None
+          }
+          lid -> pick
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(7L))) {
+        val got = AsOf.join(left, right, Seq(("k", "rk")), "t", "rt",
+            tolerance = tol, direction = dir)
+          .select($"lid", $"rid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val want = brute(dir, tol)
+        assert(got.size === leftRows.size)
+        val diff = want.keys.filter(k => got(k) != want(k))
+        assert(diff.isEmpty,
+          s"trial $trial dir=$dir tol=$tol mismatches: " +
+            diff.take(5).map(k => s"lid=$k got=${got(k)} want=${want(k)}")
+              .mkString(", "))
+      }
+    }
+  }
+
   test("unknown direction fails fast") {
     val left = Seq((1L, 10L, "p")).toDF("k", "t", "name")
     val right = Seq((1L, 5L, "c")).toDF("rk", "rt", "rname")
