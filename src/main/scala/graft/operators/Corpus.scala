@@ -1005,12 +1005,20 @@ object Corpus extends org.apache.spark.internal.Logging {
     * stop_hits·10^6 div tokens, ties broken by doc_id — both engines
     * replay the identical ranking and cumsum.
     *
-    * Scale shape: one per-stratum ordered cumsum window (a
-    * distributed sort WITHIN each stratum partition — the same cost
-    * class as any per-source clustered write). A pathological single
-    * mega-stratum shifts to the [[shardAssign]] two-level pattern:
-    * quantize q_ppm into buckets, prefix-sum the tiny per-bucket
-    * totals, cumsum only inside the boundary bucket.
+    * Scale shape: the cumsum is TWO-LEVEL (the [[shardAssign]] /
+    * `tokenCumsum` pattern, implemented since round 10 — it was
+    * previously only documented): q_ppm quantizes into ≤ 1001
+    * thousand-wide bands, the per-(stratum, band) token totals
+    * prefix-sum over a bounded ≤ 1001-row window, and the per-doc
+    * running sum windows over (stratum, band) — never a whole
+    * stratum. A mega-stratum therefore splits across its quality
+    * bands instead of sorting in one partition; because the band key
+    * is a monotone function of q_ppm, (band DESC, q_ppm DESC,
+    * doc_id) equals the flat (q_ppm DESC, doc_id) order and
+    * cum_toks is bit-identical to the single-window form the DuckDB
+    * oracle replays. (An adversarial corpus where one (stratum,
+    * q_ppm) value holds most docs still concentrates one band — the
+    * histogram-threshold family's documented value-domain bound.)
     *
     * Returns the selected rows as (doc_id, stratum, toks, q_ppm,
     * cum_toks); cum_toks is strictly increasing within a stratum, so
@@ -1025,11 +1033,21 @@ object Corpus extends org.apache.spark.internal.Logging {
       .withColumn("n_stop",
         size(filter(toks, t => t.isin(stopwords: _*))).cast("long"))
       .withColumn("q_ppm", expr("n_stop * 1000000L div toks"))
-    val w = Window.partitionBy(col("stratum"))
+      // q_ppm ∈ [0, 1e6] → ≤ 1001 bands; the band is a monotone
+      // function of q_ppm, so band-major order ≡ flat q_ppm order
+      .withColumn("qb", expr("q_ppm div 1000"))
+    val bandTotals = base.groupBy(col("stratum"), col("qb"))
+      .agg(sum(col("toks")).as("_bt"))
+      .withColumn("_off", coalesce(sum(col("_bt")).over(
+        Window.partitionBy(col("stratum")).orderBy(col("qb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"), col("qb"), col("_off"))
+    val wIn = Window.partitionBy(col("stratum"), col("qb"))
       .orderBy(col("q_ppm").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .join(broadcast(bandTotals), Seq("stratum", "qb"))
+      .withColumn("cum_toks", col("_off") + sum(col("toks")).over(wIn))
       .filter(col("cum_toks") <= budget)
       .select(col("doc_id"), col("stratum"), col("toks"), col("q_ppm"),
         col("cum_toks"))
