@@ -1983,7 +1983,19 @@ object Corpus extends org.apache.spark.internal.Logging {
       coalesce(sum(col("in_a")), lit(0L)).as("n_sh_a"),
       coalesce(sum(col("in_b")), lit(0L)).as("n_sh_b"),
       coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("n_inter"))
-    val kmv = flags
+    // k-minimum-values: the global rank window must NEVER see the
+    // full shingle frame (a single-partition sort of every distinct
+    // shingle). The k-th smallest h comes from a TakeOrderedAndProject
+    // (per-partition top-k, k rows to the driver side of the plan);
+    // filtering h <= that threshold keeps a tiny superset (ties
+    // included), and the exact (h, s) rank window runs over THAT.
+    // Empty corpus: a NULL threshold filters to zero rows — same
+    // aggregates as before (k_inter 0, k_used NULL).
+    val kth = flags.select(col("h"))
+      .orderBy(col("h").asc).limit(k)
+      .agg(max(col("h")).as("_hmax"))
+    val kmv = flags.crossJoin(broadcast(kth))
+      .filter(col("h") <= col("_hmax"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("h").asc, col("s").asc)))
       .filter(col("rk") <= k)
