@@ -2009,6 +2009,64 @@ object Corpus extends org.apache.spark.internal.Logging {
       .withColumn("err_ppm", abs(col("kmv_ppm") - col("jaccard_ppm")))
   }
 
+  /** Nightly INGEST acceptance gate — the per-batch admission
+    * decision a corpus team runs before anything enters the curated
+    * store ([[pipeline]] is the full-corpus release; this is the
+    * incremental front door). Every `isNew` doc gets ONE
+    * first-failing status, in production gate order:
+    *  - the first-failing [[qualityFilter]] reason (`too_short` |
+    *    `too_few_tokens` | `repetitive`);
+    *  - `dup_of_corpus` — its dedup component (full-corpus
+    *    exact ∪ minhash edges, the SHARED [[dedupEdges]] frame)
+    *    contains any EXISTING doc;
+    *  - `dup_in_batch` — an all-new component keeps only its min-id
+    *    member ("first seen wins" — the ingest convention, where
+    *    arrival order is the tiebreak);
+    *  - `contaminated` — its `n`-grams hit the eval split's gram set
+    *    ([[contamination]] semantics);
+    *  - `accepted`.
+    * Old docs never re-examine: edges touching only history are the
+    * incremental families' non-case, and the gram probe's train side
+    * is the fixed eval index. Returns (doc_id, n_tokens, status) for
+    * the new docs. */
+  def ingestGate(docs: DataFrame, isNew: Column, isEval: Column,
+                 minChars: Long = 100L, minTokens: Long = 18L,
+                 maxRepetition: Double = 0.125,
+                 contaminationN: Int = 5,
+                 contaminationMinShared: Long = 3L): DataFrame = {
+    val flagged = docs.withColumn("_new", isNew).withColumn("_ev", isEval)
+    val newDocs = flagged.filter(col("_new"))
+    val q = qualityFilter(newDocs, minChars, minTokens, maxRepetition)
+      .select(col("doc_id"), col("n_tokens"),
+        col("drop_reason").as("_qreason"))
+    val comps = dedupComponents(docs.select(col("doc_id"), col("text")))
+    val compHasOld = comps
+      .join(flagged.filter(!col("_new")).select(col("doc_id")), Seq("doc_id"))
+      .select(col("component_id")).distinct()
+      .withColumn("_has_old", lit(true))
+    // eval gram set probes the new docs (contamination's probe flag
+    // marks the probed side)
+    val gateInput = newDocs.select(col("doc_id"), col("text"),
+        lit(true).as("_probe"))
+      .unionByName(flagged.filter(col("_ev"))
+        .select(col("doc_id"), col("text"), lit(false).as("_probe")))
+    val contam = contamination(gateInput, isEval = col("_probe"),
+        n = contaminationN, minShared = contaminationMinShared)
+      .filter(col("contaminated"))
+      .select(col("doc_id")).withColumn("_cont", lit(true))
+    q.join(comps, Seq("doc_id"), "left")
+      .join(compHasOld, Seq("component_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("_qreason").isNotNull, col("_qreason"))
+          .when(col("_has_old"), "dup_of_corpus")
+          .when(col("component_id").isNotNull &&
+            col("component_id") =!= col("doc_id"), "dup_in_batch")
+          .when(col("_cont"), "contaminated")
+          .otherwise("accepted"))
+      .select(col("doc_id"), col("n_tokens"), col("status"))
+  }
+
   /** One stage of a [[pipeline]] run: docs entering, docs surviving,
     * per-reason drop counts, wall ms. */
   final case class StageReport(stage: String, docsIn: Long, docsOut: Long,

@@ -1925,6 +1925,99 @@ object TextQueries {
         ORDER BY stratum, cum_toks"""),
       desc = "release pipeline composed: quality→dedup→decontam→budget, one oracle"),
 
+    // ── nightly ingest acceptance gate ──────────────────────────────
+    // Corpus.ingestGate: per-new-doc first-failing admission status
+    // (quality reason → dup_of_corpus → dup_in_batch → contaminated →
+    // accepted) — the incremental front door beside corpus_release's
+    // full-corpus rebuild. New = doc_id ≥ 400 (the incremental-family
+    // split); eval split = OLD docs' md5 tail (disjoint from the new
+    // batch — a doc probing a gram set containing itself would always
+    // flag). Rides the shared full-corpus dedup-edge frame.
+    "corpus_ingest" -> Q(
+      fn = (s, dir) => {
+        val ev = expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 10")
+        Corpus.ingestGate(docs(s, dir),
+            isNew = col("doc_id") >= 400L,
+            isEval = col("doc_id") < 400L && ev >= 8)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $MINHASH_PAIRS_CTES,
+        cc_canon AS (
+          SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS key
+          FROM documents),
+        cc_keep AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep
+          FROM cc_canon),
+        cc_exact AS (
+          SELECT keep AS src, doc_id AS dst FROM cc_keep WHERE doc_id <> keep),
+        cc_e0 AS (
+          SELECT src, dst FROM cc_exact
+          UNION
+          SELECT doc_a, doc_b FROM mh_near),
+        cc_edges AS (
+          SELECT src, dst FROM cc_e0 UNION SELECT dst, src FROM cc_e0),
+        reach(a, b) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON e.src = r.b),
+        ig_comp AS (
+          SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+        ig_old AS (
+          SELECT DISTINCT component_id, true AS has_old
+          FROM ig_comp WHERE doc_id < 400),
+        ig_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id >= 400),
+        ig_c AS (SELECT doc_id, tok, count(*) AS c FROM ig_t GROUP BY 1, 2),
+        ig_s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                        CAST(max(c) AS BIGINT) AS top_c
+                 FROM ig_c GROUP BY 1),
+        ig_eg AS (
+          SELECT DISTINCT ('0x' || substr(md5(array_to_string(
+              list_transform(range(i, i + 5), j -> toks[j]), ' ')),
+              1, 14))::BIGINT AS g
+          FROM (SELECT string_split(text, ' ') AS toks
+                FROM documents
+                WHERE doc_id < 400 AND ('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 10 >= 8),
+               unnest(range(1, len(toks) - 5 + 2)) AS t(i)
+          WHERE len(toks) >= 5),
+        ig_pg AS (
+          SELECT DISTINCT d.doc_id, ('0x' || substr(md5(array_to_string(
+              list_transform(range(i, i + 5), j -> toks[j]), ' ')),
+              1, 14))::BIGINT AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents WHERE doc_id >= 400) d,
+               unnest(range(1, len(toks) - 5 + 2)) AS t(i)
+          WHERE len(toks) >= 5),
+        ig_hit AS (
+          SELECT p.doc_id,
+                 CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched
+          FROM ig_pg p LEFT JOIN ig_eg e ON e.g = p.g GROUP BY 1)
+        SELECT d.doc_id, s.n_tokens,
+               CASE
+                 WHEN length(d.text) < 100 THEN 'too_short'
+                 WHEN s.n_tokens < 18 THEN 'too_few_tokens'
+                 WHEN CAST(s.top_c AS DOUBLE) / s.n_tokens > 0.125
+                   THEN 'repetitive'
+                 WHEN o.has_old THEN 'dup_of_corpus'
+                 WHEN c.component_id IS NOT NULL
+                      AND c.component_id <> d.doc_id THEN 'dup_in_batch'
+                 WHEN COALESCE(h.n_matched, 0) >= 3 THEN 'contaminated'
+                 ELSE 'accepted' END AS status
+        FROM documents d
+        JOIN ig_s s ON s.doc_id = d.doc_id
+        LEFT JOIN ig_comp c ON c.doc_id = d.doc_id
+        LEFT JOIN ig_old o ON o.component_id = c.component_id
+        LEFT JOIN ig_hit h ON h.doc_id = d.doc_id
+        WHERE d.doc_id >= 400
+        ORDER BY d.doc_id"""),
+      desc = "nightly ingest gate: first-failing admission status per new doc"),
+
     // ── exact dedup after canonicalization ──────────────────────────
     // Raw texts are all unique; canonical form = sorted distinct token
     // set, which the corpus DOES duplicate (word-order shuffles).

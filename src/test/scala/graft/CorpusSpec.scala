@@ -441,6 +441,38 @@ class CorpusSpec extends SparkSuite {
     assert(re.sortBy(_._1).toSeq === asg.sortBy(_._1).toSeq)
   }
 
+  test("ingestGate assigns every admission status, first-failing order") {
+    val passage = "hidden benchmark answer string leaks here today"
+    val corpus = Seq(
+      // existing curated corpus
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "totally separate existing content about other things"),
+      // the eval split (old side)
+      (50L, s"evaluation prompt contains $passage and more context"),
+      // the new batch
+      (100L, "tiny"),
+      (101L, "spam spam spam spam ok"),
+      (102L, "iota theta eta zeta epsilon delta gamma beta alpha"), // dup of 1
+      (103L, "fresh pair content words one two three four five"),
+      (104L, "five four three two one words content pair fresh"),   // dup of 103
+      (105L, s"new doc quoting $passage in the middle of text"),    // contaminated
+      (106L, "clean novel writing with entirely original wording"))
+      .toDF("doc_id", "text")
+    val got = Corpus.ingestGate(corpus,
+        isNew = $"doc_id" >= 100L, isEval = $"doc_id" === 50L,
+        minChars = 4L, minTokens = 3L, maxRepetition = 0.5,
+        contaminationN = 5, contaminationMinShared = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(
+      100L -> "too_few_tokens", // 1 token; chars pass at minChars=4
+      101L -> "repetitive",     // top token 4/5 > 0.5
+      102L -> "dup_of_corpus",  // exact shuffle of old doc 1
+      103L -> "accepted",       // first seen wins its batch cluster
+      104L -> "dup_in_batch",
+      105L -> "contaminated",   // 3 shared 5-grams vs eval doc 50
+      106L -> "accepted"), s"got $got")
+  }
+
   test("lmScore separates shared-phrasing prose from all-novel gibberish") {
     val tiny = Seq(
       (1L, "the cat sat on the mat"),
