@@ -30,6 +30,42 @@ class PlanAuditSpec extends SparkSuite {
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("no query plans an UNPARTITIONED window over an unbounded frame") {
+    // A Window with an empty partitionSpec funnels its whole input
+    // through one partition — fine on a bounded frame, fatal on a
+    // corpus-sized one at 100 TB. Every allowed occurrence is
+    // individually justified; a new query adding a global window
+    // must either bound its input (top-k threshold, ≤4096-row
+    // prefix frame, …) or argue its way onto this list.
+    val allowed: Map[String, String] = Map(
+      "w2_global_seq" -> "reference-mandated global sequence, pre-filtered",
+      "mta_m5_headways" -> "one stop × one service day (metrics_guide M5)",
+      "corpus_overlap" -> "KMV rank over the top-k-threshold superset (≈k rows)",
+      "pack_sequences" -> "tokenCumsum bucket prefix (≤4096 rows)",
+      "text_shard_assign" -> "tokenCumsum + shard-cut prefixes (≤4096 rows each)",
+      "text_bm25" -> "rank over the LIMIT topK frame",
+      "text_bm25_inc" -> "rank over the LIMIT topK frame",
+      "search_hardneg" -> "bm25 + negative ranks over LIMIT frames",
+      "search_hybrid" -> "bm25 + RRF ranks over LIMIT frames",
+      "a_contingency" -> "rank over the bounded (type × bucket) cell frame",
+      "dq_drift" -> "rank over the bounded histogram-bucket frame",
+      "o_skyline" -> "rank over the bounded pre-filtered skyline frontier",
+      "sample_temperature" -> "prefix over the strata-count plan frame")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed.contains)
+      .flatMap { name =>
+        val hits = SparkEntry.queries(name)(spark, sf()).queryExecution
+          .optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }
+        if (hits.nonEmpty) Some(s"$name(${hits.size})") else None
+      }
+    assert(offenders.isEmpty,
+      s"unjustified global windows in: ${offenders.mkString(", ")} — " +
+        "bound the frame or add an allowlist justification")
+  }
+
   test("filters and projection push down to the parquet scan") {
     val df = Sources.table(spark, sf(), "lineitem")
       .filter($"l_returnflag" === "R")
