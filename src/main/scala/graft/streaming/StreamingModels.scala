@@ -144,6 +144,50 @@ object StreamingModels {
         col("band"), col("jaccard"))
   }
 
+  /** Streaming INGEST PRE-GATE — the zero-state front half of
+    * `Corpus.ingestGate` run at arrival time: per incoming doc, the
+    * first-failing status over the checks that need NO stream state —
+    * the quality cascade (chars / token count / repetition, computed
+    * per-row: the top-token run rides an array_sort + aggregate fold,
+    * the interpreted-HOF cost being the right trade on a stream where
+    * each row is touched once) and the EXACT-duplicate probe against
+    * a broadcast static index of the curated corpus's canonical keys
+    * (`sha256` of the sorted distinct token set — the dedup_exact
+    * rule). Statuses: too_short | too_few_tokens | repetitive |
+    * dup_of_corpus | pass. `pass` means "admit to the landing zone":
+    * NEAR-dup and eval-overlap decisions stay with
+    * [[contaminationStream]] (frozen band index, new-vs-eval) and the
+    * nightly `Corpus.ingestGate` batch run — a streaming near-dup
+    * gate would need unbounded new×new state by definition.
+    * StreamingSpec pins batch parity and soundness against the full
+    * batch gate (the pre-gate never rejects for a reason the batch
+    * gate doesn't). `corpusCanon` carries one `canon_key` column. */
+  def ingestPregateStream(newDocs: DataFrame, corpusCanon: DataFrame,
+                          minChars: Long = 100L, minTokens: Long = 18L,
+                          maxRepetition: Double = 0.125): DataFrame = {
+    val topRun = expr("""aggregate(array_sort(split(text, ' ')),
+      struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),
+      (acc, x) -> struct(x AS prev,
+        IF(x = acc.prev, acc.run + 1L, 1L) AS run,
+        GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L)) AS best),
+      acc -> acc.best)""")
+    newDocs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("_top", topRun)
+      .withColumn("canon_key", sha2(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))), 256))
+      .join(broadcast(corpusCanon.select(col("canon_key"))
+        .withColumn("_dup", lit(true))), Seq("canon_key"), "left")
+      .withColumn("status",
+        when(length(col("text")) < minChars, "too_short")
+          .when(col("n_tokens") < minTokens, "too_few_tokens")
+          .when(col("_top").cast("double") / col("n_tokens") >
+            maxRepetition, "repetitive")
+          .when(col("_dup"), "dup_of_corpus")
+          .otherwise("pass"))
+      .select(col("doc_id"), col("n_tokens"), col("status"))
+  }
+
   /** Streaming daily Count-Min partials — the FREQUENCY member of the
     * streaming mergeable family, twin of the batch `a_cms` operator
     * (bitmap = exact distinct, HLL = approx distinct, SpaceSaving =

@@ -244,6 +244,62 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest pre-gate: batch parity, sound vs the full batch gate") {
+    val docs = Sources.table(spark, sf(), "documents")
+    val canon = docs.filter($"doc_id" < 400)
+      .select(sha2(concat_ws(" ",
+        array_sort(array_distinct(split($"text", " ")))), 256)
+        .as("canon_key"))
+      .distinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pregate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .filter($"doc_id" >= 400)
+    val q = StreamingModels.ingestPregateStream(stream, canon)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pregate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pregate").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      // batch parity: the same function over the batch frame
+      val batchRun = StreamingModels.ingestPregateStream(
+          docs.filter($"doc_id" >= 400), canon)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got.nonEmpty && got === batchRun)
+      // soundness vs the FULL nightly gate on the same split
+      val ev = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+        "1, 2), 16, 10) AS BIGINT) % 10")
+      val full = graft.operators.Corpus.ingestGate(docs,
+          isNew = $"doc_id" >= 400L,
+          isEval = $"doc_id" < 400L && ev >= 8)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got.keySet === full.keySet)
+      got.foreach { case (id, s) =>
+        s match {
+          // quality reasons are computed identically — exact match
+          case "too_short" | "too_few_tokens" | "repetitive" =>
+            assert(full(id) === s, s"doc $id: stream $s vs batch ${full(id)}")
+          // an exact dup of the corpus is a fortiori a dup component
+          case "dup_of_corpus" =>
+            assert(full(id) === "dup_of_corpus",
+              s"doc $id: stream dup vs batch ${full(id)}")
+          case _ => // pass: the batch gate may still near-dup/contam it
+        }
+      }
+      // and the pre-gate never rejects a doc the batch gate accepts
+      full.filter(_._2 == "accepted").keys.foreach { id =>
+        assert(got(id) === "pass",
+          s"pre-gate rejected batch-accepted doc $id: ${got(id)}")
+      }
+      // the fixture exercises both a rejection and a pass
+      assert(got.values.exists(_ != "pass") && got.values.exists(_ == "pass"))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches batch; dim misses default") {
     val batch = Sources.table(spark, sf(), "events")
     // static dim covering only part of the id space — the rest must
