@@ -937,6 +937,55 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("weight"), col("target"), col("h32"))
   }
 
+  /** Curriculum ordering for a training-data loader (Bengio et al.
+    * 2009's easy-to-hard schedule, expressed as a deterministic data
+    * layout): ascending-difficulty phases with a sharded
+    * deterministic shuffle inside each phase. Phase boundaries are
+    * exact quartiles of the difficulty score computed
+    * HISTOGRAM-FIRST — group by distinct difficulty value, cumulative
+    * count over the value domain (the a_quantile_weighted shape), so
+    * the only unpartitioned window runs over the bounded
+    * distinct-value domain, never the corpus — then every doc is
+    * assigned by threshold comparison against one broadcast 1-row
+    * frame (scan-parallel). The within-phase order is a sharded hash
+    * shuffle: shard = md5-prefix(doc_id) % nShards and a per-(phase,
+    * shard) row_number — a loader consumes shards round-robin within
+    * a phase, so no quarter-corpus ever funnels through a single
+    * window partition (the scale failure a global per-phase dense
+    * sequence would hit at 100 TB). Reference has no curriculum op;
+    * this extends the sampling family (SURVEY §2.9).
+    *
+    * Returns (doc_id, difficulty, phase 1..4, shard, ord). */
+  def curriculumOrder(docs: DataFrame, difficulty: Column,
+                      nShards: Int = 8): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val d = docs.select(col("doc_id"),
+      difficulty.cast("long").as("difficulty"))
+    val cum = d.groupBy(col("difficulty"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("difficulty"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val thresholds = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("cum") * 4 >= col("n"), col("difficulty"))).as("q1"),
+      min(when(col("cum") * 2 >= col("n"), col("difficulty"))).as("q2"),
+      min(when(col("cum") * 4 >= col("n") * 3, col("difficulty")))
+        .as("q3"))
+    d.crossJoin(broadcast(thresholds))
+      .withColumn("phase",
+        (lit(1) + (col("difficulty") > col("q1")).cast("int")
+          + (col("difficulty") > col("q2")).cast("int")
+          + (col("difficulty") > col("q3")).cast("int")).cast("long"))
+      .withColumn("h", expr("md5_prefix_long(CAST(doc_id AS STRING), 14)"))
+      .withColumn("shard", expr(s"h % $nShards"))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("phase"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("difficulty"), col("phase"),
+        col("shard"), col("ord"))
+  }
+
   /** RAKE-style keyphrase extraction (Rose et al. 2010), re-expressed
     * relationally and integer-exact — the per-document labeling
     * primitive beside `text_topics`' per-CLUSTER lift terms: candidate

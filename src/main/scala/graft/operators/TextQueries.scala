@@ -1094,6 +1094,57 @@ object TextQueries {
         ORDER BY d.doc_id"""),
       desc = "temperature-flattened mixture resampling (sqrt weights)"),
 
+    // ── curriculum ordering (easy-to-hard loader schedule) ──────────
+    // Deterministic curriculum layout: exact-quartile difficulty
+    // phases (histogram-first thresholds — the only unpartitioned
+    // window runs over the bounded distinct-difficulty domain,
+    // PlanAuditSpec allowlist beside dq_drift) and a sharded
+    // md5-prefix shuffle within each phase, so a loader reads phases
+    // in order and shards round-robin. Difficulty here = token count
+    // (the standard length-curriculum baseline); any integer score
+    // column plugs in.
+    "sample_curriculum" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.curriculumOrder directly.
+        Corpus.curriculumOrder(docs(s, dir),
+            size(split(col("text"), " ")).cast("long"), nShards = 8)
+          .orderBy(col("phase"), col("shard"), col("ord")),
+      oracle = Some("""
+        WITH cu_l AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS difficulty
+          FROM documents),
+        cu_h AS (SELECT difficulty, CAST(count(*) AS BIGINT) AS cnt
+                 FROM cu_l GROUP BY 1),
+        cu_c AS (SELECT difficulty,
+                        CAST(sum(cnt) OVER (ORDER BY difficulty
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM cu_h),
+        cu_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cu_l),
+        cu_t AS (SELECT min(CASE WHEN cum * 4 >= n THEN difficulty END)
+                          AS q1,
+                        min(CASE WHEN cum * 2 >= n THEN difficulty END)
+                          AS q2,
+                        min(CASE WHEN cum * 4 >= n * 3
+                            THEN difficulty END) AS q3
+                 FROM cu_c CROSS JOIN cu_n),
+        cu_p AS (
+          SELECT l.doc_id, l.difficulty,
+                 CAST(1 + (l.difficulty > t.q1)::INT
+                      + (l.difficulty > t.q2)::INT
+                      + (l.difficulty > t.q3)::INT AS BIGINT) AS phase,
+                 ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 14))
+                   ::BIGINT AS h
+          FROM cu_l l CROSS JOIN cu_t t)
+        SELECT doc_id, difficulty, phase, h % 8 AS shard,
+               CAST(row_number() OVER (PARTITION BY phase, h % 8
+                    ORDER BY h, doc_id) AS BIGINT) AS ord
+        FROM cu_p ORDER BY phase, shard, ord"""),
+      desc = "curriculum phases by exact difficulty quartiles, sharded in-phase shuffle"),
+
     // ── declared-weight mixture sampling with repetition (epochs) ───
     // The training-mix step: per-lang target weights + a token budget
     // → per-stratum sampling ratios that may EXCEED 1 (small
@@ -1606,6 +1657,93 @@ object TextQueries {
                doc_id, score, cont_ppm
         FROM hn_neg ORDER BY neg_rank"""),
       desc = "hard negatives: BM25 top-k minus near-dups of the positive"),
+
+    // ── retrieval ranking eval (MRR / precision / recall / NDCG@k) ──
+    // The eval a retrieval team runs on every index build: rank with
+    // BM25, mark relevance (definitional conjunctive match — a doc is
+    // relevant iff it contains EVERY query term), and emit the full
+    // metric curve, one row per cutoff k. All arithmetic is exact
+    // integer: rank discounts are D div r with D = lcm(1..20) =
+    // 232792560, so every 1/rank term is integral, and every ratio is
+    // floor-div ppm — no ln, no float accumulation, so the DuckDB
+    // twin is bit-exact (the log2 discount of classic NDCG is NOT
+    // IEEE-reproducible cross-engine; with binary gains the
+    // reciprocal-rank discount keeps the same "earlier is better"
+    // semantics and stays rational). Windows run over the LIMIT-topK
+    // frame (20 rows — PlanAuditSpec allowlist beside text_bm25).
+    // Emitted per k: hits@k, precision/recall ppm, reciprocal rank
+    // (D div first_rel_rank once one is seen), DCG_D / IDCG_D (ideal
+    // = first min(k, n_rel) ranks all relevant) and ndcg_ppm.
+    "search_eval" -> Q(
+      fn = (s, dir) => {
+        val terms = Seq("hash", "join", "scan", "vector")
+        val d = docs(s, dir)
+        val top = Corpus.bm25Rank(d, terms, topK = 20)
+        val rel = d
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(terms.map(t => array_contains(col("toks"), t))
+            .reduce(_ && _))
+          .select(col("doc_id"), lit(1L).as("is_rel"))
+        val nRel = rel.agg(count(lit(1)).as("n_rel"))
+        val w = Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        top.select(col("rank").cast(LongType).as("k"), col("doc_id"))
+          .join(rel, Seq("doc_id"), "left")
+          .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+          .crossJoin(broadcast(nRel))
+          .withColumn("hits", sum(col("is_rel")).over(w))
+          .withColumn("dcg_d",
+            sum(expr("is_rel * (CAST(232792560 AS BIGINT) div k)"))
+              .over(w))
+          .withColumn("idcg_d",
+            sum(expr("CASE WHEN k <= n_rel THEN " +
+              "CAST(232792560 AS BIGINT) div k " +
+              "ELSE CAST(0 AS BIGINT) END")).over(w))
+          .withColumn("frr",
+            min(when(col("is_rel") === 1L, col("k"))).over(w))
+          .select(col("k"), col("doc_id"), col("is_rel"), col("n_rel"),
+            col("hits"),
+            expr("hits * 1000000 div k").as("prec_ppm"),
+            expr("hits * 1000000 div n_rel").as("recall_ppm"),
+            coalesce(expr("CAST(232792560 AS BIGINT) div frr"),
+              lit(0L)).as("rr_d"),
+            col("dcg_d"), col("idcg_d"),
+            expr("dcg_d * 1000000 div idcg_d").as("ndcg_ppm"))
+          .orderBy(col("k"))
+      },
+      oracle = Some(s"""
+        WITH ${duckBm25Ctes(Seq("hash", "join", "scan", "vector"), 20)},
+        se_rel AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS is_rel FROM documents
+          WHERE list_contains(string_split(text, ' '), 'hash')
+            AND list_contains(string_split(text, ' '), 'join')
+            AND list_contains(string_split(text, ' '), 'scan')
+            AND list_contains(string_split(text, ' '), 'vector')),
+        se_n AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM se_rel),
+        se_j AS (
+          SELECT CAST(t.rank AS BIGINT) AS k, t.doc_id,
+                 COALESCE(r.is_rel, 0) AS is_rel, n.n_rel
+          FROM bm_top t LEFT JOIN se_rel r USING (doc_id)
+          CROSS JOIN se_n n),
+        se_c AS (
+          SELECT k, doc_id, is_rel, n_rel,
+                 CAST(sum(is_rel) OVER w AS BIGINT) AS hits,
+                 CAST(sum(is_rel * (232792560 // k)) OVER w AS BIGINT)
+                   AS dcg_d,
+                 CAST(sum(CASE WHEN k <= n_rel THEN 232792560 // k
+                          ELSE 0 END) OVER w AS BIGINT) AS idcg_d,
+                 min(CASE WHEN is_rel = 1 THEN k END) OVER w AS frr
+          FROM se_j
+          WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+        SELECT k, doc_id, is_rel, n_rel, hits,
+               hits * 1000000 // k AS prec_ppm,
+               hits * 1000000 // n_rel AS recall_ppm,
+               COALESCE(232792560 // frr, 0) AS rr_d,
+               dcg_d, idcg_d,
+               dcg_d * 1000000 // idcg_d AS ndcg_ppm
+        FROM se_c ORDER BY k"""),
+      desc = "retrieval eval: integer-exact MRR/precision/recall/NDCG curve per cutoff"),
 
     // ── batch-perceptron quality probe (distilled rule cascade) ─────
     // Fixed-round integer-exact linear fit; the oracle replays all 8

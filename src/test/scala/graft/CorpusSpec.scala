@@ -545,6 +545,36 @@ class CorpusSpec extends SparkSuite {
       "sample must be reproducible")
   }
 
+  test("curriculumOrder phases by exact quartiles with dense sharded order") {
+    // 1000 distinct difficulties → exact 250-doc quartile phases,
+    // phases strictly difficulty-ordered (easy first), and ord dense
+    // 1..n within every (phase, shard).
+    val d = spark.range(0L, 1000L).select($"id".as("doc_id"))
+    val out = Corpus.curriculumOrder(d, $"doc_id", nShards = 4)
+    val sizes = out.groupBy($"phase").count().orderBy($"phase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(sizes === Seq(1L -> 250L, 2L -> 250L, 3L -> 250L,
+      4L -> 250L), s"quartile phases must be exact: $sizes")
+    val ranges = out.groupBy($"phase")
+      .agg(min($"difficulty").as("lo"), max($"difficulty").as("hi"))
+      .orderBy($"phase").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.sliding(2).forall(p => p(0)._2 < p(1)._1),
+      s"phases must be difficulty-ordered: ${ranges.toSeq}")
+    val dense = out.groupBy($"phase", $"shard")
+      .agg(count(lit(1)).as("n"), min($"ord").as("mn"),
+        max($"ord").as("mx"), sum($"ord").as("s"))
+      .collect()
+    assert(dense.forall { r =>
+      val (n, mn, mx, s2) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      mn == 1L && mx == n && s2 == n * (n + 1) / 2
+    }, "ord must be dense 1..n per (phase, shard)")
+    // equal difficulty never splits across phases
+    val flat = Corpus.curriculumOrder(d, lit(7L), nShards = 4)
+      .select($"phase").distinct().collect().map(_.getLong(0)).toSeq
+    assert(flat === Seq(1L), s"constant difficulty must be one phase: $flat")
+  }
+
   test("mixtureSample repeats small strata whole epochs and drops unweighted ones") {
     // a: 4 docs × 10 tokens = 40 avail, weight 750000, budget 160
     //    → target 120, ratio exactly 3.0 → every doc exactly 3 epochs

@@ -46,11 +46,14 @@ class PlanAuditSpec extends SparkSuite {
       "text_bm25" -> "rank over the LIMIT topK frame",
       "text_bm25_inc" -> "rank over the LIMIT topK frame",
       "search_hardneg" -> "bm25 + negative ranks over LIMIT frames",
+      "search_eval" -> "metric-curve windows over the LIMIT topK frame",
       "search_hybrid" -> "bm25 + RRF ranks over LIMIT frames",
       "a_contingency" -> "rank over the bounded (type × bucket) cell frame",
       "dq_drift" -> "rank over the bounded histogram-bucket frame",
       "o_skyline" -> "rank over the bounded pre-filtered skyline frontier",
-      "sample_temperature" -> "prefix over the strata-count plan frame")
+      "sample_temperature" -> "prefix over the strata-count plan frame",
+      "sample_curriculum" ->
+        "cumsum over the bounded distinct-difficulty histogram frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains)
       .flatMap { name =>
