@@ -732,6 +732,10 @@ object ScaleProbe {
           Seq(("user_id", "c_user")), "p_es", "c_es",
           direction = "nearest")
       },
+      "search_eval" -> (k => Corpus.searchEval(docFrac(k),
+        Seq("hash", "join", "scan", "vector"), topK = 20)),
+      "curriculum" -> (k => Corpus.curriculumOrder(docFrac(k),
+        size(split(col("text"), " ")).cast("long"), nShards = 8)),
       "corpus_release" -> { k =>
         // the composed release pipeline scaled by docs: every stage
         // is an already-probed shape (quality aggs, minhash banding,

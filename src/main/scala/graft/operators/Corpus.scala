@@ -1356,6 +1356,57 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("rrf"))
   }
 
+  /** Retrieval ranking eval over [[bm25Rank]]: per-cutoff metric
+    * curve (hits@k, precision/recall ppm, reciprocal rank, DCG/IDCG,
+    * ndcg ppm) against DEFINITIONAL conjunctive relevance — a doc is
+    * relevant iff its token set contains every query term. All
+    * arithmetic is exact integer: rank discounts are `D div r` with
+    * D = lcm(1..20) = 232792560 (every 1/rank term integral for
+    * topK ≤ 20 — enforced), ratios are floor-div ppm, so the metric
+    * is bit-reproducible cross-engine (classic log2-discount NDCG is
+    * not; with binary gains the reciprocal-rank discount keeps the
+    * same earlier-is-better semantics and stays rational).
+    *
+    * Scale shape: the ranking is [[bm25Rank]] (inverted-index
+    * access, broadcast stats, TakeOrderedAndProject top-k); the
+    * relevance mark is one scan-parallel conjunctive filter joined
+    * to the topK rows; every window runs over the LIMIT-topK frame
+    * (≤20 rows). Returns one row per cutoff k = 1..topK. */
+  def searchEval(docs: DataFrame, terms: Seq[String],
+                 topK: Int = 20): DataFrame = {
+    require(topK <= 20, s"discount scale D = lcm(1..20) caps topK at 20, got $topK")
+    val D = 232792560L
+    val top = bm25Rank(docs, terms, topK)
+    val rel = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(terms.map(t => array_contains(col("toks"), t))
+        .reduce(_ && _))
+      .select(col("doc_id"), lit(1L).as("is_rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.select(col("rank").cast("long").as("k"), col("doc_id"))
+      .join(rel, Seq("doc_id"), "left")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+      .crossJoin(broadcast(nRel))
+      .withColumn("hits", sum(col("is_rel")).over(w))
+      .withColumn("dcg_d",
+        sum(expr(s"is_rel * (CAST($D AS BIGINT) div k)")).over(w))
+      .withColumn("idcg_d",
+        sum(expr(s"CASE WHEN k <= n_rel THEN CAST($D AS BIGINT) div k " +
+          "ELSE CAST(0 AS BIGINT) END")).over(w))
+      .withColumn("frr",
+        min(when(col("is_rel") === 1L, col("k"))).over(w))
+      .select(col("k"), col("doc_id"), col("is_rel"), col("n_rel"),
+        col("hits"),
+        expr("hits * 1000000 div k").as("prec_ppm"),
+        expr("hits * 1000000 div n_rel").as("recall_ppm"),
+        coalesce(expr(s"CAST($D AS BIGINT) div frr"), lit(0L))
+          .as("rr_d"),
+        col("dcg_d"), col("idcg_d"),
+        expr("dcg_d * 1000000 div idcg_d").as("ndcg_ppm"))
+  }
+
   /** Distributed batch-perceptron quality probe: distill the
     * [[qualityFilter]] rule cascade into a LINEAR scorer — the
     * fasttext-style "train a fast classifier on heuristic labels"

@@ -1675,42 +1675,12 @@ object TextQueries {
     // (D div first_rel_rank once one is seen), DCG_D / IDCG_D (ideal
     // = first min(k, n_rel) ranks all relevant) and ndcg_ppm.
     "search_eval" -> Q(
-      fn = (s, dir) => {
-        val terms = Seq("hash", "join", "scan", "vector")
-        val d = docs(s, dir)
-        val top = Corpus.bm25Rank(d, terms, topK = 20)
-        val rel = d
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(terms.map(t => array_contains(col("toks"), t))
-            .reduce(_ && _))
-          .select(col("doc_id"), lit(1L).as("is_rel"))
-        val nRel = rel.agg(count(lit(1)).as("n_rel"))
-        val w = Window.orderBy(col("k"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        top.select(col("rank").cast(LongType).as("k"), col("doc_id"))
-          .join(rel, Seq("doc_id"), "left")
-          .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
-          .crossJoin(broadcast(nRel))
-          .withColumn("hits", sum(col("is_rel")).over(w))
-          .withColumn("dcg_d",
-            sum(expr("is_rel * (CAST(232792560 AS BIGINT) div k)"))
-              .over(w))
-          .withColumn("idcg_d",
-            sum(expr("CASE WHEN k <= n_rel THEN " +
-              "CAST(232792560 AS BIGINT) div k " +
-              "ELSE CAST(0 AS BIGINT) END")).over(w))
-          .withColumn("frr",
-            min(when(col("is_rel") === 1L, col("k"))).over(w))
-          .select(col("k"), col("doc_id"), col("is_rel"), col("n_rel"),
-            col("hits"),
-            expr("hits * 1000000 div k").as("prec_ppm"),
-            expr("hits * 1000000 div n_rel").as("recall_ppm"),
-            coalesce(expr("CAST(232792560 AS BIGINT) div frr"),
-              lit(0L)).as("rr_d"),
-            col("dcg_d"), col("idcg_d"),
-            expr("dcg_d * 1000000 div idcg_d").as("ndcg_ppm"))
-          .orderBy(col("k"))
-      },
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.searchEval directly.
+        Corpus.searchEval(docs(s, dir),
+            Seq("hash", "join", "scan", "vector"), topK = 20)
+          .orderBy(col("k")),
       oracle = Some(s"""
         WITH ${duckBm25Ctes(Seq("hash", "join", "scan", "vector"), 20)},
         se_rel AS (
