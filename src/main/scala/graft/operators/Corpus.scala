@@ -1374,18 +1374,28 @@ object Corpus extends org.apache.spark.internal.Logging {
     * (≤20 rows). Returns one row per cutoff k = 1..topK. */
   def searchEval(docs: DataFrame, terms: Seq[String],
                  topK: Int = 20): DataFrame = {
-    require(topK <= 20, s"discount scale D = lcm(1..20) caps topK at 20, got $topK")
-    val D = 232792560L
-    val top = bm25Rank(docs, terms, topK)
     val rel = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(terms.map(t => array_contains(col("toks"), t))
         .reduce(_ && _))
-      .select(col("doc_id"), lit(1L).as("is_rel"))
+      .select(col("doc_id"))
+    rankEval(bm25Rank(docs, terms, topK), rel, topK)
+  }
+
+  /** Ranking-agnostic core of [[searchEval]]: metric curve for ANY
+    * ranked list (doc_id, rank 1..topK) against ANY relevant-id set —
+    * plug in [[bm25Rank]], [[rrfFuse]] (rename id → doc_id), or an
+    * ANN shortlist. Same exactness contract: D = lcm(1..20) discount
+    * scale, floor-div ppm ratios, windows over the ≤topK-row frame. */
+  def rankEval(ranked: DataFrame, relevant: DataFrame,
+               topK: Int = 20): DataFrame = {
+    require(topK <= 20, s"discount scale D = lcm(1..20) caps topK at 20, got $topK")
+    val D = 232792560L
+    val rel = relevant.select(col("doc_id"), lit(1L).as("is_rel"))
     val nRel = rel.agg(count(lit(1)).as("n_rel"))
     val w = Window.orderBy(col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top.select(col("rank").cast("long").as("k"), col("doc_id"))
+    ranked.select(col("rank").cast("long").as("k"), col("doc_id"))
       .join(rel, Seq("doc_id"), "left")
       .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
       .crossJoin(broadcast(nRel))
@@ -1400,11 +1410,16 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(col("k"), col("doc_id"), col("is_rel"), col("n_rel"),
         col("hits"),
         expr("hits * 1000000 div k").as("prec_ppm"),
-        expr("hits * 1000000 div n_rel").as("recall_ppm"),
+        // nullif guards: an EMPTY relevant set makes n_rel (and every
+        // idcg_d) zero, and Spark 4 ANSI `div 0` throws where the
+        // definitional answer is "undefined" — the try_divide/NULLIF
+        // twin rule (CLAUDE.md, graph_assortativity) in its integer
+        // form, identical text on the DuckDB side
+        expr("hits * 1000000 div nullif(n_rel, 0)").as("recall_ppm"),
         coalesce(expr(s"CAST($D AS BIGINT) div frr"), lit(0L))
           .as("rr_d"),
         col("dcg_d"), col("idcg_d"),
-        expr("dcg_d * 1000000 div idcg_d").as("ndcg_ppm"))
+        expr("dcg_d * 1000000 div nullif(idcg_d, 0)").as("ndcg_ppm"))
   }
 
   /** Distributed batch-perceptron quality probe: distill the

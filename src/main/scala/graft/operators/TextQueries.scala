@@ -1708,10 +1708,10 @@ object TextQueries {
                        AND CURRENT ROW))
         SELECT k, doc_id, is_rel, n_rel, hits,
                hits * 1000000 // k AS prec_ppm,
-               hits * 1000000 // n_rel AS recall_ppm,
+               hits * 1000000 // NULLIF(n_rel, 0) AS recall_ppm,
                COALESCE(232792560 // frr, 0) AS rr_d,
                dcg_d, idcg_d,
-               dcg_d * 1000000 // idcg_d AS ndcg_ppm
+               dcg_d * 1000000 // NULLIF(idcg_d, 0) AS ndcg_ppm
         FROM se_c ORDER BY k"""),
       desc = "retrieval eval: integer-exact MRR/precision/recall/NDCG curve per cutoff"),
 

@@ -545,6 +545,41 @@ class CorpusSpec extends SparkSuite {
       "sample must be reproducible")
   }
 
+  test("rankEval matches the hand-computed metric curve") {
+    // ranked d1..d5; relevant {d2, d4, d9} (d9 unretrieved, n_rel=3).
+    // D = 232792560 = lcm(1..20). Hand-computed: at k=2 ndcg =
+    // (D/2)·1e6 div (D + D/2) = 333333; at k=3 idcg = 11D/6 so ndcg
+    // = (3/11)·1e6 = 272727; at k=4 dcg = 3D/4, idcg frozen (k >
+    // n_rel) → ndcg = (9/22)·1e6 = 409090; k=5 adds nothing.
+    val ranked = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 5))
+      .toDF("doc_id", "rank")
+    val rel = Seq(2L, 4L, 9L).toDF("doc_id")
+    val r = Corpus.rankEval(ranked, rel, topK = 5).orderBy($"k")
+      .select($"k", $"hits", $"prec_ppm", $"recall_ppm", $"rr_d",
+        $"dcg_d", $"idcg_d", $"ndcg_ppm")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6),
+        x.getLong(7)))
+    val D = 232792560L
+    assert(r.toSeq === Seq(
+      (1L, 0L, 0L, 0L, 0L, 0L, D, 0L),
+      (2L, 1L, 500000L, 333333L, D / 2, D / 2, D + D / 2, 333333L),
+      (3L, 1L, 333333L, 333333L, D / 2, D / 2, D * 11 / 6, 272727L),
+      (4L, 2L, 500000L, 666666L, D / 2, D * 3 / 4, D * 11 / 6, 409090L),
+      (5L, 2L, 400000L, 666666L, D / 2, D * 3 / 4, D * 11 / 6, 409090L)),
+      s"metric curve: ${r.toSeq}")
+    // the hybrid ranking plugs straight in (rrfFuse id → doc_id)
+    val lex = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
+    val vec = Seq((11L, 1), (12L, 2)).toDF("id", "rank")
+    val fused = Corpus.rrfFuse(lex, vec, topK = 3)
+      .select($"id".as("doc_id"), $"rank")
+    val h = Corpus.rankEval(fused, Seq(11L).toDF("doc_id"), topK = 3)
+      .orderBy($"k").select($"k", $"hits").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(h.head === (1L, 1L),
+      s"doc 11 tops the fused list and is relevant: ${h.toSeq}")
+  }
+
   test("curriculumOrder phases by exact quartiles with dense sharded order") {
     // 1000 distinct difficulties → exact 250-doc quartile phases,
     // phases strictly difficulty-ordered (easy first), and ord dense

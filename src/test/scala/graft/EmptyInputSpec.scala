@@ -71,6 +71,37 @@ class EmptyInputSpec extends SparkSuite {
     assert(h.length === 1 && h.head.getLong(4) === 1L)
   }
 
+  test("round-10 public APIs degrade cleanly on empty inputs") {
+    import org.apache.spark.sql.functions._
+    val docs = Sources.table(spark, sf(), "documents")
+    // retrieval eval: empty corpus → empty ranking → empty curve (the
+    // n_rel=0 floor-div never evaluates because no ranked row exists)
+    assert(graft.operators.Corpus.searchEval(empty(docs),
+      Seq("hash", "vector")).isEmpty)
+    // rankEval with an empty RELEVANT set: the curve still emits one
+    // row per ranked doc, and the n_rel=0 / idcg=0 divisions yield
+    // NULL (the integer-form try_divide/NULLIF twin), never an ANSI
+    // DIVIDE_BY_ZERO throw
+    val noRel = graft.operators.Corpus.rankEval(
+      Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank"),
+      Seq.empty[Long].toDF("doc_id")).orderBy($"k").collect()
+    assert(noRel.length === 2 &&
+      noRel.forall(r => r.isNullAt(r.fieldIndex("recall_ppm")) &&
+        r.isNullAt(r.fieldIndex("ndcg_ppm")) &&
+        r.getLong(r.fieldIndex("hits")) === 0L))
+    assert(graft.operators.Corpus.rankEval(
+      Seq.empty[(Long, Int)].toDF("doc_id", "rank"),
+      Seq(1L).toDF("doc_id")).isEmpty)
+    // curriculum: empty corpus → empty layout, no null-threshold throw
+    assert(graft.operators.Corpus.curriculumOrder(empty(docs),
+      size(split($"text", " ")).cast("long")).isEmpty)
+    // single-doc corpus: one phase-1 row, ord 1
+    val one = graft.operators.Corpus.curriculumOrder(docs.limit(1),
+      size(split($"text", " ")).cast("long")).collect()
+    assert(one.length === 1 && one.head.getLong(2) === 1L &&
+      one.head.getLong(4) === 1L)
+  }
+
   test("fact views on empty realtime inputs are empty but well-formed") {
     val e = MtaSynthetic.ev(spark, sf())
     val stops = MtaSynthetic.stops(spark)
