@@ -1447,10 +1447,36 @@ object Corpus extends org.apache.spark.internal.Logging {
     *
     * Returns per-doc (doc_id, y, score = final dot, pred, correct). */
   def probeFit(docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
+    val feats = probeFeatures(docs)
+    probeScore(feats, probeFitLoop(feats, rounds))
+  }
+
+  /** Frozen 1-row (w0..w3) weight frame from the fit loop — what a
+    * nightly job persists so the batch/stream admission path scores
+    * without re-iterating ([[probeApply]]). Same integer-exact
+    * contract as [[probeFit]]. */
+  def probeWeights(docs: DataFrame, rounds: Int = 4): DataFrame =
+    probeFitLoop(probeFeatures(docs), rounds)
+
+  /** Inference half of the probe family — the production shape: the
+    * perceptron fits ONCE on curated history ([[probeWeights]],
+    * corpus-bounded iteration) and every incoming batch scores
+    * per-row against the frozen broadcast weight row — scan-parallel,
+    * O(batch), no iteration; the learned-scorer admission path
+    * beside [[ingestGate]]'s rule cascade. Emits the [[probeFit]]
+    * shape (doc_id, y, score, pred, correct) so accuracy-on-new-batch
+    * reads off the same frame. */
+  def probeApply(docs: DataFrame, weights: DataFrame): DataFrame =
+    probeScore(probeFeatures(docs), weights)
+
+  /** Shared integer feature frame of the probe family: clamped
+    * (x0..x3) + the cascade label y, materialized once per input
+    * (plan-token-namespaced, so fit-side and apply-side frames
+    * coexist). */
+  private def probeFeatures(docs: DataFrame): DataFrame = {
     val toks = docTokenStats(docs)
       .withColumnRenamed("top_tok_count", "top_tok")
-    val feats = graft.Engine.materialize(
+    graft.Engine.materialize(
       docs.select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"))
         .join(toks, Seq("doc_id"))
@@ -1464,14 +1490,20 @@ object Corpus extends org.apache.spark.internal.Logging {
         .select(col("doc_id"), col("x0"), col("x1"), col("x2"),
           col("x3"), col("y")),
       key = "doc_id", name = "probe_feats")
-    val dot = col("x0") * col("w0") + col("x1") * col("w1") +
+  }
+
+  private def probeDot: Column =
+    col("x0") * col("w0") + col("x1") * col("w1") +
       col("x2") * col("w2") + col("x3") * col("w3")
+
+  private def probeFitLoop(feats: DataFrame, rounds: Int): DataFrame = {
+    val spark = feats.sparkSession
     var w = spark.range(1).select(
       lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
     var wT: Option[String] = None
     for (i <- 0 until rounds) {
       val upd = feats.crossJoin(broadcast(w))
-        .filter(col("y") * dot <= 0)
+        .filter(col("y") * probeDot <= 0)
         .agg(coalesce(sum(col("y") * col("x0")), lit(0L)).as("d0"),
           coalesce(sum(col("y") * col("x1")), lit(0L)).as("d1"),
           coalesce(sum(col("y") * col("x2")), lit(0L)).as("d2"),
@@ -1485,12 +1517,46 @@ object Corpus extends org.apache.spark.internal.Logging {
       w = nextW
       wT = nextT
     }
+    w
+  }
+
+  private def probeScore(feats: DataFrame, w: DataFrame): DataFrame =
     feats.crossJoin(broadcast(w))
-      .withColumn("score", dot)
+      .withColumn("score", probeDot)
       .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
       .withColumn("correct", col("pred") === col("y"))
       .select(col("doc_id"), col("y"), col("score"), col("pred"),
         col("correct"))
+
+  /** Reliability readout over a [[probeFit]]/[[probeApply]] frame —
+    * the check a team runs before trusting a learned admission
+    * scorer's threshold: equal-width integer score bands with
+    * per-band doc count, positive-label mass, and accuracy (exact
+    * ppm, floor division). A calibrated scorer shows `pos_ppm`
+    * rising with the band index; a flat middle says the margin
+    * carries no signal there and the threshold is arbitrary.
+    *
+    * Band edges come from a broadcast 1-row extent frame (the
+    * Layout.withMortonKey guard posture), so banding is
+    * scan-parallel — no unpartitioned window, no sort, and the
+    * output is ≤ `nBands` rows regardless of input size. Width is
+    * `(hi-lo) div nBands + 1`: a constant-score frame lands in band
+    * 0 and every index stays in `[0, nBands)`. */
+  def probeCalibration(scored: DataFrame, nBands: Int = 10): DataFrame = {
+    require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+    val ext = scored.agg(min(col("score")).as("lo"),
+      max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(ext))
+      .withColumn("band",
+        expr(s"(score - lo) div ((hi - lo) div $nBands + 1)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("pos_ppm", expr("n_pos * 1000000 div n_docs"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_docs"))
+      .select(col("band"), col("n_docs"), col("n_pos"), col("n_correct"),
+        col("pos_ppm"), col("acc_ppm"))
   }
 
   def lmScore(docs: DataFrame, novelTau: Double = 0.5): DataFrame = {

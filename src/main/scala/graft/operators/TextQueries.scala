@@ -78,7 +78,9 @@ object TextQueries {
   /** DuckDB replay of [[Corpus.probeFit]]: feature CTEs + one
     * generated pf_w{i} weight CTE per perceptron round (unrolled
     * iteration, the ivf_kmeans oracle pattern). */
-  private def probeOracle(rounds: Int): String = {
+  private def probeOracle(rounds: Int, fitWhere: String = "TRUE",
+                          applyWhere: String = "TRUE",
+                          finalSelect: Option[String] = None): String = {
     val dot = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
     def wCte(i: Int): String = {
       val cols = (0 to 3).map { j =>
@@ -88,6 +90,7 @@ object TextQueries {
       s"""pf_w$i AS (
          |SELECT $cols
          |FROM pf_f f CROSS JOIN pf_w${i - 1} w
+         |WHERE $fitWhere
          |GROUP BY w.w0, w.w1, w.w2, w.w3)""".stripMargin
     }
     s"""
@@ -113,14 +116,35 @@ object TextQueries {
       pf_w0 AS (
         SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
                CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-      ${(1 to rounds).map(wCte).mkString(",\n")}
-      SELECT f.doc_id, f.y,
-             ${dot.replace("w.", "w.")} AS score,
-             CAST(CASE WHEN $dot > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
-             (CASE WHEN $dot > 0 THEN 1 ELSE -1 END) = f.y AS correct
-      FROM pf_f f CROSS JOIN pf_w$rounds w
-      ORDER BY f.doc_id"""
+      ${(1 to rounds).map(wCte).mkString(",\n")},
+      pf_sc AS (
+        SELECT f.doc_id, f.y,
+               ${dot.replace("w.", "w.")} AS score,
+               CAST(CASE WHEN $dot > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+               (CASE WHEN $dot > 0 THEN 1 ELSE -1 END) = f.y AS correct
+        FROM pf_f f CROSS JOIN pf_w$rounds w
+        WHERE $applyWhere)
+      ${finalSelect.getOrElse(
+        "SELECT doc_id, y, score, pred, correct FROM pf_sc ORDER BY doc_id")}"""
   }
+
+  /** Final select of the probe-calibration oracle: equal-width
+    * integer score bands over pf_sc (the broadcast-extent twin of
+    * [[Corpus.probeCalibration]]), floor-div ppm ratios. */
+  private def probeCalibSelect(nBands: Int): String = s"""
+      SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS BIGINT) AS pos_ppm,
+             CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS BIGINT) AS acc_ppm
+      FROM (SELECT s.*,
+              (s.score - t.lo) // ((t.hi - t.lo) // $nBands + 1) AS band
+            FROM pf_sc s CROSS JOIN
+              (SELECT min(score) AS lo, max(score) AS hi FROM pf_sc) t)
+      GROUP BY band ORDER BY band"""
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
@@ -1728,6 +1752,47 @@ object TextQueries {
         .orderBy(col("doc_id")),
       oracle = Some(probeOracle(rounds = 8)),
       desc = "batch-perceptron probe: integer-exact 8-round fit on cascade labels"),
+
+    // ── frozen-probe inference (fit on history, score the batch) ────
+    // The production split of the probe family: probeWeights iterates
+    // ONLY over the historical half (doc_id < 250 — the persisted
+    // nightly fit), and the new half scores per-row against the
+    // frozen broadcast weight row — scan-parallel O(batch), the
+    // learned-scorer admission path beside the ingest gate's rule
+    // cascade. Same unrolled-round oracle, with the fit CTEs
+    // restricted to history and the scoring select to the new batch.
+    "text_probe_apply" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        Corpus.probeApply(d.filter(col("doc_id") >= 250),
+            Corpus.probeWeights(d.filter(col("doc_id") < 250),
+              rounds = 8))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(probeOracle(rounds = 8,
+        fitWhere = "f.doc_id < 250", applyWhere = "f.doc_id >= 250")),
+      desc = "frozen-probe inference: history-fitted weights score the new batch per-row"),
+
+    // ── probe reliability curve (calibration readout) ───────────────
+    // The check before trusting the learned scorer's threshold: the
+    // frozen-probe batch scores banded into 10 equal-width integer
+    // score bands (edges from a broadcast 1-row extent frame — no
+    // unpartitioned window), per-band positive-label mass and
+    // accuracy in exact floor-div ppm. Calibrated ⇔ pos_ppm rises
+    // with the band; output ≤ 10 rows at any corpus size.
+    "text_probe_calibration" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        Corpus.probeCalibration(
+            Corpus.probeApply(d.filter(col("doc_id") >= 250),
+              Corpus.probeWeights(d.filter(col("doc_id") < 250),
+                rounds = 8)))
+          .orderBy(col("band"))
+      },
+      oracle = Some(probeOracle(rounds = 8,
+        fitWhere = "f.doc_id < 250", applyWhere = "f.doc_id >= 250",
+        finalSelect = Some(probeCalibSelect(10)))),
+      desc = "probe reliability curve: per-band label mass + accuracy in exact ppm"),
 
     // ── fused corpus filter (C4/Gopher-style keep/drop pipeline) ────
     // The shape a production corpus filter takes: one pass computes

@@ -555,6 +555,125 @@ object VectorQueries {
         ORDER BY nb.query_id"""),
       desc = "ANN evaluation: recall@5 of sign-LSH against the brute baseline"),
 
+    // ── IVF operating curve: recall@5 vs candidates scanned ────────
+    // The tuning table every IVF deployment reads before picking
+    // nprobe: one row per nprobe ∈ {1,2,4} with the exact number of
+    // (query, candidate) pairs scanned (the cost axis) and recall@5
+    // against the brute baseline (the quality axis). Every probed
+    // pair is scored ONCE from the shared nprobe=4 assignment frame
+    // (np=1/2 candidate sets are prefixes by q_rn, so the three
+    // cutoffs are filters over one materialized scored frame — not
+    // three searches); recall is exact floor-div ppm. Output is 3
+    // rows at any corpus size.
+    "ann_recall_curve" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir).withColumn("id", $"vec_id")
+        val brute = graft.Engine.materialize(
+          Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
+            .select($"query_id", $"cand_id"),
+          "query_id", "rc_brute")
+        val asg = Vectors.kmeansAssign(base, kCells = 8, iters = 3,
+          nprobe = 4)
+        val q = asg.filter($"id" < 10)
+          .select($"id".as("query_id"), $"sv".as("qv"), $"nrm".as("qn"),
+            $"cluster", $"rn".as("q_rn"))
+        val c = asg.filter($"rn" === 1)
+          .select($"id".as("cand_id"), $"sv".as("cv"), $"nrm".as("cn"),
+            $"cluster")
+        val scored = graft.Engine.materialize(
+          q.join(c, Seq("cluster"))
+            .filter($"query_id" =!= $"cand_id")
+            .withColumn("cosine",
+              expr("long_dot(qv, cv)").cast("double") /
+                sqrt($"qn".cast("double") * $"cn".cast("double")))
+            .select($"query_id", $"cand_id", $"q_rn", $"cosine"),
+          "query_id", "rc_scored")
+        val nb = brute.agg(count(lit(1)).as("n_brute"))
+        Seq(1, 2, 4).map { np =>
+          val probed = scored.filter($"q_rn" <= np)
+          val top = probed
+            .withColumn("rank", row_number().over(
+              Window.partitionBy($"query_id")
+                .orderBy($"cosine".desc, $"cand_id")))
+            .filter($"rank" <= 5)
+          probed.agg(count(lit(1)).as("n_scanned"))
+            .crossJoin(broadcast(
+              top.join(brute, Seq("query_id", "cand_id"), "left_semi")
+                .agg(count(lit(1)).as("n_overlap"))))
+            .select(lit(np.toLong).as("nprobe"), $"n_scanned",
+              $"n_overlap")
+        }.reduce(_ unionByName _)
+          .crossJoin(broadcast(nb))
+          .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_brute"))
+          .select($"nprobe", $"n_scanned", $"n_brute", $"n_overlap",
+            $"recall_ppm")
+          .orderBy($"nprobe")
+      },
+      oracle = Some({
+        def npCtes(np: Int): String = s"""
+        rc_top$np AS (
+          SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+            FROM rc_sc WHERE q_rn <= $np)
+          WHERE rank <= 5),
+        rc_row$np AS (
+          SELECT CAST($np AS BIGINT) AS nprobe,
+                 (SELECT CAST(count(*) AS BIGINT) FROM rc_sc
+                  WHERE q_rn <= $np) AS n_scanned,
+                 (SELECT CAST(count(*) AS BIGINT) FROM rc_top$np t
+                  JOIN rc_bt b ON b.query_id = t.query_id
+                   AND b.cand_id = t.cand_id) AS n_overlap)"""
+        s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        rc_asg AS (
+          SELECT vec_id, sv, nrm, cluster_id AS cluster, rn FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn <= 4),
+        rc_bs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))
+                   AS cosine
+          FROM base q JOIN base c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        rc_bt AS (
+          SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+            FROM rc_bs)
+          WHERE rank <= 5),
+        rc_sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 q.rn AS q_rn,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))
+                   AS cosine
+          FROM rc_asg q JOIN rc_asg c
+            ON q.cluster = c.cluster AND c.rn = 1
+            AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ${Seq(1, 2, 4).map(npCtes).mkString(",")},
+        rc_all AS (
+          SELECT * FROM rc_row1 UNION ALL
+          SELECT * FROM rc_row2 UNION ALL
+          SELECT * FROM rc_row4)
+        SELECT nprobe, n_scanned,
+               (SELECT CAST(count(*) AS BIGINT) FROM rc_bt) AS n_brute,
+               n_overlap,
+               CAST(n_overlap * 1000000
+                 // (SELECT count(*) FROM rc_bt) AS BIGINT) AS recall_ppm
+        FROM rc_all ORDER BY nprobe"""
+      }),
+      desc = "IVF operating curve: recall@5 + exact scan cost per nprobe in {1,2,4}"),
+
     // ── int8 scalar quantization + two-stage search ─────────────────
     // The compression path for a 100 TB vector table: symmetric
     // per-dim int8 codes (8× smaller at rest as ARRAY<TINYINT>

@@ -41,6 +41,27 @@ class ApproxQualitySpec extends SparkSuite {
     assert(rows(32) >= 0L && rows(32) <= 1000000L)
   }
 
+  test("ann_recall_curve: scan cost and recall both rise monotonically " +
+       "with nprobe, and the ratios are exact") {
+    val rows = SparkEntry.queries("ann_recall_curve")(spark, sf("sf0.01"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // candidate sets nest by q_rn, so scanned pairs are monotone; and
+    // a displacing candidate scoring above a global-top-5 member is
+    // itself global-top-5, so overlap (hence recall) is monotone too
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted,
+      s"n_scanned must rise with nprobe: $rows")
+    assert(rows.map(_._4).toSeq === rows.map(_._4).toSeq.sorted,
+      s"n_overlap must rise with nprobe: $rows")
+    rows.foreach { case (np, _, nb, ov, ppm) =>
+      assert(nb === 50L, s"10 queries x k=5 brute rows, got $nb")
+      assert(ppm === ov * 1000000L / nb, s"recall_ppm drift at np=$np")
+      assert(ov >= 0L && ov <= nb)
+    }
+  }
+
   test("multi-probe IVF recalls at least as much as single-probe") {
     def hits(q: String) = SparkEntry.queries(q)(spark, sf("sf0.01"))
       .select($"query_id", $"cand_id").collect()

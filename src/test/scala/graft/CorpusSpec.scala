@@ -854,6 +854,61 @@ class CorpusSpec extends SparkSuite {
     assert(out2.toMap === out.toMap, "fit must not depend on partitioning")
   }
 
+  test("probeApply over probeWeights reproduces probeFit, and frozen " +
+       "weights score an unseen batch") {
+    val long = (0 until 6).map { i =>
+      (100L + i, (0 until 20).map(j => f"tok${i}_$j%02d").mkString(" "))
+    }
+    val short = (0 until 6).map(i => (200L + i, s"aa bb c$i"))
+    val d = (long ++ short).toDF("doc_id", "text")
+    // law: fit-then-score-in-place ≡ probeFit (same frame, same rounds)
+    val fit = Corpus.probeFit(d, rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val applied = Corpus.probeApply(d, Corpus.probeWeights(d, rounds = 8))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(applied === fit, "probeApply(probeWeights(d)) must ≡ probeFit(d)")
+    // frozen weights generalize: a disjoint batch drawn from the same
+    // two modes scores per-row (no refit) and classifies both modes
+    val batch = Seq(
+      (900L, (0 until 20).map(j => f"new_$j%02d").mkString(" ")),
+      (901L, "aa bb zz")).toDF("doc_id", "text")
+    val scored = Corpus.probeApply(batch, Corpus.probeWeights(d, rounds = 8))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(scored(900L) && scored(901L),
+      s"frozen probe must classify both held-out modes: $scored")
+  }
+
+  test("probeCalibration bands are equal-width, exhaustive, and ppm-exact") {
+    // 100 docs, scores 0..99, labels split at 50, all predictions
+    // correct: width = (99-0) div 10 + 1 = 10, so bands 0..9 hold 10
+    // docs each, pos_ppm is 0 below the split and 1e6 above it
+    val scored = (0 until 100).map { i =>
+      (i.toLong, if (i >= 50) 1L else -1L, i.toLong,
+        if (i >= 50) 1L else -1L, true)
+    }.toDF("doc_id", "y", "score", "pred", "correct")
+    val out = Corpus.probeCalibration(scored).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.keySet === (0L until 10L).toSet, s"bands: ${out.keySet}")
+    assert(out.values.map(_._1).sum === 100L, "band counts must partition")
+    (0L until 10L).foreach { b =>
+      assert(out(b)._1 === 10L, s"equal-width band $b holds ${out(b)._1}")
+      assert(out(b)._2 === (if (b >= 5) 1000000L else 0L),
+        s"pos_ppm at band $b: ${out(b)._2}")
+      assert(out(b)._3 === 1000000L, s"all-correct fixture, band $b")
+    }
+    // constant-score degenerate: width = 1, single band 0
+    val const = Seq((1L, 1L, 7L, 1L, true), (2L, -1L, 7L, -1L, false))
+      .toDF("doc_id", "y", "score", "pred", "correct")
+    val cOut = Corpus.probeCalibration(const).collect()
+    assert(cOut.length === 1 && cOut.head.getLong(0) === 0L,
+      "constant scores must land in band 0 only")
+    assert(cOut.head.getLong(5) === 500000L, "1-of-2 correct = 500000 ppm")
+  }
+
   test("bm25Rank orders by term density and rrfFuse rewards presence in both lists") {
     val d = Seq(
       (1L, "cat cat cat dog filler filler filler filler"),
