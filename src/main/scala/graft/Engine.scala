@@ -20,7 +20,7 @@ object Engine {
     * sources → fact_trips_stops → {fact_trips, fact_delays};
     * sources → fact_alerts (SURVEY §3 E1). Views are lazy — this
     * moves no data. */
-  def registerMta(spark: SparkSession, dir: String): Unit =
+  def registerMta(spark: SparkSession, dir: String): Set[String] =
     registerMta(spark, dir, Map.empty, None)
 
   /** [[registerMta]] with dbt's per-model materialization switch
@@ -34,10 +34,15 @@ object Engine {
     * `+materialized: table`: fact_trips built over a table-mode
     * fact_trips_stops reads parquet, not the view's plan. Unmapped
     * models stay lazy views (dbt's default). `tableRoot` anchors the
-    * table paths and is required iff any model maps to `"table"`. */
+    * table paths and is required iff any model maps to `"table"`.
+    * Returns the set of view names registered (sources + models) so
+    * callers like [[build]] can scope follow-up work — e.g. the
+    * contract-derived auto-tests — to exactly what THIS run
+    * registered rather than whatever else lives in the session
+    * catalog. */
   def registerMta(spark: SparkSession, dir: String,
                   materialized: Map[String, String],
-                  tableRoot: Option[String]): Unit = {
+                  tableRoot: Option[String]): Set[String] = {
     val register = registerModel(spark, materialized, tableRoot) _
     val e = MtaSynthetic.ev(spark, dir)
     val stops = MtaSynthetic.stops(spark)
@@ -46,7 +51,7 @@ object Engine {
     // surface registers the source views under the same names
     // (mta_sources.yml:7-170: trip_updates + stop_time_update child,
     // alerts + its 1:1 children, and the static GTFS tables).
-    Seq(
+    val sourceViews = Seq(
       "trip_updates" -> MtaSynthetic.tripUpdates(e),
       "trip_updates__trip_update__stop_time_update" ->
         MtaSynthetic.stopTimeUpdates(e),
@@ -61,7 +66,8 @@ object Engine {
       "trips" -> MtaSynthetic.trips(e),
       "stop_times" -> MtaSynthetic.stopTimes(e),
       "calendar" -> MtaSynthetic.calendar(spark)
-    ).foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    )
+    sourceViews.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     register("fact_trips_stops", MtaModels.factTripsStops(
       MtaSynthetic.tripUpdates(e), MtaSynthetic.stopTimeUpdates(e),
       stops, MtaSynthetic.trips(e)))
@@ -77,6 +83,7 @@ object Engine {
       MtaSynthetic.alerts(e), MtaSynthetic.headerTx(e), MtaSynthetic.descTx(e),
       MtaSynthetic.activePeriod(e), MtaSynthetic.informedEntity(e),
       MtaSynthetic.routes(spark), stops))
+    sourceViews.map(_._1).toSet ++ mtaLineage.map(_.name)
   }
 
   /** One node of the model DAG for the lineage artifact: upstream
@@ -181,6 +188,12 @@ object Engine {
     * not_null/unique checks from [[contractTests]] — a user porting a
     * dbt project expects `build()` to test the declared schemas
     * without hand-wiring thunks — then any caller-supplied `tests`.
+    * Auto-tests run ONLY over views THIS build registered (seeds +
+    * the MTA DAG + snapshots), never over contract-named temp views
+    * other code in the session happens to have left behind — a stray
+    * view named `orders` from unrelated work must not flip an
+    * MTA-only build red (catalog-wide checking stays available by
+    * calling the one-arg [[contractTests]] directly).
     * Steps run sequentially; a THROWN step records
     * status = "error" and later steps still run (dbt continues
     * independent nodes). */
@@ -194,6 +207,8 @@ object Engine {
             tests: Seq[(String, () => DataFrame)] = Nil,
             autoTests: Boolean = true): Seq[BuildStep] = {
     val out = scala.collection.mutable.ListBuffer.empty[BuildStep]
+    // views registered by THIS build() call — the auto-test scope
+    val registered = scala.collection.mutable.Set.empty[String]
     def step(name: String, kind: String)(run: => (String, Long)): Unit = {
       val t0 = System.nanoTime()
       val (status, rows) =
@@ -208,11 +223,12 @@ object Engine {
     seedDir.foreach { sd =>
       step("seeds", "seed") {
         val names = Sources.seed(spark, sd, seedSchemas)
+        registered ++= names
         ("pass", names.size.toLong)
       }
     }
     step("mta_dag", "model") {
-      registerMta(spark, dir, materialized, tableRoot)
+      registered ++= registerMta(spark, dir, materialized, tableRoot)
       ("pass", mtaLineage.size.toLong)
     }
     snapshots.foreach { sp =>
@@ -221,6 +237,7 @@ object Engine {
           s"build: snapshot '${sp.name}' needs a tableRoot"))
         val hist = snapshot(spark, spark.table(sp.sourceView), sp.name,
           sp.key, sp.updatedAtCol, sp.attrs, root, sp.strategy)
+        registered += sp.name
         ("pass", hist.count())
       }
     }
@@ -238,7 +255,8 @@ object Engine {
         (if (viol == 0L) "pass" else "fail", viol)
       }
     if (autoTests)
-      contractTests(spark).foreach { case (n, mk) => runTest(n, mk) }
+      contractTests(spark, registered.toSet)
+        .foreach { case (n, mk) => runTest(n, mk) }
     tests.foreach { case (name, mk) => runTest(name, mk) }
     out.toList
   }
@@ -301,12 +319,23 @@ object Engine {
     * in this session are skipped — a build that only ran the MTA DAG
     * doesn't fail on absent registry tables. Both checks are one
     * scan-shaped aggregate per view; at 100 TB the unique check is
-    * the usual map-side-combined groupBy on the key. */
+    * the usual map-side-combined groupBy on the key.
+    *
+    * The one-arg form scans the WHOLE session catalog (the standalone
+    * "test everything I can see" call); the two-arg form restricts to
+    * `only` — [[build]] passes the views it registered itself, so a
+    * contract-named temp view left behind by unrelated session code
+    * can't leak into a build's test set. */
   def contractTests(spark: SparkSession)
+      : Seq[(String, () => DataFrame)] =
+    contractTests(spark, contractKeys.keySet)
+
+  /** [[contractTests]] restricted to the views in `only`. */
+  def contractTests(spark: SparkSession, only: Set[String])
       : Seq[(String, () => DataFrame)] = {
     import org.apache.spark.sql.functions._
     contractKeys.toSeq.sortBy(_._1).flatMap { case (v, ct) =>
-      if (!spark.catalog.tableExists(v)) Nil
+      if (!only.contains(v) || !spark.catalog.tableExists(v)) Nil
       else {
         val keys = ct.cols
         val keyList = keys.mkString(",")
@@ -346,7 +375,10 @@ object Engine {
     * row can never produce an inverted interval); new keys open at
     * version 1; keys absent from the source keep their open record
     * (dbt's default). A matched source row with a NULL `updatedAtCol`
-    * reads as "no change" — the open record is kept, never dropped. With
+    * reads as "no change" under BOTH strategies — the open record is
+    * kept, never dropped, and (check strategy) changed attrs with no
+    * change timestamp do not supersede: a row that can't say when it
+    * changed can't open a version. With
     * `invalidateHardDeletes = true` (dbt's `invalidate_hard_deletes`)
     * a key absent from the source instead CLOSES its open record at
     * `deletedAt` — pass the run's observation timestamp; a later
@@ -421,13 +453,19 @@ object Engine {
         // closedNow (chg -> false) — the open record would silently
         // vanish from the rewritten history. A null comparison must
         // read as "no change" so the open record is kept. The check
-        // strategy's <=> is already null-safe; the coalesce is a
-        // no-op there.
+        // strategy needs the same gate EXPLICITLY: its <=> attr
+        // compare is null-safe, so changed attrs with a NULL
+        // updatedAt would otherwise register change and close/open at
+        // greatest(NULL, valid_from) = valid_from — a zero-length
+        // closed interval plus a new version sharing the old
+        // valid_from. A row that can't say WHEN it changed can't
+        // supersede under either strategy.
         val chg: org.apache.spark.sql.Column = coalesce(strategy match {
           case "timestamp" =>
             col(s"_s_$updatedAtCol") > col("valid_from")
           case _ =>
-            attrs.map(a => !(col(s"_s_$a") <=> col(a))).reduce(_ || _)
+            col(s"_s_$updatedAtCol").isNotNull &&
+              attrs.map(a => !(col(s"_s_$a") <=> col(a))).reduce(_ || _)
         }, lit(false))
         // The check strategy detects change by attrs, not time, so an
         // out-of-order source row (changed attrs, updatedAt OLDER than

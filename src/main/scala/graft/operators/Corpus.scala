@@ -2201,8 +2201,13 @@ object Corpus extends org.apache.spark.internal.Logging {
     *    exact ∪ minhash edges, the SHARED [[dedupEdges]] frame)
     *    contains any EXISTING doc;
     *  - `dup_in_batch` — an all-new component keeps only its min-id
-    *    member ("first seen wins" — the ingest convention, where
-    *    arrival order is the tiebreak);
+    *    QUALITY-PASSING member ("first seen wins" among admissible
+    *    copies — arrival order is the tiebreak, but a copy already
+    *    rejected for quality can't be the survivor: otherwise a
+    *    cluster whose earliest member is garbage would lose EVERY
+    *    copy, where [[releasePlan]] keeps one. A component with no
+    *    quality-passing member has nothing to keep — all its members
+    *    already carry their quality reason);
     *  - `contaminated` — its `n`-grams hit the eval split's gram set
     *    ([[contamination]] semantics);
     *  - `accepted`.
@@ -2225,6 +2230,16 @@ object Corpus extends org.apache.spark.internal.Logging {
       .join(flagged.filter(!col("_new")).select(col("doc_id")), Seq("doc_id"))
       .select(col("component_id")).distinct()
       .withColumn("_has_old", lit(true))
+    // "first seen wins" runs over ADMISSIBLE copies only: the keeper
+    // of an all-new component is its min-id quality-PASSING member,
+    // so a cluster whose earliest arrival fails quality still admits
+    // one copy (releasePlan's dedup-after-quality order, applied to
+    // the batch). Quality-failing members never reach this branch —
+    // the first-failing CASE already gave them their reason.
+    val compKeep = comps
+      .join(q.filter(col("_qreason").isNull).select(col("doc_id")),
+        Seq("doc_id"))
+      .groupBy(col("component_id")).agg(min(col("doc_id")).as("_keep"))
     // eval gram set probes the new docs (contamination's probe flag
     // marks the probed side)
     val gateInput = newDocs.select(col("doc_id"), col("text"),
@@ -2237,19 +2252,25 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(col("doc_id")).withColumn("_cont", lit(true))
     q.join(comps, Seq("doc_id"), "left")
       .join(compHasOld, Seq("component_id"), "left")
+      .join(compKeep, Seq("component_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("status",
         when(col("_qreason").isNotNull, col("_qreason"))
           .when(col("_has_old"), "dup_of_corpus")
           .when(col("component_id").isNotNull &&
-            col("component_id") =!= col("doc_id"), "dup_in_batch")
+            col("doc_id") =!= col("_keep"), "dup_in_batch")
           .when(col("_cont"), "contaminated")
           .otherwise("accepted"))
       .select(col("doc_id"), col("n_tokens"), col("status"))
   }
 
   /** One stage of a [[pipeline]] run: docs entering, docs surviving,
-    * per-reason drop counts, wall ms. */
+    * per-reason drop counts, wall ms of the stage's terminal action —
+    * the survivor counts / drop-reason collect for the count-stages,
+    * the [[shardWrite]] itself for the shard stage. Shared frames a
+    * stage materializes (Engine.materialize) evaluate when first
+    * counted, so a stage's ms includes its own build but a LATER
+    * stage riding that frame pays only its incremental work. */
   final case class StageReport(stage: String, docsIn: Long, docsOut: Long,
                                drops: Seq[(String, Long)], ms: Long)
 
@@ -2374,11 +2395,16 @@ object Corpus extends org.apache.spark.internal.Logging {
       Seq("contaminated" -> (nDedup - clean.count())))
     val (_, nRel) = stage("sample", nClean, released.count(),
       Seq("over_budget" -> (nClean - released.count())))
+    // the shard stage's cost IS the write: bracket shardWrite itself
+    // with the same nanoTime accounting the count-stages get — the
+    // most expensive stage must not report ms = 0
     val manifest = shards.map { case (n, path) =>
+      val t0 = System.nanoTime()
       val m = shardWrite(
         clean.join(released.select(col("doc_id")), Seq("doc_id")),
         n, path)
-      report += StageReport("shard", nRel, nRel, Nil, 0L)
+      report += StageReport("shard", nRel, nRel, Nil,
+        (System.nanoTime() - t0) / 1000000L)
       m
     }
     Release(report.toList, released, manifest)

@@ -2170,7 +2170,16 @@ object TextQueries {
           SELECT p.doc_id,
                  CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_matched
-          FROM ig_pg p LEFT JOIN ig_eg e ON e.g = p.g GROUP BY 1)
+          FROM ig_pg p LEFT JOIN ig_eg e ON e.g = p.g GROUP BY 1),
+        ig_keep AS (
+          SELECT c.component_id, min(c.doc_id) AS keep
+          FROM ig_comp c
+          JOIN documents d2 ON d2.doc_id = c.doc_id
+          JOIN ig_s s2 ON s2.doc_id = c.doc_id
+          WHERE c.doc_id >= 400
+            AND NOT (length(d2.text) < 100 OR s2.n_tokens < 18
+                     OR CAST(s2.top_c AS DOUBLE) / s2.n_tokens > 0.125)
+          GROUP BY 1)
         SELECT d.doc_id, s.n_tokens,
                CASE
                  WHEN length(d.text) < 100 THEN 'too_short'
@@ -2179,13 +2188,14 @@ object TextQueries {
                    THEN 'repetitive'
                  WHEN o.has_old THEN 'dup_of_corpus'
                  WHEN c.component_id IS NOT NULL
-                      AND c.component_id <> d.doc_id THEN 'dup_in_batch'
+                      AND d.doc_id <> k.keep THEN 'dup_in_batch'
                  WHEN COALESCE(h.n_matched, 0) >= 3 THEN 'contaminated'
                  ELSE 'accepted' END AS status
         FROM documents d
         JOIN ig_s s ON s.doc_id = d.doc_id
         LEFT JOIN ig_comp c ON c.doc_id = d.doc_id
         LEFT JOIN ig_old o ON o.component_id = c.component_id
+        LEFT JOIN ig_keep k ON k.component_id = c.component_id
         LEFT JOIN ig_hit h ON h.doc_id = d.doc_id
         WHERE d.doc_id >= 400
         ORDER BY d.doc_id"""),

@@ -456,7 +456,12 @@ class CorpusSpec extends SparkSuite {
       (103L, "fresh pair content words one two three four five"),
       (104L, "five four three two one words content pair fresh"),   // dup of 103
       (105L, s"new doc quoting $passage in the middle of text"),    // contaminated
-      (106L, "clean novel writing with entirely original wording"))
+      (106L, "clean novel writing with entirely original wording"),
+      // cluster whose EARLIEST member fails quality: the keeper must
+      // be the min-id quality-PASSING member, so the cluster still
+      // admits one copy (the releasePlan dedup-after-quality order)
+      (107L, "junk junk junk junk junk junk seven eight nine ten"),
+      (108L, "ten nine eight seven junk")) // dup of 107's token set
       .toDF("doc_id", "text")
     val got = Corpus.ingestGate(corpus,
         isNew = $"doc_id" >= 100L, isEval = $"doc_id" === 50L,
@@ -470,7 +475,10 @@ class CorpusSpec extends SparkSuite {
       103L -> "accepted",       // first seen wins its batch cluster
       104L -> "dup_in_batch",
       105L -> "contaminated",   // 3 shared 5-grams vs eval doc 50
-      106L -> "accepted"), s"got $got")
+      106L -> "accepted",
+      107L -> "repetitive",     // top token 6/10 > 0.5
+      108L -> "accepted"),      // keeper = min QUALITY-PASSING member
+      s"got $got")
   }
 
   test("lmScore separates shared-phrasing prose from all-novel gibberish") {

@@ -639,6 +639,30 @@ class EngineSpec extends SparkSuite {
       ("B", "y", 100L, None, 1L)))
   }
 
+  test("snapshot check-strategy: changed attrs with NULL updatedAt don't supersede") {
+    val root = Files.createTempDirectory("graft_snap_nulc").toString
+    val d1 = Seq(("A", "x", Some(100L)), ("B", "y", Some(100L)))
+      .toDF("k", "v", "updated_at")
+    Engine.snapshot(spark, d1, "snap_nulc", "k", "updated_at", Seq("v"), root,
+      strategy = "check")
+    // A re-observed with CHANGED attr but NULL updatedAt: the <=>
+    // attr compare is null-safe and would register change — without
+    // the explicit gate this closed/reopened at greatest(NULL,
+    // valid_from) = valid_from, a zero-length closed interval plus a
+    // new version sharing the old valid_from. A row that can't say
+    // WHEN it changed must read as "no change" under BOTH strategies.
+    val d2 = Seq(("A", "x9", None: Option[Long]), ("B", "y", Some(100L)))
+      .toDF("k", "v", "updated_at")
+    val h = Engine.snapshot(spark, d2, "snap_nulc", "k", "updated_at",
+        Seq("v"), root, strategy = "check")
+      .orderBy($"k", $"version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      ("A", "x", 100L, None, 1L),
+      ("B", "y", 100L, None, 1L)))
+  }
+
   test("snapshot check-strategy never inverts intervals on out-of-order rows") {
     val root = Files.createTempDirectory("graft_snap_ooo").toString
     val d1 = Seq(("A", "red", 200L)).toDF("k", "v", "updated_at")
@@ -692,9 +716,11 @@ class EngineSpec extends SparkSuite {
     Seq(("R1", "red", 100L), ("R2", "blue", 100L))
       .toDF("route", "color", "updated_at")
       .createOrReplaceTempView("route_dim")
-    // deliberately break one declared contract: a `region` view with a
-    // duplicated AND a null key — build()'s auto-derived tests must
-    // catch both without any caller-supplied thunk
+    // a STRAY contract-named view from unrelated session code, with a
+    // duplicated AND a null key: build()'s auto-tests are scoped to
+    // the views the build itself registers, so this must NOT flip the
+    // MTA-only build red — but the one-arg catalog-wide
+    // contractTests() must still catch both violations on demand
     Seq(Option(1L), Option(1L), Option.empty[Long])
       .toDF("r_regionkey").withColumn("r_name", lit("x"))
       .createOrReplaceTempView("region")
@@ -717,8 +743,8 @@ class EngineSpec extends SparkSuite {
     assert(report.map(_.kind).takeWhile(_ != "test") ===
       Seq("seed", "model", "snapshot"))
     assert(report.map(_.kind).dropWhile(_ != "test").forall(_ == "test"))
-    // contract-derived tests ran without being asked for: the model
-    // grains and every contract view in the catalog, then the two
+    // contract-derived tests ran without being asked for: the MTA
+    // sources + model grains this build registered, then the two
     // caller thunks last
     val auto = report.filter(s =>
       s.name.startsWith("not_null:") || s.name.startsWith("unique:"))
@@ -727,15 +753,22 @@ class EngineSpec extends SparkSuite {
     assert(byName.contains("unique:fact_trips(trip_uid)") &&
       byName("unique:fact_trips(trip_uid)").status === "pass")
     assert(byName("not_null:fact_trips_stops(tu_id,stu_id)").status === "pass")
-    // the deliberately broken region contract is RED, on both checks
-    assert(byName("unique:region(r_regionkey)").status === "fail" &&
-      byName("unique:region(r_regionkey)").rows === 1L)
-    assert(byName("not_null:region(r_regionkey)").status === "fail" &&
-      byName("not_null:region(r_regionkey)").rows === 1L)
-    // every OTHER auto test is green
-    assert(auto.filterNot(_.name.contains("region"))
-      .forall(_.status == "pass"),
+    // the stray broken `region` view is OUTSIDE the build's scope: no
+    // region test ran, and every auto test the build DID run is green
+    assert(!auto.exists(_.name.contains("region")),
+      s"stray view leaked into the build's auto tests: ${auto.map(_.name)}")
+    assert(auto.forall(_.status == "pass"),
       s"unexpected red auto tests: ${auto.filter(_.status != "pass").map(_.name)}")
+    // …while the catalog-wide one-arg contractTests still catches the
+    // stray view's violations when a user asks for everything: a red
+    // auto-derivable contract stays detectable, just never implicit
+    val wide = Engine.contractTests(spark).toMap
+    def viol(n: String): Long =
+      wide(n)().agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum($"n_violations"),
+        lit(0L))).head.getLong(0)
+    assert(viol("unique:region(r_regionkey)") === 1L)
+    assert(viol("not_null:region(r_regionkey)") === 1L)
     spark.catalog.dropTempView("region")
     assert(byName("seeds").status === "pass" &&
       byName("seeds").rows === 1L)
