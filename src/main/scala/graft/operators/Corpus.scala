@@ -1164,6 +1164,72 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("n_repeats"))
   }
 
+  /** Token-weighted SYSTEMATIC sampling (Madow's method — PPS without
+    * replacement): per stratum, lay the docs on a line in a
+    * reproducible md5-shuffled order, cut it at every multiple of
+    * `step = total_tokens div k`, and keep each doc a cut lands in.
+    * The sampling-theory member the sample_* family lacked:
+    * [[stratifiedSample]] draws per-doc Bernoulli (size drifts
+    * binomially), [[budgetSample]] takes a quality-ranked prefix
+    * (biased by construction); systematic PPS delivers EXACTLY
+    * `min(k, boundaries)` docs per stratum with inclusion
+    * probability proportional to size — `toks/step`, certainty for
+    * docs spanning a whole step — and zero variance in sample-token
+    * volume. `n_hits` reports how many cuts a doc absorbed (a true
+    * PPS-with-multiplicity consumer multiplies by it; a dedup
+    * consumer ignores it).
+    *
+    * Fully integer-deterministic: the order key is the 32-bit md5
+    * prefix of doc_id (ties broken by doc_id), cuts are integer
+    * floor-division boundaries, and a pick at cum = m·step exactly
+    * belongs to the doc whose interval CLOSES there (prev < m·step ≤
+    * cum). `pick_idx = prev div step + 1` is the 1-based cut index;
+    * cuts beyond k (the `total mod k` tail) are discarded.
+    *
+    * Scale shape: the per-stratum cumulative sum is TWO-LEVEL — 256
+    * hash bands per stratum (band = high byte of the order hash),
+    * per-band offsets from a bounded window over the (stratum, band)
+    * frame, in-band running sums over (stratum, band) partitions —
+    * so no window partition ever holds a whole stratum (the
+    * budgetSample mega-stratum posture). One bounded agg + two
+    * broadcasts + one partitioned window; no all-stratum sort. */
+  def systematicSample(docs: DataFrame, stratum: Column, k: Int,
+                       tokens: Column =
+                         size(split(col("text"), " ")).cast("long"))
+      : DataFrame = {
+    require(k >= 1, s"systematicSample: k must be >= 1, got $k")
+    val base = docs
+      .select(col("doc_id"), stratum.as("stratum"), tokens.as("toks"))
+      .withColumn("_h", expr("CAST(conv(substring(md5(" +
+        "CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("_hb", expr("_h div 16777216")) // 256 bands (2^24)
+    val bandTotals = base.groupBy(col("stratum"), col("_hb"))
+      .agg(sum(col("toks")).as("_bt"))
+      .withColumn("_off", coalesce(sum(col("_bt")).over(
+        Window.partitionBy(col("stratum")).orderBy(col("_hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"), col("_hb"), col("_off"))
+    val totals = base.groupBy(col("stratum"))
+      .agg(sum(col("toks")).as("_tot"))
+    val wIn = Window.partitionBy(col("stratum"), col("_hb"))
+      .orderBy(col("_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(bandTotals), Seq("stratum", "_hb"))
+      .join(broadcast(totals), Seq("stratum"))
+      .withColumn("cum_toks", col("_off") + sum(col("toks")).over(wIn))
+      .withColumn("_step", greatest(expr(s"_tot div ${k}L"), lit(1L)))
+      .withColumn("_prev", col("cum_toks") - col("toks"))
+      // cuts beyond k (the `total mod k` tail) don't exist: cap the
+      // multiplicity numerator at k before differencing
+      .withColumn("n_hits",
+        expr(s"least(cum_toks div _step, ${k}L) - _prev div _step"))
+      .withColumn("pick_idx", expr("_prev div _step + 1"))
+      .filter(col("n_hits") > 0L && expr(s"_prev div _step < ${k}L"))
+      .select(col("doc_id"), col("stratum"), col("toks"),
+        col("cum_toks"), col("pick_idx"), col("n_hits"))
+  }
+
   /** Materialized-SHARED per-doc token stats (doc_id, n_tokens,
     * top_tok_count) — the full-corpus tokenize + two-level aggregate
     * that FIVE registered queries need identically (corpus_stats,

@@ -939,6 +939,51 @@ object ExtendedQueries {
         FROM corners GROUP BY 1 ORDER BY node"""),
       desc = "degree-oriented triangle counting on the co-supplier graph"),
 
+    // ── common-neighbor link prediction on the co-supplier graph ────
+    // Graphs.linkPredict (Liben-Nowell/Kleinberg 2003): non-adjacent
+    // supplier pairs ranked by shared-neighbor Jaccard — the graph-
+    // completion member beside triangles/communities, riding the SAME
+    // shared pair frame. Wedge centers are degree-capped (hub fan-out
+    // armor, the absolute-cap posture); degrees in the Jaccard
+    // denominator stay exact. Integer ppm scores; total order.
+    "graph_linkpred" -> Q(
+      fn = (s, dir) =>
+        Graphs.linkPredict(coSupplierPairs(s, dir),
+          maxDegree = 64L, minCommon = 2L, topK = 100),
+      oracle = Some("""
+        WITH ls AS (
+          SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        lp_pairs AS (
+          SELECT a.sk AS a, b.sk AS b
+          FROM ls a JOIN ls b ON a.o = b.o AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        lp_adj AS (
+          SELECT a AS node, b AS nb FROM lp_pairs
+          UNION ALL SELECT b, a FROM lp_pairs),
+        lp_deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM lp_adj GROUP BY 1),
+        lp_ac AS (
+          SELECT j.node, j.nb
+          FROM lp_adj j JOIN lp_deg d ON d.node = j.node
+          WHERE d.deg <= 64),
+        lp_wed AS (
+          SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT)
+                   AS n_common
+          FROM lp_ac x JOIN lp_ac y
+            ON x.node = y.node AND x.nb < y.nb
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT w.a, w.b, w.n_common, da.deg AS deg_a, db.deg AS deg_b,
+               w.n_common * 1000000 // (da.deg + db.deg - w.n_common)
+                 AS jaccard_ppm
+        FROM lp_wed w
+        LEFT JOIN lp_pairs p ON p.a = w.a AND p.b = w.b
+        JOIN lp_deg da ON da.node = w.a
+        JOIN lp_deg db ON db.node = w.b
+        WHERE p.a IS NULL
+        ORDER BY jaccard_ppm DESC, w.a, w.b LIMIT 100"""),
+      desc = "link prediction: common-neighbor Jaccard over non-adjacent pairs"),
+
     // ── W4c: value-picking window family (IGNORE NULLS forms) ───────
     // first/last/nth with explicit frames, plus the IGNORE NULLS
     // last_value — "most recent click amount so far" — the BigQuery

@@ -366,4 +366,54 @@ object Graphs {
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Common-neighbor link prediction (the Liben-Nowell/Kleinberg 2003
+    * baseline): for every NON-adjacent pair (a, b) sharing at least
+    * `minCommon` neighbors, the common-neighbor count and the
+    * neighbor-set Jaccard in exact ppm — the "who should be
+    * connected" scoring a recommender or graph-completion pipeline
+    * runs. Input is the distinct undirected edge set as (a, b) pairs
+    * with a < b; returns the `topK` candidates by (jaccard_ppm desc,
+    * a, b).
+    *
+    * Skew armor: candidate pairs are generated through wedge CENTERS
+    * only, and centers with degree > `maxDegree` are excluded from
+    * wedge generation (the winnowPairs absolute-cap posture) — a hub
+    * of degree d would otherwise emit d² candidate pairs, and at
+    * 100 TB a celebrity node turns the wedge join quadratic. A
+    * capped hub still contributes to both endpoints' DEGREES (the
+    * Jaccard denominator stays exact); only its testimony as a
+    * shared neighbor is dropped, which is the standard trade — a
+    * neighbor shared with everyone carries no signal. The wedge join
+    * is bounded by Σ_capped deg² ≤ maxDegree·m; everything else is
+    * ids-only hash joins and one TakeOrderedAndProject. */
+  def linkPredict(pairs0: DataFrame, maxDegree: Long = 64L,
+                  minCommon: Long = 2L, topK: Int = 100): DataFrame = {
+    val pairs = graft.Engine.materialize(
+      pairs0.select(col("a"), col("b")),
+      key = "a", name = "lp_pairs")
+    val adj = pairs.select(col("a").as("node"), col("b").as("nb"))
+      .union(pairs.select(col("b").as("node"), col("a").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adjCapped = adj.join(
+      deg.filter(col("deg") <= maxDegree).select(col("node")), Seq("node"))
+    val wedges = adjCapped.select(col("node"), col("nb").as("x"))
+      .join(adjCapped.select(col("node"), col("nb").as("y")), Seq("node"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .select(col("x").as("a"), col("y").as("b"), col("n_common"))
+    wedges
+      .join(pairs, Seq("a", "b"), "left_anti") // predicted, not present
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")),
+        Seq("b"))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000L div (deg_a + deg_b - n_common)"))
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"),
+        col("deg_b"), col("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -1216,6 +1216,49 @@ object TextQueries {
         FROM mxd WHERE n_repeats > 0 ORDER BY doc_id"""),
       desc = "declared-weight mixture sampling with epoch repetition"),
 
+    // ── token-weighted systematic (PPS) sampling ────────────────────
+    // Madow's method: per source, docs laid out in a reproducible
+    // md5-shuffled order, cut at every multiple of total_toks div k —
+    // inclusion probability proportional to size, EXACTLY min(k,
+    // boundaries) picks per stratum, zero variance in sampled token
+    // volume (the properties Bernoulli sampling can't give). The
+    // Spark side runs the two-level 256-band cumsum (no window
+    // partition holds a whole stratum); the oracle is the
+    // definitional single-window form.
+    "sample_systematic" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.systematicSample directly.
+        Corpus.systematicSample(docs(s, dir), col("source"), k = 25)
+          .orderBy(col("stratum"), col("pick_idx")),
+      oracle = Some("""
+        WITH sy_b AS (
+          SELECT doc_id, source AS stratum,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+          FROM documents),
+        sy_t AS (
+          SELECT stratum, CAST(sum(toks) AS BIGINT) AS tot
+          FROM sy_b GROUP BY 1),
+        sy_c AS (
+          SELECT b.doc_id, b.stratum, b.toks,
+                 CAST(sum(b.toks) OVER (PARTITION BY b.stratum
+                   ORDER BY b.h, b.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_toks,
+                 greatest(t.tot // 25, 1) AS step
+          FROM sy_b b JOIN sy_t t USING (stratum))
+        SELECT doc_id, stratum, toks, cum_toks,
+               CAST((cum_toks - toks) // step + 1 AS BIGINT) AS pick_idx,
+               CAST(least(cum_toks // step, 25)
+                    - (cum_toks - toks) // step AS BIGINT) AS n_hits
+        FROM sy_c
+        WHERE least(cum_toks // step, 25) - (cum_toks - toks) // step > 0
+          AND (cum_toks - toks) // step < 25
+        ORDER BY stratum, pick_idx"""),
+      desc = "systematic PPS sampling: token-proportional picks, exact count per stratum"),
+
     // ── quality-ranked token-budget selection ───────────────────────
     // The "fill the mix" step between scoring and packing: per
     // source, rank by stopword-ppm quality and take the prefix whose

@@ -1166,6 +1166,69 @@ object VectorQueries {
     // codebook with 3 deterministic k-means rounds (k-smallest-id
     // init, integer-scale centroids, explicit tie order — the oracle
     // replays the exact fit) and searches the query's own cell.
+    // ── IVF index health: cell-balance audit ────────────────────────
+    // The ops check before an index ships: per-cell occupancy of the
+    // SHARED k-means assignment (one skewed cell = one hot shard at
+    // serving time) and the FAISS-style imbalance factor
+    // k·Σ(nᵢ/N)² — 1.0 (=1000 per-mille) is perfectly balanced,
+    // k means one cell owns everything. Computed from the already-
+    // floored ppm shares (k·Σshare² div 1e9), so no N² term ever
+    // forms: exact BIGINT at any corpus size (N²-based forms
+    // overflow at ~3e9 vectors). Rides the same materializeShared
+    // assignment frame as ivf_kmeans/_mp/sample_cluster — the audit
+    // is a k-row aggregate on top, not a second fit.
+    "ann_cell_balance" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val asg = Vectors.kmeansAssign(
+          emb(s, dir).withColumn("id", $"vec_id"),
+          kCells = 8, iters = 3, nprobe = 1)
+        val n = asg.filter($"rn" === 1)
+          .groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
+        val tot = n.agg(sum($"n_vecs").as("n_total"))
+        val sh = n.crossJoin(broadcast(tot))
+          .withColumn("share_ppm", expr("n_vecs * 1000000L div n_total"))
+        val g = sh.agg(
+          sum($"share_ppm" * $"share_ppm").as("_ss"),
+          max($"share_ppm").as("_mx"))
+        sh.crossJoin(broadcast(g))
+          .withColumn("imbalance_pm", expr("8L * _ss div 1000000000L"))
+          .withColumn("largest_ppm", $"_mx")
+          .select($"cluster", $"n_vecs", $"share_ppm",
+            $"imbalance_pm", $"largest_ppm")
+          .orderBy($"cluster")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        cb_a AS (
+          SELECT vec_id, cluster_id AS cluster FROM (
+            SELECT b.vec_id, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        cb_n AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+          FROM cb_a GROUP BY 1),
+        cb_t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM cb_n),
+        cb_s AS (
+          SELECT n.cluster, n.n_vecs,
+                 n.n_vecs * 1000000 // t.n_total AS share_ppm
+          FROM cb_n n CROSS JOIN cb_t t),
+        cb_g AS (
+          SELECT CAST(sum(share_ppm * share_ppm) AS BIGINT) AS ss,
+                 CAST(max(share_ppm) AS BIGINT) AS mx
+          FROM cb_s)
+        SELECT s.cluster, s.n_vecs, s.share_ppm,
+               8 * g.ss // 1000000000 AS imbalance_pm,
+               g.mx AS largest_ppm
+        FROM cb_s s CROSS JOIN cb_g g
+        ORDER BY s.cluster"""),
+      desc = "IVF cell-balance audit: occupancy shares + FAISS imbalance factor"),
+
     "ivf_kmeans" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -441,6 +441,40 @@ class CorpusSpec extends SparkSuite {
     assert(re.sortBy(_._1).toSeq === asg.sortBy(_._1).toSeq)
   }
 
+  test("systematicSample delivers exact PPS picks, certainty for big docs") {
+    // one stratum, known token weights: doc i has i tokens, i = 1..16
+    // (total 136); k = 4 -> step = 34, cuts at 34/68/102/136
+    val corpus = (1L to 16L)
+      .map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "src")
+    val got = Corpus.systematicSample(corpus, col("src"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    // exact count: sum of multiplicities = k whenever k*step <= total
+    assert(got.map(_._3).sum === 4L, s"got ${got.toSeq}")
+    // pick indexes are the cut labels 1..k, disjoint across docs
+    assert(got.flatMap(x => x._2 until (x._2 + x._3)).sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // certainty inclusion: any doc spanning a whole step MUST be hit
+    // (none here is >= 34 tokens, so instead verify via a heavy doc)
+    val heavy = corpus.unionByName(
+      Seq((99L, Seq.fill(500)("w").mkString(" "), "s"))
+        .toDF("doc_id", "text", "src"))
+    val hv = Corpus.systematicSample(heavy, col("src"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(hv.contains(99L) && hv(99L) >= 2L,
+      s"500-token doc must absorb multiple of the 159-token steps: $hv")
+    // deterministic under any input partitioning
+    val a = Corpus.systematicSample(corpus.repartition(7), col("src"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(a === got.map(x => (x._1, x._2)).toSet)
+    // degenerate stratum smaller than k: every doc picked at step 1
+    val tiny = Seq((1L, "a b", "t"), (2L, "c", "t"))
+      .toDF("doc_id", "text", "src")
+    val tv = Corpus.systematicSample(tiny, col("src"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(5)))
+    assert(tv.map(_._2).sum === 3L, s"step=1 keeps every token cut: $tv")
+  }
+
   test("ingestGate assigns every admission status, first-failing order") {
     val passage = "hidden benchmark answer string leaks here today"
     val corpus = Seq(

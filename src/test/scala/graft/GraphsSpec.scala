@@ -102,6 +102,37 @@ class GraphsSpec extends SparkSuite {
     purgeMatTables("pr_"); purgeMatTables("lpa_")
   }
 
+  test("linkPredict closes the square and a hub stays capped out") {
+    // square a-b-c-d-a: the two diagonals are the only predictions,
+    // each with both off-diagonal nodes as common neighbors —
+    // jaccard = 2/(2+2-2) = 1e6 exactly
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = Graphs.linkPredict(sq, maxDegree = 64L, minCommon = 2L,
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5)))
+    assert(got.toSet === Set((1L, 3L, 2L, 1000000L),
+      (2L, 4L, 2L, 1000000L)), s"got ${got.toSeq}")
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("lp_")
+    // star: center 100 with 5 leaves. With the center capped out
+    // (maxDegree = 4 < 5) no wedge survives — a celebrity node
+    // testifies for no candidate pair; leaves (deg 1) center no wedge
+    val star = (1L to 5L).map(i => (i, 100L)).toDF("a", "b")
+    val capped = Graphs.linkPredict(star, maxDegree = 4L,
+      minCommon = 1L, topK = 10).count()
+    assert(capped === 0L)
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("lp_")
+    // same star uncapped: all C(5,2) leaf pairs predicted with 1
+    // common neighbor; jaccard = 1/(1+1-1) = 1e6
+    val open = Graphs.linkPredict(star, maxDegree = 64L,
+      minCommon = 1L, topK = 100).collect()
+    assert(open.length === 10 && open.forall(_.getLong(5) === 1000000L))
+    graft.Engine.dropAllMaterialized(spark)
+    purgeMatTables("lp_")
+  }
+
   test("ranks are identical under different input partitioning") {
     val e = (1L to 40L).flatMap { i =>
       val j = i % 20 + 1
