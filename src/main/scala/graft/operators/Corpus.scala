@@ -1422,6 +1422,57 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("rrf"))
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia
+    * 2020 — MaxSim): `score(q, d) = Σ_{t∈q} max_{τ∈d} ⟨v(t), v(τ)⟩`
+    * — every query term picks its best-matching document token, so a
+    * document scores on per-term evidence instead of one pooled
+    * vector (the structural difference from [[bm25Rank]]'s lexical
+    * tf·idf and from doc-vector cosine).
+    *
+    * Token vectors are deterministic `dims`-dim HASH embeddings
+    * (`md5_prefix_long(tok:d) % 2001 − 1000` per coordinate — the
+    * multimodal decode-stub convention: the encoder is a stand-in a
+    * real deployment swaps for a learned one, while the Spark-side
+    * plumbing — exploded doc-token frame, vocab-level vector
+    * derivation, per-(doc, term) max, per-doc sum, top-k — IS the
+    * late-interaction operator shape). Integer vectors, [[
+    * graft.functions.LongArrayDot]] codegen dot, exact BIGINT
+    * scores.
+    *
+    * Scale shape: vectors derive once per DISTINCT token (vocab-
+    * sized, not corpus-sized); the scoring frame is doc-token rows ×
+    * |terms| — scan-linear per term with two map-side-combinable
+    * aggregations and a TakeOrderedAndProject; no pairwise blowup.
+    * A production ColBERT composes this as the RERANK stage over an
+    * ANN/BM25 shortlist — pass `docs` already filtered to the
+    * shortlist for that shape. */
+  def maxsimSearch(docs: DataFrame, terms: Seq[String],
+                   topK: Int = 20, dims: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.Md5PrefixLong.register(s)
+    graft.functions.LongArrayDot.register(s)
+    def vec(c: String): String =
+      s"transform(sequence(0, ${dims - 1}), d -> " +
+        s"md5_prefix_long(concat($c, ':', CAST(d AS STRING)), 8) " +
+        "% 2001 - 1000)"
+    val dtok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val vocab = dtok.select(col("tok")).distinct()
+      .withColumn("tv", expr(vec("tok")))
+    import s.implicits._
+    val q = terms.toDF("term").withColumn("qv", expr(vec("term")))
+    dtok.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(q)) // |terms|-row broadcast fan-out
+      .withColumn("dot", expr("long_dot(tv, qv)"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dot")).as("term_max"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_max")).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Retrieval ranking eval over [[bm25Rank]]: per-cutoff metric
     * curve (hits@k, precision/recall ppm, reciprocal rank, DCG/IDCG,
     * ndcg ppm) against DEFINITIONAL conjunctive relevance — a doc is

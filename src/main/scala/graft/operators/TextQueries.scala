@@ -1787,6 +1787,49 @@ object TextQueries {
     // rounds unrolled (the ivf_kmeans oracle pattern — the CTE chain
     // is GENERATED, one pf_w{i} per round). Integer sums are
     // partitioning-independent, so Spark and DuckDB agree bit-for-bit
+    // ── late-interaction retrieval (ColBERT MaxSim) ─────────────────
+    // Corpus.maxsimSearch: every query term picks its best-matching
+    // doc token, score = sum of per-term maxima — the structural
+    // third retrieval member beside lexical BM25 and pooled-vector
+    // cosine. Token vectors are deterministic 8-dim hash embeddings
+    // (the decode-stub convention; the late-interaction join/agg
+    // plumbing is the real operator), dots through the long_dot
+    // codegen expression, exact BIGINT scores. Vocab-level vector
+    // derivation + scan-linear scoring; top-20.
+    "search_maxsim" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.maxsimSearch directly.
+        Corpus.maxsimSearch(docs(s, dir),
+          Seq("hash", "merge", "vector"), topK = 20),
+      oracle = Some("""
+        WITH ms_tok AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        ms_tv AS (
+          SELECT tok, list_transform(range(0, 8), d ->
+            ('0x' || substr(md5(tok || ':' || CAST(d AS VARCHAR)), 1, 8))
+              ::BIGINT % 2001 - 1000) AS tv
+          FROM (SELECT DISTINCT tok FROM ms_tok)),
+        ms_qv AS (
+          SELECT term, list_transform(range(0, 8), d ->
+            ('0x' || substr(md5(term || ':' || CAST(d AS VARCHAR)), 1, 8))
+              ::BIGINT % 2001 - 1000) AS qv
+          FROM (SELECT unnest(['hash', 'merge', 'vector']) AS term)),
+        ms_max AS (
+          SELECT t.doc_id, q.term,
+                 max(CAST(list_sum(list_transform(range(0, 8),
+                   i -> v.tv[i + 1] * q.qv[i + 1])) AS BIGINT))
+                   AS term_max
+          FROM ms_tok t
+          JOIN ms_tv v USING (tok)
+          CROSS JOIN ms_qv q
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(term_max) AS BIGINT) AS maxsim
+        FROM ms_max GROUP BY doc_id
+        ORDER BY maxsim DESC, doc_id LIMIT 20"""),
+      desc = "late-interaction MaxSim retrieval: per-term best-token evidence, exact integer"),
+
     // on every round's weights. 8 rounds: accuracy 450/500 on sf0.01
     // vs the 415/500 majority-class baseline (rounds 1-4 still ride
     // the all-positive init; the boundary forms at rounds 5-6).

@@ -441,6 +441,33 @@ class CorpusSpec extends SparkSuite {
     assert(re.sortBy(_._1).toSeq === asg.sortBy(_._1).toSeq)
   }
 
+  test("maxsimSearch: exact-term evidence wins and is monotone in tokens") {
+    val tiny = Seq(
+      (1L, "hash merge vector"),
+      (2L, "apple banana pear"),
+      (3L, "apple banana pear hash merge vector"))
+      .toDF("doc_id", "text")
+    val r = Corpus.maxsimSearch(tiny, Seq("hash", "merge", "vector"),
+        topK = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // each term's max over doc 1 is at least its self-dot; doc 3 is a
+    // token superset of doc 1, so adding tokens can only raise a max
+    assert(r(3) >= r(1), s"superset must not lose evidence: $r")
+    // the exact-match doc beats the unrelated one (self-dot ≈ 2.7M
+    // per term vs near-orthogonal hash vectors)
+    assert(r(1) > r(2), s"exact term match must dominate: $r")
+    // self-dot lower bound, computed with the same hash embedding
+    val selfDot = spark.sql(
+      """SELECT aggregate(transform(sequence(0, 7), d ->
+        |  md5_prefix_long(concat(t.term, ':', CAST(d AS STRING)), 8)
+        |    % 2001 - 1000), 0L, (a, x) -> a + x * x) AS sd
+        |FROM VALUES ('hash'), ('merge'), ('vector') AS t(term)
+        |""".stripMargin)
+      .collect().map(_.getLong(0)).sum
+    assert(r(1) === selfDot,
+      s"doc of exactly the query terms scores the self-dot sum: $r vs $selfDot")
+  }
+
   test("systematicSample delivers exact PPS picks, certainty for big docs") {
     // one stratum, known token weights: doc i has i tokens, i = 1..16
     // (total 136); k = 4 -> step = 34, cuts at 34/68/102/136
