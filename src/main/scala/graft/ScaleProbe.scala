@@ -748,7 +748,27 @@ object ScaleProbe {
           minChars = 100L, minTokens = 18L, maxRepetition = 0.125,
           contaminationN = 5, contaminationMinShared = 3L,
           stopwords = Seq("the", "a", "of", "and", "to"))._5
-      })
+      },
+      "systematic" -> (k => Corpus.systematicSample(docFrac(k),
+        col("source"), k = 25)),
+      "linkpred" -> { k =>
+        // wedge generation scaled by suppliers: the degree cap bounds
+        // per-center fan-out at cap², so growth must track EDGES, not
+        // pairs-of-neighbors
+        val li = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_suppkey") % k === 0)
+        val ls = li.select(col("l_orderkey").as("o"),
+          col("l_suppkey").as("sk")).distinct()
+        val pairs = ls.select(col("o"), col("sk").as("a"))
+          .join(ls.select(col("o"), col("sk").as("b")), Seq("o"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5).select(col("a"), col("b"))
+        graft.operators.Graphs.linkPredict(pairs, maxDegree = 64L,
+          minCommon = 2L, topK = 100)
+      },
+      "maxsim" -> (k => Corpus.maxsimSearch(docFrac(k),
+        Seq("hash", "merge", "vector"), topK = 20)))
 
     // warmup: absorb session/codegen/footer costs outside the timings
     docs.count(); emb.count()
