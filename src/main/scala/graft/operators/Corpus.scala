@@ -239,6 +239,52 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("err_ppm"))
   }
 
+  /** LSH S-curve tuning eval — the OTHER half of the sketch-quality
+    * story beside [[minhashEstimate]]: that one asks "how accurate is
+    * the estimator on pairs the index surfaced", this one asks "what
+    * fraction of pairs at Jaccard j does the index surface AT ALL"
+    * (the recall axis a band/row configuration is chosen on). Over a
+    * BOUNDED eval slice (all-pairs — the knn_brute baseline posture,
+    * never run corpus-wide), every pair gets its exact token Jaccard,
+    * its EMPIRICAL band collision (∃ band: both hashes equal, the
+    * [[minhashPairs]] candidate rule without the flood cap — this
+    * measures the hash family, not the guard), and the CLOSED-FORM
+    * S-curve `1 − (1 − j²)⁴` for 4 bands × 2 rows, evaluated in
+    * exact integer ppm (j² div 1e6, squared-halving — no pow, no
+    * float). Rows are Jaccard deciles: pair count, collide count,
+    * empirical ppm, mean theoretical ppm. A pipeline reads the two
+    * curves side by side before trusting the filter at its τ. */
+  def lshCurve(docs: DataFrame, slice: Column): DataFrame = {
+    val sigToks = minhashSigToks(docs.filter(slice))
+    val sa = sigToks.select(col("doc_id").as("doc_a") +:
+      col("toks").as("toks_a") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sigToks.select(col("doc_id").as("doc_b") +:
+      col("toks").as("toks_b") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+    sa.join(sb, col("doc_a") < col("doc_b"))
+      .withColumn("collide", (0 until 4).map(b =>
+        col(s"a${2 * b}") === col(s"b${2 * b}") &&
+          col(s"a${2 * b + 1}") === col(s"b${2 * b + 1}"))
+        .reduce(_ || _))
+      .withColumn("j_ppm", expr(
+        "CAST(size(array_intersect(toks_a, toks_b)) AS BIGINT) * 1000000L" +
+          " div CAST(size(array_distinct(concat(toks_a, toks_b))) AS BIGINT)"))
+      .withColumn("_m", lit(1000000L) - expr("j_ppm * j_ppm div 1000000L"))
+      .withColumn("_m2", expr("_m * _m div 1000000L"))
+      .withColumn("theory_ppm", lit(1000000L) - expr("_m2 * _m2 div 1000000L"))
+      .withColumn("bucket", expr("least(j_ppm div 100000L, 9L)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("collide"), 1L).otherwise(0L)).as("n_collide"),
+        sum(col("theory_ppm")).as("_th"))
+      .withColumn("empirical_ppm", expr("n_collide * 1000000L div n_pairs"))
+      .withColumn("theory_ppm", expr("_th div n_pairs"))
+      .select(col("bucket"), col("n_pairs"), col("n_collide"),
+        col("empirical_ppm"), col("theory_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact-Jaccard verification of deduped candidate pairs against the
     * signature frame's token sets. */
   private def minhashVerify(cand: DataFrame, sigToks: DataFrame,

@@ -984,6 +984,115 @@ object ExtendedQueries {
         ORDER BY jaccard_ppm DESC, w.a, w.b LIMIT 100"""),
       desc = "link prediction: common-neighbor Jaccard over non-adjacent pairs"),
 
+    // ── link-prediction eval: held-out edge recovery ────────────────
+    // The eval member for graph_linkpred (the ann_recall pattern
+    // applied to graphs): hold out a deterministic 20% of edges
+    // (md5 of the pair), predict from the REMAINING graph, and
+    // report hits / precision / recall per cutoff against the
+    // held-out set. One conditional aggregate over the ≤100-row
+    // ranked prediction frame serves every cutoff (no per-k rescan);
+    // ratios exact floor-div ppm, NULLIF-guarded.
+    "graph_linkpred_eval" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val flagged = coSupplierPairs(s, dir).withColumn("_ho", expr(
+          "CAST(conv(substring(md5(concat(CAST(a AS STRING), ':', " +
+            "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 5 = 0"))
+        val hold = flagged.filter($"_ho").select($"a", $"b")
+        val pred = Graphs.linkPredict(
+            flagged.filter(!$"_ho").select($"a", $"b"),
+            maxDegree = 64L, minCommon = 2L, topK = 100)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"jaccard_ppm".desc, $"a", $"b")))
+        val hit = pred
+          .join(hold.withColumn("_h", lit(1L)), Seq("a", "b"), "left")
+          .withColumn("_h", coalesce($"_h", lit(0L)))
+        val cuts = Seq(10, 25, 50, 100)
+        val aggs = cuts.map(k =>
+          sum(when($"rank" <= k, $"_h").otherwise(0L)).as(s"h$k")) ++
+          cuts.map(k =>
+            sum(when($"rank" <= k, 1L).otherwise(0L)).as(s"n$k"))
+        hit.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("stack(4, 10L, h10, n10, 25L, h25, n25, " +
+            "50L, h50, n50, 100L, h100, n100) AS (k, hits, n_pred)")
+          .withColumn("hits", coalesce($"hits", lit(0L)))
+          .withColumn("n_pred", coalesce($"n_pred", lit(0L)))
+          .crossJoin(broadcast(
+            hold.agg(count(lit(1)).as("n_holdout"))))
+          .withColumn("precision_ppm",
+            expr("hits * 1000000L div nullif(n_pred, 0)"))
+          .withColumn("recall_ppm",
+            expr("hits * 1000000L div nullif(n_holdout, 0)"))
+          .select($"k", $"n_pred", $"hits", $"n_holdout",
+            $"precision_ppm", $"recall_ppm")
+          .orderBy($"k")
+      },
+      oracle = Some("""
+        WITH ls AS (
+          SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        le_all AS (
+          SELECT a.sk AS a, b.sk AS b
+          FROM ls a JOIN ls b ON a.o = b.o AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        le_f AS (
+          SELECT a, b,
+                 ('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
+                   CAST(b AS VARCHAR)), 1, 8))::BIGINT % 5 = 0 AS ho
+          FROM le_all),
+        le_hold AS (SELECT a, b FROM le_f WHERE ho),
+        le_tr AS (SELECT a, b FROM le_f WHERE NOT ho),
+        le_adj AS (
+          SELECT a AS node, b AS nb FROM le_tr
+          UNION ALL SELECT b, a FROM le_tr),
+        le_deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM le_adj GROUP BY 1),
+        le_ac AS (
+          SELECT j.node, j.nb
+          FROM le_adj j JOIN le_deg d ON d.node = j.node
+          WHERE d.deg <= 64),
+        le_wed AS (
+          SELECT x.nb AS a, y.nb AS b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM le_ac x JOIN le_ac y
+            ON x.node = y.node AND x.nb < y.nb
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        le_pred AS (
+          SELECT w.a, w.b,
+                 w.n_common * 1000000
+                   // (da.deg + db.deg - w.n_common) AS jaccard_ppm
+          FROM le_wed w
+          LEFT JOIN le_tr p ON p.a = w.a AND p.b = w.b
+          JOIN le_deg da ON da.node = w.a
+          JOIN le_deg db ON db.node = w.b
+          WHERE p.a IS NULL
+          ORDER BY jaccard_ppm DESC, w.a, w.b LIMIT 100),
+        le_rk AS (
+          SELECT *, row_number() OVER
+            (ORDER BY jaccard_ppm DESC, a, b) AS rank
+          FROM le_pred),
+        le_hit AS (
+          SELECT r.rank,
+                 CASE WHEN h.a IS NOT NULL THEN 1 ELSE 0 END AS hh
+          FROM le_rk r
+          LEFT JOIN le_hold h ON h.a = r.a AND h.b = r.b),
+        le_n AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_holdout FROM le_hold),
+        le_k AS (SELECT unnest([10, 25, 50, 100]) AS k),
+        le_m AS (
+          SELECT k.k,
+                 CAST(coalesce(sum(CASE WHEN t.rank <= k.k
+                   THEN 1 END), 0) AS BIGINT) AS n_pred,
+                 CAST(coalesce(sum(CASE WHEN t.rank <= k.k
+                   THEN t.hh END), 0) AS BIGINT) AS hits
+          FROM le_k k LEFT JOIN le_hit t ON t.rank <= k.k
+          GROUP BY 1)
+        SELECT CAST(m.k AS BIGINT) AS k, m.n_pred, m.hits, n.n_holdout,
+               m.hits * 1000000 // NULLIF(m.n_pred, 0) AS precision_ppm,
+               m.hits * 1000000 // NULLIF(n.n_holdout, 0) AS recall_ppm
+        FROM le_m m CROSS JOIN le_n n ORDER BY k"""),
+      desc = "link-prediction eval: held-out edge recovery per cutoff"),
+
     // ── W4c: value-picking window family (IGNORE NULLS forms) ───────
     // first/last/nth with explicit frames, plus the IGNORE NULLS
     // last_value — "most recent click amount so far" — the BigQuery

@@ -2358,6 +2358,49 @@ object TextQueries {
         FROM mh_est ORDER BY doc_a, doc_b"""),
       desc = "MinHash estimate vs exact Jaccard per candidate pair + error"),
 
+    // ── LSH S-curve eval (recall axis of the sketch family) ─────────
+    // Corpus.lshCurve: all-pairs over a bounded slice (doc_id < 100 —
+    // the knn_brute baseline posture), empirical ∃-band collision vs
+    // the closed-form 1−(1−j²)⁴ in exact integer ppm, per Jaccard
+    // decile. dedup_minhash_est measures estimator PRECISION on
+    // surfaced pairs; this measures what the index SURFACES at each
+    // similarity — the curve bands/rows are chosen on.
+    "dedup_lsh_curve" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.lshCurve directly.
+        Corpus.lshCurve(docs(s, dir), slice = col("doc_id") < 100L),
+      oracle = Some(s"""
+        WITH ${minhashPairsCtes(
+          "(SELECT * FROM documents WHERE doc_id < 100)")},
+        lc_p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 (${(0 until 4).map(b =>
+                   s"(a.mh${2 * b} = b.mh${2 * b} AND " +
+                     s"a.mh${2 * b + 1} = b.mh${2 * b + 1})")
+                   .mkString(" OR ")}) AS collide,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                   * 1000000
+                   // CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                         AS BIGINT) AS j_ppm
+          FROM mh_mh a JOIN mh_mh b ON a.doc_id < b.doc_id),
+        lc_t AS (
+          SELECT collide, j_ppm,
+                 least(j_ppm // 100000, 9) AS bucket,
+                 1000000 - (m2 * m2 // 1000000) AS theory_ppm
+          FROM (SELECT *, (m * m // 1000000) AS m2 FROM (
+                  SELECT *, 1000000 - (j_ppm * j_ppm // 1000000) AS m
+                  FROM lc_p)))
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN collide THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_collide,
+               CAST(sum(CASE WHEN collide THEN 1 ELSE 0 END) * 1000000
+                 // count(*) AS BIGINT) AS empirical_ppm,
+               CAST(sum(theory_ppm) // count(*) AS BIGINT) AS theory_ppm
+        FROM lc_t GROUP BY 1 ORDER BY bucket"""),
+      desc = "LSH S-curve: empirical band collision vs closed-form per Jaccard decile"),
+
     // ── incremental near-dup detection (daily-ingest shape) ─────────
     // Docs with id ≥ 400 play the "new batch"; pairs are generated
     // only for buckets a new doc touches — the historical×historical

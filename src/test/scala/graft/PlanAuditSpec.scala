@@ -19,7 +19,10 @@ class PlanAuditSpec extends SparkSuite {
     // knn_brute / knn_mips (10-query brute-force baselines) plan
     // non-equi joins; everything else must stay bucketed/equi-keyed
     // at any scale.
-    val allowed = Set("dedup_embedding", "knn_brute", "knn_mips")
+    // dedup_lsh_curve: all-pairs S-curve eval over a bounded ≤100-doc
+    // slice (the same documented-baseline class as knn_brute)
+    val allowed = Set("dedup_embedding", "knn_brute", "knn_mips",
+      "dedup_lsh_curve")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
@@ -53,7 +56,8 @@ class PlanAuditSpec extends SparkSuite {
       "o_skyline" -> "rank over the bounded pre-filtered skyline frontier",
       "sample_temperature" -> "prefix over the strata-count plan frame",
       "sample_curriculum" ->
-        "cumsum over the bounded distinct-difficulty histogram frame")
+        "cumsum over the bounded distinct-difficulty histogram frame",
+      "graph_linkpred_eval" -> "rank over the LIMIT-100 prediction frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains)
       .flatMap { name =>
