@@ -328,11 +328,18 @@ object SqlSurface {
     *    body is the same expression shapes as [[graft.operators
     *    .Corpus.bm25Rank]] (k1 = 1.2, b = 0.75 in milli units), so
     *    plans and pushdown match the Scala path.
+    *  - `corpus_maxsim(terms, top_k)` — late-interaction MaxSim
+    *    retrieval at any query-term array and cutoff; same hash
+    *    embeddings and `long_dot` codegen scoring as
+    *    [[graft.operators.Corpus.maxsimSearch]].
     *
-    * SqlSurfaceSpec pins both ≡ the Scala calls at NON-default
+    * SqlSurfaceSpec pins each ≡ the Scala calls at NON-default
     * parameters. */
   def registerCorpusFunctions(spark: SparkSession, dir: String): Unit = {
     Sources.registerAll(spark, dir)
+    // the maxsim body calls the native expressions from SQL
+    graft.functions.Md5PrefixLong.register(spark)
+    graft.functions.LongArrayDot.register(spark)
     graft.operators.Corpus
       .minhashPairs(spark.table("documents"), minJaccard = 0.0)
       .createOrReplaceTempView("minhash_scored")
@@ -382,6 +389,35 @@ object SqlSurface {
         FROM agg)
       SELECT doc_id, rank, score, n_terms
       FROM ranked WHERE rank <= top_k
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION corpus_maxsim(
+          terms ARRAY<STRING>, top_k INT)
+      RETURNS TABLE
+      RETURN
+      WITH dtok AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, explode(split(text, ' ')) AS tok
+          FROM documents)),
+      tv AS (
+        SELECT tok, transform(sequence(0, 7), d ->
+          md5_prefix_long(concat(tok, ':', CAST(d AS STRING)), 8)
+            % 2001 - 1000) AS tv
+        FROM (SELECT DISTINCT tok FROM dtok)),
+      qv AS (
+        SELECT term, transform(sequence(0, 7), d ->
+          md5_prefix_long(concat(term, ':', CAST(d AS STRING)), 8)
+            % 2001 - 1000) AS qv
+        FROM (SELECT explode(terms) AS term)),
+      mx AS (
+        SELECT t.doc_id, q.term, max(long_dot(v.tv, q.qv)) AS term_max
+        FROM dtok t JOIN tv v ON v.tok = t.tok CROSS JOIN qv q
+        GROUP BY t.doc_id, q.term),
+      sc AS (SELECT doc_id, sum(term_max) AS maxsim FROM mx
+             GROUP BY doc_id),
+      rk AS (SELECT doc_id, maxsim, row_number() OVER
+               (ORDER BY maxsim DESC, doc_id) AS rank FROM sc)
+      SELECT doc_id, maxsim FROM rk WHERE rank <= top_k
     """)
   }
 }

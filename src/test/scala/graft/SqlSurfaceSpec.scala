@@ -183,6 +183,16 @@ class SqlSurfaceSpec extends SparkSuite {
       .select(col("doc_id"), col("rank"), col("score"), col("n_terms"))
       .orderBy(col("rank")).collect().map(_.toSeq)
     assert(sqlTop.length === 4 && sqlTop.toSeq === scalaTop.toSeq)
+    // MaxSim at NON-default terms + cutoff (Scala default topK is 20)
+    val msTerms = Seq("delay", "route")
+    val sqlMs = spark.sql(
+      s"SELECT doc_id, maxsim FROM corpus_maxsim(" +
+        s"array(${msTerms.map("'" + _ + "'").mkString(",")}), 5)")
+      .collect().map(_.toSeq)
+    val scalaMs = graft.operators.Corpus
+      .maxsimSearch(docs, msTerms, topK = 5)
+      .collect().map(_.toSeq)
+    assert(sqlMs.length === 5 && sqlMs.toSeq === scalaMs.toSeq)
   }
 
   test("every declared mta source is itself queryable from SQL") {
