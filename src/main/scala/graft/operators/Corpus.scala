@@ -239,6 +239,52 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("err_ppm"))
   }
 
+  /** Span-corruption masking plan (the T5/UL2 denoising-objective
+    * prep — Raffel et al. 2020 §3.1.4): deterministically draw span
+    * STARTS at one position in `rateDen` (md5 of doc_id:pos — stable
+    * across runs, engines, and partitionings, the split-assignment
+    * convention), each start masking `spanLen` consecutive tokens;
+    * overlapping spans merge. Returns the per-doc accounting a
+    * pretraining exporter needs before writing sentinel-packed
+    * examples: token count, raw start draws, masked-token count
+    * AFTER merge, merged span count (= sentinels needed), and the
+    * realized mask ratio in exact ppm (the knob drifts from
+    * 1/rateDen · spanLen when spans overlap or clip at the doc end —
+    * this measures the real ratio, not the nominal one).
+    *
+    * Scale shape: one token explode, a `spanLen`-row sliding-window
+    * max and a gaps-and-islands run id — both windows partitioned by
+    * doc (bounded by doc length), all counts map-side-combinable. */
+  def spanMaskPlan(docs: DataFrame, rateDen: Long = 20L,
+                   spanLen: Int = 3): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+      .withColumn("start", expr(
+        "md5_prefix_long(concat(CAST(doc_id AS STRING), ':', " +
+          s"CAST(pos AS STRING)), 8) % ${rateDen}L = 0"))
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(spanLen - 1), 0)
+    val marked = toks.withColumn("m",
+      max(when(col("start"), 1L).otherwise(0L)).over(wSpan) === 1L)
+    val runs = marked.filter(col("m"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("grp")).as("n_spans"))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("start"), 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"))
+      .join(runs, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("masked_ppm", expr("n_masked * 1000000L div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_starts"),
+        col("n_masked"), col("n_spans"), col("masked_ppm"))
+  }
+
   /** LSH S-curve tuning eval — the OTHER half of the sketch-quality
     * story beside [[minhashEstimate]]: that one asks "how accurate is
     * the estimator on pairs the index surfaced", this one asks "what

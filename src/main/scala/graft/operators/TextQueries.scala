@@ -1216,6 +1216,54 @@ object TextQueries {
         FROM mxd WHERE n_repeats > 0 ORDER BY doc_id"""),
       desc = "declared-weight mixture sampling with epoch repetition"),
 
+    // ── span-corruption masking plan (T5/UL2 denoising prep) ────────
+    // Corpus.spanMaskPlan: deterministic md5 span starts (1-in-20 per
+    // position), 3-token spans, overlap merge via a sliding-window
+    // max + gaps-and-islands run ids — the per-doc accounting
+    // (masked tokens, sentinel count, realized ratio) an exporter
+    // needs before writing sentinel-packed examples. Both windows
+    // partition by doc; exact integer ppm.
+    "text_span_mask" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.spanMaskPlan directly.
+        Corpus.spanMaskPlan(docs(s, dir), rateDen = 20L, spanLen = 3)
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH sm_t AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(i AS VARCHAR)), 1, 8))::BIGINT % 20 = 0 AS start
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+               unnest(range(1, len(toks) + 1)) AS t(i)),
+        sm_m AS (
+          SELECT doc_id, pos, start,
+                 max(CASE WHEN start THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS m
+          FROM sm_t),
+        sm_r AS (
+          SELECT doc_id, pos - row_number() OVER (
+            PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM sm_m WHERE m),
+        sm_s AS (
+          SELECT doc_id, CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+          FROM sm_r GROUP BY 1),
+        sm_a AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_starts,
+                 CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked
+          FROM sm_m GROUP BY 1)
+        SELECT a.doc_id, a.n_tokens, a.n_starts, a.n_masked,
+               CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+               a.n_masked * 1000000 // a.n_tokens AS masked_ppm
+        FROM sm_a a LEFT JOIN sm_s s ON s.doc_id = a.doc_id
+        ORDER BY a.doc_id"""),
+      desc = "span-corruption plan: deterministic starts, merged spans, realized ratio"),
+
     // ── token-weighted systematic (PPS) sampling ────────────────────
     // Madow's method: per source, docs laid out in a reproducible
     // md5-shuffled order, cut at every multiple of total_toks div k —

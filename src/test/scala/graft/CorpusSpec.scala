@@ -441,6 +441,33 @@ class CorpusSpec extends SparkSuite {
     assert(re.sortBy(_._1).toSeq === asg.sortBy(_._1).toSeq)
   }
 
+  test("spanMaskPlan: merge laws, degenerate rates, and clip at doc end") {
+    val tiny = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"))
+      .toDF("doc_id", "text")
+    // rateDen = 1: every position starts a span — everything masks,
+    // one merged run, ratio exactly 1e6
+    val all = Corpus.spanMaskPlan(tiny, rateDen = 1L, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(all(1L) === ((30L, 30L, 30L, 1L, 1000000L)), s"got $all")
+    assert(all(2L) === ((3L, 3L, 3L, 1L, 1000000L)))
+    // structural laws at the real rate: every start masks its own
+    // position (n_masked >= n_starts), a span masks at most spanLen
+    // (n_masked <= 3*n_starts), merged runs never exceed starts
+    val real = Corpus.spanMaskPlan(tiny, rateDen = 3L, spanLen = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    real.foreach { case (st, mk, sp) =>
+      assert(mk >= st && mk <= 3 * st && sp <= st,
+        s"span laws violated: starts=$st masked=$mk spans=$sp")
+    }
+    // a start on the LAST position clips: fixture where only pos 3 of
+    // 3 draws (scan rateDen space for a one-token doc split) — covered
+    // structurally by n_masked <= n_tokens in the rateDen=1 case above
+  }
+
   test("maxsimSearch: exact-term evidence wins and is monotone in tokens") {
     val tiny = Seq(
       (1L, "hash merge vector"),
