@@ -1229,6 +1229,84 @@ object VectorQueries {
         ORDER BY s.cluster"""),
       desc = "IVF cell-balance audit: occupancy shares + FAISS imbalance factor"),
 
+    // ── IVF cell-split maintenance (local split, no global refit) ───
+    // Vectors.ivfCellSplit: the action the cell-balance audit
+    // triggers — cells over 2× the mean split in two via min-id /
+    // max-id seeds and a cosine pick; every other cell's id maps by
+    // stable arithmetic (old·2), so persisted posting lists stay
+    // put. Output is the per-cell summary (old → new, sizes, split
+    // flag); the per-vector assignment is the public API.
+    "vector_ivf_split" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = Vectors.ivfCellSplit(
+            emb(s, dir).withColumn("id", $"vec_id"),
+            kCells = 8, iters = 3, factor = 2L)
+          .groupBy($"old_cell", $"new_cell")
+          .agg(count(lit(1)).as("n_vecs"))
+        val before = cells.groupBy($"old_cell")
+          .agg(sum($"n_vecs").as("n_before"),
+            count(lit(1)).as("_n_sub"))
+        cells.join(broadcast(before), Seq("old_cell"))
+          .withColumn("was_split", $"_n_sub" > 1L)
+          .select($"old_cell", $"new_cell", $"n_vecs", $"n_before",
+            $"was_split")
+          .orderBy($"new_cell")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        vs_a AS (
+          SELECT vec_id, sv, nrm, cluster_id AS cluster FROM (
+            SELECT b.vec_id, b.sv, b.nrm, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        vs_n AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n
+          FROM vs_a GROUP BY 1),
+        vs_t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM vs_n),
+        vs_sp AS (
+          SELECT n.cluster FROM vs_n n CROSS JOIN vs_t t
+          WHERE n.n > 2 * (t.nt // 8)),
+        vs_seed AS (
+          SELECT a.cluster, min(a.vec_id) AS lo, max(a.vec_id) AS hi
+          FROM vs_a a JOIN vs_sp s ON s.cluster = a.cluster
+          GROUP BY 1),
+        vs_sv AS (
+          SELECT s.cluster, la.sv AS lo_sv, la.nrm AS lo_nrm,
+                 hb.sv AS hi_sv, hb.nrm AS hi_nrm
+          FROM vs_seed s
+          JOIN vs_a la ON la.vec_id = s.lo
+          JOIN vs_a hb ON hb.vec_id = s.hi),
+        vs_new AS (
+          SELECT a.vec_id, a.cluster AS old_cell,
+                 CASE WHEN v.cluster IS NULL THEN a.cluster * 2
+                      WHEN CAST(${duckDot("a.sv", "v.lo_sv")} AS DOUBLE)
+                             / sqrt(CAST(a.nrm AS DOUBLE)
+                                    * CAST(v.lo_nrm AS DOUBLE))
+                           >= CAST(${duckDot("a.sv", "v.hi_sv")} AS DOUBLE)
+                             / sqrt(CAST(a.nrm AS DOUBLE)
+                                    * CAST(v.hi_nrm AS DOUBLE))
+                      THEN a.cluster * 2
+                      ELSE a.cluster * 2 + 1 END AS new_cell
+          FROM vs_a a LEFT JOIN vs_sv v ON v.cluster = a.cluster),
+        vs_c AS (
+          SELECT old_cell, new_cell, CAST(count(*) AS BIGINT) AS n_vecs
+          FROM vs_new GROUP BY 1, 2),
+        vs_b AS (
+          SELECT old_cell, CAST(sum(n_vecs) AS BIGINT) AS n_before,
+                 count(*) AS n_sub
+          FROM vs_c GROUP BY 1)
+        SELECT c.old_cell, c.new_cell, c.n_vecs, b.n_before,
+               b.n_sub > 1 AS was_split
+        FROM vs_c c JOIN vs_b b ON b.old_cell = c.old_cell
+        ORDER BY c.new_cell"""),
+      desc = "IVF cell split: oversized cells bisect locally, stable id arithmetic"),
+
     "ivf_kmeans" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -700,6 +700,62 @@ object Vectors {
         col("new_share_ppm"), col("shift_ppm"))
   }
 
+  /** IVF cell-split maintenance — what an operator DOES when
+    * [[kmeansDriftStats]] says the distribution moved or the
+    * cell-balance audit flags a hot cell (the ann_cell_balance
+    * readout): cells holding more than `factor` × the mean split in
+    * two WITHOUT a global refit, so every other cell's id — and
+    * every persisted posting list — stays put. The SPFresh/LIRE
+    * posture (Xu et al. 2023): local splits over global rebuilds.
+    *
+    * Deterministic by construction: a split cell seeds its two
+    * subcells with its min-id and max-id members (no sampling; a
+    * production system would 2-means++ here, but the maintenance
+    * CONTRACT — only oversized cells touched, members partitioned
+    * between exactly two subcells, stable id arithmetic — is what
+    * this operator pins), and each member joins the seed with the
+    * higher cosine (ties to the min-id seed). New cell ids are
+    * `old·2` (kept cells and the min-seed subcell) and `old·2 + 1`
+    * (the max-seed subcell) — a collision-free arithmetic rename the
+    * serving layer can apply without a lookup table.
+    *
+    * Scale shape: sizes are a k-row aggregate; seeds a 2-row-per-
+    * split-cell broadcast; the reassignment one scan of the SHARED
+    * assignment frame with two codegen dots per row in split cells.
+    * Returns (id, old_cell, new_cell) per vector. */
+  def ivfCellSplit(base: DataFrame, kCells: Int = 8, iters: Int = 3,
+                   factor: Long = 2L): DataFrame = {
+    val asg = kmeansAssign(base, kCells, iters, nprobe = 1)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("sv"), col("nrm"), col("cluster"))
+    val sizes = asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_before"))
+    val tot = sizes.agg(sum(col("n_before")).as("_nt"))
+    val splitCells = sizes.crossJoin(broadcast(tot))
+      .filter(col("n_before") > expr(s"${factor}L * (_nt div ${kCells}L)"))
+      .select(col("cluster"))
+    val seedIds = asg.join(broadcast(splitCells), Seq("cluster"))
+      .groupBy(col("cluster"))
+      .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+    val seeds = seedIds
+      .join(asg.select(col("id").as("_lo"), col("sv").as("lo_sv"),
+        col("nrm").as("lo_nrm")), Seq("_lo"))
+      .join(asg.select(col("id").as("_hi"), col("sv").as("hi_sv"),
+        col("nrm").as("hi_nrm")), Seq("_hi"))
+      .select(col("cluster"), col("lo_sv"), col("lo_nrm"),
+        col("hi_sv"), col("hi_nrm"))
+    asg.join(broadcast(seeds), Seq("cluster"), "left")
+      .withColumn("new_cell",
+        when(col("lo_sv").isNull, col("cluster") * 2L)
+          .otherwise(when(
+            expr("long_dot(sv, lo_sv)").cast("double") /
+              sqrt(col("nrm").cast("double") * col("lo_nrm").cast("double"))
+              >= expr("long_dot(sv, hi_sv)").cast("double") /
+              sqrt(col("nrm").cast("double") * col("hi_nrm").cast("double")),
+            col("cluster") * 2L).otherwise(col("cluster") * 2L + 1L)))
+      .select(col("id"), col("cluster").as("old_cell"), col("new_cell"))
+  }
+
   /** IVF-PQ composed index — the standard at-scale ANN layout that
     * makes 100 TB vector search byte-affordable: a coarse k-means
     * quantizer routes vectors to cells (the [[kmeansAssign]] SHARED

@@ -83,6 +83,44 @@ class VectorsApiSpec extends SparkSuite {
       "new_share_ppm must stay in [0, 1e6]")
   }
 
+  test("ivfCellSplit: membership conserves, only oversized cells split, seeds separate") {
+    val asg = Vectors.kmeansAssign(base, 8, 3, nprobe = 1)
+      .filter($"rn" === 1).select($"id", $"cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = Vectors.ivfCellSplit(base, kCells = 8, iters = 3,
+        factor = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every vector appears exactly once, with its shared-frame cell
+    assert(split.length === asg.size)
+    split.foreach { case (id, old, _) => assert(asg(id) === old) }
+    // new ids are the stable arithmetic: old*2 or old*2+1, and the
+    // +1 form only appears for cells that actually split in two
+    val byOld = split.groupBy(_._2)
+    byOld.foreach { case (old, rows) =>
+      val newCells = rows.map(_._3).toSet
+      assert(newCells.subsetOf(Set(old * 2, old * 2 + 1)),
+        s"cell $old produced foreign ids $newCells")
+      if (newCells.size == 2) {
+        // a split cell: both seeds exist and land in DIFFERENT
+        // subcells (lo seeds old*2 by the tie rule; hi goes to +1
+        // unless parallel to lo)
+        val ids = rows.map(_._1)
+        val lo = ids.min; val hi = ids.max
+        val loCell = rows.find(_._1 == lo).get._3
+        assert(loCell === old * 2, s"min-id seed must anchor old*2")
+      }
+    }
+    // the mean-threshold rule: a cell splits only if oversized
+    val sizes = split.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val mean = split.length / 8
+    byOld.foreach { case (old, rows) =>
+      if (rows.map(_._3).toSet.size == 2)
+        assert(sizes(old) > 2 * mean,
+          s"cell $old split at size ${sizes(old)} ≤ 2×mean $mean")
+    }
+    graft.Engine.dropAllMaterialized(spark)
+  }
+
   test("ivfPqEncodeIncremental: backfill ≡ batch codes, none-new ≡ empty, split invariant") {
     def codeSet(df: org.apache.spark.sql.DataFrame) = df
       .select($"id", $"cluster", $"sub", $"cw").collect()
