@@ -768,7 +768,16 @@ object ScaleProbe {
           minCommon = 2L, topK = 100)
       },
       "maxsim" -> (k => Corpus.maxsimSearch(docFrac(k),
-        Seq("hash", "merge", "vector"), topK = 20)))
+        Seq("hash", "merge", "vector"), topK = 20)),
+      "span_mask" -> (k => Corpus.spanMaskPlan(docFrac(k),
+        rateDen = 20L, spanLen = 3)),
+      "ivf_split" -> { k =>
+        // sizes agg + broadcast seeds + one scan of the shared
+        // assignment frame — must track the kmeans assignment's own
+        // linear shape
+        Vectors.ivfCellSplit(embFrac(k), kCells = 8, iters = 3,
+          factor = 2L)
+      })
 
     // warmup: absorb session/codegen/footer costs outside the timings
     docs.count(); emb.count()
