@@ -1933,6 +1933,68 @@ object ExtendedQueries {
         WHERE rn <= 5 ORDER BY event_type, cents, event_id"""),
       desc = "native heap top-k aggregate (sort-free map side, 1 shuffle row/group)"),
 
+    // ── bottom-k hash sampling (mergeable uniform sample + KMV) ─────
+    // The SAMPLING member of the mergeable-partials family (Cohen &
+    // Kaplan 2007): per group, keep the k distinct members with the
+    // SMALLEST md5 hash — a uniform random sample whose partials
+    // from any partitioning merge exactly (min-of-mins through the
+    // same topk_min heap aggregate as a_topk_agg, partition
+    // independence TopKAggSpec-pinned), unlike a reservoir sample,
+    // which needs coordinated randomness to merge. The k-th hash IS
+    // the KMV inclusion threshold, so the sample carries a free
+    // distinct-count estimate (k−1)·2³² div h_k beside the exact
+    // count. Windows run over the ≤k-row sampled groups.
+    "a_sample_bottomk" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.TopKAgg.register(s)
+        val u = t(s, dir, "events")
+          .select($"event_type", $"user_id").distinct()
+          .withColumn("h", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        val w = Window.partitionBy($"event_type")
+        u.groupBy($"event_type")
+          .agg(expr("topk_min(struct(h, user_id), 8)").as("tk"),
+            count(lit(1)).as("n_true"))
+          .select($"event_type", $"n_true",
+            posexplode($"tk").as(Seq("rk0", "tt")))
+          .select($"event_type", ($"rk0" + 1).cast(LongType).as("rk"),
+            $"tt.user_id".as("user_id"), $"tt.h".as("h32"), $"n_true")
+          .withColumn("est_distinct", expr(
+            "(count(1) OVER (PARTITION BY event_type) - 1) " +
+              "* 4294967296L div nullif(max(h32) " +
+              "OVER (PARTITION BY event_type), 0)"))
+          .select($"event_type", $"rk", $"user_id", $"h32", $"n_true",
+            $"est_distinct")
+          .orderBy($"event_type", $"rk")
+      },
+      oracle = Some("""
+        WITH bk_u AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        bk_h AS (
+          SELECT event_type, user_id,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h32
+          FROM bk_u),
+        bk_r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY h32, user_id) AS rk,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_true
+          FROM bk_h),
+        bk_s AS (SELECT * FROM bk_r WHERE rk <= 8),
+        bk_t AS (
+          SELECT event_type, max(h32) AS hk,
+                 CAST(count(*) AS BIGINT) AS kk
+          FROM bk_s GROUP BY 1)
+        SELECT s.event_type, CAST(s.rk AS BIGINT) AS rk, s.user_id,
+               s.h32, s.n_true,
+               (t.kk - 1) * 4294967296 // NULLIF(t.hk, 0)
+                 AS est_distinct
+        FROM bk_s s JOIN bk_t t USING (event_type)
+        ORDER BY s.event_type, s.rk"""),
+      desc = "bottom-k hash sample: mergeable uniform sample + KMV distinct estimate"),
+
     // ── Z-order layout: two-dimension file skipping ─────────────────
     // The data-layout operator (Layout.scala scaladoc): min-max scale
     // both dimensions to 16 bits (one 4-number stats pass — without
