@@ -867,6 +867,329 @@ object EventQueries {
         FROM s ORDER BY split"""),
       desc = "sample-ratio-mismatch guardrail: exact chi-square vs declared split"),
 
+    // ── CUPED variance reduction (the experimentation workhorse) ────
+    // Deng et al., WSDM 2013: adjust each arm's post-period metric by
+    // θ·(pre-period covariate − its mean), where θ = cov(x,y)/var(x)
+    // is fit POOLED across arms (x is pre-experiment, so θ is
+    // assignment-independent). Arm-level means suffice for the
+    // adjusted effect: Δ_cuped = (ȳ₁−ȳ₀) − θ·(x̄₁−x̄₀) — no per-user
+    // adjusted rows ever materialize. All fixed-point BIGINT: x/y are
+    // per-user purchase cents pre/post the observed mid-day (the
+    // e_did split), moments are computed on mean-CENTERED values
+    // (xc = x − ⌊Σx/n⌋ — the two-pass form, so no n·Σxy term: raw
+    // moments overflow Long at ~40k users × $1k cents, centered ones
+    // hold to 1e9 users), and θ_ppm = cov div max(var div 1e6, 1) —
+    // denominator-shrunk so cov·1e6 never forms. Truncating div
+    // matches `//` in DuckDB on negatives (both toward zero). Shape:
+    // one user_id shuffle, then 1-row/2-row broadcast frames.
+    "e_ab_cuped" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ext = ev(s, dir)
+          .select((epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        val per = ev(s, dir)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast(LongType)).otherwise(0L)
+              .as("cents"))
+          .crossJoin(broadcast(ext))
+          .groupBy($"user_id")
+          .agg(sum(when($"day" < $"mid", $"cents").otherwise(0L)).as("x"),
+            sum(when($"day" >= $"mid", $"cents").otherwise(0L)).as("y"))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        val m1 = per.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"))
+        val m2 = per.crossJoin(broadcast(m1))
+          .withColumn("xc", $"x" - expr("sx div n"))
+          .withColumn("yc", $"y" - expr("sy div n"))
+          .agg(sum($"xc" * $"yc").as("cov_c"),
+            sum($"xc" * $"xc").as("var_c"))
+        val arms = per.groupBy($"arm")
+          .agg(count(lit(1)).as("n_a"), sum($"x").as("sx_a"),
+            sum($"y").as("sy_a"))
+        def pick(a: Long, c: String) = min(when($"arm" === a, col(c)))
+        arms.agg(
+            pick(0L, "n_a").as("n0"), pick(1L, "n_a").as("n1"),
+            pick(0L, "sx_a").as("sx0"), pick(1L, "sx_a").as("sx1"),
+            pick(0L, "sy_a").as("sy0"), pick(1L, "sy_a").as("sy1"))
+          .crossJoin(broadcast(m2))
+          .withColumn("theta_ppm", expr(
+            "cov_c div greatest(var_c div 1000000L, 1L)"))
+          .withColumn("x_diff_x100",
+            expr("sx1 * 100L div n1 - sx0 * 100L div n0"))
+          .withColumn("y_diff_x100",
+            expr("sy1 * 100L div n1 - sy0 * 100L div n0"))
+          .withColumn("cuped_diff_x100",
+            expr("y_diff_x100 - theta_ppm * x_diff_x100 div 1000000L"))
+          .select($"n0", $"n1", $"theta_ppm", $"x_diff_x100",
+            $"y_diff_x100", $"cuped_diff_x100")
+          .orderBy($"n0")
+      },
+      oracle = Some("""
+        WITH cu_d AS (
+          SELECT user_id, (epoch_us(ts)//1000000)//86400 AS day,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value*100) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events),
+        cu_m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM cu_d),
+        cu_p AS (
+          SELECT d.user_id,
+                 CAST(sum(CASE WHEN d.day < m.mid THEN d.cents
+                          ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN d.day >= m.mid THEN d.cents
+                          ELSE 0 END) AS BIGINT) AS y,
+                 ('0x' || substring(md5(CAST(d.user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM cu_d d CROSS JOIN cu_m m
+          GROUP BY d.user_id),
+        cu_1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy
+          FROM cu_p),
+        cu_2 AS (
+          SELECT CAST(sum((p.x - o.sx // o.n) * (p.y - o.sy // o.n))
+                   AS BIGINT) AS cov_c,
+                 CAST(sum((p.x - o.sx // o.n) * (p.x - o.sx // o.n))
+                   AS BIGINT) AS var_c
+          FROM cu_p p CROSS JOIN cu_1 o),
+        cu_a AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+                 CAST(sum(x) AS BIGINT) AS sx_a,
+                 CAST(sum(y) AS BIGINT) AS sy_a
+          FROM cu_p GROUP BY 1),
+        cu_w AS (
+          SELECT
+            min(CASE WHEN arm = 0 THEN n_a END) AS n0,
+            min(CASE WHEN arm = 1 THEN n_a END) AS n1,
+            min(CASE WHEN arm = 0 THEN sx_a END) AS sx0,
+            min(CASE WHEN arm = 1 THEN sx_a END) AS sx1,
+            min(CASE WHEN arm = 0 THEN sy_a END) AS sy0,
+            min(CASE WHEN arm = 1 THEN sy_a END) AS sy1
+          FROM cu_a),
+        cu_f AS (
+          SELECT w.*, c.cov_c // greatest(c.var_c // 1000000, 1)
+                   AS theta_ppm,
+                 sx1 * 100 // n1 - sx0 * 100 // n0 AS x_diff_x100,
+                 sy1 * 100 // n1 - sy0 * 100 // n0 AS y_diff_x100
+          FROM cu_w w CROSS JOIN cu_2 c)
+        SELECT n0, n1, theta_ppm, x_diff_x100, y_diff_x100,
+               y_diff_x100 - theta_ppm * x_diff_x100 // 1000000
+                 AS cuped_diff_x100
+        FROM cu_f ORDER BY n0"""),
+      desc = "CUPED adjusted A/B effect: pooled theta from centered BIGINT moments"),
+
+    // ── Poisson-bootstrap CI (the bootstrap that shards) ────────────
+    // The percentile CI on the A/B revenue-per-user difference via
+    // the Poisson bootstrap (Chamandy et al. 2012, the Google
+    // resampling for data that doesn't fit one machine): classical
+    // resampling needs coordinated global draws, but Poisson(1)
+    // per-row replicate weights are iid ACROSS rows, so each
+    // partition draws independently and partials merge — and here the
+    // draws are derandomized entirely: weight = inverse-CDF of
+    // md5(user_id:replicate) mod 1e6 against fixed cumulative-ppm
+    // thresholds (367879, 735759, 919699, 981012, 996340, then 5 —
+    // capped; P(W>5) ≈ 6e-4 folds into the top bin), reproducible on
+    // any engine and any partitioning. 32 replicates explode inline
+    // and collapse to 64 (replicate, arm) groups map-side — the
+    // shuffle carries 64·partitions rows, not 32·users. Rank edges
+    // 2..31 of the sorted diffs bound a 93.75% percentile interval;
+    // the windows run over the bounded 32-row frame.
+    "e_ab_bootstrap" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+        val conv = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(sum(round($"value" * 100).cast(LongType)).as("cents"))
+        val per = e.select($"user_id").distinct()
+          .join(conv, Seq("user_id"), "left")
+          .withColumn("cents", coalesce($"cents", lit(0L)))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        val rep = per
+          .select($"user_id", $"cents", $"arm",
+            explode(sequence(lit(0L), lit(31L))).as("replicate"))
+          .withColumn("u", expr("CAST(conv(substring(md5(concat(" +
+            "CAST(user_id AS STRING), ':', CAST(replicate AS STRING)" +
+            ")), 1, 8), 16, 10) AS BIGINT) % 1000000L"))
+          .withColumn("w", expr("""CASE
+              WHEN u < 367879L THEN 0L WHEN u < 735759L THEN 1L
+              WHEN u < 919699L THEN 2L WHEN u < 981012L THEN 3L
+              WHEN u < 996340L THEN 4L ELSE 5L END"""))
+        val g = rep.groupBy($"replicate", $"arm")
+          .agg(sum($"w").as("wn"), sum($"w" * $"cents").as("wc"))
+        val wide = g.groupBy($"replicate")
+          .agg(min(when($"arm" === 0L, $"wn")).as("wn0"),
+            min(when($"arm" === 1L, $"wn")).as("wn1"),
+            min(when($"arm" === 0L, $"wc")).as("wc0"),
+            min(when($"arm" === 1L, $"wc")).as("wc1"))
+          .withColumn("diff_x100", expr(
+            "wc1 * 100L div greatest(wn1, 1L) " +
+              "- wc0 * 100L div greatest(wn0, 1L)"))
+        wide
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"diff_x100", $"replicate")))
+          .withColumn("in_ci94", $"rk" >= 2L && $"rk" <= 31L)
+          .select($"replicate", $"wn0", $"wn1", $"diff_x100",
+            $"rk".cast(LongType).as("rk"), $"in_ci94")
+          .orderBy($"replicate")
+      },
+      oracle = Some("""
+        WITH bo_c AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        bo_p AS (
+          SELECT u.user_id, COALESCE(c.cents, 0) AS cents,
+                 ('0x' || substring(md5(CAST(u.user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN bo_c c USING (user_id)),
+        bo_r AS (
+          SELECT p.*, r.r AS replicate,
+                 ('0x' || substring(md5(CAST(p.user_id AS VARCHAR)
+                   || ':' || CAST(r.r AS VARCHAR)), 1, 8))
+                   ::BIGINT % 1000000 AS u
+          FROM bo_p p CROSS JOIN range(0, 32) r(r)),
+        bo_w AS (
+          SELECT replicate, arm, cents,
+                 CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                      WHEN u < 996340 THEN 4 ELSE 5 END AS w
+          FROM bo_r),
+        bo_g AS (
+          SELECT replicate, arm, CAST(sum(w) AS BIGINT) AS wn,
+                 CAST(sum(w * cents) AS BIGINT) AS wc
+          FROM bo_w GROUP BY 1, 2),
+        bo_d AS (
+          SELECT replicate,
+                 min(CASE WHEN arm = 0 THEN wn END) AS wn0,
+                 min(CASE WHEN arm = 1 THEN wn END) AS wn1,
+                 min(CASE WHEN arm = 0 THEN wc END) AS wc0,
+                 min(CASE WHEN arm = 1 THEN wc END) AS wc1
+          FROM bo_g GROUP BY 1),
+        bo_f AS (
+          SELECT replicate, wn0, wn1,
+                 wc1 * 100 // greatest(wn1, 1)
+                   - wc0 * 100 // greatest(wn0, 1) AS diff_x100
+          FROM bo_d),
+        bo_k AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY diff_x100, replicate)
+                   AS BIGINT) AS rk
+          FROM bo_f)
+        SELECT replicate, wn0, wn1, diff_x100, rk,
+               rk >= 2 AND rk <= 31 AS in_ci94
+        FROM bo_k ORDER BY replicate"""),
+      desc = "Poisson bootstrap: derandomized per-row weights, 32-replicate percentile CI"),
+
+    // ── quantile treatment effects (beyond-the-mean readout) ────────
+    // The distributional companion to e_ab_test/e_ab_cuped: a launch
+    // that moves the p75 while gutting the p25 averages to "no
+    // effect" — QTE reads the shift at each quantile separately
+    // (Athey & Imbens 2017's heterogeneity lens). Per-arm exact
+    // type-1 quantiles (p25/50/75) of per-user purchase cents via the
+    // histogram+threshold machinery (a_quantile_weighted's shape at
+    // weight 1): the cumsum window runs over DISTINCT cents values
+    // per arm — bounded by the value domain, not user count — and the
+    // all-integer threshold pick is interpolation-free, so both
+    // engines agree bit-for-bit. One user_id shuffle + a 2-row pivot;
+    // output unpivots to one row per quantile.
+    "e_qte" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+        val conv = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(sum(round($"value" * 100).cast(LongType)).as("cents"))
+        val per = e.select($"user_id").distinct()
+          .join(conv, Seq("user_id"), "left")
+          .withColumn("cents", coalesce($"cents", lit(0L)))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        val cum = per.groupBy($"arm", $"cents")
+          .agg(count(lit(1)).as("wm"))
+          .withColumn("cw", sum($"wm").over(
+            Window.partitionBy($"arm").orderBy($"cents")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tw", sum($"wm").over(
+            Window.partitionBy($"arm").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        def q(pPpm: Long) =
+          min(when($"cw" * 1000000L >= lit(pPpm) * $"tw", $"cents"))
+        val acc = cum.groupBy($"arm")
+          .agg(max($"tw").as("n_users"), q(250000L).as("q25"),
+            q(500000L).as("q50"), q(750000L).as("q75"))
+        def pick(a: Long, c: String) = min(when($"arm" === a, col(c)))
+        acc.agg(
+            pick(0L, "n_users").as("n0"), pick(1L, "n_users").as("n1"),
+            pick(0L, "q25").as("q25_0"), pick(1L, "q25").as("q25_1"),
+            pick(0L, "q50").as("q50_0"), pick(1L, "q50").as("q50_1"),
+            pick(0L, "q75").as("q75_0"), pick(1L, "q75").as("q75_1"))
+          .selectExpr("n0", "n1",
+            "stack(3, 'p25', q25_0, q25_1, 'p50', q50_0, q50_1, " +
+              "'p75', q75_0, q75_1) AS (quantile, arm0_cents, arm1_cents)")
+          .withColumn("qte_cents", $"arm1_cents" - $"arm0_cents")
+          .select($"quantile", $"n0", $"n1", $"arm0_cents",
+            $"arm1_cents", $"qte_cents")
+          .orderBy($"quantile")
+      },
+      oracle = Some("""
+        WITH qt_c AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        qt_p AS (
+          SELECT u.user_id, COALESCE(c.cents, 0) AS cents,
+                 ('0x' || substring(md5(CAST(u.user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN qt_c c USING (user_id)),
+        qt_h AS (
+          SELECT arm, cents, count(*) AS wm FROM qt_p GROUP BY 1, 2),
+        qt_cu AS (
+          SELECT arm, cents,
+                 CAST(sum(wm) OVER (PARTITION BY arm ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+                 CAST(sum(wm) OVER (PARTITION BY arm) AS BIGINT) AS tw
+          FROM qt_h),
+        qt_a AS (
+          SELECT arm, max(tw) AS n_users,
+                 min(CASE WHEN cw * 1000000 >= 250000 * tw
+                          THEN cents END) AS q25,
+                 min(CASE WHEN cw * 1000000 >= 500000 * tw
+                          THEN cents END) AS q50,
+                 min(CASE WHEN cw * 1000000 >= 750000 * tw
+                          THEN cents END) AS q75
+          FROM qt_cu GROUP BY arm),
+        qt_w AS (
+          SELECT
+            min(CASE WHEN arm = 0 THEN n_users END) AS n0,
+            min(CASE WHEN arm = 1 THEN n_users END) AS n1,
+            min(CASE WHEN arm = 0 THEN q25 END) AS q25_0,
+            min(CASE WHEN arm = 1 THEN q25 END) AS q25_1,
+            min(CASE WHEN arm = 0 THEN q50 END) AS q50_0,
+            min(CASE WHEN arm = 1 THEN q50 END) AS q50_1,
+            min(CASE WHEN arm = 0 THEN q75 END) AS q75_0,
+            min(CASE WHEN arm = 1 THEN q75 END) AS q75_1
+          FROM qt_a)
+        SELECT 'p25' AS quantile, n0, n1, q25_0 AS arm0_cents,
+               q25_1 AS arm1_cents, q25_1 - q25_0 AS qte_cents
+        FROM qt_w
+        UNION ALL
+        SELECT 'p50', n0, n1, q50_0, q50_1, q50_1 - q50_0 FROM qt_w
+        UNION ALL
+        SELECT 'p75', n0, n1, q75_0, q75_1, q75_1 - q75_0 FROM qt_w
+        ORDER BY quantile"""),
+      desc = "quantile treatment effect: exact per-arm p25/50/75 shifts"),
+
     // ── difference-in-differences (the causal panel readout) ────────
     // e_ab_test's sibling for launches without randomization-time
     // logging: md5-hash arms × pre/post periods (split at the

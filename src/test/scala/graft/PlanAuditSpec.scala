@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSuite {
       "sample_temperature" -> "prefix over the strata-count plan frame",
       "sample_curriculum" ->
         "cumsum over the bounded distinct-difficulty histogram frame",
-      "graph_linkpred_eval" -> "rank over the LIMIT-100 prediction frame")
+      "graph_linkpred_eval" -> "rank over the LIMIT-100 prediction frame",
+      "e_ab_bootstrap" -> "rank over the bounded 32-replicate diff frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains)
       .flatMap { name =>
