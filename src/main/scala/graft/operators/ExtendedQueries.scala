@@ -323,6 +323,145 @@ object ExtendedQueries {
         GROUP BY 1, 2, 3 ORDER BY nation, segment, bal_band"""),
       desc = "k-anonymity: quasi-identifier group sizes with k<5 risk flags"),
 
+    // ── l-diversity (k-anonymity's sensitive-attribute sequel) ──────
+    // Machanavajjhala et al., ICDE 2006: a k-anonymous group is still
+    // disclosive when everyone in it shares the same SENSITIVE value
+    // (the homogeneity attack). Per quasi-identifier cell (order
+    // year, status, $50k price band): k_size, distinct-l over the
+    // sensitive o_orderpriority, and the top value's share in ppm
+    // (the recursive-(c,l) screen) — at_risk when l < 3. Two stacked
+    // map-side-combined aggs, no windows; at 100 TB both aggs shuffle
+    // on the (bounded-cardinality) QI key.
+    "dq_ldiversity" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cell = t(s, dir, "orders")
+          .select(year(to_date($"o_orderdate")).as("yr"),
+            $"o_orderstatus".as("status"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000")
+              .as("price_band"),
+            $"o_orderpriority".as("sensitive"))
+          .groupBy($"yr", $"status", $"price_band", $"sensitive")
+          .agg(count(lit(1)).as("n"))
+        cell.groupBy($"yr", $"status", $"price_band")
+          .agg(sum($"n").as("k_size"),
+            count(lit(1)).as("l_distinct"),
+            max($"n").as("max_n"))
+          .withColumn("top_share_ppm",
+            expr("max_n * 1000000L div k_size"))
+          .withColumn("at_risk", $"l_distinct" < 3L)
+          .select($"yr", $"status", $"price_band", $"k_size",
+            $"l_distinct", $"top_share_ppm", $"at_risk")
+          .orderBy($"yr", $"status", $"price_band")
+      },
+      oracle = Some("""
+        WITH ld_c AS (
+          SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+                 o_orderstatus AS status,
+                 CAST(round(o_totalprice * 100) AS BIGINT) // 5000000
+                   AS price_band,
+                 o_orderpriority AS sensitive,
+                 count(*) AS n
+          FROM orders GROUP BY 1, 2, 3, 4)
+        SELECT yr, status, price_band,
+               CAST(sum(n) AS BIGINT) AS k_size,
+               count(*) AS l_distinct,
+               CAST(max(n) AS BIGINT) * 1000000
+                 // CAST(sum(n) AS BIGINT) AS top_share_ppm,
+               count(*) < 3 AS at_risk
+        FROM ld_c GROUP BY 1, 2, 3
+        ORDER BY yr, status, price_band"""),
+      desc = "l-diversity: sensitive-value diversity + top-share per QI cell"),
+
+    // ── referential integrity (the dbt `relationships` test) ────────
+    // The dq member Engine.build's contract-derived not_null/unique
+    // tests don't cover: does every child foreign key resolve to a
+    // parent row? One row per declared relationship: child rows,
+    // orphan rows (parent-miss under a LEFT join — the dbt
+    // relationships test's exact count), orphan ppm, pass flag. The
+    // four TPC-H edges are clean by construction; the fifth probes
+    // events.user_id against customer — a cross-domain key the flag
+    // MUST catch (the e_srm broken-twin convention). Each check is
+    // one equi-join: bounded parents broadcast, the lineitem→orders
+    // probe shuffles on the join key — nothing here fans out.
+    "dq_referential" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        def rel(name: String, child: DataFrame, fk: String,
+                parent: DataFrame, pk: String): DataFrame =
+          child.select(col(fk).cast(LongType).as("fk"))
+            .join(parent.select(col(pk).cast(LongType).as("pk")).distinct(),
+              $"fk" === $"pk", "left")
+            .agg(count(lit(1)).as("n_child"),
+              sum(when($"pk".isNull, 1L).otherwise(0L)).as("n_orphan"))
+            .withColumn("relationship", lit(name))
+        Seq(
+          rel("orders.o_custkey->customer.c_custkey",
+            t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey"),
+          rel("lineitem.l_orderkey->orders.o_orderkey",
+            t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey"),
+          rel("lineitem.l_partkey->part.p_partkey",
+            t(s, dir, "lineitem"), "l_partkey",
+            t(s, dir, "part"), "p_partkey"),
+          rel("lineitem.l_suppkey->supplier.s_suppkey",
+            t(s, dir, "lineitem"), "l_suppkey",
+            t(s, dir, "supplier"), "s_suppkey"),
+          rel("events.user_id->customer.c_custkey",
+            Sources.table(s, dir, "events"), "user_id",
+            t(s, dir, "customer"), "c_custkey"))
+          .reduce(_ unionByName _)
+          .withColumn("orphan_ppm",
+            expr("n_orphan * 1000000L div n_child"))
+          .withColumn("ok", $"n_orphan" === 0L)
+          .select($"relationship", $"n_child", $"n_orphan",
+            $"orphan_ppm", $"ok")
+          .orderBy($"relationship")
+      },
+      oracle = Some("""
+        WITH ri AS (
+          SELECT 'orders.o_custkey->customer.c_custkey' AS relationship,
+                 count(*) AS n_child,
+                 CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_orphan
+          FROM (SELECT CAST(o_custkey AS BIGINT) AS fk FROM orders) c
+          LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS pk
+                     FROM customer) p ON c.fk = p.pk
+          UNION ALL
+          SELECT 'lineitem.l_orderkey->orders.o_orderkey', count(*),
+                 CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT)
+          FROM (SELECT CAST(l_orderkey AS BIGINT) AS fk FROM lineitem) c
+          LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS pk
+                     FROM orders) p ON c.fk = p.pk
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part.p_partkey', count(*),
+                 CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT)
+          FROM (SELECT CAST(l_partkey AS BIGINT) AS fk FROM lineitem) c
+          LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS pk
+                     FROM part) p ON c.fk = p.pk
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier.s_suppkey', count(*),
+                 CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT)
+          FROM (SELECT CAST(l_suppkey AS BIGINT) AS fk FROM lineitem) c
+          LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS pk
+                     FROM supplier) p ON c.fk = p.pk
+          UNION ALL
+          SELECT 'events.user_id->customer.c_custkey', count(*),
+                 CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT)
+          FROM (SELECT CAST(user_id AS BIGINT) AS fk FROM events) c
+          LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS pk
+                     FROM customer) p ON c.fk = p.pk)
+        SELECT relationship, n_child, n_orphan,
+               n_orphan * 1000000 // n_child AS orphan_ppm,
+               n_orphan = 0 AS ok
+        FROM ri ORDER BY relationship"""),
+      desc = "referential integrity: per-relationship orphan counts + pass flags"),
+
     // ── Benford first-digit conformance (dq / fraud screen) ─────────
     // The first-significant-digit law check auditors run on value
     // columns spanning orders of magnitude: observed ppm share per
