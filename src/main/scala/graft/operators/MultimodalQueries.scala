@@ -294,6 +294,77 @@ object MultimodalQueries {
         ORDER BY doc_id, window_idx"""),
       desc = "audio windowed energy + silence trim over fake-PCM blobs"),
 
+    // ── audio: speech-segment extraction (VAD → islands) ────────────
+    // What a speech pipeline does with the mm_audio_energy gate: the
+    // voiced windows of each clip coalesce into contiguous SEGMENTS
+    // (the gaps-islands trick — window_idx minus voiced rank is
+    // constant within a run), each rolled up to (start, end, length,
+    // Σenergy) and numbered per clip. These segments are the units a
+    // downstream ASR/embedding stage consumes — per-utterance, not
+    // per-clip. Both windows partition by doc_id over ≤8 rows (frame
+    // count per clip is bounded by the decode), so state is bounded
+    // and everything rides ONE doc_id exchange; at 100 TB only the
+    // energy column's producer changes (real DSP in the same batch
+    // shape — see mm_audio_energy).
+    "mm_speech_segments" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.ByteWindowFold.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"window_idx")
+        val wSeg = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"start_w")
+        docs(s, dir)
+          .withColumn("h",
+            concat(sha2($"text", 256), sha2(concat($"text", lit("x")), 256)))
+          .select($"doc_id", posexplode(expr(
+              "byte_window_fold(unhex(h), 8, 'sqdev128')"))
+            .as(Seq("window_idx", "energy")))
+          .filter($"energy" >= 40000L)
+          .withColumn("grp", $"window_idx" - (row_number().over(w) - 1))
+          .groupBy($"doc_id", $"grp")
+          .agg(min($"window_idx").cast("long").as("start_w"),
+            max($"window_idx").cast("long").as("end_w"),
+            count(lit(1)).as("n_windows"),
+            sum($"energy").as("sum_energy"))
+          .withColumn("seg_id",
+            (row_number().over(wSeg) - 1).cast("long"))
+          .select($"doc_id", $"seg_id", $"start_w", $"end_w",
+            $"n_windows", $"sum_energy")
+          .orderBy($"doc_id", $"seg_id")
+      },
+      oracle = Some("""
+        WITH sp_a AS (
+          SELECT doc_id,
+                 sha256(text) || sha256(text || 'x') AS h
+          FROM documents),
+        sp_w AS (
+          SELECT doc_id, w.w AS window_idx,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   (('0x' || substr(h, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)
+                 * (('0x' || substr(h, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)))
+                   AS BIGINT) AS energy
+          FROM sp_a CROSS JOIN range(0, 8) w(w)),
+        sp_v AS (
+          SELECT doc_id, window_idx, energy
+          FROM sp_w WHERE energy >= 40000),
+        sp_g AS (
+          SELECT *, window_idx - (row_number() OVER (
+                   PARTITION BY doc_id ORDER BY window_idx) - 1) AS grp
+          FROM sp_v),
+        sp_s AS (
+          SELECT doc_id, grp,
+                 min(window_idx) AS start_w, max(window_idx) AS end_w,
+                 count(*) AS n_windows,
+                 CAST(sum(energy) AS BIGINT) AS sum_energy
+          FROM sp_g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY start_w) - 1 AS BIGINT) AS seg_id,
+               start_w, end_w, n_windows, sum_energy
+        FROM sp_s ORDER BY doc_id, seg_id"""),
+      desc = "speech segments: VAD energy gate + gaps-islands run rollup"),
+
     // ── video: scene-change detection over the frame sequence ───────
     // The shot-segmentation step a video pipeline runs before frame
     // dedup/captioning: a 128-byte fake video (four chained sha256
