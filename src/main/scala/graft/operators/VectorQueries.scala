@@ -1307,6 +1307,79 @@ object VectorQueries {
         ORDER BY c.new_cell"""),
       desc = "IVF cell split: oversized cells bisect locally, stable id arithmetic"),
 
+    // ── IVF cell-merge maintenance (split's inverse) ────────────────
+    // Vectors.ivfCellMerge: underfull cells dissolve into their
+    // nearest retained cell by centroid cosine — the post-delete /
+    // post-drift shard consolidation. Registered at factor = 1
+    // (below-mean dissolves) because the synthetic sf embeddings
+    // produce near-balanced cells (55–72 of 500 at sf0.01) and a
+    // production factor of 4 would merge nothing here; VectorsApiSpec
+    // pins the factor-4 laws on a deliberately thinned fixture.
+    // Output is the per-cell summary; per-vector moves are the API.
+    "vector_ivf_merge" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = Vectors.ivfCellMerge(
+            emb(s, dir).withColumn("id", $"vec_id"),
+            kCells = 8, iters = 3, factor = 1L)
+          .groupBy($"old_cell", $"new_cell")
+          .agg(count(lit(1)).as("n_vecs"))
+        val after = cells.groupBy($"new_cell")
+          .agg(sum($"n_vecs").as("n_after"))
+        cells.join(broadcast(after), Seq("new_cell"))
+          .withColumn("was_merged", $"old_cell" =!= $"new_cell")
+          .select($"old_cell", $"new_cell", $"n_vecs", $"n_after",
+            $"was_merged")
+          .orderBy($"old_cell")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        vm_a AS (
+          SELECT vec_id, cluster_id AS cluster FROM (
+            SELECT b.vec_id, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        vm_n AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n
+          FROM vm_a GROUP BY 1),
+        vm_t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM vm_n),
+        vm_c AS (
+          SELECT c.cluster_id AS cluster, c.cvec, c.cnrm,
+                 COALESCE(n.n * 1 < t.nt // 8, TRUE) AS under
+          FROM cent3 c
+          LEFT JOIN vm_n n ON n.cluster = c.cluster_id
+          CROSS JOIN vm_t t),
+        vm_tg AS (
+          SELECT cluster, merge_into FROM (
+            SELECT u.cluster, k.cluster AS merge_into,
+              row_number() OVER (PARTITION BY u.cluster ORDER BY
+                CAST(${duckDot("u.cvec", "k.cvec")} AS DOUBLE)
+                  / sqrt(CAST(u.cnrm AS DOUBLE) * CAST(k.cnrm AS DOUBLE)) DESC,
+                k.cluster ASC) AS rn
+            FROM (SELECT * FROM vm_c WHERE under) u
+            CROSS JOIN (SELECT * FROM vm_c WHERE NOT under) k)
+          WHERE rn = 1),
+        vm_new AS (
+          SELECT a.vec_id, a.cluster AS old_cell,
+                 COALESCE(t.merge_into, a.cluster) AS new_cell
+          FROM vm_a a LEFT JOIN vm_tg t ON t.cluster = a.cluster),
+        vm_g AS (
+          SELECT old_cell, new_cell, CAST(count(*) AS BIGINT) AS n_vecs
+          FROM vm_new GROUP BY 1, 2),
+        vm_af AS (
+          SELECT new_cell, CAST(sum(n_vecs) AS BIGINT) AS n_after
+          FROM vm_g GROUP BY 1)
+        SELECT g.old_cell, g.new_cell, g.n_vecs, a.n_after,
+               g.old_cell <> g.new_cell AS was_merged
+        FROM vm_g g JOIN vm_af a USING (new_cell)
+        ORDER BY g.old_cell"""),
+      desc = "IVF cell merge: underfull cells dissolve into nearest retained cell"),
+
     "ivf_kmeans" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -756,6 +756,67 @@ object Vectors {
       .select(col("id"), col("cluster").as("old_cell"), col("new_cell"))
   }
 
+  /** IVF cell-merge maintenance — [[ivfCellSplit]]'s inverse, the
+    * other half of the SPFresh-style local-maintenance pair: cells
+    * holding FEWER than (mean ÷ `factor`) members are dissolved into
+    * their nearest RETAINED cell (highest centroid-to-centroid
+    * cosine, ties to the smallest retained id), so shard counts stay
+    * serving-efficient after deletes or drift thin a region out. No
+    * global refit: retained cells keep their ids and posting lists;
+    * only the dissolved cells' members move.
+    *
+    * Deterministic by construction: the underfull test is integer
+    * (`n·factor < total div kCells`), the target pick is a cosine
+    * argmax with an id tie-break over the ≤k² centroid-pair frame,
+    * and a codebook cell that ended the fit with NO members (possible
+    * — [[kmeansAssign]] re-assigns against the final codebook) is
+    * treated as underfull but owns no rows, so it simply disappears.
+    * Degenerate guard: if EVERY cell is underfull there is no retained
+    * target and nothing moves (the left-join keeps own ids) — a refit,
+    * not a merge, is the right action there.
+    *
+    * Scale shape: sizes are a k-row aggregate; the target pick is a
+    * k×k broadcast self-join of the codebook; the reassignment is a
+    * broadcast-map over the SHARED assignment frame (no second fit,
+    * no per-vector distance work at all — merge is a pure metadata
+    * rename for every vector). Returns (id, old_cell, new_cell). */
+  def ivfCellMerge(base: DataFrame, kCells: Int = 8, iters: Int = 3,
+                   factor: Long = 4L): DataFrame = {
+    val asg = kmeansAssign(base, kCells, iters, nprobe = 1)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cluster"))
+    val cent = kmeansFitShared(base, kCells, iters)
+    val sizes = asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_before"))
+    val tot = sizes.agg(sum(col("n_before")).as("_nt"))
+    val flagged = sizes.crossJoin(broadcast(tot))
+      .withColumn("under",
+        col("n_before") * lit(factor) < expr(s"_nt div ${kCells}L"))
+      .select(col("cluster"), col("under"))
+    val cf = cent
+      .select(col("cluster_id").as("cluster"), col("cvec"), col("cnrm"))
+      .join(flagged, Seq("cluster"), "left")
+      .withColumn("under", coalesce(col("under"), lit(true)))
+    val underC = cf.filter(col("under"))
+      .select(col("cluster").as("u_cluster"), col("cvec").as("u_cvec"),
+        col("cnrm").as("u_cnrm"))
+    val keepC = cf.filter(!col("under"))
+      .select(col("cluster").as("t_cluster"), col("cvec").as("t_cvec"),
+        col("cnrm").as("t_cnrm"))
+    val target = underC.crossJoin(broadcast(keepC))
+      .withColumn("cos", expr("long_dot(u_cvec, t_cvec)").cast("double") /
+        sqrt(col("u_cnrm").cast("double") * col("t_cnrm").cast("double")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("u_cluster"))
+          .orderBy(col("cos").desc, col("t_cluster").asc)))
+      .filter(col("rn") === 1)
+      .select(col("u_cluster").as("cluster"),
+        col("t_cluster").as("merge_into"))
+    asg.join(broadcast(target), Seq("cluster"), "left")
+      .withColumn("new_cell", coalesce(col("merge_into"), col("cluster")))
+      .select(col("id"), col("cluster").as("old_cell"), col("new_cell"))
+  }
+
   /** IVF-PQ composed index — the standard at-scale ANN layout that
     * makes 100 TB vector search byte-affordable: a coarse k-means
     * quantizer routes vectors to cells (the [[kmeansAssign]] SHARED

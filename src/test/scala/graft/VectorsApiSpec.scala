@@ -121,6 +121,48 @@ class VectorsApiSpec extends SparkSuite {
     graft.Engine.dropAllMaterialized(spark)
   }
 
+  test("ivfCellMerge: membership conserves, only underfull cells move, targets retained") {
+    val asg = Vectors.kmeansAssign(base, 8, 3, nprobe = 1)
+      .filter($"rn" === 1).select($"id", $"cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nt = asg.size.toLong
+    val sizes = asg.values.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    def lawCheck(factor: Long): Unit = {
+      val merged = Vectors.ivfCellMerge(base, kCells = 8, iters = 3,
+          factor = factor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every vector appears exactly once, with its shared-frame cell
+      assert(merged.length.toLong === nt, s"factor=$factor lost vectors")
+      merged.foreach { case (id, old, _) => assert(asg(id) === old) }
+      val under: Set[Long] = sizes.collect {
+        case (c, n) if n * factor < nt / 8 => c }.toSet
+      val retained = sizes.keySet.diff(under)
+      merged.groupBy(_._2).foreach { case (old, rows) =>
+        val newCells = rows.map(_._3).toSet
+        assert(newCells.size === 1,
+          s"factor=$factor: cell $old scattered to $newCells")
+        val nc = newCells.head
+        if (nc != old) {
+          assert(under.contains(old),
+            s"factor=$factor: retained cell $old moved to $nc")
+          assert(retained.contains(nc),
+            s"factor=$factor: cell $old merged into non-retained $nc")
+        } else {
+          assert(!under.contains(old) || retained.isEmpty,
+            s"factor=$factor: underfull cell $old failed to merge")
+        }
+      }
+      // production factor on balanced synthetic cells: merge ≡ identity
+      if (under.isEmpty)
+        assert(merged.forall(r => r._2 == r._3),
+          s"factor=$factor: no underfull cells but vectors moved")
+    }
+    lawCheck(4L) // production posture (identity on this balanced base)
+    lawCheck(1L) // below-mean dissolves — the registered-query setting
+    graft.Engine.dropAllMaterialized(spark)
+  }
+
   test("ivfPqEncodeIncremental: backfill ≡ batch codes, none-new ≡ empty, split invariant") {
     def codeSet(df: org.apache.spark.sql.DataFrame) = df
       .select($"id", $"cluster", $"sub", $"cw").collect()
