@@ -52,6 +52,56 @@ object StreamingModels {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("word"), col("m"))
 
+  /** Streaming sample-ratio-mismatch partials — the streaming twin of
+    * the batch `e_srm` guardrail, run continuously so a broken
+    * assignment (redirect bug, bot filter by arm, logging loss) is
+    * caught the DAY it ships rather than at readout. Per-day arm
+    * sizes must be DISTINCT-user counts that survive at-least-once
+    * replay, so the partial is the bitmap-distinct word frame keyed
+    * by arm (word = id div 32, OR-merged — [[bitmapPartialsStream]]'s
+    * exact-and-idempotent posture; count partials would double-count
+    * replays and fire false SRM alarms). The arm is the e_srm hash
+    * split — a pure function of user_id, identical in the batch twin.
+    * State per key is one long, watermark-evicted a day after the day
+    * closes. Works on batch or streaming input (StreamingSpec asserts
+    * parity). */
+  def srmPartialsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .withColumn("arm", expr("CAST(conv(substring(md5(" +
+        "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+      .groupBy(window(col("ts"), "1 day"), col("arm"),
+        expr("user_id div 32").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 as int))"))
+        .as("m"))
+      .select(col("window.start").as("day_start"), col("arm"),
+        col("word"), col("m"))
+
+  /** Batch finalize over [[srmPartialsStream]]'s emitted partials:
+    * popcount the OR-merged words to per-day arm sizes, then the
+    * e_srm exact integer chi-square (2·n0−n)²·100 div n against the
+    * declared 50/50 split, flagged at the 3.84 critical value
+    * (α = .05, df = 1). Partials from any set of micro-batches —
+    * including replays — OR to the same bitmaps, so the statistic is
+    * replay-stable; a day with one arm silent still reports (the
+    * conditional sums default 0). Runs equally on a persisted partial
+    * table at any later time — no raw-event replay. */
+  def srmFinalize(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("day_start"), col("arm"), col("word"))
+      .agg(bit_or(col("m")).as("m"))
+      .groupBy(col("day_start"), col("arm"))
+      .agg(sum(bit_count(col("m"))).cast("long").as("n_users"))
+      .groupBy(col("day_start"))
+      .agg(sum(when(col("arm") === 0L, col("n_users")).otherwise(0L))
+          .as("n0"),
+        sum(when(col("arm") =!= 0L, col("n_users")).otherwise(0L))
+          .as("n1"))
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("chi2_x100",
+        expr("(2L * n0 - n) * (2L * n0 - n) * 100L div n"))
+      .withColumn("srm", col("chi2_x100") > 384L)
+
   /** Streaming frozen-codebook cell assignment — the streaming twin
     * of `Vectors.kmeansAssignIncremental` (the vector-index family's
     * daily refresh, run continuously): newly ingested vectors assign

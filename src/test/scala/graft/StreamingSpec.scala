@@ -489,6 +489,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SRM partials finalize to the batch e_srm chi-square") {
+    val batch = Sources.table(spark, sf(), "events")
+    val batchPartials = StreamingModels.srmPartialsStream(batch)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_srm")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = StreamingModels.srmPartialsStream(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("srm_partials").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("srm_partials")
+      assert(got.count() === batchPartials.count())
+      assert(got.except(batchPartials).count() === 0,
+        "streamed partials must equal the batch pass")
+      // the finalized per-day arm sizes must be EXACT distinct users
+      val fin = StreamingModels.srmFinalize(got)
+      val exact = batch
+        .withColumn("day", date_trunc("day", $"ts"))
+        .withColumn("arm", expr("CAST(conv(substring(md5(" +
+          "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .select($"day", $"arm", $"user_id").distinct()
+        .groupBy($"day")
+        .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when($"arm" =!= 0L, 1L).otherwise(0L)).as("n1"))
+      val gotSizes = fin.select($"day_start".as("day"), $"n0", $"n1")
+      assert(gotSizes.except(exact).count() === 0 &&
+        exact.except(gotSizes).count() === 0,
+        "finalized arm sizes must be exact per-day distinct users")
+      // chi-square arithmetic matches e_srm's closed form per row
+      fin.collect().foreach { r =>
+        val n0 = r.getAs[Long]("n0"); val n = r.getAs[Long]("n")
+        assert(r.getAs[Long]("chi2_x100") ===
+          (2L * n0 - n) * (2L * n0 - n) * 100L / n)
+        assert(r.getAs[Boolean]("srm") ===
+          ((2L * n0 - n) * (2L * n0 - n) * 100L / n > 384L))
+      }
+      // replay safety: doubling the partials changes NOTHING (the
+      // false-alarm mode count-based partials would hit). Compare
+      // collected sorted rows: an Except whose two sides both root at
+      // the same memory-sink view (one side self-unioned) trips
+      // Spark 4.1's DeduplicateRelations INTERNAL_ERROR.
+      val replayed = StreamingModels.srmFinalize(got.union(got))
+      assert(replayed.orderBy($"day_start").collect().toSeq ===
+        fin.orderBy($"day_start").collect().toSeq,
+        "finalize must be replay-idempotent")
+    } finally q.stop()
+  }
+
   test("streaming CMS partials sum-merge to >= exact estimates (batch parity)") {
     val batch = Sources.table(spark, sf(), "events")
     val batchPartials = StreamingModels.cmsPartialsStream(batch)
