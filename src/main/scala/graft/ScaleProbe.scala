@@ -777,6 +777,42 @@ object ScaleProbe {
         // linear shape
         Vectors.ivfCellSplit(embFrac(k), kCells = 8, iters = 3,
           factor = 2L)
+      },
+      "ivf_merge" -> { k =>
+        // split's inverse: k-row sizes + k×k centroid broadcast +
+        // a broadcast-map rename over the shared assignment — no
+        // per-vector distance work, so the curve must track the
+        // assignment too
+        Vectors.ivfCellMerge(embFrac(k), kCells = 8, iters = 3,
+          factor = 1L)
+      },
+      "bootstrap" -> { k =>
+        // the e_ab_bootstrap volume stage scaled by users: the ×32
+        // replicate explode collapses map-side to 64 (replicate, arm)
+        // groups — growth must track USERS (the explode is generated
+        // inline, never shuffled raw)
+        val e = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+        val conv = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        e.select(col("user_id")).distinct()
+          .join(conv, Seq("user_id"), "left")
+          .withColumn("cents", coalesce(col("cents"), lit(0L)))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+          .select(col("user_id"), col("cents"), col("arm"),
+            explode(sequence(lit(0L), lit(31L))).as("replicate"))
+          .withColumn("u", expr("CAST(conv(substring(md5(concat(" +
+            "CAST(user_id AS STRING), ':', CAST(replicate AS STRING)" +
+            ")), 1, 8), 16, 10) AS BIGINT) % 1000000L"))
+          .withColumn("w", expr("""CASE
+              WHEN u < 367879L THEN 0L WHEN u < 735759L THEN 1L
+              WHEN u < 919699L THEN 2L WHEN u < 981012L THEN 3L
+              WHEN u < 996340L THEN 4L ELSE 5L END"""))
+          .groupBy(col("replicate"), col("arm"))
+          .agg(sum(col("w")).as("wn"),
+            sum(col("w") * col("cents")).as("wc"))
       })
 
     // warmup: absorb session/codegen/footer costs outside the timings
