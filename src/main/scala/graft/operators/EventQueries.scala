@@ -2492,6 +2492,151 @@ object EventQueries {
                CAST(sum(w_ppm) AS BIGINT) AS weight_sum_ppm
         FROM w WHERE user_id <= 300
         GROUP BY user_id ORDER BY user_id"""),
-      desc = "half-life-decayed engagement score (integer shifts, no float pow)")
+      desc = "half-life-decayed engagement score (integer shifts, no float pow)"),
+
+    // ── Kaplan-Meier survival (product-limit estimator) ──────────────
+    // The time-to-event workhorse: each user's clock starts at their
+    // first active day; the EVENT is their first ≥$200 purchase, and
+    // users who never convert are right-CENSORED at the observation
+    // horizon (the corpus's last day). S(t) = Π_{u≤t} (n_u − d_u)/n_u
+    // in ppm with a truncating integer fold — order matters for
+    // truncation, so both engines fold factors in ascending-duration
+    // order (Spark: sort_array + aggregate(); DuckDB: ordered list +
+    // list_reduce). Scale: one user_id shuffle; everything after is
+    // the distinct-duration frame, bounded by the CALENDAR day
+    // domain, so the global n-at-risk window and the O(T²)
+    // prefix-fold join never see row-scale data. (KM: Kaplan & Meier
+    // 1958; the fold is the standard product-limit recurrence.)
+    "e_survival" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val days = ev(s, dir)
+          .select($"user_id", (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            $"event_type", $"value")
+        val perUser = days.groupBy($"user_id")
+          .agg(min($"day").as("first"),
+            min(when($"event_type" === "purchase" && $"value" >= 200.0,
+              $"day")).as("pday"))
+        val horizon = days.agg(max($"day").as("m"))
+        val byT = perUser.crossJoin(broadcast(horizon))
+          .withColumn("evt", when($"pday".isNotNull, 1L).otherwise(0L))
+          .withColumn("dur", when($"evt" === 1L, $"pday" - $"first")
+            .otherwise($"m" - $"first"))
+          .groupBy($"dur")
+          .agg(sum($"evt").as("deaths"),
+            (count(lit(1)) - sum($"evt")).as("censored"),
+            count(lit(1)).as("ct"))
+        val atRisk = Window.orderBy($"dur")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val f = byT.withColumn("n_risk", sum($"ct").over(atRisk))
+          .withColumn("factor_ppm",
+            expr("(n_risk - deaths) * 1000000 div n_risk"))
+        val contrib = f.select($"dur".as("f_dur"), $"factor_ppm".as("f_factor"))
+        f.join(contrib, $"f_dur" <= $"dur")
+          .groupBy($"dur")
+          .agg(min($"deaths").as("deaths"), min($"censored").as("censored"),
+            min($"n_risk").as("n_risk"),
+            sort_array(collect_list(struct($"f_dur", $"f_factor")))
+              .as("fs"))
+          .withColumn("s_ppm", expr(
+            "aggregate(transform(fs, r -> r.f_factor), " +
+              "CAST(1000000 AS BIGINT), (a, x) -> a * x div 1000000)"))
+          .select($"dur", $"deaths", $"censored", $"n_risk", $"s_ppm")
+          .orderBy($"dur")
+      },
+      oracle = Some("""
+        WITH sv_d AS (
+          SELECT user_id,
+                 min((epoch_us(ts)//1000000)//86400) AS first,
+                 min(CASE WHEN event_type = 'purchase' AND value >= 200
+                     THEN (epoch_us(ts)//1000000)//86400 END) AS pday
+          FROM events GROUP BY 1),
+        sv_m AS (
+          SELECT max((epoch_us(ts)//1000000)//86400) AS m FROM events),
+        sv_u AS (
+          SELECT CASE WHEN d.pday IS NOT NULL THEN 1 ELSE 0 END AS evt,
+                 CASE WHEN d.pday IS NOT NULL THEN d.pday - d.first
+                      ELSE m.m - d.first END AS dur
+          FROM sv_d d CROSS JOIN sv_m m),
+        sv_t AS (
+          SELECT dur, CAST(sum(evt) AS BIGINT) AS deaths,
+                 CAST(count(*) - sum(evt) AS BIGINT) AS censored,
+                 CAST(count(*) AS BIGINT) AS ct
+          FROM sv_u GROUP BY 1),
+        sv_f AS (
+          SELECT dur, deaths, censored,
+                 CAST(sum(ct) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_risk,
+                 (CAST(sum(ct) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) - deaths) * 1000000
+                 // CAST(sum(ct) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS factor_ppm
+          FROM sv_t)
+        SELECT t.dur, min(t.deaths) AS deaths,
+               min(t.censored) AS censored, min(t.n_risk) AS n_risk,
+               list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+                 list(f.factor_ppm ORDER BY f.dur)),
+                 (a, b) -> a * b // 1000000) AS s_ppm
+        FROM sv_f t JOIN sv_f f ON f.dur <= t.dur
+        GROUP BY t.dur ORDER BY t.dur"""),
+      desc = "Kaplan-Meier product-limit survival in ppm (time to first big purchase, right-censored)"),
+
+    // ── Classical seasonal decomposition: day-of-week index ──────────
+    // Ratio-to-moving-average with a RANGE(±3 day) frame so calendar
+    // GAPS shrink the window count and the partial weeks drop out
+    // (ROWS frames would silently span gaps). dow from pure integer
+    // arithmetic — (day + 4) % 7, 0 = Sunday — because Spark's
+    // dayofweek is 1-based and DuckDB's 0-based. Per-dow index =
+    // lower median of the per-day ratios (exact: 1-based pick at
+    // (n+1) div 2 of the sorted list). Scale: the daily frame is
+    // calendar-bounded, so the global RANGE window is a bounded-
+    // domain pass, the same class as a_mad's histogram window.
+    "e_seasonality" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .select((epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .groupBy($"day").agg(count(lit(1)).as("n"))
+        val w7 = Window.orderBy($"day").rangeBetween(-3L, 3L)
+        daily
+          .withColumn("tot7", sum($"n").over(w7))
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .filter($"cnt7" === 7L)
+          .withColumn("ratio_ppm", expr("n * 7 * 1000000 div tot7"))
+          .withColumn("dow", expr("(day + 4) % 7"))
+          .groupBy($"dow")
+          .agg(count(lit(1)).as("n_days"),
+            expr("sum(ratio_ppm) div count(1)").as("mean_ratio_ppm"),
+            sort_array(collect_list($"ratio_ppm")).as("rs"))
+          .withColumn("median_ratio_ppm",
+            expr("element_at(rs, CAST((size(rs) + 1) div 2 AS INT))"))
+          .select($"dow", $"n_days", $"mean_ratio_ppm", $"median_ratio_ppm")
+          .orderBy($"dow")
+      },
+      oracle = Some("""
+        WITH se_d AS (
+          SELECT (epoch_us(ts)//1000000)//86400 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        se_w AS (
+          SELECT day, n,
+                 CAST(sum(n) OVER (ORDER BY day
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS BIGINT) AS tot7,
+                 count(*) OVER (ORDER BY day
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+          FROM se_d),
+        se_r AS (
+          SELECT (day + 4) % 7 AS dow, n * 7 * 1000000 // tot7 AS ratio_ppm
+          FROM se_w WHERE cnt7 = 7)
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm,
+               list(ratio_ppm ORDER BY ratio_ppm)[(count(*)+1)//2]
+                 AS median_ratio_ppm
+        FROM se_r GROUP BY dow ORDER BY dow"""),
+      desc = "ratio-to-moving-average day-of-week seasonal index (gap-aware RANGE frame)")
   )
 }
