@@ -977,6 +977,43 @@ object Corpus extends org.apache.spark.internal.Logging {
     docs.filter(h < rate)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): the
+    * weighted-without-replacement scheme whose k-item sample carries
+    * an UNBIASED estimator for any subset sum. Per item, priority
+    * q = w/u with u uniform in (0,1]; keep the k largest priorities;
+    * the threshold τ is the (k+1)-th priority and each kept item
+    * estimates its weight as max(w, τ). Deterministic integer form:
+    * u = (h+1)/2^32 from the 32-bit md5 prefix of doc_id, so
+    * q = w·2^32 div (h+1) — exact BIGINT (w < 2^21 tokens keeps the
+    * product under 2^53), order-isomorphic to w/u.
+    *
+    * Scale shape: the top-(k+1) is a TakeOrderedAndProject
+    * (per-partition top-k, k+1 rows leave each partition — never a
+    * global sort); the rank/τ pass runs over that bounded k+1 frame;
+    * every heavy item is CERTAIN to appear (w > τ ⇒ q ≥ w > τ), the
+    * property reservoir/rate draws lack. Fewer than k+1 items → no
+    * τ → empty result (the estimator is undefined without a
+    * threshold; callers with tiny inputs take the items directly).
+    *
+    * Returns the k kept rows as (doc_id, w, q, w_est). */
+  def prioritySample(docs: DataFrame, k: Int,
+                     tokens: Column =
+                       size(split(col("text"), " ")).cast("long"))
+      : DataFrame = {
+    require(k >= 1, s"prioritySample: k must be >= 1, got $k")
+    val base = docs.select(col("doc_id"), tokens.as("w"))
+      .withColumn("_h", expr("CAST(conv(substring(md5(" +
+        "CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("q", expr("w * 4294967296L div (_h + 1L)"))
+    val top = base.orderBy(col("q").desc, col("doc_id")).limit(k + 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("q").desc, col("doc_id"))))
+    val tau = top.filter(col("rk") === k + 1).select(col("q").as("tau"))
+    top.filter(col("rk") <= k).crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), col("q"),
+        greatest(col("w"), col("tau")).as("w_est"))
+  }
+
   /** Temperature-flattened mixture resampling — the multilingual /
     * multi-source rebalancing step (the UniMax / mT5 τ=2 shape): a
     * stratum's sampling weight is sqrt of its size, so dominant

@@ -1307,6 +1307,37 @@ object TextQueries {
         ORDER BY stratum, pick_idx"""),
       desc = "systematic PPS sampling: token-proportional picks, exact count per stratum"),
 
+    // ── priority sampling (weighted, unbiased subset sums) ──────────
+    // Duffield-Lund-Thorup: top-k by q = w·2^32 div (h+1), threshold
+    // τ = the (k+1)-th priority, estimator max(w, τ). Scale notes on
+    // Corpus.prioritySample (TakeOrderedAndProject; the only window
+    // runs over the bounded k+1 frame).
+    "sample_priority" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.prioritySample directly.
+        Corpus.prioritySample(docs(s, dir), k = 64)
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH pr_b AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+          FROM documents),
+        pr_q AS (
+          SELECT doc_id, w, w * 4294967296 // (h + 1) AS q FROM pr_b),
+        pr_r AS (
+          SELECT doc_id, w, q,
+                 row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+          FROM pr_q),
+        pr_t AS (SELECT q AS tau FROM pr_r WHERE rk = 65)
+        SELECT r.doc_id, r.w, r.q, greatest(r.w, t.tau) AS w_est
+        FROM pr_r r CROSS JOIN pr_t t
+        WHERE r.rk <= 64
+        ORDER BY r.doc_id"""),
+      desc = "priority sampling: k weighted picks with the max(w, tau) unbiased estimator"),
+
     // ── quality-ranked token-budget selection ───────────────────────
     // The "fill the mix" step between scoring and packing: per
     // source, rank by stopword-ppm quality and take the prefix whose

@@ -1163,4 +1163,34 @@ class CorpusSpec extends SparkSuite {
     val again = Corpus.shardWrite(corpus, nShards = 4, dir).collect()
     assert(again.map(_.toSeq).toSeq === manifest.map(_.toSeq).toSeq)
   }
+
+  test("prioritySample matches an exact scalar reimplementation (top-k, tau, estimator)") {
+    val items = spark.range(1L, 201L)
+      .select($"id".as("doc_id"), ($"id" % 100L + 1L).as("wt"))
+    val got = Corpus.prioritySample(items, k = 16, tokens = col("wt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // reference: the same integer arithmetic, scalar Scala (positive
+    // Long `/` truncates exactly like Spark's `div`)
+    def h32(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val qs = (1L until 201L).map { id =>
+      val w = id % 100L + 1L
+      (id, w, w * 4294967296L / (h32(id) + 1L))
+    }
+    val ranked = qs.sortBy { case (id, _, q) => (-q, id) }
+    val tau = ranked(16)._3
+    val expect = ranked.take(16)
+      .map { case (id, w, q) => (id, w, q, math.max(w, tau)) }
+      .sortBy(_._1)
+    assert(got === expect)
+    // the DLT guarantee on this draw: every item with w > tau is kept
+    assert(qs.filter(_._2 > tau).forall(t => expect.exists(_._1 == t._1)))
+    assert(got.forall(r => r._4 >= r._2), "estimator max(w, tau) >= w")
+    // fewer than k+1 items -> no threshold -> empty (documented)
+    assert(Corpus.prioritySample(items.limit(10), k = 16,
+      tokens = col("wt")).count() === 0L)
+  }
 }

@@ -60,6 +60,7 @@ class PlanAuditSpec extends SparkSuite {
       "graph_linkpred_eval" -> "rank over the LIMIT-100 prediction frame",
       "e_ab_bootstrap" -> "rank over the bounded 32-replicate diff frame",
       "e_survival" -> "n-at-risk over the calendar-bounded duration frame",
+      "sample_priority" -> "rank over the LIMIT k+1 frame",
       "e_seasonality" -> "RANGE(±3d) over the calendar-bounded daily frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains)
