@@ -977,6 +977,85 @@ object Corpus extends org.apache.spark.internal.Logging {
     docs.filter(h < rate)
   }
 
+  /** TextRank extractive summarization (Mihalcea & Tarau, EMNLP
+    * 2004): rank a document's sentences by weighted PageRank over
+    * the sentence-similarity graph, keep the top `topK` as the
+    * summary. Sentences here are fixed `sentLen`-token windows (the
+    * synthetic corpus has no punctuation; real text splits on
+    * [.!?] first and the machinery below is unchanged). Similarity
+    * w(i,j) = |Wi ∩ Wj|·10^6 div (|Wi| + |Wj|) over distinct
+    * non-stopword tokens, edges kept at `minShared` shared words;
+    * `rounds` damped update steps in exact ppm arithmetic:
+    * score' = 150000 + 85·Σ_j (score_j·w_ji div wdeg_j) div 100.
+    *
+    * Scale shape: every stage is keyed by doc_id — the candidate
+    * self-join fans out per (doc_id, token) where multiplicity is
+    * bounded by sentences-per-document, never corpus-wide; the rank
+    * iteration joins are equi-keyed on (doc_id, sentence); the only
+    * windows are doc_id-partitioned. Isolated sentences keep the
+    * damping floor 150000 and still rank (a one-sentence doc yields
+    * its sentence).
+    *
+    * Returns (doc_id, sent_idx, score_ppm, rk ≤ topK). */
+  def textrank(docs: DataFrame, sentLen: Int = 12, topK: Int = 2,
+               rounds: Int = 2, minShared: Long = 2L,
+               stopwords: Seq[String] =
+                 Seq("the", "a", "of", "and", "to")): DataFrame = {
+    require(sentLen >= 1 && topK >= 1 && rounds >= 1,
+      "textrank: sentLen, topK, rounds must all be >= 1")
+    val sw = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .filter(!col("col").isin(stopwords: _*))
+      .select(col("doc_id"), expr(s"pos div $sentLen").cast("long").as("si"),
+        col("col").as("tok"))
+      .distinct()
+    val sizes = sw.groupBy(col("doc_id"), col("si"))
+      .agg(count(lit(1)).as("nw"))
+    val pairs = sw.as("x")
+      .join(sw.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("x.tok") === col("y.tok") && col("x.si") < col("y.si"))
+      .groupBy(col("x.doc_id").as("doc_id"),
+        col("x.si").as("si"), col("y.si").as("sj"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val wgt = pairs
+      .join(sizes.select(col("doc_id"), col("si"), col("nw").as("nwi")),
+        Seq("doc_id", "si"))
+      .join(sizes.select(col("doc_id"), col("si").as("sj"),
+        col("nw").as("nwj")), Seq("doc_id", "sj"))
+      .withColumn("w", expr("shared * 1000000L div (nwi + nwj)"))
+      .select(col("doc_id"), col("si"), col("sj"), col("w"))
+    val edges = wgt.select(col("doc_id"), col("si").as("src"),
+        col("sj").as("dst"), col("w"))
+      .unionByName(wgt.select(col("doc_id"), col("sj").as("src"),
+        col("si").as("dst"), col("w")))
+    val wdeg = edges.groupBy(col("doc_id"), col("src"))
+      .agg(sum(col("w")).as("wdeg"))
+    var score = sizes.select(col("doc_id"), col("si").as("node"),
+      lit(1000000L).as("score"))
+    (1 to rounds).foreach { _ =>
+      val contrib = edges
+        .join(score.select(col("doc_id"), col("node").as("src"),
+          col("score").as("s_src")), Seq("doc_id", "src"))
+        .join(wdeg, Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst"))
+        .agg(sum(expr("s_src * w div wdeg")).as("contrib"))
+      score = score
+        .join(contrib.select(col("doc_id"), col("dst").as("node"),
+          col("contrib")), Seq("doc_id", "node"), "left")
+        .select(col("doc_id"), col("node"),
+          expr("150000L + 85 * coalesce(contrib, 0L) div 100")
+            .as("score"))
+    }
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("node").asc)
+    score.withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("node").as("sent_idx"),
+        col("score").as("score_ppm"), col("rk"))
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): the
     * weighted-without-replacement scheme whose k-item sample carries
     * an UNBIASED estimator for any subset sum. Per item, priority

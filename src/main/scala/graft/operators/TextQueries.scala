@@ -1338,6 +1338,86 @@ object TextQueries {
         ORDER BY r.doc_id"""),
       desc = "priority sampling: k weighted picks with the max(w, tau) unbiased estimator"),
 
+    // ── TextRank extractive summarization ────────────────────────────
+    // Weighted PageRank over the per-doc sentence-similarity graph
+    // (12-token pseudo-sentences; scale notes on Corpus.textrank).
+    // The oracle unrolls the 2 damped ppm update rounds as CTEs, the
+    // graph_pagerank pattern.
+    "text_textrank" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.textrank directly.
+        Corpus.textrank(docs(s, dir), sentLen = 12, topK = 2, rounds = 2)
+          .orderBy(col("doc_id"), col("rk")),
+      oracle = Some("""
+        WITH tr_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(0, len(string_split(text, ' ')))) AS pos
+          FROM documents),
+        tr_w AS (
+          SELECT DISTINCT doc_id, CAST(pos // 12 AS BIGINT) AS si, tok
+          FROM tr_t
+          WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to')),
+        tr_n AS (
+          SELECT doc_id, si, CAST(count(*) AS BIGINT) AS nw
+          FROM tr_w GROUP BY 1, 2),
+        tr_p AS (
+          SELECT x.doc_id, x.si AS si, y.si AS sj,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM tr_w x
+          JOIN tr_w y ON x.doc_id = y.doc_id AND x.tok = y.tok
+                     AND x.si < y.si
+          GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        tr_g AS (
+          SELECT p.doc_id, p.si, p.sj,
+                 p.shared * 1000000 // (ni.nw + nj.nw) AS w
+          FROM tr_p p
+          JOIN tr_n ni ON ni.doc_id = p.doc_id AND ni.si = p.si
+          JOIN tr_n nj ON nj.doc_id = p.doc_id AND nj.si = p.sj),
+        tr_e AS (
+          SELECT doc_id, si AS src, sj AS dst, w FROM tr_g
+          UNION ALL
+          SELECT doc_id, sj AS src, si AS dst, w FROM tr_g),
+        tr_d AS (
+          SELECT doc_id, src, CAST(sum(w) AS BIGINT) AS wdeg
+          FROM tr_e GROUP BY 1, 2),
+        tr_r0 AS (
+          SELECT doc_id, si AS node, CAST(1000000 AS BIGINT) AS score
+          FROM tr_n),
+        tr_c1 AS (
+          SELECT e.doc_id, e.dst AS node,
+                 CAST(sum(r.score * e.w // d.wdeg) AS BIGINT) AS contrib
+          FROM tr_e e
+          JOIN tr_r0 r ON r.doc_id = e.doc_id AND r.node = e.src
+          JOIN tr_d d ON d.doc_id = e.doc_id AND d.src = e.src
+          GROUP BY 1, 2),
+        tr_r1 AS (
+          SELECT r.doc_id, r.node,
+                 150000 + 85 * COALESCE(c.contrib, 0) // 100 AS score
+          FROM tr_r0 r
+          LEFT JOIN tr_c1 c ON c.doc_id = r.doc_id AND c.node = r.node),
+        tr_c2 AS (
+          SELECT e.doc_id, e.dst AS node,
+                 CAST(sum(r.score * e.w // d.wdeg) AS BIGINT) AS contrib
+          FROM tr_e e
+          JOIN tr_r1 r ON r.doc_id = e.doc_id AND r.node = e.src
+          JOIN tr_d d ON d.doc_id = e.doc_id AND d.src = e.src
+          GROUP BY 1, 2),
+        tr_r2 AS (
+          SELECT r.doc_id, r.node,
+                 150000 + 85 * COALESCE(c.contrib, 0) // 100 AS score
+          FROM tr_r1 r
+          LEFT JOIN tr_c2 c ON c.doc_id = r.doc_id AND c.node = r.node),
+        tr_k AS (
+          SELECT doc_id, node AS sent_idx, score AS score_ppm,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, node) AS rk
+          FROM tr_r2)
+        SELECT doc_id, sent_idx, score_ppm, rk
+        FROM tr_k WHERE rk <= 2
+        ORDER BY doc_id, rk"""),
+      desc = "TextRank summarization: weighted ppm PageRank over per-doc sentence graphs"),
+
     // ── quality-ranked token-budget selection ───────────────────────
     // The "fill the mix" step between scoring and packing: per
     // source, rank by stopword-ppm quality and take the prefix whose
