@@ -133,6 +133,47 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
+  /** All-nodes k-NN GRAPH construction — the building block SemDeDup
+    * (Abbas et al. 2023), graph-based ANN, and graph clustering all
+    * start from: every vector gets its k nearest neighbors, candidates
+    * from the SAME sign-LSH banding as [[lshSearch]] (never
+    * all-pairs). Differs from lshSearch in the rerank shape: there is
+    * no small query side to broadcast — BOTH sides are the full
+    * corpus, so the exact-cosine rerank runs as two shuffle equi-joins
+    * on id, and the per-source top-k window partitions by src. At
+    * 100 TB: raise nPlanes/bands with corpus size exactly as the
+    * lshSearch scaladoc prescribes (bucket size n/2^bits is the knob
+    * that bounds the candidate fan-out); the banded frame and the
+    * (id, sv, nrm) projection both materialize once and feed the two
+    * join sides.
+    *
+    * Returns (src, rank ≤ k, dst, cosine); nodes whose buckets hold
+    * no other vector emit no rows (no neighbors found). */
+  def knnGraph(base: DataFrame, k: Int = 5, dim: Int = 64,
+               nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val proj = graft.Engine.materialize(
+      base.select(col("id"), col("sv"), col("nrm")),
+      key = "id", name = "knng_vec")
+    val banded = graft.Engine.materialize(
+      bandedSig(proj, dim, nPlanes, bands), key = "bv", name = "knng_sig")
+    val cands = banded.select(col("id").as("src"), col("band"), col("bv"))
+      .join(banded.select(col("id").as("dst"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    cands
+      .join(proj.select(col("id").as("src"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("src"))
+      .join(proj.select(col("id").as("dst"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("dst"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cosine"))
+  }
+
   /** Exact integer floor-sqrt: floor(sqrt(x)) for 0 <= x < 2^53.
     * IEEE sqrt is correctly rounded, so the double path agrees across
     * engines; the two CASE adjustments make the result exact even at
