@@ -365,6 +365,77 @@ object MultimodalQueries {
         FROM sp_s ORDER BY doc_id, seg_id"""),
       desc = "speech segments: VAD energy gate + gaps-islands run rollup"),
 
+    // ── audio: constellation fingerprinting (the Shazam scheme) ─────
+    // Wang 2003's landmark hashing over the same fake-PCM energy
+    // envelope as mm_audio_energy: PEAKS are windows whose energy
+    // strictly beats both neighbors (boundary windows beat the
+    // missing side by definition), each anchor peak pairs with every
+    // later peak inside a 4-window target zone, and the landmark
+    // hash packs (quantized-energy₁, quantized-energy₂, Δt) into one
+    // BIGINT — the key a retrieval index inverts. Per-clip windows
+    // are bounded (≤8 frames from the decode), so the lag/lead pass
+    // and the peak-pair self-join both ride ONE doc_id exchange with
+    // bounded fan-out; at 100 TB only the energy producer changes
+    // (real spectrogram bins in the same batch shape).
+    "mm_audio_fingerprint" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.ByteWindowFold.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"window_idx")
+        val peaks = docs(s, dir)
+          .withColumn("h",
+            concat(sha2($"text", 256), sha2(concat($"text", lit("x")), 256)))
+          .select($"doc_id", posexplode(expr(
+              "byte_window_fold(unhex(h), 8, 'sqdev128')"))
+            .as(Seq("window_idx", "energy")))
+          .withColumn("prev_e", lag($"energy", 1).over(w))
+          .withColumn("next_e", lead($"energy", 1).over(w))
+          .filter($"energy" > coalesce($"prev_e", lit(-1L)) &&
+            $"energy" > coalesce($"next_e", lit(-1L)))
+          .select($"doc_id", $"window_idx".cast("long").as("t"),
+            $"energy")
+        peaks.select($"doc_id", $"t".as("t1"), $"energy".as("e1"))
+          .join(peaks.select($"doc_id", $"t".as("t2"),
+            $"energy".as("e2")), Seq("doc_id"))
+          .filter($"t2" > $"t1" && $"t2" - $"t1" <= 4L)
+          .select($"doc_id", $"t1", $"t2",
+            expr("e1 div 4096 * 100000 + e2 div 4096 * 100 + (t2 - t1)")
+              .as("fp"))
+          .orderBy($"doc_id", $"t1", $"t2")
+      },
+      oracle = Some("""
+        WITH fp_a AS (
+          SELECT doc_id,
+                 sha256(text) || sha256(text || 'x') AS h
+          FROM documents),
+        fp_w AS (
+          SELECT doc_id, w.w AS window_idx,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   (('0x' || substr(h, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)
+                 * (('0x' || substr(h, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)))
+                   AS BIGINT) AS energy
+          FROM fp_a CROSS JOIN range(0, 8) w(w)),
+        fp_n AS (
+          SELECT doc_id, window_idx, energy,
+                 lag(energy) OVER (PARTITION BY doc_id
+                   ORDER BY window_idx) AS prev_e,
+                 lead(energy) OVER (PARTITION BY doc_id
+                   ORDER BY window_idx) AS next_e
+          FROM fp_w),
+        fp_p AS (
+          SELECT doc_id, CAST(window_idx AS BIGINT) AS t, energy
+          FROM fp_n
+          WHERE energy > COALESCE(prev_e, -1)
+            AND energy > COALESCE(next_e, -1))
+        SELECT a.doc_id, a.t AS t1, b.t AS t2,
+               a.energy // 4096 * 100000 + b.energy // 4096 * 100
+                 + (b.t - a.t) AS fp
+        FROM fp_p a JOIN fp_p b ON a.doc_id = b.doc_id
+        WHERE b.t > a.t AND b.t - a.t <= 4
+        ORDER BY a.doc_id, t1, t2"""),
+      desc = "audio constellation fingerprints: strict peaks + target-zone landmark hashes"),
+
     // ── video: scene-change detection over the frame sequence ───────
     // The shot-segmentation step a video pipeline runs before frame
     // dedup/captioning: a 128-byte fake video (four chained sha256
