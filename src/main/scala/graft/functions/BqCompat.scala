@@ -41,6 +41,22 @@ object BqCompat {
   /** BigQuery SAFE_DIVIDE: NULL on divide-by-zero. */
   def safeDivide(a: Column, b: Column): Column = try_divide(a, b)
 
+  /** Exact integer floor-sqrt: floor(sqrt(x)) for 0 <= x < 2^53.
+    * IEEE sqrt is correctly rounded, so the double path agrees across
+    * engines; the two CASE adjustments make the result exact even at
+    * perfect-square boundaries where floor(double) could land off by
+    * one ulp. DuckDB twin — the same adjustment chain:
+    * {{{
+    *   s0 AS (SELECT CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) ...),
+    *   s1 = CASE WHEN (s0+1)*(s0+1) <= x THEN s0+1 ELSE s0 END,
+    *   isqrt = CASE WHEN s1*s1 > x THEN s1-1 ELSE s1 END
+    * }}} */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast(DoubleType))).cast(LongType)
+    val s1 = when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L).otherwise(s0)
+    when(s1 * s1 > x, s1 - 1L).otherwise(s1)
+  }
+
   /** BigQuery TIMESTAMP_DIFF(later, earlier, SECOND). Note BigQuery's
     * argument order is (later, earlier) — kept here. */
   def timestampDiffSeconds(later: Column, earlier: Column): Column =

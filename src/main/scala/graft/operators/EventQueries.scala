@@ -2637,6 +2637,195 @@ object EventQueries {
                list(ratio_ppm ORDER BY ratio_ppm)[(count(*)+1)//2]
                  AS median_ratio_ppm
         FROM se_r GROUP BY dow ORDER BY dow"""),
-      desc = "ratio-to-moving-average day-of-week seasonal index (gap-aware RANGE frame)")
+      desc = "ratio-to-moving-average day-of-week seasonal index (gap-aware RANGE frame)"),
+
+    // ── calendar spine + LOCF gap fill ───────────────────────────────
+    // The time-series regularization every metrics store runs before
+    // charting or modeling: 40 user-bucket purchase series, a dense
+    // per-series day spine (sequence over the observed extent), LEFT
+    // join to mark gaps, then last-observation-carried-forward via
+    // last(ignore nulls) over the per-series day order, plus the gap
+    // age (days since the carried observation; observed days read 0,
+    // leading gaps stay NULL). Scale: the spine is series × calendar
+    // days (domain-bounded, generated — never shuffled from data);
+    // the fill window partitions by series.
+    "e_gap_fill" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .filter($"event_type" === "purchase")
+          .select(($"user_id" % 40L).as("series"),
+            (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            round($"value" * 100).cast(LongType).as("c"))
+          .groupBy($"series", $"day").agg(sum($"c").as("cents"))
+        val ext = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+        val spine = daily.select($"series").distinct()
+          .crossJoin(broadcast(ext))
+          .select($"series", explode(sequence($"d0", $"d1")).as("day"))
+        val wFill = Window.partitionBy($"series").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("series", "day"), "left")
+          .withColumn("filled_cents", last($"cents", ignoreNulls = true)
+            .over(wFill))
+          .withColumn("last_obs_day",
+            max(when($"cents".isNotNull, $"day")).over(wFill))
+          .select($"series", $"day", $"cents",
+            $"filled_cents", ($"day" - $"last_obs_day").as("gap_age"))
+          .orderBy($"series", $"day")
+      },
+      oracle = Some("""
+        WITH gf_d AS (
+          SELECT user_id % 40 AS series,
+                 (epoch_us(ts)//1000000)//86400 AS day,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1, 2),
+        gf_x AS (SELECT min(day) AS d0, max(day) AS d1 FROM gf_d),
+        gf_s AS (
+          SELECT s.series, unnest(generate_series(x.d0, x.d1)) AS day
+          FROM (SELECT DISTINCT series FROM gf_d) s
+          CROSS JOIN gf_x x),
+        gf_j AS (
+          SELECT s.series, s.day, d.cents
+          FROM gf_s s LEFT JOIN gf_d d
+            ON d.series = s.series AND d.day = s.day)
+        SELECT series, day, cents,
+               last_value(cents IGNORE NULLS) OVER (PARTITION BY series
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS filled_cents,
+               day - max(CASE WHEN cents IS NOT NULL THEN day END)
+                 OVER (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS gap_age
+        FROM gf_j ORDER BY series, day"""),
+      desc = "dense day spine + last-observation-carried-forward fill with gap age"),
+
+    // ── rolling exact median (spike detection) ───────────────────────
+    // Per event type: daily counts, trailing-7-row exact LOWER median
+    // (sorted frame list, 1-based pick at (n+1) div 2 — the
+    // engine-portable median both engines compute identically, no
+    // interpolation), trailing mean in ppm, and a spike flag when the
+    // day runs ≥50% above its trailing median. Windows partition by
+    // event_type over the calendar-bounded daily frame.
+    "a_rolling_median" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w7 = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(-6, Window.currentRow)
+        ev(s, dir)
+          .select($"event_type",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+          .withColumn("ws", sort_array(collect_list($"n").over(w7)))
+          .withColumn("med7",
+            expr("element_at(ws, CAST((size(ws) + 1) div 2 AS INT))"))
+          .withColumn("mean7_ppm", expr(
+            "aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+              " * 1000000 div size(ws)"))
+          .withColumn("spike", $"n" * 100L > $"med7" * 150L)
+          .select($"event_type", $"day", $"n", $"med7", $"mean7_ppm",
+            $"spike")
+          .orderBy($"event_type", $"day")
+      },
+      oracle = Some("""
+        WITH rm_d AS (
+          SELECT event_type, (epoch_us(ts)//1000000)//86400 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        rm_w AS (
+          SELECT event_type, day, n,
+                 list_sort(list(n) OVER (PARTITION BY event_type
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                   AS ws
+          FROM rm_d)
+        SELECT event_type, day, n,
+               ws[(len(ws)+1)//2] AS med7,
+               CAST(list_sum(ws) AS BIGINT) * 1000000 // len(ws)
+                 AS mean7_ppm,
+               n * 100 > ws[(len(ws)+1)//2] * 150 AS spike
+        FROM rm_w ORDER BY event_type, day"""),
+      desc = "trailing-7 exact lower median + ppm mean + spike flag per event type"),
+
+    // ── experiment power: minimum detectable effect ──────────────────
+    // The sample-size sanity check run BEFORE an A/B test: with the
+    // e_ab_test arm split, per-user purchase cents y, pooled variance
+    // from mean-CENTERED exact moments (the e_ab_cuped two-pass form
+    // — raw Σy² overflows where centered moments hold to 1e9 users),
+    // MDE at 80% power / 5% two-sided significance =
+    // 2.8·sqrt(2·s²/n̄) with n̄ the smaller arm (conservative), all
+    // through the exact integer isqrt (BqCompat.isqrt — the CASE
+    // chain makes the floor exact at perfect squares in both
+    // engines). Shape: one user_id shuffle, then 1-row frames.
+    "e_power_mde" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val per = ev(s, dir)
+          .select($"user_id",
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast(LongType)).otherwise(0L)
+              .as("cents"))
+          .groupBy($"user_id").agg(sum($"cents").as("y"))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        val m1 = per.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+        val mom = per.crossJoin(broadcast(m1))
+          .withColumn("yc", $"y" - expr("sy div n"))
+          .agg(sum($"yc" * $"yc").as("ss"), min($"n").as("n"),
+            sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n0"),
+            sum(when($"arm" =!= 0L, 1L).otherwise(0L)).as("n1"))
+        mom
+          .withColumn("var_cents2", expr("ss div (n - 1)"))
+          .withColumn("n_min", least($"n0", $"n1"))
+          .withColumn("se_x10", graft.functions.BqCompat.isqrt(
+            expr("200 * var_cents2 div n_min")))
+          .withColumn("mde_cents_x10", expr("28 * se_x10 div 10"))
+          .select($"n", $"n0", $"n1", $"var_cents2", $"se_x10",
+            $"mde_cents_x10")
+          .orderBy($"n")
+      },
+      oracle = Some("""
+        WITH pw_p AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value*100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM events GROUP BY user_id),
+        pw_1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy
+          FROM pw_p),
+        pw_m AS (
+          SELECT CAST(sum((p.y - o.sy // o.n) * (p.y - o.sy // o.n))
+                   AS BIGINT) AS ss,
+                 min(o.n) AS n,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n1
+          FROM pw_p p CROSS JOIN pw_1 o),
+        pw_v AS (
+          SELECT n, n0, n1, ss // (n - 1) AS var_cents2,
+                 least(n0, n1) AS n_min
+          FROM pw_m),
+        pw_s AS (
+          SELECT *, CAST(floor(sqrt(CAST(200 * var_cents2 // n_min
+                   AS DOUBLE))) AS BIGINT) AS s0,
+                 200 * var_cents2 // n_min AS arg
+          FROM pw_v),
+        pw_a AS (
+          SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= arg THEN s0 + 1
+                         ELSE s0 END AS s1
+          FROM pw_s),
+        pw_f AS (
+          SELECT *, CASE WHEN s1 * s1 > arg THEN s1 - 1 ELSE s1 END
+                   AS se_x10
+          FROM pw_a)
+        SELECT n, n0, n1, var_cents2, se_x10,
+               28 * se_x10 // 10 AS mde_cents_x10
+        FROM pw_f"""),
+      desc = "A/B power analysis: centered-moment variance, isqrt SE, 2.8-sigma MDE")
   )
 }

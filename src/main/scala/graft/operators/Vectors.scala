@@ -174,16 +174,10 @@ object Vectors {
       .select(col("src"), col("rank"), col("dst"), col("cosine"))
   }
 
-  /** Exact integer floor-sqrt: floor(sqrt(x)) for 0 <= x < 2^53.
-    * IEEE sqrt is correctly rounded, so the double path agrees across
-    * engines; the two CASE adjustments make the result exact even at
-    * perfect-square boundaries where floor(double) could land off by
-    * one ulp. */
-  private def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s0 = floor(sqrt(x.cast("double"))).cast("long")
-    val s1 = when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L).otherwise(s0)
-    when(s1 * s1 > x, s1 - 1L).otherwise(s1)
-  }
+  /** Exact integer floor-sqrt — the shared [[graft.functions.BqCompat.isqrt]]
+    * (promoted there so e_power_mde's standard-error math reuses it). */
+  private def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.BqCompat.isqrt(x)
 
   /** Maximum-inner-product search (MIPS) via the asymmetric
     * norm-augmentation reduction (Shrivastava & Li 2014; Neyshabur &
