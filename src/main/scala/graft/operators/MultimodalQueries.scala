@@ -436,6 +436,106 @@ object MultimodalQueries {
         ORDER BY a.doc_id, t1, t2"""),
       desc = "audio constellation fingerprints: strict peaks + target-zone landmark hashes"),
 
+    // ── audio: fingerprint MATCHING (the retrieval half of Shazam) ──
+    // Two clips per doc from one 96-byte payload (three sha256
+    // blocks): clip 2·doc reads bytes 0–63, clip 2·doc+1 reads bytes
+    // 8–71 — the same signal shifted one window, the "same recording,
+    // different start offset" case fingerprint matching exists for.
+    // Landmarks build exactly as mm_audio_fingerprint; MATCHES are
+    // equal landmark hashes across clips whose anchor-time DELTA is
+    // consistent (Wang 2003's histogram peak: group by (a, b,
+    // offset), keep pairs with ≥2 aligned landmarks). The landmark
+    // join is an equi-join on the hash — at 100 TB real spectral
+    // quantization makes the key space ~2^30 so per-hash fan-out
+    // stays bounded; here the 8-window toy keys collide more, and
+    // the ≥2-consistent-landmark gate is what keeps false pairs out.
+    "mm_audio_match" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.ByteWindowFold.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"clip_id").orderBy($"window_idx")
+        val payload = docs(s, dir)
+          .withColumn("h", concat(sha2($"text", 256),
+            sha2(concat($"text", lit("x")), 256),
+            sha2(concat($"text", lit("y")), 256)))
+        val clips = payload
+          .select(($"doc_id" * 2L).as("clip_id"),
+            substring($"h", 1, 128).as("ph"))
+          .unionByName(payload
+            .select(($"doc_id" * 2L + 1L).as("clip_id"),
+              substring($"h", 17, 128).as("ph")))
+        val peaks = clips
+          .select($"clip_id", posexplode(expr(
+              "byte_window_fold(unhex(ph), 8, 'sqdev128')"))
+            .as(Seq("window_idx", "energy")))
+          .withColumn("prev_e", lag($"energy", 1).over(w))
+          .withColumn("next_e", lead($"energy", 1).over(w))
+          .filter($"energy" > coalesce($"prev_e", lit(-1L)) &&
+            $"energy" > coalesce($"next_e", lit(-1L)))
+          .select($"clip_id", $"window_idx".cast("long").as("t"),
+            $"energy")
+        val lm = peaks.as("p1")
+          .join(peaks.as("p2"), $"p1.clip_id" === $"p2.clip_id" &&
+            $"p2.t" > $"p1.t" && $"p2.t" - $"p1.t" <= 4L)
+          .select($"p1.clip_id".as("clip_id"), $"p1.t".as("t1"),
+            expr("p1.energy div 4096 * 100000 + " +
+              "p2.energy div 4096 * 100 + (p2.t - p1.t)").as("fp"))
+        lm.as("a")
+          .join(lm.as("b"), $"a.fp" === $"b.fp" &&
+            $"a.clip_id" < $"b.clip_id")
+          .groupBy($"a.clip_id".as("clip_a"), $"b.clip_id".as("clip_b"),
+            ($"a.t1" - $"b.t1").as("t_offset"))
+          .agg(count(lit(1)).as("n_matches"))
+          .filter($"n_matches" >= 2L)
+          .withColumn("same_doc",
+            expr("clip_a div 2") === expr("clip_b div 2"))
+          .orderBy($"clip_a", $"clip_b", $"t_offset")
+      },
+      oracle = Some("""
+        WITH am_h AS (
+          SELECT doc_id, sha256(text) || sha256(text || 'x')
+                 || sha256(text || 'y') AS h
+          FROM documents),
+        am_c AS (
+          SELECT doc_id * 2 AS clip_id, substr(h, 1, 128) AS ph FROM am_h
+          UNION ALL
+          SELECT doc_id * 2 + 1, substr(h, 17, 128) FROM am_h),
+        am_w AS (
+          SELECT clip_id, w.w AS window_idx,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   (('0x' || substr(ph, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)
+                 * (('0x' || substr(ph, 16 * w.w + 2 * i + 1, 2))::BIGINT - 128)))
+                   AS BIGINT) AS energy
+          FROM am_c CROSS JOIN range(0, 8) w(w)),
+        am_n AS (
+          SELECT clip_id, window_idx, energy,
+                 lag(energy) OVER (PARTITION BY clip_id
+                   ORDER BY window_idx) AS prev_e,
+                 lead(energy) OVER (PARTITION BY clip_id
+                   ORDER BY window_idx) AS next_e
+          FROM am_w),
+        am_p AS (
+          SELECT clip_id, CAST(window_idx AS BIGINT) AS t, energy
+          FROM am_n
+          WHERE energy > COALESCE(prev_e, -1)
+            AND energy > COALESCE(next_e, -1)),
+        am_l AS (
+          SELECT a.clip_id, a.t AS t1,
+                 a.energy // 4096 * 100000 + b.energy // 4096 * 100
+                   + (b.t - a.t) AS fp
+          FROM am_p a JOIN am_p b ON a.clip_id = b.clip_id
+          WHERE b.t > a.t AND b.t - a.t <= 4)
+        SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+               a.t1 - b.t1 AS t_offset,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               a.clip_id // 2 = b.clip_id // 2 AS same_doc
+        FROM am_l a JOIN am_l b
+          ON a.fp = b.fp AND a.clip_id < b.clip_id
+        GROUP BY 1, 2, 3, 5 HAVING count(*) >= 2
+        ORDER BY clip_a, clip_b, t_offset"""),
+      desc = "audio fingerprint matching: offset-consistent landmark histogram peaks"),
+
     // ── video: scene-change detection over the frame sequence ───────
     // The shot-segmentation step a video pipeline runs before frame
     // dedup/captioning: a 128-byte fake video (four chained sha256
