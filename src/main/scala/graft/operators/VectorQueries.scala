@@ -325,6 +325,61 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5 ORDER BY src, rank"""),
       desc = "all-nodes k-NN graph: LSH-banded candidates, exact rerank, per-src top-k"),
 
+    // ── incremental k-NN graph refresh ──────────────────────────────
+    // O(batch) maintenance of vector_knn_graph: candidates only where
+    // a side is NEW, old kept lists merge + re-rank. EXACT by the
+    // top-k merge law (top-k(A∪B) = top-k(top-k(A)∪B)), so the
+    // oracle is the BATCH graph over old ∪ new — the strongest
+    // possible incremental check (row-for-row equality with the full
+    // rebuild). Scale notes on Vectors.knnGraphIncremental.
+    "vector_knn_graph_inc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val all = emb(s, dir).withColumn("id", $"vec_id")
+        val oldBase = all.filter($"id" < 400)
+        val newBatch = all.filter($"id" >= 400)
+        Vectors.knnGraphIncremental(oldBase, newBatch,
+            Vectors.knnGraph(oldBase, k = 5), k = 5)
+          .orderBy($"src", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        dims AS (
+          SELECT vec_id, r.i - 1 AS d, sv[r.i] AS v, k.k AS k
+          FROM base CROSS JOIN range(1, 65) r(i) CROSS JOIN range(0, 16) k(k)),
+        terms AS (
+          SELECT vec_id, k,
+            v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
+          FROM dims),
+        sums AS (SELECT vec_id, k, sum(term) AS s FROM terms GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id, sum(CASE WHEN s > 0
+            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+          FROM sums GROUP BY 1),
+        banded AS (
+          ${(0 until 4).map(b =>
+            s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bv FROM sig")
+            .mkString("\nUNION ALL\n")}),
+        cands AS (
+          SELECT DISTINCT q.vec_id AS src, c.vec_id AS dst
+          FROM banded q JOIN banded c ON q.band = c.band AND q.bv = c.bv
+          WHERE q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT cands.src, cands.dst,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM cands
+          JOIN base qv ON qv.vec_id = cands.src
+          JOIN base cv ON cv.vec_id = cands.dst),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY src
+                   ORDER BY cosine DESC, dst) AS rank
+          FROM scored)
+        SELECT src, rank, dst, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY src, rank"""),
+      desc = "incremental k-NN graph: new-touching candidates + kept-list re-rank ≡ full rebuild"),
+
     // ── MIPS: max-inner-product top-k (brute recall baseline) ───────
     // The recsys retrieval scoring: raw inner product, NOT cosine —
     // high-norm (popular) items legitimately outrank direction-closer

@@ -174,6 +174,60 @@ object Vectors {
       .select(col("src"), col("rank"), col("dst"), col("cosine"))
   }
 
+  /** Incremental k-NN-graph maintenance — the O(batch) daily refresh
+    * of [[knnGraph]] (the member every index family here carries).
+    * Candidate pairs are generated ONLY where a side is new: new
+    * nodes probe the full banded frame for their own lists, and an
+    * old node is touched only when a new node lands in one of its
+    * buckets. Old↔old pairs never regenerate — instead yesterday's
+    * kept edges merge with the new candidates and re-rank, which is
+    * EXACT by the top-k merge law: top-k(A ∪ B) =
+    * top-k(top-k(A) ∪ B), and `oldGraph` IS top-k(A) under the same
+    * (cosine DESC, dst) order. So the result equals the full
+    * [[knnGraph]] over oldBase ∪ newBatch row-for-row
+    * (VectorsApiSpec pins it), at candidate cost O(new-touching
+    * pairs) plus a row-linear re-rank of the kept lists.
+    *
+    * `oldBase`/`newBatch` carry (id, sv, nrm) from [[quantize]];
+    * `oldGraph` is a prior knnGraph/knnGraphIncremental result at the
+    * same k and banding. Returns (src, rank ≤ k, dst, cosine). */
+  def knnGraphIncremental(oldBase: DataFrame, newBatch: DataFrame,
+                          oldGraph: DataFrame, k: Int = 5, dim: Int = 64,
+                          nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.LongArrayDot.register(oldBase.sparkSession)
+    val all = oldBase.select(col("id"), col("sv"), col("nrm"))
+      .withColumn("_new", lit(false))
+      .unionByName(newBatch.select(col("id"), col("sv"), col("nrm"))
+        .withColumn("_new", lit(true)))
+    val proj = graft.Engine.materialize(all, key = "id",
+      name = "knng_inc_vec")
+    val banded = graft.Engine.materialize(
+      bandedSig(proj, dim, nPlanes, bands, carry = Seq("_new")),
+      key = "bv", name = "knng_inc_sig")
+    val cands = banded.select(col("id").as("src"), col("band"),
+        col("bv"), col("_new").as("src_new"))
+      .join(banded.select(col("id").as("dst"), col("band"), col("bv"),
+        col("_new").as("dst_new")), Seq("band", "bv"))
+      .filter(col("src") =!= col("dst") &&
+        (col("src_new") || col("dst_new")))
+      .select(col("src"), col("dst")).distinct()
+    val scored = cands
+      .join(proj.select(col("id").as("src"), col("sv").as("qv"),
+        col("nrm").as("qn")), Seq("src"))
+      .join(proj.select(col("id").as("dst"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("dst"))
+      .withColumn("cosine", cosine)
+      .select(col("src"), col("dst"), col("cosine"))
+    // disjoint by construction: oldGraph predates newBatch, so its
+    // (src, dst) pairs are old↔old; cands always touch a new side
+    scored.unionByName(oldGraph.select(col("src"), col("dst"),
+        col("cosine")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cosine"))
+  }
+
   /** Exact integer floor-sqrt — the shared [[graft.functions.BqCompat.isqrt]]
     * (promoted there so e_power_mde's standard-error math reuses it). */
   private def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

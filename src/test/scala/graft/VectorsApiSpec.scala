@@ -264,4 +264,26 @@ class VectorsApiSpec extends SparkSuite {
     assert(out.filter($"rank" === 1 && $"lift_x100" <= 100L).count() === 0)
     out.unpersist()
   }
+
+  test("knnGraphIncremental: ≡ full rebuild, none-new ≡ graph, backfill from empty ≡ batch") {
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select($"src", $"rank", $"dst").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oldBase = base.filter($"id" < 400)
+    val newBatch = base.filter($"id" >= 400)
+    val oldGraph = Vectors.knnGraph(oldBase, k = 5)
+    // the top-k merge law: incremental ≡ the full rebuild, row-for-row
+    assert(edges(Vectors.knnGraphIncremental(oldBase, newBatch,
+        oldGraph, k = 5)) === edges(Vectors.knnGraph(base, k = 5)),
+      "incremental refresh must equal the batch rebuild")
+    // none-new law: an empty batch leaves the graph unchanged
+    assert(edges(Vectors.knnGraphIncremental(oldBase,
+        newBatch.filter(lit(false)), oldGraph, k = 5)) ===
+      edges(oldGraph), "empty batch must be a no-op")
+    // backfill law: everything-new from an empty base is the batch path
+    assert(edges(Vectors.knnGraphIncremental(base.filter(lit(false)),
+        base, oldGraph.filter(lit(false)), k = 5)) ===
+      edges(Vectors.knnGraph(base, k = 5)),
+      "all-new backfill must equal the batch build")
+  }
 }
