@@ -813,6 +813,64 @@ object ScaleProbe {
           .groupBy(col("replicate"), col("arm"))
           .agg(sum(col("w")).as("wn"),
             sum(col("w") * col("cents")).as("wc"))
+      },
+      "knn_graph" -> { k =>
+        // all-nodes graph scaled by vectors: candidate pairs grow with
+        // bucket occupancy (n²/2^bits per band) — at FIXED banding the
+        // curve is superlinear in n by design; the production knob is
+        // raising bits with corpus size (lshSearch scaladoc). The
+        // probe pins the default-banding envelope at bench scale.
+        Vectors.knnGraph(embFrac(k), k = 5)
+      },
+      "knn_graph_inc" -> { k =>
+        // incremental refresh scaled by BATCH size at fixed old base:
+        // candidate pairs touch a new side only, so growth tracks the
+        // batch, not the corpus
+        val oldBase = emb.filter(col("vec_id") % 4 === 1)
+        val g = Vectors.knnGraph(oldBase, k = 5)
+        Vectors.knnGraphIncremental(oldBase,
+          embFrac(k).filter(col("vec_id") % 4 =!= 1), g, k = 5)
+      },
+      "textrank" -> { k =>
+        // per-doc sentence graphs scaled by docs: every stage is
+        // doc-keyed, so the curve must be row-linear
+        Corpus.textrank(docFrac(k), sentLen = 12, topK = 2, rounds = 2)
+      },
+      "survival" -> { k =>
+        // one user reduce + the calendar-bounded duration frame: the
+        // fold pairs are T² on a domain-bounded T, so growth must
+        // track the user scan
+        val days = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(col("user_id"),
+            (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+            col("event_type"), col("value"))
+        val perUser = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("first"),
+            min(when(col("event_type") === "purchase" &&
+              col("value") >= 200.0, col("day"))).as("pday"))
+        val horizon = days.agg(max(col("day")).as("m"))
+        val byT = perUser.crossJoin(broadcast(horizon))
+          .withColumn("evt",
+            when(col("pday").isNotNull, 1L).otherwise(0L))
+          .withColumn("dur", when(col("evt") === 1L,
+            col("pday") - col("first")).otherwise(col("m") - col("first")))
+          .groupBy(col("dur"))
+          .agg(sum(col("evt")).as("deaths"), count(lit(1)).as("ct"))
+        val f = byT.withColumn("n_risk", sum(col("ct")).over(
+            Window.orderBy(col("dur"))
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .withColumn("factor_ppm",
+            expr("(n_risk - deaths) * 1000000 div n_risk"))
+        val contrib = f.select(col("dur").as("f_dur"),
+          col("factor_ppm").as("f_factor"))
+        f.join(contrib, col("f_dur") <= col("dur"))
+          .groupBy(col("dur"))
+          .agg(sort_array(collect_list(struct(col("f_dur"),
+            col("f_factor")))).as("fs"))
+          .withColumn("s_ppm", expr(
+            "aggregate(transform(fs, r -> r.f_factor), " +
+              "CAST(1000000 AS BIGINT), (a, x) -> a * x div 1000000)"))
       })
 
     // warmup: absorb session/codegen/footer costs outside the timings
