@@ -1003,12 +1003,16 @@ object Corpus extends org.apache.spark.internal.Logging {
                  Seq("the", "a", "of", "and", "to")): DataFrame = {
     require(sentLen >= 1 && topK >= 1 && rounds >= 1,
       "textrank: sentLen, topK, rounds must all be >= 1")
-    val sw = docs
+    // the distinct sentence-word frame feeds THREE consumers (sizes,
+    // both pair-join sides) and the edge frame feeds every rank
+    // round + wdeg — materialize both so the explode/distinct and the
+    // candidate join run once (the minhashSigToks reuse class)
+    val sw = graft.Engine.materialize(docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .filter(!col("col").isin(stopwords: _*))
       .select(col("doc_id"), expr(s"pos div $sentLen").cast("long").as("si"),
         col("col").as("tok"))
-      .distinct()
+      .distinct(), key = "doc_id", name = "textrank_sw")
     val sizes = sw.groupBy(col("doc_id"), col("si"))
       .agg(count(lit(1)).as("nw"))
     val pairs = sw.as("x")
@@ -1026,10 +1030,12 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("nw").as("nwj")), Seq("doc_id", "sj"))
       .withColumn("w", expr("shared * 1000000L div (nwi + nwj)"))
       .select(col("doc_id"), col("si"), col("sj"), col("w"))
-    val edges = wgt.select(col("doc_id"), col("si").as("src"),
+    val edges = graft.Engine.materialize(
+      wgt.select(col("doc_id"), col("si").as("src"),
         col("sj").as("dst"), col("w"))
       .unionByName(wgt.select(col("doc_id"), col("sj").as("src"),
-        col("si").as("dst"), col("w")))
+        col("si").as("dst"), col("w"))),
+      key = "doc_id", name = "textrank_edges")
     val wdeg = edges.groupBy(col("doc_id"), col("src"))
       .agg(sum(col("w")).as("wdeg"))
     var score = sizes.select(col("doc_id"), col("si").as("node"),
