@@ -102,6 +102,61 @@ object StreamingModels {
         expr("(2L * n0 - n) * (2L * n0 - n) * 100L div n"))
       .withColumn("srm", col("chi2_x100") > 384L)
 
+  /** Streaming priority-sample partials — the streaming twin of
+    * `Corpus.prioritySample` (Duffield-Lund-Thorup), run continuously
+    * over an ingest stream so a weighted representative sample of
+    * everything seen so far is always on hand. Top-k by priority is a
+    * bounded-state mergeable aggregate: each of 16 hash shards keeps
+    * its own top-(k+1) heap (`topk_min` over the NEGATED priority,
+    * so the k+1 largest survive with the batch path's (q DESC,
+    * doc_id) tie-break), and any globally-top row is by construction
+    * inside its shard's partial — sharded partials are lossless.
+    * State per shard is k+1 structs. Replay safety: priority q is a
+    * PURE function of (doc_id, w), so an at-least-once redelivery
+    * re-inserts a byte-identical struct; the heap may briefly hold
+    * the duplicate, and [[prioritySampleFinalize]]'s DISTINCT
+    * collapses it — doubling the partials changes nothing
+    * (StreamingSpec pins it). Works on batch or streaming input.
+    *
+    * Returns one row per shard: (shard, tk ARRAY<STRUCT<nq, doc_id,
+    * w, q>>). Complete output mode — the partial IS the state. */
+  def prioritySamplePartialsStream(docs: DataFrame, k: Int = 64)
+      : DataFrame = {
+    graft.functions.TopKAgg.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .withColumn("_h", expr("CAST(conv(substring(md5(" +
+        "CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("q", expr("w * 4294967296L div (_h + 1L)"))
+      .withColumn("shard", expr("_h % 16"))
+      .groupBy(col("shard"))
+      .agg(expr(s"topk_min(struct(-q AS nq, doc_id, w, q), ${k + 1})")
+        .as("tk"))
+  }
+
+  /** Finalize [[prioritySamplePartialsStream]] partials into the
+    * batch sample: explode, DISTINCT (replay dedup — see above),
+    * global top-(k+1) re-rank, threshold τ = the (k+1)-th priority,
+    * estimator max(w, τ). Equals `Corpus.prioritySample` over the
+    * same corpus row-for-row (StreamingSpec). The re-rank runs over
+    * ≤ 16·(k+1) partial rows — a bounded frame. */
+  def prioritySampleFinalize(partials: DataFrame, k: Int = 64)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = partials.select(explode(col("tk")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.w").as("w"),
+        col("r.q").as("q"))
+      .distinct()
+    val top = rows.orderBy(col("q").desc, col("doc_id")).limit(k + 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("q").desc, col("doc_id"))))
+    val tau = top.filter(col("rk") === k + 1).select(col("q").as("tau"))
+    top.filter(col("rk") <= k).crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), col("q"),
+        greatest(col("w"), col("tau")).as("w_est"))
+  }
+
   /** Streaming frozen-codebook cell assignment — the streaming twin
     * of `Vectors.kmeansAssignIncremental` (the vector-index family's
     * daily refresh, run continuously): newly ingested vectors assign

@@ -543,6 +543,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming priority-sample partials finalize to the batch sample") {
+    val docs = Sources.table(spark, sf(), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_prio")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamingModels.prioritySamplePartialsStream(stream, k = 64)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("prio_partials").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("prio_partials")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id", $"w", $"q", $"w_est").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+      // finalized sample ≡ the batch operator row-for-row
+      val fin = rows(StreamingModels.prioritySampleFinalize(got, k = 64))
+      val batch = rows(graft.operators.Corpus.prioritySample(docs, k = 64))
+      assert(fin.nonEmpty && fin === batch,
+        "streamed sample must equal the batch prioritySample")
+      // replay safety: doubling the partials changes NOTHING (q is a
+      // pure function of the row; the finalize DISTINCT collapses it)
+      val replayed = rows(StreamingModels.prioritySampleFinalize(
+        got.union(got), k = 64))
+      assert(replayed === fin, "finalize must be replay-idempotent")
+    } finally q.stop()
+  }
+
   test("streaming CMS partials sum-merge to >= exact estimates (batch parity)") {
     val batch = Sources.table(spark, sf(), "events")
     val batchPartials = StreamingModels.cmsPartialsStream(batch)
