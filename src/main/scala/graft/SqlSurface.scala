@@ -332,6 +332,12 @@ object SqlSurface {
     *    retrieval at any query-term array and cutoff; same hash
     *    embeddings and `long_dot` codegen scoring as
     *    [[graft.operators.Corpus.maxsimSearch]].
+    *  - `corpus_priority_sample(k)` — Duffield-Lund-Thorup priority
+    *    sampling at any k; identical draw/threshold/estimator
+    *    arithmetic to [[graft.operators.Corpus.prioritySample]].
+    *    (The SQL body ranks with one global window — the SQL
+    *    convenience surface; the Scala path's TakeOrderedAndProject
+    *    top-(k+1) is the 100 TB shape.)
     *
     * SqlSurfaceSpec pins each ≡ the Scala calls at NON-default
     * parameters. */
@@ -418,6 +424,23 @@ object SqlSurface {
       rk AS (SELECT doc_id, maxsim, row_number() OVER
                (ORDER BY maxsim DESC, doc_id) AS rank FROM sc)
       SELECT doc_id, maxsim FROM rk WHERE rank <= top_k
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION corpus_priority_sample(k INT)
+      RETURNS TABLE
+      RETURN
+      WITH b AS (
+        SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS w,
+               CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+                 16, 10) AS BIGINT) AS h
+        FROM documents),
+      q AS (SELECT doc_id, w, w * 4294967296 div (h + 1) AS q FROM b),
+      r AS (SELECT doc_id, w, q,
+                   row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+            FROM q),
+      t AS (SELECT q AS tau FROM r WHERE rk = k + 1)
+      SELECT r.doc_id, r.w, r.q, greatest(r.w, t.tau) AS w_est
+      FROM r CROSS JOIN t WHERE r.rk <= k
     """)
   }
 }

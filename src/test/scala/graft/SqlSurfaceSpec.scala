@@ -193,6 +193,13 @@ class SqlSurfaceSpec extends SparkSuite {
       .maxsimSearch(docs, msTerms, topK = 5)
       .collect().map(_.toSeq)
     assert(sqlMs.length === 5 && sqlMs.toSeq === scalaMs.toSeq)
+    // priority sampling at a NON-default k (Scala query uses 64)
+    val sqlPr = spark.sql(
+      "SELECT doc_id, w, q, w_est FROM corpus_priority_sample(17) " +
+        "ORDER BY doc_id").collect().map(_.toSeq)
+    val scalaPr = graft.operators.Corpus.prioritySample(docs, k = 17)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(sqlPr.length === 17 && sqlPr.toSeq === scalaPr.toSeq)
   }
 
   test("every declared mta source is itself queryable from SQL") {
