@@ -1062,6 +1062,50 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("score").as("score_ppm"), col("rk"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary trick —
+    * Muthitacharoen et al., SOSP 2001): chunk boundaries fall where a
+    * rolling content hash of the last 3 tokens lands in a 1-in-16
+    * residue class, so an insertion early in a document SHIFTS later
+    * token positions but not later chunk boundaries — fixed-width
+    * chunking (text_chunk) loses all downstream chunks to one edit,
+    * CDC loses one. The per-chunk sha then makes cross-document
+    * duplicated PASSAGES an exact group-by, the storage-dedup shape
+    * applied to corpus curation. Expected chunk length = the residue
+    * modulus (16 tokens).
+    *
+    * Everything is doc_id-keyed (lag windows, the island rollup);
+    * the sha-count join shuffles once on the chunk hash. Returns
+    * (doc_id, chunk_idx, start_pos, n_toks, chunk_sha,
+    * n_docs_sharing). */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+    val marked = toks
+      .withColumn("t1", lag(col("tok"), 1).over(w))
+      .withColumn("t2", lag(col("tok"), 2).over(w))
+      .withColumn("m", when(col("pos") >= 2 &&
+        expr("CAST(conv(substring(md5(concat_ws(' ', t2, t1, tok)), " +
+          "1, 8), 16, 10) AS BIGINT) % 16") === 0L, 1L).otherwise(0L))
+      // a boundary token CLOSES its chunk: the next token starts a
+      // new one, so the chunk id is the EXCLUSIVE running boundary
+      // count
+      .withColumn("chunk_idx", coalesce(sum(col("m")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = marked.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_toks"),
+        sha2(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          r => r.getField("tok")), " "), 256).as("chunk_sha"))
+    val sharing = chunks.groupBy(col("chunk_sha"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+    chunks.join(sharing, Seq("chunk_sha"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        col("n_toks"), col("chunk_sha"), col("n_docs_sharing"))
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): the
     * weighted-without-replacement scheme whose k-item sample carries
     * an UNBIASED estimator for any subset sum. Per item, priority

@@ -2826,6 +2826,66 @@ object EventQueries {
         SELECT n, n0, n1, var_cents2, se_x10,
                28 * se_x10 // 10 AS mde_cents_x10
         FROM pw_f"""),
-      desc = "A/B power analysis: centered-moment variance, isqrt SE, 2.8-sigma MDE")
+      desc = "A/B power analysis: centered-moment variance, isqrt SE, 2.8-sigma MDE"),
+
+    // ── exact Gini coefficient (histogram-first) ─────────────────────
+    // Spend-concentration inequality per event type, the a_mad shape:
+    // group users by their exact cents VALUE first, then the sorted
+    // cumsum runs over the bounded value domain — never a row-scale
+    // sort. With ties grouped, Σᵢ i·yᵢ over a value v spanning ranks
+    // (r, r+c] is v·(c·r + c·(c+1)/2), so
+    // G = (2·Σ − (n+1)·S) / (n·S) is exact integer ppm. Overflow
+    // bound: Σᵢ i·yᵢ ≤ n·S — fine to ~10⁹ user-cents products; beyond
+    // that compute per cohort and average. Zero-spend users count
+    // (they ARE the inequality); an all-zero type yields NULL (0/0).
+    "a_gini" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val perUser = ev(s, dir)
+          .select($"event_type", $"user_id",
+            round($"value" * 100).cast(LongType).as("cents"))
+          .groupBy($"event_type", $"user_id")
+          .agg(sum($"cents").as("y"))
+        val hist = perUser.groupBy($"event_type", $"y")
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy($"event_type").orderBy($"y")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("r", coalesce(sum($"c").over(wCum), lit(0L)))
+          .withColumn("a", expr("y * (c * r + c * (c + 1) div 2)"))
+          .groupBy($"event_type")
+          .agg(sum(expr("c")).as("n"), sum(expr("y * c")).as("s"),
+            sum($"a").as("aa"))
+          .withColumn("gini_ppm",
+            expr("(2 * aa - (n + 1) * s) * 1000000 div nullif(n * s, 0)"))
+          .select($"event_type", $"n", $"s".as("sum_cents"), $"gini_ppm")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH gi_u AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS y
+          FROM events GROUP BY 1, 2),
+        gi_h AS (
+          SELECT event_type, y, CAST(count(*) AS BIGINT) AS c
+          FROM gi_u GROUP BY 1, 2),
+        gi_r AS (
+          SELECT event_type, y, c,
+                 COALESCE(CAST(sum(c) OVER (PARTITION BY event_type
+                   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), 0) AS r
+          FROM gi_h),
+        gi_a AS (
+          SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(y * c) AS BIGINT) AS s,
+                 CAST(sum(y * (c * r + c * (c + 1) // 2)) AS BIGINT)
+                   AS aa
+          FROM gi_r GROUP BY 1)
+        SELECT event_type, n, s AS sum_cents,
+               CAST((2 * aa - (n + 1) * s) * 1000000
+                 // NULLIF(n * s, 0) AS BIGINT) AS gini_ppm
+        FROM gi_a ORDER BY event_type"""),
+      desc = "exact Gini spend concentration per event type (grouped-ties histogram form)")
   )
 }

@@ -1418,6 +1418,59 @@ object TextQueries {
         ORDER BY doc_id, rk"""),
       desc = "TextRank summarization: weighted ppm PageRank over per-doc sentence graphs"),
 
+    // ── content-defined chunking + cross-doc passage dedup ──────────
+    // Rolling-hash boundaries (1-in-16 residue over the last 3
+    // tokens) make chunk edges edit-stable where text_chunk's fixed
+    // windows are not; the chunk sha turns duplicated passages into
+    // an exact group-by. Scale notes on Corpus.cdcChunks.
+    "text_cdc_chunks" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.cdcChunks directly.
+        Corpus.cdcChunks(docs(s, dir))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      oracle = Some("""
+        WITH cd_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(0, len(string_split(text, ' ')))) AS pos
+          FROM documents),
+        cd_l AS (
+          SELECT doc_id, pos, tok,
+                 lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS t1,
+                 lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS t2
+          FROM cd_t),
+        cd_m AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN pos >= 2 AND
+                   ('0x' || substr(md5(concat_ws(' ', t2, t1, tok)),
+                     1, 8))::BIGINT % 16 = 0
+                 THEN 1 ELSE 0 END AS m
+          FROM cd_l),
+        cd_c AS (
+          SELECT doc_id, pos, tok,
+                 COALESCE(CAST(sum(m) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), 0) AS chunk_idx
+          FROM cd_m),
+        cd_k AS (
+          SELECT doc_id, chunk_idx,
+                 CAST(min(pos) AS BIGINT) AS start_pos,
+                 CAST(count(*) AS BIGINT) AS n_toks,
+                 sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_sha
+          FROM cd_c GROUP BY 1, 2),
+        cd_s AS (
+          SELECT chunk_sha,
+                 CAST(count(DISTINCT doc_id) AS BIGINT)
+                   AS n_docs_sharing
+          FROM cd_k GROUP BY 1)
+        SELECT k.doc_id, k.chunk_idx, k.start_pos, k.n_toks,
+               k.chunk_sha, s.n_docs_sharing
+        FROM cd_k k JOIN cd_s s USING (chunk_sha)
+        ORDER BY k.doc_id, k.chunk_idx"""),
+      desc = "content-defined chunking: edit-stable rolling-hash boundaries + passage dedup"),
+
     // ── quality-ranked token-budget selection ───────────────────────
     // The "fill the mix" step between scoring and packing: per
     // source, rank by stopword-ppm quality and take the prefix whose

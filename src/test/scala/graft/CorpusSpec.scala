@@ -1164,6 +1164,32 @@ class CorpusSpec extends SparkSuite {
     assert(again.map(_.toSeq).toSeq === manifest.map(_.toSeq).toSeq)
   }
 
+  test("cdcChunks: boundaries are edit-stable — an early insertion re-aligns") {
+    // distinct tokens so no chunk repeats by accident; doc 2 is doc 1
+    // with ONE token inserted at the front (the edit fixed-width
+    // chunking cannot absorb: every downstream window shifts)
+    val a = (1 to 300).map(i => s"w$i").mkString(" ")
+    val two = Seq((1L, a), (2L, "zzz " + a)).toDF("doc_id", "text")
+    val out = Corpus.cdcChunks(two).collect()
+    def shas(id: Long) = out.filter(_.getLong(0) == id)
+      .map(_.getString(4)).toSet
+    val shared = shas(1L) intersect shas(2L)
+    assert(shared.nonEmpty,
+      "CDC boundaries must re-align after an early insertion")
+    // the shared passages are visible as cross-doc duplicates
+    assert(out.filter(r => shared.contains(r.getString(4)))
+      .forall(_.getLong(5) === 2L))
+    // the un-shared head exists on both sides (the one lost chunk)
+    assert((shas(1L) diff shas(2L)).nonEmpty &&
+      (shas(2L) diff shas(1L)).nonEmpty)
+    // fixed-width windows share NOTHING under the same edit — the
+    // contrast that motivates CDC
+    val fixedA = a.split(" ").grouped(16).map(_.mkString(" ")).toSet
+    val fixedB = ("zzz " + a).split(" ").grouped(16)
+      .map(_.mkString(" ")).toSet
+    assert((fixedA intersect fixedB).isEmpty)
+  }
+
   test("prioritySample matches an exact scalar reimplementation (top-k, tau, estimator)") {
     val items = spark.range(1L, 201L)
       .select($"id".as("doc_id"), ($"id" % 100L + 1L).as("wt"))
