@@ -380,6 +380,61 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5 ORDER BY src, rank"""),
       desc = "incremental k-NN graph: new-touching candidates + kept-list re-rank ≡ full rebuild"),
 
+    // ── attribute-filtered ANN (same-label search) ──────────────────
+    // knn_lsh with a metadata constraint: the filter value joins into
+    // the candidate bucket key, i.e. pre-filtered per-label banding.
+    // Scale notes on Vectors.filteredSearch.
+    "vector_filtered_search" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Vectors.filteredSearch directly.
+        Vectors.filteredSearch(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, filterCol = "label", k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        dims AS (
+          SELECT vec_id, r.i - 1 AS d, sv[r.i] AS v, k.k AS k
+          FROM base CROSS JOIN range(1, 65) r(i) CROSS JOIN range(0, 16) k(k)),
+        terms AS (
+          SELECT vec_id, k,
+            v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
+          FROM dims),
+        sums AS (SELECT vec_id, k, sum(term) AS s FROM terms GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id, sum(CASE WHEN s > 0
+            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+          FROM sums GROUP BY 1),
+        lbl AS (
+          SELECT g.vec_id, g.sig, b.label FROM sig g
+          JOIN base b ON b.vec_id = g.vec_id),
+        banded AS (
+          ${(0 until 4).map(b =>
+            s"SELECT vec_id, label, $b AS band, (sig >> ${4 * b}) & 15 AS bv FROM lbl")
+            .mkString("\nUNION ALL\n")}),
+        cands AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM banded q JOIN banded c ON q.band = c.band AND q.bv = c.bv
+            AND q.label = c.label
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT cands.query_id, cands.cand_id,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM cands
+          JOIN base qv ON qv.vec_id = cands.query_id
+          JOIN base cv ON cv.vec_id = cands.cand_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "attribute-filtered ANN: the filter value rides the candidate bucket key"),
+
     // ── MIPS: max-inner-product top-k (brute recall baseline) ───────
     // The recsys retrieval scoring: raw inner product, NOT cosine —
     // high-norm (popular) items legitimately outrank direction-closer

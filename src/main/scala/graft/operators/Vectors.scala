@@ -174,6 +174,53 @@ object Vectors {
       .select(col("src"), col("rank"), col("dst"), col("cosine"))
   }
 
+  /** Attribute-FILTERED ANN (the "filtered vector search" every
+    * production store grows: top-k among candidates satisfying a
+    * metadata predicate — here equality on `filterCol`, the
+    * same-label case). Post-filter strategy over the shared sign-LSH
+    * banding: the filter column rides the banded frame (the `carry`
+    * hook), candidate pairs must match BOTH (band, bv) and the
+    * filter value, then the exact rerank is unchanged. At high
+    * filter selectivity post-filtering starves buckets and recall
+    * drops — the production counter-move is PRE-filtered per-value
+    * banding (bucket by (filterCol, band, bv)), which this plan
+    * already is: the filter value participates in the candidate
+    * equi-join key, so Catalyst shuffles once on the composite key
+    * and a per-label index materialization is the same frame
+    * bucketed differently. Returns (query_id, rank ≤ k, cand_id,
+    * cosine). */
+  def filteredSearch(base: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                     filterCol: String, k: Int = 5, dim: Int = 64,
+                     nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val proj = graft.Engine.materialize(
+      base.select(col("id"), col("sv"), col("nrm"), col(filterCol)),
+      key = "id", name = "flt_vec")
+    val banded = graft.Engine.materialize(
+      bandedSig(proj, dim, nPlanes, bands, carry = Seq(filterCol)),
+      key = "bv", name = "flt_sig")
+    val qIds = base.filter(queryFilter).select(col("id"))
+    val qb = banded.join(qIds, Seq("id"), "left_semi")
+      .select(col("id").as("query_id"), col("band"), col("bv"),
+        col(filterCol))
+    val cands = qb
+      .join(banded.select(col("id").as("cand_id"), col("band"),
+        col("bv"), col(filterCol)), Seq("band", "bv", filterCol))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    cands
+      .join(broadcast(proj.join(qIds, Seq("id"), "left_semi")
+        .select(col("id").as("query_id"), col("sv").as("qv"),
+          col("nrm").as("qn"))), Seq("query_id"))
+      .join(proj.select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
   /** Incremental k-NN-graph maintenance — the O(batch) daily refresh
     * of [[knnGraph]] (the member every index family here carries).
     * Candidate pairs are generated ONLY where a side is new: new
