@@ -1471,6 +1471,45 @@ object TextQueries {
         ORDER BY k.doc_id, k.chunk_idx"""),
       desc = "content-defined chunking: edit-stable rolling-hash boundaries + passage dedup"),
 
+    // ── the hashing trick (feature hashing) ──────────────────────────
+    // Weinberger et al., ICML 2009: token features hash into a fixed
+    // 1024-bucket space with a ±1 sign bit from an independent hash
+    // slice, so collisions cancel in expectation and the featurizer
+    // needs NO vocabulary pass — the property that makes it the
+    // out-of-core text featurizer (vs text_tfidf's dictionary).
+    // Pure scan-shape: one md5 per token occurrence, one (doc,
+    // bucket) combine; no joins, no state, trivially 100 TB.
+    "f_feature_hash" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .filter($"doc_id" < 60)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+          .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), " +
+            "16, 10) AS BIGINT)"))
+          .withColumn("bucket", expr("h % 1024"))
+          .withColumn("sgn", expr("(h div 1024) % 2 * 2 - 1"))
+          .groupBy($"doc_id", $"bucket")
+          .agg(sum($"sgn").as("feat"), count(lit(1)).as("n_toks"))
+          .filter($"feat" =!= 0L)
+          .orderBy($"doc_id", $"bucket")
+      },
+      oracle = Some("""
+        WITH fh_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id < 60),
+        fh_h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+          FROM fh_t)
+        SELECT doc_id, h % 1024 AS bucket,
+               CAST(sum((h // 1024) % 2 * 2 - 1) AS BIGINT) AS feat,
+               CAST(count(*) AS BIGINT) AS n_toks
+        FROM fh_h
+        GROUP BY 1, 2 HAVING sum((h // 1024) % 2 * 2 - 1) <> 0
+        ORDER BY doc_id, bucket"""),
+      desc = "hashing-trick featurizer: 1024 signed buckets, no vocabulary pass"),
+
     // ── quality-ranked token-budget selection ───────────────────────
     // The "fill the mix" step between scoring and packing: per
     // source, rank by stopword-ppm quality and take the prefix whose
