@@ -236,4 +236,26 @@ class EmptyInputSpec extends SparkSuite {
     assert(rw === 0 && unt === 4, s"($rw, $unt)")
     assert(spark.read.parquet(out).count() === li.count())
   }
+
+  test("round-11 public APIs degrade cleanly on empty inputs") {
+    import org.apache.spark.sql.functions._
+    val noDocs = Seq((1L, "a b c")).toDF("doc_id", "text").limit(0)
+    // textrank: no docs → no sentences → no summary rows
+    assert(graft.operators.Corpus.textrank(noDocs).count() === 0)
+    // CDC chunking: no docs → no chunks
+    assert(graft.operators.Corpus.cdcChunks(noDocs).count() === 0)
+    // priority sampling: empty corpus has no (k+1)-th threshold →
+    // empty sample (documented estimator-undefined case)
+    assert(graft.operators.Corpus.prioritySample(noDocs, k = 8)
+      .count() === 0)
+    val base = graft.operators.Vectors
+      .quantize(Sources.table(spark, sf(), "embeddings"))
+      .withColumn("id", $"vec_id")
+    // knn graph: empty corpus → empty graph; empty batch against a
+    // real graph is already law-pinned in VectorsApiSpec
+    assert(graft.operators.Vectors.knnGraph(empty(base)).count() === 0)
+    // filtered ANN: empty QUERY side → no results, no throw
+    assert(graft.operators.Vectors.filteredSearch(base,
+      queryFilter = lit(false), filterCol = "label").count() === 0)
+  }
 }
