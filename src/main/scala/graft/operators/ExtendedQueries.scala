@@ -107,6 +107,14 @@ object ExtendedQueries {
       .union(e0.select(col("p").as("src"), col("c").as("dst")))
   }
 
+  /** dq_fd's candidate pairs: the declared key against each attribute
+    * plus every ordered attribute pair — the full first-order FD
+    * lattice over the profiled column set. */
+  private val fdCols =
+    Seq("o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+  private val fdPairs: Seq[(String, String)] =
+    ("o_orderkey" +: fdCols).flatMap(a => fdCols.filter(_ != a).map(a -> _))
+
   val queries: Map[String, Q] = Map(
 
     // ── A12: ROLLUP with grouping_id ────────────────────────────────
@@ -384,6 +392,49 @@ object ExtendedQueries {
     // MUST catch (the e_srm broken-twin convention). Each check is
     // one equi-join: bounded parents broadcast, the lineitem→orders
     // probe shuffles on the join key — nothing here fans out.
+    // ── functional-dependency discovery (schema profiling) ──────────
+    // The Metanome-class profiling primitive: for each ordered column
+    // pair (A, B), A→B holds iff no A-value maps to two B-values.
+    // Checked grouped (groupBy A, countDistinct B per group, then a
+    // 1-row rollup) — ONE distinct per aggregate level, so no Expand
+    // (the CLAUDE multi-distinct invariant), and the violation detail
+    // (how many A-values break it, the worst fan-out) comes free.
+    // 16 candidate pairs = 16 independent scans of the orders
+    // projection — embarrassingly parallel, no cross-pair state.
+    "dq_fd" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        fdPairs.map { case (a, b) =>
+          o.select(col(a).cast(StringType).as("lhs_v"),
+              col(b).cast(StringType).as("rhs_v"))
+            .groupBy($"lhs_v").agg(countDistinct($"rhs_v").as("k"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when($"k" > 1L, 1L).otherwise(0L)).as("n_violating"),
+              max($"k").as("max_rhs"))
+            .withColumn("lhs", lit(a)).withColumn("rhs", lit(b))
+        }.reduce(_ unionByName _)
+          .withColumn("holds", $"max_rhs" === 1L)
+          .select($"lhs", $"rhs", $"n_lhs", $"n_violating", $"max_rhs",
+            $"holds")
+          .orderBy($"lhs", $"rhs")
+      },
+      oracle = Some(s"""
+        SELECT * FROM (
+        ${fdPairs.map { case (a, b) => s"""
+          SELECT '$a' AS lhs, '$b' AS rhs,
+                 CAST(count(*) AS BIGINT) AS n_lhs,
+                 CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 CAST(max(k) AS BIGINT) AS max_rhs,
+                 max(k) = 1 AS holds
+          FROM (SELECT CAST($a AS VARCHAR) AS g,
+                       count(DISTINCT CAST($b AS VARCHAR)) AS k
+                FROM orders GROUP BY 1) t_$a$b"""
+        }.mkString("\nUNION ALL\n")})
+        ORDER BY lhs, rhs"""),
+      desc = "functional-dependency discovery over orders: holds/violations per column pair"),
+
     "dq_referential" -> Q(
       fn = (s, dir) => {
         import s.implicits._
