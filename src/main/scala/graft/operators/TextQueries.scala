@@ -1510,6 +1510,57 @@ object TextQueries {
         ORDER BY doc_id, bucket"""),
       desc = "hashing-trick featurizer: 1024 signed buckets, no vocabulary pass"),
 
+    // ── corpus-adaptive stopword discovery ───────────────────────────
+    // The fixed English stopword lists the quality/RAKE/canonical
+    // operators take as parameters fail on new domains/languages; at
+    // 100 TB the list is DISCOVERED: a token is stopword-like when it
+    // appears in a large fraction of documents (df ratio) AND repeats
+    // within them (mean tf). One distinct-pair agg + one vocabulary
+    // agg, output bounded by the candidate threshold. The discovered
+    // flags feed the stopwords parameter of qualityFilter/keyphrases/
+    // textrank directly.
+    "text_stopword_discover" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+          .groupBy($"tok")
+          .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("df_ppm", expr("df * 1000000 div n_docs"))
+          .withColumn("mean_tf_x100", expr("total_tf * 100 div df"))
+          .filter($"df_ppm" >= 100000L)
+          .withColumn("is_stopword",
+            $"df_ppm" >= 400000L && $"mean_tf_x100" >= 150L)
+          .select($"tok", $"df", $"total_tf", $"df_ppm",
+            $"mean_tf_x100", $"is_stopword")
+          .orderBy($"df".desc, $"tok")
+      },
+      oracle = Some("""
+        WITH sw_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        sw_d AS (
+          SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM sw_t GROUP BY 1, 2),
+        sw_v AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM sw_d GROUP BY 1),
+        sw_n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents)
+        SELECT tok, df, total_tf,
+               df * 1000000 // n.n_docs AS df_ppm,
+               total_tf * 100 // df AS mean_tf_x100,
+               df * 1000000 // n.n_docs >= 400000
+                 AND total_tf * 100 // df >= 150 AS is_stopword
+        FROM sw_v CROSS JOIN sw_n n
+        WHERE df * 1000000 // n.n_docs >= 100000
+        ORDER BY df DESC, tok"""),
+      desc = "corpus-adaptive stopword discovery: df ratio + within-doc repetition"),
+
     // ── quality-ranked token-budget selection ───────────────────────
     // The "fill the mix" step between scoring and packing: per
     // source, rank by stopword-ppm quality and take the prefix whose
