@@ -2886,6 +2886,119 @@ object EventQueries {
                CAST((2 * aa - (n + 1) * s) * 1000000
                  // NULLIF(n * s, 0) AS BIGINT) AS gini_ppm
         FROM gi_a ORDER BY event_type"""),
-      desc = "exact Gini spend concentration per event type (grouped-ties histogram form)")
+      desc = "exact Gini spend concentration per event type (grouped-ties histogram form)"),
+
+    // ── sequential A/B monitoring (the daily-look companion) ─────────
+    // The experiment dashboard's "can we stop yet": per calendar day
+    // the CUMULATIVE enrolled users and converters per arm (first
+    // activity / first purchase day — each user counts once from
+    // their event day onward), the e_ab_test 2×2 chi-square at every
+    // look, and a stop flag at a constant Pocock-style boundary
+    // (z = 2.9 → chi² > 8.41, the repeated-looks correction for ~5
+    // looks at α=0.05; the boundary CONSTANT is the policy knob, the
+    // machinery is the operator). All counts — no raw sums of
+    // squares, so the only overflow bound is e_ab_test's own
+    // (counts < ~2^15 per cell before the (ad−bc)² product needs
+    // rescaling; rescale counts to thousands beyond that). The
+    // cumsum windows partition by arm over the calendar-bounded
+    // day spine.
+    "e_ab_sequential" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val per = ev(s, dir)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            $"event_type")
+          .groupBy($"user_id")
+          .agg(min($"day").as("first_day"),
+            min(when($"event_type" === "purchase", $"day")).as("conv_day"))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        val days = ev(s, dir)
+          .select((epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .distinct()
+        val spine = days.crossJoin(
+          Seq(0L, 1L).toDF("arm"))
+        val enr = per.groupBy($"arm", $"first_day".as("day"))
+          .agg(count(lit(1)).as("n_enr"))
+        val cnv = per.filter($"conv_day".isNotNull)
+          .groupBy($"arm", $"conv_day".as("day"))
+          .agg(count(lit(1)).as("n_cnv"))
+        val wCum = Window.partitionBy($"arm").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = spine
+          .join(enr, Seq("arm", "day"), "left")
+          .join(cnv, Seq("arm", "day"), "left")
+          .withColumn("n", sum(coalesce($"n_enr", lit(0L))).over(wCum))
+          .withColumn("c", sum(coalesce($"n_cnv", lit(0L))).over(wCum))
+        def pick(a: Long, col0: String) =
+          min(when($"arm" === a, col(col0)))
+        cum.groupBy($"day")
+          .agg(pick(0L, "n").as("n0"), pick(0L, "c").as("c0"),
+            pick(1L, "n").as("n1"), pick(1L, "c").as("c1"))
+          .filter($"n0" > 0L && $"n1" > 0L)
+          .withColumn("diff_ppm",
+            expr("c1 * 1000000L div n1 - c0 * 1000000L div n0"))
+          .withColumn("chi2_x100", expr(
+            "(n0 + n1) * (c0 * (n1 - c1) - c1 * (n0 - c0)) " +
+              "* (c0 * (n1 - c1) - c1 * (n0 - c0)) * 100L " +
+              "div greatest(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1), 1L)"))
+          .withColumn("stop", $"chi2_x100" > 841L)
+          .select($"day", $"n0", $"c0", $"n1", $"c1", $"diff_ppm",
+            $"chi2_x100", $"stop")
+          .orderBy($"day")
+      },
+      oracle = Some("""
+        WITH sq_p AS (
+          SELECT user_id,
+                 min((epoch_us(ts)//1000000)//86400) AS first_day,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN (epoch_us(ts)//1000000)//86400 END) AS conv_day,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM events GROUP BY user_id),
+        sq_d AS (
+          SELECT DISTINCT (epoch_us(ts)//1000000)//86400 AS day
+          FROM events),
+        sq_s AS (
+          SELECT d.day, a.arm
+          FROM sq_d d CROSS JOIN (VALUES (0), (1)) a(arm)),
+        sq_e AS (
+          SELECT arm, first_day AS day, CAST(count(*) AS BIGINT) AS n_enr
+          FROM sq_p GROUP BY 1, 2),
+        sq_c AS (
+          SELECT arm, conv_day AS day, CAST(count(*) AS BIGINT) AS n_cnv
+          FROM sq_p WHERE conv_day IS NOT NULL GROUP BY 1, 2),
+        sq_m AS (
+          SELECT s.day, s.arm,
+                 CAST(sum(COALESCE(e.n_enr, 0)) OVER (PARTITION BY s.arm
+                   ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS n,
+                 CAST(sum(COALESCE(c.n_cnv, 0)) OVER (PARTITION BY s.arm
+                   ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS c
+          FROM sq_s s
+          LEFT JOIN sq_e e ON e.arm = s.arm AND e.day = s.day
+          LEFT JOIN sq_c c ON c.arm = s.arm AND c.day = s.day),
+        sq_w AS (
+          SELECT day,
+                 min(CASE WHEN arm = 0 THEN n END) AS n0,
+                 min(CASE WHEN arm = 0 THEN c END) AS c0,
+                 min(CASE WHEN arm = 1 THEN n END) AS n1,
+                 min(CASE WHEN arm = 1 THEN c END) AS c1
+          FROM sq_m GROUP BY day)
+        SELECT day, n0, c0, n1, c1,
+               c1 * 1000000 // n1 - c0 * 1000000 // n0 AS diff_ppm,
+               (n0 + n1) * (c0 * (n1 - c1) - c1 * (n0 - c0))
+                 * (c0 * (n1 - c1) - c1 * (n0 - c0)) * 100
+                 // greatest(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1), 1)
+                 AS chi2_x100,
+               (n0 + n1) * (c0 * (n1 - c1) - c1 * (n0 - c0))
+                 * (c0 * (n1 - c1) - c1 * (n0 - c0)) * 100
+                 // greatest(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1), 1)
+                 > 841 AS stop
+        FROM sq_w WHERE n0 > 0 AND n1 > 0
+        ORDER BY day"""),
+      desc = "sequential A/B looks: cumulative 2x2 chi-square per day vs a Pocock boundary")
   )
 }
