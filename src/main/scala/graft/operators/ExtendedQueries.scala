@@ -1707,6 +1707,66 @@ object ExtendedQueries {
         FROM g4 WHERE dist < 1000000 ORDER BY node_type, key"""),
       desc = "fixed-round multi-source BFS hop distance over the trade graph"),
 
+    // ── harmonic centrality of the top hubs ─────────────────────────
+    // Graphs.harmonic over the trade graph from its 8 highest-degree
+    // nodes: per-seed BFS to 3 hops, Σ 1000000 div d over reached
+    // nodes. The seed set is deliberately bounded (scale notes on the
+    // operator — all-pairs harmonic is HyperBall territory); hub
+    // pick is a TakeOrderedAndProject over the degree agg.
+    "graph_harmonic" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val edges = tradeEdges(s, dir)
+        val seeds = edges.groupBy($"src")
+          .agg(count(lit(1)).as("deg"))
+          .orderBy($"deg".desc, $"src").limit(8)
+          .select($"src".as("node"))
+        Graphs.harmonic(edges, seeds, rounds = 3)
+          .select(
+            when(expr("seed % 2") === 0, lit("c")).otherwise(lit("s"))
+              .as("node_type"),
+            expr("seed div 2").as("key"),
+            $"n_reached", $"harmonic_x1e6")
+          .orderBy($"node_type", $"key")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT c AS src, p AS dst FROM e0
+          UNION ALL
+          SELECT p AS src, c AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        seeds AS (
+          SELECT src AS seed FROM (
+            SELECT src, row_number() OVER (ORDER BY deg DESC, src)
+              AS rk FROM deg)
+          WHERE rk <= 8),
+        h0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+        r1 AS (SELECT h.seed, e.dst AS node, h.dist + 1 AS dist
+               FROM edges e JOIN h0 h ON h.node = e.src),
+        h1 AS (SELECT seed, node, min(dist) AS dist
+               FROM (SELECT * FROM h0 UNION ALL SELECT * FROM r1)
+               GROUP BY 1, 2),
+        r2 AS (SELECT h.seed, e.dst AS node, h.dist + 1 AS dist
+               FROM edges e JOIN h1 h ON h.node = e.src),
+        h2 AS (SELECT seed, node, min(dist) AS dist
+               FROM (SELECT * FROM h1 UNION ALL SELECT * FROM r2)
+               GROUP BY 1, 2),
+        r3 AS (SELECT h.seed, e.dst AS node, h.dist + 1 AS dist
+               FROM edges e JOIN h2 h ON h.node = e.src),
+        h3 AS (SELECT seed, node, min(dist) AS dist
+               FROM (SELECT * FROM h2 UNION ALL SELECT * FROM r3)
+               GROUP BY 1, 2)
+        SELECT CASE WHEN seed % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+               seed // 2 AS key,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_x1e6
+        FROM h3 WHERE dist > 0
+        GROUP BY 1, 2 ORDER BY node_type, key"""),
+      desc = "harmonic centrality of the 8 top hubs: per-seed 3-hop BFS, exact 1/d terms"),
+
     // ── weighted shortest path (cheapest trade route in cents) ──────
     // Graphs.sssp over the weighted trade graph: edge (cust, supp)
     // costs the MIN extendedprice cents across their linking

@@ -183,6 +183,47 @@ object Graphs {
     dist.filter(col("dist") < unreached)
   }
 
+  /** Harmonic centrality of a SEED set under a hop budget (the
+    * harmonic variant of closeness, Boldi & Vigna 2014 — Σ 1/d(s, v)
+    * converges on disconnected graphs where closeness does not).
+    * Per-seed multi-source BFS: state is (seed, node, dist) —
+    * O(|seeds| · |reached|) — which is why the operator takes a
+    * BOUNDED seed set (hubs, suspects, a new-node batch), never all
+    * nodes; all-pairs harmonic at scale is the HyperBall counter
+    * algorithm, a different machine. Each round is one equi-join of
+    * the materialized edge frame + a union-merge grouped min (the
+    * [[bfs]] cost shape per seed); terms are exact 1000000 div d.
+    *
+    * Returns (seed, n_reached, harmonic_x1e6) — the seed itself
+    * (dist 0) is excluded from both. */
+  def harmonic(edges0: DataFrame, seeds0: DataFrame,
+               rounds: Int = 3): DataFrame = {
+    val spark = edges0.sparkSession
+    val edges = graft.Engine.materialize(
+      edges0.select(col("src"), col("dst")),
+      key = "src", name = "harm_edges")
+    var dist = seeds0.select(col("node").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    var prevT: Option[String] = None
+    for (i <- 0 until rounds) {
+      val reach = edges
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      val (next, nextT) = graft.Engine.materializeTracked(
+        dist.unionByName(reach).groupBy(col("seed"), col("node"))
+          .agg(min(col("dist")).as("dist")),
+        key = "node", name = s"harm_round_${i % 2}")
+      graft.Engine.dropMaterialized(spark, prevT)
+      dist = next
+      prevT = nextT
+    }
+    dist.filter(col("dist") > 0L)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_x1e6"))
+  }
+
   /** Fixed-round weighted single-source shortest path — [[bfs]]'s
     * min-plus relaxation with an integer edge weight (Bellman-Ford
     * rounds, the distributed SSSP everyone actually runs: after r
