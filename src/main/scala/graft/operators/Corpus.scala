@@ -1143,6 +1143,38 @@ object Corpus extends org.apache.spark.internal.Logging {
         greatest(col("w"), col("tau")).as("w_est"))
   }
 
+  /** [[prioritySample]] per stratum — k weighted picks and an
+    * unbiased subset-sum estimator WITHIN each group (the form a
+    * mixture pipeline runs: per-source representative samples whose
+    * estimates still sum correctly per source). Same integer draw;
+    * the rank runs in a stratum-PARTITIONED window (shuffle-parallel
+    * across strata — the scale difference from the global variant's
+    * TakeOrderedAndProject). A stratum with ≤ k items has no (k+1)-th
+    * priority: it keeps ALL its items with w_est = w — taking
+    * everything is the exact (zero-variance) estimator, so the
+    * degenerate case stays unbiased rather than empty.
+    *
+    * Returns (stratum, doc_id, w, q, w_est). */
+  def prioritySampleStratified(docs: DataFrame, stratum: Column, k: Int,
+                               tokens: Column =
+                                 size(split(col("text"), " ")).cast("long"))
+      : DataFrame = {
+    require(k >= 1, s"prioritySampleStratified: k must be >= 1, got $k")
+    val base = docs
+      .select(col("doc_id"), stratum.as("stratum"), tokens.as("w"))
+      .withColumn("_h", expr("CAST(conv(substring(md5(" +
+        "CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("q", expr("w * 4294967296L div (_h + 1L)"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("stratum"))
+        .orderBy(col("q").desc, col("doc_id"))))
+    val tau = base.filter(col("rk") === k + 1)
+      .select(col("stratum"), col("q").as("tau"))
+    base.filter(col("rk") <= k)
+      .join(tau, Seq("stratum"), "left")
+      .select(col("stratum"), col("doc_id"), col("w"), col("q"),
+        greatest(col("w"), coalesce(col("tau"), lit(0L))).as("w_est"))
+  }
+
   /** Temperature-flattened mixture resampling — the multilingual /
     * multi-source rebalancing step (the UniMax / mT5 τ=2 shape): a
     * stratum's sampling weight is sqrt of its size, so dominant

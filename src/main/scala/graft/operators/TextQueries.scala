@@ -1338,6 +1338,41 @@ object TextQueries {
         ORDER BY r.doc_id"""),
       desc = "priority sampling: k weighted picks with the max(w, tau) unbiased estimator"),
 
+    // ── per-stratum priority sampling ────────────────────────────────
+    // The grouped member: k picks + threshold estimator within each
+    // source; small strata keep everything at w_est = w (the exact
+    // estimator). Scale notes on Corpus.prioritySampleStratified.
+    "sample_priority_strat" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.prioritySampleStratified directly.
+        Corpus.prioritySampleStratified(docs(s, dir), col("source"),
+            k = 16)
+          .orderBy(col("stratum"), col("doc_id")),
+      oracle = Some("""
+        WITH ps_b AS (
+          SELECT doc_id, source AS stratum,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+          FROM documents),
+        ps_q AS (
+          SELECT doc_id, stratum, w, w * 4294967296 // (h + 1) AS q
+          FROM ps_b),
+        ps_r AS (
+          SELECT doc_id, stratum, w, q,
+                 row_number() OVER (PARTITION BY stratum
+                   ORDER BY q DESC, doc_id) AS rk
+          FROM ps_q),
+        ps_t AS (
+          SELECT stratum, q AS tau FROM ps_r WHERE rk = 17)
+        SELECT r.stratum, r.doc_id, r.w, r.q,
+               greatest(r.w, COALESCE(t.tau, 0)) AS w_est
+        FROM ps_r r LEFT JOIN ps_t t ON t.stratum = r.stratum
+        WHERE r.rk <= 16
+        ORDER BY r.stratum, r.doc_id"""),
+      desc = "per-stratum priority sampling: partitioned rank, per-group threshold estimator"),
+
     // ── TextRank extractive summarization ────────────────────────────
     // Weighted PageRank over the per-doc sentence-similarity graph
     // (12-token pseudo-sentences; scale notes on Corpus.textrank).
