@@ -536,6 +536,131 @@ object MultimodalQueries {
         ORDER BY clip_a, clip_b, t_offset"""),
       desc = "audio fingerprint matching: offset-consistent landmark histogram peaks"),
 
+    // ── video: scene-signature matching (near-dup detection) ────────
+    // The video twin of mm_audio_match: a re-encoded/trimmed copy
+    // keeps its INTERIOR scene structure, so consecutive scene-LENGTH
+    // pairs are shift-invariant landmarks (the cut positions move
+    // with trimming; the lengths between cuts do not). Two clips per
+    // doc from one 160-byte payload — clip 2·doc reads frames 0–15,
+    // clip 2·doc+1 reads the same signal trimmed 2 frames in — then
+    // landmarks (len_i·100 + len_{i+1}, anchored at the left cut)
+    // join across clips and an offset-consistent ≥2-landmark gate
+    // confirms. Per-clip frame counts are bounded by the decode, so
+    // everything rides doc-keyed windows + one landmark equi-join.
+    "mm_video_match" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.ByteWindowFold.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"clip_id").orderBy($"frame_idx")
+        val wCum = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        val payload = docs(s, dir)
+          .withColumn("h", concat(
+            sha2($"text", 256), sha2(concat($"text", lit("a")), 256),
+            sha2(concat($"text", lit("b")), 256),
+            sha2(concat($"text", lit("c")), 256),
+            sha2(concat($"text", lit("d")), 256)))
+        val clips = payload
+          .select(($"doc_id" * 2L).as("clip_id"),
+            substring($"h", 1, 256).as("ph"))
+          .unionByName(payload
+            .select(($"doc_id" * 2L + 1L).as("clip_id"),
+              substring($"h", 33, 256).as("ph")))
+        val scenes = clips
+          .select($"clip_id", posexplode(expr(
+              "byte_window_fold(unhex(ph), 8, 'sum')"))
+            .as(Seq("frame_idx", "fsum")))
+          .select($"clip_id", $"frame_idx", expr("fsum div 8").as("feat"))
+          .withColumn("prev", lag($"feat", 1).over(w))
+          .withColumn("cut",
+            when($"prev".isNull || abs($"feat" - $"prev") > 64L, 1L)
+              .otherwise(0L))
+          .withColumn("scene_id", sum($"cut").over(wCum) - 1L)
+          .groupBy($"clip_id", $"scene_id")
+          .agg(min($"frame_idx").cast("long").as("start_frame"),
+            count(lit(1)).as("len"), sum($"feat").as("sf"))
+          // fq: the scene's mean feature quantized to 3 bits — length
+          // alone collides massively (values 1..16); (len, fq) pairs
+          // carry enough content to separate true trims from chance
+          .withColumn("fq", expr("sf div len div 32"))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy($"clip_id").orderBy($"scene_id")
+        val lm = scenes
+          .withColumn("next_len", lead($"len", 1).over(wS))
+          .withColumn("next_fq", lead($"fq", 1).over(wS))
+          .filter($"next_len".isNotNull)
+          .select($"clip_id", $"start_frame".as("anchor"),
+            ($"len" * 1000000L + $"fq" * 10000L +
+              $"next_len" * 100L + $"next_fq").as("sig"))
+        lm.as("a")
+          .join(lm.as("b"), $"a.sig" === $"b.sig" &&
+            $"a.clip_id" < $"b.clip_id")
+          .groupBy($"a.clip_id".as("clip_a"), $"b.clip_id".as("clip_b"),
+            ($"a.anchor" - $"b.anchor").as("f_offset"))
+          .agg(count(lit(1)).as("n_matches"))
+          .filter($"n_matches" >= 2L)
+          .withColumn("same_doc",
+            expr("clip_a div 2") === expr("clip_b div 2"))
+          .orderBy($"clip_a", $"clip_b", $"f_offset")
+      },
+      oracle = Some("""
+        WITH vm_h AS (
+          SELECT doc_id, sha256(text) || sha256(text || 'a')
+                 || sha256(text || 'b') || sha256(text || 'c')
+                 || sha256(text || 'd') AS h
+          FROM documents),
+        vm_c AS (
+          SELECT doc_id * 2 AS clip_id, substr(h, 1, 256) AS ph FROM vm_h
+          UNION ALL
+          SELECT doc_id * 2 + 1, substr(h, 33, 256) FROM vm_h),
+        vm_f AS (
+          SELECT clip_id, f.f AS frame_idx,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   ('0x' || substr(ph, 16 * f.f + 2 * i + 1, 2))::BIGINT))
+                   // 8 AS BIGINT) AS feat
+          FROM vm_c CROSS JOIN range(0, 16) f(f)),
+        vm_ct AS (
+          SELECT clip_id, frame_idx, feat,
+                 CASE WHEN lag(feat) OVER (PARTITION BY clip_id
+                        ORDER BY frame_idx) IS NULL
+                      OR abs(feat - lag(feat) OVER (PARTITION BY clip_id
+                        ORDER BY frame_idx)) > 64
+                 THEN 1 ELSE 0 END AS cut
+          FROM vm_f),
+        vm_s AS (
+          SELECT clip_id, frame_idx, feat,
+                 CAST(sum(cut) OVER (PARTITION BY clip_id
+                   ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) - 1 AS scene_id
+          FROM vm_ct),
+        vm_g AS (
+          SELECT clip_id, scene_id,
+                 CAST(min(frame_idx) AS BIGINT) AS start_frame,
+                 CAST(count(*) AS BIGINT) AS len,
+                 CAST(sum(feat) AS BIGINT) // count(*) // 32 AS fq
+          FROM vm_s GROUP BY 1, 2),
+        vm_l AS (
+          SELECT clip_id, start_frame AS anchor,
+                 len * 1000000 + fq * 10000
+                   + lead(len) OVER (PARTITION BY clip_id
+                       ORDER BY scene_id) * 100
+                   + lead(fq) OVER (PARTITION BY clip_id
+                       ORDER BY scene_id) AS sig
+          FROM vm_g
+          QUALIFY lead(len) OVER (PARTITION BY clip_id
+            ORDER BY scene_id) IS NOT NULL)
+        SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+               a.anchor - b.anchor AS f_offset,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               a.clip_id // 2 = b.clip_id // 2 AS same_doc
+        FROM vm_l a JOIN vm_l b
+          ON a.sig = b.sig AND a.clip_id < b.clip_id
+        GROUP BY 1, 2, 3, 5 HAVING count(*) >= 2
+        ORDER BY clip_a, clip_b, f_offset"""),
+      desc = "video near-dup: shift-invariant scene-length landmarks, offset-consistent gate"),
+
     // ── video: scene-change detection over the frame sequence ───────
     // The shot-segmentation step a video pipeline runs before frame
     // dedup/captioning: a 128-byte fake video (four chained sha256
