@@ -2999,6 +2999,121 @@ object EventQueries {
                  > 841 AS stop
         FROM sq_w WHERE n0 > 0 AND n1 > 0
         ORDER BY day"""),
-      desc = "sequential A/B looks: cumulative 2x2 chi-square per day vs a Pocock boundary")
+      desc = "sequential A/B looks: cumulative 2x2 chi-square per day vs a Pocock boundary"),
+
+    // ── uplift evaluation: the Qini curve by score decile ────────────
+    // How targeting models are graded (Radcliffe 2007): rank users by
+    // a score (here the pre-period spend — the CUPED covariate as the
+    // model stand-in), cut into deciles HISTOGRAM-FIRST (thresholds
+    // from a cumsum over the bounded distinct-score domain — never an
+    // ntile over row-scale data; ties share a decile), then per
+    // cumulative best-k-deciles prefix the Qini value
+    // c₁ − c₀·n₁/n₀ in exact x100. The arm is the e_ab hash split —
+    // an A/A design, so the curve hovering near 0 IS the correct
+    // reading (machinery under test, not the treatment). Windows: the
+    // score histogram (bounded domain) and the 10-row decile frame.
+    "e_uplift" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ext = ev(s, dir)
+          .select((epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        val per = ev(s, dir)
+          .select($"user_id",
+            (epochS($"ts") / 86400L).cast(LongType).as("day"),
+            $"event_type",
+            when($"event_type" === "purchase",
+              round($"value" * 100).cast(LongType)).otherwise(0L)
+              .as("cents"))
+          .crossJoin(broadcast(ext))
+          .groupBy($"user_id")
+          .agg(sum(when($"day" < $"mid", $"cents").otherwise(0L)).as("x"),
+            max(when($"day" >= $"mid" &&
+              $"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+          .withColumn("arm", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        val n = per.agg(count(lit(1)).as("n_all"))
+        val wHist = Window.orderBy($"x".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dec = per.groupBy($"x").agg(count(lit(1)).as("c"))
+          .withColumn("cum_prev", coalesce(sum($"c").over(wHist), lit(0L)))
+          .crossJoin(broadcast(n))
+          .select($"x", expr("least(cum_prev * 10 div n_all, 9) + 1")
+            .as("decile"))
+        val grp = per.join(dec, Seq("x"))
+          .groupBy($"decile")
+          .agg(sum($"arm").as("n1"), sum($"arm" * $"conv").as("c1"),
+            sum(lit(1L) - $"arm").as("n0"),
+            sum((lit(1L) - $"arm") * $"conv").as("c0"))
+        val wCum = Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grp
+          .withColumn("cn1", sum($"n1").over(wCum))
+          .withColumn("cc1", sum($"c1").over(wCum))
+          .withColumn("cn0", sum($"n0").over(wCum))
+          .withColumn("cc0", sum($"c0").over(wCum))
+          .withColumn("uplift_ppm", expr(
+            "c1 * 1000000 div nullif(n1, 0) " +
+              "- c0 * 1000000 div nullif(n0, 0)"))
+          .withColumn("qini_x100", expr(
+            "cc1 * 100 - cc0 * cn1 * 100 div nullif(cn0, 0)"))
+          .select($"decile", $"n1", $"c1", $"n0", $"c0",
+            $"uplift_ppm", $"qini_x100")
+          .orderBy($"decile")
+      },
+      oracle = Some("""
+        WITH up_d AS (
+          SELECT user_id, (epoch_us(ts)//1000000)//86400 AS day,
+                 event_type,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value*100) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events),
+        up_m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM up_d),
+        up_p AS (
+          SELECT d.user_id,
+                 CAST(sum(CASE WHEN d.day < m.mid THEN d.cents
+                          ELSE 0 END) AS BIGINT) AS x,
+                 CAST(max(CASE WHEN d.day >= m.mid
+                          AND d.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+                 ('0x' || substring(md5(CAST(d.user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM up_d d CROSS JOIN up_m m
+          GROUP BY d.user_id),
+        up_n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM up_p),
+        up_h AS (
+          SELECT x, CAST(count(*) AS BIGINT) AS c FROM up_p GROUP BY 1),
+        up_t AS (
+          SELECT x, COALESCE(CAST(sum(c) OVER (ORDER BY x DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_prev
+          FROM up_h),
+        up_dc AS (
+          SELECT t.x, least(t.cum_prev * 10 // n.n_all, 9) + 1 AS decile
+          FROM up_t t CROSS JOIN up_n n),
+        up_g AS (
+          SELECT d.decile,
+                 CAST(sum(p.arm) AS BIGINT) AS n1,
+                 CAST(sum(p.arm * p.conv) AS BIGINT) AS c1,
+                 CAST(sum(1 - p.arm) AS BIGINT) AS n0,
+                 CAST(sum((1 - p.arm) * p.conv) AS BIGINT) AS c0
+          FROM up_p p JOIN up_dc d ON d.x = p.x
+          GROUP BY 1),
+        up_c AS (
+          SELECT *,
+                 CAST(sum(n1) OVER w AS BIGINT) AS cn1,
+                 CAST(sum(c1) OVER w AS BIGINT) AS cc1,
+                 CAST(sum(n0) OVER w AS BIGINT) AS cn0,
+                 CAST(sum(c0) OVER w AS BIGINT) AS cc0
+          FROM up_g
+          WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW))
+        SELECT decile, n1, c1, n0, c0,
+               c1 * 1000000 // NULLIF(n1, 0)
+                 - c0 * 1000000 // NULLIF(n0, 0) AS uplift_ppm,
+               cc1 * 100 - cc0 * cn1 * 100 // NULLIF(cn0, 0) AS qini_x100
+        FROM up_c ORDER BY decile"""),
+      desc = "Qini uplift curve by score decile (histogram-first cuts, A/A arms)")
   )
 }
