@@ -871,6 +871,87 @@ object ScaleProbe {
           .withColumn("s_ppm", expr(
             "aggregate(transform(fs, r -> r.f_factor), " +
               "CAST(1000000 AS BIGINT), (a, x) -> a * x div 1000000)"))
+      },
+      "cdc_chunks" -> { k =>
+        // rolling-hash boundaries + island rollup + one sha-count
+        // join — all doc-keyed, must be row-linear
+        Corpus.cdcChunks(docFrac(k))
+      },
+      "gini" -> { k =>
+        // user reduce + bounded cents-value histogram window: growth
+        // must track the event scan
+        val per = Sources.table(spark, sfDir, "events")
+          .filter(col("user_id") % k === 0)
+          .select(col("event_type"), col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("cents")).as("y"))
+        val hist = per.groupBy(col("event_type"), col("y"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type"))
+          .orderBy(col("y"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist.withColumn("r", coalesce(sum(col("c")).over(wCum), lit(0L)))
+          .withColumn("a", expr("y * (c * r + c * (c + 1) div 2)"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n"), sum(expr("y * c")).as("s"),
+            sum(col("a")).as("aa"))
+      },
+      "harmonic" -> { k =>
+        // per-seed frontier state bounded by 8 seeds × reached nodes:
+        // growth tracks EDGES (the per-round equi-join), never pairs
+        val li = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_suppkey") % k === 0)
+        val e0 = li.join(Sources.table(spark, sfDir, "orders"),
+            li("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("p")).distinct()
+        val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+          .unionByName(e0.select(col("p").as("src"), col("c").as("dst")))
+        val seeds = edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("src")).limit(8)
+          .select(col("src").as("node"))
+        graft.operators.Graphs.harmonic(edges, seeds, rounds = 3)
+      },
+      "audio_match" -> { k =>
+        // landmark equi-join: per-hash fan-out bounded by the key
+        // space; growth must track clips
+        val payload = docFrac(k)
+          .withColumn("h", concat(sha2(col("text"), 256),
+            sha2(concat(col("text"), lit("x")), 256),
+            sha2(concat(col("text"), lit("y")), 256)))
+        val clips = payload
+          .select((col("doc_id") * 2).as("clip_id"),
+            substring(col("h"), 1, 128).as("ph"))
+          .unionByName(payload
+            .select((col("doc_id") * 2 + 1).as("clip_id"),
+              substring(col("h"), 17, 128).as("ph")))
+        graft.functions.ByteWindowFold.register(spark)
+        val w = Window.partitionBy(col("clip_id")).orderBy(col("window_idx"))
+        val peaks = clips
+          .select(col("clip_id"), posexplode(expr(
+              "byte_window_fold(unhex(ph), 8, 'sqdev128')"))
+            .as(Seq("window_idx", "energy")))
+          .withColumn("prev_e", lag(col("energy"), 1).over(w))
+          .withColumn("next_e", lead(col("energy"), 1).over(w))
+          .filter(col("energy") > coalesce(col("prev_e"), lit(-1L)) &&
+            col("energy") > coalesce(col("next_e"), lit(-1L)))
+          .select(col("clip_id"), col("window_idx").cast("long").as("t"),
+            col("energy"))
+        val lm = peaks.as("p1")
+          .join(peaks.as("p2"), col("p1.clip_id") === col("p2.clip_id") &&
+            col("p2.t") > col("p1.t") && col("p2.t") - col("p1.t") <= 4L)
+          .select(col("p1.clip_id").as("clip_id"), col("p1.t").as("t1"),
+            expr("p1.energy div 4096 * 100000 + " +
+              "p2.energy div 4096 * 100 + (p2.t - p1.t)").as("fp"))
+        lm.as("a")
+          .join(lm.as("b"), col("a.fp") === col("b.fp") &&
+            col("a.clip_id") < col("b.clip_id"))
+          .groupBy(col("a.clip_id"), col("b.clip_id"),
+            (col("a.t1") - col("b.t1")).as("t_offset"))
+          .agg(count(lit(1)).as("n_matches"))
+          .filter(col("n_matches") >= 2L)
       })
 
     // warmup: absorb session/codegen/footer costs outside the timings
