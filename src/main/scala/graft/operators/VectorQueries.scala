@@ -435,6 +435,56 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "attribute-filtered ANN: the filter value rides the candidate bucket key"),
 
+    // ── cluster quality: label purity per k-means cell ──────────────
+    // The clustering eval beside vector_ood/ann_recall: per cell the
+    // majority ground-truth label's share in ppm (ordered argmax —
+    // max count, tie to the smaller label). Rides the SAME
+    // materializeShared nprobe=1 assignment every IVF query uses, so
+    // the eval costs one small agg on top of the shared frame.
+    "vector_purity" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir).withColumn("id", $"vec_id")
+        val asg = Vectors.kmeansAssign(base, kCells = 8, iters = 3,
+            nprobe = 1)
+          .join(base.select($"vec_id".as("id"), $"label"), Seq("id"))
+        asg.groupBy($"cluster", $"label")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"cluster")
+          .agg(sum($"cnt").as("n"),
+            min(struct((-$"cnt").as("neg"), $"label".cast("long")
+              .as("lbl"))).as("m"))
+          .select($"cluster", $"n", $"m.lbl".as("maj_label"),
+            (-$"m.neg").as("maj_cnt"))
+          .withColumn("purity_ppm", expr("maj_cnt * 1000000 div n"))
+          .orderBy($"cluster")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ${duckKmeansCtes(8, 3)},
+        asgf AS (
+          SELECT vec_id, label, cluster_id AS cluster FROM (
+            SELECT b.vec_id, b.label, c.cluster_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                CAST(${duckDot("b.sv", "c.cvec")} AS DOUBLE)
+                  / sqrt(CAST(b.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) DESC,
+                c.cluster_id ASC) AS rn
+            FROM base b CROSS JOIN cent3 c)
+          WHERE rn = 1),
+        cl AS (
+          SELECT cluster, label, CAST(count(*) AS BIGINT) AS cnt
+          FROM asgf GROUP BY 1, 2),
+        mj AS (
+          SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n,
+                 min(struct_pack(neg := -cnt,
+                   lbl := CAST(label AS BIGINT))) AS m
+          FROM cl GROUP BY 1)
+        SELECT cluster, n, m.lbl AS maj_label,
+               CAST(-m.neg AS BIGINT) AS maj_cnt,
+               -m.neg * 1000000 // n AS purity_ppm
+        FROM mj ORDER BY cluster"""),
+      desc = "k-means cell label purity: ordered-argmax majority share per cluster"),
+
     // ── MIPS: max-inner-product top-k (brute recall baseline) ───────
     // The recsys retrieval scoring: raw inner product, NOT cosine —
     // high-norm (popular) items legitimately outrank direction-closer
