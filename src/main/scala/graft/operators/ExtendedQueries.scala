@@ -1773,6 +1773,73 @@ object ExtendedQueries {
         GROUP BY 1, 2 ORDER BY node_type, key"""),
       desc = "harmonic centrality of the 8 top hubs: per-seed 3-hop BFS, exact 1/d terms"),
 
+    // ── market-basket association rules (apriori at minsup) ─────────
+    // The recsys classic beside graph_item_sim's cosine: rules a→b
+    // with support / confidence / lift in exact fixed point. Baskets
+    // are orders, items the distinct parts; candidate pairs come from
+    // the per-basket self-join (basket size is bounded by order
+    // lines — the triangles/linkpred fan-out argument, never
+    // corpus-wide), minsup 3 prunes before the stats joins, and lift
+    // = conf/P(cons) = sup_ab·n·100 div (sup_a·sup_b) needs no
+    // doubles. Both rule directions emit; (ant, cons) totally orders.
+    "e_assoc_rules" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val b = t(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val n = b.select($"o").distinct().agg(count(lit(1)).as("n_baskets"))
+        val item = b.groupBy($"p").agg(count(lit(1)).as("sup"))
+        val pairs = b.as("x")
+          .join(b.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+          .groupBy($"x.p".as("a"), $"y.p".as("b"))
+          .agg(count(lit(1)).as("sup_ab"))
+          .filter($"sup_ab" >= 3L)
+        val rules = pairs
+          .select($"a".as("ant"), $"b".as("cons"), $"sup_ab")
+          .unionByName(pairs
+            .select($"b".as("ant"), $"a".as("cons"), $"sup_ab"))
+        rules
+          .join(item.select($"p".as("ant"), $"sup".as("sup_ant")),
+            Seq("ant"))
+          .join(item.select($"p".as("cons"), $"sup".as("sup_cons")),
+            Seq("cons"))
+          .crossJoin(broadcast(n))
+          .withColumn("conf_ppm", expr("sup_ab * 1000000 div sup_ant"))
+          .withColumn("lift_x100",
+            expr("sup_ab * n_baskets * 100 div (sup_ant * sup_cons)"))
+          .select($"ant", $"cons", $"sup_ab", $"sup_ant", $"sup_cons",
+            $"conf_ppm", $"lift_x100")
+          .orderBy($"ant", $"cons")
+      },
+      oracle = Some("""
+        WITH ar_b AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        ar_n AS (
+          SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets
+          FROM ar_b),
+        ar_i AS (
+          SELECT p, CAST(count(*) AS BIGINT) AS sup FROM ar_b
+          GROUP BY 1),
+        ar_p AS (
+          SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS sup_ab
+          FROM ar_b x JOIN ar_b y ON x.o = y.o AND x.p < y.p
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+        ar_r AS (
+          SELECT a AS ant, b AS cons, sup_ab FROM ar_p
+          UNION ALL
+          SELECT b AS ant, a AS cons, sup_ab FROM ar_p)
+        SELECT r.ant, r.cons, r.sup_ab,
+               ia.sup AS sup_ant, ic.sup AS sup_cons,
+               r.sup_ab * 1000000 // ia.sup AS conf_ppm,
+               r.sup_ab * n.n_baskets * 100 // (ia.sup * ic.sup)
+                 AS lift_x100
+        FROM ar_r r
+        JOIN ar_i ia ON ia.p = r.ant
+        JOIN ar_i ic ON ic.p = r.cons
+        CROSS JOIN ar_n n
+        ORDER BY ant, cons"""),
+      desc = "association rules at minsup 3: exact support/confidence/lift fixed point"),
+
     // ── weighted shortest path (cheapest trade route in cents) ──────
     // Graphs.sssp over the weighted trade graph: edge (cust, supp)
     // costs the MIN extendedprice cents across their linking
