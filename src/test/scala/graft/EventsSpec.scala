@@ -136,4 +136,28 @@ class EventsSpec extends SparkSuite {
     assert(segBroken.count() === 0)
     out.unpersist()
   }
+
+  test("e_survival: KM invariants — n_risk telescopes, S = scalar fold, monotone") {
+    val rows = SparkEntry.queries("e_survival")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))) // dur, deaths, censored, n_risk, s_ppm
+    assert(rows.nonEmpty)
+    // n_risk telescopes: risk set shrinks by exactly the row's exits
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 === a._4 - a._2 - a._3,
+        s"n_risk(${b._1}) != n_risk(${a._1}) - deaths - censored")
+    case _ => ()
+    }
+    // S_ppm is the ascending truncating fold of the rows' own factors
+    var s = 1000000L
+    rows.foreach { case (dur, deaths, _, nRisk, sPpm) =>
+      s = s * ((nRisk - deaths) * 1000000L / nRisk) / 1000000L
+      assert(sPpm === s, s"S(dur=$dur) mismatch")
+    }
+    // survival is monotone nonincreasing from 1.0
+    assert(rows.map(_._5).sliding(2).forall {
+      case Array(a, b) => b <= a
+      case _ => true
+    } && rows.head._5 <= 1000000L)
+  }
 }

@@ -46,4 +46,33 @@ class MultimodalSpec extends SparkSuite {
       .count() === 0)
     out.unpersist()
   }
+
+  test("mm_audio_match / mm_video_match: constructed twins align and dominate false pairs") {
+    // audio: every same-doc pair matches at EXACTLY the constructed
+    // 1-window shift, and true pairs carry strictly more aligned
+    // landmarks than the best false pair
+    val am = SparkEntry.queries("mm_audio_match")(spark, sf()).cache()
+    val amTrue = am.filter($"same_doc")
+    assert(amTrue.count() > 0)
+    assert(amTrue.filter($"t_offset" =!= 1L).count() === 0,
+      "audio twins must align at the constructed offset 1")
+    val amMaxTrue = amTrue.agg(max($"n_matches")).head.getLong(0)
+    val amMaxFalse = am.filter(!$"same_doc").agg(
+      coalesce(max($"n_matches"), lit(0L))).head.getLong(0)
+    assert(amMaxTrue > amMaxFalse,
+      s"audio: true max $amMaxTrue must beat false max $amMaxFalse")
+    am.unpersist()
+    // video: same shape at the constructed 2-frame trim
+    val vm = SparkEntry.queries("mm_video_match")(spark, sf()).cache()
+    val vmTrue = vm.filter($"same_doc")
+    assert(vmTrue.count() > 0)
+    assert(vmTrue.filter($"f_offset" =!= 2L).count() === 0,
+      "video twins must align at the constructed 2-frame trim")
+    val vmMaxTrue = vmTrue.agg(max($"n_matches")).head.getLong(0)
+    val vmMaxFalse = vm.filter(!$"same_doc").agg(
+      coalesce(max($"n_matches"), lit(0L))).head.getLong(0)
+    assert(vmMaxTrue > vmMaxFalse,
+      s"video: true max $vmMaxTrue must beat false max $vmMaxFalse")
+    vm.unpersist()
+  }
 }
