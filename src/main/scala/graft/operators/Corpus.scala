@@ -2632,7 +2632,28 @@ object Corpus extends org.apache.spark.internal.Logging {
     val q = qualityFilter(newDocs, minChars, minTokens, maxRepetition)
       .select(col("doc_id"), col("n_tokens"),
         col("drop_reason").as("_qreason"))
-    val comps = dedupComponents(docs.select(col("doc_id"), col("text")))
+    // CC over the NEW-TOUCHING edge subgraph only. Old↔old edges
+    // cannot change any new doc's status: they merge old-only
+    // regions, so (a) whether a new doc's component contains an old
+    // member is invariant (every new→old path's edges all touch the
+    // path's new prefix or end at old via a new-touching edge), and
+    // (b) all-new components have only new↔new edges by definition —
+    // dup_in_batch's min-id pick sees the same clusters. At 100 TB
+    // this is the difference between propagating labels over the
+    // corpus graph and over the batch's neighborhood; the shared
+    // full-edge frame still builds once (other queries consume it),
+    // only the pointer-jumping input shrinks.
+    val newIds = flagged.filter(col("_new")).select(col("doc_id"))
+    val allEdges = dedupEdges(docs.select(col("doc_id"), col("text")))
+    val touching = allEdges
+      .join(newIds.withColumnRenamed("doc_id", "src"), Seq("src"),
+        "left_semi")
+      .unionByName(allEdges
+        .join(newIds.withColumnRenamed("doc_id", "dst"), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst")))
+      .distinct()
+    val comps = connectedComponents(touching)
     val compHasOld = comps
       .join(flagged.filter(!col("_new")).select(col("doc_id")), Seq("doc_id"))
       .select(col("component_id")).distinct()
