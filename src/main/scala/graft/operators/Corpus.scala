@@ -393,6 +393,39 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** SimHash calibration — the [[minhashEstimate]] twin for the
+    * OTHER sketch: per Hamming-distance bucket of the surfaced
+    * candidate pairs, the exact token-set Jaccard's count/mean/range.
+    * SimHash estimates COSINE, not Jaccard, so there is no per-pair
+    * error figure like MinHash's; the check downstream runs is
+    * MONOTONE calibration — mean Jaccard must fall as Hamming rises,
+    * which tells an operator what `maxHamming` buys at each notch.
+    * Cost: the pair generation is [[simhashPairs]] itself; the exact
+    * scoring joins the two distinct-token lists per surfaced pair
+    * (candidate-pairs-sized, never corpus-sized).
+    *
+    * Returns (hamming, n_pairs, mean_jacc_ppm, min_jacc_ppm,
+    * max_jacc_ppm). */
+  def simhashEstimate(docs: DataFrame, maxHamming: Int = 6,
+                      bucketCap: Int = 512): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    simhashPairs(docs, maxHamming, bucketCap)
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+        Seq("doc_b"))
+      .withColumn("jacc_ppm", expr(
+        "CAST(size(array_intersect(ta, tb)) AS BIGINT) * 1000000 " +
+          "div size(array_union(ta, tb))"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jacc_ppm) div count(1)").as("mean_jacc_ppm"),
+        min(col("jacc_ppm")).as("min_jacc_ppm"),
+        max(col("jacc_ppm")).as("max_jacc_ppm"))
+      .orderBy(col("hamming"))
+  }
+
   /** Character-3-gram Jaccard near-duplicate pairs within blocks
     * (`doc_a < doc_b`, jaccard ≥ `minJaccard`), inverted-index
     * formulation: explode distinct grams, equi-join on (block, gram)

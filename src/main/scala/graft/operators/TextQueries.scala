@@ -2987,6 +2987,67 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "SimHash near-dup: bitwise vote, band buckets, hamming verify"),
 
+    // ── SimHash calibration (the minhash_est twin) ──────────────────
+    // Per Hamming notch of the surfaced pairs: exact token-Jaccard
+    // count/mean/range — the monotone table an operator reads to set
+    // maxHamming. Scale notes on Corpus.simhashEstimate.
+    "dedup_simhash_est" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.simhashEstimate directly.
+        Corpus.simhashEstimate(docs(s, dir), maxHamming = 6,
+          bucketCap = 512),
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+          FROM documents),
+        bits AS (
+          SELECT doc_id, ${DUCK_TOKHASH.format("t")} & 4294967295 AS h,
+                 unnest(range(0, 32)) AS bit
+          FROM tok),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM bits GROUP BY 1, 2),
+        sim AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                     ELSE 0 END) AS simhash
+          FROM votes GROUP BY 1),
+        banded_all AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 " +
+            "AS bv FROM sim").mkString("\nUNION ALL\n")}),
+        banded AS (
+          SELECT doc_id, simhash, band, bv FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bv) AS bsz
+            FROM banded_all)
+          WHERE bsz <= 512),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        tl AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        se AS (
+          SELECT bit_count(xor(p.sh_a, p.sh_b)) AS hamming,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                   * 1000000
+                   // CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                         AS BIGINT) AS jacc_ppm
+          FROM pairs p
+          JOIN tl a ON a.doc_id = p.doc_a
+          JOIN tl b ON b.doc_id = p.doc_b
+          WHERE bit_count(xor(p.sh_a, p.sh_b)) <= 6)
+        SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(jacc_ppm) // count(*) AS BIGINT) AS mean_jacc_ppm,
+               CAST(min(jacc_ppm) AS BIGINT) AS min_jacc_ppm,
+               CAST(max(jacc_ppm) AS BIGINT) AS max_jacc_ppm
+        FROM se GROUP BY hamming ORDER BY hamming"""),
+      desc = "SimHash calibration: exact Jaccard count/mean/range per Hamming notch"),
+
     // ── character n-gram Jaccard within blocks ──────────────────────
     // Inverted-index formulation: explode distinct grams, equi-join on
     // (block, gram) to count intersections, derive the union from
