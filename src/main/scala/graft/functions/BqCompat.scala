@@ -57,6 +57,42 @@ object BqCompat {
     when(s1 * s1 > x, s1 - 1L).otherwise(s1)
   }
 
+  /** 2x2 chi-square statistic x100 as exact BIGINT arithmetic, as a
+    * SQL expression string over column names (n0, c0) / (n1, c1):
+    * chi2 = N*(ad-bc)^2 / (row1*row2*col1*col2). A zero margin zeroes
+    * ad-bc too, so greatest(denominator, 1) turns the degenerate 0/0
+    * into a clean 0.
+    *
+    * Overflow envelope — GUARDED, not just documented: the numerator
+    * N*det^2*100 stays under 2^63 only while |det| < 3.037e8/sqrt(N),
+    * and the denominator (bounded by N^4/16) only while N <= 55 000.
+    * Out of envelope the expression RAISES instead of silently
+    * wrapping — wrapped values would still hash-match an equally
+    * wrapped oracle, masking the overflow (the round-11 advice
+    * finding on e_ab_sequential). At larger scales the caller
+    * rescales counts (chi-square is count-linear, so thousands-scale
+    * counts with a boundary shifted x1000 read identically). The
+    * conservative floor(sqrt)+2 below never under-rejects: it only
+    * tightens the |det| bound by one count. CASE-guard placement is
+    * safe here because every call site is an already-aggregated 1-row
+    * / per-day / per-arm frame — never a per-event hot path (see the
+    * hot-guard CSE invariant in the build notes). The DuckDB oracles
+    * intentionally keep the UNGUARDED arithmetic: inside the envelope
+    * both engines agree exactly, outside it Spark errors the query
+    * rather than letting two wrapped results agree. */
+  def chi2x100Sql(n0: String = "n0", c0: String = "c0",
+                  n1: String = "n1", c1: String = "c1"): String = {
+    val det = s"($c0 * ($n1 - $c1) - $c1 * ($n0 - $c0))"
+    val n = s"($n0 + $n1)"
+    s"""CASE WHEN $n <= 55000L AND abs($det) <
+           303693000L div (CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT) + 2L)
+         THEN $n * $det * $det * 100L
+           div greatest($n0 * $n1 * ($c0 + $c1) * ($n - $c0 - $c1), 1L)
+         ELSE CAST(raise_error(
+           'chi2x100: counts exceed the exact BIGINT envelope; rescale counts to thousands') AS BIGINT)
+       END"""
+  }
+
   /** BigQuery TIMESTAMP_DIFF(later, earlier, SECOND). Note BigQuery's
     * argument order is (later, earlier) — kept here. */
   def timestampDiffSeconds(later: Column, earlier: Column): Column =

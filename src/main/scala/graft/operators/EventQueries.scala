@@ -762,11 +762,11 @@ object EventQueries {
           .withColumn("ppm1", expr("c1 * 1000000L div n1"))
           .withColumn("diff_ppm", $"ppm1" - $"ppm0")
           // a zero margin (all or none converted) zeroes ad−bc too, so
-          // greatest(…,1) turns the degenerate 0/0 into a clean 0
-          .withColumn("chi2_x100", expr(
-            "(n0 + n1) * (c0 * (n1 - c1) - c1 * (n0 - c0)) " +
-              "* (c0 * (n1 - c1) - c1 * (n0 - c0)) * 100L " +
-              "div greatest(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1), 1L)"))
+          // greatest(…,1) turns the degenerate 0/0 into a clean 0;
+          // the x100 integer form is overflow-GUARDED (raises out of
+          // envelope rather than wrapping — BqCompat.chi2x100Sql)
+          .withColumn("chi2_x100",
+            expr(graft.functions.BqCompat.chi2x100Sql()))
           .select($"n0", $"c0", $"ppm0", $"cents0",
             $"n1", $"c1", $"ppm1", $"cents1",
             $"diff_ppm", $"chi2_x100")
@@ -2897,11 +2897,11 @@ object EventQueries {
     // (z = 2.9 → chi² > 8.41, the repeated-looks correction for ~5
     // looks at α=0.05; the boundary CONSTANT is the policy knob, the
     // machinery is the operator). All counts — no raw sums of
-    // squares, so the only overflow bound is e_ab_test's own
-    // (counts < ~2^15 per cell before the (ad−bc)² product needs
-    // rescaling; rescale counts to thousands beyond that). The
-    // cumsum windows partition by arm over the calendar-bounded
-    // day spine.
+    // squares, so the only overflow bound is the chi-square's own
+    // exact-BIGINT envelope, now GUARDED inside chi2x100Sql (raises
+    // out of envelope instead of wrapping to values that would still
+    // hash-match an equally wrapped oracle). The cumsum windows
+    // partition by arm over the calendar-bounded day spine.
     "e_ab_sequential" -> Q(
       fn = (s, dir) => {
         import s.implicits._
@@ -2939,10 +2939,8 @@ object EventQueries {
           .filter($"n0" > 0L && $"n1" > 0L)
           .withColumn("diff_ppm",
             expr("c1 * 1000000L div n1 - c0 * 1000000L div n0"))
-          .withColumn("chi2_x100", expr(
-            "(n0 + n1) * (c0 * (n1 - c1) - c1 * (n0 - c0)) " +
-              "* (c0 * (n1 - c1) - c1 * (n0 - c0)) * 100L " +
-              "div greatest(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1), 1L)"))
+          .withColumn("chi2_x100",
+            expr(graft.functions.BqCompat.chi2x100Sql()))
           .withColumn("stop", $"chi2_x100" > 841L)
           .select($"day", $"n0", $"c0", $"n1", $"c1", $"diff_ppm",
             $"chi2_x100", $"stop")

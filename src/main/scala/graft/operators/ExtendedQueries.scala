@@ -2275,7 +2275,6 @@ object ExtendedQueries {
           .select($"event_type", $"user_id").distinct()
           .withColumn("h", expr("CAST(conv(substring(md5(" +
             "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
-        val w = Window.partitionBy($"event_type")
         u.groupBy($"event_type")
           .agg(expr("topk_min(struct(h, user_id), 8)").as("tk"),
             count(lit(1)).as("n_true"))

@@ -2119,11 +2119,6 @@ object TextQueries {
         FROM se_c ORDER BY k"""),
       desc = "retrieval eval: integer-exact MRR/precision/recall/NDCG curve per cutoff"),
 
-    // ── batch-perceptron quality probe (distilled rule cascade) ─────
-    // Fixed-round integer-exact linear fit; the oracle replays all 8
-    // rounds unrolled (the ivf_kmeans oracle pattern — the CTE chain
-    // is GENERATED, one pf_w{i} per round). Integer sums are
-    // partitioning-independent, so Spark and DuckDB agree bit-for-bit
     // ── late-interaction retrieval (ColBERT MaxSim) ─────────────────
     // Corpus.maxsimSearch: every query term picks its best-matching
     // doc token, score = sum of per-term maxima — the structural
@@ -2167,6 +2162,11 @@ object TextQueries {
         ORDER BY maxsim DESC, doc_id LIMIT 20"""),
       desc = "late-interaction MaxSim retrieval: per-term best-token evidence, exact integer"),
 
+    // ── batch-perceptron quality probe (distilled rule cascade) ─────
+    // Fixed-round integer-exact linear fit; the oracle replays all 8
+    // rounds unrolled (the ivf_kmeans oracle pattern — the CTE chain
+    // is GENERATED, one pf_w{i} per round). Integer sums are
+    // partitioning-independent, so Spark and DuckDB agree bit-for-bit
     // on every round's weights. 8 rounds: accuracy 450/500 on sf0.01
     // vs the 415/500 majority-class baseline (rounds 1-4 still ride
     // the all-positive init; the boundary forms at rounds 5-6).

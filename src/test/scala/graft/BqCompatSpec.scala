@@ -73,4 +73,29 @@ class BqCompatSpec extends SparkSuite {
     val df = vals.toDF("v").agg(sumMoney($"v").as("s"))
     assert(df.collect().head.getDouble(0) === 5005.0)
   }
+
+  test("chi2x100Sql: exact inside the envelope, raises outside it") {
+    // hand-checked 2x2: n0=100,c0=30 vs n1=100,c1=50 →
+    // chi2 = 200*(30*50-50*70)^2/(100*100*80*120) = 8.333… → x100 = 833
+    val ok = Seq((100L, 30L, 100L, 50L)).toDF("n0", "c0", "n1", "c1")
+      .select(expr(chi2x100Sql()).as("chi2"))
+    assert(ok.collect().head.getLong(0) === 833L)
+    // zero margin (nobody converted): det = 0 → clean 0, no division error
+    val zero = Seq((100L, 0L, 100L, 0L)).toDF("n0", "c0", "n1", "c1")
+      .select(expr(chi2x100Sql()).as("chi2"))
+    assert(zero.collect().head.getLong(0) === 0L)
+    // largest in-envelope N with a det near the bound still computes
+    // (N = 55000, det bound ≈ 303693000/236 ≈ 1.29e6; here det =
+    // 27500*(c0-c1) = 1.1e6 — numerator 6.66e18 < 2^63, no wrap)
+    val edge = Seq((27500L, 14000L, 27500L, 13960L))
+      .toDF("n0", "c0", "n1", "c1")
+      .select(expr(chi2x100Sql()).as("chi2"))
+    assert(edge.collect().head.getLong(0) > 0L)
+    // out-of-envelope counts RAISE (never wrap): N > 55000
+    val big = Seq((60000L, 30000L, 60000L, 20000L))
+      .toDF("n0", "c0", "n1", "c1")
+      .select(expr(chi2x100Sql()).as("chi2"))
+    val e = intercept[Exception](big.collect())
+    assert(e.getMessage.contains("chi2x100"))
+  }
 }
