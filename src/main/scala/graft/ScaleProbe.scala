@@ -815,21 +815,26 @@ object ScaleProbe {
             sum(col("w") * col("cents")).as("wc"))
       },
       "knn_graph" -> { k =>
-        // all-nodes graph scaled by vectors: candidate pairs grow with
-        // bucket occupancy (n²/2^bits per band) — at FIXED banding the
-        // curve is superlinear in n by design; the production knob is
-        // raising bits with corpus size (lshSearch scaladoc). The
-        // probe pins the default-banding envelope at bench scale.
-        Vectors.knnGraph(embFrac(k), k = 5)
+        // all-nodes graph scaled by vectors, at the registered query's
+        // bucketCap = 64: once buckets saturate the cap, each
+        // contributes a CONSTANT C(64,2) candidate pairs, so the curve
+        // flattens toward bucket-count-linear — the round-12 fix for
+        // the 0.94 uncapped-envelope exponent. The production knob for
+        // RECALL at scale stays raising bits per band (lshSearch
+        // scaladoc); the cap is the flood bound.
+        Vectors.knnGraph(embFrac(k), k = 5, bucketCap = 64)
       },
       "knn_graph_inc" -> { k =>
         // incremental refresh scaled by BATCH size at fixed old base:
         // candidate pairs touch a new side only, so growth tracks the
-        // batch, not the corpus
-        val oldBase = emb.filter(col("vec_id") % 4 === 1)
-        val g = Vectors.knnGraph(oldBase, k = 5)
+        // batch, not the corpus. vec_id % 4 === 1 keeps ids
+        // interleaved, which the capped incremental rejects — probe
+        // with an id-split old base (append-only, like the query).
+        val oldBase = emb.filter(col("vec_id") < 400)
+        val g = Vectors.knnGraph(oldBase, k = 5, bucketCap = 64)
         Vectors.knnGraphIncremental(oldBase,
-          embFrac(k).filter(col("vec_id") % 4 =!= 1), g, k = 5)
+          embFrac(k).filter(col("vec_id") >= 400), g, k = 5,
+          bucketCap = 64)
       },
       "textrank" -> { k =>
         // per-doc sentence graphs scaled by docs: every stage is

@@ -286,4 +286,69 @@ class VectorsApiSpec extends SparkSuite {
       edges(Vectors.knnGraph(base, k = 5)),
       "all-new backfill must equal the batch build")
   }
+
+  /** A flood bucket: identical vectors share every (band, bv) bucket,
+    * so occupancy = corpus size by construction — the adversarial
+    * near-duplicate-rich workload the bucketCap exists for. */
+  private def flood(ids: Long*) =
+    Vectors.quantize(ids.map(i => (i, Seq.fill(64)(1.0)))
+      .toDF("id", "embedding"))
+
+  test("knnGraph bucketCap: over-full bucket truncates to its cap smallest ids") {
+    val g = Vectors.knnGraph(flood(0L to 9L: _*), k = 5, bucketCap = 4)
+    val rows = g.select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // kept members = 4 smallest ids; everyone else is truncated OUT
+    // of every bucket and emits no rows on either side
+    assert(rows.map(_._1).toSet === Set(0L, 1L, 2L, 3L),
+      "only kept members get neighbor lists")
+    assert(rows.forall(_._2 <= 3L), "no candidate may come from a truncated id")
+    // each kept member sees exactly the other kept members
+    assert(rows.groupBy(_._1).forall(_._2.length === 3))
+  }
+
+  test("knnGraphIncremental bucketCap: law survives a bucket crossing the cap") {
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select($"src", $"rank", $"dst").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // old bucket occupancy 6 (UNDER cap 8); the batch floods it to 16
+    // (OVER the cap): whole-bucket drop would keep the old edges in
+    // the incremental while the rebuild loses them — smallest-id
+    // truncation keeps the old kept-subset invariant instead, so the
+    // merge law holds row-for-row THROUGH the cap boundary
+    val oldBase = flood(0L to 5L: _*)
+    val newBatch = flood(10L to 19L: _*)
+    val all = flood((0L to 5L) ++ (10L to 19L): _*)
+    val oldGraph = Vectors.knnGraph(oldBase, k = 5, bucketCap = 8)
+    val inc = edges(Vectors.knnGraphIncremental(oldBase, newBatch,
+      oldGraph, k = 5, bucketCap = 8))
+    assert(inc === edges(Vectors.knnGraph(all, k = 5, bucketCap = 8)),
+      "capped incremental must equal the capped rebuild")
+    // and the cap really bit: ids beyond the 8 smallest appear nowhere
+    assert(inc.forall { case (s, _, d) => s <= 11L && d <= 11L })
+  }
+
+  test("knnGraphIncremental bucketCap: interleaved ids raise (append-only guard)") {
+    val oldBase = base.filter($"id" % 2 === 0)
+    val newBatch = base.filter($"id" % 2 === 1) // ids interleave: law would drift
+    val e = intercept[Exception] {
+      Vectors.knnGraphIncremental(oldBase, newBatch,
+        Vectors.knnGraph(oldBase, k = 5), k = 5).collect()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      e.getCause != null && e.getCause.getMessage.contains("append-only"))
+  }
+
+  test("filteredSearch bucketCap: truncation keys on the effective (band, bv, label) bucket") {
+    // ten identical vectors, labels split 6 "a" / 4 "b"; cap 3 per
+    // effective bucket: label-a queries see only the 3 smallest a-ids
+    val ten = Vectors.quantize((0L to 9L)
+      .map(i => (i, Seq.fill(64)(1.0), if (i < 6) "a" else "b"))
+      .toDF("id", "embedding", "label"))
+    val out = Vectors.filteredSearch(ten, queryFilter = $"id" === 0L,
+        filterCol = "label", k = 5, bucketCap = 3)
+      .select($"cand_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L), "query 0 sees the kept a-members only " +
+      s"(got $out)")
+  }
 }
