@@ -17,7 +17,7 @@ object SparkEntry {
       graft.models.MtaQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
-      SessionQueries.queries
+      SessionQueries.queries ++ StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The per-user argmin rollup — the engine's fact_trips analog. */

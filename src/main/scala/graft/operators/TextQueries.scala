@@ -174,6 +174,10 @@ object TextQueries {
     * WITH blocks. */
   private def MINHASH_PAIRS_CTES: String = minhashPairsCtes("documents")
 
+  /** [[MINHASH_PAIRS_CTES]] for cross-file oracle composition (the
+    * streaming decontamination twin in StreamingQueries). */
+  private[operators] def minhashPairsCtesPublic: String = MINHASH_PAIRS_CTES
+
   private def minhashPairsCtes(from: String): String = s"""
         mh_base AS (
           SELECT doc_id, string_split(text, ' ') AS raw,

@@ -61,6 +61,8 @@ class PlanAuditSpec extends SparkSuite {
       "e_ab_bootstrap" -> "rank over the bounded 32-replicate diff frame",
       "e_survival" -> "n-at-risk over the calendar-bounded duration frame",
       "sample_priority" -> "rank over the LIMIT k+1 frame",
+      "stream_priority_sample" ->
+        "finalize rank over the <=16*(k+1) partials' LIMIT k+1 frame",
       "e_seasonality" -> "RANGE(±3d) over the calendar-bounded daily frame",
       "e_uplift" ->
         "decile cuts over the bounded score histogram + the 10-row decile frame")
