@@ -64,6 +64,16 @@ object ScaleProbe {
         Corpus.spanDedupIncremental(docFrac(k), isNew = col("doc_id") >= 400)),
       "bm25" -> (k => Corpus.bm25Rank(docFrac(k),
         Seq("hash", "join", "scan", "vector"), topK = 10)),
+      "mmr" -> (k =>
+        // pool bounded at 20 by the BM25 TakeOrderedAndProject — the
+        // curve must track the bm25 scan, the greedy rounds are
+        // metadata scale
+        Corpus.mmrRerank(docFrac(k), Seq("hash", "join", "scan", "vector"),
+          poolK = 20, k = 10)),
+      "prf" -> (k =>
+        // two inverted-index-pattern scans (feedback round + weighted
+        // re-rank) + the semi-join-pruned candidate-df scan — linear
+        Corpus.prfSearch(docFrac(k), Seq("hash", "join"))),
       "pq_search" -> (k => Vectors.pqSearch(embFrac(k),
         queryFilter = col("id") < 10 * k, k = 5)),
       "corpus_overlap" -> (k => Corpus.corpusOverlap(docFrac(k),

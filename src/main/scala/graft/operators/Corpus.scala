@@ -1862,6 +1862,168 @@ object Corpus extends org.apache.spark.internal.Logging {
         expr("dcg_d * 1000000 div nullif(idcg_d, 0)").as("ndcg_ppm"))
   }
 
+  /** Maximal-marginal-relevance DIVERSIFIED re-rank (Carbonell &
+    * Goldstein, SIGIR 1998) over the [[bm25Rank]] top-`poolK` pool:
+    * greedily select `k` docs maximizing λ·relevance − (1−λ)·
+    * max-similarity-to-already-selected — the de-dup-at-serve-time
+    * last mile every retrieval stack grows once near-duplicate docs
+    * crowd the top ranks.
+    *
+    * Exactness contract: relevance normalizes to ppm of the pool's
+    * max BM25 score (integer floor div); inter-doc similarity is the
+    * exact DISTINCT-token-set Jaccard in ppm; the objective is
+    * mmr_x100 = lambdaPct·rel_ppm − (100−lambdaPct)·max_sim_ppm —
+    * all BIGINT, ties to the smaller doc_id, so a DuckDB oracle
+    * replays every greedy round.
+    *
+    * Scale shape: the pool is bounded (≤ poolK rows) by the BM25
+    * TakeOrderedAndProject, so everything downstream is metadata
+    * scale; pairwise similarity is computed via the token EQUI-join
+    * (shared-token pairs only — a zero-overlap pair has sim 0 and is
+    * never materialized), never a cartesian. Per-round selected
+    * frames go through `Engine.materialize` so the k greedy rounds
+    * don't nest lineage (the [[Vectors.kmeansFit]] loop discipline;
+    * plans double per round otherwise — selected feeds both the
+    * anti-join and the max-sim join).
+    *
+    * Returns (sel_rank 1..k, doc_id, rel_ppm, max_sim_ppm at
+    * selection time, mmr_x100). */
+  def mmrRerank(docs: DataFrame, terms: Seq[String], poolK: Int = 20,
+                k: Int = 10, lambdaPct: Long = 70L): DataFrame = {
+    require(k >= 1 && k <= poolK, s"need 1 <= k <= poolK, got $k/$poolK")
+    val spark = docs.sparkSession
+    val pool0 = bm25Rank(docs, terms, poolK)
+    val mx = pool0.agg(max(col("score")).as("max_score"))
+    val pool = graft.Engine.materialize(
+      pool0.crossJoin(broadcast(mx))
+        .select(col("doc_id"),
+          expr("score * 1000000 div max_score").as("rel_ppm")),
+      key = "doc_id", name = "mmr_pool")
+    // DISTINCT-token frame of the pool docs only (semi-join prune —
+    // the corpus is never re-tokenized beyond the pool)
+    val ptok = docs.join(pool.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sizes = ptok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val inter = ptok.select(col("doc_id").as("a"), col("tok"))
+      .join(ptok.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+    val simP = graft.Engine.materialize(
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("nt").as("na")),
+          Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("nt").as("nb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          expr("ni * 1000000 div (na + nb - ni)").as("sim_ppm")),
+      key = "a", name = "mmr_sim")
+    var selected = pool
+      .orderBy(col("rel_ppm").desc, col("doc_id")).limit(1)
+      .select(lit(1L).as("sel_rank"), col("doc_id"), col("rel_ppm"),
+        lit(0L).as("max_sim_ppm"),
+        (lit(lambdaPct) * col("rel_ppm")).as("mmr_x100"))
+    var selT: Option[String] = None
+    for (r <- 2 to k) {
+      val rem = pool.join(selected.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      val ms = simP
+        .join(selected.select(col("doc_id").as("b")), Seq("b"))
+        .groupBy(col("a")).agg(max(col("sim_ppm")).as("max_sim_ppm"))
+        .withColumnRenamed("a", "doc_id")
+      val pick = rem.join(ms, Seq("doc_id"), "left")
+        .withColumn("max_sim_ppm", coalesce(col("max_sim_ppm"), lit(0L)))
+        .withColumn("mmr_x100", lit(lambdaPct) * col("rel_ppm") -
+          lit(100L - lambdaPct) * col("max_sim_ppm"))
+        .orderBy(col("mmr_x100").desc, col("doc_id")).limit(1)
+        .select(lit(r.toLong).as("sel_rank"), col("doc_id"),
+          col("rel_ppm"), col("max_sim_ppm"), col("mmr_x100"))
+      val (nextSel, nextT) = graft.Engine.materializeTracked(
+        selected.unionByName(pick),
+        key = "doc_id", name = s"mmr_sel_${r % 2}")
+      graft.Engine.dropMaterialized(spark, selT)
+      selected = nextSel
+      selT = nextT
+    }
+    selected.select(col("sel_rank"), col("doc_id"), col("rel_ppm"),
+      col("max_sim_ppm"), col("mmr_x100"))
+  }
+
+  /** Pseudo-relevance-feedback query EXPANSION (the RM3 shape,
+    * Lavrenko & Croft 2001, kept log-free): run [[bm25Rank]], treat
+    * the top `fbDocs` as relevant, mine the `fbTerms` highest-scoring
+    * expansion terms from them (score = occurrences-in-feedback ×
+    * the corpus idf', the same rational idf BM25 uses; original query
+    * terms and `stopwords` excluded; ties to the lexicographically
+    * smaller term), then re-rank with the WEIGHTED union query —
+    * original terms at weight 2, expansion terms at weight 1 (the
+    * classic ~0.66/0.33 RM3 interpolation as exact integers).
+    *
+    * Scale shape: round 1 is [[bm25Rank]]'s inverted-index pattern;
+    * the feedback vocabulary is bounded by fbDocs' distinct tokens
+    * (tiny — semi-join-pruned before any shuffle); corpus df for
+    * candidate terms computes via ONE token scan semi-joined to that
+    * vocabulary (the inverted-index access again); the final scoring
+    * scan joins tokens to a broadcast ≤(|terms|+fbTerms)-row weight
+    * frame. No stage touches corpus×corpus.
+    *
+    * Returns (rank, doc_id, score, n_terms) for the `topK` docs under
+    * the expanded weighted query. */
+  def prfSearch(docs: DataFrame, terms: Seq[String], fbDocs: Int = 10,
+                fbTerms: Int = 3, topK: Int = 20,
+                stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+                k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val fb = bm25Rank(docs, terms, fbDocs).select(col("doc_id"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    // candidate expansion vocabulary: occurrences inside the feedback
+    // docs, minus the query's own terms and stopwords
+    val fbTf = toks.join(fb, Seq("doc_id"), "left_semi")
+      .filter(!col("tok").isin((terms ++ stopwords): _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("fb_tf"))
+    // corpus df for exactly those candidates (semi-join-pruned scan)
+    val dfAll = toks.join(fbTf.select(col("tok")), Seq("tok"), "left_semi")
+      .select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val expansion = fbTf.join(dfAll, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("exp_score", col("fb_tf") *
+        expr("((n_docs - df) * 1000000 + 500000) div (df * 1000 + 500)"))
+      .orderBy(col("exp_score").desc, col("tok")).limit(fbTerms)
+      .select(col("tok"), lit(1L).as("w"))
+    import docs.sparkSession.implicits._
+    val weights = broadcast(
+      terms.toDF("tok").withColumn("w", lit(2L)).unionByName(expansion))
+    // weighted BM25 over the union term set (bm25Score's arithmetic
+    // with a per-term weight factor riding the broadcast term frame)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val totals = dl.agg(expr("count(1)").as("n_docs"),
+      expr("(sum(dlen) * 1000) div count(1)").as("avg_m"))
+    val tf = toks.join(weights, Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_m",
+        expr("((n_docs - df) * 1000000 + 500000) div (df * 1000 + 500)"))
+      .withColumn("norm_m",
+        expr(s"1000 - $bMilli + ($bMilli * dlen * 1000) div avg_m"))
+      .withColumn("tfn_ppm", expr(
+        s"(tf * (1000 + $k1Milli) * 1000000) div " +
+          s"(tf * 1000 + ($k1Milli * norm_m) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("idf_m") * col("tfn_ppm")).as("score"),
+        count(lit(1)).as("n_terms"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+  }
+
   /** Distributed batch-perceptron quality probe: distill the
     * [[qualityFilter]] rule cascade into a LINEAR scorer — the
     * fasttext-style "train a fast classifier on heuristic labels"

@@ -3112,6 +3112,201 @@ object EventQueries {
                  - c0 * 1000000 // NULLIF(n0, 0) AS uplift_ppm,
                cc1 * 100 - cc0 * cn1 * 100 // NULLIF(cn0, 0) AS qini_x100
         FROM up_c ORDER BY decile"""),
-      desc = "Qini uplift curve by score decile (histogram-first cuts, A/A arms)")
+      desc = "Qini uplift curve by score decile (histogram-first cuts, A/A arms)"),
+
+    // ── Markov removal-effect attribution (the chain model) ─────────
+    // The data-driven complement of e_attribution_multi's positional
+    // credit (Anderl et al. 2016): per-user journeys to FIRST purchase
+    // become first-order transitions over {START, event types, CONV,
+    // NULL}; each channel's credit is its REMOVAL EFFECT — how much
+    // P(conversion from START) drops when every transition into the
+    // channel redirects to NULL. Conversion probability is the
+    // FIXED-HORIZON (16-step) absorption, iterated as integer ppm
+    // with per-term floor division — deterministic under any
+    // partitioning, replayable by 16 unrolled oracle CTEs per variant
+    // (the kmeans pattern; all 5 variants iterate as ONE keyed frame).
+    //
+    // Scale shape: one user-keyed scan + lag window builds the
+    // transition counts; everything after is metadata scale (≤
+    // |states|² rows × variants), iterated via broadcast-sized
+    // materialized frames — at 100 TB the journeys scan dominates and
+    // is a single shuffle on user_id.
+    "e_markov_attribution" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val spark = s
+        val ROUNDS = 16
+        val base = ev(s, dir).select($"user_id", $"event_id",
+          epochS($"ts").as("es"), $"event_type")
+        // journey truncates at the FIRST purchase (the conversion);
+        // (es, event_id) is the deterministic order (ts floors to
+        // seconds, so event_id breaks the tie)
+        val firstP = base.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min(struct($"es", $"event_id")).as("fp"))
+        val jo = base.join(firstP, Seq("user_id"), "left")
+          .filter($"fp".isNull || struct($"es", $"event_id") <= $"fp")
+        val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+        val steps = jo
+          .withColumn("src", coalesce(lag($"event_type", 1).over(w),
+            lit("START")))
+          .withColumn("dst", when($"event_type" === "purchase",
+            lit("CONV")).otherwise($"event_type"))
+          .withColumn("rk", row_number().over(w))
+        // unconverted journeys absorb into NULL after their last event
+        val lastRk = jo.groupBy($"user_id").agg(count(lit(1)).as("mrk"))
+        val terminal = steps
+          .join(lastRk, Seq("user_id"))
+          .join(firstP.select($"user_id"), Seq("user_id"), "left_anti")
+          .filter($"rk" === $"mrk")
+          .select($"event_type".as("src"), lit("NULL").as("dst"))
+        val trans = steps.select($"src", $"dst")
+          .unionByName(terminal)
+          .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        // variants: 'full' + one removal per non-conversion channel;
+        // a removal redirects transitions INTO the channel to NULL
+        // (probability mass conserved — counts re-aggregate, totals
+        // per src unchanged)
+        val channels = ev(s, dir).select($"event_type").distinct()
+          .filter($"event_type" =!= "purchase")
+        val variants = channels
+          .select($"event_type".as("variant"), $"event_type".as("c"))
+          .unionByName(Seq(("full", null.asInstanceOf[String]))
+            .toDF("variant", "c"))
+        val tv = trans.crossJoin(broadcast(variants))
+          .withColumn("dst2",
+            when($"dst" === $"c", lit("NULL")).otherwise($"dst"))
+          .groupBy($"variant", $"src", $"dst2")
+          .agg(sum($"n").as("n"))
+        val tot = tv.groupBy($"variant", $"src").agg(sum($"n").as("t"))
+        val tMat = graft.Engine.materialize(
+          tv.join(tot, Seq("variant", "src"))
+            .select($"variant", $"src", $"dst2".as("dst"),
+              expr("n * 1000000 div t").as("p_ppm")),
+          key = "variant", name = "markov_T")
+        val convRows = graft.Engine.materialize(
+          variants.select($"variant", lit("CONV").as("state"),
+            lit(1000000L).as("p")),
+          key = "variant", name = "markov_conv")
+        var pk = convRows
+        var pkT: Option[String] = None
+        for (i <- 0 until ROUNDS) {
+          val (next, nextT) = graft.Engine.materializeTracked(
+            tMat
+              .join(pk.select($"variant", $"state".as("dst"),
+                $"p".as("pd")), Seq("variant", "dst"), "left")
+              .withColumn("pd", coalesce($"pd", lit(0L)))
+              .groupBy($"variant", $"src")
+              .agg(sum(expr("p_ppm * pd div 1000000")).as("p"))
+              .withColumnRenamed("src", "state")
+              .unionByName(convRows),
+            key = "variant", name = s"markov_p_${i % 2}")
+          graft.Engine.dropMaterialized(spark, pkT)
+          pk = next
+          pkT = nextT
+        }
+        val pStart = pk.filter($"state" === "START")
+          .select($"variant", $"p")
+        val full = pStart.filter($"variant" === "full")
+          .select($"p".as("p_full_ppm"))
+        val eff = pStart.filter($"variant" =!= "full")
+          .select($"variant".as("channel"), $"p".as("p_removed_ppm"))
+          .crossJoin(broadcast(full))
+          .withColumn("effect_ppm",
+            greatest($"p_full_ppm" - $"p_removed_ppm", lit(0L)))
+        val totEff = eff.agg(sum($"effect_ppm").as("te"))
+        eff.crossJoin(broadcast(totEff))
+          .select($"channel", $"p_full_ppm", $"p_removed_ppm",
+            $"effect_ppm",
+            expr("effect_ppm * 1000000 div nullif(te, 0)").as("share_ppm"))
+          .orderBy($"channel")
+      },
+      oracle = Some({
+        val rounds = (1 to 16).map { i => s"""
+        mk_p$i AS MATERIALIZED (
+          SELECT t.variant, t.src AS state,
+                 CAST(sum(t.p_ppm * COALESCE(p.p, 0) // 1000000)
+                   AS BIGINT) AS p
+          FROM mk_T t
+          LEFT JOIN mk_p${i - 1} p
+            ON p.variant = t.variant AND p.state = t.dst
+          GROUP BY 1, 2
+          UNION ALL
+          SELECT variant, 'CONV' AS state, CAST(1000000 AS BIGINT) AS p
+          FROM mk_v)"""
+        }.mkString(",")
+        s"""
+        WITH mk_e AS (
+          SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+                 event_type
+          FROM events),
+        mk_r AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY es, event_id) AS rk
+          FROM mk_e),
+        mk_fp AS (
+          SELECT user_id, min(rk) AS fprk
+          FROM mk_r WHERE event_type = 'purchase' GROUP BY 1),
+        mk_j AS (
+          SELECT r.user_id, r.event_type, r.rk
+          FROM mk_r r LEFT JOIN mk_fp f USING (user_id)
+          WHERE f.fprk IS NULL OR r.rk <= f.fprk),
+        mk_tr0 AS (
+          SELECT user_id,
+                 COALESCE(lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY rk), 'START') AS src,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END AS dst
+          FROM mk_j),
+        mk_last AS (SELECT user_id, max(rk) AS mrk FROM mk_j GROUP BY 1),
+        mk_term AS (
+          SELECT j.event_type AS src, 'NULL' AS dst
+          FROM mk_j j
+          JOIN mk_last l ON l.user_id = j.user_id AND j.rk = l.mrk
+          LEFT JOIN mk_fp f ON f.user_id = j.user_id
+          WHERE f.fprk IS NULL),
+        mk_tr AS (
+          SELECT src, dst FROM mk_tr0
+          UNION ALL SELECT src, dst FROM mk_term),
+        mk_ch AS (
+          SELECT DISTINCT event_type AS c FROM events
+          WHERE event_type <> 'purchase'),
+        mk_v AS MATERIALIZED (
+          SELECT 'full' AS variant, CAST(NULL AS VARCHAR) AS c
+          UNION ALL SELECT c AS variant, c FROM mk_ch),
+        mk_tv AS (
+          SELECT v.variant, t.src,
+                 CASE WHEN t.dst = v.c THEN 'NULL' ELSE t.dst END AS dst,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM mk_tr t CROSS JOIN mk_v v
+          GROUP BY 1, 2, 3),
+        mk_tot AS (
+          SELECT variant, src, CAST(sum(n) AS BIGINT) AS t
+          FROM mk_tv GROUP BY 1, 2),
+        mk_T AS MATERIALIZED (
+          SELECT a.variant, a.src, a.dst, a.n * 1000000 // b.t AS p_ppm
+          FROM mk_tv a
+          JOIN mk_tot b ON b.variant = a.variant AND b.src = a.src),
+        mk_p0 AS MATERIALIZED (
+          SELECT variant, 'CONV' AS state, CAST(1000000 AS BIGINT) AS p
+          FROM mk_v),$rounds,
+        mk_ps AS (
+          SELECT variant, p FROM mk_p16 WHERE state = 'START'),
+        mk_eff AS MATERIALIZED (
+          SELECT r.variant AS channel,
+                 f.p AS p_full_ppm, r.p AS p_removed_ppm,
+                 greatest(f.p - r.p, CAST(0 AS BIGINT)) AS effect_ppm
+          FROM mk_ps r
+          CROSS JOIN (SELECT p FROM mk_ps WHERE variant = 'full') f
+          WHERE r.variant <> 'full')
+        SELECT channel, p_full_ppm, p_removed_ppm, effect_ppm,
+               effect_ppm * 1000000
+                 // NULLIF(CAST((SELECT sum(effect_ppm) FROM mk_eff)
+                     AS BIGINT), 0)
+                 AS share_ppm
+        FROM mk_eff ORDER BY channel"""
+      }),
+      desc = "Markov removal-effect attribution: 16-step integer absorption per removed channel")
   )
 }

@@ -2166,6 +2166,157 @@ object TextQueries {
         ORDER BY maxsim DESC, doc_id LIMIT 20"""),
       desc = "late-interaction MaxSim retrieval: per-term best-token evidence, exact integer"),
 
+    // ── MMR diversified re-rank (serve-time near-dup suppression) ───
+    // Corpus.mmrRerank: greedy λ·rel − (1−λ)·max-sim selection over
+    // the BM25 top-20 pool, exact integer objective (rel as ppm of
+    // the pool max, sim as exact token-set Jaccard ppm). The oracle
+    // unrolls all 10 greedy rounds (the kmeans pattern): each round
+    // is a 1-row argmax CTE over the pool minus the union of earlier
+    // picks.
+    "search_mmr" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.mmrRerank directly.
+        Corpus.mmrRerank(docs(s, dir),
+            Seq("hash", "join", "scan", "vector"), poolK = 20, k = 10)
+          .orderBy(col("sel_rank")),
+      oracle = Some({
+        // every round CTE is MATERIALIZED: mm_s_r references
+        // mm_u_{r-1} twice (anti-membership + max-sim join), and
+        // DuckDB INLINES multiply-referenced CTEs by default — the
+        // 10-round chain would expand exponentially (observed as
+        // "too many open files": thousands of inlined parquet scans)
+        val rounds = (2 to 10).map { r =>
+          val prev = (1 until r).map(i => s"SELECT * FROM mm_s$i")
+            .mkString(" UNION ALL ")
+          s"""
+        mm_u${r - 1} AS MATERIALIZED ($prev),
+        mm_s$r AS MATERIALIZED (
+          SELECT CAST($r AS BIGINT) AS sel_rank, p.doc_id, p.rel_ppm,
+                 COALESCE(m.ms, CAST(0 AS BIGINT)) AS max_sim_ppm,
+                 70 * p.rel_ppm
+                   - 30 * COALESCE(m.ms, CAST(0 AS BIGINT)) AS mmr_x100
+          FROM mm_rel p
+          LEFT JOIN (SELECT s.a AS doc_id,
+                            CAST(max(s.sim_ppm) AS BIGINT) AS ms
+                     FROM mm_sim s
+                     JOIN mm_u${r - 1} u ON u.doc_id = s.b
+                     GROUP BY 1) m ON m.doc_id = p.doc_id
+          WHERE p.doc_id NOT IN (SELECT doc_id FROM mm_u${r - 1})
+          ORDER BY mmr_x100 DESC, p.doc_id LIMIT 1)"""
+        }.mkString(",")
+        val all = (1 to 10).map(i => s"SELECT * FROM mm_s$i")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH ${duckBm25Ctes(Seq("hash", "join", "scan", "vector"), 20)},
+        mm_rel AS MATERIALIZED (
+          SELECT doc_id, score * 1000000
+                   // (SELECT max(score) FROM bm_top) AS rel_ppm
+          FROM bm_top),
+        mm_tok AS (
+          SELECT DISTINCT d.doc_id, unnest(string_split(d.text, ' ')) AS tok
+          FROM documents d JOIN bm_top USING (doc_id)),
+        mm_sz AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+          FROM mm_tok GROUP BY 1),
+        mm_int AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS ni
+          FROM mm_tok a JOIN mm_tok b
+            ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        mm_sim AS MATERIALIZED (
+          SELECT i.a, i.b, i.ni * 1000000 // (sa.nt + sb.nt - i.ni)
+                   AS sim_ppm
+          FROM mm_int i
+          JOIN mm_sz sa ON sa.doc_id = i.a
+          JOIN mm_sz sb ON sb.doc_id = i.b),
+        mm_s1 AS MATERIALIZED (
+          SELECT CAST(1 AS BIGINT) AS sel_rank, doc_id, rel_ppm,
+                 CAST(0 AS BIGINT) AS max_sim_ppm,
+                 70 * rel_ppm AS mmr_x100
+          FROM mm_rel ORDER BY rel_ppm DESC, doc_id LIMIT 1),$rounds
+        SELECT sel_rank, doc_id, rel_ppm, max_sim_ppm, mmr_x100
+        FROM ($all) ORDER BY sel_rank"""
+      }),
+      desc = "MMR diversified re-rank: greedy integer lambda-tradeoff over the BM25 pool"),
+
+    // ── pseudo-relevance-feedback expansion (RM3-lite) ───────────────
+    // Corpus.prfSearch: BM25 top-10 feedback docs → top-3 expansion
+    // terms by fb-occurrences × rational corpus idf (query terms +
+    // stopwords excluded, ties lexicographic) → weighted re-rank,
+    // original terms ×2, expansion ×1. All integer fixed-point —
+    // the oracle replays both rounds.
+    "search_prf" -> Q(
+      fn = (s, dir) =>
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.prfSearch directly.
+        Corpus.prfSearch(docs(s, dir), Seq("hash", "join"),
+            fbDocs = 10, fbTerms = 3, topK = 20)
+          .orderBy(col("rank")),
+      oracle = Some(s"""
+        WITH ${duckBm25Ctes(Seq("hash", "join"), 10)},
+        pr_fbtf AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS fb_tf FROM (
+            SELECT unnest(string_split(d.text, ' ')) AS tok
+            FROM documents d JOIN bm_top b ON b.doc_id = d.doc_id)
+          WHERE tok NOT IN ('hash', 'join', 'the', 'a', 'of', 'and', 'to')
+          GROUP BY tok),
+        pr_cdf AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+          WHERE tok IN (SELECT tok FROM pr_fbtf)
+          GROUP BY tok),
+        pr_n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        pr_exp AS (
+          SELECT tok, CAST(1 AS BIGINT) AS w FROM (
+            SELECT f.tok,
+                   f.fb_tf * (((n.n_docs - d.df) * 1000000 + 500000)
+                     // (d.df * 1000 + 500)) AS exp_score
+            FROM pr_fbtf f JOIN pr_cdf d USING (tok) CROSS JOIN pr_n n)
+          ORDER BY exp_score DESC, tok LIMIT 3),
+        pr_w AS (
+          SELECT tok, CAST(2 AS BIGINT) AS w
+          FROM (VALUES ('hash'), ('join')) t(tok)
+          UNION ALL SELECT tok, w FROM pr_exp),
+        pr_t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        pr_dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen
+          FROM pr_t GROUP BY 1),
+        pr_st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 (CAST(sum(dlen) AS BIGINT) * 1000) // count(*) AS avg_m
+          FROM pr_dl),
+        pr_tf AS (
+          SELECT t.doc_id, t.tok, w.w, CAST(count(*) AS BIGINT) AS tf
+          FROM pr_t t JOIN pr_w w USING (tok) GROUP BY 1, 2, 3),
+        pr_dft AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df
+          FROM pr_tf GROUP BY 1),
+        pr_sc AS (
+          SELECT f.doc_id, f.w,
+                 ((s.n_docs - d.df) * 1000000 + 500000)
+                   // (d.df * 1000 + 500) AS idf_m,
+                 1000 - 750 + (750 * l.dlen * 1000) // s.avg_m AS norm_m,
+                 f.tf
+          FROM pr_tf f JOIN pr_dft d USING (tok)
+          JOIN pr_dl l USING (doc_id) CROSS JOIN pr_st s),
+        pr_agg AS (
+          SELECT doc_id,
+                 CAST(sum(w * idf_m * ((tf * (1000 + 1200) * 1000000)
+                   // (tf * 1000 + (1200 * norm_m) // 1000))) AS BIGINT)
+                   AS score,
+                 CAST(count(*) AS BIGINT) AS n_terms
+          FROM pr_sc GROUP BY doc_id)
+        SELECT rank, doc_id, score, n_terms FROM (
+          SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+            AS rank
+          FROM pr_agg)
+        WHERE rank <= 20 ORDER BY rank"""),
+      desc = "RM3 pseudo-relevance feedback: feedback-mined expansion terms, weighted re-rank"),
+
     // ── batch-perceptron quality probe (distilled rule cascade) ─────
     // Fixed-round integer-exact linear fit; the oracle replays all 8
     // rounds unrolled (the ivf_kmeans oracle pattern — the CTE chain

@@ -1219,4 +1219,48 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.prioritySample(items.limit(10), k = 16,
       tokens = col("wt")).count() === 0L)
   }
+
+  test("mmrRerank: greedy invariants — first pick is top BM25, objective non-increasing, diverse") {
+    val docs = graft.sources.Sources.table(spark, sf(), "documents")
+    val terms = Seq("hash", "join", "scan", "vector")
+    val out = Corpus.mmrRerank(docs, terms, poolK = 20, k = 10)
+      .orderBy($"sel_rank").collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === 10,
+      "selected docs must be distinct")
+    // pick 1 is the relevance argmax: rel_ppm = 1e6 (the pool max)
+    assert(out.head.getAs[Long]("rel_ppm") === 1000000L)
+    assert(out.head.getAs[Long]("max_sim_ppm") === 0L)
+    // greedy objective is non-increasing in selection order: pick r's
+    // mmr against MORE selected docs can only shrink, and pick r was
+    // the round's argmax
+    val mmr = out.map(_.getAs[Long]("mmr_x100"))
+    assert(mmr.zip(mmr.tail).forall { case (a, b) => a >= b },
+      s"mmr must be non-increasing: ${mmr.mkString(",")}")
+    // diversification really binds: some later pick has nonzero
+    // similarity penalty (near-dup-rich synthetic corpus)
+    assert(out.exists(_.getAs[Long]("max_sim_ppm") > 0L))
+  }
+
+  test("prfSearch: expansion terms are mined, weighted rescore stays bounded") {
+    val docs = graft.sources.Sources.table(spark, sf(), "documents")
+    val plain = Corpus.bm25Rank(docs, Seq("hash", "join"), topK = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score"))
+      .toMap
+    val out = Corpus.prfSearch(docs, Seq("hash", "join"), fbDocs = 10,
+      fbTerms = 3, topK = 20).orderBy($"rank").collect()
+    assert(out.length === 20)
+    // a doc can match at most |terms| + fbTerms distinct terms
+    assert(out.forall(_.getAs[Long]("n_terms") <= 5L))
+    val score = out.map(_.getAs[Long]("score"))
+    assert(score.zip(score.tail).forall { case (a, b) => a >= b })
+    // the expansion is not a no-op: some doc's expanded score differs
+    // from 2x its plain score (weight-2 originals alone would give
+    // exactly 2x for docs matching no expansion term — at least one
+    // top doc must have picked up expansion-term mass)
+    assert(out.exists { r =>
+      plain.get(r.getAs[Long]("doc_id"))
+        .exists(p => r.getAs[Long]("score") != 2L * p)
+    }, "expansion terms must contribute to at least one top doc")
+  }
 }

@@ -160,4 +160,24 @@ class EventsSpec extends SparkSuite {
       case _ => true
     } && rows.head._5 <= 1000000L)
   }
+
+  test("e_markov_attribution: removal never helps, shares partition the credit") {
+    val out = SparkEntry.queries("e_markov_attribution")(spark, sf())
+      .collect()
+    assert(out.length === 4, "one row per non-conversion channel")
+    out.foreach { r =>
+      val (full, removed, eff) = (r.getAs[Long]("p_full_ppm"),
+        r.getAs[Long]("p_removed_ppm"), r.getAs[Long]("effect_ppm"))
+      // redirect-to-NULL can only lose conversion mass, so the
+      // greatest(.., 0) clamp must never actually bind
+      assert(full >= removed, s"removal increased conversion: $r")
+      assert(eff === full - removed)
+      assert(full >= 0L && full <= 1000000L &&
+        removed >= 0L && removed <= 1000000L)
+    }
+    // floor-div shares sum to <= 1e6 and within rounding of it
+    val shares = out.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares <= 1000000L && shares >= 1000000L - out.length,
+      s"shares must partition the credit, got $shares")
+  }
 }
