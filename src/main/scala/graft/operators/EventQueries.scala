@@ -3307,6 +3307,68 @@ object EventQueries {
                  AS share_ppm
         FROM mk_eff ORDER BY channel"""
       }),
-      desc = "Markov removal-effect attribution: 16-step integer absorption per removed channel")
+      desc = "Markov removal-effect attribution: 16-step integer absorption per removed channel"),
+
+    // ── CUSUM change-point detection (the ops-dashboard monitor) ────
+    // Page 1954's cumulative-sum control chart over the daily event
+    // count, in its PREFIX closed form — the textbook recursion
+    // S⁺_t = max(0, S⁺_{t-1} + x_t − μ − slack) is exactly
+    // S⁺_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    // (x − μ − slack), so the whole chart is two cumsum windows + two
+    // prefix-extreme windows over the calendar-bounded daily frame —
+    // no sequential fold, no recursion, twin-able verbatim. μ = the
+    // global mean daily count, slack = μ div 20 (the 5% allowance),
+    // threshold h = μ div 2; all exact integers. Windows run over the
+    // ≤ calendar-days frame (the e_seasonality allowlist class).
+    "e_changepoint" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .select((epochS($"ts") / 86400L).cast(LongType).as("day"))
+          .groupBy($"day").agg(count(lit(1)).as("n"))
+        val stats = daily.agg(
+          expr("sum(n) div count(1)").as("mu"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(stats))
+          .withColumn("slack", expr("mu div 20"))
+          .withColumn("pp", sum($"n" - $"mu" - $"slack").over(w))
+          .withColumn("pm", sum($"n" - $"mu" + $"slack").over(w))
+          .withColumn("cusum_pos", $"pp" - least(lit(0L), min($"pp").over(w)))
+          .withColumn("cusum_neg",
+            greatest(lit(0L), max($"pm").over(w)) - $"pm")
+          .withColumn("h", expr("mu div 2"))
+          .withColumn("flag", $"cusum_pos" > $"h" || $"cusum_neg" > $"h")
+          .select($"day", $"n", $"mu", $"cusum_pos", $"cusum_neg",
+            $"flag")
+          .orderBy($"day")
+      },
+      oracle = Some("""
+        WITH cp_d AS (
+          SELECT (epoch_us(ts)//1000000)//86400 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        cp_s AS (
+          SELECT CAST(sum(n) AS BIGINT) // count(*) AS mu FROM cp_d),
+        cp_p AS (
+          SELECT d.day, d.n, s.mu,
+                 CAST(sum(d.n - s.mu - s.mu // 20) OVER w AS BIGINT) AS pp,
+                 CAST(sum(d.n - s.mu + s.mu // 20) OVER w AS BIGINT) AS pm
+          FROM cp_d d CROSS JOIN cp_s s
+          WINDOW w AS (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)),
+        cp_c AS (
+          SELECT day, n, mu,
+                 pp - least(CAST(0 AS BIGINT),
+                   CAST(min(pp) OVER w AS BIGINT)) AS cusum_pos,
+                 greatest(CAST(0 AS BIGINT),
+                   CAST(max(pm) OVER w AS BIGINT)) - pm AS cusum_neg
+          FROM cp_p
+          WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+        SELECT day, n, mu, cusum_pos, cusum_neg,
+               cusum_pos > mu // 2 OR cusum_neg > mu // 2 AS flag
+        FROM cp_c ORDER BY day"""),
+      desc = "CUSUM change-point chart in prefix closed form over the daily count")
   )
 }

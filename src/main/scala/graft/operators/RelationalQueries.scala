@@ -570,6 +570,84 @@ object RelationalQueries {
                CAST(c.cluster_size AS BIGINT) AS cluster_size
         FROM er_lbl l JOIN er_canon c USING (cid)
         ORDER BY mention"""),
-      desc = "entity resolution: blocked fuzzy edges, CC clusters, canonical names")
+      desc = "entity resolution: blocked fuzzy edges, CC clusters, canonical names"),
+
+    // ── blocking-quality eval (the ER scheme's acceptance test) ─────
+    // Before trusting er_resolve's (last-word, first-char) blocking at
+    // 100 TB, measure it: pair completeness (share of TRUE lev≤2
+    // pairs the blocks surface) and reduction ratio (share of the
+    // all-pairs space the blocks never touch) — the two numbers every
+    // ER paper reports (Christen 2012). The all-pairs TRUTH side runs
+    // over a bounded ≤200-mention slice (p_partkey ≤ 100 + typos) —
+    // the knn_brute/lsh_curve documented-baseline posture; the
+    // blocked side is the production equi-join shape.
+    "er_blocking_eval" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val names = t(s, dir, "part").filter($"p_partkey" <= 100L)
+          .select($"p_name".as("m")).distinct()
+        val typos = names
+          .select(concat(substring($"m", 1, 2), substring($"m", 4, 100000))
+            .as("m")).distinct()
+        val mk = names.unionByName(typos).distinct()
+          .withColumn("mid", expr(
+            "CAST(conv(substring(md5(m), 1, 14), 16, 10) AS BIGINT)"))
+          .withColumn("k1", element_at(split($"m", " "), -1))
+          .withColumn("k2", substring($"m", 1, 1))
+        val mkM = graft.Engine.materialize(mk, key = "mid",
+          name = "erbe_mk")
+        val all = mkM.select($"m".as("ma"), $"mid".as("ida"))
+          .crossJoin(mkM.select($"m".as("mb"), $"mid".as("idb")))
+          .filter($"ida" < $"idb")
+          .withColumn("is_true",
+            (levenshtein($"ma", $"mb") <= 2).cast(LongType))
+        val blocked = mkM.select($"k1", $"k2", $"m".as("ma"),
+            $"mid".as("ida"))
+          .join(mkM.select($"k1", $"k2", $"m".as("mb"), $"mid".as("idb")),
+            Seq("k1", "k2"))
+          .filter($"ida" < $"idb")
+          .agg(count(lit(1)).as("n_blocked"),
+            sum((levenshtein($"ma", $"mb") <= 2).cast(LongType))
+              .as("n_caught"))
+        val n = mkM.agg(count(lit(1)).as("n_mentions"))
+        all.agg(count(lit(1)).as("n_all_pairs"),
+            sum($"is_true").as("n_true"))
+          .crossJoin(broadcast(blocked))
+          .crossJoin(broadcast(n))
+          .select($"n_mentions", $"n_all_pairs", $"n_true",
+            $"n_blocked", $"n_caught",
+            expr("n_caught * 1000000 div nullif(n_true, 0)").as("pc_ppm"),
+            expr("(n_all_pairs - n_blocked) * 1000000 div " +
+              "nullif(n_all_pairs, 0)").as("rr_ppm"))
+      },
+      oracle = Some("""
+        WITH eb_names AS (
+          SELECT DISTINCT p_name AS m FROM part WHERE p_partkey <= 100),
+        eb_m AS (
+          SELECT m, ('0x' || substr(md5(m), 1, 14))::BIGINT AS mid,
+                 string_split(m, ' ')[-1] AS k1, substr(m, 1, 1) AS k2
+          FROM (SELECT m FROM eb_names
+                UNION
+                SELECT DISTINCT substr(m, 1, 2) || substr(m, 4) AS m
+                FROM eb_names)),
+        eb_all AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_all_pairs,
+                 CAST(sum(CASE WHEN levenshtein(a.m, b.m) <= 2
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+          FROM eb_m a JOIN eb_m b ON a.mid < b.mid),
+        eb_blk AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_blocked,
+                 CAST(sum(CASE WHEN levenshtein(a.m, b.m) <= 2
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+          FROM eb_m a JOIN eb_m b
+            ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.mid < b.mid),
+        eb_n AS (SELECT CAST(count(*) AS BIGINT) AS n_mentions FROM eb_m)
+        SELECT n.n_mentions, a.n_all_pairs, a.n_true,
+               b.n_blocked, b.n_caught,
+               b.n_caught * 1000000 // NULLIF(a.n_true, 0) AS pc_ppm,
+               (a.n_all_pairs - b.n_blocked) * 1000000
+                 // NULLIF(a.n_all_pairs, 0) AS rr_ppm
+        FROM eb_all a CROSS JOIN eb_blk b CROSS JOIN eb_n n"""),
+      desc = "ER blocking eval: pair completeness + reduction ratio vs bounded all-pairs truth")
   )
 }

@@ -274,6 +274,64 @@ object VectorQueries {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
       desc = "sign-LSH bucketed ANN: signature bands → candidate join → rank"),
 
+    // ── multi-probe sign-LSH (the recall knob, Lv et al. 2007) ──────
+    // knn_lsh with the query side probing each band's exact bucket +
+    // every 1-bit flip of the band value: candidates are a strict
+    // superset at the same banding (spec-pinned), cost is
+    // ×(1 + bits/band) on the SMALL query side only. Scale notes on
+    // Vectors.lshSearchMultiprobe.
+    "knn_lsh_mp" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Vectors.lshSearchMultiprobe directly.
+        Vectors.lshSearchMultiprobe(emb(s, dir).withColumn("id", $"vec_id"),
+            queryFilter = $"id" < 10, k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        dims AS (
+          SELECT vec_id, r.i - 1 AS d, sv[r.i] AS v, k.k AS k
+          FROM base CROSS JOIN range(1, 65) r(i) CROSS JOIN range(0, 16) k(k)),
+        terms AS (
+          SELECT vec_id, k,
+            v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
+          FROM dims),
+        sums AS (SELECT vec_id, k, sum(term) AS s FROM terms GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id, sum(CASE WHEN s > 0
+            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+          FROM sums GROUP BY 1),
+        banded AS (
+          ${(0 until 4).map(b =>
+            s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bv FROM sig")
+            .mkString("\nUNION ALL\n")}),
+        probes AS (
+          SELECT b.vec_id, b.band, xor(b.bv, f.f) AS bv
+          FROM banded b CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2),
+            (4), (8)) f(f)
+          WHERE b.vec_id < 10),
+        cands AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM probes q JOIN banded c ON q.band = c.band AND q.bv = c.bv
+          WHERE q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT cands.query_id, cands.cand_id,
+                 CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                   / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                   AS cosine
+          FROM cands
+          JOIN base qv ON qv.vec_id = cands.query_id
+          JOIN base cv ON cv.vec_id = cands.cand_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      desc = "multi-probe LSH: 1-bit-flip bucket probes on the query side, exact rerank"),
+
     // ── all-nodes k-NN graph (the SemDeDup / graph-ANN primitive) ───
     // knn_lsh without a query side: every node gets its LSH-candidate
     // top-5, both rerank sides are the full corpus (shuffle equi-joins

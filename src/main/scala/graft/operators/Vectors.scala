@@ -133,6 +133,54 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
+  /** MULTI-PROBE sign-LSH ANN (Lv et al., VLDB 2007): [[lshSearch]]
+    * with the query side probing, per band, its own bucket PLUS every
+    * bucket at Hamming distance 1 in the band value (each of the
+    * band's bits flipped once) — the classic recall knob that costs
+    * one extra bucket lookup per flipped bit instead of more
+    * signature bands. Candidates are a strict SUPERSET of
+    * lshSearch's at the same banding (VectorsApiSpec pins it), the
+    * exact-cosine rerank is unchanged, and the CANDIDATE side of the
+    * join is untouched — only the small query side explodes
+    * ×(1 + bits/band), so the scale shape is lshSearch's.
+    *
+    * Returns (query_id, rank ≤ k, cand_id, cosine). */
+  def lshSearchMultiprobe(base: DataFrame,
+                          queryFilter: org.apache.spark.sql.Column,
+                          k: Int = 5, dim: Int = 64, nPlanes: Int = 16,
+                          bands: Int = 4): DataFrame = {
+    graft.functions.LongArrayDot.register(base.sparkSession)
+    val bitsPerBand = nPlanes / bands
+    val proj = graft.Engine.materialize(
+      base.select(col("id"), col("sv"), col("nrm")),
+      key = "id", name = "lshmp_vec")
+    val banded = graft.Engine.materialize(
+      bandedSig(proj, dim, nPlanes, bands), key = "bv", name = "lshmp_sig")
+    val qIds = base.filter(queryFilter).select(col("id"))
+    // probe set per query-band row: the exact bucket + each 1-bit flip
+    val flips = (0 until bitsPerBand).map(b => s"CAST(${1L << b} AS BIGINT)")
+    val qb = banded.join(qIds, Seq("id"), "left_semi")
+      .select(col("id").as("query_id"), col("band"),
+        explode(expr(s"transform(array(CAST(0 AS BIGINT), " +
+          s"${flips.mkString(", ")}), f -> bv ^ f)")).as("bv"))
+    val cands = qb
+      .join(banded.select(col("id").as("cand_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    cands
+      .join(broadcast(proj.join(qIds, Seq("id"), "left_semi")
+        .select(col("id").as("query_id"), col("sv").as("qv"),
+          col("nrm").as("qn"))), Seq("query_id"))
+      .join(proj.select(col("id").as("cand_id"), col("sv").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
   /** The knnGraph-family flood guard: keep the `cap` SMALLEST-id
     * members of every (band, bv[, extra]) bucket, so one hot bucket —
     * which a near-duplicate-rich corpus produces by construction —

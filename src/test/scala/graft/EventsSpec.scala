@@ -180,4 +180,25 @@ class EventsSpec extends SparkSuite {
     assert(shares <= 1000000L && shares >= 1000000L - out.length,
       s"shares must partition the credit, got $shares")
   }
+
+  test("e_changepoint: prefix closed form equals the textbook CUSUM recursion") {
+    val out = SparkEntry.queries("e_changepoint")(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n"),
+        r.getAs[Long]("mu"), r.getAs[Long]("cusum_pos"),
+        r.getAs[Long]("cusum_neg"), r.getAs[Boolean]("flag")))
+    assert(out.nonEmpty)
+    val mu = out.head._3
+    val slack = mu / 20
+    // scalar replay of S+_t = max(0, S+_{t-1} + x - mu - slack),
+    // S-_t = max(0, S-_{t-1} - (x - mu + slack))
+    var (sp, sm) = (0L, 0L)
+    out.foreach { case (day, n, _, cp, cm, flag) =>
+      sp = math.max(0L, sp + n - mu - slack)
+      sm = math.max(0L, sm - (n - mu + slack))
+      assert(cp === sp, s"day $day cusum_pos: $cp vs recursion $sp")
+      assert(cm === sm, s"day $day cusum_neg: $cm vs recursion $sm")
+      assert(flag === (sp > mu / 2 || sm > mu / 2))
+    }
+  }
 }

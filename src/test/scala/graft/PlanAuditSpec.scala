@@ -21,8 +21,11 @@ class PlanAuditSpec extends SparkSuite {
     // at any scale.
     // dedup_lsh_curve: all-pairs S-curve eval over a bounded ≤100-doc
     // slice (the same documented-baseline class as knn_brute)
+    // er_blocking_eval: all-pairs TRUTH side over a bounded
+    // ≤200-mention slice (the blocking eval needs ground truth by
+    // definition — same documented-baseline class)
     val allowed = Set("dedup_embedding", "knn_brute", "knn_mips",
-      "dedup_lsh_curve")
+      "dedup_lsh_curve", "er_blocking_eval")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
@@ -51,6 +54,7 @@ class PlanAuditSpec extends SparkSuite {
       "search_hardneg" -> "bm25 + negative ranks over LIMIT frames",
       "search_eval" -> "metric-curve windows over the LIMIT topK frame",
       "search_hybrid" -> "bm25 + RRF ranks over LIMIT frames",
+      "search_prf" -> "rank over the LIMIT topK frame",
       "a_contingency" -> "rank over the bounded (type × bucket) cell frame",
       "dq_drift" -> "rank over the bounded histogram-bucket frame",
       "o_skyline" -> "rank over the bounded pre-filtered skyline frontier",
@@ -64,6 +68,8 @@ class PlanAuditSpec extends SparkSuite {
       "stream_priority_sample" ->
         "finalize rank over the <=16*(k+1) partials' LIMIT k+1 frame",
       "e_seasonality" -> "RANGE(±3d) over the calendar-bounded daily frame",
+      "e_changepoint" ->
+        "cumsum + prefix-extreme windows over the calendar-bounded daily frame",
       "e_uplift" ->
         "decile cuts over the bounded score histogram + the 10-row decile frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -339,6 +339,22 @@ class VectorsApiSpec extends SparkSuite {
       e.getCause != null && e.getCause.getMessage.contains("append-only"))
   }
 
+  test("lshSearchMultiprobe: candidates are a strict superset of lshSearch at the same banding") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compare CANDIDATE coverage, not top-k lists: rerank can swap
+    // ranks once extra candidates arrive, so probe with a k larger
+    // than any candidate count (every surfaced candidate ranks)
+    val single = pairs(Vectors.lshSearch(base, $"id" < 10, k = 1000))
+    val multi = pairs(Vectors.lshSearchMultiprobe(base, $"id" < 10,
+      k = 1000))
+    assert(single.subsetOf(multi),
+      "flip probes must never lose the exact-bucket candidates")
+    assert(multi.size > single.size,
+      "1-bit flips must surface additional candidates on this corpus")
+  }
+
   test("filteredSearch bucketCap: truncation keys on the effective (band, bv, label) bucket") {
     // ten identical vectors, labels split 6 "a" / 4 "b"; cap 3 per
     // effective bucket: label-a queries see only the 3 smallest a-ids
