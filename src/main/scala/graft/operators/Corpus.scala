@@ -2161,6 +2161,49 @@ object Corpus extends org.apache.spark.internal.Logging {
         col("pos_ppm"), col("acc_ppm"))
   }
 
+  /** ISOTONIC calibration of a banded rate curve — the PAVA fit
+    * (Ayer et al. 1955) computed via the exact MINIMAX identity
+    * iso_k = max_{i≤k} min_{j≥k} Av(i, j), where Av(i, j) is the
+    * pooled rate over bands i..j (`sum(n_pos)·1e6 div sum(n_docs)` —
+    * integer floor division). The identity is what makes the fit
+    * cross-engine exact: sequential pool-adjacent-violators is a
+    * data-dependent-length recursion no oracle can replay, while the
+    * minimax form is two prefix sums, one bounded pair join, a
+    * per-i suffix-min window, and a per-band max — all BIGINT.
+    * Monotonicity holds for ANY Av (as k grows the max ranges over
+    * more i and the min over fewer j), so floor division cannot
+    * break the isotonic property (CorpusSpec pins it plus a
+    * hand-computed fixture).
+    *
+    * Scale shape: `bands` is a BOUNDED rate curve (≤ nBands rows —
+    * probeCalibration's output class), so the pair join (≤ B²) and
+    * the unpartitioned prefix windows are metadata scale by
+    * construction. Input needs (band, n_docs, n_pos); returns the
+    * input plus `iso_ppm`. */
+  def isotonicCalibrate(bands: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = bands.select(col("band"), col("n_docs"), col("n_pos"))
+      .withColumn("cn", sum(col("n_docs")).over(w))
+      .withColumn("cp", sum(col("n_pos")).over(w))
+    // broadcast the bounded band frame: the i≤j pair join then plans
+    // as a BroadcastNestedLoopJoin over ≤B rows, never a
+    // CartesianProduct (B ≤ nBands by the input contract)
+    val pairs = c.select(col("band").as("i"), col("n_docs").as("ni"),
+        col("n_pos").as("pi"), col("cn").as("cni"), col("cp").as("cpi"))
+      .join(broadcast(c.select(col("band").as("j"), col("cn").as("cnj"),
+        col("cp").as("cpj"))), col("i") <= col("j"))
+      .withColumn("av",
+        expr("(cpj - cpi + pi) * 1000000 div (cnj - cni + ni)"))
+    val smin = pairs.withColumn("smin", min(col("av")).over(
+      Window.partitionBy(col("i")).orderBy(col("j").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iso = smin.groupBy(col("j"))
+      .agg(max(col("smin")).as("iso_ppm"))
+      .withColumnRenamed("j", "band")
+    bands.join(iso, Seq("band"))
+  }
+
   def lmScore(docs: DataFrame, novelTau: Double = 0.5): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bg = toks.filter(size(col("toks")) >= 2)

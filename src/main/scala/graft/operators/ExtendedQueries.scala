@@ -1135,6 +1135,90 @@ object ExtendedQueries {
         FROM corners GROUP BY 1 ORDER BY node"""),
       desc = "degree-oriented triangle counting on the co-supplier graph"),
 
+    // ── ANF: the neighborhood function N(k) (Palmer et al., KDD 2002)
+    // "How connected is this graph" at 100 TB: per node, the set of
+    // nodes reachable within k hops, maintained as a MERGEABLE
+    // per-node sketch that each round ORs in the neighbors' previous
+    // round — N(k) = Σ_v |reach_k(v)| then reads avg reach / the
+    // effective-diameter curve. Here the sketch is the EXACT 32-bit
+    // bitmap-word frame (the a_bitmap_distinct layout — the trade
+    // graph's 2·custkey / 2·suppkey+1 ids are dense, so word/bit
+    // derive by div/mod with no id-assignment window); at 100 TB
+    // node ids stop being dense and the bitmap
+    // swaps for HLL registers with max-merge — SAME plan shape (the
+    // bit_or becomes a register max), which is exactly the HyperANF
+    // refinement (Boldi & Vigna 2011). 3 rounds unrolled; per-round
+    // frames materialize (kmeansFit loop discipline). Runs on the
+    // shared customer↔supplier TRADE graph — the co-supplier graph is
+    // a diameter-1 clique at this SF (curve saturates at round 1);
+    // the bipartite trade graph has a real expansion curve
+    // (avg reach 1 → 62 → 1469 → 1596 at sf0.01).
+    "graph_anf" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val edges = tradeEdges(s, dir)
+        var reach = graft.Engine.materialize(
+          edges.select($"src".as("node")).distinct()
+            .withColumn("word", ($"node" / 32L).cast(LongType))
+            .withColumn("bits",
+              expr("shiftleft(1L, cast(node % 32 as int))"))
+            .select($"node", $"word", $"bits"),
+          key = "node", name = "anf_r0")
+        var reachT: Option[String] = None
+        def stat(k: Int, r: DataFrame): DataFrame = r
+          .agg(countDistinct($"node").as("n_nodes"),
+            sum(bit_count($"bits")).cast(LongType).as("sum_reach"))
+          .select(lit(k.toLong).as("round"), $"n_nodes", $"sum_reach",
+            expr("sum_reach * 100 div n_nodes").as("avg_reach_x100"))
+        var out = stat(0, reach)
+        for (k <- 1 to 3) {
+          val prop = edges
+            .join(reach.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select($"src".as("node"), $"word", $"bits")
+          val (next, nextT) = graft.Engine.materializeTracked(
+            reach.unionByName(prop)
+              .groupBy($"node", $"word").agg(bit_or($"bits").as("bits")),
+            key = "node", name = s"anf_r${k % 2}")
+          graft.Engine.dropMaterialized(s, reachT)
+          reach = next
+          reachT = nextT
+          out = out.unionByName(stat(k, reach))
+        }
+        out.orderBy($"round")
+      },
+      oracle = Some({
+        val rounds = (1 to 3).map { k => s"""
+        anf_r$k AS MATERIALIZED (
+          SELECT node, word, bit_or(bits) AS bits FROM (
+            SELECT node, word, bits FROM anf_r${k - 1}
+            UNION ALL
+            SELECT e.src AS node, r.word, r.bits
+            FROM anf_e e JOIN anf_r${k - 1} r ON r.node = e.dst)
+          GROUP BY 1, 2)"""
+        }.mkString(",")
+        val stats = (0 to 3).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS round,
+                 CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+                 CAST(sum(bit_count(bits)) AS BIGINT) AS sum_reach
+          FROM anf_r$k"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH anf_b AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        anf_e AS (
+          SELECT c AS src, p AS dst FROM anf_b
+          UNION ALL SELECT p AS src, c AS dst FROM anf_b),
+        anf_r0 AS MATERIALIZED (
+          SELECT node, node // 32 AS word,
+                 1::BIGINT << CAST(node % 32 AS INT) AS bits
+          FROM (SELECT DISTINCT src AS node FROM anf_e)),$rounds
+        SELECT round, n_nodes, sum_reach,
+               sum_reach * 100 // n_nodes AS avg_reach_x100
+        FROM ($stats) ORDER BY round"""
+      }),
+      desc = "ANF neighborhood function: per-node mergeable reach sketches, 3 OR-merge rounds"),
+
     // ── common-neighbor link prediction on the co-supplier graph ────
     // Graphs.linkPredict (Liben-Nowell/Kleinberg 2003): non-adjacent
     // supplier pairs ranked by shared-neighbor Jaccard — the graph-

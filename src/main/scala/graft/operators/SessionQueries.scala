@@ -749,6 +749,88 @@ object SessionQueries {
         GROUP BY ph.key ORDER BY ph.key"""),
       desc = "Count-Min sketch: day partials sum-merged + exact-twin verdict"),
 
+    // ── CMS join-size estimation (the planner's cardinality oracle) ─
+    // The AGMS/CMS inner-product estimate (Alon-Matias-Szegedy 1996;
+    // Cormode-Muthukrishnan 2005): |A ⋈ B| on a key = Σ_k cA(k)·cB(k),
+    // estimated WITHOUT touching the keys as min_r Σ_b
+    // cmsA[r][b]·cmsB[r][b] — one 192-counter sketch per side,
+    // mergeable across shards/days by counter sum, and the estimate
+    // is a one-sided ≥ bound exactly like the point CMS. This is how
+    // a planner sizes a join between two 100 TB inputs from
+    // kilobytes of statistics. Both the estimate and the exact twin
+    // (per-key count equi-join) are emitted with the error in ppm —
+    // every number integer, both engines replay it. A-side = view
+    // events, B-side = purchase events, key = user_id.
+    "a_cms_join_size" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        val base = ev(s, dir)
+          .select($"event_type", $"user_id",
+            $"user_id".cast("string").as("key"))
+        val sideA = base.filter($"event_type" === "view")
+        val sideB = base.filter($"event_type" === "purchase")
+        def cms(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("r", explode(array(
+            (0 until graft.functions.Md5PrefixLong.CmsRows).map(lit): _*)))
+          .withColumn("bucket",
+            graft.functions.Md5PrefixLong.cmsBucket("r", "key"))
+          .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+        val est = cms(sideA).withColumnRenamed("c", "ca")
+          .join(cms(sideB).withColumnRenamed("c", "cb"),
+            Seq("r", "bucket"))
+          .groupBy($"r").agg(sum($"ca" * $"cb").as("est_r"))
+          .agg(min($"est_r").as("est_join"))
+        val exact = sideA.groupBy($"user_id").agg(count(lit(1)).as("na"))
+          .join(sideB.groupBy($"user_id").agg(count(lit(1)).as("nb")),
+            Seq("user_id"))
+          .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("exact_join"))
+        val sizes = sideA.agg(count(lit(1)).as("n_a"))
+          .crossJoin(sideB.agg(count(lit(1)).as("n_b")))
+        sizes.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+          .select($"n_a", $"n_b", $"exact_join", $"est_join",
+            ($"est_join" >= $"exact_join").as("ge_exact"),
+            expr("(est_join - exact_join) * 1000000 " +
+              "div nullif(exact_join, 0)").as("err_ppm"))
+      },
+      oracle = Some("""
+        WITH js_b AS (
+          SELECT event_type, user_id, CAST(user_id AS VARCHAR) AS key
+          FROM events),
+        js_a AS (SELECT * FROM js_b WHERE event_type = 'view'),
+        js_p AS (SELECT * FROM js_b WHERE event_type = 'purchase'),
+        js_ca AS (
+          SELECT r.r,
+                 ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || key),
+                                 1, 14))::BIGINT % 64 AS bucket,
+                 CAST(count(*) AS BIGINT) AS ca
+          FROM js_a, (SELECT unnest([0, 1, 2]) AS r) r GROUP BY 1, 2),
+        js_cb AS (
+          SELECT r.r,
+                 ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || key),
+                                 1, 14))::BIGINT % 64 AS bucket,
+                 CAST(count(*) AS BIGINT) AS cb
+          FROM js_p, (SELECT unnest([0, 1, 2]) AS r) r GROUP BY 1, 2),
+        js_est AS (
+          SELECT CAST(min(est_r) AS BIGINT) AS est_join FROM (
+            SELECT a.r, sum(a.ca * b.cb) AS est_r
+            FROM js_ca a JOIN js_cb b ON a.r = b.r AND a.bucket = b.bucket
+            GROUP BY a.r)),
+        js_ex AS (
+          SELECT CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS exact_join
+          FROM (SELECT user_id, count(*) AS na FROM js_a GROUP BY 1) a
+          JOIN (SELECT user_id, count(*) AS nb FROM js_p GROUP BY 1) b
+            USING (user_id)),
+        js_n AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM js_a) AS n_a,
+                 (SELECT CAST(count(*) AS BIGINT) FROM js_p) AS n_b)
+        SELECT n.n_a, n.n_b, x.exact_join, e.est_join,
+               e.est_join >= x.exact_join AS ge_exact,
+               (e.est_join - x.exact_join) * 1000000
+                 // NULLIF(x.exact_join, 0) AS err_ppm
+        FROM js_n n CROSS JOIN js_ex x CROSS JOIN js_est e"""),
+      desc = "CMS join-size estimate: sketch inner product vs exact per-key join, error in ppm"),
+
     // ── path-to-conversion: ordered event journey per converter ─────
     // For every user with a purchase: the full ordered event-type
     // path up to and including the FIRST purchase, rendered as one

@@ -2372,6 +2372,53 @@ object TextQueries {
         finalSelect = Some(probeCalibSelect(10)))),
       desc = "probe reliability curve: per-band label mass + accuracy in exact ppm"),
 
+    // ── isotonic calibration of the reliability curve ───────────────
+    // Corpus.isotonicCalibrate over text_probe_calibration's bands:
+    // the PAVA fit via the exact minimax identity
+    // iso_k = max_{i≤k} min_{j≥k} pooledRate(i..j) — sequential
+    // pool-adjacent-violators is a data-length recursion no oracle
+    // can replay; the minimax form is prefix sums + a bounded pair
+    // join + windows, all BIGINT, identical in DuckDB. The fitted
+    // curve is what turns the probe's raw score into a monotone
+    // calibrated probability (the production use of a reliability
+    // diagram).
+    "text_probe_isotonic" -> Q(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        Corpus.isotonicCalibrate(Corpus.probeCalibration(
+            Corpus.probeApply(d.filter(col("doc_id") >= 250),
+              Corpus.probeWeights(d.filter(col("doc_id") < 250),
+                rounds = 8))))
+          .select(col("band"), col("n_docs"), col("n_pos"),
+            col("pos_ppm"), col("iso_ppm"))
+          .orderBy(col("band"))
+      },
+      oracle = Some(probeOracle(rounds = 8,
+        fitWhere = "f.doc_id < 250", applyWhere = "f.doc_id >= 250",
+        finalSelect = Some(s"""
+      , ic_b AS (${probeCalibSelect(10).replace("ORDER BY band", "")}),
+      ic_c AS (
+        SELECT band, n_docs, n_pos,
+               CAST(sum(n_docs) OVER (ORDER BY band) AS BIGINT) AS cn,
+               CAST(sum(n_pos) OVER (ORDER BY band) AS BIGINT) AS cp
+        FROM ic_b),
+      ic_p AS (
+        SELECT a.band AS i, b.band AS j,
+               (b.cp - a.cp + a.n_pos) * 1000000
+                 // (b.cn - a.cn + a.n_docs) AS av
+        FROM ic_c a JOIN ic_c b ON a.band <= b.band),
+      ic_s AS (
+        SELECT i, j, CAST(min(av) OVER (PARTITION BY i ORDER BY j DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS smin
+        FROM ic_p),
+      ic_i AS (
+        SELECT j AS band, CAST(max(smin) AS BIGINT) AS iso_ppm
+        FROM ic_s GROUP BY 1)
+      SELECT b.band, b.n_docs, b.n_pos, b.pos_ppm, i.iso_ppm
+      FROM ic_b b JOIN ic_i i USING (band) ORDER BY band"""))),
+      desc = "isotonic (PAVA) calibration via the exact minimax identity over the band curve"),
+
     // ── fused corpus filter (C4/Gopher-style keep/drop pipeline) ────
     // The shape a production corpus filter takes: one pass computes
     // all quality signals, then a single rule cascade assigns the

@@ -1242,6 +1242,31 @@ class CorpusSpec extends SparkSuite {
     assert(out.exists(_.getAs[Long]("max_sim_ppm") > 0L))
   }
 
+  test("isotonicCalibrate: minimax fit equals hand-computed PAVA, always monotone") {
+    // one violation (bands 1,2 out of order) pools to their weighted
+    // mean: [200k, 600k, 400k, 800k] -> [200k, 500k, 500k, 800k]
+    val bands = Seq((0L, 10L, 2L), (1L, 10L, 6L), (2L, 10L, 4L),
+      (3L, 10L, 8L)).toDF("band", "n_docs", "n_pos")
+    val out = Corpus.isotonicCalibrate(bands).orderBy($"band")
+      .select($"band", $"iso_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((0L, 200000L), (1L, 500000L), (2L, 500000L),
+      (3L, 800000L)))
+    // already-monotone input is a fixed point
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+      .toDF("band", "n_docs", "n_pos")
+    val fixed = Corpus.isotonicCalibrate(mono).orderBy($"band")
+      .collect().map(r => r.getAs[Long]("iso_ppm"))
+    assert(fixed === Array(100000L, 500000L, 900000L))
+    // monotone on the real probe curve too
+    val d = graft.sources.Sources.table(spark, sf(), "documents")
+    val iso = Corpus.isotonicCalibrate(Corpus.probeCalibration(
+        Corpus.probeFit(d, rounds = 8)))
+      .orderBy($"band").collect().map(_.getAs[Long]("iso_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"isotonic output must be monotone: ${iso.mkString(",")}")
+  }
+
   test("prfSearch: expansion terms are mined, weighted rescore stays bounded") {
     val docs = graft.sources.Sources.table(spark, sf(), "documents")
     val plain = Corpus.bm25Rank(docs, Seq("hash", "join"), topK = 20)

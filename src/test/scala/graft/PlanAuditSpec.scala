@@ -55,6 +55,8 @@ class PlanAuditSpec extends SparkSuite {
       "search_eval" -> "metric-curve windows over the LIMIT topK frame",
       "search_hybrid" -> "bm25 + RRF ranks over LIMIT frames",
       "search_prf" -> "rank over the LIMIT topK frame",
+      "text_probe_isotonic" ->
+        "prefix sums over the bounded <=10-row score-band frame",
       "a_contingency" -> "rank over the bounded (type × bucket) cell frame",
       "dq_drift" -> "rank over the bounded histogram-bucket frame",
       "o_skyline" -> "rank over the bounded pre-filtered skyline frontier",
