@@ -2306,6 +2306,53 @@ object ExtendedQueries {
         FROM checks ORDER BY tbl, col_name, test"""),
       desc = "dbt-style schema tests: unique/not_null/accepted_values/relationships"),
 
+    // ── goodness-of-fit against a DECLARED distribution ─────────────
+    // The categorical contract check dq_drift can't express: drift
+    // compares two observed windows, this compares ONE window against
+    // what the producer declared (here: the generator's uniform
+    // event-type mix). Pearson chi-square in exact x100 integers
+    // (per-cell floor-div contributions), df = K−1 = 4 → reject at
+    // the 9.49 critical value. Totals ride 1-row broadcast frames —
+    // no window, no collect; at 100 TB this is one map-side-combined
+    // count per category plus metadata-scale arithmetic.
+    "dq_gof" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val obs = t(s, dir, "events")
+          .groupBy($"event_type").agg(count(lit(1)).as("n_obs"))
+        val tot = obs.agg(sum($"n_obs").as("n"),
+          count(lit(1)).as("k"))
+        val per = obs.crossJoin(broadcast(tot))
+          .withColumn("n_exp", expr("n div k"))
+          .withColumn("contrib_x100", expr(
+            "(n_obs - n_exp) * (n_obs - n_exp) * 100 div n_exp"))
+        val chi = per.agg(sum($"contrib_x100").as("chi2_x100"))
+        per.crossJoin(broadcast(chi))
+          .select($"event_type", $"n_obs", $"n_exp", $"contrib_x100",
+            $"chi2_x100", ($"chi2_x100" > 949L).as("reject"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH gf_o AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+          FROM events GROUP BY 1),
+        gf_t AS (
+          SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM gf_o),
+        gf_p AS (
+          SELECT o.event_type, o.n_obs, t.n // t.k AS n_exp,
+                 (o.n_obs - t.n // t.k) * (o.n_obs - t.n // t.k) * 100
+                   // (t.n // t.k) AS contrib_x100
+          FROM gf_o o CROSS JOIN gf_t t),
+        gf_c AS (
+          SELECT CAST(sum(contrib_x100) AS BIGINT) AS chi2_x100
+          FROM gf_p)
+        SELECT p.event_type, p.n_obs, p.n_exp, p.contrib_x100,
+               c.chi2_x100, c.chi2_x100 > 949 AS reject
+        FROM gf_p p CROSS JOIN gf_c c ORDER BY p.event_type"""),
+      desc = "chi-square goodness-of-fit vs the declared uniform category mix, exact x100"),
+
     // ── native bounded-heap top-k per group ─────────────────────────
     // The TopKMin TypedImperativeAggregate (functions/TopKAgg.scala):
     // map-side partial heaps stream each task's slice into ≤ k rows

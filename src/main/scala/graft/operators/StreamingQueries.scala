@@ -203,6 +203,45 @@ object StreamingQueries {
         JOIN sp sb ON sb.doc_id = n.doc_b
         WHERE sa.is_eval <> sb.is_eval
         ORDER BY train_doc, eval_doc"""),
-      desc = "streaming decontamination: frozen eval band index probe equals the backfill pairs")
+      desc = "streaming decontamination: frozen eval band index probe equals the backfill pairs"),
+
+    // ── streaming SRM guardrail ≡ batch per-day arm counts ──────────
+    // srmPartialsStream keeps per-(day, arm) DISTINCT users as
+    // OR-merged bitmap words (replay-idempotent — count partials
+    // would double on redelivery and fire false alarms); srmFinalize
+    // popcounts to arm sizes and applies the e_srm collapsed
+    // chi-square against the declared 50/50. Oracle: per-day distinct
+    // users per md5 hash arm, same statistic.
+    "stream_srm" -> Q(
+      fn = (s, dir) => {
+        val src = streamOf(s, Sources.table(s, dir, "events")
+          .select(col("ts"), col("user_id")))
+        val partials = drain(s,
+          StreamingModels.srmPartialsStream(src), "sq_srm_partials")
+        StreamingModels.srmFinalize(partials)
+          .select(unix_timestamp(col("day_start")).as("day_s"),
+            col("n0"), col("n1"), col("n"), col("chi2_x100"), col("srm"))
+          .orderBy(col("day_s"))
+      },
+      oracle = Some("""
+        WITH sr_b AS (
+          SELECT DISTINCT (epoch_us(ts)//1000000)//86400 AS day, user_id,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+          FROM events),
+        sr_d AS (
+          SELECT day,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+          FROM sr_b GROUP BY day)
+        SELECT day * 86400 AS day_s, n0, n1, n0 + n1 AS n,
+               (2 * n0 - (n0 + n1)) * (2 * n0 - (n0 + n1)) * 100
+                 // (n0 + n1) AS chi2_x100,
+               (2 * n0 - (n0 + n1)) * (2 * n0 - (n0 + n1)) * 100
+                 // (n0 + n1) > 384 AS srm
+        FROM sr_d ORDER BY day_s"""),
+      desc = "streaming SRM: replay-idempotent bitmap arm counts finalize to the batch chi-square")
   )
 }
