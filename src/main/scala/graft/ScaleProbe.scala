@@ -64,6 +64,48 @@ object ScaleProbe {
         Corpus.spanDedupIncremental(docFrac(k), isNew = col("doc_id") >= 400)),
       "bm25" -> (k => Corpus.bm25Rank(docFrac(k),
         Seq("hash", "join", "scan", "vector"), topK = 10)),
+      "anf_kmv" -> { k =>
+        // KMV reach sketches scaled by trade-graph edges: per-node
+        // state is k=8 hashes at ANY reach, so the curve must track
+        // edge volume, never reach-set size (the exact-bitmap twin
+        // graph_anf is the documented bounded-graph baseline and is
+        // deliberately unprobed, like knn_brute)
+        import org.apache.spark.sql.functions.{array, explode, expr,
+          lit, size, when}
+        graft.functions.TopKAgg.register(spark)
+        val li = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+        val b = li.join(Sources.table(spark, sfDir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2L).as("c"),
+            (col("l_suppkey") * 2L + 1L).as("p")).distinct()
+        val edges = b.select(col("c").as("src"), col("p").as("dst"))
+          .union(b.select(col("p").as("src"), col("c").as("dst")))
+        var state = graft.Engine.materialize(
+          edges.select(col("src").as("node")).distinct()
+            .withColumn("hs", array(expr("CAST(conv(substring(md5(" +
+              "CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)"))),
+          key = "node", name = "anfk_probe_r0")
+        for (r <- 1 to 3) {
+          state = graft.Engine.materialize(
+            state.unionByName(edges
+              .join(state.withColumnRenamed("node", "dst"), Seq("dst"))
+              .select(col("src").as("node"), col("hs")))
+              .select(col("node"), explode(col("hs")).as("h")).distinct()
+              .groupBy(col("node"))
+              .agg(expr("topk_min(struct(h), 8)").as("tk"))
+              .select(col("node"),
+                expr("transform(tk, x -> x.h)").as("hs")),
+            key = "node", name = s"anfk_probe_r$r")
+        }
+        state.select(col("node"), size(col("hs")).as("nh"),
+            expr("try_element_at(hs, 8)").as("h8"))
+          .select(col("node"), when(col("nh") < 8,
+            col("nh").cast("long"))
+            .otherwise(expr("7L * 4294967296L div greatest(h8, 1L)"))
+            .as("est"))
+          .groupBy().agg(sum(col("est")).as("sum_est"))
+      },
       "mmr" -> (k =>
         // pool bounded at 20 by the BM25 TakeOrderedAndProject — the
         // curve must track the bm25 scan, the greedy rounds are

@@ -1219,6 +1219,105 @@ object ExtendedQueries {
       }),
       desc = "ANF neighborhood function: per-node mergeable reach sketches, 3 OR-merge rounds"),
 
+    // ── ANF at scale: KMV reach sketches (the HyperANF form) ────────
+    // graph_anf's exact bitmaps are the bounded-graph baseline: their
+    // per-node state grows with |reach| (O(n²/32) at saturation). The
+    // scale path keeps k = 8 MINIMUM HASHES of the reach set per node
+    // (KMV — the corpus_overlap estimator): state is O(n·k) at ANY
+    // reach, merge is distinct-union + re-top-k (exact by the top-k
+    // merge law), and the estimate (k−1)·2³² div h_k is pure integer
+    // — so unlike classic HyperANF's HLL harmonic mean, the sketch
+    // readout itself hash-matches a DuckDB replay (which computes the
+    // exact per-round reach sets and takes the same k min-hashes).
+    // Per-round states materialize (kmeansFit loop discipline);
+    // ScaleProbe carries this variant (the exact twin is the
+    // documented baseline, like knn_brute beside knn_lsh).
+    "graph_anf_kmv" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.TopKAgg.register(s)
+        val edges = tradeEdges(s, dir)
+        var state = graft.Engine.materialize(
+          edges.select($"src".as("node")).distinct()
+            .withColumn("hs", array(expr("CAST(conv(substring(md5(" +
+              "CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)"))),
+          key = "node", name = "anfk_r0")
+        var stateT: Option[String] = None
+        def stat(k: Int, r: DataFrame): DataFrame = r
+          // try_element_at: a node with < 8 reachable hashes has a
+          // short array — plain element_at throws under ANSI
+          .select($"node", size($"hs").as("nh"),
+            expr("try_element_at(hs, 8)").as("h8"))
+          .select($"node", when($"nh" < 8, $"nh".cast(LongType))
+            .otherwise(expr("7L * 4294967296L div greatest(h8, 1L)"))
+            .as("est"))
+          .agg(countDistinct($"node").as("n_nodes"),
+            sum($"est").as("sum_est"))
+          .select(lit(k.toLong).as("round"), $"n_nodes", $"sum_est",
+            expr("sum_est * 100 div n_nodes").as("avg_est_x100"))
+        var out = stat(0, state)
+        for (k <- 1 to 3) {
+          val fromNbr = edges
+            .join(state.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select($"src".as("node"), $"hs")
+          val (next, nextT) = graft.Engine.materializeTracked(
+            state.unionByName(fromNbr)
+              .select($"node", explode($"hs").as("h")).distinct()
+              .groupBy($"node")
+              .agg(expr("topk_min(struct(h), 8)").as("tk"))
+              .select($"node", expr("transform(tk, x -> x.h)").as("hs")),
+            key = "node", name = s"anfk_r${k % 2}")
+          graft.Engine.dropMaterialized(s, stateT)
+          state = next
+          stateT = nextT
+          out = out.unionByName(stat(k, state))
+        }
+        out.orderBy($"round")
+      },
+      oracle = Some({
+        val rounds = (1 to 3).map { k => s"""
+        ak_r$k AS MATERIALIZED (
+          SELECT DISTINCT node, m FROM (
+            SELECT node, m FROM ak_r${k - 1}
+            UNION ALL
+            SELECT e.src AS node, r.m
+            FROM ak_e e JOIN ak_r${k - 1} r ON r.node = e.dst))"""
+        }.mkString(",")
+        val stats = (0 to 3).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS round,
+                 CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+                 CAST(sum(est) AS BIGINT) AS sum_est
+          FROM (
+            SELECT node,
+                   CASE WHEN count(*) < 8 THEN count(*)
+                        ELSE 7 * 4294967296
+                          // greatest(max(CASE WHEN rk <= 8 THEN h END), 1)
+                   END AS est
+            FROM (
+              SELECT node, h, row_number() OVER (PARTITION BY node
+                       ORDER BY h) AS rk
+              FROM (SELECT DISTINCT node,
+                      ('0x' || substr(md5(CAST(m AS VARCHAR)), 1, 8))
+                        ::BIGINT AS h
+                    FROM ak_r$k))
+            WHERE rk <= 8 GROUP BY node)"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH ak_b AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        ak_e AS (
+          SELECT c AS src, p AS dst FROM ak_b
+          UNION ALL SELECT p AS src, c AS dst FROM ak_b),
+        ak_r0 AS MATERIALIZED (
+          SELECT node, node AS m
+          FROM (SELECT DISTINCT src AS node FROM ak_e)),$rounds
+        SELECT round, n_nodes, sum_est,
+               sum_est * 100 // n_nodes AS avg_est_x100
+        FROM ($stats) ORDER BY round"""
+      }),
+      desc = "HyperANF-style KMV reach sketches: O(k) per-node state, integer-exact estimator"),
+
     // ── common-neighbor link prediction on the co-supplier graph ────
     // Graphs.linkPredict (Liben-Nowell/Kleinberg 2003): non-adjacent
     // supplier pairs ranked by shared-neighbor Jaccard — the graph-
