@@ -1148,15 +1148,27 @@ object ExtendedQueries {
     // swaps for HLL registers with max-merge — SAME plan shape (the
     // bit_or becomes a register max), which is exactly the HyperANF
     // refinement (Boldi & Vigna 2011). 3 rounds unrolled; per-round
-    // frames materialize (kmeansFit loop discipline). Runs on the
-    // shared customer↔supplier TRADE graph — the co-supplier graph is
-    // a diameter-1 clique at this SF (curve saturates at round 1);
-    // the bipartite trade graph has a real expansion curve
-    // (avg reach 1 → 62 → 1469 → 1596 at sf0.01).
+    // frames materialize (kmeansFit loop discipline). Runs on a
+    // BOUNDED slice of the customer↔supplier trade graph (o_custkey <
+    // 300 — the knn_brute documented-baseline posture): the exact
+    // bitmap is the ground-truth twin whose per-node state grows with
+    // |reach| (measured 81 s on the FULL sf0.1 graph — saturation
+    // makes the round-3 propagation move ~100M bitmap words), while
+    // [[graph_anf_kmv]] is the full-graph scale path with O(k) state.
+    // The co-supplier graph is a diameter-1 clique at this SF (curve
+    // saturates at round 1); the bipartite trade slice has a real
+    // expansion curve.
     "graph_anf" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val edges = tradeEdges(s, dir)
+        val li = t(s, dir, "lineitem")
+        val b = li.join(t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" < 300L)
+          .select(($"o_custkey" * 2L).as("c"),
+            ($"l_suppkey" * 2L + 1L).as("p")).distinct()
+        val edges = b.select($"c".as("src"), $"p".as("dst"))
+          .union(b.select($"p".as("src"), $"c".as("dst")))
         var reach = graft.Engine.materialize(
           edges.select($"src".as("node")).distinct()
             .withColumn("word", ($"node" / 32L).cast(LongType))
@@ -1205,7 +1217,8 @@ object ExtendedQueries {
         s"""
         WITH anf_b AS (
           SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
-          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o_custkey < 300),
         anf_e AS (
           SELECT c AS src, p AS dst FROM anf_b
           UNION ALL SELECT p AS src, c AS dst FROM anf_b),
