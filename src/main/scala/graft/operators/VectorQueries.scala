@@ -851,6 +851,130 @@ object VectorQueries {
         ORDER BY nb.query_id"""),
       desc = "ANN evaluation: recall@5 of sign-LSH against the brute baseline"),
 
+    // ── multi-probe recall lift (closes the knn_lsh_mp story) ───────
+    // Same eval as ann_recall with BOTH retrieval variants beside the
+    // brute truth: single-probe recall vs 1-bit-flip multi-probe
+    // recall per query, plus the per-query mp_ge flag — multiprobe
+    // candidates are a strict superset (VectorsApiSpec), so its
+    // top-5 ∩ truth can only... rank swaps make per-list recall
+    // non-monotone in general; the measured lift IS the readout.
+    "ann_recall_mp" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir).withColumn("id", $"vec_id")
+        val brute = graft.Engine.materialize(
+          Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
+            .select($"query_id", $"cand_id"),
+          "query_id", "annmp_brute")
+        val lsh = graft.Engine.materialize(
+          Vectors.lshSearch(base, queryFilter = $"id" < 10, k = 5)
+            .select($"query_id", $"cand_id"),
+          "query_id", "annmp_lsh")
+        val mp = graft.Engine.materialize(
+          Vectors.lshSearchMultiprobe(base, queryFilter = $"id" < 10,
+            k = 5).select($"query_id", $"cand_id"),
+          "query_id", "annmp_mp")
+        val nBrute = brute.groupBy($"query_id")
+          .agg(count(lit(1)).as("n_brute"))
+        def common(df: DataFrame, as: String) =
+          brute.join(df, Seq("query_id", "cand_id"), "left_semi")
+            .groupBy($"query_id").agg(count(lit(1)).as(as))
+        nBrute
+          .join(common(lsh, "c_lsh"), Seq("query_id"), "left")
+          .join(common(mp, "c_mp"), Seq("query_id"), "left")
+          .na.fill(0L, Seq("c_lsh", "c_mp"))
+          .select($"query_id", $"n_brute",
+            expr("c_lsh * 100L div n_brute").as("recall_lsh_pct"),
+            expr("c_mp * 100L div n_brute").as("recall_mp_pct"),
+            ($"c_mp" >= $"c_lsh").as("mp_ge"))
+          .orderBy($"query_id")
+      },
+      oracle = Some(s"""
+        WITH $DUCK_BASE,
+        ab_sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(${duckDot("q.sv", "c.sv")} AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))
+                   AS cosine
+          FROM base q JOIN base c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        ab_top AS MATERIALIZED (
+          SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+            FROM ab_sc)
+          WHERE rank <= 5),
+        dims AS (
+          SELECT vec_id, r.i - 1 AS d, sv[r.i] AS v, k.k AS k
+          FROM base CROSS JOIN range(1, 65) r(i) CROSS JOIN range(0, 16) k(k)),
+        terms AS (
+          SELECT vec_id, k,
+            v * (((1 + (k * 64 + d) * 2654435761) % 1000003) - 500001) AS term
+          FROM dims),
+        sums AS (SELECT vec_id, k, sum(term) AS s FROM terms GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id, sum(CASE WHEN s > 0
+            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+          FROM sums GROUP BY 1),
+        banded AS MATERIALIZED (
+          ${(0 until 4).map(b =>
+            s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bv FROM sig")
+            .mkString("\nUNION ALL\n")}),
+        sp_c AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM banded q JOIN banded c ON q.band = c.band AND q.bv = c.bv
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        probes AS (
+          SELECT b.vec_id, b.band, xor(b.bv, f.f) AS bv
+          FROM banded b CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2),
+            (4), (8)) f(f)
+          WHERE b.vec_id < 10),
+        mp_c AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM probes q JOIN banded c ON q.band = c.band AND q.bv = c.bv
+          WHERE q.vec_id <> c.vec_id),
+        sp_top AS MATERIALIZED (
+          SELECT query_id, cand_id FROM (
+            SELECT c.query_id, c.cand_id, row_number() OVER (
+              PARTITION BY c.query_id ORDER BY
+              CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                DESC, c.cand_id) AS rank
+            FROM sp_c c
+            JOIN base qv ON qv.vec_id = c.query_id
+            JOIN base cv ON cv.vec_id = c.cand_id)
+          WHERE rank <= 5),
+        mp_top AS MATERIALIZED (
+          SELECT query_id, cand_id FROM (
+            SELECT c.query_id, c.cand_id, row_number() OVER (
+              PARTITION BY c.query_id ORDER BY
+              CAST(${duckDot("qv.sv", "cv.sv")} AS DOUBLE)
+                / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(cv.nrm AS DOUBLE))
+                DESC, c.cand_id) AS rank
+            FROM mp_c c
+            JOIN base qv ON qv.vec_id = c.query_id
+            JOIN base cv ON cv.vec_id = c.cand_id)
+          WHERE rank <= 5),
+        nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_brute
+               FROM ab_top GROUP BY 1),
+        cl AS (SELECT b.query_id, CAST(count(l.cand_id) AS BIGINT) AS c_lsh
+               FROM ab_top b LEFT JOIN sp_top l
+                 ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+               GROUP BY 1),
+        cm AS (SELECT b.query_id, CAST(count(m.cand_id) AS BIGINT) AS c_mp
+               FROM ab_top b LEFT JOIN mp_top m
+                 ON m.query_id = b.query_id AND m.cand_id = b.cand_id
+               GROUP BY 1)
+        SELECT nb.query_id, nb.n_brute,
+               COALESCE(cl.c_lsh, 0) * 100 // nb.n_brute AS recall_lsh_pct,
+               COALESCE(cm.c_mp, 0) * 100 // nb.n_brute AS recall_mp_pct,
+               COALESCE(cm.c_mp, 0) >= COALESCE(cl.c_lsh, 0) AS mp_ge
+        FROM nb
+        LEFT JOIN cl ON cl.query_id = nb.query_id
+        LEFT JOIN cm ON cm.query_id = nb.query_id
+        ORDER BY nb.query_id"""),
+      desc = "multi-probe recall lift: single vs 1-bit-flip probe recall@5 against brute truth"),
+
     // ── IVF operating curve: recall@5 vs candidates scanned ────────
     // The tuning table every IVF deployment reads before picking
     // nprobe: one row per nprobe ∈ {1,2,4} with the exact number of
