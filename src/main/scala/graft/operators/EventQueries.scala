@@ -259,6 +259,73 @@ object EventQueries {
         ORDER BY user_id"""),
       desc = "strict-sequence funnel: iterated conditional-min, user-keyed joins"),
 
+    // ── conversion-window funnel (the production e_funnel) ──────────
+    // Real funnel definitions bound each step: a click only counts
+    // within `W` of the qualifying view, a purchase within `W` of the
+    // qualifying click — unbounded funnels credit conversions months
+    // later and every analytics product (GA, Amplitude) windows them.
+    // Same iterated conditional-min shape as e_funnel with the upper
+    // bound riding each step's join filter (still user-keyed, one
+    // shuffle); W = 3 days. Emits per-stage counts beside the per-user
+    // frame's aggregate: the step timestamps, stage, and both step
+    // latencies — the funnel report's actual columns.
+    "e_funnel_windowed" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val W = 3L * 86400L
+        val e = ev(s, dir)
+          .select($"user_id", $"event_type", epochS($"ts").as("es"))
+        val fv = e.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"es").as("t_view"))
+        val fc = e.filter($"event_type" === "click")
+          .join(fv, Seq("user_id"))
+          .filter($"es" > $"t_view" && $"es" <= $"t_view" + W)
+          .groupBy($"user_id")
+          .agg(min($"es").as("t_click"), min($"t_view").as("t_view"))
+        val fp = e.filter($"event_type" === "purchase")
+          .join(fc.select($"user_id", $"t_click"), Seq("user_id"))
+          .filter($"es" > $"t_click" && $"es" <= $"t_click" + W)
+          .groupBy($"user_id").agg(min($"es").as("t_purchase"))
+        fv.join(fc.select($"user_id", $"t_click"), Seq("user_id"), "left")
+          .join(fp, Seq("user_id"), "left")
+          .withColumn("stage", (lit(1) +
+            when($"t_click".isNotNull, 1).otherwise(0) +
+            when($"t_purchase".isNotNull, 1).otherwise(0)).cast(LongType))
+          .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+            $"stage", ($"t_click" - $"t_view").as("lat_vc_s"),
+            ($"t_purchase" - $"t_click").as("lat_cp_s"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts)//1000000 AS es
+          FROM events),
+        wv AS (
+          SELECT user_id, min(es) AS t_view
+          FROM e WHERE event_type = 'view' GROUP BY 1),
+        wc AS (
+          SELECT e.user_id, min(es) AS t_click
+          FROM e JOIN wv USING (user_id)
+          WHERE event_type = 'click' AND es > t_view
+            AND es <= t_view + 259200
+          GROUP BY 1),
+        wp AS (
+          SELECT e.user_id, min(es) AS t_purchase
+          FROM e JOIN wc USING (user_id)
+          WHERE event_type = 'purchase' AND es > t_click
+            AND es <= t_click + 259200
+          GROUP BY 1)
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS stage,
+               c.t_click - v.t_view AS lat_vc_s,
+               p.t_purchase - c.t_click AS lat_cp_s
+        FROM wv v LEFT JOIN wc c USING (user_id)
+        LEFT JOIN wp p USING (user_id)
+        ORDER BY user_id"""),
+      desc = "conversion-window funnel: each step bounded to 3 days, with step latencies"),
+
     // ── daily cohort retention ──────────────────────────────────────
     // Cohort = day of a user's first event; matrix cell = distinct
     // users of cohort d active d+offset. cohort_day comes from an
