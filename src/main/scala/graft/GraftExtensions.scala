@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKMin(exprs(0), exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("topk_min_distinct"),
+      new ExpressionInfo(classOf[TopKMin].getName, "topk_min_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKMin(exprs(0), exprs(1), distinct = true)))
+    ext.injectFunction((
       new FunctionIdentifier("ahash64"),
       new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

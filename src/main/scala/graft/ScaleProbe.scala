@@ -91,9 +91,9 @@ object ScaleProbe {
             state.unionByName(edges
               .join(state.withColumnRenamed("node", "dst"), Seq("dst"))
               .select(col("src").as("node"), col("hs")))
-              .select(col("node"), explode(col("hs")).as("h")).distinct()
+              .select(col("node"), explode(col("hs")).as("h"))
               .groupBy(col("node"))
-              .agg(expr("topk_min(struct(h), 8)").as("tk"))
+              .agg(expr("topk_min_distinct(struct(h), 8)").as("tk"))
               .select(col("node"),
                 expr("transform(tk, x -> x.h)").as("hs")),
             key = "node", name = s"anfk_probe_r$r")

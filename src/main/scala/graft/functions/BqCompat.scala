@@ -66,20 +66,23 @@ object BqCompat {
     * Overflow envelope — GUARDED, not just documented: the numerator
     * N*det^2*100 stays under 2^63 only while |det| < 3.037e8/sqrt(N),
     * and the denominator (bounded by N^4/16) only while N <= 55 000.
-    * Out of envelope the expression RAISES instead of silently
-    * wrapping — wrapped values would still hash-match an equally
-    * wrapped oracle, masking the overflow (the round-11 advice
-    * finding on e_ab_sequential). At larger scales the caller
-    * rescales counts (chi-square is count-linear, so thousands-scale
-    * counts with a boundary shifted x1000 read identically). The
-    * conservative floor(sqrt)+2 below never under-rejects: it only
-    * tightens the |det| bound by one count. CASE-guard placement is
-    * safe here because every call site is an already-aggregated 1-row
-    * / per-day / per-arm frame — never a per-event hot path (see the
-    * hot-guard CSE invariant in the build notes). The DuckDB oracles
-    * intentionally keep the UNGUARDED arithmetic: inside the envelope
-    * both engines agree exactly, outside it Spark errors the query
-    * rather than letting two wrapped results agree. */
+    * What the guard buys: Spark 4 ANSI mode (and DuckDB) already
+    * RAISE on BIGINT multiply overflow, so silent wrap-around cannot
+    * occur — but the engine's ARITHMETIC_OVERFLOW is opaque (thrown
+    * from whichever partition hits it first, naming no column) and
+    * arrives only on the data that overflows. This CASE replaces it
+    * with a DETERMINISTIC boundary (the same counts always pass or
+    * always raise, independent of partitioning/evaluation order) and
+    * an actionable message: rescale counts (chi-square is
+    * count-linear, so thousands-scale counts with a boundary shifted
+    * x1000 read identically). The conservative floor(sqrt)+2 below
+    * never under-rejects: it only tightens the |det| bound by one
+    * count. CASE-guard placement is safe here because every call site
+    * is an already-aggregated 1-row / per-day / per-arm frame — never
+    * a per-event hot path (see the hot-guard CSE invariant in the
+    * build notes). The DuckDB oracles intentionally keep the
+    * UNGUARDED arithmetic: inside the envelope both engines agree
+    * exactly, outside it both raise rather than agree on garbage. */
   def chi2x100Sql(n0: String = "n0", c0: String = "c0",
                   n1: String = "n1", c1: String = "c1"): String = {
     val det = s"($c0 * ($n1 - $c1) - $c1 * ($n0 - $c0))"

@@ -35,10 +35,24 @@ import org.apache.spark.sql.types._
   * order (callers include a unique tiebreak field), so the result is
   * independent of partitioning and arrival order — asserted by
   * TopKAggSpec, hash-gated by the `a_topk_agg` oracle.
+  *
+  * `distinct = true` (SQL name `topk_min_distinct`) dedups ON INSERT:
+  * a row order-equal to one already kept is skipped, so the result is
+  * the k smallest DISTINCT values. This replaces the
+  * `.distinct().groupBy().agg(topk_min)` two-shuffle pattern
+  * (distinct shuffles on (group, value), the agg re-shuffles on
+  * group) with ONE map-side-combined shuffle — the graph_anf_kmv
+  * round merge. Exact by the same merge law: distinct-top-k(A∪B) =
+  * distinct-top-k(distinct-top-k(A) ∪ distinct-top-k(B)), since a
+  * duplicate contributes nothing to the distinct kept set. The dup
+  * scan is O(k) per insert against the bounded heap (k ≤ 8 in every
+  * caller) — cheaper than the avoided exchange by orders of
+  * magnitude.
   */
 case class TopKMin(
     child: Expression,
     kExpr: Expression,
+    distinct: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
@@ -76,8 +90,20 @@ case class TopKMin(
 
   override def dataType: DataType = ArrayType(structType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "topk_min"
+  override def prettyName: String =
+    if (distinct) "topk_min_distinct" else "topk_min"
   override def children: Seq[Expression] = Seq(child, kExpr)
+
+  /** distinct mode: is `row` order-equal to a kept element? O(k) scan
+    * of the bounded heap (k ≤ 8 in every caller). Uses the struct's
+    * interpreted ordering, not equals(), so UnsafeRow (deserialized
+    * partials) and GenericInternalRow (fresh evals) compare by VALUE. */
+  private def containsEquiv(
+      buf: java.util.PriorityQueue[InternalRow], row: InternalRow): Boolean = {
+    val it = buf.iterator()
+    while (it.hasNext) if (ordering.equiv(it.next(), row)) return true
+    false
+  }
 
   override def createAggregationBuffer(): java.util.PriorityQueue[InternalRow] =
     // max-heap: head is the LARGEST of the kept k, evicted first
@@ -91,10 +117,12 @@ case class TopKMin(
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
       if (buf.size < k) {
-        buf.offer(row.copy())
+        if (!(distinct && containsEquiv(buf, row))) buf.offer(row.copy())
       } else if (ordering.lt(row, buf.peek())) {
-        buf.poll()
-        buf.offer(row.copy())
+        if (!(distinct && containsEquiv(buf, row))) {
+          buf.poll()
+          buf.offer(row.copy())
+        }
       }
     }
     buf
@@ -107,8 +135,13 @@ case class TopKMin(
     val it = other.iterator()
     while (it.hasNext) {
       val row = it.next()
-      if (buf.size < k) buf.offer(row)
-      else if (ordering.lt(row, buf.peek())) { buf.poll(); buf.offer(row) }
+      if (buf.size < k) {
+        if (!(distinct && containsEquiv(buf, row))) buf.offer(row)
+      } else if (ordering.lt(row, buf.peek())) {
+        if (!(distinct && containsEquiv(buf, row))) {
+          buf.poll(); buf.offer(row)
+        }
+      }
     }
     buf
   }
@@ -167,9 +200,14 @@ case class TopKMin(
 }
 
 object TopKAgg {
-  /** Register `topk_min` so expr() strings and spark.sql can call it
-    * (the analyzer wraps the AggregateFunction itself). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register `topk_min` / `topk_min_distinct` so expr() strings and
+    * spark.sql can call them (the analyzer wraps the
+    * AggregateFunction itself). Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_min", exprs => TopKMin(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_min_distinct",
+      exprs => TopKMin(exprs(0), exprs(1), distinct = true), "built-in")
+  }
 }

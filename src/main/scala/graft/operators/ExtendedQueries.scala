@@ -1264,8 +1264,12 @@ object ExtendedQueries {
           .select($"node", when($"nh" < 8, $"nh".cast(LongType))
             .otherwise(expr("7L * 4294967296L div greatest(h8, 1L)"))
             .as("est"))
-          .agg(countDistinct($"node").as("n_nodes"),
-            sum($"est").as("sum_est"))
+          // count(1), not countDistinct: the state frame is one row
+          // per node by construction (groupBy(node) upstream), and
+          // countDistinct beside sum() would wrap the readout in an
+          // Expand, doubling the full-state scan per round (r12
+          // ADVICE).
+          .agg(count(lit(1)).as("n_nodes"), sum($"est").as("sum_est"))
           .select(lit(k.toLong).as("round"), $"n_nodes", $"sum_est",
             expr("sum_est * 100 div n_nodes").as("avg_est_x100"))
         var out = stat(0, state)
@@ -1273,11 +1277,19 @@ object ExtendedQueries {
           val fromNbr = edges
             .join(state.withColumnRenamed("node", "dst"), Seq("dst"))
             .select($"src".as("node"), $"hs")
+          // ONE map-side-combined shuffle per round: dedup happens
+          // INSIDE the bounded heap (topk_min_distinct skips rows
+          // order-equal to a kept entry), so the former
+          // `.distinct()` pre-pass — a second full exchange on
+          // (node, h) whose only job was to stop duplicate hashes
+          // occupying heap slots — is gone. Was the bench's #1 line
+          // (14.7 s driver-measured r12); the oracle is unchanged
+          // (it already computes distinct-then-top-8).
           val (next, nextT) = graft.Engine.materializeTracked(
             state.unionByName(fromNbr)
-              .select($"node", explode($"hs").as("h")).distinct()
+              .select($"node", explode($"hs").as("h"))
               .groupBy($"node")
-              .agg(expr("topk_min(struct(h), 8)").as("tk"))
+              .agg(expr("topk_min_distinct(struct(h), 8)").as("tk"))
               .select($"node", expr("transform(tk, x -> x.h)").as("hs")),
             key = "node", name = s"anfk_r${k % 2}")
           graft.Engine.dropMaterialized(s, stateT)

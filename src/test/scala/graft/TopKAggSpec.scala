@@ -92,4 +92,52 @@ class TopKAggSpec extends SparkSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"no partial aggregation stage:\n$p")
   }
+
+  // ── distinct-on-insert mode (the graph_anf_kmv single-shuffle) ────
+
+  /** Heavily duplicated input: cents bucketed to 20 distinct values
+    * per event_type so every heap sees many order-equal rows. */
+  private def dupEvents = {
+    TopKAgg.register(spark)
+    Sources.table(spark, sf(), "events")
+      .withColumn("b", (round($"value" * 100).cast(LongType) % 20))
+      .select($"event_type", $"b")
+  }
+
+  test("topk_min_distinct equals distinct-then-topk_min row-for-row") {
+    val e = dupEvents
+    Seq(1, 5, 8).foreach { k =>
+      val oneShuffle = e.groupBy($"event_type")
+        .agg(expr(s"topk_min_distinct(struct(b), $k)").as("tk"))
+        .select($"event_type", explode($"tk.b").as("b"))
+        .orderBy($"event_type", $"b").collect().toSeq
+      val twoShuffle = e.distinct().groupBy($"event_type")
+        .agg(expr(s"topk_min(struct(b), $k)").as("tk"))
+        .select($"event_type", explode($"tk.b").as("b"))
+        .orderBy($"event_type", $"b").collect().toSeq
+      assert(oneShuffle == twoShuffle, s"k=$k mismatch")
+    }
+  }
+
+  test("topk_min_distinct is partitioning-independent (dedup across partial merges)") {
+    // duplicates land in DIFFERENT partitions, so the dedup must hold
+    // through merge(), not just update()
+    val e = dupEvents
+    def run(parts: Int) = e.repartition(parts).groupBy($"event_type")
+      .agg(expr("topk_min_distinct(struct(b), 5)").as("tk"))
+      .select($"event_type", explode($"tk.b").as("b"))
+      .orderBy($"event_type", $"b").collect().toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("topk_min_distinct emits no duplicate values within a group") {
+    val rows = dupEvents.groupBy($"event_type")
+      .agg(expr("topk_min_distinct(struct(b), 8)").as("tk"))
+      .select($"event_type", $"tk.b".as("bs")).collect()
+    rows.foreach { r =>
+      val bs = r.getSeq[Long](1)
+      assert(bs.distinct.size == bs.size,
+        s"${r.getString(0)}: duplicates in $bs")
+    }
+  }
 }
