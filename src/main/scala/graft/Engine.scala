@@ -819,18 +819,96 @@ object Engine {
 
   /** Drop every cached [[materializeShared]] frame (test hygiene —
     * entries are per-application-id and otherwise live for the JVM). */
-  def clearShared(): Unit = sharedFrames.clear()
+  def clearShared(): Unit = { sharedFrames.clear(); clearSharedPaths() }
 
-  /** Snapshot of the current [[materializeShared]] keys — pair with
-    * [[retainShared]] to roll back entries added by a benchmark
-    * sample. */
-  def sharedKeys(): Set[String] = {
-    import scala.jdk.CollectionConverters._
-    sharedFrames.keySet.asScala.toSet
+  // ── shared MATERIALIZED DIRECTORIES (the on-disk sibling of
+  // sharedFrames): a path several queries read identically — e.g. the
+  // streaming twins' 4-file parquet stream-source dirs, which
+  // otherwise get rewritten per query (and per bench sample) from the
+  // same table projection. Same discipline as sharedFrames: tokens
+  // derive from planToken of the INPUT frame, Bench's
+  // snapshot/rollback applies (sharedKeys/retainShared cover both
+  // registries), and eviction DELETES the directory — nothing holds
+  // an open handle between queries (streams are drained before fn
+  // returns). Every dir ever created is also removed by a JVM
+  // shutdown hook, closing the r12 ADVICE /tmp-accumulation leak.
+  private val sharedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val allSharedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val shutdownHookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
   }
 
-  /** Evict every [[materializeShared]] entry whose key is NOT in
-    * `keep`. Benchmarks use this between two samples of one query so
+  /** Get-or-build a shared on-disk directory for `token`: on a miss,
+    * a fresh temp dir is created, `build(dir)` writes it, and the
+    * path is registered under the same snapshot/rollback/idle
+    * lifecycle as [[materializeShared]] frames. Honors
+    * `graft.materialize.share=false` (always builds fresh; the dir is
+    * still shutdown-cleaned). */
+  def sharedDir(spark: SparkSession, token: String)
+               (build: String => Unit): String = {
+    if (shutdownHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        allSharedDirs.asScala.foreach(deleteDir)
+      }))
+    def fresh(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_shared")
+        .resolve("d").toString
+      allSharedDirs.add(dir)
+      build(dir)
+      dir
+    }
+    val share = !spark.conf.getOption("graft.materialize.share")
+      .contains("false")
+    if (!share) fresh()
+    else {
+      sharedLastUse.put(token, sharedTick.get)
+      val hit = sharedPaths.get(token)
+      if (hit != null && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(hit))) hit
+      else {
+        val built = fresh()
+        val raced = sharedPaths.putIfAbsent(token, built)
+        if (raced != null) { deleteDir(built); allSharedDirs.remove(built)
+          raced } else built
+      }
+    }
+  }
+
+  private def evictSharedPath(token: String): Unit = {
+    val dir = sharedPaths.remove(token)
+    if (dir != null) { deleteDir(dir); allSharedDirs.remove(dir) }
+  }
+
+  private def clearSharedPaths(): Unit = {
+    import scala.jdk.CollectionConverters._
+    sharedPaths.keySet.asScala.toSeq.foreach(evictSharedPath)
+  }
+
+  /** Snapshot of the current [[materializeShared]] / [[sharedDir]]
+    * keys — pair with [[retainShared]] to roll back entries added by
+    * a benchmark sample. */
+  def sharedKeys(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    sharedFrames.keySet.asScala.toSet ++ sharedPaths.keySet.asScala.toSet
+  }
+
+  /** Evict every [[materializeShared]] / [[sharedDir]] entry whose
+    * key is NOT in `keep` (evicted dirs are deleted from disk).
+    * Benchmarks use this between two samples of one query so
     * the query that BUILDS a shared frame pays its build cost in every
     * sample (min-of-runs must not discard the build into a discarded
     * first sample), while queries that merely REUSE a frame built by
@@ -839,6 +917,7 @@ object Engine {
   def retainShared(keep: Set[String]): Unit = {
     import scala.jdk.CollectionConverters._
     sharedFrames.keySet.asScala.filterNot(keep).foreach(sharedFrames.remove)
+    sharedPaths.keySet.asScala.filterNot(keep).toSeq.foreach(evictSharedPath)
   }
 
   /** RDD ids whose blocks back a LIVE [[materializeShared]] frame.

@@ -385,6 +385,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming drift stats: stateless argmax + O(k) state equals the per-vector re-aggregation") {
+    import graft.operators.Vectors
+    graft.functions.LongArrayDot.register(spark)
+    val all = Vectors.quantize(Sources.table(spark, sf(), "embeddings"))
+      .withColumn("id", $"vec_id")
+    val old = all.filter($"id" < 400)
+    val newB = all.filter($"id" >= 400)
+    val codebook = Vectors.kmeansFit(old, 8, 3)
+    val newTs = newB
+      .withColumn("ts", lit("2024-01-05 12:00:00").cast("timestamp"))
+      .select($"ts", $"id", $"sv", $"nrm")
+    // expected: re-aggregate the per-vector assignment frame (the
+    // lake-sink path) to the same integer stats
+    val expected = StreamingModels.kmeansAssignStream(newTs, codebook)
+      .join(codebook.select($"cluster_id".as("cluster"), $"cvec"), Seq("cluster"))
+      .withColumn("dot", expr("long_dot(sv, cvec)"))
+      .withColumn("nrm", expr("long_dot(sv, sv)"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_new"), sum($"dot").as("sum_dot"),
+        sum($"nrm").as("sum_nrm"))
+    def statMap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"cluster", $"n_new", $"sum_dot", $"sum_nrm").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val exp = statMap(expected)
+    // batch-mode call of the drift model (same code path, no stream)
+    assert(statMap(StreamingModels.kmeansDriftStream(newTs, codebook)) === exp,
+      "drift model in batch mode must equal the per-vector re-aggregation")
+    // true streaming over a 4-file parquet dir: cross-batch state
+    // merge is exercised, and the finalize frame is O(k) rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmd")
+      .resolve("in").toString
+    newTs.repartition(4).write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingModels.kmeansDriftStream(stream, codebook)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("kmd_stats").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kmd_stats")
+      assert(got.count() <= 8, "finalize frame must be O(k) rows")
+      assert(statMap(got) === exp,
+        "streamed drift stats must equal the batch re-aggregation")
+    } finally q.stop()
+  }
+
   test("streaming decontamination probe: batch parity and cross-split ground truth") {
     import graft.operators.Corpus
     val docs = Sources.table(spark, sf(), "documents")
