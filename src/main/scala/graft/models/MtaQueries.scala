@@ -4,7 +4,7 @@ import graft.Q
 import graft.models.MtaOracleSql.{withPrelude, withSched}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DateType, StringType}
 
 /** Driver-checkable queries for the MTA model layer: the four fact
   * views and the 12 metric queries, run over the deterministic
@@ -131,6 +131,51 @@ fe AS (SELECT route_id, direction_id, trip_uid, evt FROM fe_ranked WHERE rn = 1)
         FROM m_fts)
         SELECT * FROM final ORDER BY stu_id""")),
       desc = "fact_trips_stops: stop-level fact view (reference core model)"),
+
+    // ── S4 under the hash gate: the write-partitioned-then-read-back
+    // round trip the reference's production guidance prescribes
+    // (docs/metrics_guide.md:385 — materialize the stop fact
+    // partitioned by local service day). The fn WRITES the normalized
+    // fact through Engine.materializeByServiceDay, reads it back from
+    // disk, and returns ONE day's partition — so what's hashed is the
+    // full sink lifecycle: partition layout, column round-trip
+    // through parquet + partition-directory encoding (DATE partition
+    // values re-infer as DATE), and pruning correctness. The oracle
+    // is the equivalent filtered view — if the sink dropped, doubled,
+    // or re-typed anything, the hash breaks. EngineSpec holds the
+    // plan-level assertions (PartitionFilters, per-day dirs);
+    // pre-normalized event_s keeps the epoch-seconds determinism rule
+    // inside the written table.
+    "s4_partition_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val outDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_s4", "fts_by_day").toString
+        graft.Engine.materializeByServiceDay(
+          fts(s, dir).select(
+            col("stu_id"), col("route_id"), col("stop_id"),
+            col("stop_sequence_int"),
+            col("arrival__delay"), col("departure__delay"),
+            u("event_ts_utc").as("event_s"),
+            col("service_day_local")),
+          outDir)
+        s.read.parquet(outDir)
+          .filter(col("service_day_local") === lit(Day).cast(DateType))
+          .select(col("stu_id"), col("route_id"), col("stop_id"),
+            col("stop_sequence_int"),
+            col("arrival__delay"), col("departure__delay"), col("event_s"),
+            col("service_day_local").cast(StringType).as("service_day_str"))
+          .orderBy(col("stu_id"))
+      },
+      oracle = Some(withPrelude(s"""
+        final AS (SELECT
+          stu_id, route_id, stop_id, stop_sequence_int,
+          arrival__delay, departure__delay,
+          epoch_us(event_ts_utc)//1000000 AS event_s,
+          CAST(service_day_local AS VARCHAR) AS service_day_str
+        FROM m_fts
+        WHERE service_day_local = DATE '$Day')
+        SELECT * FROM final ORDER BY stu_id""")),
+      desc = "S4 table sink: write day-partitioned, read one partition back (round-trip gated)"),
 
     "mta_fact_trips" -> Q(
       fn = (s, dir) => ft(s, dir).select(

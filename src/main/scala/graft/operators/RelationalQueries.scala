@@ -304,6 +304,51 @@ object RelationalQueries {
         ORDER BY r_regionkey"""),
       desc = "S5 inline array/VALUES source + J5 USING join"),
 
+    // ── S6: seed source under the hash gate — a small dim routed
+    // through Sources.seed (the dbt-seeds analog: CSV + caller-pinned
+    // schema contract), joined to real tables. The fn writes the
+    // canonical seed file itself (deterministic literal content, a
+    // fixed path) so the DuckDB oracle reads the SAME file via
+    // read_csv — the full seed lifecycle (file → contract-pinned
+    // registration → join) is what's gated, not just the CSV parse
+    // (SourceFormatsSpec keeps the contract-enforcement cases).
+    // Reference: dbt seeds placeholder `seeds/.gitkeep`; the calendar
+    // dim in docs/metrics_guide.md is the canonical seed shape.
+    "s6_seed_dim" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val seedDir = java.nio.file.Paths.get("/tmp/graft_seeds")
+        java.nio.file.Files.createDirectories(seedDir)
+        java.nio.file.Files.write(seedDir.resolve("region_zone.csv"),
+          ("r_name,zone\nAFRICA,emea\nAMERICA,amer\nASIA,apac\n" +
+            "EUROPE,emea\nMIDDLE EAST,emea\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Sources.seed(s, seedDir.toString, Map("region_zone" ->
+          StructType.fromDDL("r_name STRING, zone STRING")))
+        t(s, dir, "customer")
+          .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+          .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+          .join(broadcast(s.table("region_zone")), Seq("r_name"))
+          .groupBy($"zone")
+          .agg(count(lit(1)).as("n_cust"),
+            sum(round($"c_acctbal" * 100).cast(LongType)).as("bal_cents"))
+          .orderBy($"zone")
+      },
+      oracle = Some("""
+        WITH zone AS (
+          SELECT * FROM read_csv('/tmp/graft_seeds/region_zone.csv',
+            header=true,
+            columns={'r_name': 'VARCHAR', 'zone': 'VARCHAR'}))
+        SELECT z.zone, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN zone z ON z.r_name = r.r_name
+        GROUP BY z.zone ORDER BY z.zone"""),
+      desc = "S6 seed source: contract-pinned CSV dim joined through the star schema"),
+
     // ── F1/F3/F4/F5/F12 + P5: string derivations with BigQuery
     // semantics (regexp no-match → NULL via BqCompat).
     "f_strings" -> Q(
