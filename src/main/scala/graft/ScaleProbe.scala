@@ -106,6 +106,47 @@ object ScaleProbe {
             .as("est"))
           .groupBy().agg(sum(col("est")).as("sum_est"))
       },
+      "anf_hll" -> { k =>
+        // HLL register sketches on the same trade graph: per-node
+        // state is m=32 registers at ANY reach (HyperANF), so like
+        // anf_kmv the curve must track edge volume only — and the
+        // exponent must sit at or below the KMV path's (same joins,
+        // denser constant-size state, one merge aggregate per round)
+        import org.apache.spark.sql.functions.expr
+        graft.functions.RegAgg.register(spark)
+        val li = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+        val b = li.join(Sources.table(spark, sfDir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2L).as("c"),
+            (col("l_suppkey") * 2L + 1L).as("p")).distinct()
+        val edges = b.select(col("c").as("src"), col("p").as("dst"))
+          .union(b.select(col("p").as("src"), col("c").as("dst")))
+        val rhoSql = "CASE WHEN w = 0L THEN 28L " +
+          "ELSE 28L - length(bin(w)) END"
+        var state = graft.Engine.materialize(
+          edges.select(col("src").as("node")).distinct()
+            .withColumn("h", expr("CAST(conv(substring(md5(" +
+              "CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+            .withColumn("idx", expr("CAST(h % 32 AS INT)"))
+            .withColumn("w", expr("h div 32"))
+            .withColumn("regs", expr(
+              s"transform(sequence(0, 31), i -> IF(i = idx, $rhoSql, 0L))"))
+            .select(col("node"), col("regs")),
+          key = "node", name = "anfh_probe_r0")
+        for (r <- 1 to 3) {
+          state = graft.Engine.materialize(
+            state.unionByName(edges
+              .join(state.withColumnRenamed("node", "dst"), Seq("dst"))
+              .select(col("src").as("node"), col("regs")))
+              .groupBy(col("node"))
+              .agg(expr("hll_reg_merge(regs, 32)").as("regs")),
+            key = "node", name = s"anfh_probe_r$r")
+        }
+        state.select(col("node"),
+            expr("aggregate(regs, 0L, (a, x) -> a + x)").as("sregs"))
+          .groupBy().agg(sum(col("sregs")).as("sum_regs"))
+      },
       "mmr" -> (k =>
         // pool bounded at 20 by the BM25 TakeOrderedAndProject — the
         // curve must track the bm25 scan, the greedy rounds are

@@ -1343,6 +1343,114 @@ object ExtendedQueries {
       }),
       desc = "HyperANF-style KMV reach sketches: O(k) per-node state, integer-exact estimator"),
 
+    // ── ANF at 100 TB: HLL register sketches (HyperANF proper) ──────
+    // The third family member beside the exact bitmap (graph_anf,
+    // bounded slice) and KMV (graph_anf_kmv, integer estimator):
+    // per-node state is m=32 registers max-merged per round —
+    // HyperANF (Boldi-Rosa-Vigna 2011), the densest mergeable reach
+    // state and the 100 TB form the KMV scaladoc promises. Unlike a
+    // classic HLL readout, everything EMITTED here is integer: the
+    // register sum and the 2^(28-Mj) inverse-power numerator (the
+    // harmonic estimator's integer core), so the register state
+    // itself is hash-gated against a DuckDB replay of the exact
+    // per-round reach sets; the floating-point harmonic estimate is
+    // derived in GraphsSpec (tolerance-pinned against exact reach
+    // and the KMV twin), never hashed. Each round is ONE map-side-
+    // combined shuffle (hll_reg_merge dedups by construction — the
+    // topk_min_distinct lesson applied from the start); max-merge is
+    // replay-idempotent, the property that lets the same registers
+    // stream (stream_hll_users). The per-round readout's 32-element
+    // folds run once per NODE (never per edge) — interpreted-HOF
+    // cost on the small frame, not the hot path.
+    "graph_anf_hll" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.RegAgg.register(s)
+        val edges = tradeEdges(s, dir)
+        val rhoSql = "CASE WHEN w = 0L THEN 28L " +
+          "ELSE 28L - length(bin(w)) END"
+        var state = graft.Engine.materialize(
+          edges.select($"src".as("node")).distinct()
+            .withColumn("h", expr("CAST(conv(substring(md5(" +
+              "CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+            .withColumn("idx", expr("CAST(h % 32 AS INT)"))
+            .withColumn("w", expr("h div 32"))
+            .withColumn("regs", expr(
+              s"transform(sequence(0, 31), i -> IF(i = idx, $rhoSql, 0L))"))
+            .select($"node", $"regs"),
+          key = "node", name = "anfh_r0")
+        var stateT: Option[String] = None
+        def stat(k: Int, r: DataFrame): DataFrame = r
+          .select($"node",
+            expr("aggregate(regs, 0L, (a, x) -> a + x)").as("sregs"),
+            expr("aggregate(regs, 0L, (a, x) -> " +
+              "a + shiftleft(1L, CAST(28 - x AS INT)))").as("sinv"))
+          .agg(count(lit(1)).as("n_nodes"), sum($"sregs").as("sum_regs"),
+            sum($"sinv").as("sum_inv"))
+          .select(lit(k.toLong).as("round"), $"n_nodes", $"sum_regs",
+            $"sum_inv")
+        var out = stat(0, state)
+        for (k <- 1 to 3) {
+          val fromNbr = edges
+            .join(state.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select($"src".as("node"), $"regs")
+          val (next, nextT) = graft.Engine.materializeTracked(
+            state.unionByName(fromNbr)
+              .groupBy($"node")
+              .agg(expr("hll_reg_merge(regs, 32)").as("regs")),
+            key = "node", name = s"anfh_r${k % 2}")
+          graft.Engine.dropMaterialized(s, stateT)
+          state = next
+          stateT = nextT
+          out = out.unionByName(stat(k, state))
+        }
+        out.orderBy($"round")
+      },
+      oracle = Some({
+        val rounds = (1 to 3).map { k => s"""
+        ah_r$k AS MATERIALIZED (
+          SELECT DISTINCT node, m FROM (
+            SELECT node, m FROM ah_r${k - 1}
+            UNION ALL
+            SELECT e.src AS node, r.m
+            FROM ah_e e JOIN ah_r${k - 1} r ON r.node = e.dst))"""
+        }.mkString(",")
+        val stats = (0 to 3).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS round,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(sregs) AS BIGINT) AS sum_regs,
+                 CAST(sum(sinv) AS BIGINT) AS sum_inv
+          FROM (
+            SELECT node, sum(mj) AS sregs,
+                   sum((CAST(1 AS BIGINT) << CAST(28 - mj AS INT)))
+                     + (32 - count(*)) * 268435456 AS sinv
+            FROM (
+              SELECT node, idx, max(rho) AS mj FROM (
+                SELECT node, h % 32 AS idx,
+                       CASE WHEN h // 32 = 0 THEN 28
+                            ELSE 28 - length(bin(h // 32)) END AS rho
+                FROM (SELECT DISTINCT node,
+                        ('0x' || substr(md5(CAST(m AS VARCHAR)), 1, 8))
+                          ::BIGINT AS h
+                      FROM ah_r$k))
+              GROUP BY node, idx)
+            GROUP BY node)"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH ah_b AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        ah_e AS (
+          SELECT c AS src, p AS dst FROM ah_b
+          UNION ALL SELECT p AS src, c AS dst FROM ah_b),
+        ah_r0 AS MATERIALIZED (
+          SELECT node, node AS m
+          FROM (SELECT DISTINCT src AS node FROM ah_e)),$rounds
+        SELECT round, n_nodes, sum_regs, sum_inv
+        FROM ($stats) ORDER BY round"""
+      }),
+      desc = "HyperANF HLL registers: O(m) per-node max-merge state, integer register readout hash-gated"),
+
     // ── common-neighbor link prediction on the co-supplier graph ────
     // Graphs.linkPredict (Liben-Nowell/Kleinberg 2003): non-adjacent
     // supplier pairs ranked by shared-neighbor Jaccard — the graph-
@@ -2510,6 +2618,160 @@ object ExtendedQueries {
           FROM e)
         WHERE rn <= 5 ORDER BY event_type, cents, event_id"""),
       desc = "native heap top-k aggregate (sort-free map side, 1 shuffle row/group)"),
+
+    // ── HLL approx-distinct registers beside the exact count ────────
+    // The APPROX member of the mergeable-distinct family
+    // (a_bitmap_distinct = exact O(ids/32) state, a_sample_bottomk =
+    // KMV O(k)): m=32 max-merged registers per group (hll_reg_update
+    // — one native codegen-adjacent aggregate, no per-row HOF), state
+    // O(m) at ANY cardinality and replay-idempotent (max(a,a)=a).
+    // What's gated is the REGISTER STATE itself, integer-exact: the
+    // register sum, untouched-register count, and the 2^(28-Mj)
+    // inverse-power numerator the harmonic estimate divides into —
+    // DuckDB replays all three from the same md5 hash. The exact
+    // twin rides as a SEPARATE pass joined on the group key (the
+    // countDistinct-beside-sketch Expand trap). The double estimate
+    // alpha*m^2*2^28/sum_inv lives in RegAggSpec with a tolerance
+    // pin, never in the hashed frame. At 100 TB: per-day partials
+    // max-merge into weekly/all-time distincts with no raw replay —
+    // the classic HLL cube.
+    "a_hll_users" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.RegAgg.register(s)
+        val sk = t(s, dir, "events")
+          .select($"event_type", $"user_id")
+          .withColumn("h", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("idx", expr("CAST(h % 32 AS INT)"))
+          .withColumn("w", expr("h div 32"))
+          .withColumn("rho", expr(
+            "CASE WHEN w = 0L THEN 28L ELSE 28L - length(bin(w)) END"))
+          .groupBy($"event_type")
+          .agg(expr("hll_reg_update(idx, rho, 32)").as("regs"))
+          .select($"event_type",
+            expr("aggregate(regs, 0L, (a, x) -> a + x)").as("sum_regs"),
+            expr("CAST(size(filter(regs, x -> x = 0L)) AS BIGINT)")
+              .as("zero_regs"),
+            expr("aggregate(regs, 0L, (a, x) -> " +
+              "a + shiftleft(1L, CAST(28 - x AS INT)))").as("sum_inv"))
+        val exact = t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_exact"))
+        sk.join(exact, Seq("event_type"))
+          .select($"event_type", $"n_exact", $"sum_regs", $"zero_regs",
+            $"sum_inv")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH hb AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        hh AS (
+          SELECT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+          FROM hb),
+        hr AS (
+          SELECT event_type, h % 32 AS idx,
+                 CASE WHEN h // 32 = 0 THEN 28
+                      ELSE 28 - length(bin(h // 32)) END AS rho
+          FROM hh),
+        hm AS (
+          SELECT event_type, idx, max(rho) AS mj
+          FROM hr GROUP BY 1, 2),
+        hs AS (
+          SELECT event_type,
+                 CAST(sum(mj) AS BIGINT) AS sum_regs,
+                 CAST(32 - count(*) AS BIGINT) AS zero_regs,
+                 CAST(sum((CAST(1 AS BIGINT) << CAST(28 - mj AS INT)))
+                   + (32 - count(*)) * 268435456 AS BIGINT) AS sum_inv
+          FROM hm GROUP BY 1),
+        he AS (
+          SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY 1)
+        SELECT s.event_type, e.n_exact, s.sum_regs, s.zero_regs, s.sum_inv
+        FROM hs s JOIN he e ON s.event_type = e.event_type
+        ORDER BY s.event_type"""),
+      desc = "HLL distinct-count registers: O(m) max-merge state, integer readout gated beside the exact twin"),
+
+    // ── the HLL cube: day partials re-merge to weeks losslessly ─────
+    // The claim that justifies persisting register partials at 100 TB
+    // — merge-of-dailies ≡ direct sketch of the coarser grain — put
+    // under the hash gate: daily (day, type) registers built with
+    // hll_reg_update, re-merged day→week with hll_reg_merge, while
+    // the ORACLE sketches each week DIRECTLY from the week's distinct
+    // user set. Hash equality of the integer readouts proves the
+    // merge is lossless (max is associative: max over days of
+    // per-day maxes = max over the week), so weekly/monthly/all-time
+    // distincts never replay raw events. Exact weekly twin joined as
+    // a separate pass (the Expand trap).
+    "a_hll_rollup" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.RegAgg.register(s)
+        val daily = t(s, dir, "events")
+          .select($"event_type", $"user_id",
+            expr("(unix_timestamp(ts) div 86400)").as("day"))
+          .withColumn("h", expr("CAST(conv(substring(md5(" +
+            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("idx", expr("CAST(h % 32 AS INT)"))
+          .withColumn("w", expr("h div 32"))
+          .withColumn("rho", expr(
+            "CASE WHEN w = 0L THEN 28L ELSE 28L - length(bin(w)) END"))
+          .groupBy($"day", $"event_type")
+          .agg(expr("hll_reg_update(idx, rho, 32)").as("regs"))
+        val weekly = daily
+          .withColumn("week", expr("day div 7"))
+          .groupBy($"week", $"event_type")
+          .agg(expr("hll_reg_merge(regs, 32)").as("regs"))
+          .select($"week", $"event_type",
+            expr("aggregate(regs, 0L, (a, x) -> a + x)").as("sum_regs"),
+            expr("aggregate(regs, 0L, (a, x) -> " +
+              "a + shiftleft(1L, CAST(28 - x AS INT)))").as("sum_inv"))
+        val exact = t(s, dir, "events")
+          .select($"event_type", $"user_id",
+            expr("(unix_timestamp(ts) div 86400) div 7").as("week"))
+          .groupBy($"week", $"event_type")
+          .agg(countDistinct($"user_id").as("n_exact"))
+        weekly.join(exact, Seq("week", "event_type"))
+          .select($"week", $"event_type", $"n_exact", $"sum_regs",
+            $"sum_inv")
+          .orderBy($"week", $"event_type")
+      },
+      oracle = Some("""
+        WITH wb AS (
+          SELECT DISTINCT ((epoch_us(ts)//1000000)//86400)//7 AS week,
+                 event_type, user_id
+          FROM events),
+        wh AS (
+          SELECT week, event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+          FROM wb),
+        wr AS (
+          SELECT week, event_type, h % 32 AS idx,
+                 CASE WHEN h // 32 = 0 THEN 28
+                      ELSE 28 - length(bin(h // 32)) END AS rho
+          FROM wh),
+        wm AS (
+          SELECT week, event_type, idx, max(rho) AS mj
+          FROM wr GROUP BY 1, 2, 3),
+        ws AS (
+          SELECT week, event_type,
+                 CAST(sum(mj) AS BIGINT) AS sum_regs,
+                 CAST(sum((CAST(1 AS BIGINT) << CAST(28 - mj AS INT)))
+                   + (32 - count(*)) * 268435456 AS BIGINT) AS sum_inv
+          FROM wm GROUP BY 1, 2),
+        we AS (
+          SELECT ((epoch_us(ts)//1000000)//86400)//7 AS week, event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY 1, 2)
+        SELECT s.week, s.event_type, e.n_exact, s.sum_regs, s.sum_inv
+        FROM ws s JOIN we e
+          ON s.week = e.week AND s.event_type = e.event_type
+        ORDER BY s.week, s.event_type"""),
+      desc = "HLL register cube: day partials re-merge to weeks, gated against the direct weekly sketch"),
 
     // ── bottom-k hash sampling (mergeable uniform sample + KMV) ─────
     // The SAMPLING member of the mergeable-partials family (Cohen &

@@ -239,8 +239,10 @@ object StreamingQueries {
     // users per md5 hash arm, same statistic.
     "stream_srm" -> Q(
       fn = (s, dir) => {
+        // superset projection shared with stream_hll_users (one
+        // 4-file write for both; event_type is pruned at the scan)
         val src = streamOf(s, Sources.table(s, dir, "events")
-          .select(col("ts"), col("user_id")))
+          .select(col("ts"), col("user_id"), col("event_type")))
         val partials = drain(s,
           StreamingModels.srmPartialsStream(src), "sq_srm_partials")
         StreamingModels.srmFinalize(partials)
@@ -267,6 +269,53 @@ object StreamingQueries {
                (2 * n0 - (n0 + n1)) * (2 * n0 - (n0 + n1)) * 100
                  // (n0 + n1) > 384 AS srm
         FROM sr_d ORDER BY day_s"""),
-      desc = "streaming SRM: replay-idempotent bitmap arm counts finalize to the batch chi-square")
+      desc = "streaming SRM: replay-idempotent bitmap arm counts finalize to the batch chi-square"),
+
+    // ── streaming HLL distinct registers ≡ batch register replay ────
+    // hllPartialsStream max-merges m=32 registers per (day, type)
+    // across micro-batches — O(days × types × m) state, idempotent
+    // under replay; hllFinalize reads out the integer register stats
+    // (sum, untouched count, 2^(28-Mj) numerator). Oracle: DuckDB
+    // replays the registers from the same md5 hash over the exact
+    // per-day distinct sets — the stream-accumulated sketch must
+    // equal the one-shot batch sketch bit-for-bit.
+    "stream_hll_users" -> Q(
+      fn = (s, dir) => {
+        val src = streamOf(s, Sources.table(s, dir, "events")
+          .select(col("ts"), col("user_id"), col("event_type")))
+        val partials = drain(s,
+          StreamingModels.hllPartialsStream(src), "sq_hll_partials")
+        StreamingModels.hllFinalize(partials)
+          .select(unix_timestamp(col("day_start")).as("day_s"),
+            col("event_type"), col("sum_regs"), col("zero_regs"),
+            col("sum_inv"))
+          .orderBy(col("day_s"), col("event_type"))
+      },
+      oracle = Some("""
+        WITH hb AS (
+          SELECT DISTINCT (epoch_us(ts)//1000000)//86400 AS day,
+                 event_type, user_id
+          FROM events),
+        hh AS (
+          SELECT day, event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+          FROM hb),
+        hr AS (
+          SELECT day, event_type, h % 32 AS idx,
+                 CASE WHEN h // 32 = 0 THEN 28
+                      ELSE 28 - length(bin(h // 32)) END AS rho
+          FROM hh),
+        hm AS (
+          SELECT day, event_type, idx, max(rho) AS mj
+          FROM hr GROUP BY 1, 2, 3)
+        SELECT day * 86400 AS day_s, event_type,
+               CAST(sum(mj) AS BIGINT) AS sum_regs,
+               CAST(32 - count(*) AS BIGINT) AS zero_regs,
+               CAST(sum((CAST(1 AS BIGINT) << CAST(28 - mj AS INT)))
+                 + (32 - count(*)) * 268435456 AS BIGINT) AS sum_inv
+        FROM hm GROUP BY day, event_type
+        ORDER BY day_s, event_type"""),
+      desc = "streaming HLL registers: replay-idempotent max-merge partials equal the batch sketch")
   )
 }

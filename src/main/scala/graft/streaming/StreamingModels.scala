@@ -102,6 +102,52 @@ object StreamingModels {
         expr("(2L * n0 - n) * (2L * n0 - n) * 100L div n"))
       .withColumn("srm", col("chi2_x100") > 384L)
 
+  /** Streaming per-day HLL REGISTER partials — the approx member of
+    * the streaming mergeable-distinct family (bitmap = exact, this =
+    * O(m) state at any cardinality): per (day, event_type), m=32
+    * max-merged registers via the native `hll_reg_update` aggregate
+    * (functions/RegAgg — the same buffer the batch `a_hll_users`
+    * gates). Max-merge is replay-idempotent (max(a,a)=a), so
+    * at-least-once redelivery cannot inflate the registers — the
+    * bitmap/OR posture with constant state. The emitted register
+    * frame IS the persisted daily partial: weekly/all-time distincts
+    * re-merge it with `hll_reg_merge`, no raw replay. Works on batch
+    * or streaming input. */
+  def hllPartialsStream(events: DataFrame): DataFrame = {
+    graft.functions.RegAgg.register(events.sparkSession)
+    events
+      .withWatermark("ts", "1 day")
+      .withColumn("h", expr("CAST(conv(substring(md5(" +
+        "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("idx", expr("CAST(h % 32 AS INT)"))
+      .withColumn("w", expr("h div 32"))
+      .withColumn("rho", expr(
+        "CASE WHEN w = 0L THEN 28L ELSE 28L - length(bin(w)) END"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(expr("hll_reg_update(idx, rho, 32)").as("regs"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("regs"))
+  }
+
+  /** Batch finalize over [[hllPartialsStream]] partials: re-merge
+    * (idempotent under replayed partials) and read out the
+    * integer-exact register stats the hash gate checks — register
+    * sum, untouched-register count, and the harmonic estimator's
+    * 2^(28-Mj) integer numerator. The 32-element folds run once per
+    * (day, type) row — a bounded frame, not the hot path. */
+  def hllFinalize(partials: DataFrame): DataFrame = {
+    graft.functions.RegAgg.register(partials.sparkSession)
+    partials
+      .groupBy(col("day_start"), col("event_type"))
+      .agg(expr("hll_reg_merge(regs, 32)").as("regs"))
+      .select(col("day_start"), col("event_type"),
+        expr("aggregate(regs, 0L, (a, x) -> a + x)").as("sum_regs"),
+        expr("CAST(size(filter(regs, x -> x = 0L)) AS BIGINT)")
+          .as("zero_regs"),
+        expr("aggregate(regs, 0L, (a, x) -> " +
+          "a + shiftleft(1L, CAST(28 - x AS INT)))").as("sum_inv"))
+  }
+
   /** Streaming priority-sample partials — the streaming twin of
     * `Corpus.prioritySample` (Duffield-Lund-Thorup), run continuously
     * over an ingest stream so a weighted representative sample of
