@@ -3280,6 +3280,112 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "n-gram Jaccard near-dup: capped candidates, exact partitioned score"),
 
+    // ── EXACT set-similarity join via prefix filtering (AllPairs) ───
+    // Bayardo-Ma-Srikant 2007: the exact-completeness member of the
+    // near-dup family — minhash/simhash are probabilistic and
+    // dedup_ngram caps hot candidates; this one GUARANTEES every pair
+    // with shingle-set Jaccard ≥ t is emitted, with pruning instead
+    // of truncation. Set elements are 3-token shingles (raw token
+    // order — the minhash shingle rule) hashed to 56-bit md5
+    // prefixes: the corpus vocabulary is only 31 TOKENS (token-set
+    // similarity is degenerate — 71k of 125k doc pairs at J≥0.6),
+    // while the shingle universe is 27k+, where near-dup means
+    // near-dup (25 pairs at sf0.01). Elements are globally ordered
+    // rarest-first (ascending df, tie-broken by hash); a doc's
+    // PREFIX is its first |x| − ⌈t·|x|⌉ + 1 elements. The
+    // pigeonhole: J(x,y) ≥ t forces the two prefixes to share an
+    // element, so the candidate join runs on prefix elements only —
+    // the RAREST shingles by construction, the flood armor that
+    // makes this the 100 TB shape. Candidates size-filtered
+    // (t·max ≤ min), then verified with the exact intersection of
+    // the 8-byte hash arrays (codegen'd collection op; 56 bits ⇒
+    // collision-free at corpus scale, and BOTH engines hash
+    // identically so the gate is exact either way). The oracle is
+    // BRUTE FORCE over all pairs — hash equality proves the pruned
+    // path loses nothing.
+    "dedup_allpairs" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        val sh = docs(s, dir)
+          .select($"doc_id", split($"text", " ").as("raw"))
+          .withColumn("i", explode(expr(
+            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
+              "ELSE 1 END)")))
+          .select($"doc_id", expr(
+            """CASE WHEN size(raw) >= 3 THEN
+                 concat_ws(' ', element_at(raw, i),
+                   element_at(raw, i + 1), element_at(raw, i + 2))
+               ELSE concat_ws(' ', raw) END""").as("sg"))
+          .select($"doc_id", expr("md5_prefix_long(sg, 14)").as("h"))
+          .distinct()
+        val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+        val ranked = sh.join(df, Seq("h"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+          .withColumn("sz", count(lit(1)).over(
+            Window.partitionBy($"doc_id")))
+        // p = sz − ceil(0.6·sz) + 1; ceil(6sz/10) = (6sz+9) div 10
+        val prefix = ranked
+          .filter($"pos" <= $"sz" - expr("(6L * sz + 9L) div 10L") + 1L)
+          .select($"doc_id", $"h", $"sz")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+              // size filter: J ≥ t ⇒ t·max ≤ min
+              least($"a.sz", $"b.sz") * 1000000L >=
+                greatest($"a.sz", $"b.sz") * 600000L)
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val arrs = sh.groupBy($"doc_id")
+          .agg(sort_array(collect_set($"h")).as("hs"))
+          .select($"doc_id", $"hs", size($"hs").cast(LongType).as("sz"))
+        cand
+          .join(arrs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"),
+            $"sz".as("sz_a")), Seq("doc_a"))
+          .join(arrs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"),
+            $"sz".as("sz_b")), Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect($"hs_a", $"hs_b")).cast(LongType))
+          .filter($"inter" * 1000000L >=
+            ($"sz_a" + $"sz_b" - $"inter") * 600000L)
+          .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
+            expr("inter * 1000000L div (sz_a + sz_b - inter)")
+              .as("jacc_ppm"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some("""
+        WITH ap_tk AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        ap_i AS (
+          SELECT doc_id, ts,
+                 unnest(generate_series(1,
+                   CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 1 END))
+                   AS i
+          FROM ap_tk),
+        ap_s AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(
+                   CASE WHEN len(ts) >= 3
+                        THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        ELSE array_to_string(ts, ' ') END), 1, 14))
+                   ::BIGINT AS h
+          FROM ap_i),
+        ap_l AS (
+          SELECT doc_id, list_sort(list(h)) AS hs,
+                 CAST(count(*) AS BIGINT) AS sz
+          FROM ap_s GROUP BY doc_id),
+        ap_p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+                 a.sz AS sz_a, b.sz AS sz_b
+          FROM ap_l a JOIN ap_l b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, inter, sz_a, sz_b,
+               inter * 1000000 // (sz_a + sz_b - inter) AS jacc_ppm
+        FROM ap_p
+        WHERE inter * 1000000 >= (sz_a + sz_b - inter) * 600000
+        ORDER BY doc_a, doc_b"""),
+      desc = "AllPairs exact similarity join: rarest-first prefix filter, brute-force oracle proves zero loss"),
+
     // ── winnowing fingerprints (substring-granular overlap) ─────────
     // The MOSS detector: any shared character run ≥ w+k-1 (= 17 chars
     // here) leaves ≥1 common window-min fingerprint, so SMALL shared
