@@ -381,6 +381,96 @@ object ExtendedQueries {
         ORDER BY yr, status, price_band"""),
       desc = "l-diversity: sensitive-value diversity + top-share per QI cell"),
 
+    // ── t-closeness (the privacy triad's third member) ──────────────
+    // Li-Li-Venkatasubramanian, ICDE 2007: an l-diverse cell still
+    // leaks when its sensitive-value DISTRIBUTION skews far from the
+    // global one (the skewness attack). Per QI cell: the Earth
+    // Mover's Distance between the cell's and the global
+    // o_orderpriority distribution over the ORDERED domain
+    // ('1-URGENT'..'5-LOW' — lexicographic IS the priority order),
+    // EMD = Σᵢ|Σ_{j≤i}(p_j − q_j)| / (v−1). Exact rationals on the
+    // common denominator k·N (one floor-div at the very end):
+    // cum_i = Σ(n_j·N − g_j·k) — BIGINT-safe to ~N=1e6 rows per
+    // table; larger scales rescale counts first (the chi2x100
+    // posture). The 5-value domain is densified per cell with a
+    // broadcast NLJ (missing values must contribute n=0 to the
+    // cumsum); windows run over 5-row cells. at_risk at t = 0.2.
+    "dq_tcloseness" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "orders").select(
+          year(to_date($"o_orderdate")).as("yr"),
+          $"o_orderstatus".as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000")
+            .as("price_band"),
+          $"o_orderpriority".as("sensitive"))
+        val glob = base.groupBy($"sensitive").agg(count(lit(1)).as("g"))
+        val totN = glob.agg(sum($"g").as("nn"))
+        val cellCnt = base
+          .groupBy($"yr", $"status", $"price_band", $"sensitive")
+          .agg(count(lit(1)).as("n"))
+        val cells = cellCnt.groupBy($"yr", $"status", $"price_band")
+          .agg(sum($"n").as("k_size"))
+        val w = Window.partitionBy($"yr", $"status", $"price_band")
+          .orderBy($"sensitive")
+        cells.crossJoin(broadcast(glob))
+          .join(cellCnt, Seq("yr", "status", "price_band", "sensitive"),
+            "left")
+          .na.fill(0L, Seq("n"))
+          .crossJoin(broadcast(totN))
+          .withColumn("cum", sum($"n" * $"nn" - $"g" * $"k_size").over(w))
+          .groupBy($"yr", $"status", $"price_band", $"k_size", $"nn")
+          .agg(sum(abs($"cum")).as("sum_abs"), count(lit(1)).as("v"))
+          .withColumn("emd_ppm",
+            expr("sum_abs * 1000000L div (k_size * nn * (v - 1L))"))
+          .withColumn("at_risk", $"emd_ppm" > 200000L)
+          .select($"yr", $"status", $"price_band", $"k_size", $"emd_ppm",
+            $"at_risk")
+          .orderBy($"yr", $"status", $"price_band")
+      },
+      oracle = Some("""
+        WITH tc_b AS (
+          SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+                 o_orderstatus AS status,
+                 CAST(round(o_totalprice * 100) AS BIGINT) // 5000000
+                   AS price_band,
+                 o_orderpriority AS sensitive
+          FROM orders),
+        tc_g AS (
+          SELECT sensitive, CAST(count(*) AS BIGINT) AS g
+          FROM tc_b GROUP BY 1),
+        tc_t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tc_b),
+        tc_c AS (
+          SELECT yr, status, price_band, sensitive,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tc_b GROUP BY 1, 2, 3, 4),
+        tc_k AS (
+          SELECT yr, status, price_band, CAST(sum(n) AS BIGINT) AS k_size
+          FROM tc_c GROUP BY 1, 2, 3),
+        tc_d AS (
+          SELECT k.yr, k.status, k.price_band, k.k_size,
+                 g.sensitive, g.g, coalesce(c.n, 0) AS n, t.nn
+          FROM tc_k k CROSS JOIN tc_g g CROSS JOIN tc_t t
+          LEFT JOIN tc_c c
+            ON c.yr = k.yr AND c.status = k.status
+           AND c.price_band = k.price_band AND c.sensitive = g.sensitive),
+        tc_m AS (
+          SELECT *, sum(n * nn - g * k_size) OVER (
+                   PARTITION BY yr, status, price_band
+                   ORDER BY sensitive) AS cum
+          FROM tc_d)
+        SELECT yr, status, price_band, k_size,
+               CAST(sum(abs(cum)) * 1000000
+                 // (k_size * nn * (count(*) - 1)) AS BIGINT) AS emd_ppm,
+               CAST(sum(abs(cum)) * 1000000
+                 // (k_size * nn * (count(*) - 1)) AS BIGINT) > 200000
+                 AS at_risk
+        FROM tc_m
+        GROUP BY yr, status, price_band, k_size, nn
+        ORDER BY yr, status, price_band"""),
+      desc = "t-closeness: exact-rational EMD of sensitive distribution per QI cell vs global"),
+
     // ── referential integrity (the dbt `relationships` test) ────────
     // The dq member Engine.build's contract-derived not_null/unique
     // tests don't cover: does every child foreign key resolve to a

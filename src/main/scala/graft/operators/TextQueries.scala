@@ -1709,6 +1709,78 @@ object TextQueries {
     // pass: one eval sentence pasted into a train doc barely moves
     // whole-doc Jaccard, but every shared token 5-gram is an exact hit
     // here. Eval side = the hash split's valid+test (h >= 8).
+    // ── novel n-gram rate (the memorization/novelty metric) ─────────
+    // The per-doc aggregate the LLM-eval literature reads novelty
+    // from (McCoy et al. 2021 "raven" novelty; the inverse of the
+    // Lee et al. 2022 dedup signal): for every NEW doc, the fraction
+    // of its distinct 3-token shingles absent from the REFERENCE
+    // half's shingle inventory. Contamination (pair-level) says
+    // "which eval doc did this copy"; novelty says "how much of this
+    // doc is new text at all" — the admission-dashboard number.
+    // Shingles hash to 56-bit md5 prefixes (collision-free at corpus
+    // scale, both engines hash identically); membership is ONE
+    // equi-join against the distinct reference inventory (shuffle on
+    // the hash — the 100 TB shape; no arrays ship). Left-join null
+    // probe = novel.
+    "text_novelty" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        val sh = docs(s, dir)
+          .select($"doc_id", split($"text", " ").as("raw"))
+          .withColumn("i", explode(expr(
+            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
+              "ELSE 1 END)")))
+          .select($"doc_id", expr(
+            """CASE WHEN size(raw) >= 3 THEN
+                 concat_ws(' ', element_at(raw, i),
+                   element_at(raw, i + 1), element_at(raw, i + 2))
+               ELSE concat_ws(' ', raw) END""").as("sg"))
+          .select($"doc_id", expr("md5_prefix_long(sg, 14)").as("h"))
+          .distinct()
+        val ref = sh.filter($"doc_id" < 250).select($"h").distinct()
+          .withColumn("seen", lit(1L))
+        sh.filter($"doc_id" >= 250)
+          .join(ref, Seq("h"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_ppm",
+            expr("n_novel * 1000000L div n_shingles"))
+          .select($"doc_id", $"n_shingles", $"n_novel", $"novelty_ppm")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH nv_tk AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        nv_i AS (
+          SELECT doc_id, ts,
+                 unnest(generate_series(1,
+                   CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 1 END))
+                   AS i
+          FROM nv_tk),
+        nv_s AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(
+                   CASE WHEN len(ts) >= 3
+                        THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        ELSE array_to_string(ts, ' ') END), 1, 14))
+                   ::BIGINT AS h
+          FROM nv_i),
+        nv_r AS (
+          SELECT DISTINCT h FROM nv_s WHERE doc_id < 250)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)
+                 * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        FROM nv_s s LEFT JOIN nv_r r ON s.h = r.h
+        WHERE s.doc_id >= 250
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id"""),
+      desc = "novel n-gram rate: per-doc share of shingles unseen in the reference half"),
+
     "text_contamination" -> Q(
       fn = (s, dir) => {
         val h = expr(
