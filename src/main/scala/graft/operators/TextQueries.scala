@@ -3458,6 +3458,106 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""),
       desc = "AllPairs exact similarity join: rarest-first prefix filter, brute-force oracle proves zero loss"),
 
+    // ── incremental AllPairs: new batch × corpus, still exact ───────
+    // The ingest-cadence form (every dedup family carries one —
+    // winnow_inc, spans_inc, components_inc): candidates are
+    // new-prefix × all-prefix only, so the nightly batch never
+    // re-pairs the settled corpus with itself. The pigeonhole is
+    // side-symmetric — any pair with J ≥ t shares a prefix element
+    // regardless of which side is new — so restricting ONE join side
+    // to new docs keeps every new-touching pair: the oracle is the
+    // batch brute force filtered to pairs touching a new doc,
+    // row-for-row. Element df is computed over the FULL corpus (the
+    // index posture: rarity is a corpus property, not a batch one).
+    // Cost note: the fixed doc_id >= 400 split (the incremental
+    // family convention) makes most docs "new" at sf0.1, so in-run
+    // this reads like the batch plus orientation-dedup; the cadence
+    // win is proportional to new/corpus in production, where new is
+    // a day's ingest against a settled lake.
+    "dedup_allpairs_inc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        val sh = docs(s, dir)
+          .select($"doc_id", split($"text", " ").as("raw"))
+          .withColumn("i", explode(expr(
+            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
+              "ELSE 1 END)")))
+          .select($"doc_id", expr(
+            """CASE WHEN size(raw) >= 3 THEN
+                 concat_ws(' ', element_at(raw, i),
+                   element_at(raw, i + 1), element_at(raw, i + 2))
+               ELSE concat_ws(' ', raw) END""").as("sg"))
+          .select($"doc_id", expr("md5_prefix_long(sg, 14)").as("h"))
+          .distinct()
+        val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+        val ranked = sh.join(df, Seq("h"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+          .withColumn("sz", count(lit(1)).over(
+            Window.partitionBy($"doc_id")))
+        val prefix = ranked
+          .filter($"pos" <= $"sz" - expr("(6L * sz + 9L) div 10L") + 1L)
+          .select($"doc_id", $"h", $"sz")
+        val cand = prefix.filter($"doc_id" >= 400L).as("a")
+          .join(prefix.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id" &&
+              least($"a.sz", $"b.sz") * 1000000L >=
+                greatest($"a.sz", $"b.sz") * 600000L)
+          .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+            greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
+          .distinct()
+        val arrs = sh.groupBy($"doc_id")
+          .agg(sort_array(collect_set($"h")).as("hs"))
+          .select($"doc_id", $"hs", size($"hs").cast(LongType).as("sz"))
+        cand
+          .join(arrs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"),
+            $"sz".as("sz_a")), Seq("doc_a"))
+          .join(arrs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"),
+            $"sz".as("sz_b")), Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect($"hs_a", $"hs_b")).cast(LongType))
+          .filter($"inter" * 1000000L >=
+            ($"sz_a" + $"sz_b" - $"inter") * 600000L)
+          .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
+            expr("inter * 1000000L div (sz_a + sz_b - inter)")
+              .as("jacc_ppm"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      oracle = Some("""
+        WITH ai_tk AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        ai_i AS (
+          SELECT doc_id, ts,
+                 unnest(generate_series(1,
+                   CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 1 END))
+                   AS i
+          FROM ai_tk),
+        ai_s AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(
+                   CASE WHEN len(ts) >= 3
+                        THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        ELSE array_to_string(ts, ' ') END), 1, 14))
+                   ::BIGINT AS h
+          FROM ai_i),
+        ai_l AS (
+          SELECT doc_id, list_sort(list(h)) AS hs,
+                 CAST(count(*) AS BIGINT) AS sz
+          FROM ai_s GROUP BY doc_id),
+        ai_p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+                 a.sz AS sz_a, b.sz AS sz_b
+          FROM ai_l a JOIN ai_l b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, inter, sz_a, sz_b,
+               inter * 1000000 // (sz_a + sz_b - inter) AS jacc_ppm
+        FROM ai_p
+        WHERE inter * 1000000 >= (sz_a + sz_b - inter) * 600000
+          AND (doc_a >= 400 OR doc_b >= 400)
+        ORDER BY doc_a, doc_b"""),
+      desc = "incremental AllPairs: new-prefix x corpus-prefix candidates, exact vs the filtered brute force"),
+
     // ── winnowing fingerprints (substring-granular overlap) ─────────
     // The MOSS detector: any shared character run ≥ w+k-1 (= 17 chars
     // here) leaves ≥1 common window-min fingerprint, so SMALL shared
