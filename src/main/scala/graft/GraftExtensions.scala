@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AHash64, ByteWindowFold, HilbertD, LongArrayDot, Md5PrefixLong, TopKMin}
+import graft.functions.{AHash64, ByteWindowFold, HilbertD, KmvMin, LongArrayDot, Md5PrefixLong, TopKMin}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKMin].getName, "topk_min"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKMin(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_min"),
+      new ExpressionInfo(classOf[KmvMin].getName, "kmv_min"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvMin(exprs(0), exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("topk_min_distinct"),
       new ExpressionInfo(classOf[TopKMin].getName, "topk_min_distinct"),

@@ -72,15 +72,21 @@ object ScaleProbe {
         // deliberately unprobed, like knn_brute)
         import org.apache.spark.sql.functions.{array, explode, expr,
           lit, size, when}
-        graft.functions.TopKAgg.register(spark)
+        graft.functions.KmvMin.register(spark)
         val li = Sources.table(spark, sfDir, "lineitem")
           .filter(col("l_orderkey") % k === 0)
         val b = li.join(Sources.table(spark, sfDir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2L).as("c"),
             (col("l_suppkey") * 2L + 1L).as("p")).distinct()
-        val edges = b.select(col("c").as("src"), col("p").as("dst"))
-          .union(b.select(col("p").as("src"), col("c").as("dst")))
+        // materialize the edge frame like the registered query does
+        // (tradeE0 goes through materializeShared): every round joins
+        // against edges, and re-running the lineitem join + distinct
+        // per round would probe the SCAN's growth, not the sketch's
+        val edges = graft.Engine.materialize(
+          b.select(col("c").as("src"), col("p").as("dst"))
+            .union(b.select(col("p").as("src"), col("c").as("dst"))),
+          key = "dst", name = s"anfk_probe_e$k")
         var state = graft.Engine.materialize(
           edges.select(col("src").as("node")).distinct()
             .withColumn("hs", array(expr("CAST(conv(substring(md5(" +
@@ -93,9 +99,7 @@ object ScaleProbe {
               .select(col("src").as("node"), col("hs")))
               .select(col("node"), explode(col("hs")).as("h"))
               .groupBy(col("node"))
-              .agg(expr("topk_min_distinct(struct(h), 8)").as("tk"))
-              .select(col("node"),
-                expr("transform(tk, x -> x.h)").as("hs")),
+              .agg(expr("kmv_min(h, 8)").as("hs")),
             key = "node", name = s"anfk_probe_r$r")
         }
         state.select(col("node"), size(col("hs")).as("nh"),
@@ -120,8 +124,11 @@ object ScaleProbe {
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2L).as("c"),
             (col("l_suppkey") * 2L + 1L).as("p")).distinct()
-        val edges = b.select(col("c").as("src"), col("p").as("dst"))
-          .union(b.select(col("p").as("src"), col("c").as("dst")))
+        // edge frame materialized once — the kmv-probe rationale
+        val edges = graft.Engine.materialize(
+          b.select(col("c").as("src"), col("p").as("dst"))
+            .union(b.select(col("p").as("src"), col("c").as("dst"))),
+          key = "dst", name = s"anfh_probe_e$k")
         val rhoSql = "CASE WHEN w = 0L THEN 28L " +
           "ELSE 28L - length(bin(w)) END"
         var state = graft.Engine.materialize(
@@ -1067,9 +1074,13 @@ object ScaleProbe {
       build(4).queryExecution.toRdd.count()
       val times = Seq(4, 2, 1).map { k =>
         // drop shared frames + dead checkpoint blocks so a prewarm or
-        // smaller fraction can't serve a timed run from cache
+        // smaller fraction can't serve a timed run from cache; force
+        // a GC outside the timer (Bench hygiene — without it the
+        // prior fraction's checkpoint churn lands on the next timed
+        // point and inflates the fitted exponent)
         Engine.clearShared()
         Engine.unpersistStale(spark)
+        System.gc()
         val t0 = System.nanoTime()
         val rows = build(k).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9

@@ -1338,7 +1338,7 @@ object ExtendedQueries {
     "graph_anf_kmv" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        graft.functions.TopKAgg.register(s)
+        graft.functions.KmvMin.register(s)
         val edges = tradeEdges(s, dir)
         var state = graft.Engine.materialize(
           edges.select($"src".as("node")).distinct()
@@ -1368,19 +1368,21 @@ object ExtendedQueries {
             .join(state.withColumnRenamed("node", "dst"), Seq("dst"))
             .select($"src".as("node"), $"hs")
           // ONE map-side-combined shuffle per round: dedup happens
-          // INSIDE the bounded heap (topk_min_distinct skips rows
-          // order-equal to a kept entry), so the former
-          // `.distinct()` pre-pass — a second full exchange on
-          // (node, h) whose only job was to stop duplicate hashes
-          // occupying heap slots — is gone. Was the bench's #1 line
-          // (14.7 s driver-measured r12); the oracle is unchanged
-          // (it already computes distinct-then-top-8).
+          // INSIDE the sketch aggregate (kmv_min keeps the k
+          // smallest DISTINCT longs in a sorted primitive array), so
+          // the former `.distinct()` pre-pass — a second full
+          // exchange on (node, h) whose only job was to stop
+          // duplicate hashes occupying heap slots — is gone, and the
+          // per-row work is primitive compares (the generic struct
+          // heap's interpreted ordering was JIT-bimodal: 5.3 s or
+          // 19.4 s for the same rounds depending on profile
+          // pollution — the r12 driver's 14.7 s reading). Oracle
+          // unchanged (it already computes distinct-then-top-8).
           val (next, nextT) = graft.Engine.materializeTracked(
             state.unionByName(fromNbr)
               .select($"node", explode($"hs").as("h"))
               .groupBy($"node")
-              .agg(expr("topk_min_distinct(struct(h), 8)").as("tk"))
-              .select($"node", expr("transform(tk, x -> x.h)").as("hs")),
+              .agg(expr("kmv_min(h, 8)").as("hs")),
             key = "node", name = s"anfk_r${k % 2}")
           graft.Engine.dropMaterialized(s, stateT)
           state = next
