@@ -1709,6 +1709,65 @@ object TextQueries {
     // pass: one eval sentence pasted into a train doc barely moves
     // whole-doc Jaccard, but every shared token 5-gram is an exact hit
     // here. Eval side = the hash split's valid+test (h >= 8).
+    // ── green-list watermark detection (Kirchenbauer et al. 2023) ───
+    // Synthetic-text triage for training corpora: a soft-watermarked
+    // generator up-biases tokens whose hash with the PREVIOUS token
+    // lands in a pseudorandom "green list"; a detector needs only the
+    // hash rule — per doc, count green bigrams among T pairs and test
+    // the γ=1/2 null with the exact integer statistic
+    // z²·100 = (2g − T)²·100 div T (the SRM/chi-square shape — one
+    // df, flag at 3.84 ⇔ |z| > 1.96). Natural text sits near T/2 by
+    // construction of the hash, watermarked text deviates; on this
+    // corpus everything should read unflagged EXCEPT hash flukes on
+    // short docs — the machinery is under test, not the corpus.
+    // Stateless per-pair hashing via sequence+element_at (no window,
+    // no HOF in the hot path); docs with < 2 tokens carry no pair
+    // evidence and are excluded on both engines.
+    "text_watermark" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id", split($"text", " ").as("raw"))
+          .filter(size($"raw") >= 2)
+          .withColumn("i", explode(expr("sequence(1, size(raw) - 1)")))
+          .select($"doc_id", (expr("CAST(conv(substring(md5(concat(" +
+            "element_at(raw, i), ' ', element_at(raw, i + 1))), 1, 8), " +
+            "16, 10) AS BIGINT) % 2") === 0L).as("green"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"green", 1L).otherwise(0L)).as("n_green"))
+          .withColumn("z2_x100", expr(
+            "(2L * n_green - n_pairs) * (2L * n_green - n_pairs) " +
+              "* 100L div n_pairs"))
+          .withColumn("flagged", $"z2_x100" > 384L)
+          .select($"doc_id", $"n_pairs", $"n_green", $"z2_x100",
+            $"flagged")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH wm_tk AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        wm_i AS (
+          SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM wm_tk WHERE len(ts) >= 2),
+        wm_p AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 8))
+                   ::BIGINT % 2 = 0 AS green
+          FROM wm_i),
+        wm_g AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN green THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_green
+          FROM wm_p GROUP BY doc_id)
+        SELECT doc_id, n_pairs, n_green,
+               (2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 100
+                 // n_pairs AS z2_x100,
+               (2 * n_green - n_pairs) * (2 * n_green - n_pairs) * 100
+                 // n_pairs > 384 AS flagged
+        FROM wm_g ORDER BY doc_id"""),
+      desc = "green-list watermark detector: exact integer bigram-hash z-square per doc"),
+
     // ── novel n-gram rate (the memorization/novelty metric) ─────────
     // The per-doc aggregate the LLM-eval literature reads novelty
     // from (McCoy et al. 2021 "raven" novelty; the inverse of the

@@ -2215,6 +2215,84 @@ object VectorQueries {
         ORDER BY cluster, rank_in_cluster"""),
       desc = "cluster-balanced prototype sampling (per-cell top-m by centrality)"),
 
+    // ── greedy k-center coreset (Gonzalez farthest-point) ───────────
+    // The data-PRUNING selector beside sample_cluster's quota
+    // sampler: pick k points so every vector sits within radius of a
+    // pick (2-approximation of the optimal k-center cover — Gonzalez
+    // 1985; the geometry behind coreset-based training-data
+    // selection). Deterministic: seed = smallest vec_id, then k−1
+    // rounds of argmax-min-distance with (dmin DESC, vec_id) ties.
+    // Each round is ONE broadcast of the new 1-row center + a
+    // running least() update of the per-vector dmin — the incremental
+    // form (never re-scan the selected set), materialized per round
+    // (the kmeansFit loop discipline). All arithmetic exact BIGINT:
+    // dist² = nrm_a + nrm_b − 2·long_dot. radius_sq of each pick is
+    // its dmin AT SELECTION — the shrinking cover radius, emitted so
+    // the oracle checks the whole greedy trajectory, not just ids.
+    "sample_coreset" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = emb(s, dir).select($"vec_id", $"sv", $"nrm")
+        val seed = base.orderBy($"vec_id").limit(1)
+        def center(pick: DataFrame): DataFrame =
+          broadcast(pick.select($"sv".as("cv"), $"nrm".as("cn")))
+        var dmin = graft.Engine.materialize(
+          base.crossJoin(center(seed))
+            .select($"vec_id", $"sv", $"nrm",
+              ($"nrm" + $"cn" - lit(2L) * expr("long_dot(sv, cv)"))
+                .as("dmin")),
+          key = "vec_id", name = "coreset_d1")
+        var out = seed.select(lit(0L).as("step"), $"vec_id",
+          lit(0L).as("radius_sq"))
+        for (r <- 1 to 7) {
+          val pick = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
+          out = out.unionByName(pick.select(lit(r.toLong).as("step"),
+            $"vec_id", $"dmin".as("radius_sq")))
+          if (r < 7) {
+            dmin = graft.Engine.materialize(
+              dmin.crossJoin(center(pick))
+                .select($"vec_id", $"sv", $"nrm",
+                  least($"dmin", $"nrm" + $"cn" -
+                    lit(2L) * expr("long_dot(sv, cv)")).as("dmin")),
+              key = "vec_id", name = s"coreset_d${r + 1}")
+          }
+        }
+        out.orderBy($"step")
+      },
+      oracle = Some({
+        val rounds = (1 to 6).map { r => s"""
+        cp$r AS MATERIALIZED (
+          SELECT d.vec_id, d.dmin, b.sv, b.nrm
+          FROM cd$r d JOIN base b USING (vec_id)
+          ORDER BY d.dmin DESC, d.vec_id LIMIT 1),
+        cd${r + 1} AS MATERIALIZED (
+          SELECT d.vec_id,
+                 least(d.dmin, CAST(db.nrm + p.nrm
+                   - 2 * ${duckDot("db.sv", "p.sv")} AS BIGINT)) AS dmin
+          FROM cd$r d JOIN base db USING (vec_id) CROSS JOIN cp$r p)"""
+        }.mkString(",")
+        s"""
+        WITH $DUCK_BASE,
+        cp0 AS MATERIALIZED (
+          SELECT vec_id, sv, nrm FROM base ORDER BY vec_id LIMIT 1),
+        cd1 AS MATERIALIZED (
+          SELECT b.vec_id,
+                 CAST(b.nrm + p.nrm - 2 * ${duckDot("b.sv", "p.sv")}
+                   AS BIGINT) AS dmin
+          FROM base b CROSS JOIN cp0 p),$rounds,
+        cp7 AS (
+          SELECT d.vec_id, d.dmin FROM cd7 d
+          ORDER BY d.dmin DESC, d.vec_id LIMIT 1)
+        SELECT CAST(0 AS BIGINT) AS step, vec_id,
+               CAST(0 AS BIGINT) AS radius_sq
+        FROM cp0
+        ${(1 to 7).map(r => s"""
+        UNION ALL SELECT CAST($r AS BIGINT) AS step, vec_id,
+               CAST(dmin AS BIGINT) AS radius_sq FROM cp$r""").mkString}
+        ORDER BY step"""
+      }),
+      desc = "greedy k-center coreset: farthest-point picks with exact integer distances"),
+
     // ── per-label centroid + assignment (IVF building block) ────────
     "vector_centroids" -> Q(
       fn = (s, dir) => {
