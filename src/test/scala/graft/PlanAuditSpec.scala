@@ -36,6 +36,65 @@ class PlanAuditSpec extends SparkSuite {
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("s6_seed_dim broadcasts every dimension side") {
+    // region/nation/the 5-row seed are bounded dims at any SF — the
+    // star join must stay broadcast (a shuffle join on customer's
+    // dim keys would re-partition the fact three times)
+    val p = plan(SparkEntry.queries("s6_seed_dim")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dim join must not sort-merge the fact:\n$p")
+  }
+
+  test("dedup_allpairs candidates ride equi-joins; verify ships no struct heap") {
+    // the prefix-filter candidate join and the two verify joins are
+    // hash equi-joins on h/doc ids — no cartesian, no non-equi
+    // residual anywhere (exactness comes from the pigeonhole, not
+    // from widening the join)
+    val p = plan(SparkEntry.queries("dedup_allpairs")(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"allpairs must stay equi-keyed:\n$p")
+  }
+
+  test("register merge and kmv_min plan partial ObjectHashAggregates") {
+    // one map-side-combined shuffle per ANF round is the operator's
+    // whole point — a missing partial stage would ship every neighbor
+    // copy through the exchange. The registered queries materialize
+    // each round (the final plan reads checkpoint leaves), so the pin
+    // audits the ROUND-BODY shape itself.
+    graft.functions.RegAgg.register(spark)
+    graft.functions.KmvMin.register(spark)
+    val rows = Sources.table(spark, sf(), "events")
+      .select($"user_id".as("node"),
+        expr("array(CAST(event_id % 29 AS BIGINT), " +
+          "CAST(event_id % 7 AS BIGINT))").as("regs"),
+        (round($"value" * 100).cast("long")).as("h"))
+    val pm = plan(rows.groupBy($"node")
+      .agg(expr("hll_reg_merge(regs, 32)").as("regs")))
+    assert("ObjectHashAggregate".r.findAllIn(pm).size >= 2,
+      s"hll_reg_merge lost its partial stage:\n$pm")
+    val pk = plan(rows.groupBy($"node")
+      .agg(expr("kmv_min(h, 8)").as("hs")))
+    assert("ObjectHashAggregate".r.findAllIn(pk).size >= 2,
+      s"kmv_min lost its partial stage:\n$pk")
+  }
+
+  test("a broadcast 1-row center crossJoin plans BNLJ, never Cartesian") {
+    // the sample_coreset round shape (each round crossJoins the
+    // 1-row new center onto the running dmin frame; the registered
+    // query materializes rounds, so the pin audits the idiom)
+    val base = Sources.table(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding")
+    val center = broadcast(base.orderBy($"vec_id").limit(1)
+      .select($"embedding".as("cv")))
+    val p = plan(base.crossJoin(center))
+    assert(!p.contains("CartesianProduct"),
+      s"1-row center must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the BNLJ shape:\n$p")
+  }
+
   test("no query plans an UNPARTITIONED window over an unbounded frame") {
     // A Window with an empty partitionSpec funnels its whole input
     // through one partition — fine on a bounded frame, fatal on a
