@@ -865,8 +865,9 @@ object Engine {
         allSharedDirs.asScala.foreach(deleteDir)
       }))
     def fresh(): String = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_shared")
-        .resolve("d").toString
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Files.createTempDirectory("graft_shared")
+          .resolve("d")).toString
       allSharedDirs.add(dir)
       build(dir)
       dir

@@ -177,6 +177,37 @@ class EngineSpec extends SparkSuite {
       s"one partition dir per day: got ${names.size}, want $expectDays")
   }
 
+  test("sharedDir caches by token, rebuilds after rollback, deletes evicted dirs") {
+    Engine.clearShared()
+    var builds = 0
+    def build(tok: String): String = Engine.sharedDir(spark, tok) { d =>
+      builds += 1
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "x.txt"),
+        "1".getBytes)
+    }
+    val snap = Engine.sharedKeys()
+    val d1 = build("es_tok_a")
+    assert(builds === 1 && new java.io.File(d1, "x.txt").exists())
+    // same token → same dir, no rebuild (the cross-query share)
+    assert(build("es_tok_a") === d1 && builds === 1)
+    // Bench rollback: evict what the sample added → dir DELETED
+    Engine.retainShared(snap)
+    assert(!new java.io.File(d1).exists(),
+      "evicted shared dir must be deleted from disk")
+    // next call rebuilds fresh (the builder-pays-in-both-samples law)
+    val d2 = build("es_tok_a")
+    assert(builds === 2 && d2 != d1 &&
+      new java.io.File(d2, "x.txt").exists())
+    // share=false: always a fresh dir, never registered
+    spark.conf.set("graft.materialize.share", "false")
+    try {
+      val d3 = build("es_tok_a")
+      assert(builds === 3 && d3 != d2)
+      assert(!Engine.sharedKeys().contains("es_tok_b"))
+    } finally spark.conf.unset("graft.materialize.share")
+    Engine.retainShared(snap)
+  }
+
   test("refreshByServiceDay rewrites only the delta's day partitions") {
     Engine.registerMta(spark, sf())
     val fts = spark.table("fact_trips_stops")
