@@ -338,6 +338,15 @@ object SqlSurface {
     *    (The SQL body ranks with one global window — the SQL
     *    convenience surface; the Scala path's TakeOrderedAndProject
     *    top-(k+1) is the 100 TB shape.)
+    *  - `corpus_novelty(ref_max_id)` — the `text_novelty` metric at
+    *    any reference/new split boundary: per new doc, the share of
+    *    its distinct 3-token shingles absent from the reference
+    *    inventory (same md5_prefix_long hashing, same one-equi-join
+    *    membership shape).
+    *  - `hll_users_grain(days)` — the `a_hll_rollup` register cube
+    *    at any grain: per (bucket of `days` days, event_type), the
+    *    integer HLL register readout (sum_regs / sum_inv) + the
+    *    exact distinct twin as a separate joined pass.
     *
     * SqlSurfaceSpec pins each ≡ the Scala calls at NON-default
     * parameters. */
@@ -441,6 +450,64 @@ object SqlSurface {
       t AS (SELECT q AS tau FROM r WHERE rk = k + 1)
       SELECT r.doc_id, r.w, r.q, greatest(r.w, t.tau) AS w_est
       FROM r CROSS JOIN t WHERE r.rk <= k
+    """)
+    graft.functions.RegAgg.register(spark)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION corpus_novelty(ref_max_id BIGINT)
+      RETURNS TABLE
+      RETURN
+      WITH tk AS (
+        SELECT doc_id, split(text, ' ') AS raw FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, md5_prefix_long(
+          CASE WHEN size(raw) >= 3 THEN concat_ws(' ',
+                 element_at(raw, i), element_at(raw, i + 1),
+                 element_at(raw, i + 2))
+               ELSE concat_ws(' ', raw) END, 14) AS h
+        FROM tk
+        LATERAL VIEW explode(sequence(1,
+          CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)) AS i),
+      ref AS (
+        SELECT DISTINCT h FROM sh WHERE doc_id < ref_max_id)
+      SELECT s.doc_id, count(1) AS n_shingles,
+             sum(IF(r.h IS NULL, 1L, 0L)) AS n_novel,
+             sum(IF(r.h IS NULL, 1L, 0L)) * 1000000L div count(1)
+               AS novelty_ppm
+      FROM sh s LEFT JOIN ref r ON s.h = r.h
+      WHERE s.doc_id >= ref_max_id
+      GROUP BY s.doc_id
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION hll_users_grain(days INT)
+      RETURNS TABLE
+      RETURN
+      WITH b AS (
+        SELECT event_type, user_id,
+               (unix_timestamp(ts) div 86400) div days AS bucket,
+               CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),
+                 16, 10) AS BIGINT) AS h
+        FROM events),
+      r AS (
+        SELECT bucket, event_type, CAST(h % 32 AS INT) AS idx,
+               CASE WHEN h div 32 = 0L THEN 28L
+                    ELSE 28L - length(bin(h div 32)) END AS rho
+        FROM b),
+      sk AS (
+        SELECT bucket, event_type,
+               hll_reg_update(idx, rho, 32) AS regs
+        FROM r GROUP BY bucket, event_type),
+      sks AS (
+        SELECT bucket, event_type,
+               aggregate(regs, 0L, (a, x) -> a + x) AS sum_regs,
+               aggregate(regs, 0L, (a, x) ->
+                 a + shiftleft(1L, CAST(28 - x AS INT))) AS sum_inv
+        FROM sk),
+      ex AS (
+        SELECT bucket, event_type, count(DISTINCT user_id) AS n_exact
+        FROM b GROUP BY bucket, event_type)
+      SELECT s.bucket, s.event_type, e.n_exact, s.sum_regs, s.sum_inv
+      FROM sks s JOIN ex e
+        ON s.bucket = e.bucket AND s.event_type = e.event_type
     """)
   }
 }

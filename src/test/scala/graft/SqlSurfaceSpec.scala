@@ -200,6 +200,56 @@ class SqlSurfaceSpec extends SparkSuite {
     val scalaPr = graft.operators.Corpus.prioritySample(docs, k = 17)
       .orderBy(col("doc_id")).collect().map(_.toSeq)
     assert(sqlPr.length === 17 && sqlPr.toSeq === scalaPr.toSeq)
+    // novelty at a NON-default split boundary (registered query uses
+    // 250): the SQL body must reproduce the engine shingle hashing
+    val sqlNov = spark.sql(
+      "SELECT doc_id, n_shingles, n_novel, novelty_ppm " +
+        "FROM corpus_novelty(300) ORDER BY doc_id")
+      .collect().map(_.toSeq)
+    assert(sqlNov.nonEmpty && sqlNov.forall(r =>
+      r(0).asInstanceOf[Long] >= 300))
+    // at the registered query's own boundary the TVF must equal
+    // text_novelty row-for-row
+    val sqlNov250 = spark.sql(
+      "SELECT doc_id, n_shingles, n_novel, novelty_ppm " +
+        "FROM corpus_novelty(250) ORDER BY doc_id")
+      .collect().map(_.toSeq)
+    val scalaNov = graft.operators.TextQueries.queries("text_novelty")
+      .fn(spark, sf()).collect().map(_.toSeq)
+    assert(sqlNov250.toSeq === scalaNov.toSeq)
+    // HLL register cube at a NON-default grain (registered query uses
+    // 7-day weeks): 3-day buckets must carry the same register sums
+    // as a direct Scala aggregation at that grain
+    graft.functions.RegAgg.register(spark)
+    val sqlHll = spark.sql(
+      "SELECT bucket, event_type, n_exact, sum_regs, sum_inv " +
+        "FROM hll_users_grain(3) ORDER BY bucket, event_type")
+      .collect().map(_.toSeq)
+    val scalaHll = {
+      val e = graft.sources.Sources.table(spark, sf(), "events")
+        .select(col("event_type"), col("user_id"),
+          expr("(unix_timestamp(ts) div 86400) div 3").as("bucket"))
+        .withColumn("h", expr("CAST(conv(substring(md5(" +
+          "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("idx", expr("CAST(h % 32 AS INT)"))
+        .withColumn("w", expr("h div 32"))
+        .withColumn("rho", expr(
+          "CASE WHEN w = 0L THEN 28L ELSE 28L - length(bin(w)) END"))
+      val sk = e.groupBy(col("bucket"), col("event_type"))
+        .agg(expr("hll_reg_update(idx, rho, 32)").as("regs"))
+        .select(col("bucket"), col("event_type"),
+          expr("aggregate(regs, 0L, (a, x) -> a + x)").as("sum_regs"),
+          expr("aggregate(regs, 0L, (a, x) -> " +
+            "a + shiftleft(1L, CAST(28 - x AS INT)))").as("sum_inv"))
+      val ex = e.groupBy(col("bucket"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sk.join(ex, Seq("bucket", "event_type"))
+        .select(col("bucket"), col("event_type"), col("n_exact"),
+          col("sum_regs"), col("sum_inv"))
+        .orderBy(col("bucket"), col("event_type"))
+        .collect().map(_.toSeq)
+    }
+    assert(sqlHll.nonEmpty && sqlHll.toSeq === scalaHll.toSeq)
   }
 
   test("every declared mta source is itself queryable from SQL") {
