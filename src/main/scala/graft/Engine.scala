@@ -759,11 +759,16 @@ object Engine {
   def evictSharedIdle(maxIdle: Long): Int = {
     import scala.jdk.CollectionConverters._
     val now = sharedTick.get
-    val dead = sharedFrames.keySet.asScala
-      .filter(t => now - Option(sharedLastUse.get(t)).fold(0L)(_.longValue)
-        > maxIdle).toSeq
+    def idle(t: String): Boolean =
+      now - Option(sharedLastUse.get(t)).fold(0L)(_.longValue) > maxIdle
+    val dead = sharedFrames.keySet.asScala.filter(idle).toSeq
     dead.foreach { t => sharedFrames.remove(t); sharedLastUse.remove(t) }
-    dead.size
+    // same aging for shared DIRECTORIES (stream-source dirs): evicted
+    // paths are deleted from disk — nothing holds an open handle
+    // between queries (streams drain before their fn returns)
+    val deadDirs = sharedPaths.keySet.asScala.filter(idle).toSeq
+    deadDirs.foreach { t => evictSharedPath(t); sharedLastUse.remove(t) }
+    dead.size + deadDirs.size
   }
 
   /** Session-scoped SHARED materialization — the in-memory sibling of
