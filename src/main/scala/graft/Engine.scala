@@ -845,7 +845,13 @@ object Engine {
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def deleteDir(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
+    // the registered path is <tmp>/graft_sharedXXXX/d — remove the
+    // whole temp root, not just the payload dir, or empty shells
+    // accumulate in /tmp
+    val p0 = java.nio.file.Paths.get(path)
+    val p = if (p0.getParent != null && p0.getParent.getFileName != null &&
+      p0.getParent.getFileName.toString.startsWith("graft_shared"))
+      p0.getParent else p0
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).sorted(
