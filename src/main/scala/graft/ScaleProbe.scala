@@ -169,6 +169,21 @@ object ScaleProbe {
       "corpus_overlap" -> (k => Corpus.corpusOverlap(docFrac(k),
         side = col("doc_id") % 2)),
       "winnow_pairs" -> (k => Corpus.winnowPairs(docFrac(k))),
+      "allpairs_join" -> (k =>
+        // exact prefix-filter similarity join: candidates ride the
+        // RAREST prefix elements, so the curve must track corpus
+        // volume, never the all-pairs square the brute-force oracle
+        // pays. Reading note: OUTPUT pairs grow ~16x over the x4
+        // span here (doc_id % k subsetting thins near-dup clusters
+        // quadratically) while runtime stays ~linear (0.92-1.04
+        // across repeated JVMs) — i.e. cost is input-bound even as
+        // output explodes, which is the pruning claim. Across real
+        // SFs the true pair count is linear (25 at sf0.01 → 256 at
+        // sf0.1 for 10x docs: constant-size clusters, more of them).
+        Corpus.allPairsJoin(docFrac(k), tPpm = 600000L)),
+      "novelty_rate" -> (k =>
+        // one hash-membership equi-join + per-doc agg — linear
+        Corpus.noveltyRate(docFrac(k), refMaxId = 250L)),
       "item_sim_pairs" -> { k =>
         // the registered query's pair stage: per-customer basket
         // self-join with the 256-degree flood guard, scaled by

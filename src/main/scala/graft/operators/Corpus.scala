@@ -576,6 +576,119 @@ object Corpus extends org.apache.spark.internal.Logging {
     * fingerprint frame is materialized once and feeds both join
     * sides. Returns (doc_a, doc_b, n_shared) with doc_a < doc_b and
     * n_shared ≥ `minShared` common (non-boilerplate) fingerprints. */
+  /** EXACT set-similarity join via prefix filtering (AllPairs —
+    * Bayardo-Ma-Srikant, WWW 2007): every doc pair with 3-token
+    * shingle-set Jaccard ≥ `tPpm`/1e6, with PRUNING instead of
+    * truncation. Set elements are shingles hashed to 56-bit md5
+    * prefixes; elements are globally ordered rarest-first (ascending
+    * document frequency, tie-broken by hash), a doc's PREFIX is its
+    * first |x| − ⌈t·|x|⌉ + 1 elements, and the pigeonhole guarantees
+    * any qualifying pair shares a prefix element — so the candidate
+    * join runs on prefix elements only, which are the RAREST
+    * shingles by construction (the flood armor that keeps this the
+    * 100 TB shape). Candidates are size-filtered (t·max ≤ min) and
+    * verified with the exact intersection of the per-doc sorted hash
+    * arrays (codegen'd collection op, bounded by candidate count).
+    * `isNew` switches to the INGEST-cadence form: candidates
+    * restrict one side to new docs (the pigeonhole is side-symmetric,
+    * so every new-touching pair survives); element df stays a
+    * full-corpus property. The registered queries' oracle is BRUTE
+    * FORCE over all pairs — hash equality proves zero loss.
+    * Returns (doc_a, doc_b, inter, sz_a, sz_b, jacc_ppm),
+    * doc_a < doc_b. */
+  def allPairsJoin(docs: DataFrame, tPpm: Long = 600000L,
+                   isNew: Option[Column] = None): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("raw"))
+      .withColumn("i", explode(expr(
+        "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
+          "ELSE 1 END)")))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(raw) >= 3 THEN
+             concat_ws(' ', element_at(raw, i),
+               element_at(raw, i + 1), element_at(raw, i + 2))
+           ELSE concat_ws(' ', raw) END""").as("sg"))
+      .select(col("doc_id"), expr("md5_prefix_long(sg, 14)").as("h"))
+      .distinct()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, Seq("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+    // p = sz − ceil(t·sz) + 1; ceil(t·sz) in ppm-exact integers
+    val prefix = ranked
+      .filter(col("pos") <= col("sz") -
+        expr(s"($tPpm * sz + 999999L) div 1000000L") + 1L)
+      .select(col("doc_id"), col("h"), col("sz"))
+    val left = isNew.fold(prefix)(prefix.filter(_))
+    val joinCond =
+      if (isNew.isEmpty)
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * 1000000L >=
+            greatest(col("a.sz"), col("b.sz")) * tPpm
+      else
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * 1000000L >=
+            greatest(col("a.sz"), col("b.sz")) * tPpm
+    val cand = left.as("a").join(prefix.as("b"), joinCond)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        size(col("hs")).cast("long").as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter") * 1000000L >=
+        (col("sz_a") + col("sz_b") - col("inter")) * tPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"),
+        expr("inter * 1000000L div (sz_a + sz_b - inter)").as("jacc_ppm"))
+  }
+
+  /** Per-doc NOVEL-shingle rate vs a reference inventory — the
+    * memorization/novelty dashboard metric (pair-level contamination
+    * says who copied whom; this says how much of a doc is new text).
+    * Same 56-bit hashed 3-token shingles as [[allPairsJoin]];
+    * membership is ONE equi-join against the distinct reference
+    * hashes (shuffle on the hash — no arrays ship). Returns
+    * (doc_id, n_shingles, n_novel, novelty_ppm) for docs with
+    * `doc_id >= refMaxId`. */
+  def noveltyRate(docs: DataFrame, refMaxId: Long = 250L): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("raw"))
+      .withColumn("i", explode(expr(
+        "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
+          "ELSE 1 END)")))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(raw) >= 3 THEN
+             concat_ws(' ', element_at(raw, i),
+               element_at(raw, i + 1), element_at(raw, i + 2))
+           ELSE concat_ws(' ', raw) END""").as("sg"))
+      .select(col("doc_id"), expr("md5_prefix_long(sg, 14)").as("h"))
+      .distinct()
+    val ref = sh.filter(col("doc_id") < refMaxId).select(col("h"))
+      .distinct().withColumn("seen", lit(1L))
+    sh.filter(col("doc_id") >= refMaxId)
+      .join(ref, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000L div n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty_ppm"))
+  }
+
   def winnowPairs(docs: DataFrame, k: Int = 10, w: Int = 8,
                   minShared: Long = 5L, maxDocFreq: Long = 16L): DataFrame = {
     val fp = winnowFp(docs, k, w, maxDocFreq)

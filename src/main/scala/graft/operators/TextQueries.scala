@@ -1784,29 +1784,8 @@ object TextQueries {
     "text_novelty" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        graft.functions.Md5PrefixLong.register(s)
-        val sh = docs(s, dir)
-          .select($"doc_id", split($"text", " ").as("raw"))
-          .withColumn("i", explode(expr(
-            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
-              "ELSE 1 END)")))
-          .select($"doc_id", expr(
-            """CASE WHEN size(raw) >= 3 THEN
-                 concat_ws(' ', element_at(raw, i),
-                   element_at(raw, i + 1), element_at(raw, i + 2))
-               ELSE concat_ws(' ', raw) END""").as("sg"))
-          .select($"doc_id", expr("md5_prefix_long(sg, 14)").as("h"))
-          .distinct()
-        val ref = sh.filter($"doc_id" < 250).select($"h").distinct()
-          .withColumn("seen", lit(1L))
-        sh.filter($"doc_id" >= 250)
-          .join(ref, Seq("h"), "left")
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
-          .withColumn("novelty_ppm",
-            expr("n_novel * 1000000L div n_shingles"))
-          .select($"doc_id", $"n_shingles", $"n_novel", $"novelty_ppm")
+        // the public API IS the implementation
+        Corpus.noveltyRate(docs(s, dir), refMaxId = 250L)
           .orderBy($"doc_id")
       },
       oracle = Some("""
@@ -3437,51 +3416,10 @@ object TextQueries {
     "dedup_allpairs" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        graft.functions.Md5PrefixLong.register(s)
-        val sh = docs(s, dir)
-          .select($"doc_id", split($"text", " ").as("raw"))
-          .withColumn("i", explode(expr(
-            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
-              "ELSE 1 END)")))
-          .select($"doc_id", expr(
-            """CASE WHEN size(raw) >= 3 THEN
-                 concat_ws(' ', element_at(raw, i),
-                   element_at(raw, i + 1), element_at(raw, i + 2))
-               ELSE concat_ws(' ', raw) END""").as("sg"))
-          .select($"doc_id", expr("md5_prefix_long(sg, 14)").as("h"))
-          .distinct()
-        val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-        val ranked = sh.join(df, Seq("h"))
-          .withColumn("pos", row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"df", $"h")))
-          .withColumn("sz", count(lit(1)).over(
-            Window.partitionBy($"doc_id")))
-        // p = sz − ceil(0.6·sz) + 1; ceil(6sz/10) = (6sz+9) div 10
-        val prefix = ranked
-          .filter($"pos" <= $"sz" - expr("(6L * sz + 9L) div 10L") + 1L)
-          .select($"doc_id", $"h", $"sz")
-        val cand = prefix.as("a").join(prefix.as("b"),
-            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
-              // size filter: J ≥ t ⇒ t·max ≤ min
-              least($"a.sz", $"b.sz") * 1000000L >=
-                greatest($"a.sz", $"b.sz") * 600000L)
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .distinct()
-        val arrs = sh.groupBy($"doc_id")
-          .agg(sort_array(collect_set($"h")).as("hs"))
-          .select($"doc_id", $"hs", size($"hs").cast(LongType).as("sz"))
-        cand
-          .join(arrs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"),
-            $"sz".as("sz_a")), Seq("doc_a"))
-          .join(arrs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"),
-            $"sz".as("sz_b")), Seq("doc_b"))
-          .withColumn("inter",
-            size(array_intersect($"hs_a", $"hs_b")).cast(LongType))
-          .filter($"inter" * 1000000L >=
-            ($"sz_a" + $"sz_b" - $"inter") * 600000L)
-          .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
-            expr("inter * 1000000L div (sz_a + sz_b - inter)")
-              .as("jacc_ppm"))
+        // the public API IS the implementation — the driver's oracle
+        // check verifies Corpus.allPairsJoin directly (brute-force
+        // oracle: the pruned path must lose nothing)
+        Corpus.allPairsJoin(docs(s, dir), tPpm = 600000L)
           .orderBy($"doc_a", $"doc_b")
       },
       oracle = Some("""
@@ -3536,51 +3474,9 @@ object TextQueries {
     "dedup_allpairs_inc" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        graft.functions.Md5PrefixLong.register(s)
-        val sh = docs(s, dir)
-          .select($"doc_id", split($"text", " ").as("raw"))
-          .withColumn("i", explode(expr(
-            "sequence(1, CASE WHEN size(raw) >= 3 THEN size(raw) - 2 " +
-              "ELSE 1 END)")))
-          .select($"doc_id", expr(
-            """CASE WHEN size(raw) >= 3 THEN
-                 concat_ws(' ', element_at(raw, i),
-                   element_at(raw, i + 1), element_at(raw, i + 2))
-               ELSE concat_ws(' ', raw) END""").as("sg"))
-          .select($"doc_id", expr("md5_prefix_long(sg, 14)").as("h"))
-          .distinct()
-        val df = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-        val ranked = sh.join(df, Seq("h"))
-          .withColumn("pos", row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"df", $"h")))
-          .withColumn("sz", count(lit(1)).over(
-            Window.partitionBy($"doc_id")))
-        val prefix = ranked
-          .filter($"pos" <= $"sz" - expr("(6L * sz + 9L) div 10L") + 1L)
-          .select($"doc_id", $"h", $"sz")
-        val cand = prefix.filter($"doc_id" >= 400L).as("a")
-          .join(prefix.as("b"),
-            $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id" &&
-              least($"a.sz", $"b.sz") * 1000000L >=
-                greatest($"a.sz", $"b.sz") * 600000L)
-          .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
-            greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
-          .distinct()
-        val arrs = sh.groupBy($"doc_id")
-          .agg(sort_array(collect_set($"h")).as("hs"))
-          .select($"doc_id", $"hs", size($"hs").cast(LongType).as("sz"))
-        cand
-          .join(arrs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"),
-            $"sz".as("sz_a")), Seq("doc_a"))
-          .join(arrs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"),
-            $"sz".as("sz_b")), Seq("doc_b"))
-          .withColumn("inter",
-            size(array_intersect($"hs_a", $"hs_b")).cast(LongType))
-          .filter($"inter" * 1000000L >=
-            ($"sz_a" + $"sz_b" - $"inter") * 600000L)
-          .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
-            expr("inter * 1000000L div (sz_a + sz_b - inter)")
-              .as("jacc_ppm"))
+        // the public API IS the implementation
+        Corpus.allPairsJoin(docs(s, dir), tPpm = 600000L,
+            isNew = Some(col("doc_id") >= 400L))
           .orderBy($"doc_a", $"doc_b")
       },
       oracle = Some("""
