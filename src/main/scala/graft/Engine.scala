@@ -761,12 +761,17 @@ object Engine {
     val now = sharedTick.get
     def idle(t: String): Boolean =
       now - Option(sharedLastUse.get(t)).fold(0L)(_.longValue) > maxIdle
+    // snapshot BOTH dead lists before mutating sharedLastUse: a token
+    // present in both registries (nothing enforces the namespaces stay
+    // disjoint) would otherwise read as never-used for the second
+    // registry once the first pass removed its last-use entry, and a
+    // just-touched directory could be deleted (r13 ADVICE)
     val dead = sharedFrames.keySet.asScala.filter(idle).toSeq
+    val deadDirs = sharedPaths.keySet.asScala.filter(idle).toSeq
     dead.foreach { t => sharedFrames.remove(t); sharedLastUse.remove(t) }
     // same aging for shared DIRECTORIES (stream-source dirs): evicted
     // paths are deleted from disk — nothing holds an open handle
     // between queries (streams drain before their fn returns)
-    val deadDirs = sharedPaths.keySet.asScala.filter(idle).toSeq
     deadDirs.foreach { t => evictSharedPath(t); sharedLastUse.remove(t) }
     dead.size + deadDirs.size
   }
@@ -854,11 +859,16 @@ object Engine {
       p0.getParent else p0
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(
+      // close the walk stream (it holds a directory fd) — evictions
+      // and the shutdown hook would otherwise leak one handle per
+      // delete until GC (r13 ADVICE)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(
         java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala
         .foreach(f => try java.nio.file.Files.deleteIfExists(f)
           catch { case _: java.io.IOException => () })
+      finally walk.close()
     }
   }
 

@@ -148,16 +148,22 @@ fe AS (SELECT route_id, direction_id, trip_uid, evt FROM fe_ranked WHERE rn = 1)
     // inside the written table.
     "s4_partition_roundtrip" -> Q(
       fn = (s, dir) => {
-        val outDir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_s4", "fts_by_day").toString
-        graft.Engine.materializeByServiceDay(
-          fts(s, dir).select(
-            col("stu_id"), col("route_id"), col("stop_id"),
-            col("stop_sequence_int"),
-            col("arrival__delay"), col("departure__delay"),
-            u("event_ts_utc").as("event_s"),
-            col("service_day_local")),
-          outDir)
+        val sel = fts(s, dir).select(
+          col("stu_id"), col("route_id"), col("stop_id"),
+          col("stop_sequence_int"),
+          col("arrival__delay"), col("departure__delay"),
+          u("event_ts_utc").as("event_s"),
+          col("service_day_local"))
+        // planToken-keyed sink dir (r13 verdict ask #6): a fixed
+        // /tmp path collides across concurrent harness runs; the
+        // sharedDir registry gives per-(app, plan, data) isolation
+        // plus eviction/shutdown cleanup for free. The write IS the
+        // operator, so it happens inside the build closure and the
+        // second bench sample re-pays it after rollback.
+        val outDir = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(sel, extra = "s4_fts_by_day")) { d =>
+          graft.Engine.materializeByServiceDay(sel, d)
+        }
         s.read.parquet(outDir)
           .filter(col("service_day_local") === lit(Day).cast(DateType))
           .select(col("stu_id"), col("route_id"), col("stop_id"),

@@ -3464,13 +3464,14 @@ object TextQueries {
     // regardless of which side is new — so restricting ONE join side
     // to new docs keeps every new-touching pair: the oracle is the
     // batch brute force filtered to pairs touching a new doc,
-    // row-for-row. Element df is computed over the FULL corpus (the
-    // index posture: rarity is a corpus property, not a batch one).
-    // Cost note: the fixed doc_id >= 400 split (the incremental
-    // family convention) makes most docs "new" at sf0.1, so in-run
-    // this reads like the batch plus orientation-dedup; the cadence
-    // win is proportional to new/corpus in production, where new is
-    // a day's ingest against a settled lake.
+    // row-for-row. Truly incremental since r14: the shingle frame,
+    // the OLD-corpus element-df index, and the old docs' prefix
+    // frame are session-persisted (materializeShared; bucketed
+    // tables at 100 TB), the global element order is FROZEN to the
+    // old-corpus df (valid under any fixed total order — pigeonhole
+    // + positional filter are order-agnostic), and df maintenance is
+    // the additive allPairsDfMerge — a batch shingles and ranks only
+    // its own docs, O(batch + index probe), never O(corpus).
     "dedup_allpairs_inc" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -2236,7 +2236,13 @@ object VectorQueries {
         val seed = base.orderBy($"vec_id").limit(1)
         def center(pick: DataFrame): DataFrame =
           broadcast(pick.select($"sv".as("cv"), $"nrm".as("cn")))
-        var dmin = graft.Engine.materialize(
+        // ANF-loop discipline (r13 ADVICE): track each round's dmin
+        // frame and drop the superseded one — without it ~7 full-width
+        // checkpointed copies of the vector frame sit in the block
+        // manager until unpersistStale. Each round's 1-row pick is
+        // materialized on its own (tiny), so `out` never reads a
+        // dropped dmin frame in table mode.
+        var (dmin, dminT) = graft.Engine.materializeTracked(
           base.crossJoin(center(seed))
             .select($"vec_id", $"sv", $"nrm",
               ($"nrm" + $"cn" - lit(2L) * expr("long_dot(sv, cv)"))
@@ -2245,16 +2251,21 @@ object VectorQueries {
         var out = seed.select(lit(0L).as("step"), $"vec_id",
           lit(0L).as("radius_sq"))
         for (r <- 1 to 7) {
-          val pick = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
+          val pick = graft.Engine.materialize(
+            dmin.orderBy($"dmin".desc, $"vec_id").limit(1),
+            key = "vec_id", name = s"coreset_p$r", buckets = 1)
           out = out.unionByName(pick.select(lit(r.toLong).as("step"),
             $"vec_id", $"dmin".as("radius_sq")))
           if (r < 7) {
-            dmin = graft.Engine.materialize(
+            val (next, nextT) = graft.Engine.materializeTracked(
               dmin.crossJoin(center(pick))
                 .select($"vec_id", $"sv", $"nrm",
                   least($"dmin", $"nrm" + $"cn" -
                     lit(2L) * expr("long_dot(sv, cv)")).as("dmin")),
-              key = "vec_id", name = s"coreset_d${r + 1}")
+              key = "vec_id", name = s"coreset_d${(r + 1) % 2}")
+            graft.Engine.dropMaterialized(s, dminT)
+            dmin = next
+            dminT = nextT
           }
         }
         out.orderBy($"step")

@@ -1288,4 +1288,48 @@ class CorpusSpec extends SparkSuite {
         .exists(p => r.getAs[Long]("score") != 2L * p)
     }, "expansion terms must contribute to at least one top doc")
   }
+
+  test("allPairsJoin incremental equals full restricted to new-touching pairs") {
+    // arbitrary split marker (not the registry's doc_id >= 400): the
+    // frozen-order incremental path must agree with the full run on
+    // every pair touching a new doc, under any append split
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "beta alpha gamma delta epsilon zeta eta theta"),
+      (3L, "theta eta zeta epsilon delta gamma beta alpha"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "one two three four five six seven eight nine eleven"),
+      (6L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (7L, "spam spam spam spam spam spam ok"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b", $"jacc_ppm")
+      .collect().map(_.toSeq).toSet
+    val full = rows(Corpus.allPairsJoin(corpus, tPpm = 500000L))
+    for (cut <- Seq(3L, 5L, 6L)) {
+      Engine.clearShared() // each cut is its own "session index"
+      val inc = rows(Corpus.allPairsJoin(corpus, tPpm = 500000L,
+        isNew = Some($"doc_id" >= cut)))
+      val want = full.filter(r => r.head.asInstanceOf[Long] >= cut ||
+        r(1).asInstanceOf[Long] >= cut)
+      assert(inc === want, s"cut=$cut: inc=$inc want=$want")
+    }
+    Engine.clearShared()
+  }
+
+  test("allPairsDfMerge: additive df update equals the from-scratch count") {
+    // the index-maintenance law: df(old u batch) = df(old) + df(batch)
+    val tok = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L),   // old shingles
+      (3L, 10L), (3L, 13L), (4L, 12L), (4L, 13L))   // batch shingles
+      .toDF("doc_id", "h")
+    val old = tok.filter($"doc_id" <= 2L)
+    val batch = tok.filter($"doc_id" > 2L)
+    val dfOld = old.groupBy($"h").agg(count(lit(1)).as("df"))
+    val merged = Corpus.allPairsDfMerge(dfOld, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = tok.groupBy($"h").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === scratch)
+  }
 }

@@ -159,8 +159,16 @@ class EngineSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("service_day_local"),
       s"read-back must prune on the partition column:\n$plan")
-    val sinkDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_s4", "fts_by_day")
+    // the sink dir is planToken-keyed (sharedDir) — recover it from
+    // the read-back plan's scan root instead of a fixed path
+    val rootPath = out.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.head.toUri.getPath
+        }
+    }.get
+    val sinkDir = java.nio.file.Paths.get(rootPath)
     val dayDirs = java.nio.file.Files.list(sinkDir).iterator()
     val names = scala.collection.mutable.ListBuffer.empty[String]
     while (dayDirs.hasNext) {
@@ -198,13 +206,19 @@ class EngineSpec extends SparkSuite {
     val d2 = build("es_tok_a")
     assert(builds === 2 && d2 != d1 &&
       new java.io.File(d2, "x.txt").exists())
-    // share=false: always a fresh dir, never registered
+    // share=false: always a fresh dir, never registered — with share
+    // back on, the token must still resolve to d2, proving the
+    // share=false build did not leak a registry entry (r13 ADVICE:
+    // assert the non-registration, not an unused token)
     spark.conf.set("graft.materialize.share", "false")
-    try {
-      val d3 = build("es_tok_a")
-      assert(builds === 3 && d3 != d2)
-      assert(!Engine.sharedKeys().contains("es_tok_b"))
+    val d3 = try {
+      val d = build("es_tok_a")
+      assert(builds === 3 && d != d2)
+      d
     } finally spark.conf.unset("graft.materialize.share")
+    assert(build("es_tok_a") === d2 && builds === 3,
+      "share=false must not have replaced or registered the shared entry")
+    assert(d3 != d2)
     Engine.retainShared(snap)
   }
 
