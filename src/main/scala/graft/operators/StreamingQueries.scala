@@ -45,12 +45,41 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
-  /** Run a streaming frame to a complete-mode memory sink until the
-    * source drains; return the sink table (valid after stop — the
-    * memory sink keeps its rows). */
-  private def drain(s: SparkSession, out: DataFrame,
-                    name: String): DataFrame = {
-    val q = out.writeStream.outputMode("complete")
+  /** [[streamOf]] variant for WATERMARKED operators (stream-stream
+    * joins, flatMapGroupsWithState): files are RANGE-partitioned by
+    * event time (ties by event_id) and their mtimes forced into file
+    * order, so micro-batches deliver event time monotonically — data
+    * is never late relative to the watermark and the drained output
+    * is the exact batch answer. This is the production contract made
+    * explicit: watermark correctness is a delivery-order property,
+    * and a lake-backed stream source replays in partition order. The
+    * unordered [[streamOf]] stays the right harness for the
+    * complete-mode sketch twins, which must be replay/out-of-order
+    * immune by construction. */
+  private def streamOfOrdered(s: SparkSession, df: DataFrame): DataFrame = {
+    val dir = graft.Engine.sharedDir(s,
+      graft.Engine.planToken(df, extra = "streamsrc4ord")) { d =>
+      df.repartitionByRange(4, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(d)
+      // FileStreamSource orders new files by (mtime, path): pin BOTH
+      // so "file i = micro-batch i" holds on any filesystem mtime
+      // granularity
+      val parts = new java.io.File(d).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+    }
+    s.readStream.schema(s.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
+  /** Run a streaming frame to a memory sink until the source drains;
+    * return the sink table (valid after stop — the memory sink keeps
+    * its rows). Complete mode for the sketch twins; append for
+    * joins/flatMapGroupsWithState, whose emissions are final. */
+  private def drain(s: SparkSession, out: DataFrame, name: String,
+                    mode: String = "complete"): DataFrame = {
+    val q = out.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     s.table(name)
@@ -316,6 +345,160 @@ object StreamingQueries {
                  + (32 - count(*)) * 268435456 AS BIGINT) AS sum_inv
         FROM hm GROUP BY day, event_type
         ORDER BY day_s, event_type"""),
-      desc = "streaming HLL registers: replay-idempotent max-merge partials equal the batch sketch")
+      desc = "streaming HLL registers: replay-idempotent max-merge partials equal the batch sketch"),
+
+    // ── stream-stream interval join ≡ batch range self-join ─────────
+    // streamStreamConversions is the real watermarked two-stream
+    // inner join (state bounded by the 1-hour range condition on both
+    // sides). Both sides stream the SAME ordered superset dir (two
+    // independent readStream sources over one write), filtered
+    // per-side on the stream; event time is second-floored before
+    // the join so the interval arithmetic twins the oracle's
+    // epoch-second form. Ordered delivery makes the drained inner
+    // join the exact batch join — every in-window (purchase, click)
+    // pair, no late-drop losses.
+    "stream_conversions" -> Q(
+      fn = (s, dir) => {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("user_id"), col("event_type"))
+        val purchases = streamOfOrdered(s, ev)
+          .filter(col("event_type") === "purchase")
+        val clicks = streamOfOrdered(s, ev)
+          .filter(col("event_type") === "click")
+        drain(s,
+          StreamingModels.streamStreamConversions(purchases, clicks),
+          "sq_conversions", mode = "append")
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(ts)//1000000 AS es
+          FROM events)
+        SELECT p.user_id, p.event_id AS purchase_id,
+               c.event_id AS click_id, p.es - c.es AS lead_s
+        FROM e p JOIN e c ON p.user_id = c.user_id
+         AND c.es >= p.es - 3600 AND c.es <= p.es
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        ORDER BY p.user_id, purchase_id, click_id"""),
+      desc = "stream-stream interval join: watermarked two-source join equals the batch range self-join"),
+
+    // ── streaming sessionization ≡ batch gap sessions ────────────────
+    // sessionizeStream (flatMapGroupsWithState, event-time timeout)
+    // under ordered delivery, with one far-future SENTINEL event per
+    // user appended as the final micro-batch's tail: each sentinel
+    // closes its user's last real session through the normal gap
+    // path (end-of-stream flush without relying on a trailing
+    // no-data timeout batch), while the sentinel's own session stays
+    // open and never emits. Emitted rows are therefore EXACTLY the
+    // batch `sessionize` sessions, cents-exact.
+    "stream_sessionize" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.streaming.StreamingModels.SessEvt
+        val e = Sources.table(s, dir, "events")
+          .select(col("user_id"),
+            timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val maxTs = e.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sentinels = e.select(col("user_id")).distinct()
+          .crossJoin(broadcast(maxTs))
+          .select(col("user_id"),
+            timestamp_seconds(col("mx") + lit(86400L * 30)).as("ts"),
+            (-col("user_id") - 1L).as("event_id"), lit(0L).as("cents"))
+        val src = streamOfOrdered(s, e.unionByName(sentinels))
+        drain(s,
+          StreamingModels.sessionizeStream(src.as[SessEvt],
+            gapSec = 1800L, delayThreshold = "2 hours").toDF(),
+          "sq_sessions", mode = "append")
+          .orderBy(col("user_id"), col("start_s"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 epoch_us(ts)//1000000 AS es
+          FROM events),
+        g AS (
+          SELECT *, es - lag(es) OVER
+            (PARTITION BY user_id ORDER BY es, event_id) AS gap
+          FROM e),
+        f AS (
+          SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+            AS new_sess FROM g),
+        sess AS (
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+            ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sess_id
+          FROM f)
+        SELECT user_id, min(es) AS start_s, max(es) AS end_s,
+               count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM sess GROUP BY user_id, sess_id
+        ORDER BY user_id, start_s"""),
+      desc = "streaming sessionization: mapGroupsWithState sessions equal the batch gap sessions"),
+
+    // ── streaming AS-OF enrichment ≡ batch as-of pick ────────────────
+    // asOfEnrichStream chains the two stateful operators (interval
+    // LEFT OUTER join → windowed max_by agg); append-mode aggregation
+    // rows only emit once the WATERMARK passes their window end, so
+    // the drain appends one far-future sentinel purchase+click pair
+    // (user −1) whose arrival pushes the watermark past every real
+    // window — the no-data flush batch then emits them all. The
+    // sentinel's own window stays open and never emits, so the
+    // output is exactly the batch as-of pick per purchase:
+    // latest in-tolerance click, ties to the larger click_id,
+    // null-padded when none qualifies.
+    "stream_asof" -> Q(
+      fn = (s, dir) => {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("user_id"), col("event_type"))
+        val maxTs = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sent = maxTs.select(
+          timestamp_seconds(col("mx") + lit(86400L * 30)).as("ts"),
+          lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("purchase").as("event_type"))
+          .unionByName(maxTs.select(
+            timestamp_seconds(col("mx") + lit(86400L * 30)).as("ts"),
+            lit(-2L).as("event_id"), lit(-1L).as("user_id"),
+            lit("click").as("event_type")))
+        val all = ev.unionByName(sent)
+        val purchases = streamOfOrdered(s, all)
+          .filter(col("event_type") === "purchase")
+        val clicks = streamOfOrdered(s, all)
+          .filter(col("event_type") === "click")
+        drain(s,
+          StreamingModels.asOfEnrichStream(purchases, clicks,
+            toleranceSec = 3600L),
+          "sq_asof", mode = "append")
+          .orderBy(col("user_id"), col("purchase_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(ts)//1000000 AS es
+          FROM events),
+        p AS (
+          SELECT user_id, event_id AS purchase_id, es AS p_es
+          FROM e WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, event_id AS click_id, es AS c_es
+          FROM e WHERE event_type = 'click'),
+        j AS (
+          SELECT p.user_id, p.purchase_id, p.p_es, c.click_id, c.c_es,
+                 row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                   ORDER BY c.c_es DESC NULLS LAST,
+                            c.click_id DESC NULLS LAST) AS rn
+          FROM p LEFT JOIN c ON c.user_id = p.user_id
+           AND c.c_es >= p.p_es - 3600 AND c.c_es <= p.p_es)
+        SELECT user_id, purchase_id, p_es AS purchase_es, click_id,
+               c_es AS click_es, p_es - c_es AS gap_s
+        FROM j WHERE rn = 1
+        ORDER BY user_id, purchase_id"""),
+      desc = "streaming as-of: interval outer join + windowed max_by pick equals the batch as-of")
   )
 }
