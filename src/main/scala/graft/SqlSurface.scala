@@ -338,6 +338,10 @@ object SqlSurface {
     *    (The SQL body ranks with one global window — the SQL
     *    convenience surface; the Scala path's TakeOrderedAndProject
     *    top-(k+1) is the 100 TB shape.)
+    *  - `dedup_allpairs(t_ppm)` — the flagship EXACT similarity join
+    *    at any Jaccard threshold: AllPairs prefix filter + PPJoin
+    *    positional filter + exact verify, same pruning mathematics
+    *    as [[graft.operators.Corpus.allPairsJoin]].
     *  - `corpus_novelty(ref_max_id)` — the `text_novelty` metric at
     *    any reference/new split boundary: per new doc, the share of
     *    its distinct 3-token shingles absent from the reference
@@ -450,6 +454,60 @@ object SqlSurface {
       t AS (SELECT q AS tau FROM r WHERE rk = k + 1)
       SELECT r.doc_id, r.w, r.q, greatest(r.w, t.tau) AS w_est
       FROM r CROSS JOIN t WHERE r.rk <= k
+    """)
+    // the flagship EXACT dedup from SQL: AllPairs prefix filter +
+    // PPJoin positional filter + exact array-intersect verify at ANY
+    // threshold — the same pruning mathematics as
+    // [[graft.operators.Corpus.allPairsJoin]] (whose scaladoc carries
+    // the zero-loss proofs); this SQL body recomputes the df order
+    // per call (the convenience surface), the Scala path rides the
+    // session-persisted index
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION dedup_allpairs(t_ppm BIGINT)
+      RETURNS TABLE
+      RETURN
+      WITH tk AS (SELECT doc_id, split(text, ' ') AS raw FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, md5_prefix_long(
+          CASE WHEN size(raw) >= 3 THEN concat_ws(' ',
+                 element_at(raw, i), element_at(raw, i + 1),
+                 element_at(raw, i + 2))
+               ELSE concat_ws(' ', raw) END, 14) AS h
+        FROM tk
+        LATERAL VIEW explode(sequence(1,
+          CASE WHEN size(raw) >= 3 THEN size(raw) - 2 ELSE 1 END)) AS i),
+      dfq AS (SELECT h, count(1) AS df FROM sh GROUP BY h),
+      rk AS (
+        SELECT s.doc_id, s.h,
+               row_number() OVER (PARTITION BY s.doc_id
+                 ORDER BY d.df, s.h) AS pos,
+               count(1) OVER (PARTITION BY s.doc_id) AS sz
+        FROM sh s JOIN dfq d ON d.h = s.h),
+      pfx AS (
+        SELECT doc_id, h, sz, pos FROM rk
+        WHERE pos <= sz - (t_ppm * sz + 999999L) div 1000000L + 1L),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pfx a JOIN pfx b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+         AND least(a.sz, b.sz) * 1000000L >=
+               greatest(a.sz, b.sz) * t_ppm
+         AND (1L + least(a.sz - a.pos, b.sz - b.pos))
+               * (1000000L + t_ppm) >= (a.sz + b.sz) * t_ppm),
+      arr AS (
+        SELECT doc_id, sort_array(collect_set(h)) AS hs,
+               CAST(size(collect_set(h)) AS BIGINT) AS sz
+        FROM sh GROUP BY doc_id),
+      v AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(size(array_intersect(x.hs, y.hs)) AS BIGINT) AS inter,
+               x.sz AS sz_a, y.sz AS sz_b
+        FROM cand c
+        JOIN arr x ON x.doc_id = c.doc_a
+        JOIN arr y ON y.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, inter, sz_a, sz_b,
+             inter * 1000000L div (sz_a + sz_b - inter) AS jacc_ppm
+      FROM v WHERE inter * 1000000L >= (sz_a + sz_b - inter) * t_ppm
     """)
     graft.functions.RegAgg.register(spark)
     spark.sql("""

@@ -796,6 +796,84 @@ object MultimodalQueries {
                dot_true - dot_neg AS margin,
                dot_true > dot_neg AS aligned
         FROM sc ORDER BY doc_id"""),
-      desc = "image-text pair alignment filter: true vs hard-negative dot margin")
+      desc = "image-text pair alignment filter: true vs hard-negative dot margin"),
+
+    // ── REAL WAV decode: RIFF header parse + exact PCM energy ───────
+    // The one modality decode that needs no codec library (r13
+    // verdict ask #5): the fn synthesizes VALID little-endian
+    // RIFF/WAVE PCM files — real 44-byte headers with per-doc
+    // channels/rate/bit-depth and 64 bytes of PCM — and `wav_decode`
+    // (a native codegen expression) parses them back the way any
+    // decoder would: chunk walk, magic + PCM-format validation, LE
+    // field reads, Σ(v−128)² / Σ s² integer energy. The oracle does
+    // NOT decode: it recomputes every expected field independently
+    // from (doc_id, text), so the hash gate proves the encode→parse
+    // round trip against an independent derivation. MultimodalSpec
+    // covers the paths the gate can't reach (unknown-chunk skip,
+    // malformed rejects).
+    "mm_decode_wav" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.WavDecode.register(s)
+        def le(e: String, n: Int): String =
+          (0 until n).map(k =>
+            s"lpad(hex((($e)) div ${1L << (8 * k)} % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val hdr = Seq(
+          "'52494646'", le("100", 4), "'57415645'",       // RIFF…WAVE
+          "'666d7420'", le("16", 4), le("1", 2), le("c", 2), // fmt PCM
+          le("r", 4), le("r * ba", 4), le("ba", 2), le("bb", 2),
+          "'64617461'", le("64", 4), "pcm"                // data
+        ).mkString("concat(", ", ", ")")
+        docs(s, dir)
+          .withColumn("c", $"doc_id" % 2 + 1)
+          .withColumn("r", expr(
+            "CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+              "ELSE 44100 END"))
+          .withColumn("bb", expr(
+            "CASE WHEN (doc_id div 2) % 2 = 0 THEN 8 ELSE 16 END"))
+          .withColumn("ba", expr("c * bb div 8"))
+          .withColumn("pcm",
+            concat(sha2($"text", 256), sha2(concat($"text", lit("x")), 256)))
+          .withColumn("d", expr(s"wav_decode(unhex($hdr))"))
+          .select($"doc_id",
+            element_at($"d", 1).as("fmt_ok"),
+            element_at($"d", 2).as("channels"),
+            element_at($"d", 3).as("sample_rate"),
+            element_at($"d", 4).as("bits"),
+            element_at($"d", 5).as("data_bytes"),
+            element_at($"d", 6).as("n_frames"),
+            element_at($"d", 7).as("energy"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH wv AS (
+          SELECT doc_id,
+                 doc_id % 2 + 1 AS channels,
+                 CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 44100 END AS sample_rate,
+                 CASE WHEN (doc_id // 2) % 2 = 0 THEN 8 ELSE 16 END AS bits,
+                 sha256(text) || sha256(text || 'x') AS h
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS fmt_ok,
+               CAST(channels AS BIGINT) AS channels,
+               CAST(sample_rate AS BIGINT) AS sample_rate,
+               CAST(bits AS BIGINT) AS bits,
+               CAST(64 AS BIGINT) AS data_bytes,
+               CAST(64 // (channels * bits // 8) AS BIGINT) AS n_frames,
+               CAST(CASE WHEN bits = 8 THEN
+                 list_sum(list_transform(list_transform(range(0, 64), i ->
+                   ('0x' || substr(h, 2*i+1, 2))::BIGINT - 128),
+                   x -> x * x))
+               ELSE
+                 list_sum(list_transform(list_transform(range(0, 32), i ->
+                   ('0x' || substr(h, 4*i+3, 2)
+                         || substr(h, 4*i+1, 2))::BIGINT),
+                   x -> (x - 65536 * (x // 32768))
+                      * (x - 65536 * (x // 32768))))
+               END AS BIGINT) AS energy
+        FROM wv ORDER BY doc_id"""),
+      desc = "REAL WAV decode: RIFF chunk-walk header parse + exact integer PCM energy")
   )
 }

@@ -75,4 +75,47 @@ class MultimodalSpec extends SparkSuite {
       s"video: true max $vmMaxTrue must beat false max $vmMaxFalse")
     vm.unpersist()
   }
+  test("wav_decode: real chunk walk — unknown chunks skipped, malformed rejected") {
+    graft.functions.WavDecode.register(spark)
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le(body.length.toLong, 4) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val fmt = chunk("fmt ", le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
+      le(44100L * 4, 4) ++ le(4, 2) ++ le(16, 2))
+    val pcm = Array[Byte](1, 0, -1, -1, 0, -128, 100, 2) // 2 frames
+    val data = chunk("data", pcm)
+    // a LIST metadata chunk with an ODD body (word-align path) sits
+    // BETWEEN fmt and data — a decoder that assumes offset 36 breaks
+    val list = chunk("LIST", "INFOx".getBytes("US-ASCII"))
+    def wav(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le(4L + chunks.length, 4) ++
+        "WAVE".getBytes("US-ASCII") ++ chunks
+    def dec(b: Array[Byte]): Seq[Long] =
+      Seq(b).toDF("w").select(expr("wav_decode(w)")).collect()(0)
+        .getSeq[Long](0)
+    val good = dec(wav(fmt ++ list ++ data))
+    // s1=1, s2=-1, s3=-32768, s4=612 -> energy
+    val want = 1L * 1 + 1L * 1 + 32768L * 32768 + 612L * 612
+    assert(good === Seq(1L, 2L, 44100L, 16L, 8L, 2L, want))
+    // chunk order flipped: data before fmt still decodes
+    assert(dec(wav(data ++ list ++ fmt)) === good)
+    // malformed family: bad magic, non-PCM tag, missing data,
+    // inconsistent block align, truncation mid-header
+    val badMagic = wav(fmt ++ data); badMagic(9) = 'X'.toByte
+    val nonPcm = chunk("fmt ", le(3, 2) ++ le(2, 2) ++ le(44100, 4) ++
+      le(44100L * 4, 4) ++ le(4, 2) ++ le(16, 2))
+    val badAlign = chunk("fmt ", le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
+      le(44100L * 4, 4) ++ le(3, 2) ++ le(16, 2))
+    for (b <- Seq(badMagic, wav(nonPcm ++ data), wav(fmt),
+      wav(badAlign ++ data), wav(fmt ++ data).take(20),
+      Array[Byte](1, 2, 3)))
+      assert(dec(b) === Seq.fill(7)(0L), "malformed must yield fmt_ok=0")
+    // a data chunk whose declared size overruns the file clamps
+    val overrun = wav(fmt ++ chunk("data", pcm).dropRight(4))
+    val d = dec(overrun)
+    assert(d(0) === 1L && d(4) === 4L && d(5) === 1L,
+      s"overrun data must clamp to available bytes: $d")
+  }
 }

@@ -200,6 +200,21 @@ class SqlSurfaceSpec extends SparkSuite {
     val scalaPr = graft.operators.Corpus.prioritySample(docs, k = 17)
       .orderBy(col("doc_id")).collect().map(_.toSeq)
     assert(sqlPr.length === 17 && sqlPr.toSeq === scalaPr.toSeq)
+    // exact AllPairs similarity join at a NON-default threshold
+    // (registered query uses 600000 ppm): the SQL body must
+    // reproduce the prefix + positional pruning and the exact verify
+    val sqlAp = spark.sql(
+      "SELECT doc_a, doc_b, inter, sz_a, sz_b, jacc_ppm " +
+        "FROM dedup_allpairs(950000) ORDER BY doc_a, doc_b")
+      .collect().map(_.toSeq)
+    val scalaAp = graft.operators.Corpus
+      .allPairsJoin(docs, tPpm = 950000L)
+      .orderBy(col("doc_a"), col("doc_b")).collect().map(_.toSeq)
+    assert(sqlAp.nonEmpty && sqlAp.toSeq === scalaAp.toSeq)
+    // the threshold binds: this corpus has pairs in [600000, 950000)
+    assert(sqlAp.length < spark.sql(
+      "SELECT count(1) FROM dedup_allpairs(600000)")
+      .collect()(0).getLong(0))
     // novelty at a NON-default split boundary (registered query uses
     // 250): the SQL body must reproduce the engine shingle hashing
     val sqlNov = spark.sql(
