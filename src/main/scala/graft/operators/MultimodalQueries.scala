@@ -30,6 +30,14 @@ object MultimodalQueries {
   private def withBlob(df: DataFrame): DataFrame =
     df.withColumn("img", unhex(sha2(col("text"), 256)))
 
+  /** SQL fragment: little-endian `n`-byte hex encoding of integer
+    * expression `e` — the building block both real-container
+    * synthesizers (WAV, BMP) use to write valid headers. */
+  private def leHex(e: String, n: Int): String =
+    (0 until n).map(k =>
+      s"lpad(hex((($e)) div ${1L << (8 * k)} % 256), 2, '0')")
+      .mkString("concat(", ", ", ")")
+
   val queries: Map[String, Q] = Map(
 
     // ── decode-stub: bytes → typed metadata/features ────────────────
@@ -815,10 +823,7 @@ object MultimodalQueries {
       fn = (s, dir) => {
         import s.implicits._
         graft.functions.WavDecode.register(s)
-        def le(e: String, n: Int): String =
-          (0 until n).map(k =>
-            s"lpad(hex((($e)) div ${1L << (8 * k)} % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
+        def le(e: String, n: Int): String = leHex(e, n)
         val hdr = Seq(
           "'52494646'", le("100", 4), "'57415645'",       // RIFF…WAVE
           "'666d7420'", le("16", 4), le("1", 2), le("c", 2), // fmt PCM
@@ -874,6 +879,80 @@ object MultimodalQueries {
                       * (x - 65536 * (x // 32768))))
                END AS BIGINT) AS energy
         FROM wv ORDER BY doc_id"""),
-      desc = "REAL WAV decode: RIFF chunk-walk header parse + exact integer PCM energy")
+      desc = "REAL WAV decode: RIFF chunk-walk header parse + exact integer PCM energy"),
+
+    // ── REAL BMP decode: header parse + padded-row pixel walk ───────
+    // The image sibling of mm_decode_wav: the fn synthesizes VALID
+    // 24-bit uncompressed BMPs — real 54-byte headers with per-doc
+    // width/height and sha256-derived pixels, rows PADDED to 4-byte
+    // boundaries exactly as the format requires (widths 1..3 make the
+    // padding 1..3 bytes, so it always binds) — and `bmp_decode`
+    // parses them back: magic/bpp/compression validation, LE signed
+    // dimension reads, stride arithmetic, padding-excluded pixel
+    // sums, and the bottom-up top-left-pixel readout. The oracle
+    // recomputes every field from (doc_id, text) without decoding.
+    "mm_decode_bmp" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.BmpDecode.register(s)
+        val pixels = "array_join(transform(sequence(0, h - 1), r -> " +
+          "concat(substr(ph, r * 6 * w + 1, 6 * w), " +
+          "repeat('00', st - 3 * w))), '')"
+        val hex = Seq(
+          "'424D'", leHex("54 + st * h", 4), "'00000000'",
+          leHex("54", 4),                                  // file header
+          leHex("40", 4), leHex("w", 4), leHex("h", 4),
+          leHex("1", 2), leHex("24", 2), leHex("0", 4),
+          leHex("st * h", 4), leHex("0", 4), leHex("0", 4),
+          leHex("0", 4), leHex("0", 4),                    // info header
+          pixels
+        ).mkString("concat(", ", ", ")")
+        docs(s, dir)
+          .withColumn("w", $"doc_id" % 3 + 1)
+          .withColumn("h", $"doc_id" % 2 + 2)
+          .withColumn("st", expr("(3 * w + 3) div 4 * 4"))
+          .withColumn("ph", sha2($"text", 256))
+          .withColumn("d", expr(s"bmp_decode(unhex($hex))"))
+          .select($"doc_id",
+            element_at($"d", 1).as("fmt_ok"),
+            element_at($"d", 2).as("width"),
+            element_at($"d", 3).as("height"),
+            element_at($"d", 4).as("bpp"),
+            element_at($"d", 5).as("stride"),
+            element_at($"d", 6).as("sum_rgb"),
+            element_at($"d", 7).as("sum_blue"),
+            element_at($"d", 8).as("topleft_bgr"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH bm AS (
+          SELECT doc_id,
+                 doc_id % 3 + 1 AS w,
+                 doc_id % 2 + 2 AS h,
+                 sha256(text) AS ph
+          FROM documents),
+        bd AS (
+          SELECT doc_id, w, h, (3 * w + 3) // 4 * 4 AS stride, ph
+          FROM bm)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS fmt_ok,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(24 AS BIGINT) AS bpp,
+               CAST(stride AS BIGINT) AS stride,
+               CAST(list_sum(list_transform(range(0, 3 * w * h), i ->
+                 ('0x' || substr(ph, 2 * i + 1, 2))::BIGINT))
+                 AS BIGINT) AS sum_rgb,
+               CAST(list_sum(list_transform(range(0, w * h), i ->
+                 ('0x' || substr(ph, 6 * i + 1, 2))::BIGINT))
+                 AS BIGINT) AS sum_blue,
+               CAST(('0x' || substr(ph, 6 * w * (h - 1) + 1, 2))::BIGINT
+                      * 65536
+                  + ('0x' || substr(ph, 6 * w * (h - 1) + 3, 2))::BIGINT
+                      * 256
+                  + ('0x' || substr(ph, 6 * w * (h - 1) + 5, 2))::BIGINT
+                 AS BIGINT) AS topleft_bgr
+        FROM bd ORDER BY doc_id"""),
+      desc = "REAL BMP decode: padded-row pixel walk + bottom-up top-left readout")
   )
 }

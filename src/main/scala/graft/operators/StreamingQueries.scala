@@ -499,6 +499,55 @@ object StreamingQueries {
                c_es AS click_es, p_es - c_es AS gap_s
         FROM j WHERE rn = 1
         ORDER BY user_id, purchase_id"""),
-      desc = "streaming as-of: interval outer join + windowed max_by pick equals the batch as-of")
+      desc = "streaming as-of: interval outer join + windowed max_by pick equals the batch as-of"),
+
+    // ── streaming lake sink ≡ batch day aggregation ──────────────────
+    // sinkByServiceDay is the foreachBatch day-partitioned lake sink
+    // (dynamic partition overwrite of ONLY the days a trigger
+    // touches, with mergeKeys upsert for Update-mode aggregations).
+    // The fn runs a REAL 4-micro-batch Update-mode day aggregation
+    // through the sink — each batch re-emits its changed (day, type)
+    // keys with cumulative values, the sink anti-joins them into the
+    // touched days — then reads the FINAL table back from disk: what
+    // is hashed is the whole sink lifecycle (upsert correctness,
+    // partition layout, DATE round trip), which must equal the
+    // one-shot batch aggregation exactly.
+    "stream_lake_sink" -> Q(
+      fn = (s, dir) => {
+        val ev = Sources.table(s, dir, "events")
+          .select(col("ts"), col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val root = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(ev, extra = "stream_lake_sink")) { d =>
+          val src = streamOfOrdered(s, ev)
+          val agg = src
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+            .select(to_date(col("window.start")).as("service_day_local"),
+              col("event_type"), col("n"), col("cents"))
+          val q = StreamingModels.sinkByServiceDay(agg,
+            d + "/tbl", d + "/ckpt",
+            mergeKeys = Seq("service_day_local", "event_type")).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.read.parquet(root + "/tbl")
+          .select(col("service_day_local").cast("string")
+              .as("service_day_str"),
+            col("event_type"), col("n"), col("cents"))
+          .orderBy(col("service_day_str"), col("event_type"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                   AS service_day_str,
+                 event_type,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events)
+        SELECT service_day_str, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM b GROUP BY service_day_str, event_type
+        ORDER BY service_day_str, event_type"""),
+      desc = "streaming lake sink: per-trigger day upserts read back equal the batch aggregation")
   )
 }

@@ -118,4 +118,39 @@ class MultimodalSpec extends SparkSuite {
     assert(d(0) === 1L && d(4) === 4L && d(5) === 1L,
       s"overrun data must clamp to available bytes: $d")
   }
+
+  test("bmp_decode: padded rows, bottom-up vs top-down, malformed rejected") {
+    graft.functions.BmpDecode.register(spark)
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    // 2x2 24-bit BMP: stride 8 (2 pad bytes per row, set NONZERO to
+    // prove the decoder excludes padding from the sums)
+    def bmp(h: Int, rows: Array[Byte]): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le(54L + rows.length, 4) ++
+        le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(2, 4) ++ le(h.toLong & 0xffffffffL, 4) ++
+        le(1, 2) ++ le(24, 2) ++ le(0, 4) ++ le(rows.length.toLong, 4) ++
+        le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ rows
+    // file row 0 = pixels (1,2,3),(4,5,6); row 1 = (7,8,9),(10,11,12)
+    val rows = Array[Byte](1, 2, 3, 4, 5, 6, 99, 99,
+                           7, 8, 9, 10, 11, 12, 99, 99)
+    def dec(b: Array[Byte]): Seq[Long] =
+      Seq(b).toDF("w").select(expr("bmp_decode(w)")).collect()(0)
+        .getSeq[Long](0)
+    val up = dec(bmp(2, rows))
+    // padding bytes (99) excluded: sum = 1+..+12 = 78; blue = 1+4+7+10
+    assert(up === Seq(1L, 2L, 2L, 24L, 8L, 78L, 22L,
+      7L * 65536 + 8 * 256 + 9), s"bottom-up: $up")
+    // TOP-DOWN (negative height): same sums, top-left now file row 0
+    val down = dec(bmp(-2, rows))
+    assert(down(7) === 1L * 65536 + 2 * 256 + 3 && down(5) === 78L,
+      s"top-down: $down")
+    // malformed: bad magic, 8bpp, compressed, truncated pixel array
+    val badMagic = bmp(2, rows); badMagic(0) = 'X'.toByte
+    val bpp8 = bmp(2, rows); bpp8(28) = 8.toByte
+    val comp = bmp(2, rows); comp(30) = 1.toByte
+    for (b <- Seq(badMagic, bpp8, comp, bmp(2, rows).dropRight(3),
+      Array[Byte](1)))
+      assert(dec(b) === Seq.fill(8)(0L), "malformed must yield fmt_ok=0")
+  }
 }
