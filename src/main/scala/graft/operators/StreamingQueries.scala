@@ -85,6 +85,25 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped down for a
+    * STATEFUL streaming job. The state-store tax is per (operator ×
+    * partition × trigger) — provider open/commit/snapshot, not data —
+    * so a stream-stream join (4 state stores per partition) over 5
+    * triggers at the batch session's 32 partitions pays ~640 store
+    * commits for a 100k-row drain; 8 partitions cuts the fixed cost
+    * 4× while the per-row work is unchanged (hash partitioning is
+    * value-identical at any partition count — results do not move).
+    * At 100 TB the SAME knob is sized the OTHER way (state must fit
+    * per executor); the point is that state partitioning is sized to
+    * state volume, not inherited from the batch default. Restores the
+    * session value even on failure (the conf is session-global). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)
+                                    (body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def withTs(df: DataFrame): DataFrame =
     df.withColumn("ts", lit("2024-01-05 12:00:00").cast("timestamp"))
 
@@ -358,7 +377,7 @@ object StreamingQueries {
     // join the exact batch join — every in-window (purchase, click)
     // pair, no late-drop losses.
     "stream_conversions" -> Q(
-      fn = (s, dir) => {
+      fn = (s, dir) => withStatePartitions(s, 8) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"), col("event_type"))
@@ -394,7 +413,7 @@ object StreamingQueries {
     // open and never emits. Emitted rows are therefore EXACTLY the
     // batch `sessionize` sessions, cents-exact.
     "stream_sessionize" -> Q(
-      fn = (s, dir) => {
+      fn = (s, dir) => withStatePartitions(s, 8) {
         import s.implicits._
         import graft.streaming.StreamingModels.SessEvt
         val e = Sources.table(s, dir, "events")
@@ -453,7 +472,7 @@ object StreamingQueries {
     // latest in-tolerance click, ties to the larger click_id,
     // null-padded when none qualifies.
     "stream_asof" -> Q(
-      fn = (s, dir) => {
+      fn = (s, dir) => withStatePartitions(s, 8) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"), col("event_type"))
@@ -513,7 +532,7 @@ object StreamingQueries {
     // partition layout, DATE round trip), which must equal the
     // one-shot batch aggregation exactly.
     "stream_lake_sink" -> Q(
-      fn = (s, dir) => {
+      fn = (s, dir) => withStatePartitions(s, 8) {
         val ev = Sources.table(s, dir, "events")
           .select(col("ts"), col("event_id"), col("event_type"),
             round(col("value") * 100).cast("long").as("cents"))
