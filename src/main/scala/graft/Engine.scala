@@ -1000,4 +1000,91 @@ object Engine {
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bloom-prefiltered join input: `big` reduced to the rows whose
+    * `bigKey` MIGHT appear among `small`'s `smallKey`s, via an
+    * explicit Bloom bitmap — the deterministic sibling of Spark's
+    * adaptive runtime bloom pushdown
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), exposed as
+    * an operator so plans can rely on it and oracles can check it.
+    * At 100 TB this is THE shuffle diet for a selective fact⋈filtered-
+    * dim join: an 8 KB bitmap broadcast prunes the big side BEFORE
+    * its shuffle, instead of shuffling every row to discover
+    * non-membership at the join.
+    *
+    * Mechanics: `nHash` probe positions per key by Kirsch-
+    * Mitzenmacher double hashing (pos_i = (h1 + i·h2) mod `bits`,
+    * h1/h2 two 56-bit md5 prefixes — ONE digest family, portable to
+    * the DuckDB twin); the small side's distinct keys OR their bits
+    * into `bits`/64 longs (one tiny shuffle on word index), which are
+    * then materialized ON THE DRIVER and embedded in the filter as a
+    * single array LITERAL — the broadcast-variable class of artifact
+    * (Spark's own runtime bloom materializes its filter through a
+    * driver-side subquery result the same way; size is capped at
+    * 8 MB). The literal matters: carrying the bitmap as a joined
+    * COLUMN (1-row broadcast crossJoin) copies the whole array into
+    * every surviving row — measured 27 s for 600k probes vs 0.9 s as
+    * a literal. Probes are pure codegen built-ins (element_at +
+    * shiftleft conjunction — no HOF in the hot path, per the repo
+    * invariant; the small-side transform() runs once per distinct
+    * key, not per big row). False negatives are impossible (every
+    * inserted key's bits are set), so
+    * `bloomPrefilter(big) ⋈ small ≡ big ⋈ small` exactly — the
+    * j_bloom_prefilter gate hashes that law; false positives only
+    * cost pruning efficiency.
+    *
+    * Sizing: `bits = 0` (the default) auto-sizes to 16 bits per
+    * DISTINCT small-side key (~0.5% fp at nHash=5), via one
+    * planning-time scalar count over the small side — the same class
+    * of driver-side statistic AQE reads from shuffle stats; a fixed
+    * bitmap would silently saturate when the "small" side grows 10×
+    * (fp → 1, pruning → none, correctness unchanged). Pass explicit
+    * `bits` to pin the build. */
+  def bloomPrefilter(big: DataFrame, bigKey: String, small: DataFrame,
+                     smallKey: String, bits: Int = 0,
+                     nHash: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.Md5PrefixLong.register(big.sparkSession)
+    val keys = small.select(col(smallKey).cast("string").as("k")).distinct()
+    val nBits =
+      if (bits > 0) bits
+      else {
+        val n = keys.count() // planning-time scalar (AQE-stat class)
+        math.max(1024L, ((n * 16 + 63) / 64) * 64)
+          .min(1L << 26).toInt // cap: 8 MB bitmap broadcast
+      }
+    require(nBits % 64 == 0, "bits must be a multiple of 64")
+    val words = nBits / 64
+    // distributed build (shuffle on word index), then the ≤8 MB word
+    // array comes back to the driver as the literal the probes embed
+    val wordRows = keys
+      .select(expr("md5_prefix_long(k, 14)").as("h1"),
+        expr("md5_prefix_long(concat(k, '#b2'), 14)").as("h2"))
+      .select(explode(expr(
+        s"transform(sequence(0, ${nHash - 1}), " +
+          s"i -> (h1 + i * h2) % ${nBits}L)")).as("pos"))
+      .groupBy(expr("CAST(pos div 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bw"))
+      .collect()
+    val wordArr = new Array[Long](words)
+    wordRows.foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
+    val bloomLit = typedLit(wordArr.toSeq)
+    val withH = big
+      .withColumn("_bh1",
+        expr(s"md5_prefix_long(CAST($bigKey AS STRING), 14)"))
+      .withColumn("_bh2",
+        expr(s"md5_prefix_long(concat(CAST($bigKey AS STRING), '#b2'), 14)"))
+    var probed = withH
+    val terms = (0 until nHash).map { i =>
+      val m = (col("_bh1") + lit(i.toLong) * col("_bh2")) % lit(nBits.toLong)
+      probed = probed
+        .withColumn(s"_bw$i",
+          element_at(bloomLit, (shiftright(m, 6) + lit(1L)).cast("int")))
+        .withColumn(s"_bb$i", m.bitwiseAND(lit(63L)).cast("int"))
+      s"(_bw$i & shiftleft(1L, _bb$i)) != 0L"
+    }
+    val aux = Seq("_bh1", "_bh2") ++
+      (0 until nHash).flatMap(i => Seq(s"_bw$i", s"_bb$i"))
+    probed.filter(expr(terms.mkString(" AND "))).drop(aux: _*)
+  }
 }

@@ -233,6 +233,38 @@ object RelationalQueries {
         GROUP BY 1, 2 ORDER BY 1, 2"""),
       desc = "J7/J8 equi-join with theta residual predicate"),
 
+    // ── Bloom-prefiltered fact⋈filtered-dim join — the 100 TB
+    // shuffle diet made an explicit, oracle-checked operator (the
+    // deterministic sibling of AQE's runtime bloom pushdown): a
+    // selective orders filter builds an 8 KB double-hashed bitmap,
+    // the broadcast bitmap prunes lineitem BEFORE its join shuffle,
+    // and the join result must equal the PLAIN join exactly — false
+    // negatives are impossible by construction, and the oracle's
+    // hash proves it on every row. EngineSpec additionally pins that
+    // the filter actually PRUNES (passed ≪ total) and that the fp
+    // overhead is small at the sized bits/key ratio.
+    "j_bloom_prefilter" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val small = t(s, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey")
+        val pre = graft.Engine.bloomPrefilter(
+          t(s, dir, "lineitem"), "l_orderkey", small, "o_orderkey")
+        pre.join(small, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sumMoney($"l_quantity").as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n_rows,
+               sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      desc = "bloom-prefiltered join: broadcast bitmap prunes the big side, result equals the plain join"),
+
     // ── A3/A4-deterministic: min/max rollup with first() replaced by
     // deterministic min (SURVEY A4: no any_value in checked paths).
     "a3_minmax" -> Q(

@@ -893,4 +893,26 @@ class EngineSpec extends SparkSuite {
     val salted = Engine.saltedJoin(li, ord, "k", 4).count()
     assert(salted === plain)
   }
+
+  test("bloomPrefilter: zero false negatives, real pruning, bounded fp overhead") {
+    val li = graft.sources.Sources.table(spark, sf(), "lineitem")
+    val small = graft.sources.Sources.table(spark, sf(), "orders")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val pre = Engine.bloomPrefilter(li, "l_orderkey", small, "o_orderkey")
+    val trueMatches = li.join(small,
+      $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    val passed = pre.count()
+    val total = li.count()
+    // no false negative: every true-matching row passes the bitmap
+    assert(pre.join(small, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .count() === trueMatches)
+    // the filter genuinely prunes (URGENT is ~1/5 of orders)
+    assert(passed < total / 2,
+      s"bloom must prune: passed $passed of $total")
+    // fp overhead bounded: passed rows ≤ 1.35× the true matches at
+    // the default bits/keys sizing (~5.5k distinct keys in 64k bits
+    // at sf0.001 scales with SF; 1% target, generous margin)
+    assert(passed <= (trueMatches * 135) / 100,
+      s"fp overhead too high: $passed vs $trueMatches true")
+  }
 }
