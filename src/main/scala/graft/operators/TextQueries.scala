@@ -965,6 +965,96 @@ object TextQueries {
         FROM sa_sh ORDER BY shard_id, shard_rank"""),
       desc = "token-balanced deterministic shard assignment (export last mile)"),
 
+    // ── content-addressed release manifest per shard ────────────────
+    // The provenance artifact a reproducible release ships next to
+    // its shards: per shard, counts + an ORDER-INDEPENDENT content
+    // digest (sum and xor of the 56-bit per-doc text hashes — both
+    // commutative/associative, so the manifest is invariant to
+    // partition and write order, exactly what a distributed rewriter
+    // needs; xor catches substitutions sum can cancel, sum catches
+    // xor's even-multiplicity blindness). Re-running the manifest on
+    // a re-exported corpus and diffing IS the integrity check — one
+    // scan, map-side-combined agg, no shuffle beyond 8 groups.
+    "corpus_manifest" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        val sh = Corpus.shardAssign(docs(s, dir), nShards = 8)
+          .select($"doc_id", $"ntok", $"shard_id")
+        sh.join(docs(s, dir).select($"doc_id",
+            expr("md5_prefix_long(text, 14)").as("th")), Seq("doc_id"))
+          .groupBy($"shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"ntok").as("n_tokens"),
+            sum($"th").as("sum_hash"),
+            expr("bit_xor(th)").as("xor_hash"))
+          .orderBy($"shard_id")
+      },
+      oracle = Some("""
+        WITH mn_base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                   AS h,
+                 ('0x' || substr(md5(text), 1, 14))::BIGINT AS th
+          FROM documents),
+        mn_tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM mn_base),
+        mn_cum AS (
+          SELECT doc_id, ntok, h, th,
+            CAST(COALESCE(sum(ntok) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_excl
+          FROM mn_base),
+        mn_sh AS (
+          SELECT doc_id, ntok, th,
+            CAST(least(cum_excl // greatest((total + 7) // 8, 1), 7)
+              AS INT) AS shard_id
+          FROM mn_cum, mn_tot)
+        SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(th) AS BIGINT) AS sum_hash,
+               CAST(bit_xor(th) AS BIGINT) AS xor_hash
+        FROM mn_sh GROUP BY shard_id ORDER BY shard_id"""),
+      desc = "content-addressed shard manifest: order-independent sum+xor digests per shard"),
+
+    // ── deterministic epoch shuffle (training-order generation) ─────
+    // The order a training run reads the corpus in: per epoch a fresh
+    // md5-keyed permutation, sharded so the shuffle is fully parallel
+    // (shard = hash % S; position = rank WITHIN the shard — never a
+    // global row_number: at 100 TB global order is an anti-pattern,
+    // and the (shard, pos) pair IS the reproducible read address).
+    // Two epochs emitted so the oracle pins that epochs genuinely
+    // reorder (seeded by the epoch in the hash input).
+    "sample_shuffle" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        docs(s, dir)
+          .select($"doc_id", explode(expr("sequence(0, 1)")).as("epoch"))
+          .withColumn("h", expr(
+            "md5_prefix_long(concat(CAST(epoch AS STRING), ':', " +
+              "CAST(doc_id AS STRING)), 14)"))
+          .withColumn("shard", pmod($"h", lit(8L)))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id"))
+            .cast("long"))
+          .select($"epoch".cast("long").as("epoch"), $"doc_id",
+            $"shard", $"pos")
+          .orderBy($"epoch", $"shard", $"pos")
+      },
+      oracle = Some("""
+        WITH sf_b AS (
+          SELECT doc_id, e.epoch,
+                 ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+          FROM documents, (SELECT unnest(generate_series(0, 1)) AS epoch) e)
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, h % 8 AS shard,
+               row_number() OVER (PARTITION BY epoch, h % 8
+                 ORDER BY h, doc_id) AS pos
+        FROM sf_b ORDER BY epoch, shard, pos"""),
+      desc = "deterministic epoch shuffle: per-epoch md5 permutation addressed as (shard, pos)"),
+
     // ── deterministic sequence packing (training-example framing) ───
     // After sharding, a training run consumes fixed-length token
     // sequences: concatenate the md5-shuffled doc stream, cut every
@@ -3152,6 +3242,69 @@ object TextQueries {
         SELECT a AS doc_id, min(b) AS component_id
         FROM reach GROUP BY a ORDER BY doc_id"""),
       desc = "dedup clusters: exact+minhash edges → connected components"),
+
+    // ── COUNT-PRESERVING dedup: keep one copy, keep the mass ────────
+    // Hard dedup throws away the duplication signal; a training mix
+    // often wants the opposite — one representative per cluster
+    // carrying its cluster's multiplicity as a sampling WEIGHT (and
+    // its token mass for budget math), so frequent documents stay
+    // frequent without storing copies. Singletons are their own
+    // cluster (weight 1): the output's Σweight = corpus row count and
+    // Σsum_tokens = corpus token count, which is the invariant the
+    // name promises. Rides the SHARED dedup edge frame like the other
+    // components consumers; one groupBy over doc-count rows.
+    "dedup_weighted" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+        val comp = Corpus.dedupComponents(docs(s, dir))
+        d.join(comp, Seq("doc_id"), "left")
+          .withColumn("component_id",
+            coalesce($"component_id", $"doc_id"))
+          .groupBy($"component_id")
+          .agg(min($"doc_id").as("doc_id"),
+            count(lit(1)).as("weight"),
+            sum($"n_tokens").as("sum_tokens"))
+          .select($"doc_id", $"component_id", $"weight", $"sum_tokens")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $MINHASH_PAIRS_CTES,
+        dw_canon AS (
+          SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS key
+          FROM documents),
+        dw_keep AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep
+          FROM dw_canon),
+        dw_exact AS (
+          SELECT keep AS src, doc_id AS dst FROM dw_keep WHERE doc_id <> keep),
+        dw_e0 AS (
+          SELECT src, dst FROM dw_exact
+          UNION
+          SELECT doc_a, doc_b FROM mh_near),
+        dw_edges AS (
+          SELECT src, dst FROM dw_e0 UNION SELECT dst, src FROM dw_e0),
+        reach(a, b) AS (
+          SELECT src, src FROM dw_edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN dw_edges e ON e.src = r.b),
+        dw_comp AS (
+          SELECT a AS doc_id, min(b) AS component_id
+          FROM reach GROUP BY a),
+        dw_all AS (
+          SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                 COALESCE(c.component_id, d.doc_id) AS component_id
+          FROM documents d LEFT JOIN dw_comp c ON c.doc_id = d.doc_id)
+        SELECT min(doc_id) AS doc_id, component_id,
+               CAST(count(*) AS BIGINT) AS weight,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM dw_all GROUP BY component_id
+        ORDER BY doc_id"""),
+      desc = "count-preserving dedup: one representative per cluster with multiplicity weight + token mass"),
 
     // ── canonical pick: keep each dup cluster's BEST copy ───────────
     // Min-id survivorship is arbitrary; the curation step ranks

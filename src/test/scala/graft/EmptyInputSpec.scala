@@ -258,4 +258,25 @@ class EmptyInputSpec extends SparkSuite {
     assert(graft.operators.Vectors.filteredSearch(base,
       queryFilter = lit(false), filterCol = "label").count() === 0)
   }
+
+  test("round-14 public APIs degrade cleanly on empty inputs") {
+    import org.apache.spark.sql.functions._
+    Engine.clearShared() // allPairs indexes are corpus-keyed shared frames
+    val noDocs = Seq((1L, "a b c")).toDF("doc_id", "text").limit(0)
+    // exact similarity join: empty corpus -> no pairs (full + inc)
+    assert(graft.operators.Corpus.allPairsJoin(noDocs).count() === 0)
+    assert(graft.operators.Corpus.allPairsJoin(noDocs,
+      isNew = Some($"doc_id" >= 0L)).count() === 0)
+    // additive df merge: both sides empty -> empty index
+    val noSh = Seq((1L, 2L)).toDF("doc_id", "h").limit(0)
+    val noDf = Seq((1L, 2L)).toDF("h", "df").limit(0)
+    assert(graft.operators.Corpus.allPairsDfMerge(noDf, noSh).count() === 0)
+    // bloom prefilter: EMPTY small side -> empty bitmap -> no row can
+    // pass (zero keys means zero possible matches, and the filter
+    // must say so rather than pass everything)
+    val big = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    assert(Engine.bloomPrefilter(big, "k",
+      big.limit(0).select($"k".as("sk")), "sk").count() === 0)
+    Engine.clearShared()
+  }
 }

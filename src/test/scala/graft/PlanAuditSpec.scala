@@ -108,6 +108,8 @@ class PlanAuditSpec extends SparkSuite {
       "corpus_overlap" -> "KMV rank over the top-k-threshold superset (≈k rows)",
       "pack_sequences" -> "tokenCumsum bucket prefix (≤4096 rows)",
       "text_shard_assign" -> "tokenCumsum + shard-cut prefixes (≤4096 rows each)",
+      "corpus_manifest" ->
+        "rides shardAssign's tokenCumsum bucket prefixes (≤4096 rows each)",
       "text_bm25" -> "rank over the LIMIT topK frame",
       "text_bm25_inc" -> "rank over the LIMIT topK frame",
       "search_hardneg" -> "bm25 + negative ranks over LIMIT frames",
