@@ -953,6 +953,97 @@ object MultimodalQueries {
                   + ('0x' || substr(ph, 6 * w * (h - 1) + 5, 2))::BIGINT
                  AS BIGINT) AS topleft_bgr
         FROM bd ORDER BY doc_id"""),
-      desc = "REAL BMP decode: padded-row pixel walk + bottom-up top-left readout")
+      desc = "REAL BMP decode: padded-row pixel walk + bottom-up top-left readout"),
+
+    // ── REAL PNG decode: CRC'd chunk walk + zlib inflate + unfilter ─
+    // The deepest codec-free decode: the fn synthesizes fully VALID
+    // PNGs in SQL — real chunk CRC-32s (Spark's crc32 built-in), a
+    // real zlib stream (stored-block DEFLATE framing + computed
+    // Adler-32), Sub-filtered scanlines (raw bytes are per-row DELTAS
+    // of the sha-derived pixels, so unfiltering is real work) — and
+    // `png_decode` decodes them the way any conformant reader would:
+    // signature, CRC verification of every chunk, java.util.zip
+    // Inflater (full DEFLATE + Adler check), and the five-filter
+    // reconstruction. The oracle recomputes the expected PIXELS from
+    // (doc_id, text) without touching the container — the hash proves
+    // filter-encode → CRC/deflate-container → full-decode lands back
+    // on the source pixels. PngSpec covers what the gate can't: real
+    // Deflater-compressed streams, multi-IDAT splits, filters
+    // 0/2/3/4 (Paeth), CRC-flip rejection.
+    "mm_decode_png" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.PngDecode.register(s)
+        def beHex(e: String, n: Int): String =
+          (0 until n).reverse.map(k =>
+            s"lpad(hex((($e)) div ${1L << (8 * k)} % 256), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        def pxAt(j: String): String =
+          s"CAST(conv(substr(ph, 2 * ($j) + 1, 2), 16, 10) AS BIGINT)"
+        // scanlines: filter type 1 (Sub) — stored bytes are deltas
+        val sl = "array_join(transform(sequence(0, h - 1), r -> " +
+          "concat('01', array_join(transform(sequence(0, w - 1), i -> " +
+          s"lpad(hex((${pxAt("r * w + i")} - IF(i = 0, 0L, " +
+          s"${pxAt("r * w + i - 1")}) + 256L) % 256L), 2, '0')), ''))), '')"
+        def byteAt(j: String): String =
+          s"CAST(conv(substr(sl, 2 * ($j) - 1, 2), 16, 10) AS BIGINT)"
+        def chunk(typeHex: String, dataHexCol: String): String =
+          s"concat(${beHex(s"length($dataHexCol) div 2", 4)}, " +
+            s"'$typeHex', $dataHexCol, " +
+            s"${beHex(s"crc32(unhex(concat('$typeHex', $dataHexCol)))", 4)})"
+        docs(s, dir)
+          .withColumn("w", $"doc_id" % 3 + 2)
+          .withColumn("h", $"doc_id" % 2 + 2)
+          .withColumn("ph", sha2($"text", 256))
+          .withColumn("sl", expr(sl))
+          .withColumn("n", expr("(w + 1) * h"))
+          .withColumn("ad_a", expr("(1L + aggregate(transform(" +
+            s"sequence(1, n), j -> ${byteAt("j")}), 0L, " +
+            "(acc, x) -> acc + x)) % 65521L"))
+          .withColumn("ad_b", expr("(n + aggregate(transform(" +
+            s"sequence(1, n), j -> (n - j + 1) * ${byteAt("j")}), 0L, " +
+            "(acc, x) -> acc + x)) % 65521L"))
+          .withColumn("zl", expr("concat('7801', '01', " +
+            s"${leHex("n", 2)}, ${leHex("65535 - n", 2)}, sl, " +
+            s"${beHex("ad_b * 65536L + ad_a", 4)})"))
+          .withColumn("ihdr", expr(
+            s"concat(${beHex("w", 4)}, ${beHex("h", 4)}, '0800000000')"))
+          .withColumn("png", expr("concat('89504E470D0A1A0A', " +
+            s"${chunk("49484452", "ihdr")}, ${chunk("49444154", "zl")}, " +
+            s"concat('00000000', '49454E44', " +
+            s"${beHex("crc32(unhex('49454E44'))", 4)}))"))
+          .withColumn("d", expr("png_decode(unhex(png))"))
+          .select($"doc_id",
+            element_at($"d", 1).as("fmt_ok"),
+            element_at($"d", 2).as("width"),
+            element_at($"d", 3).as("height"),
+            element_at($"d", 4).as("bit_depth"),
+            element_at($"d", 5).as("n_raw"),
+            element_at($"d", 6).as("sum_px"),
+            element_at($"d", 7).as("first_px"),
+            element_at($"d", 8).as("last_px"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH pg AS (
+          SELECT doc_id,
+                 doc_id % 3 + 2 AS w,
+                 doc_id % 2 + 2 AS h,
+                 sha256(text) AS ph
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS fmt_ok,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST((w + 1) * h AS BIGINT) AS n_raw,
+               CAST(list_sum(list_transform(range(0, w * h), i ->
+                 ('0x' || substr(ph, 2 * i + 1, 2))::BIGINT))
+                 AS BIGINT) AS sum_px,
+               ('0x' || substr(ph, 1, 2))::BIGINT AS first_px,
+               ('0x' || substr(ph, 2 * (w * h - 1) + 1, 2))::BIGINT
+                 AS last_px
+        FROM pg ORDER BY doc_id"""),
+      desc = "REAL PNG decode: CRC-verified chunk walk + zlib inflate + Sub-filter reconstruction")
   )
 }
