@@ -1072,6 +1072,43 @@ object ScaleProbe {
             (col("a.t1") - col("b.t1")).as("t_offset"))
           .agg(count(lit(1)).as("n_matches"))
           .filter(col("n_matches") >= 2L)
+      },
+      "bloom_prefilter" -> { k =>
+        // bitmap build is small-side-sized (fixed here); the probed
+        // curve is the BIG side's literal-probe filter — must be
+        // scan-linear (the 27 s column-carry pathology this operator
+        // replaced was superlinear in surviving rows)
+        val big = Sources.table(spark, sfDir, "lineitem")
+          .filter(col("l_orderkey") % k === 0)
+        val small = Sources.table(spark, sfDir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        graft.Engine.bloomPrefilter(big, "l_orderkey", small, "o_orderkey")
+      },
+      "sample_shuffle" -> (k =>
+        // per-epoch md5 permutation: shard-local windows only —
+        // n log n inside fixed shards, reads as ~linear
+        docFrac(k)
+          .select(col("doc_id"),
+            explode(expr("sequence(0, 1)")).as("epoch"))
+          .withColumn("h", expr(
+            "md5_prefix_long(concat(CAST(epoch AS STRING), ':', " +
+              "CAST(doc_id AS STRING)), 14)"))
+          .withColumn("shard", pmod(col("h"), lit(8L)))
+          .withColumn("pos", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("epoch"), col("shard"))
+              .orderBy(col("h"), col("doc_id"))))),
+      "corpus_manifest" -> (k =>
+        // shardAssign's bounded bucket prefixes + one join + an
+        // 8-group agg — scan-linear (this probe caught the r14
+        // sum-of-56-bit-hashes long overflow at sf0.1)
+        Corpus.shardManifest(docFrac(k), nShards = 8)),
+      "png_roundtrip" -> { k =>
+        // container encode (SQL) + full decode (native expression):
+        // per-row work, embarrassingly parallel — must be linear
+        graft.functions.PngDecode.register(spark)
+        graft.operators.MultimodalQueries.pngRoundtrip(docFrac(k))
       })
 
     // warmup: absorb session/codegen/footer costs outside the timings

@@ -2626,12 +2626,41 @@ object Corpus extends org.apache.spark.internal.Logging {
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).as("n_tokens"),
+        // mod 2^31 PER DOC before summing: a raw sum of 56-bit values
+        // overflows a long past ~128 docs/shard (ANSI mode throws) -
+        // the modular sum is equally order-insensitive and its
+        // accumulator is safe to 2^32 docs per shard
         sum(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
-          "1, 14), 16, 10) AS BIGINT)")).as("id_checksum"))
+          "1, 14), 16, 10) AS BIGINT) % 2147483648L")).as("id_checksum"))
       .orderBy(col("shard_id"))
     manifest.coalesce(1).write.mode("overwrite")
       .json(new org.apache.hadoop.fs.Path(root, "_manifest").toString)
     manifest
+  }
+
+  /** Content-addressed shard MANIFEST without writing the shards —
+    * the provenance artifact a reproducible release ships: per
+    * [[shardAssign]] shard, counts plus two ORDER-INDEPENDENT content
+    * digests over the per-doc 56-bit text hashes (sum of the per-doc
+    * hash mod 2^31 — the modular reduction keeps the accumulator
+    * overflow-safe to 2^32 docs per shard where a raw 56-bit sum
+    * throws past ~128 — and the full-width xor, which catches the
+    * even-multiplicity substitutions sum-mod can cancel and vice
+    * versa). Both digests are commutative/associative, so the
+    * manifest is invariant to partition and write order — re-running
+    * it on a re-exported corpus and diffing IS the integrity check.
+    * One scan, map-side-combined agg, nShards rows. */
+  def shardManifest(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    shardAssign(docs, nShards)
+      .select(col("doc_id"), col("ntok"), col("shard_id"))
+      .join(docs.select(col("doc_id"),
+        expr("md5_prefix_long(text, 14)").as("th")), Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(expr("th % 2147483648L")).as("sum_hash"),
+        expr("bit_xor(th)").as("xor_hash"))
   }
 
   /** The deterministic-global-order token prefix sum shared by

@@ -38,6 +38,67 @@ object MultimodalQueries {
       s"lpad(hex((($e)) div ${1L << (8 * k)} % 256), 2, '0')")
       .mkString("concat(", ", ", ")")
 
+  /** Big-endian sibling of [[leHex]] (PNG's byte order). */
+  private def beHex(e: String, n: Int): String =
+    (0 until n).reverse.map(k =>
+      s"lpad(hex((($e)) div ${1L << (8 * k)} % 256), 2, '0')")
+      .mkString("concat(", ", ", ")")
+
+  /** Synthesize a fully VALID PNG per document (real chunk CRC-32s
+    * via the crc32 built-in, a stored-block zlib stream with computed
+    * Adler-32, Sub-filtered scanlines over sha-derived pixels) and
+    * decode it back through [[graft.functions.PngDecode]] — the
+    * mm_decode_png body, public so ScaleProbe can ride it. Returns
+    * (doc_id, fmt_ok, width, height, bit_depth, n_raw, sum_px,
+    * first_px, last_px). */
+  def pngRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.PngDecode.register(docsDf.sparkSession)
+    def pxAt(j: String): String =
+      s"CAST(conv(substr(ph, 2 * ($j) + 1, 2), 16, 10) AS BIGINT)"
+    // scanlines: filter type 1 (Sub) — stored bytes are deltas
+    val sl = "array_join(transform(sequence(0, h - 1), r -> " +
+      "concat('01', array_join(transform(sequence(0, w - 1), i -> " +
+      s"lpad(hex((${pxAt("r * w + i")} - IF(i = 0, 0L, " +
+      s"${pxAt("r * w + i - 1")}) + 256L) % 256L), 2, '0')), ''))), '')"
+    def byteAt(j: String): String =
+      s"CAST(conv(substr(sl, 2 * ($j) - 1, 2), 16, 10) AS BIGINT)"
+    def chunk(typeHex: String, dataHexCol: String): String =
+      s"concat(${beHex(s"length($dataHexCol) div 2", 4)}, " +
+        s"'$typeHex', $dataHexCol, " +
+        s"${beHex(s"crc32(unhex(concat('$typeHex', $dataHexCol)))", 4)})"
+    docsDf
+      .withColumn("w", col("doc_id") % 3 + 2)
+      .withColumn("h", col("doc_id") % 2 + 2)
+      .withColumn("ph", sha2(col("text"), 256))
+      .withColumn("sl", expr(sl))
+      .withColumn("n", expr("(w + 1) * h"))
+      .withColumn("ad_a", expr("(1L + aggregate(transform(" +
+        s"sequence(1, n), j -> ${byteAt("j")}), 0L, " +
+        "(acc, x) -> acc + x)) % 65521L"))
+      .withColumn("ad_b", expr("(n + aggregate(transform(" +
+        s"sequence(1, n), j -> (n - j + 1) * ${byteAt("j")}), 0L, " +
+        "(acc, x) -> acc + x)) % 65521L"))
+      .withColumn("zl", expr("concat('7801', '01', " +
+        s"${leHex("n", 2)}, ${leHex("65535 - n", 2)}, sl, " +
+        s"${beHex("ad_b * 65536L + ad_a", 4)})"))
+      .withColumn("ihdr", expr(
+        s"concat(${beHex("w", 4)}, ${beHex("h", 4)}, '0800000000')"))
+      .withColumn("png", expr("concat('89504E470D0A1A0A', " +
+        s"${chunk("49484452", "ihdr")}, ${chunk("49444154", "zl")}, " +
+        s"concat('00000000', '49454E44', " +
+        s"${beHex("crc32(unhex('49454E44'))", 4)}))"))
+      .withColumn("d", expr("png_decode(unhex(png))"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("fmt_ok"),
+        element_at(col("d"), 2).as("width"),
+        element_at(col("d"), 3).as("height"),
+        element_at(col("d"), 4).as("bit_depth"),
+        element_at(col("d"), 5).as("n_raw"),
+        element_at(col("d"), 6).as("sum_px"),
+        element_at(col("d"), 7).as("first_px"),
+        element_at(col("d"), 8).as("last_px"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ── decode-stub: bytes → typed metadata/features ────────────────
@@ -971,59 +1032,9 @@ object MultimodalQueries {
     // Deflater-compressed streams, multi-IDAT splits, filters
     // 0/2/3/4 (Paeth), CRC-flip rejection.
     "mm_decode_png" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        graft.functions.PngDecode.register(s)
-        def beHex(e: String, n: Int): String =
-          (0 until n).reverse.map(k =>
-            s"lpad(hex((($e)) div ${1L << (8 * k)} % 256), 2, '0')")
-            .mkString("concat(", ", ", ")")
-        def pxAt(j: String): String =
-          s"CAST(conv(substr(ph, 2 * ($j) + 1, 2), 16, 10) AS BIGINT)"
-        // scanlines: filter type 1 (Sub) — stored bytes are deltas
-        val sl = "array_join(transform(sequence(0, h - 1), r -> " +
-          "concat('01', array_join(transform(sequence(0, w - 1), i -> " +
-          s"lpad(hex((${pxAt("r * w + i")} - IF(i = 0, 0L, " +
-          s"${pxAt("r * w + i - 1")}) + 256L) % 256L), 2, '0')), ''))), '')"
-        def byteAt(j: String): String =
-          s"CAST(conv(substr(sl, 2 * ($j) - 1, 2), 16, 10) AS BIGINT)"
-        def chunk(typeHex: String, dataHexCol: String): String =
-          s"concat(${beHex(s"length($dataHexCol) div 2", 4)}, " +
-            s"'$typeHex', $dataHexCol, " +
-            s"${beHex(s"crc32(unhex(concat('$typeHex', $dataHexCol)))", 4)})"
-        docs(s, dir)
-          .withColumn("w", $"doc_id" % 3 + 2)
-          .withColumn("h", $"doc_id" % 2 + 2)
-          .withColumn("ph", sha2($"text", 256))
-          .withColumn("sl", expr(sl))
-          .withColumn("n", expr("(w + 1) * h"))
-          .withColumn("ad_a", expr("(1L + aggregate(transform(" +
-            s"sequence(1, n), j -> ${byteAt("j")}), 0L, " +
-            "(acc, x) -> acc + x)) % 65521L"))
-          .withColumn("ad_b", expr("(n + aggregate(transform(" +
-            s"sequence(1, n), j -> (n - j + 1) * ${byteAt("j")}), 0L, " +
-            "(acc, x) -> acc + x)) % 65521L"))
-          .withColumn("zl", expr("concat('7801', '01', " +
-            s"${leHex("n", 2)}, ${leHex("65535 - n", 2)}, sl, " +
-            s"${beHex("ad_b * 65536L + ad_a", 4)})"))
-          .withColumn("ihdr", expr(
-            s"concat(${beHex("w", 4)}, ${beHex("h", 4)}, '0800000000')"))
-          .withColumn("png", expr("concat('89504E470D0A1A0A', " +
-            s"${chunk("49484452", "ihdr")}, ${chunk("49444154", "zl")}, " +
-            s"concat('00000000', '49454E44', " +
-            s"${beHex("crc32(unhex('49454E44'))", 4)}))"))
-          .withColumn("d", expr("png_decode(unhex(png))"))
-          .select($"doc_id",
-            element_at($"d", 1).as("fmt_ok"),
-            element_at($"d", 2).as("width"),
-            element_at($"d", 3).as("height"),
-            element_at($"d", 4).as("bit_depth"),
-            element_at($"d", 5).as("n_raw"),
-            element_at($"d", 6).as("sum_px"),
-            element_at($"d", 7).as("first_px"),
-            element_at($"d", 8).as("last_px"))
-          .orderBy($"doc_id")
-      },
+      fn = (s, dir) =>
+        // the public API IS the implementation (ScaleProbe rides it)
+        pngRoundtrip(docs(s, dir)).orderBy(col("doc_id")),
       oracle = Some("""
         WITH pg AS (
           SELECT doc_id,

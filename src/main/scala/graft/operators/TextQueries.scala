@@ -976,20 +976,13 @@ object TextQueries {
     // a re-exported corpus and diffing IS the integrity check — one
     // scan, map-side-combined agg, no shuffle beyond 8 groups.
     "corpus_manifest" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        graft.functions.Md5PrefixLong.register(s)
-        val sh = Corpus.shardAssign(docs(s, dir), nShards = 8)
-          .select($"doc_id", $"ntok", $"shard_id")
-        sh.join(docs(s, dir).select($"doc_id",
-            expr("md5_prefix_long(text, 14)").as("th")), Seq("doc_id"))
-          .groupBy($"shard_id")
-          .agg(count(lit(1)).as("n_docs"),
-            sum($"ntok").as("n_tokens"),
-            sum($"th").as("sum_hash"),
-            expr("bit_xor(th)").as("xor_hash"))
-          .orderBy($"shard_id")
-      },
+      fn = (s, dir) =>
+        // the public API IS the implementation (ScaleProbe rides it).
+        // sum_hash reduces each hash mod 2^31 BEFORE summing: a raw
+        // 56-bit sum overflows a long past ~128 docs/shard (the probe
+        // caught it at sf0.1 - ANSI mode throws, it does not wrap)
+        Corpus.shardManifest(docs(s, dir), nShards = 8)
+          .orderBy(col("shard_id")),
       oracle = Some("""
         WITH mn_base AS (
           SELECT doc_id,
@@ -1012,7 +1005,7 @@ object TextQueries {
           FROM mn_cum, mn_tot)
         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(ntok) AS BIGINT) AS n_tokens,
-               CAST(sum(th) AS BIGINT) AS sum_hash,
+               CAST(sum(th % 2147483648) AS BIGINT) AS sum_hash,
                CAST(bit_xor(th) AS BIGINT) AS xor_hash
         FROM mn_sh GROUP BY shard_id ORDER BY shard_id"""),
       desc = "content-addressed shard manifest: order-independent sum+xor digests per shard"),

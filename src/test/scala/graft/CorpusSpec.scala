@@ -1143,7 +1143,7 @@ class CorpusSpec extends SparkSuite {
     val re = back.groupBy($"shard_id")
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
         sum(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
-          "1, 14), 16, 10) AS BIGINT)")).as("id_checksum"))
+          "1, 14), 16, 10) AS BIGINT) % 2147483648L")).as("id_checksum"))
       .collect().map(r => r.getAs[Int]("shard_id") ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     manifest.foreach { m =>
