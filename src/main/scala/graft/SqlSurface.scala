@@ -342,6 +342,9 @@ object SqlSurface {
     *    at any Jaccard threshold: AllPairs prefix filter + PPJoin
     *    positional filter + exact verify, same pruning mathematics
     *    as [[graft.operators.Corpus.allPairsJoin]].
+    *  - `corpus_shuffle(epochs, shards)` — the deterministic
+    *    training-order permutation at any epoch count / shard
+    *    fan-out, ≡ `sample_shuffle`'s law.
     *  - `corpus_novelty(ref_max_id)` — the `text_novelty` metric at
     *    any reference/new split boundary: per new doc, the share of
     *    its distinct 3-token shingles absent from the reference
@@ -508,6 +511,26 @@ object SqlSurface {
       SELECT doc_a, doc_b, inter, sz_a, sz_b,
              inter * 1000000L div (sz_a + sz_b - inter) AS jacc_ppm
       FROM v WHERE inter * 1000000L >= (sz_a + sz_b - inter) * t_ppm
+    """)
+    // deterministic epoch shuffle from SQL: any epoch count and shard
+    // fan-out — ≡ the sample_shuffle query's law (per-epoch md5
+    // permutation addressed as (shard, pos-within-shard))
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION corpus_shuffle(
+          epochs INT, shards INT)
+      RETURNS TABLE
+      RETURN
+      WITH b AS (
+        SELECT doc_id, e.epoch,
+               md5_prefix_long(concat(CAST(e.epoch AS STRING), ':',
+                 CAST(doc_id AS STRING)), 14) AS h
+        FROM documents
+        LATERAL VIEW explode(sequence(0, epochs - 1)) e AS epoch)
+      SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             h % shards AS shard,
+             CAST(row_number() OVER (PARTITION BY epoch, h % shards
+               ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM b
     """)
     graft.functions.RegAgg.register(spark)
     spark.sql("""

@@ -215,6 +215,25 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(sqlAp.length < spark.sql(
       "SELECT count(1) FROM dedup_allpairs(600000)")
       .collect()(0).getLong(0))
+    // epoch shuffle at NON-default epochs/shards (registered query
+    // uses 2 epochs x 8 shards): the permutation law must hold at any
+    // fan-out, and different epochs must genuinely reorder
+    graft.functions.Md5PrefixLong.register(spark)
+    val sqlSh = spark.sql(
+      "SELECT epoch, doc_id, shard, pos FROM corpus_shuffle(3, 4) " +
+        "ORDER BY epoch, shard, pos").collect().map(_.toSeq)
+    val nDocs = docs.count()
+    assert(sqlSh.length === 3 * nDocs)
+    // every (epoch, shard) is a dense 1..k ranking
+    val byES = sqlSh.groupBy(r => (r(0), r(2)))
+    assert(byES.forall { case (_, rs) =>
+      rs.map(_(3).asInstanceOf[Long]).sorted
+        .sameElements(1L to rs.length.toLong) })
+    // epoch 0 and epoch 1 orders differ somewhere (the seed binds)
+    def orderOf(e: Long) = sqlSh.filter(_(0) == e)
+      .sortBy(r => (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+      .map(_(1))
+    assert(!orderOf(0L).sameElements(orderOf(1L)))
     // novelty at a NON-default split boundary (registered query uses
     // 250): the SQL body must reproduce the engine shingle hashing
     val sqlNov = spark.sql(
