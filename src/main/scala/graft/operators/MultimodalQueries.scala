@@ -1055,6 +1055,41 @@ object MultimodalQueries {
                ('0x' || substr(ph, 2 * (w * h - 1) + 1, 2))::BIGINT
                  AS last_px
         FROM pg ORDER BY doc_id"""),
-      desc = "REAL PNG decode: CRC-verified chunk walk + zlib inflate + Sub-filter reconstruction")
+      desc = "REAL PNG decode: CRC-verified chunk walk + zlib inflate + Sub-filter reconstruction"),
+
+    // ── REAL gzip decode: the decompress-on-ingest operator ─────────
+    // At 100 TB the corpus ARRIVES gzip-compressed; `gunzip` is the
+    // first per-row operator of the ingest pipeline. The fn gzip-
+    // wraps each document's UTF-8 bytes as a valid RFC 1952 member
+    // (stored-deflate framing; CRC-32 + ISIZE trailer via the crc32
+    // built-in) and decodes it back through the native expression —
+    // header-flag walk, real Inflater, RECOMPUTED trailer checks.
+    // The oracle emits the original text: the hash proves the
+    // compress→decompress round trip byte-for-byte. Corrupt-blob
+    // semantics (NULL, never a throw) live in MultimodalSpec, where
+    // real GZIPOutputStream bytes and FNAME/FHCRC variants are fed.
+    "mm_gunzip" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Gunzip.register(s)
+        docs(s, dir)
+          .withColumn("n", octet_length($"text").cast("long"))
+          .withColumn("gz", expr("concat('1F8B08000000000000FF', " +
+            s"'01', ${leHex("n", 2)}, ${leHex("65535 - n", 2)}, " +
+            "hex(text), " +
+            s"${leHex("crc32(CAST(text AS BINARY))", 4)}, " +
+            s"${leHex("n", 4)})"))
+          .withColumn("dec", expr("gunzip(unhex(gz))"))
+          .select($"doc_id", octet_length($"dec").cast("long")
+              .as("n_bytes"),
+            $"dec".cast("string").as("text_out"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "REAL gzip decode: header-flag walk + inflate + recomputed CRC/ISIZE trailer, round-tripped")
   )
 }

@@ -153,4 +153,55 @@ class MultimodalSpec extends SparkSuite {
       Array[Byte](1)))
       assert(dec(b) === Seq.fill(8)(0L), "malformed must yield fmt_ok=0")
   }
+
+  test("gunzip: real GZIPOutputStream bytes, header flags, corrupt rejects") {
+    graft.functions.Gunzip.register(spark)
+    def dec(b: Array[Byte]): Option[Array[Byte]] = {
+      val r = Seq(b).toDF("g").select(expr("gunzip(g)")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    val payload = ("the quick brown fox " * 20).getBytes("UTF-8")
+    // REAL compressed stream (dynamic-huffman deflate, not stored)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload); gz.close()
+    assert(dec(bos.toByteArray).exists(_.sameElements(payload)))
+    // FNAME + FCOMMENT + FHCRC flags: build a header with all three
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(payload); deflater.finish()
+    val dbuf = new Array[Byte](payload.length + 64)
+    val dn = deflater.deflate(dbuf); deflater.end()
+    val hdr0 = Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+      (0x08 | 0x10 | 0x02).toByte, 0, 0, 0, 0, 0, 0xff.toByte) ++
+      "name.txt".getBytes("US-ASCII") ++ Array(0.toByte) ++
+      "a comment".getBytes("US-ASCII") ++ Array(0.toByte)
+    val hcrc = new java.util.zip.CRC32(); hcrc.update(hdr0)
+    val hdr = hdr0 ++ Array(((hcrc.getValue & 0xff)).toByte,
+      (((hcrc.getValue >> 8) & 0xff)).toByte)
+    val pcrc = new java.util.zip.CRC32(); pcrc.update(payload)
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    val full = hdr ++ dbuf.take(dn) ++ le(pcrc.getValue, 4) ++
+      le(payload.length.toLong, 4)
+    assert(dec(full).exists(_.sameElements(payload)),
+      "FNAME/FCOMMENT/FHCRC header variant must decode")
+    // corrupt: flipped payload bit (CRC catches), bad magic, bad
+    // header CRC, truncation, ISIZE mismatch, trailing garbage
+    val flip = bos.toByteArray.clone()
+    flip(14) = (flip(14) ^ 0x10).toByte
+    assert(dec(flip).isEmpty, "payload corruption must yield NULL")
+    val badMagic = bos.toByteArray.clone(); badMagic(0) = 0x1e.toByte
+    assert(dec(badMagic).isEmpty)
+    val badHcrc = full.clone()
+    badHcrc(hdr.length - 1) = (badHcrc(hdr.length - 1) ^ 1).toByte
+    assert(dec(badHcrc).isEmpty, "header CRC mismatch must yield NULL")
+    assert(dec(bos.toByteArray.dropRight(3)).isEmpty)
+    val badIsize = bos.toByteArray.clone()
+    badIsize(badIsize.length - 1) =
+      (badIsize(badIsize.length - 1) ^ 1).toByte
+    assert(dec(badIsize).isEmpty)
+    assert(dec(bos.toByteArray ++ Array[Byte](1, 2, 3)).isEmpty,
+      "trailing garbage after the member must be rejected")
+  }
 }
