@@ -1090,6 +1090,67 @@ object MultimodalQueries {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                text AS text_out
         FROM documents ORDER BY doc_id"""),
-      desc = "REAL gzip decode: header-flag walk + inflate + recomputed CRC/ISIZE trailer, round-tripped")
+      desc = "REAL gzip decode: header-flag walk + inflate + recomputed CRC/ISIZE trailer, round-tripped"),
+
+    // ── WARC record ingest: the Common-Crawl shape end-to-end ───────
+    // Web corpora arrive as .warc.gz — one gzip MEMBER per WARC
+    // record (that layout is what makes the file seekable per
+    // record). The fn builds exactly that per doc: a WARC/1.0
+    // response record (named headers + Content-Length + the
+    // double-CRLF header terminator + payload) wrapped as a valid
+    // gzip member; ingest then runs the real pipeline — `gunzip`
+    // (native, CRC-verified), header-field extraction, and the
+    // CONTENT-LENGTH-ADDRESSED payload slice (the field is
+    // authoritative in WARC; the trailing CRLFCRLF is framing, not
+    // payload). The oracle emits the source fields directly, so the
+    // hash proves wrap → compress → decompress → parse lands back on
+    // the original record byte-for-byte. Text here is ASCII (char =
+    // byte; a non-ASCII corpus would slice the decoded BYTES — the
+    // Content-Length arithmetic is byte-based already).
+    "corpus_warc_ingest" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Gunzip.register(s)
+        docs(s, dir)
+          .withColumn("warc", concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: " +
+              "<urn:graft:"), $"doc_id",
+            lit(">\r\nWARC-Target-URI: https://example.com/doc/"),
+            $"doc_id", lit("\r\nContent-Length: "),
+            octet_length($"text"), lit("\r\n\r\n"), $"text",
+            lit("\r\n\r\n")))
+          .withColumn("n", octet_length($"warc").cast("long"))
+          .withColumn("gz", expr("concat('1F8B08000000000000FF', " +
+            s"'01', ${leHex("n", 2)}, ${leHex("65535 - n", 2)}, " +
+            "hex(warc), " +
+            s"${leHex("crc32(CAST(warc AS BINARY))", 4)}, " +
+            s"${leHex("n", 4)})"))
+          .withColumn("rec", expr("CAST(gunzip(unhex(gz)) AS STRING)"))
+          .withColumn("content_length", expr(
+            "CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) " +
+              "AS BIGINT)"))
+          .select($"doc_id",
+            expr("regexp_extract(rec, '^WARC/([0-9.]+)', 1)")
+              .as("warc_version"),
+            expr("regexp_extract(rec, 'WARC-Type: ([^\\r\\n]+)', 1)")
+              .as("rec_type"),
+            expr("regexp_extract(rec, 'WARC-Target-URI: ([^\\r\\n]+)', 1)")
+              .as("target_uri"),
+            $"content_length",
+            expr("substr(rec, instr(rec, '\\r\\n\\r\\n') + 4, " +
+              "content_length)").as("payload"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               '1.0' AS warc_version,
+               'response' AS rec_type,
+               'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                 AS content_length,
+               text AS payload
+        FROM documents ORDER BY doc_id"""),
+      desc = "WARC ingest: per-record gzip member -> header parse -> content-length-addressed payload")
   )
 }
