@@ -583,6 +583,12 @@ object Corpus extends org.apache.spark.internal.Logging {
     * shingles): the full join, the incremental join, and the sorted
     * per-doc arrays all ride this frame, so the ingest-cadence query
     * never re-shingles the settled corpus (r13 verdict ask #1). */
+  /** [[allPairsShingles]] for registered-query composition (the
+    * dedup_allpairs_index gate derives its merge inputs from the
+    * exact index frame the join queries ride). */
+  def allPairsShinglesPublic(docs: DataFrame): DataFrame =
+    allPairsShingles(docs)
+
   private def allPairsShingles(docs: DataFrame): DataFrame = {
     graft.functions.Md5PrefixLong.register(docs.sparkSession)
     def build: DataFrame = docs

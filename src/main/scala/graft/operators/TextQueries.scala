@@ -2924,6 +2924,51 @@ object TextQueries {
     // split); eval split = OLD docs' md5 tail (disjoint from the new
     // batch — a doc probing a gram set containing itself would always
     // flag). Rides the shared full-corpus dedup-edge frame.
+    // ── JSONL ingest: the wire format LLM corpora actually ship in ──
+    // One JSON object per line, schema-validated on read, with the
+    // real-world failure mode built in: every 50th line is TRUNCATED
+    // mid-record (the torn-write/partial-download class), and the
+    // parse must yield typed NULLs for it — never a throw, never a
+    // silently-wrong row. Serialization is to_json over a nested
+    // struct; the parse is schema'd from_json (codegen'd Jackson —
+    // the engine surface, not a UDF). The oracle recomputes every
+    // parsed field from the SOURCE columns, so the hash proves the
+    // serialize → corrupt → parse pipeline lands exactly where it
+    // should: full round trip on intact lines, clean nulls on torn
+    // ones. One scan, embarrassingly parallel at any SF.
+    "corpus_jsonl_ingest" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val lines = docs(s, dir)
+          .withColumn("n_toks", size(split($"text", " ")).cast("long"))
+          .withColumn("line0", to_json(struct($"doc_id".as("id"),
+            $"text",
+            struct(lit("en").as("lang"), $"n_toks".as("toks"))
+              .as("meta"))))
+          .withColumn("line", when($"doc_id" % 50 === 0,
+            substring($"line0", 1, 24)).otherwise($"line0"))
+        val schema = "STRUCT<id: BIGINT, text: STRING, " +
+          "meta: STRUCT<lang: STRING, toks: BIGINT>>"
+        lines
+          .withColumn("j", expr(s"from_json(line, '$schema')"))
+          .select($"doc_id",
+            $"j.id".isNotNull.as("ok"),
+            $"j.id".as("id_parsed"),
+            $"j.meta.toks".as("toks"),
+            coalesce($"j.text" === $"text", lit(false)).as("text_match"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               doc_id % 50 <> 0 AS ok,
+               CASE WHEN doc_id % 50 <> 0 THEN doc_id END AS id_parsed,
+               CASE WHEN doc_id % 50 <> 0
+                    THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+               END AS toks,
+               doc_id % 50 <> 0 AS text_match
+        FROM documents ORDER BY doc_id"""),
+      desc = "JSONL ingest: schema'd from_json round trip, torn lines yield typed NULLs"),
+
     "corpus_ingest" -> Q(
       fn = (s, dir) => {
         val ev = expr(
@@ -3659,6 +3704,47 @@ object TextQueries {
           AND (doc_a >= 400 OR doc_b >= 400)
         ORDER BY doc_a, doc_b"""),
       desc = "incremental AllPairs: new-prefix x corpus-prefix candidates, exact vs the filtered brute force"),
+
+    // ── the AllPairs index-maintenance law, hash-gated ──────────────
+    // dedup_allpairs_inc consumes the persisted element-df index;
+    // this query checks the law that MAINTAINS it across ingests:
+    // df(old ∪ batch) by ADDITIVE merge (allPairsDfMerge) must equal
+    // the from-scratch count — the DuckDB oracle IS the from-scratch
+    // df over the full corpus, so the merge path is proven against an
+    // independent recomputation, not against itself. At 100 TB this
+    // is the difference between a nightly O(batch) index update and
+    // re-counting the corpus.
+    "dedup_allpairs_index" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val isNew = $"doc_id" >= 400L
+        val sh = Corpus.allPairsShinglesPublic(d)
+        val dfOld = sh.filter(!isNew)
+          .groupBy($"h").agg(count(lit(1)).as("df"))
+        Corpus.allPairsDfMerge(dfOld, sh.filter(isNew))
+          .orderBy($"h")
+      },
+      oracle = Some("""
+        WITH ax_tk AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        ax_i AS (
+          SELECT doc_id, ts,
+                 unnest(generate_series(1,
+                   CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 1 END))
+                   AS i
+          FROM ax_tk),
+        ax_s AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(
+                   CASE WHEN len(ts) >= 3
+                        THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        ELSE array_to_string(ts, ' ') END), 1, 14))
+                   ::BIGINT AS h
+          FROM ax_i)
+        SELECT h, CAST(count(*) AS BIGINT) AS df
+        FROM ax_s GROUP BY h ORDER BY h"""),
+      desc = "AllPairs index maintenance: additive df merge equals the from-scratch corpus count"),
 
     // ── winnowing fingerprints (substring-granular overlap) ─────────
     // The MOSS detector: any shared character run ≥ w+k-1 (= 17 chars
