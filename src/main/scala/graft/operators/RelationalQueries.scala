@@ -265,6 +265,47 @@ object RelationalQueries {
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
       desc = "bloom-prefiltered join: broadcast bitmap prunes the big side, result equals the plain join"),
 
+    // ── salted join under the hash gate — the skew playbook proven ──
+    // events ⋈ event-type dim is the EXTREME-skew shape (5 distinct
+    // keys across the whole fact: every key is a hot key, and a plain
+    // shuffle join puts each on ONE reducer). Engine.saltedJoin
+    // spreads each key across `salts` reducers (big side salts by a
+    // per-row uniform; the dim explodes across all salt values) —
+    // pre-AQE machinery that still matters when a deterministic plan
+    // is required. The salt must be INVISIBLE in values: the oracle
+    // is the plain join, so the hash proves result-equality while
+    // EngineSpec pins the mechanism. The monotonic-id salt is
+    // partition-placement-only nondeterminism — values never move.
+    "j_salted" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 3L),
+          ("signup", 4L), ("error", 5L))
+          .toDF("event_type", "type_rank")
+        val e = t(s, dir, "events")
+          .select($"event_type", $"user_id",
+            round($"value" * 100).cast(LongType).as("cents"))
+        graft.Engine.saltedJoin(e, dim, "event_type", salts = 8)
+          .groupBy($"event_type", $"type_rank")
+          .agg(count(lit(1)).as("n"),
+            sum($"cents").as("sum_cents"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH dim(event_type, type_rank) AS (VALUES
+          ('click', 1), ('view', 2), ('purchase', 3),
+          ('signup', 4), ('error', 5))
+        SELECT e.event_type, CAST(d.type_rank AS BIGINT) AS type_rank,
+               count(*) AS n,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events e JOIN dim d ON d.event_type = e.event_type
+        GROUP BY e.event_type, d.type_rank
+        ORDER BY e.event_type"""),
+      desc = "salted join on an all-hot-keys fact: skew machinery value-identical to the plain join"),
+
     // ── A3/A4-deterministic: min/max rollup with first() replaced by
     // deterministic min (SURVEY A4: no any_value in checked paths).
     "a3_minmax" -> Q(
