@@ -1151,6 +1151,75 @@ object MultimodalQueries {
                  AS content_length,
                text AS payload
         FROM documents ORDER BY doc_id"""),
-      desc = "WARC ingest: per-record gzip member -> header parse -> content-length-addressed payload")
+      desc = "WARC ingest: per-record gzip member -> header parse -> content-length-addressed payload"),
+
+    // ── ustar member listing: the shard-archive container ───────────
+    // Document shards ship as .tar in the wild (WebDataset is exactly
+    // this layout), and tar is the third container format whose
+    // decode is pure byte arithmetic: OCTAL size/checksum fields,
+    // 512-byte blocking, zero-block termination. The fn writes a
+    // valid single-member ustar archive per doc IN SQL — octal size
+    // via conv(n, 10, 8), the header checksum computed as the real
+    // byte sum (fixed-field mass precomputed + name/size-field sums
+    // folded at construction) — and `tar_list` walks it back the way
+    // any tar reader does, RECOMPUTING the checksum over the header
+    // with the checksum field as spaces. The oracle emits the source
+    // fields (name, byte size, exact payload byte sum), so the hash
+    // proves write → block → walk round-trips; MultimodalSpec covers
+    // multi-member archives, checksum corruption, payload truncation,
+    // and the space-padded octal forms real writers emit.
+    "mm_tar_member" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.TarList.register(s)
+        def ahex(str: String): String =
+          str.getBytes("US-ASCII").map("%02x".format(_)).mkString
+        // fixed-field checksum mass: mode+uid+gid ("0000644\0",
+        // 2×"0000000\0"), mtime "00000000000\0", chksum-as-spaces,
+        // typeflag '0', magic "ustar\0", version "00"
+        val fixed = "0000644".sum.toInt + "0000000".sum.toInt * 2 +
+          "00000000000".sum.toInt + 32 * 8 + '0'.toInt +
+          "ustar".sum.toInt + "00".sum.toInt
+        docs(s, dir)
+          .withColumn("nm", concat(lit("doc_"), $"doc_id", lit(".txt")))
+          .withColumn("n", octet_length($"text").cast("long"))
+          .withColumn("nmsum", expr("aggregate(transform(" +
+            "sequence(1, length(nm)), i -> CAST(ascii(substr(nm, i, 1)) " +
+            "AS BIGINT)), 0L, (a, x) -> a + x)"))
+          .withColumn("szoct", expr("lpad(conv(n, 10, 8), 11, '0')"))
+          .withColumn("szsum", expr("aggregate(transform(" +
+            "sequence(1, 11), i -> CAST(ascii(substr(szoct, i, 1)) " +
+            "AS BIGINT)), 0L, (a, x) -> a + x)"))
+          .withColumn("chk", expr(s"nmsum + szsum + $fixed"))
+          .withColumn("hdr", expr(
+            "concat(rpad(hex(nm), 200, '0'), " +
+              s"'${ahex("0000644")}00', '${ahex("0000000")}00', " +
+              s"'${ahex("0000000")}00', " +
+              "hex(szoct), '00', " +
+              s"'${ahex("00000000000")}00', " +
+              "hex(lpad(conv(chk, 10, 8), 6, '0')), '0020', '30', " +
+              "repeat('00', 100), " +
+              s"'${ahex("ustar")}00${ahex("00")}', " +
+              "repeat('00', 247))"))
+          .withColumn("tar", expr("concat(hdr, " +
+            "rpad(hex(text), CAST(((n + 511) div 512) * 1024 AS INT), " +
+            "'0'), repeat('00', 1024))"))
+          .withColumn("m", explode(expr("tar_list(unhex(tar))")))
+          .select($"doc_id", $"m.name".as("name"), $"m.size".as("size"),
+            $"m.typeflag".as("typeflag"), $"m.cksum_ok".as("cksum_ok"),
+            $"m.payload_sum".as("payload_sum"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size,
+               CAST(48 AS BIGINT) AS typeflag,
+               true AS cksum_ok,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
+                   AS BIGINT))) AS BIGINT) AS payload_sum
+        FROM documents ORDER BY doc_id"""),
+      desc = "ustar member walk: octal fields + recomputed header checksum, round-tripped")
   )
 }

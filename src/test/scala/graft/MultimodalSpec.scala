@@ -204,4 +204,61 @@ class MultimodalSpec extends SparkSuite {
     assert(dec(bos.toByteArray ++ Array[Byte](1, 2, 3)).isEmpty,
       "trailing garbage after the member must be rejected")
   }
+
+  test("tar_list: multi-member walk, checksum verify, truncation, octal forms") {
+    graft.functions.TarList.register(spark)
+    def member(name: String, payload: Array[Byte],
+               spacePadOctal: Boolean = false): Array[Byte] = {
+      val hdr = new Array[Byte](512)
+      System.arraycopy(name.getBytes("US-ASCII"), 0, hdr, 0, name.getBytes("US-ASCII").length)
+      System.arraycopy("0000644".getBytes, 0, hdr, 100, "0000644".getBytes.length)
+      System.arraycopy("0000000".getBytes, 0, hdr, 108, "0000000".getBytes.length)
+      System.arraycopy("0000000".getBytes, 0, hdr, 116, "0000000".getBytes.length)
+      val oct = payload.length.toOctalString
+      val szField = if (spacePadOctal) (" " * (11 - oct.length)) + oct
+                    else ("0" * (11 - oct.length)) + oct
+      System.arraycopy(szField.getBytes, 0, hdr, 124, szField.getBytes.length)
+      System.arraycopy("00000000000".getBytes, 0, hdr, 136, "00000000000".getBytes.length)
+      hdr(156) = '0'.toByte
+      System.arraycopy("ustar".getBytes, 0, hdr, 257, "ustar".getBytes.length)
+      System.arraycopy("00".getBytes, 0, hdr, 263, "00".getBytes.length)
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L; hdr.foreach(b => sum += (b & 0xff))
+      val ck = sum.toOctalString
+      val ckb = (("0" * (6 - ck.length)) + ck).getBytes
+      System.arraycopy(ckb, 0, hdr, 148, ckb.length)
+      hdr(154) = 0; hdr(155) = ' '.toByte
+      val padded = payload ++
+        new Array[Byte](((payload.length + 511) / 512) * 512 -
+          payload.length)
+      hdr ++ padded
+    }
+    def dec(b: Array[Byte]) =
+      Seq(b).toDF("t").select(expr("inline(tar_list(t))"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4)))
+    val p1 = "hello tar".getBytes("US-ASCII")
+    val p2 = ("x" * 700).getBytes("US-ASCII") // spans 2 blocks
+    val arch = member("a.txt", p1) ++
+      member("dir/b.txt", p2, spacePadOctal = true) ++
+      new Array[Byte](1024)
+    val got = dec(arch)
+    assert(got.length === 2)
+    assert(got(0) === (("a.txt", p1.length.toLong, '0'.toLong, true,
+      p1.map(_ & 0xffL).sum)))
+    assert(got(1) === (("dir/b.txt", 700L, '0'.toLong, true,
+      p2.map(_ & 0xffL).sum)),
+      "space-padded octal size (the GNU form) must parse")
+    // checksum corruption: flip a name byte AFTER checksum computed -
+    // the member flags cksum_ok=false and the walk stops
+    val bad = arch.clone(); bad(1) = 'X'.toByte
+    val badGot = dec(bad)
+    assert(badGot.length === 1 && !badGot(0)._4)
+    // truncation: second member's payload cut off mid-block
+    val trunc = dec(arch.dropRight(1024 + 512))
+    assert(trunc.length === 2 && trunc(0)._4 && !trunc(1)._4,
+      s"truncated payload must flag the member: $trunc")
+    // bare zero blocks = empty archive
+    assert(dec(new Array[Byte](1024)).isEmpty)
+  }
 }
