@@ -73,6 +73,43 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
+  /** [[streamOfOrdered]] variant that appends a FIFTH file of
+    * replayed rows — exact byte-identical copies of the rows from
+    * the trailing `horizonSec` of event time (even event_ids only),
+    * delivered one micro-batch AFTER their originals. This is the
+    * at-least-once delivery model made concrete: a replay lands in a
+    * later trigger, its event time is still above the watermark
+    * (originals' max ts minus the dedup delay), so the duplicate is
+    * ADMITTED by the late filter and must be dropped by CROSS-BATCH
+    * dedup state — the mechanism under test, not late-drop. */
+  private def streamOfReplayed(s: SparkSession, df: DataFrame,
+                               horizonSec: Long): DataFrame = {
+    val dir = graft.Engine.sharedDir(s,
+      graft.Engine.planToken(df, extra = s"streamsrc4replay$horizonSec")) { d =>
+      df.repartitionByRange(4, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(d)
+      val mx = df.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        .head.getLong(0)
+      // margin of 60 s above (mx − horizon) keeps every replay
+      // strictly above the final watermark
+      df.filter(unix_timestamp(col("ts")) > mx - horizonSec + 60)
+        .filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(d + "__rep")
+      val parts = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+      val repDir = new java.io.File(d + "__rep")
+      val rep = repDir.listFiles().filter(_.getName.startsWith("part-")).head
+      val tgt = new java.io.File(d, "part-replay.parquet")
+      java.nio.file.Files.move(rep.toPath, tgt.toPath)
+      tgt.setLastModified(1700000000000L + parts.length * 60000L)
+      repDir.listFiles().foreach(_.delete()); repDir.delete()
+    }
+    s.readStream.schema(s.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
   /** Run a streaming frame to a memory sink until the source drains;
     * return the sink table (valid after stop — the memory sink keeps
     * its rows). Complete mode for the sketch twins; append for
@@ -567,6 +604,117 @@ object StreamingQueries {
                CAST(sum(cents) AS BIGINT) AS cents
         FROM b GROUP BY service_day_str, event_type
         ORDER BY service_day_str, event_type"""),
-      desc = "streaming lake sink: per-trigger day upserts read back equal the batch aggregation")
+      desc = "streaming lake sink: per-trigger day upserts read back equal the batch aggregation"),
+
+    // ── streaming exactly-once ingest ≡ plain batch scan ─────────────
+    // dedupStream keyed on the row's unique id over a REPLAYED
+    // source: the 5th micro-batch re-delivers byte-identical copies
+    // of the trailing-2h rows (the at-least-once layer's replay),
+    // every copy above the watermark, so only the
+    // dropDuplicatesWithinWatermark STATE can collapse them. The
+    // oracle is the unreplayed table verbatim — the hash proves the
+    // replay is invisible downstream (exactly-once semantics), the
+    // same oracle shape as j_salted's salt-invisibility proof.
+    "stream_dedup" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val src = streamOfReplayed(s, ev, horizonSec = 7200L)
+        drain(s,
+          StreamingModels.dedupStream(src, keys = Seq("event_id"),
+            delay = "2 hours"),
+          "sq_dedup", mode = "append")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("es"), col("cents"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts)//1000000 AS es,
+               CAST(round(value*100) AS BIGINT) AS cents
+        FROM events
+        ORDER BY event_id"""),
+      desc = "streaming exactly-once ingest: cross-batch dedup state collapses replayed rows"),
+
+    // ── streaming hopping windows ≡ batch 2-window expansion ─────────
+    // hoppingCounts (10-min windows, 5-min hop) in append mode with
+    // a far-future sentinel closing every real window: each event
+    // lands in exactly size/hop = 2 windows, so the batch twin is
+    // the explicit k∈{0,1} window-start expansion. The sentinel's
+    // own two windows stay open past the final watermark and never
+    // emit.
+    "stream_hopping" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("event_type"), col("value"))
+        val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sent = mx.select(
+          timestamp_seconds(col("mx") + lit(86400L * 30)).as("ts"),
+          lit(-1L).as("event_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        val src = streamOfOrdered(s, ev.unionByName(sent))
+        drain(s, StreamingModels.hoppingCounts(src), "sq_hopping",
+          mode = "append")
+          .select(unix_timestamp(col("w_start")).as("w_start_s"),
+            col("event_type"), col("n"), col("value_cents"))
+          .orderBy(col("w_start_s"), col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_us(ts)//1000000 AS es, event_type,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        x AS (
+          SELECT (es//300 - unnest(generate_series(0, 1)))*300
+                   AS w_start_s,
+                 event_type, cents
+          FROM e)
+        SELECT w_start_s, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM x GROUP BY w_start_s, event_type
+        ORDER BY w_start_s, event_type"""),
+      desc = "streaming hopping windows: overlapping watermarked windows equal the batch 2-window expansion"),
+
+    // ── streaming dimension enrichment ≡ batch left join + rollup ────
+    // enrichedCounts: the stream-STATIC broadcast join (the
+    // dimension-lookup shape — re-planned per micro-batch, zero join
+    // state) feeding a watermarked day aggregation; sentinel flush
+    // as above. The oracle recomputes the left join + day rollup
+    // from the raw tables, so the hash covers the null-segment
+    // coalesce path too.
+    "stream_enrich" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("user_id"))
+        val dim = Sources.table(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sent = mx.select(
+          timestamp_seconds(col("mx") + lit(86400L * 30)).as("ts"),
+          lit(-1L).as("event_id"), lit(-1L).as("user_id"))
+        val src = streamOfOrdered(s, ev.unionByName(sent))
+        drain(s, StreamingModels.enrichedCounts(src, dim), "sq_enrich",
+          mode = "append")
+          .select(unix_timestamp(col("day_start")).as("day_s"),
+            col("segment"), col("n"))
+          .orderBy(col("day_s"), col("segment"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_us(ts)//1000000 AS es, user_id FROM events),
+        j AS (
+          SELECT (es//86400)*86400 AS day_s,
+                 COALESCE(c.c_mktsegment, 'unknown') AS segment
+          FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+        SELECT day_s, segment, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY day_s, segment
+        ORDER BY day_s, segment"""),
+      desc = "streaming dim enrichment: stream-static broadcast join + day rollup equals the batch join")
   )
 }

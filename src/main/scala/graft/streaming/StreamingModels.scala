@@ -498,11 +498,20 @@ object StreamingModels {
     * that a duplicate arriving AFTER its key expired re-emits (the
     * standard at-scale trade; widen the delay to widen the dedup
     * horizon). Works on batch DataFrames too (plain dropDuplicates
-    * semantics over the whole input). */
-  def dedupStream(events: DataFrame): DataFrame =
+    * semantics over the whole input).
+    *
+    * With `keys = Seq("event_id")` this is EXACTLY-ONCE INGEST: an
+    * at-least-once delivery layer (Kafka replay, file re-list, task
+    * retry) re-delivers whole rows byte-identical, and keying the
+    * dedup on the row's unique id collapses every replay while the
+    * payload columns ride along unchanged — the standard front gate
+    * of a lake ingest pipeline (gated as `stream_dedup`). */
+  def dedupStream(events: DataFrame,
+                  keys: Seq[String] = Seq("user_id", "event_type"),
+                  delay: String = "1 hour"): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them within 1 hour for the same user. Both sides carry
