@@ -21,6 +21,7 @@ object SparkEntry {
     "MultimodalQueries" -> MultimodalQueries.queries,
     "ExtendedQueries" -> ExtendedQueries.queries,
     "SessionQueries" -> SessionQueries.queries,
+    "WebQueries" -> WebQueries.queries,
     "StreamingQueries" -> StreamingQueries.queries)
 
   /** All registered query groups (each op from SURVEY §2 + extensions).

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL curation: parse → canonicalize → dedup → host
+  * governance. The first stage of every web-scale corpus build
+  * (C4 / RefinedWeb style): raw crawl URLs arrive messy — random
+  * scheme/host case, default ports, `www.` prefixes, doubled path
+  * slashes, trailing slashes, tracking params in arbitrary order,
+  * fragments — and the canonical form is the dedup + governance key.
+  *
+  * The testdata has no URL column, so each query SYNTHESIZES a messy
+  * raw URL per document deterministically from `doc_id` arithmetic
+  * (the MtaSynthetic pattern) and then runs the REAL parser over the
+  * string. The DuckDB oracle never parses: it recomputes the expected
+  * canonical form from the same doc_id arithmetic FIRST-PRINCIPLES,
+  * so the hash proves the parse+canonicalize pipeline lands exactly
+  * on the ground truth (the corpus_warc_ingest oracle shape).
+  *
+  * Junk varies on axes the canonical key ignores (doc_id mod 2/3/4/5)
+  * while the canonical key lives on doc_id mod 19/23/7 — so distinct
+  * raw strings genuinely collide on canon (the dedup groups are
+  * non-trivial at every SF).
+  *
+  * 100 TB posture: everything here is a stateless per-row projection
+  * (regex + small-array HOFs over ≤4 query params) followed by
+  * hash-partitioned groupBys on the canonical key — embarrassingly
+  * parallel, no skew beyond what the host rollup's own key carries.
+  */
+object WebQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+
+  // ── deterministic messy-URL synthesis (Spark side) ───────────────
+  // k/m/j are the canonical axes; everything else is junk the
+  // canonicalizer must strip. Twin arithmetic lives in each oracle.
+  private[graft] def withRawUrl(df: DataFrame): DataFrame = df
+    .withColumn("k", col("doc_id") % 19)
+    .withColumn("m", col("doc_id") % 23)
+    .withColumn("j", col("doc_id") % 7)
+    .withColumn("dom", expr(
+      "CASE k % 3 WHEN 0 THEN 'Example' WHEN 1 THEN 'Sample' " +
+        "ELSE 'Test' END"))
+    .withColumn("url_raw", concat(
+      expr("CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https' " +
+        "ELSE 'HtTpS' END"),
+      lit("://"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' " +
+        "ELSE '' END"),
+      expr("CASE WHEN doc_id % 2 = 0 THEN upper(concat('site-', k)) " +
+        "ELSE concat('Site-', k) END"),
+      lit("."), col("dom"), lit(".COM"),
+      expr("CASE WHEN k % 7 = 3 THEN ':8080' " +
+        "WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"),
+      lit("/a//"), col("m"), lit("/"),
+      expr("CASE WHEN k % 6 = 0 THEN '' " +
+        "WHEN doc_id % 2 = 0 THEN concat('?utm_source=s', doc_id % 5, " +
+        "'&a=', j, '&b=', j + 1) " +
+        "ELSE concat('?b=', j + 1, '&a=', j, '&utm_campaign=x') END"),
+      expr("CASE WHEN doc_id % 2 = 0 THEN concat('#sec-', doc_id % 4) " +
+        "ELSE '' END")))
+
+  // shared oracle arithmetic: the expected canonical parts, computed
+  // straight from doc_id (no parsing anywhere in the oracle)
+  private val ORACLE_PARTS = """
+    WITH parts AS (
+      SELECT doc_id, n_chars,
+             doc_id % 19 AS k, doc_id % 23 AS m, doc_id % 7 AS j,
+             CASE doc_id % 19 % 3 WHEN 0 THEN 'example'
+               WHEN 1 THEN 'sample' ELSE 'test' END AS dom
+      FROM documents),
+    canon AS (
+      SELECT doc_id, n_chars, k, j, dom,
+             'site-' || CAST(k AS VARCHAR) || '.' || dom || '.com'
+               AS host,
+             dom || '.com' AS domain,
+             'https://site-' || CAST(k AS VARCHAR) || '.' || dom ||
+               '.com' ||
+               CASE WHEN k % 7 = 3 THEN ':8080' ELSE '' END ||
+               '/a/' || CAST(m AS VARCHAR) ||
+               CASE WHEN k % 6 = 0 THEN ''
+                 ELSE '?a=' || CAST(j AS VARCHAR) ||
+                      '&b=' || CAST(j + 1 AS VARCHAR) END AS url_canon,
+             CASE WHEN k % 6 = 0 THEN 0 ELSE 2 END AS n_params
+      FROM parts)"""
+
+  // ── the real parser + canonicalizer (Spark side only) ────────────
+  // RFC-3986 component split by regex; the canonical form lowercases
+  // scheme+host, strips `www.`, drops scheme-default ports, collapses
+  // doubled path slashes, strips the trailing slash, removes
+  // tracking params, sorts the survivors, and drops the fragment.
+  // The query-param pass is a filter/sort over ≤4 elements — small
+  // enough that the interpreted-HOF invariant doesn't bite (same
+  // budget class as mm_tar_member's 11-char octal fold).
+  private[graft] def canonicalized(df: DataFrame): DataFrame = df
+    .withColumn("scheme",
+      lower(regexp_extract(col("url_raw"), "^([A-Za-z]+)://", 1)))
+    .withColumn("auth",
+      regexp_extract(col("url_raw"), "^[A-Za-z]+://([^/?#]+)", 1))
+    .withColumn("host", regexp_replace(
+      lower(regexp_extract(col("auth"), "^([^:]+)", 1)),
+      "^www\\.", ""))
+    .withColumn("port",
+      regexp_extract(col("auth"), ":([0-9]+)$", 1))
+    .withColumn("port_c", expr(
+      "CASE WHEN port = '' THEN '' " +
+        "WHEN scheme = 'http' AND port = '80' THEN '' " +
+        "WHEN scheme = 'https' AND port = '443' THEN '' " +
+        "ELSE concat(':', port) END"))
+    .withColumn("path0",
+      regexp_extract(col("url_raw"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+    // hoisted out of the CASE: conditional branches are excluded from
+    // subexpression elimination (CLAUDE.md invariant), so the regex
+    // chain must live in its own column, referenced twice for free
+    .withColumn("path1", regexp_replace(
+      regexp_replace(col("path0"), "/{2,}", "/"), "/+$", ""))
+    .withColumn("path_c",
+      expr("CASE WHEN path1 = '' THEN '/' ELSE path1 END"))
+    .withColumn("qs",
+      regexp_extract(col("url_raw"), "\\?([^#]*)", 1))
+    .withColumn("params", expr(
+      "array_sort(filter(split(qs, '&'), x -> x != '' " +
+        "AND NOT startswith(x, 'utm_') " +
+        "AND NOT startswith(x, 'fbclid=') " +
+        "AND NOT startswith(x, 'gclid=')))"))
+    .withColumn("query_c", array_join(col("params"), "&"))
+    .withColumn("url_canon", concat(col("scheme"), lit("://"),
+      col("host"), col("port_c"), col("path_c"),
+      expr("CASE WHEN query_c = '' THEN '' " +
+        "ELSE concat('?', query_c) END")))
+    .withColumn("domain",
+      regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+
+  val queries: Map[String, Q] = Map(
+
+    // ── URL parse + canonicalize, row for row ────────────────────────
+    // The hash proves every per-doc canonical string, host, registered
+    // domain, and surviving-param count against the first-principles
+    // oracle — covering scheme/host case-folding, www-stripping,
+    // default-port removal, non-default-port retention (k%7=3 keeps
+    // :8080), slash collapsing, trailing-slash stripping, tracking-
+    // param removal, param sorting, and fragment dropping at once.
+    "web_url_canon" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        canonicalized(withRawUrl(docs(s, dir)))
+          .select($"doc_id", $"url_canon", $"host", $"domain",
+            size($"params").cast("long").as("n_params"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(ORACLE_PARTS + """
+        SELECT doc_id, url_canon, host, domain,
+               CAST(n_params AS BIGINT) AS n_params
+        FROM canon ORDER BY doc_id"""),
+      desc = "URL canonicalization: parse messy raw URLs, ground-truth oracle from first principles"),
+
+    // ── URL-level dedup on the canonical key ─────────────────────────
+    // Distinct raw strings (junk axes mod 2/3/4/5) collide on canon
+    // (axes mod 19/23/7 → 3 059 keys), so groups are real: keep the
+    // min doc_id as representative, count members and distinct raw
+    // variants. At 100 TB this is THE crawl dedup shuffle — one
+    // hash-partitioned groupBy on the canonical string.
+    "web_url_dedup" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        canonicalized(withRawUrl(docs(s, dir)))
+          .groupBy($"url_canon")
+          .agg(min($"doc_id").as("keep_doc"),
+            count(lit(1)).as("n_docs"),
+            countDistinct($"url_raw").as("n_raw_variants"))
+          .orderBy($"url_canon")
+      },
+      oracle = Some(ORACLE_PARTS + """,
+        raw AS (
+          SELECT c.doc_id, c.url_canon,
+                 CASE d.doc_id % 3 WHEN 0 THEN 'HTTPS'
+                   WHEN 1 THEN 'https' ELSE 'HtTpS' END || '://' ||
+                 CASE d.doc_id % 3 WHEN 0 THEN 'WWW.'
+                   WHEN 1 THEN 'www.' ELSE '' END ||
+                 CASE WHEN d.doc_id % 2 = 0
+                   THEN upper('site-' || CAST(c.k AS VARCHAR))
+                   ELSE 'Site-' || CAST(c.k AS VARCHAR) END ||
+                 '.' || CASE c.k % 3 WHEN 0 THEN 'Example'
+                   WHEN 1 THEN 'Sample' ELSE 'Test' END || '.COM' ||
+                 CASE WHEN c.k % 7 = 3 THEN ':8080'
+                   WHEN d.doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+                 '/a//' || CAST(d.doc_id % 23 AS VARCHAR) || '/' ||
+                 CASE WHEN c.k % 6 = 0 THEN ''
+                   WHEN d.doc_id % 2 = 0 THEN '?utm_source=s' ||
+                     CAST(d.doc_id % 5 AS VARCHAR) || '&a=' ||
+                     CAST(c.j AS VARCHAR) || '&b=' ||
+                     CAST(c.j + 1 AS VARCHAR)
+                   ELSE '?b=' || CAST(c.j + 1 AS VARCHAR) || '&a=' ||
+                     CAST(c.j AS VARCHAR) || '&utm_campaign=x' END ||
+                 CASE WHEN d.doc_id % 2 = 0
+                   THEN '#sec-' || CAST(d.doc_id % 4 AS VARCHAR)
+                   ELSE '' END AS url_raw
+          FROM canon c JOIN documents d USING (doc_id))
+        SELECT url_canon,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT url_raw) AS BIGINT)
+                 AS n_raw_variants
+        FROM raw GROUP BY url_canon ORDER BY url_canon"""),
+      desc = "crawl URL dedup: canonical-key groupBy with min-doc representative"),
+
+    // ── host governance rollup ───────────────────────────────────────
+    // Per (registered domain, host): docs, distinct canonical URLs,
+    // corpus chars — plus the spam-farm flag the curation pipeline
+    // acts on: a host contributing more than 3× the mean host share
+    // is `oversampled`. The mean threshold is a 1-row broadcast
+    // (BNLJ), never a second scan per row; integer cross-multiply
+    // avoids the ANSI divide trap.
+    "web_host_stats" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = canonicalized(withRawUrl(docs(s, dir)))
+        val hosts = c.groupBy($"domain", $"host")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"url_canon").as("n_urls"),
+            sum($"n_chars").as("sum_chars"))
+        val tot = hosts.agg(sum($"n_docs").as("total"),
+          count(lit(1)).as("n_hosts"))
+        hosts.crossJoin(broadcast(tot))
+          .withColumn("oversampled",
+            $"n_docs" * $"n_hosts" > $"total" * 3)
+          .select($"domain", $"host", $"n_docs", $"n_urls",
+            $"sum_chars", $"oversampled")
+          .orderBy($"domain", $"host")
+      },
+      oracle = Some(ORACLE_PARTS + """,
+        hosts AS (
+          SELECT domain, host,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM canon GROUP BY domain, host),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_hosts
+          FROM hosts)
+        SELECT domain, host, n_docs, n_urls, sum_chars,
+               n_docs * n_hosts > total * 3 AS oversampled
+        FROM hosts CROSS JOIN tot
+        ORDER BY domain, host"""),
+      desc = "host governance: per-host rollup with the 3x-mean-share spam-farm flag")
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Edge cases for the URL canonicalizer that the synthesized corpus
+  * (WebQueries.withRawUrl) does not exercise — the gated queries prove
+  * the happy paths against the first-principles oracle; this spec
+  * pins the corners a real crawl hits. */
+class WebQueriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(urls: String*): Map[String, String] =
+    graft.operators.WebQueries.canonicalized(
+      urls.toSeq.toDF("url_raw"))
+      .select($"url_raw", $"url_canon")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("http default port 80 is stripped; non-default kept") {
+    val c = canon(
+      "HTTP://Example.COM:80/x",
+      "http://example.com:8080/x",
+      "https://example.com:443/x",
+      "https://example.com:80/x")  // 80 is NOT https' default
+    assert(c("HTTP://Example.COM:80/x") === "http://example.com/x")
+    assert(c("http://example.com:8080/x") ===
+      "http://example.com:8080/x")
+    assert(c("https://example.com:443/x") === "https://example.com/x")
+    assert(c("https://example.com:80/x") === "https://example.com:80/x")
+  }
+
+  test("empty and root paths canonicalize to '/'") {
+    val c = canon(
+      "http://a.com",
+      "http://a.com/",
+      "http://a.com///",
+      "http://a.com?x=1",
+      "http://a.com/#frag")
+    assert(c("http://a.com") === "http://a.com/")
+    assert(c("http://a.com/") === "http://a.com/")
+    assert(c("http://a.com///") === "http://a.com/")
+    assert(c("http://a.com?x=1") === "http://a.com/?x=1")
+    assert(c("http://a.com/#frag") === "http://a.com/")
+  }
+
+  test("tracking params (utm_*, fbclid, gclid) drop; rest sort") {
+    val c = canon(
+      "http://a.com/p?z=9&utm_medium=em&a=1&fbclid=abc&gclid=x&b=2",
+      "http://a.com/p?b=2&a=1&z=9")
+    // both raws land on the same canon — the dedup property itself
+    assert(c.values.toSet === Set("http://a.com/p?a=1&b=2&z=9"))
+  }
+
+  test("www. strips only as a PREFIX label; inner www survives") {
+    val c = canon(
+      "http://www.a.com/x",
+      "http://wwwa.com/x",       // no dot — not the www label
+      "http://a.www.com/x")      // www not the first label
+    assert(c("http://www.a.com/x") === "http://a.com/x")
+    assert(c("http://wwwa.com/x") === "http://wwwa.com/x")
+    assert(c("http://a.www.com/x") === "http://a.www.com/x")
+  }
+
+  test("trailing slashes strip but inner structure is preserved") {
+    val c = canon(
+      "http://a.com/x/y///",
+      "http://a.com//x//y/z")
+    assert(c("http://a.com/x/y///") === "http://a.com/x/y")
+    assert(c("http://a.com//x//y/z") === "http://a.com/x/y/z")
+  }
+
+  test("registered domain is the last two labels of the canon host") {
+    val d = graft.operators.WebQueries.canonicalized(
+      Seq("http://www.deep.sub.sample.co/x").toDF("url_raw"))
+      .select($"domain").head.getString(0)
+    assert(d === "sample.co")
+  }
+
+  test("path case is preserved; only scheme+host fold") {
+    val c = canon("HTTPS://A.Com/Mixed/Case?Q=V")
+    assert(c("HTTPS://A.Com/Mixed/Case?Q=V") ===
+      "https://a.com/Mixed/Case?Q=V")
+  }
+
+  test("synthesized corpus: distinct raws collide on canon groups") {
+    val df = graft.operators.WebQueries.canonicalized(
+      graft.operators.WebQueries.withRawUrl(
+        spark.read.parquet(sf() + "/documents.parquet")))
+    val (nRaw, nCanon) = (
+      df.select("url_raw").distinct.count(),
+      df.select("url_canon").distinct.count())
+    // junk axes multiply raw variants well beyond the canonical space
+    assert(nCanon < nRaw,
+      s"expected canon collisions: raw=$nRaw canon=$nCanon")
+    // canonical space is bounded by the mod-19/23/7 construction
+    assert(nCanon <= 19L * 23 * 7)
+  }
+}
