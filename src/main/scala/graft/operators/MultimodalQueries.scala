@@ -99,6 +99,54 @@ object MultimodalQueries {
         element_at(col("d"), 8).as("last_px"))
   }
 
+  /** Synthesize a valid single-member STORED zip per document IN SQL
+    * (real little-endian fields via [[leHex]], real CRC-32 via the
+    * crc32 built-in) and walk it back through
+    * [[graft.functions.ZipList]] — the mm_zip_member body, public so
+    * ScaleProbe can ride it. Returns (doc_id, name, method, size,
+    * crc_ok, payload_sum). */
+  def zipRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.ZipList.register(docsDf.sparkSession)
+    import org.apache.spark.sql.functions.{col, concat, explode,
+      expr, length, lit, octet_length}
+    docsDf
+      .withColumn("nm", concat(lit("doc_"), col("doc_id"), lit(".txt")))
+      .withColumn("n", octet_length(col("text")).cast("long"))
+      .withColumn("nl", length(col("nm")).cast("long"))
+      .withColumn("crc", expr("crc32(CAST(text AS BINARY))"))
+      // LFH: sig, ver-needed 10, flags 0, method 0 (stored),
+      // time/date 0, crc, csize, usize, nlen, xlen 0, name, data
+      .withColumn("lfh", expr(
+        "concat('504B0304', '0A00', '0000', '0000', " +
+          "'0000', '0000', " +
+          s"${leHex("crc", 4)}, ${leHex("n", 4)}, " +
+          s"${leHex("n", 4)}, ${leHex("nl", 2)}, '0000', " +
+          "hex(nm), hex(text))"))
+      // CDFH: sig, made-by 20, ver-needed 10, flags, method, time,
+      // date, crc, csize, usize, nlen, xlen, clen, disk, int-attr,
+      // ext-attr, LFH offset 0, name
+      .withColumn("cdfh", expr(
+        "concat('504B0102', '1400', '0A00', '0000', '0000', " +
+          "'0000', '0000', " +
+          s"${leHex("crc", 4)}, ${leHex("n", 4)}, " +
+          s"${leHex("n", 4)}, ${leHex("nl", 2)}, " +
+          "'0000', '0000', '0000', '0000', '00000000', " +
+          "'00000000', hex(nm))"))
+      // EOCD: sig, disk 0, cd-disk 0, entries 1/1, cd size,
+      // cd offset, comment len 0
+      .withColumn("eocd", expr(
+        "concat('504B0506', '0000', '0000', '0100', '0100', " +
+          s"${leHex("46 + nl", 4)}, ${leHex("30 + nl + n", 4)}, " +
+          "'0000')"))
+      .withColumn("m", explode(expr(
+        "zip_list(unhex(concat(lfh, cdfh, eocd)))")))
+      .select(col("doc_id"), col("m.name").as("name"),
+        col("m.method").as("method"), col("m.size").as("size"),
+        col("m.crc_ok").as("crc_ok"),
+        col("m.payload_sum").as("payload_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ── decode-stub: bytes → typed metadata/features ────────────────
@@ -1220,6 +1268,120 @@ object MultimodalQueries {
                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
                    AS BIGINT))) AS BIGINT) AS payload_sum
         FROM documents ORDER BY doc_id"""),
-      desc = "ustar member walk: octal fields + recomputed header checksum, round-tripped")
+      desc = "ustar member walk: octal fields + recomputed header checksum, round-tripped"),
+
+    // ── MIME sniffing: magic-byte content-type detection ─────────────
+    // The FIRST operator a crawl ingest runs on every fetched payload:
+    // Content-Type headers lie, so the type is sniffed from leading
+    // magic bytes (the WHATWG-sniff / libmagic shape). The fn wraps
+    // each doc's bytes in one of 8 containers by doc_id arithmetic —
+    // PNG / JPEG / GIF / PDF / gzip / ZIP / RIFF-WAVE (a TWO-offset
+    // magic: 'RIFF' at 0 AND 'WAVE' at 8) / bare text — and sniffs the
+    // BinaryType blob back. Unmatched blobs fall to the printable-ASCII
+    // probe ('text/plain' vs 'application/octet-stream'). The oracle
+    // recomputes the expected type from the same arithmetic, with the
+    // bare-text branch REPLAYING the textual magics (GIF/PDF/RIFF can
+    // legitimately appear as leading text; the binary-only magics
+    // cannot occur in a VARCHAR corpus), so the hash stays honest even
+    // if a document's text itself starts with a magic string.
+    "mm_sniff_magic" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val magic = expr(
+          "CASE WHEN substring(blob, 1, 8) = X'89504E470D0A1A0A' " +
+            "THEN 'image/png' " +
+            "WHEN substring(blob, 1, 3) = X'FFD8FF' THEN 'image/jpeg' " +
+            "WHEN substring(blob, 1, 6) = X'474946383961' " +
+            "OR substring(blob, 1, 6) = X'474946383761' " +
+            "THEN 'image/gif' " +
+            "WHEN substring(blob, 1, 5) = X'255044462D' " +
+            "THEN 'application/pdf' " +
+            "WHEN substring(blob, 1, 3) = X'1F8B08' " +
+            "THEN 'application/gzip' " +
+            "WHEN substring(blob, 1, 4) = X'504B0304' " +
+            "THEN 'application/zip' " +
+            "WHEN substring(blob, 1, 4) = X'52494646' " +
+            "AND substring(blob, 9, 4) = X'57415645' THEN 'audio/wav' " +
+            "ELSE NULL END")
+        docs(s, dir)
+          .withColumn("blob", expr(
+            "CASE doc_id % 8 " +
+              "WHEN 0 THEN concat(X'89504E470D0A1A0A', " +
+              "CAST(text AS BINARY)) " +
+              "WHEN 1 THEN concat(X'FFD8FFE0', CAST(text AS BINARY)) " +
+              "WHEN 2 THEN concat(X'474946383961', " +
+              "CAST(text AS BINARY)) " +
+              "WHEN 3 THEN concat(X'255044462D312E37', " +
+              "CAST(text AS BINARY)) " +
+              "WHEN 4 THEN concat(X'1F8B08', CAST(text AS BINARY)) " +
+              "WHEN 5 THEN concat(X'504B0304', CAST(text AS BINARY)) " +
+              "WHEN 6 THEN concat(X'52494646', " +
+              s"unhex(${leHex("octet_length(text) + 4", 4)}), " +
+              "X'57415645', CAST(text AS BINARY)) " +
+              "ELSE CAST(text AS BINARY) END"))
+          .withColumn("mime", coalesce(magic,
+            when($"blob".cast("string")
+              .rlike("^[ -~\\t\\r\\n]*$"), "text/plain")
+              .otherwise("application/octet-stream")))
+          .select($"doc_id", $"mime",
+            octet_length($"blob").cast("long").as("n_bytes"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CASE doc_id % 8
+                 WHEN 0 THEN 'image/png'
+                 WHEN 1 THEN 'image/jpeg'
+                 WHEN 2 THEN 'image/gif'
+                 WHEN 3 THEN 'application/pdf'
+                 WHEN 4 THEN 'application/gzip'
+                 WHEN 5 THEN 'application/zip'
+                 WHEN 6 THEN 'audio/wav'
+                 ELSE CASE
+                   WHEN substr(text, 1, 6) IN ('GIF89a', 'GIF87a')
+                     THEN 'image/gif'
+                   WHEN substr(text, 1, 5) = '%PDF-'
+                     THEN 'application/pdf'
+                   WHEN substr(text, 1, 4) = 'RIFF'
+                     AND substr(text, 9, 4) = 'WAVE' THEN 'audio/wav'
+                   WHEN regexp_matches(text, '^[ -~\t\r\n]*$')
+                     THEN 'text/plain'
+                   ELSE 'application/octet-stream' END
+               END AS mime,
+               CAST(octet_length(encode(text)) +
+                 CASE doc_id % 8 WHEN 0 THEN 8 WHEN 1 THEN 4
+                   WHEN 2 THEN 6 WHEN 3 THEN 8 WHEN 4 THEN 3
+                   WHEN 5 THEN 4 WHEN 6 THEN 12 ELSE 0 END
+                 AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id"""),
+      desc = "MIME sniff: magic-byte detection over 8 container shapes incl. two-offset RIFF/WAVE"),
+
+    // ── ZIP member walk: the backwards-read container ────────────────
+    // ZIP completes the container quartet (gzip, WARC, tar, zip) and
+    // is the one read BACK-TO-FRONT: EOCD found by tail scan, central
+    // directory jumped to, each member's LFH followed to its payload.
+    // The fn writes a valid single-member STORED zip per doc IN SQL —
+    // real little-endian fields via leHex, real CRC-32 via the crc32
+    // built-in — and `zip_list` walks it back the conformant way,
+    // RECOMPUTING the CRC over the payload. The oracle emits the
+    // source fields (name, size, exact payload byte sum), so the hash
+    // proves LFH+CDFH+EOCD construction → backwards walk → CRC verify
+    // round-trips. ZipSpec covers what SQL can't synthesize: real
+    // multi-member DEFLATED archives from java.util.zip
+    // .ZipOutputStream, comment-bearing EOCDs, and corruption
+    // (bit-flips in payload/CRC/signatures).
+    "mm_zip_member" -> Q(
+      fn = (s, dir) => zipRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+               CAST(0 AS BIGINT) AS method,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size,
+               true AS crc_ok,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
+                   AS BIGINT))) AS BIGINT) AS payload_sum
+        FROM documents ORDER BY doc_id"""),
+      desc = "ZIP member walk: EOCD tail scan + central directory + recomputed CRC-32, round-tripped")
   )
 }
