@@ -3981,7 +3981,71 @@ object TextQueries {
         FROM scored
         WHERE p_a_ppm > 0 AND p_b_ppm > 0
         ORDER BY lift_milli DESC, w1, w2 LIMIT 50"""),
-      desc = "bigram collocation lift in staged overflow-safe integer ppm")
+      desc = "bigram collocation lift in staged overflow-safe integer ppm"),
+
+    // ── boundary-spanning chop (the pack_sequences complement) ──────
+    // pack_sequences assigns each doc to the sequence holding its
+    // START and reports spill; this is the other standard framing —
+    // the concatenated stream is CHOPPED at exact B-char boundaries
+    // and documents SPAN chunks, so every chunk except each shard's
+    // last holds exactly B chars (zero padding waste). Packing is
+    // per-SHARD (doc_id mod 8): at 100 TB the cumulative-sum window
+    // is partition-local, never a global single-reducer sort — each
+    // shard is one worker's packing stream. Every doc's char span
+    // [cum0, cum) is exploded onto the chunks it overlaps
+    // (floor(cum0/B) … floor((cum-1)/B)), then chunks roll up doc
+    // counts, exact char occupancy (= B everywhere except each
+    // shard's final chunk — the hash proves the chop is tight), span
+    // endpoints, and how many members CONTINUED from the previous
+    // chunk. Zero-length docs are dropped on both sides (a 0-char doc
+    // occupies no chunk; Spark's sequence() would flip DESCENDING on
+    // the inverted range — the r14 trap class).
+    "pack_chop" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val b = 2048L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        docs(s, dir)
+          .filter($"n_chars" > 0)
+          .withColumn("shard", $"doc_id" % 8)
+          .withColumn("cum", sum($"n_chars").over(w))
+          .withColumn("cum0", $"cum" - $"n_chars")
+          .withColumn("c", explode(expr(
+            s"sequence(cum0 div $b, (cum - 1) div $b)")))
+          .groupBy($"shard", $"c".as("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(least($"cum", ($"c" + 1) * b) -
+              greatest($"cum0", $"c" * b)).as("n_chars"),
+            min($"doc_id").as("first_doc"),
+            max($"doc_id").as("last_doc"),
+            sum(when($"cum0" < $"c" * b, 1L).otherwise(0L))
+              .as("n_spanning"))
+          .orderBy($"shard", $"chunk_id")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 8 AS shard, n_chars,
+                 CAST(sum(n_chars) OVER (PARTITION BY doc_id % 8
+                   ORDER BY doc_id) AS BIGINT) AS cum
+          FROM documents WHERE n_chars > 0),
+        x AS (
+          SELECT shard, doc_id, cum, cum - n_chars AS cum0,
+                 unnest(generate_series((cum - n_chars) // 2048,
+                   (cum - 1) // 2048)) AS c
+          FROM d)
+        SELECT shard, c AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(cum, (c + 1) * 2048) -
+                 greatest(cum0, c * 2048)) AS BIGINT) AS n_chars,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc,
+               CAST(sum(CASE WHEN cum0 < c * 2048 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_spanning
+        FROM x GROUP BY shard, c ORDER BY shard, chunk_id"""),
+      desc = "boundary-spanning chop: per-shard exact-occupancy chunks with span accounting")
   )
 
   /** DuckDB twin of Corpus.ngramScored as CTEs ending in `nscored`
