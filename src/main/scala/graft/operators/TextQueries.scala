@@ -4045,7 +4045,81 @@ object TextQueries {
                CAST(sum(CASE WHEN cum0 < c * 2048 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_spanning
         FROM x GROUP BY shard, c ORDER BY shard, chunk_id"""),
-      desc = "boundary-spanning chop: per-shard exact-occupancy chunks with span accounting")
+      desc = "boundary-spanning chop: per-shard exact-occupancy chunks with span accounting"),
+
+    // ── exact phrase search over a positional index ──────────────────
+    // The positional-inverted-index op bm25/tfidf don't cover: an
+    // exact phrase match needs token POSITIONS, found by probing one
+    // posting list per phrase term and merge-joining on consecutive
+    // positions (pos, pos+1, pos+2) — exactly how Lucene/ES run
+    // phrase queries, and the shape here: each term's postings are a
+    // broadcast-phrase filter over the token index (a persisted index
+    // table at 100 TB; three pruned scans locally — the dq_fd class),
+    // and the joins are (doc_id, pos) equi-joins. The phrase is
+    // data-MINED (the corpus's most frequent trigram under a total
+    // tie-broken order — the boilerplate phrase a curation pass would
+    // hunt), so both engines derive it independently — no literal to
+    // drift, and the hit set is corpus-wide, not a 2-row sliver.
+    // Raw token order (split on ' ') per the repo's determinism rule.
+    "search_phrase" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val toks = d.select($"doc_id",
+            posexplode(split($"text", " ")).as(Seq("p0", "tok")))
+          .select($"doc_id", ($"p0" + 1L).as("pos"), $"tok")
+        val wD = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+        val ph = toks
+          .select($"tok".as("w1"), lead($"tok", 1).over(wD).as("w2"),
+            lead($"tok", 2).over(wD).as("w3"))
+          .filter($"w3".isNotNull)
+          .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"w1", $"w2", $"w3").limit(1)
+          .select($"w1", $"w2", $"w3")
+        val tp = toks.crossJoin(broadcast(ph))
+        val a = tp.filter($"tok" === $"w1")
+          .select($"doc_id", $"pos")
+        val b = tp.filter($"tok" === $"w2")
+          .select($"doc_id", ($"pos" - 1L).as("pos"))
+        val c = tp.filter($"tok" === $"w3")
+          .select($"doc_id", ($"pos" - 2L).as("pos"))
+        a.join(b, Seq("doc_id", "pos"))
+          .join(c, Seq("doc_id", "pos"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            min($"pos").as("first_pos"),
+            max($"pos").as("last_pos"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        toks AS (
+          SELECT doc_id, u.pos, ws[u.pos] AS tok
+          FROM (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws))) AS pos
+                FROM t) u(doc_id, ws, pos)),
+        tri AS (
+          SELECT tok AS w1,
+                 lead(tok, 1) OVER w AS w2,
+                 lead(tok, 2) OVER w AS w3
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        ph AS (
+          SELECT w1, w2, w3 FROM tri WHERE w3 IS NOT NULL
+          GROUP BY w1, w2, w3
+          ORDER BY count(*) DESC, w1, w2, w3 LIMIT 1)
+        SELECT t1.doc_id,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(min(t1.pos) AS BIGINT) AS first_pos,
+               CAST(max(t1.pos) AS BIGINT) AS last_pos
+        FROM toks t1
+        JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+        CROSS JOIN ph
+        WHERE t1.tok = w1 AND t2.tok = w2 AND t3.tok = w3
+        GROUP BY t1.doc_id ORDER BY t1.doc_id"""),
+      desc = "exact phrase search: posting-list probes merge-joined on consecutive positions")
   )
 
   /** DuckDB twin of Corpus.ngramScored as CTEs ending in `nscored`

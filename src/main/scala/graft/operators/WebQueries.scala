@@ -74,7 +74,7 @@ object WebQueries {
                WHEN 1 THEN 'sample' ELSE 'test' END AS dom
       FROM documents),
     canon AS (
-      SELECT doc_id, n_chars, k, j, dom,
+      SELECT doc_id, n_chars, k, m, j, dom,
              'site-' || CAST(k AS VARCHAR) || '.' || dom || '.com'
                AS host,
              dom || '.com' AS domain,
@@ -247,6 +247,136 @@ object WebQueries {
                n_docs * n_hosts > total * 3 AS oversampled
         FROM hosts CROSS JOIN tot
         ORDER BY domain, host"""),
-      desc = "host governance: per-host rollup with the 3x-mean-share spam-farm flag")
+      desc = "host governance: per-host rollup with the 3x-mean-share spam-farm flag"),
+
+    // ── robots.txt evaluation: longest-match allow/deny ──────────────
+    // The crawl-side gate: per-host rule sets evaluated with the REP
+    // longest-match semantics (the most specific matching prefix
+    // decides; on a length tie, allow wins — the Google REP rule).
+    // The rule table is a fixed 19-host dim (a seed, like s6): every
+    // host allows '/', even hosts disallow '/a/', every fifth path
+    // gets a specific re-allow (longer than the disallow, so
+    // longest-match genuinely decides), and every third host carries
+    // a same-length DISALLOW duplicate of '/a/10' so the tie-break is
+    // exercised, not just implemented. URLs come from the real
+    // canonicalizer; the oracle recomputes every decision from the
+    // mod arithmetic — first principles, no rule engine in DuckDB.
+    // Plan shape: broadcast dim join + per-URL argmax window.
+    "web_robots" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val doms = Seq("example", "sample", "test")
+        val rules = (0 until 19).flatMap { k =>
+          val host = s"site-$k.${doms(k % 3)}.com"
+          Seq((host, "/", true)) ++
+            (if (k % 2 == 0) Seq((host, "/a/", false)) else Seq()) ++
+            (0 to 22).filter(_ % 5 == 0)
+              .map(m => (host, s"/a/$m", true)) ++
+            (if (k % 3 == 0) Seq((host, "/a/10", false)) else Seq())
+        }.toDF("host", "prefix", "allow")
+        val urls = canonicalized(withRawUrl(docs(s, dir)))
+          .select($"doc_id", $"host", $"path_c".as("path"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy(length($"prefix").desc, $"allow".desc, $"prefix")
+        urls.join(broadcast(rules), Seq("host"))
+          .filter($"path".startsWith($"prefix"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"host", $"path", $"allow".as("allowed"),
+            $"prefix".as("match_prefix"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(ORACLE_PARTS + """
+        SELECT doc_id, host, '/a/' || CAST(m AS VARCHAR) AS path,
+               CASE WHEN m % 5 = 0 THEN true ELSE k % 2 = 1 END
+                 AS allowed,
+               CASE WHEN m % 5 = 0 THEN '/a/' || CAST(m AS VARCHAR)
+                 WHEN k % 2 = 0 THEN '/a/' ELSE '/' END AS match_prefix
+        FROM canon ORDER BY doc_id"""),
+      desc = "robots.txt longest-match evaluation with the allow-wins tie-break exercised"),
+
+    // ── HTML main-text extraction (boilerplate strip) ────────────────
+    // The trafilatura-shaped ingest op: crawl payloads are HTML, the
+    // corpus wants the title + main text with nav/footer boilerplate
+    // and link markup gone. The fn builds a full page per doc (head,
+    // title, nav with relative links, the <p> body, doc_id%3 absolute
+    // links, footer) and extracts back with the real regexes; the
+    // oracle emits the source fields — the hash proves wrap → strip
+    // round-trips and the boilerplate never leaks into main_text.
+    "web_html_text" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        htmlWrapped(docs(s, dir))
+          .select($"doc_id",
+            regexp_extract($"html", "<title>([^<]*)</title>", 1)
+              .as("title"),
+            regexp_extract($"html", "(?s)<p>(.*)</p>", 1)
+              .as("main_text"),
+            size(expr("regexp_extract_all(html, '<a href=', 0)"))
+              .cast("long").as("n_links"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               text AS main_text,
+               CAST(doc_id % 3 + 2 AS BIGINT) AS n_links
+        FROM documents ORDER BY doc_id"""),
+      desc = "HTML boilerplate strip: title + main text extracted, nav/footer/links dropped"),
+
+    // ── outlink extraction: the link-graph edge build ────────────────
+    // Same synthesized pages; the absolute hrefs are parsed OUT of the
+    // markup (relative nav links excluded by the scheme anchor) and
+    // rolled up per target host — the first stage of every link-graph
+    // / host-reputation pipeline. Oracle recomputes the edge set from
+    // the (doc_id + i) arithmetic directly.
+    "web_links" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        htmlWrapped(docs(s, dir))
+          .withColumn("href", explode(expr(
+            "regexp_extract_all(html, " +
+              "'<a href=\"(https://[^\"]+)\"', 1)")))
+          .withColumn("tgt_host",
+            regexp_extract($"href", "https://([^/]+)", 1))
+          .groupBy($"tgt_host")
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct($"doc_id").as("n_docs"))
+          .orderBy($"tgt_host")
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, doc_id % 3 - 1)) AS i
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 'site-' || CAST((doc_id + i) % 19 AS VARCHAR) ||
+                   '.example.com' AS tgt_host
+          FROM l)
+        SELECT tgt_host,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM h GROUP BY tgt_host ORDER BY tgt_host"""),
+      desc = "outlink extraction: absolute hrefs parsed from markup, rolled up per target host")
   )
+
+  /** documents + a full synthesized HTML page per doc: head/title,
+    * nav boilerplate (relative links), the text as the single <p>
+    * body, doc_id%3 absolute outlinks with mod-arithmetic targets,
+    * footer. Shared by web_html_text and web_links. */
+  private[graft] def htmlWrapped(df: DataFrame): DataFrame = df
+    .withColumn("nl", col("doc_id") % 3)
+    .withColumn("linkshtml", expr(
+      "CASE WHEN nl = 0 THEN '' ELSE concat_ws('', " +
+        "transform(sequence(0, nl - 1), i -> concat(" +
+        "'<a href=\"https://site-', (doc_id + i) % 19, " +
+        "'.example.com/a/', (doc_id + i) % 23, '\">more</a>'))) END"))
+    .withColumn("html", concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title></head><body><nav><a href=\"/\">Home</a> | " +
+        "<a href=\"/about\">About</a></nav><p>"),
+      col("text"), lit("</p>"), col("linkshtml"),
+      lit("<footer>(c) 2026</footer></body></html>")))
 }
