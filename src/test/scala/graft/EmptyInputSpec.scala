@@ -102,6 +102,28 @@ class EmptyInputSpec extends SparkSuite {
       one.head.getLong(4) === 1L)
   }
 
+  test("round-14 web/container/packing APIs degrade cleanly on empty input") {
+    import org.apache.spark.sql.functions._
+    val docs = Sources.table(spark, sf(), "documents")
+    val e = empty(docs)
+    // URL pipeline: empty in → empty out, schema intact (the regex
+    // parser and the small-array HOFs must not choke on zero rows)
+    val canonE = graft.operators.WebQueries.canonicalized(
+      graft.operators.WebQueries.withRawUrl(e))
+    assert(canonE.isEmpty &&
+      canonE.columns.contains("url_canon") &&
+      canonE.columns.contains("domain"))
+    // HTML wrap + zip round trip: per-row synthesizers over zero rows
+    assert(graft.operators.WebQueries.htmlWrapped(e).isEmpty)
+    assert(graft.operators.MultimodalQueries.zipRoundtrip(e).isEmpty)
+    // single-doc forms stay well-formed (the 1-row edge where every
+    // window/groupBy has exactly one member)
+    val one = graft.operators.MultimodalQueries
+      .zipRoundtrip(docs.limit(1)).collect()
+    assert(one.length === 1 &&
+      one.head.getBoolean(one.head.fieldIndex("crc_ok")))
+  }
+
   test("fact views on empty realtime inputs are empty but well-formed") {
     val e = MtaSynthetic.ev(spark, sf())
     val stops = MtaSynthetic.stops(spark)
