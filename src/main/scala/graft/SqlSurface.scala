@@ -590,5 +590,27 @@ object SqlSurface {
       FROM sks s JOIN ex e
         ON s.bucket = e.bucket AND s.event_type = e.event_type
     """)
+    // exact phrase search from SQL at ANY phrase — the registered
+    // search_phrase query's posting-probe pipeline (one positional
+    // index, one filter per term, consecutive-position equi-joins)
+    // with the phrase as user parameters instead of the mined
+    // most-frequent trigram
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION search_phrase(
+          w1 STRING, w2 STRING, w3 STRING)
+      RETURNS TABLE
+      RETURN
+      WITH toks AS (
+        SELECT doc_id, pos + 1L AS pos, tok FROM documents
+        LATERAL VIEW posexplode(split(text, ' ')) AS pos, tok),
+      a AS (SELECT doc_id, pos FROM toks WHERE tok = w1),
+      b AS (SELECT doc_id, pos - 1L AS pos FROM toks WHERE tok = w2),
+      c AS (SELECT doc_id, pos - 2L AS pos FROM toks WHERE tok = w3)
+      SELECT a.doc_id, CAST(count(1) AS BIGINT) AS n_hits,
+             min(a.pos) AS first_pos, max(a.pos) AS last_pos
+      FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos
+             JOIN c ON c.doc_id = a.doc_id AND c.pos = a.pos
+      GROUP BY a.doc_id
+    """)
   }
 }

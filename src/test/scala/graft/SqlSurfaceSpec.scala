@@ -284,6 +284,43 @@ class SqlSurfaceSpec extends SparkSuite {
         .collect().map(_.toSeq)
     }
     assert(sqlHll.nonEmpty && sqlHll.toSeq === scalaHll.toSeq)
+    // phrase search at the MINED phrase: the TVF must equal the
+    // oracle-gated search_phrase query row-for-row; then at a
+    // DIFFERENT phrase (tokens 4..6 of the min doc) the parameters
+    // must bind — the expected occurrence appears at first_pos <= 4
+    val mined = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1L).as("pos"), col("tok"))
+        .select(col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"),
+          lead(col("tok"), 2).over(w).as("w3"))
+        .filter(col("w3").isNotNull)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+        .limit(1).collect()(0)
+    }
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val sqlPh = spark.sql(
+      s"SELECT doc_id, n_hits, first_pos, last_pos FROM search_phrase(" +
+        s"${q(mined.getString(0))}, ${q(mined.getString(1))}, " +
+        s"${q(mined.getString(2))}) ORDER BY doc_id")
+      .collect().map(_.toSeq)
+    val scalaPh = graft.operators.TextQueries.queries("search_phrase")
+      .fn(spark, sf()).collect().map(_.toSeq)
+    assert(sqlPh.nonEmpty && sqlPh.toSeq === scalaPh.toSeq)
+    val minDocToks = docs.orderBy(col("doc_id")).limit(1)
+      .select(split(col("text"), " ").as("ws")).collect()(0)
+      .getSeq[String](0)
+    val other = spark.sql(
+      s"SELECT doc_id, first_pos FROM search_phrase(" +
+        s"${q(minDocToks(3))}, ${q(minDocToks(4))}, " +
+        s"${q(minDocToks(5))}) ORDER BY doc_id")
+      .collect()
+    assert(other.exists(r => r.getLong(1) <= 4L),
+      "the non-mined phrase must hit its source doc at pos 4")
   }
 
   test("every declared mta source is itself queryable from SQL") {
