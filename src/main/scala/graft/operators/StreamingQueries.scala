@@ -715,6 +715,57 @@ object StreamingQueries {
         SELECT day_s, segment, CAST(count(*) AS BIGINT) AS n
         FROM j GROUP BY day_s, segment
         ORDER BY day_s, segment"""),
-      desc = "streaming dim enrichment: stream-static broadcast join + day rollup equals the batch join")
+      desc = "streaming dim enrichment: stream-static broadcast join + day rollup equals the batch join"),
+
+    // ── LEFT OUTER stream-stream interval join ≡ batch left join ─────
+    // The semantically hard half of stream-stream joins: a purchase
+    // may only be declared CLICK-LESS once the watermark proves no
+    // qualifying click can still arrive — null rows surface a trigger
+    // later than their matches, from state expiry, not from a join
+    // probe. Two far-future sentinels (a click, then a purchase 2h
+    // later, distinct negative users so they cannot pair) push BOTH
+    // sides' watermarks past every real purchase's lookback window;
+    // the global watermark (min of sides) stays below the sentinel
+    // purchase, so neither sentinel can emit — the gate would fail on
+    // extra rows if that reasoning broke. Oracle = the batch LEFT
+    // JOIN verbatim, null lead_s on unattributed purchases.
+    "stream_conversions_outer" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("user_id"), col("event_type"))
+        val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sent = mx.select(
+            timestamp_seconds(col("mx") + lit(86400L * 30)).as("ts"),
+            lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            lit("click").as("event_type"))
+          .unionByName(mx.select(
+            timestamp_seconds(col("mx") + lit(86400L * 30 + 7200L))
+              .as("ts"),
+            lit(-2L).as("event_id"), lit(-2L).as("user_id"),
+            lit("purchase").as("event_type")))
+        val src = ev.unionByName(sent)
+        val purchases = streamOfOrdered(s, src)
+          .filter(col("event_type") === "purchase")
+        val clicks = streamOfOrdered(s, src)
+          .filter(col("event_type") === "click")
+        drain(s,
+          StreamingModels.streamStreamConversionsOuter(purchases, clicks),
+          "sq_conv_outer", mode = "append")
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(ts)//1000000 AS es
+          FROM events),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM e WHERE event_type = 'click')
+        SELECT p.user_id, p.event_id AS purchase_id,
+               c.event_id AS click_id, p.es - c.es AS lead_s
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+         AND c.es >= p.es - 3600 AND c.es <= p.es
+        ORDER BY p.user_id, purchase_id, click_id NULLS FIRST"""),
+      desc = "outer stream-stream interval join: watermark-expiry null rows equal the batch left join")
   )
 }
