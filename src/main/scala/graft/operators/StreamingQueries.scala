@@ -766,6 +766,50 @@ object StreamingQueries {
         FROM p LEFT JOIN c ON p.user_id = c.user_id
          AND c.es >= p.es - 3600 AND c.es <= p.es
         ORDER BY p.user_id, purchase_id, click_id NULLS FIRST"""),
-      desc = "outer stream-stream interval join: watermark-expiry null rows equal the batch left join")
+      desc = "outer stream-stream interval join: watermark-expiry null rows equal the batch left join"),
+
+    // ── streaming CMS partials ≡ batch counter recompute ─────────────
+    // cmsPartialsStream's state is PURE INTEGER (per (day, row,
+    // bucket) counters over md5-derived buckets), so the frequency
+    // member of the mergeable-sketch family hash-gates exactly like
+    // stream_hll_users — DuckDB recomputes every counter from the
+    // same md5 arithmetic. (The quantile member, ddsketchPartials,
+    // deliberately stays spec-only: its bucket index is
+    // ceil(ln|x|/ln γ), and a cross-engine float-log twin can flip on
+    // bucket boundaries — the float-in-hash-gate class the repo
+    // bans.) A far-future sentinel flushes every real day.
+    "stream_cms_freq" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("user_id"), col("event_type"))
+        val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sent = mx.select(
+          timestamp_seconds(col("mx") + lit(86400L * 60)).as("ts"),
+          lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"))
+        val src = streamOfOrdered(s, ev.unionByName(sent))
+        drain(s, StreamingModels.cmsPartialsStream(src), "sq_cms",
+          mode = "append")
+          .select(unix_timestamp(col("day_start")).as("day_s"),
+            col("r").cast("long").as("r"), col("bucket"), col("cnt"))
+          .orderBy(col("day_s"), col("r"), col("bucket"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_us(ts)//1000000 AS es,
+                 event_type || ':' || CAST(user_id AS VARCHAR) AS key
+          FROM events),
+        x AS (
+          SELECT (es//86400)*86400 AS day_s, r.r,
+                 ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || key),
+                   1, 14))::BIGINT % 64 AS bucket
+          FROM e CROSS JOIN
+            (SELECT unnest(generate_series(0, 2)) AS r) r)
+        SELECT day_s, CAST(r AS BIGINT) AS r, bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM x GROUP BY day_s, r, bucket
+        ORDER BY day_s, r, bucket"""),
+      desc = "streaming CMS partials: integer md5-bucket counters equal the batch recompute")
   )
 }
