@@ -1119,22 +1119,11 @@ object ScaleProbe {
         // per-row projection — must be scan-linear
         graft.operators.WebQueries.canonicalized(
           graft.operators.WebQueries.withRawUrl(docFrac(k)))),
-      "pack_chop" -> { k =>
+      "pack_chop" -> (k =>
         // shard-local cumsum window + bounded chunk explode + one
-        // groupBy: n log n inside fixed shards, reads as ~linear
-        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        docFrac(k).filter(col("n_chars") > 0)
-          .withColumn("shard", col("doc_id") % 8)
-          .withColumn("cum", sum(col("n_chars")).over(w))
-          .withColumn("cum0", col("cum") - col("n_chars"))
-          .withColumn("c", explode(expr(
-            "sequence(cum0 div 2048, (cum - 1) div 2048)")))
-          .groupBy(col("shard"), col("c"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(least(col("cum"), (col("c") + 1) * 2048L) -
-              greatest(col("cum0"), col("c") * 2048L)).as("n_chars"))
-      })
+        // groupBy: n log n inside fixed shards, reads as ~linear —
+        // rides the exact gated pipeline (TextQueries.packChop)
+        graft.operators.TextQueries.packChop(docFrac(k))))
 
     // warmup: absorb session/codegen/footer costs outside the timings
     docs.count(); emb.count()

@@ -78,21 +78,31 @@ object ZipList {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
-  /** Inflate a raw-deflate stream to at most `cap` bytes; null on any
-    * error or if the stream decodes to more than `cap`. */
+  /** Inflate a raw-deflate stream to exactly `cap` bytes; null on any
+    * error, on truncation, or if the stream decodes to more than
+    * `cap`. The 1-byte probe after the buffer fills serves two cases
+    * the naive fill loop gets wrong: a VALID stream whose terminating
+    * block needs one more inflate() call after the last data byte
+    * (would read as !finished → false negative), and the cap == 0
+    * empty member (a real ZipOutputStream shape — the loop must still
+    * drive the inflater to finished). */
   private def inflateRaw(b: Array[Byte], off: Int, len: Int,
                          cap: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater(true)
     try {
       inf.setInput(b, off, len)
       val out = new Array[Byte](cap)
+      val probe = new Array[Byte](1)
       var n = 0
-      while (n < cap && !inf.finished()) {
-        val k = inf.inflate(out, n, cap - n)
-        if (k == 0 && inf.needsInput()) return null // truncated
+      while (!inf.finished()) {
+        val k =
+          if (n < cap) inf.inflate(out, n, cap - n)
+          else inf.inflate(probe, 0, 1)
+        if (k > 0 && n >= cap) return null // decodes past usize
         n += k
+        if (k == 0 && !inf.finished()) return null // truncated/dict
       }
-      if (!inf.finished() || n != cap) null else out
+      if (n != cap) null else out
     } catch {
       case _: java.util.zip.DataFormatException => null
     } finally inf.end()
@@ -114,35 +124,50 @@ object ZipList {
     }
     if (eocd < 0) return new GenericArrayData(Array.empty[InternalRow])
     val nEntries = le16(b, eocd + 10)
-    var cd = le32(b, eocd + 16).toInt
+    // all 32-bit fields stay LONG until bound-checked against the
+    // blob length — a crafted cd/lfh/csize near 2^31 must flag (or
+    // stop) cleanly, never go negative through toInt and throw
+    var cdL = le32(b, eocd + 16)
     var e = 0
-    while (e < nEntries && cd + 46 <= b.length) {
+    while (e < nEntries && cdL + 46 <= b.length) {
+      val cd = cdL.toInt // safe: cdL + 46 <= b.length < 2^31
       // CDFH signature PK\x01\x02
       if (!(b(cd) == 0x50 && b(cd + 1) == 0x4b && b(cd + 2) == 0x01 &&
         b(cd + 3) == 0x02)) return new GenericArrayData(out.toArray)
       val method = le16(b, cd + 10).toLong
       val crc = le32(b, cd + 16)
-      val csize = le32(b, cd + 20).toInt
-      val usize = le32(b, cd + 24).toInt
+      val csizeL = le32(b, cd + 20)
+      val usizeL = le32(b, cd + 24)
       val nlen = le16(b, cd + 28)
       val xlen = le16(b, cd + 30)
       val clen = le16(b, cd + 32)
-      val lfh = le32(b, cd + 42).toInt
+      val lfhL = le32(b, cd + 42)
       val name =
         if (cd + 46 + nlen <= b.length)
           new String(b, cd + 46, nlen, "UTF-8")
         else ""
+      // decompression-bomb guard: deflate expands at most ~1032x, so
+      // a usize past that bound is structurally a lie — flag it
+      // rather than allocate attacker-chosen memory
+      val usizeSane = usizeL <= 1032L * csizeL + 64L &&
+        usizeL <= Int.MaxValue.toLong
       // follow the LFH to the payload (LFH name/extra lengths are
       // authoritative for the payload offset — they can differ from
       // the CD's, e.g. extra-field-only-in-LFH writers)
       var ok = false
       var psum = 0L
-      if (lfh + 30 <= b.length && b(lfh) == 0x50 && b(lfh + 1) == 0x4b &&
-        b(lfh + 2) == 0x03 && b(lfh + 3) == 0x04) {
+      if (lfhL + 30 <= b.length && usizeSane && {
+        val lfh = lfhL.toInt
+        b(lfh) == 0x50 && b(lfh + 1) == 0x4b &&
+          b(lfh + 2) == 0x03 && b(lfh + 3) == 0x04
+      }) {
+        val lfh = lfhL.toInt
         val lnlen = le16(b, lfh + 26)
         val lxlen = le16(b, lfh + 28)
         val dataOff = lfh + 30 + lnlen + lxlen
-        if (dataOff + csize <= b.length && csize >= 0 && usize >= 0) {
+        if (dataOff.toLong + csizeL <= b.length) {
+          val csize = csizeL.toInt
+          val usize = usizeL.toInt
           val raw: Array[Byte] =
             if (method == 0L) {
               if (csize == usize) {
@@ -164,8 +189,8 @@ object ZipList {
           }
         }
       }
-      out += row(name, method, usize.toLong, ok, if (ok) psum else 0L)
-      cd += 46 + nlen + xlen + clen
+      out += row(name, method, usizeL, ok, if (ok) psum else 0L)
+      cdL += 46L + nlen + xlen + clen
       e += 1
     }
     new GenericArrayData(out.toArray)

@@ -1264,9 +1264,11 @@ object MultimodalQueries {
                CAST(octet_length(encode(text)) AS BIGINT) AS size,
                CAST(48 AS BIGINT) AS typeflag,
                true AS cksum_ok,
-               CAST(list_sum(list_transform(range(1, length(text) + 1),
-                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
-                   AS BIGINT))) AS BIGINT) AS payload_sum
+               CAST(list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> ('0x' || substr(hex(encode(text)),
+                   CAST(2 * i + 1 AS INT), 2))::BIGINT))
+                 AS BIGINT) AS payload_sum
         FROM documents ORDER BY doc_id"""),
       desc = "ustar member walk: octal fields + recomputed header checksum, round-tripped"),
 
@@ -1280,9 +1282,11 @@ object MultimodalQueries {
     // BinaryType blob back. Unmatched blobs fall to the printable-ASCII
     // probe ('text/plain' vs 'application/octet-stream'). The oracle
     // recomputes the expected type from the same arithmetic, with the
-    // bare-text branch REPLAYING the textual magics (GIF/PDF/RIFF can
-    // legitimately appear as leading text; the binary-only magics
-    // cannot occur in a VARCHAR corpus), so the hash stays honest even
+    // bare-text branch REPLAYING the textual magics (GIF/PDF/RIFF/ZIP
+    // can legitimately appear as leading text — ZIP's PK\x03\x04 is
+    // all valid UTF-8 code points; PNG/JPEG/gzip lead-byte sequences
+    // are invalid UTF-8 and cannot occur in a parquet string), so the
+    // hash stays honest even
     // if a document's text itself starts with a magic string.
     "mm_sniff_magic" -> Q(
       fn = (s, dir) => {
@@ -1342,6 +1346,8 @@ object MultimodalQueries {
                      THEN 'image/gif'
                    WHEN substr(text, 1, 5) = '%PDF-'
                      THEN 'application/pdf'
+                   WHEN substr(text, 1, 4) = 'PK' || chr(3) || chr(4)
+                     THEN 'application/zip'
                    WHEN substr(text, 1, 4) = 'RIFF'
                      AND substr(text, 9, 4) = 'WAVE' THEN 'audio/wav'
                    WHEN regexp_matches(text, '^[ -~\t\r\n]*$')
@@ -1378,9 +1384,11 @@ object MultimodalQueries {
                CAST(0 AS BIGINT) AS method,
                CAST(octet_length(encode(text)) AS BIGINT) AS size,
                true AS crc_ok,
-               CAST(list_sum(list_transform(range(1, length(text) + 1),
-                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
-                   AS BIGINT))) AS BIGINT) AS payload_sum
+               CAST(list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> ('0x' || substr(hex(encode(text)),
+                   CAST(2 * i + 1 AS INT), 2))::BIGINT))
+                 AS BIGINT) AS payload_sum
         FROM documents ORDER BY doc_id"""),
       desc = "ZIP member walk: EOCD tail scan + central directory + recomputed CRC-32, round-tripped")
   )

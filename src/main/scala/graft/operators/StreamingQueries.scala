@@ -88,8 +88,8 @@ object StreamingQueries {
       graft.Engine.planToken(df, extra = s"streamsrc4replay$horizonSec")) { d =>
       df.repartitionByRange(4, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(d)
-      val mx = df.agg(max(unix_timestamp(col("ts"))).as("mx"))
-        .head.getLong(0)
+      val mxRow = df.agg(max(unix_timestamp(col("ts"))).as("mx")).head
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
       // margin of 60 s above (mx − horizon) keeps every replay
       // strictly above the final watermark
       df.filter(unix_timestamp(col("ts")) > mx - horizonSec + 60)
@@ -100,10 +100,15 @@ object StreamingQueries {
       parts.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1700000000000L + i * 60000L) }
       val repDir = new java.io.File(d + "__rep")
-      val rep = repDir.listFiles().filter(_.getName.startsWith("part-")).head
-      val tgt = new java.io.File(d, "part-replay.parquet")
-      java.nio.file.Files.move(rep.toPath, tgt.toPath)
-      tgt.setLastModified(1700000000000L + parts.length * 60000L)
+      // an empty replay window (no even event_id in the trailing
+      // horizon) writes no part- file: degrade to plain ordered
+      // delivery rather than crash the build lambda
+      repDir.listFiles().filter(_.getName.startsWith("part-"))
+        .headOption.foreach { rep =>
+          val tgt = new java.io.File(d, "part-replay.parquet")
+          java.nio.file.Files.move(rep.toPath, tgt.toPath)
+          tgt.setLastModified(1700000000000L + parts.length * 60000L)
+        }
       repDir.listFiles().foreach(_.delete()); repDir.delete()
     }
     s.readStream.schema(s.read.parquet(dir).schema)

@@ -149,6 +149,35 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
+  /** Boundary-spanning chop (the pack_chop body, public so ScaleProbe
+    * rides the exact gated pipeline): per-shard concat of the char
+    * stream, chopped at exact `b`-char boundaries with documents
+    * SPANNING chunks. Zero-length docs are dropped (a 0-char doc
+    * occupies no chunk; Spark's sequence() would flip DESCENDING on
+    * the inverted range — the r14 trap class). Returns one row per
+    * (shard, chunk_id) with exact occupancy and span accounting. */
+  def packChop(docsDf: DataFrame, b: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    docsDf
+      .filter(col("n_chars") > 0)
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("cum0", col("cum") - col("n_chars"))
+      .withColumn("c", explode(expr(
+        s"sequence(cum0 div $b, (cum - 1) div $b)")))
+      .groupBy(col("shard"), col("c").as("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cum"), (col("c") + 1) * b) -
+          greatest(col("cum0"), col("c") * b)).as("n_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(when(col("cum0") < col("c") * b, 1L).otherwise(0L))
+          .as("n_spanning"))
+  }
+
   /** 56-bit token hash from the md5 hex prefix (portable). */
   private def tokHash(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
@@ -4001,30 +4030,8 @@ object TextQueries {
     // occupies no chunk; Spark's sequence() would flip DESCENDING on
     // the inverted range — the r14 trap class).
     "pack_chop" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        val b = 2048L
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"shard").orderBy($"doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
-        docs(s, dir)
-          .filter($"n_chars" > 0)
-          .withColumn("shard", $"doc_id" % 8)
-          .withColumn("cum", sum($"n_chars").over(w))
-          .withColumn("cum0", $"cum" - $"n_chars")
-          .withColumn("c", explode(expr(
-            s"sequence(cum0 div $b, (cum - 1) div $b)")))
-          .groupBy($"shard", $"c".as("chunk_id"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(least($"cum", ($"c" + 1) * b) -
-              greatest($"cum0", $"c" * b)).as("n_chars"),
-            min($"doc_id").as("first_doc"),
-            max($"doc_id").as("last_doc"),
-            sum(when($"cum0" < $"c" * b, 1L).otherwise(0L))
-              .as("n_spanning"))
-          .orderBy($"shard", $"chunk_id")
-      },
+      fn = (s, dir) => packChop(docs(s, dir)).orderBy(
+        col("shard"), col("chunk_id")),
       oracle = Some("""
         WITH d AS (
           SELECT doc_id, doc_id % 8 AS shard, n_chars,

@@ -302,7 +302,11 @@ class SqlSurfaceSpec extends SparkSuite {
         .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
         .limit(1).collect()(0)
     }
-    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    // escape backslashes too: Spark SQL string literals process
+    // backslash escapes (escapedStringLiterals=false), so a mined
+    // token containing one would otherwise reach the TVF mangled
+    def q(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     val sqlPh = spark.sql(
       s"SELECT doc_id, n_hits, first_pos, last_pos FROM search_phrase(" +
         s"${q(mined.getString(0))}, ${q(mined.getString(1))}, " +

@@ -70,6 +70,20 @@ class ZipSpec extends SparkSuite {
     assert(rows.forall(_.getBoolean(3)))
   }
 
+  test("empty members parse green — stored AND deflated (cap=0 inflate)") {
+    // a real ZipOutputStream empty DEFLATED entry has csize=2 (the
+    // empty final deflate block) and usize=0: the inflater must still
+    // be driven to finished at cap=0, not reported broken
+    val rows = walk(zipOf(None,
+      ("e1.txt", Array.empty[Byte], false),
+      ("e2.txt", Array.empty[Byte], true),
+      ("x.txt", "x".getBytes("UTF-8"), false)))
+    assert(rows.length === 3)
+    assert(rows.forall(_.getBoolean(3)), s"crc_ok must hold on empties")
+    val e1 = rows.find(_.getString(0) == "e1.txt").get
+    assert(e1.getLong(2) === 0L && e1.getLong(4) === 0L)
+  }
+
   test("payload bit-flip flags ONLY that member; walk continues") {
     val a = "member one payload".getBytes("UTF-8")
     val b = "member two payload".getBytes("UTF-8")
