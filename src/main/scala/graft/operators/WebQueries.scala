@@ -221,6 +221,40 @@ object WebQueries {
         FROM raw GROUP BY url_canon ORDER BY url_canon"""),
       desc = "crawl URL dedup: canonical-key groupBy with min-doc representative"),
 
+    // ── incremental crawl dedup: settled index + batch merge ─────────
+    // The production cadence of web_url_dedup: the settled corpus's
+    // (url_canon → keep_doc, n_docs) index is PERSISTED (materialize
+    // here; a bucketed table at 100 TB) and a day's crawl batch folds
+    // in by pure merge — min(keep) and sum(n) are mergeable, so the
+    // result is EXACTLY the full-corpus dedup (the oracle is the
+    // batch oracle verbatim, minus the non-mergeable distinct-raw
+    // count). Split at doc_id 250 (the text_novelty boundary
+    // convention); only the batch side re-parses URLs at a real
+    // cadence.
+    "web_url_dedup_inc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = canonShared(s, dir)
+        def rollup(df: DataFrame): DataFrame = df
+          .groupBy($"url_canon")
+          .agg(min($"doc_id").as("keep_doc"),
+            count(lit(1)).as("n_docs"))
+        val settled = graft.Engine.materialize(
+          rollup(c.filter($"doc_id" < 250)),
+          key = "url_canon", name = "web_dedup_idx")
+        settled.unionByName(rollup(c.filter($"doc_id" >= 250)))
+          .groupBy($"url_canon")
+          .agg(min($"keep_doc").as("keep_doc"),
+            sum($"n_docs").as("n_docs"))
+          .orderBy($"url_canon")
+      },
+      oracle = Some(ORACLE_PARTS + """
+        SELECT url_canon,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM canon GROUP BY url_canon ORDER BY url_canon"""),
+      desc = "incremental crawl dedup: persisted canon index + mergeable batch fold equals the batch dedup"),
+
     // ── host governance rollup ───────────────────────────────────────
     // Per (registered domain, host): docs, distinct canonical URLs,
     // corpus chars — plus the spam-farm flag the curation pipeline
