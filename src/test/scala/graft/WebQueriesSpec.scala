@@ -81,6 +81,19 @@ class WebQueriesSpec extends SparkSuite {
       "https://a.com/Mixed/Case?Q=V")
   }
 
+  test("canonicalization is idempotent over the whole corpus") {
+    // THE canonicalizer property: a canonical URL re-fed as raw input
+    // must map to itself (no junk left for a second pass to strip).
+    // Checked over every synthesized URL, not a hand-picked sample.
+    val c1 = graft.operators.WebQueries.canonicalized(
+      graft.operators.WebQueries.withRawUrl(
+        spark.read.parquet(sf() + "/documents.parquet")))
+      .select($"url_canon")
+    val c2 = graft.operators.WebQueries.canonicalized(
+      c1.withColumnRenamed("url_canon", "url_raw"))
+    assert(c2.filter($"url_canon" =!= $"url_raw").count() === 0L)
+  }
+
   test("synthesized corpus: distinct raws collide on canon groups") {
     val df = graft.operators.WebQueries.canonicalized(
       graft.operators.WebQueries.withRawUrl(
