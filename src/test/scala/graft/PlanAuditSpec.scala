@@ -516,4 +516,23 @@ class PlanAuditSpec extends SparkSuite {
       s"long_dot Project not codegen'd:\n$p")
     assert(df.agg(sum($"n")).collect().head.getLong(0) > 0)
   }
+  test("web family: rules dim broadcasts; canonicalizer prunes the scan") {
+    // the 19-host robots rule table is bounded at any SF — the join
+    // must stay broadcast, never re-partition the URL side
+    val pr = plan(SparkEntry.queries("web_robots")(spark, sf()))
+    assert(pr.contains("BroadcastHashJoin"),
+      s"robots rules must broadcast:\n$pr")
+    assert(!pr.contains("SortMergeJoin"),
+      s"robots rules must not sort-merge:\n$pr")
+    // the 20-derived-column synthesis + parse chain must not defeat
+    // column pruning: selecting only the canonical URL reads ONLY
+    // doc_id from the parquet scan (text/lang/source never load)
+    val df = graft.operators.WebQueries.canonicalized(
+      graft.operators.WebQueries.withRawUrl(
+        Sources.table(spark, sf(), "documents")))
+      .select($"doc_id", $"url_canon")
+    val pp = plan(df)
+    assert(pp.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"canonicalizer scan must prune to doc_id:\n$pp")
+  }
 }
