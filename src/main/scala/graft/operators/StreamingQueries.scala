@@ -82,7 +82,7 @@ object StreamingQueries {
     * (originals' max ts minus the dedup delay), so the duplicate is
     * ADMITTED by the late filter and must be dropped by CROSS-BATCH
     * dedup state — the mechanism under test, not late-drop. */
-  private def streamOfReplayed(s: SparkSession, df: DataFrame,
+  private[graft] def streamOfReplayed(s: SparkSession, df: DataFrame,
                                horizonSec: Long): DataFrame = {
     val dir = graft.Engine.sharedDir(s,
       graft.Engine.planToken(df, extra = s"streamsrc4replay$horizonSec")) { d =>

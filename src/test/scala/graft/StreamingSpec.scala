@@ -780,4 +780,34 @@ class StreamingSpec extends SparkSuite {
       assert(o.span_s === expect(uid).getLong(2))
     }
   }
+
+  test("streamOfReplayed genuinely re-delivers rows (stream_dedup not vacuous)") {
+    // the gate's exactly-once claim is only as strong as the replay:
+    // if the trailing-horizon file were ever empty (the guarded
+    // degrade path), the dedup gate would pass without testing
+    // cross-batch state. Pin that the source delivers MORE rows than
+    // the base table, that every duplicate is an even event_id from
+    // the replay rule, and that the copies are byte-identical.
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Sources.table(spark, sf(), "events")
+      .select(timestamp_seconds(unix_timestamp($"ts")).as("ts"),
+        $"event_id", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+    val src = graft.operators.StreamingQueries
+      .streamOfReplayed(spark, ev, horizonSec = 7200L)
+    val q = src.writeStream.outputMode("append")
+      .format("memory").queryName("replay_probe").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("replay_probe")
+    val base = ev.count()
+    assert(streamed.count() > base,
+      s"replay must add rows: streamed=${streamed.count()} base=$base")
+    val dups = streamed.groupBy($"event_id")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1)
+    assert(dups.count() > 0L, "duplicate event_ids must exist")
+    assert(dups.filter($"event_id" % 2 =!= 0).count() === 0L,
+      "only even event_ids are replayed")
+    assert(streamed.distinct().count() === base,
+      "replays must be byte-identical copies")
+  }
 }
