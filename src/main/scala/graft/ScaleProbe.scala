@@ -528,6 +528,8 @@ object ScaleProbe {
       },
       "negative_sample" -> { k =>
         // the registered sample_negative shape scaled by customers
+        // (draw_mod64 splitmix draws, matching the r15 rewrite)
+        graft.functions.DrawMod64.register(spark)
         val pos = Sources.table(spark, sfDir, "lineitem")
           .join(Sources.table(spark, sfDir, "orders")
               .filter(col("o_custkey") % k === 0),
@@ -538,11 +540,10 @@ object ScaleProbe {
           .agg(countDistinct(col("s_suppkey")).as("n_items"))
         pos.crossJoin(broadcast(n))
           .select(col("cust"), col("item"),
-            explode(expr("sequence(0, 3)")).as("di"), col("n_items"))
+            explode(expr("array(0L, 1L, 2L, 3L)")).as("di"), col("n_items"))
           .withColumn("neg", expr(
-            "CAST(conv(substring(md5(concat(CAST(cust AS STRING), ':', " +
-              "CAST(item AS STRING), ':', CAST(di AS STRING))), 1, 8), " +
-              "16, 10) AS BIGINT) % n_items"))
+            "draw_mod64(CAST(cust AS BIGINT), CAST(item AS BIGINT), " +
+              "di, n_items)"))
           .join(pos.select(col("cust"), col("item").as("neg")),
             Seq("cust", "neg"), "left_anti")
       },

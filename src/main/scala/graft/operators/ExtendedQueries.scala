@@ -661,23 +661,27 @@ object ExtendedQueries {
     // ── negative sampling for recommender/contrastive training ──────
     // The training-pair generator beside search_hardneg's text form:
     // per observed (customer, supplier) interaction, 4 deterministic
-    // md5-draw negatives over the item space, REJECTING draws that
+    // draw negatives over the item space, REJECTING draws that
     // collide with ANY of the user's true positives (the standard
     // rejection step — a "negative" the user actually interacted
     // with would poison the loss). Draws are pure per-row hashes
     // (reproducible on any engine/partitioning); the rejection is one
     // (user, item) equi anti-join against the positives — no RNG, no
     // driver state, and the item-count is a broadcast 1-row frame.
-    // The draw hash goes through the native md5_prefix_long codegen
-    // expression — the composed conv(substring(md5(...))) form
-    // allocates a 32-char hex string and re-parses it per draw, and
-    // this query evaluates 2.2M draws (measured 4.4 -> 2.9 s full-run
-    // after the swap; the DuckDB twin keeps the composed idiom,
-    // MdPrefixSpec pins value equality).
+    // The draw is the native draw_mod64 splitmix expression — four
+    // longs in, one long out, zero heap allocation per draw. The
+    // previous md5_prefix_long(concat(CAST...)) form still allocated a
+    // draw-key STRING per draw (2.2M of them) as md5 input, and the
+    // driver bench of record spiked ≥3x on it in two of three rounds
+    // (14.9 s r14 / 16.3 s r10) — per-draw allocation on a fragmented
+    // full-run heap, adjudicated in PERF.md round-15. The DuckDB twin
+    // computes the IDENTICAL mix in exact HUGEINT mod-2^64 arithmetic
+    // (DrawMod64Sql renders the chain — no strings, no md5, no
+    // floats); DrawModSpec pins the cross-engine value equality.
     "sample_negative" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        graft.functions.Md5PrefixLong.register(s)
+        graft.functions.DrawMod64.register(s)
         val pos = t(s, dir, "lineitem")
           .join(t(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
@@ -687,28 +691,32 @@ object ExtendedQueries {
           .agg(countDistinct($"s_suppkey").as("n_items"))
         val draws = pos.crossJoin(broadcast(nItems))
           .select($"cust", $"item",
-            explode(expr("sequence(0, 3)")).as("draw_idx"), $"n_items")
+            explode(expr("array(0L, 1L, 2L, 3L)")).as("draw_idx"), $"n_items")
           .withColumn("neg_item", expr(
-            "md5_prefix_long(concat(CAST(cust AS STRING), ':', " +
-              "CAST(item AS STRING), ':', CAST(draw_idx AS STRING)), " +
-              "8) % n_items"))
+            "draw_mod64(CAST(cust AS BIGINT), CAST(item AS BIGINT), " +
+              "draw_idx, n_items)"))
         draws.join(pos.select($"cust", $"item".as("neg_item")),
             Seq("cust", "neg_item"), "left_anti")
           .select($"cust", $"item".as("pos_item"), $"draw_idx", $"neg_item")
           .orderBy($"cust", $"pos_item", $"draw_idx")
       },
-      oracle = Some("""
-        WITH pos AS (
+      oracle = Some(s"""
+        WITH pos AS MATERIALIZED (
           SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS item
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         n AS (SELECT count(DISTINCT s_suppkey) AS n_items FROM supplier),
+        base AS (
+          SELECT p.cust, p.item, CAST(d.d AS BIGINT) AS draw_idx,
+                 n.n_items,
+                 CAST(p.cust AS BIGINT) AS a, CAST(p.item AS BIGINT) AS b,
+                 CAST(d.d AS BIGINT) AS c
+          FROM pos p CROSS JOIN n CROSS JOIN range(0, 4) d(d)),
+        ${graft.functions.DrawMod64Sql.draws("base", "mx", "a", "b", "c",
+            "cust, item, draw_idx, n_items")},
         draws AS (
-          SELECT p.cust, p.item, d.d AS draw_idx,
-                 ('0x' || substring(md5(CAST(p.cust AS VARCHAR) || ':' ||
-                    CAST(p.item AS VARCHAR) || ':' ||
-                    CAST(d.d AS VARCHAR)), 1, 8))::BIGINT
-                   % n.n_items AS neg_item
-          FROM pos p CROSS JOIN n CROSS JOIN range(0, 4) d(d))
+          SELECT cust, item, draw_idx,
+                 CAST(h % n_items AS BIGINT) AS neg_item
+          FROM mx5)
         SELECT dr.cust, dr.item AS pos_item, dr.draw_idx, dr.neg_item
         FROM draws dr
         WHERE NOT EXISTS (

@@ -99,6 +99,65 @@ object MultimodalQueries {
         element_at(col("d"), 8).as("last_px"))
   }
 
+  /** Synthesize a fully VALID GIF89a per document IN SQL (logical
+    * screen descriptor, 128-entry global color table, a graphic-
+    * control and a comment extension walked through their real
+    * sub-block framing, image descriptor, LZW-coded pixel data split
+    * across ≤3-byte sub-blocks) and decode it back through
+    * [[graft.functions.GifDecode]] — the mm_decode_gif body, public
+    * so ScaleProbe can ride it.
+    *
+    * The synthesized stream is the CLEAR-then-literals LZW form
+    * (min-code 7 ⇒ every code is exactly one 8-bit byte for up to
+    * 126 pixels — valid output any decoder must accept), which keeps
+    * the synthesis pure hex-concat SQL; the decoder itself is the
+    * full variable-width algorithm, and its dictionary/KwKwK/width-
+    * growth paths are exercised in GifSpec against a real test-side
+    * LZW compressor. Returns (doc_id, fmt_ok, width, height, gct_n,
+    * palette_sum, n_px, sum_idx, first_idx, last_idx). */
+  def gifRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.GifDecode.register(docsDf.sparkSession)
+    // palette entry i = (i, 255-i, 7i mod 256): readable back as a
+    // pure-integer palette_sum, so the gate proves the color table
+    // bytes were genuinely consumed
+    val palette = "concat_ws('', transform(sequence(0, 127), i -> " +
+      "concat(lpad(hex(i), 2, '0'), lpad(hex(255 - i), 2, '0'), " +
+      "lpad(hex(i * 7 % 256), 2, '0'))))"
+    val pxHex = "concat_ws('', transform(sequence(0, w * h - 1), j -> " +
+      "lpad(hex(CAST(conv(substr(ph, 2 * j + 1, 2), 16, 10) AS BIGINT) " +
+      "% 128), 2, '0')))"
+    docsDf
+      .withColumn("w", col("doc_id") % 3 + 2)
+      .withColumn("h", col("doc_id") % 2 + 2)
+      .withColumn("ph", sha2(col("text"), 256))
+      // codes: CLEAR(0x80), one literal byte per pixel, END(0x81) —
+      // dict grows 130..141, far below the 256 width-bump threshold
+      .withColumn("codehex", expr(s"concat('80', $pxHex, '81')"))
+      .withColumn("cl", expr("w * h + 2"))
+      // re-chunk into 3-byte sub-blocks: len byte + payload, then 0
+      .withColumn("subbed", expr(
+        "concat(concat_ws('', transform(sequence(0, (cl + 2) div 3 - 1), " +
+          "k -> concat(lpad(hex(least(3, cl - 3 * k)), 2, '0'), " +
+          "substr(codehex, 6 * k + 1, 6)))), '00')"))
+      .withColumn("gif", expr(
+        s"""concat('474946383961', ${leHex("w", 2)}, ${leHex("h", 2)},
+           'F60000', $palette,
+           '21F9040000000000', '21FE03676966' || '00',
+           '2C', '00000000', ${leHex("w", 2)}, ${leHex("h", 2)}, '00',
+           '07', subbed, '3B')""".stripMargin.replaceAll("\n\\s*", " ")))
+      .withColumn("d", expr("gif_decode(unhex(gif))"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("fmt_ok"),
+        element_at(col("d"), 2).as("width"),
+        element_at(col("d"), 3).as("height"),
+        element_at(col("d"), 4).as("gct_n"),
+        element_at(col("d"), 5).as("palette_sum"),
+        element_at(col("d"), 6).as("n_px"),
+        element_at(col("d"), 7).as("sum_idx"),
+        element_at(col("d"), 8).as("first_idx"),
+        element_at(col("d"), 9).as("last_idx"))
+  }
+
   /** Synthesize a valid single-member STORED zip per document IN SQL
     * (real little-endian fields via [[leHex]], real CRC-32 via the
     * crc32 built-in) and walk it back through
@@ -1104,6 +1163,42 @@ object MultimodalQueries {
                  AS last_px
         FROM pg ORDER BY doc_id"""),
       desc = "REAL PNG decode: CRC-verified chunk walk + zlib inflate + Sub-filter reconstruction"),
+
+    // ── REAL GIF decode: LZW + palette, the codec trio's third leg ──
+    // gifRoundtrip synthesizes a fully valid GIF89a per doc (global
+    // color table, two extensions, 3-byte sub-block framing) and
+    // decodes through the native full-LZW expression; the oracle
+    // recomputes every field container-free from the sha pixels and
+    // the palette arithmetic — the hash proves the encode→decode
+    // round trip including the color-table readout. Dictionary-
+    // growth/KwKwK/width-bump decoding and 9 malformed classes live
+    // in GifSpec (a real LZW compressor is test-side only).
+    "mm_decode_gif" -> Q(
+      fn = (s, dir) =>
+        gifRoundtrip(docs(s, dir)).orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH pg AS (
+          SELECT doc_id,
+                 doc_id % 3 + 2 AS w,
+                 doc_id % 2 + 2 AS h,
+                 sha256(text) AS ph
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS fmt_ok,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(128 AS BIGINT) AS gct_n,
+               CAST(list_sum(list_transform(range(0, 128), i ->
+                 255 + (i * 7) % 256)) AS BIGINT) AS palette_sum,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(list_sum(list_transform(range(0, w * h), j ->
+                 ('0x' || substr(ph, 2 * j + 1, 2))::BIGINT % 128))
+                 AS BIGINT) AS sum_idx,
+               ('0x' || substr(ph, 1, 2))::BIGINT % 128 AS first_idx,
+               ('0x' || substr(ph, 2 * (w * h - 1) + 1, 2))::BIGINT % 128
+                 AS last_idx
+        FROM pg ORDER BY doc_id"""),
+      desc = "REAL GIF decode: header/color-table walk + full variable-width LZW, round-tripped"),
 
     // ── REAL gzip decode: the decompress-on-ingest operator ─────────
     // At 100 TB the corpus ARRIVES gzip-compressed; `gunzip` is the
