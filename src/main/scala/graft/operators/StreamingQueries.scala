@@ -56,10 +56,21 @@ object StreamingQueries {
     * unordered [[streamOf]] stays the right harness for the
     * complete-mode sketch twins, which must be replay/out-of-order
     * immune by construction. */
-  private def streamOfOrdered(s: SparkSession, df: DataFrame): DataFrame = {
+  private def streamOfOrdered(s: SparkSession, df: DataFrame): DataFrame =
+    streamOfOrderedBy(s, df, Seq(col("ts"), col("event_id")),
+      "streamsrc4ord")
+
+  /** [[streamOfOrdered]] with a caller-chosen total order — needed
+    * when the DOWNSTREAM fold's tie-break must match the delivery
+    * order (stream_topk's SpaceSaving fold ties on (ts, user_id), so
+    * its files must range-partition on exactly that; the default
+    * (ts, event_id) split could land two same-second events in files
+    * whose order disagrees with the fold's user_id tie-break). */
+  private def streamOfOrderedBy(s: SparkSession, df: DataFrame,
+      ord: Seq[org.apache.spark.sql.Column], tag: String): DataFrame = {
     val dir = graft.Engine.sharedDir(s,
-      graft.Engine.planToken(df, extra = "streamsrc4ord")) { d =>
-      df.repartitionByRange(4, col("ts"), col("event_id"))
+      graft.Engine.planToken(df, extra = tag)) { d =>
+      df.repartitionByRange(4, ord: _*)
         .write.mode("overwrite").parquet(d)
       // FileStreamSource orders new files by (mtime, path): pin BOTH
       // so "file i = micro-batch i" holds on any filesystem mtime
@@ -778,11 +789,10 @@ object StreamingQueries {
     // bucket) counters over md5-derived buckets), so the frequency
     // member of the mergeable-sketch family hash-gates exactly like
     // stream_hll_users — DuckDB recomputes every counter from the
-    // same md5 arithmetic. (The quantile member, ddsketchPartials,
-    // deliberately stays spec-only: its bucket index is
-    // ceil(ln|x|/ln γ), and a cross-engine float-log twin can flip on
-    // bucket boundaries — the float-in-hash-gate class the repo
-    // bans.) A far-future sentinel flushes every real day.
+    // same md5 arithmetic. (The quantile member gates as
+    // stream_ddsketch below via exact-rational boundaries; the
+    // float-log form ddsketchPartialsStream stays spec-only.) A
+    // far-future sentinel flushes every real day.
     "stream_cms_freq" -> Q(
       fn = (s, dir) => withStatePartitions(s, 8) {
         val ev = Sources.table(s, dir, "events")
@@ -815,6 +825,125 @@ object StreamingQueries {
                CAST(count(*) AS BIGINT) AS cnt
         FROM x GROUP BY day_s, r, bucket
         ORDER BY day_s, r, bucket"""),
-      desc = "streaming CMS partials: integer md5-bucket counters equal the batch recompute")
+      desc = "streaming CMS partials: integer md5-bucket counters equal the batch recompute"),
+
+    // ── streaming SpaceSaving top-k ≡ DuckDB sequential fold ─────────
+    // heavyHittersStream's per-day 8-counter SpaceSaving summary,
+    // EVICTIONS INCLUDED, under the hash gate. A SpaceSaving summary
+    // is a function of ARRIVAL ORDER, so the gate first makes that
+    // order a total, engine-independent one: the source range-
+    // partitions on (ts, user_id) — the same tie-break the fold uses
+    // within each trigger — so the global fold order is exactly the
+    // (es, user_id) sort; the oracle then REPLAYS the fold itself in
+    // DuckDB (list(user ORDER BY es, user) folded through list_reduce
+    // with the counter list as the accumulator: increment / insert
+    // below capacity / evict-min with inherited error). sf0.01 runs
+    // ~330 events/day over 150 users against 8 counters — eviction
+    // churn dominates, so the hash proves the eviction rule, not just
+    // plumbing. The far-future sentinel closes every real day; its
+    // own day never times out. (DuckDB 1.0 trap, recorded: a STRUCT
+    // wrapper around the accumulator list silently breaks list_reduce
+    // accumulation — keep the state a bare LIST<STRUCT>.)
+    "stream_topk" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        import s.implicits._
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("user_id").cast("long").as("user_id"))
+        val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sent = mx.select(
+          timestamp_seconds(col("mx") + lit(86400L * 60)).as("ts"),
+          lit(-1L).as("user_id"))
+        val src = streamOfOrderedBy(s, ev.unionByName(sent),
+          Seq(col("ts"), col("user_id")), "streamsrc4ordu")
+        drain(s,
+          StreamingModels.heavyHittersStream(
+            src.as[StreamingModels.HHEvt], k = 8).toDF(),
+          "sq_topk", mode = "append")
+          .select(col("day_i"), col("rank").cast("long").as("rank"),
+            col("user_id"), col("est"), col("err"))
+          .orderBy(col("day_i"), col("rank"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_us(ts)//1000000 AS es, user_id FROM events),
+        d AS (
+          SELECT es//86400 AS day_i,
+                 list_transform(list(user_id ORDER BY es, user_id), u ->
+                   [{'c': CAST(1 AS BIGINT), 'u': CAST(u AS BIGINT),
+                     'e': CAST(0 AS BIGINT)}]) AS xs
+          FROM e GROUP BY es//86400),
+        f AS (
+          SELECT day_i, list_reduce(xs, (acc, x) -> CASE
+            WHEN len(list_filter(acc, s -> s.u = x[1].u)) > 0
+              THEN list_transform(acc, s ->
+                     CASE WHEN s.u = x[1].u
+                          THEN {'c': s.c + 1, 'u': s.u, 'e': s.e}
+                          ELSE s END)
+            WHEN len(acc) < 8
+              THEN list_append(acc, x[1])
+            ELSE list_append(
+                   list_filter(acc, s -> s <> list_sort(acc)[1]),
+                   {'c': list_sort(acc)[1].c + 1, 'u': x[1].u,
+                    'e': list_sort(acc)[1].c})
+            END) AS fin
+          FROM d),
+        x AS (SELECT day_i, unnest(fin) AS s FROM f)
+        SELECT day_i, rank, user_id, est, err
+        FROM (
+          SELECT day_i, s.u AS user_id, s.c AS est, s.e AS err,
+                 row_number() OVER (PARTITION BY day_i
+                   ORDER BY s.c DESC, s.u) AS rank
+          FROM x)
+        ORDER BY day_i, rank"""),
+      desc = "streaming SpaceSaving top-k: eviction-exact summary equals the DuckDB sequential fold"),
+
+    // ── streaming DDSketch partials ≡ batch integer range join ───────
+    // The QUANTILE member of the mergeable-sketch family, gated
+    // WITHOUT the float-log risk that kept it spec-only: γ = 21/19 is
+    // rational, so DdBuckets precomputes exact BigInt boundaries and
+    // both engines assign buckets by integer range join over the SAME
+    // 277-row table (see ddsketchPartialsStreamExact's scaladoc).
+    // What is hashed is the full per-(day, type, sgn, bucket) integer
+    // histogram — the sketch's entire persisted state; quantile
+    // readout is a documented float epilogue, as for HLL/KMV.
+    "stream_ddsketch" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("event_type"), col("value"))
+        val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        val sent = mx.select(
+          timestamp_seconds(col("mx") + lit(86400L * 60)).as("ts"),
+          lit(-1L).as("event_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        val src = streamOfOrdered(s, ev.unionByName(sent))
+        drain(s, StreamingModels.ddsketchPartialsStreamExact(src),
+          "sq_ddsketch", mode = "append")
+          .select(unix_timestamp(col("day_start")).as("day_s"),
+            col("event_type"), col("sgn"), col("idx"), col("freq"))
+          .orderBy(col("day_s"), col("event_type"), col("sgn"),
+            col("idx"))
+      },
+      oracle = Some(s"""
+        WITH b AS (${graft.functions.DdBuckets.valuesSql}),
+        e AS (
+          SELECT epoch_us(ts)//1000000 AS es, event_type,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events),
+        x AS (
+          SELECT (es//86400)*86400 AS day_s, event_type,
+                 CAST(sign(cents) AS BIGINT) AS sgn,
+                 abs(cents) AS ab
+          FROM e),
+        j AS (
+          SELECT day_s, event_type, sgn,
+                 CASE WHEN sgn = 0 THEN 0 ELSE b.bidx END AS idx
+          FROM x LEFT JOIN b ON x.ab > b.lo AND x.ab <= b.hi)
+        SELECT day_s, event_type, sgn, CAST(idx AS BIGINT) AS idx,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM j GROUP BY day_s, event_type, sgn, idx
+        ORDER BY day_s, event_type, sgn, idx"""),
+      desc = "streaming DDSketch histogram: exact-rational bucket boundaries, no float on either engine")
   )
 }

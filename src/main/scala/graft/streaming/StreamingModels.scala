@@ -470,6 +470,44 @@ object StreamingModels {
         col("sgn"), col("idx"), col("freq"))
   }
 
+  /** [[ddsketchPartialsStream]] with the bucket index decided by
+    * EXACT integer comparison instead of `ceil(ln v / ln γ)` — the
+    * form that is hash-gatable (`stream_ddsketch`). γ = 21/19
+    * (α = 0.05) is rational, so [[graft.functions.DdBuckets]]
+    * precomputes the integer boundaries t_i = floor(21^i/19^i) once
+    * in BigInt, and the per-row assignment is a broadcast
+    * stream-STATIC range join `lo < |cents| ≤ hi` — a 277-row
+    * planning-scale dimension, re-planned per micro-batch with zero
+    * join state (the enrichedCounts shape). No float appears on
+    * either engine; the DuckDB twin range-joins the SAME rendered
+    * table, so a hash match proves the whole histogram, not a
+    * float's luck. Quantile extraction from the bucket midpoints
+    * 2γ^i/(γ+1) stays a documented float EPILOGUE over the gated
+    * integer state, exactly like the HLL/KMV readouts. Merge/replay
+    * semantics are [[ddsketchPartialsStream]]'s (bucket freqs ADD;
+    * state is one long per open (day, type, bucket), watermark-
+    * evicted). */
+  def ddsketchPartialsStreamExact(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val boundsDf = broadcast(
+      graft.functions.DdBuckets.bounds.toDF("bidx", "lo", "hi"))
+    events
+      .withWatermark("ts", "1 day")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("sgn", signum(col("cents")).cast("long"))
+      .withColumn("ab", abs(col("cents")))
+      .join(boundsDf,
+        col("ab") > col("lo") && col("ab") <= col("hi"), "left_outer")
+      .withColumn("idx",
+        when(col("sgn") === 0, lit(0L)).otherwise(col("bidx")))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        col("sgn"), col("idx"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("sgn"), col("idx"), col("freq"))
+  }
+
   /** Hopping (sliding) windowed counts — 10-minute windows advancing
     * every 5, the overlapping-window form of [[bucketCounts]] and the
     * streaming twin of the batch `f_hopping` query. Each event lands
