@@ -32,7 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * with `payload_sum = 0` and the walk CONTINUES to the next CD entry
   * (central-directory entries are independent — unlike tar, one bad
   * member doesn't hide the rest). A blob with no EOCD returns an
-  * empty array. NULL input stays NULL. */
+  * empty array. NULL input stays NULL.
+  *
+  * Member names are decoded as UTF-8 UNCONDITIONALLY — the
+  * general-purpose bit 11 (EFS) flag is not consulted, so a legacy
+  * CP437-named archive yields mojibake names (payload walk, sizes
+  * and CRC checks are unaffected; every modern writer, including
+  * `ZipOutputStream`, emits UTF-8). Branch on the CDFH flags at
+  * cd+8 if pre-Unicode archives ever matter. */
 case class ZipList(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes()

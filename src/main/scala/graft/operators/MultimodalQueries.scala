@@ -1381,8 +1381,13 @@ object MultimodalQueries {
     // can legitimately appear as leading text — ZIP's PK\x03\x04 is
     // all valid UTF-8 code points; PNG/JPEG/gzip lead-byte sequences
     // are invalid UTF-8 and cannot occur in a parquet string), so the
-    // hash stays honest even
-    // if a document's text itself starts with a magic string.
+    // hash stays honest even if a document's text itself starts with
+    // a magic string. The TWO-offset RIFF/WAVE replay probes
+    // hex(encode(text)) pairs — byte offsets, like the Spark side —
+    // because substr(text, 9, 4) counts CHARS and a non-ASCII char
+    // among the first 8 would shift it (the r14 byte-vs-char lesson;
+    // the single-offset magics are prefix checks, where char prefix
+    // equality IS byte prefix equality).
     "mm_sniff_magic" -> Q(
       fn = (s, dir) => {
         import s.implicits._
@@ -1443,8 +1448,9 @@ object MultimodalQueries {
                      THEN 'application/pdf'
                    WHEN substr(text, 1, 4) = 'PK' || chr(3) || chr(4)
                      THEN 'application/zip'
-                   WHEN substr(text, 1, 4) = 'RIFF'
-                     AND substr(text, 9, 4) = 'WAVE' THEN 'audio/wav'
+                   WHEN substr(hex(encode(text)), 1, 8) = '52494646'
+                     AND substr(hex(encode(text)), 17, 8) = '57415645'
+                     THEN 'audio/wav'
                    WHEN regexp_matches(text, '^[ -~\t\r\n]*$')
                      THEN 'text/plain'
                    ELSE 'application/octet-stream' END

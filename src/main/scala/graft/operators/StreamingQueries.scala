@@ -92,7 +92,16 @@ object StreamingQueries {
     * later trigger, its event time is still above the watermark
     * (originals' max ts minus the dedup delay), so the duplicate is
     * ADMITTED by the late filter and must be dropped by CROSS-BATCH
-    * dedup state — the mechanism under test, not late-drop. */
+    * dedup state — the mechanism under test, not late-drop.
+    *
+    * COUPLING CONTRACT: the downstream dedup's watermark delay must
+    * be ≥ `horizonSec` (the gate passes delay = horizon = 2 h). The
+    * admission margin (`ts > mx − horizon + 60`) only guarantees the
+    * replays sit above the FINAL watermark `mx − delay` under that
+    * inequality; a caller with delay < horizon would see originals'
+    * key state expire before their replays arrive and the "dropped
+    * duplicate" become a re-emit — a true statement about
+    * at-least-once semantics, but not what this harness gates. */
   private[graft] def streamOfReplayed(s: SparkSession, df: DataFrame,
                                horizonSec: Long): DataFrame = {
     val dir = graft.Engine.sharedDir(s,

@@ -406,13 +406,113 @@ object WebQueries {
                CAST(count(*) AS BIGINT) AS n_links,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM h GROUP BY tgt_host ORDER BY tgt_host"""),
-      desc = "outlink extraction: absolute hrefs parsed from markup, rolled up per target host")
+      desc = "outlink extraction: absolute hrefs parsed from markup, rolled up per target host"),
+
+    // ── block-level boilerplate removal (jusText/trafilatura shape) ──
+    // The stage every crawl build runs between extraction and
+    // cleaning: segment the page into BLOCKS, score each by pure
+    // integer metrics (text chars, anchor-text chars, link density in
+    // ppm), and classify content vs boilerplate by thresholds
+    // (jusText's core heuristic: long low-link-density blocks are
+    // content). The fn builds a 3-4 block page per doc (nav, the main
+    // <p>, an even-doc promo <p> with an inline link, footer) and
+    // runs a REAL regex segmentation + per-block scoring; the oracle
+    // recomputes every block row from first principles (nav/footer
+    // metrics are constants of the wrapper, promo metrics are doc_id
+    // arithmetic, the main block's come from length(text)). The
+    // 50-char content floor genuinely binds: the corpus's shortest
+    // docs (48 chars at sf0.01) classify as boilerplate while the
+    // rest pass — so the hash proves the threshold, not a constant.
+    // Corpus assumption (spec-pinned in WebQueriesSpec): document
+    // text contains no '<', so the segmentation and link regexes see
+    // only the wrapper's own markup. 100 TB posture: stateless
+    // per-row regex work, no shuffle at all before the final sort.
+    "web_boilerplate" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        htmlBlocked(docs(s, dir))
+          .select($"doc_id", posexplode(expr(
+            "regexp_extract_all(html, " +
+              "'<(nav|p|footer)>(?s:.*?)</\\\\1>', 0)")))
+          .withColumnRenamed("pos", "block_idx")
+          .withColumn("tag",
+            regexp_extract($"col", "^<([a-z]+)>", 1))
+          .withColumn("inner",
+            regexp_replace($"col", "<[^>]*>", ""))
+          .withColumn("text_chars", length($"inner").cast("long"))
+          .withColumn("link_chars", expr(
+            "aggregate(transform(regexp_extract_all(col, " +
+              "'<a [^>]*>((?s:.*?))</a>', 1), x -> " +
+              "CAST(length(x) AS BIGINT)), 0L, (a, v) -> a + v)"))
+          .withColumn("density_ppm",
+            expr("link_chars * 1000000L div greatest(text_chars, 1L)"))
+          .withColumn("is_content",
+            $"text_chars" >= 50L && $"density_ppm" <= 200000L)
+          .select($"doc_id", $"block_idx".cast("long").as("block_idx"),
+            $"tag", $"text_chars", $"link_chars", $"density_ppm",
+            $"is_content")
+          .orderBy($"doc_id", $"block_idx")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id, 0 AS block_idx, 'nav' AS tag,
+                 12 AS text_chars, 9 AS link_chars,
+                 750000 AS density_ppm, false AS is_content
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'p', length(text), 0, 0,
+                 length(text) >= 50
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'p',
+                 24 + length(CAST(doc_id % 19 AS VARCHAR)),
+                 5 + length(CAST(doc_id % 19 AS VARCHAR)),
+                 (5 + length(CAST(doc_id % 19 AS VARCHAR))) * 1000000
+                   // (24 + length(CAST(doc_id % 19 AS VARCHAR))),
+                 false
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END,
+                 'footer', 8, 0, 0, false
+          FROM documents)
+        SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, tag,
+               CAST(text_chars AS BIGINT) AS text_chars,
+               CAST(link_chars AS BIGINT) AS link_chars,
+               CAST(density_ppm AS BIGINT) AS density_ppm, is_content
+        FROM b ORDER BY doc_id, block_idx"""),
+      desc = "block-level boilerplate classification: integer text-density segmentation, jusText shape")
   )
+
+  /** documents + a multi-BLOCK page per doc for the boilerplate
+    * classifier: nav (pure link bar), the text as the main <p>, an
+    * even-doc promo <p> with an inline link (short + linky — the
+    * canonical boilerplate shape), footer. Block metrics are all
+    * first-principles computable: nav/footer are wrapper constants,
+    * promo is doc_id%19 digit arithmetic, main is length(text). */
+  private[graft] def htmlBlocked(df: DataFrame): DataFrame = df
+    .withColumn("k", col("doc_id") % 19)
+    .withColumn("promo", expr(
+      "CASE WHEN doc_id % 2 = 0 THEN concat(" +
+        "'<p>Read more on <a href=\"https://site-', k, " +
+        "'.example.com/\">site ', k, '</a> today</p>') ELSE '' END"))
+    .withColumn("html", concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title></head><body><nav><a href=\"/\">Home</a> | " +
+        "<a href=\"/about\">About</a></nav><p>"),
+      col("text"), lit("</p>"), col("promo"),
+      lit("<footer>(c) 2026</footer></body></html>")))
 
   /** documents + a full synthesized HTML page per doc: head/title,
     * nav boilerplate (relative links), the text as the single <p>
     * body, doc_id%3 absolute outlinks with mod-arithmetic targets,
-    * footer. Shared by web_html_text and web_links. */
+    * footer. Shared by web_html_text and web_links.
+    *
+    * CORPUS ASSUMPTION (spec-pinned in WebQueriesSpec): document
+    * text contains no '<' — the extraction/link regexes scan the
+    * whole page, so a text containing '</p>' or '<a href=' would
+    * diverge from the first-principles oracles (the r14 ADVICE
+    * observation). The pin is a spec, not a filter, so a future
+    * corpus change fails loudly instead of silently. */
   private[graft] def htmlWrapped(df: DataFrame): DataFrame = df
     .withColumn("nl", col("doc_id") % 3)
     .withColumn("linkshtml", expr(

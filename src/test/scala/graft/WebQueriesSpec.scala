@@ -107,4 +107,32 @@ class WebQueriesSpec extends SparkSuite {
     // canonical space is bounded by the mod-19/23/7 construction
     assert(nCanon <= 19L * 23 * 7)
   }
+
+  test("corpus assumption pin: document text is ASCII with no '<'") {
+    // The html-family oracles (web_html_text / web_links /
+    // web_boilerplate) compute link counts and block metrics from
+    // first principles, which is sound only while the corpus text
+    // cannot inject markup of its own or change the char-vs-byte
+    // length relation. Fail LOUDLY if a testdata change breaks that.
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    assert(d.filter($"text".contains("<")).count() === 0L)
+    assert(d.filter(octet_length($"text") =!= length($"text"))
+      .count() === 0L)
+  }
+
+  test("boilerplate segmentation: a handcrafted page scores exactly") {
+    // unit form of the web_boilerplate gate: one page, known blocks
+    val rows = graft.operators.WebQueries.htmlBlocked(
+      Seq((4L, "x" * 60)).toDF("doc_id", "text"))
+      .select($"doc_id", posexplode(expr(
+        "regexp_extract_all(html, '<(nav|p|footer)>(?s:.*?)</\\\\1>', 0)")))
+      .withColumn("inner", regexp_replace($"col", "<[^>]*>", ""))
+      .collect()
+    assert(rows.length === 4) // nav, main, promo (doc 4 is even), footer
+    val inner = rows.map(_.getString(3))
+    assert(inner(0) === "Home | About")
+    assert(inner(1) === "x" * 60)
+    assert(inner(2) === "Read more on site 4 today")
+    assert(inner(3) === "(c) 2026")
+  }
 }
