@@ -109,10 +109,27 @@ object Corpus extends org.apache.spark.internal.Logging {
     * table, appended per batch — signatures are a pure per-doc
     * function, so historical rows never recompute). Returns exactly
     * [[minhashPairs]]' output restricted to pairs with ≥1 new side:
-    * same bands, same flood guard, same exact-Jaccard verify. */
+    * same bands, same flood guard, same exact-Jaccard verify.
+    *
+    * `bloomProbe = true` routes the HISTORICAL side through
+    * [[graft.Engine.bloomPrefilter]] keyed on the composite band key
+    * before the shuffle join: a new doc's band bucket usually has no
+    * historical occupant (only near-dups collide), so at 100 TB the
+    * bitmap prunes most of the persisted signature table's rows
+    * BEFORE they shuffle — the operator's shuffle-diet shape, wired
+    * into the pipeline rather than only self-demonstrated
+    * (j_bloom_prefilter gates the no-false-negatives law, so results
+    * are identical and dedup_incremental's oracle is unchanged).
+    * Locally the bitmap build (its small shuffle + driver collect)
+    * costs more than the tiny probe shuffle it saves (PERF.md
+    * round-15 A/B: 1.29 → 2.59 s isolated at sf0.1) — the flip is
+    * scale: the build is O(batch keys) while the saving is O(corpus
+    * band rows), exactly like Engine.materialize's documented
+    * local-vs-cluster trade. */
   def minhashPairsIncremental(docs: DataFrame, isNew: Column,
                               minJaccard: Double = 0.5,
-                              bucketCap: Int = 512): DataFrame = {
+                              bucketCap: Int = 512,
+                              bloomProbe: Boolean = true): DataFrame = {
     val sigToks = minhashSigToks(docs.withColumn("is_new", isNew),
       carry = Seq("is_new"))
     val banded = minhashBanded(sigToks, bucketCap, carry = Seq("is_new"))
@@ -120,7 +137,17 @@ object Corpus extends org.apache.spark.internal.Logging {
       col("band"), col("k1"), col("k2"))
     val all = banded.select(col("doc_id").as("doc_o"),
       col("band"), col("k1"), col("k2"))
-    val cand = n.join(all, Seq("band", "k1", "k2"))
+    val bkey = concat_ws(":", col("band"), col("k1"), col("k2"))
+    val allProbe =
+      if (!bloomProbe) all
+      else graft.Engine.bloomPrefilter(
+        all.withColumn("_bkey", bkey), "_bkey",
+        n.select(bkey.as("_bkey")), "_bkey",
+        // bits pinned (128 KB bitmap, ~65k batch keys at 16 b/key):
+        // skips the auto-size count() job; a production caller sizes
+        // this to its ingest-batch cardinality
+        bits = 1 << 20).drop("_bkey")
+    val cand = n.join(allProbe, Seq("band", "k1", "k2"))
       .filter(col("doc_n") =!= col("doc_o"))
       .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
               greatest(col("doc_n"), col("doc_o")).as("doc_b"))
