@@ -1124,7 +1124,48 @@ object ScaleProbe {
         // shard-local cumsum window + bounded chunk explode + one
         // groupBy: n log n inside fixed shards, reads as ~linear —
         // rides the exact gated pipeline (TextQueries.packChop)
-        graft.operators.TextQueries.packChop(docFrac(k))))
+        graft.operators.TextQueries.packChop(docFrac(k))),
+      "gif_roundtrip" -> (k =>
+        // GIF encode (SQL) + full LZW decode (native expression):
+        // per-row, embarrassingly parallel — must be linear
+        graft.operators.MultimodalQueries.gifRoundtrip(docFrac(k))),
+      "pdf_roundtrip" -> (k =>
+        // PDF build (SQL length arithmetic) + xref walk + text
+        // extraction (native expression): per-row — must be linear
+        graft.operators.MultimodalQueries.pdfRoundtrip(docFrac(k))),
+      "web_boilerplate" -> { k =>
+        // block segmentation + per-block integer scoring: stateless
+        // per-row regex work, no shuffle — must be scan-linear
+        val blocked = graft.operators.WebQueries.htmlBlocked(docFrac(k))
+        blocked.select(col("doc_id"), posexplode(expr(
+            "regexp_extract_all(html, " +
+              "'<(nav|p|footer)>(?s:.*?)</\\\\1>', 0)")))
+          .withColumn("inner", regexp_replace(col("col"), "<[^>]*>", ""))
+          .withColumn("text_chars", length(col("inner")).cast("long"))
+          .withColumn("link_chars", expr(
+            "aggregate(transform(regexp_extract_all(col, " +
+              "'<a [^>]*>((?s:.*?))</a>', 1), x -> " +
+              "CAST(length(x) AS BIGINT)), 0L, (a, v) -> a + v)"))
+          .withColumn("density_ppm",
+            expr("link_chars * 1000000L div greatest(text_chars, 1L)"))
+      },
+      "ddsketch_exact" -> { k =>
+        // integer-boundary bucket assignment: broadcast 277-row range
+        // join (BNLJ per row against a literal-sized dim) + one
+        // hash agg — must be scan-linear
+        import spark.implicits._
+        val b = broadcast(
+          graft.functions.DdBuckets.bounds.toDF("bidx", "lo", "hi"))
+        Sources.table(spark, sfDir, "events")
+          .filter(col("event_id") % k === 0)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("sgn", signum(col("cents")).cast("long"))
+          .withColumn("ab", abs(col("cents")))
+          .join(b, col("ab") > col("lo") && col("ab") <= col("hi"),
+            "left_outer")
+          .groupBy(col("sgn"), col("bidx"))
+          .agg(count(lit(1)).as("freq"))
+      })
 
     // warmup: absorb session/codegen/footer costs outside the timings
     docs.count(); emb.count()

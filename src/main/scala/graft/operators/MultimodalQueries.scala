@@ -158,6 +158,59 @@ object MultimodalQueries {
         element_at(col("d"), 9).as("last_idx"))
   }
 
+  /** Synthesize a fully VALID classic-xref PDF per document IN SQL
+    * (catalog/pages/page/content objects, a correct /Length, the
+    * fixed 20-byte xref records with REAL byte offsets computed by
+    * length arithmetic, trailer + startxref) and extract the text
+    * back through [[graft.functions.PdfText]] — the mm_pdf_text
+    * body, public so ScaleProbe can ride it. The document text rides
+    * inside the content stream as a `(...) Tj` literal with the PDF
+    * escapes applied ( \\ \( \) ), so the round trip exercises the
+    * extractor's unescape path; FlateDecode, TJ arrays, nesting and
+    * the malformed classes live in PdfSpec. Returns (doc_id, ok,
+    * n_objs, n_streams, n_chars, text_out). */
+  def pdfRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.PdfText.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("esc", regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "\\\\", "\\\\\\\\"), "\\(", "\\\\("),
+        "\\)", "\\\\)"))
+      .withColumn("content", concat(lit("BT /F1 12 Tf ("), col("esc"),
+        lit(") Tj ET")))
+      .withColumn("o1",
+        lit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"))
+      .withColumn("o2",
+        lit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"))
+      .withColumn("o3",
+        lit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> " +
+          "endobj\n"))
+      .withColumn("o4", concat(lit("4 0 obj << /Length "),
+        octet_length(col("content")).cast("string"),
+        lit(" >> stream\n"), col("content"),
+        lit("\nendstream endobj\n")))
+      .withColumn("off1", lit(9L))
+      .withColumn("off2", col("off1") + octet_length(col("o1")))
+      .withColumn("off3", col("off2") + octet_length(col("o2")))
+      .withColumn("off4", col("off3") + octet_length(col("o3")))
+      .withColumn("off5", col("off4") + octet_length(col("o4")))
+      .withColumn("xr", concat(
+        lit("xref\n0 5\n0000000000 65535 f \n"),
+        lpad(col("off1").cast("string"), 10, "0"), lit(" 00000 n \n"),
+        lpad(col("off2").cast("string"), 10, "0"), lit(" 00000 n \n"),
+        lpad(col("off3").cast("string"), 10, "0"), lit(" 00000 n \n"),
+        lpad(col("off4").cast("string"), 10, "0"), lit(" 00000 n \n"),
+        lit("trailer << /Size 5 /Root 1 0 R >>\nstartxref\n"),
+        col("off5").cast("string"), lit("\n%%EOF")))
+      .withColumn("pdf", concat(lit("%PDF-1.4\n"), col("o1"), col("o2"),
+        col("o3"), col("o4"), col("xr")))
+      .withColumn("d", expr("pdf_text(CAST(pdf AS BINARY))"))
+      .select(col("doc_id"), col("d.ok").as("ok"),
+        col("d.n_objs").as("n_objs"),
+        col("d.n_streams").as("n_streams"),
+        length(col("d.text")).cast("long").as("n_chars"),
+        col("d.text").as("text_out"))
+  }
+
   /** Synthesize a valid single-member STORED zip per document IN SQL
     * (real little-endian fields via [[leHex]], real CRC-32 via the
     * crc32 built-in) and walk it back through
@@ -1199,6 +1252,27 @@ object MultimodalQueries {
                  AS last_idx
         FROM pg ORDER BY doc_id"""),
       desc = "REAL GIF decode: header/color-table walk + full variable-width LZW, round-tripped"),
+
+    // ── REAL PDF text extraction: the crawl's document container ────
+    // pdfRoundtrip synthesizes a valid classic-xref PDF per doc
+    // (objects addressed by REAL byte offsets in the xref table) and
+    // extracts the text back via the native expression — startxref
+    // tail scan, xref record walk, /Length-addressed stream pull,
+    // string-literal unescape, Tj draw. The oracle emits the source
+    // fields: the hash proves wrap → xref-address → extract lands
+    // back on the original text byte-for-byte. FlateDecode streams,
+    // TJ arrays and 9 malformed classes live in PdfSpec.
+    "mm_pdf_text" -> Q(
+      fn = (s, dir) =>
+        pdfRoundtrip(docs(s, dir)).orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, true AS ok,
+               CAST(4 AS BIGINT) AS n_objs,
+               CAST(1 AS BIGINT) AS n_streams,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "REAL PDF text extraction: startxref tail scan + xref walk + Tj literal parse, round-tripped"),
 
     // ── REAL gzip decode: the decompress-on-ingest operator ─────────
     // At 100 TB the corpus ARRIVES gzip-compressed; `gunzip` is the
