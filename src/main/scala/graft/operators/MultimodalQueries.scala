@@ -158,6 +158,51 @@ object MultimodalQueries {
         element_at(col("d"), 9).as("last_idx"))
   }
 
+  /** Synthesize a fully VALID ANIMATED GIF89a per document IN SQL —
+    * 2-3 frames, each a GCE (with a real per-frame delay) + image
+    * descriptor (own left/top/w like a delta-encoded animation) +
+    * LZW data in ≤3-byte sub-blocks over one global color table —
+    * and walk every frame back through
+    * [[graft.functions.GifFrames]]: the real-bytes frame-sampling
+    * stage (the honest-fake mm_frames stands in for codec video;
+    * this is genuine end-to-end). The mm_gif_frames body, public so
+    * ScaleProbe can ride it. */
+  def gifFramesRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.GifDecode.register(docsDf.sparkSession)
+    val palette = "concat_ws('', transform(sequence(0, 127), i -> " +
+      "concat(lpad(hex(i), 2, '0'), lpad(hex(255 - i), 2, '0'), " +
+      "lpad(hex(i * 7 % 256), 2, '0'))))"
+    val wf = "((doc_id + f) % 2 + 2)" // per-frame width 2..3, height 2
+    val npx = s"($wf * 2)"
+    val pxj = "CAST(conv(substr(ph, 2 * ((f * 8 + j) % 32) + 1, 2), " +
+      "16, 10) AS BIGINT) % 128"
+    val code = s"concat('80', concat_ws('', transform(" +
+      s"sequence(0, $npx - 1), j -> lpad(hex($pxj), 2, '0'))), '81')"
+    val cl = s"($npx + 2)"
+    val sub = s"concat(concat_ws('', transform(" +
+      s"sequence(0, ($cl + 2) div 3 - 1), k2 -> concat(" +
+      s"lpad(hex(least(3, $cl - 3 * k2)), 2, '0'), " +
+      s"substr($code, 6 * k2 + 1, 6)))), '00')"
+    val fb = s"concat('21F904', '00', ${leHex("f", 2)}, '00', '00', " +
+      s"'2C', ${leHex("f", 2)}, ${leHex("f * 2", 2)}, " +
+      s"${leHex(wf, 2)}, ${leHex("2", 2)}, '00', '07', $sub)"
+    docsDf
+      .withColumn("nf", col("doc_id") % 2 + 2)
+      .withColumn("ph", sha2(col("text"), 256))
+      .withColumn("gif", expr(
+        s"concat('474946383961', ${leHex("3", 2)}, ${leHex("2", 2)}, " +
+          s"'F60000', $palette, " +
+          s"concat_ws('', transform(sequence(0, nf - 1), f -> $fb)), " +
+          "'3B')"))
+      .withColumn("fr", explode(expr("gif_frames(unhex(gif))")))
+      .select(col("doc_id"), col("fr.frame").as("frame"),
+        col("fr.left").as("left_px"), col("fr.top").as("top_px"),
+        col("fr.w").as("w"), col("fr.h").as("h"),
+        col("fr.n_px").as("n_px"), col("fr.sum_idx").as("sum_idx"),
+        col("fr.first_idx").as("first_idx"),
+        col("fr.last_idx").as("last_idx"))
+  }
+
   /** Synthesize a fully VALID classic-xref PDF per document IN SQL
     * (catalog/pages/page/content objects, a correct /Length, the
     * fixed 20-byte xref records with REAL byte offsets computed by
@@ -1252,6 +1297,49 @@ object MultimodalQueries {
                  AS last_idx
         FROM pg ORDER BY doc_id"""),
       desc = "REAL GIF decode: header/color-table walk + full variable-width LZW, round-tripped"),
+
+    // ── REAL animated-GIF frame walk: frame sampling on real bytes ──
+    // gifFramesRoundtrip synthesizes a 2-3 frame GIF89a animation per
+    // doc (per-frame GCE delays, delta-style per-frame geometry, one
+    // global color table) and gif_frames decodes EVERY frame's LZW
+    // stream — the multi-image path mm_decode_gif's single-frame gate
+    // does not reach. The oracle recomputes each frame row from the
+    // sha arithmetic container-free.
+    "mm_gif_frames" -> Q(
+      fn = (s, dir) =>
+        gifFramesRoundtrip(docs(s, dir))
+          .orderBy(col("doc_id"), col("frame")),
+      oracle = Some("""
+        WITH pg AS (
+          SELECT doc_id, doc_id % 2 + 2 AS nf, sha256(text) AS ph
+          FROM documents),
+        fr AS (
+          SELECT doc_id, ph,
+                 unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+          FROM pg),
+        g AS (
+          SELECT doc_id, f,
+                 (doc_id + f) % 2 + 2 AS w,
+                 ph
+          FROM fr)
+        SELECT doc_id,
+               f AS frame,
+               f AS left_px,
+               f * 2 AS top_px,
+               CAST(w AS BIGINT) AS w,
+               CAST(2 AS BIGINT) AS h,
+               CAST(w * 2 AS BIGINT) AS n_px,
+               CAST(list_sum(list_transform(range(0, CAST(w * 2 AS BIGINT)),
+                 j -> ('0x' || substr(ph,
+                   CAST(2 * ((f * 8 + j) % 32) + 1 AS BIGINT), 2))::BIGINT
+                   % 128)) AS BIGINT) AS sum_idx,
+               ('0x' || substr(ph, CAST(2 * ((f * 8) % 32) + 1 AS BIGINT),
+                 2))::BIGINT % 128 AS first_idx,
+               ('0x' || substr(ph,
+                 CAST(2 * ((f * 8 + w * 2 - 1) % 32) + 1 AS BIGINT),
+                 2))::BIGINT % 128 AS last_idx
+        FROM g ORDER BY doc_id, frame"""),
+      desc = "REAL animated-GIF frame walk: every frame's LZW stream decoded, per-frame geometry"),
 
     // ── REAL PDF text extraction: the crawl's document container ────
     // pdfRoundtrip synthesizes a valid classic-xref PDF per doc

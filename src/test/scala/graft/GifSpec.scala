@@ -161,6 +161,62 @@ class GifSpec extends SparkSuite {
     bad(Array.emptyByteArray)
   }
 
+  /** Multi-frame container: same header/GCT, then per frame an image
+    * descriptor (left=f, top=2f) + really-compressed LZW data. */
+  private def animated(frames: Seq[Array[Int]], w: Int, h: Int,
+                       minCode: Int, gctBits: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    out.write("GIF89a".getBytes)
+    u16(w); u16(h)
+    out.write(0x80 | gctBits); out.write(0); out.write(0)
+    for (i <- 0 until (1 << (gctBits + 1))) {
+      out.write(i % 256); out.write(255 - i % 256); out.write(i * 3 % 256)
+    }
+    frames.zipWithIndex.foreach { case (p, f) =>
+      out.write(0x2c); u16(f); u16(2 * f); u16(w); u16(h); out.write(0)
+      out.write(minCode)
+      val data = lzwEncode(p, minCode)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  test("gif_frames walks every frame of a really-compressed animation") {
+    val fs = (1 to 3).map(seed => px(seed, 40 * 25, 4))
+    val b = animated(fs, 40, 25, minCode = 2, gctBits = 1)
+    val arr = graft.functions.GifDecode.frames(b)
+    assert(arr != null && arr.numElements() === 3)
+    for (f <- 0 until 3) {
+      val r = arr.getStruct(f, 9)
+      assert(r.getLong(0) === f.toLong)          // frame
+      assert(r.getLong(1) === f.toLong)          // left
+      assert(r.getLong(2) === 2L * f)            // top
+      assert(r.getLong(5) === 1000L)             // n_px
+      assert(r.getLong(6) === fs(f).map(_.toLong).sum)
+    }
+    // single-frame decode still reads only the first image
+    val first = decode(b)
+    assert(first(0) === 1L && first(6) === fs.head.map(_.toLong).sum)
+  }
+
+  test("gif_frames is null on malformation, not partial") {
+    val fs = (1 to 2).map(seed => px(seed, 100, 4))
+    val b = animated(fs, 10, 10, minCode = 2, gctBits = 1)
+    assert(graft.functions.GifDecode.frames(b.take(b.length - 5)) == null)
+    assert(graft.functions.GifDecode.frames(Array.emptyByteArray) == null)
+    graft.functions.GifDecode.register(spark)
+    val viaSql = Seq(Tuple1(b.take(b.length - 5))).toDF("b")
+      .select(expr("gif_frames(b)")).head
+    assert(viaSql.isNullAt(0))
+  }
+
   test("expression registers and matches the object decode in SQL") {
     graft.functions.GifDecode.register(spark)
     val g = gif(px(7, 400, 4), 20, 20, minCode = 2, gctBits = 1)
