@@ -725,6 +725,75 @@ object ExtendedQueries {
         ORDER BY cust, pos_item, draw_idx"""),
       desc = "deterministic negative sampling with positive-collision rejection"),
 
+    // ── DDSketch quantile READOUT in exact integers ─────────────────
+    // The batch consumer of the stream_ddsketch histogram family, and
+    // the answer to "quantile extraction stays a float epilogue": it
+    // doesn't have to — the p-quantile's BUCKET is pure integer
+    // arithmetic (first bucket where the cumulative count reaches
+    // ceil(p·total/100)), and reporting that bucket's integer (lo, hi]
+    // cents bounds IS the DDSketch guarantee made visible: the true
+    // quantile v satisfies lo < v <= hi with hi/lo = γ (α = 5%
+    // relative error at γ = 21/19). Positive cents only (the
+    // latency/revenue shape); assignment reuses the DdBuckets exact
+    // boundary table via a broadcast range join, cumulative counts are
+    // one window per event_type, and the three probe points ride an
+    // explode — no float anywhere on either engine.
+    "a_ddsketch_quantile" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val bounds = broadcast(
+          graft.functions.DdBuckets.bounds.toDF("bidx", "blo", "bhi"))
+        val hist = t(s, dir, "events")
+          .withColumn("cents", round($"value" * 100).cast(LongType))
+          .filter($"cents" > 0)
+          .join(bounds, $"cents" > $"blo" && $"cents" <= $"bhi")
+          .groupBy($"event_type", $"bidx", $"blo", $"bhi")
+          .agg(count(lit(1)).as("freq"))
+        val w = Window.partitionBy($"event_type").orderBy($"bidx")
+        val wt = Window.partitionBy($"event_type")
+        hist
+          .withColumn("cum", sum($"freq").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total", sum($"freq").over(wt))
+          .select($"event_type", $"bidx", $"blo", $"bhi", $"cum",
+            $"total", explode(expr("array(50L, 95L, 99L)")).as("p"))
+          .filter($"cum" >= expr("(total * p + 99L) div 100L"))
+          .groupBy($"event_type", $"p")
+          .agg(min($"bidx").as("q_idx"),
+            min_by($"blo", $"bidx").as("q_lo_cents"),
+            min_by($"bhi", $"bidx").as("q_hi_cents"))
+          .orderBy($"event_type", $"p")
+      },
+      oracle = Some(s"""
+        WITH b AS (${graft.functions.DdBuckets.valuesSql}),
+        e AS (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+          FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
+        h AS (
+          SELECT event_type, b.bidx, b.lo, b.hi,
+                 CAST(count(*) AS BIGINT) AS freq
+          FROM e JOIN b ON e.cents > b.lo AND e.cents <= b.hi
+          GROUP BY 1, 2, 3, 4),
+        c AS (
+          SELECT event_type, bidx, lo, hi,
+                 CAST(sum(freq) OVER (PARTITION BY event_type
+                   ORDER BY bidx ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(freq) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS total
+          FROM h),
+        x AS (
+          SELECT c.*, p.p
+          FROM c CROSS JOIN (VALUES (50), (95), (99)) p(p)
+          WHERE cum >= (total * p + 99) // 100)
+        SELECT event_type, CAST(p AS BIGINT) AS p,
+               CAST(min(bidx) AS BIGINT) AS q_idx,
+               CAST(min(lo) AS BIGINT) AS q_lo_cents,
+               CAST(min(hi) AS BIGINT) AS q_hi_cents
+        FROM x GROUP BY event_type, p
+        ORDER BY event_type, p"""),
+      desc = "DDSketch quantile readout in exact integers: p50/p95/p99 bucket bounds, no float"),
+
     // ── boolean aggregates: bool_and / bool_or ──────────────────────
     // The ALL/ANY-rows-satisfy rollup (dbt-style assertion queries
     // compile to exactly this); map-side combinable like any hash agg.

@@ -953,6 +953,136 @@ object StreamingQueries {
                CAST(count(*) AS BIGINT) AS freq
         FROM j GROUP BY day_s, event_type, sgn, idx
         ORDER BY day_s, event_type, sgn, idx"""),
-      desc = "streaming DDSketch histogram: exact-rational bucket boundaries, no float on either engine")
+      desc = "streaming DDSketch histogram: exact-rational bucket boundaries, no float on either engine"),
+
+    // ── streaming crawl front gate: canon + exactly-once URL dedup ──
+    // The composition every streaming web ingest runs FIRST: the real
+    // 11-regex canonicalizer (stateless, applied per micro-batch) and
+    // dropDuplicatesWithinWatermark keyed on url_canon — distinct raw
+    // URLs that collide on canon arrive in DIFFERENT micro-batches
+    // (same canon requires doc_ids exactly 437 = 19·23 apart with
+    // k%6=0, while a 4-file split holds ≤125 docs per batch at the
+    // sf0.01 gate — so every collision IS cross-batch there, which
+    // also makes the survivor deterministic: within-batch same-key
+    // arrival order is partition-dependent, cross-batch order is the
+    // pinned file order) and only dedup STATE can collapse them onto
+    // the first arrival. Delivery is ordered by
+    // (ts, doc_id) with ts monotone in doc_id, so the survivor is
+    // deterministically min(doc_id) per canon — the oracle recomputes
+    // canon from first principles and picks the min, no parsing
+    // anywhere. The 30-day delay spans the whole synthetic ingest
+    // window (the production trade: dedup horizon = state retention).
+    "stream_web_ingest" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        import s.implicits._
+        val src0 = Sources.table(s, dir, "documents")
+          .select(timestamp_seconds(lit(1700000000L) + col("doc_id") * 60)
+            .as("ts"), col("doc_id"))
+        val src = streamOfOrderedBy(s, src0,
+          Seq(col("ts"), col("doc_id")), "streamsrc4ordw")
+        val canon = WebQueries.canonicalized(WebQueries.withRawUrl(src))
+        drain(s,
+          StreamingModels.dedupStream(canon, keys = Seq("url_canon"),
+            delay = "30 days"),
+          "sq_web_ingest", mode = "append")
+          .select($"doc_id", $"url_canon", $"host")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(WebQueries.ORACLE_PARTS + """
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url_canon, host
+        FROM canon GROUP BY url_canon, host
+        ORDER BY doc_id"""),
+      desc = "streaming crawl ingest: canonicalize + cross-batch exactly-once dedup on the canonical URL"),
+
+    // ── checkpointed RESTART recovery ≡ one-shot batch ───────────────
+    // The production property none of the other gates touches: a
+    // watermarked day aggregation writing to a parquet sink is
+    // STOPPED mid-stream (after the first half of the files) and a
+    // NEW query is started on the SAME checkpoint to consume the
+    // rest. The restored state store must carry the open windows'
+    // phase-A counts, the restored watermark must not re-admit or
+    // re-emit, and the sink's commit log must fence partial epochs —
+    // any failure shows up as missing/duplicated/shifted rows against
+    // the one-shot batch oracle. The sentinel rides the LAST phase-B
+    // file so every real day flushes after the restart; the final
+    // table is read back through the sink's _spark_metadata log
+    // (exactly-once read), so what is hashed is the recovery
+    // lifecycle end-to-end.
+    "stream_restart" -> Q(
+      fn = (s, dir) => withStatePartitions(s, 8) {
+        val ev = Sources.table(s, dir, "events")
+          .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+            col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val root = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(ev, extra = "stream_restart")) { d =>
+          val srcD = d + "/src"; val ckpt = d + "/ckpt"
+          val outD = d + "/out"
+          val st = ev.agg(min(unix_timestamp(col("ts"))).as("lo"),
+            max(unix_timestamp(col("ts"))).as("hi")).head
+          val (lo, hi) = (st.getLong(0), st.getLong(1))
+          val mid = (lo + hi) / 2
+          def pin(dirPath: String, fromIdx: Int): Int = {
+            val parts = new java.io.File(dirPath).listFiles()
+              .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+            parts.zipWithIndex.foreach { case (f, i) =>
+              f.setLastModified(1700000000000L + (fromIdx + i) * 60000L) }
+            fromIdx + parts.length
+          }
+          // phase A: first half of event time, two ordered files
+          ev.filter(unix_timestamp(col("ts")) <= mid)
+            .repartitionByRange(2, col("ts"), col("event_id"))
+            .write.mode("overwrite").parquet(srcD)
+          val nA = pin(srcD, 0)
+          val sch = s.read.parquet(srcD).schema
+          def job() = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1).parquet(srcD)
+            .withWatermark("ts", "1 day")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+            .select(unix_timestamp(col("window.start")).as("day_s"),
+              col("event_type"), col("n"), col("cents"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", outD).option("checkpointLocation", ckpt)
+            .start()
+          val q1 = job()
+          try q1.processAllAvailable() finally q1.stop()
+          // phase B: the rest + the far-future sentinel, moved into
+          // the source dir with later mtimes (the replay-source move)
+          val sent = ev.sparkSession.range(1).select(
+            timestamp_seconds(lit(hi + 86400L * 60)).as("ts"),
+            lit(-1L).as("event_id"), lit("sentinel").as("event_type"),
+            lit(0L).as("cents"))
+          ev.filter(unix_timestamp(col("ts")) > mid).unionByName(sent)
+            .repartitionByRange(2, col("ts"), col("event_id"))
+            .write.mode("overwrite").parquet(srcD + "__b")
+          val bParts = new java.io.File(srcD + "__b").listFiles()
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          bParts.zipWithIndex.foreach { case (f, i) =>
+            val tgt = new java.io.File(srcD, s"part-b$i.parquet")
+            java.nio.file.Files.move(f.toPath, tgt.toPath)
+            tgt.setLastModified(1700000000000L + (nA + i) * 60000L)
+          }
+          new java.io.File(srcD + "__b").listFiles()
+            .foreach(_.delete())
+          new java.io.File(srcD + "__b").delete()
+          val q2 = job() // SAME checkpoint: offsets + state + watermark
+          try q2.processAllAvailable() finally q2.stop()
+        }
+        s.read.parquet(root + "/out")
+          .filter(col("event_type") =!= "sentinel")
+          .orderBy(col("day_s"), col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT epoch_us(ts)//1000000 AS es, event_type,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events)
+        SELECT (es//86400)*86400 AS day_s, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM e GROUP BY day_s, event_type
+        ORDER BY day_s, event_type"""),
+      desc = "restart recovery: checkpoint-restored state/watermark/sink equals the one-shot batch")
   )
 }

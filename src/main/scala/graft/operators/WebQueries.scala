@@ -65,8 +65,9 @@ object WebQueries {
         "ELSE '' END")))
 
   // shared oracle arithmetic: the expected canonical parts, computed
-  // straight from doc_id (no parsing anywhere in the oracle)
-  private val ORACLE_PARTS = """
+  // straight from doc_id (no parsing anywhere in the oracle) — shared
+  // with the streaming ingest gate (stream_web_ingest)
+  private[graft] val ORACLE_PARTS = """
     WITH parts AS (
       SELECT doc_id, n_chars,
              doc_id % 19 AS k, doc_id % 23 AS m, doc_id % 7 AS j,
