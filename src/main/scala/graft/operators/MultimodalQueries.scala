@@ -1341,6 +1341,50 @@ object MultimodalQueries {
         FROM g ORDER BY doc_id, frame"""),
       desc = "REAL animated-GIF frame walk: every frame's LZW stream decoded, per-frame geometry"),
 
+    // ── strict UTF-8 validation: the byte-level ingest front gate ───
+    // Every crawl blob must pass byte-level UTF-8 validation before
+    // it may become a string column. The fn appends a doc_id%4-keyed
+    // byte tail to each doc's (ASCII, spec-pinned) bytes — a dead
+    // 0xFF, a real 2-byte é, a 3-byte €, or a 4-byte emoji followed
+    // by the classic C0 AF overlong attack (2 invalid bytes under the
+    // one-per-bad-byte policy) — and utf8_stats walks the whole blob
+    // with the strict RFC 3629 rules. The oracle recomputes every
+    // count from the construction arithmetic; surrogate/overlong/cap
+    // edges live in Utf8Spec.
+    "mm_utf8_stats" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Utf8Stats.register(s)
+        docs(s, dir)
+          .withColumn("tail", expr(
+            "CASE doc_id % 4 WHEN 0 THEN 'FF' WHEN 1 THEN 'C3A9' " +
+              "WHEN 2 THEN 'E282AC' ELSE 'F09F9880C0AF' END"))
+          .withColumn("u", expr(
+            "utf8_stats(concat(CAST(text AS BINARY), unhex(tail)))"))
+          .select($"doc_id", $"u.n_bytes".as("n_bytes"),
+            $"u.n_ascii".as("n_ascii"), $"u.n_2byte".as("n_2byte"),
+            $"u.n_3byte".as("n_3byte"), $"u.n_4byte".as("n_4byte"),
+            $"u.n_invalid".as("n_invalid"), $"u.valid".as("valid"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) +
+                 CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                   WHEN 2 THEN 3 ELSE 6 END AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_ascii,
+               CAST(CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END
+                 AS BIGINT) AS n_2byte,
+               CAST(CASE doc_id % 4 WHEN 2 THEN 1 ELSE 0 END
+                 AS BIGINT) AS n_3byte,
+               CAST(CASE doc_id % 4 WHEN 3 THEN 1 ELSE 0 END
+                 AS BIGINT) AS n_4byte,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 3 THEN 2
+                 ELSE 0 END AS BIGINT) AS n_invalid,
+               doc_id % 4 IN (1, 2) AS valid
+        FROM documents ORDER BY doc_id"""),
+      desc = "strict UTF-8 validation: RFC 3629 sequence walk incl. overlong/surrogate rejection"),
+
     // ── REAL PDF text extraction: the crawl's document container ────
     // pdfRoundtrip synthesizes a valid classic-xref PDF per doc
     // (objects addressed by REAL byte offsets in the xref table) and
