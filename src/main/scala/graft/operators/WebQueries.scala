@@ -136,6 +136,24 @@ object WebQueries {
     .withColumn("domain",
       regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
 
+  /** The fixed 19-host robots rule dim (a seed, like s6): every host
+    * allows '/', even hosts disallow '/a/', every fifth path gets a
+    * specific longer re-allow, every third host carries a same-length
+    * DISALLOW of '/a/10' so the allow-wins tie-break is exercised.
+    * Shared by web_robots and web_release. */
+  private def robotsRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val doms = Seq("example", "sample", "test")
+    (0 until 19).flatMap { k =>
+      val host = s"site-$k.${doms(k % 3)}.com"
+      Seq((host, "/", true)) ++
+        (if (k % 2 == 0) Seq((host, "/a/", false)) else Seq()) ++
+        (0 to 22).filter(_ % 5 == 0)
+          .map(m => (host, s"/a/$m", true)) ++
+        (if (k % 3 == 0) Seq((host, "/a/10", false)) else Seq())
+    }.toDF("host", "prefix", "allow")
+  }
+
   /** The parsed+canonicalized URL frame that FOUR registered queries
     * (canon/dedup/host_stats/robots) build identically — session-
     * shared via Engine.materializeShared keyed by the documents scan
@@ -313,15 +331,7 @@ object WebQueries {
     "web_robots" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val doms = Seq("example", "sample", "test")
-        val rules = (0 until 19).flatMap { k =>
-          val host = s"site-$k.${doms(k % 3)}.com"
-          Seq((host, "/", true)) ++
-            (if (k % 2 == 0) Seq((host, "/a/", false)) else Seq()) ++
-            (0 to 22).filter(_ % 5 == 0)
-              .map(m => (host, s"/a/$m", true)) ++
-            (if (k % 3 == 0) Seq((host, "/a/10", false)) else Seq())
-        }.toDF("host", "prefix", "allow")
+        val rules = robotsRules(s)
         val urls = canonShared(s, dir)
           .select($"doc_id", $"host", $"path_c".as("path"))
         val w = org.apache.spark.sql.expressions.Window
@@ -481,7 +491,74 @@ object WebQueries {
                CAST(link_chars AS BIGINT) AS link_chars,
                CAST(density_ppm AS BIGINT) AS density_ppm, is_content
         FROM b ORDER BY doc_id, block_idx"""),
-      desc = "block-level boilerplate classification: integer text-density segmentation, jusText shape")
+      desc = "block-level boilerplate classification: integer text-density segmentation, jusText shape"),
+
+    // ── the crawl release: the whole pipeline under ONE hash ────────
+    // corpus_release's web-family sibling: canonicalize (real parser,
+    // shared frame) → dedup on canon (first-arrival survivor) →
+    // robots longest-match filter (real rule engine) → HTML main-text
+    // extraction (real regex round trip) → quality floor → shard
+    // manifest keyed on the canonical URL, with an order-independent
+    // per-shard content digest (per-row hashes REDUCED mod 1000003
+    // before summing — the corpus_manifest ANSI-overflow lesson).
+    // Every stage is the registered operator's own machinery; the
+    // oracle recomputes the full composition from doc_id arithmetic,
+    // so one hash mismatch anywhere in the five-stage pipeline fails
+    // the gate. 100 TB posture: one window per dedup group, one
+    // broadcast rules join, stateless extraction, 8-group rollup.
+    "web_release" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
+        val c = canonShared(s, dir)
+          .select($"doc_id", $"url_canon", $"host", $"path_c", $"text")
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"url_canon").orderBy($"doc_id")
+        val surv = c.withColumn("rn", row_number().over(wd))
+          .filter($"rn" === 1).drop("rn")
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy(length($"prefix").desc, $"allow".desc, $"prefix")
+        val allowed = surv.join(broadcast(robotsRules(s)), Seq("host"))
+          .filter($"path_c".startsWith($"prefix"))
+          .withColumn("rn", row_number().over(wr))
+          .filter($"rn" === 1 && $"allow")
+          .drop("rn", "prefix", "allow")
+        val extracted = htmlWrapped(allowed)
+          .withColumn("main_text",
+            regexp_extract($"html", "(?s)<p>(.*)</p>", 1))
+          .filter(length($"main_text") >= 50)
+        extracted
+          .withColumn("shard", expr("md5_prefix_long(url_canon, 8) % 8"))
+          .withColumn("h", expr("md5_prefix_long(main_text, 14) % 1000003"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length($"main_text")).cast("long").as("sum_chars"),
+            sum($"h").as("digest"))
+          .orderBy($"shard")
+      },
+      oracle = Some(ORACLE_PARTS + """,
+        surv AS (
+          SELECT c.*, row_number() OVER (PARTITION BY url_canon
+            ORDER BY doc_id) AS rn
+          FROM canon c),
+        alw AS (
+          SELECT s.doc_id, s.url_canon
+          FROM surv s
+          WHERE rn = 1
+            AND (m % 5 = 0 OR k % 2 = 1)),
+        q AS (
+          SELECT a.url_canon, d.text
+          FROM alw a JOIN documents d ON d.doc_id = a.doc_id
+          WHERE length(d.text) >= 50)
+        SELECT ('0x' || substr(md5(url_canon), 1, 8))::BIGINT % 8
+                 AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(sum(('0x' || substr(md5(text), 1, 14))::BIGINT
+                 % 1000003) AS BIGINT) AS digest
+        FROM q GROUP BY shard ORDER BY shard"""),
+      desc = "web release: canon -> dedup -> robots -> extract -> quality -> shard digest, one hash")
   )
 
   /** documents + a multi-BLOCK page per doc for the boilerplate
