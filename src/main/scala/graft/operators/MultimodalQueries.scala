@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque BinaryType
   * columns with typed metadata (BASELINE.json north star).
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic fake (features derived from the bytes
-  * themselves); everything around it — BinaryType schema, per-batch
-  * partitioned processing, frame sampling via generator explode,
-  * metadata derivation — is real Spark plumbing, exercised and
-  * oracle-checked byte-for-byte (hex round-trips through DuckDB BLOBs).
+  * Image and audio decode is REAL where it is codec-free-feasible:
+  * WAV (RIFF walk), BMP, PNG (zlib + CRC), GIF (full LZW, single and
+  * animated), baseline JPEG (Huffman + dequant + integer IDCT), plus
+  * the container quartet (gzip/WARC/tar/zip), PDF text extraction
+  * and strict UTF-8 validation — all native expressions with
+  * first-principles oracles. Only codec VIDEO decode remains a
+  * clearly-marked deterministic fake (mm_decode/mm_frames — features
+  * derived from the bytes themselves); everything around it —
+  * BinaryType schema, per-batch partitioned processing, frame
+  * sampling via generator explode, metadata derivation — is real
+  * Spark plumbing, exercised and oracle-checked byte-for-byte (hex
+  * round-trips through DuckDB BLOBs).
   *
   * The synthetic payload is unhex(sha256(text)): 32 opaque bytes per
   * document standing in for an encoded image. At 100 TB the payloads
@@ -1340,6 +1346,65 @@ object MultimodalQueries {
                  2))::BIGINT % 128 AS last_idx
         FROM g ORDER BY doc_id, frame"""),
       desc = "REAL animated-GIF frame walk: every frame's LZW stream decoded, per-frame geometry"),
+
+    // ── REAL baseline JPEG decode: the last image format made real ──
+    // The fn synthesizes a fully valid 8x8 grayscale baseline JPEG
+    // per doc — JFIF APP0, a flat q=16 DQT, SOF0, custom canonical
+    // Huffman tables chosen so the single DC-only block encodes in a
+    // FIXED 2-byte scan (DC category 4 at code length 4, a 1-bit AC
+    // EOB; dc = 8 + shaByte%8 keeps the category constant), and
+    // jpeg_decode runs the real pipeline back: marker walk, canonical
+    // Huffman decode, receive/extend, dequant, fixed-point integer
+    // IDCT. With q=16 the DC-only IDCT output is the exact closed
+    // form 128 + 2*dc (divisible — no rounding in the oracle), so the
+    // hash proves the whole container + entropy + transform path.
+    // AC coefficients, byte stuffing, negative DC diffs and
+    // multi-block prediction live in JpegSpec's real entropy encoder.
+    "mm_decode_jpeg" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.JpegDecode.register(s)
+        docs(s, dir)
+          .withColumn("ph", sha2($"text", 256))
+          .withColumn("dc", expr(
+            "8 + CAST(conv(substr(ph, 1, 2), 16, 10) AS BIGINT) % 8"))
+          .withColumn("jpg", expr(
+            "concat('FFD8', " +
+              "'FFE000104A46494600010100000100010000', " +
+              s"'FFDB004300', repeat('10', 64), " +
+              "'FFC0000B080008000801011100', " +
+              "'FFC4001F00', '0000000C', repeat('00', 12), " +
+              "'000102030405060708090A0B', " +
+              "'FFC4001410', '01', repeat('00', 15), '00', " +
+              "'FFDA0008010100003F00', " +
+              "lpad(hex(64 + dc), 2, '0'), '7F', 'FFD9')"))
+          .withColumn("d", expr("jpeg_decode(unhex(jpg))"))
+          .select($"doc_id",
+            element_at($"d", 1).as("ok"),
+            element_at($"d", 2).as("width"),
+            element_at($"d", 3).as("height"),
+            element_at($"d", 4).as("n_blocks"),
+            element_at($"d", 5).as("sum_px"),
+            element_at($"d", 6).as("first_px"),
+            element_at($"d", 7).as("last_px"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH j AS (
+          SELECT doc_id,
+                 144 + 2 * (('0x' || substr(sha256(text), 1, 2))::BIGINT
+                   % 8) AS v
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS ok,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_blocks,
+               CAST(64 * v AS BIGINT) AS sum_px,
+               CAST(v AS BIGINT) AS first_px,
+               CAST(v AS BIGINT) AS last_px
+        FROM j ORDER BY doc_id"""),
+      desc = "REAL baseline JPEG decode: Huffman + dequant + integer IDCT, closed-form DC oracle"),
 
     // ── strict UTF-8 validation: the byte-level ingest front gate ───
     // Every crawl blob must pass byte-level UTF-8 validation before

@@ -223,7 +223,17 @@ class PlanAuditSpec extends SparkSuite {
       val p = plan(SparkEntry.queries(q)(spark, sf()))
       assert(!p.contains("Scan parquet"),
         s"$q re-scans parquet downstream of the materialized signatures:\n$p")
-      assert(!p.toLowerCase.contains("md5"),
+      // dedup_incremental's bloom prefilter probes md5_prefix_long
+      // over its composite COLON-joined band key (concat_ws(:, band,
+      // k1, k2) — the alias is inlined by column pruning) by design:
+      // that is the r15 bloom wiring, not a signature recompute. The
+      // shingle hash joins with a SPACE separator, so any md5 left
+      // after stripping the colon-keyed probes is still the round-3
+      // regression.
+      val stripped = p.toLowerCase
+        .replace("md5_prefix_long(concat(concat_ws(:", "bloomprobe2(")
+        .replace("md5_prefix_long(concat_ws(:", "bloomprobe1(")
+      assert(!stripped.contains("md5"),
         s"$q recomputes signature hashing downstream:\n$p")
     }
   }
