@@ -152,9 +152,13 @@ object StreamingQueries {
     * partition × trigger) — provider open/commit/snapshot, not data —
     * so a stream-stream join (4 state stores per partition) over 5
     * triggers at the batch session's 32 partitions pays ~640 store
-    * commits for a 100k-row drain; 8 partitions cuts the fixed cost
-    * 4× while the per-row work is unchanged (hash partitioning is
-    * value-identical at any partition count — results do not move).
+    * commits for a 100k-row drain; fewer partitions cut the fixed
+    * cost proportionally while the per-row work is unchanged (hash
+    * partitioning is value-identical at any partition count —
+    * results do not move). The r15 same-hour A/B over the full
+    * 18-query streaming family at sf0.1: 8 → 86.9 s, 4 → 76.5 s,
+    * 2 → 77.3 s — 4 is the knee (2 starts losing the parallelism
+    * that still helps the per-row half), so the gates run at 4.
     * At 100 TB the SAME knob is sized the OTHER way (state must fit
     * per executor); the point is that state partitioning is sized to
     * state volume, not inherited from the batch default. Restores the
@@ -439,7 +443,7 @@ object StreamingQueries {
     // join the exact batch join — every in-window (purchase, click)
     // pair, no late-drop losses.
     "stream_conversions" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"), col("event_type"))
@@ -475,7 +479,7 @@ object StreamingQueries {
     // open and never emits. Emitted rows are therefore EXACTLY the
     // batch `sessionize` sessions, cents-exact.
     "stream_sessionize" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         import s.implicits._
         import graft.streaming.StreamingModels.SessEvt
         val e = Sources.table(s, dir, "events")
@@ -534,7 +538,7 @@ object StreamingQueries {
     // latest in-tolerance click, ties to the larger click_id,
     // null-padded when none qualifies.
     "stream_asof" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"), col("event_type"))
@@ -594,7 +598,7 @@ object StreamingQueries {
     // partition layout, DATE round trip), which must equal the
     // one-shot batch aggregation exactly.
     "stream_lake_sink" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(col("ts"), col("event_id"), col("event_type"),
             round(col("value") * 100).cast("long").as("cents"))
@@ -641,7 +645,7 @@ object StreamingQueries {
     // replay is invisible downstream (exactly-once semantics), the
     // same oracle shape as j_salted's salt-invisibility proof.
     "stream_dedup" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"), col("event_type"),
@@ -671,7 +675,7 @@ object StreamingQueries {
     // own two windows stay open past the final watermark and never
     // emit.
     "stream_hopping" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("event_type"), col("value"))
@@ -712,7 +716,7 @@ object StreamingQueries {
     // from the raw tables, so the hash covers the null-segment
     // coalesce path too.
     "stream_enrich" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"))
@@ -755,7 +759,7 @@ object StreamingQueries {
     // extra rows if that reasoning broke. Oracle = the batch LEFT
     // JOIN verbatim, null lead_s on unattributed purchases.
     "stream_conversions_outer" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"), col("event_type"))
@@ -803,7 +807,7 @@ object StreamingQueries {
     // float-log form ddsketchPartialsStream stays spec-only.) A
     // far-future sentinel flushes every real day.
     "stream_cms_freq" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("user_id"), col("event_type"))
@@ -854,7 +858,7 @@ object StreamingQueries {
     // wrapper around the accumulator list silently breaks list_reduce
     // accumulation — keep the state a bare LIST<STRUCT>.)
     "stream_topk" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         import s.implicits._
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
@@ -917,7 +921,7 @@ object StreamingQueries {
     // histogram — the sketch's entire persisted state; quantile
     // readout is a documented float epilogue, as for HLL/KMV.
     "stream_ddsketch" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("event_type"), col("value"))
@@ -973,7 +977,7 @@ object StreamingQueries {
     // anywhere. The 30-day delay spans the whole synthetic ingest
     // window (the production trade: dedup horizon = state retention).
     "stream_web_ingest" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         import s.implicits._
         val src0 = Sources.table(s, dir, "documents")
           .select(timestamp_seconds(lit(1700000000L) + col("doc_id") * 60)
@@ -1009,7 +1013,7 @@ object StreamingQueries {
     // (exactly-once read), so what is hashed is the recovery
     // lifecycle end-to-end.
     "stream_restart" -> Q(
-      fn = (s, dir) => withStatePartitions(s, 8) {
+      fn = (s, dir) => withStatePartitions(s, 4) {
         val ev = Sources.table(s, dir, "events")
           .select(timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
             col("event_id"), col("event_type"),
