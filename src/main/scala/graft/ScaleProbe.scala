@@ -1133,42 +1133,16 @@ object ScaleProbe {
         // PDF build (SQL length arithmetic) + xref walk + text
         // extraction (native expression): per-row — must be linear
         graft.operators.MultimodalQueries.pdfRoundtrip(docFrac(k))),
-      "jpeg_decode" -> { k =>
+      "jpeg_decode" -> (k =>
         // JPEG build (fixed 2-byte scan) + full baseline decode
-        // (Huffman + integer IDCT): per-row — must be linear
-        graft.functions.JpegDecode.register(spark)
-        docFrac(k)
-          .withColumn("ph", sha2(col("text"), 256))
-          .withColumn("dc", expr(
-            "8 + CAST(conv(substr(ph, 1, 2), 16, 10) AS BIGINT) % 8"))
-          .withColumn("jpg", expr(
-            "concat('FFD8', " +
-              "'FFE000104A46494600010100000100010000', " +
-              "'FFDB004300', repeat('10', 64), " +
-              "'FFC0000B080008000801011100', " +
-              "'FFC4001F00', '0000000C', repeat('00', 12), " +
-              "'000102030405060708090A0B', " +
-              "'FFC4001410', '01', repeat('00', 15), '00', " +
-              "'FFDA0008010100003F00', " +
-              "lpad(hex(64 + dc), 2, '0'), '7F', 'FFD9')"))
-          .select(col("doc_id"), expr("jpeg_decode(unhex(jpg))").as("d"))
-      },
-      "web_boilerplate" -> { k =>
+        // (Huffman + integer IDCT): per-row — must be linear;
+        // rides the exact gated pipeline
+        graft.operators.MultimodalQueries.jpegRoundtrip(docFrac(k))),
+      "web_boilerplate" -> (k =>
         // block segmentation + per-block integer scoring: stateless
-        // per-row regex work, no shuffle — must be scan-linear
-        val blocked = graft.operators.WebQueries.htmlBlocked(docFrac(k))
-        blocked.select(col("doc_id"), posexplode(expr(
-            "regexp_extract_all(html, " +
-              "'<(nav|p|footer)>(?s:.*?)</\\\\1>', 0)")))
-          .withColumn("inner", regexp_replace(col("col"), "<[^>]*>", ""))
-          .withColumn("text_chars", length(col("inner")).cast("long"))
-          .withColumn("link_chars", expr(
-            "aggregate(transform(regexp_extract_all(col, " +
-              "'<a [^>]*>((?s:.*?))</a>', 1), x -> " +
-              "CAST(length(x) AS BIGINT)), 0L, (a, v) -> a + v)"))
-          .withColumn("density_ppm",
-            expr("link_chars * 1000000L div greatest(text_chars, 1L)"))
-      },
+        // per-row regex work, no shuffle — must be scan-linear;
+        // rides the exact gated pipeline
+        graft.operators.WebQueries.boilerplateBlocks(docFrac(k))),
       "ddsketch_exact" -> { k =>
         // integer-boundary bucket assignment: broadcast 277-row range
         // join (BNLJ per row against a literal-sized dim) + one

@@ -29,9 +29,13 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType,
   *    width bumps and mid-stream clears), not just the harness
   *    synthesizer's literal-coded stream.
   *
-  * Scope: non-interlaced, first image block, global color table
-  * required (the common crawl-thumbnail shape); interlace and local
-  * color tables are rejected as unsupported rather than misdecoded.
+  * Scope: non-interlaced, global color table required (the common
+  * crawl-thumbnail shape); interlace and local color tables are
+  * rejected as unsupported rather than misdecoded. EVERY image block
+  * is validated and decoded through the shared walk (r15 review:
+  * one walker for gif_decode and gif_frames, so the framing logic
+  * cannot fork); gif_decode reports the FIRST frame's stats, and an
+  * animation with any malformed later frame is rejected whole.
   *
   * Returns `ARRAY<BIGINT>` of `[fmt_ok, width, height, gct_n,
   * palette_sum, n_px, sum_idx, first_idx, last_idx]`: `gct_n` =
@@ -128,82 +132,94 @@ object GifDecode {
 
   private val Bad = Array.fill(9)(0L)
 
-  def decode(b: Array[Byte]): ArrayData = {
-    def bad = new GenericArrayData(Bad)
+  /** One decoded frame: geometry + index stats. */
+  private final case class Frame(left: Int, top: Int, w: Int, h: Int,
+                                 nPx: Long, sum: Long, first: Long,
+                                 last: Long)
+
+  /** THE container walk, shared by [[decode]] (first-frame readout +
+    * palette) and [[frames]] (per-frame rows) so the framing logic
+    * cannot fork (r15 review finding): header, LSD + global color
+    * table, extensions through their real sub-block framing, and
+    * EVERY image block's descriptor + LZW data decoded. Returns
+    * (gctN, paletteSum, frames) or null on any malformation. */
+  private def walk(b: Array[Byte])
+      : (Int, Long, collection.mutable.ArrayBuffer[Frame]) = {
     def u8(i: Int): Int = b(i) & 0xff
     def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    if (b.length < 14) return bad
+    if (b.length < 14) return null
     // header: GIF87a or GIF89a
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
-      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return bad
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
     // logical screen descriptor
     val packed = u8(10)
-    if ((packed & 0x80) == 0) return bad // GCT required in scope
+    if ((packed & 0x80) == 0) return null // GCT required in scope
     val gctN = 1 << ((packed & 0x07) + 1)
     var pos = 13
-    if (pos + 3 * gctN > b.length) return bad
+    if (pos + 3 * gctN > b.length) return null
     var paletteSum = 0L
     var k = 0
     while (k < 3 * gctN) { paletteSum += u8(pos + k); k += 1 }
     pos += 3 * gctN
-
-    // block walk to the first image descriptor (extensions skipped
-    // through their real sub-block framing)
-    var w = -1; var h = -1
-    var sawImage = false; var sawTrailer = false
-    var px: Array[Int] = null
+    val out = collection.mutable.ArrayBuffer.empty[Frame]
+    var sawTrailer = false
     while (pos < b.length && !sawTrailer) {
       u8(pos) match {
         case 0x3b =>
           sawTrailer = true; pos += 1
         case 0x21 => // extension: label, then sub-blocks until 0
           pos += 2
-          var len = if (pos < b.length) u8(pos) else return bad
+          var len = if (pos < b.length) u8(pos) else return null
           while (len != 0) {
             pos += 1 + len
-            if (pos >= b.length) return bad
+            if (pos >= b.length) return null
             len = u8(pos)
           }
           pos += 1
         case 0x2c =>
-          if (pos + 10 > b.length) return bad
+          if (pos + 10 > b.length) return null
+          val left = u16le(pos + 1); val top = u16le(pos + 3)
           val iw = u16le(pos + 5); val ih = u16le(pos + 7)
           val ipacked = u8(pos + 9)
-          if ((ipacked & 0x40) != 0) return bad // interlace: out of scope
-          if ((ipacked & 0x80) != 0) return bad // local color table: ditto
+          if ((ipacked & 0x40) != 0) return null // interlace: out of scope
+          if ((ipacked & 0x80) != 0) return null // local color table: ditto
           pos += 10
-          if (pos >= b.length) return bad
+          if (pos >= b.length) return null
           val minCode = u8(pos); pos += 1
-          if (minCode < 2 || minCode > 8) return bad
+          if (minCode < 2 || minCode > 8) return null
           // concatenate the image's sub-blocks
           val data = new java.io.ByteArrayOutputStream()
-          var len = if (pos < b.length) u8(pos) else return bad
+          var len = if (pos < b.length) u8(pos) else return null
           while (len != 0) {
-            if (pos + 1 + len > b.length) return bad
+            if (pos + 1 + len > b.length) return null
             data.write(b, pos + 1, len)
             pos += 1 + len
-            if (pos >= b.length) return bad
+            if (pos >= b.length) return null
             len = u8(pos)
           }
           pos += 1
-          if (sawImage) {
-            // later images: framing walked above, content ignored
-          } else {
-            sawImage = true; w = iw; h = ih
-            if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return bad
-            px = lzw(data.toByteArray, minCode, w * h, gctN)
-            if (px == null) return bad
-          }
-        case _ => return bad
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1 << 26)) return null
+          val px = lzw(data.toByteArray, minCode, iw * ih, gctN)
+          if (px == null) return null
+          var sum = 0L; var j = 0
+          while (j < px.length) { sum += px(j); j += 1 }
+          out += Frame(left, top, iw, ih, px.length.toLong, sum,
+            px(0).toLong, px(px.length - 1).toLong)
+        case _ => return null
       }
     }
-    if (!sawImage || !sawTrailer) return bad
-    var sum = 0L
-    k = 0
-    while (k < px.length) { sum += px(k); k += 1 }
-    new GenericArrayData(Array(1L, w.toLong, h.toLong, gctN.toLong,
-      paletteSum, px.length.toLong, sum, px(0).toLong,
-      px(px.length - 1).toLong))
+    if (!sawTrailer || out.isEmpty) return null
+    (gctN, paletteSum, out)
+  }
+
+  def decode(b: Array[Byte]): ArrayData = {
+    walk(b) match {
+      case null => new GenericArrayData(Bad)
+      case (gctN, paletteSum, fs) =>
+        val f = fs.head
+        new GenericArrayData(Array(1L, f.w.toLong, f.h.toLong,
+          gctN.toLong, paletteSum, f.nPx, f.sum, f.first, f.last))
+    }
   }
 
   /** Full GIF-flavor LZW: returns exactly `nPx` palette indices (all
@@ -274,68 +290,17 @@ object GifDecode {
     out
   }
 
-  /** Multi-frame walk for [[GifFrames]]: every image block decoded;
-    * null on any malformation. */
+  /** Multi-frame readout for [[GifFrames]]: [[walk]]'s frames as
+    * struct rows; null on any malformation. */
   def frames(b: Array[Byte]): ArrayData = {
-    def u8(i: Int): Int = b(i) & 0xff
-    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    if (b.length < 14) return null
-    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
-      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
-    val packed = u8(10)
-    if ((packed & 0x80) == 0) return null
-    val gctN = 1 << ((packed & 0x07) + 1)
-    var pos = 13
-    if (pos + 3 * gctN > b.length) return null
-    pos += 3 * gctN
-    val rows = collection.mutable.ArrayBuffer.empty[InternalRow]
-    var sawTrailer = false
-    while (pos < b.length && !sawTrailer) {
-      u8(pos) match {
-        case 0x3b =>
-          sawTrailer = true; pos += 1
-        case 0x21 =>
-          pos += 2
-          var len = if (pos < b.length) u8(pos) else return null
-          while (len != 0) {
-            pos += 1 + len
-            if (pos >= b.length) return null
-            len = u8(pos)
-          }
-          pos += 1
-        case 0x2c =>
-          if (pos + 10 > b.length) return null
-          val left = u16le(pos + 1); val top = u16le(pos + 3)
-          val iw = u16le(pos + 5); val ih = u16le(pos + 7)
-          val ipacked = u8(pos + 9)
-          if ((ipacked & 0xc0) != 0) return null // interlace/LCT
-          pos += 10
-          if (pos >= b.length) return null
-          val minCode = u8(pos); pos += 1
-          if (minCode < 2 || minCode > 8) return null
-          val data = new java.io.ByteArrayOutputStream()
-          var len = if (pos < b.length) u8(pos) else return null
-          while (len != 0) {
-            if (pos + 1 + len > b.length) return null
-            data.write(b, pos + 1, len)
-            pos += 1 + len
-            if (pos >= b.length) return null
-            len = u8(pos)
-          }
-          pos += 1
-          if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1 << 26)) return null
-          val px = lzw(data.toByteArray, minCode, iw * ih, gctN)
-          if (px == null) return null
-          var sum = 0L; var k = 0
-          while (k < px.length) { sum += px(k); k += 1 }
-          rows += InternalRow(rows.length.toLong, left.toLong, top.toLong,
-            iw.toLong, ih.toLong, px.length.toLong, sum, px(0).toLong,
-            px(px.length - 1).toLong)
-        case _ => return null
-      }
+    walk(b) match {
+      case null => null
+      case (_, _, fs) =>
+        new GenericArrayData(fs.zipWithIndex.map { case (f, i) =>
+          InternalRow(i.toLong, f.left.toLong, f.top.toLong,
+            f.w.toLong, f.h.toLong, f.nPx, f.sum, f.first, f.last)
+        }.toArray[Any])
     }
-    if (!sawTrailer || rows.isEmpty) return null
-    new GenericArrayData(rows.toArray[Any])
   }
 
   /** Register `gif_decode(bin)` and `gif_frames(bin)`. Idempotent. */

@@ -182,6 +182,10 @@ object PdfText {
         while (lp < region.length && region.charAt(lp) >= '0' &&
           region.charAt(lp) <= '9') {
           len = len * 10 + (region.charAt(lp) - '0'); lp += 1; gotL = true
+          // a /Length no buffer can hold is malformed NOW — checked
+          // inside the loop so the accumulator can never wrap a Long
+          // and sneak a negative past the dp + len bound below
+          if (len > n) return bad
         }
         if (!gotL) return bad
         // payload starts after "stream" + EOL
@@ -282,7 +286,10 @@ object PdfText {
                   v = v * 8 + (c(i) - '0'); i += 1; k += 1
                 }
                 sb.append((v & 0xff).toChar)
-              case other => sb.append(other.toChar); i += 2
+              // mask before widening: a high escaped byte must land
+              // on its code point, same as the unescaped path (a
+              // bare .toChar on Byte sign-extends to U+FF80..U+FFFF)
+              case other => sb.append((other & 0xff).toChar); i += 2
             }
           } else if (x == '(') { depth += 1; sb.append('('); i += 1 }
           else if (x == ')') {

@@ -209,6 +209,43 @@ object MultimodalQueries {
         col("fr.last_idx").as("last_idx"))
   }
 
+  /** Synthesize a fully VALID 8x8 grayscale baseline JPEG per
+    * document IN SQL (JFIF APP0, flat q=16 DQT, SOF0, custom
+    * canonical Huffman tables making the DC-only block a FIXED
+    * 2-byte scan) and decode it back through
+    * [[graft.functions.JpegDecode]] — the mm_decode_jpeg body,
+    * public so ScaleProbe can ride it (the gifRoundtrip/pdfRoundtrip
+    * single-source pattern: probe and gate cannot desynchronize).
+    * Returns (doc_id, ok, width, height, n_blocks, sum_px, first_px,
+    * last_px); with q = 16 the DC-only IDCT output is the exact
+    * closed form 128 + 2·dc. */
+  def jpegRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.JpegDecode.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("ph", sha2(col("text"), 256))
+      .withColumn("dc", expr(
+        "8 + CAST(conv(substr(ph, 1, 2), 16, 10) AS BIGINT) % 8"))
+      .withColumn("jpg", expr(
+        "concat('FFD8', " +
+          "'FFE000104A46494600010100000100010000', " +
+          "'FFDB004300', repeat('10', 64), " +
+          "'FFC0000B080008000801011100', " +
+          "'FFC4001F00', '0000000C', repeat('00', 12), " +
+          "'000102030405060708090A0B', " +
+          "'FFC4001410', '01', repeat('00', 15), '00', " +
+          "'FFDA0008010100003F00', " +
+          "lpad(hex(64 + dc), 2, '0'), '7F', 'FFD9')"))
+      .withColumn("d", expr("jpeg_decode(unhex(jpg))"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("ok"),
+        element_at(col("d"), 2).as("width"),
+        element_at(col("d"), 3).as("height"),
+        element_at(col("d"), 4).as("n_blocks"),
+        element_at(col("d"), 5).as("sum_px"),
+        element_at(col("d"), 6).as("first_px"),
+        element_at(col("d"), 7).as("last_px"))
+  }
+
   /** Synthesize a fully VALID classic-xref PDF per document IN SQL
     * (catalog/pages/page/content objects, a correct /Length, the
     * fixed 20-byte xref records with REAL byte offsets computed by
@@ -1361,34 +1398,9 @@ object MultimodalQueries {
     // AC coefficients, byte stuffing, negative DC diffs and
     // multi-block prediction live in JpegSpec's real entropy encoder.
     "mm_decode_jpeg" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        graft.functions.JpegDecode.register(s)
-        docs(s, dir)
-          .withColumn("ph", sha2($"text", 256))
-          .withColumn("dc", expr(
-            "8 + CAST(conv(substr(ph, 1, 2), 16, 10) AS BIGINT) % 8"))
-          .withColumn("jpg", expr(
-            "concat('FFD8', " +
-              "'FFE000104A46494600010100000100010000', " +
-              s"'FFDB004300', repeat('10', 64), " +
-              "'FFC0000B080008000801011100', " +
-              "'FFC4001F00', '0000000C', repeat('00', 12), " +
-              "'000102030405060708090A0B', " +
-              "'FFC4001410', '01', repeat('00', 15), '00', " +
-              "'FFDA0008010100003F00', " +
-              "lpad(hex(64 + dc), 2, '0'), '7F', 'FFD9')"))
-          .withColumn("d", expr("jpeg_decode(unhex(jpg))"))
-          .select($"doc_id",
-            element_at($"d", 1).as("ok"),
-            element_at($"d", 2).as("width"),
-            element_at($"d", 3).as("height"),
-            element_at($"d", 4).as("n_blocks"),
-            element_at($"d", 5).as("sum_px"),
-            element_at($"d", 6).as("first_px"),
-            element_at($"d", 7).as("last_px"))
-          .orderBy($"doc_id")
-      },
+      fn = (s, dir) =>
+        // the public API IS the implementation (ScaleProbe rides it)
+        jpegRoundtrip(docs(s, dir)).orderBy(col("doc_id")),
       oracle = Some("""
         WITH j AS (
           SELECT doc_id,

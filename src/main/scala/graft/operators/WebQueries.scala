@@ -136,6 +136,36 @@ object WebQueries {
     .withColumn("domain",
       regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
 
+  /** The web_boilerplate body — real regex block segmentation +
+    * per-block integer scoring over [[htmlBlocked]] pages — public
+    * so ScaleProbe rides the exact gated pipeline (the
+    * jpegRoundtrip single-source pattern). Returns (doc_id,
+    * block_idx, tag, text_chars, link_chars, density_ppm,
+    * is_content). */
+  def boilerplateBlocks(docsDf: DataFrame): DataFrame =
+    htmlBlocked(docsDf)
+      .select(col("doc_id"), posexplode(expr(
+        "regexp_extract_all(html, " +
+          "'<(nav|p|footer)>(?s:.*?)</\\\\1>', 0)")))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumn("tag",
+        regexp_extract(col("col"), "^<([a-z]+)>", 1))
+      .withColumn("inner",
+        regexp_replace(col("col"), "<[^>]*>", ""))
+      .withColumn("text_chars", length(col("inner")).cast("long"))
+      .withColumn("link_chars", expr(
+        "aggregate(transform(regexp_extract_all(col, " +
+          "'<a [^>]*>((?s:.*?))</a>', 1), x -> " +
+          "CAST(length(x) AS BIGINT)), 0L, (a, v) -> a + v)"))
+      .withColumn("density_ppm",
+        expr("link_chars * 1000000L div greatest(text_chars, 1L)"))
+      .withColumn("is_content",
+        col("text_chars") >= 50L && col("density_ppm") <= 200000L)
+      .select(col("doc_id"),
+        col("block_idx").cast("long").as("block_idx"),
+        col("tag"), col("text_chars"), col("link_chars"),
+        col("density_ppm"), col("is_content"))
+
   /** The fixed 19-host robots rule dim (a seed, like s6): every host
     * allows '/', even hosts disallow '/a/', every fifth path gets a
     * specific longer re-allow, every third host carries a same-length
@@ -439,31 +469,10 @@ object WebQueries {
     // only the wrapper's own markup. 100 TB posture: stateless
     // per-row regex work, no shuffle at all before the final sort.
     "web_boilerplate" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        htmlBlocked(docs(s, dir))
-          .select($"doc_id", posexplode(expr(
-            "regexp_extract_all(html, " +
-              "'<(nav|p|footer)>(?s:.*?)</\\\\1>', 0)")))
-          .withColumnRenamed("pos", "block_idx")
-          .withColumn("tag",
-            regexp_extract($"col", "^<([a-z]+)>", 1))
-          .withColumn("inner",
-            regexp_replace($"col", "<[^>]*>", ""))
-          .withColumn("text_chars", length($"inner").cast("long"))
-          .withColumn("link_chars", expr(
-            "aggregate(transform(regexp_extract_all(col, " +
-              "'<a [^>]*>((?s:.*?))</a>', 1), x -> " +
-              "CAST(length(x) AS BIGINT)), 0L, (a, v) -> a + v)"))
-          .withColumn("density_ppm",
-            expr("link_chars * 1000000L div greatest(text_chars, 1L)"))
-          .withColumn("is_content",
-            $"text_chars" >= 50L && $"density_ppm" <= 200000L)
-          .select($"doc_id", $"block_idx".cast("long").as("block_idx"),
-            $"tag", $"text_chars", $"link_chars", $"density_ppm",
-            $"is_content")
-          .orderBy($"doc_id", $"block_idx")
-      },
+      fn = (s, dir) =>
+        // the public API IS the implementation (ScaleProbe rides it)
+        boilerplateBlocks(docs(s, dir))
+          .orderBy(col("doc_id"), col("block_idx")),
       oracle = Some("""
         WITH b AS (
           SELECT doc_id, 0 AS block_idx, 'nav' AS tag,

@@ -149,5 +149,22 @@ class PdfSpec extends SparkSuite {
     }
     // 10 empty input
     bad(Array.emptyByteArray)
+    // 11 /Length past Long range must flag, not wrap-and-throw (the
+    // r15 review finding: the digit accumulator could overflow to a
+    // negative Long and slip past the dp+len bound into copyOfRange)
+    bad {
+      val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+      bytes(s.replaceFirst("/Length \\d+", "/Length 9300000000000000000"))
+    }
+  }
+
+  test("escaped high bytes land on their code point, same as unescaped") {
+    // review finding: \ + byte 0xAB must decode to U+00AB, not the
+    // sign-extended U+FFAB — escaped and bare paths must agree
+    val lit = Array[Byte]('B', 'T', ' ', '(', '\\', 0xab.toByte, '|',
+      0xab.toByte, ')', ' ', 'T', 'j', ' ', 'E', 'T')
+    val (ok, _, _, text) = run(pdf(Seq(lit)))
+    assert(ok)
+    assert(text === "«|«")
   }
 }
