@@ -26,11 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   *    cross-engine hash gate at all.
   *
   * Scope (rejected, never misdecoded): progressive (SOF2),
-  * multi-component/chroma, 12-bit precision, restart markers,
-  * arithmetic coding. Returns `ARRAY<BIGINT>` of `[ok, width,
-  * height, n_blocks, sum_px, first_px, last_px]`; malformed input
-  * (bad markers, invalid Huffman code, coefficient index past 63,
-  * truncated scan, missing EOI) yields ok = 0 — never a throw.
+  * 12-bit precision, restart markers, arithmetic coding, chroma
+  * subsampling (4:4:4 color goes through [[JpegDecodeRgb]]; this
+  * expression is the 1-component readout). Returns `ARRAY<BIGINT>`
+  * of `[ok, width, height, n_blocks, sum_px, first_px, last_px]`;
+  * malformed input (bad markers, invalid Huffman code, coefficient
+  * index past 63, truncated scan, missing EOI) yields ok = 0 —
+  * never a throw.
   *
   * The mm_decode_jpeg gate rides DC-only blocks with q = 16, where
   * the IDCT output is the EXACT closed form 128 + dc·q/8 (divisible,
@@ -63,9 +65,53 @@ case class JpegDecode(child: Expression) extends UnaryExpression {
       newChild: Expression): JpegDecode = copy(child = newChild)
 }
 
+/** `jpeg_decode_rgb(bytes)` — the 3-component (YCbCr 4:4:4) readout
+  * of the SAME baseline decoder core as [[JpegDecode]]: per-MCU one
+  * block per component with per-component DC prediction and q/Huffman
+  * tables, then the JFIF YCbCr→RGB conversion in libjpeg's 16-bit
+  * FIXED POINT (R = Y + (91881·(Cr−128) + 32768) >> 16, etc. — the
+  * shift is an arithmetic FLOOR shift, and the constants are the
+  * published FIX(1.40200)/FIX(1.77200)/FIX(0.71414)/FIX(0.34414)
+  * values), so the color path is exactly integer-replicable by the
+  * DuckDB oracle (floor division spelled out for negative operands —
+  * DuckDB `//` truncates toward zero). Chroma SUBSAMPLING (4:2:0 /
+  * 4:2:2) is rejected as unsupported rather than misdecoded — 4:4:4
+  * is what this engine's thumbnail-scale payloads ship.
+  *
+  * Returns `ARRAY<BIGINT>` of `[ok, width, height, n_blocks, sum_r,
+  * sum_g, sum_b, first_rgb, last_rgb]` with first/last packed as
+  * r·65536 + g·256 + b; malformed or non-3-component input yields
+  * ok = 0, never a throw. */
+case class JpegDecodeRgb(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jpeg_decode_rgb requires a BINARY input, got " +
+          child.dataType.simpleString)
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jpeg_decode_rgb"
+
+  override def nullSafeEval(bytes: Any): Any =
+    JpegDecode.decodeRgb(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.JpegDecode.decodeRgb($b);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JpegDecodeRgb = copy(child = newChild)
+}
+
 object JpegDecode {
 
   private val Bad = Array.fill(7)(0L)
+  private val BadRgb = Array.fill(9)(0L)
 
   val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -215,119 +261,150 @@ object JpegDecode {
     out
   }
 
-  def decode(b: Array[Byte]): ArrayData = {
-    def bad = new GenericArrayData(Bad)
+  /** Decoded planes: `planes(ci)` is the blocksW·8 × blocksH·8
+    * padded sample grid of component ci. */
+  private final case class Core(w: Int, h: Int, blocksW: Int,
+                                blocksH: Int, planes: Array[Array[Int]])
+
+  /** THE baseline decode — shared by the grayscale and RGB readouts
+    * (one marker walk, one entropy loop; 1 or 3 components at 1x1
+    * sampling each). Null on any malformation. */
+  private def core(b: Array[Byte]): Core = {
     val n = b.length
     def u8(i: Int): Int = b(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-    if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return bad
+    if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return null
     var p = 2
     val qt = new Array[Array[Int]](4)
     val dcT = new Array[Huff](4)
     val acT = new Array[Huff](4)
-    var w = -1; var h = -1; var qIdx = -1
+    var w = -1; var h = -1
+    var nComp = -1
+    val compQ = new Array[Int](3)
     var sawEoi = false
-    var px: Array[Int] = null
+    var planes: Array[Array[Int]] = null
     var blocksW = 0; var blocksH = 0
     while (p + 2 <= n && !sawEoi) {
-      if (u8(p) != 0xff) return bad
+      if (u8(p) != 0xff) return null
       val m = u8(p + 1)
       p += 2
       m match {
         case 0xd9 => sawEoi = true
         case 0xdb => // DQT
-          if (p + 2 > n) return bad
+          if (p + 2 > n) return null
           val end = p + u16(p)
           p += 2
           while (p < end) {
             val pq = u8(p) >> 4; val tq = u8(p) & 15
-            if (pq != 0 || tq > 3 || p + 65 > n) return bad
+            if (pq != 0 || tq > 3 || p + 65 > n) return null
             qt(tq) = (1 to 64).map(i => u8(p + i)).toArray
             p += 65
           }
-          if (p != end) return bad
+          if (p != end) return null
         case 0xc0 => // SOF0 baseline
-          if (p + 11 > n) return bad
+          if (p + 8 > n) return null
           val end = p + u16(p)
-          if (end > n) return bad
-          if (u8(p + 2) != 8) return bad // precision
+          if (end > n) return null
+          if (u8(p + 2) != 8) return null // precision
           h = u16(p + 3); w = u16(p + 5)
-          if (u8(p + 7) != 1) return bad // grayscale only
-          if (u8(p + 9) != 0x11) return bad // 1x1 sampling
-          qIdx = u8(p + 10)
-          if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return bad
+          nComp = u8(p + 7)
+          if (nComp != 1 && nComp != 3) return null
+          if (p + 8 + 3 * nComp > n) return null
+          var ci = 0
+          while (ci < nComp) {
+            // per component: id, sampling (1x1 only), q table
+            if (u8(p + 9 + 3 * ci) != 0x11) return null // no subsampling
+            compQ(ci) = u8(p + 10 + 3 * ci)
+            if (compQ(ci) > 3) return null
+            ci += 1
+          }
+          if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return null
           p = end
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
-          return bad // non-baseline SOF / arithmetic coding
+          return null // non-baseline SOF / arithmetic coding
         case 0xc4 => // DHT
-          if (p + 2 > n) return bad
+          if (p + 2 > n) return null
           val end = p + u16(p)
           p += 2
           while (p < end) {
             val tc = u8(p) >> 4; val th = u8(p) & 15
-            if (tc > 1 || th > 3 || p + 17 > n) return bad
+            if (tc > 1 || th > 3 || p + 17 > n) return null
             val counts = (1 to 16).map(i => u8(p + i)).toArray
             val total = counts.sum
-            if (p + 17 + total > n || total > 256) return bad
+            if (p + 17 + total > n || total > 256) return null
             val syms = (0 until total).map(i => u8(p + 17 + i)).toArray
             val t = new Huff(counts, syms)
             if (tc == 0) dcT(th) = t else acT(th) = t
             p += 17 + total
           }
-          if (p != end) return bad
+          if (p != end) return null
         case 0xda => // SOS
-          if (p + 8 > n) return bad
-          if (w < 0 || qIdx < 0 || qt(qIdx) == null) return bad
+          if (nComp < 0) return null
+          if (p + 6 + 2 * nComp > n) return null
           val ns = u8(p + 2)
-          if (ns != 1) return bad
-          val dcId = u8(p + 4) >> 4; val acId = u8(p + 4) & 15
-          if (dcT(dcId) == null || acT(acId) == null) return bad
+          if (ns != nComp) return null
+          val dcIds = new Array[Int](nComp)
+          val acIds = new Array[Int](nComp)
+          var ci = 0
+          while (ci < nComp) {
+            dcIds(ci) = u8(p + 4 + 2 * ci) >> 4
+            acIds(ci) = u8(p + 4 + 2 * ci) & 15
+            if (dcT(dcIds(ci)) == null || acT(acIds(ci)) == null ||
+              qt(compQ(ci)) == null) return null
+            ci += 1
+          }
           p += u16(p)
-          // entropy scan
+          // entropy scan: per MCU one block per component (4:4:4)
           blocksW = (w + 7) / 8; blocksH = (h + 7) / 8
-          val q = qt(qIdx)
           val br = new BitReader(b, p)
-          px = new Array[Int](blocksW * 8 * blocksH * 8)
-          var pred = 0
+          planes = Array.fill(nComp)(
+            new Array[Int](blocksW * 8 * blocksH * 8))
+          val preds = new Array[Int](nComp)
           var by = 0
           while (by < blocksH) {
             var bx = 0
             while (bx < blocksW) {
-              val coef = new Array[Long](64)
-              val s0 = dcT(dcId).decode(br)
-              if (s0 < 0 || s0 > 11) return bad
-              val d = br.receive(s0)
-              if (d == Int.MinValue) return bad
-              pred += extend(d, s0)
-              coef(0) = pred.toLong * q(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = acT(acId).decode(br)
-                if (rs < 0) return bad
-                val r = rs >> 4; val sz = rs & 15
-                if (sz == 0) {
-                  if (r == 15) k += 16 else eob = true
-                } else {
-                  k += r
-                  if (k > 63) return bad
-                  val v = br.receive(sz)
-                  if (v == Int.MinValue) return bad
-                  coef(Zigzag(k)) = extend(v, sz).toLong * q(k)
-                  k += 1
+              var c2 = 0
+              while (c2 < nComp) {
+                val q = qt(compQ(c2))
+                val coef = new Array[Long](64)
+                val s0 = dcT(dcIds(c2)).decode(br)
+                if (s0 < 0 || s0 > 11) return null
+                val d = br.receive(s0)
+                if (d == Int.MinValue) return null
+                preds(c2) += extend(d, s0)
+                coef(0) = preds(c2).toLong * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = acT(acIds(c2)).decode(br)
+                  if (rs < 0) return null
+                  val r = rs >> 4; val sz = rs & 15
+                  if (sz == 0) {
+                    if (r == 15) k += 16 else eob = true
+                  } else {
+                    k += r
+                    if (k > 63) return null
+                    val v = br.receive(sz)
+                    if (v == Int.MinValue) return null
+                    coef(Zigzag(k)) = extend(v, sz).toLong * q(k)
+                    k += 1
+                  }
                 }
-              }
-              val blk = idct(coef)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  px((by * 8 + yy) * blocksW * 8 + bx * 8 + xx) =
-                    blk(yy * 8 + xx)
-                  xx += 1
+                val blk = idct(coef)
+                val plane = planes(c2)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    plane((by * 8 + yy) * blocksW * 8 + bx * 8 + xx) =
+                      blk(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
                 }
-                yy += 1
+                c2 += 1
               }
               bx += 1
             }
@@ -337,28 +414,87 @@ object JpegDecode {
           p = br.pos
           while (p + 1 < n && u8(p) != 0xff) p += 1
         case mm if mm >= 0xd0 && mm <= 0xd7 =>
-          return bad // restart markers out of scope
+          return null // restart markers out of scope
         case _ => // APPn, COM, others: length-skipped
-          if (p + 2 > n) return bad
+          if (p + 2 > n) return null
           p += u16(p)
       }
     }
-    if (!sawEoi || px == null) return bad
-    // crop the padded block grid to w x h for the stats
-    var sum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { sum += px(y * blocksW * 8 + x); x += 1 }
-      y += 1
-    }
-    new GenericArrayData(Array(1L, w.toLong, h.toLong,
-      (blocksW * blocksH).toLong, sum, px(0).toLong,
-      px((h - 1) * blocksW * 8 + (w - 1)).toLong))
+    if (!sawEoi || planes == null) return null
+    Core(w, h, blocksW, blocksH, planes)
   }
 
-  /** Register `jpeg_decode(bin)`. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def decode(b: Array[Byte]): ArrayData = {
+    def bad = new GenericArrayData(Bad)
+    val c = core(b)
+    if (c == null || c.planes.length != 1) return bad
+    val px = c.planes(0)
+    val stride = c.blocksW * 8
+    var sum = 0L
+    var y = 0
+    while (y < c.h) {
+      var x = 0
+      while (x < c.w) { sum += px(y * stride + x); x += 1 }
+      y += 1
+    }
+    new GenericArrayData(Array(1L, c.w.toLong, c.h.toLong,
+      (c.blocksW * c.blocksH).toLong, sum, px(0).toLong,
+      px((c.h - 1) * stride + (c.w - 1)).toLong))
+  }
+
+  // JFIF YCbCr->RGB in libjpeg's 16-bit fixed point; >> is the
+  // arithmetic FLOOR shift (the DuckDB twin spells out floor
+  // division for negative operands)
+  private final val FIX_1_40200 = 91881L
+  private final val FIX_1_77200 = 116130L
+  private final val FIX_0_71414 = 46802L
+  private final val FIX_0_34414 = 22554L
+
+  private def clamp255(v: Long): Long =
+    if (v < 0) 0L else if (v > 255) 255L else v
+
+  /** The exact per-pixel conversion, public for spec/oracle
+    * cross-checks: (y, cb, cr) samples 0..255 → packed r/g/b. */
+  def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Long, Long, Long) = {
+    val r = clamp255(y + ((FIX_1_40200 * (cr - 128) + 32768L) >> 16))
+    val g = clamp255(y + ((-FIX_0_34414 * (cb - 128)
+      - FIX_0_71414 * (cr - 128) + 32768L) >> 16))
+    val bb = clamp255(y + ((FIX_1_77200 * (cb - 128) + 32768L) >> 16))
+    (r, g, bb)
+  }
+
+  def decodeRgb(b: Array[Byte]): ArrayData = {
+    def bad = new GenericArrayData(BadRgb)
+    val c = core(b)
+    if (c == null || c.planes.length != 3) return bad
+    val stride = c.blocksW * 8
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var first = -1L; var last = 0L
+    var y = 0
+    while (y < c.h) {
+      var x = 0
+      while (x < c.w) {
+        val i = y * stride + x
+        val (r, g, bb) = ycbcrToRgb(c.planes(0)(i), c.planes(1)(i),
+          c.planes(2)(i))
+        sumR += r; sumG += g; sumB += bb
+        val packed = r * 65536L + g * 256L + bb
+        if (first < 0) first = packed
+        last = packed
+        x += 1
+      }
+      y += 1
+    }
+    new GenericArrayData(Array(1L, c.w.toLong, c.h.toLong,
+      (c.blocksW * c.blocksH).toLong, sumR, sumG, sumB, first, last))
+  }
+
+  /** Register `jpeg_decode(bin)` and `jpeg_decode_rgb(bin)`.
+    * Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_decode", exprs => JpegDecode(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_decode_rgb", exprs => JpegDecodeRgb(exprs(0)), "built-in")
+  }
 }

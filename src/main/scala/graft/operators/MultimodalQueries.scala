@@ -246,6 +246,61 @@ object MultimodalQueries {
         element_at(col("d"), 7).as("last_px"))
   }
 
+  /** [[jpegRoundtrip]]'s COLOR sibling: a fully valid 8x8 YCbCr
+    * 4:4:4 baseline JPEG per document (three DC-only components
+    * sharing the q=16 table and the fixed-length Huffman tables, so
+    * the whole 27-bit scan packs into a FIXED 4-byte pattern with no
+    * 0xFF possible) decoded back through
+    * [[graft.functions.JpegDecodeRgb]] — per-component DC
+    * prediction, then the 16-bit fixed-point YCbCr→RGB conversion.
+    * Channel DCs are chosen so chroma sits ABOVE neutral (samples
+    * 144..158 ⇒ positive Cr−128/Cb−128 for R/B, a genuinely negative
+    * G numerator that exercises the floor shift) and no channel
+    * clamps, keeping the oracle pure integer arithmetic. Returns
+    * (doc_id, ok, width, height, n_blocks, sum_r, sum_g, sum_b,
+    * first_rgb, last_rgb). */
+  def jpegColorRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.JpegDecode.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("ph", sha2(col("text"), 256))
+      .withColumn("dy", expr(
+        "8 + CAST(conv(substr(ph, 1, 2), 16, 10) AS BIGINT) % 8"))
+      .withColumn("db", expr(
+        "8 + CAST(conv(substr(ph, 3, 2), 16, 10) AS BIGINT) % 8"))
+      .withColumn("dr", expr(
+        "8 + CAST(conv(substr(ph, 5, 2), 16, 10) AS BIGINT) % 8"))
+      // 27-bit scan: [0100 yyyy 0][0100 bbbb 0][0100 rrrr 0] + 5 pad
+      // 1s, laid out byte-exact (b1 = 0x20|cb>>1 etc. — see the
+      // scaladoc derivation; no byte can be 0xFF, so no stuffing)
+      .withColumn("scan", expr(
+        "concat(lpad(hex(64 + dy), 2, '0'), " +
+          "lpad(hex(32 + (db div 2)), 2, '0'), " +
+          "lpad(hex((db % 2) * 128 + 16 + (dr div 4)), 2, '0'), " +
+          "lpad(hex((dr % 4) * 64 + 31), 2, '0'))"))
+      .withColumn("jpg", expr(
+        "concat('FFD8', " +
+          "'FFE000104A46494600010100000100010000', " +
+          "'FFDB004300', repeat('10', 64), " +
+          "'FFC00011', '08', '0008', '0008', '03', " +
+          "'011100', '021100', '031100', " +
+          "'FFC4001F00', '0000000C', repeat('00', 12), " +
+          "'000102030405060708090A0B', " +
+          "'FFC4001410', '01', repeat('00', 15), '00', " +
+          "'FFDA000C03010002000300003F00', " +
+          "scan, 'FFD9')"))
+      .withColumn("d", expr("jpeg_decode_rgb(unhex(jpg))"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("ok"),
+        element_at(col("d"), 2).as("width"),
+        element_at(col("d"), 3).as("height"),
+        element_at(col("d"), 4).as("n_blocks"),
+        element_at(col("d"), 5).as("sum_r"),
+        element_at(col("d"), 6).as("sum_g"),
+        element_at(col("d"), 7).as("sum_b"),
+        element_at(col("d"), 8).as("first_rgb"),
+        element_at(col("d"), 9).as("last_rgb"))
+  }
+
   /** Synthesize a fully VALID classic-xref PDF per document IN SQL
     * (catalog/pages/page/content objects, a correct /Length, the
     * fixed 20-byte xref records with REAL byte offsets computed by
@@ -1417,6 +1472,49 @@ object MultimodalQueries {
                CAST(v AS BIGINT) AS last_px
         FROM j ORDER BY doc_id"""),
       desc = "REAL baseline JPEG decode: Huffman + dequant + integer IDCT, closed-form DC oracle"),
+
+    // ── REAL color JPEG decode: YCbCr 4:4:4 + fixed-point to RGB ────
+    // jpegColorRoundtrip's three DC-only components decode through
+    // the same baseline core (per-component prediction and tables)
+    // and the 16-bit fixed-point JFIF conversion; every constant is
+    // an integer, so the oracle recomputes R/G/B exactly — including
+    // the G channel's FLOOR shift of a negative numerator, spelled
+    // out as exact floor division (DuckDB // truncates toward zero,
+    // the documented sign trap). Chroma subsampling is rejected, not
+    // misdecoded (spec-pinned).
+    "mm_decode_jpeg_rgb" -> Q(
+      fn = (s, dir) =>
+        jpegColorRoundtrip(docs(s, dir)).orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH j AS (
+          SELECT doc_id,
+                 144 + 2 * (('0x' || substr(sha256(text), 1, 2))::BIGINT
+                   % 8) AS yv,
+                 144 + 2 * (('0x' || substr(sha256(text), 3, 2))::BIGINT
+                   % 8) AS cbv,
+                 144 + 2 * (('0x' || substr(sha256(text), 5, 2))::BIGINT
+                   % 8) AS crv
+          FROM documents),
+        c AS (
+          SELECT doc_id, yv, cbv, crv,
+                 yv + (91881 * (crv - 128) + 32768) // 65536 AS r,
+                 yv + (gn - (((gn % 65536) + 65536) % 65536)) // 65536
+                   AS g,
+                 yv + (116130 * (cbv - 128) + 32768) // 65536 AS b
+          FROM (SELECT *, 32768 - 22554 * (cbv - 128)
+                  - 46802 * (crv - 128) AS gn FROM j))
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS ok,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_blocks,
+               CAST(64 * r AS BIGINT) AS sum_r,
+               CAST(64 * g AS BIGINT) AS sum_g,
+               CAST(64 * b AS BIGINT) AS sum_b,
+               CAST(r * 65536 + g * 256 + b AS BIGINT) AS first_rgb,
+               CAST(r * 65536 + g * 256 + b AS BIGINT) AS last_rgb
+        FROM c ORDER BY doc_id"""),
+      desc = "REAL color JPEG decode: 3-component baseline + fixed-point YCbCr-to-RGB, integer oracle"),
 
     // ── strict UTF-8 validation: the byte-level ingest front gate ───
     // Every crawl blob must pass byte-level UTF-8 validation before

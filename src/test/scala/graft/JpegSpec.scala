@@ -40,9 +40,13 @@ class JpegSpec extends AnyFunSuite {
   private def acCode(sym: Int): Int = acSymbols.indexOf(sym)
 
   /** Encode quantized ZIGZAG-order coefficient blocks into a full
-    * grayscale baseline JPEG (flat q). */
+    * baseline JPEG (flat q). For `nComp = 3` (YCbCr 4:4:4) the
+    * blocks Seq is MCU-interleaved — Y0,Cb0,Cr0,Y1,Cb1,Cr1,… — with
+    * per-component DC prediction, all components sharing the tables
+    * (exactly what the decoder must untangle). */
   private def encode(blocks: Seq[Array[Int]], w: Int, h: Int,
-                     q: Int = 16): Array[Byte] = {
+                     q: Int = 16, nComp: Int = 1,
+                     sampling: Int = 0x11): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def wb(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
     def seg(marker: Int, body: Seq[Int]): Unit = {
@@ -51,19 +55,22 @@ class JpegSpec extends AnyFunSuite {
     }
     wb(0xff, 0xd8)
     seg(0xdb, Seq(0x00) ++ Seq.fill(64)(q))
-    seg(0xc0, Seq(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    seg(0xc0, Seq(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp) ++
+      (1 to nComp).flatMap(ci => Seq(ci, sampling, 0)))
     // DC: 12 symbols, all length 4
     seg(0xc4, Seq(0x00) ++ Seq(0, 0, 0, 12) ++ Seq.fill(12)(0) ++
       (0 to 11))
     // AC: 162 symbols, all length 8
     seg(0xc4, Seq(0x10) ++ Seq(0, 0, 0, 0, 0, 0, 0, 162) ++
       Seq.fill(8)(0) ++ acSymbols)
-    seg(0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    seg(0xda, Seq(nComp) ++
+      (1 to nComp).flatMap(ci => Seq(ci, 0x00)) ++ Seq(0, 63, 0))
     val bw = new BitWriter
-    var pred = 0
-    for (zz <- blocks) {
+    val preds = new Array[Int](nComp)
+    for ((zz, bi) <- blocks.zipWithIndex) {
+      val ci = bi % nComp
       val dc = zz(0)
-      val diff = dc - pred; pred = dc
+      val diff = dc - preds(ci); preds(ci) = dc
       val s = cat(diff)
       bw.put(s, 4) // DC code = symbol value at length 4
       if (s > 0)
@@ -193,6 +200,66 @@ class JpegSpec extends AnyFunSuite {
           s"idx $i fixed=${fixed(i)} ref=$clamped")
       }
     }
+  }
+
+  test("color 4:4:4: per-component prediction + fixed-point RGB exact") {
+    // 2 MCUs (16x8), interleaved Y,Cb,Cr blocks with AC energy in
+    // every channel; expected = idct per plane + ycbcrToRgb per px
+    val r = new scala.util.Random(11)
+    val mcus = (0 until 2).flatMap(_ => (0 until 3).map(_ =>
+      rndBlock(r.nextInt(1 << 30), 6)))
+    val b = encode(mcus, 16, 8, nComp = 3)
+    val d = JpegDecode.decodeRgb(b).toLongArray()
+    assert(d(0) === 1L && d(1) === 16L && d(2) === 8L && d(3) === 2L)
+    // recompute planes independently
+    def plane(ci: Int): Array[Array[Int]] =
+      (0 until 2).map { m =>
+        val zz = mcus(m * 3 + ci)
+        val nat = new Array[Long](64)
+        for (k <- 0 until 64) nat(JpegDecode.Zigzag(k)) = zz(k).toLong * 16
+        JpegDecode.idct(nat)
+      }.toArray
+    val (py, pcb, pcr) = (plane(0), plane(1), plane(2))
+    var sr = 0L; var sg = 0L; var sb2 = 0L
+    var first = -1L; var last = 0L
+    for (y <- 0 until 8; gx <- 0 until 16) {
+      val m = gx / 8; val x = gx % 8
+      val (rr, gg, bb) = JpegDecode.ycbcrToRgb(
+        py(m)(y * 8 + x), pcb(m)(y * 8 + x), pcr(m)(y * 8 + x))
+      sr += rr; sg += gg; sb2 += bb
+      val packed = rr * 65536 + gg * 256 + bb
+      if (first < 0) first = packed
+      last = packed
+    }
+    assert(d(4) === sr && d(5) === sg && d(6) === sb2)
+    assert(d(7) === first && d(8) === last)
+  }
+
+  test("fixed-point YCbCr->RGB tracks the float formula within 1") {
+    for (y <- Seq(0, 60, 128, 200, 255); cb <- Seq(0, 90, 128, 200);
+         cr <- Seq(16, 128, 230)) {
+      val (r, g, b) = JpegDecode.ycbcrToRgb(y, cb, cr)
+      def cl(v: Double) = math.max(0.0, math.min(255.0, v))
+      assert(math.abs(r - cl(y + 1.402 * (cr - 128))) <= 1.0)
+      assert(math.abs(g - cl(y - 0.344136 * (cb - 128)
+        - 0.714136 * (cr - 128))) <= 1.0)
+      assert(math.abs(b - cl(y + 1.772 * (cb - 128))) <= 1.0)
+    }
+  }
+
+  test("chroma subsampling and wrong-arity readouts reject cleanly") {
+    val color = encode((0 until 3).map(_ => rndBlock(5, 4)), 8, 8,
+      nComp = 3)
+    // 4:2:0 sampling byte on the first component: rejected
+    val sub = encode((0 until 3).map(_ => rndBlock(5, 4)), 8, 8,
+      nComp = 3, sampling = 0x22)
+    assert(JpegDecode.decodeRgb(sub).toLongArray()(0) === 0L)
+    // gray readout of a color file / color readout of a gray file
+    assert(JpegDecode.decode(color).toLongArray()(0) === 0L)
+    val gray = encode(Seq(rndBlock(5, 4)), 8, 8)
+    assert(JpegDecode.decodeRgb(gray).toLongArray()(0) === 0L)
+    // the color gate twin decodes green
+    assert(JpegDecode.decodeRgb(color).toLongArray()(0) === 1L)
   }
 
   test("malformed inputs: ok=0, never a throw") {
