@@ -1133,6 +1133,11 @@ object ScaleProbe {
         // PDF build (SQL length arithmetic) + xref walk + text
         // extraction (native expression): per-row — must be linear
         graft.operators.MultimodalQueries.pdfRoundtrip(docFrac(k))),
+      "mjpeg_frames" -> (k =>
+        // AVI container walk + per-frame JPEG decode: bounded frames
+        // per row, embarrassingly parallel — must be linear; rides
+        // the exact gated pipeline
+        graft.operators.MultimodalQueries.mjpegRoundtrip(docFrac(k))),
       "jpeg_decode" -> (k =>
         // JPEG build (fixed 2-byte scan) + full baseline decode
         // (Huffman + integer IDCT): per-row — must be linear;

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * animated), baseline JPEG (Huffman + dequant + integer IDCT), plus
   * the container quartet (gzip/WARC/tar/zip), PDF text extraction
   * and strict UTF-8 validation — all native expressions with
-  * first-principles oracles. Only codec VIDEO decode remains a
-  * clearly-marked deterministic fake (mm_decode/mm_frames — features
-  * derived from the bytes themselves); everything around it —
+  * first-principles oracles. VIDEO has a real-codec member too:
+  * mm_decode_mjpeg walks a real AVI (RIFF) container and decodes
+  * every MJPEG frame through the real JPEG pipeline. Only
+  * general-codec video (H.26x-class) remains a clearly-marked
+  * deterministic fake (mm_decode/mm_frames — features derived from
+  * the bytes themselves); everything around it —
   * BinaryType schema, per-batch partitioned processing, frame
   * sampling via generator explode, metadata derivation — is real
   * Spark plumbing, exercised and oracle-checked byte-for-byte (hex
@@ -299,6 +302,57 @@ object MultimodalQueries {
         element_at(col("d"), 7).as("sum_b"),
         element_at(col("d"), 8).as("first_rgb"),
         element_at(col("d"), 9).as("last_rgb"))
+  }
+
+  /** Synthesize a fully VALID MJPEG AVI per document IN SQL — RIFF
+    * header, a minimal-but-real hdrl LIST (avih chunk), a movi LIST
+    * with 2-3 `00dc` frames each carrying a complete baseline JPEG
+    * (the [[jpegRoundtrip]] container with a per-frame DC), every
+    * odd-sized chunk followed by its REAL even-padding byte — and
+    * decode it back through `explode(avi_frames(...))` →
+    * `jpeg_decode(...)`: VIDEO decode made genuinely real for the
+    * MJPEG codec by composing two native expressions (the
+    * mm_decode_mjpeg body, public so ScaleProbe can ride it).
+    * Returns (doc_id, frame, ok, width, height, sum_px, first_px,
+    * last_px). */
+  def mjpegRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.AviFrames.register(docsDf.sparkSession)
+    graft.functions.JpegDecode.register(docsDf.sparkSession)
+    // the 171-byte fixed-layout grayscale JPEG, DC from sha byte f
+    val jpegHex = "concat('FFD8', " +
+      "'FFE000104A46494600010100000100010000', " +
+      "'FFDB004300', repeat('10', 64), " +
+      "'FFC0000B080008000801011100', " +
+      "'FFC4001F00', '0000000C', repeat('00', 12), " +
+      "'000102030405060708090A0B', " +
+      "'FFC4001410', '01', repeat('00', 15), '00', " +
+      "'FFDA0008010100003F00', " +
+      "lpad(hex(72 + CAST(conv(substr(ph, 2 * f + 1, 2), 16, 10) " +
+      "AS BIGINT) % 8), 2, '0'), '7F', 'FFD9')"
+    docsDf
+      .withColumn("nf", col("doc_id") % 2 + 2)
+      .withColumn("ph", sha2(col("text"), 256))
+      .withColumn("avi", expr(
+        // RIFF size = 4 (AVI ) + 76 (hdrl LIST) + 12 + nf*180 (movi)
+        s"concat('52494646', ${leHex("92 + nf * 180", 4)}, '41564920', " +
+          // LIST(68) hdrl + avih(56 zero bytes)
+          "'4C495354', '44000000', '6864726C', " +
+          "'61766968', '38000000', repeat('00', 56), " +
+          s"'4C495354', ${leHex("4 + nf * 180", 4)}, '6D6F7669', " +
+          "concat_ws('', transform(sequence(0, nf - 1), f -> " +
+          // 00dc chunk: size 171 (odd) + the real padding byte
+          s"concat('30306463', 'AB000000', $jpegHex, '00'))))"))
+      .select(col("doc_id"),
+        posexplode(expr("avi_frames(unhex(avi))")))
+      .withColumnRenamed("pos", "frame")
+      .withColumn("d", expr("jpeg_decode(col)"))
+      .select(col("doc_id"), col("frame").cast("long").as("frame"),
+        element_at(col("d"), 1).as("ok"),
+        element_at(col("d"), 2).as("width"),
+        element_at(col("d"), 3).as("height"),
+        element_at(col("d"), 5).as("sum_px"),
+        element_at(col("d"), 6).as("first_px"),
+        element_at(col("d"), 7).as("last_px"))
   }
 
   /** Synthesize a fully VALID classic-xref PDF per document IN SQL
@@ -1515,6 +1569,40 @@ object MultimodalQueries {
                CAST(r * 65536 + g * 256 + b AS BIGINT) AS last_rgb
         FROM c ORDER BY doc_id"""),
       desc = "REAL color JPEG decode: 3-component baseline + fixed-point YCbCr-to-RGB, integer oracle"),
+
+    // ── REAL video decode: MJPEG frames out of a real AVI walk ──────
+    // The video family's honest-fake finally has a real-codec member:
+    // avi_frames walks the RIFF container (LIST descent, movi frame
+    // collection, even-byte padding) and each 00dc payload decodes
+    // through the REAL baseline JPEG pipeline — two native
+    // expressions composed with explode, the Spark-first shape. The
+    // oracle recomputes every frame's closed-form DC stats
+    // container-free. Malformed/edge container classes live in
+    // AviSpec.
+    "mm_decode_mjpeg" -> Q(
+      fn = (s, dir) =>
+        mjpegRoundtrip(docs(s, dir))
+          .orderBy(col("doc_id"), col("frame")),
+      oracle = Some("""
+        WITH fr AS (
+          SELECT doc_id, sha256(text) AS ph,
+                 unnest(generate_series(0,
+                   CAST(doc_id % 2 + 1 AS BIGINT))) AS f
+          FROM documents),
+        v AS (
+          SELECT doc_id, f,
+                 144 + 2 * (('0x' || substr(ph,
+                   CAST(2 * f + 1 AS BIGINT), 2))::BIGINT % 8) AS v
+          FROM fr)
+        SELECT doc_id, f AS frame,
+               CAST(1 AS BIGINT) AS ok,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(64 * v AS BIGINT) AS sum_px,
+               CAST(v AS BIGINT) AS first_px,
+               CAST(v AS BIGINT) AS last_px
+        FROM v ORDER BY doc_id, frame"""),
+      desc = "REAL MJPEG video decode: RIFF/AVI container walk composed with the real JPEG decoder"),
 
     // ── strict UTF-8 validation: the byte-level ingest front gate ───
     // Every crawl blob must pass byte-level UTF-8 validation before
