@@ -1570,6 +1570,83 @@ object MultimodalQueries {
         FROM c ORDER BY doc_id"""),
       desc = "REAL color JPEG decode: 3-component baseline + fixed-point YCbCr-to-RGB, integer oracle"),
 
+    // ── REAL compressed-audio decode: IMA ADPCM ─────────────────────
+    // Audio's compressed-codec member beside PCM WAV: the fn wraps a
+    // valid mono IMA ADPCM WAV per doc (fmt tag 0x0011 with the
+    // cbSize/samplesPerBlock extension, one 12-byte block: sha-seeded
+    // predictor + step index, all-zero nibbles) and adpcm_decode runs
+    // the real state machine back. With zero nibbles each sample
+    // steps by step(idx)>>3 while idx walks down — the closed-form
+    // table walk the oracle recomputes from the SAME rendered
+    // 89-entry step table (AdpcmDecode.stepsSql; single source, the
+    // DdBuckets pattern). Nonzero/sign nibbles, clamps and
+    // multi-block state live in AdpcmSpec's real encoder.
+    "mm_decode_adpcm" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.AdpcmDecode.register(s)
+        docs(s, dir)
+          .withColumn("ph", sha2($"text", 256))
+          .withColumn("idx0", expr(
+            "CAST(conv(substr(ph, 1, 2), 16, 10) AS BIGINT) % 40"))
+          .withColumn("pred0", expr(
+            "(CAST(conv(substr(ph, 3, 2), 16, 10) AS BIGINT) - 128) " +
+              "* 100"))
+          .withColumn("wav", expr(
+            s"concat('52494646', ${leHex("52", 4)}, '57415645', " +
+              s"'666D7420', ${leHex("20", 4)}, " +
+              s"${leHex("17", 2)}, ${leHex("1", 2)}, " +      // 0x11, mono
+              s"${leHex("8000", 4)}, ${leHex("4000", 4)}, " + // rate, brate
+              s"${leHex("12", 2)}, ${leHex("4", 2)}, " +      // align, bits
+              s"${leHex("2", 2)}, ${leHex("17", 2)}, " +      // cb, spb
+              s"'64617461', ${leHex("12", 4)}, " +
+              s"${leHex("(pred0 + 65536) % 65536", 2)}, " +
+              "lpad(hex(idx0), 2, '0'), '00', repeat('00', 8))"))
+          .withColumn("d", expr("adpcm_decode(unhex(wav))"))
+          .select($"doc_id",
+            element_at($"d", 1).as("ok"),
+            element_at($"d", 2).as("sample_rate"),
+            element_at($"d", 3).as("samples_per_block"),
+            element_at($"d", 4).as("n_blocks"),
+            element_at($"d", 5).as("n_samples"),
+            element_at($"d", 6).as("sum_samples"),
+            element_at($"d", 7).as("first_sample"),
+            element_at($"d", 8).as("last_sample"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH a AS (
+          SELECT doc_id,
+                 ('0x' || substr(sha256(text), 1, 2))::BIGINT % 40
+                   AS idx0,
+                 (('0x' || substr(sha256(text), 3, 2))::BIGINT - 128)
+                   * 100 AS pred0
+          FROM documents),
+        jj AS (
+          SELECT doc_id, idx0, pred0,
+                 unnest(generate_series(1, 16)) AS j
+          FROM a),
+        d AS (
+          SELECT jj.doc_id, jj.pred0, jj.j, s.step // 8 AS delta
+          FROM jj JOIN (${graft.functions.AdpcmDecode.stepsSql}) s
+            ON s.i = greatest(0, jj.idx0 - jj.j + 1)),
+        g AS (
+          SELECT doc_id, pred0,
+                 CAST(sum((17 - j) * delta) AS BIGINT) AS wsum,
+                 CAST(sum(delta) AS BIGINT) AS dsum
+          FROM d GROUP BY doc_id, pred0)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS ok,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(17 AS BIGINT) AS samples_per_block,
+               CAST(1 AS BIGINT) AS n_blocks,
+               CAST(17 AS BIGINT) AS n_samples,
+               CAST(pred0 * 17 + wsum AS BIGINT) AS sum_samples,
+               CAST(pred0 AS BIGINT) AS first_sample,
+               CAST(pred0 + dsum AS BIGINT) AS last_sample
+        FROM g ORDER BY doc_id"""),
+      desc = "REAL IMA ADPCM decode: step-table state machine, closed-form zero-nibble oracle"),
+
     // ── REAL video decode: MJPEG frames out of a real AVI walk ──────
     // The video family's honest-fake finally has a real-codec member:
     // avi_frames walks the RIFF container (LIST descent, movi frame
