@@ -149,7 +149,19 @@ object StreamingQueries {
                     mode: String = "complete"): DataFrame = {
     val q = out.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      // q.stop() does NOT unload the query's state-store providers:
+      // they stay in the JVM-wide loaded-provider map with their
+      // in-heap loadedMaps, and the shared maintenance task keeps
+      // scanning them. Over a bench session running dozens of
+      // independent drains that is cross-query interference by
+      // construction — unload eagerly; the next streaming query
+      // restarts maintenance lazily. On a cluster the analog is
+      // per-query executor teardown, which does this for free.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
     s.table(name)
   }
 
@@ -619,7 +631,11 @@ object StreamingQueries {
           val q = StreamingModels.sinkByServiceDay(agg,
             d + "/tbl", d + "/ckpt",
             mergeKeys = Seq("service_day_local", "event_type")).start()
-          try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable()
+          finally {
+            q.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
         }
         s.read.parquet(root + "/tbl")
           .select(col("service_day_local").cast("string")
@@ -1077,7 +1093,11 @@ object StreamingQueries {
             .option("path", outD).option("checkpointLocation", ckpt)
             .start()
           val q1 = job()
-          try q1.processAllAvailable() finally q1.stop()
+          try q1.processAllAvailable()
+          finally {
+            q1.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
           // phase B: the rest + the far-future sentinel, moved into
           // the source dir with later mtimes (the replay-source move)
           val sent = ev.sparkSession.range(1).select(
@@ -1098,7 +1118,11 @@ object StreamingQueries {
             .foreach(_.delete())
           new java.io.File(srcD + "__b").delete()
           val q2 = job() // SAME checkpoint: offsets + state + watermark
-          try q2.processAllAvailable() finally q2.stop()
+          try q2.processAllAvailable()
+          finally {
+            q2.stop()
+            org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          }
         }
         s.read.parquet(root + "/out")
           .filter(col("event_type") =!= "sentinel")
