@@ -1107,10 +1107,15 @@ object Engine {
     * `bits` to pin the build. */
   def bloomPrefilter(big: DataFrame, bigKey: String, small: DataFrame,
                      smallKey: String, bits: Int = 0,
-                     nHash: Int = 5): DataFrame = {
+                     nHash: Int = 5, hashFamily: String = "md5"): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.Md5PrefixLong.register(big.sparkSession)
-    val keys = small.select(col(smallKey).cast("string").as("k")).distinct()
+    // md5 mode hashes the key's STRING form (the DuckDB twin's
+    // replayable representation); xx mode hashes the native value —
+    // both sides must then carry the SAME key type
+    val keys = (if (hashFamily == "xx") small.select(col(smallKey).as("k"))
+                else small.select(col(smallKey).cast("string").as("k")))
+      .distinct()
     val nBits =
       if (bits > 0) bits
       else {
@@ -1120,28 +1125,51 @@ object Engine {
       }
     require(nBits % 64 == 0, "bits must be a multiple of 64")
     val words = nBits / 64
+    // two hash families for (h1, h2): "md5" (default) is the
+    // DuckDB-portable family the j_bloom_prefilter oracle replays;
+    // "xx" is the engine-internal fast path — xxhash64 is a codegen
+    // built-in at a few ns/row, where md5-over-a-concat-string costs
+    // ~100x that PER CORPUS ROW on the probe side. The BloomAB sweep
+    // (PERF.md round-16) showed the md5 probe itself is O(corpus)
+    // and swamps the shuffle saving at any local scale — a bloom
+    // probe only pays if probing a row is much cheaper than
+    // shuffling it, which "xx" is and "md5" is not. Engine-side
+    // routing (minhashPairsIncremental) therefore uses "xx"; the
+    // gated law query keeps "md5" so the bitmap stays replayable.
+    // The shifted-seed second column gives an independent h2 (the
+    // Kirsch-Mitzenmacher pair); pmod keeps positions nonneg under
+    // Long wrap.
+    def h12(df: DataFrame, k: String): DataFrame = hashFamily match {
+      case "xx" => df
+        // >>> 8: a 56-bit nonneg pair, same domain as the md5 family
+        // — h1 + 4*h2 then provably fits a Long (ANSI overflow-safe)
+        .withColumn("_bh1", expr(s"shiftrightunsigned(xxhash64($k), 8)"))
+        .withColumn("_bh2",
+          expr(s"shiftrightunsigned(xxhash64($k, 2027875393), 8)"))
+      case _ => df
+        .withColumn("_bh1", expr(s"md5_prefix_long(CAST($k AS STRING), 14)"))
+        .withColumn("_bh2",
+          expr(s"md5_prefix_long(concat(CAST($k AS STRING), '#b2'), 14)"))
+    }
     // distributed build (shuffle on word index), then the ≤8 MB word
     // array comes back to the driver as the literal the probes embed
-    val wordRows = keys
-      .select(expr("md5_prefix_long(k, 14)").as("h1"),
-        expr("md5_prefix_long(concat(k, '#b2'), 14)").as("h2"))
+    val wordRows = h12(keys, "k")
       .select(explode(expr(
         s"transform(sequence(0, ${nHash - 1}), " +
-          s"i -> (h1 + i * h2) % ${nBits}L)")).as("pos"))
+          s"i -> pmod(_bh1 + i * _bh2, ${nBits}L))")).as("pos"))
       .groupBy(expr("CAST(pos div 64 AS INT)").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bw"))
       .collect()
     val wordArr = new Array[Long](words)
     wordRows.foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
     val bloomLit = typedLit(wordArr.toSeq)
-    val withH = big
-      .withColumn("_bh1",
-        expr(s"md5_prefix_long(CAST($bigKey AS STRING), 14)"))
-      .withColumn("_bh2",
-        expr(s"md5_prefix_long(concat(CAST($bigKey AS STRING), '#b2'), 14)"))
+    val withH = h12(big, bigKey)
     var probed = withH
     val terms = (0 until nHash).map { i =>
-      val m = (col("_bh1") + lit(i.toLong) * col("_bh2")) % lit(nBits.toLong)
+      // pmod: the xx family's raw hashes are signed (md5's 56-bit
+      // prefixes are nonneg, where pmod ≡ %)
+      val m = pmod(col("_bh1") + lit(i.toLong) * col("_bh2"),
+        lit(nBits.toLong))
       probed = probed
         .withColumn(s"_bw$i",
           element_at(bloomLit, (shiftright(m, 6) + lit(1L)).cast("int")))

@@ -111,7 +111,7 @@ object Corpus extends org.apache.spark.internal.Logging {
     * [[minhashPairs]]' output restricted to pairs with ≥1 new side:
     * same bands, same flood guard, same exact-Jaccard verify.
     *
-    * `bloomProbe = true` routes the HISTORICAL side through
+    * `bloom` routes the HISTORICAL side through
     * [[graft.Engine.bloomPrefilter]] keyed on the composite band key
     * before the shuffle join: a new doc's band bucket usually has no
     * historical occupant (only near-dups collide), so at 100 TB the
@@ -120,16 +120,51 @@ object Corpus extends org.apache.spark.internal.Logging {
     * into the pipeline rather than only self-demonstrated
     * (j_bloom_prefilter gates the no-false-negatives law, so results
     * are identical and dedup_incremental's oracle is unchanged).
-    * Locally the bitmap build (its small shuffle + driver collect)
-    * costs more than the tiny probe shuffle it saves (PERF.md
-    * round-15 A/B: 1.29 → 2.59 s isolated at sf0.1) — the flip is
-    * scale: the build is O(batch keys) while the saving is O(corpus
-    * band rows), exactly like Engine.materialize's documented
-    * local-vs-cluster trade. */
+    *
+    * `bloom = "auto"` (default) routes the bitmap ONLY when the new
+    * batch is a small fraction of the corpus — the r15 verdict's
+    * size-conditional routing ask. The bitmap build costs O(batch
+    * band keys) + one driver collect regardless of how much it later
+    * prunes, while the saving is O(corpus band rows) × prune-rate,
+    * and the prune-rate collapses when the batch's band keys cover
+    * most of the corpus's: the dedup_incremental GATE runs batch =
+    * 100 of corpus 500 at sf0.01 (and 4600 of 5000 at sf0.1!) — a
+    * backfill-shaped call where the filter rejects almost nothing
+    * and the build is pure loss (PERF.md round-15: 1.29 → 2.59 s
+    * isolated at sf0.1). The BloomAB ratio sweep (PERF.md round-16)
+    * FAILED to find a local crossover at any reachable scale (up to
+    * 80k docs, md5 AND xxhash64 probe families, batch fractions 50%
+    * down to 1%): the probe is O(corpus rows) and the build a fixed
+    * two-job cost, while the shuffle a single-JVM join would save is
+    * a memcpy. "auto" therefore gates on BOTH `8 × new docs ≤ corpus
+    * docs` AND `corpus ≥ 500k docs` — one cheap 2-aggregate count
+    * (the catalog-stat class); locally that is always off (the
+    * measured-faster path), on a cluster-scale corpus it engages
+    * where the probe rides the scan and the avoided shuffle crosses
+    * the network. `"on"`/`"off"` pin the routing (BloomAB uses them;
+    * a production caller that knows its ingest ratio can too). */
   def minhashPairsIncremental(docs: DataFrame, isNew: Column,
                               minJaccard: Double = 0.5,
                               bucketCap: Int = 512,
-                              bloomProbe: Boolean = true): DataFrame = {
+                              bloom: String = "auto"): DataFrame = {
+    val useBloom = bloom match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        // band rows are ∝ docs (nBands per doc, flood-capped), so the
+        // docs ratio is the band-rows ratio — one cheap scan. BOTH
+        // conditions must hold: ingest-shaped ratio AND a corpus past
+        // the single-JVM regime — BloomAB measured bloom-on LOSING at
+        // every local scale (up to 80k docs, both hash families; the
+        // probe is O(corpus rows) and a local "shuffle" it would save
+        // is a memcpy). The flip needs a cluster, where the probe is
+        // a colocated scan-side filter and the avoided shuffle
+        // crosses the network (PERF.md round-16).
+        val c = docs.agg(count(lit(1)).as("n"),
+          sum(when(isNew, 1L).otherwise(0L)).as("nNew")).head
+        !c.isNullAt(1) && c.getLong(1) * 8 <= c.getLong(0) &&
+          c.getLong(0) >= 500000L
+    }
     val sigToks = minhashSigToks(docs.withColumn("is_new", isNew),
       carry = Seq("is_new"))
     val banded = minhashBanded(sigToks, bucketCap, carry = Seq("is_new"))
@@ -137,16 +172,21 @@ object Corpus extends org.apache.spark.internal.Logging {
       col("band"), col("k1"), col("k2"))
     val all = banded.select(col("doc_id").as("doc_o"),
       col("band"), col("k1"), col("k2"))
-    val bkey = concat_ws(":", col("band"), col("k1"), col("k2"))
+    // LONG band key (xxhash64 of the triple) + the "xx" probe family:
+    // the md5-over-concat-string probe cost O(corpus) all by itself
+    // and could never pay for the shuffle it saves (BloomAB axis-2,
+    // PERF.md round-16); hashing a native long is the few-ns/row
+    // class a prefilter needs
+    val bkey = xxhash64(col("band"), col("k1"), col("k2"))
     val allProbe =
-      if (!bloomProbe) all
+      if (!useBloom) all
       else graft.Engine.bloomPrefilter(
         all.withColumn("_bkey", bkey), "_bkey",
         n.select(bkey.as("_bkey")), "_bkey",
         // bits pinned (128 KB bitmap, ~65k batch keys at 16 b/key):
         // skips the auto-size count() job; a production caller sizes
         // this to its ingest-batch cardinality
-        bits = 1 << 20).drop("_bkey")
+        bits = 1 << 20, hashFamily = "xx").drop("_bkey")
     val cand = n.join(allProbe, Seq("band", "k1", "k2"))
       .filter(col("doc_n") =!= col("doc_o"))
       .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
