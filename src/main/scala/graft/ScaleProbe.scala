@@ -1134,6 +1134,11 @@ object ScaleProbe {
         // PDF build (SQL length arithmetic) + xref walk + text
         // extraction (native expression): per-row — must be linear
         graft.operators.MultimodalQueries.pdfRoundtrip(docFrac(k))),
+      "pdf_xref_roundtrip" -> (k =>
+        // PDF 1.5 build (binary W-packed records via hex/unhex) +
+        // xref-stream decode + ObjStm validation: per-row — must be
+        // linear; rides the exact gated pipeline
+        graft.operators.MultimodalQueries.pdfXrefRoundtrip(docFrac(k))),
       "mjpeg_frames" -> (k =>
         // AVI container walk + per-frame JPEG decode: bounded frames
         // per row, embarrassingly parallel — must be linear; rides

@@ -28,14 +28,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * concern this operator does not invent).
   *
   * Scope: classic xref tables (PDF ≤1.4 shape, still emitted
-  * everywhere); xref STREAMS (PDF 1.5 compressed xref) are rejected
-  * as unsupported rather than misparsed. Returns
+  * everywhere) AND PDF 1.5+ cross-reference STREAMS — startxref may
+  * point at a `/Type /XRef` stream object whose `/W`-packed binary
+  * records (optionally FlateDecode'd) are decoded over the `/Index`
+  * subsections and chained through `/Prev` (loop-guarded, newest
+  * section wins per object); type-2 entries resolve through
+  * `/Type /ObjStm` compressed object streams, whose `/N`-pair member
+  * table is validated against `/First` and the decoded payload (the
+  * members are dicts/arrays — never content streams, so the table IS
+  * the decode). Hybrid files' `/XRefStm` trailer key is out of
+  * scope. Returns
   * `STRUCT<ok BOOLEAN, n_objs BIGINT, n_streams BIGINT, text STRING>`
-  * (`n_objs` = in-use xref entries, `n_streams` = stream objects
-  * found). Malformed input (no/absurd startxref, missing xref
-  * keyword, truncated records, bad object header, /Length overrun,
-  * missing endstream, inflate failure, unterminated string literal)
-  * yields `ok = false` with zeroed fields — never a throw. */
+  * (`n_objs` = in-use xref entries, direct type-1 plus compressed
+  * type-2; `n_streams` = stream objects found, including XRef/ObjStm
+  * carriers whose payloads are structural, not text). Malformed
+  * input (no/absurd startxref, missing xref keyword, truncated
+  * records or W rows, bad object header, /Length overrun, missing
+  * endstream, inflate failure, /Prev loop or overrun, short ObjStm
+  * pair table, unterminated string literal) yields `ok = false` with
+  * zeroed fields — never a throw. */
 case class PdfText(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes()
@@ -97,12 +108,34 @@ object PdfText {
       xrefOff = xrefOff * 10 + (b(p) - '0'); p += 1; any = true
     }
     if (!any || xrefOff < 0 || xrefOff >= n) return bad
-    // ── 2. xref table walk ───────────────────────────────────────────
+    // ── 2. xref walk: classic table OR cross-reference stream ────────
     p = xrefOff.toInt
-    if (p + 4 > n || b(p) != 'x' || b(p + 1) != 'r' || b(p + 2) != 'e' ||
-      b(p + 3) != 'f') return bad // an xref STREAM would start "N 0 obj"
-    p += 4
     val offsets = collection.mutable.ArrayBuffer.empty[Int]
+    var nType2 = 0L // compressed (in-ObjStm) in-use entries
+    if (!(p + 4 <= n && b(p) == 'x' && b(p + 1) == 'r' && b(p + 2) == 'e' &&
+      b(p + 3) == 'f')) {
+      // PDF 1.5+ cross-reference STREAM: startxref points at an
+      // "N G obj" whose dict is /Type /XRef, records binary-packed by
+      // the /W widths, chained by /Prev. Newest section wins per
+      // object number (seenObj); type-2 entries name the /ObjStm
+      // object holding the compressed body — validated in the object
+      // walk below.
+      val seenObj = collection.mutable.HashSet.empty[Long]
+      val seenSec = collection.mutable.HashSet.empty[Int]
+      var secOff = p
+      var hops = 0
+      var more = true
+      while (more) {
+        hops += 1
+        if (hops > 16 || !seenSec.add(secOff)) return bad // /Prev loop
+        val sec = parseXrefStreamSection(b, secOff, n, seenObj,
+          offsets, (d: Long) => nType2 += d)
+        if (sec < -1) return bad
+        if (sec == -1) more = false else secOff = sec
+      }
+      if (offsets.isEmpty) return bad
+    } else {
+    p += 4
     var done = false
     while (!done) {
       while (p < n && isWs(b(p))) p += 1
@@ -147,6 +180,7 @@ object PdfText {
       }
     }
     if (offsets.isEmpty) return bad
+    } // end classic-table branch
     // ── 3. objects: header check + stream payloads ───────────────────
     val out = new java.lang.StringBuilder()
     var nStreams = 0L
@@ -214,7 +248,8 @@ object PdfText {
         var ep = dp + len.toInt
         while (ep < n && isWs(b(ep))) ep += 1
         if (!startsWith(b, ep, "endstream")) return bad
-        val flate = region.substring(0, sPos).contains("/FlateDecode")
+        val dict = region.substring(0, sPos)
+        val flate = dict.contains("/FlateDecode")
         val content =
           if (!flate) payload
           else inflateAll(payload) match {
@@ -222,12 +257,237 @@ object PdfText {
             case d => d
           }
         nStreams += 1
-        if (!extractText(content, out)) return bad
+        // XRef streams are the table we already consumed (binary, not
+        // text); ObjStm payloads hold compressed non-stream OBJECTS —
+        // validate their member table instead of scanning for
+        // literals (members are dicts/arrays, never content streams)
+        val isXref = TYPE_XREF.matcher(dict).find()
+        val isObjStm = TYPE_OBJSTM.matcher(dict).find()
+        if (isObjStm) {
+          if (!validateObjStm(content, dict)) return bad
+        } else if (!isXref) {
+          if (!extractText(content, out)) return bad
+        }
       }
       oi += 1
     }
-    InternalRow(true, offsets.length.toLong, nStreams,
+    // n_objs = in-use xref entries: direct (type-1/classic 'n') plus
+    // compressed (type-2) members living inside ObjStm objects
+    InternalRow(true, offsets.length.toLong + nType2, nStreams,
       UTF8String.fromString(out.toString))
+  }
+
+  private val TYPE_XREF =
+    java.util.regex.Pattern.compile("/Type\\s*/XRef\\b")
+  private val TYPE_OBJSTM =
+    java.util.regex.Pattern.compile("/Type\\s*/ObjStm\\b")
+
+  /** Parse one cross-reference STREAM section at `secOff`: validates
+    * the "N G obj" header and /Type /XRef, decodes the /W-packed
+    * records over the /Index subsections (default `[0 /Size]`),
+    * appends newly seen type-1 offsets to `offsets` and counts
+    * type-2 entries via `addType2` (newest section wins per object
+    * number through `seenObj`). Returns the /Prev offset to follow,
+    * -1 when the chain ends, or -2 on any malformed shape (bad
+    * header, missing/oversized W widths, truncated record rows,
+    * offsets past EOF, non-integer Index). */
+  private def parseXrefStreamSection(b: Array[Byte], secOff: Int, n: Int,
+      seenObj: collection.mutable.HashSet[Long],
+      offsets: collection.mutable.ArrayBuffer[Int],
+      addType2: Long => Unit): Int = {
+    var q = secOff
+    var got = false
+    while (q < n && b(q) >= '0' && b(q) <= '9') { q += 1; got = true }
+    if (!got) return -2
+    while (q < n && b(q) == ' ') q += 1
+    got = false
+    while (q < n && b(q) >= '0' && b(q) <= '9') { q += 1; got = true }
+    if (!got) return -2
+    while (q < n && b(q) == ' ') q += 1
+    if (q + 3 > n || b(q) != 'o' || b(q + 1) != 'b' || b(q + 2) != 'j')
+      return -2
+    q += 3
+    val end = findKeyword(b, q, "endobj")
+    if (end < 0) return -2
+    val region = new String(b, q, end - q,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sPos = region.indexOf("stream")
+    if (sPos < 0) return -2
+    val dict = region.substring(0, sPos)
+    if (!TYPE_XREF.matcher(dict).find()) return -2
+    val w = nameIntArray(dict, "/W")
+    if (w == null || w.length != 3 || w.exists(x => x < 0 || x > 8) ||
+      w(1) == 0) return -2
+    val size = nameInt(dict, "/Size")
+    if (size < 0 || size > 10000000) return -2
+    val idx0 = nameIntArray(dict, "/Index")
+    val index =
+      if (idx0 == null) Array(0L, size)
+      else if (idx0.length == 0 || idx0.length % 2 != 0) return -2
+      else idx0
+    val len = nameInt(dict, "/Length")
+    if (len < 0 || len > n) return -2
+    var dp = q + sPos + 6
+    if (dp < n && b(dp) == '\r') dp += 1
+    if (dp < n && b(dp) == '\n') dp += 1
+    if (dp + len > n) return -2
+    val payload = java.util.Arrays.copyOfRange(b, dp, dp + len.toInt)
+    var ep = dp + len.toInt
+    while (ep < n && (b(ep) == ' ' || b(ep) == '\n' || b(ep) == '\r' ||
+      b(ep) == '\t' || b(ep) == 0)) ep += 1
+    if (!startsWith(b, ep, "endstream")) return -2
+    val content =
+      if (!dict.contains("/FlateDecode")) payload
+      else inflateAll(payload) match {
+        case null => return -2
+        case d => d
+      }
+    val rowW = (w(0) + w(1) + w(2)).toInt
+    var nRows = 0L
+    var i = 0
+    while (i < index.length) { nRows += index(i + 1); i += 2 }
+    if (nRows < 0 || nRows * rowW != content.length) return -2 // truncated
+    def beInt(from: Int, width: Int, dflt: Long): Long = {
+      if (width == 0) return dflt
+      var v = 0L; var k = 0
+      while (k < width) { v = (v << 8) | (content(from + k) & 0xffL); k += 1 }
+      v
+    }
+    var row = 0
+    i = 0
+    while (i < index.length) {
+      val start = index(i); val cnt = index(i + 1)
+      var j = 0L
+      while (j < cnt) {
+        val base = row * rowW
+        val t = beInt(base, w(0).toInt, 1L) // W[0]=0 ⇒ implicit type 1
+        val f2 = beInt(base + w(0).toInt, w(1).toInt, 0L)
+        val objNum = start + j
+        if (seenObj.add(objNum)) t match {
+          case 0L => () // free
+          case 1L =>
+            if (f2 >= n) return -2
+            if (objNum > 0) offsets += f2.toInt
+          case 2L => addType2(1L) // f2 = holder ObjStm, checked in walk
+          case _ => return -2
+        }
+        row += 1; j += 1
+      }
+      i += 2
+    }
+    val prev = nameInt(dict, "/Prev")
+    if (prev < 0) -1
+    else if (prev >= n) -2
+    else prev.toInt
+  }
+
+  /** ObjStm member-table validation: `/N` pairs of nonneg integers
+    * (objnum, offset) before `/First`, offsets nondecreasing and in
+    * bounds — the compressed objects themselves are dicts/arrays and
+    * carry no streams, so parsing the table IS the decode. */
+  private def validateObjStm(content: Array[Byte], dict: String): Boolean = {
+    val nDecl = nameInt(dict, "/N")
+    val first = nameInt(dict, "/First")
+    if (nDecl < 0 || nDecl > 1000000 || first < 0 ||
+      first > content.length) return false
+    var p = 0
+    var prevOff = -1L
+    var i = 0L
+    while (i < nDecl) {
+      var k = 0
+      while (k < 2) {
+        while (p < first && (content(p) == ' ' || content(p) == '\n' ||
+          content(p) == '\r' || content(p) == '\t')) p += 1
+        var v = 0L; var got = false
+        while (p < first && content(p) >= '0' && content(p) <= '9') {
+          v = v * 10 + (content(p) - '0'); p += 1; got = true
+          if (v > content.length.toLong * 8) return false
+        }
+        if (!got) return false
+        if (k == 1) {
+          if (v < prevOff || first + v > content.length) return false
+          prevOff = v
+        }
+        k += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Integer after a complete `key` name token (delimiter-checked,
+    * the /Length-vs-/Length1 rule); -1 if absent or malformed. */
+  private def nameInt(dict: String, key: String): Long = {
+    var from = 0
+    while (true) {
+      val at = dict.indexOf(key, from)
+      if (at < 0) return -1L
+      val after = at + key.length
+      val isName = after < dict.length && {
+        val c = dict.charAt(after)
+        Character.isLetterOrDigit(c) || c == '#'
+      }
+      if (!isName) {
+        var p = after
+        while (p < dict.length && (dict.charAt(p) == ' ' ||
+          dict.charAt(p) == '\r' || dict.charAt(p) == '\n' ||
+          dict.charAt(p) == '\t')) p += 1
+        var v = 0L; var got = false
+        while (p < dict.length && dict.charAt(p) >= '0' &&
+          dict.charAt(p) <= '9') {
+          v = v * 10 + (dict.charAt(p) - '0'); p += 1; got = true
+          if (v > (1L << 40)) return -1L
+        }
+        return if (got) v else -1L
+      }
+      from = at + 1
+    }
+    -1L
+  }
+
+  /** `[ i1 i2 ... ]` after a complete `key` name token; null if the
+    * key is absent or the array is malformed. */
+  private def nameIntArray(dict: String, key: String): Array[Long] = {
+    var from = 0
+    while (true) {
+      val at = dict.indexOf(key, from)
+      if (at < 0) return null
+      val after = at + key.length
+      val isName = after < dict.length && {
+        val c = dict.charAt(after)
+        Character.isLetterOrDigit(c) || c == '#'
+      }
+      if (!isName) {
+        var p = after
+        while (p < dict.length && (dict.charAt(p) == ' ' ||
+          dict.charAt(p) == '\r' || dict.charAt(p) == '\n' ||
+          dict.charAt(p) == '\t')) p += 1
+        if (p >= dict.length || dict.charAt(p) != '[') return null
+        p += 1
+        val out = collection.mutable.ArrayBuffer.empty[Long]
+        var closed = false
+        while (!closed && p < dict.length) {
+          while (p < dict.length && (dict.charAt(p) == ' ' ||
+            dict.charAt(p) == '\r' || dict.charAt(p) == '\n' ||
+            dict.charAt(p) == '\t')) p += 1
+          if (p < dict.length && dict.charAt(p) == ']') {
+            closed = true
+          } else {
+            var v = 0L; var got = false
+            while (p < dict.length && dict.charAt(p) >= '0' &&
+              dict.charAt(p) <= '9') {
+              v = v * 10 + (dict.charAt(p) - '0'); p += 1; got = true
+              if (v > (1L << 40)) return null
+            }
+            if (!got) return null
+            out += v
+          }
+        }
+        return if (closed) out.toArray else null
+      }
+      from = at + 1
+    }
+    null
   }
 
   private def startsWith(b: Array[Byte], p: Int, s: String): Boolean = {

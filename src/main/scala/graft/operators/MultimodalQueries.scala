@@ -408,6 +408,70 @@ object MultimodalQueries {
         col("d.text").as("text_out"))
   }
 
+  /** Synthesize a fully VALID PDF **1.5** per document IN SQL — the
+    * catalog/pages/page dicts compressed into one `/Type /ObjStm`
+    * object (type-2 entries), the content stream as a direct object,
+    * and a `/Type /XRef` CROSS-REFERENCE STREAM whose `/W [1 3 1]`
+    * binary records are built byte-exact via hex/unhex with REAL
+    * offsets from length arithmetic — and extract the text back
+    * through [[graft.functions.PdfText]]'s 1.5 path (the r15 verdict
+    * gap #1: real crawl PDFs are majority xref-stream). The member
+    * dicts and the ObjStm pair table are byte-identical constants
+    * folded at plan time; only the content stream and the last xref
+    * row vary per row. FlateDecode'd xref records, /Prev chains and
+    * the malformed classes (truncated W row, bad /Prev, short pair
+    * table) live in PdfSpec. Returns (doc_id, ok, n_objs, n_streams,
+    * n_chars, text_out); n_objs = 3 direct + 3 compressed, n_streams
+    * = ObjStm + content + XRef carriers. */
+  def pdfXrefRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.PdfText.register(docsDf.sparkSession)
+    val m2 = "<< /Type /Catalog /Pages 3 0 R >>"
+    val m3 = "<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    val m4 = "<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>"
+    val pairs = s"2 0 3 ${m2.length + 1} 4 ${m2.length + m3.length + 2} "
+    val payload = pairs + m2 + " " + m3 + " " + m4
+    val o1 = s"1 0 obj << /Type /ObjStm /N 3 /First ${pairs.length} " +
+      s"/Length ${payload.length} >> stream\n$payload\nendstream endobj\n"
+    val off1 = 9L
+    val off5 = off1 + o1.length
+    val o5a = "5 0 obj << /Length "
+    val o5b = " >> stream\n"
+    val o5c = "\nendstream endobj\n"
+    val o6dict = "6 0 obj << /Type /XRef /Size 7 /W [1 3 1] " +
+      "/Root 2 0 R /Length 35 >> stream\n"
+    def hex6(v: Long) = f"$v%06X"
+    // rows obj0..obj5 are plan-time constants; obj6 self-references
+    val rowsConstHex = "0000000000" + "01" + hex6(off1) + "00" +
+      "0200000100" + "0200000101" + "0200000102" + "01" + hex6(off5) + "00"
+    docsDf
+      .withColumn("esc", regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "\\\\", "\\\\\\\\"), "\\(", "\\\\("),
+        "\\)", "\\\\)"))
+      .withColumn("content", concat(lit("BT /F1 12 Tf ("), col("esc"),
+        lit(") Tj ET")))
+      .withColumn("clen", octet_length(col("content")).cast("long"))
+      .withColumn("off6", lit(off5) + lit(o5a.length.toLong) +
+        length(col("clen").cast("string")).cast("long") +
+        lit(o5b.length.toLong) + col("clen") + lit(o5c.length.toLong))
+      .withColumn("pdf", concat(
+        lit(("%PDF-1.5\n" + o1 + o5a).getBytes("ISO-8859-1")),
+        col("clen").cast("string").cast("binary"),
+        lit(o5b.getBytes("ISO-8859-1")),
+        col("content").cast("binary"),
+        lit((o5c + o6dict).getBytes("ISO-8859-1")),
+        unhex(concat(lit(rowsConstHex + "01"),
+          lpad(hex(col("off6")), 6, "0"), lit("00"))),
+        lit((o5c + "startxref\n").getBytes("ISO-8859-1")),
+        col("off6").cast("string").cast("binary"),
+        lit("\n%%EOF".getBytes("ISO-8859-1"))))
+      .withColumn("d", expr("pdf_text(pdf)"))
+      .select(col("doc_id"), col("d.ok").as("ok"),
+        col("d.n_objs").as("n_objs"),
+        col("d.n_streams").as("n_streams"),
+        length(col("d.text")).cast("long").as("n_chars"),
+        col("d.text").as("text_out"))
+  }
+
   /** Synthesize a valid single-member STORED zip per document IN SQL
     * (real little-endian fields via [[leHex]], real CRC-32 via the
     * crc32 built-in) and walk it back through
@@ -1745,6 +1809,28 @@ object MultimodalQueries {
                text AS text_out
         FROM documents ORDER BY doc_id"""),
       desc = "REAL PDF text extraction: startxref tail scan + xref walk + Tj literal parse, round-tripped"),
+
+    // ── PDF 1.5: xref STREAM + /ObjStm compressed objects ───────────
+    // pdfXrefRoundtrip synthesizes the modern-crawl PDF shape per doc
+    // (W-packed binary xref records with REAL byte offsets, the page
+    // tree compressed into an object stream) and extracts the text
+    // back through the native 1.5 path — type-2 resolution, ObjStm
+    // pair-table validation, binary record decode. The oracle emits
+    // the source fields with the structural constants: the hash
+    // proves wrap → xref-stream-address → extract lands back on the
+    // original text byte-for-byte AND that the entry/stream counts
+    // see through the compression (6 objects, only 3 headers).
+    "mm_pdf_xref" -> Q(
+      fn = (s, dir) =>
+        pdfXrefRoundtrip(docs(s, dir)).orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, true AS ok,
+               CAST(6 AS BIGINT) AS n_objs,
+               CAST(3 AS BIGINT) AS n_streams,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "PDF 1.5 extraction: cross-reference stream decode + ObjStm member resolution, round-tripped"),
 
     // ── REAL gzip decode: the decompress-on-ingest operator ─────────
     // At 100 TB the corpus ARRIVES gzip-compressed; `gunzip` is the

@@ -98,6 +98,135 @@ class PdfSpec extends SparkSuite {
       Seq("plain text", "with (parens) and \\ slash"))
   }
 
+  // ── PDF 1.5: cross-reference streams + object streams ────────────
+
+  private def deflate(d: Array[Byte]): Array[Byte] = {
+    val df = new java.util.zip.Deflater()
+    df.setInput(d); df.finish()
+    val buf = new Array[Byte](d.length * 2 + 64)
+    val m = df.deflate(buf); df.end()
+    java.util.Arrays.copyOf(buf, m)
+  }
+
+  /** PDF 1.5 shape: catalog/pages/page compressed into ONE /ObjStm
+    * (objects 2,3,4 as type-2 entries), the content stream and the
+    * xref STREAM as direct objects. `flateXref` deflates the W-packed
+    * records (+ an explicit /Index); `rowsDrop` truncates the record
+    * bytes (with a consistent /Length — the truncated-W-row class);
+    * `prevRaw` injects a raw /Prev value; `chain` splits the table
+    * into TWO sections linked by /Prev (content stream only visible
+    * through the older one). */
+  private def pdf15(content: Array[Byte], flateXref: Boolean = false,
+                    rowsDrop: Int = 0, prevRaw: Option[String] = None,
+                    chain: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off1 = out.size
+    val m2 = "<< /Type /Catalog /Pages 3 0 R >>"
+    val m3 = "<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    val m4 = "<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>"
+    val body = m2 + " " + m3 + " " + m4
+    val pairs = s"2 0 3 ${m2.length + 1} 4 ${m2.length + m3.length + 2} "
+    val payload = pairs + body
+    w(s"1 0 obj << /Type /ObjStm /N 3 /First ${pairs.length} " +
+      s"/Length ${payload.length} >> stream\n")
+    w(payload)
+    w("\nendstream endobj\n")
+    val off5 = out.size
+    w(s"5 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    def rowBytes(rows: Seq[(Int, Long, Int)]): Array[Byte] = {
+      val ro = new java.io.ByteArrayOutputStream()
+      rows.foreach { case (t, f2, f3) =>
+        ro.write(t); ro.write(((f2 >> 16) & 0xff).toInt)
+        ro.write(((f2 >> 8) & 0xff).toInt); ro.write((f2 & 0xff).toInt)
+        ro.write(f3)
+      }
+      ro.toByteArray
+    }
+    def xrefObj(num: Int, at: Int, size: Int, index: String,
+                rows: Seq[(Int, Long, Int)], prev: Option[String]): Unit = {
+      val rb0 = rowBytes(rows)
+      val rb1 = if (rowsDrop > 0)
+        java.util.Arrays.copyOf(rb0, rb0.length - rowsDrop) else rb0
+      val rb = if (flateXref) deflate(rb1) else rb1
+      w(s"$num 0 obj << /Type /XRef /Size $size /W [1 3 1] /Root 2 0 R" +
+        (if (index.nonEmpty) s" /Index [$index]" else "") +
+        (if (flateXref) " /Filter /FlateDecode" else "") +
+        prev.map(p => s" /Prev $p").getOrElse("") +
+        s" /Length ${rb.length} >> stream\n")
+      out.write(rb)
+      w("\nendstream endobj\n")
+    }
+    if (!chain) {
+      val off6 = out.size
+      xrefObj(6, off6, 7, if (flateXref) "0 7" else "",
+        Seq((0, 0L, 0), (1, off1.toLong, 0), (2, 1L, 0), (2, 1L, 1),
+          (2, 1L, 2), (1, off5.toLong, 0), (1, off6.toLong, 0)),
+        prevRaw)
+      w(s"startxref\n$off6\n%%EOF")
+    } else {
+      // older section (obj 7): free head + the content stream + self
+      val offB = out.size
+      xrefObj(7, offB, 8, "0 1 5 1 7 1",
+        Seq((0, 0L, 0), (1, off5.toLong, 0), (1, offB.toLong, 0)), None)
+      // newest section (obj 6): ObjStm + members + self, /Prev -> older
+      val offA = out.size
+      xrefObj(6, offA, 8, "1 4 6 1",
+        Seq((1, off1.toLong, 0), (2, 1L, 0), (2, 1L, 1), (2, 1L, 2),
+          (1, offA.toLong, 0)), Some(offB.toString))
+      w(s"startxref\n$offA\n%%EOF")
+    }
+    out.toByteArray
+  }
+
+  test("xref stream + ObjStm: members counted, text extracted") {
+    val (ok, nObjs, nStreams, text) =
+      run(pdf15(bytes("BT (xref stream ok) Tj ET")))
+    assert(ok)
+    // 3 direct (ObjStm, content, XRef) + 3 compressed members
+    assert(nObjs === 6L)
+    // ObjStm + content + XRef carriers
+    assert(nStreams === 3L)
+    assert(text === "xref stream ok")
+  }
+
+  test("FlateDecode'd xref records with explicit /Index decode") {
+    val (ok, nObjs, _, text) =
+      run(pdf15(bytes("BT (flate xref) Tj ET"), flateXref = true))
+    assert(ok && nObjs === 6L && text === "flate xref")
+  }
+
+  test("/Prev chain: newest section wins, older supplies the rest") {
+    val (ok, nObjs, nStreams, text) =
+      run(pdf15(bytes("BT (chained) Tj ET"), chain = true))
+    assert(ok)
+    // direct: ObjStm, content, two XRef sections; compressed: 3
+    assert(nObjs === 7L && nStreams === 4L)
+    assert(text === "chained")
+  }
+
+  test("xref-stream malformed classes: ok=false, never a throw") {
+    def bad(b: Array[Byte]): Unit = assert(!run(b)._1)
+    // truncated W row (records shorter than Index declares)
+    bad(pdf15(bytes("BT (x) Tj ET"), rowsDrop = 1))
+    // /Prev past EOF
+    bad(pdf15(bytes("BT (x) Tj ET"), prevRaw = Some("99999999")))
+    // /Prev pointing into garbage (no object header there)
+    bad(pdf15(bytes("BT (x) Tj ET"), prevRaw = Some("3")))
+    // /Prev self-loop
+    val p = pdf15(bytes("BT (x) Tj ET"))
+    val s = new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val selfOff = s.substring(s.indexOf("startxref") + 10).trim
+      .takeWhile(_.isDigit)
+    bad(bytes(s.replaceFirst("/Root 2 0 R", s"/Root 2 0 R /Prev $selfOff")))
+    // short ObjStm pair table (/N larger than the pairs present)
+    bad(bytes(s.replaceFirst("/N 3", "/N 4")))
+  }
+
   test("/Length1 (font-stream key) does not shadow /Length") {
     // real font streams carry BOTH /Length1 (uncompressed size) and
     // /Length (payload size); a prefix match on "/Length" parses
