@@ -219,6 +219,85 @@ fe AS (SELECT route_id, direction_id, trip_uid, evt FROM fe_ranked WHERE rn = 1)
         SELECT * FROM final ORDER BY trip_uid""")),
       desc = "fact_trips: per-trip argmin/argmax rollup (A5) + dim re-join"),
 
+    // ── dbt `materialized='incremental'` maintenance law, gated ─────
+    // The last dbt-lifecycle analog (dbt_project.yml:39-43) without a
+    // hash gate: a BATCH model maintained incrementally must equal
+    // its from-scratch rebuild. The fn replays the lifecycle on
+    // fact_trips — the hardest model to maintain incrementally
+    // because its grain is an argmin/argmax AGGREGATE of the source
+    // (a new stop event can change a trip's first/last columns, so
+    // naive append is wrong by construction):
+    //   1. full refresh over the HISTORY half of feed time → table;
+    //   2. "tonight's batch" arrives (the newer half);
+    //   3. incremental refresh: recompute ONLY the trips the batch
+    //      touches, over their FULL history (dbt's is_incremental()
+    //      + unique_key merge shape: affected keys re-aggregated,
+    //      untouched rows carried), merge-upsert into the table;
+    //   4. read the maintained table back.
+    // The oracle is mta_fact_trips' from-scratch oracle VERBATIM —
+    // any key missed by the touch set, doubled by the merge, or
+    // re-typed by the parquet round trip breaks the hash. At 100 TB
+    // this is THE nightly shape: the recompute is O(batch trips'
+    // history), never O(corpus).
+    "mta_fact_trips_inc" -> Q(
+      fn = (s, dir) => {
+        val stops = MtaSynthetic.stops(s)
+        val base = fts(s, dir)
+        def sel(f: DataFrame): DataFrame = f.select(
+          col("trip_uid"), col("trip_uid_text"), col("rt_trip_id"),
+          col("route_id"), col("direction_id"), col("trip_headsign"),
+          col("service_date"), col("rt_origin_code_hundredths"),
+          u("first_feed_ts_utc").as("first_feed_s"),
+          u("last_feed_ts_utc").as("last_feed_s"),
+          col("first_ingest_ts"), col("last_ingest_ts"),
+          col("first_stop_id"), col("last_stop_id"),
+          col("first_stop_sequence"), col("last_stop_sequence"),
+          u("first_event_ts_utc").as("first_event_s"),
+          u("last_event_ts_utc").as("last_event_s"),
+          col("trip_duration_s"), col("schedule_relationship"),
+          col("first_stop_name"), col("first_parent_station"),
+          col("first_stop_lat"), col("first_stop_lon"),
+          col("last_stop_name"), col("last_parent_station"),
+          col("last_stop_lat"), col("last_stop_lon"))
+        val root = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(base, extra = "ft_incremental")) { d =>
+          val st = base.agg(min(u("feed_ts_utc")).as("lo"),
+            max(u("feed_ts_utc")).as("hi")).head
+          val mid = (st.getLong(0) + st.getLong(1)) / 2
+          // 1. full refresh over history
+          sel(MtaModels.factTrips(
+              base.filter(u("feed_ts_utc") <= mid), stops))
+            .write.mode("overwrite").parquet(d + "/tbl")
+          // 2-3. batch arrives; recompute touched trips' full history
+          val touched = base.filter(u("feed_ts_utc") > mid)
+            .select(col("trip_uid")).distinct()
+          val recomputed = sel(MtaModels.factTrips(
+            base.join(touched, Seq("trip_uid"), "left_semi"), stops))
+          s.read.parquet(d + "/tbl")
+            .join(touched, Seq("trip_uid"), "left_anti")
+            .unionByName(recomputed)
+            .write.mode("overwrite").parquet(d + "/tbl2")
+        }
+        s.read.parquet(root + "/tbl2").orderBy(col("trip_uid"))
+      },
+      oracle = Some(withPrelude("""
+        final AS (SELECT
+          trip_uid, trip_uid_text, rt_trip_id, route_id, direction_id,
+          trip_headsign, service_date, rt_origin_code_hundredths,
+          epoch_us(first_feed_ts_utc)//1000000 AS first_feed_s,
+          epoch_us(last_feed_ts_utc)//1000000 AS last_feed_s,
+          first_ingest_ts, last_ingest_ts,
+          first_stop_id, last_stop_id,
+          first_stop_sequence, last_stop_sequence,
+          epoch_us(first_event_ts_utc)//1000000 AS first_event_s,
+          epoch_us(last_event_ts_utc)//1000000 AS last_event_s,
+          trip_duration_s, schedule_relationship,
+          first_stop_name, first_parent_station, first_stop_lat, first_stop_lon,
+          last_stop_name, last_parent_station, last_stop_lat, last_stop_lon
+        FROM m_ft)
+        SELECT * FROM final ORDER BY trip_uid""")),
+      desc = "incremental model maintenance: touched-key re-aggregation + merge equals full rebuild"),
+
     "mta_fact_delays" -> Q(
       fn = (s, dir) => MtaModels.factDelays(fts(s, dir)).select(
         col("stu_id"), col("trip_uid"), col("feed"), col("route_id"),
