@@ -153,6 +153,13 @@ object WebQueries {
       .withColumn("inner",
         regexp_replace(col("col"), "<[^>]*>", ""))
       .withColumn("text_chars", length(col("inner")).cast("long"))
+      // interpreted-HOF exemption (the AHash64 invariant class): this
+      // aggregate/transform fold runs per BLOCK, not per char/byte,
+      // and a block carries at most a handful of <a> anchors — the
+      // lambda-frame count is O(anchors per block), orders below the
+      // 32-element per-row folds that forced native expressions. A
+      // 100 TB corpus raises block COUNT (parallel rows), not
+      // per-block anchor arity, so the exemption is scale-stable.
       .withColumn("link_chars", expr(
         "aggregate(transform(regexp_extract_all(col, " +
           "'<a [^>]*>((?s:.*?))</a>', 1), x -> " +
