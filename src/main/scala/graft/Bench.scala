@@ -8,6 +8,26 @@ import org.apache.spark.sql.SparkSession
   * operators, not JVM startup; queries run in sorted name order for
   * run-to-run comparability. */
 object Bench {
+
+  /** Per-query seconds from a prior run's bench_full.json — the
+    * spike guard's trailing history. Reads ONLY the `"queries"`
+    * object (out_rows/gc_ms share the same key names with integer
+    * values and must not shadow the timings); tolerant of absent or
+    * truncated files (empty map). Unit-tested in BenchHistorySpec. */
+  private[graft] def parseHistory(txt: String): Map[String, Double] = {
+    val m = java.util.regex.Pattern
+      .compile("\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)")
+    val qSec = txt.indexOf("\"queries\":")
+    val qEnd = if (qSec >= 0) txt.indexOf("}", qSec) else -1
+    if (qSec < 0 || qEnd < 0) Map.empty
+    else {
+      val it = m.matcher(txt.substring(qSec, qEnd + 1))
+      val b = Map.newBuilder[String, Double]
+      while (it.find()) b += (it.group(1) -> it.group(2).toDouble)
+      b.result()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,21 +76,9 @@ object Bench {
     // run instead of costing a cross-round investigation. A real
     // regression slows all three samples, so it still reads true.
     val history: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-        val m = java.util.regex.Pattern
-          .compile("\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)")
-        val qSec = txt.indexOf("\"queries\":")
-        val qEnd = if (qSec >= 0) txt.indexOf("}", qSec) else -1
-        if (qSec < 0) Map.empty
-        else {
-          val it = m.matcher(txt.substring(qSec, qEnd + 1))
-          val b = Map.newBuilder[String, Double]
-          while (it.find()) b += (it.group(1) -> it.group(2).toDouble)
-          b.result()
-        }
-      } catch { case _: Throwable => Map.empty }
+      try parseHistory(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
     val resampled = scala.collection.mutable.ListBuffer.empty[String]
     val gcBeans = {
       import scala.jdk.CollectionConverters._
