@@ -184,6 +184,7 @@ object PdfText {
     // ── 3. objects: header check + stream payloads ───────────────────
     val out = new java.lang.StringBuilder()
     var nStreams = 0L
+    var objStmMembers = 0L // Σ /N over walked ObjStm carriers
     val sorted = offsets.sorted
     var oi = 0
     while (oi < sorted.length) {
@@ -264,13 +265,21 @@ object PdfText {
         val isXref = TYPE_XREF.matcher(dict).find()
         val isObjStm = TYPE_OBJSTM.matcher(dict).find()
         if (isObjStm) {
-          if (!validateObjStm(content, dict)) return bad
+          val members = validateObjStm(content, dict)
+          if (members < 0) return bad
+          objStmMembers += members
         } else if (!isXref) {
           if (!extractText(content, out)) return bad
         }
       }
       oi += 1
     }
+    // every type-2 entry needs a home: the walked ObjStm carriers
+    // must together declare at least as many members as the xref
+    // claims compressed objects (an xref naming ghost ObjStm members
+    // would otherwise inflate n_objs with nothing backing them; /N
+    // may legitimately exceed the live count — superseded members)
+    if (nType2 > objStmMembers) return bad
     // n_objs = in-use xref entries: direct (type-1/classic 'n') plus
     // compressed (type-2) members living inside ObjStm objects
     InternalRow(true, offsets.length.toLong + nType2, nStreams,
@@ -384,12 +393,13 @@ object PdfText {
   /** ObjStm member-table validation: `/N` pairs of nonneg integers
     * (objnum, offset) before `/First`, offsets nondecreasing and in
     * bounds — the compressed objects themselves are dicts/arrays and
-    * carry no streams, so parsing the table IS the decode. */
-  private def validateObjStm(content: Array[Byte], dict: String): Boolean = {
+    * carry no streams, so parsing the table IS the decode. Returns
+    * the declared member count, or -1 on any malformed shape. */
+  private def validateObjStm(content: Array[Byte], dict: String): Long = {
     val nDecl = nameInt(dict, "/N")
     val first = nameInt(dict, "/First")
     if (nDecl < 0 || nDecl > 1000000 || first < 0 ||
-      first > content.length) return false
+      first > content.length) return -1L
     var p = 0
     var prevOff = -1L
     var i = 0L
@@ -401,18 +411,18 @@ object PdfText {
         var v = 0L; var got = false
         while (p < first && content(p) >= '0' && content(p) <= '9') {
           v = v * 10 + (content(p) - '0'); p += 1; got = true
-          if (v > content.length.toLong * 8) return false
+          if (v > content.length.toLong * 8) return -1L
         }
-        if (!got) return false
+        if (!got) return -1L
         if (k == 1) {
-          if (v < prevOff || first + v > content.length) return false
+          if (v < prevOff || first + v > content.length) return -1L
           prevOff = v
         }
         k += 1
       }
       i += 1
     }
-    true
+    nDecl
   }
 
   /** Integer after a complete `key` name token (delimiter-checked,

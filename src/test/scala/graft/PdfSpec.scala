@@ -225,6 +225,12 @@ class PdfSpec extends SparkSuite {
     bad(bytes(s.replaceFirst("/Root 2 0 R", s"/Root 2 0 R /Prev $selfOff")))
     // short ObjStm pair table (/N larger than the pairs present)
     bad(bytes(s.replaceFirst("/N 3", "/N 4")))
+    // ghost type-2 entries: the xref claims compressed objects but no
+    // walked carrier is an ObjStm (members would count with nothing
+    // backing them)
+    // (same-length name swap so every byte offset stays valid — the
+    // failure must come from the ghost check, not a shifted header)
+    bad(bytes(s.replaceFirst("/Type /ObjStm", "/Type /Objxtm")))
   }
 
   test("/Length1 (font-stream key) does not shadow /Length") {
