@@ -1139,6 +1139,10 @@ object ScaleProbe {
         // xref-stream decode + ObjStm validation: per-row — must be
         // linear; rides the exact gated pipeline
         graft.operators.MultimodalQueries.pdfXrefRoundtrip(docFrac(k))),
+      "pdf_xref_prev_roundtrip" -> (k =>
+        // two-section /Prev-chained build + multi-section merge:
+        // per-row, bounded 2-hop chain — must be linear
+        graft.operators.MultimodalQueries.pdfXrefPrevRoundtrip(docFrac(k))),
       "mjpeg_frames" -> (k =>
         // AVI container walk + per-frame JPEG decode: bounded frames
         // per row, embarrassingly parallel — must be linear; rides

@@ -472,6 +472,76 @@ object MultimodalQueries {
         col("d.text").as("text_out"))
   }
 
+  /** [[pdfXrefRoundtrip]]'s INCREMENTAL-UPDATE sibling: the xref is
+    * split across TWO cross-reference stream sections linked by
+    * `/Prev` — the shape every edited/appended real-world PDF has.
+    * The older section (object 7) addresses the content stream; the
+    * newest (object 6, where startxref points) addresses the ObjStm
+    * + its compressed members and chains to the older via /Prev, so
+    * extraction exercises the multi-section merge (newest wins per
+    * object number) end-to-end, not just in specs. All section
+    * layouts are length arithmetic; /Prev and startxref are decimal
+    * columns, the W-packed rows byte-exact hex. n_objs = 4 direct
+    * (ObjStm, content, both XRef sections) + 3 compressed. */
+  def pdfXrefPrevRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.PdfText.register(docsDf.sparkSession)
+    val m2 = "<< /Type /Catalog /Pages 3 0 R >>"
+    val m3 = "<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    val m4 = "<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>"
+    val pairs = s"2 0 3 ${m2.length + 1} 4 ${m2.length + m3.length + 2} "
+    val payload = pairs + m2 + " " + m3 + " " + m4
+    val o1 = s"1 0 obj << /Type /ObjStm /N 3 /First ${pairs.length} " +
+      s"/Length ${payload.length} >> stream\n$payload\nendstream endobj\n"
+    val off1 = 9L
+    val off5 = off1 + o1.length // content stream offset — constant
+    val o5a = "5 0 obj << /Length "
+    val o5b = " >> stream\n"
+    val tail = "\nendstream endobj\n"
+    val o7dict = "7 0 obj << /Type /XRef /Size 8 /W [1 3 1] " +
+      "/Root 2 0 R /Index [0 1 5 1 7 1] /Length 15 >> stream\n"
+    val o7len = o7dict.length + 15 + tail.length // constant
+    val o6pre = "6 0 obj << /Type /XRef /Size 8 /W [1 3 1] " +
+      "/Root 2 0 R /Index [1 4 6 1] /Prev "
+    val o6post = " /Length 25 >> stream\n"
+    def hex6(v: Long) = f"$v%06X"
+    docsDf
+      .withColumn("esc", regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "\\\\", "\\\\\\\\"), "\\(", "\\\\("),
+        "\\)", "\\\\)"))
+      .withColumn("content", concat(lit("BT /F1 12 Tf ("), col("esc"),
+        lit(") Tj ET")))
+      .withColumn("clen", octet_length(col("content")).cast("long"))
+      .withColumn("offB", lit(off5 + o5a.length) +
+        length(col("clen").cast("string")).cast("long") +
+        lit(o5b.length.toLong) + col("clen") + lit(tail.length.toLong))
+      .withColumn("offA", col("offB") + lit(o7len.toLong))
+      .withColumn("pdf", concat(
+        lit(("%PDF-1.5\n" + o1 + o5a).getBytes("ISO-8859-1")),
+        col("clen").cast("string").cast("binary"),
+        lit(o5b.getBytes("ISO-8859-1")),
+        col("content").cast("binary"),
+        lit((tail + o7dict).getBytes("ISO-8859-1")),
+        // older rows: obj0 free, obj5 (constant offset), obj7 self
+        unhex(concat(lit("0000000000" + "01" + hex6(off5) + "00" + "01"),
+          lpad(hex(col("offB")), 6, "0"), lit("00"))),
+        lit((tail + o6pre).getBytes("ISO-8859-1")),
+        col("offB").cast("string").cast("binary"),
+        lit(o6post.getBytes("ISO-8859-1")),
+        // newest rows: obj1 ObjStm, obj2-4 compressed, obj6 self
+        unhex(concat(lit("01" + hex6(off1) + "00" +
+          "0200000100" + "0200000101" + "0200000102" + "01"),
+          lpad(hex(col("offA")), 6, "0"), lit("00"))),
+        lit((tail + "startxref\n").getBytes("ISO-8859-1")),
+        col("offA").cast("string").cast("binary"),
+        lit("\n%%EOF".getBytes("ISO-8859-1"))))
+      .withColumn("d", expr("pdf_text(pdf)"))
+      .select(col("doc_id"), col("d.ok").as("ok"),
+        col("d.n_objs").as("n_objs"),
+        col("d.n_streams").as("n_streams"),
+        length(col("d.text")).cast("long").as("n_chars"),
+        col("d.text").as("text_out"))
+  }
+
   /** Synthesize a valid single-member STORED zip per document IN SQL
     * (real little-endian fields via [[leHex]], real CRC-32 via the
     * crc32 built-in) and walk it back through
@@ -1831,6 +1901,26 @@ object MultimodalQueries {
                text AS text_out
         FROM documents ORDER BY doc_id"""),
       desc = "PDF 1.5 extraction: cross-reference stream decode + ObjStm member resolution, round-tripped"),
+
+    // ── PDF 1.5 incremental update: /Prev-chained xref sections ─────
+    // Every edited real-world PDF appends a new xref section chained
+    // to the old one by /Prev; pdfXrefPrevRoundtrip synthesizes that
+    // two-section shape per doc (content stream only reachable via
+    // the OLDER section, page tree only via the newest) so the hash
+    // gates the multi-section merge — a /Prev hop skipped, an object
+    // resolved from the wrong section, or a loop mis-guard all break
+    // the counts or the text.
+    "mm_pdf_xref_prev" -> Q(
+      fn = (s, dir) =>
+        pdfXrefPrevRoundtrip(docs(s, dir)).orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, true AS ok,
+               CAST(7 AS BIGINT) AS n_objs,
+               CAST(4 AS BIGINT) AS n_streams,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "PDF 1.5 incremental update: /Prev-chained xref sections merged newest-first, round-tripped"),
 
     // ── REAL gzip decode: the decompress-on-ingest operator ─────────
     // At 100 TB the corpus ARRIVES gzip-compressed; `gunzip` is the
