@@ -2213,6 +2213,78 @@ object MultimodalQueries {
                    CAST(2 * i + 1 AS INT), 2))::BIGINT))
                  AS BIGINT) AS payload_sum
         FROM documents ORDER BY doc_id"""),
-      desc = "ZIP member walk: EOCD tail scan + central directory + recomputed CRC-32, round-tripped")
+      desc = "ZIP member walk: EOCD tail scan + central directory + recomputed CRC-32, round-tripped"),
+
+    // ── REAL deflate ENCODE: the write side of the shard pipeline ────
+    // Every container gate above DECODES; a 100 TB pipeline also
+    // WRITES its releases, compressed. gzip_write runs a real LZ77 +
+    // fixed-Huffman DEFLATE encoder (functions/Deflate — hash-chain
+    // match finder, 32 KiB window, back-references verified against
+    // the JDK Inflater in DeflateSpec) and wraps it as an RFC 1952
+    // member; the gate decodes it back through `gunzip` (real
+    // Inflater + recomputed CRC-32/ISIZE trailer), so the hash proves
+    // encode → decode lands on the original text byte-for-byte over
+    // the whole corpus — the inflater is the format adversary, and a
+    // single wrong bit in any emitted Huffman code or distance pair
+    // fails the member's CRC.
+    "mm_deflate_roundtrip" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Gunzip.register(s)
+        graft.functions.Deflate.register(s)
+        docs(s, dir)
+          .withColumn("gz", expr("gzip_write(CAST(text AS BINARY))"))
+          .withColumn("dec", expr("gunzip(gz)"))
+          .select($"doc_id",
+            octet_length($"dec").cast("long").as("n_bytes"),
+            $"dec".cast("string").as("text_out"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "REAL deflate encode (LZ77 + fixed Huffman) -> gunzip decode, round-tripped"),
+
+    // ── Shard write → member walk: the .warc.gz release layout ──────
+    // Release shards ship as CONCATENATED gzip members (one per
+    // record — that layout is what keeps a .warc.gz seekable per
+    // record). The fn builds each shard the way a release writer
+    // would: docs grouped ~50 per shard, each record compressed with
+    // the REAL deflate encoder, members concatenated into one blob —
+    // then re-ingests the blob through `gzip_members` (every header,
+    // CRC-32 and ISIZE re-validated) and explodes the payloads back
+    // out in member order. The oracle ranks each doc within its shard
+    // from first principles (no contiguous-doc_id assumption — the
+    // stream_web_ingest scale lesson), so the hash proves shard
+    // write → multi-member walk → explode is exactly-once and
+    // order-preserving over the whole corpus.
+    "corpus_shard_roundtrip" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.Deflate.register(s)
+        docs(s, dir)
+          .withColumn("shard", expr("doc_id div 50"))
+          .groupBy($"shard")
+          .agg(sort_array(collect_list(struct($"doc_id", $"text")))
+            .as("ds"))
+          .withColumn("blob", expr("aggregate(ds, CAST('' AS BINARY), " +
+            "(acc, d) -> concat(acc, gzip_write(CAST(d.text AS BINARY))))"))
+          .select($"shard",
+            posexplode(expr("gzip_members(blob)")).as(Seq("i", "payload")))
+          .select($"shard", $"i".cast("long").as("member_idx"),
+            octet_length($"payload").cast("long").as("n_bytes"),
+            $"payload".cast("string").as("text_out"))
+          .orderBy($"shard", $"member_idx")
+      },
+      oracle = Some("""
+        SELECT doc_id // 50 AS shard,
+               CAST(row_number() OVER (PARTITION BY doc_id // 50
+                 ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY shard, member_idx"""),
+      desc = "shard write (real deflate members) -> gzip_members walk -> explode, exactly-once")
   )
 }
