@@ -1158,6 +1158,20 @@ object ScaleProbe {
         // per-row regex work, no shuffle — must be scan-linear;
         // rides the exact gated pipeline
         graft.operators.WebQueries.boilerplateBlocks(docFrac(k))),
+      "deflate_roundtrip" -> (k =>
+        // real LZ77+fixed-Huffman encode + inflate decode: per-row,
+        // embarrassingly parallel — must be linear
+        graft.operators.MultimodalQueries.deflateRoundtrip(docFrac(k))),
+      "shard_roundtrip" -> (k =>
+        // ~50-doc shard assembly (one groupBy) + multi-member gzip
+        // walk + explode: per-shard work linear in shard bytes —
+        // must be ~linear
+        graft.operators.MultimodalQueries.shardRoundtrip(docFrac(k))),
+      "flac_roundtrip" -> (k =>
+        // FLAC build (SQL, CRC via table lookup) + full frame decode
+        // incl. CRC-8/16 verify: per-row — must be linear; rides the
+        // exact gated pipeline
+        graft.operators.MultimodalQueries.flacRoundtrip(docFrac(k))),
       "ddsketch_exact" -> { k =>
         // integer-boundary bucket assignment: broadcast 277-row range
         // join (BNLJ per row against a literal-sized dim) + one

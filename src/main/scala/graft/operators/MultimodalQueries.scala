@@ -108,6 +108,87 @@ object MultimodalQueries {
         element_at(col("d"), 8).as("last_px"))
   }
 
+  /** Real-deflate gzip member per doc → `gunzip` decode — the
+    * mm_deflate_roundtrip body, public so ScaleProbe can ride it.
+    * Returns (doc_id, n_bytes, text_out). */
+  def deflateRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.Gunzip.register(docsDf.sparkSession)
+    graft.functions.Deflate.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("gz", expr("gzip_write(CAST(text AS BINARY))"))
+      .withColumn("dec", expr("gunzip(gz)"))
+      .select(col("doc_id"),
+        octet_length(col("dec")).cast("long").as("n_bytes"),
+        col("dec").cast("string").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ~50-doc shards of real-deflate gzip members → `gzip_members`
+    * walk → posexplode — the corpus_shard_roundtrip body, public so
+    * ScaleProbe can ride it. Returns (shard, member_idx, n_bytes,
+    * text_out). */
+  def shardRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.Deflate.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .withColumn("blob", expr("aggregate(ds, CAST('' AS BINARY), " +
+        "(acc, d) -> concat(acc, gzip_write(CAST(d.text AS BINARY))))"))
+      .select(col("shard"),
+        posexplode(expr("gzip_members(blob)")).as(Seq("i", "payload")))
+      .select(col("shard"), col("i").cast("long").as("member_idx"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("payload").cast("string").as("text_out"))
+      .orderBy(col("shard"), col("member_idx"))
+  }
+
+  /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
+    * linearity against the decoder's own table) → full `flac_decode`
+    * — the mm_decode_flac body, public so ScaleProbe can ride it.
+    * Returns (doc_id, ok, n_frames, n_samples, channels, bps,
+    * sample_rate, first_sample, sum_samples, last_sample). */
+  def flacRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.FlacDecode.register(docsDf.sparkSession)
+    import graft.functions.FlacDecode.{crc16, crc8}
+    // frame header: sync+0+fixed-blocking, bs=1024 (code 10),
+    // rate=44100 (code 9), mono, bps=8 (code 1), frame 0
+    val hdr = Array(0xff, 0xf8, (10 << 4) | 9, 1 << 1, 0x00)
+      .map(_.toByte)
+    val framePre = hdr ++ Array(crc8(hdr, 0, hdr.length).toByte,
+      0x00.toByte) // header CRC-8, then CONSTANT subframe header
+    val k0 = crc16(framePre ++ Array(0x00.toByte), 0,
+      framePre.length + 1)
+    // STREAMINFO: min/max bs 1024, fs unknown, 44100/1ch/8bps,
+    // total 1024 samples, md5 zeros (= not declared)
+    val si = Array(0x04, 0x00, 0x04, 0x00, 0, 0, 0, 0, 0, 0,
+      0x0a, 0xc4, 0x40, 0x70, 0x00, 0x00, 0x04, 0x00) ++
+      Array.fill(16)(0)
+    val prefix = ("fLaC".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0x80, 0, 0, 34) ++ si).map(_.toByte) ++ framePre
+    val prefixHex = prefix.map(b => f"${b & 0xff}%02X").mkString
+    docsDf
+      .withColumn("v", expr("pmod(doc_id * 37, 256)"))
+      .withColumn("crc", expr(s"$k0 ^ element_at(" +
+        s"${graft.functions.FlacDecode.crc16TabSql}, " +
+        "CAST(v AS INT) + 1)"))
+      .withColumn("d", expr(s"flac_decode(unhex(concat(" +
+        s"'$prefixHex', lpad(hex(v), 2, '0'), " +
+        "lpad(hex(crc), 4, '0'))))"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("ok"),
+        element_at(col("d"), 2).as("n_frames"),
+        element_at(col("d"), 3).as("n_samples"),
+        element_at(col("d"), 4).as("channels"),
+        element_at(col("d"), 5).as("bps"),
+        element_at(col("d"), 6).as("sample_rate"),
+        element_at(col("d"), 7).as("first_sample"),
+        element_at(col("d"), 8).as("sum_samples"),
+        element_at(col("d"), 9).as("last_sample"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Synthesize a fully VALID GIF89a per document IN SQL (logical
     * screen descriptor, 128-entry global color table, a graphic-
     * control and a comment extension walked through their real
@@ -1922,6 +2003,47 @@ object MultimodalQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "PDF 1.5 incremental update: /Prev-chained xref sections merged newest-first, round-tripped"),
 
+    // ── REAL FLAC decode: lossless compressed audio ─────────────────
+    // The decoder (functions/FlacDecode) is the complete format —
+    // Rice-partitioned residuals over fixed and LPC predictors,
+    // stereo decorrelation, wasted bits, CRC-8/16 and STREAMINFO MD5
+    // all verified; FlacSpec drives a real test-side encoder through
+    // those paths. The gate rides the degenerate-stream lever (the
+    // GIF/ADPCM/JPEG pattern): a CONSTANT-subframe mono 8-bit frame
+    // whose decoded output has a closed form, synthesized per doc IN
+    // SQL. Everything in the fixture is a Scala-computed constant
+    // except the one sample byte v — and the frame CRC-16, which the
+    // SQL computes exactly via GF(2) LINEARITY: crc16(prefix ++ [v])
+    // = crc16(prefix ++ [0]) XOR table[v] because the FLAC CRC has
+    // zero init/xorout and v is the final byte. The table is rendered
+    // from the SAME Scala array the decoder checks against (the
+    // DdBuckets shared-constant rule), and the tables themselves are
+    // anchored to the public spec by FlacSpec's textbook check
+    // vectors ("123456789" -> 0xF4/0xFEE8) — so the gate proves the
+    // real decoder (header walk, subframe decode, both CRCs, total-
+    // samples accounting) lands on the oracle's arithmetic.
+    "mm_decode_flac" -> Q(
+      fn = (s, dir) => flacRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id, (doc_id * 37) % 256 AS v FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN v < 128 THEN v ELSE v - 256 END AS smp
+          FROM a)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS ok,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(1024 AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(8 AS BIGINT) AS bps,
+               CAST(44100 AS BIGINT) AS sample_rate,
+               CAST(smp AS BIGINT) AS first_sample,
+               CAST(1024 * smp AS BIGINT) AS sum_samples,
+               CAST(smp AS BIGINT) AS last_sample
+        FROM b ORDER BY doc_id"""),
+      desc = "REAL FLAC decode: frame walk + CRC-8/16 verified, constant-subframe closed form"),
+
     // ── REAL gzip decode: the decompress-on-ingest operator ─────────
     // At 100 TB the corpus ARRIVES gzip-compressed; `gunzip` is the
     // first per-row operator of the ingest pipeline. The fn gzip-
@@ -2228,18 +2350,7 @@ object MultimodalQueries {
     // single wrong bit in any emitted Huffman code or distance pair
     // fails the member's CRC.
     "mm_deflate_roundtrip" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        graft.functions.Gunzip.register(s)
-        graft.functions.Deflate.register(s)
-        docs(s, dir)
-          .withColumn("gz", expr("gzip_write(CAST(text AS BINARY))"))
-          .withColumn("dec", expr("gunzip(gz)"))
-          .select($"doc_id",
-            octet_length($"dec").cast("long").as("n_bytes"),
-            $"dec".cast("string").as("text_out"))
-          .orderBy($"doc_id")
-      },
+      fn = (s, dir) => deflateRoundtrip(docs(s, dir)),
       oracle = Some("""
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -2261,23 +2372,7 @@ object MultimodalQueries {
     // write → multi-member walk → explode is exactly-once and
     // order-preserving over the whole corpus.
     "corpus_shard_roundtrip" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        graft.functions.Deflate.register(s)
-        docs(s, dir)
-          .withColumn("shard", expr("doc_id div 50"))
-          .groupBy($"shard")
-          .agg(sort_array(collect_list(struct($"doc_id", $"text")))
-            .as("ds"))
-          .withColumn("blob", expr("aggregate(ds, CAST('' AS BINARY), " +
-            "(acc, d) -> concat(acc, gzip_write(CAST(d.text AS BINARY))))"))
-          .select($"shard",
-            posexplode(expr("gzip_members(blob)")).as(Seq("i", "payload")))
-          .select($"shard", $"i".cast("long").as("member_idx"),
-            octet_length($"payload").cast("long").as("n_bytes"),
-            $"payload".cast("string").as("text_out"))
-          .orderBy($"shard", $"member_idx")
-      },
+      fn = (s, dir) => shardRoundtrip(docs(s, dir)),
       oracle = Some("""
         SELECT doc_id // 50 AS shard,
                CAST(row_number() OVER (PARTITION BY doc_id // 50
