@@ -1172,6 +1172,34 @@ object ScaleProbe {
         // incl. CRC-8/16 verify: per-row — must be linear; rides the
         // exact gated pipeline
         graft.operators.MultimodalQueries.flacRoundtrip(docFrac(k))),
+      "flac_rice_roundtrip" -> (k =>
+        // FLAC Rice path: 191 unary+remainder decodes per row —
+        // per-row, embarrassingly parallel, must be linear
+        graft.operators.MultimodalQueries.flacRiceRoundtrip(docFrac(k))),
+      "orc_roundtrip" -> { k =>
+        // partitioned ORC write + pruned read-back: one pass out, one
+        // partition back — must be ~linear in input
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        // pt off doc_id div 4 so it stays uniform under docFrac's
+        // modulus filter (doc_id % 4 would be constant at k=4)
+        val src = docFrac(k)
+          .withColumn("pt",
+            ((col("doc_id") / 4).cast(LongType) % 4).cast(IntegerType))
+          .withColumn("ts", timestamp_seconds(col("doc_id") * 977))
+          .withColumn("amt",
+            expr("CAST(doc_id * 125 AS DECIMAL(18, 2)) / 100"))
+          .select(col("doc_id"), col("pt"), col("text"), col("ts"),
+            col("amt"))
+        val outDir = graft.Engine.sharedDir(spark,
+          graft.Engine.planToken(src, extra = s"probe_orc_$k")) { d =>
+          src.write.mode("overwrite").format("orc")
+            .partitionBy("pt").save(d)
+        }
+        spark.read.orc(outDir).filter(col("pt") === 2)
+          .select(col("doc_id"), col("pt").cast(LongType).as("pt"),
+            col("text"), unix_timestamp(col("ts")).as("ts_s"),
+            (col("amt") * 100).cast(LongType).as("amt_cents"))
+      },
       "ddsketch_exact" -> { k =>
         // integer-boundary bucket assignment: broadcast 277-row range
         // join (BNLJ per row against a literal-sized dim) + one

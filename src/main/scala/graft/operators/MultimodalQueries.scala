@@ -189,6 +189,73 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The Rice/fixed-predictor sibling of [[flacRoundtrip]] — the
+    * mm_decode_flac_rice body, public so ScaleProbe can ride it. A
+    * mono 8-bit FIXED order-1 frame whose 191 residuals are all the
+    * constant delta 1 (zigzag 2, Rice parameter 1 → the 3-bit pattern
+    * 010 each), so the whole Rice-coded residual section is a
+    * CONSTANT bit string and only the warm-up sample byte varies per
+    * doc. Decoded samples are the closed form s_i = s0 + i. The
+    * varying byte sits mid-frame, so its CRC-16 contribution is
+    * precomputed per value as crc16([v] ++ zeros(tail)) — GF(2)
+    * linearity again, now with a nonzero tail. The gate therefore
+    * proves the REAL Rice decode loop (unary quotient + remainder +
+    * zigzag) and the order-1 reconstruction, not just the constant
+    * subframe path. Returns the same 10 columns as
+    * [[flacRoundtrip]]. */
+  def flacRiceRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.FlacDecode.register(docsDf.sparkSession)
+    import graft.functions.FlacDecode.{crc16, crc8}
+    // frame header: bs=192 (code 1), rate 44100 (code 9), mono,
+    // bps 8 (code 1), frame 0
+    val hdr = Array(0xff, 0xf8, (1 << 4) | 9, 1 << 1, 0x00)
+      .map(_.toByte)
+    val pre = hdr ++ Array(crc8(hdr, 0, hdr.length).toByte,
+      0x12.toByte) // header CRC-8, subframe header: FIXED order 1
+    // after the warm-up byte: method 00, partition order 0000,
+    // rice param 0001, then 191 x "010", zero-padded to a byte edge
+    val bits = new StringBuilder("0000000001")
+    var i = 0
+    while (i < 191) { bits.append("010"); i += 1 }
+    while (bits.length % 8 != 0) bits.append('0')
+    val tail = bits.toString.grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    val k0 = crc16(pre ++ Array(0x00.toByte) ++ tail, 0,
+      pre.length + 1 + tail.length)
+    val contrib = (0 until 256).map { v =>
+      crc16(Array(v.toByte) ++ new Array[Byte](tail.length), 0,
+        1 + tail.length)
+    }
+    // STREAMINFO: min/max bs 192, fs unknown, 44100/1ch/8bps,
+    // total 192 samples, md5 zeros
+    val si = Array(0x00, 0xc0, 0x00, 0xc0, 0, 0, 0, 0, 0, 0,
+      0x0a, 0xc4, 0x40, 0x70, 0x00, 0x00, 0x00, 0xc0) ++
+      Array.fill(16)(0)
+    val prefix = ("fLaC".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0x80, 0, 0, 34) ++ si).map(_.toByte) ++ pre
+    val prefixHex = prefix.map(b => f"${b & 0xff}%02X").mkString
+    val tailHex = tail.map(b => f"${b & 0xff}%02X").mkString
+    docsDf
+      .withColumn("v", expr("pmod(doc_id * 13, 64)"))
+      .withColumn("crc", expr(s"$k0 ^ element_at(" +
+        contrib.mkString("array(", ", ", ")") +
+        ", CAST(v AS INT) + 128 + 1)"))
+      .withColumn("d", expr("flac_decode(unhex(concat(" +
+        s"'$prefixHex', lpad(hex(v + 128), 2, '0'), '$tailHex', " +
+        "lpad(hex(crc), 4, '0'))))"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("ok"),
+        element_at(col("d"), 2).as("n_frames"),
+        element_at(col("d"), 3).as("n_samples"),
+        element_at(col("d"), 4).as("channels"),
+        element_at(col("d"), 5).as("bps"),
+        element_at(col("d"), 6).as("sample_rate"),
+        element_at(col("d"), 7).as("first_sample"),
+        element_at(col("d"), 8).as("sum_samples"),
+        element_at(col("d"), 9).as("last_sample"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Synthesize a fully VALID GIF89a per document IN SQL (logical
     * screen descriptor, 128-entry global color table, a graphic-
     * control and a comment extension walked through their real
@@ -2022,6 +2089,26 @@ object MultimodalQueries {
     // vectors ("123456789" -> 0xF4/0xFEE8) — so the gate proves the
     // real decoder (header walk, subframe decode, both CRCs, total-
     // samples accounting) lands on the oracle's arithmetic.
+    // Rice/fixed-path sibling: s0 varies per doc, s_i = s0 + i via a
+    // REAL Rice-decoded residual stream (see flacRiceRoundtrip).
+    "mm_decode_flac_rice" -> Q(
+      fn = (s, dir) => flacRiceRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id, (doc_id * 13) % 64 - 128 AS s0 FROM documents)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS ok,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(192 AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(8 AS BIGINT) AS bps,
+               CAST(44100 AS BIGINT) AS sample_rate,
+               CAST(s0 AS BIGINT) AS first_sample,
+               CAST(192 * s0 + 18336 AS BIGINT) AS sum_samples,
+               CAST(s0 + 191 AS BIGINT) AS last_sample
+        FROM a ORDER BY doc_id"""),
+      desc = "REAL FLAC Rice decode: unary+remainder+zigzag residuals, order-1 fixed prediction"),
+
     "mm_decode_flac" -> Q(
       fn = (s, dir) => flacRoundtrip(docs(s, dir)),
       oracle = Some("""

@@ -422,6 +422,48 @@ object RelationalQueries {
         GROUP BY z.zone ORDER BY z.zone"""),
       desc = "S6 seed source: contract-pinned CSV dim joined through the star schema"),
 
+    // ── S4 sibling: the ORC sink/source round trip — the second
+    // columnar format (core Spark datasource, no extra deps). A
+    // 100 TB lake is rarely single-format; what the gate proves is
+    // TYPE fidelity through the other columnar container: long,
+    // string, TIMESTAMP (ORC's own epoch encoding, read back under
+    // the UTC session contract), DECIMAL (exact cents recovered),
+    // and a partition column pruned on read-back (the pt=2 filter
+    // reaches the directory listing, not the row scan — same
+    // partition-pruning posture as s4's day partitions). The write
+    // lands in a planToken-keyed sharedDir (per-(app, plan, data)
+    // isolation + eviction cleanup; the write IS the operator and
+    // re-pays inside the bench sample, like s4).
+    "s4_orc_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val src = t(s, dir, "documents")
+          .withColumn("pt", (col("doc_id") % 4).cast(IntegerType))
+          .withColumn("ts", timestamp_seconds(col("doc_id") * 977))
+          .withColumn("amt",
+            expr("CAST(doc_id * 125 AS DECIMAL(18, 2)) / 100"))
+          .select(col("doc_id"), col("pt"), col("text"), col("ts"),
+            col("amt"))
+        val outDir = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(src, extra = "s4_orc_docs")) { d =>
+          src.write.mode("overwrite").format("orc")
+            .partitionBy("pt").save(d)
+        }
+        s.read.orc(outDir)
+          .filter(col("pt") === 2)
+          .select(col("doc_id"),
+            col("pt").cast(LongType).as("pt"),
+            col("text"),
+            unix_timestamp(col("ts")).as("ts_s"),
+            (col("amt") * 100).cast(LongType).as("amt_cents"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(2 AS BIGINT) AS pt, text,
+               CAST(doc_id * 977 AS BIGINT) AS ts_s,
+               CAST(doc_id * 125 AS BIGINT) AS amt_cents
+        FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id"""),
+      desc = "S4 ORC sink: partitioned columnar write, pruned read-back, types round-tripped"),
+
     // ── F1/F3/F4/F5/F12 + P5: string derivations with BigQuery
     // semantics (regexp no-match → NULL via BqCompat).
     "f_strings" -> Q(
