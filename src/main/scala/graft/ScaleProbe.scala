@@ -1172,6 +1172,10 @@ object ScaleProbe {
         // incl. CRC-8/16 verify: per-row — must be linear; rides the
         // exact gated pipeline
         graft.operators.MultimodalQueries.flacRoundtrip(docFrac(k))),
+      "bzip2_roundtrip" -> (k =>
+        // BWT via prefix doubling is O(len log² len) per doc with
+        // doc lengths fixed — across docs this must read ~linear
+        graft.operators.MultimodalQueries.bzip2Roundtrip(docFrac(k))),
       "flac_rice_roundtrip" -> (k =>
         // FLAC Rice path: 191 unary+remainder decodes per row —
         // per-row, embarrassingly parallel, must be linear

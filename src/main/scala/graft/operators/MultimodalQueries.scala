@@ -108,6 +108,22 @@ object MultimodalQueries {
         element_at(col("d"), 8).as("last_px"))
   }
 
+  /** bzip2 compress → decompress per doc (both directions our own
+    * from-scratch BWT+MTF+Huffman codec; commons-compress is the
+    * cross-adversary in Bzip2Spec) — the mm_bzip2_roundtrip body,
+    * public so ScaleProbe can ride it. Returns (doc_id, n_bytes,
+    * text_out). */
+  def bzip2Roundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.Bzip2.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("bz", expr("bzip2_write(CAST(text AS BINARY))"))
+      .withColumn("dec", expr("bzip2_read(bz)"))
+      .select(col("doc_id"),
+        octet_length(col("dec")).cast("long").as("n_bytes"),
+        col("dec").cast("string").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Real-deflate gzip member per doc → `gunzip` decode — the
     * mm_deflate_roundtrip body, public so ScaleProbe can ride it.
     * Returns (doc_id, n_bytes, text_out). */
@@ -2444,6 +2460,26 @@ object MultimodalQueries {
                text AS text_out
         FROM documents ORDER BY doc_id"""),
       desc = "REAL deflate encode (LZ77 + fixed Huffman) -> gunzip decode, round-tripped"),
+
+    // ── REAL bzip2 round trip: the block-sorting compressor class ────
+    // The big public text dumps (Wikipedia among them) ship as .bz2;
+    // this gate runs the full from-scratch codec pair per doc —
+    // RLE1 → prefix-doubling BWT → MTF → RUNA/RUNB zero runs → real
+    // per-block Huffman on the write side; Huffman → MTF⁻¹ →
+    // counting-sort BWT⁻¹ → RLE1⁻¹ with the block CRC-32 RECOMPUTED
+    // and the rotating combined CRC verified on the read side. The
+    // oracle emits the original text: the hash proves the whole
+    // transform stack inverts byte-for-byte over the corpus.
+    // Format validity against an independent implementation
+    // (commons-compress, both directions) lives in Bzip2Spec.
+    "mm_bzip2_roundtrip" -> Q(
+      fn = (s, dir) => bzip2Roundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "REAL bzip2 round trip: RLE1+BWT+MTF+Huffman encode, full decode with CRCs recomputed"),
 
     // ── Shard write → member walk: the .warc.gz release layout ──────
     // Release shards ship as CONCATENATED gzip members (one per
