@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AHash64, ByteWindowFold, HilbertD, KmvMin, LongArrayDot, Md5PrefixLong, TopKMin}
+import graft.functions.{AHash64, ByteWindowFold, Bzip2Read, Bzip2Write, FlacDecode, Gunzip, GzipMembers, GzipWrite, HilbertD, KmvMin, LongArrayDot, Md5PrefixLong, TopKMin}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,7 +34,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    (the dedup_phash hot path; functions/AHash64.scala);
   *  - `byte_window_fold` — per-window byte folds (sum / squared
   *    deviation) for the multimodal feature stubs
-  *    (functions/ByteWindowFold.scala).
+  *    (functions/ByteWindowFold.scala);
+  *  - the compression/codec family as standing SQL functions:
+  *    `gunzip` / `gzip_write` / `gzip_members` (RFC 1951/1952 both
+  *    directions + the .warc.gz member walk), `bzip2_write` /
+  *    `bzip2_read` (the block-sorting class), and `flac_decode`
+  *    (lossless audio) — an extended session ingests/writes these
+  *    formats from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -82,5 +88,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HilbertD].getName, "hilbert_d"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HilbertD.fromExprs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("gunzip"),
+      new ExpressionInfo(classOf[Gunzip].getName, "gunzip"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Gunzip(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gzip_write"),
+      new ExpressionInfo(classOf[GzipWrite].getName, "gzip_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GzipWrite(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gzip_members"),
+      new ExpressionInfo(classOf[GzipMembers].getName, "gzip_members"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GzipMembers(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bzip2_write"),
+      new ExpressionInfo(classOf[Bzip2Write].getName, "bzip2_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Bzip2Write(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bzip2_read"),
+      new ExpressionInfo(classOf[Bzip2Read].getName, "bzip2_read"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Bzip2Read(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("flac_decode"),
+      new ExpressionInfo(classOf[FlacDecode].getName, "flac_decode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FlacDecode(exprs.head)))
   }
 }

@@ -2481,6 +2481,47 @@ object MultimodalQueries {
         FROM documents ORDER BY doc_id"""),
       desc = "REAL bzip2 round trip: RLE1+BWT+MTF+Huffman encode, full decode with CRCs recomputed"),
 
+    // ── .bz2 FILE ingest: Hadoop-compressed shards → our decoder ────
+    // The file-level shape of the bzip2 story: Spark's text sink
+    // writes the corpus as .txt.bz2 shard files through the HADOOP
+    // BZip2 codec (the stock lake writer), and the read side loads
+    // the raw files through the binaryFile source and decompresses
+    // them with OUR bzip2_read — so every gate run validates our
+    // decoder against an independent compressor's output INSIDE the
+    // plan (third adversary direction; Bzip2Spec covers the other
+    // two). Lines are doc_id\thex(text) so arbitrary text bytes
+    // survive line framing; the oracle emits the source rows, so the
+    // hash proves file write → codec → member decode → line parse is
+    // exactly-once. Also exercises the binaryFile source (whole-file
+    // bytes as rows — the ingest shape for any opaque blob format).
+    "corpus_bz2_ingest" -> Q(
+      fn = (s, dir) => {
+        graft.functions.Bzip2.register(s)
+        val src = docs(s, dir)
+          .select(concat(col("doc_id").cast("string"), lit("\t"),
+            hex(col("text").cast("binary"))).as("value"))
+        val outDir = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(src, extra = "bz2_ingest")) { d =>
+          src.coalesce(2).write.mode("overwrite")
+            .option("compression", "bzip2").text(d)
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bz2").load(outDir)
+          .select(expr("bzip2_read(content)").cast("string").as("raw"))
+          .select(explode(split(col("raw"), "\n")).as("line"))
+          .where(length(col("line")) > 0)
+          .select(
+            split(col("line"), "\t").getItem(0).cast("long")
+              .as("doc_id"),
+            unhex(split(col("line"), "\t").getItem(1)).cast("string")
+              .as("text_out"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = ".bz2 shard ingest: Hadoop-codec-written files decoded by our bzip2_read via binaryFile"),
+
     // ── Shard write → member walk: the .warc.gz release layout ──────
     // Release shards ship as CONCATENATED gzip members (one per
     // record — that layout is what keeps a .warc.gz seekable per

@@ -29,6 +29,24 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("the codec family is SQL-callable without manual registration") {
+    withExtSession { s =>
+      val r = s.sql(
+        "SELECT CAST(gunzip(gzip_write(CAST('ab ab ab' AS BINARY))) " +
+          "AS STRING) AS g, " +
+          "CAST(bzip2_read(bzip2_write(CAST('cd cd cd' AS BINARY))) " +
+          "AS STRING) AS b, " +
+          "size(gzip_members(concat(gzip_write(CAST('x' AS BINARY)), " +
+          "gzip_write(CAST('y' AS BINARY))))) AS m, " +
+          "flac_decode(CAST('nope' AS BINARY))[0] AS f")
+        .collect().head
+      assert(r.getString(0) == "ab ab ab")
+      assert(r.getString(1) == "cd cd cd")
+      assert(r.getInt(2) == 2)
+      assert(r.getLong(3) == 0L) // malformed -> ok=0 row
+    }
+  }
+
   test("long_dot is SQL-callable without manual registration") {
     withExtSession { s =>
       val d = s.sql("SELECT long_dot(array(1L, 2L), array(3L, 4L)) AS d")
