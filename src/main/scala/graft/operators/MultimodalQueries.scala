@@ -177,20 +177,31 @@ object MultimodalQueries {
     val k0 = crc16(framePre ++ Array(0x00.toByte), 0,
       framePre.length + 1)
     // STREAMINFO: min/max bs 1024, fs unknown, 44100/1ch/8bps,
-    // total 1024 samples, md5 zeros (= not declared)
-    val si = Array(0x04, 0x00, 0x04, 0x00, 0, 0, 0, 0, 0, 0,
-      0x0a, 0xc4, 0x40, 0x70, 0x00, 0x00, 0x04, 0x00) ++
-      Array.fill(16)(0)
-    val prefix = ("fLaC".getBytes("US-ASCII").map(_.toInt) ++
-      Array(0x80, 0, 0, 34) ++ si).map(_.toByte) ++ framePre
-    val prefixHex = prefix.map(b => f"${b & 0xff}%02X").mkString
+    // total 1024 samples — and the MD5 of the decoded samples is
+    // DECLARED (per-value 16-byte digest of 1024 copies of v,
+    // precomputed into a 256-entry table), so the decoder's
+    // whole-stream MD5 verification runs inside the gate too
+    val siPre = Array(0x04, 0x00, 0x04, 0x00, 0, 0, 0, 0, 0, 0,
+      0x0a, 0xc4, 0x40, 0x70, 0x00, 0x00, 0x04, 0x00)
+    val md5Tab = (0 until 256).map { v =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+      dig.update(Array.fill(1024)(v.toByte))
+      dig.digest().map(b => f"${b & 0xff}%02X").mkString
+    }
+    val preHex = ("fLaC".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0x80, 0, 0, 34) ++ siPre).map(b => f"${b & 0xff}%02X")
+      .mkString
+    val frameHex = framePre.map(b => f"${b & 0xff}%02X").mkString
     docsDf
       .withColumn("v", expr("pmod(doc_id * 37, 256)"))
       .withColumn("crc", expr(s"$k0 ^ element_at(" +
         s"${graft.functions.FlacDecode.crc16TabSql}, " +
         "CAST(v AS INT) + 1)"))
       .withColumn("d", expr(s"flac_decode(unhex(concat(" +
-        s"'$prefixHex', lpad(hex(v), 2, '0'), " +
+        s"'$preHex', " +
+        md5Tab.mkString("element_at(array('", "', '", "'), " +
+          "CAST(v AS INT) + 1), ") +
+        s"'$frameHex', lpad(hex(v), 2, '0'), " +
         "lpad(hex(crc), 4, '0'))))"))
       .select(col("doc_id"),
         element_at(col("d"), 1).as("ok"),
@@ -2145,7 +2156,7 @@ object MultimodalQueries {
                CAST(1024 * smp AS BIGINT) AS sum_samples,
                CAST(smp AS BIGINT) AS last_sample
         FROM b ORDER BY doc_id"""),
-      desc = "REAL FLAC decode: frame walk + CRC-8/16 verified, constant-subframe closed form"),
+      desc = "REAL FLAC decode: frame walk + CRC-8/16 + declared MD5 verified, constant-subframe closed form"),
 
     // ── REAL gzip decode: the decompress-on-ingest operator ─────────
     // At 100 TB the corpus ARRIVES gzip-compressed; `gunzip` is the

@@ -3093,6 +3093,69 @@ object TextQueries {
         ORDER BY d.doc_id"""),
       desc = "nightly ingest gate: first-failing admission status per new doc"),
 
+    // ── cross-corpus LINE dedup (the RefinedWeb/CCNet operator) ─────
+    // Web curation dedups at LINE granularity across the WHOLE corpus
+    // (boilerplate sentences repeat across pages; first occurrence
+    // wins, later repeats are dropped and the document is
+    // reassembled). The corpus text has no newlines, so lines are
+    // derived as non-overlapping 3-word chunks — small enough that
+    // chunks genuinely repeat across docs at gate SF, so the filter
+    // BINDS. Plan shape is the scale-right one: one shuffle keyed on
+    // the line itself (the global first-occurrence window), one
+    // groupBy doc_id to reassemble in line order — both linear; at
+    // 100 TB the line key would be a 64-bit hash instead of the
+    // string, same plan. Total order inside the window is
+    // (doc_id, idx): deterministic survivor, same tie-break in both
+    // engines.
+    "corpus_line_dedup" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val lines = docs(s, dir)
+          .withColumn("words", split($"text", " "))
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, (size(words) + 2) div 3 - 1), " +
+              "i -> array_join(slice(words, i * 3 + 1, 3), ' '))"))
+            .as(Seq("idx", "line")))
+        val w = Window.partitionBy($"line").orderBy($"doc_id", $"idx")
+        lines
+          .withColumn("keep", row_number().over(w) === 1)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum($"keep".cast("long")).as("n_kept"),
+            array_join(expr(
+              "transform(filter(array_sort(collect_list(" +
+                "struct(idx, line, keep))), s -> s.keep), s -> s.line)"),
+              " ").as("text_clean"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents),
+        ix AS (
+          SELECT doc_id, words,
+                 unnest(generate_series(0,
+                   CAST((len(words) + 2) // 3 AS BIGINT) - 1)) AS idx
+          FROM w),
+        l AS (
+          SELECT doc_id, idx,
+                 array_to_string(words[CAST(idx * 3 + 1 AS BIGINT) :
+                   CAST(idx * 3 + 3 AS BIGINT)], ' ') AS line
+          FROM ix),
+        k AS (
+          SELECT doc_id, idx, line,
+                 row_number() OVER (PARTITION BY line
+                   ORDER BY doc_id, idx) AS rn
+          FROM l)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+                 ORDER BY idx), '') AS text_clean
+        FROM k GROUP BY doc_id ORDER BY doc_id"""),
+      desc = "cross-corpus line dedup: first occurrence wins, docs reassembled in line order"),
+
     // ── exact dedup after canonicalization ──────────────────────────
     // Raw texts are all unique; canonical form = sorted distinct token
     // set, which the corpus DOES duplicate (word-order shuffles).

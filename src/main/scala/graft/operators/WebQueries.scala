@@ -456,6 +456,69 @@ object WebQueries {
         FROM h GROUP BY tgt_host ORDER BY tgt_host"""),
       desc = "outlink extraction: absolute hrefs parsed from markup, rolled up per target host"),
 
+    // ── head-metadata extraction + robots-meta governance ────────────
+    // After boilerplate stripping, a crawl build reads the HEAD: the
+    // canonical link (dedup key when pages self-duplicate), og:
+    // properties (locale feeds the langid prior), and the robots
+    // meta (noindex pages are DROPPED — the page-level governance
+    // sibling of web_robots' host-level rules). The fn synthesizes a
+    // head per doc (canonical pointing at doc_id div 7 for every 7th
+    // doc — a genuine non-self canonical, so the self-check binds)
+    // and parses it back with real regexes; the oracle recomputes
+    // every field from the arithmetic. Stateless per-row regex work:
+    // scan-linear at any scale.
+    "web_meta_extract" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .withColumn("canon_id", expr(
+            "IF(doc_id % 7 = 0 AND doc_id > 0, doc_id div 7, doc_id)"))
+          .withColumn("html", concat(
+            lit("<html><head><title>Doc "), $"doc_id",
+            lit("</title><meta property=\"og:locale\" content=\""),
+            $"lang",
+            lit("\"><meta name=\"robots\" content=\""),
+            expr("IF(doc_id % 11 = 3, 'noindex,nofollow', " +
+              "'index,follow')"),
+            lit("\"><link rel=\"canonical\" " +
+              "href=\"https://example.com/doc/"), $"canon_id",
+            lit("\"></head><body><p>"), $"text",
+            lit("</p></body></html>")))
+          .select($"doc_id",
+            regexp_extract($"html", "<title>([^<]*)</title>", 1)
+              .as("title"),
+            regexp_extract($"html",
+              "property=\"og:locale\" content=\"([^\"]*)\"", 1)
+              .as("og_locale"),
+            regexp_extract($"html",
+              "name=\"robots\" content=\"([^\"]*)\"", 1)
+              .rlike("noindex").as("noindex"),
+            regexp_extract($"html",
+              "rel=\"canonical\" href=\"([^\"]*)\"", 1)
+              .as("canonical"))
+          .withColumn("canonical_self", $"canonical" === concat(
+            lit("https://example.com/doc/"), $"doc_id"))
+          .withColumn("keep", !$"noindex" && $"canonical_self")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 7 = 0 AND doc_id > 0
+                   THEN doc_id // 7 ELSE doc_id END AS canon_id,
+                 doc_id % 11 = 3 AS noindex
+          FROM documents)
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               lang AS og_locale,
+               noindex,
+               'https://example.com/doc/' || CAST(canon_id AS VARCHAR)
+                 AS canonical,
+               canon_id = doc_id AS canonical_self,
+               NOT noindex AND canon_id = doc_id AS keep
+        FROM a ORDER BY doc_id"""),
+      desc = "head metadata: title/og/canonical parsed, robots-meta noindex governance applied"),
+
     // ── block-level boilerplate removal (jusText/trafilatura shape) ──
     // The stage every crawl build runs between extraction and
     // cleaning: segment the page into BLOCKS, score each by pure
