@@ -2533,6 +2533,40 @@ object MultimodalQueries {
         FROM documents ORDER BY doc_id"""),
       desc = ".bz2 shard ingest: Hadoop-codec-written files decoded by our bzip2_read via binaryFile"),
 
+    // ── .gz FILE ingest: the gzip sibling of corpus_bz2_ingest ──────
+    // Hadoop's GzipCodec writes REAL dynamic-Huffman deflate members
+    // (zlib-class output — unlike mm_gunzip's SQL fixture, which is
+    // stored-framing by construction), so this gate runs arbitrary
+    // real deflate streams through `gunzip`'s Inflater + recomputed
+    // trailer path on every run, file-level, inside the plan.
+    "corpus_gz_ingest" -> Q(
+      fn = (s, dir) => {
+        graft.functions.Gunzip.register(s)
+        val src = docs(s, dir)
+          .select(concat(col("doc_id").cast("string"), lit("\t"),
+            hex(col("text").cast("binary"))).as("value"))
+        val outDir = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(src, extra = "gz_ingest")) { d =>
+          src.coalesce(2).write.mode("overwrite")
+            .option("compression", "gzip").text(d)
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.gz").load(outDir)
+          .select(expr("gunzip(content)").cast("string").as("raw"))
+          .select(explode(split(col("raw"), "\n")).as("line"))
+          .where(length(col("line")) > 0)
+          .select(
+            split(col("line"), "\t").getItem(0).cast("long")
+              .as("doc_id"),
+            unhex(split(col("line"), "\t").getItem(1)).cast("string")
+              .as("text_out"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = ".gz shard ingest: Hadoop-codec real-deflate files decoded by gunzip via binaryFile"),
+
     // ── Shard write → member walk: the .warc.gz release layout ──────
     // Release shards ship as CONCATENATED gzip members (one per
     // record — that layout is what keeps a .warc.gz seekable per

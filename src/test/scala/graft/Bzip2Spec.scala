@@ -75,7 +75,7 @@ class Bzip2Spec extends SparkSuite {
   }
 
   test("commons-compress output is read by our decoder") {
-    for ((name, data) <- cases if data.nonEmpty) {
+    for ((name, data) <- cases) {
       val dec = Bzip2.decompress(ccCompress(data))
       assert(dec != null && dec.sameElements(data), s"case $name")
     }
