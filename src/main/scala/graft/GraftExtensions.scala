@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AHash64, ByteWindowFold, Bzip2Read, Bzip2Write, FlacDecode, Gunzip, GzipMembers, GzipWrite, HilbertD, KmvMin, LongArrayDot, Md5PrefixLong, TopKMin}
+import graft.functions.{AHash64, ByteWindowFold, Bzip2Read, Bzip2Write, FlacDecode, Gunzip, GzipMembers, GzipWrite, HilbertD, KmvMin, LongArrayDot, Md5PrefixLong, TarWrite, TopKMin, ZipWrite}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -118,5 +118,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FlacDecode].getName, "flac_decode"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FlacDecode(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("zip_write"),
+      new ExpressionInfo(classOf[ZipWrite].getName, "zip_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZipWrite(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("tar_write"),
+      new ExpressionInfo(classOf[TarWrite].getName, "tar_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TarWrite(exprs.head)))
   }
 }

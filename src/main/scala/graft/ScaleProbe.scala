@@ -1176,6 +1176,15 @@ object ScaleProbe {
         // BWT via prefix doubling is O(len log² len) per doc with
         // doc lengths fixed — across docs this must read ~linear
         graft.operators.MultimodalQueries.bzip2Roundtrip(docFrac(k))),
+      "zip_write_roundtrip" -> (k =>
+        // archive assembly (one groupBy into ~50-doc shards, deflate
+        // per member) + backwards EOCD walk + re-inflate: per-shard
+        // work linear in shard bytes — must be ~linear
+        graft.operators.MultimodalQueries.zipWriteRoundtrip(docFrac(k))),
+      "tar_write_roundtrip" -> (k =>
+        // ustar assembly + header-checksum walk: pure per-shard byte
+        // work — must be ~linear
+        graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
       "flac_rice_roundtrip" -> (k =>
         // FLAC Rice path: 191 unary+remainder decodes per row —
         // per-row, embarrassingly parallel, must be linear

@@ -101,7 +101,10 @@ object TarList {
       // name: NUL-terminated within the first 100 bytes
       var ne = pos
       while (ne < pos + 100 && b(ne) != 0) ne += 1
-      val name = new String(b, pos, ne - pos, "US-ASCII")
+      // UTF-8 unconditionally — ustar declares no name encoding (PAX
+      // does); every modern writer emits UTF-8, matching zip_list's
+      // read policy and our own tar_write
+      val name = new String(b, pos, ne - pos, "UTF-8")
       val size = octal(b, pos + 124, 12)
       val stored = octal(b, pos + 148, 8)
       val tf: Long =

@@ -160,6 +160,58 @@ object MultimodalQueries {
       .orderBy(col("shard"), col("member_idx"))
   }
 
+  /** ~50-doc shards archived by the from-scratch `zip_write`
+    * (deflated members, central directory, EOCD) → conformant
+    * `zip_list` backwards walk (EOCD tail scan, JDK re-inflate,
+    * recomputed CRC-32) — the mm_zip_write body, public so
+    * ScaleProbe can ride it. Returns (shard, member_idx, name,
+    * method, size, crc_ok, payload_sum). */
+  def zipWriteRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.ZipList.register(docsDf.sparkSession)
+    graft.functions.ArchiveWrite.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .withColumn("blob", expr("zip_write(transform(ds, d -> " +
+        "struct(concat('doc_', d.doc_id, '.txt'), " +
+        "CAST(d.text AS BINARY))))"))
+      .select(col("shard"),
+        posexplode(expr("zip_list(blob)")).as(Seq("i", "m")))
+      .select(col("shard"), col("i").cast("long").as("member_idx"),
+        col("m.name").as("name"), col("m.method").as("method"),
+        col("m.size").as("size"), col("m.crc_ok").as("crc_ok"),
+        col("m.payload_sum").as("payload_sum"))
+      .orderBy(col("shard"), col("member_idx"))
+  }
+
+  /** ~50-doc shards archived by the from-scratch ustar `tar_write`
+    * → `tar_list` walk (octal fields parsed, header checksum
+    * RECOMPUTED) — the mm_tar_write body, public so ScaleProbe can
+    * ride it. Returns (shard, member_idx, name, size, typeflag,
+    * cksum_ok, payload_sum). */
+  def tarWriteRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.TarList.register(docsDf.sparkSession)
+    graft.functions.ArchiveWrite.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .withColumn("blob", expr("tar_write(transform(ds, d -> " +
+        "struct(concat('doc_', d.doc_id, '.txt'), " +
+        "CAST(d.text AS BINARY))))"))
+      .select(col("shard"),
+        posexplode(expr("tar_list(blob)")).as(Seq("i", "m")))
+      .select(col("shard"), col("i").cast("long").as("member_idx"),
+        col("m.name").as("name"), col("m.size").as("size"),
+        col("m.typeflag").as("typeflag"),
+        col("m.cksum_ok").as("cksum_ok"),
+        col("m.payload_sum").as("payload_sum"))
+      .orderBy(col("shard"), col("member_idx"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2471,6 +2523,63 @@ object MultimodalQueries {
                text AS text_out
         FROM documents ORDER BY doc_id"""),
       desc = "REAL deflate encode (LZ77 + fixed Huffman) -> gunzip decode, round-tripped"),
+
+    // ── ZIP WRITE: the archive write side ───────────────────────────
+    // mm_zip_member proved the backwards read walk; this gate proves
+    // the WRITE side: `zip_write` builds complete multi-member
+    // archives (~50 docs per shard) with DEFLATED bodies from the
+    // real LZ77+fixed-Huffman encoder, full central directory and
+    // EOCD — and the conformant `zip_list` walks each archive back
+    // (EOCD tail scan → CD → LFH), re-INFLATES every body with the
+    // JDK Inflater and RECOMPUTES every CRC-32. The oracle emits the
+    // member table from first principles (rank within shard by
+    // doc_id, method 8, exact payload byte sum), so the hash proves
+    // archive write → backwards walk → inflate → CRC verify is
+    // exactly-once and order-preserving. ZipWriteSpec adds the
+    // independent adversary: java.util.zip's own ZipInputStream and
+    // ZipFile read our archives byte-for-byte.
+    "mm_zip_write" -> Q(
+      fn = (s, dir) => zipWriteRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id // 50 AS shard,
+               CAST(row_number() OVER (PARTITION BY doc_id // 50
+                 ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+               CAST(8 AS BIGINT) AS method,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size,
+               true AS crc_ok,
+               CAST(list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> ('0x' || substr(hex(encode(text)),
+                   CAST(2 * i + 1 AS INT), 2))::BIGINT))
+                 AS BIGINT) AS payload_sum
+        FROM documents ORDER BY shard, member_idx"""),
+      desc = "zip_write archive (deflated members + CD + EOCD) -> zip_list walk, exactly-once"),
+
+    // ── TAR WRITE: the ustar write side ─────────────────────────────
+    // The tar twin of mm_zip_write: `tar_write` emits POSIX ustar
+    // streams (octal fields, checksum-over-spaces, 512 padding, two
+    // zero EOF blocks) per ~50-doc shard, and `tar_list` walks them
+    // back with the header checksum RECOMPUTED. commons-compress's
+    // TarArchiveInputStream is the independent adversary in
+    // TarWriteSpec (both directions).
+    "mm_tar_write" -> Q(
+      fn = (s, dir) => tarWriteRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id // 50 AS shard,
+               CAST(row_number() OVER (PARTITION BY doc_id // 50
+                 ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size,
+               CAST(48 AS BIGINT) AS typeflag,
+               true AS cksum_ok,
+               CAST(list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> ('0x' || substr(hex(encode(text)),
+                   CAST(2 * i + 1 AS INT), 2))::BIGINT))
+                 AS BIGINT) AS payload_sum
+        FROM documents ORDER BY shard, member_idx"""),
+      desc = "tar_write ustar stream -> tar_list walk with recomputed checksums, exactly-once"),
 
     // ── REAL bzip2 round trip: the block-sorting compressor class ────
     // The big public text dumps (Wikipedia among them) ship as .bz2;
