@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AHash64, ByteWindowFold, Bzip2Read, Bzip2Write, FlacDecode, Gunzip, GzipMembers, GzipWrite, HilbertD, KmvMin, LongArrayDot, Md5PrefixLong, TarWrite, TopKMin, ZipWrite}
+import graft.functions.{AHash64, ByteWindowFold, Bzip2Read, Bzip2Write, FlacDecode, Gunzip, GzipMembers, GzipWrite, HilbertD, KmvMin, LongArrayDot, Md5PrefixLong, PngWrite, TarWrite, TopKMin, ZipWrite}
 import graft.plans.{AsOfJoinStrategy, PruneAsOfJoinColumns, PushFilterThroughAsOfJoin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,9 +38,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - the compression/codec family as standing SQL functions:
   *    `gunzip` / `gzip_write` / `gzip_members` (RFC 1951/1952 both
   *    directions + the .warc.gz member walk), `bzip2_write` /
-  *    `bzip2_read` (the block-sorting class), and `flac_decode`
-  *    (lossless audio) — an extended session ingests/writes these
-  *    formats from plain SQL.
+  *    `bzip2_read` (the block-sorting class), `flac_decode`
+  *    (lossless audio), the archive writers `zip_write` / `tar_write`
+  *    and the image writer `png_write` — an extended session
+  *    ingests/writes these formats from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -123,6 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZipWrite].getName, "zip_write"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ZipWrite(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("png_write"),
+      new ExpressionInfo(classOf[PngWrite].getName, "png_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PngWrite(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       new FunctionIdentifier("tar_write"),
       new ExpressionInfo(classOf[TarWrite].getName, "tar_write"),

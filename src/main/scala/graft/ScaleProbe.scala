@@ -1185,6 +1185,10 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "png_write_roundtrip" -> (k =>
+        // adaptive filter + deflate + full decode per doc: per-row,
+        // embarrassingly parallel — must be linear
+        graft.operators.MultimodalQueries.pngWriteRoundtrip(docFrac(k))),
       "flac_rice_roundtrip" -> (k =>
         // FLAC Rice path: 191 unary+remainder decodes per row —
         // per-row, embarrassingly parallel, must be linear

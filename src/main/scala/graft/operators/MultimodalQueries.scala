@@ -212,6 +212,35 @@ object MultimodalQueries {
       .orderBy(col("shard"), col("member_idx"))
   }
 
+  /** 3-row grayscale PNG per doc (pixels = the doc's bytes repeated
+    * as 3 identical scanlines — the adaptive filter heuristic picks
+    * Sub/None for row 0 and Up for rows 1-2, so the emitted stream
+    * exercises real unfilter paths) → full `png_decode` (signature,
+    * chunk CRCs, zlib inflate, unfilter) — the mm_png_write body,
+    * public so ScaleProbe can ride it. Returns (doc_id, fmt_ok,
+    * width, height, bit_depth, n_raw, sum_px, first_px, last_px). */
+  def pngWriteRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.PngDecode.register(docsDf.sparkSession)
+    graft.functions.PngWrite.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("b", col("text").cast("binary"))
+      .withColumn("n", octet_length(col("b")).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("png", expr(
+        "png_write(n, 3L, concat(b, b, b))"))
+      .withColumn("d", expr("png_decode(png)"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("fmt_ok"),
+        element_at(col("d"), 2).as("width"),
+        element_at(col("d"), 3).as("height"),
+        element_at(col("d"), 4).as("bit_depth"),
+        element_at(col("d"), 5).as("n_raw"),
+        element_at(col("d"), 6).as("sum_px"),
+        element_at(col("d"), 7).as("first_px"),
+        element_at(col("d"), 8).as("last_px"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2580,6 +2609,47 @@ object MultimodalQueries {
                  AS BIGINT) AS payload_sum
         FROM documents ORDER BY shard, member_idx"""),
       desc = "tar_write ustar stream -> tar_list walk with recomputed checksums, exactly-once"),
+
+    // ── PNG WRITE: the image write side ─────────────────────────────
+    // mm_decode_png proved the decoder against Deflater-compressed
+    // real streams; this gate proves the ENCODER: `png_write` runs
+    // per-scanline adaptive filtering (libpng's min-sum-of-absolute
+    // heuristic over None/Sub/Up), compresses the filtered stream
+    // with the in-repo DEFLATE encoder wrapped as zlib (Adler-32
+    // trailer), and emits CRC-32-stamped IHDR/IDAT/IEND. The plan
+    // decodes every file back through the full `png_decode` (chunk
+    // CRC recompute, real inflate, unfilter) — pixels are the doc's
+    // bytes as 3 identical scanlines, so rows 1-2 exercise the Up
+    // filter and row 0 Sub/None. The oracle recomputes the expected
+    // stats container-free (byte sums over hex pairs — the r14
+    // byte-vs-char lesson), so the hash proves encode → decode is
+    // pixel-exact over the corpus. PngWriteSpec adds the independent
+    // adversary: the JDK's ImageIO PNG plugin reads our files and we
+    // read ImageIO's, both pixel-compared.
+    "mm_png_write" -> Q(
+      fn = (s, dir) => pngWriteRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS fmt_ok,
+               CAST(octet_length(encode(text)) AS BIGINT) AS width,
+               CAST(3 AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST((octet_length(encode(text)) + 1) * 3 AS BIGINT)
+                 AS n_raw,
+               CAST(3 * list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> ('0x' || substr(hex(encode(text)),
+                   CAST(2 * i + 1 AS INT), 2))::BIGINT))
+                 AS BIGINT) AS sum_px,
+               ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+                 AS first_px,
+               ('0x' || substr(hex(encode(text)),
+                 2 * octet_length(encode(text)) - 1, 2))::BIGINT
+                 AS last_px
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+        ORDER BY doc_id"""),
+      desc = "png_write (adaptive filters + zlib over real deflate) -> png_decode, pixel-exact"),
 
     // ── REAL bzip2 round trip: the block-sorting compressor class ────
     // The big public text dumps (Wikipedia among them) ship as .bz2;
