@@ -125,6 +125,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ZipWrite(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("lz4_read"),
+      new ExpressionInfo(classOf[graft.functions.Lz4Read].getName,
+        "lz4_read"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Lz4Read(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("lz4_write"),
+      new ExpressionInfo(classOf[graft.functions.Lz4Write].getName,
+        "lz4_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Lz4Write(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("png_write"),
       new ExpressionInfo(classOf[PngWrite].getName, "png_write"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -241,6 +241,21 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** lz4-java frame compress (the INDEPENDENT compressor) → our
+    * from-scratch LZ4 frame+block decoder, per doc — the
+    * mm_lz4_roundtrip body, public so ScaleProbe can ride it.
+    * Returns (doc_id, n_bytes, text_out). */
+  def lz4Roundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.Lz4.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("fr", expr("lz4_write(CAST(text AS BINARY))"))
+      .withColumn("dec", expr("lz4_read(fr)"))
+      .select(col("doc_id"),
+        octet_length(col("dec")).cast("long").as("n_bytes"),
+        col("dec").cast("string").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2650,6 +2665,27 @@ object MultimodalQueries {
         WHERE octet_length(encode(text)) > 0
         ORDER BY doc_id"""),
       desc = "png_write (adaptive filters + zlib over real deflate) -> png_decode, pixel-exact"),
+
+    // ── LZ4: the low-latency codec, decoder from scratch ────────────
+    // gzip/bzip2 cover the ratio end of the shard-codec family; LZ4
+    // is the decode-bandwidth end (lake shards, streaming ingest).
+    // The fn compresses each doc with lz4-java's FRAME writer on
+    // Spark's classpath — an INDEPENDENT implementation — and decodes
+    // it back with OUR from-scratch frame+block decoder (header
+    // XXH32 verified, per-block walk, token/literal/match execution,
+    // EndMark, declared content size AND content XXH32 re-validated;
+    // the XXH32 itself is from scratch, cross-anchored in Lz4Spec).
+    // The oracle emits the source text, so the hash proves a foreign
+    // compressor's output decodes byte-for-byte inside the plan —
+    // the corpus_bz2_ingest adversary posture, third codec.
+    "mm_lz4_roundtrip" -> Q(
+      fn = (s, dir) => lz4Roundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "lz4-java frame compress -> from-scratch LZ4 frame/block decode with XXH32 verify"),
 
     // ── REAL bzip2 round trip: the block-sorting compressor class ────
     // The big public text dumps (Wikipedia among them) ship as .bz2;
