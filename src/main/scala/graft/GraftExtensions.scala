@@ -137,6 +137,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Lz4Write(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("snappy_read"),
+      new ExpressionInfo(classOf[graft.functions.SnappyReadExpr].getName,
+        "snappy_read"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SnappyReadExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("snappy_write"),
+      new ExpressionInfo(classOf[graft.functions.SnappyWriteExpr].getName,
+        "snappy_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SnappyWriteExpr(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("png_write"),
       new ExpressionInfo(classOf[PngWrite].getName, "png_write"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -1185,6 +1185,10 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "snappy_roundtrip" -> (k =>
+        // snappy-java compress + from-scratch tag-walk decode per
+        // doc: per-row, embarrassingly parallel — must be linear
+        graft.operators.MultimodalQueries.snappyRoundtrip(docFrac(k))),
       "lz4_roundtrip" -> (k =>
         // lz4-java compress + from-scratch frame decode per doc:
         // per-row, embarrassingly parallel — must be linear

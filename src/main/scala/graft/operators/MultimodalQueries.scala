@@ -256,6 +256,21 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** snappy-java raw-block compress (the INDEPENDENT compressor) →
+    * our from-scratch tag-walk decoder, per doc — the
+    * mm_snappy_roundtrip body, public so ScaleProbe can ride it.
+    * Returns (doc_id, n_bytes, text_out). */
+  def snappyRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.SnappyRead.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("sn", expr("snappy_write(CAST(text AS BINARY))"))
+      .withColumn("dec", expr("snappy_read(sn)"))
+      .select(col("doc_id"),
+        octet_length(col("dec")).cast("long").as("n_bytes"),
+        col("dec").cast("string").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2686,6 +2701,23 @@ object MultimodalQueries {
                text AS text_out
         FROM documents ORDER BY doc_id"""),
       desc = "lz4-java frame compress -> from-scratch LZ4 frame/block decode with XXH32 verify"),
+
+    // ── Snappy: the parquet-page codec, decoder from scratch ────────
+    // Snappy raw blocks are what parquet/ORC pages and Hadoop's
+    // block codec actually embed — the fourth codec family member.
+    // snappy-java (classpath) compresses each doc; OUR from-scratch
+    // decoder walks the varint preamble + 2-bit tag stream (extended
+    // literals, 1/2/4-byte-offset copies, overlapping copies) with
+    // every bound checked and the declared length required to land
+    // exactly. Foreign-compressor output validated inside the plan.
+    "mm_snappy_roundtrip" -> Q(
+      fn = (s, dir) => snappyRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "snappy-java compress -> from-scratch raw-block tag-walk decode, exact-length gated"),
 
     // ── REAL bzip2 round trip: the block-sorting compressor class ────
     // The big public text dumps (Wikipedia among them) ship as .bz2;
