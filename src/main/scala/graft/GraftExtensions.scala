@@ -137,6 +137,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Lz4Write(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("zstd_read"),
+      new ExpressionInfo(classOf[graft.functions.ZstdRead].getName,
+        "zstd_read"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ZstdRead(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("zstd_write"),
+      new ExpressionInfo(classOf[graft.functions.ZstdWrite].getName,
+        "zstd_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ZstdWrite(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("snappy_read"),
       new ExpressionInfo(classOf[graft.functions.SnappyReadExpr].getName,
         "snappy_read"),

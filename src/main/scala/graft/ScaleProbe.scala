@@ -1185,6 +1185,14 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "zstd_roundtrip" -> (k =>
+        // zstd-jni compress + from-scratch RFC 8878 decode per doc:
+        // per-row, embarrassingly parallel — must be linear
+        graft.operators.MultimodalQueries.zstdRoundtrip(docFrac(k))),
+      "zstd_shard_roundtrip" -> (k =>
+        // ~50-doc shard assembly + multi-frame walk: per-shard work
+        // linear in shard bytes — must be ~linear
+        graft.operators.MultimodalQueries.zstdShardRoundtrip(docFrac(k))),
       "snappy_roundtrip" -> (k =>
         // snappy-java compress + from-scratch tag-walk decode per
         // doc: per-row, embarrassingly parallel — must be linear

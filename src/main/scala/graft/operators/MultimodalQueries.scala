@@ -271,6 +271,44 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** zstd-jni compress (level 3, checksum ON — the reference
+    * implementation as the in-plan adversary) → our from-scratch
+    * RFC 8878 decoder, per doc — the mm_zstd_roundtrip body, public
+    * so ScaleProbe can ride it. Returns (doc_id, n_bytes,
+    * text_out). */
+  def zstdRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.ZstdCodec.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("fr", expr("zstd_write(CAST(text AS BINARY))"))
+      .withColumn("dec", expr("zstd_read(fr)"))
+      .select(col("doc_id"),
+        octet_length(col("dec")).cast("long").as("n_bytes"),
+        col("dec").cast("string").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ~50-doc shards as CONCATENATED zstd frames (one frame per doc —
+    * the seekable `.jsonl.zst` release layout) → our decoder's
+    * multi-frame walk — the corpus_zstd_shard body, public so
+    * ScaleProbe can ride it. Returns (shard, n_docs, n_bytes,
+    * text_out = the shard's docs concatenated in doc order). */
+  def zstdShardRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.ZstdCodec.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("ds"))
+      .withColumn("blob", expr("aggregate(ds, CAST('' AS BINARY), " +
+        "(acc, d) -> concat(acc, zstd_write(CAST(d.text AS BINARY))))"))
+      .withColumn("dec", expr("zstd_read(blob)"))
+      .select(col("shard"), col("n_docs"),
+        octet_length(col("dec")).cast("long").as("n_bytes"),
+        col("dec").cast("string").as("text_out"))
+      .orderBy(col("shard"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2718,6 +2756,47 @@ object MultimodalQueries {
                text AS text_out
         FROM documents ORDER BY doc_id"""),
       desc = "snappy-java compress -> from-scratch raw-block tag-walk decode, exact-length gated"),
+
+    // ── ZSTD: the corpus-release format, decoded from scratch ───────
+    // Public LLM corpora ship as `.jsonl.zst`; this gate runs the
+    // REFERENCE implementation (zstd-jni, level 3, content checksum
+    // ON) as the in-plan compressor and OUR from-scratch RFC 8878
+    // decoder — FSE table descriptions, huff0 trees (direct and
+    // FSE-compressed weights), four-stream literals, the three-state
+    // backward sequence bitstream, repeat offsets, and the XXH64
+    // content checksum (itself from scratch) — as the read side. The
+    // oracle emits the source text: the hash proves the reference
+    // compressor's real output decodes byte-for-byte over the whole
+    // corpus. Entropy-shape coverage (levels 1-19, multi-block
+    // streaming frames, treeless literals, dictionary rejection,
+    // 300-point bit-flip fuzz) lives in ZstdSpec.
+    "mm_zstd_roundtrip" -> Q(
+      fn = (s, dir) => zstdRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "zstd-jni compress -> from-scratch RFC 8878 decode (FSE+huff0+XXH64), per doc"),
+
+    // ── ZSTD shards: the multi-frame .jsonl.zst layout ──────────────
+    // Release shards concatenate one frame per record so the file
+    // stays seekable per record (the gzip_members story, zstd
+    // edition). The fn builds each ~50-doc shard as concatenated
+    // zstd-jni frames and decodes the WHOLE shard through our
+    // multi-frame walk; the oracle rebuilds the expected
+    // concatenation with string_agg in doc order, so the hash proves
+    // frame boundaries are walked exactly-once and in order.
+    "corpus_zstd_shard" -> Q(
+      fn = (s, dir) => zstdShardRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id // 50 AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT)
+                 AS n_bytes,
+               string_agg(text, '' ORDER BY doc_id) AS text_out
+        FROM documents GROUP BY shard ORDER BY shard"""),
+      desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
 
     // ── REAL bzip2 round trip: the block-sorting compressor class ────
     // The big public text dumps (Wikipedia among them) ship as .bz2;
