@@ -137,6 +137,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Lz4Write(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("avro_read"),
+      new ExpressionInfo(classOf[graft.functions.AvroRead].getName,
+        "avro_read"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.AvroRead(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("avro_write"),
+      new ExpressionInfo(classOf[graft.functions.AvroWriteExpr].getName,
+        "avro_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.AvroWriteExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("zstd_read"),
       new ExpressionInfo(classOf[graft.functions.ZstdRead].getName,
         "zstd_read"),

@@ -1185,6 +1185,10 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "avro_ingest" -> (k =>
+        // library OCF write + from-scratch walk per ~50-doc shard:
+        // per-shard work linear in shard bytes — must be ~linear
+        graft.operators.MultimodalQueries.avroIngest(docFrac(k))),
       "zstd_roundtrip" -> (k =>
         // zstd-jni compress + from-scratch RFC 8878 decode per doc:
         // per-row, embarrassingly parallel — must be linear

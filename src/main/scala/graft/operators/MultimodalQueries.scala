@@ -309,6 +309,27 @@ object MultimodalQueries {
       .orderBy(col("shard"))
   }
 
+  /** ~50-doc shards written as Avro OCF by the REAL Avro library
+    * (codec rotating null/deflate/snappy/zstandard by shard) → our
+    * from-scratch container walk + binary row decode, exploded in
+    * long form — the mm_avro_ingest body, public so ScaleProbe can
+    * ride it. Returns (shard, row, field, value). */
+  def avroIngest(docsDf: DataFrame): DataFrame = {
+    graft.functions.AvroOcf.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .withColumn("codec", expr("element_at(array('null', 'deflate', " +
+        "'snappy', 'zstandard'), CAST(pmod(shard, 4) AS INT) + 1)"))
+      .withColumn("blob", expr("avro_write(ds, codec)"))
+      .select(col("shard"), explode(expr("avro_read(blob)")).as("m"))
+      .select(col("shard"), col("m.row").as("row"),
+        col("m.field").as("field"), col("m.value").as("value"))
+      .orderBy(col("shard"), col("row"), col("field"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2797,6 +2818,37 @@ object MultimodalQueries {
                string_agg(text, '' ORDER BY doc_id) AS text_out
         FROM documents GROUP BY shard ORDER BY shard"""),
       desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
+
+    // ── Avro OCF: the row-format ingest container ───────────────────
+    // Kafka archives and warehouse dumps arrive as `.avro`; the fn
+    // writes each ~50-doc shard with the REAL Avro library (the
+    // independent writer, deterministic sync marker, codec rotating
+    // null/deflate/snappy/zstandard by shard) and OUR from-scratch
+    // walker reads it back: OCF metadata map, writer schema via a
+    // from-scratch JSON parse, per-block sync verification, block
+    // codecs routed through the JDK Inflater and OUR snappy/zstd
+    // decoders (with avro-snappy's big-endian CRC-32 recomputed),
+    // and Avro binary row decode (zigzag varints, length-prefixed
+    // strings). The oracle rebuilds the long-form rows from first
+    // principles, so the hash proves library write → from-scratch
+    // walk is exactly-once per row and field across all four codecs.
+    "mm_avro_ingest" -> Q(
+      fn = (s, dir) => avroIngest(docs(s, dir)),
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT doc_id // 50 AS shard,
+                 CAST(row_number() OVER (PARTITION BY doc_id // 50
+                   ORDER BY doc_id) - 1 AS BIGINT) AS row,
+                 doc_id, text
+          FROM documents)
+        SELECT shard, row, field, value FROM (
+          SELECT shard, row, 'doc_id' AS field,
+                 CAST(doc_id AS VARCHAR) AS value FROM ranked
+          UNION ALL
+          SELECT shard, row, 'text' AS field, text AS value
+          FROM ranked)
+        ORDER BY shard, row, field"""),
+      desc = "Avro library writes OCF shards (4 codecs) -> from-scratch walk + binary row decode"),
 
     // ── REAL bzip2 round trip: the block-sorting compressor class ────
     // The big public text dumps (Wikipedia among them) ship as .bz2;
