@@ -137,6 +137,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Lz4Write(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("gtfsrt_decode"),
+      new ExpressionInfo(classOf[graft.functions.GtfsRtDecode].getName,
+        "gtfsrt_decode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GtfsRtDecode(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gtfsrt_write"),
+      new ExpressionInfo(classOf[graft.functions.GtfsRtWrite].getName,
+        "gtfsrt_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GtfsRtWrite(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("avro_read"),
       new ExpressionInfo(classOf[graft.functions.AvroRead].getName,
         "avro_read"),

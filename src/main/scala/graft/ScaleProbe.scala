@@ -40,6 +40,8 @@ object ScaleProbe {
       .withColumn("id", col("vec_id"))
     def docFrac(k: Int): DataFrame = docs.filter(col("doc_id") % k === 0)
     def embFrac(k: Int): DataFrame = emb.filter(col("vec_id") % k === 0)
+    def tableFrac(name: String, key: String, k: Int): DataFrame =
+      Sources.table(spark, sfDir, name).filter(col(key) % k === 0)
 
     // fraction-independent BPE rules for the apply probe, fit once up
     // front and REBUILT from collected rows: the fit's result frame
@@ -1185,6 +1187,12 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "gtfsrt_feed" -> (k =>
+        // protobuf pack + from-scratch wire decode per 100-order
+        // feed: per-feed work linear in feed bytes — must be ~linear
+        graft.operators.MultimodalQueries.gtfsRtRoundtrip(
+          tableFrac("orders", "o_orderkey", k),
+          tableFrac("lineitem", "l_orderkey", k))),
       "avro_ingest" -> (k =>
         // library OCF write + from-scratch walk per ~50-doc shard:
         // per-shard work linear in shard bytes — must be ~linear

@@ -330,6 +330,58 @@ object MultimodalQueries {
       .orderBy(col("shard"), col("row"), col("field"))
   }
 
+  /** Synthesized GTFS-RT FeedMessages (one feed per 100-order
+    * block; entities = orders, stop_time_updates = the order's
+    * lineitems, delays NEGATIVE half the time so the 10-byte
+    * sign-extended int32 varints are exercised in-plan) packed by
+    * the SHADED PROTOBUF CodedOutputStream and decoded by our
+    * from-scratch wire walker — the mta_rt_feed body, public so
+    * ScaleProbe can ride it. Returns one row per stop_time_update. */
+  def gtfsRtRoundtrip(orders: DataFrame, lineitem: DataFrame)
+      : DataFrame = {
+    graft.functions.GtfsRt.register(orders.sparkSession)
+    val stops = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").cast("long"),
+        concat(lit("S"), pmod(col("l_partkey"), lit(100))),
+        expr("CAST(l_quantity AS BIGINT) - 25"),
+        expr("1700000000L + l_orderkey * 100 + l_linenumber"),
+        expr("CAST(l_quantity AS BIGINT) - 20"),
+        expr("1700000030L + l_orderkey * 100 + l_linenumber"))))
+        .as("stops"))
+    val entities = orders
+      .join(stops, col("o_orderkey") === col("l_orderkey"))
+      .select(expr("o_orderkey div 100").as("feed"),
+        struct(
+          concat(lit("e"), lpad(col("o_orderkey"), 12, "0")),
+          concat(lit("t"), col("o_orderkey")),
+          concat(lit("R"), pmod(col("o_orderkey"), lit(11))),
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          pmod(col("o_orderkey"), lit(2)).cast("long"),
+          col("stops")).as("ent"))
+      .groupBy(col("feed"))
+      .agg(sort_array(collect_list(col("ent"))).as("entities"))
+    entities
+      .withColumn("blob", expr(
+        "gtfsrt_write(named_struct('ts', 1700000000L + feed, " +
+          "'entities', entities))"))
+      .select(explode(expr("gtfsrt_decode(blob)")).as("m"))
+      .select(col("m.feed_ts").as("feed_ts"),
+        col("m.entity_id").as("entity_id"),
+        col("m.trip_id").as("trip_id"),
+        col("m.route_id").as("route_id"),
+        col("m.start_date").as("start_date"),
+        col("m.direction_id").as("direction_id"),
+        col("m.stop_sequence").as("stop_sequence"),
+        col("m.stop_id").as("stop_id"),
+        col("m.arr_delay").as("arr_delay"),
+        col("m.arr_time").as("arr_time"),
+        col("m.dep_delay").as("dep_delay"),
+        col("m.dep_time").as("dep_time"))
+      .orderBy(col("entity_id"), col("stop_sequence"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2818,6 +2870,46 @@ object MultimodalQueries {
                string_agg(text, '' ORDER BY doc_id) AS text_out
         FROM documents GROUP BY shard ORDER BY shard"""),
       desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
+
+    // ── GTFS-RT protobuf: the reference domain's wire format ────────
+    // The reference models dlt-flattened TripUpdate rows
+    // (models/fact_trips_stops.sql:1 — trip_update__trip__trip_id,
+    // stop_time_update__*); the upstream MTA feed is a GTFS-realtime
+    // FeedMessage PROTOBUF. This gate synthesizes feeds from
+    // orders × lineitem (entities = orders, stop_time_updates =
+    // lineitems, arrival delays NEGATIVE for quantities < 25 so the
+    // wire format's 10-byte sign-extended int32 varints genuinely
+    // occur), packs them with the SHADED PROTOBUF runtime's
+    // CodedOutputStream — protobuf's own encoder, the independent
+    // adversary — and decodes with OUR from-scratch wire walker (tag
+    // dispatch, nested length-delimited messages, unknown-field
+    // skipping). The oracle recomputes every flattened row from the
+    // source tables, so the hash proves protobuf-encode →
+    // from-scratch-decode lands field-for-field across ~60k
+    // stop_time_updates.
+    "mta_rt_feed" -> Q(
+      fn = (s, dir) => gtfsRtRoundtrip(
+        Sources.table(s, dir, "orders"),
+        Sources.table(s, dir, "lineitem")),
+      oracle = Some("""
+        SELECT 1700000000 + o_orderkey // 100 AS feed_ts,
+               'e' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                 AS entity_id,
+               't' || CAST(o_orderkey AS VARCHAR) AS trip_id,
+               'R' || CAST(o_orderkey % 11 AS VARCHAR) AS route_id,
+               strftime(o_orderdate, '%Y%m%d') AS start_date,
+               CAST(o_orderkey % 2 AS BIGINT) AS direction_id,
+               CAST(l_linenumber AS BIGINT) AS stop_sequence,
+               'S' || CAST(l_partkey % 100 AS VARCHAR) AS stop_id,
+               CAST(l_quantity AS BIGINT) - 25 AS arr_delay,
+               1700000000 + o_orderkey * 100 + l_linenumber
+                 AS arr_time,
+               CAST(l_quantity AS BIGINT) - 20 AS dep_delay,
+               1700000030 + o_orderkey * 100 + l_linenumber
+                 AS dep_time
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ORDER BY entity_id, stop_sequence"""),
+      desc = "GTFS-RT protobuf: CodedOutputStream packs feeds -> from-scratch wire decode"),
 
     // ── Avro OCF: the row-format ingest container ───────────────────
     // Kafka archives and warehouse dumps arrive as `.avro`; the fn
