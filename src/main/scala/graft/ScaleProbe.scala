@@ -1187,6 +1187,11 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "targz_shard_roundtrip" -> (k =>
+        // two-layer compose/decompose per ~50-doc shard: linear in
+        // shard bytes — must be ~linear
+        graft.operators.MultimodalQueries.targzShardRoundtrip(
+          docFrac(k))),
       "gtfsrt_feed" -> (k =>
         // protobuf pack + from-scratch wire decode per 100-order
         // feed: per-feed work linear in feed bytes — must be ~linear

@@ -382,6 +382,34 @@ object MultimodalQueries {
       .orderBy(col("entity_id"), col("stop_sequence"))
   }
 
+  /** ~50-doc shards as `.tar.gz`: ustar via `tar_write`, wrapped in
+    * a real-deflate gzip member via `gzip_write`, then decoded back
+    * through `gunzip` (CRC-32/ISIZE verified) and walked by
+    * `tar_list` (header checksums recomputed) — the
+    * corpus_targz_shard body, public so ScaleProbe can ride it.
+    * Returns (shard, member_idx, name, size, payload_sum). */
+  def targzShardRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.TarList.register(docsDf.sparkSession)
+    graft.functions.ArchiveWrite.register(docsDf.sparkSession)
+    graft.functions.Gunzip.register(docsDf.sparkSession)
+    graft.functions.Deflate.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .withColumn("tgz", expr("gzip_write(tar_write(transform(ds, " +
+        "d -> struct(concat('doc_', d.doc_id, '.txt'), " +
+        "CAST(d.text AS BINARY)))))"))
+      .select(col("shard"),
+        posexplode(expr("tar_list(gunzip(tgz))")).as(Seq("i", "m")))
+      .select(col("shard"), col("i").cast("long").as("member_idx"),
+        col("m.name").as("name"), col("m.size").as("size"),
+        col("m.cksum_ok").as("cksum_ok"),
+        col("m.payload_sum").as("payload_sum"))
+      .orderBy(col("shard"), col("member_idx"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -2870,6 +2898,32 @@ object MultimodalQueries {
                string_agg(text, '' ORDER BY doc_id) AS text_out
         FROM documents GROUP BY shard ORDER BY shard"""),
       desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
+
+    // ── .tar.gz: the composed release layout ────────────────────────
+    // The most common release shape of all is the two formats
+    // COMPOSED: a ustar archive inside a gzip member. The fn stacks
+    // the engine's own writers (tar_write → gzip_write with the real
+    // LZ77+fixed-Huffman deflate) and unstacks with the conformant
+    // readers (gunzip re-verifies CRC-32/ISIZE; tar_list recomputes
+    // every header checksum). A single wrong bit anywhere in either
+    // layer fails the member CRC or the header checksum — the hash
+    // proves the full two-layer compose/decompose round trip.
+    "corpus_targz_shard" -> Q(
+      fn = (s, dir) => targzShardRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id // 50 AS shard,
+               CAST(row_number() OVER (PARTITION BY doc_id // 50
+                 ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size,
+               true AS cksum_ok,
+               CAST(list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> ('0x' || substr(hex(encode(text)),
+                   CAST(2 * i + 1 AS INT), 2))::BIGINT))
+                 AS BIGINT) AS payload_sum
+        FROM documents ORDER BY shard, member_idx"""),
+      desc = ".tar.gz compose: tar_write -> gzip_write -> gunzip -> tar_list, two-layer round trip"),
 
     // ── GTFS-RT protobuf: the reference domain's wire format ────────
     // The reference models dlt-flattened TripUpdate rows
