@@ -464,6 +464,50 @@ object RelationalQueries {
         FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id"""),
       desc = "S4 ORC sink: partitioned columnar write, pruned read-back, types round-tripped"),
 
+    // ── S4 sibling: parquet with ZSTD page compression — the codec
+    // a 100 TB lake actually configures (better ratio than the
+    // snappy default at comparable scan speed; the same zstd the
+    // engine now decodes from scratch at the shard level). The fn
+    // ASSERTS every data file landed as *.zstd.parquet (a lying
+    // codec option would otherwise pass the row compare silently),
+    // then prunes a partition on read-back.
+    "s4_parquet_zstd" -> Q(
+      fn = (s, dir) => {
+        val src = t(s, dir, "documents")
+          .withColumn("pt", (col("doc_id") % 4).cast(IntegerType))
+          .withColumn("amt",
+            expr("CAST(doc_id * 125 AS DECIMAL(18, 2)) / 100"))
+          .select(col("doc_id"), col("pt"), col("text"), col("amt"))
+        val outDir = graft.Engine.sharedDir(s,
+          graft.Engine.planToken(src, extra = "s4_pq_zstd")) { d =>
+          src.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("pt").parquet(d)
+        }
+        val bad = {
+          val root = new java.io.File(outDir)
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+            else Seq(f)
+          walk(root).map(_.getName)
+            .filter(n => n.endsWith(".parquet"))
+            .filterNot(n => n.endsWith(".zstd.parquet"))
+        }
+        require(bad.isEmpty, s"non-zstd parquet files: $bad")
+        s.read.parquet(outDir)
+          .filter(col("pt") === 1)
+          .select(col("doc_id"),
+            col("pt").cast(LongType).as("pt"),
+            col("text"),
+            (col("amt") * 100).cast(LongType).as("amt_cents"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(1 AS BIGINT) AS pt, text,
+               CAST(doc_id * 125 AS BIGINT) AS amt_cents
+        FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id"""),
+      desc = "S4 parquet-zstd sink: the lake codec setting, file suffix asserted, pruned read-back"),
+
     // ── F1/F3/F4/F5/F12 + P5: string derivations with BigQuery
     // semantics (regexp no-match → NULL via BqCompat).
     "f_strings" -> Q(
