@@ -137,6 +137,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Lz4Write(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("xz_read"),
+      new ExpressionInfo(classOf[graft.functions.XzRead].getName,
+        "xz_read"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.XzRead(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("xz_write"),
+      new ExpressionInfo(classOf[graft.functions.XzWrite].getName,
+        "xz_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.XzWrite(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("parquet_footer"),
+      new ExpressionInfo(
+        classOf[graft.functions.ParquetFooterExpr].getName,
+        "parquet_footer"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ParquetFooterExpr(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("gtfsrt_decode"),
       new ExpressionInfo(classOf[graft.functions.GtfsRtDecode].getName,
         "gtfsrt_decode"),

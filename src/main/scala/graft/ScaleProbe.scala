@@ -1187,6 +1187,19 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "xz_roundtrip" -> (k =>
+        // tukaani compress + from-scratch LZMA decode per doc:
+        // per-row, embarrassingly parallel — must be linear
+        graft.operators.MultimodalQueries.xzRoundtrip(docFrac(k))),
+      "zst_ingest" -> (k =>
+        // shard build + file write + binaryFile + zstd decode + JSON
+        // parse: per-shard byte work — must be ~linear
+        graft.operators.MultimodalQueries.zstIngest(docFrac(k))),
+      "parquet_footer_audit" -> (k =>
+        // partitioned zstd write + per-file footer decode: write is
+        // one pass, footers are O(files) — must be ~linear in input
+        graft.operators.RelationalQueries.parquetFooterAudit(
+          docFrac(k))),
       "targz_shard_roundtrip" -> (k =>
         // two-layer compose/decompose per ~50-doc shard: linear in
         // shard bytes — must be ~linear

@@ -379,7 +379,10 @@ object MultimodalQueries {
         col("m.arr_time").as("arr_time"),
         col("m.dep_delay").as("dep_delay"),
         col("m.dep_time").as("dep_time"))
-      .orderBy(col("entity_id"), col("stop_sequence"))
+      // (entity, seq) is NOT unique in the synthetic lineitem —
+      // extend the sort so only fully-identical rows tie
+      .orderBy(col("entity_id"), col("stop_sequence"),
+        col("arr_delay"), col("stop_id"))
   }
 
   /** ~50-doc shards as `.tar.gz`: ustar via `tar_write`, wrapped in
@@ -408,6 +411,116 @@ object MultimodalQueries {
         col("m.cksum_ok").as("cksum_ok"),
         col("m.payload_sum").as("payload_sum"))
       .orderBy(col("shard"), col("member_idx"))
+  }
+
+  /** `gens` generations of GTFS-RT feed blobs over an orders-subset
+    * (o_orderkey % 8 == 0; delays evolve per generation, feed_ts
+    * strictly increasing) — the stream_gtfs_latest source builder,
+    * public so the streaming gate and ScaleProbe share it. The
+    * synthetic lineitem does NOT carry a unique line number per
+    * order (duplicate (l_orderkey, l_linenumber) pairs exist), so
+    * stops pre-aggregate per (order, linenumber) with deterministic
+    * mins — the upsert key is unique by construction at any SF.
+    * Returns (gen, feed, feed_ts, blob). */
+  def gtfsRtFeedGens(orders: DataFrame, lineitem: DataFrame,
+                     gens: Int): DataFrame = {
+    graft.functions.GtfsRt.register(orders.sparkSession)
+    val o = orders.filter(pmod(col("o_orderkey"), lit(8)) === 0)
+    val li = lineitem.filter(pmod(col("l_orderkey"), lit(8)) === 0)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(expr("CAST(l_quantity AS BIGINT)")).as("qmin"),
+        min(col("l_partkey")).as("pmin"))
+    val genDf = orders.sparkSession.range(gens.toLong)
+      .select(col("id").cast("long").as("gen"))
+    val stops = li
+      .crossJoin(broadcast(genDf))
+      .groupBy(col("gen"), col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").cast("long"),
+        concat(lit("S"), pmod(col("pmin"), lit(100))),
+        expr("qmin - 25 + gen * 7"),
+        expr("1700000000L + l_orderkey * 100 + l_linenumber"),
+        expr("qmin - 20 + gen * 7"),
+        expr("1700000030L + l_orderkey * 100 + l_linenumber"))))
+        .as("stops"))
+    o.join(stops, col("o_orderkey") === col("l_orderkey"))
+      .select(col("gen"), expr("o_orderkey div 100").as("feed"),
+        struct(
+          concat(lit("e"), lpad(col("o_orderkey"), 12, "0")),
+          concat(lit("t"), col("o_orderkey")),
+          concat(lit("R"), pmod(col("o_orderkey"), lit(11))),
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          pmod(col("o_orderkey"), lit(2)).cast("long"),
+          col("stops")).as("ent"))
+      .groupBy(col("gen"), col("feed"))
+      .agg(sort_array(collect_list(col("ent"))).as("entities"))
+      .withColumn("feed_ts", expr("1700000000L + gen * 3600 + feed"))
+      .withColumn("blob", expr(
+        "gtfsrt_write(named_struct('ts', feed_ts, " +
+          "'entities', entities))"))
+      .select(col("gen"), col("feed"), col("feed_ts"), col("blob"))
+  }
+
+  /** `.jsonl.zst` shard FILES: ~50-doc shards serialized as JSON
+    * lines, zstd-framed (zstd-jni — the independent compressor),
+    * written as real files from the executors (Spark has no raw-blob
+    * sink; the per-partition file writer is the executor-side
+    * equivalent of a cluster's FileSystem.create loop), then
+    * re-ingested via binaryFile → OUR from-scratch zstd decode →
+    * line split → JSON parse — the corpus_zst_ingest body, public
+    * so ScaleProbe can ride it. Returns (doc_id, n_bytes,
+    * text_out). */
+  def zstIngest(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    graft.functions.ZstdCodec.register(s)
+    val shards = docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .withColumn("blob", expr("zstd_write(CAST(aggregate(ds, '', " +
+        "(acc, d) -> concat(acc, to_json(d), '\\n')) AS BINARY))"))
+      .select(col("shard"), col("blob"))
+    val outDir = graft.Engine.sharedDir(s,
+      graft.Engine.planToken(docsDf, extra = "zst_ingest")) { d =>
+      shards.foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d,
+                f"shard-${r.getLong(0)}%06d.jsonl.zst"),
+              r.getAs[Array[Byte]](1))
+          }
+      }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jsonl.zst").load(outDir)
+      .select(explode(split(expr(
+        "CAST(zstd_read(content) AS STRING)"), "\n")).as("line"))
+      .where(length(col("line")) > 0)
+      .select(from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING")).as("j"))
+      .select(col("j.doc_id").as("doc_id"),
+        octet_length(col("j.text")).cast("long").as("n_bytes"),
+        col("j.text").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** tukaani-xz compress (preset 6, CRC-64 — the reference Java
+    * implementation as the in-plan adversary) → our from-scratch
+    * XZ/LZMA2/LZMA decoder, per doc — the mm_xz_roundtrip body,
+    * public so ScaleProbe can ride it. Returns (doc_id, n_bytes,
+    * text_out). */
+  def xzRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.XzCodec.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("fr", expr("xz_write(CAST(text AS BINARY))"))
+      .withColumn("dec", expr("xz_read(fr)"))
+      .select(col("doc_id"),
+        octet_length(col("dec")).cast("long").as("n_bytes"),
+        col("dec").cast("string").as("text_out"))
+      .orderBy(col("doc_id"))
   }
 
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
@@ -2899,6 +3012,49 @@ object MultimodalQueries {
         FROM documents GROUP BY shard ORDER BY shard"""),
       desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
 
+    // ── XZ: the archival codec, decoded from scratch ────────────────
+    // Wikipedia dumps and long-term archives ship as `.xz`; with
+    // this gate every major shard codec (DEFLATE, bzip2, LZ4,
+    // snappy, zstd, XZ/LZMA) is decoded from scratch. The fn
+    // compresses each doc with org.tukaani.xz — the REFERENCE Java
+    // implementation, preset 6, CRC-64 check — and decodes with OUR
+    // decoder: the full LZMA range coder and state machine, the
+    // LZMA2 chunk layer with exact pack/unpack accounting, and the
+    // XZ container with header/index/footer CRC-32s, the CRC-64
+    // (table from scratch) over the decompressed block, and the
+    // index re-validated against what the blocks produced. The
+    // oracle emits the source text: a single wrong probability
+    // adaptation anywhere in the range coder diverges the stream
+    // and fails the hash.
+    "mm_xz_roundtrip" -> Q(
+      fn = (s, dir) => xzRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = "tukaani-xz compress -> from-scratch XZ/LZMA2/LZMA decode with CRC-64 verified"),
+
+    // ── .jsonl.zst files: the public-corpus release shape ───────────
+    // RedPajama-class corpora ship EXACTLY this: JSON-lines shards,
+    // zstd-framed, one file per shard. The fn writes real files
+    // (executor-side writer; the lake analog is FileSystem.create)
+    // with zstd-jni as the independent compressor and re-ingests
+    // through binaryFile → our FROM-SCRATCH zstd decoder → line
+    // split → schema'd JSON parse. The oracle emits the source rows:
+    // the hash proves file write → foreign-compressed frame decode →
+    // line framing → JSON parse is exactly-once over the corpus
+    // (to_json escapes embedded newlines, so line framing is safe
+    // for arbitrary text).
+    "corpus_zst_ingest" -> Q(
+      fn = (s, dir) => zstIngest(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+      desc = ".jsonl.zst shard files: binaryFile ingest -> from-scratch zstd decode -> JSON parse"),
+
     // ── .tar.gz: the composed release layout ────────────────────────
     // The most common release shape of all is the two formats
     // COMPOSED: a ustar archive inside a gzip member. The fn stacks
@@ -2962,7 +3118,7 @@ object MultimodalQueries {
                1700000030 + o_orderkey * 100 + l_linenumber
                  AS dep_time
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        ORDER BY entity_id, stop_sequence"""),
+        ORDER BY entity_id, stop_sequence, arr_delay, stop_id"""),
       desc = "GTFS-RT protobuf: CodedOutputStream packs feeds -> from-scratch wire decode"),
 
     // ── Avro OCF: the row-format ingest container ───────────────────

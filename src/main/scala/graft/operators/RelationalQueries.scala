@@ -20,6 +20,39 @@ import org.apache.spark.sql.types._
   */
 object RelationalQueries {
 
+  /** zstd-parquet partition write (one file per pt) → binaryFile →
+    * from-scratch thrift-compact footer decode — the
+    * mm_parquet_footer body, public so ScaleProbe can ride it.
+    * Returns (pt, num_rows, n_row_groups, leaves, codecs,
+    * sum_values). */
+  def parquetFooterAudit(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    graft.functions.ParquetFooter.register(s)
+    val src = docsDf
+      .withColumn("pt", (col("doc_id") % 4).cast(IntegerType))
+      .select(col("doc_id"), col("text"), col("pt"))
+    val outDir = graft.Engine.sharedDir(s,
+      graft.Engine.planToken(src, extra = "pq_footer")) { d =>
+      src.repartition(col("pt")).write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("pt").parquet(d)
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .load(outDir)
+      .select(
+        regexp_extract(col("path"), "pt=(\\d+)", 1)
+          .cast(LongType).as("pt"),
+        expr("parquet_footer(content)").as("f"))
+      .select(col("pt"), col("f.num_rows").as("num_rows"),
+        col("f.n_row_groups").as("n_row_groups"),
+        col("f.leaves").as("leaves"),
+        col("f.codecs").as("codecs"),
+        col("f.sum_values").as("sum_values"))
+      .orderBy(col("pt"))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
 
@@ -507,6 +540,31 @@ object RelationalQueries {
                CAST(doc_id * 125 AS BIGINT) AS amt_cents
         FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id"""),
       desc = "S4 parquet-zstd sink: the lake codec setting, file suffix asserted, pruned read-back"),
+
+    // ── Parquet footer audit: from-scratch thrift-compact decode ────
+    // Footer metadata is how a 100 TB lake is AUDITED without
+    // scanning it, and the datasource's own reader can't be its own
+    // auditor. Spark writes one zstd-parquet file per partition
+    // (repartition(pt) ⇒ exactly one file per dir), the raw files
+    // come back through binaryFile, and `parquet_footer` — a
+    // from-scratch THRIFT COMPACT decoder (nibble field deltas,
+    // zigzag varints, list headers) — extracts the DECLARED row
+    // counts, leaf schema, per-chunk codec and value counts. The
+    // oracle recomputes the same numbers by actually counting the
+    // source rows in DuckDB: declared == actual, codec uniform ZSTD,
+    // schema exactly the written projection, sum_values = rows ×
+    // leaves.
+    "mm_parquet_footer" -> Q(
+      fn = (s, dir) => parquetFooterAudit(t(s, dir, "documents")),
+      oracle = Some("""
+        SELECT CAST(doc_id % 4 AS BIGINT) AS pt,
+               CAST(count(*) AS BIGINT) AS num_rows,
+               CAST(1 AS BIGINT) AS n_row_groups,
+               'doc_id,text' AS leaves,
+               'ZSTD' AS codecs,
+               CAST(count(*) * 2 AS BIGINT) AS sum_values
+        FROM documents GROUP BY pt ORDER BY pt"""),
+      desc = "parquet footer audit: from-scratch thrift-compact decode, declared == counted"),
 
     // ── F1/F3/F4/F5/F12 + P5: string derivations with BigQuery
     // semantics (regexp no-match → NULL via BqCompat).

@@ -450,6 +450,67 @@ object StreamingQueries {
         ORDER BY day_s, event_type"""),
       desc = "streaming HLL registers: replay-idempotent max-merge partials equal the batch sketch"),
 
+    // ── streaming GTFS-RT ingest: latest-feed-wins upsert ───────────
+    // The real MTA ingest shape end-to-end: raw protobuf FeedMessages
+    // arrive as a stream (4 generations of the same trips, delays
+    // evolving per generation, feed_ts strictly increasing), each
+    // micro-batch decodes with the FROM-SCRATCH wire walker
+    // (gtfsrt_decode) and a complete-mode max_by keeps the LATEST
+    // stop_time_update per (trip, stop) across batches — snapshot
+    // semantics, replay-immune by construction (max over feed_ts).
+    // The oracle recomputes generation-3 values from orders ×
+    // lineitem first principles, and n_updates = 4 gates that every
+    // generation's decode actually flowed through the state.
+    "stream_gtfs_latest" -> Q(
+      fn = (s, dir) => {
+        val feeds = graft.operators.MultimodalQueries.gtfsRtFeedGens(
+          Sources.table(s, dir, "orders"),
+          Sources.table(s, dir, "lineitem"), 4)
+        val src = streamOfOrderedBy(s, feeds,
+          Seq(col("gen"), col("feed")), "gtfsfeeds")
+        val rows = src
+          .select(explode(expr("gtfsrt_decode(blob)")).as("m"))
+          .select(col("m.feed_ts").as("fts"),
+            col("m.trip_id").as("trip_id"),
+            col("m.stop_sequence").as("stop_sequence"),
+            col("m.stop_id").as("stop_id"),
+            col("m.arr_delay").as("arr_delay"),
+            col("m.dep_delay").as("dep_delay"))
+        val latest = withStatePartitions(s, 4) {
+          drain(s, rows
+            .groupBy(col("trip_id"), col("stop_sequence"))
+            .agg(max(col("fts")).as("latest_ts"),
+              expr("max_by(arr_delay, fts)").as("arr_delay"),
+              expr("max_by(dep_delay, fts)").as("dep_delay"),
+              expr("max_by(stop_id, fts)").as("stop_id"),
+              count(lit(1)).as("n_updates")),
+            "sq_gtfs_latest")
+        }
+        latest
+          .select(col("trip_id"), col("stop_sequence"),
+            col("latest_ts"), col("arr_delay"), col("dep_delay"),
+            col("stop_id"), col("n_updates"))
+          .orderBy(col("trip_id"), col("stop_sequence"))
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT l_orderkey, l_linenumber,
+                 min(CAST(l_quantity AS BIGINT)) AS qmin,
+                 min(l_partkey) AS pmin
+          FROM lineitem WHERE l_orderkey % 8 = 0
+          GROUP BY l_orderkey, l_linenumber)
+        SELECT 't' || CAST(o_orderkey AS VARCHAR) AS trip_id,
+               CAST(l_linenumber AS BIGINT) AS stop_sequence,
+               CAST(1700000000 + 3 * 3600 + o_orderkey // 100
+                 AS BIGINT) AS latest_ts,
+               qmin - 25 + 21 AS arr_delay,
+               qmin - 20 + 21 AS dep_delay,
+               'S' || CAST(pmin % 100 AS VARCHAR) AS stop_id,
+               CAST(4 AS BIGINT) AS n_updates
+        FROM orders JOIN st ON l_orderkey = o_orderkey
+        ORDER BY trip_id, stop_sequence"""),
+      desc = "streaming GTFS-RT: 4 feed generations decoded per batch, latest-wins upsert state"),
+
     // ── stream-stream interval join ≡ batch range self-join ─────────
     // streamStreamConversions is the real watermarked two-stream
     // inner join (state bounded by the 1-hour range condition on both
