@@ -1187,6 +1187,11 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "webdataset_roundtrip" -> (k =>
+        // two-member tar shards + stem regroup: per-shard byte work
+        // — must be ~linear
+        graft.operators.MultimodalQueries.webdatasetRoundtrip(
+          docFrac(k))),
       "xz_roundtrip" -> (k =>
         // tukaani compress + from-scratch LZMA decode per doc:
         // per-row, embarrassingly parallel — must be linear

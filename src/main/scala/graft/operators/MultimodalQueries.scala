@@ -523,6 +523,45 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** WebDataset-layout shards: ustar archives holding TWO members
+    * per sample (`<id>.txt` payload + `<id>.json` sidecar built with
+    * explicit concat so both engines agree byte-for-byte), walked
+    * back by `tar_list` and RE-PAIRED by stem — the sample-grouping
+    * operator every WebDataset loader runs — the corpus_webdataset
+    * body, public so ScaleProbe can ride it. Returns (shard, doc_id,
+    * n_members, txt_sum, json_size). */
+  def webdatasetRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.TarList.register(docsDf.sparkSession)
+    graft.functions.ArchiveWrite.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("shard", expr("doc_id div 50"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .withColumn("tar", expr("tar_write(flatten(transform(ds, " +
+        "d -> array(" +
+        "struct(concat(d.doc_id, '.txt') AS name, " +
+        "CAST(d.text AS BINARY) AS payload), " +
+        "struct(concat(d.doc_id, '.json') AS name, " +
+        "CAST(concat('{\"id\":', d.doc_id, ',\"n\":', " +
+        "octet_length(CAST(d.text AS BINARY)), '}') AS BINARY) " +
+        "AS payload)))))"))
+      .select(col("shard"),
+        explode(expr("tar_list(tar)")).as("m"))
+      .where(col("m.cksum_ok"))
+      .withColumn("stem",
+        expr("CAST(split(m.name, '\\\\.')[0] AS BIGINT)"))
+      .withColumn("ext", expr("split(m.name, '\\\\.')[1]"))
+      .withColumn("doc_id", col("stem"))
+      .groupBy(col("shard"), col("doc_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("ext") === "txt", col("m.payload_sum"))
+          .otherwise(lit(0L))).as("txt_sum"),
+        sum(when(col("ext") === "json", col("m.size"))
+          .otherwise(lit(0L))).as("json_size"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -3011,6 +3050,34 @@ object MultimodalQueries {
                string_agg(text, '' ORDER BY doc_id) AS text_out
         FROM documents GROUP BY shard ORDER BY shard"""),
       desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
+
+    // ── WebDataset: the multimodal training-shard layout ────────────
+    // WebDataset — tar shards whose members pair up by stem
+    // (`000123.txt` + `000123.json` [+ `.jpg` ...] = one sample) —
+    // is the de-facto loader format for multimodal training. The fn
+    // writes the layout with our own tar_write (two members per
+    // sample, sidecar JSON via explicit concat so both engines agree
+    // on bytes), walks it back with tar_list (checksums recomputed),
+    // and re-pairs members by stem — the sample-grouping operator
+    // itself. The oracle recomputes members-per-sample, text byte
+    // sums and sidecar sizes from first principles: the hash proves
+    // shard write → walk → regroup is exactly-once per sample.
+    "corpus_webdataset" -> Q(
+      fn = (s, dir) => webdatasetRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id // 50 AS shard, doc_id,
+               CAST(2 AS BIGINT) AS n_members,
+               CAST(list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> ('0x' || substr(hex(encode(text)),
+                   CAST(2 * i + 1 AS INT), 2))::BIGINT))
+                 AS BIGINT) AS txt_sum,
+               CAST(octet_length(encode('{"id":'
+                 || CAST(doc_id AS VARCHAR) || ',"n":'
+                 || CAST(octet_length(encode(text)) AS VARCHAR)
+                 || '}')) AS BIGINT) AS json_size
+        FROM documents ORDER BY shard, doc_id"""),
+      desc = "WebDataset tar shards: paired .txt/.json members re-grouped by stem, exactly-once"),
 
     // ── XZ: the archival codec, decoded from scratch ────────────────
     // Wikipedia dumps and long-term archives ship as `.xz`; with
