@@ -670,11 +670,21 @@ object XzCodec {
     p + 12
   }
 
-  /** The independent compressor: org.tukaani.xz (preset 6, CRC-64
-    * check — the xz default). */
+  /** The independent compressor: org.tukaani.xz (preset-6 coding
+    * parameters, CRC-64 check — the xz defaults) with the DICTIONARY
+    * SIZED TO THE INPUT: preset 6's fixed 8 MiB dictionary is
+    * allocated per call, and on kilobyte-scale per-record payloads
+    * that allocation dominates by ~100× (ScaleProbe read 24 ms/doc
+    * before, ~linear-in-bytes after). A dictionary larger than the
+    * input buys nothing — real per-record shard writers size it
+    * exactly this way. */
   def write(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 128)
     val opts = new org.tukaani.xz.LZMA2Options(6)
+    val dict = math.min(1 << 23,
+      math.max(4096, Integer.highestOneBit(
+        math.max(1, data.length - 1)) << 1))
+    opts.setDictSize(dict)
     val os = new org.tukaani.xz.XZOutputStream(bos, opts)
     os.write(data)
     os.close()

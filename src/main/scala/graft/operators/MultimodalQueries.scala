@@ -337,9 +337,16 @@ object MultimodalQueries {
     * the SHADED PROTOBUF CodedOutputStream and decoded by our
     * from-scratch wire walker — the mta_rt_feed body, public so
     * ScaleProbe can ride it. Returns one row per stop_time_update. */
-  def gtfsRtRoundtrip(orders: DataFrame, lineitem: DataFrame)
+  def gtfsRtRoundtrip(ordersAll: DataFrame, lineitemAll: DataFrame)
       : DataFrame = {
-    graft.functions.GtfsRt.register(orders.sparkSession)
+    graft.functions.GtfsRt.register(ordersAll.sparkSession)
+    // the o_orderkey % 4 == 0 subset keeps the gated output at
+    // ~150k rows at sf0.1 (the sample_negative output-volume
+    // lesson) while every wire shape — negative delays included —
+    // still occurs
+    val orders = ordersAll.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+    val lineitem = lineitemAll
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
     val stops = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(struct(
@@ -3185,6 +3192,7 @@ object MultimodalQueries {
                1700000030 + o_orderkey * 100 + l_linenumber
                  AS dep_time
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 4 = 0
         ORDER BY entity_id, stop_sequence, arr_delay, stop_id"""),
       desc = "GTFS-RT protobuf: CodedOutputStream packs feeds -> from-scratch wire decode"),
 
