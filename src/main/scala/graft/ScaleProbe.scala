@@ -1187,6 +1187,10 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "mp3_walk" -> (k =>
+        // SQL synthesis + frame walk per doc: per-row — must be
+        // linear
+        graft.operators.MultimodalQueries.mp3Walk(docFrac(k))),
       "webdataset_roundtrip" -> (k =>
         // two-member tar shards + stem regroup: per-shard byte work
         // — must be ~linear

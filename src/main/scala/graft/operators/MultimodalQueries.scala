@@ -569,6 +569,45 @@ object MultimodalQueries {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** Per-doc MPEG1-Layer-III files synthesized IN SQL — an ID3v2.3
+    * tag (syncsafe size, one TIT2 frame) plus 3-7 audio frames with
+    * doc-varying bitrate/sample-rate indices and ALTERNATING padding
+    * bits, so the frame-length formula genuinely binds — walked by
+    * `mp3_frames` — the mm_mp3_frames body, public so ScaleProbe can
+    * ride it. Returns (doc_id, id3_size, id3_frames, n_frames,
+    * total_samples, sample_rate, sum_frame_bytes). */
+  def mp3Walk(docsDf: DataFrame): DataFrame = {
+    graft.functions.Mp3Frames.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("title", concat(lit("doc "), col("doc_id")))
+      .withColumn("tlen", length(col("title")).cast("long"))
+      .withColumn("brx", expr("1 + CAST(doc_id % 14 AS INT)"))
+      .withColumn("srx", expr("CAST(doc_id % 3 AS INT)"))
+      .withColumn("nf", expr("3 + CAST(doc_id % 5 AS INT)"))
+      .withColumn("br", expr("element_at(array(32, 40, 48, 56, 64, " +
+        "80, 96, 112, 128, 160, 192, 224, 256, 320), brx)"))
+      .withColumn("sr", expr(
+        "element_at(array(44100, 48000, 32000), srx + 1)"))
+      .withColumn("base", expr("(144 * br * 1000) div sr"))
+      .withColumn("tag", expr("concat('494433', '0300', '00', " +
+        "'000000', lpad(hex(11 + tlen), 2, '0'), " +
+        "'54495432', lpad(hex(1 + tlen), 8, '0'), '0000', '00', " +
+        "hex(title))"))
+      .withColumn("frames", expr("aggregate(sequence(0, nf - 1), " +
+        "'', (acc, i) -> concat(acc, 'FFFB', " +
+        "lpad(hex(brx * 16 + srx * 4 + (i % 2) * 2), 2, '0'), 'C0', " +
+        "repeat('00', CAST(base + i % 2 AS INT) - 4)))"))
+      .withColumn("m", expr("mp3_frames(unhex(concat(tag, frames)))"))
+      .select(col("doc_id"),
+        col("m.id3_size").as("id3_size"),
+        col("m.id3_frames").as("id3_frames"),
+        col("m.n_frames").as("n_frames"),
+        col("m.total_samples").as("total_samples"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.sum_frame_bytes").as("sum_frame_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -3057,6 +3096,41 @@ object MultimodalQueries {
                string_agg(text, '' ORDER BY doc_id) AS text_out
         FROM documents GROUP BY shard ORDER BY shard"""),
       desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
+
+    // ── MP3 frame walk + ID3v2: the audio container level ───────────
+    // Layer III entropy decode stays an honest fake (no codec deps,
+    // the labeled r14 limitation) — but everything a pipeline runs
+    // BEFORE decode is real: the ID3v2 tag with its syncsafe 28-bit
+    // size and v2.3 frame walk, and the MPEG frame walk with the
+    // bitrate/sample-rate tables and the padding-sensitive
+    // frame-length formula, frames required to tile the file exactly
+    // to EOF. The fn synthesizes per-doc files in SQL (bitrate and
+    // rate indices vary by doc, padding alternates per frame); the
+    // oracle recomputes every field from the same arithmetic, so the
+    // hash proves the walker's tables and formulas bit-for-bit.
+    "mm_mp3_frames" -> Q(
+      fn = (s, dir) => mp3Walk(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(11 + length('doc ' || CAST(doc_id AS VARCHAR))
+                 AS BIGINT) AS id3_size,
+               CAST(1 AS BIGINT) AS id3_frames,
+               CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+               CAST((3 + doc_id % 5) * 1152 AS BIGINT)
+                 AS total_samples,
+               CAST(list_extract(list_value(44100, 48000, 32000),
+                 CAST(doc_id % 3 AS INT) + 1) AS BIGINT)
+                 AS sample_rate,
+               CAST((3 + doc_id % 5) *
+                 ((144 * 1000 * list_extract(list_value(32, 40, 48,
+                   56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                   320), CAST(1 + doc_id % 14 AS INT)))
+                  // list_extract(list_value(44100, 48000, 32000),
+                   CAST(doc_id % 3 AS INT) + 1))
+                 + (3 + doc_id % 5) // 2 AS BIGINT)
+                 AS sum_frame_bytes
+        FROM documents ORDER BY doc_id"""),
+      desc = "MP3 container walk: ID3v2 syncsafe tag + frame-length formula, tiled to EOF"),
 
     // ── WebDataset: the multimodal training-shard layout ────────────
     // WebDataset — tar shards whose members pair up by stem

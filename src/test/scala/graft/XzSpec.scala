@@ -98,6 +98,27 @@ class XzSpec extends SparkSuite {
     assert(dec2 != null && java.util.Arrays.equals(dec2, a ++ b))
   }
 
+  test("flush() chunk boundaries decode (LZMA2 state-reset modes " +
+    "mid-stream)") {
+    // XZOutputStream.flush() ends the current LZMA2 chunk; the next
+    // chunk carries a state reset — exercises reset modes 1/2 and
+    // multiple chunks per block
+    val bos = new java.io.ByteArrayOutputStream()
+    val os = new org.tukaani.xz.XZOutputStream(bos,
+      new org.tukaani.xz.LZMA2Options(6))
+    val parts = Seq("first part with repetition repetition ",
+      "second part second part ", "third ", "fourth and final part")
+      .map(_ * 30)
+    parts.foreach { s =>
+      os.write(s.getBytes)
+      os.flush()
+    }
+    os.close()
+    val dec = XzCodec.read(bos.toByteArray)
+    assert(dec != null &&
+      java.util.Arrays.equals(dec, parts.mkString.getBytes))
+  }
+
   test("random-seed property: decode(compress(x)) == x") {
     val r = new scala.util.Random(20260816L)
     (0 until 30).foreach { i =>
