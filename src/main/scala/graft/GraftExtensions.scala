@@ -137,6 +137,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Lz4Write(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("flac_write"),
+      new ExpressionInfo(classOf[graft.functions.FlacWriteExpr].getName,
+        "flac_write"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.FlacWriteExpr(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("mp3_frames"),
       new ExpressionInfo(classOf[graft.functions.Mp3FramesExpr].getName,
         "mp3_frames"),

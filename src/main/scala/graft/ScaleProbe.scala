@@ -1187,6 +1187,11 @@ object ScaleProbe {
         // ustar assembly + header-checksum walk: pure per-shard byte
         // work — must be ~linear
         graft.operators.MultimodalQueries.tarWriteRoundtrip(docFrac(k))),
+      "flac_write_roundtrip" -> (k =>
+        // fixed-predictor + Rice encode, full decode with MD5: per
+        // doc — must be linear
+        graft.operators.MultimodalQueries.flacWriteRoundtrip(
+          docFrac(k))),
       "mp3_walk" -> (k =>
         // SQL synthesis + frame walk per doc: per-row — must be
         // linear

@@ -608,6 +608,31 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Real FLAC ENCODE per doc (fixed predictors 0-2 chosen by
+    * residual magnitude, exact-cost Rice parameters, CRC-8/16, MD5
+    * in STREAMINFO; doc bytes as signed 8-bit mono PCM) → the full
+    * `flac_decode` (every CRC and the whole-stream MD5 recomputed)
+    * — the mm_flac_write body, public so ScaleProbe can ride it.
+    * Returns (doc_id, ok, n_frames, n_samples, first_sample,
+    * sum_samples, last_sample). */
+  def flacWriteRoundtrip(docsDf: DataFrame): DataFrame = {
+    graft.functions.FlacDecode.register(docsDf.sparkSession)
+    graft.functions.FlacWrite.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("n", octet_length(col("text")).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("d", expr(
+        "flac_decode(flac_write(CAST(text AS BINARY)))"))
+      .select(col("doc_id"),
+        element_at(col("d"), 1).as("ok"),
+        element_at(col("d"), 2).as("n_frames"),
+        element_at(col("d"), 3).as("n_samples"),
+        element_at(col("d"), 7).as("first_sample"),
+        element_at(col("d"), 8).as("sum_samples"),
+        element_at(col("d"), 9).as("last_sample"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Constant-subframe mono 8-bit FLAC per doc (CRC-16 via GF(2)
     * linearity against the decoder's own table) → full `flac_decode`
     * — the mm_decode_flac body, public so ScaleProbe can ride it.
@@ -3096,6 +3121,57 @@ object MultimodalQueries {
                string_agg(text, '' ORDER BY doc_id) AS text_out
         FROM documents GROUP BY shard ORDER BY shard"""),
       desc = "concatenated per-doc zstd frames -> multi-frame walk, exactly-once in order"),
+
+    // ── FLAC WRITE: the lossless-audio write side ───────────────────
+    // mm_decode_flac proved the decoder on closed-form fixtures;
+    // this gate proves a REAL ENCODER: per doc, the bytes (as signed
+    // 8-bit mono PCM) go through fixed-predictor selection (orders
+    // 0-2 by residual magnitude), exact-cost Rice parameter choice,
+    // UTF-8 frame numbers, CRC-8/16, and a STREAMINFO carrying the
+    // PCM's MD5 — then the full decoder re-verifies every CRC AND
+    // the whole-stream MD5 while decoding. The oracle recomputes the
+    // sample stats from hex pairs with the unsigned→signed fold, so
+    // the hash proves encode → decode is sample-exact and the
+    // declared MD5 genuinely matches. FlacSpec's independent anchors
+    // (textbook CRC vectors, closed forms) pin the decoder, so the
+    // pair cannot drift together.
+    "mm_flac_write" -> Q(
+      fn = (s, dir) => flacWriteRoundtrip(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS ok,
+               CAST((octet_length(encode(text)) + 4095) // 4096
+                 AS BIGINT) AS n_frames,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                 AS n_samples,
+               CAST(CASE WHEN ('0x' || substr(hex(encode(text)), 1,
+                   2))::BIGINT > 127
+                 THEN ('0x' || substr(hex(encode(text)), 1,
+                   2))::BIGINT - 256
+                 ELSE ('0x' || substr(hex(encode(text)), 1,
+                   2))::BIGINT END AS BIGINT) AS first_sample,
+               CAST(list_sum(list_transform(
+                 range(0, octet_length(encode(text))),
+                 i -> CASE WHEN ('0x' || substr(hex(encode(text)),
+                     CAST(2 * i + 1 AS INT), 2))::BIGINT > 127
+                   THEN ('0x' || substr(hex(encode(text)),
+                     CAST(2 * i + 1 AS INT), 2))::BIGINT - 256
+                   ELSE ('0x' || substr(hex(encode(text)),
+                     CAST(2 * i + 1 AS INT), 2))::BIGINT END))
+                 AS BIGINT) AS sum_samples,
+               CAST(CASE WHEN ('0x' || substr(hex(encode(text)),
+                   2 * octet_length(encode(text)) - 1, 2))::BIGINT
+                   > 127
+                 THEN ('0x' || substr(hex(encode(text)),
+                   2 * octet_length(encode(text)) - 1, 2))::BIGINT
+                   - 256
+                 ELSE ('0x' || substr(hex(encode(text)),
+                   2 * octet_length(encode(text)) - 1, 2))::BIGINT
+                 END AS BIGINT) AS last_sample
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+        ORDER BY doc_id"""),
+      desc = "REAL FLAC encode (fixed predictors + exact-cost Rice) -> full decode, MD5-gated"),
 
     // ── MP3 frame walk + ID3v2: the audio container level ───────────
     // Layer III entropy decode stays an honest fake (no codec deps,
