@@ -195,7 +195,10 @@ object Lz4 {
         if (((xxh32(b, hdrStart, p - hdrStart) >>> 8) & 0xff) != hc)
           return null
         p += 1
-        val frameStart = out.size()
+        // frame-local accumulation keeps the content-checksum pass
+        // O(frame), not O(total) — a many-frame shard blob would
+        // otherwise re-materialize the whole output per frame
+        val fout = new java.io.ByteArrayOutputStream(1 << 12)
         val buf = new Array[Byte](maxBlock)
         var endMark = false
         while (!endMark) {
@@ -212,24 +215,25 @@ object Lz4 {
               if (p + sz + 4 > b.length) return null
               if (le32i(b, p + sz) != xxh32(b, p, sz)) return null
             }
-            if (uncompressed) out.write(b, p, sz)
+            if (uncompressed) fout.write(b, p, sz)
             else {
               val n = decodeBlock(b, p, sz, buf, 0, maxBlock)
               if (n < 0) return null
-              out.write(buf, 0, n)
+              fout.write(buf, 0, n)
             }
             p += sz + (if (blockChecksum) 4 else 0)
           }
         }
-        val produced = (out.size() - frameStart).toLong
-        if (declared >= 0 && produced != declared) return null
+        if (declared >= 0 && fout.size().toLong != declared)
+          return null
+        val content = fout.toByteArray
         if (contentChecksum) {
           if (p + 4 > b.length) return null
-          val content = out.toByteArray
-          if (le32i(b, p) != xxh32(content, frameStart,
-            content.length - frameStart)) return null
+          if (le32i(b, p) != xxh32(content, 0, content.length))
+            return null
           p += 4
         }
+        out.write(content, 0, content.length)
       } else return null
     }
     if (!sawFrame && b.length > 0) return null
