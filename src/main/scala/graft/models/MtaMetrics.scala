@@ -346,8 +346,13 @@ object MtaMetrics {
       .groupBy(col("s_route_id"), col("s_direction_id"))
       .agg(collect_list(col("sched_headway_s")).as("sh_arr"),
            count(lit(1)).as("n_s"))
+    // schArr is one row per (route, direction) — planning-scale, but
+    // the collect_list aggregate defeats the size estimate and the
+    // planner picks a SortMergeJoin, shuffling + sorting the obs side
+    // (r16 opt round: plan showed Exchange+Sort on obs). Broadcast
+    // explicitly (guide §3.1: hint when the estimate is wrong).
     obsF
-      .join(schArr, col("s_route_id") === col("route_id") &&
+      .join(broadcast(schArr), col("s_route_id") === col("route_id") &&
         col("s_direction_id") === col("direction_id"))
       .withColumn("m", size(filter(col("sh_arr"),
         x => col("headway_s") <= lit(2) * x)))

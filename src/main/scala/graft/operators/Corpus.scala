@@ -2522,6 +2522,14 @@ object Corpus extends org.apache.spark.internal.Logging {
       split(col("text"), " ").as("toks"))
     // raw-token-order n-grams (the minhash shingle rule), hashed to
     // 56 bits; docs shorter than n tokens contribute no grams
+    // NOT materialized, deliberately: the distinct gram frame feeds
+    // both the train set and the eval probe, but the r16 opt-round A/B
+    // measured the localCheckpoint LOSING to the double-planned
+    // explode+distinct pyramid (text_contamination 1.02 → 1.62 s,
+    // corpus_release 4.89 → 5.21 s isolated) — the dq_fd lesson: a
+    // pruned codegen scan recomputes cheaper than a checkpoint of a
+    // million-row gram frame reads. At 100 TB the train gram set is a
+    // persisted bucketed table per the scaladoc, which is the flip.
     val grams = base.filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("is_eval"), explode(expr(
         s"transform(sequence(0, size(toks) - $n), i -> " +
@@ -2567,11 +2575,17 @@ object Corpus extends org.apache.spark.internal.Logging {
     require(kHash >= 1, "kHash must be >= 1")
     val base = docs.select(col("doc_id"), isEval.as("is_eval"),
       split(col("text"), " ").as("toks"))
-    val grams = base.filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("is_eval"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> " +
-          s"concat_ws(' ', slice(toks, i + 1, $n)))")).as("gs"))
-      .distinct()
+    // the distinct (doc, gram) frame feeds THREE consumers (train bit
+    // positions, train gram set, eval probe rows) — materialized once
+    // or the explode+distinct pyramid is planned per reference (r16
+    // opt round: the 4-reference form cost 3.2 s, this one 2.0 s)
+    val grams = graft.Engine.materialize(
+      base.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("is_eval"), explode(expr(
+          s"transform(sequence(0, size(toks) - $n), i -> " +
+            s"concat_ws(' ', slice(toks, i + 1, $n)))")).as("gs"))
+        .distinct(),
+      key = "gs", name = "bloom_grams")
     def pos(i: Int) = expr(
       s"CAST(conv(substring(md5(concat(gs, '#$i')), 1, 8), 16, 10) AS BIGINT)" +
         s" % ${mBits}L")
@@ -2580,16 +2594,19 @@ object Corpus extends org.apache.spark.internal.Logging {
       .select(explode(posArr).as("pos")).distinct()
     val trainGrams = grams.filter(!col("is_eval"))
       .select(col("gs")).distinct()
-    val evalBloom = grams.filter(col("is_eval"))
+    // ONE eval pipeline computes both flags per (doc, gram): the k
+    // bloom positions aggregate to bloom_hit, then the exact train
+    // membership joins on the gram — the old evalBloom ⋈ evalExact
+    // (doc, gs) pair join of two separately-built eval branches is
+    // structurally gone (both sides derived from the same distinct
+    // key set, so the inner join was 1:1 by construction).
+    grams.filter(col("is_eval"))
       .select(col("doc_id"), col("gs"), explode(posArr).as("pos"))
       .join(trainBits.withColumn("hit", lit(1L)), Seq("pos"), "left")
       .groupBy(col("doc_id"), col("gs"))
       .agg(min(coalesce(col("hit"), lit(0L))).as("bloom_hit"))
-    val evalExact = grams.filter(col("is_eval"))
       .join(trainGrams.withColumn("ex", lit(1L)), Seq("gs"), "left")
-      .select(col("doc_id"), col("gs"),
-        coalesce(col("ex"), lit(0L)).as("exact_hit"))
-    evalBloom.join(evalExact, Seq("doc_id", "gs"))
+      .withColumn("exact_hit", coalesce(col("ex"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("exact_hit")).as("n_exact"),
@@ -2904,7 +2921,12 @@ object Corpus extends org.apache.spark.internal.Logging {
     * the tail; acc = bl means bl was the whole prefix. Shared by
     * [[bpeFit]] (one rule per round) and [[bpeApply]] (rules chained
     * in rank order). */
-  private def mergeFoldExpr(bl: String, br: String): String = s"""
+  // private[graft] (not private): BpeMergeSpec pins the native
+  // bpe_merge expression against THIS composed fold string-for-string
+  // (the AHash64 equivalence-spec pattern). Query plans use the native
+  // form — the HOF fold runs one interpreted lambda frame per symbol
+  // per rule and is excluded from whole-stage codegen (r16 opt round).
+  private[graft] def mergeFoldExpr(bl: String, br: String): String = s"""
     aggregate(
       slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
       element_at(split(s, ' '), 1),
@@ -2918,6 +2940,7 @@ object Corpus extends org.apache.spark.internal.Logging {
   def bpeFit(docs: DataFrame, merges: Int = 8): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
     val spark = docs.sparkSession
+    graft.functions.BpeMerge.register(spark)
     // symbol state `s` = space-joined symbols (symbols are letter
     // sequences — never contain spaces), initially one char each
     val words = docs
@@ -2950,7 +2973,7 @@ object Corpus extends org.apache.spark.internal.Logging {
         val merged = state
           .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
           .select(col("word"), col("freq"),
-            expr(mergeFoldExpr("bl", "br")).as("s"))
+            expr("bpe_merge(s, bl, br)").as("s"))
         val (next, nextT) = graft.Engine.materializeTracked(
           merged, key = "word", name = s"bpe_round_${r % 2}")
         graft.Engine.dropMaterialized(spark, stateT)
@@ -2990,6 +3013,7 @@ object Corpus extends org.apache.spark.internal.Logging {
   def bpeSegments(docs: DataFrame, merges: DataFrame, nMerges: Int,
                   sharedToken: Option[String] = None): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
+    graft.functions.BpeMerge.register(docs.sparkSession)
     // a degenerate training corpus can fit FEWER than nMerges rules;
     // the per-round broadcast below would then be empty and silently
     // empty the whole segmentation (every word lost to the crossJoin)
@@ -3011,7 +3035,7 @@ object Corpus extends org.apache.spark.internal.Logging {
         seg = seg
           .crossJoin(broadcast(merges.filter(col("merge_rank") === r)
             .select(col("left_sym").as(s"bl$r"), col("right_sym").as(s"br$r"))))
-          .withColumn("s", expr(mergeFoldExpr(s"bl$r", s"br$r")))
+          .withColumn("s", expr(s"bpe_merge(s, bl$r, br$r)"))
           .drop(s"bl$r", s"br$r")
       }
       seg

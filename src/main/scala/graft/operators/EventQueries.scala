@@ -1595,32 +1595,39 @@ object EventQueries {
       // The robust-stats member beside a_outliers/a_winsorize (stddev
       // explodes on one fat-finger row; MAD doesn't): type-1 median
       // via the histogram+threshold machinery (a_quantile_weighted's
-      // shape at weight 1), deviations against the broadcast 1-row-
-      // per-group medians, the same machinery again for MAD — exact,
-      // interpolation-free, bit-identical across engines.
+      // shape at weight 1), then the MAD pass re-weights the SAME
+      // (grp, cents) histogram — |cents − median| only depends on the
+      // histogram key, so deviation masses are sums of cents masses
+      // and the raw rows are never touched twice. The median rides
+      // the dev aggregation as a carried constant (min of a per-grp
+      // constant), so the median subtree is referenced ONCE: the old
+      // shape planned the full window pyramid three times (dev input,
+      // broadcast side, final join — 18 Exchanges, r16 opt round;
+      // 3.76 s → see OPTIMIZATION_r16.md) and re-aggregated raw rows
+      // for the dev histogram. Exact, interpolation-free,
+      // bit-identical across engines; oracle unchanged.
       fn = (s, dir) => {
         import s.implicits._
-        def p50(df: org.apache.spark.sql.DataFrame, vCol: String,
-                out: String) = {
-          val cum = df.groupBy($"grp", col(vCol))
-            .agg(count(lit(1)).as("wm"))
-            .withColumn("cw", sum($"wm").over(
-              Window.partitionBy($"grp").orderBy(col(vCol))
-                .rowsBetween(Window.unboundedPreceding, 0)))
-            .withColumn("tw", sum($"wm").over(
-              Window.partitionBy($"grp").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing)))
-          cum.groupBy($"grp")
-            .agg(min(when($"cw" * 2L >= $"tw", col(vCol))).as(out))
-        }
-        val base = Sources.table(s, dir, "lineitem")
+        def cum(df: org.apache.spark.sql.DataFrame, vCol: String) = df
+          .withColumn("cw", sum($"wm").over(
+            Window.partitionBy($"grp").orderBy(col(vCol))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tw", sum($"wm").over(
+            Window.partitionBy($"grp").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val hist = Sources.table(s, dir, "lineitem")
           .select($"l_returnflag".as("grp"),
             round($"l_extendedprice" * 100).cast(LongType).as("cents"))
-        val med = p50(base, "cents", "median_cents")
-        val dev = base.join(broadcast(med), Seq("grp"))
+          .groupBy($"grp", $"cents").agg(count(lit(1)).as("wm"))
+        val med = cum(hist, "cents").groupBy($"grp")
+          .agg(min(when($"cw" * 2L >= $"tw", $"cents")).as("median_cents"))
+        val devHist = hist.join(broadcast(med), Seq("grp"))
           .withColumn("dev", abs($"cents" - $"median_cents"))
-        p50(dev, "dev", "mad_cents")
-          .join(med, Seq("grp"))
+          .groupBy($"grp", $"dev")
+          .agg(sum($"wm").as("wm"), min($"median_cents").as("median_cents"))
+        cum(devHist, "dev").groupBy($"grp")
+          .agg(min($"median_cents").as("median_cents"),
+            min(when($"cw" * 2L >= $"tw", $"dev")).as("mad_cents"))
           .select($"grp", $"median_cents", $"mad_cents")
           .orderBy($"grp")
       },

@@ -203,9 +203,15 @@ object StreamingQueries {
       fn = (s, dir) => {
         val src = streamOf(s, withTs(Sources.table(s, dir, "documents"))
           .select(col("ts"), col("doc_id"), col("text")))
-        val partials = drain(s,
+        // at the 4-partition knee like every other stateful drain —
+        // this and the four sibling sketch drains predate
+        // withStatePartitions and ran at the session's 32 (r16 opt
+        // round: the five unwrapped drains cost 19.0 s; wrapped they
+        // read the family knee). Hash partitioning is value-identical
+        // at any partition count.
+        val partials = withStatePartitions(s, 4) { drain(s,
           StreamingModels.prioritySamplePartialsStream(src, k = 64),
-          "sq_priority_partials")
+          "sq_priority_partials") }
         StreamingModels.prioritySampleFinalize(partials, k = 64)
           .orderBy(col("doc_id"))
       },
@@ -251,8 +257,9 @@ object StreamingQueries {
         val codebook = Vectors.kmeansFit(all.filter(col("id") < 400), 8, 3)
         val src = streamOf(s, withTs(all.filter(col("id") >= 400))
           .select(col("ts"), col("id"), col("sv"), col("nrm")))
-        drain(s, StreamingModels.kmeansDriftStream(src, codebook),
-            "sq_kmeans_drift")
+        withStatePartitions(s, 4) {
+          drain(s, StreamingModels.kmeansDriftStream(src, codebook),
+            "sq_kmeans_drift") }
           .select(unix_timestamp(col("day_start")).as("day_s"),
             col("cluster"), col("n_new"), col("sum_dot"), col("sum_nrm"))
           .orderBy(col("cluster"))
@@ -337,8 +344,9 @@ object StreamingQueries {
         val src = streamOf(s, withTs(docs)
           .select(col("ts"), col("doc_id"), col("text")))
           .filter(h < 8)
-        drain(s, StreamingModels.contaminationStream(src, idx,
-            minJaccard = 0.5), "sq_contam_hits")
+        withStatePartitions(s, 4) {
+          drain(s, StreamingModels.contaminationStream(src, idx,
+            minJaccard = 0.5), "sq_contam_hits") }
           .select(col("train_doc"), col("eval_doc"), col("jaccard"))
           .distinct()
           .orderBy(col("train_doc"), col("eval_doc"))
@@ -375,8 +383,8 @@ object StreamingQueries {
         // 4-file write for both; event_type is pruned at the scan)
         val src = streamOf(s, Sources.table(s, dir, "events")
           .select(col("ts"), col("user_id"), col("event_type")))
-        val partials = drain(s,
-          StreamingModels.srmPartialsStream(src), "sq_srm_partials")
+        val partials = withStatePartitions(s, 4) { drain(s,
+          StreamingModels.srmPartialsStream(src), "sq_srm_partials") }
         StreamingModels.srmFinalize(partials)
           .select(unix_timestamp(col("day_start")).as("day_s"),
             col("n0"), col("n1"), col("n"), col("chi2_x100"), col("srm"))
@@ -415,8 +423,8 @@ object StreamingQueries {
       fn = (s, dir) => {
         val src = streamOf(s, Sources.table(s, dir, "events")
           .select(col("ts"), col("user_id"), col("event_type")))
-        val partials = drain(s,
-          StreamingModels.hllPartialsStream(src), "sq_hll_partials")
+        val partials = withStatePartitions(s, 4) { drain(s,
+          StreamingModels.hllPartialsStream(src), "sq_hll_partials") }
         StreamingModels.hllFinalize(partials)
           .select(unix_timestamp(col("day_start")).as("day_s"),
             col("event_type"), col("sum_regs"), col("zero_regs"),
