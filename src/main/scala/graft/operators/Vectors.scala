@@ -1364,7 +1364,13 @@ object Vectors {
         Seq("id"), "left_semi")
       .select(col("id").as("query_id"), col("sv").as("qv"),
         col("nrm").as("qn"), col("cluster"))
-    q.join(c, Seq("cluster"))
+    // the query side is a bounded search batch (queryFilter selects a
+    // handful of ids) — broadcast it or the planner sort-merge-joins on
+    // `cluster` (k distinct values: both a needless corpus-side shuffle
+    // AND the skew shape, since every row lands in k partitions). The
+    // broadcast-queries / scan-the-index plan is the IVF serving shape
+    // at any scale (r16 opt round; plan: SMJ + 2 Exchange+Sort -> BHJ).
+    broadcast(q).join(c, Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
@@ -1409,7 +1415,13 @@ object Vectors {
         Seq("id"), "left_semi")
       .select(col("id").as("query_id"), col("sv").as("qv"),
         col("nrm").as("qn"), col("cluster"))
-    q.join(c, Seq("cluster"))
+    // the query side is a bounded search batch (queryFilter selects a
+    // handful of ids) — broadcast it or the planner sort-merge-joins on
+    // `cluster` (k distinct values: both a needless corpus-side shuffle
+    // AND the skew shape, since every row lands in k partitions). The
+    // broadcast-queries / scan-the-index plan is the IVF serving shape
+    // at any scale (r16 opt round; plan: SMJ + 2 Exchange+Sort -> BHJ).
+    broadcast(q).join(c, Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
