@@ -298,9 +298,14 @@ object Corpus extends org.apache.spark.internal.Logging {
     cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .withColumn("est_x8", (0 until 8).map(i =>
         when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      // |A∪B| = |A|+|B|−|A∩B| for the distinct toks arrays — same
+      // integer as size(array_distinct(concat(...))) without
+      // materializing a union array per pair (the allPairsJoin form;
+      // r16 opt round, guide §4)
+      .withColumn("_inter", expr(
+        "CAST(size(array_intersect(toks_a, toks_b)) AS BIGINT)"))
       .withColumn("jacc_ppm", expr(
-        "CAST(size(array_intersect(toks_a, toks_b)) AS BIGINT) * 1000000L" +
-          " div CAST(size(array_distinct(concat(toks_a, toks_b))) AS BIGINT)"))
+        "_inter * 1000000L div (size(toks_a) + size(toks_b) - _inter)"))
       .withColumn("err_ppm", abs(col("est_x8") * 125000L - col("jacc_ppm")))
       .select(col("doc_a"), col("doc_b"), col("est_x8"), col("jacc_ppm"),
         col("err_ppm"))
@@ -380,9 +385,12 @@ object Corpus extends org.apache.spark.internal.Logging {
         col(s"a${2 * b}") === col(s"b${2 * b}") &&
           col(s"a${2 * b + 1}") === col(s"b${2 * b + 1}"))
         .reduce(_ || _))
+      // |A∪B| via |A|+|B|−|A∩B| (distinct arrays) — no union array
+      // materialized per pair (r16 opt round, guide §4)
+      .withColumn("_inter", expr(
+        "CAST(size(array_intersect(toks_a, toks_b)) AS BIGINT)"))
       .withColumn("j_ppm", expr(
-        "CAST(size(array_intersect(toks_a, toks_b)) AS BIGINT) * 1000000L" +
-          " div CAST(size(array_distinct(concat(toks_a, toks_b))) AS BIGINT)"))
+        "_inter * 1000000L div (size(toks_a) + size(toks_b) - _inter)"))
       .withColumn("_m", lit(1000000L) - expr("j_ppm * j_ppm div 1000000L"))
       .withColumn("_m2", expr("_m * _m div 1000000L"))
       .withColumn("theory_ppm", lit(1000000L) - expr("_m2 * _m2 div 1000000L"))
@@ -407,9 +415,13 @@ object Corpus extends org.apache.spark.internal.Logging {
         Seq("doc_a"))
       .join(sigToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
         Seq("doc_b"))
-      .withColumn("jaccard", try_divide(
-        size(array_intersect(col("toks_a"), col("toks_b"))),
-        size(array_distinct(concat(col("toks_a"), col("toks_b"))))))
+      // |A∪B| via |A|+|B|−|A∩B| (distinct arrays): identical integer
+      // denominator, so the emitted double is bit-identical — without
+      // materializing a union array per verified pair (r16 opt round)
+      .withColumn("_inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", try_divide(col("_inter"),
+        size(col("toks_a")) + size(col("toks_b")) - col("_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
@@ -482,9 +494,12 @@ object Corpus extends org.apache.spark.internal.Logging {
         Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
         Seq("doc_b"))
+      // |A∪B| via |A|+|B|−|A∩B| (ta/tb are array_distinct) — same
+      // integer as size(array_union(...)), no union array per pair
+      .withColumn("_inter", expr(
+        "CAST(size(array_intersect(ta, tb)) AS BIGINT)"))
       .withColumn("jacc_ppm", expr(
-        "CAST(size(array_intersect(ta, tb)) AS BIGINT) * 1000000 " +
-          "div size(array_union(ta, tb))"))
+        "_inter * 1000000 div (size(ta) + size(tb) - _inter)"))
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"),
         expr("sum(jacc_ppm) div count(1)").as("mean_jacc_ppm"),

@@ -349,9 +349,13 @@ object StreamingModels {
       .join(broadcast(evalIndex.select(col("doc_id").as("eval_doc"),
         col("band"), col("k1"), col("k2"), col("toks").as("toks_e"))),
         Seq("band", "k1", "k2"))
-      .withColumn("jaccard", try_divide(
-        size(array_intersect(col("toks_t"), col("toks_e"))),
-        size(array_distinct(concat(col("toks_t"), col("toks_e"))))))
+      // |A∪B| via |A|+|B|−|A∩B| (both sides array_distinct): identical
+      // integer denominator → bit-identical double, no union array per
+      // probed pair (the batch minhashVerify form; r16 opt round)
+      .withColumn("_inter",
+        size(array_intersect(col("toks_t"), col("toks_e"))))
+      .withColumn("jaccard", try_divide(col("_inter"),
+        size(col("toks_t")) + size(col("toks_e")) - col("_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("day_start"), col("train_doc"), col("eval_doc"),
         col("band"), col("jaccard"))
