@@ -236,15 +236,22 @@ object Corpus extends org.apache.spark.internal.Logging {
 
   private def minhashSigToks(docs: DataFrame,
                              carry: Seq[String] = Nil): DataFrame = {
-    val base = docs.select(col("doc_id") +:
-      array_distinct(split(col("text"), " ")).as("toks") +:
-      carry.map(col): _*)
-    val mh = shingleHashRows(docs)
-      .groupBy(col("doc_id")).agg(mhAggCols.head, mhAggCols.tail: _*)
-    graft.Engine.materialize(
-      mh.join(base.select(col("doc_id") +: col("toks") +: carry.map(col): _*),
-        Seq("doc_id")),
-      key = "doc_id", name = "minhash_sig")
+    // SHARED across registered queries (r16 opt round): dedup_minhash,
+    // dedup_minhash_est, dedup_cross_split and the dedup_edges
+    // consumers all build this exact frame over the same docs plan —
+    // key it by the PRE-transform input + the carry column list (the
+    // is_new variant of the incremental path keys separately).
+    graft.Engine.materializeShared(docs.sparkSession,
+      graft.Engine.planToken(docs,
+        extra = s"minhash_sig:${carry.mkString(",")}"), {
+        val base = docs.select(col("doc_id") +:
+          array_distinct(split(col("text"), " ")).as("toks") +:
+          carry.map(col): _*)
+        val mh = shingleHashRows(docs)
+          .groupBy(col("doc_id")).agg(mhAggCols.head, mhAggCols.tail: _*)
+        mh.join(base.select(col("doc_id") +: col("toks") +:
+          carry.map(col): _*), Seq("doc_id"))
+      }, key = "doc_id", name = "minhash_sig")
   }
 
   /** (doc_id, band, k1, k2 [, carry...]) band frame with the
@@ -446,8 +453,12 @@ object Corpus extends org.apache.spark.internal.Logging {
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
     val votes = tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
     // materialize signatures once — both band-join branches and the
-    // pair join would otherwise recompute the whole token pipeline
-    val sim = graft.Engine.materialize(
+    // pair join would otherwise recompute the whole token pipeline;
+    // SHARED across queries (r16 opt round): dedup_simhash and
+    // dedup_simhash_est build the identical signature frame (it
+    // depends only on docs, not on maxHamming/bucketCap)
+    val sim = graft.Engine.materializeShared(docs.sparkSession,
+      graft.Engine.planToken(docs, extra = "simhash_sig"),
       votes.select(col("doc_id"),
         (0 until 32).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))

@@ -1073,6 +1073,10 @@ object StreamingQueries {
     // anywhere. The 30-day delay spans the whole synthetic ingest
     // window (the production trade: dedup horizon = state retention).
     "stream_web_ingest" -> Q(
+      // per-trigger cost is incremental planning of the canon tree,
+      // not state commits: the 15-trigger drain read 6.13 s at 4
+      // state partitions and 6.99 s at 2 (isolated same-hour A/B,
+      // r16 opt continuation) — the family knee of 4 stands
       fn = (s, dir) => withStatePartitions(s, 4) {
         import s.implicits._
         val src0 = Sources.table(s, dir, "documents")
