@@ -1405,6 +1405,7 @@ object Corpus extends org.apache.spark.internal.Logging {
     * (doc_id, chunk_idx, start_pos, n_toks, chunk_sha,
     * n_docs_sharing). */
   def cdcChunks(docs: DataFrame): DataFrame = {
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -1412,9 +1413,11 @@ object Corpus extends org.apache.spark.internal.Logging {
     val marked = toks
       .withColumn("t1", lag(col("tok"), 1).over(w))
       .withColumn("t2", lag(col("tok"), 2).over(w))
+      // md5_prefix_long ≡ conv(substring(md5(..),1,8),16,10) — this
+      // hash runs once per token occurrence (r16 opt round)
       .withColumn("m", when(col("pos") >= 2 &&
-        expr("CAST(conv(substring(md5(concat_ws(' ', t2, t1, tok)), " +
-          "1, 8), 16, 10) AS BIGINT) % 16") === 0L, 1L).otherwise(0L))
+        expr("md5_prefix_long(concat_ws(' ', t2, t1, tok), 8) % 16")
+          === 0L, 1L).otherwise(0L))
       // a boundary token CLOSES its chunk: the next token starts a
       // new one, so the chunk id is the EXCLUSIVE running boundary
       // count

@@ -2839,10 +2839,12 @@ object ExtendedQueries {
       fn = (s, dir) => {
         import s.implicits._
         graft.functions.RegAgg.register(s)
+        graft.functions.Md5PrefixLong.register(s)
         val sk = t(s, dir, "events")
           .select($"event_type", $"user_id")
-          .withColumn("h", expr("CAST(conv(substring(md5(" +
-            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+          // md5_prefix_long ≡ conv(substring(md5)) — per event row
+          .withColumn("h",
+            expr("md5_prefix_long(CAST(user_id AS STRING), 8)"))
           .withColumn("idx", expr("CAST(h % 32 AS INT)"))
           .withColumn("w", expr("h div 32"))
           .withColumn("rho", expr(
@@ -2910,11 +2912,13 @@ object ExtendedQueries {
       fn = (s, dir) => {
         import s.implicits._
         graft.functions.RegAgg.register(s)
+        graft.functions.Md5PrefixLong.register(s)
         val daily = t(s, dir, "events")
           .select($"event_type", $"user_id",
             expr("(unix_timestamp(ts) div 86400)").as("day"))
-          .withColumn("h", expr("CAST(conv(substring(md5(" +
-            "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+          // md5_prefix_long ≡ conv(substring(md5)) — per event row
+          .withColumn("h",
+            expr("md5_prefix_long(CAST(user_id AS STRING), 8)"))
           .withColumn("idx", expr("CAST(h % 32 AS INT)"))
           .withColumn("w", expr("h div 32"))
           .withColumn("rho", expr(

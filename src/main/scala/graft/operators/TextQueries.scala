@@ -884,10 +884,13 @@ object TextQueries {
     "text_fingerprint" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
         docs(s, dir)
+          // md5_prefix_long ≡ conv(substring(md5)) — one hash per
+          // token occurrence inside the lambda (r16 opt round)
           .withColumn("hashes", expr(
             "transform(split(text, ' '), t -> " +
-              "CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000003L)"))
+              "md5_prefix_long(t, 14) % 1000003L)"))
           .select(
             $"doc_id",
             expr("aggregate(hashes, 0L, (a, h) -> (a * 31 + h) % 1000000007L)")
@@ -1838,13 +1841,16 @@ object TextQueries {
     "text_watermark" -> Q(
       fn = (s, dir) => {
         import s.implicits._
+        graft.functions.Md5PrefixLong.register(s)
         docs(s, dir)
           .select($"doc_id", split($"text", " ").as("raw"))
           .filter(size($"raw") >= 2)
           .withColumn("i", explode(expr("sequence(1, size(raw) - 1)")))
-          .select($"doc_id", (expr("CAST(conv(substring(md5(concat(" +
-            "element_at(raw, i), ' ', element_at(raw, i + 1))), 1, 8), " +
-            "16, 10) AS BIGINT) % 2") === 0L).as("green"))
+          // md5_prefix_long ≡ conv(substring(md5)) — one hash per
+          // adjacent token pair (r16 opt round)
+          .select($"doc_id", (expr("md5_prefix_long(concat(" +
+            "element_at(raw, i), ' ', element_at(raw, i + 1)), 8) % 2")
+            === 0L).as("green"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_pairs"),
             sum(when($"green", 1L).otherwise(0L)).as("n_green"))

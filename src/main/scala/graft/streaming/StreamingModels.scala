@@ -65,17 +65,21 @@ object StreamingModels {
     * State per key is one long, watermark-evicted a day after the day
     * closes. Works on batch or streaming input (StreamingSpec asserts
     * parity). */
-  def srmPartialsStream(events: DataFrame): DataFrame =
+  def srmPartialsStream(events: DataFrame): DataFrame = {
+    graft.functions.Md5PrefixLong.register(events.sparkSession)
     events
       .withWatermark("ts", "1 day")
-      .withColumn("arm", expr("CAST(conv(substring(md5(" +
-        "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+      // md5_prefix_long ≡ the conv(substring(md5)) idiom — per EVENT
+      // row on the stream (r16 opt round)
+      .withColumn("arm",
+        expr("md5_prefix_long(CAST(user_id AS STRING), 8) % 2"))
       .groupBy(window(col("ts"), "1 day"), col("arm"),
         expr("user_id div 32").as("word"))
       .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 as int))"))
         .as("m"))
       .select(col("window.start").as("day_start"), col("arm"),
         col("word"), col("m"))
+  }
 
   /** Batch finalize over [[srmPartialsStream]]'s emitted partials:
     * popcount the OR-merged words to per-day arm sizes, then the
@@ -115,10 +119,12 @@ object StreamingModels {
     * or streaming input. */
   def hllPartialsStream(events: DataFrame): DataFrame = {
     graft.functions.RegAgg.register(events.sparkSession)
+    graft.functions.Md5PrefixLong.register(events.sparkSession)
     events
       .withWatermark("ts", "1 day")
-      .withColumn("h", expr("CAST(conv(substring(md5(" +
-        "CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      // md5_prefix_long ≡ the conv(substring(md5)) idiom — per EVENT
+      // row on the stream (r16 opt round)
+      .withColumn("h", expr("md5_prefix_long(CAST(user_id AS STRING), 8)"))
       .withColumn("idx", expr("CAST(h % 32 AS INT)"))
       .withColumn("w", expr("h div 32"))
       .withColumn("rho", expr(
