@@ -764,7 +764,10 @@ object VectorQueries {
         // join), so both go through Engine.materialize — without it
         // the brute scoring pass and the LSH band join each execute
         // twice per run (the minhashSigToks defect class)
-        val brute = graft.Engine.materialize(
+        // SHARED: ann_recall, ann_recall_mp and ann_recall_curve all
+        // score the identical brute-force baseline (r16 opt round)
+        val brute = graft.Engine.materializeShared(s,
+          graft.Engine.planToken(base, "ann_brute:k5"),
           Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
             .select($"query_id", $"cand_id"),
           "query_id", "ann_brute")
@@ -862,10 +865,12 @@ object VectorQueries {
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir).withColumn("id", $"vec_id")
-        val brute = graft.Engine.materialize(
+        // SHARED with ann_recall / ann_recall_curve (same token)
+        val brute = graft.Engine.materializeShared(s,
+          graft.Engine.planToken(base, "ann_brute:k5"),
           Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
             .select($"query_id", $"cand_id"),
-          "query_id", "annmp_brute")
+          "query_id", "ann_brute")
         val lsh = graft.Engine.materialize(
           Vectors.lshSearch(base, queryFilter = $"id" < 10, k = 5)
             .select($"query_id", $"cand_id"),
@@ -989,10 +994,12 @@ object VectorQueries {
       fn = (s, dir) => {
         import s.implicits._
         val base = emb(s, dir).withColumn("id", $"vec_id")
-        val brute = graft.Engine.materialize(
+        // SHARED with ann_recall / ann_recall_mp (same token)
+        val brute = graft.Engine.materializeShared(s,
+          graft.Engine.planToken(base, "ann_brute:k5"),
           Vectors.knnBrute(base.filter($"id" < 10), base, k = 5)
             .select($"query_id", $"cand_id"),
-          "query_id", "rc_brute")
+          "query_id", "ann_brute")
         val asg = Vectors.kmeansAssign(base, kCells = 8, iters = 3,
           nprobe = 4)
         val q = asg.filter($"id" < 10)

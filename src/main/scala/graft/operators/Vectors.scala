@@ -106,11 +106,18 @@ object Vectors {
     // like Corpus.minhashSigToks (the round-3 defect class, pinned by
     // PlanAuditSpec for the minhash queries and here for the vector
     // twins). The banded frame buckets on bv: in table mode the
-    // band-bucket self-join reads it exchange-free.
-    val proj = graft.Engine.materialize(
+    // band-bucket self-join reads it exchange-free. SHARED across
+    // queries (r16 opt round): knn_lsh, knn_lsh_mp and the ann_recall
+    // family all derive these exact frames from the same base —
+    // keyed by the PRE-transform base plan + the signature params
+    // (the queryFilter never touches them, so it stays out of the
+    // key; [[lshSearchMultiprobe]] shares the SAME tokens).
+    val proj = graft.Engine.materializeShared(base.sparkSession,
+      graft.Engine.planToken(base, "lsh_vec"),
       base.select(col("id"), col("sv"), col("nrm")),
       key = "id", name = "lsh_vec")
-    val banded = graft.Engine.materialize(
+    val banded = graft.Engine.materializeShared(base.sparkSession,
+      graft.Engine.planToken(base, s"lsh_sig:$dim:$nPlanes:$bands"),
       bandedSig(proj, dim, nPlanes, bands), key = "bv", name = "lsh_sig")
     val qIds = base.filter(queryFilter).select(col("id"))
     val qb = banded.join(qIds, Seq("id"), "left_semi")
@@ -151,11 +158,15 @@ object Vectors {
                           bands: Int = 4): DataFrame = {
     graft.functions.LongArrayDot.register(base.sparkSession)
     val bitsPerBand = nPlanes / bands
-    val proj = graft.Engine.materialize(
+    // content-identical to [[lshSearch]]'s frames — share the SAME
+    // tokens so knn_lsh / knn_lsh_mp / ann_recall_mp build them once
+    val proj = graft.Engine.materializeShared(base.sparkSession,
+      graft.Engine.planToken(base, "lsh_vec"),
       base.select(col("id"), col("sv"), col("nrm")),
-      key = "id", name = "lshmp_vec")
-    val banded = graft.Engine.materialize(
-      bandedSig(proj, dim, nPlanes, bands), key = "bv", name = "lshmp_sig")
+      key = "id", name = "lsh_vec")
+    val banded = graft.Engine.materializeShared(base.sparkSession,
+      graft.Engine.planToken(base, s"lsh_sig:$dim:$nPlanes:$bands"),
+      bandedSig(proj, dim, nPlanes, bands), key = "bv", name = "lsh_sig")
     val qIds = base.filter(queryFilter).select(col("id"))
     // probe set per query-band row: the exact bucket + each 1-bit flip
     val flips = (0 until bitsPerBand).map(b => s"CAST(${1L << b} AS BIGINT)")
