@@ -3232,7 +3232,13 @@ object Corpus extends org.apache.spark.internal.Logging {
     // full-edge frame still builds once (other queries consume it),
     // only the pointer-jumping input shrinks.
     val newIds = flagged.filter(col("_new")).select(col("doc_id"))
-    val allEdges = dedupEdges(docs.select(col("doc_id"), col("text")))
+    // pass `docs` UN-projected: dedupEdges only reads doc_id/text, so
+    // the result is identical either way, but the shared-frame token
+    // derives from the input plan — the old .select(doc_id, text)
+    // produced a second token and this gate silently built its OWN
+    // copy of the edge frame the dedup_canonical family shares
+    // (r16 opt round: the subset A/B reads −1.6 s on dedup_canonical)
+    val allEdges = dedupEdges(docs)
     val touching = allEdges
       .join(newIds.withColumnRenamed("doc_id", "src"), Seq("src"),
         "left_semi")
